@@ -1,13 +1,682 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Ids, Text, Vectors}
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Driver contract: `queries` is the operator inventory (SURVEY.md §2 +
+  * the beyond-parity training-data operators), each with a DuckDB oracle
+  * in `oracleSql` computing the same result with the same column names.
+  *
+  * Cross-engine determinism rules used throughout (so value hashes match):
+  *  - money/quantity aggregates go through DECIMAL(18,2) casts → exact
+  *    arithmetic, no float-summation-order divergence;
+  *  - ratios are computed as ONE double division of exact integers/decimals;
+  *  - hashes that must agree across engines use md5 (hex of UTF-8 bytes);
+  *  - every computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val dec = "decimal(18,2)"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenueByNation(spark, "/root/testdata/sf0.001")
+
+  /** TPC-H-Q5-style revenue-per-nation: fact-side multi-join with
+    * broadcast dims + FK resolution via [[Relational.transformToFk]].
+    */
+  private def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    val o = tbl(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1996-01-01"))
+    val c = tbl(s, dir, "customer")
+    val n = tbl(s, dir, "nation")
+    val withNation =
+      Relational.transformToFk(c, n, "c_nationkey", "n_nationkey", "n_name", "nation_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(withNation, o("o_custkey") === withNation("c_custkey"))
+      .groupBy(col("nation_name"))
+      .agg(
+        sum((col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)))
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  private val discPrice: Column =
+    col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Aggregations (SURVEY §2.4) ──────────────────────────────────────
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+          sum(discPrice).as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+    }),
+    "q02_fk_dim_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(dec)).as("total_acctbal")
+        )
+    }),
+    "q03_revenue_by_nation" -> ((s, dir) => revenueByNation(s, dir)),
+    "q10_collect_set" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n_orders")
+        )
+    }),
+    "q11_conditional_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0, 1).otherwise(0)).as("n_discounted"),
+          sum(when(col("l_tax") === 0, 1).otherwise(0)).as("n_taxfree"),
+          count(lit(1)).as("n_total")
+        )
+    }),
+    "q44_pivot" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("O", "F", "P"))
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_finished")
+        .withColumnRenamed("P", "n_pending")
+    }),
+
+    // ── Joins (SURVEY §2.3) ─────────────────────────────────────────────
+    "q04_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q05_semi_join" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      val li = tbl(s, dir, "lineitem").filter(col("l_discount") > 0.07)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+    }),
+    "q06_full_outer" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = tbl(s, dir, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, o("day") === l("day"), "full_outer")
+        .select(
+          coalesce(o("day"), l("day")).as("day"),
+          coalesce(col("n_orders"), lit(0)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0)).as("n_ships")
+        )
+    }),
+    "q07_self_join" -> ((s, dir) => {
+      val a = tbl(s, dir, "nation").select(
+        col("n_regionkey").as("rk"), col("n_name").as("nation_a"))
+      val b = tbl(s, dir, "nation").select(
+        col("n_regionkey").as("rk"), col("n_name").as("nation_b"))
+      a.join(b, Seq("rk"))
+        .filter(col("nation_a") < col("nation_b"))
+        .select(col("rk").as("region_key"), col("nation_a"), col("nation_b"))
+    }),
+    "q08_expr_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val dim = o
+        .select(concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")).as("class_key"))
+        .distinct()
+        .withColumn("class_id", Ids.denseId(col("class_key")))
+      o.join(
+          broadcast(dim),
+          concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")) === dim("class_key")
+        )
+        .groupBy(col("class_id"), col("class_key"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+    "q09_exactly_one" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      val ps = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      Relational.exactlyOneJoin(p, ps, "p_partkey", "l_partkey")
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey").as("sole_suppkey"))
+    }),
+    "q29_nullsafe_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .withColumn("pk", when(col("o_orderstatus") === "O", lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")))
+      val a = o.groupBy(col("pk")).agg(count(lit(1)).as("n_a"))
+      val b = o.groupBy(col("pk")).agg(sum(col("o_totalprice").cast(dec)).as("total_b"))
+      Relational.nullSafeJoin(a, b, Seq("pk"), "inner")
+        .select(a("pk").as("status_key"), col("n_a"), col("total_b"))
+    }),
+    "q28_sorted_array_join" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+        .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+      val grouped = p
+        .groupBy(sort_array(col("words")).as("word_bag"))
+        .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+        .filter(col("n_parts") > 1)
+        .select(concat_ws(" ", col("word_bag")).as("word_bag"), col("n_parts"), col("min_partkey"))
+      grouped
+    }),
+
+    // ── Windows (SURVEY §2.5) ───────────────────────────────────────────
+    "q12_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+    "q13_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(dec)).over(w).as("running_qty")
+        )
+    }),
+
+    // ── Projections / filters / recodes (SURVEY §2.2) ───────────────────
+    "q14_recode" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .withColumn("size_class",
+          when(col("o_totalprice") < 1000, "small")
+            .when(col("o_totalprice") < 10000, "medium")
+            .when(col("o_totalprice") < 100000, "large")
+            .otherwise("jumbo"))
+        .groupBy(col("size_class"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+    "q15_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .dropDuplicates()
+    }),
+    "q23_topk" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    "q25_dense_id" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(col("p_brand")).distinct()
+        .withColumn("brand_id", Ids.denseId(col("p_brand")))
+    }),
+    "q26_binning" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 1000, "0-1k")
+            .when(col("o_totalprice") < 10000, "1k-10k")
+            .when(col("o_totalprice") < 100000, "10k-100k")
+            .otherwise("100k+"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+    "q22_null_handling" -> ((s, dir) => {
+      val d = when(col("l_discount") === 0, lit(null).cast("double"))
+        .otherwise(col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .withColumn("d", d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("d").isNull.cast("long")).as("n_null"),
+          count(col("d")).as("n_nonnull"),
+          sum(col("d").cast(dec)).as("sum_disc")
+        )
+    }),
+
+    // ── Set operations & arrays (SURVEY §2.7) ───────────────────────────
+    "q16_union" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(
+        col("c_name").as("entity_name"), lit("customer").as("kind"),
+        col("c_acctbal").as("acctbal"))
+      val sp = tbl(s, dir, "supplier").select(
+        lit("supplier").as("kind"), col("s_name").as("entity_name"),
+        col("s_acctbal").as("acctbal"))
+      c.unionByName(sp)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("acctbal").cast(dec)).as("total_acctbal"))
+    }),
+    "q17_array_ops" -> ((s, dir) => {
+      val words = split(col("p_name"), " ")
+      tbl(s, dir, "part").select(
+        col("p_partkey"),
+        concat_ws(" ", sort_array(array_except(words, array(lit("small"), lit("red")))))
+          .as("kept_words"),
+        size(array_intersect(words, array(lit("small"), lit("red"), lit("blue"))))
+          .as("n_marked")
+      )
+    }),
+
+    // ── Scalar functions (SURVEY §2.8) ──────────────────────────────────
+    "q18_string_funcs" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_upper"),
+        replace(lower(col("c_mktsegment")), lit("a"), lit("@")).as("seg_coded"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len")
+      )
+    }),
+    "q19_regexp" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("cust_num"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("seg_novowel")
+      )
+    }),
+    "q20_explode_wordcount" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+    "q21_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k_val")).as("sum_k"), max(col("k_val")).as("max_k"),
+          count(lit(1)).as("n"))
+    }),
+    "q24_hourly_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    "q42_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // ── Dedup operators (beyond-parity, on documents) ───────────────────
+    "q30_exact_dedup" -> ((s, dir) =>
+      Dedup.exactClusters(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q31_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 8, bands = 2, shingleN = 3)),
+    "q32_simhash" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        Text.simhash16(Text.tokens(col("text"))).as("simhash"))),
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val a = d.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+        col("toks").as("toks_b"))
+      a.join(b, Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          Text.jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+    }),
+    "q34_fingerprint" -> ((s, dir) =>
+      Dedup.fingerprintClusters(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // ── Text analysis (beyond-parity) ───────────────────────────────────
+    "q35_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("actual_lang"),
+        Text.langIdByStopwords(Text.tokens(col("text")), langMarkers).as("pred_lang"))),
+    "q36_quality" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        Text.qualityScore(col("text"), toks).as("quality_score"))
+    }),
+    "q37_token_count" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).as("ws_tokens"),
+        Text.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+
+    // ── Similarity search (beyond-parity, on embeddings) ────────────────
+    "q38_embed_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      e.select(col("vec_id"),
+          round(Vectors.cosineToConst(col("embedding"), q), 4).as("cosine_sim"))
+        .orderBy(col("cosine_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+    "q39_lsh_ann" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val idx = Similarity.lshIndex(e, "vec_id", "embedding", nPlanes = 6, dim = q.size)
+      Similarity.lshTopK(idx, "vec_id", "embedding", q, nPlanes = 6, k = 10)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 4))
+    }),
+    "q40_near_pairs" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Vectors.cosine(Vectors.toDoubleVec(col("v_a")),
+            Vectors.toDoubleVec(col("v_b"))), 4).as("cosine_sim"))
+        .filter(col("cosine_sim") >= 0.35)
+    }),
+    "q41_label_stats" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(size(col("embedding"))).as("min_dim"),
+          max(size(col("embedding"))).as("max_dim")))
+  )
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  // ───────────────────────── Oracle SQL ─────────────────────────────────
+
+  private val tokSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  private def vocabHitsSql(words: Seq[String]): String =
+    s"len(list_filter(w, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
+
+  private val langIdSql: String = {
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) => s"${vocabHitsSql(ws)} AS ${l}_hits" }
+    val mx = s"greatest(${langs.map(_._1 + "_hits").mkString(", ")})"
+    val caseChain = langs.map { case (l, _) => s"WHEN ${l}_hits = $mx THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    s"""SELECT doc_id, actual_lang, $caseChain AS pred_lang FROM (
+       SELECT doc_id, lang AS actual_lang, ${hitCols.mkString(", ")} FROM (
+         SELECT doc_id, lang, $tokSql AS w FROM documents))"""
+  }
+
+  private val minhashSql: String = {
+    val sigElems = (0 until 8).map(seed =>
+      s"list_aggregate(list_transform(shingles, x -> md5('$seed|' || x)), 'min')")
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+       sh AS (SELECT doc_id, list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' ')) AS shingles FROM toks WHERE len(w) >= 3),
+       sig AS (SELECT doc_id, [$sigElems] AS sig FROM sh),
+       bands AS (SELECT doc_id, unnest([
+         md5(concat_ws('|', 'band0', sig[1], sig[2], sig[3], sig[4])),
+         md5(concat_ws('|', 'band1', sig[5], sig[6], sig[7], sig[8]))]) AS band_key FROM sig)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+  }
+
+  private val simhashSql: String = {
+    val hexHigh = "('8','9','a','b','c','d','e','f')"
+    val bitTerms = (0 until 16).map { bit =>
+      s"""(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN substr(h, ${bit + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END)) > 0 THEN ${1 << bit} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""SELECT doc_id, $bitTerms AS simhash FROM (
+       SELECT doc_id, list_transform(list_distinct($tokSql), x -> md5(x)) AS hs FROM documents)"""
+  }
+
+  private val cosineSqlBody =
+    """list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*qv[i]))
+       / (sqrt(list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*ev[i])))
+        * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]))))"""
+
+  private val qualitySql: String =
+    """SELECT doc_id, len(w) AS n_tokens,
+       (CASE WHEN nc >= 100 AND nc <= 20000 THEN 40.0 WHEN nc >= 20 THEN 20.0 ELSE 0.0 END
+      + CASE WHEN (CASE WHEN len(w) > 0 THEN nc / CAST(len(w) AS DOUBLE) ELSE 0.0 END) >= 3
+              AND (CASE WHEN len(w) > 0 THEN nc / CAST(len(w) AS DOUBLE) ELSE 0.0 END) <= 12
+             THEN 30.0 ELSE 10.0 END
+      + CASE WHEN (CASE WHEN nc > 0 THEN np / nc ELSE 1.0 END) <= 0.1 THEN 30.0
+             WHEN (CASE WHEN nc > 0 THEN np / nc ELSE 1.0 END) <= 0.3 THEN 15.0
+             ELSE 0.0 END) AS quality_score
+       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+                    CAST(length(text) AS DOUBLE) AS nc,
+                    CAST(length(text) - length(regexp_replace(text, '[.,;:!?()-]', '', 'g')) AS DOUBLE) AS np
+             FROM documents)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_fk_dim_join" ->
+      """SELECT r_name AS region_name, n_name AS nation_name, count(*) AS n_customers,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q03_revenue_by_nation" ->
+      """SELECT n_name AS nation_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         GROUP BY n_name""",
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q05_semi_join" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_discount > 0.07)""",
+    "q06_full_outer" ->
+      """SELECT COALESCE(o.day, l.day) AS day, COALESCE(n_orders, 0) AS n_orders,
+         COALESCE(n_ships, 0) AS n_ships FROM
+         (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders FROM orders GROUP BY 1) o
+         FULL OUTER JOIN
+         (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, count(*) AS n_ships FROM lineitem GROUP BY 1) l
+         ON o.day = l.day""",
+    "q07_self_join" ->
+      """SELECT a.n_regionkey AS region_key, a.n_name AS nation_a, b.n_name AS nation_b
+         FROM nation a JOIN nation b
+         ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name""",
+    "q08_expr_join" ->
+      """WITH dim AS (SELECT DISTINCT o_orderstatus || '|' || o_orderpriority AS class_key FROM orders),
+         dim2 AS (SELECT class_key, CAST(dense_rank() OVER (ORDER BY class_key) AS INTEGER) AS class_id FROM dim)
+         SELECT class_id, class_key, count(*) AS n_orders
+         FROM orders JOIN dim2 ON o_orderstatus || '|' || o_orderpriority = class_key
+         GROUP BY class_id, class_key""",
+    "q09_exactly_one" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         uniq AS (SELECT l_partkey FROM ps GROUP BY 1 HAVING count(*) = 1)
+         SELECT p_partkey, p_name, l_suppkey AS sole_suppkey
+         FROM part JOIN ps ON p_partkey = ps.l_partkey JOIN uniq ON ps.l_partkey = uniq.l_partkey""",
+    "q10_collect_set" ->
+      """SELECT o_orderpriority,
+         string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+         count(*) AS n_orders FROM orders GROUP BY o_orderpriority""",
+    "q11_conditional_agg" ->
+      """SELECT l_returnflag,
+         sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS n_discounted,
+         sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS n_taxfree,
+         count(*) AS n_total FROM lineitem GROUP BY l_returnflag""",
+    "q12_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+         FROM orders) WHERE rn <= 2""",
+    "q13_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+           PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+         FROM lineitem WHERE l_suppkey <= 5""",
+    "q14_recode" ->
+      """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
+                     WHEN o_totalprice < 10000 THEN 'medium'
+                     WHEN o_totalprice < 100000 THEN 'large'
+                     ELSE 'jumbo' END AS size_class,
+         o_orderstatus, count(*) AS n, min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price
+         FROM orders GROUP BY size_class, o_orderstatus""",
+    "q15_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q16_union" ->
+      """SELECT kind, count(*) AS n, sum(CAST(acctbal AS DECIMAL(18,2))) AS total_acctbal FROM (
+         SELECT c_name AS entity_name, 'customer' AS kind, c_acctbal AS acctbal FROM customer
+         UNION ALL
+         SELECT s_name, 'supplier', s_acctbal FROM supplier) GROUP BY kind""",
+    "q17_array_ops" ->
+      """SELECT p_partkey,
+         array_to_string(list_sort(list_distinct(list_filter(string_split(p_name, ' '),
+           x -> NOT list_contains(['small','red'], x)))), ' ') AS kept_words,
+         len(list_distinct(list_filter(string_split(p_name, ' '),
+           x -> list_contains(['small','red','blue'], x)))) AS n_marked
+         FROM part""",
+    "q18_string_funcs" ->
+      """SELECT c_custkey, upper(trim(c_name)) AS name_upper,
+         replace(lower(c_mktsegment), 'a', '@') AS seg_coded,
+         substr(c_name, 1, 8) AS name_prefix, length(c_name) AS name_len
+         FROM customer""",
+    "q19_regexp" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS cust_num,
+         regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_novowel
+         FROM customer""",
+    "q20_explode_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+         SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "q21_json" ->
+      """SELECT event_type, sum(k_val) AS sum_k, max(k_val) AS max_k, count(*) AS n
+         FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events)
+         GROUP BY event_type""",
+    "q22_null_handling" ->
+      """SELECT l_returnflag,
+         sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS n_null,
+         count(d) AS n_nonnull, sum(CAST(d AS DECIMAL(18,2))) AS sum_disc
+         FROM (SELECT l_returnflag, CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END AS d
+               FROM lineitem) GROUP BY l_returnflag""",
+    "q23_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q24_hourly_events" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00') AS hour,
+         event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+    "q25_dense_id" ->
+      """SELECT p_brand, CAST(dense_rank() OVER (ORDER BY p_brand) AS INTEGER) AS brand_id
+         FROM (SELECT DISTINCT p_brand FROM part)""",
+    "q26_binning" ->
+      """SELECT CASE WHEN o_totalprice < 1000 THEN '0-1k'
+                     WHEN o_totalprice < 10000 THEN '1k-10k'
+                     WHEN o_totalprice < 100000 THEN '10k-100k'
+                     ELSE '100k+' END AS bucket,
+         count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY bucket""",
+    "q28_sorted_array_join" ->
+      """SELECT array_to_string(list_sort(string_split(p_name, ' ')), ' ') AS word_bag,
+         count(*) AS n_parts, min(p_partkey) AS min_partkey
+         FROM part GROUP BY 1 HAVING count(*) > 1""",
+    "q29_nullsafe_join" ->
+      """WITH o AS (SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS pk,
+                    o_totalprice FROM orders),
+         a AS (SELECT pk, count(*) AS n_a FROM o GROUP BY pk),
+         b AS (SELECT pk, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_b FROM o GROUP BY pk)
+         SELECT a.pk AS status_key, n_a, total_b FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk""",
+    "q42_sessionize" ->
+      """SELECT user_id,
+         sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+         count(*) AS n_events
+         FROM (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events) GROUP BY user_id""",
+    "q44_pivot" ->
+      """SELECT o_orderpriority,
+         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+         sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+         FROM orders GROUP BY o_orderpriority""",
+    "q30_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q31_minhash_lsh" -> minhashSql,
+    "q32_simhash" -> simhashSql,
+    "q33_ngram_jaccard" ->
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(list_concat(
+             list_distinct(regexp_split_to_array(trim(a.text), '\\s+')),
+             list_distinct(regexp_split_to_array(trim(b.text), '\\s+'))))) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(
+             list_distinct(regexp_split_to_array(trim(a.text), '\\s+')),
+             list_distinct(regexp_split_to_array(trim(b.text), '\\s+')))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(
+             list_distinct(regexp_split_to_array(trim(a.text), '\\s+')),
+             list_distinct(regexp_split_to_array(trim(b.text), '\\s+'))))) AS DOUBLE) END AS jaccard
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+    "q34_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint,
+         count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q35_lang_id" -> langIdSql,
+    "q36_quality" -> qualitySql,
+    "q37_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+         FROM documents""",
+    "q38_embed_topk" ->
+      s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)
+         SELECT vec_id, round($cosineSqlBody, 4) AS cosine_sim
+         FROM e, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q40_near_pairs" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300)
+         SELECT id_a, id_b, cosine_sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))), 4) AS cosine_sim
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         WHERE cosine_sim >= 0.35""",
+    "q41_label_stats" ->
+      """SELECT label, count(*) AS n, min(len(embedding)) AS min_dim,
+         max(len(embedding)) AS max_dim FROM embeddings GROUP BY label"""
+  )
 }

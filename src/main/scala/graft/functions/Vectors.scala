@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions (`array<float>` / `array<double>`).
+  *
+  * All built on `zip_with` + `aggregate` higher-order functions: a strict
+  * left-to-right fold, so results are bit-deterministic for a given input
+  * order — required for cross-engine verification and reproducible ANN
+  * results. Codegen'd, no UDFs.
+  */
+object Vectors {
+
+  /** Cast an array<float> to array<double> (do all math in double). */
+  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product of two double vectors (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Cosine against a constant query vector (broadcast as a literal —
+    * no join, evaluated inside whole-stage codegen at scan time).
+    */
+  def cosineToConst(v: Column, q: Seq[Double]): Column =
+    cosine(toDoubleVec(v), array(q.map(lit): _*))
+
+  /** Random-hyperplane LSH bucket for cosine similarity: the sign-bit
+    * pattern of the vector against `planes` fixed hyperplanes, packed into
+    * an int. Vectors in the same bucket are ANN candidates; probing
+    * neighboring buckets (Hamming distance 1) raises recall. `planes` are
+    * supplied by the caller (deterministic seeds) so buckets are stable
+    * across runs and engines.
+    */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(toDoubleVec(v), array(p.map(lit): _*)) >= 0, lit(1 << i))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Document deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and fingerprint clustering.
+  *
+  * Scale design (100 TB): every operator is a hash-partitioned groupBy or a
+  * bucket-local self-join — NEVER an all-pairs cross join. Candidate
+  * generation (LSH bands / SimHash buckets / fingerprints) shuffles each
+  * doc a constant number of times (one row per band), and the quadratic
+  * verification step runs only within buckets, whose size is bounded by
+  * actual near-duplicate density.
+  */
+object Dedup {
+
+  /** Exact duplicate clusters by content hash: one row per duplicated text
+    * with the cluster size and the kept (minimum) id. Single shuffle.
+    */
+  def exactClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(Text.md5Hex(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Keep one representative (min id) per exact-duplicate cluster.
+    * The groupBy partial-aggregates map-side, so the shuffle carries only
+    * one (hash, id) pair per distinct text per partition.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs
+      .groupBy(Text.md5Hex(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Per-document MinHash signature + LSH band keys over word `shingleN`-gram
+    * shingles. Docs with fewer than `shingleN` tokens are dropped (no
+    * shingles → no signature). Returns (id, signature, band_keys).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 2,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val shingles = Text.wordShingles(toks, shingleN)
+    docs
+      .select(col(idCol), shingles.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(
+        col(idCol),
+        Text.minhashSignature(col("shingles"), k).as("signature")
+      )
+      .withColumn("band_keys", Text.lshBandKeys(col("signature"), k, bands))
+  }
+
+  /** Candidate near-duplicate pairs (idA < idB) that share at least one LSH
+    * band. Plan shape: explode bands (k/bands rows per doc) → shuffle by
+    * band key → bucket-local self-join → distinct pairs. The self-join is
+    * an equi-join on the band key, so Spark executes it as a shuffled hash
+    * join with both sides partitioned by the key — no cross product.
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 2,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, bands, shingleN)
+    val exploded = sigs
+      .select(col(idCol), explode(col("band_keys")).as("band_key"))
+    val a = exploded.select(col(idCol).as("id_a"), col("band_key"))
+    val b = exploded.select(col(idCol).as("id_b"), col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** MinHash-LSH near-duplicate pairs verified by true token-set Jaccard ≥
+    * `threshold`. Verification joins the texts back only for candidate
+    * pairs — the quadratic step never touches non-candidates.
+    */
+  def minhashDuplicatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 8,
+      bands: Int = 2,
+      shingleN: Int = 3
+  ): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, idCol, textCol, k, bands, shingleN)
+    val t = docs.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+    pairs
+      .join(t.select(col(idCol).as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(t.select(col(idCol).as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .withColumn("jaccard", Text.jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash bucketing: docs sharing an identical 16-bit SimHash are
+    * near-duplicate candidates. Returns (simhash, n_docs, ids) clusters
+    * with more than one member.
+    */
+  def simhashClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), Text.simhash16(Text.tokens(col(textCol))).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n_docs") > 1)
+
+  /** Bag-of-words fingerprint dedup: clusters of docs with identical sorted
+    * distinct-token bags (order/whitespace/duplication-insensitive).
+    */
+  def fingerprintClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(Text.bagFingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational composite operators mirroring the reference's join/agg idioms
+  * (SURVEY §2.3/§2.4), re-expressed as reusable Spark-first combinators.
+  */
+object Relational {
+
+  /** Generic FK resolution: left-join `fact` to `dim` on
+    * `fact(factKey) == dim(dimKey)`, attaching `dim(dimId)` renamed to
+    * `fkName`. Reference: `etl/jobs/util/dataframe_functions.py:47-63`
+    * (`transform_to_fk`).
+    *
+    * Scale note: pass `broadcastDim = true` (default) for dimension tables —
+    * FK dims in this workload are small; a broadcast hash join avoids
+    * shuffling the 100 TB fact side entirely.
+    */
+  def transformToFk(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      dimId: String,
+      fkName: String,
+      broadcastDim: Boolean = true
+  ): DataFrame = {
+    val d0 = dim.select(col(dimId).as(fkName), col(dimKey).as(s"__dim_$dimKey"))
+    val d = if (broadcastDim) broadcast(d0) else d0
+    fact
+      .join(d, fact(factKey) === d(s"__dim_$dimKey"), "left")
+      .drop(s"__dim_$dimKey")
+  }
+
+  /** Null-safe multi-key left join (reference J2:
+    * `model_transformer_job.py:97-109` uses `eqNullSafe` on
+    * name+email+data_source).
+    */
+  def nullSafeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      joinType: String = "left"
+  ): DataFrame = {
+    val cond = keys.map(k => left(k) <=> right(k)).reduce(_ && _)
+    left.join(right, cond, joinType)
+  }
+
+  /** "Exactly-one-match" lookup (reference J9,
+    * `harmonisation/markers_harmonisation.py:99-141`): rows of `fact` get a
+    * match from `lookup` only when precisely ONE lookup row has that key;
+    * ambiguous keys fall through unmatched. Implemented as aggregate-join
+    * (no correlated subquery): count per key, keep count==1, inner-join.
+    */
+  def exactlyOneJoin(
+      fact: DataFrame,
+      lookup: DataFrame,
+      factKey: String,
+      lookupKey: String
+  ): DataFrame = {
+    val unique = lookup
+      .groupBy(col(lookupKey))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === 1)
+      .drop("__n")
+      .join(lookup, Seq(lookupKey))
+    fact.join(unique, fact(factKey) === unique(lookupKey), "inner")
+  }
+
+  /** Join-back of an aggregated column (reference J10): groupBy `key`,
+    * aggregate, left-join the result back so the fact keeps its grain.
+    * For row-preserving aggregates prefer a Window — this variant is for
+    * set/list aggregates where the grouped cardinality is much smaller.
+    */
+  def joinBackAgg(
+      fact: DataFrame,
+      key: String,
+      aggCols: Seq[Column]
+  ): DataFrame = {
+    val agged = fact.groupBy(col(key)).agg(aggCols.head, aggCols.tail: _*)
+    fact.join(agged, Seq(key), "left")
+  }
+
+  /** Array-equality join (reference J7,
+    * `treatment_data_aggregator_by_model.py:276-278`): joins rows whose
+    * SORTED element lists are equal — the reference's regimen-discovery
+    * trick. Sorting both sides makes the equality order-insensitive; the
+    * join key is the array itself (Spark hashes arrays natively).
+    */
+  def sortedArrayJoin(
+      left: DataFrame,
+      leftArr: String,
+      right: DataFrame,
+      rightArr: String,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val l = left.withColumn(leftArr, sort_array(col(leftArr)))
+    val r = right.withColumn(rightArr, sort_array(col(rightArr)))
+    l.join(r, l(leftArr) === r(rightArr), joinType)
+  }
+
+  /** Conditional non-null count per group for every listed column
+    * (reference A4, `available_molecular_data_columns_transformer_job.py:151-158`).
+    */
+  def nonNullCounts(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        sum(col(cols.head).isNotNull.cast("long")).as(cols.head),
+        cols.tail.map(c => sum(col(c).isNotNull.cast("long")).as(c)): _*
+      )
+
+  /** Positional-cardinality match after splitting two parallel delimited
+    * columns (reference `treatment_and_component_helper_transformer_job.py:98-133`):
+    * explode `aCol` and `bCol` (both "+"-separated) positionally, keeping
+    * only rows where the two lists have equal length; rows with mismatched
+    * cardinality are returned separately (the reference left-anti branch J4).
+    */
+  def posexplodeMatched(
+      df: DataFrame,
+      aCol: String,
+      bCol: String,
+      sep: String = "\\+"
+  ): (DataFrame, DataFrame) = {
+    val withArrays = df
+      .withColumn("__a", split(col(aCol), sep))
+      .withColumn("__b", split(col(bCol), sep))
+    val matched = withArrays
+      .filter(size(col("__a")) === size(col("__b")))
+      .select(
+        df.columns.map(col).toIndexedSeq :+
+          posexplode(arrays_zip(col("__a"), col("__b"))): _*
+      )
+      .withColumn(aCol, trim(col("col.__a")))
+      .withColumn(bCol, trim(col("col.__b")))
+      .drop("col", "__a", "__b")
+    val mismatched =
+      withArrays.filter(size(col("__a")) =!= size(col("__b")))
+        .drop("__a", "__b")
+    (matched, mismatched)
+  }
+}
