@@ -390,13 +390,17 @@ object SparkEntry {
         .withColumn("cosine_sim", round(col("cosine_sim"), 4))
     }),
     "q40_near_pairs" -> ((s, dir) => {
+      // Norms precomputed per row (linear) so each of the O(n^2) candidate
+      // pairs costs a single codegen'd dot product.
       val e = tbl(s, dir, "embeddings").filter(col("vec_id") < 300)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+        .withColumn("nrm", Vectors.l2Norm(col("v")))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(Vectors.cosine(Vectors.toDoubleVec(col("v_a")),
-            Vectors.toDoubleVec(col("v_b"))), 4).as("cosine_sim"))
+          round(Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4)
+            .as("cosine_sim"))
         .filter(col("cosine_sim") >= 0.35)
     }),
     "q41_label_stats" -> ((s, dir) =>

@@ -15,8 +15,18 @@ object Vectors {
   /** Cast an array<float> to array<double> (do all math in double). */
   def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product of two double vectors (sequential fold). */
+  /** Dot product of two double vectors. Routed through the codegen'd
+    * [[graft.plans.DotProduct]] Catalyst expression (tight Java loop in
+    * whole-stage codegen); [[dotHof]] is the pure-functions fallback with
+    * bit-identical results (same sequential fold).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotNative(a, b)
+
+  /** Dot product via higher-order functions only (interpreted eval — use
+    * [[dot]] on hot paths).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */

@@ -51,13 +51,23 @@ object Dedup {
   ): DataFrame = {
     val toks = Text.tokens(col(textCol))
     val shingles = Text.wordShingles(toks, shingleN)
-    docs
-      .select(col(idCol), shingles.as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(
-        col(idCol),
-        Text.minhashSignature(col("shingles"), k).as("signature")
-      )
+    // Explode to one row per shingle, then take the k per-seed minima with
+    // a hash aggregate: md5/concat run inside whole-stage codegen (the
+    // array-lambda formulation in Text.minhashSignature is interpreted —
+    // ~10x slower at scale) and the k minima partial-aggregate map-side,
+    // so the shuffle carries one k-wide row per document. Docs with fewer
+    // than shingleN tokens have an empty shingle array and are dropped by
+    // the (non-outer) explode itself — no separate filter, so the shingle
+    // array is built exactly once per document.
+    val perShingle = docs
+      .select(col(idCol), explode(shingles).as("sh"))
+    val minAggs = (0 until k).map { s =>
+      min(md5(concat(lit(s"$s|"), col("sh")).cast("binary"))).as(s"mh_$s")
+    }
+    perShingle
+      .groupBy(col(idCol))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"mh_$i")): _*).as("signature"))
       .withColumn("band_keys", Text.lshBandKeys(col("signature"), k, bands))
   }
 

@@ -101,15 +101,22 @@ object Similarity {
       dim: Int,
       threshold: Double
   ): DataFrame = {
+    // Precompute the double vector and its norm per ROW (linear work)
+    // before the pairwise join, so each candidate pair costs one dot
+    // product instead of three.
     val idx = lshIndex(embeddings, idCol, vecCol, nPlanes, dim)
-      .select(col(idCol), col(vecCol), col("bucket"))
-    val a = idx.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("bucket"))
-    val b = idx.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
+      .select(col(idCol), Vectors.toDoubleVec(col(vecCol)).as("__v"), col("bucket"))
+      .withColumn("__norm", Vectors.l2Norm(col("__v")))
+    val a = idx.select(col(idCol).as("id_a"), col("__v").as("v_a"),
+      col("__norm").as("n_a"), col("bucket"))
+    val b = idx.select(col(idCol).as("id_b"), col("__v").as("v_b"),
+      col("__norm").as("n_b"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn(
         "cosine_sim",
-        Vectors.cosine(Vectors.toDoubleVec(col("v_a")), Vectors.toDoubleVec(col("v_b")))
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+          .otherwise(Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       )
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
