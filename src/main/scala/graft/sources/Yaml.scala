@@ -1,0 +1,34 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** YAML source (reference S6, `etl/workflow/spark_reader.py:145-192`):
+  * per-provider YAML documents are parsed driver-side, converted to JSON,
+  * and handed to `spark.read.json(Dataset[String])` — schemas stay
+  * engine-inferred from JSON exactly like the reference. Provider YAMLs
+  * are small config/metadata files; the data volume lives in TSVs.
+  */
+object Yaml {
+
+  private lazy val yamlMapper = new ObjectMapper(new YAMLFactory())
+  private lazy val jsonMapper = new ObjectMapper()
+
+  /** YAML text → JSON text (one document). */
+  def toJson(yaml: String): String =
+    jsonMapper.writeValueAsString(yamlMapper.readTree(yaml))
+
+  /** Read one YAML document per file into a DataFrame (schema inferred,
+    * one row per document; select your declared columns downstream).
+    */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val jsons = paths.map { p =>
+      val src = scala.io.Source.fromFile(p)
+      try toJson(src.mkString)
+      finally src.close()
+    }
+    import spark.implicits._
+    spark.read.json(spark.createDataset(jsons))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Cleaning, Ids, Text, Vectors}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trimAll strips NBSP and whitespace") {
+    val got = Seq("  x y  ").toDF("c")
+      .select(Cleaning.trimAll($"c")).as[String].head()
+    assert(got == "x y")
+  }
+
+  test("squeezeWhitespace collapses runs") {
+    val got = Seq("a  b\t\tc ").toDF("c")
+      .select(Cleaning.squeezeWhitespace($"c")).as[String].head()
+    assert(got == "a b c")
+  }
+
+  test("sentinelToNull nulls Not Provided") {
+    val got = Seq("Not Provided", "real").toDF("c")
+      .select(Cleaning.sentinelToNull($"c")).as[String].collect()
+    assert(got.toSeq == Seq(null, "real"))
+  }
+
+  test("filterCommentRows drops # rows via nvl semantics") {
+    val df = Seq(("#comment", "1"), ("ok", "2"), (null, "3")).toDF("field", "v")
+    val kept = Cleaning.filterCommentRows(df).select("v").as[String].collect().sorted
+    assert(kept.toSeq == Seq("2", "3"))
+  }
+
+  test("hashId is deterministic and key-sensitive") {
+    val df = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("k1", "k2")
+      .select(Ids.hashId($"k1", $"k2").as("id"))
+    val ids = df.as[Long].collect()
+    assert(ids(0) == ids(1) && ids(0) != ids(2))
+  }
+
+  test("wordShingles builds n-grams and empties short docs") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(Text.wordShingles(Text.tokens($"t"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("jaccard on token arrays") {
+    val df = Seq(("a b c", "b c d")).toDF("x", "y")
+      .select(Text.jaccard(Text.tokens($"x"), Text.tokens($"y")).as("j"))
+    assert(df.as[Double].head() == 0.5)
+  }
+
+  test("simhash16 equal texts collide, is in range") {
+    val df = Seq("spark fast engine", "spark fast engine", "other words entirely")
+      .toDF("t").select(Text.simhash16(Text.tokens($"t")).as("h"))
+    val hs = df.as[Int].collect()
+    assert(hs(0) == hs(1))
+    assert(hs.forall(h => h >= 0 && h < 65536))
+  }
+
+  test("langIdByStopwords votes and tie-breaks alphabetically") {
+    val markers = Map("en" -> Seq("the"), "es" -> Seq("el"), "de" -> Seq("der"))
+    val df = Seq("the the el", "el", "nothing here").toDF("t")
+      .select(Text.langIdByStopwords(Text.tokens($"t"), markers).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "de"))
+  }
+
+  test("bagFingerprint is order/duplication-insensitive") {
+    val df = Seq("b a a c", "c  b a").toDF("t").select(Text.bagFingerprint($"t").as("f"))
+    val fs = df.as[String].collect()
+    assert(fs(0) == fs(1))
+  }
+
+  test("dot native matches HOF fold bit-for-bit") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, 0.25, 2.0))).toDF("a", "b")
+    val (nat, hof) = df
+      .select(Vectors.dot($"a", $"b").as("n"), Vectors.dotHof($"a", $"b").as("h"))
+      .as[(Double, Double)].head()
+    assert(nat == hof && nat == 7.0)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(Vectors.cosine(Vectors.toDoubleVec($"a"), Vectors.toDoubleVec($"b")).as("c"))
+    assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
+  }
+}

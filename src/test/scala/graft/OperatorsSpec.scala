@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational, Similarity}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transformToFk resolves and leaves misses null") {
+    val fact = Seq("US", "FR", "XX").toDF("country")
+    val dim = Seq((1L, "US"), (2L, "FR")).toDF("id", "code")
+    val got = Relational
+      .transformToFk(fact, dim, "country", "code", "id", "country_id")
+      .orderBy("country").select("country", "country_id")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(got.toSeq == Seq(("FR", 2L), ("US", 1L), ("XX", -1L)))
+  }
+
+  test("exactlyOneJoin keeps only unambiguous matches") {
+    val fact = Seq("a", "b", "c").toDF("k")
+    val lookup = Seq(("a", 1), ("b", 2), ("b", 3)).toDF("lk", "v")
+    val got = Relational.exactlyOneJoin(fact, lookup, "k", "lk")
+      .select("k", "v").as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("a", 1)))
+  }
+
+  test("sortedArrayJoin matches order-insensitively") {
+    val l = Seq((1, Seq("x", "y"))).toDF("id", "arr")
+    val r = Seq((9, Seq("y", "x")), (8, Seq("y", "z"))).toDF("rid", "rarr")
+    val got = Relational.sortedArrayJoin(l, "arr", r, "rarr").select("rid").as[Int].collect()
+    assert(got.toSeq == Seq(9))
+  }
+
+  test("posexplodeMatched splits parallel lists, isolates mismatches") {
+    val df = Seq(("a+b", "1+2"), ("c+d", "5")).toDF("name", "dose")
+    val (matched, mismatched) = Relational.posexplodeMatched(df, "name", "dose")
+    assert(matched.select("name", "dose").as[(String, String)].collect().toSet ==
+      Set(("a", "1"), ("b", "2")))
+    assert(mismatched.select("name").as[String].collect().toSeq == Seq("c+d"))
+  }
+
+  test("nonNullCounts counts per column per group") {
+    val df = Seq(("g1", "x", null), ("g1", null, null), ("g2", "y", "z"))
+      .toDF("g", "c1", "c2")
+    val got = Relational.nonNullCounts(df, "g", Seq("c1", "c2"))
+      .orderBy("g").as[(String, Long, Long)].collect()
+    assert(got.toSeq == Seq(("g1", 1L, 0L), ("g2", 1L, 1L)))
+  }
+
+  test("exactDedup keeps one representative per text") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val kept = Dedup.exactDedup(docs, "id", "text").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "text")
+    val pairs = Dedup.minhashDuplicatePairs(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("lshTopK finds the brute-force nearest neighbor") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 1)
+      .select("vec_id").as[Long].head()
+    val idx = Similarity.lshIndex(e, "vec_id", "embedding", 6, q.size)
+    val approx = Similarity.lshTopK(idx, "vec_id", "embedding", q, 6, 1)
+      .select("vec_id").as[Long].head()
+    assert(brute == 3L && approx == 3L) // self is always in its own bucket
+  }
+
+  test("nearDuplicatePairs is symmetric-free and thresholded") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding", 2, 64, 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall { case (a, b, s) => a < b && s >= 0.2 })
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sources.{Obo, Ontolia, PostgresTsv, Tsv, Yaml}
+import graft.graph.OntologyGraph
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  test("Tsv.read: declared schema, comment filter, provenance") {
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(s"$dir/providerA"))
+    Files.writeString(
+      Paths.get(s"$dir/providerA/patient.tsv"),
+      "field\tvalue\n#template comment\tx\np1\tv1\np2\tv2\n")
+    val df = Tsv.read(spark, Seq(s"$dir/*/patient.tsv"), Seq("field", "value"))
+    val rows = df.orderBy("field")
+      .select("field", "value", Tsv.ProvenanceCol)
+      .as[(String, String, String)].collect()
+    assert(rows.toSeq == Seq(("p1", "v1", "providerA"), ("p2", "v2", "providerA")))
+  }
+
+  test("Tsv.read: missing input degrades to typed empty frame") {
+    val df = Tsv.read(spark, Seq("/nonexistent/*/nope.tsv"), Seq("a", "b"))
+    assert(df.columns.toSeq == Seq("a", "b", Tsv.ProvenanceCol))
+    assert(df.count() == 0)
+  }
+
+  test("Obo.parse: stanzas, urls, multi is_a") {
+    val obo =
+      """format-version: 1.2
+        |
+        |[Term]
+        |id: NCIT:C1
+        |name: Root Term
+        |
+        |[Term]
+        |id: NCIT:C2
+        |name: Child Term
+        |is_a: NCIT:C1 ! Root Term
+        |is_a: NCIT:C9 ! Other
+        |""".stripMargin
+    val terms = Obo.parse(obo.linesIterator)
+    assert(terms.map(_.term_id) == Seq("NCIT:C1", "NCIT:C2"))
+    assert(terms(1).is_a == Seq("NCIT:C1", "NCIT:C9"))
+    assert(terms(0).term_url == "http://purl.obolibrary.org/obo/NCIT_C1")
+  }
+
+  test("Ontolia.parseLine: regimen=treatments with trimming") {
+    assert(Ontolia.parseLine(" NCIT:C100 = NCIT:C1 , NCIT:C2 ")
+      .contains(Ontolia.RegimenLink("NCIT:C100", "NCIT:C1,NCIT:C2")))
+    assert(Ontolia.parseLine("garbage").isEmpty)
+  }
+
+  test("Yaml.read: yaml doc -> dataframe via json") {
+    val dir = tmpDir()
+    Files.writeString(
+      Paths.get(s"$dir/meta.yaml"),
+      "name: providerA\nproject: PDX\ncounts:\n  models: 12\n")
+    val df = Yaml.read(spark, Seq(s"$dir/meta.yaml"))
+    val row = df.select("name", "project", "counts.models").head()
+    assert(row.getString(0) == "providerA" && row.getLong(2) == 12L)
+  }
+
+  test("OntologyGraph: ancestors/descendants/subgraph + rename") {
+    val terms = Seq(
+      Obo.OboTerm("C1", "Root Neoplasm", "", Nil),
+      Obo.OboTerm("C2", "Malignant Lung Neoplasm", "", Seq("C1")),
+      Obo.OboTerm("C3", "Sub Type", "", Seq("C2")),
+      Obo.OboTerm("C9", "Unrelated", "", Nil))
+    val g = OntologyGraph.fromTerms(terms)
+    assert(g.ancestors("C3") == Set("C1", "C2"))
+    assert(g.descendants("C1") == Set("C2", "C3"))
+    assert(g.subgraphTerms(Seq("C1")) == Set("C2", "C3"))
+    assert(OntologyGraph.updateTermName("Malignant Lung Neoplasm") == "Lung Cancer")
+    assert(OntologyGraph.updateTermName("Breast Neoplasm") == "Breast Cancer")
+    val anc = g.termAncestorsDf(spark).as[(String, String)].collect().toMap
+    assert(anc("C3") == "Malignant Lung Neoplasm|Root Neoplasm")
+  }
+
+  test("PostgresTsv: array literals, null fill, newline escape") {
+    val df = Seq((1L, Seq("a", "b"), "line1\nline2"), (2L, Seq.empty[String], null))
+      .toDF("id", "tags", "note")
+    val prepped = PostgresTsv.prepare(df).orderBy("id")
+      .as[(String, String, String)].collect()
+    assert(prepped(0) == ("1", "{\"a\",\"b\"}", "line1\\nline2"))
+    assert(prepped(1) == ("2", "{}", ""))
+  }
+}
