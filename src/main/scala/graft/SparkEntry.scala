@@ -407,7 +407,138 @@ object SparkEntry {
       tbl(s, dir, "embeddings")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), min(size(col("embedding"))).as("min_dim"),
-          max(size(col("embedding"))).as("max_dim")))
+          max(size(col("embedding"))).as("max_dim"))),
+
+    // ── Composite-key join + join-back agg (SURVEY J3/J10) ──────────────
+    "q27_composite_join" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val pairAvg = li
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      li.join(pairAvg, Seq("l_partkey", "l_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(col("l_quantity") > col("avg_qty"), 1).otherwise(0)).as("n_above"),
+          count(lit(1)).as("n_total"))
+    }),
+
+    // ── JSON-array-string aggregation (SURVEY A2 concat-built JSON) ─────
+    "q43_json_build" -> ((s, dir) => {
+      val perStatus = tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("obj",
+          concat(lit("{\"status\":\""), col("o_orderstatus"), lit("\",\"n\":"),
+            col("n").cast("string"), lit("}")))
+      perStatus
+        .groupBy(col("o_orderpriority"))
+        .agg(concat(lit("["),
+          concat_ws(",", sort_array(collect_list(col("obj")))), lit("]"))
+          .as("status_json"))
+    }),
+
+    // ── max(when(contains)) existence flag per group (SURVEY A5) ────────
+    "q45_any_flag" -> ((s, dir) => {
+      val flags = tbl(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      val p = tbl(s, dir, "part")
+      p.join(flags, p("p_partkey") === flags("l_partkey"), "left")
+        .groupBy(col("p_brand"))
+        .agg(sum(coalesce(col("has_r"), lit(0))).as("n_parts_with_returns"),
+          count(lit(1)).as("n_parts"))
+    }),
+
+    // ── array_distinct(flatten(collect_list)) (SURVEY A3) ───────────────
+    "q46_flatten_distinct" -> ((s, dir) => {
+      val perOrder = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_returnflag")).as("flags"))
+      val o = tbl(s, dir, "orders")
+      o.join(perOrder, o("o_orderkey") === perOrder("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(
+          sort_array(array_distinct(flatten(collect_list(col("flags"))))), ",")
+          .as("all_flags"))
+    }),
+
+    // ── collect_list over ordered window, then max per group (W1/A8) ────
+    "q47_window_list" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("ship_seq",
+          concat_ws(",",
+            collect_list(date_format(col("l_shipdate"), "yyyy-MM-dd")).over(w)))
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("ship_seq")).as("ship_dates"))
+    }),
+
+    // ── Beyond parity: rollup / intersect / except / date parts ─────────
+    "q48_rollup" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+    }),
+    "q49_intersect" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+        .intersect(
+          o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey")).distinct())
+    }),
+    "q50_except" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+        .except(
+          o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey")).distinct())
+    }),
+    "q51_date_parts" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ── Column-expression scoring (SURVEY A6/A7, no UDF/RDD) ────────────
+    "q52_score" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .select(
+          col("c_custkey"),
+          (when(col("c_acctbal") > 5000, 40).when(col("c_acctbal") > 1000, 20).otherwise(0)
+            + when(col("c_mktsegment") === "BUILDING", 10).otherwise(0)
+            + floor(least(col("n_orders"), lit(7L)) * 100 / 7.0).cast("int"))
+            .as("metadata_score"))
+    }),
+
+    // ── Property-graph node/edge tables (reference nodes/edges jobs) ────
+    "q53_nodes" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(
+        lit("customer").as("node_type"), col("c_custkey").as("node_id"),
+        concat(lit("{\"name\":\""), col("c_name"), lit("\"}")).as("data"))
+      val sp = tbl(s, dir, "supplier").select(
+        lit("supplier").as("node_type"), col("s_suppkey").as("node_id"),
+        concat(lit("{\"name\":\""), col("s_name"), lit("\"}")).as("data"))
+      c.union(sp)
+    }),
+    "q54_edges" -> ((s, dir) => {
+      val placed = tbl(s, dir, "orders").select(
+        lit("placed").as("label"), col("o_custkey").as("src"),
+        col("o_orderkey").as("dst"))
+      val contains = tbl(s, dir, "lineitem").select(
+        lit("contains").as("label"), col("l_orderkey").as("src"),
+        col("l_partkey").as("dst"))
+      placed.union(contains).dropDuplicates()
+    })
   )
 
   private val langMarkers: Map[String, Seq[String]] = Map(
@@ -681,6 +812,79 @@ object SparkEntry {
          WHERE cosine_sim >= 0.35""",
     "q41_label_stats" ->
       """SELECT label, count(*) AS n, min(len(embedding)) AS min_dim,
-         max(len(embedding)) AS max_dim FROM embeddings GROUP BY label"""
+         max(len(embedding)) AS max_dim FROM embeddings GROUP BY label""",
+    "q27_composite_join" ->
+      """WITH pairs AS (SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l.l_partkey, l.l_suppkey,
+           sum(CASE WHEN l.l_quantity > p.avg_qty THEN 1 ELSE 0 END) AS n_above,
+           count(*) AS n_total
+         FROM lineitem l JOIN pairs p
+           ON l.l_partkey = p.l_partkey AND l.l_suppkey = p.l_suppkey
+         GROUP BY 1, 2""",
+    "q43_json_build" ->
+      """SELECT o_orderpriority,
+         '[' || string_agg(obj, ',' ORDER BY obj) || ']' AS status_json
+         FROM (SELECT o_orderpriority, o_orderstatus,
+                 '{"status":"' || o_orderstatus || '","n":' || CAST(count(*) AS VARCHAR) || '}' AS obj
+               FROM orders GROUP BY 1, 2)
+         GROUP BY o_orderpriority""",
+    "q45_any_flag" ->
+      """WITH flags AS (SELECT l_partkey,
+           max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+           FROM lineitem GROUP BY 1)
+         SELECT p_brand, sum(COALESCE(has_r, 0)) AS n_parts_with_returns,
+           count(*) AS n_parts
+         FROM part LEFT JOIN flags ON p_partkey = l_partkey
+         GROUP BY p_brand""",
+    "q46_flatten_distinct" ->
+      """WITH per_order AS (SELECT l_orderkey,
+           list(DISTINCT l_returnflag) AS flags FROM lineitem GROUP BY 1)
+         SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(flatten(list(flags)))), ',') AS all_flags
+         FROM orders JOIN per_order ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
+    "q47_window_list" ->
+      """SELECT l_suppkey, max(ship_seq) AS ship_dates FROM (
+           SELECT l_suppkey,
+             string_agg(strftime(l_shipdate, '%Y-%m-%d'), ',') OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ship_seq
+           FROM lineitem WHERE l_suppkey <= 3)
+         GROUP BY l_suppkey""",
+    "q48_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q49_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+    "q50_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         EXCEPT
+         SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997""",
+    "q51_date_parts" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n
+         FROM orders GROUP BY 1, 2""",
+    "q52_score" ->
+      """WITH n AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+         SELECT c_custkey,
+           (CASE WHEN c_acctbal > 5000 THEN 40 WHEN c_acctbal > 1000 THEN 20 ELSE 0 END
+            + CASE WHEN c_mktsegment = 'BUILDING' THEN 10 ELSE 0 END
+            + CAST(floor(least(COALESCE(n_orders, 0), 7) * 100 / 7.0) AS INT)) AS metadata_score
+         FROM customer LEFT JOIN n ON c_custkey = o_custkey""",
+    "q53_nodes" ->
+      """SELECT 'customer' AS node_type, c_custkey AS node_id,
+         '{"name":"' || c_name || '"}' AS data FROM customer
+         UNION ALL
+         SELECT 'supplier', s_suppkey, '{"name":"' || s_name || '"}' FROM supplier""",
+    "q54_edges" ->
+      """SELECT DISTINCT label, src, dst FROM (
+         SELECT 'placed' AS label, o_custkey AS src, o_orderkey AS dst FROM orders
+         UNION ALL
+         SELECT 'contains', l_orderkey, l_partkey FROM lineitem)"""
   )
 }
