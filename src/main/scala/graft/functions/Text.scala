@@ -44,9 +44,13 @@ object Text {
   def minhash(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, s => md5Hex(concat(lit(s"$seed|"), s))))
 
-  /** Full k-wide MinHash signature as an array<string>. */
+  /** Full k-wide MinHash signature as an array<string>; null when the
+    * shingle set is empty (same contract as the codegen'd
+    * [[graft.plans.MinHashSignature]] kernel).
+    */
   def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(minhash(shingles, _)): _*)
+    when(size(shingles) > 0, array((0 until k).map(minhash(shingles, _)): _*))
+      .otherwise(lit(null).cast("array<string>"))
 
   /** LSH band keys: the signature split into `bands` equal bands, each
     * hashed to one string key prefixed with its band index (so keys from

@@ -49,25 +49,16 @@ object Dedup {
       bands: Int = 2,
       shingleN: Int = 3
   ): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val shingles = Text.wordShingles(toks, shingleN)
-    // Explode to one row per shingle, then take the k per-seed minima with
-    // a hash aggregate: md5/concat run inside whole-stage codegen (the
-    // array-lambda formulation in Text.minhashSignature is interpreted —
-    // ~10x slower at scale) and the k minima partial-aggregate map-side,
-    // so the shuffle carries one k-wide row per document. Docs with fewer
-    // than shingleN tokens have an empty shingle array and are dropped by
-    // the (non-outer) explode itself — no separate filter, so the shingle
-    // array is built exactly once per document.
-    val perShingle = docs
-      .select(col(idCol), explode(shingles).as("sh"))
-    val minAggs = (0 until k).map { s =>
-      min(md5(concat(lit(s"$s|"), col("sh")).cast("binary"))).as(s"mh_$s")
-    }
-    perShingle
-      .groupBy(col(idCol))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"mh_$i")): _*).as("signature"))
+    // One-pass codegen'd signature kernel: tokenize/shingle/k-way md5-min
+    // per row, no interpreted lambdas, no shuffle (vs. the explode +
+    // hash-agg or array-lambda formulations — byte-identical output, see
+    // graft.plans.MinHashSignature). Short docs yield null → dropped.
+    docs
+      .select(
+        col(idCol),
+        graft.plans.MinHashSignature
+          .minhashSignatureNative(col(textCol), k, shingleN).as("signature"))
+      .filter(col("signature").isNotNull)
       .withColumn("band_keys", Text.lshBandKeys(col("signature"), k, bands))
   }
 
@@ -85,9 +76,15 @@ object Dedup {
       bands: Int = 2,
       shingleN: Int = 3
   ): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, bands, shingleN)
-    val exploded = sigs
-      .select(col(idCol), explode(col("band_keys")).as("band_key"))
+    // Band keys straight from the one-pass kernel, consumed by a single
+    // explode: the Generate operator evaluates the kernel exactly once per
+    // row. (Deriving band keys from a signature column here would let
+    // project-collapse inline — and re-evaluate — the kernel per band.)
+    val exploded = docs
+      .select(
+        col(idCol),
+        explode(graft.plans.MinHashSignature
+          .minhashBandKeysNative(col(textCol), k, bands, shingleN)).as("band_key"))
     val a = exploded.select(col(idCol).as("id_a"), col("band_key"))
     val b = exploded.select(col(idCol).as("id_b"), col("band_key"))
     a.join(b, Seq("band_key"))

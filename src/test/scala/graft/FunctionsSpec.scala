@@ -80,6 +80,30 @@ class FunctionsSpec extends SparkSpec {
     assert(nat == hof && nat == 7.0)
   }
 
+  test("native minhash kernel matches the HOF formulation byte-for-byte") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a b c",
+      "short doc",   // < 3 tokens after shingling guard
+      "  padded   whitespace   tokens   here   now  ")
+    val df = texts.toDF("text")
+    val hofSig = df.select(
+      Text.minhashSignature(Text.wordShingles(Text.tokens($"text"), 3), 8).as("sig"))
+      .as[Seq[String]].collect()
+    val natSig = df.select(
+      graft.plans.MinHashSignature.minhashSignatureNative($"text", 8, 3).as("sig"))
+      .as[Seq[String]].collect()
+    assert(natSig.toSeq == hofSig.toSeq)
+    val hofBands = df
+      .select(Text.minhashSignature(Text.wordShingles(Text.tokens($"text"), 3), 8).as("sig"))
+      .where($"sig".isNotNull)
+      .select(Text.lshBandKeys($"sig", 8, 2).as("b")).as[Seq[String]].collect()
+    val natBands = df.select(
+      graft.plans.MinHashSignature.minhashBandKeysNative($"text", 8, 2, 3).as("b"))
+      .where($"b".isNotNull).as[Seq[String]].collect()
+    assert(natBands.toSeq == hofBands.toSeq)
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
       .select(Vectors.cosine(Vectors.toDoubleVec($"a"), Vectors.toDoubleVec($"b")).as("c"))
