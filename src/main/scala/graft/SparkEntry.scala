@@ -530,6 +530,22 @@ object SparkEntry {
         concat(lit("{\"name\":\""), col("s_name"), lit("\"}")).as("data"))
       c.union(sp)
     }),
+    // ── SQL surface (pdcm_api-style views, §3.3) ────────────────────────
+    "q55_sql_view" -> ((s, dir) => {
+      graft.api.SqlViews.register(s, dir)
+      s.sql(
+        """SELECT region_name, c_mktsegment AS segment, count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           FROM order_facts WHERE o_orderstatus = 'F'
+           GROUP BY region_name, segment""")
+    }),
+    "q56_doc_stats_view" -> ((s, dir) => {
+      graft.api.SqlViews.register(s, dir)
+      s.sql(
+        """SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+           FROM document_stats GROUP BY lang""")
+    }),
+
     "q54_edges" -> ((s, dir) => {
       val placed = tbl(s, dir, "orders").select(
         lit("placed").as("label"), col("o_custkey").as("src"),
@@ -885,6 +901,18 @@ object SparkEntry {
       """SELECT DISTINCT label, src, dst FROM (
          SELECT 'placed' AS label, o_custkey AS src, o_orderkey AS dst FROM orders
          UNION ALL
-         SELECT 'contains', l_orderkey, l_partkey FROM lineitem)"""
+         SELECT 'contains', l_orderkey, l_partkey FROM lineitem)""",
+    "q55_sql_view" ->
+      """SELECT r_name AS region_name, c_mktsegment AS segment, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderstatus = 'F'
+         GROUP BY r_name, c_mktsegment""",
+    "q56_doc_stats_view" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+         FROM documents GROUP BY lang"""
   )
 }

@@ -1,0 +1,36 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import graft.Tables
+
+/** SQL surface: register the engine's tables and derived API views as
+  * temp views, so end users query with plain `spark.sql` — the Spark
+  * analog of the reference's Postgres `pdcm_api` view layer
+  * (`scripts/views.sql:66-952`), served natively instead of via a DB
+  * load. View definitions stay declarative SQL: Catalyst folds them into
+  * the consuming query, so predicates on a view push down into the
+  * parquet scans.
+  */
+object SqlViews {
+
+  /** Register every base table as `<name>` plus the derived views. */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(spark, sfDir) else Tables.load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW order_facts AS
+         SELECT o.*, c.c_name, c.c_mktsegment, n.n_name AS nation_name,
+                r.r_name AS region_name
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey""")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW document_stats AS
+         SELECT doc_id, lang, source, n_chars,
+                size(split(trim(text), '\\s+')) AS n_tokens
+         FROM documents""")
+  }
+}

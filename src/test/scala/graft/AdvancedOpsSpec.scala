@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Skew}
+import graft.streaming.Sessionizer
+import graft.streaming.Sessionizer.Event
+
+class AdvancedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("sessionize (batch) splits on gaps and counts events") {
+    val events = spark.createDataset(Seq(
+      Event(1L, ts(0), "a"), Event(1L, ts(10), "b"), Event(1L, ts(100), "c"),
+      Event(2L, ts(5), "a")))
+    val sessions = Sessionizer.sessionize(events, gapSeconds = 30 * 60, streaming = false)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.map(s => (s.user_id, s.n_events)).toSeq ==
+      Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    assert(sessions.head.session_end == ts(10))
+  }
+
+  test("sessionize matches the window-based q42 session counts") {
+    val raw = Tables.events(spark, sfDir)
+    val events = Sessionizer.fromEventsTable(spark, raw)
+    val stateful = Sessionizer.sessionize(events, gapSeconds = 1800, streaming = false)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val windowed = SparkEntry.queries("q42_sessionize")(spark, sfDir)
+      .select("user_id", "n_sessions")
+    assert(stateful.join(windowed, Seq("user_id"))
+      .filter(stateful("n_sessions") =!= windowed("n_sessions")).count() == 0)
+    assert(stateful.count() == windowed.count())
+  }
+
+  test("saltedJoin equals the plain join") {
+    val fact = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val build = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = fact.join(build, Seq("l_orderkey")).count()
+    val salted = Skew.saltedJoin(fact, build, Seq("l_orderkey"), salts = 8).count()
+    assert(plain == salted)
+  }
+
+  test("saltedCount equals groupBy count") {
+    val df = Tables.load(spark, sfDir, "lineitem")
+    val plain = df.groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, "l_returnflag", salts = 8)
+      .as[(String, Long)].collect().toMap
+    assert(plain == salted)
+  }
+
+  test("IVF search finds the exact neighbor for an indexed vector") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val model = Ivf.build(e, "vec_id", "embedding", nCells = 8)
+    assert(model.indexed.select("cell").distinct().count() <= 8)
+    val q = e.filter($"vec_id" === 5).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val hit = Ivf.search(model, "vec_id", "embedding", q, nProbe = 2, topK = 1)
+      .select("vec_id").as[Long].head()
+    assert(hit == 5L)
+  }
+}

@@ -39,6 +39,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stateful sessionizer emits closed sessions on a real stream") {
+    import graft.streaming.Sessionizer
+    val batchEvents = Tables.events(spark, sfDir)
+    val staged = Files.createTempDirectory("graft-sess").toString
+    batchEvents.write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = Sessionizer.fromEventsTable(
+      spark, spark.readStream.schema(schema).parquet(staged))
+    val q = Sessionizer.sessionize(stream, gapSeconds = 1800, streaming = true)
+      .writeStream.outputMode("append").format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions_out")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val batch = Sessionizer
+      .sessionize(Sessionizer.fromEventsTable(spark, batchEvents), 1800, streaming = false)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    // The stream never "ends": sessions still open at the final watermark
+    // stay in state. Everything emitted must be a true closed session.
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+  }
+
   test("dedupedEvents drops in-watermark duplicate event_ids") {
     val events = Tables.events(spark, sfDir)
     val doubled = events.union(events)
