@@ -530,6 +530,18 @@ object SparkEntry {
         concat(lit("{\"name\":\""), col("s_name"), lit("\"}")).as("data"))
       c.union(sp)
     }),
+    // ── As-of join (time-series operator composed Spark-first) ──────────
+    "q57_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      Relational.asofJoin(purchases, views, "user_id", "ts", "view_id", "last_view_id")
+        .select(col("purchase_id"), col("user_id"), col("last_view_id"))
+    }),
+
     // ── SQL surface (pdcm_api-style views, §3.3) ────────────────────────
     "q55_sql_view" -> ((s, dir) => {
       graft.api.SqlViews.register(s, dir)
@@ -902,6 +914,14 @@ object SparkEntry {
          SELECT 'placed' AS label, o_custkey AS src, o_orderkey AS dst FROM orders
          UNION ALL
          SELECT 'contains', l_orderkey, l_partkey FROM lineitem)""",
+    "q57_asof_join" ->
+      """WITH views AS (SELECT user_id, ts, max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         p AS (SELECT event_id AS purchase_id, user_id, ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.purchase_id, p.user_id, v.view_id AS last_view_id
+         FROM p ASOF LEFT JOIN views v
+           ON p.user_id = v.user_id AND p.ts >= v.ts""",
     "q55_sql_view" ->
       """SELECT r_name AS region_name, c_mktsegment AS segment, count(*) AS n,
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total

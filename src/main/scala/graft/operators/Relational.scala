@@ -110,6 +110,50 @@ object Relational {
         cols.tail.map(c => sum(col(c).isNotNull.cast("long")).as(c)): _*
       )
 
+  /** As-of join: for every left row, attach the single most recent right
+    * row with `right(timeCol) <= left(timeCol)` for the same key — the
+    * classic time-series operator Spark's joins lack. Composed Spark-first
+    * (SURVEY §2 preference (a)): tag both sides, union, and take
+    * `last(value, ignoreNulls)` over a key-partitioned time-ordered
+    * window. One shuffle + one sort — no range cross-join, no per-key
+    * driver loop; at 100 TB this is a single repartition by key.
+    *
+    * The right side must be unique per (key, time) — pre-aggregate it if
+    * not (ties would otherwise be resolution-order-dependent). At equal
+    * timestamps the right row is considered visible to the left row.
+    *
+    * Returns the left columns plus `asOfCol` = right `valueCol` (null when
+    * no right row precedes).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      asOfCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__is_right", lit(0))
+    val r = right.select(
+      (Seq(col(keyCol), col(timeCol), col(valueCol).as("__v"), lit(1).as("__is_right")) ++
+        leftCols.filterNot(c => c == keyCol || c == timeCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // At equal time, right sorts before left (__is_right desc) so the
+    // right value is visible to the left row.
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn(asOfCol, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select(leftCols.map(col) :+ col(asOfCol): _*)
+  }
+
   /** Positional-cardinality match after splitting two parallel delimited
     * columns (reference `treatment_and_component_helper_transformer_job.py:98-133`):
     * explode `aCol` and `bCol` (both "+"-separated) positionally, keeping

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+import graft.graph.OntologyGraph
+import graft.multimodal.Multimodal
+import graft.sources.{Obo, Ontolia}
+
+/** Property tests over the pure (no-SparkSession) kernels. */
+object KernelProps extends Properties("graft-kernels") {
+
+  private val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val words: Gen[List[String]] = Gen.listOfN(12, word)
+
+  property("minhash kernel matches a naive reference implementation") =
+    forAll(words, Gen.chooseNum(1, 3)) { (ws, n) =>
+      val text = ws.mkString(" ")
+      val got = graft.plans.MinHashSignature.compute(UTF8String.fromString(text), 4, n)
+      val toks = text.trim.split("\\s+", -1).toSeq
+      val shingles = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      if (shingles.isEmpty) Prop(got == null)
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String =
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val expected = (0 until 4).map(seed =>
+          shingles.map(sh => md5hex(s"$seed|$sh")).min)
+        Prop(got != null && (0 until 4).forall(i =>
+          got.getUTF8String(i).toString == expected(i)))
+      }
+    }
+
+  property("ontolia parse roundtrips well-formed lines") =
+    forAll(word, Gen.nonEmptyListOf(word)) { (reg, ts) =>
+      val line = s"  $reg = ${ts.mkString(" , ")} "
+      Ontolia.parseLine(line).contains(
+        Ontolia.RegimenLink(reg, ts.map(_.trim).mkString(",")))
+    }
+
+  property("obo parse emits one term per [Term] stanza") =
+    forAll(Gen.listOfN(5, Gen.zip(word, word))) { idNames =>
+      val text = idNames.map { case (id, name) =>
+        s"[Term]\nid: X:$id\nname: $name\n"
+      }.mkString("\n")
+      Obo.parse(text.linesIterator).size == idNames.size
+    }
+
+  property("updateTermName never leaves doubled whitespace") =
+    forAll(Gen.listOfN(5, Gen.oneOf("Malignant", "Neoplasm", "Lung", " ", "X"))) { parts =>
+      val out = OntologyGraph.updateTermName(parts.mkString(" "))
+      !out.contains("  ") && out == out.trim
+    }
+
+  property("stubDecode is deterministic with fixed dim and bounded values") =
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)), Gen.chooseNum(1, 32)) {
+      (bytes, dim) =>
+        val payload = bytes.toArray
+        val a = Multimodal.stubDecode(payload, dim)
+        val b = Multimodal.stubDecode(payload.clone(), dim)
+        a.toSeq == b.toSeq && a.length == dim && a.forall(v => v > -1.0f && v < 1.0f)
+    }
+
+  property("cleanName is idempotent") =
+    forAll { (s: String) =>
+      val once = graft.functions.Cleaning.cleanName(s)
+      graft.functions.Cleaning.cleanName(once) == once
+    }
+}

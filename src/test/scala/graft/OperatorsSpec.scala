@@ -47,6 +47,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("g1", 1L, 0L), ("g2", 1L, 1L)))
   }
 
+  test("asofJoin attaches latest prior value, inclusive at ties") {
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val left = Seq((1L, t(10), "p1"), (1L, t(5), "p2"), (2L, t(1), "p3"))
+      .toDF("k", "ts", "pid")
+    val right = Seq((1L, t(5), 100L), (1L, t(8), 101L), (2L, t(2), 102L))
+      .toDF("k", "ts", "rid")
+    val got = Relational.asofJoin(left, right, "k", "ts", "rid", "last_rid")
+      .select("pid", "last_rid").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map("p1" -> 101L, "p2" -> 100L, "p3" -> -1L))
+  }
+
   test("exactDedup keeps one representative per text") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val kept = Dedup.exactDedup(docs, "id", "text").select("id").as[Long].collect().sorted
