@@ -47,6 +47,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("g1", 1L, 0L), ("g2", 1L, 1L)))
   }
 
+  test("harmonization waterfall: priority order, exactly-one, fall-through") {
+    import graft.operators.Harmonization
+    import graft.operators.Harmonization.Stage
+    val facts = Seq("BRCA1", "OLD1", "AMBIG", "AL1", "NOPE").toDF("symbol")
+    val approved = Seq(("BRCA1", "HGNC:1100")).toDF("sym", "hgnc_id")
+    val previous = Seq(("OLD1", "HGNC:1100"), ("AMBIG", "HGNC:2"), ("AMBIG", "HGNC:3"))
+      .toDF("prev", "hgnc_id")
+    val alias = Seq(("AL1", "HGNC:1100"), ("AMBIG", "HGNC:9")).toDF("al", "hgnc_id")
+    val (matched, unmatched) = Harmonization.waterfall(facts, Seq(
+      Stage("approved", approved, "symbol", "sym", Seq("hgnc_id")),
+      Stage("previous", previous, "symbol", "prev", Seq("hgnc_id")),
+      Stage("alias", alias, "symbol", "al", Seq("hgnc_id"))))
+    val byStage = matched.select("symbol", "match_stage", "hgnc_id")
+      .as[(String, String, String)].collect().toSet
+    // AMBIG is ambiguous in `previous` (2 candidates) but unique in
+    // `alias` — it must fall through and be claimed by the later stage.
+    assert(byStage == Set(
+      ("BRCA1", "approved", "HGNC:1100"),
+      ("OLD1", "previous", "HGNC:1100"),
+      ("AMBIG", "alias", "HGNC:9"),
+      ("AL1", "alias", "HGNC:1100")))
+    assert(unmatched.select("symbol").as[String].collect().toSeq == Seq("NOPE"))
+  }
+
+  test("operators are total on empty inputs (SURVEY risk 6)") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.exactDedup(emptyDocs, "id", "text").count() == 0)
+    assert(Dedup.minhashCandidatePairs(emptyDocs, "id", "text").count() == 0)
+    assert(Dedup.simhashClusters(emptyDocs, "id", "text").count() == 0)
+    val emptyFact = Seq.empty[(String, Int)].toDF("k", "v")
+    val dim = Seq(("a", 1L)).toDF("code", "id")
+    assert(Relational.transformToFk(emptyFact, dim, "k", "code", "id", "fk").count() == 0)
+    assert(Relational.exactlyOneJoin(emptyFact, dim, "k", "code").count() == 0)
+    def t0 = new java.sql.Timestamp(0L)
+    val emptyTs = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("k", "ts", "rid")
+    assert(Relational.asofJoin(emptyTs, emptyTs, "k", "ts", "rid", "x").count() == 0)
+  }
+
   test("asofJoin attaches latest prior value, inclusive at ties") {
     def t(min: Long) = new java.sql.Timestamp(min * 60000L)
     val left = Seq((1L, t(10), "p1"), (1L, t(5), "p2"), (2L, t(1), "p3"))
