@@ -542,6 +542,26 @@ object SparkEntry {
         .select(col("purchase_id"), col("user_id"), col("last_view_id"))
     }),
 
+    // ── Banded range join (inequality join without the cross product) ───
+    "q58_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational.bandedRangeJoin(errors, purchases, "user_id", "ts", 300)
+        .select(col("l_event_id").as("error_id"), col("r_event_id").as("purchase_id"))
+    }),
+
+    // ── Sketches (HLL distinct, approximate quantiles; no exact oracle) ─
+    "q59_sketches" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
+    }),
+
     // ── SQL surface (pdcm_api-style views, §3.3) ────────────────────────
     "q55_sql_view" -> ((s, dir) => {
       graft.api.SqlViews.register(s, dir)
@@ -922,6 +942,12 @@ object SparkEntry {
          SELECT p.purchase_id, p.user_id, v.view_id AS last_view_id
          FROM p ASOF LEFT JOIN views v
            ON p.user_id = v.user_id AND p.ts >= v.ts""",
+    "q58_range_join" ->
+      """SELECT e.event_id AS error_id, p.event_id AS purchase_id
+         FROM events e JOIN events p
+           ON e.user_id = p.user_id
+          AND e.event_type = 'error' AND p.event_type = 'purchase'
+          AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000""",
     "q55_sql_view" ->
       """SELECT r_name AS region_name, c_mktsegment AS segment, count(*) AS n,
          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total

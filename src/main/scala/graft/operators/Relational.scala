@@ -155,6 +155,38 @@ object Relational {
       .select(leftCols.map(col) :+ col(asOfCol): _*)
   }
 
+  /** Banded range join: pairs (l, r) with the same `keyCol` and
+    * `|l.timeCol - r.timeCol| <= tolerance` (seconds). Spark plans a raw
+    * inequality join as a nested-loop product; bucketizing time into
+    * `tolerance`-wide bands turns it into an equi-join on (key, band) —
+    * each left row probes its own and both adjacent bands, then the exact
+    * predicate filters. Shuffle-partitionable by (key, band) at any scale.
+    */
+  def bandedRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      toleranceSeconds: Long
+  ): DataFrame = {
+    // Microsecond precision throughout: floored-seconds comparisons drop
+    // sub-second timestamp components and disagree with exact engines.
+    val tolMicros = toleranceSeconds * 1000000L
+    val band = (c: Column) => floor(unix_micros(c) / tolMicros)
+    val l = left.withColumn("__lband",
+      explode(array(band(col(timeCol)) - 1, band(col(timeCol)), band(col(timeCol)) + 1)))
+    val lCols = left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq
+    val rCols = right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq
+    val lt = l.select(lCols :+ col("__lband"): _*)
+    val rt = right.withColumn("__rband", band(col(timeCol))).select(rCols :+ col("__rband"): _*)
+    lt.join(rt,
+        col(s"l_$keyCol") === col(s"r_$keyCol") && col("__lband") === col("__rband"))
+      .filter(
+        abs(unix_micros(col(s"l_$timeCol")) - unix_micros(col(s"r_$timeCol")))
+          <= tolMicros)
+      .drop("__lband", "__rband")
+  }
+
   /** Positional-cardinality match after splitting two parallel delimited
     * columns (reference `treatment_and_component_helper_transformer_job.py:98-133`):
     * explode `aCol` and `bCol` (both "+"-separated) positionally, keeping
