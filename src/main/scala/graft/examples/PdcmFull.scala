@@ -1,0 +1,88 @@
+package graft.examples
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.Tables
+import graft.pdcm.PdcmEntities
+import graft.pipeline.PipelineRunner
+import graft.sources.PostgresTsv
+
+/** Full PDCM entity DAG driven end-to-end: stages a two-provider fixture
+  * (provB deliberately lacks every module except patients, exercising the
+  * empty-input path), runs the whole registry through PipelineRunner, and
+  * writes COPY-ready TSV sinks.
+  *
+  * Run: sbt "runMain graft.examples.PdcmFull [workDir]"
+  */
+object PdcmFull {
+
+  /** Two-provider example dataset matching PdcmEntities.rawSchemas. */
+  def stageExampleProviders(root: String): String = {
+    def w(p: String, c: String): Unit = {
+      Files.createDirectories(Paths.get(p).getParent)
+      Files.writeString(Paths.get(p), c)
+    }
+    w(s"$root/provA/patient.tsv",
+      "patient_id\tsex\thistory\tethnicity\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
+        "P1\tFemale\t\tHispanic\t45\tLung Cancer\n" +
+        "P2\tmale\t\tNot Provided\t61\tBreast Cancer\n")
+    w(s"$root/provA/sample.tsv",
+      "patient_id\tsample_id\tdiagnosis\ttumour_type\tprimary_site\tcollection_site\tage_in_years_at_collection\tmodel_id\n" +
+        "P1\tS1\tLung Adenocarcinoma\tprimary\tlung\tlung\t45\tM1\n" +
+        "P2\tS2\tBreast Carcinoma\tmetastatic\tbreast\tlymph node\t61\tM2\n")
+    w(s"$root/provA/model.tsv",
+      "model_id\thost_strain_name\tengraftment_site\tengraftment_type\tsample_type\tpassage_number\tpublications\n" +
+        "M1\tNSG\tflank\theterotopic\ttissue\t2\t\n" +
+        "M2\tNOD\tmammary\torthotopic\ttissue\t1\t\n")
+    w(s"$root/provA/sharing.tsv",
+      "model_id\taccessibility\temail\tname\tform_url\tdatabase_url\tlicense\n" +
+        "M1\tacademia\ta@b.c\tLab\t\t\tCC0\n")
+    w(s"$root/provA/model_validation.tsv",
+      "model_id\tvalidation_technique\tdescription\tpassages_tested\n" +
+        "M1\tIHC\tdesc\t1,2\nM1\tSTR\tdesc2\t3\n")
+    w(s"$root/provA/drug-dosing.tsv",
+      "model_id\ttreatment_name\ttreatment_dose\tadministration_route\ttreatment_response\n" +
+        "M1\tcisplatin + paclitaxel\t2mg + 5mg\tiv\tPD\n" +
+        "M2\tbadsplit + twodrugs\tonlyonedose\tiv\tSD\n")
+    w(s"$root/provA/patient-treatment.tsv",
+      "patient_id\ttreatment_name\ttreatment_dose\ttreatment_response\tmodel_id\n" +
+        "P1\tdoxorubicin\t1mg\tCR\tM1\n")
+    w(s"$root/provA/molchar_sample.tsv",
+      "model_id\tsample_id\tsample_origin\tpassage\tplatform_id\n" +
+        "M1\tS1\tpatient\t0\tPL1\nM1\tS1\tpatient\t0\tPL2\n")
+    w(s"$root/provA/molchar_platform.tsv",
+      "platform_id\tmolecular_characterisation_type\tinstrument_model\n" +
+        "PL1\tmutation\tIllumina\nPL2\texpression\tIllumina\n")
+    // provB: only patients — every other module exercises the
+    // empty-input fallback for this provider.
+    w(s"$root/provB/patient.tsv",
+      "patient_id\tsex\thistory\tethnicity\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
+        "P9\tfemale\t\tAsian\t33\tColon Cancer\n")
+    root
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      Files.createTempDirectory("pdcm-full").toString)
+    stageExampleProviders(work)
+    val b = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = new PipelineRunner(spark, PdcmEntities.registry(),
+      PdcmEntities.sources(spark, work))
+      .run(Seq("search_index", "treatment_protocol", "quality_assurance",
+        "molecular_characterization", "nodes", "edges"))
+    out.foreach { case (name, df) =>
+      PostgresTsv.write(df, s"$work/out/$name")
+    }
+    println(s"[pdcm-full] work=$work " +
+      out.toSeq.sortBy(_._1).map { case (k, v) => s"$k=${v.count()}" }.mkString(" "))
+    out("search_index").show(truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,237 @@
+package graft.pdcm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Cleaning, Ids}
+import graft.operators.Relational
+import graft.pipeline.{EntityDef, EntityRegistry}
+import graft.sources.Tsv
+
+/** The PDCM entity DAG: the reference's central entity transforms
+  * re-expressed as registry entities over its raw provider modules
+  * (schemas from `etl/sources.yaml`, FIXTURES.md §1; transform semantics
+  * from the per-entity jobs under `etl/jobs/transformation/`). Raw module
+  * sources are bound at run time (read with [[graft.sources.Tsv]], so
+  * missing provider files degrade to typed empty frames and every entity
+  * below is total on empty inputs).
+  *
+  * Patterns per entity (SURVEY §2): formulaic dims are
+  * select-clean-dedup-hash-id; facts FK-resolve against broadcast dims
+  * (J1); model joins sharing null-safely (J2); protocols union
+  * drug-dosing with patient-treatment positionally (U1) and split
+  * parallel name/dose lists with cardinality matching (posexplode, J4
+  * for mismatches); QA builds JSON columns (A2); the lineage graph emits
+  * node/edge tables (§1 property-graph model).
+  */
+object PdcmEntities {
+
+  /** Raw-module column lists (subset of `etl/sources.yaml` — the
+    * load-bearing columns; all-string schemas).
+    */
+  val rawSchemas: Map[String, Seq[String]] = Map(
+    "raw_patient" -> Seq("patient_id", "sex", "history", "ethnicity",
+      "age_at_initial_diagnosis", "initial_diagnosis"),
+    "raw_sample" -> Seq("patient_id", "sample_id", "diagnosis", "tumour_type",
+      "primary_site", "collection_site", "age_in_years_at_collection", "model_id"),
+    "raw_model" -> Seq("model_id", "host_strain_name", "engraftment_site",
+      "engraftment_type", "sample_type", "passage_number", "publications"),
+    "raw_sharing" -> Seq("model_id", "accessibility", "email", "name",
+      "form_url", "database_url", "license"),
+    "raw_model_validation" -> Seq("model_id", "validation_technique",
+      "description", "passages_tested"),
+    "raw_drug_dosing" -> Seq("model_id", "treatment_name", "treatment_dose",
+      "administration_route", "treatment_response"),
+    "raw_patient_treatment" -> Seq("patient_id", "treatment_name",
+      "treatment_dose", "treatment_response", "model_id"),
+    "raw_molchar_sample" -> Seq("model_id", "sample_id", "sample_origin",
+      "passage", "platform_id"),
+    "raw_molchar_platform" -> Seq("platform_id",
+      "molecular_characterisation_type", "instrument_model"))
+
+  private val prov = Tsv.ProvenanceCol
+
+  /** Formulaic dimension: distinct cleaned non-sentinel values of one
+    * column + deterministic id (the shape of ~20 reference dims,
+    * SURVEY §7.2 step 3).
+    */
+  private def dimFromColumn(raw: DataFrame, column: String): DataFrame =
+    raw.select(Cleaning.sentinelToNull(Cleaning.trimAll(col(column))).as("name"))
+      .filter(col("name").isNotNull)
+      .distinct()
+      .withColumn("id", Ids.hashId(col("name")))
+      .select("id", "name")
+
+  def registry(): EntityRegistry = new EntityRegistry()
+    .register(EntityDef("ethnicity", Seq("raw_patient"),
+      (_, in) => dimFromColumn(in("raw_patient"), "ethnicity"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("tissue", Seq("raw_sample"),
+      (_, in) => dimFromColumn(in("raw_sample"), "primary_site"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("tumour_type", Seq("raw_sample"),
+      (_, in) => dimFromColumn(in("raw_sample"), "tumour_type"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("patient", Seq("raw_patient", "ethnicity"),
+      (_, in) => {
+        val cleaned = in("raw_patient")
+          .withColumn("sex", lower(Cleaning.trimAll(col("sex"))))
+          .withColumn("ethnicity", Cleaning.sentinelToNull(col("ethnicity")))
+          .dropDuplicates("patient_id", prov)
+          .withColumn("id", Ids.hashId(col("patient_id"), col(prov)))
+        Relational.transformToFk(cleaned, in("ethnicity"),
+          "ethnicity", "name", "id", "ethnicity_id")
+      },
+      outputColumns = Seq("id", "patient_id", "sex", "history",
+        "age_at_initial_diagnosis", "ethnicity_id", prov)))
+    .register(EntityDef("patient_sample",
+      Seq("raw_sample", "patient", "tissue", "tumour_type"),
+      (_, in) => {
+        val s0 = in("raw_sample")
+          .dropDuplicates("sample_id", prov)
+          .withColumn("id", Ids.hashId(col("sample_id"), col(prov)))
+        // FK to patient on the composite natural key (patient_id, provider)
+        // — reference J3 composite-key joins.
+        val p = in("patient")
+          .select(col("id").as("patient_fk"), col("patient_id"), col(prov))
+        val withPatient = s0.join(p, Seq("patient_id", prov), "left")
+        val withTissue = Relational.transformToFk(withPatient, in("tissue"),
+          "primary_site", "name", "id", "tissue_id")
+        Relational.transformToFk(withTissue, in("tumour_type"),
+          "tumour_type", "name", "id", "tumour_type_id")
+      },
+      outputColumns = Seq("id", "sample_id", "patient_fk", "diagnosis",
+        "tissue_id", "tumour_type_id", "model_id", prov)))
+    .registerModel()
+    .register(EntityDef("quality_assurance", Seq("raw_model_validation"),
+      (_, in) => in("raw_model_validation")
+        .groupBy(col("model_id"), col(prov))
+        .agg(concat(lit("["),
+          concat_ws(",", sort_array(collect_list(
+            concat(lit("{\"technique\":\""), coalesce(col("validation_technique"), lit("")),
+              lit("\",\"passages\":\""), coalesce(col("passages_tested"), lit("")),
+              lit("\"}"))))),
+          lit("]")).as("validation_json")),
+      outputColumns = Seq("model_id", prov, "validation_json")))
+    .register(EntityDef("treatment_protocol",
+      Seq("raw_drug_dosing", "raw_patient_treatment"),
+      (_, in) => {
+        // Positional union of the two protocol sources (U1), then split
+        // "+"-separated parallel name/dose lists with cardinality
+        // matching; mismatched rows are dropped like the reference's
+        // left-anti branch (J4).
+        val dd = in("raw_drug_dosing").select(
+          col("model_id").as("target_id"), lit("model").as("target_kind"),
+          col("treatment_name"), col("treatment_dose"),
+          col("treatment_response"), col(prov))
+        val pt = in("raw_patient_treatment").select(
+          col("patient_id").as("target_id"), lit("patient").as("target_kind"),
+          col("treatment_name"), col("treatment_dose"),
+          col("treatment_response"), col(prov))
+        val (matched, _) = Relational.posexplodeMatched(
+          dd.union(pt), "treatment_name", "treatment_dose")
+        matched.withColumn("id",
+          Ids.hashId(col("target_id"), col("target_kind"), col("treatment_name"),
+            col("treatment_dose"), col(prov)))
+      },
+      outputColumns = Seq("id", "target_id", "target_kind", "treatment_name",
+        "treatment_dose", "treatment_response", prov)))
+    .register(EntityDef("molecular_characterization",
+      Seq("raw_molchar_sample", "raw_molchar_platform"),
+      (_, in) => {
+        val pl = in("raw_molchar_platform").dropDuplicates("platform_id", prov)
+          .select(col("platform_id"), col(prov),
+            col("molecular_characterisation_type"), col("instrument_model"))
+        in("raw_molchar_sample")
+          .join(pl, Seq("platform_id", prov), "left")
+          .withColumn("id",
+            Ids.hashId(col("sample_id"), col("platform_id"), col(prov)))
+      },
+      outputColumns = Seq("id", "sample_id", "sample_origin", "passage",
+        "platform_id", "molecular_characterisation_type", prov)))
+    .register(EntityDef("search_index", Seq("patient_sample", "patient",
+      "molecular_characterization", "quality_assurance"),
+      (_, in) => {
+        // dataset_available per model (A1 collect_set) + data score (A7:
+        // |datasets| * 100 / 3 available kinds here).
+        val datasets = in("molecular_characterization")
+          .groupBy(col("sample_id"), col(prov))
+          .agg(sort_array(collect_set(
+            coalesce(col("molecular_characterisation_type"), lit("unknown"))))
+            .as("dataset_available"))
+        val ps = in("patient_sample")
+        val p = in("patient").select(col("id").as("patient_fk"),
+          col("sex"), col("ethnicity_id"))
+        ps.join(p, Seq("patient_fk"), "left")
+          .join(datasets, Seq("sample_id", prov), "left")
+          .withColumn("dataset_available",
+            coalesce(col("dataset_available"), array().cast("array<string>")))
+          .withColumn("data_score",
+            (size(col("dataset_available")) * 100 / lit(3.0)).cast("int"))
+      },
+      outputColumns = Seq("sample_id", "model_id", "diagnosis", "sex",
+        "dataset_available", "data_score", prov)))
+    .register(EntityDef("nodes", Seq("patient", "patient_sample", "model_entity"),
+      (_, in) => {
+        val pn = in("patient").select(lit("patient").as("node_type"),
+          col("id").as("node_id"),
+          concat(lit("{\"patient_id\":\""), col("patient_id"), lit("\"}")).as("data"))
+        val sn = in("patient_sample").select(lit("sample").as("node_type"),
+          col("id").as("node_id"),
+          concat(lit("{\"sample_id\":\""), col("sample_id"), lit("\"}")).as("data"))
+        val mn = in("model_entity").select(lit("model").as("node_type"),
+          col("id").as("node_id"),
+          concat(lit("{\"model_id\":\""), col("model_id"), lit("\"}")).as("data"))
+        pn.union(sn).union(mn)
+      },
+      outputColumns = Seq("node_type", "node_id", "data")))
+    .register(EntityDef("edges", Seq("patient", "patient_sample", "model_entity"),
+      (_, in) => {
+        val ps = in("patient_sample")
+        val patientSample = ps.filter(col("patient_fk").isNotNull)
+          .select(lit("patient_sample").as("label"),
+            col("patient_fk").as("src"), col("id").as("dst"))
+        val m = in("model_entity").select(
+          col("id").as("model_fk"), col("model_id"), col(prov))
+        val sampleModel = ps.filter(col("model_id").isNotNull)
+          .join(m, Seq("model_id", prov), "inner")
+          .select(lit("sample_model").as("label"),
+            col("id").as("src"), col("model_fk").as("dst"))
+        patientSample.union(sampleModel)
+      },
+      outputColumns = Seq("label", "src", "dst")))
+
+  /** model entity registered separately (the inline stub above is
+    * replaced): raw model + sharing joined on the composite
+    * (model_id, provider) key null-safely.
+    */
+  implicit private class RegistryOps(r: EntityRegistry) {
+    def registerModel(): EntityRegistry = r.register(EntityDef(
+      "model_entity", Seq("raw_model", "raw_sharing"),
+      (_, in) => {
+        val m = in("raw_model").dropDuplicates("model_id", prov)
+          .withColumn("id", Ids.hashId(col("model_id"), col(prov)))
+        val sh = in("raw_sharing")
+          .dropDuplicates("model_id", prov)
+          .select(col("model_id"), col(prov),
+            col("accessibility"), col("license"), col("database_url"))
+        m.join(sh, Seq("model_id", prov), "left")
+      },
+      outputColumns = Seq("id", "model_id", "host_strain_name",
+        "engraftment_site", "engraftment_type", "sample_type",
+        "accessibility", "license", prov)))
+  }
+
+  /** Bind raw-module sources from a provider directory tree
+    * (`<root>/<provider>/<module>.tsv`), with empty-input fallback.
+    */
+  def sources(spark: SparkSession, root: String): Map[String, DataFrame] =
+    rawSchemas.map { case (name, cols) =>
+      val file = name.stripPrefix("raw_") match {
+        case "drug_dosing"       => "drug-dosing.tsv"
+        case "patient_treatment" => "patient-treatment.tsv"
+        case m                   => s"$m.tsv"
+      }
+      name -> Tsv.read(spark, Seq(s"$root/*/$file"), cols,
+        commentField = Some(cols.head))
+    }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.pdcm.PdcmEntities
+import graft.pipeline.PipelineRunner
+
+class PdcmEntitiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stage(): String =
+    graft.examples.PdcmFull.stageExampleProviders(
+      Files.createTempDirectory("pdcm-entities").toString)
+
+  lazy val out: Map[String, org.apache.spark.sql.DataFrame] = {
+    val root = stage()
+    new PipelineRunner(spark, PdcmEntities.registry(),
+      PdcmEntities.sources(spark, root))
+      .run(Seq("search_index", "treatment_protocol", "quality_assurance",
+        "nodes", "edges"))
+  }
+
+  test("dims and patient entity: clean, dedup, FK-resolved") {
+    assert(out("ethnicity").select("name").as[String].collect().sorted.toSeq ==
+      Seq("Asian", "Hispanic"))
+    val patients = out("patient")
+    assert(patients.count() == 3)
+    val p2 = patients.filter($"patient_id" === "P2").head()
+    assert(p2.getAs[String]("sex") == "male")
+    assert(p2.isNullAt(p2.fieldIndex("ethnicity_id"))) // Not Provided -> null FK
+  }
+
+  test("patient_sample links patient and dims across providers") {
+    val ps = out("patient_sample")
+    assert(ps.count() == 2)
+    assert(ps.filter($"patient_fk".isNull).count() == 0)
+    assert(out("tissue").count() == 2)
+  }
+
+  test("model joins sharing; missing sharing leaves nulls") {
+    val m = out("model_entity").orderBy("model_id")
+    val rows = m.select("model_id", "license").as[(String, String)].collect()
+    assert(rows.toSeq == Seq(("M1", "CC0"), ("M2", null)))
+  }
+
+  test("treatment_protocol splits matched name/dose lists, drops mismatches") {
+    val tp = out("treatment_protocol")
+    val names = tp.select("treatment_name").as[String].collect().sorted.toSeq
+    assert(names == Seq("cisplatin", "doxorubicin", "paclitaxel"))
+    assert(tp.filter($"treatment_name" === "badsplit").count() == 0)
+  }
+
+  test("quality_assurance builds a JSON array column") {
+    val qa = out("quality_assurance").filter($"model_id" === "M1")
+      .select("validation_json").as[String].head()
+    assert(qa.startsWith("[{") && qa.contains("\"technique\":\"IHC\"")
+      && qa.contains("\"technique\":\"STR\""))
+  }
+
+  test("search_index aggregates dataset_available with data score") {
+    val si = out("search_index").filter($"sample_id" === "S1").head()
+    assert(si.getSeq[String](si.fieldIndex("dataset_available")).toSeq ==
+      Seq("expression", "mutation"))
+    assert(si.getAs[Int]("data_score") == 66)
+  }
+
+  test("lineage graph: nodes and edges") {
+    assert(out("nodes").groupBy("node_type").count().count() == 3)
+    val labels = out("edges").select("label").distinct().as[String].collect().toSet
+    assert(labels == Set("patient_sample", "sample_model"))
+    assert(out("edges").filter($"label" === "sample_model").count() == 2)
+  }
+}
