@@ -16,10 +16,13 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // Min of two timed runs per query: JIT/GC noise on a shared box swings
     // single-shot totals by ±30%; the min is the reproducible cost.
+    // noop sink, not count(): count() lets Catalyst prune every projected
+    // column, so projection-heavy queries would measure only the scan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -339,7 +339,7 @@ object SparkEntry {
     "q32_simhash" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
         col("doc_id"),
-        Text.simhash16(Text.tokens(col("text"))).as("simhash"))),
+        graft.plans.TextKernels.simhash16Native(col("text")).as("simhash"))),
     "q33_ngram_jaccard" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
         .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -370,6 +370,20 @@ object SparkEntry {
         col("doc_id"),
         size(Text.tokens(col("text"))).as("ws_tokens"),
         Text.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+
+    "q60_langid_ngram" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("actual_lang"),
+        graft.plans.TextKernels.langIdNative(col("text"), ngramProfiles)
+          .as("pred_lang"))),
+    "q61_winnowing" -> ((s, dir) => {
+      // Native kernel; fp referenced twice (size + hash), so compute it
+      // once per reference — still ~250x cheaper than the HOF form.
+      val fp = graft.plans.TextKernels.winnowingNative(col("text"), 5, 4)
+      tbl(s, dir, "documents").select(
+        col("doc_id"), size(fp).as("n_fp"),
+        Text.md5Hex(concat_ws(",", fp)).as("fp_hash"))
+    }),
 
     // ── Similarity search (beyond-parity, on embeddings) ────────────────
     "q38_embed_topk" -> ((s, dir) => {
@@ -589,6 +603,14 @@ object SparkEntry {
     })
   )
 
+  private val ngramProfiles: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "sch", "ein", "ich"),
+    "en" -> Seq("the", " th", "he ", "ing", "and"),
+    "es" -> Seq("de ", "la ", "os ", "ion"),
+    "fr" -> Seq("le ", "es ", "ent", "eau"),
+    "zh" -> Seq("的", "是", "了")
+  )
+
   private val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das", "und"),
     "en" -> Seq("the", "a", "of", "and"),
@@ -614,6 +636,41 @@ object SparkEntry {
        SELECT doc_id, lang AS actual_lang, ${hitCols.mkString(", ")} FROM (
          SELECT doc_id, lang, $tokSql AS w FROM documents))"""
   }
+
+  private val ngramLangSql: String = {
+    val langs = ngramProfiles.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ps) =>
+      val listLit = ps.map(p => "'" + p + "'").mkString(",")
+      s"len(list_filter(grams, g -> list_contains([$listLit], g))) AS ${l}_hits"
+    }
+    val mx = s"greatest(${langs.map(_._1 + "_hits").mkString(", ")})"
+    val caseChain = langs.map { case (l, _) => s"WHEN ${l}_hits = $mx THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    s"""SELECT doc_id, actual_lang, $caseChain AS pred_lang FROM (
+       SELECT doc_id, actual_lang, ${hitCols.mkString(", ")} FROM (
+         SELECT doc_id, lang AS actual_lang,
+           CASE WHEN length(t) >= 3
+             THEN list_transform(range(1, length(t)-1), i -> substr(t, i, 3))
+             ELSE [] END AS grams
+         FROM (SELECT doc_id, lang, lower(text) AS t FROM documents)))"""
+  }
+
+  private val winnowingSql: String =
+    """WITH h AS (SELECT doc_id,
+         list_transform(
+           CASE WHEN length(t) >= 5
+             THEN list_transform(range(1, length(t)-3), i -> substr(t, i, 5))
+             ELSE [] END,
+           g -> md5(g)) AS hs
+         FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+       f AS (SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+           THEN list_sort(list_distinct(list_transform(range(1, len(hs)-2),
+                i -> list_aggregate(hs[i:i+3], 'min'))))
+           WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+           ELSE [] END AS fp FROM h)
+       SELECT doc_id, len(fp) AS n_fp, md5(array_to_string(fp, ',')) AS fp_hash
+       FROM f"""
 
   private val minhashSql: String = {
     val sigElems = (0 until 8).map(seed =>
@@ -837,6 +894,8 @@ object SparkEntry {
          count(*) AS n_docs, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
     "q35_lang_id" -> langIdSql,
+    "q60_langid_ngram" -> ngramLangSql,
+    "q61_winnowing" -> winnowingSql,
     "q36_quality" -> qualitySql,
     "q37_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,

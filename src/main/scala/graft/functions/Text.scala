@@ -156,6 +156,50 @@ object Text {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
+  /** Character n-grams of the raw text (empty array below n chars —
+    * guarded because a descending `sequence` would otherwise be built).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Language-ID by characteristic character-n-gram counting (the n-gram
+    * heuristic of classic langid tools): score each language by how many
+    * of the text's char trigrams appear in its profile (with
+    * multiplicity); greatest wins, ties to the alphabetically-first code.
+    */
+  def langIdByCharNgrams(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    val grams = charNgrams(lower(text), 3)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, ps) =>
+      (lang, size(filter(grams, g => g.isInCollection(ps))))
+    }
+    val maxHits = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.tail.foldLeft(when(scored.head._2 === maxHits, lit(scored.head._1))) {
+      case (acc, (lang, hits)) => acc.when(hits === maxHits, lit(lang))
+    }
+  }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken rolling-hash
+    * document fingerprinting): hash every char `k`-gram, slide a window
+    * of `w` hashes, keep each window's minimum, return the SORTED DISTINCT
+    * minima. Near-identical documents share most fingerprints; exact dup
+    * detection compares the full set, near-dup the overlap.
+    * md5 stands in for the rolling polynomial hash — same selection
+    * semantics, cross-engine checkable.
+    */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    val hashes = transform(charNgrams(lower(text), k), md5Hex(_))
+    when(size(hashes) >= w,
+      sort_array(array_distinct(
+        transform(sequence(lit(1), size(hashes) - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w)))))))
+      .otherwise(sort_array(array_distinct(
+        when(size(hashes) > 0, array(array_min(hashes)))
+          .otherwise(array().cast("array<string>")))))
+  }
+
   /** Content-defined document fingerprint: md5 of the sorted distinct
     * token bag of the lower-cased text. Whitespace/word-order insensitive —
     * two docs with the same bag of words collide (the reference's

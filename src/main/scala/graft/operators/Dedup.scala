@@ -122,7 +122,7 @@ object Dedup {
     */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol), Text.simhash16(Text.tokens(col(textCol))).as("simhash"))
+      .select(col(idCol), graft.plans.TextKernels.simhash16Native(col(textCol)).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n_docs") > 1)

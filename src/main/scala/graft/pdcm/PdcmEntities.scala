@@ -165,11 +165,20 @@ object PdcmEntities {
           .join(datasets, Seq("sample_id", prov), "left")
           .withColumn("dataset_available",
             coalesce(col("dataset_available"), array().cast("array<string>")))
-          .withColumn("data_score",
-            (size(col("dataset_available")) * 100 / lit(3.0)).cast("int"))
+          .withColumn("data_score", Scoring.dataScore(col("dataset_available"), 3))
+          .withColumn("metadata_score", Scoring.metadataScore(Seq(
+            Scoring.Weight("diagnosis", 4), Scoring.Weight("sex", 2),
+            Scoring.Weight("tissue_id", 2), Scoring.Weight("tumour_type_id", 2))))
       },
       outputColumns = Seq("sample_id", "model_id", "diagnosis", "sex",
-        "dataset_available", "data_score", prov)))
+        "dataset_available", "data_score", "metadata_score", prov)))
+    .register(EntityDef("search_facet", Seq("search_index"),
+      (_, in) => Scoring.buildFacets(in("search_index"), Seq(
+        Scoring.FacetDef("diagnosis", "diagnosis", isBoolean = false, 0),
+        Scoring.FacetDef("sex", "sex", isBoolean = false, 1),
+        Scoring.FacetDef("provider", prov, isBoolean = false, 2))),
+      outputColumns = Seq("facet_name", "facet_column", "options",
+        "is_boolean", "facet_index")))
     .register(EntityDef("nodes", Seq("patient", "patient_sample", "model_entity"),
       (_, in) => {
         val pn = in("patient").select(lit("patient").as("node_type"),

@@ -1,0 +1,204 @@
+package graft.plans
+
+import java.security.MessageDigest
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the per-document text fingerprints whose
+  * higher-order-function formulations re-evaluate hashes per reference
+  * (SimHash inlines the token-md5 array into each of 16 bit aggregates;
+  * winnowing re-slices the hash array per window). Each kernel hashes
+  * every token/gram exactly once in a tight loop inside whole-stage
+  * codegen. Byte-identical to the HOF formulations in
+  * [[graft.functions.Text]] — guarded by parity specs.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash16(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.simhash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** Sorted distinct winnowing fingerprints (see
+  * [[graft.functions.Text.winnowingFingerprints]]) computed in one pass.
+  */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnowing(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.winnowing($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprints =
+    copy(child = newChild)
+}
+
+/** Char-trigram language ID (see [[graft.functions.Text.langIdByCharNgrams]]):
+  * the HOF form re-evaluates the gram array once per profile filter plus
+  * once per tie-break comparison (~11x for 5 languages); this kernel scans
+  * the text once with a gram→language lookup table.
+  */
+case class CharNgramLangId(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  @transient private lazy val table: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case ((_, grams), i) =>
+      grams.foreach { g =>
+        val prev = m.get(g)
+        m.put(g, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+  @transient private lazy val langs: Array[String] = profiles.map(_._1).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.langId(input.asInstanceOf[UTF8String], table, langs)
+  // No doGenCode: per-row work dominates; CodegenFallback-style eval via
+  // the interpreted path is fine because the kernel itself is one scan.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdExpr", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.kernelEval($c);"
+    })
+  }
+  /** Public entry for generated code. */
+  def kernelEval(s: UTF8String): UTF8String =
+    TextKernels.langId(s, table, langs)
+  override protected def withNewChildInternal(newChild: Expression): CharNgramLangId =
+    copy(child = newChild)
+}
+
+object TextKernels {
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** Count profile-gram hits (with multiplicity) per language over the
+    * lower-cased text's char trigrams; return the max-hit language,
+    * ties to the first in `langs` order (callers pass sorted codes).
+    */
+  def langId(
+      text: UTF8String,
+      table: java.util.HashMap[String, Array[Int]],
+      langs: Array[String]): UTF8String = {
+    val t = text.toString.toLowerCase
+    val hits = new Array[Int](langs.length)
+    var i = 0
+    val n = t.length - 2
+    while (i < n) {
+      val ls = table.get(t.substring(i, i + 3))
+      if (ls != null) {
+        var j = 0
+        while (j < ls.length) { hits(ls(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    var j = 1
+    while (j < langs.length) { if (hits(j) > hits(best)) best = j; j += 1 }
+    UTF8String.fromString(langs(best))
+  }
+
+  def langIdNative(text: Column, profiles: Map[String, Seq[String]]): Column =
+    ColumnBridge.column(CharNgramLangId(
+      ColumnBridge.expression(text), profiles.toSeq.sortBy(_._1)))
+
+  private def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 16-bit SimHash over DISTINCT whitespace tokens: for bit j, +1 when
+    * the j-th hex digit of md5(token) is >= '8' else -1; bit set iff the
+    * sum is positive. Matches `Text.simhash16(Text.tokens(c))`.
+    */
+  def simhash16(text: UTF8String): Int = {
+    val toks = text.toString.trim.split("\\s+", -1)
+    val seen = new java.util.HashSet[String]()
+    val sums = new Array[Int](16)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        md.reset()
+        val d = md.digest(toks(i).getBytes("UTF-8"))
+        var j = 0
+        while (j < 16) {
+          // j-th hex digit is the high nibble of byte j/2 for even j,
+          // low nibble for odd j; digit >= 8 iff its top bit is set.
+          val nibble =
+            if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+          sums(j) += (if (nibble >= 8) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0
+    var j = 0
+    while (j < 16) { if (sums(j) > 0) out |= (1 << j); j += 1 }
+    out
+  }
+
+  /** Winnowing: md5 every lower-cased char k-gram, take the min hex per
+    * sliding window of w, return sorted distinct minima. Matches
+    * `Text.winnowingFingerprints(c, k, w)` byte-for-byte (including the
+    * short-document single-min and empty cases).
+    */
+  def winnowing(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val t = text.toString.toLowerCase
+    val n = t.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val md = MessageDigest.getInstance("MD5")
+    val hashes = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      hashes(i) = toHex(md.digest(t.substring(i, i + k).getBytes("UTF-8")))
+      i += 1
+    }
+    val mins = new java.util.TreeSet[String]()
+    if (n < w) {
+      var m = hashes(0)
+      var j = 1
+      while (j < n) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      mins.add(m)
+    } else {
+      // Sliding min over windows of w hex strings. w is small (4-16):
+      // a direct scan per window start beats a deque for these sizes.
+      var s = 0
+      while (s + w <= n) {
+        var m = hashes(s)
+        var j = s + 1
+        while (j < s + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        mins.add(m)
+        s += 1
+      }
+    }
+    val out = new Array[AnyRef](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  def simhash16Native(text: Column): Column =
+    ColumnBridge.column(SimHash16(ColumnBridge.expression(text)))
+
+  def winnowingNative(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowingFingerprints(ColumnBridge.expression(text), k, w))
+}

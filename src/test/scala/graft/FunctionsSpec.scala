@@ -104,6 +104,31 @@ class FunctionsSpec extends SparkSpec {
     assert(natBands.toSeq == hofBands.toSeq)
   }
 
+  test("native simhash and winnowing kernels match HOF formulations") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a",
+      "x",
+      "")
+    val df = texts.toDF("text")
+    val sim = df.select(
+      Text.simhash16(Text.tokens($"text")).as("hof"),
+      graft.plans.TextKernels.simhash16Native($"text").as("nat"))
+      .as[(Int, Int)].collect()
+    assert(sim.forall { case (h, n) => h == n })
+    val win = df.select(
+      Text.winnowingFingerprints($"text", 5, 4).as("hof"),
+      graft.plans.TextKernels.winnowingNative($"text", 5, 4).as("nat"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(win.forall { case (h, n) => h == n })
+    val profiles = Map("en" -> Seq("the", "ing"), "de" -> Seq("der", "sch"))
+    val lid = df.select(
+      Text.langIdByCharNgrams($"text", profiles).as("hof"),
+      graft.plans.TextKernels.langIdNative($"text", profiles).as("nat"))
+      .as[(String, String)].collect()
+    assert(lid.forall { case (h, n) => h == n })
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
       .select(Vectors.cosine(Vectors.toDoubleVec($"a"), Vectors.toDoubleVec($"b")).as("c"))

@@ -15,8 +15,8 @@ class PdcmEntitiesSpec extends SparkSpec {
     val root = stage()
     new PipelineRunner(spark, PdcmEntities.registry(),
       PdcmEntities.sources(spark, root))
-      .run(Seq("search_index", "treatment_protocol", "quality_assurance",
-        "nodes", "edges"))
+      .run(Seq("search_index", "search_facet", "treatment_protocol",
+        "quality_assurance", "nodes", "edges"))
   }
 
   test("dims and patient entity: clean, dedup, FK-resolved") {
@@ -61,6 +61,17 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(si.getSeq[String](si.fieldIndex("dataset_available")).toSeq ==
       Seq("expression", "mutation"))
     assert(si.getAs[Int]("data_score") == 66)
+  }
+
+  test("scoring and facets: weighted metadata score, sorted facet options") {
+    val si = out("search_index").filter($"sample_id" === "S1").head()
+    // All four weighted columns populated -> 100.
+    assert(si.getAs[Int]("metadata_score") == 100)
+    val facets = out("search_facet")
+    assert(facets.count() == 3)
+    val sexOptions = facets.filter($"facet_name" === "sex").head()
+    assert(sexOptions.getSeq[String](sexOptions.fieldIndex("options")).toSeq ==
+      Seq("female", "male"))
   }
 
   test("lineage graph: nodes and edges") {
