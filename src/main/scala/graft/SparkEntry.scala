@@ -425,12 +425,14 @@ object SparkEntry {
 
     // ── Composite-key join + join-back agg (SURVEY J3/J10) ──────────────
     "q27_composite_join" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-      val pairAvg = li
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg((sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)))
-          .as("avg_qty"))
-      li.join(pairAvg, Seq("l_partkey", "l_suppkey"))
+      // Row-preserving aggregate-join-back done as a WINDOW (SURVEY J10
+      // note): one shuffle by the composite key instead of groupBy +
+      // join-back (two). Same result, verified against the join-form
+      // oracle.
+      val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      tbl(s, dir, "lineitem")
+        .withColumn("avg_qty",
+          sum(col("l_quantity").cast(dec)).over(w).cast("double") / count(lit(1)).over(w))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(
           sum(when(col("l_quantity") > col("avg_qty"), 1).otherwise(0)).as("n_above"),

@@ -74,6 +74,21 @@ class PdcmEntitiesSpec extends SparkSpec {
       Seq("female", "male"))
   }
 
+  test("link generation: template expansion and id-pattern resolution") {
+    import graft.pdcm.Links
+    val df = Seq("ACH-000123", "CVCL_1J07", "rs12345", "unknown-id").toDF("external_id")
+    val resolved = Links.resolveIdLinks(df, "external_id")
+      .select("external_id", "resource", "link")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(resolved == Seq(
+      ("ACH-000123", "DepMap", "https://depmap.org/portal/cell_line/ACH-000123"),
+      ("CVCL_1J07", "Cellosaurus", "https://www.cellosaurus.org/CVCL_1J07"),
+      ("rs12345", "dbSNP", "https://www.ncbi.nlm.nih.gov/snp/rs12345"),
+      ("unknown-id", null, null)))
+    val ri = Links.releaseInfo(spark, "r1", Seq("provA", "provB"))
+    assert(ri.count() == 1 && ri.columns.toSeq == Seq("name", "date", "providers"))
+  }
+
   test("lineage graph: nodes and edges") {
     assert(out("nodes").groupBy("node_type").count().count() == 3)
     val labels = out("edges").select("label").distinct().as[String].collect().toSet
