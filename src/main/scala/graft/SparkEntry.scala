@@ -593,6 +593,13 @@ object SparkEntry {
         """SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
            FROM document_stats GROUP BY lang""")
     }),
+    "q62_sql_kernels" -> ((s, dir) => {
+      // Custom Catalyst kernels exposed as SQL functions via
+      // GraftFunctions/GraftExtensions; same oracle as the DataFrame form.
+      graft.plans.GraftFunctions.register(s)
+      graft.api.SqlViews.register(s, dir)
+      s.sql("SELECT doc_id, graft_simhash16(text) AS simhash FROM documents")
+    }),
 
     "q54_edges" -> ((s, dir) => {
       val placed = tbl(s, dir, "orders").select(
@@ -898,6 +905,7 @@ object SparkEntry {
     "q35_lang_id" -> langIdSql,
     "q60_langid_ngram" -> ngramLangSql,
     "q61_winnowing" -> winnowingSql,
+    "q62_sql_kernels" -> simhashSql,
     "q36_quality" -> qualitySql,
     "q37_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,

@@ -129,6 +129,25 @@ class FunctionsSpec extends SparkSpec {
     assert(lid.forall { case (h, n) => h == n })
   }
 
+  test("graft kernels callable from SQL after registration") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq(("a b c d e", Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("t", "va", "vb")
+      .createOrReplaceTempView("kernel_probe")
+    val row = spark.sql(
+      """SELECT graft_dot(va, vb) AS d, graft_simhash16(t) AS sh,
+         size(graft_minhash(t, 4, 3)) AS mk,
+         size(graft_minhash_bands(t, 4, 2, 3)) AS mb,
+         size(graft_winnowing(t, 3, 2)) AS wf
+         FROM kernel_probe""").head()
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getInt(1) >= 0 && row.getInt(1) < 65536)
+    assert(row.getInt(2) == 4 && row.getInt(3) == 2 && row.getInt(4) >= 1)
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_minhash(t, t, 3) FROM kernel_probe").head())
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
       .select(Vectors.cosine(Vectors.toDoubleVec($"a"), Vectors.toDoubleVec($"b")).as("c"))
