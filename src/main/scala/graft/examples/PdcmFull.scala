@@ -53,6 +53,18 @@ object PdcmFull {
     w(s"$root/provA/molchar_platform.tsv",
       "platform_id\tmolecular_characterisation_type\tinstrument_model\n" +
         "PL1\tmutation\tIllumina\nPL2\texpression\tIllumina\n")
+    w(s"$root/provA/mutation.tsv",
+      "sample_id\tsymbol\tchromosome\tseq_start_position\tplatform_id\n" +
+        "S1\tBRCA1\t17\t43044295\tPL1\n" +
+        "S1\tOLDNAME1\t7\t55019017\tPL1\n" +
+        "S1\tAMBIG\t1\t100\tPL1\n" +
+        "S1\tTOTALLYUNKNOWN\t2\t200\tPL1\n")
+    w(s"$root/markers.tsv",
+      "approved_symbol\tprevious_symbols\talias_symbols\n" +
+        "BRCA1\tRNF53\t\n" +
+        "EGFR\tOLDNAME1,ERBB\t\n" +
+        "GENE1\tAMBIG\t\n" +
+        "GENE2\tAMBIG\tAMBIG\n")
     // provB: only patients — every other module exercises the
     // empty-input fallback for this provider.
     w(s"$root/provB/patient.tsv",
@@ -75,8 +87,9 @@ object PdcmFull {
 
     val out = new PipelineRunner(spark, PdcmEntities.registry(),
       PdcmEntities.sources(spark, work))
-      .run(Seq("search_index", "treatment_protocol", "quality_assurance",
-        "molecular_characterization", "nodes", "edges"))
+      .run(Seq("search_index", "search_facet", "treatment_protocol",
+        "quality_assurance", "molecular_characterization", "mutation_data",
+        "nodes", "edges"))
     out.foreach { case (name, df) =>
       PostgresTsv.write(df, s"$work/out/$name")
     }

@@ -3,7 +3,7 @@ package graft.pdcm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Cleaning, Ids}
-import graft.operators.Relational
+import graft.operators.{Harmonization, Relational}
 import graft.pipeline.{EntityDef, EntityRegistry}
 import graft.sources.Tsv
 
@@ -46,7 +46,12 @@ object PdcmEntities {
     "raw_molchar_sample" -> Seq("model_id", "sample_id", "sample_origin",
       "passage", "platform_id"),
     "raw_molchar_platform" -> Seq("platform_id",
-      "molecular_characterisation_type", "instrument_model"))
+      "molecular_characterisation_type", "instrument_model"),
+    "raw_mutation" -> Seq("sample_id", "symbol", "chromosome",
+      "seq_start_position", "platform_id"),
+    // Global HGNC-style marker reference (S9, markers_reader.py):
+    // previous/alias symbols are comma-separated lists.
+    "raw_markers" -> Seq("approved_symbol", "previous_symbols", "alias_symbols"))
 
   private val prov = Tsv.ProvenanceCol
 
@@ -148,6 +153,55 @@ object PdcmEntities {
       },
       outputColumns = Seq("id", "sample_id", "sample_origin", "passage",
         "platform_id", "molecular_characterisation_type", prov)))
+    .register(EntityDef("gene_marker", Seq("raw_markers"),
+      (_, in) => {
+        // Approved symbols + exploded previous/alias lists, one row per
+        // (approved, match_symbol, kind) — the lookup side of the
+        // harmonization waterfall (gene_marker_transformer_job.py:32-46).
+        val mk = in("raw_markers")
+        val approved = mk.select(col("approved_symbol"),
+          col("approved_symbol").as("match_symbol"), lit("approved").as("match_kind"))
+        val previous = mk
+          .select(col("approved_symbol"),
+            explode(split(coalesce(col("previous_symbols"), lit("")), ",")).as("match_symbol"))
+          .withColumn("match_symbol", trim(col("match_symbol")))
+          .filter(col("match_symbol") =!= "")
+          .withColumn("match_kind", lit("previous"))
+        val alias = mk
+          .select(col("approved_symbol"),
+            explode(split(coalesce(col("alias_symbols"), lit("")), ",")).as("match_symbol"))
+          .withColumn("match_symbol", trim(col("match_symbol")))
+          .filter(col("match_symbol") =!= "")
+          .withColumn("match_kind", lit("alias"))
+        approved.unionByName(previous).unionByName(alias)
+      },
+      outputColumns = Seq("approved_symbol", "match_symbol", "match_kind")))
+    .register(EntityDef("mutation_data",
+      Seq("raw_mutation", "gene_marker", "molecular_characterization"),
+      (_, in) => {
+        val gm = in("gene_marker")
+        def stage(kind: String) = Harmonization.Stage(kind,
+          gm.filter(col("match_kind") === kind)
+            .select(col("match_symbol"), col("approved_symbol")),
+          "symbol", "match_symbol", Seq("approved_symbol"))
+        val (matched, unmatched) = Harmonization.waterfall(
+          in("raw_mutation"),
+          Seq(stage("approved"), stage("previous"), stage("alias")))
+        val all = matched
+          .withColumnRenamed("approved_symbol", "harmonized_symbol")
+          .unionByName(unmatched
+            .withColumn("harmonized_symbol", lit(null).cast("string"))
+            .withColumn("match_stage", lit(null).cast("string")))
+        // FK to molecular_characterization on the composite natural key
+        // (sample_id, platform_id, provider) — reference
+        // molecular_characterization_fk_assigner.py:10-39.
+        val mc = in("molecular_characterization")
+          .select(col("id").as("molchar_id"), col("sample_id"),
+            col("platform_id"), col(prov))
+        all.join(mc, Seq("sample_id", "platform_id", prov), "left")
+      },
+      outputColumns = Seq("sample_id", "symbol", "harmonized_symbol",
+        "match_stage", "chromosome", "seq_start_position", "molchar_id", prov)))
     .register(EntityDef("search_index", Seq("patient_sample", "patient",
       "molecular_characterization", "quality_assurance"),
       (_, in) => {
@@ -235,12 +289,13 @@ object PdcmEntities {
     */
   def sources(spark: SparkSession, root: String): Map[String, DataFrame] =
     rawSchemas.map { case (name, cols) =>
-      val file = name.stripPrefix("raw_") match {
-        case "drug_dosing"       => "drug-dosing.tsv"
-        case "patient_treatment" => "patient-treatment.tsv"
-        case m                   => s"$m.tsv"
+      val paths = name.stripPrefix("raw_") match {
+        case "drug_dosing"       => Seq(s"$root/*/drug-dosing.tsv")
+        case "patient_treatment" => Seq(s"$root/*/patient-treatment.tsv")
+        // markers is a single global reference file, not per-provider.
+        case "markers"           => Seq(s"$root/markers.tsv")
+        case m                   => Seq(s"$root/*/$m.tsv")
       }
-      name -> Tsv.read(spark, Seq(s"$root/*/$file"), cols,
-        commentField = Some(cols.head))
+      name -> Tsv.read(spark, paths, cols, commentField = Some(cols.head))
     }
 }

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned layout: filters become partition pruning") {
+    val dir = Files.createTempDirectory("graft-layout").toString + "/docs"
+    val docs = Tables.load(spark, sfDir, "documents")
+    Layout.writePartitioned(docs, dir, Seq("lang"))
+    // One directory per lang value.
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(langDirs.length >= 3)
+    val q = spark.read.parquet(dir).filter($"lang" === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    val full = docs.filter($"lang" === "en").count()
+    assert(q.count() == full)
+  }
+
+  test("bucketed tables join with no exchange") {
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Layout.writeBucketed(o, spark, "orders_b", "o_orderkey", 4)
+    Layout.writeBucketed(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), spark, "lineitem_b",
+      "o_orderkey", 4)
+    // Disable auto-broadcast so the plan exercises the bucketed sort-merge
+    // path (at 100 TB neither side broadcasts — that is the case bucketing
+    // exists for).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("ShuffleExchange"),
+        s"bucketed join should be shuffle-free, got:\n${plan.take(800)}")
+      assert(joined.count() ==
+        o.join(li, o("o_orderkey") === li("l_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

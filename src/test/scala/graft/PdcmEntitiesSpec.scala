@@ -16,7 +16,7 @@ class PdcmEntitiesSpec extends SparkSpec {
     new PipelineRunner(spark, PdcmEntities.registry(),
       PdcmEntities.sources(spark, root))
       .run(Seq("search_index", "search_facet", "treatment_protocol",
-        "quality_assurance", "nodes", "edges"))
+        "quality_assurance", "mutation_data", "nodes", "edges"))
   }
 
   test("dims and patient entity: clean, dedup, FK-resolved") {
@@ -87,6 +87,19 @@ class PdcmEntitiesSpec extends SparkSpec {
       ("unknown-id", null, null)))
     val ri = Links.releaseInfo(spark, "r1", Seq("provA", "provB"))
     assert(ri.count() == 1 && ri.columns.toSeq == Seq("name", "date", "providers"))
+  }
+
+  test("mutation_data: gene-symbol waterfall + molchar FK") {
+    val md = out("mutation_data")
+    val bySymbol = md.select("symbol", "harmonized_symbol", "match_stage")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(bySymbol("BRCA1") == (("BRCA1", "approved")))
+    assert(bySymbol("OLDNAME1") == (("EGFR", "previous")))
+    // AMBIG: two approved symbols claim it as previous (ambiguous), one
+    // as alias -> claimed by the alias stage.
+    assert(bySymbol("AMBIG") == (("GENE2", "alias")))
+    assert(bySymbol("TOTALLYUNKNOWN") == ((null, null)))
+    assert(md.filter($"molchar_id".isNotNull).count() == 4) // S1/PL1 exists
   }
 
   test("lineage graph: nodes and edges") {
