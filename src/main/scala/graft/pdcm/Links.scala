@@ -53,6 +53,47 @@ object Links {
     df.withColumn("resource", resource).withColumn("link", link)
   }
 
+  /** Offline treatment→ChEMBL resolution (reference risk #4: the original
+    * calls the EBI REST API from inside a UDF,
+    * `treatments_links_builder.py:59-113` — a network-in-UDF anti-pattern
+    * that is neither hermetic nor retry-safe). Here the resolver is a
+    * lookup TABLE (pre-fetched offline / cached) broadcast-joined against
+    * the distinct treatment names; the expensive externality is batched
+    * once, outside the data path.
+    */
+  def chemblLinks(
+      treatments: DataFrame,
+      nameCol: String,
+      chemblLookup: DataFrame, // columns: name, chembl_id
+      template: String = "https://www.ebi.ac.uk/chembl/compound_report_card/TOKEN"): DataFrame = {
+    val lookup = broadcast(
+      chemblLookup.select(lower(trim(col("name"))).as("__chembl_name"), col("chembl_id")))
+    treatments
+      .join(lookup, lower(trim(col(nameCol))) === col("__chembl_name"), "left")
+      .drop("__chembl_name")
+      .withColumn("chembl_link",
+        when(col("chembl_id").isNotNull,
+          expandTemplate(template, "TOKEN", col("chembl_id"))))
+  }
+
+  /** Treatment-type classification (reference `calculate_type` UDF,
+    * `treatment_type_helper_transformer_job.py:33-87`): a treatment's
+    * types are every category whose keyword list matches ANY of its
+    * ontology-ancestor names. Pure higher-order expression (exists over
+    * the ancestors array) — no UDF; `Seq()` result means unclassified.
+    */
+  def classifyTreatmentTypes(
+      ancestors: Column,
+      typeKeywords: Seq[(String, Seq[String])]): Column = {
+    val matched = typeKeywords.map { case (tpe, kws) =>
+      when(
+        exists(ancestors, a =>
+          kws.map(kw => lower(a).contains(kw.toLowerCase)).reduce(_ || _)),
+        lit(tpe))
+    }
+    filter(array(matched: _*), _.isNotNull)
+  }
+
   /** One-row release-info table (reference `etl/workflow/reporter.py:24-49`,
     * S16): name, date, provider list.
     */

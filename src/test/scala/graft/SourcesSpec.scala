@@ -81,6 +81,53 @@ class SourcesSpec extends SparkSpec {
     assert(anc("C3") == "Malignant Lung Neoplasm|Root Neoplasm")
   }
 
+  test("MappingRules: multiline JSON read + 4-key case-insensitive mapping") {
+    import graft.sources.MappingRules
+    val dir = tmpDir()
+    Files.writeString(Paths.get(s"$dir/diagnosis_mappings.json"),
+      """{ "mappings": [
+        |  { "data_source": "ProvA", "diagnosis": "Lung Cancer",
+        |    "primary_site": "lung", "tumour_type": "primary",
+        |    "mapped_term_id": "NCIT:C1000", "decision": "curated" },
+        |  { "data_source": "provB", "diagnosis": "colon cancer",
+        |    "primary_site": "colon", "tumour_type": "primary",
+        |    "mapped_term_id": "NCIT:C3000", "decision": "curated" }
+        |] }""".stripMargin)
+    val rules = MappingRules.readDiagnosisRules(spark, s"$dir/diagnosis_mappings.json")
+    assert(rules.count() == 2)
+    val samples = Seq(
+      ("provA", "LUNG CANCER", "Lung", "Primary"), // case differs everywhere
+      ("provB", "colon cancer", "colon", "primary"),
+      ("provB", "unmapped thing", "x", "primary"))
+      .toDF("data_source", "diagnosis", "primary_site", "tumour_type")
+    val mapped = MappingRules.mapSamples(samples, rules)
+      .select("diagnosis", "mapped_term_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(mapped("LUNG CANCER") == "NCIT:C1000")
+    assert(mapped("colon cancer") == "NCIT:C3000")
+    assert(mapped("unmapped thing") == null)
+  }
+
+  test("chembl offline lookup and treatment-type classification") {
+    import graft.pdcm.Links
+    val treatments = Seq("Cisplatin", "unknowndrug").toDF("treatment_name")
+    val lookup = Seq(("cisplatin", "CHEMBL11359")).toDF("name", "chembl_id")
+    val linked = Links.chemblLinks(treatments, "treatment_name", lookup)
+      .select("treatment_name", "chembl_link")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(linked("Cisplatin") ==
+      "https://www.ebi.ac.uk/chembl/compound_report_card/CHEMBL11359")
+    assert(linked("unknowndrug") == null)
+
+    val df = Seq(Seq("Platinum Compound", "Cytotoxic Chemotherapeutic Agent"),
+      Seq("Unrelated Term")).toDF("ancestors")
+    val types = df.select(Links.classifyTreatmentTypes($"ancestors", Seq(
+      "Chemotherapy" -> Seq("chemotherapeutic"),
+      "Targeted" -> Seq("kinase inhibitor"))).as("t"))
+      .as[Seq[String]].collect()
+    assert(types(0) == Seq("Chemotherapy") && types(1).isEmpty)
+  }
+
   test("PostgresTsv: array literals, null fill, newline escape") {
     val df = Seq((1L, Seq("a", "b"), "line1\nline2"), (2L, Seq.empty[String], null))
       .toDF("id", "tags", "note")
