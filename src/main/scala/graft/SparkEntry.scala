@@ -602,13 +602,17 @@ object SparkEntry {
     }),
 
     "q54_edges" -> ((s, dir) => {
+      // Dedup per branch, not after the union: 'placed' is already unique
+      // (one row per order) and cross-branch duplicates are impossible
+      // (distinct labels), so only the 'contains' branch shuffles — and
+      // the union itself is shuffle-free.
       val placed = tbl(s, dir, "orders").select(
         lit("placed").as("label"), col("o_custkey").as("src"),
         col("o_orderkey").as("dst"))
       val contains = tbl(s, dir, "lineitem").select(
         lit("contains").as("label"), col("l_orderkey").as("src"),
-        col("l_partkey").as("dst"))
-      placed.union(contains).dropDuplicates()
+        col("l_partkey").as("dst")).dropDuplicates()
+      placed.union(contains)
     })
   )
 

@@ -60,6 +60,24 @@ object Cleaning {
     else filledStr
   }
 
+  /** Age-string → display bucket (reference `_bin_age` UDF,
+    * `search_index_patient_sample_transformer_job.py:154-172`): months for
+    * under-2s, "2 - 9", then decades. Null-safe cast handles the
+    * all-string raw data; unparseable ages return null.
+    */
+  def binAge(age: Column): Column = {
+    // try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW on
+    // malformed strings — all-string raw data must degrade to null.
+    val a = trimAll(age).try_cast("double")
+    when(a.isNull, lit(null).cast("string"))
+      .when(a < 2, lit("0 - 23 months"))
+      .when(a < 10, lit("2 - 9"))
+      .otherwise(concat(
+        (floor(a / 10) * 10).cast("int").cast("string"),
+        lit(" - "),
+        (floor(a / 10) * 10 + 9).cast("int").cast("string")))
+  }
+
   /** Treat sentinel strings ("Not Provided", "Not Collected", "") as null.
     * Reference pattern: `search_index_transformer_job.py:124`,
     * `treatment_aggregator_helper_transformer_job.py:94-98`.

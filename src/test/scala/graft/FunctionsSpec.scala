@@ -30,6 +30,13 @@ class FunctionsSpec extends SparkSpec {
     assert(kept.toSeq == Seq("2", "3"))
   }
 
+  test("binAge buckets ages like the reference") {
+    val got = Seq("1", "5", "45", "61", "not an age", null)
+      .toDF("age").select(Cleaning.binAge($"age")).as[String].collect()
+    assert(got.toSeq ==
+      Seq("0 - 23 months", "2 - 9", "40 - 49", "60 - 69", null, null))
+  }
+
   test("hashId is deterministic and key-sensitive") {
     val df = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("k1", "k2")
       .select(Ids.hashId($"k1", $"k2").as("id"))

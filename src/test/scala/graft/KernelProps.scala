@@ -61,6 +61,38 @@ object KernelProps extends Properties("graft-kernels") {
         a.toSeq == b.toSeq && a.length == dim && a.forall(v => v > -1.0f && v < 1.0f)
     }
 
+  property("simhash kernel matches a naive reference implementation") =
+    forAll(words) { ws =>
+      val text = ws.mkString(" ")
+      val got = graft.plans.TextKernels.simhash16(UTF8String.fromString(text))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val toks = text.trim.split("\\s+", -1).distinct
+      val expected = (0 until 16).map { bit =>
+        // hex digit >= '8' in ASCII covers '8','9','a'..'f'
+        val s = toks.map(t => if (md5hex(t).charAt(bit) >= '8') 1 else -1).sum
+        if (s > 0) 1 << bit else 0
+      }.sum
+      got == expected
+    }
+
+  property("winnowing kernel: sorted distinct minima, subset of gram hashes") =
+    forAll(Gen.alphaNumStr, Gen.chooseNum(2, 6), Gen.chooseNum(2, 5)) { (t, k, w) =>
+      val out = graft.plans.TextKernels.winnowing(UTF8String.fromString(t), k, w)
+      if (t.length < k) Prop(out.numElements() == 0)
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String =
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val lower = t.toLowerCase
+        val grams = (0 to lower.length - k).map(i => md5hex(lower.substring(i, i + k)))
+        val got = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+        Prop(got == got.sorted && got.distinct == got &&
+          got.toSet.subsetOf(grams.toSet) && got.nonEmpty)
+      }
+    }
+
   property("cleanName is idempotent") =
     forAll { (s: String) =>
       val once = graft.functions.Cleaning.cleanName(s)
