@@ -494,6 +494,26 @@ object SparkEntry {
     }),
 
     // ── Beyond parity: rollup / intersect / except / date parts ─────────
+    "q63_cube" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+    }),
+    "q64_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"))
+    }),
     "q48_rollup" -> ((s, dir) => {
       tbl(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -979,6 +999,19 @@ object SparkEntry {
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
          COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q63_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q64_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         first_value(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
     "q49_intersect" ->
       """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          INTERSECT

@@ -30,6 +30,16 @@ class FunctionsSpec extends SparkSpec {
     assert(kept.toSeq == Seq("2", "3"))
   }
 
+  test("typed Aggregators: weighted mean and bounded top-k") {
+    import graft.functions.Aggregators
+    val wm = new Aggregators.WeightedMean().toColumn
+    val ds = Seq((10.0, 1.0), (20.0, 3.0)).toDS()
+    assert(ds.select(wm).head() == 17.5)
+    val tk = new Aggregators.TopKMin(3).toColumn
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 2.0).toDS()
+    assert(vals.select(tk).head() == Seq(1.0, 2.0, 3.0))
+  }
+
   test("binAge buckets ages like the reference") {
     val got = Seq("1", "5", "45", "61", "not an age", null)
       .toDF("age").select(Cleaning.binAge($"age")).as[String].collect()
