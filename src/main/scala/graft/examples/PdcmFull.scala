@@ -59,6 +59,13 @@ object PdcmFull {
         "S1\tOLDNAME1\t7\t55019017\tPL1\n" +
         "S1\tAMBIG\t1\t100\tPL1\n" +
         "S1\tTOTALLYUNKNOWN\t2\t200\tPL1\n")
+    w(s"$root/provA/expression.tsv",
+      "sample_id\tsymbol\trnaseq_tpm\trnaseq_fpkm\tplatform_id\n" +
+        "S1\tBRCA1\t12.5\t8.1\tPL2\n" +
+        "S1\tOLDNAME1\t3.3\t2.0\tPL2\n")
+    w(s"$root/provA/cna.tsv",
+      "sample_id\tsymbol\tlog2r_cna\tcopy_number_status\tplatform_id\n" +
+        "S1\tBRCA1\t-0.7\tloss\tPL1\n")
     w(s"$root/markers.tsv",
       "approved_symbol\tprevious_symbols\talias_symbols\n" +
         "BRCA1\tRNF53\t\n" +
@@ -89,7 +96,7 @@ object PdcmFull {
       PdcmEntities.sources(spark, work))
       .run(Seq("search_index", "search_facet", "treatment_protocol",
         "quality_assurance", "molecular_characterization", "mutation_data",
-        "nodes", "edges"))
+        "expression_data", "cna_data", "nodes", "edges"))
     out.foreach { case (name, df) =>
       PostgresTsv.write(df, s"$work/out/$name")
     }

@@ -49,11 +49,50 @@ object PdcmEntities {
       "molecular_characterisation_type", "instrument_model"),
     "raw_mutation" -> Seq("sample_id", "symbol", "chromosome",
       "seq_start_position", "platform_id"),
+    "raw_expression" -> Seq("sample_id", "symbol", "rnaseq_tpm",
+      "rnaseq_fpkm", "platform_id"),
+    "raw_cna" -> Seq("sample_id", "symbol", "log2r_cna",
+      "copy_number_status", "platform_id"),
     // Global HGNC-style marker reference (S9, markers_reader.py):
     // previous/alias symbols are comma-separated lists.
     "raw_markers" -> Seq("approved_symbol", "previous_symbols", "alias_symbols"))
 
   private val prov = Tsv.ProvenanceCol
+
+  /** Molecular-data table template (mutation/expression/cna/biomarker all
+    * share it — reference `initial_*_transformer_job.py` +
+    * `molecular_characterization_fk_assigner.py:10-39`): gene symbols
+    * harmonized through the exactly-one waterfall (approved → previous →
+    * alias), unmatched kept with null harmonized_symbol, then FK to
+    * molecular_characterization on the composite (sample_id, platform_id,
+    * provider) key.
+    */
+  private def molecularTable(
+      entityName: String,
+      rawModule: String,
+      valueCols: Seq[String]): EntityDef = EntityDef(
+    entityName, Seq(rawModule, "gene_marker", "molecular_characterization"),
+    (_, in) => {
+      val gm = in("gene_marker")
+      def stage(kind: String) = Harmonization.Stage(kind,
+        gm.filter(col("match_kind") === kind)
+          .select(col("match_symbol"), col("approved_symbol")),
+        "symbol", "match_symbol", Seq("approved_symbol"))
+      val (matched, unmatched) = Harmonization.waterfall(
+        in(rawModule),
+        Seq(stage("approved"), stage("previous"), stage("alias")))
+      val all = matched
+        .withColumnRenamed("approved_symbol", "harmonized_symbol")
+        .unionByName(unmatched
+          .withColumn("harmonized_symbol", lit(null).cast("string"))
+          .withColumn("match_stage", lit(null).cast("string")))
+      val mc = in("molecular_characterization")
+        .select(col("id").as("molchar_id"), col("sample_id"),
+          col("platform_id"), col(prov))
+      all.join(mc, Seq("sample_id", "platform_id", prov), "left")
+    },
+    outputColumns = Seq("sample_id", "symbol", "harmonized_symbol",
+      "match_stage") ++ valueCols ++ Seq("molchar_id", prov))
 
   /** Formulaic dimension: distinct cleaned non-sentinel values of one
     * column + deterministic id (the shape of ~20 reference dims,
@@ -176,32 +215,12 @@ object PdcmEntities {
         approved.unionByName(previous).unionByName(alias)
       },
       outputColumns = Seq("approved_symbol", "match_symbol", "match_kind")))
-    .register(EntityDef("mutation_data",
-      Seq("raw_mutation", "gene_marker", "molecular_characterization"),
-      (_, in) => {
-        val gm = in("gene_marker")
-        def stage(kind: String) = Harmonization.Stage(kind,
-          gm.filter(col("match_kind") === kind)
-            .select(col("match_symbol"), col("approved_symbol")),
-          "symbol", "match_symbol", Seq("approved_symbol"))
-        val (matched, unmatched) = Harmonization.waterfall(
-          in("raw_mutation"),
-          Seq(stage("approved"), stage("previous"), stage("alias")))
-        val all = matched
-          .withColumnRenamed("approved_symbol", "harmonized_symbol")
-          .unionByName(unmatched
-            .withColumn("harmonized_symbol", lit(null).cast("string"))
-            .withColumn("match_stage", lit(null).cast("string")))
-        // FK to molecular_characterization on the composite natural key
-        // (sample_id, platform_id, provider) — reference
-        // molecular_characterization_fk_assigner.py:10-39.
-        val mc = in("molecular_characterization")
-          .select(col("id").as("molchar_id"), col("sample_id"),
-            col("platform_id"), col(prov))
-        all.join(mc, Seq("sample_id", "platform_id", prov), "left")
-      },
-      outputColumns = Seq("sample_id", "symbol", "harmonized_symbol",
-        "match_stage", "chromosome", "seq_start_position", "molchar_id", prov)))
+    .register(molecularTable("mutation_data", "raw_mutation",
+      Seq("chromosome", "seq_start_position")))
+    .register(molecularTable("expression_data", "raw_expression",
+      Seq("rnaseq_tpm", "rnaseq_fpkm")))
+    .register(molecularTable("cna_data", "raw_cna",
+      Seq("log2r_cna", "copy_number_status")))
     .register(EntityDef("search_index", Seq("patient_sample", "patient",
       "molecular_characterization", "quality_assurance"),
       (_, in) => {
