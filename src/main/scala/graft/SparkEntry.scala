@@ -494,6 +494,12 @@ object SparkEntry {
     }),
 
     // ── Beyond parity: rollup / intersect / except / date parts ─────────
+    "q65_median" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          count(lit(1)).as("n"))
+    }),
     "q63_cube" -> ((s, dir) => {
       tbl(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -999,6 +1005,9 @@ object SparkEntry {
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
          COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n
          FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+    "q65_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS median_qty, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
     "q63_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
          COALESCE(o_orderpriority, 'ALL') AS priority, count(*) AS n

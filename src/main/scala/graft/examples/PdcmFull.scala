@@ -66,6 +66,9 @@ object PdcmFull {
     w(s"$root/provA/cna.tsv",
       "sample_id\tsymbol\tlog2r_cna\tcopy_number_status\tplatform_id\n" +
         "S1\tBRCA1\t-0.7\tloss\tPL1\n")
+    w(s"$root/provA/biomarker.tsv",
+      "sample_id\tsymbol\tbiomarker_status\tplatform_id\n" +
+        "S1\tBRCA1\tpositive\tPL1\n")
     w(s"$root/markers.tsv",
       "approved_symbol\tprevious_symbols\talias_symbols\n" +
         "BRCA1\tRNF53\t\n" +
@@ -96,7 +99,7 @@ object PdcmFull {
       PdcmEntities.sources(spark, work))
       .run(Seq("search_index", "search_facet", "treatment_protocol",
         "quality_assurance", "molecular_characterization", "mutation_data",
-        "expression_data", "cna_data", "nodes", "edges"))
+        "expression_data", "cna_data", "biomarker_data", "nodes", "edges"))
     out.foreach { case (name, df) =>
       PostgresTsv.write(df, s"$work/out/$name")
     }

@@ -53,6 +53,8 @@ object PdcmEntities {
       "rnaseq_fpkm", "platform_id"),
     "raw_cna" -> Seq("sample_id", "symbol", "log2r_cna",
       "copy_number_status", "platform_id"),
+    "raw_biomarker" -> Seq("sample_id", "symbol", "biomarker_status",
+      "platform_id"),
     // Global HGNC-style marker reference (S9, markers_reader.py):
     // previous/alias symbols are comma-separated lists.
     "raw_markers" -> Seq("approved_symbol", "previous_symbols", "alias_symbols"))
@@ -221,6 +223,8 @@ object PdcmEntities {
       Seq("rnaseq_tpm", "rnaseq_fpkm")))
     .register(molecularTable("cna_data", "raw_cna",
       Seq("log2r_cna", "copy_number_status")))
+    .register(molecularTable("biomarker_data", "raw_biomarker",
+      Seq("biomarker_status")))
     .register(EntityDef("search_index", Seq("patient_sample", "patient",
       "molecular_characterization", "quality_assurance"),
       (_, in) => {
