@@ -13,6 +13,13 @@ import graft.operators.{Dedup, Relational, Similarity}
   * Cross-engine determinism rules used throughout (so value hashes match):
   *  - money/quantity aggregates go through DECIMAL(18,2) casts → exact
   *    arithmetic, no float-summation-order divergence;
+  *  - aggregate RESULT types are canonicalized on BOTH sides: integer sums
+  *    stay BIGINT (DuckDB widens to HUGEINT, so the oracle wraps
+  *    `CAST(... AS BIGINT)`); decimal sums are emitted as DOUBLE (DuckDB
+  *    widens DECIMAL(18,2) to DECIMAL(38,2), Spark to DECIMAL(28,2); both
+  *    convert to the same IEEE double while the exact cents fit in 2^53).
+  *    Without this, readers that coerce HUGEINT/DECIMAL to float64 see
+  *    57059.0 vs 57059 and the value hash diverges;
   *  - ratios are computed as ONE double division of exact integers/decimals;
   *  - hashes that must agree across engines use md5 (hex of UTF-8 bytes);
   *  - every computed column is aliased identically on both sides.
@@ -44,7 +51,7 @@ object SparkEntry {
       .groupBy(col("nation_name"))
       .agg(
         sum((col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)))
-          .as("revenue"),
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items")
       )
   }
@@ -59,9 +66,9 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
-          sum(discPrice).as("sum_disc_price"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order")
         )
     }),
@@ -74,7 +81,7 @@ object SparkEntry {
         .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
         .agg(
           count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast(dec)).as("total_acctbal")
+          sum(col("c_acctbal").cast(dec)).cast("double").as("total_acctbal")
         )
     }),
     "q03_revenue_by_nation" -> ((s, dir) => revenueByNation(s, dir)),
@@ -166,7 +173,8 @@ object SparkEntry {
         .withColumn("pk", when(col("o_orderstatus") === "O", lit(null).cast("string"))
           .otherwise(col("o_orderstatus")))
       val a = o.groupBy(col("pk")).agg(count(lit(1)).as("n_a"))
-      val b = o.groupBy(col("pk")).agg(sum(col("o_totalprice").cast(dec)).as("total_b"))
+      val b = o.groupBy(col("pk"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("total_b"))
       Relational.nullSafeJoin(a, b, Seq("pk"), "inner")
         .select(a("pk").as("status_key"), col("n_a"), col("total_b"))
     }),
@@ -198,7 +206,7 @@ object SparkEntry {
         .filter(col("l_suppkey") <= 5)
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_quantity").cast(dec)).over(w).as("running_qty")
+          sum(col("l_quantity").cast(dec)).over(w).cast("double").as("running_qty")
         )
     }),
 
@@ -251,7 +259,7 @@ object SparkEntry {
         .agg(
           sum(col("d").isNull.cast("long")).as("n_null"),
           count(col("d")).as("n_nonnull"),
-          sum(col("d").cast(dec)).as("sum_disc")
+          sum(col("d").cast(dec)).cast("double").as("sum_disc")
         )
     }),
 
@@ -265,7 +273,8 @@ object SparkEntry {
         col("s_acctbal").as("acctbal"))
       c.unionByName(sp)
         .groupBy(col("kind"))
-        .agg(count(lit(1)).as("n"), sum(col("acctbal").cast(dec)).as("total_acctbal"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("acctbal").cast(dec)).cast("double").as("total_acctbal"))
     }),
     "q17_array_ops" -> ((s, dir) => {
       val words = split(col("p_name"), " ")
@@ -315,7 +324,8 @@ object SparkEntry {
         .groupBy(
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("total_value"),
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
     "q42_sessionize" -> ((s, dir) => {
@@ -324,7 +334,7 @@ object SparkEntry {
         .withColumn("prev", lag(col("ts"), 1).over(w))
         .withColumn("is_new",
           when(col("prev").isNull ||
-            (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1)
+            (unix_micros(col("ts")) - unix_micros(col("prev"))) > 1800L * 1000000L, 1)
             .otherwise(0))
         .groupBy(col("user_id"))
         .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
@@ -609,7 +619,7 @@ object SparkEntry {
       graft.api.SqlViews.register(s, dir)
       s.sql(
         """SELECT region_name, c_mktsegment AS segment, count(*) AS n,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
            FROM order_facts WHERE o_orderstatus = 'F'
            GROUP BY region_name, segment""")
     }),
@@ -741,13 +751,13 @@ object SparkEntry {
 
   private val qualitySql: String =
     """SELECT doc_id, len(w) AS n_tokens,
-       (CASE WHEN nc >= 100 AND nc <= 20000 THEN 40.0 WHEN nc >= 20 THEN 20.0 ELSE 0.0 END
+       CAST(CASE WHEN nc >= 100 AND nc <= 20000 THEN 40.0 WHEN nc >= 20 THEN 20.0 ELSE 0.0 END
       + CASE WHEN (CASE WHEN len(w) > 0 THEN nc / CAST(len(w) AS DOUBLE) ELSE 0.0 END) >= 3
               AND (CASE WHEN len(w) > 0 THEN nc / CAST(len(w) AS DOUBLE) ELSE 0.0 END) <= 12
              THEN 30.0 ELSE 10.0 END
       + CASE WHEN (CASE WHEN nc > 0 THEN np / nc ELSE 1.0 END) <= 0.1 THEN 30.0
              WHEN (CASE WHEN nc > 0 THEN np / nc ELSE 1.0 END) <= 0.3 THEN 15.0
-             ELSE 0.0 END) AS quality_score
+             ELSE 0.0 END AS DOUBLE) AS quality_score
        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
                     CAST(length(text) AS DOUBLE) AS nc,
                     CAST(length(text) - length(regexp_replace(text, '[.,;:!?()-]', '', 'g')) AS DOUBLE) AS np
@@ -756,21 +766,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus""",
     "q02_fk_dim_join" ->
       """SELECT r_name AS region_name, n_name AS nation_name, count(*) AS n_customers,
-         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
     "q03_revenue_by_nation" ->
       """SELECT n_name AS nation_name,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -811,8 +821,8 @@ object SparkEntry {
          count(*) AS n_orders FROM orders GROUP BY o_orderpriority""",
     "q11_conditional_agg" ->
       """SELECT l_returnflag,
-         sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS n_discounted,
-         sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS n_taxfree,
+         CAST(sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+         CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree,
          count(*) AS n_total FROM lineitem GROUP BY l_returnflag""",
     "q12_window_rank" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
@@ -821,9 +831,9 @@ object SparkEntry {
          FROM orders) WHERE rn <= 2""",
     "q13_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
            PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
          FROM lineitem WHERE l_suppkey <= 5""",
     "q14_recode" ->
       """SELECT CASE WHEN o_totalprice < 1000 THEN 'small'
@@ -836,7 +846,8 @@ object SparkEntry {
     "q15_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q16_union" ->
-      """SELECT kind, count(*) AS n, sum(CAST(acctbal AS DECIMAL(18,2))) AS total_acctbal FROM (
+      """SELECT kind, count(*) AS n,
+         CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal FROM (
          SELECT c_name AS entity_name, 'customer' AS kind, c_acctbal AS acctbal FROM customer
          UNION ALL
          SELECT s_name, 'supplier', s_acctbal FROM supplier) GROUP BY kind""",
@@ -861,13 +872,13 @@ object SparkEntry {
          SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
          GROUP BY word ORDER BY n DESC, word LIMIT 20""",
     "q21_json" ->
-      """SELECT event_type, sum(k_val) AS sum_k, max(k_val) AS max_k, count(*) AS n
+      """SELECT event_type, CAST(sum(k_val) AS BIGINT) AS sum_k, max(k_val) AS max_k, count(*) AS n
          FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events)
          GROUP BY event_type""",
     "q22_null_handling" ->
       """SELECT l_returnflag,
-         sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS n_null,
-         count(d) AS n_nonnull, sum(CAST(d AS DECIMAL(18,2))) AS sum_disc
+         CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         count(d) AS n_nonnull, CAST(sum(CAST(d AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
          FROM (SELECT l_returnflag, CASE WHEN l_discount = 0 THEN NULL ELSE l_discount END AS d
                FROM lineitem) GROUP BY l_returnflag""",
     "q23_topk" ->
@@ -875,7 +886,8 @@ object SparkEntry {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q24_hourly_events" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:00') AS hour,
-         event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
          count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
     "q25_dense_id" ->
@@ -896,19 +908,19 @@ object SparkEntry {
       """WITH o AS (SELECT CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS pk,
                     o_totalprice FROM orders),
          a AS (SELECT pk, count(*) AS n_a FROM o GROUP BY pk),
-         b AS (SELECT pk, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_b FROM o GROUP BY pk)
+         b AS (SELECT pk, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_b FROM o GROUP BY pk)
          SELECT a.pk AS status_key, n_a, total_b FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk""",
     "q42_sessionize" ->
       """SELECT user_id,
-         sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+         CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
          count(*) AS n_events
          FROM (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM events) GROUP BY user_id""",
     "q44_pivot" ->
       """SELECT o_orderpriority,
-         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-         sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
          FROM orders GROUP BY o_orderpriority""",
     "q30_exact_dedup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -965,7 +977,7 @@ object SparkEntry {
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
            FROM lineitem GROUP BY 1, 2)
          SELECT l.l_partkey, l.l_suppkey,
-           sum(CASE WHEN l.l_quantity > p.avg_qty THEN 1 ELSE 0 END) AS n_above,
+           CAST(sum(CASE WHEN l.l_quantity > p.avg_qty THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
            count(*) AS n_total
          FROM lineitem l JOIN pairs p
            ON l.l_partkey = p.l_partkey AND l.l_suppkey = p.l_suppkey
@@ -981,7 +993,7 @@ object SparkEntry {
       """WITH flags AS (SELECT l_partkey,
            max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
            FROM lineitem GROUP BY 1)
-         SELECT p_brand, sum(COALESCE(has_r, 0)) AS n_parts_with_returns,
+         SELECT p_brand, CAST(sum(COALESCE(has_r, 0)) AS BIGINT) AS n_parts_with_returns,
            count(*) AS n_parts
          FROM part LEFT JOIN flags ON p_partkey = l_partkey
          GROUP BY p_brand""",
@@ -1065,7 +1077,7 @@ object SparkEntry {
           AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000""",
     "q55_sql_view" ->
       """SELECT r_name AS region_name, c_mktsegment AS segment, count(*) AS n,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
@@ -1073,7 +1085,7 @@ object SparkEntry {
          GROUP BY r_name, c_mktsegment""",
     "q56_doc_stats_view" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY lang"""
   )
 }

@@ -1,11 +1,24 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate: read each Verify output
-parquet, run the matching oracle SQL in DuckDB over the same sf dir, and
-compare (column names sorted, rows sorted, values normalized). Dev-only —
-the library itself never depends on this."""
-import sys, json, glob, math, os
-from decimal import Decimal
+"""Local replica of the driver's correctness gate — STRICT, no value
+normalization (the round-1 version normalized Decimal->float and rounded,
+which hid 16 driver hash failures).
+
+Two comparison channels, BOTH must match for an OK:
+
+  typed  : Spark output parquet via pyarrow .to_pylist()  vs  DuckDB
+           fetchall().  Exact python values, type-preserving (Decimal
+           stays Decimal, int stays int).
+  pandas : both sides rendered through pandas + str().  This reproduces
+           readers that coerce DuckDB HUGEINT / DECIMAL to float64 —
+           the channel where `sum(int)` (HUGEINT -> "57059.0") diverges
+           from Spark's BIGINT ("57059") even though the python values
+           are equal.  Canonicalize aggregate types on both sides
+           (CAST ... AS BIGINT / DOUBLE) so this channel agrees.
+
+Dev-only — the library itself never depends on this."""
+import sys, json, glob, os
 import duckdb
+import pyarrow.parquet as pq
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -17,16 +30,17 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
-def norm(v):
-    if v is None: return None
-    if isinstance(v, Decimal): return ("num", float(v))
-    if isinstance(v, float):
-        if math.isnan(v): return ("nan",)
-        return ("num", round(v, 9))
-    if isinstance(v, int): return ("num", float(v))
-    if hasattr(v, "isoformat"): return ("ts", v.isoformat()[:26])
-    if isinstance(v, list): return tuple(norm(x) for x in v)
-    return v
+
+def sorted_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    return sorted([tuple(r[i] for i in idx) for r in rows], key=repr)
+
+
+def render(v):
+    # NaN-safe str() that distinguishes 57059 from 57059.0 and
+    # Decimal('1.40') from 1.4 — the strictness the driver has.
+    return "NULL" if v is None else f"{type(v).__name__}:{v}"
+
 
 fails = 0
 for name in sorted(oracle):
@@ -34,33 +48,41 @@ for name in sorted(oracle):
     if not os.path.isdir(qdir):
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
-        spark_rows = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        scols = spark_rows.columns
-        sdata = spark_rows.fetchall()
+        st = pq.read_table(qdir)
+        scols = st.column_names
+        sdata = [tuple(row[c] for c in scols) for row in st.to_pylist()]
         duck = con.sql(oracle[name])
         dcols = duck.columns
         ddata = duck.fetchall()
+        duck_df = con.sql(oracle[name]).df()
+        spark_df = st.to_pandas()
     except Exception as e:
         print(f"FAIL {name}: {str(e)[:200]}"); fails += 1; continue
     if sorted(map(str.lower, scols)) != sorted(map(str.lower, dcols)):
         print(f"FAIL {name}: cols spark={sorted(scols)} duck={sorted(dcols)}")
         fails += 1; continue
-    sidx = sorted(range(len(scols)), key=lambda i: scols[i].lower())
-    didx = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
-    srows = sorted([tuple(norm(r[i]) for i in sidx) for r in sdata], key=repr)
-    drows = sorted([tuple(norm(r[i]) for i in didx) for r in ddata], key=repr)
-    if srows == drows:
+
+    srows = sorted_rows(scols, sdata)
+    drows = sorted_rows(dcols, ddata)
+    typed_ok = [tuple(map(render, r)) for r in srows] == \
+               [tuple(map(render, r)) for r in drows]
+
+    sp = sorted_rows(scols, [tuple(x) for x in spark_df.itertuples(index=False)])
+    dp = sorted_rows(dcols, [tuple(x) for x in duck_df.itertuples(index=False)])
+    pandas_ok = [tuple(map(render, r)) for r in sp] == \
+                [tuple(map(render, r)) for r in dp]
+
+    if typed_ok and pandas_ok:
         print(f"OK   {name} ({len(srows)} rows)")
-    else:
-        fails += 1
-        print(f"FAIL {name}: spark {len(srows)} rows vs duck {len(drows)}")
-        for a, b in list(zip(srows, drows))[:200]:
-            if a != b:
-                print(f"  spark: {a}\n  duck : {b}")
-                break
-        only_s = [r for r in srows if r not in set(map(tuple, drows))][:2]
-        only_d = [r for r in drows if r not in set(map(tuple, srows))][:2]
-        if only_s: print(f"  only-spark: {only_s}")
-        if only_d: print(f"  only-duck : {only_d}")
+        continue
+    fails += 1
+    chan = "typed" if not typed_ok else "pandas"
+    print(f"FAIL {name} [{chan}]: spark {len(srows)} rows vs duck {len(drows)}")
+    pairs = zip(srows, drows) if not typed_ok else zip(sp, dp)
+    for a, b in list(pairs)[:500]:
+        ra, rb = tuple(map(render, a)), tuple(map(render, b))
+        if ra != rb:
+            print(f"  spark: {ra}\n  duck : {rb}")
+            break
 print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
 sys.exit(1 if fails else 0)
