@@ -427,6 +427,31 @@ object SparkEntry {
             .as("cosine_sim"))
         .filter(col("cosine_sim") >= 0.35)
     }),
+    "q66_bucketed_near_pairs" -> ((s, dir) => {
+      // The SCALE-SAFE near-dup path (vs q40's bounded brute-force demo):
+      // hyperplane-LSH buckets → bucket-local self-join. Candidate pairs
+      // are O(sum of bucket² sizes), never all-pairs.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+          nPlanes = 4, dim = dim, threshold = 0.3)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 4))
+    }),
+    "q67_ivf_search" -> ((s, dir) => {
+      // IVF-Flat with deterministic centroids (first 16 vectors): assign
+      // every vector to its nearest centroid cell (codegen'd dot products
+      // + struct-least argmin), probe the 2 cells nearest the query, exact
+      // cosine top-k inside them. Persist `indexed` partitionBy("cell")
+      // for partition-pruned search at scale (IvfSpec asserts pruning).
+      val e = tbl(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val model = operators.Ivf.buildWithCentroids(e, "vec_id", "embedding", cents)
+      operators.Ivf.searchDetailed(model, "vec_id", "embedding", cents.head,
+          nProbe = 2, topK = 10)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 4))
+    }),
     "q41_label_stats" -> ((s, dir) =>
       tbl(s, dir, "embeddings")
         .groupBy(col("label"))
@@ -478,6 +503,11 @@ object SparkEntry {
 
     // ── array_distinct(flatten(collect_list)) (SURVEY A3) ───────────────
     "q46_flatten_distinct" -> ((s, dir) => {
+      // Single shuffle by design: partial collect_set dedups map-side, so
+      // the exchange already carries per-partition-distinct flags. A
+      // pre-`distinct()` on (orderkey, flag) was A/B-measured at sf0.1 and
+      // LOST (~1.1s vs ~1.0s): it shuffles the same deduped bytes but adds
+      // a second exchange ((okey,flag)-hash → okey-hash).
       val perOrder = tbl(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_returnflag")).as("flags"))
@@ -744,6 +774,91 @@ object SparkEntry {
        SELECT doc_id, list_transform(list_distinct($tokSql), x -> md5(x)) AS hs FROM documents)"""
   }
 
+  /** DuckDB replica of [[Similarity.hyperplanes]] + [[graft.functions.Vectors.hyperplaneBucket]]:
+    * the LCG plane values are pure integer math (`(p·2654435761 + d·40503
+    * + 12345) mod 2^32`, scaled to [-1,1)) and the dot is the same
+    * sequential fold as the DotProduct kernel, so bucket ids agree
+    * bit-for-bit across engines.
+    */
+  private def lshBucketCtes(nPlanes: Int): String =
+    s"""ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       planes AS (SELECT p, list_transform(
+           range(0, (SELECT len(embedding) FROM embeddings WHERE vec_id = 0)),
+           d -> ((p*2654435761 + d*40503 + 12345) % 4294967296) / 2147483648.0 - 1.0) AS plane
+         FROM range(0, $nPlanes) tp(p)),
+       bucketed AS (SELECT vec_id,
+           CAST(sum(CASE WHEN dp >= 0 THEN 1<<p ELSE 0 END) AS INTEGER) AS bucket
+         FROM (SELECT e.vec_id, pl.p,
+                 list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * pl.plane[i])) AS dp
+               FROM ev e CROSS JOIN planes pl) GROUP BY vec_id)"""
+
+  private val lshAnnSql: String =
+    s"""WITH ${lshBucketCtes(6)},
+       qb AS (SELECT bucket AS b0 FROM bucketed WHERE vec_id = 0),
+       probes AS (SELECT b0 AS pb FROM qb
+                  UNION SELECT xor(b0, 1<<p) FROM qb, range(0, 6) tp(p)),
+       q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+       scored AS (SELECT vec_id,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp/(na*nb) END AS cos
+         FROM (SELECT e.vec_id,
+                 list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i])) AS dp,
+                 sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i]))) AS na,
+                 sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i]))) AS nb
+               FROM ev e JOIN bucketed b USING (vec_id), q
+               WHERE b.bucket IN (SELECT pb FROM probes)))
+       SELECT vec_id, round(cos, 4) AS cosine_sim FROM scored
+       ORDER BY cos DESC, vec_id LIMIT 10"""
+
+  private val bucketedNearPairsSql: String =
+    s"""WITH ${lshBucketCtes(4)},
+       wn AS (SELECT e.vec_id, e.v, bk.bucket,
+           sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i]))) AS nrm
+         FROM ev e JOIN bucketed bk USING (vec_id)),
+       cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS dp,
+           a.nrm AS na, b.nrm AS nb
+         FROM wn a JOIN wn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       SELECT id_a, id_b, round(cos, 4) AS cosine_sim FROM (
+         SELECT id_a, id_b,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp/(na*nb) END AS cos FROM cand)
+       WHERE cos >= 0.3"""
+
+  /** DuckDB replica of the deterministic-centroid IVF (q67): centroids =
+    * first 16 vectors; cell = argmin of `-2·(v·c)+|c|²` (ties → lower
+    * cell); probe the 2 best cells for the query (= vector 0); exact
+    * cosine top-10 inside them.
+    */
+  private val ivfSearchSql: String =
+    """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       cents AS (SELECT vec_id AS cell, v AS c,
+           list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS nsq
+         FROM ev WHERE vec_id < 16),
+       scores AS (SELECT e.vec_id, ct.cell,
+           -2 * list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*ct.c[i])) + ct.nsq AS score
+         FROM ev e CROSS JOIN cents ct),
+       assign AS (SELECT vec_id, cell FROM (
+           SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS rn
+           FROM scores) WHERE rn = 1),
+       q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+       probed AS (SELECT cell FROM (
+           SELECT ct.cell, row_number() OVER (ORDER BY
+               -2 * list_sum(list_transform(range(1, len(ct.c)+1), i -> ct.c[i]*q.qv[i])) + ct.nsq,
+               ct.cell) AS rn
+           FROM cents ct, q) WHERE rn <= 2),
+       scored AS (SELECT vec_id, cell,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp/(na*nb) END AS cos
+         FROM (SELECT e.vec_id, a.cell,
+                 list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i])) AS dp,
+                 sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i]))) AS na,
+                 sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i]))) AS nb
+               FROM ev e JOIN assign a USING (vec_id), q
+               WHERE a.cell IN (SELECT cell FROM probed)))
+       SELECT vec_id, cell, round(cos, 4) AS cosine_sim FROM scored
+       ORDER BY cos DESC, vec_id LIMIT 10"""
+
   private val cosineSqlBody =
     """list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*qv[i]))
        / (sqrt(list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*ev[i])))
@@ -972,6 +1087,9 @@ object SparkEntry {
     "q41_label_stats" ->
       """SELECT label, count(*) AS n, min(len(embedding)) AS min_dim,
          max(len(embedding)) AS max_dim FROM embeddings GROUP BY label""",
+    "q39_lsh_ann" -> lshAnnSql,
+    "q66_bucketed_near_pairs" -> bucketedNearPairsSql,
+    "q67_ivf_search" -> ivfSearchSql,
     "q27_composite_join" ->
       """WITH pairs AS (SELECT l_partkey, l_suppkey,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty

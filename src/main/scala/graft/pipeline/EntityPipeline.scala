@@ -86,6 +86,18 @@ final class PipelineRunner(
     sources: Map[String, DataFrame],
     checkpointDir: Option[String] = None) {
 
+  private val persisted = mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Drop every cache this runner created. Call after the run's outputs
+    * have been materialized (written/collected) — persists are only needed
+    * while the lazy plans that reference them still have pending actions.
+    * Without this a long multi-target run accumulates executor storage.
+    */
+  def unpersistAll(): Unit = {
+    persisted.foreach(_.unpersist())
+    persisted.clear()
+  }
+
   /** How many entities consume each entity (for persist decisions). */
   private def consumerCounts(order: Seq[String]): Map[String, Int] =
     order
@@ -121,7 +133,11 @@ final class PipelineRunner(
               contracted.write.mode("overwrite").parquet(p)
               spark.read.parquet(p)
             case _ =>
-              if (fanOut.getOrElse(name, 0) > 1) contracted.persist() else contracted
+              if (fanOut.getOrElse(name, 0) > 1) {
+                val p = contracted.persist()
+                persisted += p
+                p
+              } else contracted
           }
       }
       built += name -> df

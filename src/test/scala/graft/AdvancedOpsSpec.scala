@@ -52,6 +52,32 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("deterministic IVF: persisted cell-partitioned index prunes partitions") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val cents = e.filter($"vec_id" < 8).orderBy($"vec_id").select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val model = Ivf.buildWithCentroids(e, "vec_id", "embedding", cents)
+    // Persist the index partitioned by cell — the layout searches rely on.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    model.indexed.write.partitionBy("cell").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val q = cents(3)
+    val probed = Ivf.probeCells(model, q, nProbe = 2)
+    assert(probed.head == 3L) // centroid 3 is its own nearest cell
+    val pruned = persisted.filter($"cell".isin(probed: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning, got:\n${plan.take(600)}")
+    // Persisted+pruned search returns the same rows as the in-memory model.
+    val fromDisk = pruned
+      .select($"vec_id", graft.functions.Vectors.cosineToConst($"embedding", q).as("cosine_sim"))
+      .orderBy($"cosine_sim".desc, $"vec_id").limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    val fromModel = Ivf.searchDetailed(model, "vec_id", "embedding", q, nProbe = 2, topK = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(fromDisk == fromModel && fromModel.head == 3L)
+  }
+
   test("IVF search finds the exact neighbor for an indexed vector") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val model = Ivf.build(e, "vec_id", "embedding", nCells = 8)

@@ -15,8 +15,10 @@ class QueriesSpec extends SparkSpec {
     // approximate ones
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // q39: approximate ANN; q59: engine-specific sketch values — both get
-    // the driver's weaker rows-only check.
-    assert(noOracle == Set("q39_lsh_ann", "q59_sketches"))
+    // q59 only: HLL/quantile sketch values are engine-specific, so it gets
+    // the driver's weaker rows-only check. Everything else (including the
+    // LSH/IVF ANN queries — deterministic hyperplanes/centroids) is
+    // exactly oracled.
+    assert(noOracle == Set("q59_sketches"))
   }
 }
