@@ -667,6 +667,18 @@ object SparkEntry {
       s.sql("SELECT doc_id, graft_simhash16(text) AS simhash FROM documents")
     }),
 
+    // ── Distributed transitive closure (graph.Closure, semi-naive) ──────
+    "q68_ancestor_closure" -> ((s, dir) => {
+      // Synthetic 11-deep binary tree over part ids (child k → parent
+      // k div 2); the closure operator itself is the ontology/lineage
+      // ancestor-closure path for fact-sized graphs.
+      val edges = tbl(s, dir, "part")
+        .filter(col("p_partkey") > 1)
+        .select(col("p_partkey").as("child"),
+          expr("p_partkey div 2").as("parent"))
+      graft.graph.Closure.transitiveClosure(edges, "child", "parent")
+    }),
+
     "q54_edges" -> ((s, dir) => {
       // Dedup per branch, not after the union: 'placed' is already unique
       // (one row per order) and cross-branch duplicates are impossible
@@ -1179,6 +1191,15 @@ object SparkEntry {
          SELECT 'placed' AS label, o_custkey AS src, o_orderkey AS dst FROM orders
          UNION ALL
          SELECT 'contains', l_orderkey, l_partkey FROM lineitem)""",
+    "q68_ancestor_closure" ->
+      """WITH RECURSIVE e AS (
+           SELECT p_partkey AS child, p_partkey // 2 AS parent
+           FROM part WHERE p_partkey > 1),
+         anc AS (
+           SELECT child, parent FROM e
+           UNION
+           SELECT a.child, e.parent FROM anc a JOIN e ON a.parent = e.child)
+         SELECT child, parent FROM anc""",
     "q57_asof_join" ->
       """WITH views AS (SELECT user_id, ts, max(event_id) AS view_id
            FROM events WHERE event_type = 'view' GROUP BY 1, 2),

@@ -80,6 +80,65 @@ object PdcmFull {
     w(s"$root/provB/patient.tsv",
       "patient_id\tsex\thistory\tethnicity\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
         "P9\tfemale\t\tAsian\t33\tColon Cancer\n")
+    // Shared ontology inputs: a miniature NCIt with diagnosis
+    // (C3262→C9305→C4878→C2926), treatment (C1909→{C376,C1411}) and
+    // regimen (C12218→C11197) branches, ontolia regimen links, and the
+    // curated 4-key diagnosis mapping rules.
+    w(s"$root/ncit.obo",
+      """[Term]
+        |id: NCIT:C3262
+        |name: Neoplasm
+        |
+        |[Term]
+        |id: NCIT:C9305
+        |name: Malignant Neoplasm
+        |is_a: NCIT:C3262 ! Neoplasm
+        |
+        |[Term]
+        |id: NCIT:C4878
+        |name: Malignant  Lung   Neoplasm
+        |is_a: NCIT:C9305 ! Malignant Neoplasm
+        |
+        |[Term]
+        |id: NCIT:C2926
+        |name: Lung Adenocarcinoma
+        |is_a: NCIT:C4878 ! Malignant Lung Neoplasm
+        |
+        |[Term]
+        |id: NCIT:C1909
+        |name: Pharmacologic Substance
+        |
+        |[Term]
+        |id: NCIT:C376
+        |name: Cisplatin
+        |is_a: NCIT:C1909 ! Pharmacologic Substance
+        |
+        |[Term]
+        |id: NCIT:C1411
+        |name: Paclitaxel
+        |is_a: NCIT:C1909 ! Pharmacologic Substance
+        |
+        |[Term]
+        |id: NCIT:C12218
+        |name: Therapeutic Procedure Root
+        |
+        |[Term]
+        |id: NCIT:C11197
+        |name: Cisplatin/Paclitaxel Regimen
+        |is_a: NCIT:C12218 ! Therapeutic Procedure Root
+        |""".stripMargin)
+    w(s"$root/ontolia.txt",
+      "NCIT:C11197=NCIT:C376, NCIT:C1411\n")
+    w(s"$root/diagnosis_mappings.json",
+      """{"mappings": [
+        |  {"data_source": "provA", "diagnosis": "Lung Adenocarcinoma",
+        |   "primary_site": "lung", "tumour_type": "primary",
+        |   "mapped_term_id": "NCIT:C2926", "decision": "curated"},
+        |  {"data_source": "provA", "diagnosis": "Breast Carcinoma",
+        |   "primary_site": "breast", "tumour_type": "metastatic",
+        |   "mapped_term_id": "NCIT:C9305", "decision": "curated"}
+        |]}
+        |""".stripMargin)
     root
   }
 
@@ -99,7 +158,9 @@ object PdcmFull {
       PdcmEntities.sources(spark, work))
       .run(Seq("search_index", "search_facet", "treatment_protocol",
         "quality_assurance", "molecular_characterization", "mutation_data",
-        "expression_data", "cna_data", "biomarker_data", "nodes", "edges"))
+        "expression_data", "cna_data", "biomarker_data", "nodes", "edges",
+        "ontology_term_diagnosis", "ontology_term_treatment",
+        "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment"))
     out.foreach { case (name, df) =>
       PostgresTsv.write(df, s"$work/out/$name")
     }

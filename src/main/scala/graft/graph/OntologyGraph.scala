@@ -42,6 +42,23 @@ final class OntologyGraph private (
   def subgraphTerms(topLevelTerms: Seq[String]): Set[String] =
     topLevelTerms.flatMap(descendants).toSet
 
+  /** Induced subgraph on the descendants of `roots` (the roots themselves
+    * excluded — mirrors `nx.descendants` + `nx.subgraph` in the
+    * reference's `extract_subgraph_from_graph`, `graph_builder.py:47-49`,
+    * composed over the branch's top-level terms,
+    * `extract_graph_by_ontology_id`, `graph_builder.py:103-124`).
+    */
+  def branch(roots: Seq[String]): OntologyGraph = {
+    val keep = subgraphTerms(roots)
+    new OntologyGraph(
+      names.filter { case (k, _) => keep(k) },
+      childrenOf.collect { case (k, v) if keep(k) => k -> v.filter(keep) },
+      parentsOf.collect { case (k, v) if keep(k) => k -> v.filter(keep) })
+  }
+
+  /** Term ids in this graph (sorted for determinism). */
+  def termIds: Seq[String] = names.keys.toSeq.sorted
+
   /** term_id → pipe-joined ancestor NAMES (reference
     * `create_term_ancestors`, `graph_builder.py:151-163`).
     */

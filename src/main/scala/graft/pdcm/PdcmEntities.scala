@@ -2,10 +2,12 @@ package graft.pdcm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.{Cleaning, Ids}
+import graft.graph.OntologyGraph
 import graft.operators.{Harmonization, Relational}
 import graft.pipeline.{EntityDef, EntityRegistry}
-import graft.sources.Tsv
+import graft.sources.{MappingRules, Obo, Ontolia, Tsv}
 
 /** The PDCM entity DAG: the reference's central entity transforms
   * re-expressed as registry entities over its raw provider modules
@@ -60,6 +62,42 @@ object PdcmEntities {
     "raw_markers" -> Seq("approved_symbol", "previous_symbols", "alias_symbols"))
 
   private val prov = Tsv.ProvenanceCol
+
+  /** NCIt branch roots (reference `ONTOLOGIES`,
+    * `etl/jobs/util/graph_builder.py:7-30`).
+    */
+  val DiagnosisRoots: Seq[String] = Seq("NCIT:C3262", "NCIT:C9305")
+  val TreatmentRoots: Seq[String] = Seq(
+    "NCIT:C1932", "NCIT:C1505", "NCIT:C1913", "NCIT:C45678", "NCIT:C1909",
+    "NCIT:C1899", "NCIT:C15431", "NCIT:C49236", "NCIT:C15206", "NCIT:C26548")
+  val RegimenRoots: Seq[String] = Seq("NCIT:C12218")
+
+  /** Ontology-branch entity (reference
+    * `ontology_term_{diagnosis,treatment,regimen}_transformer_job.py`):
+    * collect the (small, ~100k-row) OBO term table to the driver, extract
+    * the branch subgraph, and emit terms + pipe-joined ancestor names.
+    * The derived table broadcast-joins against fact-sized data; the
+    * driver graph mirrors the reference's networkx usage (§2.10) — for
+    * fact-sized graphs use [[graft.graph.Closure]] instead.
+    */
+  private def ontologyBranch(entityName: String, roots: Seq[String]): EntityDef =
+    EntityDef(entityName, Seq("raw_obo"), (s, in) => {
+      val terms = in("raw_obo")
+        .select("term_id", "term_name", "term_url", "is_a").collect()
+        .map(r => Obo.OboTerm(r.getString(0),
+          // remove_all_trailing_whitespaces (reference cleaner.py:38-39),
+          // applied before graph build so ancestor name lists are clean too
+          r.getString(1).replaceAll("\\s+", " ").trim,
+          r.getString(2), r.getSeq[String](3)))
+      val g = OntologyGraph.fromTerms(terms.toIndexedSeq).branch(roots)
+      import s.implicits._
+      val termsDf = g.termIds
+        .map(id => (id, g.names(id)))
+        .toDF("term_id", "term_name")
+        .withColumn("id", Ids.hashId(col("term_id")))
+      termsDf.join(g.termAncestorsDf(s), Seq("term_id"), "left")
+    },
+    outputColumns = Seq("id", "term_id", "term_name", "ancestors"))
 
   /** Molecular-data table template (mutation/expression/cna/biomarker all
     * share it — reference `initial_*_transformer_job.py` +
@@ -256,6 +294,50 @@ object PdcmEntities {
         Scoring.FacetDef("provider", prov, isBoolean = false, 2))),
       outputColumns = Seq("facet_name", "facet_column", "options",
         "is_boolean", "facet_index")))
+    .register(ontologyBranch("ontology_term_diagnosis", DiagnosisRoots))
+    .register(ontologyBranch("ontology_term_treatment", TreatmentRoots))
+    .register(ontologyBranch("ontology_term_regimen", RegimenRoots))
+    .register(EntityDef("sample_to_ontology",
+      Seq("raw_sample", "raw_diagnosis_mappings", "ontology_term_diagnosis"),
+      (_, in) => {
+        // 4-key curated-mapping join (J3 +
+        // sample_to_ontology_transformer_job.py:120-139): sample raw
+        // strings → mapping rule → ontology term FK. Rules and the
+        // ontology dim broadcast; the sample side never shuffles.
+        val samples = in("raw_sample")
+          .dropDuplicates("sample_id", prov)
+          .withColumnRenamed(prov, "data_source")
+        val onto = in("ontology_term_diagnosis")
+          .select(col("id").as("ontology_term_id"),
+            col("term_id").as("mapped_term_id"), col("term_name"))
+        val rules = in("raw_diagnosis_mappings")
+          .join(broadcast(onto), Seq("mapped_term_id"), "left")
+        MappingRules.mapSamples(samples, rules)
+          .select(col("sample_id"), col("data_source").as(prov),
+            col("mapped_term_id"), col("ontology_term_id"), col("term_name"))
+      },
+      outputColumns = Seq("sample_id", prov, "mapped_term_id",
+        "ontology_term_id", "term_name")))
+    .register(EntityDef("regimen_to_treatment",
+      Seq("raw_ontolia", "ontology_term_regimen", "ontology_term_treatment"),
+      (_, in) => {
+        // Ontolia regimen→components links resolved to ontology FKs
+        // (reference regimen_to_treatment_transformer_job.py:88-95:
+        // split + explode the comma-joined treatment list).
+        val pairs = in("raw_ontolia").select(
+          col("regimen").as("regimen_term_id"),
+          explode(split(col("treatments"), ",")).as("treatment_term_id"))
+        val reg = in("ontology_term_regimen")
+          .select(col("id").as("regimen_ontology_id"),
+            col("term_id").as("regimen_term_id"))
+        val tr = in("ontology_term_treatment")
+          .select(col("id").as("treatment_ontology_id"),
+            col("term_id").as("treatment_term_id"))
+        pairs.join(broadcast(reg), Seq("regimen_term_id"), "left")
+          .join(broadcast(tr), Seq("treatment_term_id"), "left")
+      },
+      outputColumns = Seq("regimen_term_id", "treatment_term_id",
+        "regimen_ontology_id", "treatment_ontology_id")))
     .register(EntityDef("nodes", Seq("patient", "patient_sample", "model_entity"),
       (_, in) => {
         val pn = in("patient").select(lit("patient").as("node_type"),
@@ -309,6 +391,9 @@ object PdcmEntities {
 
   /** Bind raw-module sources from a provider directory tree
     * (`<root>/<provider>/<module>.tsv`), with empty-input fallback.
+    * Shared ontology inputs (`ncit.obo`, `ontolia.txt`,
+    * `diagnosis_mappings.json`) live at the root; a missing file degrades
+    * to a typed empty frame like every other module (S5).
     */
   def sources(spark: SparkSession, root: String): Map[String, DataFrame] =
     rawSchemas.map { case (name, cols) =>
@@ -320,5 +405,33 @@ object PdcmEntities {
         case m                   => Seq(s"$root/*/$m.tsv")
       }
       name -> Tsv.read(spark, paths, cols, commentField = Some(cols.head))
-    }
+    } ++ ontologySources(spark, root)
+
+  private def ontologySources(
+      spark: SparkSession, root: String): Map[String, DataFrame] = {
+    def ifExists(path: String, orElse: => DataFrame)(
+        read: String => DataFrame): DataFrame =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) read(path)
+      else orElse
+    def empty(schema: StructType): DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val oboSchema = StructType(Seq(
+      StructField("term_id", StringType), StructField("term_name", StringType),
+      StructField("term_url", StringType),
+      StructField("is_a", ArrayType(StringType))))
+    val ontoliaSchema = StructType(Seq(
+      StructField("regimen", StringType), StructField("treatments", StringType)))
+    val mappingSchema = StructType(Seq(
+      StructField("data_source", StringType), StructField("diagnosis", StringType),
+      StructField("primary_site", StringType), StructField("tumour_type", StringType),
+      StructField("mapped_term_id", StringType)))
+    Map(
+      "raw_obo" -> ifExists(s"$root/ncit.obo", empty(oboSchema))(
+        Obo.read(spark, _)),
+      "raw_ontolia" -> ifExists(s"$root/ontolia.txt", empty(ontoliaSchema))(
+        Ontolia.read(spark, _)),
+      "raw_diagnosis_mappings" -> ifExists(
+        s"$root/diagnosis_mappings.json", empty(mappingSchema))(
+        MappingRules.readDiagnosisRules(spark, _)))
+  }
 }

@@ -16,7 +16,9 @@ class PdcmEntitiesSpec extends SparkSpec {
     new PipelineRunner(spark, PdcmEntities.registry(),
       PdcmEntities.sources(spark, root))
       .run(Seq("search_index", "search_facet", "treatment_protocol",
-        "quality_assurance", "mutation_data", "nodes", "edges"))
+        "quality_assurance", "mutation_data", "nodes", "edges",
+        "ontology_term_diagnosis", "ontology_term_treatment",
+        "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment"))
   }
 
   test("dims and patient entity: clean, dedup, FK-resolved") {
@@ -100,6 +102,42 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(bySymbol("AMBIG") == (("GENE2", "alias")))
     assert(bySymbol("TOTALLYUNKNOWN") == ((null, null)))
     assert(md.filter($"molchar_id".isNotNull).count() == 4) // S1/PL1 exists
+  }
+
+  test("ontology branches: roots excluded, ancestors within branch, names squeezed") {
+    val diag = out("ontology_term_diagnosis")
+    val byId = diag.select("term_id", "term_name", "ancestors")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // Branch = descendants of the roots; C3262 itself is excluded but
+    // C9305 stays (it is a descendant of C3262).
+    assert(!byId.contains("NCIT:C3262"))
+    assert(byId.keySet == Set("NCIT:C9305", "NCIT:C4878", "NCIT:C2926"))
+    // Whitespace squeeze on the doubled-space fixture name.
+    assert(byId("NCIT:C4878")._1 == "Malignant Lung Neoplasm")
+    // Ancestors restricted to the branch (C3262 not listed), pipe-joined.
+    assert(byId("NCIT:C2926")._2 == "Malignant Lung Neoplasm|Malignant Neoplasm")
+    assert(byId("NCIT:C9305")._2 == "")
+    assert(out("ontology_term_treatment").count() == 2) // C376, C1411
+    assert(out("ontology_term_regimen").count() == 1)   // C11197
+  }
+
+  test("sample_to_ontology: 4-key mapping join resolves term FKs") {
+    val so = out("sample_to_ontology").orderBy("sample_id")
+    val rows = so.select("sample_id", "mapped_term_id", "term_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      ("S1", "NCIT:C2926", "Lung Adenocarcinoma"),
+      ("S2", "NCIT:C9305", "Malignant Neoplasm")))
+    assert(so.filter($"ontology_term_id".isNull).count() == 0)
+  }
+
+  test("regimen_to_treatment: ontolia links resolve both ontology FKs") {
+    val rt = out("regimen_to_treatment")
+    assert(rt.count() == 2)
+    assert(rt.filter($"regimen_ontology_id".isNull ||
+      $"treatment_ontology_id".isNull).count() == 0)
+    assert(rt.select("treatment_term_id").as[String].collect().sorted.toSeq ==
+      Seq("NCIT:C1411", "NCIT:C376"))
   }
 
   test("lineage graph: nodes and edges") {

@@ -81,6 +81,29 @@ class SourcesSpec extends SparkSpec {
     assert(anc("C3") == "Malignant Lung Neoplasm|Root Neoplasm")
   }
 
+  test("Closure.transitiveClosure matches driver BFS and survives cycles") {
+    import graft.graph.Closure
+    // Diamond + chain: 5→{3,4}, 3→2, 4→2, 2→1.
+    val edges = Seq((5L, 3L), (5L, 4L), (3L, 2L), (4L, 2L), (2L, 1L))
+      .toDF("child", "parent")
+    val closure = Closure.transitiveClosure(edges, "child", "parent")
+      .as[(Long, Long)].collect().toSet
+    val g = OntologyGraph.fromTerms(Seq(
+      Obo.OboTerm("1", "a", "", Nil), Obo.OboTerm("2", "b", "", Seq("1")),
+      Obo.OboTerm("3", "c", "", Seq("2")), Obo.OboTerm("4", "d", "", Seq("2")),
+      Obo.OboTerm("5", "e", "", Seq("3", "4"))))
+    val expected = for {
+      n <- Seq("1", "2", "3", "4", "5")
+      a <- g.ancestors(n)
+    } yield (n.toLong, a.toLong)
+    assert(closure == expected.toSet)
+    // A 3-cycle converges to the full 3x3 pair set instead of looping.
+    val cyc = Closure.transitiveClosure(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent"),
+      "child", "parent")
+    assert(cyc.count() == 9)
+  }
+
   test("MappingRules: multiline JSON read + 4-key case-insensitive mapping") {
     import graft.sources.MappingRules
     val dir = tmpDir()
