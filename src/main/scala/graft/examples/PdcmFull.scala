@@ -36,7 +36,7 @@ object PdcmFull {
         "M2\tNOD\tmammary\torthotopic\ttissue\t1\t\n")
     w(s"$root/provA/sharing.tsv",
       "model_id\taccessibility\temail\tname\tform_url\tdatabase_url\tlicense\n" +
-        "M1\tacademia\ta@b.c\tLab\t\t\tCC0\n")
+        "M1\tacademia\ta@b.c\tLab\t\thttps://depmap.org/portal/cell_line/ACH-000123\tCC0\n")
     w(s"$root/provA/model_validation.tsv",
       "model_id\tvalidation_technique\tdescription\tpassages_tested\n" +
         "M1\tIHC\tdesc\t1,2\nM1\tSTR\tdesc2\t3\n")
@@ -49,7 +49,8 @@ object PdcmFull {
         "P1\tdoxorubicin\t1mg\tCR\tM1\n")
     w(s"$root/provA/molchar_sample.tsv",
       "model_id\tsample_id\tsample_origin\tpassage\tplatform_id\n" +
-        "M1\tS1\tpatient\t0\tPL1\nM1\tS1\tpatient\t0\tPL2\n")
+        "M1\tS1\tpatient\t0\tPL1\nM1\tS1\tpatient\t0\tPL2\n" +
+        "M1\tS1X\txenograft\t2\tPL1\nM1\tS1C\tcell\t0\tPL2\n")
     w(s"$root/provA/molchar_platform.tsv",
       "platform_id\tmolecular_characterisation_type\tinstrument_model\n" +
         "PL1\tmutation\tIllumina\nPL2\texpression\tIllumina\n")
@@ -109,9 +110,14 @@ object PdcmFull {
         |name: Pharmacologic Substance
         |
         |[Term]
+        |id: NCIT:C483
+        |name: Chemotherapeutic Agent
+        |is_a: NCIT:C1909 ! Pharmacologic Substance
+        |
+        |[Term]
         |id: NCIT:C376
         |name: Cisplatin
-        |is_a: NCIT:C1909 ! Pharmacologic Substance
+        |is_a: NCIT:C483 ! Chemotherapeutic Agent
         |
         |[Term]
         |id: NCIT:C1411
@@ -129,6 +135,10 @@ object PdcmFull {
         |""".stripMargin)
     w(s"$root/ontolia.txt",
       "NCIT:C11197=NCIT:C376, NCIT:C1411\n")
+    // Downloaded external-resource CSV (S12): variant entries keyed
+    // "<symbol> <position>".
+    w(s"$root/externalDBs/cosmic.csv",
+      "entry_id,entry\nCOSM1,BRCA1 43044295\n")
     w(s"$root/diagnosis_mappings.json",
       """{"mappings": [
         |  {"data_source": "provA", "diagnosis": "Lung Adenocarcinoma",
@@ -160,7 +170,9 @@ object PdcmFull {
         "quality_assurance", "molecular_characterization", "mutation_data",
         "expression_data", "cna_data", "biomarker_data", "nodes", "edges",
         "ontology_term_diagnosis", "ontology_term_treatment",
-        "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment"))
+        "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
+        "treatment_harmonised", "treatment_by_model", "model_links",
+        "molecular_data_links"))
     out.foreach { case (name, df) =>
       PostgresTsv.write(df, s"$work/out/$name")
     }

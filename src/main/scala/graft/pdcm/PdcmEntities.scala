@@ -7,7 +7,7 @@ import graft.functions.{Cleaning, Ids}
 import graft.graph.OntologyGraph
 import graft.operators.{Harmonization, Relational}
 import graft.pipeline.{EntityDef, EntityRegistry}
-import graft.sources.{MappingRules, Obo, Ontolia, Tsv}
+import graft.sources.{ExternalResources, MappingRules, Obo, Ontolia, Tsv}
 
 /** The PDCM entity DAG: the reference's central entity transforms
   * re-expressed as registry entities over its raw provider modules
@@ -71,6 +71,33 @@ object PdcmEntities {
     "NCIT:C1932", "NCIT:C1505", "NCIT:C1913", "NCIT:C45678", "NCIT:C1909",
     "NCIT:C1899", "NCIT:C15431", "NCIT:C49236", "NCIT:C15206", "NCIT:C26548")
   val RegimenRoots: Seq[String] = Seq("NCIT:C12218")
+
+  /** Default external-resource registry (reference S11,
+    * `model_links_resources.yaml` via
+    * `external_resources_reader.py:32-59`) and download configuration
+    * (S12, `:62-114`).
+    */
+  val DefaultResources: Seq[ExternalResources.ResourceDef] = Seq(
+    ExternalResources.ResourceDef(1, "depmap", "DepMap", "Model", "inline",
+      "https://depmap.org/portal/cell_line/TOKEN"),
+    ExternalResources.ResourceDef(2, "cellosaurus", "Cellosaurus", "Model",
+      "inline", "https://www.cellosaurus.org/TOKEN"),
+    ExternalResources.ResourceDef(3, "cosmic", "COSMIC", "Variant", "download",
+      "https://cancer.sanger.ac.uk/cosmic/search?q=ENTRY_ID"))
+
+  val DefaultDownloadConfs: Seq[ExternalResources.DownloadConf] =
+    Seq(ExternalResources.DownloadConf(3, "cosmic.csv"))
+
+  /** Treatment-type keyword map (reference `KEYWORDS_BY_TYPE`,
+    * `treatment_type_helper_transformer_job.py:7-30`).
+    */
+  val TreatmentTypeKeywords: Seq[(String, Seq[String])] = Seq(
+    "Hormone Therapy" -> Seq("hormone therapy"),
+    "Immunotherapy" -> Seq("cytokine", "immunotherapeutic", "immunomodulatory"),
+    "Targeted Therapy" -> Seq("targeted therapy", "targeting"),
+    "Chemotherapy" -> Seq("chemotherapy", "chemotherapeutic"),
+    "Surgery" -> Seq("surgery", "mammoplasty", "ectomy", "biopsy", "plasty"),
+    "Radiation Therapy" -> Seq("radiation therapy"))
 
   /** Ontology-branch entity (reference
     * `ontology_term_{diagnosis,treatment,regimen}_transformer_job.py`):
@@ -205,33 +232,94 @@ object PdcmEntities {
         // left-anti branch (J4).
         val dd = in("raw_drug_dosing").select(
           col("model_id").as("target_id"), lit("model").as("target_kind"),
-          col("treatment_name"), col("treatment_dose"),
+          col("model_id"), col("treatment_name"), col("treatment_dose"),
           col("treatment_response"), col(prov))
         val pt = in("raw_patient_treatment").select(
           col("patient_id").as("target_id"), lit("patient").as("target_kind"),
-          col("treatment_name"), col("treatment_dose"),
+          col("model_id"), col("treatment_name"), col("treatment_dose"),
           col("treatment_response"), col(prov))
+        // protocol_id hashes the UNSPLIT combination row: components of
+        // one "A + B" protocol share it (the aggregator's regimen
+        // discovery groups components back by protocol).
+        val combined = dd.union(pt).withColumn("protocol_id",
+          Ids.hashId(col("target_id"), col("target_kind"),
+            col("treatment_name"), col("treatment_dose"), col(prov)))
         val (matched, _) = Relational.posexplodeMatched(
-          dd.union(pt), "treatment_name", "treatment_dose")
+          combined, "treatment_name", "treatment_dose")
         matched.withColumn("id",
           Ids.hashId(col("target_id"), col("target_kind"), col("treatment_name"),
             col("treatment_dose"), col(prov)))
       },
-      outputColumns = Seq("id", "target_id", "target_kind", "treatment_name",
-        "treatment_dose", "treatment_response", prov)))
+      outputColumns = Seq("id", "protocol_id", "target_id", "target_kind",
+        "model_id", "treatment_name", "treatment_dose", "treatment_response",
+        prov)))
+    .register(EntityDef("xenograft_sample", Seq("raw_molchar_sample"),
+      (_, in) => in("raw_molchar_sample")
+        .filter(lower(Cleaning.trimAll(col("sample_origin"))) === "xenograft")
+        .select(col("sample_id"), col("model_id"), col("passage"),
+          col("platform_id"), col(prov))
+        .dropDuplicates()
+        .withColumn("id", Ids.hashId(col("sample_id"), col("platform_id"), col(prov))),
+      outputColumns = Seq("id", "sample_id", "model_id", "passage",
+        "platform_id", prov)))
+    .register(EntityDef("cell_sample", Seq("raw_molchar_sample"),
+      (_, in) => in("raw_molchar_sample")
+        .filter(lower(Cleaning.trimAll(col("sample_origin"))) === "cell")
+        .select(col("sample_id"), col("model_id"), col("passage"),
+          col("platform_id"), col(prov))
+        .dropDuplicates()
+        .withColumn("id", Ids.hashId(col("sample_id"), col("platform_id"), col(prov))),
+      outputColumns = Seq("id", "sample_id", "model_id", "passage",
+        "platform_id", prov)))
     .register(EntityDef("molecular_characterization",
-      Seq("raw_molchar_sample", "raw_molchar_platform"),
+      Seq("raw_molchar_sample", "raw_molchar_platform", "patient_sample",
+        "xenograft_sample", "cell_sample"),
       (_, in) => {
+        // Three-origin union with PER-ORIGIN sample-FK resolution
+        // (reference molecular_characterization_transformer_job.py:50-85,
+        // 115-170): patient joins on (sample_id, provider); xenograft and
+        // cell additionally key on platform_id (J3 composite keys). The
+        // branches union positionally (U1).
         val pl = in("raw_molchar_platform").dropDuplicates("platform_id", prov)
           .select(col("platform_id"), col(prov),
             col("molecular_characterisation_type"), col("instrument_model"))
-        in("raw_molchar_sample")
+        val base = in("raw_molchar_sample")
+          .withColumn("sample_origin", lower(Cleaning.trimAll(col("sample_origin"))))
+          .dropDuplicates()
           .join(pl, Seq("platform_id", prov), "left")
-          .withColumn("id",
-            Ids.hashId(col("sample_id"), col("platform_id"), col(prov)))
+        val nullFk = lit(null).cast("long")
+        val ps = in("patient_sample")
+          .select(col("id").as("patient_sample_id"), col("sample_id"), col(prov))
+        val patientB = base.filter(col("sample_origin") === "patient")
+          .join(ps, Seq("sample_id", prov), "left")
+          .withColumn("xenograft_sample_id", nullFk)
+          .withColumn("cell_sample_id", nullFk)
+        val xs = in("xenograft_sample").select(
+          col("id").as("xenograft_sample_id"), col("sample_id"),
+          col("platform_id"), col(prov))
+        val xenoB = base.filter(col("sample_origin") === "xenograft")
+          .join(xs, Seq("sample_id", "platform_id", prov), "left")
+          .withColumn("patient_sample_id", nullFk)
+          .withColumn("cell_sample_id", nullFk)
+        val cs = in("cell_sample").select(
+          col("id").as("cell_sample_id"), col("sample_id"),
+          col("platform_id"), col(prov))
+        val cellB = base.filter(col("sample_origin") === "cell")
+          .join(cs, Seq("sample_id", "platform_id", prov), "left")
+          .withColumn("patient_sample_id", nullFk)
+          .withColumn("xenograft_sample_id", nullFk)
+        val outCols = Seq("id", "sample_id", "sample_origin", "passage",
+          "platform_id", "molecular_characterisation_type",
+          "patient_sample_id", "xenograft_sample_id", "cell_sample_id", prov)
+        Seq(patientB, xenoB, cellB)
+          .map(_.withColumn("id", Ids.hashId(col("sample_id"),
+            col("platform_id"), col("sample_origin"), col(prov))))
+          .map(_.select(outCols.map(col): _*))
+          .reduce(_.union(_))
       },
       outputColumns = Seq("id", "sample_id", "sample_origin", "passage",
-        "platform_id", "molecular_characterisation_type", prov)))
+        "platform_id", "molecular_characterisation_type",
+        "patient_sample_id", "xenograft_sample_id", "cell_sample_id", prov)))
     .register(EntityDef("gene_marker", Seq("raw_markers"),
       (_, in) => {
         // Approved symbols + exploded previous/alias lists, one row per
@@ -338,6 +426,139 @@ object PdcmEntities {
       },
       outputColumns = Seq("regimen_term_id", "treatment_term_id",
         "regimen_ontology_id", "treatment_ontology_id")))
+    .register(EntityDef("treatment_harmonised",
+      Seq("treatment_protocol", "ontology_term_treatment", "ontology_term_regimen"),
+      (_, in) => {
+        // Name → ontology-term harmonization per protocol component
+        // (reference get_treatments_by_protocol,
+        // treatment_data_aggregator_by_model.py:160-183): case-insensitive
+        // match against the treatment and regimen branches; types
+        // classified from ancestor names + own name (calculate_type,
+        // treatment_type_helper_transformer_job.py:33-87).
+        val tp = in("treatment_protocol").select(
+          col("protocol_id").as("treatment_protocol_id"),
+          lower(Cleaning.trimAll(col("treatment_name"))).as("name_key"))
+        def side(onto: DataFrame, cls: String) = tp.join(
+          broadcast(onto.select(
+            lower(col("term_name")).as("name_key"), col("term_name"),
+            Links.classifyTreatmentTypes(
+              array_append(
+                split(coalesce(col("ancestors"), lit("")), "\\|"),
+                col("term_name")),
+              TreatmentTypeKeywords).as("types"))),
+          Seq("name_key"), "inner")
+          .select(col("treatment_protocol_id"), col("term_name"), col("types"),
+            lit(cls).as("class"))
+        side(in("ontology_term_treatment"), "treatment")
+          .union(side(in("ontology_term_regimen"), "regimen"))
+      },
+      outputColumns = Seq("treatment_protocol_id", "term_name", "types", "class")))
+    .register(EntityDef("treatment_by_model",
+      Seq("treatment_protocol", "treatment_harmonised", "regimen_to_treatment",
+        "ontology_term_treatment", "ontology_term_regimen"),
+      (_, in) => {
+        // The aggregator (treatment_data_aggregator_by_model.py:103-278):
+        // direct terms ∪ regimen→component expansion ∪ DISCOVERED regimens
+        // (protocol's sorted treatment list == regimen's sorted component
+        // list — the J7 array-equality join), then per-(model, target)
+        // array aggregation and a model⟗patient outer join (J5).
+        val r2t = in("regimen_to_treatment")
+          .join(broadcast(in("ontology_term_regimen")
+            .select(col("term_id").as("regimen_term_id"),
+              col("term_name").as("regimen"))), Seq("regimen_term_id"))
+          .join(broadcast(in("ontology_term_treatment")
+            .select(col("term_id").as("treatment_term_id"),
+              col("term_name").as("treatment"))), Seq("treatment_term_id"))
+          .select("regimen", "treatment")
+        val direct = in("treatment_harmonised")
+        val discoveredTreatments = direct.filter(col("class") === "regimen")
+          .join(r2t, direct("term_name") === r2t("regimen"))
+          .select(col("treatment_protocol_id"), col("treatment").as("term_name"),
+            col("types"), lit(null).cast("string").as("class"))
+        val byProtocol = direct.filter(col("class") === "treatment")
+          .groupBy(col("treatment_protocol_id"))
+          .agg(sort_array(collect_list(col("term_name"))).as("treatment_list"),
+            array_distinct(flatten(collect_list(col("types")))).as("types"))
+        val byRegimen = r2t.groupBy(col("regimen"))
+          .agg(collect_list(col("treatment")).as("component_list"))
+        val discoveredRegimens = Relational
+          .sortedArrayJoin(byProtocol, "treatment_list", byRegimen, "component_list")
+          .select(col("treatment_protocol_id"), col("regimen").as("term_name"),
+            col("types"), lit(null).cast("string").as("class"))
+        val all = direct
+          .select("treatment_protocol_id", "term_name", "types", "class")
+          .union(discoveredTreatments).union(discoveredRegimens)
+        val proto = in("treatment_protocol").select(
+          col("protocol_id").as("treatment_protocol_id"), col("model_id"),
+          col("target_kind"), col("treatment_response")).dropDuplicates()
+        val grouped = proto.join(all, Seq("treatment_protocol_id"), "left")
+          .drop("treatment_protocol_id").dropDuplicates()
+          .withColumn("term_name", lower(col("term_name")))
+          .groupBy(col("model_id"), col("target_kind"))
+          .agg(
+            sort_array(array_distinct(collect_list(col("term_name"))))
+              .as("treatments"),
+            sort_array(array_distinct(flatten(collect_list(col("types")))))
+              .as("treatment_types"),
+            sort_array(array_distinct(collect_list(col("treatment_response"))))
+              .as("responses"))
+        val model = grouped.filter(col("target_kind") === "model").select(
+          col("model_id"), col("treatments").as("model_treatments"),
+          col("responses").as("model_treatments_responses"),
+          col("treatment_types").as("model_types"))
+        val patient = grouped.filter(col("target_kind") === "patient").select(
+          col("model_id"), col("treatments").as("patient_treatments"),
+          col("responses").as("patient_treatments_responses"),
+          col("treatment_types").as("patient_types"))
+        model.join(patient, Seq("model_id"), "outer")
+          .withColumn("treatment_types", sort_array(array_distinct(concat(
+            coalesce(col("model_types"), array().cast("array<string>")),
+            coalesce(col("patient_types"), array().cast("array<string>"))))))
+          .drop("model_types", "patient_types")
+      },
+      outputColumns = Seq("model_id", "model_treatments",
+        "model_treatments_responses", "patient_treatments",
+        "patient_treatments_responses", "treatment_types")))
+    .register(EntityDef("model_links",
+      Seq("model_entity", "raw_external_resources"),
+      (_, in) => {
+        // Per-model external-registry links (reference
+        // `model_ids_links.py:36-174`): id patterns extracted from the
+        // model's database_url, restricted to ACTIVE inline resources
+        // from the S11 registry, aggregated to a JSON-array column (A2).
+        val active = in("raw_external_resources")
+          .filter(col("link_building_method") === "inline")
+          .select(col("label").as("resource"))
+        Links.resolveIdLinks(in("model_entity"), "database_url")
+          .filter(col("resource").isNotNull)
+          .join(broadcast(active), Seq("resource"), "left_semi")
+          .groupBy(col("model_id"), col(prov))
+          .agg(concat(lit("["),
+            concat_ws(",", sort_array(collect_list(concat(
+              lit("{\"resource\":\""), col("resource"),
+              lit("\",\"link\":\""), col("link"), lit("\"}"))))),
+            lit("]")).as("links_json"))
+      },
+      outputColumns = Seq("model_id", prov, "links_json")))
+    .register(EntityDef("molecular_data_links",
+      Seq("mutation_data", "raw_downloaded_resources"),
+      (_, in) => {
+        // Expression join on a concatenated key against downloaded
+        // resource entries (J8,
+        // `molecular_data_links_builder.py:58-67`): "<symbol> <pos>" ==
+        // entry AND resource type 'Variant'. Resource side broadcast.
+        val res = in("raw_downloaded_resources")
+          .filter(col("type") === "Variant")
+          .select(col("entry"), col("resource"), col("link"))
+        val md = in("mutation_data")
+        md.join(broadcast(res),
+            concat_ws(" ", md("symbol"), md("seq_start_position")) === res("entry"),
+            "left")
+          .select(md("sample_id"), md("symbol"), md("seq_start_position"),
+            res("resource"), res("link"), md(prov))
+      },
+      outputColumns = Seq("sample_id", "symbol", "seq_start_position",
+        "resource", "link", prov)))
     .register(EntityDef("nodes", Seq("patient", "patient_sample", "model_entity"),
       (_, in) => {
         val pn = in("patient").select(lit("patient").as("node_type"),
@@ -386,7 +607,7 @@ object PdcmEntities {
       },
       outputColumns = Seq("id", "model_id", "host_strain_name",
         "engraftment_site", "engraftment_type", "sample_type",
-        "accessibility", "license", prov)))
+        "accessibility", "license", "database_url", prov)))
   }
 
   /** Bind raw-module sources from a provider directory tree
@@ -432,6 +653,10 @@ object PdcmEntities {
         Ontolia.read(spark, _)),
       "raw_diagnosis_mappings" -> ifExists(
         s"$root/diagnosis_mappings.json", empty(mappingSchema))(
-        MappingRules.readDiagnosisRules(spark, _)))
+        MappingRules.readDiagnosisRules(spark, _)),
+      "raw_external_resources" ->
+        ExternalResources.resourcesTable(spark, DefaultResources),
+      "raw_downloaded_resources" -> ExternalResources.readDownloaded(
+        spark, root, DefaultResources, DefaultDownloadConfs))
   }
 }

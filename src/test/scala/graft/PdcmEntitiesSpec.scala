@@ -18,7 +18,8 @@ class PdcmEntitiesSpec extends SparkSpec {
       .run(Seq("search_index", "search_facet", "treatment_protocol",
         "quality_assurance", "mutation_data", "nodes", "edges",
         "ontology_term_diagnosis", "ontology_term_treatment",
-        "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment"))
+        "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
+        "treatment_by_model", "model_links", "molecular_data_links"))
   }
 
   test("dims and patient entity: clean, dedup, FK-resolved") {
@@ -117,7 +118,7 @@ class PdcmEntitiesSpec extends SparkSpec {
     // Ancestors restricted to the branch (C3262 not listed), pipe-joined.
     assert(byId("NCIT:C2926")._2 == "Malignant Lung Neoplasm|Malignant Neoplasm")
     assert(byId("NCIT:C9305")._2 == "")
-    assert(out("ontology_term_treatment").count() == 2) // C376, C1411
+    assert(out("ontology_term_treatment").count() == 3) // C483, C376, C1411
     assert(out("ontology_term_regimen").count() == 1)   // C11197
   }
 
@@ -138,6 +139,61 @@ class PdcmEntitiesSpec extends SparkSpec {
       $"treatment_ontology_id".isNull).count() == 0)
     assert(rt.select("treatment_term_id").as[String].collect().sorted.toSeq ==
       Seq("NCIT:C1411", "NCIT:C376"))
+  }
+
+  test("treatment_by_model: regimen discovery via sorted-array equality, outer model/patient join") {
+    val tbm = out("treatment_by_model")
+    assert(tbm.count() == 1) // M2's only protocol was a dropped mismatch
+    val m1 = tbm.filter($"model_id" === "M1").head()
+    // Direct components + the DISCOVERED regimen (sorted [Cisplatin,
+    // Paclitaxel] == the regimen's component list).
+    assert(m1.getSeq[String](m1.fieldIndex("model_treatments")).toSeq ==
+      Seq("cisplatin", "cisplatin/paclitaxel regimen", "paclitaxel"))
+    assert(m1.getSeq[String](m1.fieldIndex("model_treatments_responses")).toSeq ==
+      Seq("PD"))
+    // Patient side: doxorubicin has no ontology match -> empty treatments,
+    // but the response survives via the protocol join.
+    assert(m1.getSeq[String](m1.fieldIndex("patient_treatments")).isEmpty)
+    assert(m1.getSeq[String](m1.fieldIndex("patient_treatments_responses")).toSeq ==
+      Seq("CR"))
+    // Cisplatin's ancestor "Chemotherapeutic Agent" classifies the type.
+    assert(m1.getSeq[String](m1.fieldIndex("treatment_types")).toSeq ==
+      Seq("Chemotherapy"))
+  }
+
+  test("molecular_characterization: three origins, per-origin sample FKs") {
+    val mc = out("molecular_characterization")
+    assert(mc.count() == 4)
+    val byOrigin = mc.groupBy("sample_origin").count()
+      .as[(String, Long)].collect().toMap
+    assert(byOrigin == Map("patient" -> 2L, "xenograft" -> 1L, "cell" -> 1L))
+    assert(mc.filter($"sample_origin" === "patient" &&
+      $"patient_sample_id".isNull).count() == 0)
+    val xeno = mc.filter($"sample_origin" === "xenograft").head()
+    assert(!xeno.isNullAt(xeno.fieldIndex("xenograft_sample_id")))
+    assert(xeno.isNullAt(xeno.fieldIndex("patient_sample_id")))
+    val cell = mc.filter($"sample_origin" === "cell").head()
+    assert(!cell.isNullAt(cell.fieldIndex("cell_sample_id")))
+    // Dedicated sample entities exist with composite keys.
+    assert(out("xenograft_sample").count() == 1)
+    assert(out("cell_sample").count() == 1)
+  }
+
+  test("model_links: S11 registry filters inline id-pattern links to JSON") {
+    val ml = out("model_links")
+    assert(ml.count() == 1) // only M1's sharing URL carries a known id
+    val json = ml.filter($"model_id" === "M1").select("links_json").as[String].head()
+    assert(json ==
+      """[{"resource":"DepMap","link":"https://depmap.org/portal/cell_line/ACH-000123"}]""")
+  }
+
+  test("molecular_data_links: S12 downloaded entries join on the concat key") {
+    val mdl = out("molecular_data_links")
+    val brca = mdl.filter($"symbol" === "BRCA1").head()
+    assert(brca.getAs[String]("resource") == "COSMIC")
+    assert(brca.getAs[String]("link") ==
+      "https://cancer.sanger.ac.uk/cosmic/search?q=COSM1")
+    assert(mdl.filter($"symbol" =!= "BRCA1" && $"resource".isNotNull).count() == 0)
   }
 
   test("lineage graph: nodes and edges") {
