@@ -659,6 +659,20 @@ object SparkEntry {
         """SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
            FROM document_stats GROUP BY lang""")
     }),
+    "q69_facet_view" -> ((s, dir) => {
+      graft.api.SqlViews.register(s, dir)
+      s.sql(
+        """SELECT facet_name, array_join(options, ',') AS options,
+           CAST(size(options) AS BIGINT) AS n_options
+           FROM facet_options""")
+    }),
+    "q70_display_view" -> ((s, dir) => {
+      graft.api.SqlViews.register(s, dir)
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, p_name, supplier_name,
+           brand_display, l_quantity
+           FROM item_display WHERE brand_display LIKE 'Brand#3%'""")
+    }),
     "q62_sql_kernels" -> ((s, dir) => {
       // Custom Catalyst kernels exposed as SQL functions via
       // GraftFunctions/GraftExtensions; same oracle as the DataFrame form.
@@ -1222,6 +1236,20 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          WHERE o_orderstatus = 'F'
          GROUP BY r_name, c_mktsegment""",
+    "q69_facet_view" ->
+      """SELECT 'lang' AS facet_name,
+         string_agg(DISTINCT lang, ',' ORDER BY lang) AS options,
+         count(DISTINCT lang) AS n_options FROM documents
+         UNION ALL
+         SELECT 'source', string_agg(DISTINCT source, ',' ORDER BY source),
+         count(DISTINCT source) FROM documents""",
+    "q70_display_view" ->
+      """SELECT l_orderkey, l_linenumber, p_name, s_name AS supplier_name,
+         concat_ws('/', p_brand, p_type) AS brand_display, l_quantity
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE concat_ws('/', p_brand, p_type) LIKE 'Brand#3%'""",
     "q56_doc_stats_view" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens

@@ -32,5 +32,26 @@ object SqlViews {
          SELECT doc_id, lang, source, n_chars,
                 size(split(trim(text), '\\s+')) AS n_tokens
          FROM documents""")
+    // search_facet-style options view (reference
+    // `search_facet_transformer_job.py:44-93` / scripts/views.sql:932):
+    // one row per facet with its sorted distinct option list.
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW facet_options AS
+         SELECT 'lang' AS facet_name, sort_array(collect_set(lang)) AS options
+         FROM documents
+         UNION ALL
+         SELECT 'source', sort_array(collect_set(source)) FROM documents""")
+    // mutation_data_table-style wide display view (reference
+    // `scripts/views.sql:363`): fact rows joined to their dims with a
+    // concatenated display column.
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW item_display AS
+         SELECT l.l_orderkey, l.l_linenumber, p.p_name,
+                s.s_name AS supplier_name,
+                concat_ws('/', p.p_brand, p.p_type) AS brand_display,
+                l.l_quantity
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey""")
   }
 }

@@ -69,7 +69,10 @@ object PdcmFull {
         "S1\tBRCA1\t-0.7\tloss\tPL1\n")
     w(s"$root/provA/biomarker.tsv",
       "sample_id\tsymbol\tbiomarker_status\tplatform_id\n" +
-        "S1\tBRCA1\tpositive\tPL1\n")
+        "S1\tBRCA1\tpositive\tPL1\n" +
+        "S1\tERBB2\tPositive\tPL1\n" +
+        "S1\tMSI\tUnstable\tPL1\n" +
+        "S1\tHLA-A\tA*02:01\tPL1\n")
     w(s"$root/markers.tsv",
       "approved_symbol\tprevious_symbols\talias_symbols\n" +
         "BRCA1\tRNF53\t\n" +
@@ -96,9 +99,14 @@ object PdcmFull {
         |is_a: NCIT:C3262 ! Neoplasm
         |
         |[Term]
+        |id: NCIT:C3270
+        |name: Malignant Respiratory Tract Neoplasm
+        |is_a: NCIT:C9305 ! Malignant Neoplasm
+        |
+        |[Term]
         |id: NCIT:C4878
         |name: Malignant  Lung   Neoplasm
-        |is_a: NCIT:C9305 ! Malignant Neoplasm
+        |is_a: NCIT:C3270 ! Malignant Respiratory Tract Neoplasm
         |
         |[Term]
         |id: NCIT:C2926

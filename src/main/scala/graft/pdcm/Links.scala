@@ -76,6 +76,29 @@ object Links {
           expandTemplate(template, "TOKEN", col("chembl_id"))))
   }
 
+  /** Breast-cancer gene display names (reference `gene_display_map` UDF,
+    * `search_index_molecular_data_transformer_job.py:191-196`) as a pure
+    * map-literal lookup — no UDF.
+    */
+  val BreastGeneDisplay: Map[String, String] =
+    Map("ERBB2" -> "HER2/ERBB2", "ESR1" -> "ER/ESR1", "PGR" -> "PR/PGR")
+
+  def displayBreastGene(gene: Column): Column =
+    coalesce(element_at(typedLit(BreastGeneDisplay), gene), gene)
+
+  /** Display rename of ontology term names as a COLUMN expression
+    * ("… Malignant … Neoplasm …" → "… … Cancer …", else "Neoplasm" →
+    * "Cancer", then whitespace squeeze) — the in-plan form of
+    * [[graft.graph.OntologyGraph.updateTermName]] (reference
+    * `update_term_name`, `graph_builder.py:127-135`).
+    */
+  def displayTermName(c: Column): Column =
+    trim(regexp_replace(
+      when(c.contains("Malignant"),
+        regexp_replace(c, "(.*)Malignant(.*)Neoplasm(.*)", "$1$2Cancer$3"))
+        .otherwise(regexp_replace(c, "(.*)Neoplasm(.*)", "$1Cancer$2")),
+      "\\s+", " "))
+
   /** Treatment-type classification (reference `calculate_type` UDF,
     * `treatment_type_helper_transformer_job.py:33-87`): a treatment's
     * types are every category whose keyword list matches ANY of its

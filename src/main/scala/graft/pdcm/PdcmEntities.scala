@@ -1,6 +1,6 @@
 package graft.pdcm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{Cleaning, Ids}
@@ -71,6 +71,22 @@ object PdcmEntities {
     "NCIT:C1932", "NCIT:C1505", "NCIT:C1913", "NCIT:C45678", "NCIT:C1909",
     "NCIT:C1899", "NCIT:C15431", "NCIT:C49236", "NCIT:C15206", "NCIT:C26548")
   val RegimenRoots: Seq[String] = Seq("NCIT:C12218")
+
+  /** Cancer-system classification terms and top-level noise terms
+    * (reference `search_index_patient_sample_transformer_job.py:9-33`).
+    */
+  val CancerSystems: Seq[String] = Seq(
+    "Breast Cancer", "Cardiovascular Cancer",
+    "Connective and Soft Tissue Cancer", "Digestive System Cancer",
+    "Endocrine Cancer", "Eye Cancer", "Head and Neck Cancer",
+    "Hematopoietic and Lymphoid System Cancer", "Nervous System Cancer",
+    "Peritoneal and Retroperitoneal Cancer", "Reproductive System Cancer",
+    "Respiratory Tract Cancer", "Thoracic Cancer", "Skin Cancer",
+    "Urinary System Cancer", "Unclassified")
+
+  val ExcludeTopLevelTerms: Seq[String] = Seq(
+    "Cancer", "Cancer by Special Category", "Cancer by Morphology",
+    "Cancer by Site")
 
   /** Default external-resource registry (reference S11,
     * `model_links_resources.yaml` via
@@ -211,7 +227,7 @@ object PdcmEntities {
           "tumour_type", "name", "id", "tumour_type_id")
       },
       outputColumns = Seq("id", "sample_id", "patient_fk", "diagnosis",
-        "tissue_id", "tumour_type_id", "model_id", prov)))
+        "tissue_id", "tumour_type_id", "collection_site", "model_id", prov)))
     .registerModel()
     .register(EntityDef("quality_assurance", Seq("raw_model_validation"),
       (_, in) => in("raw_model_validation")
@@ -352,36 +368,175 @@ object PdcmEntities {
     .register(molecularTable("biomarker_data", "raw_biomarker",
       Seq("biomarker_status")))
     .register(EntityDef("search_index", Seq("patient_sample", "patient",
-      "molecular_characterization", "quality_assurance"),
+      "ethnicity", "tissue", "tumour_type", "model_entity",
+      "molecular_characterization", "mutation_data", "expression_data",
+      "cna_data", "biomarker_data", "quality_assurance",
+      "sample_to_ontology", "ontology_term_diagnosis", "treatment_by_model",
+      "model_links"),
       (_, in) => {
-        // dataset_available per model (A1 collect_set) + data score (A7:
-        // |datasets| * 100 / 3 available kinds here).
+        // The search_index assembly (reference
+        // `search_index_transformer_job.py:42-126` 70-column contract +
+        // the patient-sample / molecular-data intermediate jobs). Sample
+        // side stays row-preserving; every enrich is a broadcast dim or a
+        // pre-aggregated per-sample/per-model join-back (J10).
+        val ps = in("patient_sample")
+        val eth = in("ethnicity")
+          .select(col("id").as("ethnicity_id"), col("name").as("patient_ethnicity"))
+        val p = in("patient")
+          .select(col("id").as("patient_fk"), col("patient_id"),
+            col("sex").as("patient_sex"), col("history").as("patient_history"),
+            col("age_at_initial_diagnosis").as("patient_age_at_initial_diagnosis"),
+            col("ethnicity_id"))
+          .join(broadcast(eth), Seq("ethnicity_id"), "left")
+          .drop("ethnicity_id")
+        val tis = in("tissue")
+          .select(col("id").as("tissue_id"), col("name").as("primary_site"))
+        val tt = in("tumour_type")
+          .select(col("id").as("tumour_type_id"), col("name").as("tumour_type_name"))
+        val m = in("model_entity").select(col("model_id"), col(prov),
+          col("id").as("pdcm_model_id"), col("sample_type").as("model_type"),
+          col("license").as("license_name"),
+          col("accessibility").as("model_availability"),
+          col("publications").as("pdx_model_publications"))
+        val onto = in("sample_to_ontology")
+          .select(col("sample_id"), col(prov), col("term_name"), col("mapped_term_id"))
+          .join(broadcast(in("ontology_term_diagnosis")
+            .select(col("term_id").as("mapped_term_id"), col("ancestors"))),
+            Seq("mapped_term_id"), "left")
+          .drop("mapped_term_id")
         val datasets = in("molecular_characterization")
           .groupBy(col("sample_id"), col(prov))
           .agg(sort_array(collect_set(
             coalesce(col("molecular_characterisation_type"), lit("unknown"))))
             .as("dataset_available"))
-        val ps = in("patient_sample")
-        val p = in("patient").select(col("id").as("patient_fk"),
-          col("sex"), col("ethnicity_id"))
+        def markers(entity: String, outCol: String) = in(entity)
+          .filter(col("harmonized_symbol").isNotNull)
+          .groupBy(col("sample_id"), col(prov))
+          .agg(sort_array(collect_set(col("harmonized_symbol"))).as(outCol))
+        val bio = in("biomarker_data")
+        val breast = bio
+          .filter(col("symbol").isin("ERBB2", "ESR1", "PGR") &&
+            lower(col("biomarker_status")).isin("positive", "negative"))
+          .groupBy(col("sample_id"), col(prov))
+          .agg(sort_array(collect_set(concat(
+            Links.displayBreastGene(col("symbol")), lit(" "),
+            lower(col("biomarker_status"))))).as("breast_cancer_biomarkers"))
+        val msi = bio.filter(upper(col("symbol")).startsWith("MSI"))
+          .groupBy(col("sample_id"), col(prov))
+          .agg(sort_array(collect_set(col("biomarker_status"))).as("msi_status"))
+        val hla = bio.filter(col("symbol").startsWith("HLA"))
+          .groupBy(col("sample_id"), col(prov))
+          .agg(sort_array(collect_set(col("symbol"))).as("hla_types"))
+        val qa = in("quality_assurance")
+          .select(col("model_id"), col(prov),
+            col("validation_json").as("quality_assurance"))
+        val tbm = in("treatment_by_model").withColumnRenamed(
+          "treatment_types", "custom_treatment_type_list")
+        val links = in("model_links").select(col("model_id"), col(prov),
+          col("links_json").as("external_db_links"))
+        val emptyArr = array().cast("array<string>")
         ps.join(p, Seq("patient_fk"), "left")
+          .join(broadcast(tis), Seq("tissue_id"), "left")
+          .join(broadcast(tt), Seq("tumour_type_id"), "left")
+          .join(m, Seq("model_id", prov), "left")
+          .join(onto, Seq("sample_id", prov), "left")
           .join(datasets, Seq("sample_id", prov), "left")
+          .join(markers("mutation_data", "markers_with_mutation_data"),
+            Seq("sample_id", prov), "left")
+          .join(markers("expression_data", "markers_with_expression_data"),
+            Seq("sample_id", prov), "left")
+          .join(markers("cna_data", "markers_with_cna_data"),
+            Seq("sample_id", prov), "left")
+          .join(markers("biomarker_data", "markers_with_biomarker_data"),
+            Seq("sample_id", prov), "left")
+          .join(breast, Seq("sample_id", prov), "left")
+          .join(msi, Seq("sample_id", prov), "left")
+          .join(hla, Seq("sample_id", prov), "left")
+          .join(qa, Seq("model_id", prov), "left")
+          .join(tbm, Seq("model_id"), "left")
+          .join(links, Seq("model_id", prov), "left")
+          .withColumn("histology",
+            Links.displayTermName(coalesce(col("term_name"), col("diagnosis"))))
+          // search_terms: renamed term + ancestors minus top-level noise
+          // (search_index_patient_sample_transformer_job.py:125-146);
+          // cancer_system: first intersect with the configured systems.
+          .withColumn("search_terms",
+            when(col("term_name").isNull, emptyArr).otherwise(
+              array_except(
+                array_distinct(transform(
+                  split(concat_ws("|", col("term_name"), col("ancestors")), "\\|"),
+                  Links.displayTermName(_))),
+                typedLit(ExcludeTopLevelTerms))))
+          .withColumn("cancer_system",
+            coalesce(
+              // try_element_at: ANSI mode makes element_at(empty, 1) THROW
+              try_element_at(array_intersect(typedLit(CancerSystems),
+                col("search_terms")), lit(1)),
+              lit("Unclassified")))
+          .withColumn("patient_age_category",
+            Cleaning.binAge(col("patient_age_at_initial_diagnosis")))
           .withColumn("dataset_available",
-            coalesce(col("dataset_available"), array().cast("array<string>")))
+            coalesce(col("dataset_available"), emptyArr))
           .withColumn("data_score", Scoring.dataScore(col("dataset_available"), 3))
           .withColumn("metadata_score", Scoring.metadataScore(Seq(
-            Scoring.Weight("diagnosis", 4), Scoring.Weight("sex", 2),
+            Scoring.Weight("diagnosis", 4), Scoring.Weight("patient_sex", 2),
             Scoring.Weight("tissue_id", 2), Scoring.Weight("tumour_type_id", 2))))
+          .withColumnRenamed("model_id", "external_model_id")
+          .withColumnRenamed("sample_id", "patient_sample_id")
+          .withColumnRenamed("tumour_type_name", "tumour_type")
+          .withColumn("data_source", col(prov))
       },
-      outputColumns = Seq("sample_id", "model_id", "diagnosis", "sex",
-        "dataset_available", "data_score", "metadata_score", prov)))
+      outputColumns = Seq("pdcm_model_id", "external_model_id", "data_source",
+        "model_type", "histology", "search_terms", "cancer_system",
+        "dataset_available", "data_score", "metadata_score",
+        "patient_id", "patient_sex", "patient_history", "patient_ethnicity",
+        "patient_age_at_initial_diagnosis", "patient_age_category",
+        "patient_sample_id", "primary_site", "collection_site", "tumour_type",
+        "markers_with_mutation_data", "markers_with_expression_data",
+        "markers_with_cna_data", "markers_with_biomarker_data",
+        "breast_cancer_biomarkers", "msi_status", "hla_types",
+        "quality_assurance", "model_treatments", "model_treatments_responses",
+        "patient_treatments", "patient_treatments_responses",
+        "custom_treatment_type_list", "pdx_model_publications",
+        "license_name", "model_availability", "external_db_links", prov)))
     .register(EntityDef("search_facet", Seq("search_index"),
       (_, in) => Scoring.buildFacets(in("search_index"), Seq(
-        Scoring.FacetDef("diagnosis", "diagnosis", isBoolean = false, 0),
-        Scoring.FacetDef("sex", "sex", isBoolean = false, 1),
-        Scoring.FacetDef("provider", prov, isBoolean = false, 2))),
+        Scoring.FacetDef("histology", "histology", isBoolean = false, 0),
+        Scoring.FacetDef("cancer_system", "cancer_system", isBoolean = false, 1),
+        Scoring.FacetDef("sex", "patient_sex", isBoolean = false, 2),
+        Scoring.FacetDef("provider", prov, isBoolean = false, 3))),
       outputColumns = Seq("facet_name", "facet_column", "options",
         "is_boolean", "facet_index")))
+    .register(EntityDef("model_metadata", Seq("search_index"),
+      (_, in) => {
+        // JSON metadata per model (reference
+        // `model_metadata_transformer_job.py:137-266`): concat-built JSON
+        // object string from the per-model search_index row set (A2).
+        def jstr(c: Column): Column =
+          concat(lit("\""), coalesce(c, lit("")), lit("\""))
+        in("search_index")
+          .groupBy(col("external_model_id"), col(prov))
+          .agg(
+            first(col("model_type"), ignoreNulls = true).as("model_type"),
+            first(col("license_name"), ignoreNulls = true).as("license_name"),
+            first(col("model_availability"), ignoreNulls = true)
+              .as("model_availability"),
+            first(col("quality_assurance"), ignoreNulls = true).as("qa_json"),
+            first(col("external_db_links"), ignoreNulls = true).as("links_json"),
+            sort_array(array_distinct(flatten(collect_list(
+              col("dataset_available"))))).as("dataset_available"))
+          .withColumn("metadata_json", concat(
+            lit("{\"external_model_id\":"), jstr(col("external_model_id")),
+            lit(",\"data_source\":"), jstr(col(prov)),
+            lit(",\"model_type\":"), jstr(col("model_type")),
+            lit(",\"license\":"), jstr(col("license_name")),
+            lit(",\"quality_assurance\":"), coalesce(col("qa_json"), lit("[]")),
+            lit(",\"external_db_links\":"), coalesce(col("links_json"), lit("[]")),
+            lit("}")))
+      },
+      outputColumns = Seq("external_model_id", prov, "model_type",
+        "license_name", "model_availability", "dataset_available",
+        "metadata_json")))
     .register(ontologyBranch("ontology_term_diagnosis", DiagnosisRoots))
     .register(ontologyBranch("ontology_term_treatment", TreatmentRoots))
     .register(ontologyBranch("ontology_term_regimen", RegimenRoots))
@@ -606,7 +761,7 @@ object PdcmEntities {
         m.join(sh, Seq("model_id", prov), "left")
       },
       outputColumns = Seq("id", "model_id", "host_strain_name",
-        "engraftment_site", "engraftment_type", "sample_type",
+        "engraftment_site", "engraftment_type", "sample_type", "publications",
         "accessibility", "license", "database_url", prov)))
   }
 

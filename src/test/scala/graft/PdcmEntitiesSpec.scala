@@ -19,7 +19,8 @@ class PdcmEntitiesSpec extends SparkSpec {
         "quality_assurance", "mutation_data", "nodes", "edges",
         "ontology_term_diagnosis", "ontology_term_treatment",
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
-        "treatment_by_model", "model_links", "molecular_data_links"))
+        "treatment_by_model", "model_links", "molecular_data_links",
+        "model_metadata"))
   }
 
   test("dims and patient entity: clean, dedup, FK-resolved") {
@@ -60,21 +61,63 @@ class PdcmEntitiesSpec extends SparkSpec {
   }
 
   test("search_index aggregates dataset_available with data score") {
-    val si = out("search_index").filter($"sample_id" === "S1").head()
+    val si = out("search_index").filter($"patient_sample_id" === "S1").head()
     assert(si.getSeq[String](si.fieldIndex("dataset_available")).toSeq ==
       Seq("expression", "mutation"))
     assert(si.getAs[Int]("data_score") == 66)
   }
 
   test("scoring and facets: weighted metadata score, sorted facet options") {
-    val si = out("search_index").filter($"sample_id" === "S1").head()
+    val si = out("search_index").filter($"patient_sample_id" === "S1").head()
     // All four weighted columns populated -> 100.
     assert(si.getAs[Int]("metadata_score") == 100)
     val facets = out("search_facet")
-    assert(facets.count() == 3)
+    assert(facets.count() == 4)
     val sexOptions = facets.filter($"facet_name" === "sex").head()
     assert(sexOptions.getSeq[String](sexOptions.fieldIndex("options")).toSeq ==
       Seq("female", "male"))
+  }
+
+  test("search_index: histology rename, search_terms, cancer_system, age bin") {
+    val si = out("search_index").filter($"patient_sample_id" === "S1").head()
+    assert(si.getAs[String]("histology") == "Lung Adenocarcinoma")
+    assert(si.getSeq[String](si.fieldIndex("search_terms")).toSeq ==
+      Seq("Lung Adenocarcinoma", "Lung Cancer", "Respiratory Tract Cancer"))
+    assert(si.getAs[String]("cancer_system") == "Respiratory Tract Cancer")
+    assert(si.getAs[String]("patient_age_category") == "40 - 49")
+    assert(si.getAs[String]("patient_ethnicity") == "Hispanic")
+    assert(si.getAs[String]("model_type") == "tissue")
+    // S2 maps to C9305 "Malignant Neoplasm" -> display rename "Cancer";
+    // its search_terms intersect no system -> Unclassified.
+    val s2 = out("search_index").filter($"patient_sample_id" === "S2").head()
+    assert(s2.getAs[String]("histology") == "Cancer")
+    assert(s2.getAs[String]("cancer_system") == "Unclassified")
+  }
+
+  test("search_index: molecular markers, breast/MSI/HLA biomarkers, treatments") {
+    val si = out("search_index").filter($"patient_sample_id" === "S1").head()
+    assert(si.getSeq[String](si.fieldIndex("markers_with_mutation_data")).toSeq ==
+      Seq("BRCA1", "EGFR", "GENE2"))
+    assert(si.getSeq[String](si.fieldIndex("markers_with_expression_data")).toSeq ==
+      Seq("BRCA1", "EGFR"))
+    assert(si.getSeq[String](si.fieldIndex("breast_cancer_biomarkers")).toSeq ==
+      Seq("HER2/ERBB2 positive"))
+    assert(si.getSeq[String](si.fieldIndex("msi_status")).toSeq == Seq("Unstable"))
+    assert(si.getSeq[String](si.fieldIndex("hla_types")).toSeq == Seq("HLA-A"))
+    assert(si.getSeq[String](si.fieldIndex("model_treatments")).toSeq ==
+      Seq("cisplatin", "cisplatin/paclitaxel regimen", "paclitaxel"))
+    assert(si.getAs[String]("quality_assurance").startsWith("[{"))
+    assert(si.getAs[String]("external_db_links").contains("DepMap"))
+  }
+
+  test("model_metadata: concat-built JSON object per model") {
+    val mm = out("model_metadata").filter($"external_model_id" === "M1").head()
+    val json = mm.getAs[String]("metadata_json")
+    assert(json.startsWith("{\"external_model_id\":\"M1\""))
+    assert(json.contains("\"quality_assurance\":[{"))
+    assert(json.contains("\"external_db_links\":[{"))
+    assert(mm.getSeq[String](mm.fieldIndex("dataset_available")).toSeq ==
+      Seq("expression", "mutation"))
   }
 
   test("link generation: template expansion and id-pattern resolution") {
@@ -112,11 +155,13 @@ class PdcmEntitiesSpec extends SparkSpec {
     // Branch = descendants of the roots; C3262 itself is excluded but
     // C9305 stays (it is a descendant of C3262).
     assert(!byId.contains("NCIT:C3262"))
-    assert(byId.keySet == Set("NCIT:C9305", "NCIT:C4878", "NCIT:C2926"))
+    assert(byId.keySet ==
+      Set("NCIT:C9305", "NCIT:C3270", "NCIT:C4878", "NCIT:C2926"))
     // Whitespace squeeze on the doubled-space fixture name.
     assert(byId("NCIT:C4878")._1 == "Malignant Lung Neoplasm")
     // Ancestors restricted to the branch (C3262 not listed), pipe-joined.
-    assert(byId("NCIT:C2926")._2 == "Malignant Lung Neoplasm|Malignant Neoplasm")
+    assert(byId("NCIT:C2926")._2 ==
+      "Malignant Lung Neoplasm|Malignant Neoplasm|Malignant Respiratory Tract Neoplasm")
     assert(byId("NCIT:C9305")._2 == "")
     assert(out("ontology_term_treatment").count() == 3) // C483, C376, C1411
     assert(out("ontology_term_regimen").count() == 1)   // C11197
