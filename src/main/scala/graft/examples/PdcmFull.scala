@@ -31,9 +31,9 @@ object PdcmFull {
         "P1\tS1\tLung Adenocarcinoma\tprimary\tlung\tlung\t45\tM1\n" +
         "P2\tS2\tBreast Carcinoma\tmetastatic\tbreast\tlymph node\t61\tM2\n")
     w(s"$root/provA/model.tsv",
-      "model_id\thost_strain_name\tengraftment_site\tengraftment_type\tsample_type\tpassage_number\tpublications\n" +
-        "M1\tNSG\tflank\theterotopic\ttissue\t2\t\n" +
-        "M2\tNOD\tmammary\torthotopic\ttissue\t1\t\n")
+      "model_id\thost_strain_name\tengraftment_site\tengraftment_type\tsample_type\tpassage_number\tpublications\tparent_model_id\n" +
+        "M1\tNSG\tflank\theterotopic\ttissue\t2\t\t\n" +
+        "M2\tNOD\tmammary\torthotopic\ttissue\t1\t\tM1\n")
     w(s"$root/provA/sharing.tsv",
       "model_id\taccessibility\temail\tname\tform_url\tdatabase_url\tlicense\n" +
         "M1\tacademia\ta@b.c\tLab\t\thttps://depmap.org/portal/cell_line/ACH-000123\tCC0\n")
@@ -180,7 +180,8 @@ object PdcmFull {
         "ontology_term_diagnosis", "ontology_term_treatment",
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
         "treatment_harmonised", "treatment_by_model", "model_links",
-        "molecular_data_links"))
+        "molecular_data_links", "model_metadata",
+        "available_molecular_data_columns"))
     out.foreach { case (name, df) =>
       PostgresTsv.write(df, s"$work/out/$name")
     }

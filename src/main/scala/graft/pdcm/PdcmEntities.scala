@@ -36,7 +36,8 @@ object PdcmEntities {
     "raw_sample" -> Seq("patient_id", "sample_id", "diagnosis", "tumour_type",
       "primary_site", "collection_site", "age_in_years_at_collection", "model_id"),
     "raw_model" -> Seq("model_id", "host_strain_name", "engraftment_site",
-      "engraftment_type", "sample_type", "passage_number", "publications"),
+      "engraftment_type", "sample_type", "passage_number", "publications",
+      "parent_model_id"),
     "raw_sharing" -> Seq("model_id", "accessibility", "email", "name",
       "form_url", "database_url", "license"),
     "raw_model_validation" -> Seq("model_id", "validation_technique",
@@ -740,9 +741,46 @@ object PdcmEntities {
           .join(m, Seq("model_id", prov), "inner")
           .select(lit("sample_model").as("label"),
             col("id").as("src"), col("model_fk").as("dst"))
-        patientSample.union(sampleModel)
+        // Parent/child model lineage: self-join on parent_model_id within
+        // the same provider (J6, edges_transformer_job.py:285-300).
+        val me = in("model_entity")
+        val parents = me.select(col("id").as("parent_fk"),
+          col("model_id").as("parent_external_id"), col(prov))
+        val parentModel = me
+          .filter(col("parent_model_id").isNotNull &&
+            Cleaning.trimAll(col("parent_model_id")) =!= "")
+          .select(col("id").as("child_fk"),
+            col("parent_model_id").as("parent_external_id"), col(prov))
+          .join(parents, Seq("parent_external_id", prov), "inner")
+          .select(lit("parent_model").as("label"),
+            col("parent_fk").as("src"), col("child_fk").as("dst"))
+        patientSample.union(sampleModel).union(parentModel)
       },
       outputColumns = Seq("label", "src", "dst")))
+    .register(EntityDef("available_molecular_data_columns",
+      Seq("mutation_data", "expression_data", "cna_data", "biomarker_data"),
+      (_, in) => {
+        // Per provider per mol-char type: which columns actually carry
+        // data (A4 conditional-count aggregation,
+        // available_molecular_data_columns_transformer_job.py:151-158).
+        def avail(entity: String, kind: String, cols: Seq[String]) =
+          Relational.nonNullCounts(in(entity), prov, cols)
+            .select(col(prov),
+              lit(kind).as("molecular_characterization_type"),
+              sort_array(filter(
+                array(cols.map(c => when(col(c) > 0, lit(c))): _*),
+                _.isNotNull)).as("not_empty_cols"))
+        avail("mutation_data", "mutation",
+          Seq("symbol", "harmonized_symbol", "chromosome", "seq_start_position"))
+          .union(avail("expression_data", "expression",
+            Seq("symbol", "harmonized_symbol", "rnaseq_tpm", "rnaseq_fpkm")))
+          .union(avail("cna_data", "cna",
+            Seq("symbol", "harmonized_symbol", "log2r_cna", "copy_number_status")))
+          .union(avail("biomarker_data", "biomarker",
+            Seq("symbol", "harmonized_symbol", "biomarker_status")))
+      },
+      outputColumns = Seq(prov, "molecular_characterization_type",
+        "not_empty_cols")))
 
   /** model entity registered separately (the inline stub above is
     * replaced): raw model + sharing joined on the composite
@@ -762,7 +800,7 @@ object PdcmEntities {
       },
       outputColumns = Seq("id", "model_id", "host_strain_name",
         "engraftment_site", "engraftment_type", "sample_type", "publications",
-        "accessibility", "license", "database_url", prov)))
+        "parent_model_id", "accessibility", "license", "database_url", prov)))
   }
 
   /** Bind raw-module sources from a provider directory tree

@@ -20,7 +20,7 @@ class PdcmEntitiesSpec extends SparkSpec {
         "ontology_term_diagnosis", "ontology_term_treatment",
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
         "treatment_by_model", "model_links", "molecular_data_links",
-        "model_metadata"))
+        "model_metadata", "available_molecular_data_columns"))
   }
 
   test("dims and patient entity: clean, dedup, FK-resolved") {
@@ -241,10 +241,23 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(mdl.filter($"symbol" =!= "BRCA1" && $"resource".isNotNull).count() == 0)
   }
 
-  test("lineage graph: nodes and edges") {
+  test("lineage graph: nodes and edges incl. parent/child models") {
     assert(out("nodes").groupBy("node_type").count().count() == 3)
     val labels = out("edges").select("label").distinct().as[String].collect().toSet
-    assert(labels == Set("patient_sample", "sample_model"))
+    assert(labels == Set("patient_sample", "sample_model", "parent_model"))
     assert(out("edges").filter($"label" === "sample_model").count() == 2)
+    // M2's parent is M1: one lineage edge M1 -> M2.
+    assert(out("edges").filter($"label" === "parent_model").count() == 1)
+  }
+
+  test("available_molecular_data_columns: per-provider non-empty columns") {
+    val am = out("available_molecular_data_columns")
+    assert(am.count() == 4)
+    val mut = am.filter($"molecular_characterization_type" === "mutation").head()
+    assert(mut.getSeq[String](mut.fieldIndex("not_empty_cols")).toSeq ==
+      Seq("chromosome", "harmonized_symbol", "seq_start_position", "symbol"))
+    val bio = am.filter($"molecular_characterization_type" === "biomarker").head()
+    assert(bio.getSeq[String](bio.fieldIndex("not_empty_cols")).toSeq ==
+      Seq("biomarker_status", "harmonized_symbol", "symbol"))
   }
 }
