@@ -199,6 +199,53 @@ object PdcmEntities {
     .register(EntityDef("tumour_type", Seq("raw_sample"),
       (_, in) => dimFromColumn(in("raw_sample"), "tumour_type"),
       outputColumns = Seq("id", "name")))
+    .register(EntityDef("host_strain", Seq("raw_model"),
+      (_, in) => dimFromColumn(in("raw_model"), "host_strain_name"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("engraftment_site", Seq("raw_model"),
+      (_, in) => dimFromColumn(in("raw_model"), "engraftment_site"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("engraftment_type", Seq("raw_model"),
+      (_, in) => dimFromColumn(in("raw_model"), "engraftment_type"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("engraftment_sample_type", Seq("raw_model"),
+      (_, in) => dimFromColumn(in("raw_model"), "sample_type"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("response", Seq("raw_drug_dosing", "raw_patient_treatment"),
+      (_, in) => dimFromColumn(
+        in("raw_drug_dosing").select(col("treatment_response"))
+          .union(in("raw_patient_treatment").select(col("treatment_response"))),
+        "treatment_response"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("accessibility_group", Seq("raw_sharing"),
+      (_, in) => dimFromColumn(in("raw_sharing"), "accessibility"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("platform", Seq("raw_molchar_platform"),
+      (_, in) => in("raw_molchar_platform")
+        .select(col("platform_id"), col("molecular_characterisation_type"),
+          col("instrument_model"), col(prov))
+        .dropDuplicates("platform_id", prov)
+        .withColumn("id", Ids.hashId(col("platform_id"), col(prov))),
+      outputColumns = Seq("id", "platform_id",
+        "molecular_characterisation_type", "instrument_model", prov)))
+    // Static config dims (reference license_transformer_job.py:17-32 and
+    // molecular_characterization_type_transformer_job.py:28-32).
+    .register(EntityDef("license", Nil,
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          (1, "EMBL-EBI", "https://www.ebi.ac.uk/about/terms-of-use"),
+          (2, "CC0", "https://creativecommons.org/publicdomain/zero/1.0/"))
+          .toDF("id", "name", "url")
+      },
+      outputColumns = Seq("id", "name", "url")))
+    .register(EntityDef("molecular_characterization_type", Nil,
+      (s, _) => {
+        import s.implicits._
+        Seq("mutation", "expression", "cna", "biomarker", "immunemarker")
+          .zipWithIndex.map { case (n, i) => (i + 1, n) }.toDF("id", "name")
+      },
+      outputColumns = Seq("id", "name")))
     .register(EntityDef("patient", Seq("raw_patient", "ethnicity"),
       (_, in) => {
         val cleaned = in("raw_patient")
@@ -230,6 +277,27 @@ object PdcmEntities {
       outputColumns = Seq("id", "sample_id", "patient_fk", "diagnosis",
         "tissue_id", "tumour_type_id", "collection_site", "model_id", prov)))
     .registerModel()
+    .register(EntityDef("xenograft_model_specimen",
+      Seq("raw_model", "model_entity", "host_strain", "engraftment_site",
+        "engraftment_type"),
+      (_, in) => {
+        // Specimen row per model with the chained dim-FK resolutions (J1
+        // x3; reference xenograft_model_specimen via
+        // model_transformer_job.py's FK chain).
+        val raw = in("raw_model").dropDuplicates("model_id", prov)
+        val mfk = in("model_entity")
+          .select(col("id").as("model_fk"), col("model_id"), col(prov))
+        val withModel = raw.join(mfk, Seq("model_id", prov), "left")
+        val withHs = Relational.transformToFk(withModel, in("host_strain"),
+          "host_strain_name", "name", "id", "host_strain_id")
+        val withSite = Relational.transformToFk(withHs, in("engraftment_site"),
+          "engraftment_site", "name", "id", "engraftment_site_id")
+        val withType = Relational.transformToFk(withSite, in("engraftment_type"),
+          "engraftment_type", "name", "id", "engraftment_type_id")
+        withType.withColumn("id", Ids.hashId(col("model_id"), col(prov)))
+      },
+      outputColumns = Seq("id", "model_fk", "passage_number",
+        "host_strain_id", "engraftment_site_id", "engraftment_type_id", prov)))
     .register(EntityDef("quality_assurance", Seq("raw_model_validation"),
       (_, in) => in("raw_model_validation")
         .groupBy(col("model_id"), col(prov))

@@ -23,6 +23,29 @@ class PdcmEntitiesSpec extends SparkSpec {
         "model_metadata", "available_molecular_data_columns"))
   }
 
+  test("formulaic dim fan-out: model/treatment/sharing/platform/static dims") {
+    val dims = new PipelineRunner(spark, PdcmEntities.registry(),
+      PdcmEntities.sources(spark, stage()))
+      .run(Seq("host_strain", "engraftment_site", "engraftment_type",
+        "engraftment_sample_type", "response", "accessibility_group",
+        "platform", "license", "molecular_characterization_type",
+        "xenograft_model_specimen"))
+    assert(dims("host_strain").select("name").as[String].collect().sorted.toSeq ==
+      Seq("NOD", "NSG"))
+    assert(dims("engraftment_site").count() == 2) // flank, mammary
+    assert(dims("response").select("name").as[String].collect().sorted.toSeq ==
+      Seq("CR", "PD", "SD"))
+    assert(dims("accessibility_group").count() == 1)
+    assert(dims("platform").count() == 2)
+    assert(dims("license").count() == 2)
+    assert(dims("molecular_characterization_type").count() == 5)
+    val spec = dims("xenograft_model_specimen")
+    assert(spec.count() == 2)
+    assert(spec.filter($"model_fk".isNull || $"host_strain_id".isNull ||
+      $"engraftment_site_id".isNull || $"engraftment_type_id".isNull)
+      .count() == 0)
+  }
+
   test("dims and patient entity: clean, dedup, FK-resolved") {
     assert(out("ethnicity").select("name").as[String].collect().sorted.toSeq ==
       Seq("Asian", "Hispanic"))
