@@ -363,6 +363,38 @@ object SparkEntry {
     "q34_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintClusters(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // ── End-to-end curation + near-dup clustering (beyond-parity) ───────
+    "q71_curation" -> ((s, dir) => {
+      // The composed training-data curation pass: language-consistency
+      // filter + quality threshold + exact dedup keep-min-id. One scan,
+      // one groupBy shuffle, one semi join.
+      val toks = Text.tokens(col("text"))
+      val scored = tbl(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        Text.langIdByStopwords(toks, langMarkers).as("pred_lang"),
+        Text.qualityScore(col("text"), toks).as("quality_score"),
+        col("lang"))
+      val filtered = scored
+        .filter(col("quality_score") >= 40 && col("pred_lang") === col("lang"))
+      val keep = filtered
+        .groupBy(Text.md5Hex(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      filtered.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+    }),
+    "q72_neardup_components" -> ((s, dir) => {
+      // LSH-bucketed near-dup pairs → connected components: the cluster
+      // assignment a dedup pipeline uses to keep one doc per near-dup
+      // group. Label propagation rounds = cluster diameter.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+        nPlanes = 4, dim = dim, threshold = 0.3).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("vertex", "vec_id")
+    }),
+
     // ── Text analysis (beyond-parity) ───────────────────────────────────
     "q35_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
@@ -836,19 +868,53 @@ object SparkEntry {
        SELECT vec_id, round(cos, 4) AS cosine_sim FROM scored
        ORDER BY cos DESC, vec_id LIMIT 10"""
 
-  private val bucketedNearPairsSql: String =
-    s"""WITH ${lshBucketCtes(4)},
+  /** Shared CTE chain ending in `pairs(id_a, id_b, cos)` — the bucketed
+    * near-duplicate candidate pairs above `threshold`.
+    */
+  private def bucketedPairCtes(nPlanes: Int, threshold: Double): String =
+    s"""${lshBucketCtes(nPlanes)},
        wn AS (SELECT e.vec_id, e.v, bk.bucket,
            sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i]))) AS nrm
          FROM ev e JOIN bucketed bk USING (vec_id)),
        cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) AS dp,
            a.nrm AS na, b.nrm AS nb
-         FROM wn a JOIN wn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       SELECT id_a, id_b, round(cos, 4) AS cosine_sim FROM (
-         SELECT id_a, id_b,
-           CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp/(na*nb) END AS cos FROM cand)
-       WHERE cos >= 0.3"""
+         FROM wn a JOIN wn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       scored_pairs AS (SELECT id_a, id_b,
+           CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp/(na*nb) END AS cos FROM cand),
+       pairs AS (SELECT id_a, id_b, cos FROM scored_pairs WHERE cos >= $threshold)"""
+
+  private val bucketedNearPairsSql: String =
+    s"""WITH ${bucketedPairCtes(4, 0.3)}
+       SELECT id_a, id_b, round(cos, 4) AS cosine_sim FROM pairs"""
+
+  /** Near-dup clusters: undirected reachability over the pair graph, then
+    * component = min reachable id (matches min-label propagation).
+    */
+  private val neardupComponentsSql: String =
+    s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       SELECT a AS vec_id, least(a, min(b)) AS component
+       FROM reach GROUP BY a"""
+
+  // def, not val: qualitySql/langIdSql are declared later in the object
+  // and a val here would capture null at initialization order.
+  private def curationSql: String =
+    s"""WITH qual AS ($qualitySql),
+       lid AS ($langIdSql),
+       f AS (SELECT d.doc_id, d.text, lid.pred_lang, qual.quality_score
+             FROM documents d
+             JOIN qual ON d.doc_id = qual.doc_id
+             JOIN lid ON d.doc_id = lid.doc_id
+             WHERE qual.quality_score >= 40 AND lid.pred_lang = lid.actual_lang),
+       k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
+       SELECT f.doc_id, f.pred_lang, f.quality_score
+       FROM f JOIN k ON f.doc_id = k.doc_id"""
 
   /** DuckDB replica of the deterministic-centroid IVF (q67): centroids =
     * first 16 vectors; cell = argmin of `-2·(v·c)+|c|²` (ties → lower
@@ -1116,6 +1182,8 @@ object SparkEntry {
     "q39_lsh_ann" -> lshAnnSql,
     "q66_bucketed_near_pairs" -> bucketedNearPairsSql,
     "q67_ivf_search" -> ivfSearchSql,
+    "q71_curation" -> curationSql,
+    "q72_neardup_components" -> neardupComponentsSql,
     "q27_composite_join" ->
       """WITH pairs AS (SELECT l_partkey, l_suppkey,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty

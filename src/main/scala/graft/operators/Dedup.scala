@@ -37,6 +37,55 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Connected components over a candidate-pair table (near-duplicate
+    * CLUSTERING: after LSH/SimHash candidate generation + verification,
+    * group mutually-similar documents so one representative per cluster
+    * survives). Distributed min-label propagation: every vertex starts
+    * labelled with its own id; each round takes the min of its own and its
+    * neighbors' labels. Rounds = component diameter — near-dup clusters
+    * are shallow, so this converges in a few hash-join rounds with no
+    * driver-side graph. Plans are re-pinned per round (see
+    * [[graft.graph.Closure]]) to truncate iterative lineage.
+    *
+    * Returns (vertex, component) for every vertex present in `pairs`,
+    * where component = min vertex id reachable.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+    val edges = pin(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .dropDuplicates())
+    var labels = pin(edges.select(col("a").as("vertex")).distinct()
+      .withColumn("component", col("vertex")))
+    var changed = true
+    var round = 0
+    while (changed && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("vertex").as("b"), col("component").as("nb_label")),
+          Seq("b"))
+        .groupBy(col("a").as("vertex"))
+        .agg(min(col("nb_label")).as("nbr_min"))
+      val updated = pin(labels.join(nbrMin, Seq("vertex"), "left")
+        .select(col("vertex"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component")))
+      changed = updated
+        .join(labels.withColumnRenamed("component", "old"), Seq("vertex"))
+        .filter(col("component") =!= col("old"))
+        .limit(1).count() > 0
+      labels = updated
+      round += 1
+    }
+    labels
+  }
+
   /** Per-document MinHash signature + LSH band keys over word `shingleN`-gram
     * shingles. Docs with fewer than `shingleN` tokens are dropped (no
     * shingles → no signature). Returns (id, signature, band_keys).
