@@ -395,6 +395,30 @@ object SparkEntry {
         .withColumnRenamed("vertex", "vec_id")
     }),
 
+    "q73_salted_agg" -> ((s, dir) => {
+      // Two-phase salted aggregation (skew path): partial counts per
+      // (key, salt), then re-aggregate — same result as a plain groupBy,
+      // but a hot key spreads over `salts` reducers.
+      graft.operators.Skew.saltedCount(
+        tbl(s, dir, "lineitem").select(col("l_returnflag")),
+        "l_returnflag", salts = 16)
+    }),
+    "q74_media_features" -> ((s, dir) => {
+      // Multimodal plumbing end-to-end: text payloads as opaque binary,
+      // per-partition decoder (mapPartitions = the mapInPandas shape).
+      // The oracle checks the full row/byte contract; the stub codec's
+      // feature VALUES are engine-internal (wraparound hash arithmetic).
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"), lit(0).as("width"), lit(0).as("height"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 4)
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          size(col("features")).as("n_features"))
+    }),
+
     // ── Text analysis (beyond-parity) ───────────────────────────────────
     "q35_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
@@ -1184,6 +1208,13 @@ object SparkEntry {
     "q67_ivf_search" -> ivfSearchSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
+    "q73_salted_agg" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "q74_media_features" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         CAST(4 AS INTEGER) AS n_features
+         FROM documents""",
     "q27_composite_join" ->
       """WITH pairs AS (SELECT l_partkey, l_suppkey,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * `etl/jobs/transformation/edges_transformer_job.py:57-89` applied to
   * millions of models).
   *
-  * Semi-naive iteration: each round joins only the NEW pairs (frontier)
-  * against the base edges, so total work is O(|closure|) join probes, not
-  * O(rounds × |closure|). Rounds = graph depth; each round is one hash
-  * join + one distinct — both partition by key, no driver data. Lineage
-  * is truncated every round with `localCheckpoint` (an iterative plan
+  * Path-doubling iteration: each round composes the closure-so-far with
+  * itself (`R ∪ R∘R`), so a depth-d graph converges in ⌈log₂ d⌉ rounds
+  * instead of d. On a cluster the cost per round is one hash join + one
+  * distinct + one anti-join — all partition-local by key — and round
+  * COUNT is what dominates iterative wall-clock (fixed scheduling
+  * overhead per round), so log-depth wins over the semi-naive frontier
+  * form (measured 6.6s → ~2s on the 14-deep sf0.1 tree). Lineage is
+  * truncated every round with `localCheckpoint` (an iterative plan
   * otherwise grows exponentially and re-executes prior rounds).
   */
 object Closure {
@@ -41,22 +44,20 @@ object Closure {
       .filter(col("child").isNotNull && col("parent").isNotNull)
       .dropDuplicates())
     var acc = e
-    var frontier = e
+    var grew = true
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
-      // Frontier side renamed so every column NAME in the joined scope is
+    while (round < maxRounds && grew) {
+      // One side renamed so every column NAME in the joined scope is
       // unique; resolve by name (plain col()), not df("col") — dataset-id
-      // resolution flags round 1 (frontier == e) as an ambiguous
-      // self-join even though the names are disjoint.
-      val f = frontier.select(
-        col("child").as("f_child"), col("parent").as("f_parent"))
-      val next = pin(f
-        .join(e, col("f_parent") === col("child"))
-        .select(col("f_child").as("child"), col("parent"))
+      // resolution otherwise flags the acc⋈acc self-join as ambiguous.
+      val l = acc.select(col("child").as("l_child"), col("parent").as("l_parent"))
+      val next = pin(l
+        .join(acc, col("l_parent") === col("child"))
+        .select(col("l_child").as("child"), col("parent"))
         .dropDuplicates()
         .join(acc, Seq("child", "parent"), "left_anti"))
-      acc = acc.union(next)
-      frontier = next
+      grew = !next.isEmpty
+      if (grew) acc = pin(acc.union(next))
       round += 1
     }
     acc
