@@ -700,6 +700,17 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
     }),
 
+    // ── KMV sketch: cross-engine EXACT distinct estimate (vs q59 HLL) ───
+    "q75_kmv_sketch" -> ((s, dir) => {
+      val kmv = udaf(new graft.functions.Aggregators.KmvDistinct(64),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val hv = (conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long").cast("double") / 4294967296.0).as("hv")
+      tbl(s, dir, "lineitem").select(col("l_returnflag"), hv)
+        .groupBy(col("l_returnflag"))
+        .agg(kmv(col("hv")).as("distinct_est"))
+    }),
+
     // ── SQL surface (pdcm_api-style views, §3.3) ────────────────────────
     "q55_sql_view" -> ((s, dir) => {
       graft.api.SqlViews.register(s, dir)
@@ -1208,6 +1219,19 @@ object SparkEntry {
     "q67_ivf_search" -> ivfSearchSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
+    "q75_kmv_sketch" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+           CAST(CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS hv
+         FROM lineitem),
+         r AS (SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS nd
+           FROM h)
+         SELECT l_returnflag,
+           CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                ELSE 63.0 / max(CASE WHEN rn = 64 THEN hv END) END AS distinct_est
+         FROM r GROUP BY l_returnflag""",
     "q73_salted_agg" ->
       "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
     "q74_media_features" ->

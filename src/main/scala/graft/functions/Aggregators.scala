@@ -23,6 +23,27 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch over unit-interval
+    * hashes: keep the k smallest DISTINCT hash values; estimate is
+    * `(k-1)/h_k` when the buffer fills, the exact distinct count when it
+    * doesn't. O(k) state per group — the mergeable-sketch answer to
+    * COUNT(DISTINCT) at 100 TB. Unlike HLL (engine-specific registers),
+    * the KMV estimate is a pure function of the input hash set, so an
+    * oracle on another engine reproduces it EXACTLY (q75).
+    */
+  class KmvDistinct(k: Int) extends Aggregator[Double, Seq[Double], Double] {
+    override def zero: Seq[Double] = Vector.empty
+    override def reduce(b: Seq[Double], a: Double): Seq[Double] =
+      if (b.contains(a)) b else (b :+ a).sorted.take(k)
+    override def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] =
+      (x ++ y).distinct.sorted.take(k)
+    override def finish(b: Seq[Double]): Double =
+      if (b.size < k) b.size.toDouble else (k - 1).toDouble / b.last
+    override def bufferEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Bounded top-k smallest values per group (k-element buffer — the
     * aggregation analog of TakeOrderedAndProject; state is O(k) however
     * many rows a group has).

@@ -2,7 +2,9 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** YAML source (reference S6, `etl/workflow/spark_reader.py:145-192`):
   * per-provider YAML documents are parsed driver-side, converted to JSON,
@@ -30,5 +32,29 @@ object Yaml {
     }
     import spark.implicits._
     spark.read.json(spark.createDataset(jsons))
+  }
+
+  /** Full S6 module semantics (reference `ReadYamlsByModule`,
+    * `spark_reader.py:151-192`): one YAML per provider, DECLARED columns
+    * projected all-string (missing keys become typed nulls), provenance
+    * stamped, and the per-provider frames unioned by name. No providers →
+    * typed empty frame (S5).
+    */
+  def readModule(
+      spark: SparkSession,
+      providerPaths: Map[String, String],
+      columns: Seq[String]): DataFrame = {
+    val frames = providerPaths.toSeq.sortBy(_._1).map { case (provider, path) =>
+      val df = read(spark, Seq(path))
+      val projected = columns.map(c =>
+        if (df.columns.contains(c)) col(c).cast("string").as(c)
+        else lit(null).cast("string").as(c))
+      df.select(projected: _*).withColumn(Tsv.ProvenanceCol, lit(provider))
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse {
+      val schema = StructType(
+        (columns :+ Tsv.ProvenanceCol).map(StructField(_, StringType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
   }
 }

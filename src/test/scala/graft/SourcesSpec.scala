@@ -65,6 +65,24 @@ class SourcesSpec extends SparkSpec {
     assert(row.getString(0) == "providerA" && row.getLong(2) == 12L)
   }
 
+  test("Yaml.readModule: declared-col projection, missing keys null, provider union") {
+    val dir = tmpDir()
+    Files.writeString(Paths.get(s"$dir/a.yaml"),
+      "name: providerA\nabbreviation: PA\nextra: ignored\n")
+    Files.writeString(Paths.get(s"$dir/b.yaml"),
+      "name: providerB\n") // no abbreviation -> null column
+    val df = Yaml.readModule(spark,
+      Map("provA" -> s"$dir/a.yaml", "provB" -> s"$dir/b.yaml"),
+      Seq("name", "abbreviation"))
+    assert(df.columns.toSeq == Seq("name", "abbreviation", Tsv.ProvenanceCol))
+    val rows = df.orderBy("name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("providerA", "providerB"))
+    assert(rows(0).getString(1) == "PA" && rows(1).isNullAt(1))
+    assert(rows.map(_.getString(2)).toSeq == Seq("provA", "provB"))
+    // No providers -> typed empty frame.
+    assert(Yaml.readModule(spark, Map.empty, Seq("name")).isEmpty)
+  }
+
   test("OntologyGraph: ancestors/descendants/subgraph + rename") {
     val terms = Seq(
       Obo.OboTerm("C1", "Root Neoplasm", "", Nil),
