@@ -35,6 +35,33 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Stream-stream interval join (the streaming dual of the batch banded
+    * range join): each purchase matched to the same user's view events in
+    * the `beforeSeconds` window before it. Both sides carry watermarks
+    * AND the join condition bounds event-time distance, so Spark evicts
+    * join state once the watermark passes — bounded state on unbounded
+    * streams.
+    */
+  def purchaseAttribution(
+      purchases: DataFrame,
+      views: DataFrame,
+      beforeSeconds: Int = 3600,
+      watermark: String = "1 hour"): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+        col("view_user") === col("user_id") &&
+          col("view_ts") <= col("purchase_ts") &&
+          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $beforeSeconds SECONDS"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"))
+  }
+
   /** Sliding-window event rate per type (10-minute windows every 5). */
   def slidingRates(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events

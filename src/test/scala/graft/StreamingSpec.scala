@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val staged = Files.createTempDirectory("graft-ssj").toString
+    batchEvents.write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    def stream() = spark.readStream.schema(schema).parquet(staged)
+
+    val joined = EventStreams.purchaseAttribution(stream(), stream(),
+      beforeSeconds = 600)
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ssj_out")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventStreams.purchaseAttribution(batchEvents, batchEvents,
+      beforeSeconds = 600)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful sessionizer emits closed sessions on a real stream") {
     import graft.streaming.Sessionizer
     val batchEvents = Tables.events(spark, sfDir)
