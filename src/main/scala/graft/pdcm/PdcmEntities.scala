@@ -553,8 +553,8 @@ object PdcmEntities {
           .withColumnRenamed("model_id", "external_model_id")
           .withColumnRenamed("sample_id", "patient_sample_id")
           .withColumnRenamed("tumour_type_name", "tumour_type")
-          .withColumn("data_source", col(prov))
       },
+      // prov IS "data_source" — listed once.
       outputColumns = Seq("pdcm_model_id", "external_model_id", "data_source",
         "model_type", "histology", "search_terms", "cancer_system",
         "dataset_available", "data_score", "metadata_score",
@@ -567,7 +567,7 @@ object PdcmEntities {
         "quality_assurance", "model_treatments", "model_treatments_responses",
         "patient_treatments", "patient_treatments_responses",
         "custom_treatment_type_list", "pdx_model_publications",
-        "license_name", "model_availability", "external_db_links", prov)))
+        "license_name", "model_availability", "external_db_links")))
     .register(EntityDef("search_facet", Seq("search_index"),
       (_, in) => Scoring.buildFacets(in("search_index"), Seq(
         Scoring.FacetDef("histology", "histology", isBoolean = false, 0),

@@ -20,7 +20,10 @@ class PdcmEntitiesSpec extends SparkSpec {
         "ontology_term_diagnosis", "ontology_term_treatment",
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
         "treatment_by_model", "model_links", "molecular_data_links",
-        "model_metadata", "available_molecular_data_columns"))
+        "model_metadata", "available_molecular_data_columns",
+        "expression_data", "cna_data", "biomarker_data",
+        "host_strain", "engraftment_site", "engraftment_type",
+        "xenograft_model_specimen"))
   }
 
   test("formulaic dim fan-out: model/treatment/sharing/platform/static dims") {
@@ -262,6 +265,37 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(brca.getAs[String]("link") ==
       "https://cancer.sanger.ac.uk/cosmic/search?q=COSM1")
     assert(mdl.filter($"symbol" =!= "BRCA1" && $"resource".isNotNull).count() == 0)
+  }
+
+  test("pdcm_api view surface: derived views answer search queries") {
+    val names = graft.api.PdcmApi.register(spark, out)
+    assert(names.size >= 18)
+    assert(spark.sql(
+      "SELECT count FROM pdcm_api_models_by_cancer WHERE histology = 'Lung Adenocarcinoma'")
+      .as[Long].head() == 1)
+    assert(spark.sql(
+      "SELECT mutated_gene FROM pdcm_api_models_by_mutated_gene ORDER BY mutated_gene")
+      .as[String].collect().toSeq == Seq("BRCA1", "EGFR", "GENE2"))
+    assert(spark.sql(
+      "SELECT hgnc_symbol FROM pdcm_api_mutation_data_table WHERE non_harmonised_symbol = 'OLDNAME1'")
+      .as[String].head() == "EGFR")
+    // Unharmonised symbols fall back to the raw symbol.
+    assert(spark.sql(
+      "SELECT hgnc_symbol FROM pdcm_api_mutation_data_table WHERE non_harmonised_symbol = 'TOTALLYUNKNOWN'")
+      .as[String].head() == "TOTALLYUNKNOWN")
+    assert(spark.sql("SELECT * FROM pdcm_api_model_information").count() == 2)
+    assert(spark.sql(
+      "SELECT treatment FROM pdcm_api_dosing_studies ORDER BY treatment")
+      .as[String].collect().toSeq ==
+      Seq("cisplatin", "cisplatin/paclitaxel regimen", "paclitaxel"))
+    // The molecular-data restriction table hides a provider's table.
+    val restricted = Seq(("provA", "mutation_measurement_data"))
+      .toDF("data_source", "molecular_data_table")
+    graft.api.PdcmApi.register(spark,
+      out + ("molecular_data_restriction" -> restricted))
+    assert(spark.sql("SELECT * FROM pdcm_api_mutation_data_table").count() == 0)
+    assert(spark.sql("SELECT * FROM pdcm_api_expression_data_table").count() > 0)
+    graft.api.PdcmApi.register(spark, out) // restore unrestricted views
   }
 
   test("lineage graph: nodes and edges incl. parent/child models") {
