@@ -58,6 +58,10 @@ object PdcmEntities {
       "copy_number_status", "platform_id"),
     "raw_biomarker" -> Seq("sample_id", "symbol", "biomarker_status",
       "platform_id"),
+    // Cell-line model sheet (etl/sources.yaml:39-51).
+    "raw_cell_model" -> Seq("model_id", "model_name", "model_name_aliases",
+      "type", "growth_properties", "growth_media", "media_id", "parent_id",
+      "origin_patient_sample_id", "publications", "plate_coating"),
     // Global HGNC-style marker reference (S9, markers_reader.py):
     // previous/alias symbols are comma-separated lists.
     "raw_markers" -> Seq("approved_symbol", "previous_symbols", "alias_symbols"))
@@ -277,6 +281,19 @@ object PdcmEntities {
       outputColumns = Seq("id", "sample_id", "patient_fk", "diagnosis",
         "tissue_id", "tumour_type_id", "collection_site", "model_id", prov)))
     .registerModel()
+    .register(EntityDef("cell_model", Seq("raw_cell_model", "model_entity"),
+      (_, in) => {
+        // Cell-line sheet FK'd to the model core (reference
+        // cell_model_transformer_job.py:28-33).
+        val mfk = in("model_entity")
+          .select(col("id").as("model_fk"), col("model_id"), col(prov))
+        in("raw_cell_model").dropDuplicates("model_id", prov)
+          .join(mfk, Seq("model_id", prov), "left")
+          .withColumn("id", Ids.hashId(col("model_id"), col(prov)))
+      },
+      outputColumns = Seq("id", "model_fk", "model_id", "model_name",
+        "model_name_aliases", "type", "growth_properties", "growth_media",
+        "media_id", "plate_coating", prov)))
     .register(EntityDef("xenograft_model_specimen",
       Seq("raw_model", "model_entity", "host_strain", "engraftment_site",
         "engraftment_type"),
@@ -437,7 +454,7 @@ object PdcmEntities {
     .register(molecularTable("biomarker_data", "raw_biomarker",
       Seq("biomarker_status")))
     .register(EntityDef("search_index", Seq("patient_sample", "patient",
-      "ethnicity", "tissue", "tumour_type", "model_entity",
+      "ethnicity", "tissue", "tumour_type", "model_entity", "cell_model",
       "molecular_characterization", "mutation_data", "expression_data",
       "cna_data", "biomarker_data", "quality_assurance",
       "sample_to_ontology", "ontology_term_diagnosis", "treatment_by_model",
@@ -503,6 +520,10 @@ object PdcmEntities {
           "treatment_types", "custom_treatment_type_list")
         val links = in("model_links").select(col("model_id"), col(prov),
           col("links_json").as("external_db_links"))
+        val cell = in("cell_model").select(col("model_id"), col(prov),
+          col("model_name"), col("model_name_aliases"),
+          col("growth_properties"), col("growth_media"), col("media_id"),
+          col("plate_coating"))
         val emptyArr = array().cast("array<string>")
         ps.join(p, Seq("patient_fk"), "left")
           .join(broadcast(tis), Seq("tissue_id"), "left")
@@ -524,6 +545,10 @@ object PdcmEntities {
           .join(qa, Seq("model_id", prov), "left")
           .join(tbm, Seq("model_id"), "left")
           .join(links, Seq("model_id", prov), "left")
+          .join(cell, Seq("model_id", prov), "left")
+          .withColumn("model_name_aliases",
+            when(col("model_name_aliases").isNull, array().cast("array<string>"))
+              .otherwise(split(col("model_name_aliases"), ",")))
           .withColumn("histology",
             Links.displayTermName(coalesce(col("term_name"), col("diagnosis"))))
           // search_terms: renamed term + ancestors minus top-level noise
@@ -567,7 +592,9 @@ object PdcmEntities {
         "quality_assurance", "model_treatments", "model_treatments_responses",
         "patient_treatments", "patient_treatments_responses",
         "custom_treatment_type_list", "pdx_model_publications",
-        "license_name", "model_availability", "external_db_links")))
+        "license_name", "model_availability", "external_db_links",
+        "model_name", "model_name_aliases", "growth_properties",
+        "growth_media", "media_id", "plate_coating")))
     .register(EntityDef("search_facet", Seq("search_index"),
       (_, in) => Scoring.buildFacets(in("search_index"), Seq(
         Scoring.FacetDef("histology", "histology", isBoolean = false, 0),

@@ -136,6 +136,18 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(si.getAs[String]("external_db_links").contains("DepMap"))
   }
 
+  test("search_index: cell-model sheet columns joined for cell-line models") {
+    val s2 = out("search_index").filter($"patient_sample_id" === "S2").head()
+    assert(s2.getAs[String]("model_name") == "HCC-1954")
+    assert(s2.getSeq[String](s2.fieldIndex("model_name_aliases")).toSeq ==
+      Seq("HCC1954", "H-1954"))
+    assert(s2.getAs[String]("growth_properties") == "adherent")
+    // PDX model M1 has no cell sheet -> nulls / empty aliases.
+    val s1 = out("search_index").filter($"patient_sample_id" === "S1").head()
+    assert(s1.isNullAt(s1.fieldIndex("model_name")))
+    assert(s1.getSeq[String](s1.fieldIndex("model_name_aliases")).isEmpty)
+  }
+
   test("model_metadata: concat-built JSON object per model") {
     val mm = out("model_metadata").filter($"external_model_id" === "M1").head()
     val json = mm.getAs[String]("metadata_json")
