@@ -27,9 +27,9 @@ object PdcmFull {
         "P1\tFemale\t\tHispanic\t45\tLung Cancer\n" +
         "P2\tmale\t\tNot Provided\t61\tBreast Cancer\n")
     w(s"$root/provA/sample.tsv",
-      "patient_id\tsample_id\tdiagnosis\ttumour_type\tprimary_site\tcollection_site\tage_in_years_at_collection\tmodel_id\n" +
-        "P1\tS1\tLung Adenocarcinoma\tprimary\tlung\tlung\t45\tM1\n" +
-        "P2\tS2\tBreast Carcinoma\tmetastatic\tbreast\tlymph node\t61\tM2\n")
+      "patient_id\tsample_id\tdiagnosis\ttumour_type\tprimary_site\tcollection_site\tage_in_years_at_collection\tcollection_date\tcollection_event\tcollection_method\tstage\tstaging_system\tgrade\tgrading_system\tvirology_status\ttreatment_naive_at_collection\tresponse_to_treatment\tmodel_id\n" +
+        "P1\tS1\tLung Adenocarcinoma\tprimary\tlung\tlung\t45\t2019-05-01\tdiagnosis\tbiopsy\tIII\tTNM\t2\tWHO\tnegative\tyes\tPD\tM1\n" +
+        "P2\tS2\tBreast Carcinoma\tmetastatic\tbreast\tlymph node\t61\t2020-01-15\trelapse\tresection\tIV\tTNM\t3\tWHO\tnegative\tno\tSD\tM2\n")
     w(s"$root/provA/model.tsv",
       "model_id\thost_strain_name\tengraftment_site\tengraftment_type\tsample_type\tpassage_number\tpublications\tparent_model_id\n" +
         "M1\tNSG\tflank\theterotopic\ttissue\t2\t\t\n" +

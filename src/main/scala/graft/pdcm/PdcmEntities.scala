@@ -34,7 +34,11 @@ object PdcmEntities {
     "raw_patient" -> Seq("patient_id", "sex", "history", "ethnicity",
       "age_at_initial_diagnosis", "initial_diagnosis"),
     "raw_sample" -> Seq("patient_id", "sample_id", "diagnosis", "tumour_type",
-      "primary_site", "collection_site", "age_in_years_at_collection", "model_id"),
+      "primary_site", "collection_site", "age_in_years_at_collection",
+      "collection_date", "collection_event", "collection_method",
+      "stage", "staging_system", "grade", "grading_system",
+      "virology_status", "treatment_naive_at_collection",
+      "response_to_treatment", "model_id"),
     "raw_model" -> Seq("model_id", "host_strain_name", "engraftment_site",
       "engraftment_type", "sample_type", "passage_number", "publications",
       "parent_model_id"),
@@ -279,7 +283,11 @@ object PdcmEntities {
           "tumour_type", "name", "id", "tumour_type_id")
       },
       outputColumns = Seq("id", "sample_id", "patient_fk", "diagnosis",
-        "tissue_id", "tumour_type_id", "collection_site", "model_id", prov)))
+        "tissue_id", "tumour_type_id", "collection_site", "collection_date",
+        "collection_event", "collection_method", "age_in_years_at_collection",
+        "stage", "staging_system", "grade", "grading_system",
+        "virology_status", "treatment_naive_at_collection",
+        "response_to_treatment", "model_id", prov)))
     .registerModel()
     .register(EntityDef("cell_model", Seq("raw_cell_model", "model_entity"),
       (_, in) => {
@@ -569,6 +577,18 @@ object PdcmEntities {
               lit("Unclassified")))
           .withColumn("patient_age_category",
             Cleaning.binAge(col("patient_age_at_initial_diagnosis")))
+          .withColumnRenamed("stage", "cancer_stage")
+          .withColumnRenamed("staging_system", "cancer_staging_system")
+          .withColumnRenamed("grade", "cancer_grade")
+          .withColumnRenamed("grading_system", "cancer_grading_system")
+          .withColumnRenamed("collection_date", "patient_sample_collection_date")
+          .withColumnRenamed("collection_event", "patient_sample_collection_event")
+          .withColumnRenamed("collection_method", "patient_sample_collection_method")
+          .withColumnRenamed("virology_status", "patient_sample_virology_status")
+          .withColumnRenamed("treatment_naive_at_collection",
+            "patient_sample_treatment_naive_at_collection")
+          .withColumnRenamed("response_to_treatment",
+            "patient_sample_response_to_treatment")
           .withColumn("dataset_available",
             coalesce(col("dataset_available"), emptyArr))
           .withColumn("data_score", Scoring.dataScore(col("dataset_available"), 3))
@@ -594,7 +614,13 @@ object PdcmEntities {
         "custom_treatment_type_list", "pdx_model_publications",
         "license_name", "model_availability", "external_db_links",
         "model_name", "model_name_aliases", "growth_properties",
-        "growth_media", "media_id", "plate_coating")))
+        "growth_media", "media_id", "plate_coating",
+        "cancer_stage", "cancer_staging_system", "cancer_grade",
+        "cancer_grading_system", "patient_sample_collection_date",
+        "patient_sample_collection_event", "patient_sample_collection_method",
+        "patient_sample_virology_status",
+        "patient_sample_treatment_naive_at_collection",
+        "patient_sample_response_to_treatment")))
     .register(EntityDef("search_facet", Seq("search_index"),
       (_, in) => Scoring.buildFacets(in("search_index"), Seq(
         Scoring.FacetDef("histology", "histology", isBoolean = false, 0),

@@ -136,6 +136,15 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(si.getAs[String]("external_db_links").contains("DepMap"))
   }
 
+  test("search_index: stage/grade/collection passthrough columns") {
+    val s1 = out("search_index").filter($"patient_sample_id" === "S1").head()
+    assert(s1.getAs[String]("cancer_stage") == "III")
+    assert(s1.getAs[String]("cancer_staging_system") == "TNM")
+    assert(s1.getAs[String]("cancer_grade") == "2")
+    assert(s1.getAs[String]("patient_sample_collection_method") == "biopsy")
+    assert(s1.getAs[String]("patient_sample_treatment_naive_at_collection") == "yes")
+  }
+
   test("search_index: cell-model sheet columns joined for cell-line models") {
     val s2 = out("search_index").filter($"patient_sample_id" === "S2").head()
     assert(s2.getAs[String]("model_name") == "HCC-1954")
