@@ -22,6 +22,14 @@ object PdcmFull {
       Files.createDirectories(Paths.get(p).getParent)
       Files.writeString(Paths.get(p), c)
     }
+    w(s"$root/provA/source.yaml",
+      "provider_name: Provider A Lab\nprovider_abbreviation: PRA\n" +
+        "provider_type: academia\nproject: EurOPDX\n" +
+        "provider_description: Example provider A\n")
+    w(s"$root/provB/source.yaml",
+      "provider_name: Provider B Bank\nprovider_abbreviation: PRB\n" +
+        "provider_type: biobank\nproject: EurOPDX\n" +
+        "provider_description: Example provider B\n")
     w(s"$root/provA/patient.tsv",
       "patient_id\tsex\thistory\tethnicity\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
         "P1\tFemale\t\tHispanic\t45\tLung Cancer\n" +

@@ -62,6 +62,10 @@ object PdcmEntities {
       "copy_number_status", "platform_id"),
     "raw_biomarker" -> Seq("sample_id", "symbol", "biomarker_status",
       "platform_id"),
+    // Provider source YAML (etl/sources.yaml:4-14) — read via
+    // Yaml.readModule, bound as a raw module like the TSVs.
+    "raw_source" -> Seq("provider_name", "provider_abbreviation",
+      "provider_type", "project", "provider_description"),
     // Cell-line model sheet (etl/sources.yaml:39-51).
     "raw_cell_model" -> Seq("model_id", "model_name", "model_name_aliases",
       "type", "growth_properties", "growth_media", "media_id", "parent_id",
@@ -254,6 +258,43 @@ object PdcmEntities {
           .zipWithIndex.map { case (n, i) => (i + 1, n) }.toDF("id", "name")
       },
       outputColumns = Seq("id", "name")))
+    .register(EntityDef("provider_type", Seq("raw_source"),
+      (_, in) => dimFromColumn(in("raw_source"), "provider_type"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("project_group", Seq("raw_source"),
+      (_, in) => dimFromColumn(in("raw_source"), "project"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("provider_group",
+      Seq("raw_source", "provider_type", "project_group"),
+      (_, in) => {
+        // Provider registry row per source YAML with dim FKs (reference
+        // provider_group_transformer_job.py:30-75).
+        val src = in("raw_source").select(
+          Cleaning.trimAll(col("provider_name")).as("name"),
+          Cleaning.trimAll(col("provider_abbreviation")).as("provider_abbreviation"),
+          Cleaning.trimAll(col("provider_description")).as("provider_description"),
+          col("provider_type"), col("project"), col(prov)).dropDuplicates()
+        val withType = Relational.transformToFk(src, in("provider_type"),
+          "provider_type", "name", "id", "provider_type_id")
+        Relational.transformToFk(withType, in("project_group"),
+          "project", "name", "id", "project_group_id")
+          .withColumn("id", Ids.hashId(col("provider_abbreviation"), col(prov)))
+      },
+      outputColumns = Seq("id", "name", "provider_abbreviation",
+        "provider_description", "provider_type_id", "project_group_id", prov)))
+    .register(EntityDef("contact_people", Seq("raw_sharing"),
+      (_, in) => in("raw_sharing")
+        .select(Cleaning.sentinelToNull(Cleaning.trimAll(col("name"))).as("name_list"),
+          Cleaning.sentinelToNull(Cleaning.trimAll(col("email"))).as("email_list"),
+          col(prov))
+        .filter(col("name_list").isNotNull || col("email_list").isNotNull)
+        .dropDuplicates()
+        .withColumn("id", Ids.hashId(col("name_list"), col("email_list"), col(prov))),
+      outputColumns = Seq("id", "name_list", "email_list", prov)))
+    .register(EntityDef("publication_group", Seq("raw_model"),
+      (_, in) => dimFromColumn(in("raw_model"), "publications")
+        .withColumnRenamed("name", "pubmed_ids"),
+      outputColumns = Seq("id", "pubmed_ids")))
     .register(EntityDef("patient", Seq("raw_patient", "ethnicity"),
       (_, in) => {
         val cleaned = in("raw_patient")
@@ -971,6 +1012,19 @@ object PdcmEntities {
       "raw_external_resources" ->
         ExternalResources.resourcesTable(spark, DefaultResources),
       "raw_downloaded_resources" -> ExternalResources.readDownloaded(
-        spark, root, DefaultResources, DefaultDownloadConfs))
+        spark, root, DefaultResources, DefaultDownloadConfs),
+      // Provider source YAMLs via the S6 module reader (overrides the
+      // TSV-shaped empty frame the rawSchemas fold produced).
+      "raw_source" -> {
+        val providerYamls = Option(new java.io.File(root).listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.isDirectory)
+          .flatMap { d =>
+            val f = new java.io.File(d, "source.yaml")
+            if (f.exists()) Some(d.getName -> f.getPath) else None
+          }.toMap
+        graft.sources.Yaml.readModule(spark, providerYamls,
+          rawSchemas("raw_source"))
+      })
   }
 }

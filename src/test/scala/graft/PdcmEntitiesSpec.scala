@@ -32,7 +32,8 @@ class PdcmEntitiesSpec extends SparkSpec {
       .run(Seq("host_strain", "engraftment_site", "engraftment_type",
         "engraftment_sample_type", "response", "accessibility_group",
         "platform", "license", "molecular_characterization_type",
-        "xenograft_model_specimen"))
+        "xenograft_model_specimen", "provider_group", "contact_people",
+        "publication_group"))
     assert(dims("host_strain").select("name").as[String].collect().sorted.toSeq ==
       Seq("NOD", "NSG"))
     assert(dims("engraftment_site").count() == 2) // flank, mammary
@@ -47,6 +48,14 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(spec.filter($"model_fk".isNull || $"host_strain_id".isNull ||
       $"engraftment_site_id".isNull || $"engraftment_type_id".isNull)
       .count() == 0)
+    // provider_group from the S6 YAML module with dim FKs.
+    val pg = dims("provider_group").orderBy("provider_abbreviation")
+    assert(pg.select("name").as[String].collect().toSeq ==
+      Seq("Provider A Lab", "Provider B Bank"))
+    assert(pg.filter($"provider_type_id".isNull ||
+      $"project_group_id".isNull).count() == 0)
+    assert(dims("contact_people").count() == 1) // only provA sharing has contact
+    assert(dims("publication_group").count() == 0) // fixture has no pubs
   }
 
   test("dims and patient entity: clean, dedup, FK-resolved") {
