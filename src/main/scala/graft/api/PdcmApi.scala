@@ -103,6 +103,23 @@ object PdcmApi {
     "patient_treatment" ->
       """SELECT model_id, explode(patient_treatments) AS treatment
          FROM treatment_by_model WHERE patient_treatments IS NOT NULL""",
+    // provider_group / project_group (views.sql:967, :984).
+    "provider_group_vw" ->
+      """SELECT id, name, provider_abbreviation, provider_description,
+         provider_type_id, project_group_id, data_source
+         FROM provider_group""",
+    "project_group_vw" -> "SELECT id, name FROM project_group",
+    // contact_people (views.sql:229).
+    "contact_people_vw" ->
+      "SELECT id, name_list, email_list, data_source FROM contact_people",
+    // cell_model (views.sql:997).
+    "cell_model_vw" ->
+      """SELECT id, model_fk, model_id AS external_model_id, model_name,
+         model_name_aliases, type, growth_properties, growth_media,
+         media_id, plate_coating, data_source
+         FROM cell_model""",
+    // publication_group (views.sql:352).
+    "publication_group_vw" -> "SELECT id, pubmed_ids FROM publication_group",
     // Dim passthroughs (views.sql:264-337).
     "engraftment_site_vw" -> "SELECT id, name FROM engraftment_site",
     "engraftment_type_vw" -> "SELECT id, name FROM engraftment_type",

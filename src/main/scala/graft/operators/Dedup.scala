@@ -72,9 +72,18 @@ object Dedup {
           Seq("b"))
         .groupBy(col("a").as("vertex"))
         .agg(min(col("nb_label")).as("nbr_min"))
-      val updated = pin(labels.join(nbrMin, Seq("vertex"), "left")
+      val relaxed = labels.join(nbrMin, Seq("vertex"), "left")
         .select(col("vertex"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // Pointer jump: label(v) ← label(label(v)). Together with the
+      // neighbor-min relax this converges in O(log diameter) rounds.
+      val lookup = relaxed.select(
+        col("vertex").as("c_vertex"), col("component").as("c_component"))
+      val updated = pin(relaxed
+        .join(lookup, col("component") === col("c_vertex"), "left")
+        .select(col("vertex"),
+          least(col("component"), coalesce(col("c_component"), col("component")))
             .as("component")))
       changed = updated
         .join(labels.withColumnRenamed("component", "old"), Seq("vertex"))

@@ -23,7 +23,8 @@ class PdcmEntitiesSpec extends SparkSpec {
         "model_metadata", "available_molecular_data_columns",
         "expression_data", "cna_data", "biomarker_data",
         "host_strain", "engraftment_site", "engraftment_type",
-        "xenograft_model_specimen"))
+        "xenograft_model_specimen", "provider_group", "project_group",
+        "contact_people", "publication_group"))
   }
 
   test("formulaic dim fan-out: model/treatment/sharing/platform/static dims") {
@@ -299,7 +300,14 @@ class PdcmEntitiesSpec extends SparkSpec {
 
   test("pdcm_api view surface: derived views answer search queries") {
     val names = graft.api.PdcmApi.register(spark, out)
-    assert(names.size >= 18)
+    assert(names.size >= 23)
+    assert(spark.sql(
+      "SELECT name FROM pdcm_api_provider_group_vw ORDER BY name")
+      .as[String].collect().toSeq ==
+      Seq("Provider A Lab", "Provider B Bank"))
+    assert(spark.sql(
+      "SELECT model_name FROM pdcm_api_cell_model_vw WHERE external_model_id = 'M2'")
+      .as[String].head() == "HCC-1954")
     assert(spark.sql(
       "SELECT count FROM pdcm_api_models_by_cancer WHERE histology = 'Lung Adenocarcinoma'")
       .as[Long].head() == 1)
