@@ -71,6 +71,15 @@ object PdcmApi {
          WHERE (data_source, 'biomarker_molecular_data') NOT IN
            (SELECT data_source, molecular_data_table
             FROM molecular_data_restriction)""",
+    // immunemarker_data_table (views.sql:655).
+    "immunemarker_data_table" ->
+      """SELECT molchar_id AS molecular_characterization_id, marker_type,
+         marker_name, marker_value, essential_or_additional_details,
+         data_source
+         FROM immunemarker_data
+         WHERE (data_source, 'immunemarker_molecular_data') NOT IN
+           (SELECT data_source, molecular_data_table
+            FROM molecular_data_restriction)""",
     // model_molecular_metadata (views.sql:406, materialized there — here
     // a plain view; persist the molchar entity for the same effect).
     "model_molecular_metadata" ->

@@ -46,8 +46,12 @@ object PdcmFull {
       "model_id\taccessibility\temail\tname\tform_url\tdatabase_url\tlicense\n" +
         "M1\tacademia\ta@b.c\tLab\t\thttps://depmap.org/portal/cell_line/ACH-000123\tCC0\n")
     w(s"$root/provA/cell_model.tsv",
-      "model_id\tmodel_name\tmodel_name_aliases\ttype\tgrowth_properties\tgrowth_media\tmedia_id\tparent_id\torigin_patient_sample_id\tpublications\tplate_coating\n" +
-        "M2\tHCC-1954\tHCC1954,H-1954\tcell line\tadherent\tRPMI-1640\tMED1\t\tS2\t\tnone\n")
+      "model_id\tmodel_name\tmodel_name_aliases\ttype\tgrowth_properties\tgrowth_media\tmedia_id\tparent_id\torigin_patient_sample_id\tpublications\tplate_coating\tsupplier\tsupplier_type\tcatalog_number\tvendor_link\trrid\n" +
+        "M2\tHCC-1954\tHCC1954,H-1954\tcell line\tadherent\tRPMI-1640\tMED1\t\tS2\t\tnone\tATCC\tcommercial\tCRL-2338\thttps://www.atcc.org/products/crl-2338\tCVCL_1259\n")
+    w(s"$root/provA/immunemarker.tsv",
+      "sample_id\tmarker_type\tmarker_name\tmarker_value\tessential_or_additional_details\tplatform_id\n" +
+        "S1\tHLA type\tHLA-A\tA*02:01\t\tPL1\n" +
+        "S1\tModel Genomics\tTMB\t7.2\tmutations per megabase\tPL1\n")
     w(s"$root/provA/model_validation.tsv",
       "model_id\tvalidation_technique\tdescription\tpassages_tested\n" +
         "M1\tIHC\tdesc\t1,2\nM1\tSTR\tdesc2\t3\n")

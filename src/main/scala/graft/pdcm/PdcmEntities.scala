@@ -62,6 +62,10 @@ object PdcmEntities {
       "copy_number_status", "platform_id"),
     "raw_biomarker" -> Seq("sample_id", "symbol", "biomarker_status",
       "platform_id"),
+    // Immunemarker sheet (etl/sources.yaml:320-329) — marker names are
+    // not gene symbols, so no harmonization waterfall.
+    "raw_immunemarker" -> Seq("sample_id", "marker_type", "marker_name",
+      "marker_value", "essential_or_additional_details", "platform_id"),
     // Provider source YAML (etl/sources.yaml:4-14) — read via
     // Yaml.readModule, bound as a raw module like the TSVs.
     "raw_source" -> Seq("provider_name", "provider_abbreviation",
@@ -69,7 +73,8 @@ object PdcmEntities {
     // Cell-line model sheet (etl/sources.yaml:39-51).
     "raw_cell_model" -> Seq("model_id", "model_name", "model_name_aliases",
       "type", "growth_properties", "growth_media", "media_id", "parent_id",
-      "origin_patient_sample_id", "publications", "plate_coating"),
+      "origin_patient_sample_id", "publications", "plate_coating",
+      "supplier", "supplier_type", "catalog_number", "vendor_link", "rrid"),
     // Global HGNC-style marker reference (S9, markers_reader.py):
     // previous/alias symbols are comma-separated lists.
     "raw_markers" -> Seq("approved_symbol", "previous_symbols", "alias_symbols"))
@@ -342,7 +347,20 @@ object PdcmEntities {
       },
       outputColumns = Seq("id", "model_fk", "model_id", "model_name",
         "model_name_aliases", "type", "growth_properties", "growth_media",
-        "media_id", "plate_coating", prov)))
+        "media_id", "plate_coating", "supplier", "supplier_type",
+        "catalog_number", "vendor_link", "rrid", prov)))
+    .register(EntityDef("immunemarker_data",
+      Seq("raw_immunemarker", "molecular_characterization"),
+      (_, in) => {
+        // Composite-key FK like the other molecular tables, but NO gene
+        // waterfall (immunemarker names aren't HGNC symbols).
+        val mc = in("molecular_characterization")
+          .select(col("id").as("molchar_id"), col("sample_id"),
+            col("platform_id"), col(prov))
+        in("raw_immunemarker").join(mc, Seq("sample_id", "platform_id", prov), "left")
+      },
+      outputColumns = Seq("sample_id", "marker_type", "marker_name",
+        "marker_value", "essential_or_additional_details", "molchar_id", prov)))
     .register(EntityDef("xenograft_model_specimen",
       Seq("raw_model", "model_entity", "host_strain", "engraftment_site",
         "engraftment_type"),
@@ -572,7 +590,8 @@ object PdcmEntities {
         val cell = in("cell_model").select(col("model_id"), col(prov),
           col("model_name"), col("model_name_aliases"),
           col("growth_properties"), col("growth_media"), col("media_id"),
-          col("plate_coating"))
+          col("plate_coating"), col("supplier"), col("supplier_type"),
+          col("catalog_number"), col("vendor_link"), col("rrid"))
         val emptyArr = array().cast("array<string>")
         ps.join(p, Seq("patient_fk"), "left")
           .join(broadcast(tis), Seq("tissue_id"), "left")
@@ -656,6 +675,7 @@ object PdcmEntities {
         "license_name", "model_availability", "external_db_links",
         "model_name", "model_name_aliases", "growth_properties",
         "growth_media", "media_id", "plate_coating",
+        "supplier", "supplier_type", "catalog_number", "vendor_link", "rrid",
         "cancer_stage", "cancer_staging_system", "cancer_grade",
         "cancer_grading_system", "patient_sample_collection_date",
         "patient_sample_collection_event", "patient_sample_collection_method",

@@ -21,7 +21,7 @@ class PdcmEntitiesSpec extends SparkSpec {
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
         "treatment_by_model", "model_links", "molecular_data_links",
         "model_metadata", "available_molecular_data_columns",
-        "expression_data", "cna_data", "biomarker_data",
+        "expression_data", "cna_data", "biomarker_data", "immunemarker_data",
         "host_strain", "engraftment_site", "engraftment_type",
         "xenograft_model_specimen", "provider_group", "project_group",
         "contact_people", "publication_group"))
@@ -308,6 +308,12 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT model_name FROM pdcm_api_cell_model_vw WHERE external_model_id = 'M2'")
       .as[String].head() == "HCC-1954")
+    assert(spark.sql(
+      "SELECT marker_value FROM pdcm_api_immunemarker_data_table WHERE marker_name = 'HLA-A'")
+      .as[String].head() == "A*02:01")
+    assert(spark.sql(
+      "SELECT count(*) FROM pdcm_api_immunemarker_data_table WHERE molecular_characterization_id IS NULL")
+      .as[Long].head() == 0)
     assert(spark.sql(
       "SELECT count FROM pdcm_api_models_by_cancer WHERE histology = 'Lung Adenocarcinoma'")
       .as[Long].head() == 1)
