@@ -34,7 +34,9 @@ object PdcmApi {
     "mutation_data_table" ->
       """SELECT molchar_id AS molecular_characterization_id,
          COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
-         symbol AS non_harmonised_symbol, chromosome, seq_start_position,
+         symbol AS non_harmonised_symbol, amino_acid_change, chromosome,
+         strand, consequence, read_depth, allele_frequency,
+         seq_start_position, ref_allele, alt_allele, biotype,
          match_stage AS harmonisation_result,
          data_source
          FROM mutation_data

@@ -70,11 +70,11 @@ object PdcmFull {
       "platform_id\tmolecular_characterisation_type\tinstrument_model\n" +
         "PL1\tmutation\tIllumina\nPL2\texpression\tIllumina\n")
     w(s"$root/provA/mutation.tsv",
-      "sample_id\tsymbol\tchromosome\tseq_start_position\tplatform_id\n" +
-        "S1\tBRCA1\t17\t43044295\tPL1\n" +
-        "S1\tOLDNAME1\t7\t55019017\tPL1\n" +
-        "S1\tAMBIG\t1\t100\tPL1\n" +
-        "S1\tTOTALLYUNKNOWN\t2\t200\tPL1\n")
+      "sample_id\tsymbol\tbiotype\tamino_acid_change\tconsequence\tread_depth\tallele_frequency\tchromosome\tstrand\tseq_start_position\tref_allele\talt_allele\tensembl_gene_id\tncbi_gene_id\tplatform_id\n" +
+        "S1\tBRCA1\tprotein_coding\tE1234K\tmissense_variant\t120\t0.42\t17\t+\t43044295\tG\tA\tENSG00000012048\t672\tPL1\n" +
+        "S1\tOLDNAME1\tprotein_coding\tL858R\tmissense_variant\t88\t0.31\t7\t+\t55019017\tT\tG\t\t\tPL1\n" +
+        "S1\tAMBIG\t\t\t\t\t\t1\t+\t100\tA\tC\t\t\tPL1\n" +
+        "S1\tTOTALLYUNKNOWN\t\t\t\t\t\t2\t-\t200\tC\tT\t\t\tPL1\n")
     w(s"$root/provA/expression.tsv",
       "sample_id\tsymbol\trnaseq_tpm\trnaseq_fpkm\tplatform_id\n" +
         "S1\tBRCA1\t12.5\t8.1\tPL2\n" +

@@ -54,8 +54,10 @@ object PdcmEntities {
       "passage", "platform_id"),
     "raw_molchar_platform" -> Seq("platform_id",
       "molecular_characterisation_type", "instrument_model"),
-    "raw_mutation" -> Seq("sample_id", "symbol", "chromosome",
-      "seq_start_position", "platform_id"),
+    "raw_mutation" -> Seq("sample_id", "symbol", "biotype",
+      "amino_acid_change", "consequence", "read_depth", "allele_frequency",
+      "chromosome", "strand", "seq_start_position", "ref_allele",
+      "alt_allele", "ensembl_gene_id", "ncbi_gene_id", "platform_id"),
     "raw_expression" -> Seq("sample_id", "symbol", "rnaseq_tpm",
       "rnaseq_fpkm", "platform_id"),
     "raw_cna" -> Seq("sample_id", "symbol", "log2r_cna",
@@ -513,7 +515,9 @@ object PdcmEntities {
       },
       outputColumns = Seq("approved_symbol", "match_symbol", "match_kind")))
     .register(molecularTable("mutation_data", "raw_mutation",
-      Seq("chromosome", "seq_start_position")))
+      Seq("biotype", "amino_acid_change", "consequence", "read_depth",
+        "allele_frequency", "chromosome", "strand", "seq_start_position",
+        "ref_allele", "alt_allele")))
     .register(molecularTable("expression_data", "raw_expression",
       Seq("rnaseq_tpm", "rnaseq_fpkm")))
     .register(molecularTable("cna_data", "raw_cna",
