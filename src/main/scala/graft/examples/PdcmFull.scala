@@ -43,8 +43,8 @@ object PdcmFull {
         "M1\tNSG\tflank\theterotopic\ttissue\t2\t\t\n" +
         "M2\tNOD\tmammary\torthotopic\ttissue\t1\t\tM1\n")
     w(s"$root/provA/sharing.tsv",
-      "model_id\taccessibility\temail\tname\tform_url\tdatabase_url\tlicense\n" +
-        "M1\tacademia\ta@b.c\tLab\t\thttps://depmap.org/portal/cell_line/ACH-000123\tCC0\n")
+      "model_id\taccessibility\teuropdx_access_modality\temail\tname\tform_url\tdatabase_url\tlicense\tdate_submitted\tmodel_availability\n" +
+        "M1\tacademia\ttransnational access\ta@b.c\tLab\t\thttps://depmap.org/portal/cell_line/ACH-000123\tCC0\t2021-03-02\tavailable\n")
     w(s"$root/provA/cell_model.tsv",
       "model_id\tmodel_name\tmodel_name_aliases\ttype\tgrowth_properties\tgrowth_media\tmedia_id\tparent_id\torigin_patient_sample_id\tpublications\tplate_coating\tsupplier\tsupplier_type\tcatalog_number\tvendor_link\trrid\n" +
         "M2\tHCC-1954\tHCC1954,H-1954\tcell line\tadherent\tRPMI-1640\tMED1\t\tS2\t\tnone\tATCC\tcommercial\tCRL-2338\thttps://www.atcc.org/products/crl-2338\tCVCL_1259\n")
@@ -56,9 +56,9 @@ object PdcmFull {
       "model_id\tvalidation_technique\tdescription\tpassages_tested\n" +
         "M1\tIHC\tdesc\t1,2\nM1\tSTR\tdesc2\t3\n")
     w(s"$root/provA/drug-dosing.tsv",
-      "model_id\ttreatment_name\ttreatment_dose\tadministration_route\ttreatment_response\n" +
-        "M1\tcisplatin + paclitaxel\t2mg + 5mg\tiv\tPD\n" +
-        "M2\tbadsplit + twodrugs\tonlyonedose\tiv\tSD\n")
+      "model_id\tpassage_range\ttreatment_name\ttreatment_dose\tadministration_route\ttreatment_schedule\ttreatment_length\ttreatment_response\tresponse_classification\n" +
+        "M1\t2-4\tcisplatin + paclitaxel\t2mg + 5mg\tiv\tweekly\t4 weeks\tPD\tRECIST\n" +
+        "M2\t1\tbadsplit + twodrugs\tonlyonedose\tiv\tdaily\t2 weeks\tSD\tRECIST\n")
     w(s"$root/provA/patient-treatment.tsv",
       "patient_id\ttreatment_name\ttreatment_dose\ttreatment_response\tmodel_id\n" +
         "P1\tdoxorubicin\t1mg\tCR\tM1\n")

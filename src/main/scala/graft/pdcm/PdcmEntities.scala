@@ -42,12 +42,14 @@ object PdcmEntities {
     "raw_model" -> Seq("model_id", "host_strain_name", "engraftment_site",
       "engraftment_type", "sample_type", "passage_number", "publications",
       "parent_model_id"),
-    "raw_sharing" -> Seq("model_id", "accessibility", "email", "name",
-      "form_url", "database_url", "license"),
+    "raw_sharing" -> Seq("model_id", "accessibility",
+      "europdx_access_modality", "email", "name", "form_url",
+      "database_url", "license", "date_submitted", "model_availability"),
     "raw_model_validation" -> Seq("model_id", "validation_technique",
       "description", "passages_tested"),
-    "raw_drug_dosing" -> Seq("model_id", "treatment_name", "treatment_dose",
-      "administration_route", "treatment_response"),
+    "raw_drug_dosing" -> Seq("model_id", "passage_range", "treatment_name",
+      "treatment_dose", "administration_route", "treatment_schedule",
+      "treatment_length", "treatment_response", "response_classification"),
     "raw_patient_treatment" -> Seq("patient_id", "treatment_name",
       "treatment_dose", "treatment_response", "model_id"),
     "raw_molchar_sample" -> Seq("model_id", "sample_id", "sample_origin",
@@ -553,7 +555,7 @@ object PdcmEntities {
         val m = in("model_entity").select(col("model_id"), col(prov),
           col("id").as("pdcm_model_id"), col("sample_type").as("model_type"),
           col("license").as("license_name"),
-          col("accessibility").as("model_availability"),
+          col("model_availability"), col("date_submitted"),
           col("publications").as("pdx_model_publications"))
         val onto = in("sample_to_ontology")
           .select(col("sample_id"), col(prov), col("term_name"), col("mapped_term_id"))
@@ -685,7 +687,7 @@ object PdcmEntities {
         "patient_sample_collection_event", "patient_sample_collection_method",
         "patient_sample_virology_status",
         "patient_sample_treatment_naive_at_collection",
-        "patient_sample_response_to_treatment")))
+        "patient_sample_response_to_treatment", "date_submitted")))
     .register(EntityDef("search_facet", Seq("search_index"),
       (_, in) => Scoring.buildFacets(in("search_index"), Seq(
         Scoring.FacetDef("histology", "histology", isBoolean = false, 0),
@@ -981,12 +983,16 @@ object PdcmEntities {
         val sh = in("raw_sharing")
           .dropDuplicates("model_id", prov)
           .select(col("model_id"), col(prov),
-            col("accessibility"), col("license"), col("database_url"))
+            col("accessibility"), col("europdx_access_modality"),
+            col("license"), col("database_url"), col("date_submitted"),
+            col("model_availability"))
         m.join(sh, Seq("model_id", prov), "left")
       },
       outputColumns = Seq("id", "model_id", "host_strain_name",
         "engraftment_site", "engraftment_type", "sample_type", "publications",
-        "parent_model_id", "accessibility", "license", "database_url", prov)))
+        "parent_model_id", "accessibility", "europdx_access_modality",
+        "license", "database_url", "date_submitted", "model_availability",
+        prov)))
   }
 
   /** Bind raw-module sources from a provider directory tree
