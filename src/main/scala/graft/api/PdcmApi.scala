@@ -47,7 +47,9 @@ object PdcmApi {
     "expression_data_table" ->
       """SELECT molchar_id AS molecular_characterization_id,
          COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
-         symbol AS non_harmonised_symbol, rnaseq_tpm, rnaseq_fpkm,
+         symbol AS non_harmonised_symbol, chromosome, strand,
+         seq_start_position, seq_end_position, rnaseq_coverage,
+         rnaseq_fpkm, rnaseq_tpm, rnaseq_count,
          data_source
          FROM expression_data
          WHERE (data_source, 'expression_molecular_data') NOT IN
@@ -57,7 +59,9 @@ object PdcmApi {
     "cna_data_table" ->
       """SELECT molchar_id AS molecular_characterization_id,
          COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
-         symbol AS non_harmonised_symbol, log2r_cna, copy_number_status,
+         symbol AS non_harmonised_symbol, chromosome, strand,
+         seq_start_position, seq_end_position, log10r_cna, log2r_cna,
+         copy_number_status, gistic_value,
          data_source
          FROM cna_data
          WHERE (data_source, 'cna_molecular_data') NOT IN

@@ -76,12 +76,12 @@ object PdcmFull {
         "S1\tAMBIG\t\t\t\t\t\t1\t+\t100\tA\tC\t\t\tPL1\n" +
         "S1\tTOTALLYUNKNOWN\t\t\t\t\t\t2\t-\t200\tC\tT\t\t\tPL1\n")
     w(s"$root/provA/expression.tsv",
-      "sample_id\tsymbol\trnaseq_tpm\trnaseq_fpkm\tplatform_id\n" +
-        "S1\tBRCA1\t12.5\t8.1\tPL2\n" +
-        "S1\tOLDNAME1\t3.3\t2.0\tPL2\n")
+      "sample_id\tchromosome\tstrand\tseq_start_position\tseq_end_position\tsymbol\trnaseq_coverage\trnaseq_fpkm\trnaseq_tpm\trnaseq_count\tplatform_id\n" +
+        "S1\t17\t+\t43044295\t43125364\tBRCA1\t98.2\t8.1\t12.5\t1042\tPL2\n" +
+        "S1\t7\t+\t55019017\t55211628\tOLDNAME1\t91.0\t2.0\t3.3\t410\tPL2\n")
     w(s"$root/provA/cna.tsv",
-      "sample_id\tsymbol\tlog2r_cna\tcopy_number_status\tplatform_id\n" +
-        "S1\tBRCA1\t-0.7\tloss\tPL1\n")
+      "sample_id\tchromosome\tstrand\tseq_start_position\tseq_end_position\tsymbol\tlog10r_cna\tlog2r_cna\tcopy_number_status\tgistic_value\tplatform_id\n" +
+        "S1\t17\t+\t43044295\t43125364\tBRCA1\t-0.21\t-0.7\tloss\t-1\tPL1\n")
     w(s"$root/provA/biomarker.tsv",
       "sample_id\tsymbol\tbiomarker_status\tplatform_id\n" +
         "S1\tBRCA1\tpositive\tPL1\n" +

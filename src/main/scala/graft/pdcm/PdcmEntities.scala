@@ -60,10 +60,13 @@ object PdcmEntities {
       "amino_acid_change", "consequence", "read_depth", "allele_frequency",
       "chromosome", "strand", "seq_start_position", "ref_allele",
       "alt_allele", "ensembl_gene_id", "ncbi_gene_id", "platform_id"),
-    "raw_expression" -> Seq("sample_id", "symbol", "rnaseq_tpm",
-      "rnaseq_fpkm", "platform_id"),
-    "raw_cna" -> Seq("sample_id", "symbol", "log2r_cna",
-      "copy_number_status", "platform_id"),
+    "raw_expression" -> Seq("sample_id", "chromosome", "strand",
+      "seq_start_position", "seq_end_position", "symbol",
+      "rnaseq_coverage", "rnaseq_fpkm", "rnaseq_tpm", "rnaseq_count",
+      "platform_id"),
+    "raw_cna" -> Seq("sample_id", "chromosome", "strand",
+      "seq_start_position", "seq_end_position", "symbol", "log10r_cna",
+      "log2r_cna", "copy_number_status", "gistic_value", "platform_id"),
     "raw_biomarker" -> Seq("sample_id", "symbol", "biomarker_status",
       "platform_id"),
     // Immunemarker sheet (etl/sources.yaml:320-329) — marker names are
@@ -521,9 +524,11 @@ object PdcmEntities {
         "allele_frequency", "chromosome", "strand", "seq_start_position",
         "ref_allele", "alt_allele")))
     .register(molecularTable("expression_data", "raw_expression",
-      Seq("rnaseq_tpm", "rnaseq_fpkm")))
+      Seq("chromosome", "strand", "seq_start_position", "seq_end_position",
+        "rnaseq_coverage", "rnaseq_fpkm", "rnaseq_tpm", "rnaseq_count")))
     .register(molecularTable("cna_data", "raw_cna",
-      Seq("log2r_cna", "copy_number_status")))
+      Seq("chromosome", "strand", "seq_start_position", "seq_end_position",
+        "log10r_cna", "log2r_cna", "copy_number_status", "gistic_value")))
     .register(molecularTable("biomarker_data", "raw_biomarker",
       Seq("biomarker_status")))
     .register(EntityDef("search_index", Seq("patient_sample", "patient",
@@ -961,9 +966,11 @@ object PdcmEntities {
         avail("mutation_data", "mutation",
           Seq("symbol", "harmonized_symbol", "chromosome", "seq_start_position"))
           .union(avail("expression_data", "expression",
-            Seq("symbol", "harmonized_symbol", "rnaseq_tpm", "rnaseq_fpkm")))
+            Seq("symbol", "harmonized_symbol", "rnaseq_coverage",
+              "rnaseq_fpkm", "rnaseq_tpm", "rnaseq_count")))
           .union(avail("cna_data", "cna",
-            Seq("symbol", "harmonized_symbol", "log2r_cna", "copy_number_status")))
+            Seq("symbol", "harmonized_symbol", "log10r_cna", "log2r_cna",
+              "copy_number_status", "gistic_value")))
           .union(avail("biomarker_data", "biomarker",
             Seq("symbol", "harmonized_symbol", "biomarker_status")))
       },
