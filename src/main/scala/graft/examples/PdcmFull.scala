@@ -196,7 +196,9 @@ object PdcmFull {
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
         "treatment_harmonised", "treatment_by_model", "model_links",
         "molecular_data_links", "model_metadata",
-        "available_molecular_data_columns"))
+        "available_molecular_data_columns", "immunemarker_data",
+        "provider_group", "contact_people", "publication_group",
+        "xenograft_model_specimen", "platform"))
     out.foreach { case (name, df) =>
       PostgresTsv.write(df, s"$work/out/$name")
     }
