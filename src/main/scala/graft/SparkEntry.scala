@@ -700,6 +700,17 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
     }),
 
+    // ── Corpus shaping: deterministic sampling + sequence packing ───────
+    "q76_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", Map("en" -> 0.5), defaultRate = 0.2)),
+    "q77_sequence_packing" -> ((s, dir) =>
+      graft.operators.Sampling.chunkAssignments(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", budget = 2048)),
+
     // ── KMV sketch: cross-engine EXACT distinct estimate (vs q59 HLL) ───
     "q75_kmv_sketch" -> ((s, dir) => {
       val kmv = udaf(new graft.functions.Aggregators.KmvDistinct(64),
@@ -1219,6 +1230,23 @@ object SparkEntry {
     "q67_ivf_search" -> ivfSearchSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
+    "q76_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS frac
+           FROM documents)
+         WHERE frac < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END""",
+    "q77_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+         FROM t""",
     "q75_kmv_sketch" ->
       """WITH h AS (SELECT DISTINCT l_returnflag,
            CAST(CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: per-stratum
+  * downsampling and token-budget chunk assignment.
+  *
+  * Both are DETERMINISTIC pure functions of the input — no RNG, no
+  * partition-order dependence — so results are identical under stage
+  * retry, across cluster sizes, and across engines (exact DuckDB oracles
+  * in SparkEntry q76/q77). That property is what makes a 100 TB sampling
+  * run auditable: re-running any slice reproduces the same keep set.
+  */
+object Sampling {
+
+  /** Unit-interval hash of an id: first 8 md5 hex digits / 2^32 — the
+    * same construction the KMV sketch uses (identical on any engine with
+    * md5, unlike xxhash64/rand seeds).
+    */
+  def unitHash(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** Keep a row iff `unitHash(id) < rate(stratum)` — per-stratum
+    * downsampling (e.g. keep 50% of English, 20% of everything else).
+    * One codegen'd filter at scan time; no shuffle, no driver state.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(unitHash(col(idCol)) < rate)
+  }
+
+  /** Concatenate-and-chunk packing (how LLM pretraining typically packs
+    * documents into fixed-size sequences): within each group, documents
+    * ordered by `idCol` form one token stream; a document's `pack_id` is
+    * the chunk index of its first token, `prefix_tokens div budget`.
+    * One window cumsum per group — a single shuffle by group key.
+    */
+  def chunkAssignments(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokenCountCol: String,
+      budget: Int): DataFrame = {
+    val prev = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("prefix_tokens",
+        coalesce(sum(col(tokenCountCol)).over(prev), lit(0L)))
+      .withColumn("pack_id", expr(s"prefix_tokens div $budget"))
+  }
+}
