@@ -700,6 +700,25 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
     }),
 
+    // ── Benchmark decontamination: train/eval n-gram overlap ────────────
+    "q78_contamination" -> ((s, dir) => {
+      // Distinct 3-gram shingles per doc, eval (doc_id < 50) joined to
+      // train on the shingle key — the standard pretraining-vs-benchmark
+      // overlap check. Candidate generation is an equi-join on shingles
+      // (partition by shingle hash), never a doc×doc product.
+      val sh = tbl(s, dir, "documents").select(col("doc_id"),
+          explode(array_distinct(
+            Text.wordShingles(Text.tokens(col("text")), 3))).as("shingle"))
+      val ev = sh.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("eval_id"), col("shingle"))
+      val tr = sh.filter(col("doc_id") >= 50)
+        .select(col("doc_id").as("train_id"), col("shingle"))
+      ev.join(tr, Seq("shingle"))
+        .groupBy(col("eval_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+          countDistinct(col("train_id")).as("n_contaminating_docs"))
+    }),
+
     // ── Corpus shaping: deterministic sampling + sequence packing ───────
     "q76_stratified_sample" -> ((s, dir) =>
       graft.operators.Sampling.stratifiedSample(
@@ -1230,6 +1249,18 @@ object SparkEntry {
     "q67_ivf_search" -> ivfSearchSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
+    "q78_contamination" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+           FROM toks WHERE len(w) >= 3),
+         ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id < 50),
+         tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id >= 50)
+         SELECT eval_id, count(DISTINCT shingle) AS n_shared_shingles,
+           count(DISTINCT train_id) AS n_contaminating_docs
+         FROM ev JOIN tr USING (shingle) GROUP BY eval_id""",
     "q76_stratified_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
