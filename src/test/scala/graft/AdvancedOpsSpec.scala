@@ -78,6 +78,34 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(fromDisk == fromModel && fromModel.head == 3L)
   }
 
+  test("stratifiedSample is partition-layout invariant (retry-safe)") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "lang")
+    val a = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5), 0.2).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(docs.repartition(7), "lang", "doc_id",
+      Map("en" -> 0.5), 0.2).select("doc_id").as[Long].collect().toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("chunkAssignments matches a local replay of the token stream") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val packed = Sampling.chunkAssignments(docs, "lang", "doc_id", "n_tokens", 2048)
+      .select("lang", "doc_id", "n_tokens", "pack_id")
+      .as[(String, Long, Long, Long)].collect()
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var prefix = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, packId) =>
+        assert(packId == prefix / 2048)
+        prefix += n
+      }
+    }
+    assert(packed.map(_._4).max > 0) // multiple chunks exist
+  }
+
   test("IVF search finds the exact neighbor for an indexed vector") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val model = Ivf.build(e, "vec_id", "embedding", nCells = 8)
