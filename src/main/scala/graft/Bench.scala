@@ -18,7 +18,14 @@ object Bench {
     // single-shot totals by ±30%; the min is the reproducible cost.
     // noop sink, not count(): count() lets Catalyst prune every projected
     // column, so projection-heavy queries would measure only the scan.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // q40 is the deliberately-bounded brute-force CONTRAST demo for the
+    // bucketed near-pairs path (q66 is the verified scale plan); its
+    // cartesian join stays out of the headline bench so no benched plan
+    // contains an all-pairs product. It remains oracle-checked in Verify.
+    val excluded = Set("q40_near_pairs")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => excluded(name) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -713,7 +713,16 @@ object SparkEntry {
         .select(col("doc_id").as("eval_id"), col("shingle"))
       val tr = sh.filter(col("doc_id") >= 50)
         .select(col("doc_id").as("train_id"), col("shingle"))
+      // Doc-frequency cap: a shingle present in >64 train docs is corpus
+      // boilerplate, not contamination signal — and at 100 TB it is the
+      // skew killer (one hot trigram funnels every doc through one
+      // reducer and inflates candidates quadratically). One bounded
+      // groupBy caps the join's per-key fan-out at 64.
+      val rare = tr.groupBy(col("shingle"))
+        .agg(countDistinct(col("train_id")).as("df"))
+        .filter(col("df") <= 64).select(col("shingle"))
       ev.join(tr, Seq("shingle"))
+        .join(rare, Seq("shingle"), "left_semi")
         .groupBy(col("eval_id"))
         .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
           countDistinct(col("train_id")).as("n_contaminating_docs"))
@@ -732,13 +741,15 @@ object SparkEntry {
 
     // ── KMV sketch: cross-engine EXACT distinct estimate (vs q59 HLL) ───
     "q75_kmv_sketch" -> ((s, dir) => {
-      val kmv = udaf(new graft.functions.Aggregators.KmvDistinct(64),
-        org.apache.spark.sql.Encoders.scalaDouble)
+      // Native TypedImperativeAggregate (primitive-buffer, no per-row
+      // encoder round-trip); the typed-Aggregator form lives on in
+      // AggregatorsSpec as the extension-point demo.
       val hv = (conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 8),
         16, 10).cast("long").cast("double") / 4294967296.0).as("hv")
       tbl(s, dir, "lineitem").select(col("l_returnflag"), hv)
         .groupBy(col("l_returnflag"))
-        .agg(kmv(col("hv")).as("distinct_est"))
+        .agg(graft.plans.SketchAggregates.kmvDistinct(col("hv"), 64)
+          .as("distinct_est"))
     }),
 
     // ── SQL surface (pdcm_api-style views, §3.3) ────────────────────────
@@ -1257,10 +1268,13 @@ object SparkEntry {
                i -> array_to_string(w[i:i+2], ' ')))) AS shingle
            FROM toks WHERE len(w) >= 3),
          ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id < 50),
-         tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id >= 50)
+         tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id >= 50),
+         rare AS (SELECT shingle FROM tr GROUP BY shingle
+           HAVING count(DISTINCT train_id) <= 64)
          SELECT eval_id, count(DISTINCT shingle) AS n_shared_shingles,
            count(DISTINCT train_id) AS n_contaminating_docs
-         FROM ev JOIN tr USING (shingle) GROUP BY eval_id""",
+         FROM ev JOIN tr USING (shingle) JOIN rare USING (shingle)
+         GROUP BY eval_id""",
     "q76_stratified_sample" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

@@ -13,8 +13,21 @@ import graft.Tables
   */
 object SqlViews {
 
-  /** Register every base table as `<name>` plus the derived views. */
-  def register(spark: SparkSession, sfDir: String): Unit = {
+  /** Sessions×dirs already registered. Registration re-reads every parquet
+    * footer and re-plans ~10 views (~0.6 s), so queries that call
+    * [[register]] defensively must not pay it twice; keyed by the session
+    * (not globally) because temp views are session-scoped.
+    */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Register every base table as `<name>` plus the derived views.
+    * Idempotent per (session, sfDir): repeat calls are no-ops.
+    */
+  def register(spark: SparkSession, sfDir: String): Unit =
+    if (registered.add((spark, sfDir))) doRegister(spark, sfDir)
+
+  private def doRegister(spark: SparkSession, sfDir: String): Unit = {
     Tables.names.foreach { n =>
       val df = if (n == "events") Tables.events(spark, sfDir) else Tables.load(spark, sfDir, n)
       df.createOrReplaceTempView(n)

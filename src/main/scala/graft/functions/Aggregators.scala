@@ -34,7 +34,11 @@ object Aggregators {
   class KmvDistinct(k: Int) extends Aggregator[Double, Seq[Double], Double] {
     override def zero: Seq[Double] = Vector.empty
     override def reduce(b: Seq[Double], a: Double): Seq[Double] =
-      if (b.contains(a)) b else (b :+ a).sorted.take(k)
+      // Full buffer + a >= max: a can never enter the k-minimum set —
+      // skip the O(k log k) contains+sort (the common case on big groups).
+      if (b.size == k && a >= b.last) b
+      else if (b.contains(a)) b
+      else (b :+ a).sorted.take(k)
     override def merge(x: Seq[Double], y: Seq[Double]): Seq[Double] =
       (x ++ y).distinct.sorted.take(k)
     override def finish(b: Seq[Double]): Double =

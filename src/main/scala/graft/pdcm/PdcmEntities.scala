@@ -622,7 +622,7 @@ object PdcmEntities {
           .join(msi, Seq("sample_id", prov), "left")
           .join(hla, Seq("sample_id", prov), "left")
           .join(qa, Seq("model_id", prov), "left")
-          .join(tbm, Seq("model_id"), "left")
+          .join(tbm, Seq("model_id", prov), "left")
           .join(links, Seq("model_id", prov), "left")
           .join(cell, Seq("model_id", prov), "left")
           .withColumn("model_name_aliases",
@@ -837,13 +837,17 @@ object PdcmEntities {
         val all = direct
           .select("treatment_protocol_id", "term_name", "types", "class")
           .union(discoveredTreatments).union(discoveredRegimens)
+        // Provenance rides along end-to-end: two providers can share an
+        // external model_id, and grouping on model_id alone would
+        // cross-contaminate their treatment lists (the reference keys on
+        // the internal per-provider model FK).
         val proto = in("treatment_protocol").select(
           col("protocol_id").as("treatment_protocol_id"), col("model_id"),
-          col("target_kind"), col("treatment_response")).dropDuplicates()
+          col(prov), col("target_kind"), col("treatment_response")).dropDuplicates()
         val grouped = proto.join(all, Seq("treatment_protocol_id"), "left")
           .drop("treatment_protocol_id").dropDuplicates()
           .withColumn("term_name", lower(col("term_name")))
-          .groupBy(col("model_id"), col("target_kind"))
+          .groupBy(col("model_id"), col(prov), col("target_kind"))
           .agg(
             sort_array(array_distinct(collect_list(col("term_name"))))
               .as("treatments"),
@@ -852,20 +856,20 @@ object PdcmEntities {
             sort_array(array_distinct(collect_list(col("treatment_response"))))
               .as("responses"))
         val model = grouped.filter(col("target_kind") === "model").select(
-          col("model_id"), col("treatments").as("model_treatments"),
+          col("model_id"), col(prov), col("treatments").as("model_treatments"),
           col("responses").as("model_treatments_responses"),
           col("treatment_types").as("model_types"))
         val patient = grouped.filter(col("target_kind") === "patient").select(
-          col("model_id"), col("treatments").as("patient_treatments"),
+          col("model_id"), col(prov), col("treatments").as("patient_treatments"),
           col("responses").as("patient_treatments_responses"),
           col("treatment_types").as("patient_types"))
-        model.join(patient, Seq("model_id"), "outer")
+        model.join(patient, Seq("model_id", prov), "outer")
           .withColumn("treatment_types", sort_array(array_distinct(concat(
             coalesce(col("model_types"), array().cast("array<string>")),
             coalesce(col("patient_types"), array().cast("array<string>"))))))
           .drop("model_types", "patient_types")
       },
-      outputColumns = Seq("model_id", "model_treatments",
+      outputColumns = Seq("model_id", prov, "model_treatments",
         "model_treatments_responses", "patient_treatments",
         "patient_treatments_responses", "treatment_types")))
     .register(EntityDef("model_links",

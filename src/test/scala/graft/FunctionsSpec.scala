@@ -40,6 +40,29 @@ class FunctionsSpec extends SparkSpec {
     assert(vals.select(tk).head() == Seq(1.0, 2.0, 3.0))
   }
 
+  test("native KmvSketch matches the typed-Aggregator KMV exactly") {
+    import graft.functions.Aggregators
+    import graft.plans.SketchAggregates
+    // 500 skewed hash values with duplicates, spread over 8 partitions so
+    // merge() and serialize() both run; k=16 < distinct count so the
+    // estimator branch is exercised, and a second group stays below k.
+    val rows = (1 to 500).map(i => ("big", (i % 97 + 1) / 100.0)) ++
+      (1 to 5).map(i => ("small", i / 10.0))
+    val df = rows.toDF("g", "hv").repartition(8)
+    val native = df.groupBy($"g")
+      .agg(SketchAggregates.kmvDistinct($"hv", 16).as("est"))
+      .as[(String, Double)].collect().toMap
+    val typed = udaf(new Aggregators.KmvDistinct(16),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val old = df.groupBy($"g").agg(typed($"hv").as("est"))
+      .as[(String, Double)].collect().toMap
+    assert(native == old)
+    assert(native("small") == 5.0) // below k: exact distinct count
+    // full buffer: (k-1)/h_k with h_k the 16th-smallest distinct hash
+    val hk = (1 to 97).map(_ / 100.0).distinct.sorted.apply(15)
+    assert(math.abs(native("big") - 15.0 / hk) < 1e-12)
+  }
+
   test("binAge buckets ages like the reference") {
     val got = Seq("1", "5", "45", "61", "not an age", null)
       .toDF("age").select(Cleaning.binAge($"age")).as[String].collect()
