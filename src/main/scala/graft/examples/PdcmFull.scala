@@ -31,17 +31,25 @@ object PdcmFull {
         "provider_type: biobank\nproject: EurOPDX\n" +
         "provider_description: Example provider B\n")
     w(s"$root/provA/patient.tsv",
-      "patient_id\tsex\thistory\tethnicity\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
-        "P1\tFemale\t\tHispanic\t45\tLung Cancer\n" +
-        "P2\tmale\t\tNot Provided\t61\tBreast Cancer\n")
+      "patient_id\tsex\thistory\tethnicity\tethnicity_assessment_method\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
+        "P1\tFemale\t\tHispanic\tself-assessed\t45\tLung Cancer\n" +
+        "P2\tmale\t\tNot Provided\t\t61\tBreast Cancer\n")
     w(s"$root/provA/sample.tsv",
-      "patient_id\tsample_id\tdiagnosis\ttumour_type\tprimary_site\tcollection_site\tage_in_years_at_collection\tcollection_date\tcollection_event\tcollection_method\tstage\tstaging_system\tgrade\tgrading_system\tvirology_status\ttreatment_naive_at_collection\tresponse_to_treatment\tmodel_id\n" +
-        "P1\tS1\tLung Adenocarcinoma\tprimary\tlung\tlung\t45\t2019-05-01\tdiagnosis\tbiopsy\tIII\tTNM\t2\tWHO\tnegative\tyes\tPD\tM1\n" +
-        "P2\tS2\tBreast Carcinoma\tmetastatic\tbreast\tlymph node\t61\t2020-01-15\trelapse\tresection\tIV\tTNM\t3\tWHO\tnegative\tno\tSD\tM2\n")
+      "patient_id\tsample_id\tdiagnosis\ttumour_type\tprimary_site\tcollection_site\tage_in_years_at_collection\tcollection_date\tcollection_event\tcollection_method\tmonths_since_collection_1\tstage\tstaging_system\tgrade\tgrading_system\tvirology_status\tgene_mutation_status\tsharable\ttreatment_naive_at_collection\ttreated_at_collection\ttreated_prior_to_collection\tresponse_to_treatment\tmodel_id\n" +
+        "P1\tS1\tLung Adenocarcinoma\tprimary\tlung\tlung\t45\t2019-05-01\tdiagnosis\tbiopsy\t0\tIII\tTNM\t2\tWHO\tnegative\ttested\tyes\tyes\tno\tno\tPD\tM1\n" +
+        "P2\tS2\tBreast Carcinoma\tmetastatic\tbreast\tlymph node\t61\t2020-01-15\trelapse\tresection\t6\tIV\tTNM\t3\tWHO\tnegative\t\tno\tno\tyes\tyes\tSD\tM2\n")
     w(s"$root/provA/model.tsv",
-      "model_id\thost_strain_name\tengraftment_site\tengraftment_type\tsample_type\tpassage_number\tpublications\tparent_model_id\n" +
-        "M1\tNSG\tflank\theterotopic\ttissue\t2\t\t\n" +
-        "M2\tNOD\tmammary\torthotopic\ttissue\t1\t\tM1\n")
+      "model_id\thost_strain_name\thost_strain_nomenclature\tengraftment_site\tengraftment_type\tsample_type\tsample_state\tpassage_number\tpublications\texternal_ids\tparent_model_id\n" +
+        "M1\tNSG\tNOD.Cg-Prkdc<scid>\tflank\theterotopic\ttissue\tfresh\t2\t\tJAX:123\t\n" +
+        "M2\tNOD\tNOD/ShiLtJ\tmammary\torthotopic\ttissue\tfrozen\t1\t\t\tM1\n")
+    w(s"$root/provA/model_image.tsv",
+      "model_id\turl\tdescription\tsample_type\tpassage\tmagnification\tstaining\n" +
+        "M1\thttps://example.org/img/m1-he.png\tH&E \"section\"\ttissue\t2\t20x\tH&E\n" +
+        "M1\thttps://example.org/img/m1-ihc.png\tIHC panel\ttissue\t2\t40x\tIHC\n" +
+        "MX\thttps://example.org/img/orphan.png\torphan row drops\ttissue\t1\t10x\tH&E\n")
+    w(s"$root/provA/image_study.tsv",
+      "study_id\ttitle\tdescription\tlicence\tcontact\tsample_organism\tsample_description\timaging_instrument\timaging_method\n" +
+        "ST1\tPDX histology\tHistology study\tCC0\ta@b.c\tmouse\txenograft sections\tAperio\tbrightfield\n")
     w(s"$root/provA/sharing.tsv",
       "model_id\taccessibility\teuropdx_access_modality\temail\tname\tform_url\tdatabase_url\tlicense\tdate_submitted\tmodel_availability\n" +
         "M1\tacademia\ttransnational access\ta@b.c\tLab\t\thttps://depmap.org/portal/cell_line/ACH-000123\tCC0\t2021-03-02\tavailable\n")
@@ -60,8 +68,8 @@ object PdcmFull {
         "M1\t2-4\tcisplatin + paclitaxel\t2mg + 5mg\tiv\tweekly\t4 weeks\tPD\tRECIST\n" +
         "M2\t1\tbadsplit + twodrugs\tonlyonedose\tiv\tdaily\t2 weeks\tSD\tRECIST\n")
     w(s"$root/provA/patient-treatment.tsv",
-      "patient_id\ttreatment_name\ttreatment_dose\ttreatment_response\tmodel_id\n" +
-        "P1\tdoxorubicin\t1mg\tCR\tM1\n")
+      "patient_id\ttreatment_name\ttreatment_dose\ttreatment_response\tresponse_classification\tmodel_id\n" +
+        "P1\tdoxorubicin\t1mg\tCR\tRECIST\tM1\n")
     w(s"$root/provA/molchar_sample.tsv",
       "model_id\tsample_id\tsample_origin\tpassage\tplatform_id\n" +
         "M1\tS1\tpatient\t0\tPL1\nM1\tS1\tpatient\t0\tPL2\n" +
@@ -97,8 +105,8 @@ object PdcmFull {
     // provB: only patients — every other module exercises the
     // empty-input fallback for this provider.
     w(s"$root/provB/patient.tsv",
-      "patient_id\tsex\thistory\tethnicity\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
-        "P9\tfemale\t\tAsian\t33\tColon Cancer\n")
+      "patient_id\tsex\thistory\tethnicity\tethnicity_assessment_method\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
+        "P9\tfemale\t\tAsian\t\t33\tColon Cancer\n")
     // Shared ontology inputs: a miniature NCIt with diagnosis
     // (C3262→C9305→C4878→C2926), treatment (C1909→{C376,C1411}) and
     // regimen (C12218→C11197) branches, ontolia regimen links, and the

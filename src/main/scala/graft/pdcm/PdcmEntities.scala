@@ -32,16 +32,19 @@ object PdcmEntities {
     */
   val rawSchemas: Map[String, Seq[String]] = Map(
     "raw_patient" -> Seq("patient_id", "sex", "history", "ethnicity",
-      "age_at_initial_diagnosis", "initial_diagnosis"),
+      "ethnicity_assessment_method", "age_at_initial_diagnosis",
+      "initial_diagnosis"),
     "raw_sample" -> Seq("patient_id", "sample_id", "diagnosis", "tumour_type",
       "primary_site", "collection_site", "age_in_years_at_collection",
       "collection_date", "collection_event", "collection_method",
-      "stage", "staging_system", "grade", "grading_system",
-      "virology_status", "treatment_naive_at_collection",
-      "response_to_treatment", "model_id"),
-    "raw_model" -> Seq("model_id", "host_strain_name", "engraftment_site",
-      "engraftment_type", "sample_type", "passage_number", "publications",
-      "parent_model_id"),
+      "months_since_collection_1", "stage", "staging_system",
+      "grade", "grading_system", "virology_status", "gene_mutation_status",
+      "sharable", "treatment_naive_at_collection", "treated_at_collection",
+      "treated_prior_to_collection", "response_to_treatment", "model_id"),
+    "raw_model" -> Seq("model_id", "host_strain_name",
+      "host_strain_nomenclature", "engraftment_site", "engraftment_type",
+      "sample_type", "sample_state", "passage_number", "publications",
+      "external_ids", "parent_model_id"),
     "raw_sharing" -> Seq("model_id", "accessibility",
       "europdx_access_modality", "email", "name", "form_url",
       "database_url", "license", "date_submitted", "model_availability"),
@@ -51,7 +54,14 @@ object PdcmEntities {
       "treatment_dose", "administration_route", "treatment_schedule",
       "treatment_length", "treatment_response", "response_classification"),
     "raw_patient_treatment" -> Seq("patient_id", "treatment_name",
-      "treatment_dose", "treatment_response", "model_id"),
+      "treatment_dose", "treatment_response", "response_classification",
+      "model_id"),
+    // Histology image sheets (etl/sources.yaml:172-198).
+    "raw_model_image" -> Seq("model_id", "url", "description",
+      "sample_type", "passage", "magnification", "staining"),
+    "raw_image_study" -> Seq("study_id", "title", "description", "licence",
+      "contact", "sample_organism", "sample_description",
+      "imaging_instrument", "imaging_method"),
     "raw_molchar_sample" -> Seq("model_id", "sample_id", "sample_origin",
       "passage", "platform_id"),
     "raw_molchar_platform" -> Seq("platform_id",
@@ -213,7 +223,26 @@ object PdcmEntities {
       .withColumn("id", Ids.hashId(col("name")))
       .select("id", "name")
 
-  def registry(): EntityRegistry = new EntityRegistry()
+  /** Build the full entity registry.
+    *
+    * @param molecularDataRestriction provider → restricted-table pairs
+    *   (the reference's `molecular_data_restriction` config dict,
+    *   `molecular_data_restriction_transformer_job.py:32-44`); rows here
+    *   suppress the matching `*_data_table` API views for that provider.
+    */
+  def registry(
+      molecularDataRestriction: Seq[(String, String)] = Nil): EntityRegistry =
+    new EntityRegistry()
+    .register(EntityDef("molecular_data_restriction", Nil,
+      (s, _) => {
+        import s.implicits._
+        molecularDataRestriction
+          .toDF("data_source", "molecular_data_table")
+          // NULL rows would poison the views' anti-join semantics.
+          .filter(col("data_source").isNotNull &&
+            col("molecular_data_table").isNotNull)
+      },
+      outputColumns = Seq("data_source", "molecular_data_table")))
     .register(EntityDef("ethnicity", Seq("raw_patient"),
       (_, in) => dimFromColumn(in("raw_patient"), "ethnicity"),
       outputColumns = Seq("id", "name")))
@@ -235,6 +264,27 @@ object PdcmEntities {
     .register(EntityDef("engraftment_sample_type", Seq("raw_model"),
       (_, in) => dimFromColumn(in("raw_model"), "sample_type"),
       outputColumns = Seq("id", "name")))
+    .register(EntityDef("engraftment_sample_state", Seq("raw_model"),
+      (_, in) => dimFromColumn(in("raw_model"), "sample_state"),
+      outputColumns = Seq("id", "name")))
+    .register(EntityDef("response_classification",
+      Seq("raw_drug_dosing", "raw_patient_treatment"),
+      (_, in) => dimFromColumn(
+        in("raw_drug_dosing").select(col("response_classification"))
+          .union(in("raw_patient_treatment").select(col("response_classification"))),
+        "response_classification"),
+      outputColumns = Seq("id", "name")))
+    // contact_form / source_database (reference
+    // contact_form_transformer_job.py / source_database_transformer_job.py:
+    // one row per distinct sharing-sheet URL).
+    .register(EntityDef("contact_form", Seq("raw_sharing"),
+      (_, in) => dimFromColumn(in("raw_sharing"), "form_url")
+        .withColumnRenamed("name", "form_url"),
+      outputColumns = Seq("id", "form_url")))
+    .register(EntityDef("source_database", Seq("raw_sharing"),
+      (_, in) => dimFromColumn(in("raw_sharing"), "database_url")
+        .withColumnRenamed("name", "database_url"),
+      outputColumns = Seq("id", "database_url")))
     .register(EntityDef("response", Seq("raw_drug_dosing", "raw_patient_treatment"),
       (_, in) => dimFromColumn(
         in("raw_drug_dosing").select(col("treatment_response"))
@@ -318,6 +368,7 @@ object PdcmEntities {
           "ethnicity", "name", "id", "ethnicity_id")
       },
       outputColumns = Seq("id", "patient_id", "sex", "history",
+        "ethnicity_assessment_method", "initial_diagnosis",
         "age_at_initial_diagnosis", "ethnicity_id", prov)))
     .register(EntityDef("patient_sample",
       Seq("raw_sample", "patient", "tissue", "tumour_type"),
@@ -337,9 +388,12 @@ object PdcmEntities {
       },
       outputColumns = Seq("id", "sample_id", "patient_fk", "diagnosis",
         "tissue_id", "tumour_type_id", "collection_site", "collection_date",
-        "collection_event", "collection_method", "age_in_years_at_collection",
+        "collection_event", "collection_method", "months_since_collection_1",
+        "age_in_years_at_collection",
         "stage", "staging_system", "grade", "grading_system",
-        "virology_status", "treatment_naive_at_collection",
+        "virology_status", "gene_mutation_status", "sharable",
+        "treatment_naive_at_collection", "treated_at_collection",
+        "treated_prior_to_collection",
         "response_to_treatment", "model_id", prov)))
     .registerModel()
     .register(EntityDef("cell_model", Seq("raw_cell_model", "model_entity"),
@@ -370,11 +424,13 @@ object PdcmEntities {
         "marker_value", "essential_or_additional_details", "molchar_id", prov)))
     .register(EntityDef("xenograft_model_specimen",
       Seq("raw_model", "model_entity", "host_strain", "engraftment_site",
-        "engraftment_type"),
+        "engraftment_type", "engraftment_sample_type",
+        "engraftment_sample_state"),
       (_, in) => {
         // Specimen row per model with the chained dim-FK resolutions (J1
-        // x3; reference xenograft_model_specimen via
-        // model_transformer_job.py's FK chain).
+        // x5; reference xenograft_model_specimen via
+        // model_transformer_job.py's FK chain). The raw display names
+        // ride along for the search_index specimens JSON aggregation.
         val raw = in("raw_model").dropDuplicates("model_id", prov)
         val mfk = in("model_entity")
           .select(col("id").as("model_fk"), col("model_id"), col(prov))
@@ -385,10 +441,20 @@ object PdcmEntities {
           "engraftment_site", "name", "id", "engraftment_site_id")
         val withType = Relational.transformToFk(withSite, in("engraftment_type"),
           "engraftment_type", "name", "id", "engraftment_type_id")
-        withType.withColumn("id", Ids.hashId(col("model_id"), col(prov)))
+        val withSt = Relational.transformToFk(withType,
+          in("engraftment_sample_type").withColumnRenamed("name", "st_name"),
+          "sample_type", "st_name", "id", "engraftment_sample_type_id")
+        val withSs = Relational.transformToFk(withSt,
+          in("engraftment_sample_state").withColumnRenamed("name", "ss_name"),
+          "sample_state", "ss_name", "id", "engraftment_sample_state_id")
+        withSs.withColumn("id", Ids.hashId(col("model_id"), col(prov)))
       },
       outputColumns = Seq("id", "model_fk", "passage_number",
-        "host_strain_id", "engraftment_site_id", "engraftment_type_id", prov)))
+        "host_strain_id", "engraftment_site_id", "engraftment_type_id",
+        "engraftment_sample_type_id", "engraftment_sample_state_id",
+        "host_strain_name", "host_strain_nomenclature",
+        "engraftment_site", "engraftment_type",
+        "sample_type", "sample_state", prov)))
     .register(EntityDef("quality_assurance", Seq("raw_model_validation"),
       (_, in) => in("raw_model_validation")
         .groupBy(col("model_id"), col(prov))
@@ -399,6 +465,28 @@ object PdcmEntities {
               lit("\"}"))))),
           lit("]")).as("validation_json")),
       outputColumns = Seq("model_id", prov, "validation_json")))
+    // Histology image entities (reference
+    // model_image_transformer_job.py:32-47 and the image_study sheet,
+    // etl/sources.yaml:172-198): images dedupe then FK to the model core
+    // on the (external model id, provider) composite key — inner, like
+    // the reference, so orphan image rows drop.
+    .register(EntityDef("model_image", Seq("raw_model_image", "model_entity"),
+      (_, in) => {
+        val mfk = in("model_entity")
+          .select(col("id").as("model_fk"), col("model_id"), col(prov))
+        in("raw_model_image").dropDuplicates()
+          .join(mfk, Seq("model_id", prov), "inner")
+          .withColumn("id",
+            Ids.hashId(col("model_id"), col("url"), col(prov)))
+      },
+      outputColumns = Seq("id", "model_fk", "model_id", "url", "description",
+        "sample_type", "passage", "magnification", "staining", prov)))
+    .register(EntityDef("image_study", Seq("raw_image_study"),
+      (_, in) => in("raw_image_study").dropDuplicates("study_id", prov)
+        .withColumn("id", Ids.hashId(col("study_id"), col(prov))),
+      outputColumns = Seq("id", "study_id", "title", "description",
+        "licence", "contact", "sample_organism", "sample_description",
+        "imaging_instrument", "imaging_method", prov)))
     .register(EntityDef("treatment_protocol",
       Seq("raw_drug_dosing", "raw_patient_treatment"),
       (_, in) => {
@@ -536,7 +624,8 @@ object PdcmEntities {
       "molecular_characterization", "mutation_data", "expression_data",
       "cna_data", "biomarker_data", "quality_assurance",
       "sample_to_ontology", "ontology_term_diagnosis", "treatment_by_model",
-      "model_links"),
+      "model_links", "provider_group", "project_group", "license",
+      "xenograft_model_specimen", "model_image", "molecular_data_links"),
       (_, in) => {
         // The search_index assembly (reference
         // `search_index_transformer_job.py:42-126` 70-column contract +
@@ -549,6 +638,9 @@ object PdcmEntities {
         val p = in("patient")
           .select(col("id").as("patient_fk"), col("patient_id"),
             col("sex").as("patient_sex"), col("history").as("patient_history"),
+            col("ethnicity_assessment_method")
+              .as("patient_ethnicity_assessment_method"),
+            col("initial_diagnosis").as("patient_initial_diagnosis"),
             col("age_at_initial_diagnosis").as("patient_age_at_initial_diagnosis"),
             col("ethnicity_id"))
           .join(broadcast(eth), Seq("ethnicity_id"), "left")
@@ -559,9 +651,49 @@ object PdcmEntities {
           .select(col("id").as("tumour_type_id"), col("name").as("tumour_type_name"))
         val m = in("model_entity").select(col("model_id"), col(prov),
           col("id").as("pdcm_model_id"), col("sample_type").as("model_type"),
-          col("license").as("license_name"),
+          col("license").as("license_name"), col("external_ids"),
           col("model_availability"), col("date_submitted"),
           col("publications").as("pdx_model_publications"))
+        // Provider registry enrich (one broadcast row per provider):
+        // provider_name + project_name (reference joins these in the
+        // patient-sample intermediate via provider_group).
+        val pgrp = in("provider_group")
+          .join(broadcast(in("project_group")
+            .select(col("id").as("project_group_id"),
+              col("name").as("project_name"))),
+            Seq("project_group_id"), "left")
+          .select(col(prov), col("name").as("provider_name"),
+            col("project_name"))
+        // license dim carries the URL for a known license name.
+        val lic = in("license").select(col("name").as("license_name"),
+          col("url").as("license_url"))
+        // Per-model JSON aggregations (reference
+        // model_metadata_transformer_job.py:166-212), via to_json(struct)
+        // so quotes/backslashes in free text escape correctly.
+        val specimens = in("xenograft_model_specimen")
+          .groupBy(col("model_fk").as("pdcm_model_id"))
+          .agg(to_json(sort_array(collect_list(struct(
+            col("host_strain_name"), col("host_strain_nomenclature"),
+            col("engraftment_site"), col("engraftment_type"),
+            col("sample_type").as("engraftment_sample_type"),
+            col("sample_state").as("engraftment_sample_state"),
+            col("passage_number"))))).as("xenograft_model_specimens"))
+        val images = in("model_image")
+          .groupBy(col("model_fk").as("pdcm_model_id"))
+          .agg(to_json(sort_array(collect_list(struct(
+            col("url"), col("description"), col("sample_type"),
+            col("passage"), col("magnification"), col("staining")))))
+            .as("model_images"))
+        // Resource lists (resources_per_model_util.py): raw-data links
+        // pre-aggregated on model_links; annotation resources from the
+        // molecular-data link table per model.
+        val rawRes = in("model_links").select(col("model_id"), col(prov),
+          col("resources").as("raw_data_resources"))
+        val annRes = in("molecular_data_links")
+          .filter(col("resource").isNotNull && col("model_id").isNotNull)
+          .groupBy(col("model_id"), col(prov))
+          .agg(sort_array(collect_set(col("resource")))
+            .as("cancer_annotation_resources"))
         val onto = in("sample_to_ontology")
           .select(col("sample_id"), col(prov), col("term_name"), col("mapped_term_id"))
           .join(broadcast(in("ontology_term_diagnosis")
@@ -625,6 +757,12 @@ object PdcmEntities {
           .join(tbm, Seq("model_id", prov), "left")
           .join(links, Seq("model_id", prov), "left")
           .join(cell, Seq("model_id", prov), "left")
+          .join(broadcast(pgrp), Seq(prov), "left")
+          .join(broadcast(lic), Seq("license_name"), "left")
+          .join(specimens, Seq("pdcm_model_id"), "left")
+          .join(images, Seq("pdcm_model_id"), "left")
+          .join(rawRes, Seq("model_id", prov), "left")
+          .join(annRes, Seq("model_id", prov), "left")
           .withColumn("model_name_aliases",
             when(col("model_name_aliases").isNull, array().cast("array<string>"))
               .otherwise(split(col("model_name_aliases"), ",")))
@@ -648,6 +786,10 @@ object PdcmEntities {
               lit("Unclassified")))
           .withColumn("patient_age_category",
             Cleaning.binAge(col("patient_age_at_initial_diagnosis")))
+          // patient_age is the BINNED age at collection (reference
+          // search_index_patient_sample_transformer_job.py:90-92).
+          .withColumn("patient_age",
+            Cleaning.binAge(col("age_in_years_at_collection")))
           .withColumnRenamed("stage", "cancer_stage")
           .withColumnRenamed("staging_system", "cancer_staging_system")
           .withColumnRenamed("grade", "cancer_grade")
@@ -660,38 +802,64 @@ object PdcmEntities {
             "patient_sample_treatment_naive_at_collection")
           .withColumnRenamed("response_to_treatment",
             "patient_sample_response_to_treatment")
+          .withColumnRenamed("months_since_collection_1",
+            "patient_sample_months_since_collection_1")
+          .withColumnRenamed("gene_mutation_status",
+            "patient_sample_gene_mutation_status")
+          .withColumnRenamed("sharable", "patient_sample_sharable")
+          .withColumnRenamed("treated_at_collection",
+            "patient_sample_treated_at_collection")
+          .withColumnRenamed("treated_prior_to_collection",
+            "patient_sample_treated_prior_to_collection")
           .withColumn("dataset_available",
             coalesce(col("dataset_available"), emptyArr))
           .withColumn("data_score", Scoring.dataScore(col("dataset_available"), 3))
           .withColumn("metadata_score", Scoring.metadataScore(Seq(
             Scoring.Weight("diagnosis", 4), Scoring.Weight("patient_sex", 2),
             Scoring.Weight("tissue_id", 2), Scoring.Weight("tumour_type_id", 2))))
+          // scores JSON (reference model_characterizations_calculator:
+          // {"pdx_metadata_score": N, "data_score": M}); to_json escapes.
+          .withColumn("scores", to_json(struct(
+            col("metadata_score").as("pdx_metadata_score"),
+            col("data_score"))))
           .withColumnRenamed("model_id", "external_model_id")
           .withColumnRenamed("sample_id", "patient_sample_id")
           .withColumnRenamed("tumour_type_name", "tumour_type")
       },
-      // prov IS "data_source" — listed once.
+      // prov IS "data_source" — listed once. The 67-column reference
+      // contract (entities_registry.py:623-691) plus engine extras
+      // (data_score/metadata_score/external_db_links/cell-sheet columns).
       outputColumns = Seq("pdcm_model_id", "external_model_id", "data_source",
+        "project_name", "provider_name", "external_ids",
         "model_type", "histology", "search_terms", "cancer_system",
-        "dataset_available", "data_score", "metadata_score",
-        "patient_id", "patient_sex", "patient_history", "patient_ethnicity",
+        "dataset_available", "data_score", "metadata_score", "scores",
+        "patient_id", "patient_age", "patient_sex", "patient_history",
+        "patient_ethnicity", "patient_ethnicity_assessment_method",
+        "patient_initial_diagnosis",
         "patient_age_at_initial_diagnosis", "patient_age_category",
         "patient_sample_id", "primary_site", "collection_site", "tumour_type",
         "markers_with_mutation_data", "markers_with_expression_data",
         "markers_with_cna_data", "markers_with_biomarker_data",
         "breast_cancer_biomarkers", "msi_status", "hla_types",
-        "quality_assurance", "model_treatments", "model_treatments_responses",
+        "quality_assurance", "xenograft_model_specimens", "model_images",
+        "model_treatments", "model_treatments_responses",
         "patient_treatments", "patient_treatments_responses",
         "custom_treatment_type_list", "pdx_model_publications",
-        "license_name", "model_availability", "external_db_links",
+        "license_name", "license_url", "model_availability",
+        "external_db_links", "raw_data_resources",
+        "cancer_annotation_resources",
         "model_name", "model_name_aliases", "growth_properties",
         "growth_media", "media_id", "plate_coating",
         "supplier", "supplier_type", "catalog_number", "vendor_link", "rrid",
         "cancer_stage", "cancer_staging_system", "cancer_grade",
         "cancer_grading_system", "patient_sample_collection_date",
         "patient_sample_collection_event", "patient_sample_collection_method",
-        "patient_sample_virology_status",
+        "patient_sample_months_since_collection_1",
+        "patient_sample_gene_mutation_status",
+        "patient_sample_virology_status", "patient_sample_sharable",
         "patient_sample_treatment_naive_at_collection",
+        "patient_sample_treated_at_collection",
+        "patient_sample_treated_prior_to_collection",
         "patient_sample_response_to_treatment", "date_submitted")))
     .register(EntityDef("search_facet", Seq("search_index"),
       (_, in) => Scoring.buildFacets(in("search_index"), Seq(
@@ -890,28 +1058,39 @@ object PdcmEntities {
             concat_ws(",", sort_array(collect_list(concat(
               lit("{\"resource\":\""), col("resource"),
               lit("\",\"link\":\""), col("link"), lit("\"}"))))),
-            lit("]")).as("links_json"))
+            lit("]")).as("links_json"),
+            // Bare resource-name list: search_index.raw_data_resources
+            // (reference resources_per_model_util.py:85-91 extracts it
+            // back OUT of the JSON; the pre-aggregation side saves that).
+            sort_array(collect_set(col("resource"))).as("resources"))
       },
-      outputColumns = Seq("model_id", prov, "links_json")))
+      outputColumns = Seq("model_id", prov, "links_json", "resources")))
     .register(EntityDef("molecular_data_links",
-      Seq("mutation_data", "raw_downloaded_resources"),
+      Seq("mutation_data", "raw_downloaded_resources", "raw_molchar_sample"),
       (_, in) => {
         // Expression join on a concatenated key against downloaded
         // resource entries (J8,
         // `molecular_data_links_builder.py:58-67`): "<symbol> <pos>" ==
         // entry AND resource type 'Variant'. Resource side broadcast.
+        // model_id rides along (via the molchar sample sheet) so
+        // search_index can aggregate cancer_annotation_resources per
+        // model (resources_per_model_util.py:16-43).
         val res = in("raw_downloaded_resources")
           .filter(col("type") === "Variant")
           .select(col("entry"), col("resource"), col("link"))
+        val sm = in("raw_molchar_sample")
+          .select(col("sample_id"), col("model_id"), col(prov))
+          .dropDuplicates("sample_id", prov)
         val md = in("mutation_data")
         md.join(broadcast(res),
             concat_ws(" ", md("symbol"), md("seq_start_position")) === res("entry"),
             "left")
           .select(md("sample_id"), md("symbol"), md("seq_start_position"),
             res("resource"), res("link"), md(prov))
+          .join(sm, Seq("sample_id", prov), "left")
       },
-      outputColumns = Seq("sample_id", "symbol", "seq_start_position",
-        "resource", "link", prov)))
+      outputColumns = Seq("sample_id", "model_id", "symbol",
+        "seq_start_position", "resource", "link", prov)))
     .register(EntityDef("nodes", Seq("patient", "patient_sample", "model_entity"),
       (_, in) => {
         val pn = in("patient").select(lit("patient").as("node_type"),
@@ -1000,10 +1179,11 @@ object PdcmEntities {
         m.join(sh, Seq("model_id", prov), "left")
       },
       outputColumns = Seq("id", "model_id", "host_strain_name",
-        "engraftment_site", "engraftment_type", "sample_type", "publications",
-        "parent_model_id", "accessibility", "europdx_access_modality",
-        "license", "database_url", "date_submitted", "model_availability",
-        prov)))
+        "host_strain_nomenclature", "engraftment_site", "engraftment_type",
+        "sample_type", "sample_state", "passage_number", "publications",
+        "external_ids", "parent_model_id", "accessibility",
+        "europdx_access_modality", "license", "database_url",
+        "date_submitted", "model_availability", prov)))
   }
 
   /** Bind raw-module sources from a provider directory tree

@@ -24,7 +24,9 @@ class PdcmEntitiesSpec extends SparkSpec {
         "expression_data", "cna_data", "biomarker_data", "immunemarker_data",
         "host_strain", "engraftment_site", "engraftment_type",
         "xenograft_model_specimen", "provider_group", "project_group",
-        "contact_people", "publication_group"))
+        "contact_people", "publication_group", "model_image", "image_study",
+        "engraftment_sample_state", "response_classification",
+        "contact_form", "source_database", "molecular_data_restriction"))
   }
 
   test("formulaic dim fan-out: model/treatment/sharing/platform/static dims") {
@@ -165,6 +167,98 @@ class PdcmEntitiesSpec extends SparkSpec {
     val s1 = out("search_index").filter($"patient_sample_id" === "S1").head()
     assert(s1.isNullAt(s1.fieldIndex("model_name")))
     assert(s1.getSeq[String](s1.fieldIndex("model_name_aliases")).isEmpty)
+  }
+
+  test("model_image: FK'd to model core, orphan image rows drop") {
+    val mi = out("model_image")
+    assert(mi.count() == 2) // MX orphan dropped by the inner FK join
+    assert(mi.filter($"model_fk".isNull).count() == 0)
+    assert(mi.select("model_id").distinct().as[String].collect().toSeq ==
+      Seq("M1"))
+    assert(out("image_study").count() == 1)
+  }
+
+  test("search_index: 67-column reference contract closed") {
+    val si = out("search_index")
+    // Every column of the reference contract
+    // (entities_registry.py:623-691) must be present.
+    val contract = Seq("pdcm_model_id", "external_model_id", "data_source",
+      "project_name", "provider_name", "model_type", "supplier",
+      "supplier_type", "catalog_number", "vendor_link", "rrid",
+      "external_ids", "histology", "search_terms", "cancer_system",
+      "dataset_available", "license_name", "license_url", "primary_site",
+      "collection_site", "tumour_type", "cancer_grade",
+      "cancer_grading_system", "cancer_stage", "cancer_staging_system",
+      "patient_id", "patient_age", "patient_age_category", "patient_sex",
+      "patient_history", "patient_ethnicity",
+      "patient_ethnicity_assessment_method", "patient_initial_diagnosis",
+      "patient_age_at_initial_diagnosis", "patient_sample_id",
+      "patient_sample_collection_date", "patient_sample_collection_event",
+      "patient_sample_collection_method",
+      "patient_sample_months_since_collection_1",
+      "patient_sample_gene_mutation_status",
+      "patient_sample_virology_status", "patient_sample_sharable",
+      "patient_sample_treatment_naive_at_collection",
+      "patient_sample_treated_at_collection",
+      "patient_sample_treated_prior_to_collection",
+      "patient_sample_response_to_treatment", "pdx_model_publications",
+      "quality_assurance", "xenograft_model_specimens", "model_images",
+      "markers_with_cna_data", "markers_with_mutation_data",
+      "markers_with_expression_data", "markers_with_biomarker_data",
+      "breast_cancer_biomarkers", "msi_status", "hla_types",
+      "patient_treatments", "patient_treatments_responses",
+      "model_treatments", "model_treatments_responses",
+      "custom_treatment_type_list", "raw_data_resources",
+      "cancer_annotation_resources", "model_availability",
+      "date_submitted", "scores")
+    val missing = contract.filterNot(si.columns.contains)
+    assert(missing.isEmpty, s"missing contract columns: $missing")
+
+    val s1 = si.filter($"patient_sample_id" === "S1").head()
+    assert(s1.getAs[String]("provider_name") == "Provider A Lab")
+    assert(s1.getAs[String]("project_name") == "EurOPDX")
+    assert(s1.getAs[String]("external_ids") == "JAX:123")
+    // license dim supplies the URL for the sharing sheet's license name.
+    assert(s1.getAs[String]("license_url") ==
+      "https://creativecommons.org/publicdomain/zero/1.0/")
+    // patient_age is the BINNED age at collection (45 -> 40-49).
+    assert(s1.getAs[String]("patient_age") == "40 - 49")
+    assert(s1.getAs[String]("patient_ethnicity_assessment_method") ==
+      "self-assessed")
+    assert(s1.getAs[String]("patient_initial_diagnosis") == "Lung Cancer")
+    assert(s1.getAs[String]("patient_sample_months_since_collection_1") == "0")
+    assert(s1.getAs[String]("patient_sample_sharable") == "yes")
+    assert(s1.getAs[String]("patient_sample_treated_at_collection") == "no")
+    assert(s1.getAs[String]("patient_sample_treated_prior_to_collection") == "no")
+    // specimens JSON from the specimen entity (to_json escaping).
+    val specs = s1.getAs[String]("xenograft_model_specimens")
+    assert(specs.contains("\"host_strain_name\":\"NSG\"") &&
+      specs.contains("\"engraftment_sample_state\":\"fresh\""))
+    // model_images JSON: the embedded double quote must be escaped.
+    val imgs = s1.getAs[String]("model_images")
+    assert(imgs.contains("m1-he.png") && imgs.contains("\\\"section\\\""))
+    // raw-data resources from the S11 inline registry (DepMap id link).
+    assert(s1.getSeq[String](s1.fieldIndex("raw_data_resources")).toSeq ==
+      Seq("DepMap"))
+    // annotation resources from the COSMIC variant-link join.
+    assert(s1.getSeq[String](s1.fieldIndex("cancer_annotation_resources"))
+      .toSeq == Seq("COSMIC"))
+    // scores JSON mirrors the two score columns.
+    val scores = s1.getAs[String]("scores")
+    assert(scores.contains("\"pdx_metadata_score\":") &&
+      scores.contains("\"data_score\":"))
+  }
+
+  test("small dims: sample state, response classification, contact/source URLs") {
+    assert(out("engraftment_sample_state").select("name").as[String]
+      .collect().sorted.toSeq == Seq("fresh", "frozen"))
+    assert(out("response_classification").select("name").as[String]
+      .collect().toSeq == Seq("RECIST"))
+    assert(out("source_database").select("database_url").as[String]
+      .collect().toSeq ==
+      Seq("https://depmap.org/portal/cell_line/ACH-000123"))
+    assert(out("contact_form").count() == 0) // fixture sharing has no form_url
+    assert(out("molecular_data_restriction").count() == 0) // default config
   }
 
   test("model_metadata: concat-built JSON object per model") {
