@@ -781,6 +781,18 @@ object SparkEntry {
            brand_display, l_quantity
            FROM item_display WHERE brand_display LIKE 'Brand#3%'""")
     }),
+    "q79_overview_view" -> ((s, dir) => {
+      // models_by_* overview shape (views.sql:1418 family) served from
+      // the registered SQL surface.
+      graft.api.SqlViews.register(s, dir)
+      s.sql("SELECT nation_name, n_orders FROM orders_by_nation")
+    }),
+    "q80_facet_options_view" -> ((s, dir) => {
+      // search_facet_options shape (views.sql:1280): explode the facet
+      // option arrays into one row per option.
+      graft.api.SqlViews.register(s, dir)
+      s.sql("SELECT facet_name, option FROM facet_option_rows")
+    }),
     "q62_sql_kernels" -> ((s, dir) => {
       // Custom Catalyst kernels exposed as SQL functions via
       // GraftFunctions/GraftExtensions; same oracle as the DataFrame form.
@@ -1449,6 +1461,21 @@ object SparkEntry {
     "q56_doc_stats_view" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+    "q79_overview_view" ->
+      """SELECT n.n_name AS nation_name, count(1) AS n_orders
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY n.n_name""",
+    "q80_facet_options_view" ->
+      """WITH f AS (
+           SELECT 'lang' AS facet_name,
+             list_sort(list_distinct(list(lang))) AS options FROM documents
+           UNION ALL
+           SELECT 'source', list_sort(list_distinct(list(source)))
+           FROM documents)
+         SELECT facet_name, unnest(options) AS option FROM f"""
   )
 }

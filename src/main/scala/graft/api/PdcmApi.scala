@@ -30,7 +30,9 @@ object PdcmApi {
       """SELECT model_id, data_source, validation_json
          FROM quality_assurance""",
     // mutation_data_table (views.sql:363): harmonised-or-raw symbol plus
-    // the provider/table restriction filter.
+    // the provider/table restriction filter. NOT EXISTS, not NOT IN: a
+    // NULL row in the restriction table would make NOT IN evaluate to
+    // NULL for EVERY row and silently empty the view.
     "mutation_data_table" ->
       """SELECT molchar_id AS molecular_characterization_id,
          COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
@@ -39,10 +41,11 @@ object PdcmApi {
          seq_start_position, ref_allele, alt_allele, biotype,
          match_stage AS harmonisation_result,
          data_source
-         FROM mutation_data
-         WHERE (data_source, 'mutation_measurement_data') NOT IN
-           (SELECT data_source, molecular_data_table
-            FROM molecular_data_restriction)""",
+         FROM mutation_data d
+         WHERE NOT EXISTS
+           (SELECT 1 FROM molecular_data_restriction r
+            WHERE r.data_source = d.data_source
+            AND r.molecular_data_table = 'mutation_measurement_data')""",
     // expression_data_table (views.sql:496).
     "expression_data_table" ->
       """SELECT molchar_id AS molecular_characterization_id,
@@ -51,10 +54,11 @@ object PdcmApi {
          seq_start_position, seq_end_position, rnaseq_coverage,
          rnaseq_fpkm, rnaseq_tpm, rnaseq_count,
          data_source
-         FROM expression_data
-         WHERE (data_source, 'expression_molecular_data') NOT IN
-           (SELECT data_source, molecular_data_table
-            FROM molecular_data_restriction)""",
+         FROM expression_data d
+         WHERE NOT EXISTS
+           (SELECT 1 FROM molecular_data_restriction r
+            WHERE r.data_source = d.data_source
+            AND r.molecular_data_table = 'expression_molecular_data')""",
     // cna_data_table (views.sql:705).
     "cna_data_table" ->
       """SELECT molchar_id AS molecular_characterization_id,
@@ -63,37 +67,50 @@ object PdcmApi {
          seq_start_position, seq_end_position, log10r_cna, log2r_cna,
          copy_number_status, gistic_value,
          data_source
-         FROM cna_data
-         WHERE (data_source, 'cna_molecular_data') NOT IN
-           (SELECT data_source, molecular_data_table
-            FROM molecular_data_restriction)""",
+         FROM cna_data d
+         WHERE NOT EXISTS
+           (SELECT 1 FROM molecular_data_restriction r
+            WHERE r.data_source = d.data_source
+            AND r.molecular_data_table = 'cna_molecular_data')""",
     // biomarker_data_table (views.sql:588).
     "biomarker_data_table" ->
       """SELECT molchar_id AS molecular_characterization_id,
          COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
          symbol AS non_harmonised_symbol, biomarker_status,
          data_source
-         FROM biomarker_data
-         WHERE (data_source, 'biomarker_molecular_data') NOT IN
-           (SELECT data_source, molecular_data_table
-            FROM molecular_data_restriction)""",
+         FROM biomarker_data d
+         WHERE NOT EXISTS
+           (SELECT 1 FROM molecular_data_restriction r
+            WHERE r.data_source = d.data_source
+            AND r.molecular_data_table = 'biomarker_molecular_data')""",
     // immunemarker_data_table (views.sql:655).
     "immunemarker_data_table" ->
       """SELECT molchar_id AS molecular_characterization_id, marker_type,
          marker_name, marker_value, essential_or_additional_details,
          data_source
-         FROM immunemarker_data
-         WHERE (data_source, 'immunemarker_molecular_data') NOT IN
-           (SELECT data_source, molecular_data_table
-            FROM molecular_data_restriction)""",
+         FROM immunemarker_data d
+         WHERE NOT EXISTS
+           (SELECT 1 FROM molecular_data_restriction r
+            WHERE r.data_source = d.data_source
+            AND r.molecular_data_table = 'immunemarker_molecular_data')""",
+    // molecular_data_restriction passthrough (views.sql:803).
+    "molecular_data_restriction_vw" ->
+      "SELECT data_source, molecular_data_table FROM molecular_data_restriction",
     // model_molecular_metadata (views.sql:406, materialized there — here
     // a plain view; persist the molchar entity for the same effect).
+    // model_id resolves through whichever origin sample the molchar row
+    // points at (the reference pre-joins this in the transformer).
     "model_molecular_metadata" ->
-      """SELECT id AS molecular_characterization_id, sample_origin,
-         platform_id, molecular_characterisation_type, patient_sample_id,
-         xenograft_sample_id, cell_sample_id,
-         data_source
-         FROM molecular_characterization""",
+      """SELECT mc.id AS molecular_characterization_id,
+         mc.sample_id, mc.sample_origin, mc.sample_origin AS source,
+         COALESCE(ps.model_id, xs.model_id, cs.model_id) AS model_id,
+         mc.platform_id, mc.molecular_characterisation_type,
+         mc.patient_sample_id, mc.xenograft_sample_id, mc.cell_sample_id,
+         mc.data_source
+         FROM molecular_characterization mc
+         LEFT JOIN patient_sample ps ON mc.patient_sample_id = ps.id
+         LEFT JOIN xenograft_sample xs ON mc.xenograft_sample_id = xs.id
+         LEFT JOIN cell_sample cs ON mc.cell_sample_id = cs.id""",
     // models_by_cancer (views.sql:1097).
     "models_by_cancer" ->
       """SELECT cancer_system, histology, count(*) AS count
@@ -143,12 +160,211 @@ object PdcmApi {
     "search_index_vw" -> "SELECT * FROM search_index",
     "search_facet_vw" -> "SELECT * FROM search_facet",
     "available_molecular_data_columns_vw" ->
-      "SELECT * FROM available_molecular_data_columns")
+      "SELECT * FROM available_molecular_data_columns",
+
+    // ── round-3 bulk registration: the rest of views.sql ──────────────
+    // molecular_characterization_vw (views.sql:2).
+    "molecular_characterization_vw" ->
+      """SELECT id, sample_id, sample_origin, passage, platform_id,
+         molecular_characterisation_type, patient_sample_id,
+         xenograft_sample_id, cell_sample_id, data_source
+         FROM molecular_characterization""",
+    // model_metadata (views.sql:102): model core + search_index row +
+    // specimen display names + provider-level contact/source rows (our
+    // contact_people/source_database are provider-scoped, so they join
+    // on data_source rather than a per-model FK).
+    "model_metadata_vw" ->
+      """SELECT m.model_id, m.data_source, si.provider_name,
+         si.model_type AS type,
+         x.host_strain_name, x.host_strain_nomenclature,
+         x.engraftment_site, x.engraftment_type,
+         x.sample_type AS engraftment_sample_type,
+         x.sample_state AS engraftment_sample_state,
+         x.passage_number,
+         si.histology, si.cancer_system, si.primary_site,
+         si.collection_site, si.tumour_type AS tumor_type,
+         si.cancer_grade, si.cancer_grading_system, si.cancer_stage,
+         si.patient_age, si.patient_sex, si.patient_ethnicity,
+         m.publications AS pubmed_ids,
+         m.europdx_access_modality AS europdx_access_modalities,
+         m.accessibility,
+         cp.name_list AS contact_name_list,
+         cp.email_list AS contact_email_list,
+         m.database_url AS source_database_url
+         FROM model_entity m
+         JOIN search_index si ON si.pdcm_model_id = m.id
+         LEFT JOIN xenograft_model_specimen x ON x.model_fk = m.id
+         LEFT JOIN contact_people cp ON cp.data_source = m.data_source""",
+    // xenograft_model_specimen (views.sql:308).
+    "xenograft_model_specimen_vw" ->
+      """SELECT id, model_fk, passage_number, host_strain_id,
+         engraftment_site_id, engraftment_type_id,
+         engraftment_sample_type_id, engraftment_sample_state_id,
+         data_source
+         FROM xenograft_model_specimen""",
+    // quality_assurance (views.sql:337) — the JSON-aggregated form.
+    "quality_assurance_vw" ->
+      "SELECT model_id, data_source, validation_json FROM quality_assurance",
+    // contact_form / source_database (views.sql:242, :253).
+    "contact_form_vw" -> "SELECT id, form_url FROM contact_form",
+    "source_database_vw" -> "SELECT id, database_url FROM source_database",
+    // remaining dim passthroughs (views.sql:286, :297).
+    "engraftment_sample_type_vw" ->
+      "SELECT id, name FROM engraftment_sample_type",
+    "engraftment_sample_state_vw" ->
+      "SELECT id, name FROM engraftment_sample_state",
+    "response_vw" -> "SELECT id, name FROM response",
+    "response_classification_vw" ->
+      "SELECT id, name FROM response_classification",
+    "model_image_vw" ->
+      """SELECT id, model_fk, model_id, url, description, sample_type,
+         passage, magnification, staining, data_source FROM model_image""",
+    "image_study_vw" ->
+      """SELECT id, study_id, title, description, licence, contact,
+         sample_organism, sample_description, imaging_instrument,
+         imaging_method, data_source FROM image_study""",
+    // *_data_extended (views.sql:448, :541, :619, :672, :754): data rows
+    // joined back to the model/sample via model_molecular_metadata.
+    "mutation_data_extended" ->
+      """SELECT mmm.model_id, mmm.sample_id, mmm.source,
+         d.hgnc_symbol, d.amino_acid_change, d.consequence, d.read_depth,
+         d.allele_frequency, d.seq_start_position, d.ref_allele,
+         d.alt_allele, d.data_source, d.non_harmonised_symbol,
+         d.harmonisation_result
+         FROM pdcm_api_mutation_data_table d
+         JOIN pdcm_api_model_molecular_metadata mmm
+         ON mmm.molecular_characterization_id = d.molecular_characterization_id""",
+    "expression_data_extended" ->
+      """SELECT mmm.model_id, mmm.sample_id, mmm.source,
+         d.hgnc_symbol, d.rnaseq_coverage, d.rnaseq_fpkm, d.rnaseq_tpm,
+         d.rnaseq_count, d.data_source, d.non_harmonised_symbol
+         FROM pdcm_api_expression_data_table d
+         JOIN pdcm_api_model_molecular_metadata mmm
+         ON mmm.molecular_characterization_id = d.molecular_characterization_id""",
+    "cna_data_extended" ->
+      """SELECT mmm.model_id, mmm.sample_id, mmm.source,
+         d.hgnc_symbol, d.log10r_cna, d.log2r_cna, d.copy_number_status,
+         d.gistic_value, d.data_source, d.non_harmonised_symbol
+         FROM pdcm_api_cna_data_table d
+         JOIN pdcm_api_model_molecular_metadata mmm
+         ON mmm.molecular_characterization_id = d.molecular_characterization_id""",
+    "biomarker_data_extended" ->
+      """SELECT mmm.model_id, mmm.sample_id, mmm.source,
+         d.hgnc_symbol, d.biomarker_status, d.data_source,
+         d.non_harmonised_symbol
+         FROM pdcm_api_biomarker_data_table d
+         JOIN pdcm_api_model_molecular_metadata mmm
+         ON mmm.molecular_characterization_id = d.molecular_characterization_id""",
+    "immunemarker_data_extended" ->
+      """SELECT mmm.model_id, mmm.sample_id, mmm.source,
+         d.marker_type, d.marker_name, d.marker_value,
+         d.essential_or_additional_details, d.data_source
+         FROM pdcm_api_immunemarker_data_table d
+         JOIN pdcm_api_model_molecular_metadata mmm
+         ON mmm.molecular_characterization_id = d.molecular_characterization_id""",
+    // details_molecular_data (views.sql:1041): molchar rows with
+    // per-data-type availability after restriction filtering.
+    "details_molecular_data" ->
+      """SELECT mc.id, ps.sample_id AS patient_sample_id,
+         xs.sample_id AS xenograft_sample_id, xs.passage AS xenograft_passage,
+         cs.sample_id AS cell_sample_id,
+         mc.molecular_characterisation_type AS data_type,
+         mc.platform_id,
+         CASE
+           WHEN mc.molecular_characterisation_type = 'mutation'
+             AND mc.id IN (SELECT DISTINCT molecular_characterization_id
+                           FROM pdcm_api_mutation_data_table) THEN 'TRUE'
+           WHEN mc.molecular_characterisation_type = 'expression'
+             AND mc.id IN (SELECT DISTINCT molecular_characterization_id
+                           FROM pdcm_api_expression_data_table) THEN 'TRUE'
+           WHEN mc.molecular_characterisation_type = 'cna'
+             AND mc.id IN (SELECT DISTINCT molecular_characterization_id
+                           FROM pdcm_api_cna_data_table) THEN 'TRUE'
+           WHEN mc.molecular_characterisation_type = 'biomarker'
+             AND mc.id IN (SELECT DISTINCT molecular_characterization_id
+                           FROM pdcm_api_biomarker_data_table) THEN 'TRUE'
+           ELSE 'FALSE'
+         END AS data_availability,
+         mc.data_source
+         FROM molecular_characterization mc
+         LEFT JOIN patient_sample ps ON mc.patient_sample_id = ps.id
+         LEFT JOIN xenograft_sample xs ON mc.xenograft_sample_id = xs.id
+         LEFT JOIN cell_sample cs ON mc.cell_sample_id = cs.id""",
+    // release_info (views.sql:952): synthesized from the provider
+    // registry (the reference loads a loader-written table).
+    "release_info_vw" ->
+      """SELECT 'dev' AS name, CAST(NULL AS STRING) AS date,
+         sort_array(collect_set(data_source)) AS providers
+         FROM provider_group""",
+    // data-overview aggregates (views.sql:1246-1544).
+    "models_by_treatment" ->
+      """SELECT treatment, count(DISTINCT pdcm_model_id) AS count
+         FROM (SELECT explode(patient_treatments) AS treatment,
+                 pdcm_model_id FROM search_index)
+         GROUP BY treatment""",
+    "models_by_type" ->
+      """SELECT model_type, count(1) AS count
+         FROM search_index GROUP BY model_type""",
+    "models_by_primary_site" ->
+      """SELECT primary_site, count(1) AS count
+         FROM search_index GROUP BY primary_site""",
+    "models_by_anatomical_system_and_diagnosis" ->
+      """SELECT cancer_system, histology, count(1) AS count
+         FROM search_index GROUP BY cancer_system, histology""",
+    "models_by_tumour_type" ->
+      """SELECT tumour_type, count(1) AS count
+         FROM search_index GROUP BY tumour_type""",
+    "models_by_patient_age" ->
+      """SELECT patient_age, count(1) AS count
+         FROM search_index GROUP BY patient_age""",
+    "models_by_patient_sex" ->
+      """SELECT patient_sex, count(1) AS count
+         FROM search_index GROUP BY patient_sex""",
+    "models_by_patient_ethnicity" ->
+      """SELECT patient_ethnicity, count(1) AS count
+         FROM search_index GROUP BY patient_ethnicity""",
+    // search_facet_options (views.sql:1280).
+    "search_facet_options" ->
+      """SELECT facet_column, explode(options) AS option
+         FROM search_facet""",
+    // patient_treatment_extended / drug_dosing_extended (views.sql:1295,
+    // :1363): per-protocol treatment entries as a JSON array + model row.
+    "patient_treatment_extended" ->
+      """SELECT si.external_model_id AS model_id, si.data_source,
+         si.patient_id, si.patient_age, si.patient_sex,
+         si.patient_ethnicity, si.histology,
+         tp.treatment_response AS response,
+         to_json(sort_array(collect_list(struct(
+           tp.treatment_name AS name, tp.treatment_dose AS dose)))) AS entries
+         FROM treatment_protocol tp
+         JOIN search_index si ON tp.model_id = si.external_model_id
+           AND tp.data_source = si.data_source
+         WHERE tp.target_kind = 'patient'
+         GROUP BY tp.protocol_id, si.external_model_id, si.data_source,
+           si.patient_id, si.patient_age, si.patient_sex,
+           si.patient_ethnicity, si.histology, tp.treatment_response""",
+    "drug_dosing_extended" ->
+      """SELECT si.external_model_id AS model_id, si.data_source,
+         si.histology, tp.treatment_response AS response,
+         to_json(sort_array(collect_list(struct(
+           tp.treatment_name AS name, tp.treatment_dose AS dose)))) AS entries
+         FROM treatment_protocol tp
+         JOIN search_index si ON tp.model_id = si.external_model_id
+           AND tp.data_source = si.data_source
+         WHERE tp.target_kind = 'model'
+         GROUP BY tp.protocol_id, si.external_model_id, si.data_source,
+           si.histology, tp.treatment_response""",
+    // info (views.sql:1544).
+    "info" ->
+      """SELECT 'total_models' AS key,
+         (SELECT count(1) FROM search_index) AS value""")
 
   /** Register the entity DataFrames as temp views plus every derived
     * `pdcm_api_<name>` view. An entity map may supply
     * `molecular_data_restriction`; otherwise an empty restriction table
-    * is registered (nothing filtered). Returns the derived view names.
+    * is registered (nothing filtered). Views whose base entities are
+    * absent from `entities` are skipped (a caller running a sub-DAG gets
+    * the sub-surface); returns the view names actually created.
     */
   def register(
       spark: SparkSession,
@@ -159,10 +375,14 @@ object PdcmApi {
         """SELECT CAST(null AS STRING) AS data_source,
            CAST(null AS STRING) AS molecular_data_table WHERE 1 = 0""")
         .createOrReplaceTempView("molecular_data_restriction")
-    viewSql.map { case (name, sql) =>
+    viewSql.flatMap { case (name, sql) =>
       val viewName = s"pdcm_api_$name"
-      spark.sql(s"CREATE OR REPLACE TEMP VIEW $viewName AS $sql")
-      viewName
+      try {
+        spark.sql(s"CREATE OR REPLACE TEMP VIEW $viewName AS $sql")
+        Some(viewName)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
     }
   }
 }

@@ -54,6 +54,17 @@ object SqlViews {
          FROM documents
          UNION ALL
          SELECT 'source', sort_array(collect_set(source)) FROM documents""")
+    // models_by_* overview aggregate (reference `scripts/views.sql:1418`
+    // family: group-count over the search surface).
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW orders_by_nation AS
+         SELECT nation_name, count(1) AS n_orders
+         FROM order_facts GROUP BY nation_name""")
+    // search_facet_options (reference `scripts/views.sql:1280`): one row
+    // per facet option, exploded from the per-facet option arrays.
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW facet_option_rows AS
+         SELECT facet_name, explode(options) AS option FROM facet_options""")
     // mutation_data_table-style wide display view (reference
     // `scripts/views.sql:363`): fact rows joined to their dims with a
     // concatenated display column.

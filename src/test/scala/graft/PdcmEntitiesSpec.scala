@@ -25,7 +25,7 @@ class PdcmEntitiesSpec extends SparkSpec {
         "host_strain", "engraftment_site", "engraftment_type",
         "xenograft_model_specimen", "provider_group", "project_group",
         "contact_people", "publication_group", "model_image", "image_study",
-        "engraftment_sample_state", "response_classification",
+        "engraftment_sample_state", "response_classification", "response",
         "contact_form", "source_database", "molecular_data_restriction"))
   }
 
@@ -394,7 +394,7 @@ class PdcmEntitiesSpec extends SparkSpec {
 
   test("pdcm_api view surface: derived views answer search queries") {
     val names = graft.api.PdcmApi.register(spark, out)
-    assert(names.size >= 23)
+    assert(names.size >= 45, s"only ${names.size} views registered: $names")
     assert(spark.sql(
       "SELECT name FROM pdcm_api_provider_group_vw ORDER BY name")
       .as[String].collect().toSeq ==
@@ -433,7 +433,63 @@ class PdcmEntitiesSpec extends SparkSpec {
       out + ("molecular_data_restriction" -> restricted))
     assert(spark.sql("SELECT * FROM pdcm_api_mutation_data_table").count() == 0)
     assert(spark.sql("SELECT * FROM pdcm_api_expression_data_table").count() > 0)
+    // A NULL restriction row must NOT empty the views (NOT EXISTS, not
+    // NOT IN — NULL would poison every row of a NOT IN filter).
+    val withNull = Seq((null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("data_source", "molecular_data_table")
+    graft.api.PdcmApi.register(spark,
+      out + ("molecular_data_restriction" -> withNull))
+    assert(spark.sql("SELECT * FROM pdcm_api_mutation_data_table").count() > 0)
     graft.api.PdcmApi.register(spark, out) // restore unrestricted views
+  }
+
+  test("round-3 views: model_metadata, extended data, overview aggregates") {
+    graft.api.PdcmApi.register(spark, out)
+    // model_metadata joins model + search_index + specimen display names.
+    val mm = spark.sql(
+      """SELECT host_strain_nomenclature, engraftment_sample_state,
+         provider_name FROM pdcm_api_model_metadata_vw
+         WHERE model_id = 'M1'""").head()
+    assert(mm.getString(0) == "NOD.Cg-Prkdc<scid>")
+    assert(mm.getString(1) == "fresh")
+    assert(mm.getString(2) == "Provider A Lab")
+    // mutation_data_extended resolves model + sample through molchar.
+    assert(spark.sql(
+      """SELECT model_id FROM pdcm_api_mutation_data_extended
+         WHERE non_harmonised_symbol = 'OLDNAME1'""")
+      .as[String].head() == "M1")
+    // details_molecular_data flags availability per data type: the
+    // patient molchar rows have data; xenograft/cell molchar rows don't.
+    val avail = spark.sql(
+      """SELECT data_type, max(data_availability)
+         FROM pdcm_api_details_molecular_data GROUP BY data_type""")
+      .as[(String, String)].collect().toMap
+    assert(avail("mutation") == "TRUE")
+    assert(avail("expression") == "TRUE")
+    assert(spark.sql(
+      """SELECT data_availability FROM pdcm_api_details_molecular_data
+         WHERE xenograft_sample_id IS NOT NULL""").as[String].head() == "FALSE")
+    // overview aggregates.
+    assert(spark.sql(
+      "SELECT count FROM pdcm_api_models_by_patient_sex WHERE patient_sex = 'female'")
+      .as[Long].head() == 1)
+    // patient_treatments is empty in the fixture (doxorubicin lacks an
+    // ontology match), so the patient-side aggregate has no rows — but
+    // the view itself must resolve and stay empty rather than error.
+    assert(spark.sql("SELECT * FROM pdcm_api_models_by_treatment").count() == 0)
+    // drug_dosing_extended carries the model-side protocol with entries.
+    val dde = spark.sql(
+      "SELECT entries FROM pdcm_api_drug_dosing_extended WHERE model_id = 'M1'")
+      .as[String].head()
+    assert(dde.contains("\"name\":\"cisplatin\"") &&
+      dde.contains("\"name\":\"paclitaxel\""))
+    assert(spark.sql("SELECT option FROM pdcm_api_search_facet_options")
+      .count() >= 4)
+    // patient_treatment_extended carries the JSON entries array.
+    val pte = spark.sql(
+      "SELECT entries FROM pdcm_api_patient_treatment_extended").as[String].head()
+    assert(pte.contains("\"name\":\"doxorubicin\""))
+    assert(spark.sql("SELECT value FROM pdcm_api_info").as[Long].head() >= 2)
   }
 
   test("lineage graph: nodes and edges incl. parent/child models") {
