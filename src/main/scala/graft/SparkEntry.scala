@@ -693,11 +693,25 @@ object SparkEntry {
 
     // ── Sketches (HLL distinct, approximate quantiles; no exact oracle) ─
     "q59_sketches" -> ((s, dir) => {
+      // HLL + t-digest sketches, emitted as an EXACTLY-checkable
+      // validation contract: raw sketch values differ engine-to-engine,
+      // so the output is the exact statistic plus error-bound flags the
+      // oracle asserts as TRUE (HLL default rsd 5% — checked at 3σ;
+      // percentile_approx rank error ≪ 1% at accuracy 1000). A sketch
+      // drifting out of tolerance flips a flag and fails the hash.
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"))
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("approx_parts_ok"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.01).as("p50_ok"))
     }),
 
     // ── Benchmark decontamination: train/eval n-gram overlap ────────────
@@ -1012,7 +1026,7 @@ object SparkEntry {
   private val ivfSearchSql: String =
     """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),
-       cents AS (SELECT vec_id AS cell, v AS c,
+       cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c,
            list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS nsq
          FROM ev WHERE vec_id < 16),
        scores AS (SELECT e.vec_id, ct.cell,
@@ -1436,6 +1450,13 @@ object SparkEntry {
            ON e.user_id = p.user_id
           AND e.event_type = 'error' AND p.event_type = 'purchase'
           AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000""",
+    // Sketch validation contract: the oracle's exact side plus the
+    // always-TRUE error-bound flags the Spark side must reproduce.
+    "q59_sketches" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         TRUE AS approx_parts_ok, TRUE AS p50_ok
+         FROM lineitem GROUP BY l_returnflag""",
     "q55_sql_view" ->
       """SELECT r_name AS region_name, c_mktsegment AS segment, count(*) AS n,
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

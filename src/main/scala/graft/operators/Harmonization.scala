@@ -35,9 +35,19 @@ object Harmonization {
   /** Returns (harmonized, unmatched): `harmonized` = one row per claimed
     * fact row + `match_stage` + payload columns; `unmatched` = fact rows
     * no stage claimed (original columns).
+    *
+    * `broadcastDim = true` (default) fits HGNC-sized lookups — each stage
+    * is then a broadcast join and the fact side never shuffles. Pass
+    * `false` for a fact-sized lookup (mirrors
+    * [[Relational.transformToFk]]): stages become shuffle hash joins
+    * instead of forcing the whole lookup through the driver.
     */
-  def waterfall(fact: DataFrame, stages: Seq[Stage]): (DataFrame, DataFrame) = {
+  def waterfall(
+      fact: DataFrame,
+      stages: Seq[Stage],
+      broadcastDim: Boolean = true): (DataFrame, DataFrame) = {
     require(stages.nonEmpty)
+    def side(df: DataFrame): DataFrame = if (broadcastDim) broadcast(df) else df
     val payloadCols = stages.flatMap(_.payload).distinct
     var remaining = fact
     var harmonized: Option[DataFrame] = None
@@ -48,7 +58,7 @@ object Harmonization {
         .join(st.lookup, Seq(st.lookupKey))
         .select((col(st.lookupKey).as("__match_key") +: st.payload.map(col)): _*)
       val claimed = remaining
-        .join(broadcast(unique), remaining(st.factKey) === unique("__match_key"), "inner")
+        .join(side(unique), remaining(st.factKey) === unique("__match_key"), "inner")
         .drop("__match_key")
         .withColumn("match_stage", lit(st.name))
       // Align payload columns across stages (absent ones null).
@@ -60,7 +70,7 @@ object Harmonization {
         case Some(acc) => Some(acc.unionByName(aligned))
       }
       remaining = remaining.join(
-        broadcast(unique), remaining(st.factKey) === unique("__match_key"), "left_anti")
+        side(unique), remaining(st.factKey) === unique("__match_key"), "left_anti")
     }
     (harmonized.get, remaining)
   }

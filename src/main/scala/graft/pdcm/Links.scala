@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object Links {
 
+  /** JSON string literal from a column: null → "", backslashes and double
+    * quotes escaped. For composing JSON objects that must SPLICE
+    * already-serialized JSON fragments (where `to_json(struct(...))`
+    * would double-escape them); free text with quotes stays valid JSON.
+    */
+  def jsonStr(c: Column): Column =
+    concat(lit("\""),
+      regexp_replace(
+        regexp_replace(coalesce(c, lit("")), "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\""),
+      lit("\""))
+
   /** Expand a URL template by replacing `token` with the column value
     * (reference `molecular_data_links_builder.py:124,141` uses
     * `expr("regexp_replace(link, 'TOKEN', col)")`; in Scala no expr()

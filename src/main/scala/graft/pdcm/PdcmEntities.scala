@@ -460,9 +460,9 @@ object PdcmEntities {
         .groupBy(col("model_id"), col(prov))
         .agg(concat(lit("["),
           concat_ws(",", sort_array(collect_list(
-            concat(lit("{\"technique\":\""), coalesce(col("validation_technique"), lit("")),
-              lit("\",\"passages\":\""), coalesce(col("passages_tested"), lit("")),
-              lit("\"}"))))),
+            concat(lit("{\"technique\":"), Links.jsonStr(col("validation_technique")),
+              lit(",\"passages\":"), Links.jsonStr(col("passages_tested")),
+              lit("}"))))),
           lit("]")).as("validation_json")),
       outputColumns = Seq("model_id", prov, "validation_json")))
     // Histology image entities (reference
@@ -874,8 +874,7 @@ object PdcmEntities {
         // JSON metadata per model (reference
         // `model_metadata_transformer_job.py:137-266`): concat-built JSON
         // object string from the per-model search_index row set (A2).
-        def jstr(c: Column): Column =
-          concat(lit("\""), coalesce(c, lit("")), lit("\""))
+        def jstr(c: Column): Column = Links.jsonStr(c)
         in("search_index")
           .groupBy(col("external_model_id"), col(prov))
           .agg(
@@ -1056,8 +1055,8 @@ object PdcmEntities {
           .groupBy(col("model_id"), col(prov))
           .agg(concat(lit("["),
             concat_ws(",", sort_array(collect_list(concat(
-              lit("{\"resource\":\""), col("resource"),
-              lit("\",\"link\":\""), col("link"), lit("\"}"))))),
+              lit("{\"resource\":"), Links.jsonStr(col("resource")),
+              lit(",\"link\":"), Links.jsonStr(col("link")), lit("}"))))),
             lit("]")).as("links_json"),
             // Bare resource-name list: search_index.raw_data_resources
             // (reference resources_per_model_util.py:85-91 extracts it
@@ -1095,13 +1094,16 @@ object PdcmEntities {
       (_, in) => {
         val pn = in("patient").select(lit("patient").as("node_type"),
           col("id").as("node_id"),
-          concat(lit("{\"patient_id\":\""), col("patient_id"), lit("\"}")).as("data"))
+          concat(lit("{\"patient_id\":"), Links.jsonStr(col("patient_id")),
+            lit("}")).as("data"))
         val sn = in("patient_sample").select(lit("sample").as("node_type"),
           col("id").as("node_id"),
-          concat(lit("{\"sample_id\":\""), col("sample_id"), lit("\"}")).as("data"))
+          concat(lit("{\"sample_id\":"), Links.jsonStr(col("sample_id")),
+            lit("}")).as("data"))
         val mn = in("model_entity").select(lit("model").as("node_type"),
           col("id").as("node_id"),
-          concat(lit("{\"model_id\":\""), col("model_id"), lit("\"}")).as("data"))
+          concat(lit("{\"model_id\":"), Links.jsonStr(col("model_id")),
+            lit("}")).as("data"))
         pn.union(sn).union(mn)
       },
       outputColumns = Seq("node_type", "node_id", "data")))

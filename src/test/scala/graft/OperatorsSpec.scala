@@ -69,6 +69,23 @@ class OperatorsSpec extends SparkSpec {
       ("AMBIG", "alias", "HGNC:9"),
       ("AL1", "alias", "HGNC:1100")))
     assert(unmatched.select("symbol").as[String].collect().toSeq == Seq("NOPE"))
+    // Non-broadcast path (fact-sized lookup opt-out): identical results,
+    // and the plan must contain no broadcast exchange.
+    val (m2, u2) = Harmonization.waterfall(facts, Seq(
+      Stage("approved", approved, "symbol", "sym", Seq("hgnc_id")),
+      Stage("previous", previous, "symbol", "prev", Seq("hgnc_id")),
+      Stage("alias", alias, "symbol", "al", Seq("hgnc_id"))),
+      broadcastDim = false)
+    assert(m2.select("symbol", "match_stage", "hgnc_id")
+      .as[(String, String, String)].collect().toSet == byStage)
+    assert(u2.select("symbol").as[String].collect().toSeq == Seq("NOPE"))
+    // The broadcast HINT must be gone (Catalyst may still auto-broadcast
+    // under the size threshold — the opt-out's job is to stop FORCING it
+    // on lookups too big to fit).
+    assert(matched.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("strategy=broadcast"))
+    assert(!m2.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("strategy=broadcast"))
   }
 
   test("operators are total on empty inputs (SURVEY risk 6)") {

@@ -15,10 +15,10 @@ class QueriesSpec extends SparkSpec {
     // approximate ones
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // q59 only: HLL/quantile sketch values are engine-specific, so it gets
-    // the driver's weaker rows-only check. Everything else (including the
-    // LSH/IVF ANN queries — deterministic hyperplanes/centroids) is
-    // exactly oracled.
-    assert(noOracle == Set("q59_sketches"))
+    // EVERY query is exactly oracled — including the sketches (q59 emits
+    // an exact statistic + error-bound flags rather than raw
+    // engine-specific sketch values) and the LSH/IVF ANN queries
+    // (deterministic hyperplanes/centroids).
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 }
