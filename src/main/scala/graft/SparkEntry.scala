@@ -419,6 +419,33 @@ object SparkEntry {
           size(col("features")).as("n_features"))
     }),
 
+    "q81_image_decode" -> ((s, dir) => {
+      // REAL image codec on the verified surface: solid-gray 8×8 PNGs are
+      // encoded per row (gray = key*10 mod 256), decoded back through
+      // ImageIO, and the luminance-grid features must recover the gray
+      // value EXACTLY — an oracle can predict the round-trip with pure
+      // arithmetic, no image library needed on the DuckDB side.
+      import s.implicits._
+      val media = tbl(s, dir, "part").filter(col("p_partkey") < 24)
+        .select(col("p_partkey").cast("long").as("id"),
+          (col("p_partkey") * 10 % 256).cast("int").as("gray"))
+        .as[(Long, Int)]
+        .map { case (id, g) =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (g << 16) | (g << 8) | g
+          var y = 0
+          while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          graft.multimodal.Multimodal.MediaRow(id, bos.toByteArray, "image/png", 8, 8)
+        }
+      graft.multimodal.ImageCodec.extractImageFeatures(media, gridDim = 2)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("features"), 1) * 255, 0).cast("int")
+            .as("gray_decoded"))
+    }),
+
     // ── Text analysis (beyond-parity) ───────────────────────────────────
     "q35_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
@@ -1450,6 +1477,13 @@ object SparkEntry {
            ON e.user_id = p.user_id
           AND e.event_type = 'error' AND p.event_type = 'purchase'
           AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000""",
+    // Image round-trip: the decode must recover the encoded gray exactly,
+    // so the oracle predicts it arithmetically.
+    "q81_image_decode" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+         CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+         CAST(p_partkey * 10 % 256 AS INT) AS gray_decoded
+         FROM part WHERE p_partkey < 24""",
     // Sketch validation contract: the oracle's exact side plus the
     // always-TRUE error-bound flags the Spark side must reproduce.
     "q59_sketches" ->

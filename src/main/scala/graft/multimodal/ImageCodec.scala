@@ -1,0 +1,116 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Dataset
+
+/** REAL image codec path (JDK `javax.imageio` — PNG/JPEG/BMP/GIF, no
+  * external dependency), upgrading [[Multimodal]]'s stub tier: decode,
+  * fixed-grid luminance features, and resize, all runnable inside
+  * `mapPartitions` with the same iterator-batch execution shape.
+  *
+  * Feature contract: an image maps to a `gridDim × gridDim` grid of mean
+  * luminances (0..1, row-major) — the classic cheap visual fingerprint
+  * (aHash's continuous form). Deterministic for a given payload, so specs
+  * can assert exact values from synthetic images.
+  *
+  * Payloads that fail to decode (truncated file, not an image) fall back
+  * to [[Multimodal.stubDecode]] with `decoded = false` — a 100 TB media
+  * sweep must tolerate corrupt rows without failing the stage.
+  */
+object ImageCodec {
+
+  case class ImageFeatures(
+      media_id: Long,
+      mime: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      decoded: Boolean,
+      features: Array[Float])
+
+  /** Decode via ImageIO; None when the payload is not a decodable image.
+    * (ImageIO.read returns null rather than throwing for unknown formats.)
+    */
+  def decode(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Mean-luminance grid features, row-major, each cell in [0, 1].
+    * Luminance = (r + g + b) / 3 / 255 — integer pixel walk, no
+    * per-pixel allocation.
+    */
+  def gridFeatures(img: BufferedImage, gridDim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](gridDim * gridDim)
+    val counts = new Array[Long](gridDim * gridDim)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * gridDim / h, gridDim - 1)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * gridDim / w, gridDim - 1)
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0 / 255.0
+        val cell = gy * gridDim + gx
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](gridDim * gridDim)
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Per-partition REAL feature extraction (vs [[Multimodal.extractFeatures]]'s
+    * stub): decode each payload, emit grid features + true dimensions;
+    * undecodable rows keep the pipeline alive with stub features and
+    * `decoded = false`.
+    */
+  def extractImageFeatures(
+      media: Dataset[Multimodal.MediaRow],
+      gridDim: Int = 4): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // ImageIO plugin scanning happens once per JVM; per-partition we
+      // only pay stream decode — same placement a JNI codec would have.
+      rows.map { r =>
+        decode(r.payload) match {
+          case Some(img) =>
+            ImageFeatures(r.media_id, r.mime, r.payload.length,
+              img.getWidth, img.getHeight, decoded = true,
+              gridFeatures(img, gridDim))
+          case None =>
+            ImageFeatures(r.media_id, r.mime, r.payload.length,
+              -1, -1, decoded = false,
+              Multimodal.stubDecode(r.payload, gridDim * gridDim))
+        }
+      }
+    }
+  }
+
+  /** Real resize (smooth-scaled, re-encoded PNG): the bytes→bytes shape a
+    * thumbnailing stage runs per partition.
+    */
+  def resizePng(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    decode(payload).map { img =>
+      val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(
+        img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(scaled, "png", bos)
+      bos.toByteArray
+    }
+}

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * iterator batches (the Scala analog of `mapInPandas` — one decoder
   * instantiation per partition, streamed row batches, no driver collect).
   *
-  * The actual codec step is a STUB: media libraries are not available in
-  * this environment, so [[stubDecode]] derives a deterministic fake
-  * feature vector from the payload bytes. The Spark-side contract —
-  * schema, partitioning, batch shape, null behavior — is real and tested;
-  * swap [[stubDecode]] for a JNI/FFmpeg/ImageIO call in production.
+  * Two codec tiers: [[ImageCodec]] is the REAL image path (JDK ImageIO —
+  * PNG/JPEG decode, luminance-grid features, resize); [[stubDecode]]
+  * remains the deterministic byte-mix fallback for payload types with no
+  * in-JVM codec (audio/video) and for undecodable rows. The Spark-side
+  * contract — schema, partitioning, batch shape, null behavior — is
+  * identical across tiers.
   */
 object Multimodal {
 

@@ -28,6 +28,38 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4))
   }
 
+  test("ImageCodec: real PNG decode to luminance-grid features") {
+    import graft.multimodal.ImageCodec
+    // 8×8 PNG, left half black, right half white — encoded in-memory so
+    // the test exercises the REAL ImageIO decode path end to end.
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8)
+        img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, png(), "image/png", 8, 8),
+      MediaRow(2L, Array[Byte](1, 2, 3), "image/png", 0, 0)) // corrupt
+    val feats = ImageCodec.extractImageFeatures(
+      spark.createDataset(rows), gridDim = 2).collect().sortBy(_.media_id)
+    val ok = feats(0)
+    assert(ok.decoded && ok.width == 8 && ok.height == 8)
+    // row-major 2×2 grid: [black, white, black, white]
+    assert(ok.features.toSeq == Seq(0f, 1f, 0f, 1f))
+    // corrupt payload survives the stage: stub features, decoded = false.
+    val bad = feats(1)
+    assert(!bad.decoded && bad.width == -1 && bad.features.length == 4)
+    // real resize: 8×8 → 4×4, still decodable, left half stays dark.
+    val small = ImageCodec.resizePng(png(), 4, 4).get
+    val back = ImageCodec.decode(small).get
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    assert((back.getRGB(0, 0) & 0xff) < (back.getRGB(3, 0) & 0xff))
+  }
+
   test("mediaStats: byte counts without decode") {
     val df = spark.createDataset(rows).toDF()
     val stats = Multimodal.mediaStats(df, "payload").orderBy("media_id")
