@@ -535,6 +535,21 @@ object SparkEntry {
           nProbe = 2, topK = 10)
         .withColumn("cosine_sim", round(col("cosine_sim"), 4))
     }),
+    "q82_pq_adc" -> ((s, dir) => {
+      // Product quantization: 64-dim floats → 8 codes (deterministic
+      // rank-order codebooks), ADC shortlist of 50 via an m×k lookup
+      // table, exact cosine rerank to top-10. The compressed-domain
+      // scan never touches the float vectors.
+      val e = tbl(s, dir, "embeddings")
+      val sample = e.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val cbs = operators.Pq.codebooksFromSample(sample, 8)
+      val model = operators.Pq.encode(e, "embedding", cbs)
+      operators.Pq.search(model, "vec_id", "embedding", sample.head,
+          rerank = 50, topK = 10)
+        .withColumn("cosine_sim", round(col("cosine_sim"), 4))
+    }),
     "q41_label_stats" -> ((s, dir) =>
       tbl(s, dir, "embeddings")
         .groupBy(col("label"))
@@ -1484,6 +1499,46 @@ object SparkEntry {
            ON e.user_id = p.user_id
           AND e.event_type = 'error' AND p.event_type = 'purchase'
           AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000""",
+    // PQ/ADC replica: deterministic rank-order codebooks, the same
+    // -2·dot+|c|² scoring with ordered list_sum folds, ADC totals summed
+    // in subspace order (list(... ORDER BY m) -> list_sum), exact rerank.
+    "q82_pq_adc" ->
+      """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v
+           FROM ev WHERE vec_id < 16),
+         ms AS (SELECT unnest(range(0, 8)) AS m),
+         cwn AS (SELECT s.k, ms.m, s.v[ms.m*8+1 : ms.m*8+8] AS c,
+             list_sum(list_transform(range(1, 9),
+               i -> s.v[ms.m*8+i]*s.v[ms.m*8+i])) AS nsq
+           FROM samp s CROSS JOIN ms),
+         enc AS (SELECT vec_id, m, k AS code FROM (
+             SELECT e.vec_id, cn.m, cn.k,
+               row_number() OVER (PARTITION BY e.vec_id, cn.m ORDER BY
+                 -2 * list_sum(list_transform(range(1, 9),
+                   i -> e.v[cn.m*8+i]*cn.c[i])) + cn.nsq, cn.k) AS rn
+             FROM ev e CROSS JOIN cwn cn) WHERE rn = 1),
+         q AS (SELECT v AS qv FROM (
+             SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM ev WHERE vec_id < 16) WHERE rn = 1),
+         lut AS (SELECT cn.m, cn.k,
+             -2 * list_sum(list_transform(range(1, 9),
+               i -> q.qv[cn.m*8+i]*cn.c[i])) + cn.nsq AS lv
+           FROM cwn cn, q),
+         adc AS (SELECT vec_id, list_sum(lvs) AS adc_score FROM (
+             SELECT en.vec_id, list(l.lv ORDER BY en.m) AS lvs
+             FROM enc en JOIN lut l ON l.m = en.m AND l.k = en.code
+             GROUP BY en.vec_id)),
+         cand AS (SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (ORDER BY adc_score, vec_id) AS rn
+             FROM adc) WHERE rn <= 50),
+         rer AS (SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))) AS cos
+           FROM ev e JOIN cand USING (vec_id), q)
+         SELECT vec_id, round(cos, 4) AS cosine_sim FROM rer
+         ORDER BY cos DESC, vec_id LIMIT 10""",
     // Image round-trip: the decode must recover the encoded gray exactly,
     // so the oracle predicts it arithmetically.
     "q81_image_decode" ->

@@ -116,4 +116,32 @@ class AdvancedOpsSpec extends SparkSpec {
       .select("vec_id").as[Long].head()
     assert(hit == 5L)
   }
+
+  test("PQ: 8-byte codes, self-query ranks itself first, recall vs brute force") {
+    import graft.operators.Pq
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val sample = e.filter($"vec_id" < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val model = Pq.encode(e, "embedding", Pq.codebooksFromSample(sample, 8))
+    // 64 floats compress to 8 codes, each addressing one of 16 codewords.
+    val codes = model.encoded.select("codes").head().getSeq[Long](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    // A sampled vector IS codeword k in every subspace: its ADC total is
+    // the lattice minimum, so it must survive the shortlist and rerank
+    // to cosine 1.0 at rank 1.
+    val top = Pq.search(model, "vec_id", "embedding", sample.head,
+      rerank = 50, topK = 10).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    // ADC + rerank approximates the brute-force top-10 (recall >= 0.6
+    // with these untrained rank-order codebooks).
+    val brute = e.select($"vec_id",
+        graft.functions.Vectors.cosineToConst($"embedding", sample.head).as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = top.map(_.getLong(0)).toSet
+    assert(brute.intersect(got).size >= 6,
+      s"recall too low: ${brute.intersect(got).size}/10")
+  }
 }
