@@ -107,6 +107,11 @@ object PdcmFull {
     w(s"$root/provB/patient.tsv",
       "patient_id\tsex\thistory\tethnicity\tethnicity_assessment_method\tage_at_initial_diagnosis\tinitial_diagnosis\n" +
         "P9\tfemale\t\tAsian\t\t33\tColon Cancer\n")
+    // provB reuses the EXTERNAL model id "M1" (model ids are only unique
+    // per provider) — guards against cross-provider treatment bleed.
+    w(s"$root/provB/drug-dosing.tsv",
+      "model_id\tpassage_range\ttreatment_name\ttreatment_dose\tadministration_route\ttreatment_schedule\ttreatment_length\ttreatment_response\tresponse_classification\n" +
+        "M1\t1\tvinblastine\t3mg\tiv\tdaily\t1 week\tCR\tRECIST\n")
     // Shared ontology inputs: a miniature NCIt with diagnosis
     // (C3262→C9305→C4878→C2926), treatment (C1909→{C376,C1411}) and
     // regimen (C12218→C11197) branches, ontolia regimen links, and the

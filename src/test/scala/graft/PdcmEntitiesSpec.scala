@@ -87,7 +87,7 @@ class PdcmEntitiesSpec extends SparkSpec {
   test("treatment_protocol splits matched name/dose lists, drops mismatches") {
     val tp = out("treatment_protocol")
     val names = tp.select("treatment_name").as[String].collect().sorted.toSeq
-    assert(names == Seq("cisplatin", "doxorubicin", "paclitaxel"))
+    assert(names == Seq("cisplatin", "doxorubicin", "paclitaxel", "vinblastine"))
     assert(tp.filter($"treatment_name" === "badsplit").count() == 0)
   }
 
@@ -339,8 +339,17 @@ class PdcmEntitiesSpec extends SparkSpec {
 
   test("treatment_by_model: regimen discovery via sorted-array equality, outer model/patient join") {
     val tbm = out("treatment_by_model")
-    assert(tbm.count() == 1) // M2's only protocol was a dropped mismatch
-    val m1 = tbm.filter($"model_id" === "M1").head()
+    // provA/M1 + provB/M1 (same EXTERNAL id, different providers);
+    // M2's only protocol was a dropped mismatch.
+    assert(tbm.count() == 2)
+    // Providers sharing an external model id must NOT cross-contaminate:
+    // provB's vinblastine protocol (no ontology match -> empty treatment
+    // list, response CR survives) stays out of provA's aggregates.
+    val m1b = tbm.filter($"model_id" === "M1" && $"data_source" === "provB").head()
+    assert(m1b.getSeq[String](m1b.fieldIndex("model_treatments")).isEmpty)
+    assert(m1b.getSeq[String](m1b.fieldIndex("model_treatments_responses")).toSeq
+      == Seq("CR"))
+    val m1 = tbm.filter($"model_id" === "M1" && $"data_source" === "provA").head()
     // Direct components + the DISCOVERED regimen (sorted [Cisplatin,
     // Paclitaxel] == the regimen's component list).
     assert(m1.getSeq[String](m1.fieldIndex("model_treatments")).toSeq ==
