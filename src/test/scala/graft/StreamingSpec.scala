@@ -96,4 +96,42 @@ class StreamingSpec extends SparkSpec {
     val deduped = EventStreams.dedupedEvents(doubled)
     assert(deduped.count() == events.count())
   }
+
+  test("streaming near-dup candidates match batch; exact dups surface") {
+    import graft.streaming.StreamingNearDup
+    import graft.streaming.StreamingNearDup.DocEvent
+    // Documents as a stream, arrival time synthesized from doc_id so
+    // batch and micro-batch replays order identically.
+    // The corpus has near- but not exact-duplicate texts; append a
+    // verbatim copy of doc 0 under a fresh id to pin the distance-0 path.
+    val base = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+    val copy = base.filter(col("doc_id") === 0)
+      .select(lit(900000L).as("doc_id"),
+        timestamp_seconds(lit(1700900000L)).as("ts"), col("text"))
+    val docs = base.unionByName(copy).as[DocEvent]
+    val staged = Files.createTempDirectory("graft-neardup").toString
+    docs.write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = spark.readStream.schema(schema).parquet(staged).as[DocEvent]
+    val q = StreamingNearDup.candidatePairs(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("neardup_out")
+      .select("a", "b", "band").as[(Long, Long, Int)].collect().toSet
+    val batch = StreamingNearDup.candidatePairs(docs)
+      .select("a", "b", "band").as[(Long, Long, Int)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // Earlier doc is always `a`; the injected verbatim copy must be
+    // flagged against doc 0 in BOTH bands at distance 0.
+    assert(streamed.forall { case (a, b, _) => a < b })
+    val exact = spark.table("neardup_out")
+      .filter($"a" === 0 && $"b" === 900000 && $"hamming" === 0)
+    assert(exact.count() == 2)
+  }
 }
