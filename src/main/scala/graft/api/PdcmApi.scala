@@ -325,7 +325,7 @@ object PdcmApi {
          FROM search_index GROUP BY patient_ethnicity""",
     // search_facet_options (views.sql:1280).
     "search_facet_options" ->
-      """SELECT facet_column, explode(options) AS option
+      """SELECT facet_column, explode(facet_options) AS option
          FROM search_facet""",
     // patient_treatment_extended / drug_dosing_extended (views.sql:1295,
     // :1363): per-protocol treatment entries as a JSON array + model row.

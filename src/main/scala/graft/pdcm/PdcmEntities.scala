@@ -139,6 +139,70 @@ object PdcmEntities {
   val DefaultDownloadConfs: Seq[ExternalResources.DownloadConf] =
     Seq(ExternalResources.DownloadConf(3, "cosmic.csv"))
 
+  /** The full reference facet registry (`etl/facets.py`, 28 definitions
+    * across the search/model/patient_tumour/molecular_data/treatment
+    * sections). Static boolean filters carry configured options and
+    * never scan the data.
+    */
+  val ReferenceFacets: Seq[Scoring.FacetDef] = {
+    import Scoring.FacetDef
+    def dyn(i: Int, sec: String, nm: String, c: String, tpe: String,
+        anyOp: String = "in", allOp: String = "") =
+      FacetDef(i, sec, nm, "", c, "", anyOp, allOp, isBoolean = false, tpe)
+    def stat(i: Int, sec: String, nm: String, c: String, opts: Seq[String]) =
+      FacetDef(i, sec, nm, "", c, "", "in", "", isBoolean = true, "check",
+        Some(opts))
+    Seq(
+      dyn(0, "search", "Search", "search_terms", "", anyOp = "ov"),
+      dyn(1, "model", "Type", "model_type", "check"),
+      dyn(2, "model", "Model ID", "external_model_id", "autocomplete"),
+      dyn(3, "model", "Datasource", "data_source", "check"),
+      dyn(4, "model", "Dataset available", "dataset_available", "check",
+        anyOp = "ov"),
+      stat(5, "model", "Model Availability", "model_availability_boolean",
+        Seq("Available for distribution=true")),
+      stat(6, "model", "Related Models", "has_relations",
+        Seq("related models=true")),
+      dyn(7, "model", "Project", "project_name", "check"),
+      stat(8, "model", "Paediatric Models", "paediatric",
+        Seq("paediatric=true")),
+      dyn(9, "patient_tumour", "Collection Site", "collection_site", "check"),
+      dyn(10, "patient_tumour", "Primary Site", "primary_site", "check"),
+      dyn(11, "patient_tumour", "Patient Ethnicity", "patient_ethnicity",
+        "check"),
+      dyn(12, "patient_tumour", "Cancer system", "cancer_system", "check"),
+      dyn(13, "patient_tumour", "Patient age", "patient_age", "check"),
+      dyn(14, "patient_tumour", "Tumour type", "tumour_type", "check"),
+      dyn(15, "patient_tumour", "Patient sex", "patient_sex", "check"),
+      dyn(16, "molecular_data", "Gene mutation", "markers_with_mutation_data",
+        "multivalued", anyOp = "ov", allOp = "cs"),
+      dyn(17, "molecular_data", "Gene Expression",
+        "markers_with_expression_data", "multivalued", anyOp = "ov",
+        allOp = "cs"),
+      dyn(18, "molecular_data", "Copy Number Alteration",
+        "markers_with_cna_data", "multivalued", anyOp = "ov", allOp = "cs"),
+      dyn(19, "molecular_data", "Breast cancer biomarkers",
+        "breast_cancer_biomarkers", "check", anyOp = "ov"),
+      dyn(20, "molecular_data", "Bio markers", "markers_with_biomarker_data",
+        "multivalued", anyOp = "ov", allOp = "cs"),
+      dyn(21, "molecular_data", "HLA types", "hla_types", "check",
+        anyOp = "ov"),
+      dyn(22, "molecular_data", "MSI Status", "msi_status", "check",
+        anyOp = "ov"),
+      dyn(23, "patient_treatment", "Patient treatment", "patient_treatments",
+        "multivalued", anyOp = "ov", allOp = "cs"),
+      dyn(24, "patient_treatment", "Responses",
+        "patient_treatments_responses", "multivalued", anyOp = "ov",
+        allOp = "cs"),
+      dyn(25, "patient_treatment", "Treatment type",
+        "custom_treatment_type_list", "multivalued", anyOp = "ov",
+        allOp = "cs"),
+      dyn(26, "model_treatment", "Model treatment", "model_treatments",
+        "multivalued", anyOp = "ov", allOp = "cs"),
+      dyn(27, "model_treatment", "Responses", "model_treatments_responses",
+        "multivalued", anyOp = "ov", allOp = "cs"))
+  }
+
   /** Treatment-type keyword map (reference `KEYWORDS_BY_TYPE`,
     * `treatment_type_helper_transformer_job.py:7-30`).
     */
@@ -862,13 +926,11 @@ object PdcmEntities {
         "patient_sample_treated_prior_to_collection",
         "patient_sample_response_to_treatment", "date_submitted")))
     .register(EntityDef("search_facet", Seq("search_index"),
-      (_, in) => Scoring.buildFacets(in("search_index"), Seq(
-        Scoring.FacetDef("histology", "histology", isBoolean = false, 0),
-        Scoring.FacetDef("cancer_system", "cancer_system", isBoolean = false, 1),
-        Scoring.FacetDef("sex", "patient_sex", isBoolean = false, 2),
-        Scoring.FacetDef("provider", prov, isBoolean = false, 3))),
-      outputColumns = Seq("facet_name", "facet_column", "options",
-        "is_boolean", "facet_index")))
+      (_, in) => Scoring.buildFacets(in("search_index"), ReferenceFacets),
+      outputColumns = Seq("index", "facet_section", "facet_name",
+        "facet_description", "facet_column", "facet_options",
+        "facet_example", "any_operator", "all_operator", "is_boolean",
+        "facet_type")))
     .register(EntityDef("model_metadata", Seq("search_index"),
       (_, in) => {
         // JSON metadata per model (reference

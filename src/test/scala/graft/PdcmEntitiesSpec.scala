@@ -109,11 +109,21 @@ class PdcmEntitiesSpec extends SparkSpec {
     val si = out("search_index").filter($"patient_sample_id" === "S1").head()
     // All four weighted columns populated -> 100.
     assert(si.getAs[Int]("metadata_score") == 100)
+    // Full reference facet registry (facets.py): 28 definitions.
     val facets = out("search_facet")
-    assert(facets.count() == 4)
-    val sexOptions = facets.filter($"facet_name" === "sex").head()
-    assert(sexOptions.getSeq[String](sexOptions.fieldIndex("options")).toSeq ==
-      Seq("female", "male"))
+    assert(facets.count() == 28)
+    val sexOptions = facets.filter($"facet_column" === "patient_sex").head()
+    assert(sexOptions.getSeq[String](sexOptions.fieldIndex("facet_options"))
+      .toSeq == Seq("female", "male"))
+    // Array columns explode into scalar options.
+    val mut = facets.filter($"facet_column" === "markers_with_mutation_data").head()
+    assert(mut.getSeq[String](mut.fieldIndex("facet_options")).toSeq ==
+      Seq("BRCA1", "EGFR", "GENE2"))
+    // Static boolean filters carry configured options, no data scan.
+    val avail = facets.filter($"facet_column" === "model_availability_boolean").head()
+    assert(avail.getBoolean(avail.fieldIndex("is_boolean")))
+    assert(avail.getSeq[String](avail.fieldIndex("facet_options")).toSeq ==
+      Seq("Available for distribution=true"))
   }
 
   test("search_index: histology rename, search_terms, cancer_system, age bin") {
