@@ -85,6 +85,22 @@ object SparkEntry {
         )
     }),
     "q03_revenue_by_nation" -> ((s, dir) => revenueByNation(s, dir)),
+    "q85_bloom_pruned_join" -> ((s, dir) => {
+      // Runtime-filter pattern as an explicit operator: a distributed
+      // bloom of the dim keys (one OR-merged bitset row), broadcast and
+      // applied to the fact scan as a codegen'd predicate BEFORE the join
+      // shuffle. False positives die in the join, so the oracle is the
+      // plain join.
+      val dim = tbl(s, dir, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_brand"))
+      val fact = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      graft.operators.BloomJoin
+        .prunedJoin(fact, "l_partkey", dim, "p_partkey", numBits = 1 << 18)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+    }),
     "q10_collect_set" -> ((s, dir) => {
       tbl(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -463,6 +479,34 @@ object SparkEntry {
         col("doc_id"),
         size(Text.tokens(col("text"))).as("ws_tokens"),
         Text.bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+    "q83_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: top-gram and
+      // duplicated-gram fractions at word and bigram granularity, as a
+      // PURE PROJECTION (sorted-run-length fold per row,
+      // Text.repetitionStats) — zero shuffles at any corpus size, where
+      // the naive explode → groupBy(doc, gram) → groupBy(doc) plan pays
+      // two shuffles on a gram-inflated row count.
+      // inline(array(...)) is a Generate barrier: each fold is evaluated
+      // ONCE, not re-inlined per downstream fraction by project collapse.
+      val toks = Text.tokens(col("text"))
+      val stats = struct(
+        Text.repetitionStats(toks).as("w"),
+        Text.repetitionStats(Text.wordShingles(toks, 2)).as("b"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), inline(array(stats)))
+        .filter(col("b.total") > 0)
+        .select(
+          col("doc_id"),
+          col("w.total").as("n_words"),
+          (col("w.top").cast("double") / col("w.total").cast("double"))
+            .as("top_word_frac"),
+          (col("w.dup").cast("double") / col("w.total").cast("double"))
+            .as("dup_word_frac"),
+          (col("b.top").cast("double") / col("b.total").cast("double"))
+            .as("top_bigram_frac"),
+          (col("b.dup").cast("double") / col("b.total").cast("double"))
+            .as("dup_bigram_frac"))
+    }),
 
     "q60_langid_ngram" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
@@ -495,6 +539,16 @@ object SparkEntry {
       val idx = Similarity.lshIndex(e, "vec_id", "embedding", nPlanes = 6, dim = q.size)
       Similarity.lshTopK(idx, "vec_id", "embedding", q, nPlanes = 6, k = 10)
         .withColumn("cosine_sim", round(col("cosine_sim"), 4))
+    }),
+    "q84_int8_ann" -> ((s, dir) => {
+      // Scalar-quantized (int8) ANN: the persisted index is 4x smaller
+      // than fp32, scoring is an exact integer dot de-scaled by two
+      // per-vector scales — both cross-engine exact, so the oracle checks
+      // the quantized scores themselves, not just the id set.
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.int8TopK(e, "vec_id", "embedding", q, 10)
     }),
     "q40_near_pairs" -> ((s, dir) => {
       // Norms precomputed per row (linear) so each of the O(n^2) candidate
@@ -1130,6 +1184,11 @@ object SparkEntry {
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus""",
+    "q85_bloom_pruned_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 1 GROUP BY p_brand""",
     "q02_fk_dim_join" ->
       """SELECT r_name AS region_name, n_name AS nation_name, count(*) AS n_customers,
          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
@@ -1307,6 +1366,30 @@ object SparkEntry {
     "q61_winnowing" -> winnowingSql,
     "q62_sql_kernels" -> simhashSql,
     "q36_quality" -> qualitySql,
+    "q83_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         words AS (SELECT doc_id, unnest(t) AS g FROM toks),
+         wc AS (SELECT doc_id, g, count(*) AS cnt FROM words GROUP BY doc_id, g),
+         ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+                  CAST(max(cnt) AS BIGINT) AS top,
+                  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+                FROM wc GROUP BY doc_id),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS g
+                FROM toks WHERE len(t) >= 2),
+         bc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g),
+         bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+                  CAST(max(cnt) AS BIGINT) AS top,
+                  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+                FROM bc GROUP BY doc_id)
+         SELECT w.doc_id, w.total AS n_words,
+           CAST(w.top AS DOUBLE) / CAST(w.total AS DOUBLE) AS top_word_frac,
+           CAST(w.dup AS DOUBLE) / CAST(w.total AS DOUBLE) AS dup_word_frac,
+           CAST(b.top AS DOUBLE) / CAST(b.total AS DOUBLE) AS top_bigram_frac,
+           CAST(b.dup AS DOUBLE) / CAST(b.total AS DOUBLE) AS dup_bigram_frac
+         FROM ws w JOIN bs b ON w.doc_id = b.doc_id""",
     "q37_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
@@ -1317,6 +1400,29 @@ object SparkEntry {
          e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)
          SELECT vec_id, round($cosineSqlBody, 4) AS cosine_sim
          FROM e, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q84_int8_ann" ->
+      """WITH q0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         q1 AS (SELECT qv,
+             list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qscale FROM q0),
+         q AS (SELECT qscale, CASE WHEN qscale > 0
+             THEN list_transform(qv, x -> CAST(round(x / qscale) AS BIGINT))
+             ELSE list_transform(qv, x -> CAST(0 AS BIGINT)) END AS qcodes FROM q1),
+         e0 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+         e1 AS (SELECT vec_id, ev,
+             list_max(list_transform(ev, x -> abs(x))) / 127.0 AS vscale FROM e0),
+         e AS (SELECT vec_id, vscale, CASE WHEN vscale > 0
+             THEN list_transform(ev, x -> CAST(round(x / vscale) AS BIGINT))
+             ELSE list_transform(ev, x -> CAST(0 AS BIGINT)) END AS codes FROM e1),
+         s AS (SELECT vec_id, vscale, qscale,
+             CAST(list_sum(list_transform(range(1, len(codes)+1),
+               i -> codes[i] * qcodes[i])) AS BIGINT) AS q_dot
+           FROM e, q)
+         SELECT vec_id, q_dot,
+           round(vscale * qscale * CAST(q_dot AS DOUBLE), 4) AS approx_dot
+         FROM s
+         ORDER BY vscale * qscale * CAST(q_dot AS DOUBLE) DESC, vec_id LIMIT 10""",
     "q40_near_pairs" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings WHERE vec_id < 300)

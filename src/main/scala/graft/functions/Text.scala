@@ -207,4 +207,49 @@ object Text {
     */
   def bagFingerprint(text: Column): Column =
     md5Hex(concat_ws(" ", sort_array(array_distinct(tokens(lower(text))))))
+
+  /** Repetition statistics of a gram array (Gopher-rule style quality
+    * signals: "fraction of grams in the most common gram" and "fraction
+    * of grams occurring more than once"). Returns
+    * `struct(total, top, dup)` — total gram count, the count of the most
+    * frequent gram, and the number of grams whose gram occurs >1 time.
+    *
+    * Computed as ONE linear fold over the SORTED gram array (run-length
+    * scan), so a corpus-wide repetition filter is a pure projection:
+    * zero shuffles, zero explodes — the 100 TB shape. The equivalent
+    * explode → groupBy(doc, gram) → groupBy(doc) plan costs two
+    * shuffles and inflates the row count by the gram count first.
+    */
+  def repetitionStats(grams: Column): Column = {
+    val sorted = sort_array(grams)
+    // Fold state: (prev gram, current run length, best run, grams-in-runs>1).
+    val z = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("top"), lit(0L).as("dup"))
+    val folded = aggregate(
+      sorted,
+      z,
+      (acc, g) => {
+        val run = acc.getField("run")
+        val top = acc.getField("top")
+        val dup = acc.getField("dup")
+        when(g === acc.getField("prev"),
+          struct(g.as("prev"), (run + lit(1L)).as("run"),
+            top.as("top"), dup.as("dup")))
+          .otherwise(
+            struct(g.as("prev"), lit(1L).as("run"),
+              greatest(top, run).as("top"),
+              (dup + when(run > 1L, run).otherwise(lit(0L))).as("dup")))
+      },
+      acc => {
+        val run = acc.getField("run")
+        struct(
+          greatest(acc.getField("top"), run).as("top"),
+          (acc.getField("dup") +
+            when(run > 1L, run).otherwise(lit(0L))).as("dup"))
+      })
+    struct(
+      size(grams).cast("long").as("total"),
+      folded.getField("top").as("top"),
+      folded.getField("dup").as("dup"))
+  }
 }

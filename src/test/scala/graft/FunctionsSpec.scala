@@ -85,6 +85,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("repetitionStats: run-length fold matches hand counts") {
+    // "a a a b b c": total 6, top run 3 (a), dup = 3 (a) + 2 (b) = 5.
+    // "x y z": total 3, top 1, dup 0. "": tokens = [""], total 1, top 1.
+    val df = Seq("a a b a b c", "x y z", "")
+      .toDF("t").select(Text.repetitionStats(Text.tokens($"t")).as("r"))
+    val got = df.select($"r.total", $"r.top", $"r.dup")
+      .as[(Long, Long, Long)].collect()
+    assert(got(0) == ((6L, 3L, 5L)))
+    assert(got(1) == ((3L, 1L, 0L)))
+    assert(got(2) == ((1L, 1L, 0L)))
+  }
+
   test("jaccard on token arrays") {
     val df = Seq(("a b c", "b c d")).toDF("x", "y")
       .select(Text.jaccard(Text.tokens($"x"), Text.tokens($"y")).as("j"))

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{BloomJoin, Dedup, Relational, Similarity}
+import graft.plans.BloomExpressions
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -147,5 +148,44 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding", 2, 64, 0.2)
       .as[(Long, Long, Double)].collect()
     assert(pairs.forall { case (a, b, s) => a < b && s >= 0.2 })
+  }
+
+  test("bloom prunedJoin: exact result, no false negatives, real pruning") {
+    val dim = Tables.load(spark, sfDir, "part").filter($"p_size" <= 5)
+      .select($"p_partkey", $"p_brand")
+    val fact = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_partkey", $"l_quantity")
+    val pruned = BloomJoin
+      .prunedJoin(fact, "l_partkey", dim, "p_partkey", numBits = 1 << 16)
+      .groupBy($"p_brand").count()
+    val plain = fact.join(dim, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand").count()
+    assert(pruned.as[(String, Long)].collect().toSet ==
+      plain.as[(String, Long)].collect().toSet)
+    // No false negatives: every dim key passes the filter it built.
+    val bloom = dim.agg(
+      BloomExpressions.bloomBuild($"p_partkey", 1 << 16, 5).as("b"))
+    val misses = dim.join(broadcast(bloom))
+      .where(!BloomExpressions.mightContain($"p_partkey", $"b")).count()
+    assert(misses == 0)
+    // The filter really prunes the fact side (selective dim keys).
+    val passed = fact.join(broadcast(bloom))
+      .where(BloomExpressions.mightContain($"l_partkey", $"b")).count()
+    assert(passed < fact.count() / 2)
+  }
+
+  test("int8TopK: self is top hit, codes bounded, approx tracks exact") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" === 7).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val got = Similarity.int8TopK(e, "vec_id", "embedding", q, 5)
+      .as[(Long, Long, Double)].collect()
+    // Self-match leads: quantization preserves the dominant dot product.
+    assert(got.head._1 == 7L)
+    // The de-scaled approximate dot of the self pair is close to |q|^2.
+    val exact = q.map(x => x * x).sum
+    assert(math.abs(got.head._3 - exact) / exact < 0.02)
+    // Codes lie in [-127, 127]: q_dot of any pair is bounded by dim * 127^2.
+    assert(got.forall(r => math.abs(r._2) <= q.size.toLong * 127 * 127))
   }
 }

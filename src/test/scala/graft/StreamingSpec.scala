@@ -134,4 +134,31 @@ class StreamingSpec extends SparkSpec {
       .filter($"a" === 0 && $"b" === 900000 && $"hamming" === 0)
     assert(exact.count() == 2)
   }
+
+  test("streaming contamination counts match the batch shingle-overlap query") {
+    import graft.streaming.StreamingContamination
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val evalDocs = docs.filter($"doc_id" < 50)
+    val trainSh = StreamingContamination
+      .trainShingles(docs.filter($"doc_id" >= 50), "doc_id", "text")
+      .cache() // static side: computed once, reused by every micro-batch
+    val staged = Files.createTempDirectory("graft-contam").toString
+    evalDocs.write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = StreamingContamination
+      .contamination(stream, trainSh, "doc_id", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("contam_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("contam_out")
+      .as[(Long, Int, Int)].collect().toSet
+    val batch = StreamingContamination
+      .contamination(evalDocs, trainSh, "doc_id", "text")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
