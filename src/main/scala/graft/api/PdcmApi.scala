@@ -329,31 +329,55 @@ object PdcmApi {
          FROM search_facet""",
     // patient_treatment_extended / drug_dosing_extended (views.sql:1295,
     // :1363): per-protocol treatment entries as a JSON array + model row.
+    // Entries follow the reference's nested jsonb sub-select
+    // (views.sql:1303-1314): one {name, dose, external_db_links} object
+    // per protocol COMPONENT, name and links from the harmonised
+    // treatment entity via treatment_component's FK. to_json drops null
+    // fields, so link-less treatments simply omit external_db_links.
     "patient_treatment_extended" ->
-      """SELECT si.external_model_id AS model_id, si.data_source,
-         si.patient_id, si.patient_age, si.patient_sex,
-         si.patient_ethnicity, si.histology,
-         tp.treatment_response AS response,
-         to_json(sort_array(collect_list(struct(
-           tp.treatment_name AS name, tp.treatment_dose AS dose)))) AS entries
-         FROM treatment_protocol tp
-         JOIN search_index si ON tp.model_id = si.external_model_id
-           AND tp.data_source = si.data_source
-         WHERE tp.target_kind = 'patient'
-         GROUP BY tp.protocol_id, si.external_model_id, si.data_source,
+      """WITH comp AS (
+           SELECT tc.treatment_protocol_id AS protocol_id,
+             sort_array(collect_list(struct(
+               t.name AS name, tc.dose AS dose,
+               t.external_db_links AS external_db_links))) AS entry_list
+           FROM treatment_component tc
+           JOIN treatment t ON tc.treatment_id = t.id
+           GROUP BY tc.treatment_protocol_id),
+         proto AS (
+           SELECT DISTINCT protocol_id, model_id, data_source,
+             target_kind, treatment_response
+           FROM treatment_protocol)
+         SELECT si.external_model_id AS model_id, si.data_source,
            si.patient_id, si.patient_age, si.patient_sex,
-           si.patient_ethnicity, si.histology, tp.treatment_response""",
+           si.patient_ethnicity, si.histology,
+           p.treatment_response AS response,
+           to_json(c.entry_list) AS entries
+         FROM proto p
+         JOIN comp c ON c.protocol_id = p.protocol_id
+         JOIN search_index si ON p.model_id = si.external_model_id
+           AND p.data_source = si.data_source
+         WHERE p.target_kind = 'patient'""",
     "drug_dosing_extended" ->
-      """SELECT si.external_model_id AS model_id, si.data_source,
-         si.histology, tp.treatment_response AS response,
-         to_json(sort_array(collect_list(struct(
-           tp.treatment_name AS name, tp.treatment_dose AS dose)))) AS entries
-         FROM treatment_protocol tp
-         JOIN search_index si ON tp.model_id = si.external_model_id
-           AND tp.data_source = si.data_source
-         WHERE tp.target_kind = 'model'
-         GROUP BY tp.protocol_id, si.external_model_id, si.data_source,
-           si.histology, tp.treatment_response""",
+      """WITH comp AS (
+           SELECT tc.treatment_protocol_id AS protocol_id,
+             sort_array(collect_list(struct(
+               t.name AS name, tc.dose AS dose,
+               t.external_db_links AS external_db_links))) AS entry_list
+           FROM treatment_component tc
+           JOIN treatment t ON tc.treatment_id = t.id
+           GROUP BY tc.treatment_protocol_id),
+         proto AS (
+           SELECT DISTINCT protocol_id, model_id, data_source,
+             target_kind, treatment_response
+           FROM treatment_protocol)
+         SELECT si.external_model_id AS model_id, si.data_source,
+           si.histology, p.treatment_response AS response,
+           to_json(c.entry_list) AS entries
+         FROM proto p
+         JOIN comp c ON c.protocol_id = p.protocol_id
+         JOIN search_index si ON p.model_id = si.external_model_id
+           AND p.data_source = si.data_source
+         WHERE p.target_kind = 'model'""",
     // info (views.sql:1544).
     "info" ->
       """SELECT 'total_models' AS key,

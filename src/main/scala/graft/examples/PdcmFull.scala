@@ -171,6 +171,10 @@ object PdcmFull {
         |""".stripMargin)
     w(s"$root/ontolia.txt",
       "NCIT:C11197=NCIT:C376, NCIT:C1411\n")
+    // Offline treatment→ChEMBL lookup (global file; one mapped and one
+    // unmapped treatment resolve, paclitaxel deliberately has no row).
+    w(s"$root/chembl_lookup.tsv",
+      "name\tchembl_id\ncisplatin\tCHEMBL11359\ndoxorubicin\tCHEMBL53463\n")
     // Downloaded external-resource CSV (S12): variant entries keyed
     // "<symbol> <position>".
     w(s"$root/externalDBs/cosmic.csv",
@@ -207,7 +211,8 @@ object PdcmFull {
         "expression_data", "cna_data", "biomarker_data", "nodes", "edges",
         "ontology_term_diagnosis", "ontology_term_treatment",
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
-        "treatment_harmonised", "treatment_by_model", "model_links",
+        "treatment_harmonised", "treatment_by_model", "treatment",
+        "treatment_component", "model_links",
         "molecular_data_links", "model_metadata",
         "available_molecular_data_columns", "immunemarker_data",
         "provider_group", "contact_people", "publication_group",

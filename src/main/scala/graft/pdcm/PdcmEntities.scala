@@ -94,7 +94,11 @@ object PdcmEntities {
       "supplier", "supplier_type", "catalog_number", "vendor_link", "rrid"),
     // Global HGNC-style marker reference (S9, markers_reader.py):
     // previous/alias symbols are comma-separated lists.
-    "raw_markers" -> Seq("approved_symbol", "previous_symbols", "alias_symbols"))
+    "raw_markers" -> Seq("approved_symbol", "previous_symbols", "alias_symbols"),
+    // Offline treatment→ChEMBL id lookup (replaces the reference's EBI
+    // API calls in `treatments_links_builder.py:59-113`; empty → null
+    // links, the same result as an API miss).
+    "raw_chembl_lookup" -> Seq("name", "chembl_id"))
 
   private val prov = Tsv.ProvenanceCol
 
@@ -1101,6 +1105,85 @@ object PdcmEntities {
       outputColumns = Seq("model_id", prov, "model_treatments",
         "model_treatments_responses", "patient_treatments",
         "patient_treatments_responses", "treatment_types")))
+    .register(EntityDef("treatment",
+      Seq("treatment_protocol", "ontology_term_treatment",
+        "ontology_term_regimen", "raw_chembl_lookup"),
+      (_, in) => {
+        // Reference treatment entity (`treatment_transformer_job.py:35-68`):
+        // one GLOBAL row (no provenance — names are cross-provider) per
+        // harmonised term, with the raw provider spellings aggregated as
+        // `aliases`, plus one row per unmapped raw name. ChEMBL links are
+        // resolved from the OFFLINE lookup table — the reference calls the
+        // EBI API inside a UDF (`treatments_links_builder.py:59-113`), a
+        // network-in-UDF anti-pattern Links.chemblLinks replaces with a
+        // broadcast join.
+        val names = in("treatment_protocol")
+          .select(Cleaning.trimAll(col("treatment_name")).as("name"))
+          .filter(col("name").isNotNull && length(col("name")) > 0)
+          .distinct()
+          .withColumn("name_key", lower(col("name")))
+        def branch(onto: DataFrame, cls: String) = onto.select(
+          lower(col("term_name")).as("name_key"), col("term_name"),
+          col("term_id"),
+          Links.classifyTreatmentTypes(
+            array_append(
+              split(coalesce(col("ancestors"), lit("")), "\\|"),
+              col("term_name")),
+            TreatmentTypeKeywords).as("types"),
+          lit(cls).as("class"))
+        val terms = branch(in("ontology_term_treatment"), "treatment")
+          .unionByName(branch(in("ontology_term_regimen"), "regimen"))
+        val mapped = names.join(terms, Seq("name_key"))
+          .groupBy(col("term_name"), col("term_id"), col("types"), col("class"))
+          .agg(sort_array(array_distinct(collect_list(col("name"))))
+            .as("aliases"))
+          .select(col("term_name").as("name"), col("term_id"), col("types"),
+            col("class"), col("aliases"))
+        val unmapped = names.join(terms, Seq("name_key"), "left_anti")
+          .select(col("name"), lit(null).cast("string").as("term_id"),
+            lit(null).cast("array<string>").as("types"),
+            lit(null).cast("string").as("class"),
+            lit(null).cast("array<string>").as("aliases"))
+        Links.chemblLinks(mapped.unionByName(unmapped), "name",
+            in("raw_chembl_lookup"))
+          .withColumn("external_db_links",
+            when(col("chembl_link").isNotNull, to_json(array(struct(
+              lit("name").as("column"), lit("ChEMBL").as("resource"),
+              col("chembl_link").as("link"))))))
+          .withColumn("id", Ids.hashId(col("name")))
+      },
+      outputColumns = Seq("id", "name", "term_id", "types", "class",
+        "aliases", "external_db_links")))
+    .register(EntityDef("treatment_component",
+      Seq("treatment_protocol", "treatment"),
+      (_, in) => {
+        // Component → treatment FK resolution
+        // (`treatment_component_transformer_job.py:66-115`): harmonised
+        // components match through the alias list (raw spelling → term
+        // row); unmapped ones by their own name. min() keeps the id
+        // deterministic if a spelling aliases both a treatment- and a
+        // regimen-class row.
+        val t = in("treatment")
+        val byAlias = t.filter(col("term_id").isNotNull)
+          .select(col("id").as("treatment_id"),
+            explode(col("aliases")).as("raw_name"))
+        val byName = t.filter(col("term_id").isNull)
+          .select(col("id").as("treatment_id"), col("name").as("raw_name"))
+        val nameToId = byAlias.unionByName(byName)
+          .groupBy(lower(Cleaning.trimAll(col("raw_name"))).as("name_key"))
+          .agg(min(col("treatment_id")).as("treatment_id"))
+        in("treatment_protocol")
+          .select(col("protocol_id").as("treatment_protocol_id"),
+            lower(Cleaning.trimAll(col("treatment_dose"))).as("dose"),
+            lower(Cleaning.trimAll(col("treatment_name"))).as("name_key"))
+          .join(nameToId, Seq("name_key"), "left")
+          .dropDuplicates("treatment_protocol_id", "dose", "treatment_id")
+          .withColumn("id", Ids.hashId(col("treatment_protocol_id"),
+            col("dose"), col("treatment_id")))
+          .select("id", "dose", "treatment_protocol_id", "treatment_id")
+      },
+      outputColumns = Seq("id", "dose", "treatment_protocol_id",
+        "treatment_id")))
     .register(EntityDef("model_links",
       Seq("model_entity", "raw_external_resources"),
       (_, in) => {
@@ -1261,8 +1344,10 @@ object PdcmEntities {
       val paths = name.stripPrefix("raw_") match {
         case "drug_dosing"       => Seq(s"$root/*/drug-dosing.tsv")
         case "patient_treatment" => Seq(s"$root/*/patient-treatment.tsv")
-        // markers is a single global reference file, not per-provider.
+        // markers/chembl_lookup are single global reference files, not
+        // per-provider.
         case "markers"           => Seq(s"$root/markers.tsv")
+        case "chembl_lookup"     => Seq(s"$root/chembl_lookup.tsv")
         case m                   => Seq(s"$root/*/$m.tsv")
       }
       name -> Tsv.read(spark, paths, cols, commentField = Some(cols.head))

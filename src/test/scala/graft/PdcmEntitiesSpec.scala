@@ -19,7 +19,8 @@ class PdcmEntitiesSpec extends SparkSpec {
         "quality_assurance", "mutation_data", "nodes", "edges",
         "ontology_term_diagnosis", "ontology_term_treatment",
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
-        "treatment_by_model", "model_links", "molecular_data_links",
+        "treatment_by_model", "treatment", "treatment_component",
+        "model_links", "molecular_data_links",
         "model_metadata", "available_molecular_data_columns",
         "expression_data", "cna_data", "biomarker_data", "immunemarker_data",
         "host_strain", "engraftment_site", "engraftment_type",
@@ -411,6 +412,30 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(mdl.filter($"symbol" =!= "BRCA1" && $"resource".isNotNull).count() == 0)
   }
 
+  test("treatment entity: harmonised terms, aliases, offline chembl links; component FKs") {
+    val t = out("treatment")
+    // Mapped components surface as ONE global row per term, raw
+    // spellings as aliases.
+    val cis = t.filter($"name" === "Cisplatin").head()
+    assert(cis.getAs[String]("term_id") == "NCIT:C376")
+    assert(cis.getSeq[String](cis.fieldIndex("aliases")).toSeq == Seq("cisplatin"))
+    assert(cis.getAs[String]("external_db_links").contains("CHEMBL11359"))
+    assert(cis.getAs[String]("external_db_links").contains("\"resource\":\"ChEMBL\""))
+    // Unmapped raw name keeps its spelling, no term, but still links.
+    val dox = t.filter($"name" === "doxorubicin").head()
+    assert(dox.isNullAt(dox.fieldIndex("term_id")))
+    assert(dox.getAs[String]("external_db_links").contains("CHEMBL53463"))
+    // Mapped but absent from the lookup -> no links column (API-miss
+    // semantics).
+    val pac = t.filter($"name" === "Paclitaxel").head()
+    assert(pac.getAs[String]("term_id") == "NCIT:C1411")
+    assert(pac.isNullAt(pac.fieldIndex("external_db_links")))
+    // Every protocol component resolves its treatment FK.
+    val tc = out("treatment_component")
+    assert(tc.count() >= 3) // cisplatin, paclitaxel, doxorubicin
+    assert(tc.filter($"treatment_id".isNull).count() == 0)
+  }
+
   test("pdcm_api view surface: derived views answer search queries") {
     val names = graft.api.PdcmApi.register(spark, out)
     assert(names.size >= 45, s"only ${names.size} views registered: $names")
@@ -496,12 +521,16 @@ class PdcmEntitiesSpec extends SparkSpec {
     // ontology match), so the patient-side aggregate has no rows — but
     // the view itself must resolve and stay empty rather than error.
     assert(spark.sql("SELECT * FROM pdcm_api_models_by_treatment").count() == 0)
-    // drug_dosing_extended carries the model-side protocol with entries.
+    // drug_dosing_extended: entries go through treatment_component →
+    // treatment, so mapped components carry the HARMONISED term name and
+    // their ChEMBL link from the offline lookup.
     val dde = spark.sql(
       "SELECT entries FROM pdcm_api_drug_dosing_extended WHERE model_id = 'M1'")
       .as[String].head()
-    assert(dde.contains("\"name\":\"cisplatin\"") &&
-      dde.contains("\"name\":\"paclitaxel\""))
+    assert(dde.contains("\"name\":\"Cisplatin\"") &&
+      dde.contains("\"name\":\"Paclitaxel\""))
+    assert(dde.contains("CHEMBL11359")) // cisplatin's external_db_links
+    assert(!dde.contains("CHEMBL53463")) // doxorubicin is patient-side only
     assert(spark.sql("SELECT option FROM pdcm_api_search_facet_options")
       .count() >= 4)
     // patient_treatment_extended carries the JSON entries array.
