@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{Ids, Text, Vectors}
+import graft.functions.{Ids, Redaction, Text, Vectors}
 import graft.operators.{Dedup, Relational, Similarity}
 
 /** Driver contract: `queries` is the operator inventory (SURVEY.md §2 +
@@ -506,6 +506,55 @@ object SparkEntry {
             .as("top_bigram_frac"),
           (col("b.dup").cast("double") / col("b.total").cast("double"))
             .as("dup_bigram_frac"))
+    }),
+
+    "q86_pii_redaction" -> ((s, dir) => {
+      // The corpus tables carry no PII by construction, so contact text
+      // is synthesized deterministically per customer (q81 precedent:
+      // both engines build identical strings), then redacted by the
+      // codegen'd kernel. Scan-local projection — zero shuffles.
+      // c_name's own 9-digit run is a deliberate phone-pattern hit.
+      val key7 = lpad(col("c_custkey").cast("string"), 7, "0")
+      val text = concat(
+        col("c_name"), lit(" <user"), col("c_custkey").cast("string"),
+        lit("@example.com>"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit(" tel 555-"), key7)).otherwise(lit("")),
+        when(col("c_custkey") % 5 === 0,
+          concat(lit(" ip 10.0."), (col("c_custkey") % 256).cast("string"),
+            lit(".7"))).otherwise(lit("")))
+      tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        Redaction.redactAll(text).as("redacted"),
+        Redaction.matchCount(text, Redaction.EmailPattern).as("n_emails"),
+        Redaction.matchCount(text, Redaction.PhonePattern).as("n_phones"),
+        Redaction.matchCount(text, Redaction.Ipv4Pattern).as("n_ips"))
+    }),
+    "q87_salient_terms" -> ((s, dir) => {
+      // Per-doc most salient term by tf × (N/df) — ratio IDF, not ln:
+      // bit-exact cross-engine where ln is only correctly-rounded-ish.
+      // Plan: one (doc, term) shuffle for tf; df DERIVED from tf (partial
+      // agg, vocabulary-sized result, broadcast back); top term per doc
+      // via min(struct(-score, term)) — map-side partial aggregation
+      // with a deterministic tie-break (highest score, then first term),
+      // where a row_number window would shuffle and sort.
+      val docs = tbl(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double")))
+            .as("score"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("score")).as("neg"), col("term").as("term")))
+          .as("m"))
+        .select(col("doc_id"),
+          col("m").getField("term").as("top_term"),
+          (-col("m").getField("neg")).as("tfidf"))
     }),
 
     "q60_langid_ngram" -> ((s, dir) =>
@@ -1394,6 +1443,42 @@ object SparkEntry {
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
          FROM documents""",
+    "q86_pii_redaction" ->
+      """WITH t AS (SELECT c_custkey,
+           c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>' ||
+           CASE WHEN c_custkey % 3 = 0
+             THEN ' tel 555-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+             ELSE '' END ||
+           CASE WHEN c_custkey % 5 = 0
+             THEN ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7'
+             ELSE '' END AS text
+           FROM customer)
+         SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+             '[0-9][0-9-]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9][0-9-]{6,}[0-9]')) AS n_phones,
+           len(regexp_extract_all(text,
+             '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips
+         FROM t""",
+    "q87_salient_terms" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term,
+             CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         m AS (SELECT doc_id, min({'neg': -score, 'term': term}) AS ms
+           FROM scored GROUP BY doc_id)
+         SELECT doc_id, struct_extract(ms, 'term') AS top_term,
+           -struct_extract(ms, 'neg') AS tfidf
+         FROM m""",
     "q38_embed_topk" ->
       s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id = 0),

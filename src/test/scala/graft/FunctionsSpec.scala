@@ -85,6 +85,23 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("redaction: email/phone/ipv4 masked, counts per pattern") {
+    import graft.functions.Redaction
+    val df = Seq(
+      "mail a.b+c@x-corp.io or b@y.org, call 555-123-4567, host 192.168.1.10",
+      "no pii here").toDF("t")
+      .select(
+        Redaction.redactAll($"t").as("r"),
+        Redaction.matchCount($"t", Redaction.EmailPattern).as("e"),
+        Redaction.matchCount($"t", Redaction.PhonePattern).as("p"),
+        Redaction.matchCount($"t", Redaction.Ipv4Pattern).as("i"))
+    val rows = df.as[(String, Int, Int, Int)].collect()
+    assert(rows(0)._1 ==
+      "mail [EMAIL] or [EMAIL], call [PHONE], host [IP]")
+    assert((rows(0)._2, rows(0)._3, rows(0)._4) == ((2, 1, 1)))
+    assert(rows(1) == (("no pii here", 0, 0, 0)))
+  }
+
   test("repetitionStats: run-length fold matches hand counts") {
     // "a a a b b c": total 6, top run 3 (a), dup = 3 (a) + 2 (b) = 5.
     // "x y z": total 3, top 1, dup 0. "": tokens = [""], total 1, top 1.
