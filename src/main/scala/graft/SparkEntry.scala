@@ -589,6 +589,25 @@ object SparkEntry {
       Similarity.lshTopK(idx, "vec_id", "embedding", q, nPlanes = 6, k = 10)
         .withColumn("cosine_sim", round(col("cosine_sim"), 4))
     }),
+    "q88_rerank" -> ((s, dir) => {
+      // Two-stage retrieval: exact-cosine top-50 feeds the batched
+      // cross-encoder stub (mapPartitions, per-partition model init),
+      // top-10 by the blended score. The stub's md5 affinity makes the
+      // reranked scores exactly oracle-checkable.
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val cands = e.select(col("vec_id").as("id"),
+          Vectors.cosineToConst(col("embedding"), q).as("stage1_score"))
+        .orderBy(col("stage1_score").desc, col("id")).limit(50)
+        .as[graft.operators.Rerank.Candidate]
+      graft.operators.Rerank.rerank(cands, queryId = 0L, batchSize = 16)
+        .orderBy(col("rerank_score").desc, col("id")).limit(10)
+        .select(col("id").as("vec_id"),
+          round(col("stage1_score"), 4).as("cosine_sim"),
+          round(col("rerank_score"), 4).as("rerank_score"))
+    }),
     "q84_int8_ann" -> ((s, dir) => {
       // Scalar-quantized (int8) ANN: the persisted index is 4x smaller
       // than fp32, scoring is an exact integer dot de-scaled by two
@@ -1485,6 +1504,20 @@ object SparkEntry {
          e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)
          SELECT vec_id, round($cosineSqlBody, 4) AS cosine_sim
          FROM e, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q88_rerank" ->
+      s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+         cand AS (SELECT vec_id, $cosineSqlBody AS s1
+           FROM e, q ORDER BY s1 DESC, vec_id LIMIT 50),
+         rr AS (SELECT vec_id, s1,
+             0.9 * s1 + 0.1 * (CAST(CAST(concat('0x', substr(md5(
+               concat('0|', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0) AS s2
+           FROM cand)
+         SELECT vec_id, round(s1, 4) AS cosine_sim, round(s2, 4) AS rerank_score
+         FROM rr ORDER BY s2 DESC, vec_id LIMIT 10""",
     "q84_int8_ann" ->
       """WITH q0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
            FROM embeddings WHERE vec_id = 0),

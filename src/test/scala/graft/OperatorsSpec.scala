@@ -174,6 +174,26 @@ class OperatorsSpec extends SparkSpec {
     assert(passed < fact.count() / 2)
   }
 
+  test("rerank: batch/partition invariant, bounded blend, deterministic") {
+    import graft.operators.Rerank
+    import graft.operators.Rerank.Candidate
+    val cands = (0L until 40L).map(i => Candidate(i, 1.0 - i * 0.01))
+    val one = Rerank.rerank(spark.createDataset(cands).repartition(1), 7L,
+      batchSize = 64).collect().sortBy(_.id)
+    val many = Rerank.rerank(spark.createDataset(cands).repartition(8), 7L,
+      batchSize = 3).collect().sortBy(_.id)
+    // Scores are a pure function of (query, id, stage1): identical under
+    // any partitioning and batch size.
+    assert(one.toSeq == many.toSeq)
+    // Blend is bounded by its components.
+    assert(one.forall(r => r.rerank_score >= 0.9 * r.stage1_score &&
+      r.rerank_score <= 0.9 * r.stage1_score + 0.1))
+    // The affinity term actually reorders some near-tied candidates.
+    val s1Order = one.sortBy(r => (-r.stage1_score, r.id)).map(_.id).toSeq
+    val s2Order = one.sortBy(r => (-r.rerank_score, r.id)).map(_.id).toSeq
+    assert(s1Order != s2Order)
+  }
+
   test("int8TopK: self is top hit, codes bounded, approx tracks exact") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" === 7).select("embedding")
