@@ -54,6 +54,38 @@ object Pq {
     (0 until m).map(mi => sample.map(_.slice(mi * subDim, (mi + 1) * subDim)))
   }
 
+  /** Production codebooks: one k-means fit PER SUBSPACE (the standard PQ
+    * training), deterministic for a fixed seed. Spec-covered rather than
+    * oracle-covered — the k-means iteration order is engine-private, so
+    * cross-engine replay isn't possible; [[codebooksFromSample]] is the
+    * oracle-exact variant (q82). At 100 TB, fit on a driver-sized
+    * SAMPLE of the corpus (`embeddings.sample(...)`) — codebook quality
+    * converges long before the full data would be needed — then
+    * [[encode]] streams the full corpus in one codegen'd pass.
+    */
+  def trainCodebooks(
+      embeddings: DataFrame,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val dv = Vectors.toDoubleVec(col(vecCol))
+    (0 until m).map { mi =>
+      val sub = embeddings.select(
+        array_to_vector(slice(dv, mi * subDim + 1, subDim)).as("__features"))
+      new KMeans()
+        .setK(k).setSeed(seed).setMaxIter(20)
+        .setFeaturesCol("__features").setPredictionCol("__code")
+        .fit(sub)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
   /** Nearest-codeword id for one subspace: `least` over (score, k)
     * structs — codegen'd, ties toward the lower code id.
     */

@@ -144,4 +144,28 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(brute.intersect(got).size >= 6,
       s"recall too low: ${brute.intersect(got).size}/10")
   }
+
+  test("PQ trained codebooks: per-subspace k-means beats/meets sample recall") {
+    import graft.operators.Pq
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val trained = Pq.trainCodebooks(e, "embedding", m = 8, k = 16)
+    assert(trained.length == 8 &&
+      trained.forall(cb => cb.length == 16 && cb.forall(_.length == q.size / 8)))
+    val model = Pq.encode(e, "embedding", trained)
+    val codes = model.encoded.select("codes").head().getSeq[Long](0)
+    assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+    val top = Pq.search(model, "vec_id", "embedding", q, rerank = 50, topK = 10)
+      .collect()
+    // Exact rerank puts the self-match first with cosine 1.
+    assert(top.head.getLong(0) == 3L)
+    val brute = e.select($"vec_id",
+        graft.functions.Vectors.cosineToConst($"embedding", q).as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = top.map(_.getLong(0)).toSet
+    assert(brute.intersect(got).size >= 6,
+      s"trained-codebook recall too low: ${brute.intersect(got).size}/10")
+  }
 }
