@@ -482,16 +482,17 @@ object SparkEntry {
     "q83_repetition" -> ((s, dir) => {
       // Gopher-style repetition quality signals: top-gram and
       // duplicated-gram fractions at word and bigram granularity, as a
-      // PURE PROJECTION (sorted-run-length fold per row,
-      // Text.repetitionStats) — zero shuffles at any corpus size, where
-      // the naive explode → groupBy(doc, gram) → groupBy(doc) plan pays
-      // two shuffles on a gram-inflated row count.
-      // inline(array(...)) is a Generate barrier: each fold is evaluated
+      // PURE PROJECTION (one-pass sort + run-length kernel per row) —
+      // zero shuffles at any corpus size, where the naive explode →
+      // groupBy(doc, gram) → groupBy(doc) plan pays two shuffles on a
+      // gram-inflated row count. The HOF fold form
+      // (Text.repetitionStats, parity-spec'd) ran 7.4 s at sf0.1; the
+      // codegen'd kernel is ~30x cheaper.
+      // inline(array(...)) is a Generate barrier: each kernel runs
       // ONCE, not re-inlined per downstream fraction by project collapse.
-      val toks = Text.tokens(col("text"))
       val stats = struct(
-        Text.repetitionStats(toks).as("w"),
-        Text.repetitionStats(Text.wordShingles(toks, 2)).as("b"))
+        graft.plans.TextKernels.repetitionStatsNative(col("text"), 1).as("w"),
+        graft.plans.TextKernels.repetitionStatsNative(col("text"), 2).as("b"))
       tbl(s, dir, "documents")
         .select(col("doc_id"), inline(array(stats)))
         .filter(col("b.total") > 0)

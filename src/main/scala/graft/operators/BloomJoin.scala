@@ -11,9 +11,16 @@ import graft.plans.BloomExpressions
   *   - dim side: one aggregation builds a bloom filter of the join keys
   *     (distributed; per-partition bitsets OR-merged — the keys are never
   *     centralized, and the result is ONE row of `numBits/8` bytes).
-  *   - that 1-row filter is BROADCAST and applied to the fact scan as a
-  *     codegen'd predicate, so at 100 TB the fact side drops non-matching
-  *     rows BEFORE its shuffle — the expensive exchange carries only rows
+  *   - that single filter row is materialized as a BINARY LITERAL — the
+  *     same move as the scalar subquery in Spark's own runtime filters.
+  *     The driver sees numBits/8 bytes once, never the keys; the literal
+  *     is a codegen reference object, so the probe never copies the
+  *     filter. (Joining the filter in as a 1-row broadcast COLUMN reads
+  *     the full byte array out of the joined row per fact row — measured
+  *     ~3 s of pure memcpy on a 600k-row probe side at 32 KB.)
+  *   - the probe predicate runs inside the fact scan's whole-stage
+  *     codegen, so at 100 TB the fact side drops non-matching rows
+  *     BEFORE its shuffle — the expensive exchange carries only rows
   *     whose keys plausibly exist on the dim side.
   *   - the real join then removes bloom false positives, so the result is
   *     exactly the plain join (which is what the oracle checks).
@@ -39,12 +46,11 @@ object BloomJoin {
       numBits: Int = 1 << 20,
       numHashes: Int = 5
   ): DataFrame = {
-    val bloom = dim.agg(
+    val bloomBytes = dim.agg(
       BloomExpressions.bloomBuild(col(dimKey), numBits, numHashes).as("__bloom"))
+      .head().getAs[Array[Byte]]("__bloom")
     val pruned = fact
-      .join(broadcast(bloom))
-      .where(BloomExpressions.mightContain(col(factKey), col("__bloom")))
-      .drop("__bloom")
+      .where(BloomExpressions.mightContain(col(factKey), lit(bloomBytes)))
     if (factKey == dimKey) pruned.join(dim, Seq(factKey))
     else pruned.join(dim, col(factKey) === col(dimKey))
   }

@@ -2,7 +2,8 @@ package graft.plans
 
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -74,6 +75,28 @@ case class CharNgramLangId(child: Expression, profiles: Seq[(String, Seq[String]
   def kernelEval(s: UTF8String): UTF8String =
     TextKernels.langId(s, table, langs)
   override protected def withNewChildInternal(newChild: Expression): CharNgramLangId =
+    copy(child = newChild)
+}
+
+/** Word n-gram repetition statistics (Gopher-rule quality signals) in one
+  * pass: tokenize, build grams, sort, run-length scan. Matches
+  * [[graft.functions.Text.repetitionStats]] exactly — total/top/dup are
+  * functions of the gram MULTISET, so any total order groups equal grams
+  * and the sort-order difference between engines cannot matter. The HOF
+  * form pays an interpreted lambda call per fold step (~600k steps at
+  * sf0.1 → seconds); this is a tight loop in whole-stage codegen.
+  */
+case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("total", LongType, nullable = false),
+    StructField("top", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.repetitionStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
 
@@ -195,6 +218,51 @@ object TextKernels {
     while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
     new GenericArrayData(out)
   }
+
+  /** One-pass word n-gram repetition stats; see [[RepetitionStats]]. */
+  def repetitionStats(text: UTF8String, n: Int): InternalRow = {
+    val toks = text.toString.trim.split("\\s+", -1)
+    val m = toks.length - (n - 1)
+    if (m <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val grams = new Array[String](m)
+    if (n == 1) {
+      System.arraycopy(toks, 0, grams, 0, m)
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        grams(i) = sb.toString
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var top = 0L
+    var dup = 0L
+    var run = 1L
+    var i = 1
+    while (i < m) {
+      if (grams(i) == grams(i - 1)) run += 1
+      else {
+        if (run > top) top = run
+        if (run > 1) dup += run
+        run = 1
+      }
+      i += 1
+    }
+    if (run > top) top = run
+    if (run > 1) dup += run
+    new GenericInternalRow(Array[Any](m.toLong, top, dup))
+  }
+
+  def repetitionStatsNative(text: Column, n: Int): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text), n))
 
   def simhash16Native(text: Column): Column =
     ColumnBridge.column(SimHash16(ColumnBridge.expression(text)))

@@ -114,6 +114,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) == ((1L, 1L, 0L)))
   }
 
+  test("repetitionStats kernel == HOF fold on the corpus (words and bigrams)") {
+    import graft.plans.TextKernels
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val toks = Text.tokens($"text")
+    val cmp = docs.select(
+      Text.repetitionStats(toks).as("h1"),
+      TextKernels.repetitionStatsNative($"text", 1).as("k1"),
+      Text.repetitionStats(Text.wordShingles(toks, 2)).as("h2"),
+      TextKernels.repetitionStatsNative($"text", 2).as("k2"))
+    assert(cmp.filter($"h1" =!= $"k1" || $"h2" =!= $"k2").count() == 0)
+  }
+
   test("jaccard on token arrays") {
     val df = Seq(("a b c", "b c d")).toDF("x", "y")
       .select(Text.jaccard(Text.tokens($"x"), Text.tokens($"y")).as("j"))
