@@ -558,6 +558,19 @@ object SparkEntry {
           (-col("m").getField("neg")).as("tfidf"))
     }),
 
+    "q89_heavy_hitters" -> ((s, dir) =>
+      // SpaceSaving heavy-hitters per language (O(capacity) state per
+      // group at any corpus size). Capacity 64 >= the ~20 distinct
+      // sources, so the sketch is in its EXACT regime and the oracle
+      // checks the counts themselves — the KMV/q75 pattern.
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(graft.plans.SketchAggregates.heavyHitters(col("source"), 64)
+          .as("hh"))
+        .select(col("lang"), explode(slice(col("hh"), 1, 3)).as("h"))
+        .select(col("lang"), col("h.term").as("source"),
+          col("h.cnt").as("cnt"))),
+
     "q60_langid_ngram" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
         col("doc_id"), col("lang").as("actual_lang"),
@@ -1463,6 +1476,13 @@ object SparkEntry {
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
          FROM documents""",
+    "q89_heavy_hitters" ->
+      """WITH c AS (SELECT lang, source, count(*) AS cnt
+           FROM documents GROUP BY lang, source),
+         r AS (SELECT lang, source, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rk
+           FROM c)
+         SELECT lang, source, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk <= 3""",
     "q86_pii_redaction" ->
       """WITH t AS (SELECT c_custkey,
            c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>' ||

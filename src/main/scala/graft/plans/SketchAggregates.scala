@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native sketch aggregates (`TypedImperativeAggregate`) — the scale tier
   * below typed `Aggregator`s: the buffer is a mutable JVM object held
@@ -110,4 +110,156 @@ object SketchAggregates {
   def kmvDistinct(hashCol: Column, k: Int): Column =
     ColumnBridge.column(
       KmvSketch(ColumnBridge.expression(hashCol), k).toAggregateExpression())
+
+  /** SpaceSaving heavy hitters over a string column: at most `capacity`
+    * counters; a new key evicts the minimum-count entry and inherits its
+    * count as `err` (the classic Metwally/Agrawal/El Abbadi summary, so
+    * true_count ∈ [cnt - err, cnt]). EXACT whenever the group's distinct
+    * count stays within `capacity` — every err is then 0 and the q89
+    * oracle checks the counts themselves, the same exact-regime pattern
+    * as the KMV sketch (q75).
+    *
+    * State is O(capacity) per group regardless of input size; merge sums
+    * shared keys and re-truncates, so a 100 TB group costs each task one
+    * bounded map. All tie-breaks (eviction, truncation, output order)
+    * are deterministic: (count, then key) ordering throughout.
+    *
+    * Output: array<struct<term, cnt, err>> sorted by cnt DESC, term ASC.
+    */
+  case class SpaceSaving(
+      child: Expression,
+      capacity: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]]
+    with UnaryLike[Expression] {
+
+    require(capacity > 0, "capacity must be positive")
+
+    override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
+      new java.util.HashMap[String, Array[Long]]()
+
+    /** Min count, ties to the lexicographically LARGEST key (so the
+      * smallest keys survive — any fixed rule works, it just must be
+      * deterministic).
+      */
+    private def victim(buf: java.util.HashMap[String, Array[Long]]): String = {
+      var vk: String = null
+      var vc = Long.MaxValue
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c < vc || (c == vc && e.getKey > vk)) { vk = e.getKey; vc = c }
+      }
+      vk
+    }
+
+    private def add(buf: java.util.HashMap[String, Array[Long]],
+        key: String, cnt: Long, err: Long): Unit = {
+      val cur = buf.get(key)
+      if (cur != null) { cur(0) += cnt; cur(1) += err }
+      else if (buf.size < capacity) buf.put(key, Array(cnt, err))
+      else {
+        val vk = victim(buf)
+        val vc = buf.remove(vk)(0)
+        buf.put(key, Array(vc + cnt, vc + err))
+      }
+    }
+
+    override def update(buf: java.util.HashMap[String, Array[Long]],
+        input: InternalRow): java.util.HashMap[String, Array[Long]] = {
+      val v = child.eval(input)
+      if (v != null) add(buf, v.toString, 1L, 0L)
+      buf
+    }
+
+    override def merge(
+        buf: java.util.HashMap[String, Array[Long]],
+        other: java.util.HashMap[String, Array[Long]]): java.util.HashMap[String, Array[Long]] = {
+      // Sum shared keys first (no evictions possible), then insert the
+      // rest smallest-last so eviction order is deterministic.
+      val pending = new java.util.TreeMap[String, Array[Long]]()
+      val it = other.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = buf.get(e.getKey)
+        if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
+        else pending.put(e.getKey, e.getValue)
+      }
+      val pit = pending.entrySet().iterator()
+      while (pit.hasNext) {
+        val e = pit.next()
+        add(buf, e.getKey, e.getValue()(0), e.getValue()(1))
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
+      val entries = new Array[(String, Long, Long)](buf.size)
+      val it = buf.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) {
+        val e = it.next()
+        entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1))
+        i += 1
+      }
+      val sorted = entries.sortBy { case (t, c, _) => (-c, t) }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sorted.map { case (t, c, er) =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t), c, er)
+        }.asInstanceOf[Array[Any]])
+    }
+
+    override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out.writeUTF(e.getKey)
+        out.writeLong(e.getValue()(0))
+        out.writeLong(e.getValue()(1))
+      }
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Array[Long]] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val buf = createAggregationBuffer()
+      val n = in.readInt()
+      var i = 0
+      while (i < n) {
+        val k = in.readUTF()
+        buf.put(k, Array(in.readLong(), in.readLong()))
+        i += 1
+      }
+      buf
+    }
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("err", LongType, nullable = false))),
+        containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "space_saving"
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSaving =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): SpaceSaving =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): SpaceSaving =
+      copy(child = newChild)
+  }
+
+  /** Column-facing constructor: `heavyHitters(col("source"), 64)`. */
+  def heavyHitters(c: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      SpaceSaving(ColumnBridge.expression(c), capacity).toAggregateExpression())
 }

@@ -85,6 +85,34 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1).isEmpty)
   }
 
+  test("spaceSaving: exact regime equals groupBy; approx bounds merge-order-proof") {
+    import graft.plans.SketchAggregates
+    val data = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(10)("c") ++ Seq.fill(5)("d")
+    val ds = data.toDF("k").repartition(7) // forces partial-buffer merges
+    // capacity >= distinct: no evictions in any partial, exact counts,
+    // deterministic (cnt desc, term) output order.
+    val exact = ds.agg(SketchAggregates.heavyHitters($"k", 10).as("hh"))
+      .select(explode($"hh").as("h"))
+      .select($"h.term", $"h.cnt", $"h.err")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(exact == Seq(("a", 60L, 0L), ("b", 25L, 0L),
+      ("c", 10L, 0L), ("d", 5L, 0L)))
+    // capacity 2 (approx regime): only order-invariant guarantees —
+    // counts conserve, estimates bracket the truth, and any key with
+    // true count > n/capacity (a: 60 > 50) survives.
+    val approx = ds.agg(SketchAggregates.heavyHitters($"k", 2).as("hh"))
+      .select(explode($"hh").as("h"))
+      .select($"h.term", $"h.cnt", $"h.err")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(approx.size == 2)
+    assert(approx.map(_._2).sum == 100L)
+    val trueCounts = Map("a" -> 60L, "b" -> 25L, "c" -> 10L, "d" -> 5L)
+    assert(approx.forall { case (t, c, e) =>
+      val tc = trueCounts(t); c >= tc && c - e <= tc })
+    assert(approx.map(_._1).contains("a"))
+  }
+
   test("redaction: email/phone/ipv4 masked, counts per pattern") {
     import graft.functions.Redaction
     val df = Seq(
