@@ -10,6 +10,52 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
+/** SpaceSaving counter maintenance shared by the batch aggregate
+  * ([[SketchAggregates.SpaceSaving]]) and the streaming top-k state
+  * ([[graft.streaming.StreamingTopK]]) — ONE implementation so the two
+  * paths cannot drift. Deterministic eviction: min count, ties to the
+  * lexicographically largest key.
+  */
+object SpaceSavingCore {
+
+  def victim(buf: java.util.HashMap[String, Array[Long]]): String = {
+    var vk: String = null
+    var vc = Long.MaxValue
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c < vc || (c == vc && e.getKey > vk)) { vk = e.getKey; vc = c }
+    }
+    vk
+  }
+
+  def add(buf: java.util.HashMap[String, Array[Long]], capacity: Int,
+      key: String, cnt: Long, err: Long): Unit = {
+    val cur = buf.get(key)
+    if (cur != null) { cur(0) += cnt; cur(1) += err }
+    else if (buf.size < capacity) buf.put(key, Array(cnt, err))
+    else {
+      val vk = victim(buf)
+      val vc = buf.remove(vk)(0)
+      buf.put(key, Array(vc + cnt, vc + err))
+    }
+  }
+
+  /** Entries sorted by (count desc, key asc). */
+  def sorted(buf: java.util.HashMap[String, Array[Long]]): Array[(String, Long, Long)] = {
+    val entries = new Array[(String, Long, Long)](buf.size)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1))
+      i += 1
+    }
+    entries.sortBy { case (t, c, _) => (-c, t) }
+  }
+}
+
 /** Native sketch aggregates (`TypedImperativeAggregate`) — the scale tier
   * below typed `Aggregator`s: the buffer is a mutable JVM object held
   * per group with NO per-row encoder round-trip, serialized only at
@@ -139,33 +185,9 @@ object SketchAggregates {
     override def createAggregationBuffer(): java.util.HashMap[String, Array[Long]] =
       new java.util.HashMap[String, Array[Long]]()
 
-    /** Min count, ties to the lexicographically LARGEST key (so the
-      * smallest keys survive — any fixed rule works, it just must be
-      * deterministic).
-      */
-    private def victim(buf: java.util.HashMap[String, Array[Long]]): String = {
-      var vk: String = null
-      var vc = Long.MaxValue
-      val it = buf.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val c = e.getValue()(0)
-        if (c < vc || (c == vc && e.getKey > vk)) { vk = e.getKey; vc = c }
-      }
-      vk
-    }
-
     private def add(buf: java.util.HashMap[String, Array[Long]],
-        key: String, cnt: Long, err: Long): Unit = {
-      val cur = buf.get(key)
-      if (cur != null) { cur(0) += cnt; cur(1) += err }
-      else if (buf.size < capacity) buf.put(key, Array(cnt, err))
-      else {
-        val vk = victim(buf)
-        val vc = buf.remove(vk)(0)
-        buf.put(key, Array(vc + cnt, vc + err))
-      }
-    }
+        key: String, cnt: Long, err: Long): Unit =
+      SpaceSavingCore.add(buf, capacity, key, cnt, err)
 
     override def update(buf: java.util.HashMap[String, Array[Long]],
         input: InternalRow): java.util.HashMap[String, Array[Long]] = {
@@ -195,22 +217,12 @@ object SketchAggregates {
       buf
     }
 
-    override def eval(buf: java.util.HashMap[String, Array[Long]]): Any = {
-      val entries = new Array[(String, Long, Long)](buf.size)
-      val it = buf.entrySet().iterator()
-      var i = 0
-      while (it.hasNext) {
-        val e = it.next()
-        entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1))
-        i += 1
-      }
-      val sorted = entries.sortBy { case (t, c, _) => (-c, t) }
+    override def eval(buf: java.util.HashMap[String, Array[Long]]): Any =
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        sorted.map { case (t, c, er) =>
+        SpaceSavingCore.sorted(buf).map { case (t, c, er) =>
           org.apache.spark.sql.catalyst.InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(t), c, er)
         }.asInstanceOf[Array[Any]])
-    }
 
     override def serialize(buf: java.util.HashMap[String, Array[Long]]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()

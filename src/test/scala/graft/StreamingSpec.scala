@@ -135,6 +135,35 @@ class StreamingSpec extends SparkSpec {
     assert(exact.count() == 2)
   }
 
+  test("streaming top-k converges to the batch heavy-hitters answer") {
+    import graft.streaming.StreamingTopK
+    import graft.streaming.StreamingTopK.KeyedValue
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"lang".as("group"), $"source".as("value")).as[KeyedValue]
+    val staged = Files.createTempDirectory("graft-topk").toString
+    docs.repartition(5).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[KeyedValue]
+    val q = StreamingTopK.topK(stream, capacity = 64, k = 64)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("topk_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // Exact regime (distinct sources << capacity): counts only grow
+    // across micro-batches, so each (group, term)'s max emission is its
+    // final count and must equal the batch groupBy — and no error bars.
+    val streamed = spark.table("topk_out")
+      .groupBy($"group", $"term").agg(max($"cnt").as("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = docs.groupBy($"group", $"value").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(spark.table("topk_out").filter($"err" =!= 0).count() == 0)
+  }
+
   test("streaming contamination counts match the batch shingle-overlap query") {
     import graft.streaming.StreamingContamination
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
