@@ -378,6 +378,17 @@ object SparkEntry {
     }),
     "q34_fingerprint" -> ((s, dir) =>
       Dedup.fingerprintClusters(tbl(s, dir, "documents"), "doc_id", "text")),
+    "q90_incremental_dedup" -> ((s, dir) => {
+      // Rolling-ingestion dedup: a 10% shard (doc_id % 10 = 0, SF-
+      // proportional) against the remaining corpus, via one anti-join on
+      // the bag fingerprint — per-shard cost is independent of corpus
+      // size once the fingerprint index is persisted.
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text")
+    }),
 
     // ── End-to-end curation + near-dup clustering (beyond-parity) ───────
     "q71_curation" -> ((s, dir) => {
@@ -1443,6 +1454,16 @@ object SparkEntry {
            regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint,
          count(*) AS n_docs, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q90_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+           FROM documents),
+         inc AS (SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS doc_id
+           FROM f WHERE doc_id % 10 = 0 GROUP BY fingerprint)
+         SELECT doc_id, fingerprint FROM inc
+         WHERE NOT EXISTS (SELECT 1 FROM f c
+           WHERE c.doc_id % 10 <> 0 AND c.fingerprint = inc.fingerprint)""",
     "q35_lang_id" -> langIdSql,
     "q60_langid_ngram" -> ngramLangSql,
     "q61_winnowing" -> winnowingSql,

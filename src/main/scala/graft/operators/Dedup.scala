@@ -193,4 +193,27 @@ object Dedup {
       .groupBy(Text.bagFingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
+
+  /** Incremental ingestion dedup: keep only incoming docs whose bag
+    * fingerprint does not already exist in the corpus — the shape a
+    * rolling 100 TB pipeline runs per shard. The corpus side reduces to
+    * its DISTINCT fingerprint set (in production a persisted, bucketed
+    * fingerprint index — the text is never rescanned), and the check is
+    * one left-anti equi-join on the hash: no full-corpus comparison, no
+    * pairwise work. Also dedups the incoming shard against itself
+    * (keep-min-id), so output fingerprints are unique.
+    */
+  def incrementalDedup(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val corpusFp = corpus
+      .select(Text.bagFingerprint(col(textCol)).as("fingerprint")).distinct()
+    incoming
+      .groupBy(Text.bagFingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as(idCol))
+      .join(corpusFp, Seq("fingerprint"), "left_anti")
+      .select(col(idCol), col("fingerprint"))
+  }
 }

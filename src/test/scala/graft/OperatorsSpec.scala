@@ -121,6 +121,18 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L))
   }
 
+  test("incrementalDedup drops corpus matches and within-shard dups") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("id", "text")
+    val incoming = Seq(
+      (10L, "beta  alpha gamma alpha"), // bag-equal to corpus doc 1
+      (11L, "zeta eta"), (12L, "eta zeta"), // bag-equal pair, keep min id
+      (13L, "unique words here")).toDF("id", "text")
+    val got = Dedup.incrementalDedup(incoming, corpus, "id", "text")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
+  }
+
   test("minhash LSH finds a planted near-duplicate pair") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
