@@ -446,6 +446,37 @@ object SparkEntry {
           size(col("features")).as("n_features"))
     }),
 
+    "q91_audio_decode" -> ((s, dir) => {
+      // REAL audio codec on the verified surface (q81's pattern for
+      // audio): per row, an 8-bit unsigned PCM WAV with samples
+      // alternating 128±a is written via javax.sound and decoded back;
+      // normalized math is exact for integer a over the power-of-two PCM
+      // range, so rms = a/128 and zero_crossings = n-1 EXACTLY — pure
+      // arithmetic on the DuckDB side.
+      import s.implicits._
+      val media = tbl(s, dir, "part").filter(col("p_partkey") < 24)
+        .select(col("p_partkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val a = (id * 7 % 120 + 1).toInt
+          val n = (50 + id % 10).toInt
+          val pcm = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            pcm(i) = (if (i % 2 == 0) 128 + a else 128 - a).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          graft.multimodal.Multimodal.MediaRow(id, bos.toByteArray, "audio/wav", 0, 0)
+        }
+      graft.multimodal.AudioCodec.extractAudioFeatures(media)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("rms"), col("zero_crossings"))
+    }),
     "q81_image_decode" -> ((s, dir) => {
       // REAL image codec on the verified surface: solid-gray 8×8 PNGs are
       // encoded per row (gray = key*10 mod 256), decoded back through
@@ -1811,6 +1842,13 @@ object SparkEntry {
       """SELECT CAST(p_partkey AS BIGINT) AS media_id,
          CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
          CAST(p_partkey * 10 % 256 AS INT) AS gray_decoded
+         FROM part WHERE p_partkey < 24""",
+    "q91_audio_decode" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+         CAST(8000 AS INT) AS sample_rate,
+         CAST(50 + p_partkey % 10 AS BIGINT) AS n_samples,
+         CAST(p_partkey * 7 % 120 + 1 AS DOUBLE) / 128.0 AS rms,
+         CAST(49 + p_partkey % 10 AS BIGINT) AS zero_crossings
          FROM part WHERE p_partkey < 24""",
     // Sketch validation contract: the oracle's exact side plus the
     // always-TRUE error-bound flags the Spark side must reproduce.

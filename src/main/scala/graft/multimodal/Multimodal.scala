@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * iterator batches (the Scala analog of `mapInPandas` — one decoder
   * instantiation per partition, streamed row batches, no driver collect).
   *
-  * Two codec tiers: [[ImageCodec]] is the REAL image path (JDK ImageIO —
-  * PNG/JPEG decode, luminance-grid features, resize); [[stubDecode]]
-  * remains the deterministic byte-mix fallback for payload types with no
-  * in-JVM codec (audio/video) and for undecodable rows. The Spark-side
-  * contract — schema, partitioning, batch shape, null behavior — is
-  * identical across tiers.
+  * Codec tiers: [[ImageCodec]] is the REAL image path (JDK ImageIO —
+  * PNG/JPEG decode, luminance-grid features, resize) and [[AudioCodec]]
+  * the REAL audio path (javax.sound WAV/AIFF PCM — rms/zero-crossing
+  * features); [[stubDecode]] remains the deterministic byte-mix fallback
+  * for payload types with no in-JVM codec (video) and for undecodable
+  * rows. The Spark-side contract — schema, partitioning, batch shape,
+  * null behavior — is identical across tiers.
   */
 object Multimodal {
 

@@ -60,6 +60,34 @@ class MultimodalSpec extends SparkSpec {
     assert((back.getRGB(0, 0) & 0xff) < (back.getRGB(3, 0) & 0xff))
   }
 
+  test("AudioCodec: real WAV decode to rms/zero-crossing features") {
+    import graft.multimodal.AudioCodec
+    // 8-bit unsigned PCM, samples alternate 128±64 → normalized ±0.5:
+    // rms exactly 0.5, a crossing at every step. Written through the
+    // REAL javax.sound WAV encoder so decode runs end to end.
+    def wav(): Array[Byte] = {
+      val pcm = Array.tabulate[Byte](40)(i => (if (i % 2 == 0) 192 else 64).toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 40L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, wav(), "audio/wav", 0, 0),
+      MediaRow(2L, Array[Byte](9, 9, 9), "audio/wav", 0, 0)) // corrupt
+    val feats = AudioCodec.extractAudioFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    val ok = feats(0)
+    assert(ok.decoded && ok.sample_rate == 8000 && ok.n_samples == 40)
+    assert(ok.rms == 0.5 && ok.zero_crossings == 39)
+    // corrupt payload survives the stage with decoded = false.
+    val bad = feats(1)
+    assert(!bad.decoded && bad.n_samples == 0 && bad.rms == 0.0)
+  }
+
   test("mediaStats: byte counts without decode") {
     val df = spark.createDataset(rows).toDF()
     val stats = Multimodal.mediaStats(df, "payload").orderBy("media_id")
