@@ -613,6 +613,42 @@ object SparkEntry {
         .select(col("lang"), col("h.term").as("source"),
           col("h.cnt").as("cnt"))),
 
+    "q93_manifest_scan" -> ((s, dir) => {
+      // Manifest-pruned range scan: write events range-partitioned on
+      // `value` with a per-file min/max sidecar, then answer the range
+      // query reading ONLY overlapping files (LayoutSpec asserts the
+      // file skip; here the oracle checks the answer is unchanged by
+      // pruning — the Iceberg planner contract).
+      import graft.sources.Layout
+      val path = s"target/manifest_demo/${new java.io.File(dir).getName}/events"
+      Layout.writeWithManifest(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+        path, "value", nFiles = 8)
+      Layout.prunedRead(s, path, "value", 10.0, 20.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    "q92_count_min" -> ((s, dir) => {
+      // Count-min point queries: one vector-add-mergeable sketch over the
+      // whole events stream (O(depth*width) state), then 10 key probes
+      // against the one-row sketch (broadcast side). Width 64 << 150
+      // distinct users forces real collisions, so cm_est >= true_cnt
+      // with equality only where no key shares all 4 buckets — the
+      // oracle replays the same LCG counters in SQL (q39 pattern).
+      import graft.plans.SketchAggregates
+      val events = tbl(s, dir, "events")
+      val sk = events.agg(SketchAggregates.countMin(col("user_id"), 64).as("sk"))
+      val truth = events.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      s.range(0, 10).select(col("id").as("user_id"))
+        .join(truth, Seq("user_id"), "left")
+        .crossJoin(broadcast(sk))
+        .select(col("user_id"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+          SketchAggregates.cmEstimate(col("sk"), col("user_id"), 64).as("cm_est"))
+    }),
+
     "q60_langid_ngram" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
         col("doc_id"), col("lang").as("actual_lang"),
@@ -1535,6 +1571,31 @@ object SparkEntry {
              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rk
            FROM c)
          SELECT lang, source, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk <= 3""",
+    "q93_manifest_scan" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events WHERE value >= 10.0 AND value <= 20.0
+         GROUP BY 1""",
+    "q92_count_min" ->
+      """WITH params(i, a, b) AS (VALUES
+           (0, 1103515245, 12345), (1, 1229782938, 1013904223),
+           (2, 1103581, 7919), (3, 48271, 11)),
+         counters AS (
+           SELECT p.i, ((p.a * e.user_id + p.b) % 2147483647) % 64 AS bucket,
+                  count(*) AS c
+           FROM events e CROSS JOIN params p GROUP BY 1, 2),
+         keys AS (SELECT range AS user_id FROM range(0, 10)),
+         est AS (
+           SELECT k.user_id, min(coalesce(c.c, 0)) AS cm_est
+           FROM keys k CROSS JOIN params p
+           LEFT JOIN counters c
+             ON c.i = p.i AND c.bucket = ((p.a * k.user_id + p.b) % 2147483647) % 64
+           GROUP BY 1),
+         truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1)
+         SELECT e.user_id, CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+                CAST(e.cm_est AS BIGINT) AS cm_est
+         FROM est e LEFT JOIN truth t USING (user_id)""",
     "q86_pii_redaction" ->
       """WITH t AS (SELECT c_custkey,
            c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>' ||

@@ -52,7 +52,12 @@ object GraftFunctions {
       info("graft_winnowing",
         "graft_winnowing(text, k, w) - winnowing fingerprints"),
       (es: Seq[Expression]) => WinnowingFingerprints(
-        es.head, intArg(es(1), "k"), intArg(es(2), "w"))))
+        es.head, intArg(es(1), "k"), intArg(es(2), "w"))),
+    (FunctionIdentifier("graft_count_min"),
+      info("graft_count_min",
+        "graft_count_min(key, width) - count-min sketch counters (agg)"),
+      (es: Seq[Expression]) =>
+        SketchAggregates.CountMin(es.head, intArg(es(1), "width"))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -274,4 +274,111 @@ object SketchAggregates {
   def heavyHitters(c: Column, capacity: Int): Column =
     ColumnBridge.column(
       SpaceSaving(ColumnBridge.expression(c), capacity).toAggregateExpression())
+
+  /** Count-min sketch over a non-negative integer key column: `DEPTH`
+    * rows of `width` counters; each input increments one counter per row
+    * (`((a_i·x + b_i) mod p) mod width`); a point estimate is the MIN over
+    * rows — an upper bound on the true count (Cormode/Muthukrishnan),
+    * exact when no colliding key shares all `DEPTH` buckets.
+    *
+    * The SpaceSaving summary above answers "what are the top keys"; the
+    * count-min answers "how often did THIS key occur" in O(depth·width)
+    * state per group with a merge that is a plain vector add — the
+    * classic pairing for frequency monitoring over 100 TB streams.
+    *
+    * Hash constants are public fixed LCGs so the estimate is a pure
+    * deterministic function of the input MULTISET — replayable in any
+    * engine (the q92 DuckDB oracle recomputes the same counters in SQL;
+    * same cross-engine pattern as the q39 hyperplane LCG).
+    */
+  object CountMinCore {
+    val Depth = 4
+    val Prime = 2147483647L // 2^31 - 1 (Mersenne)
+    val HashA: Array[Long] = Array(1103515245L, 1229782938L, 1103581L, 48271L)
+    val HashB: Array[Long] = Array(12345L, 1013904223L, 7919L, 11L)
+    def bucket(i: Int, x: Long, width: Int): Int =
+      (((HashA(i) * x + HashB(i)) % Prime) % width).toInt
+  }
+
+  case class CountMin(
+      child: Expression,
+      width: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+    import CountMinCore._
+
+    require(width > 0, "width must be positive")
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](Depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val x = v.asInstanceOf[Long]
+        var i = 0
+        while (i < Depth) { buf(i * width + bucket(i, x, width)) += 1L; i += 1 }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    /** The flattened `Depth × width` counter matrix (row-major). */
+    override def eval(buf: Array[Long]): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 * buf.length)
+      var i = 0
+      while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val buf = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+      buf
+    }
+
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "count_min"
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): CountMin =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): CountMin =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): CountMin =
+      copy(child = newChild)
+  }
+
+  /** Column-facing constructor: `countMin(col("user_id"), 64)`. */
+  def countMin(c: Column, width: Int): Column =
+    ColumnBridge.column(
+      CountMin(ColumnBridge.expression(c), width).toAggregateExpression())
+
+  /** Point-query estimate against a [[CountMin]] sketch column: MIN over
+    * the depth rows of the addressed counters. Pure codegen'd built-ins
+    * (`element_at` + `least`), so probing stays in whole-stage codegen —
+    * the sketch is typically a one-row broadcast side.
+    */
+  def cmEstimate(sketch: Column, key: Column, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    import CountMinCore._
+    least((0 until Depth).map { i =>
+      val b = pmod(pmod(lit(HashA(i)) * key + lit(HashB(i)), lit(Prime)), lit(width.toLong))
+      element_at(sketch, (lit(i.toLong * width) + b + 1L).cast("int"))
+    }: _*)
+  }
 }

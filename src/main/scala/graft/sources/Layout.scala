@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** At-rest layout strategies for the 100 TB tier. The reference writes
   * flat per-entity directories (`etl/workflow/transformer.py:74-79` —
@@ -36,4 +37,64 @@ object Layout {
       .sortBy(bucketCol)
       .option("path", s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
       .saveAsTable(table)
+
+  /** Iceberg/Delta-style file-stats manifest: range-partition on
+    * `statsCol` (so per-file min/max are TIGHT — random placement would
+    * give every file the full value range and prune nothing), write
+    * `nFiles` parquet files, then one pass over the written data records
+    * per-file `(file, min, max, rows)` in a sidecar
+    * `<path>.manifest` parquet.
+    *
+    * This is the at-rest half of manifest pruning: the write-time sort is
+    * what makes read-time skipping possible, exactly as Iceberg's
+    * `sort-order` + manifest min/max stats do. O(1 extra scan) at write;
+    * the manifest is one row per FILE, so even a 100 TB table keeps it
+    * megabytes.
+    */
+  def writeWithManifest(
+      df: DataFrame, path: String, statsCol: String, nFiles: Int): Unit = {
+    df.repartitionByRange(nFiles, col(statsCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path.manifest")
+  }
+
+  /** Manifest-pruned read of a [[writeWithManifest]] layout: consult the
+    * sidecar (tiny — one row per file), keep only files whose
+    * `[min,max]` overlaps `[lo,hi]`, and hand ONLY those to the parquet
+    * reader; the residual filter stays on the scan for row-level
+    * correctness. I/O is proportional to MATCHING files, not table size
+    * — the planner-side skip that keeps a 100 TB point-range query from
+    * touching 100 TB. The collected file list mirrors what every
+    * manifest-based planner materializes on the driver.
+    */
+  def prunedRead(
+      spark: SparkSession, path: String, statsCol: String,
+      lo: Any, hi: Any): DataFrame = {
+    val files = spark.read.parquet(s"$path.manifest")
+      .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
+      .select(col("file"))
+      .collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+
+  /** Number of data files a `[lo,hi]` probe touches vs total — the
+    * pruning diagnostic the spec asserts on.
+    */
+  def pruneStats(
+      spark: SparkSession, path: String, lo: Any, hi: Any): (Long, Long) = {
+    val m = spark.read.parquet(s"$path.manifest").cache()
+    try {
+      val total = m.count()
+      val kept = m.filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi)).count()
+      (kept, total)
+    } finally { m.unpersist(); () }
+  }
 }

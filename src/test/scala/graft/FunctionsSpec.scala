@@ -113,6 +113,26 @@ class FunctionsSpec extends SparkSpec {
     assert(approx.map(_._1).contains("a"))
   }
 
+  test("countMin: estimates upper-bound truth, exact when wide, merge-invariant") {
+    import graft.plans.SketchAggregates
+    val data = (0L until 200L).flatMap(i => Seq.fill((i % 7).toInt + 1)(i % 20))
+    val trueCounts = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def estimates(width: Int, parts: Int): Map[Long, Long] = {
+      val ds = data.toDF("k").repartition(parts) // forces sketch merges
+      val sk = ds.agg(SketchAggregates.countMin($"k", width).as("sk"))
+      (0L until 20L).toDF("k").crossJoin(sk)
+        .select($"k", SketchAggregates.cmEstimate($"sk", $"k", width).as("est"))
+        .as[(Long, Long)].collect().toMap
+    }
+    // Wide sketch (no collisions among 20 keys): exact.
+    assert(estimates(4096, 5) == trueCounts)
+    // Narrow sketch: still an upper bound on every key.
+    val narrow = estimates(8, 5)
+    assert((0L until 20L).forall(k => narrow(k) >= trueCounts(k)))
+    // Merge is a vector add: partitioning cannot change the sketch.
+    assert(estimates(8, 1) == narrow && estimates(8, 13) == narrow)
+  }
+
   test("redaction: email/phone/ipv4 masked, counts per pattern") {
     import graft.functions.Redaction
     val df = Seq(

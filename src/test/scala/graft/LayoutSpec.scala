@@ -22,6 +22,25 @@ class LayoutSpec extends SparkSpec {
     assert(q.count() == full)
   }
 
+  test("manifest pruning: range probe skips non-overlapping files") {
+    val dir = Files.createTempDirectory("graft-manifest").toString + "/events"
+    val events = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id", $"value")
+    Layout.writeWithManifest(events, dir, "value", nFiles = 8)
+    // Range-partitioned on value: a narrow [lo,hi] touches few files.
+    val (kept, total) = Layout.pruneStats(spark, dir, 10.0, 20.0)
+    assert(total == 8, s"expected 8 data files, manifest has $total")
+    assert(kept < total, s"probe should skip files ($kept/$total kept)")
+    // And the pruned answer is the full-scan answer.
+    val pruned = Layout.prunedRead(spark, dir, "value", 10.0, 20.0)
+      .agg(count(lit(1)), sum($"user_id")).as[(Long, Long)].head()
+    val full = events.filter($"value".between(10.0, 20.0))
+      .agg(count(lit(1)), sum($"user_id")).as[(Long, Long)].head()
+    assert(pruned == full)
+    // Empty overlap degrades to an empty typed frame, not an error.
+    assert(Layout.prunedRead(spark, dir, "value", 1e9, 2e9).count() == 0)
+  }
+
   test("bucketed tables join with no exchange") {
     val o = Tables.load(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
