@@ -613,6 +613,33 @@ object SparkEntry {
         .select(col("lang"), col("h.term").as("source"),
           col("h.cnt").as("cnt"))),
 
+    "q94_dup_spans" -> ((s, dir) => {
+      // Exact duplicated-substring coverage (the suffix-array dedup
+      // measure of Lee et al.'s "Deduplicating Training Data", computed
+      // the distributed way): every char position starts a 20-gram;
+      // positions whose gram recurs in ANOTHER doc are duplicated
+      // coverage. One explode + one gram groupBy + one semi-join — at
+      // 100 TB the gram key would be xxhash64(gram) (8 bytes vs 20+) and
+      // hot grams get the q78 doc-frequency cap; semantics identical.
+      val d = tbl(s, dir, "documents")
+        .filter(length(col("text")) >= 20)
+        .select(col("doc_id"), col("text"))
+      val grams = d
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - 19)).as("pos"))
+        .select(col("doc_id"), col("text").substr(col("pos"), lit(20)).as("gram"))
+      val dup = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gram"))
+      val perDoc = grams.join(dup, Seq("gram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_positions"))
+      d.select(col("doc_id"), (length(col("text")) - 19).cast("long").as("total_grams"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("total_grams"),
+          coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
+    }),
+
     "q93_manifest_scan" -> ((s, dir) => {
       // Manifest-pruned range scan: write events range-partitioned on
       // `value` with a per-file min/max sidecar, then answer the range
@@ -1571,6 +1598,19 @@ object SparkEntry {
              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rk
            FROM c)
          SELECT lang, source, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk <= 3""",
+    "q94_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+         pos AS (SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS g FROM d),
+         grams AS (SELECT doc_id, substr(text, CAST(g AS INTEGER), 20) AS gram
+           FROM pos),
+         dup AS (SELECT gram FROM grams
+           GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         per AS (SELECT g.doc_id, count(*) AS dup_positions
+           FROM grams g JOIN dup USING (gram) GROUP BY 1)
+         SELECT d.doc_id, CAST(length(d.text) - 19 AS BIGINT) AS total_grams,
+                CAST(coalesce(p.dup_positions, 0) AS BIGINT) AS dup_positions
+         FROM d LEFT JOIN per p USING (doc_id)""",
     "q93_manifest_scan" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
