@@ -170,9 +170,9 @@ object PdcmApi {
          xenograft_sample_id, cell_sample_id, data_source
          FROM molecular_characterization""",
     // model_metadata (views.sql:102): model core + search_index row +
-    // specimen display names + provider-level contact/source rows (our
-    // contact_people/source_database are provider-scoped, so they join
-    // on data_source rather than a per-model FK).
+    // specimen display names + contact/source rows. contact_form /
+    // source_database resolve through the per-model FKs the model entity
+    // carries (views.sql:145-146); contact_people stays provider-scoped.
     "model_metadata_vw" ->
       """SELECT m.model_id, m.data_source, si.provider_name,
          si.model_type AS type,
@@ -190,11 +190,14 @@ object PdcmApi {
          m.accessibility,
          cp.name_list AS contact_name_list,
          cp.email_list AS contact_email_list,
-         m.database_url AS source_database_url
+         cf.form_url AS contact_form_url,
+         sd.database_url AS source_database_url
          FROM model_entity m
          JOIN search_index si ON si.pdcm_model_id = m.id
          LEFT JOIN xenograft_model_specimen x ON x.model_fk = m.id
-         LEFT JOIN contact_people cp ON cp.data_source = m.data_source""",
+         LEFT JOIN contact_people cp ON cp.data_source = m.data_source
+         LEFT JOIN contact_form cf ON cf.id = m.contact_form_id
+         LEFT JOIN source_database sd ON sd.id = m.source_database_id""",
     // xenograft_model_specimen (views.sql:308).
     "xenograft_model_specimen_vw" ->
       """SELECT id, model_fk, passage_number, host_strain_id,

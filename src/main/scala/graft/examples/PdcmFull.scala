@@ -52,7 +52,7 @@ object PdcmFull {
         "ST1\tPDX histology\tHistology study\tCC0\ta@b.c\tmouse\txenograft sections\tAperio\tbrightfield\n")
     w(s"$root/provA/sharing.tsv",
       "model_id\taccessibility\teuropdx_access_modality\temail\tname\tform_url\tdatabase_url\tlicense\tdate_submitted\tmodel_availability\n" +
-        "M1\tacademia\ttransnational access\ta@b.c\tLab\t\thttps://depmap.org/portal/cell_line/ACH-000123\tCC0\t2021-03-02\tavailable\n")
+        "M1\tacademia\ttransnational access\ta@b.c\tLab\thttps://provider-a.example/contact\thttps://depmap.org/portal/cell_line/ACH-000123\tCC0\t2021-03-02\tavailable\n")
     w(s"$root/provA/cell_model.tsv",
       "model_id\tmodel_name\tmodel_name_aliases\ttype\tgrowth_properties\tgrowth_media\tmedia_id\tparent_id\torigin_patient_sample_id\tpublications\tplate_coating\tsupplier\tsupplier_type\tcatalog_number\tvendor_link\trrid\n" +
         "M2\tHCC-1954\tHCC1954,H-1954\tcell line\tadherent\tRPMI-1640\tMED1\t\tS2\t\tnone\tATCC\tcommercial\tCRL-2338\thttps://www.atcc.org/products/crl-2338\tCVCL_1259\n")

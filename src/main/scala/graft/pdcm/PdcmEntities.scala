@@ -1313,7 +1313,8 @@ object PdcmEntities {
     */
   implicit private class RegistryOps(r: EntityRegistry) {
     def registerModel(): EntityRegistry = r.register(EntityDef(
-      "model_entity", Seq("raw_model", "raw_sharing"),
+      "model_entity",
+      Seq("raw_model", "raw_sharing", "contact_form", "source_database"),
       (_, in) => {
         val m = in("raw_model").dropDuplicates("model_id", prov)
           .withColumn("id", Ids.hashId(col("model_id"), col(prov)))
@@ -1321,16 +1322,27 @@ object PdcmEntities {
           .dropDuplicates("model_id", prov)
           .select(col("model_id"), col(prov),
             col("accessibility"), col("europdx_access_modality"),
-            col("license"), col("database_url"), col("date_submitted"),
-            col("model_availability"))
-        m.join(sh, Seq("model_id", prov), "left")
+            col("license"), col("form_url"), col("database_url"),
+            col("date_submitted"), col("model_availability"))
+        // FK the sharing URLs to their global dims (reference
+        // model_transformer_job.py:112-120 set_fk_contact_form /
+        // set_fk_source_database) — broadcast joins, the dims are tiny.
+        val withFks = graft.operators.Relational.transformToFk(
+          graft.operators.Relational.transformToFk(
+            m.join(sh, Seq("model_id", prov), "left"),
+            in("contact_form"), "form_url", "form_url", "id",
+            "contact_form_id"),
+          in("source_database"), "database_url", "database_url", "id",
+          "source_database_id")
+        withFks.drop("form_url")
       },
       outputColumns = Seq("id", "model_id", "host_strain_name",
         "host_strain_nomenclature", "engraftment_site", "engraftment_type",
         "sample_type", "sample_state", "passage_number", "publications",
         "external_ids", "parent_model_id", "accessibility",
         "europdx_access_modality", "license", "database_url",
-        "date_submitted", "model_availability", prov)))
+        "date_submitted", "model_availability", "contact_form_id",
+        "source_database_id", prov)))
   }
 
   /** Bind raw-module sources from a provider directory tree

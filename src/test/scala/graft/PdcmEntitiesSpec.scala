@@ -268,8 +268,18 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(out("source_database").select("database_url").as[String]
       .collect().toSeq ==
       Seq("https://depmap.org/portal/cell_line/ACH-000123"))
-    assert(out("contact_form").count() == 0) // fixture sharing has no form_url
+    assert(out("contact_form").select("form_url").as[String]
+      .collect().toSeq == Seq("https://provider-a.example/contact"))
     assert(out("molecular_data_restriction").count() == 0) // default config
+    // The model core carries per-URL FKs into both dims (reference
+    // model_transformer_job.py:112-120); models without a sharing row
+    // (M2) stay null.
+    val m = out("model_entity")
+      .select($"model_id", $"contact_form_id", $"source_database_id")
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(m("M1")._1 == out("contact_form").select("id").head().get(0))
+    assert(m("M1")._2 == out("source_database").select("id").head().get(0))
+    assert(m("M2") == ((null, null)))
   }
 
   test("model_metadata: concat-built JSON object per model") {
@@ -492,11 +502,16 @@ class PdcmEntitiesSpec extends SparkSpec {
     // model_metadata joins model + search_index + specimen display names.
     val mm = spark.sql(
       """SELECT host_strain_nomenclature, engraftment_sample_state,
-         provider_name FROM pdcm_api_model_metadata_vw
+         provider_name, contact_form_url, source_database_url
+         FROM pdcm_api_model_metadata_vw
          WHERE model_id = 'M1'""").head()
     assert(mm.getString(0) == "NOD.Cg-Prkdc<scid>")
     assert(mm.getString(1) == "fresh")
     assert(mm.getString(2) == "Provider A Lab")
+    // Resolved through the per-model contact_form/source_database FKs
+    // (views.sql:145-146), not a provider-level fallback.
+    assert(mm.getString(3) == "https://provider-a.example/contact")
+    assert(mm.getString(4) == "https://depmap.org/portal/cell_line/ACH-000123")
     // mutation_data_extended resolves model + sample through molchar.
     assert(spark.sql(
       """SELECT model_id FROM pdcm_api_mutation_data_extended
