@@ -504,6 +504,49 @@ object SparkEntry {
             .as("gray_decoded"))
     }),
 
+    "q96_profile" -> ((s, dir) =>
+      // One-scan column profiler (Expand-planned multi-countDistinct):
+      // the pre-curation "describe" pass. Doubles stay out of the
+      // profile set — their string rendering is engine-specific; every
+      // other type renders identically cross-engine.
+      graft.operators.Profile.profile(
+        tbl(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"))),
+
+    "q95_video_frames" -> ((s, dir) => {
+      // REAL per-frame video decode over the GVID frame container:
+      // variable-length videos of solid-gray PNG frames
+      // (gray = (id*10 + idx*40) mod 256), stride-2 sampling inside the
+      // demux loop, ImageIO decode per sampled frame. The luminance grid
+      // must recover each frame's gray EXACTLY, so the oracle is pure
+      // arithmetic over (id, sampled idx) — the q81 pattern lifted to
+      // one-row-per-frame.
+      import s.implicits._
+      val media = tbl(s, dir, "part").filter(col("p_partkey") < 24)
+        .select(col("p_partkey").cast("long").as("id"))
+        .as[Long]
+        .map { id =>
+          val frames = (0 until ((id % 4) + 2).toInt).map { idx =>
+            val g = ((id * 10 + idx * 40) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < 8) { var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          graft.multimodal.Multimodal.MediaRow(
+            id, graft.multimodal.VideoCodec.encode(frames), "video/x-gvid", 8, 8)
+        }
+      graft.multimodal.VideoCodec.sampleFrameFeatures(media, every = 2, gridDim = 2)
+        .select(col("media_id"), col("frame_idx"), col("n_frames"),
+          col("width"), col("height"),
+          round(element_at(col("features"), 1) * 255, 0).cast("int")
+            .as("gray_decoded"))
+    }),
+
     // ── Text analysis (beyond-parity) ───────────────────────────────────
     "q35_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(
@@ -1944,6 +1987,38 @@ object SparkEntry {
          CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
          CAST(p_partkey * 10 % 256 AS INT) AS gray_decoded
          FROM part WHERE p_partkey < 24""",
+    "q96_profile" ->
+      """SELECT 'o_orderstatus' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+           CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR),
+           CAST(max(o_custkey) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR),
+           CAST(max(o_orderdate) AS VARCHAR) FROM orders""",
+    "q95_video_frames" ->
+      """WITH v AS (SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             CAST(p_partkey % 4 + 2 AS INT) AS n_frames
+           FROM part WHERE p_partkey < 24),
+         f AS (SELECT media_id, n_frames,
+             CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INT) AS frame_idx
+           FROM v)
+         SELECT media_id, frame_idx, n_frames,
+                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                CAST((media_id * 10 + frame_idx * 40) % 256 AS INT) AS gray_decoded
+         FROM f""",
     "q91_audio_decode" ->
       """SELECT CAST(p_partkey AS BIGINT) AS media_id,
          CAST(8000 AS INT) AS sample_rate,

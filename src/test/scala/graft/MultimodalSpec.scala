@@ -88,6 +88,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!bad.decoded && bad.n_samples == 0 && bad.rms == 0.0)
   }
 
+  test("VideoCodec: GVID demux, stride sampling, corruption fallback") {
+    import graft.multimodal.VideoCodec
+    def gray(g: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < 4) { var x = 0; while (x < 4) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val vid = VideoCodec.encode((0 until 5).map(i => gray(i * 50)))
+    // Stride 2 decodes frames 0, 2, 4 only.
+    val Some((n, frames)) = VideoCodec.demuxSampled(vid, every = 2)
+    assert(n == 5 && frames.map(_._1).toSeq == Seq(0, 2, 4))
+    val rows = Seq(
+      MediaRow(1L, vid, "video/x-gvid", 4, 4),
+      MediaRow(2L, Array[Byte]('G', 'V', 'I', 'X', 0), "video/x-gvid", 0, 0),
+      MediaRow(3L, vid.take(vid.length - 3), "video/x-gvid", 4, 4)) // truncated
+    val feats = VideoCodec.sampleFrameFeatures(
+        spark.createDataset(rows), every = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    val good = feats.filter(_.media_id == 1L)
+    assert(good.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(good.forall(f => f.decoded && f.n_frames == 5 && f.width == 4))
+    // Exact gray recovery per sampled frame.
+    assert(good.map(f => math.round(f.features(0) * 255)).toSeq == Seq(0, 100, 200))
+    // Bad magic and truncation each yield ONE decoded=false row.
+    assert(feats.count(f => f.media_id == 2L) == 1)
+    val bad = feats.filter(f => f.media_id >= 2L)
+    assert(bad.forall(f => !f.decoded && f.frame_idx == -1))
+  }
+
   test("mediaStats: byte counts without decode") {
     val df = spark.createDataset(rows).toDF()
     val stats = Multimodal.mediaStats(df, "payload").orderBy("media_id")
