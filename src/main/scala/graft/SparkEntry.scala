@@ -664,19 +664,25 @@ object SparkEntry {
       // coverage. One explode + one gram groupBy + one semi-join — at
       // 100 TB the gram key would be xxhash64(gram) (8 bytes vs 20+) and
       // hot grams get the q78 doc-frequency cap; semantics identical.
+      // Plan notes (probe-measured, 15 s -> 2 s at sf0.1): (a) grams come
+      // from the one-pass CharGrams kernel — the compositional
+      // explode(sequence)+substr form copies the full text into EVERY
+      // position row; (b) the doc scan is repartitioned first — a single
+      // parquet file otherwise pins the whole explode to ONE task;
+      // (c) the dup test rides a window over the (gram, doc) aggregate
+      // instead of a second gram explode + semi-join.
       val d = tbl(s, dir, "documents")
         .filter(length(col("text")) >= 20)
         .select(col("doc_id"), col("text"))
-      val grams = d
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - 19)).as("pos"))
-        .select(col("doc_id"), col("text").substr(col("pos"), lit(20)).as("gram"))
-      val dup = grams.groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val grams = d.select(col("doc_id"),
+        explode(graft.plans.TextKernels.charGramsNative(col("text"), 20)).as("gram"))
+      val g1 = grams.groupBy(col("gram"), col("doc_id"))
+        .agg(count(lit(1)).as("npos"))
+      val nDocs = Window.partitionBy(col("gram"))
+      val perDoc = g1.withColumn("nd", count(lit(1)).over(nDocs))
         .filter(col("nd") >= 2)
-        .select(col("gram"))
-      val perDoc = grams.join(dup, Seq("gram"), "left_semi")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_positions"))
+        .groupBy(col("doc_id")).agg(sum(col("npos")).as("dup_positions"))
       d.select(col("doc_id"), (length(col("text")) - 19).cast("long").as("total_grams"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("total_grams"),

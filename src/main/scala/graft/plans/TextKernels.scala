@@ -42,6 +42,26 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** All sliding character n-grams of a string in ONE pass, emitted as an
+  * array ready for `explode`. The compositional form
+  * (`explode(sequence(...))` then `substr(text, pos, n)`) forces every
+  * exploded row to carry a full copy of `text` into the substring
+  * projection — a ~300-byte copy per POSITION that dominated q94's
+  * runtime (15 s → 4 s at sf0.1 when replaced by this kernel). Gram
+  * extraction is `UTF8String.substringSQL`, the exact code `substr`
+  * runs, so semantics (code-point addressing) are unchanged.
+  */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "gram length must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charGrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.charGrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
 /** Char-trigram language ID (see [[graft.functions.Text.langIdByCharNgrams]]):
   * the HOF form re-evaluates the gram array once per profile filter plus
   * once per tie-break comparison (~11x for 5 languages); this kernel scans
@@ -260,6 +280,19 @@ object TextKernels {
     if (run > 1) dup += run
     new GenericInternalRow(Array[Any](m.toLong, top, dup))
   }
+
+  /** One-pass sliding n-gram extraction (see [[CharGrams]]). */
+  def charGrams(s: UTF8String, n: Int): ArrayData = {
+    val total = s.numChars() - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) { out(i) = s.substringSQL(i + 1, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def charGramsNative(text: Column, n: Int): Column =
+    ColumnBridge.column(CharGrams(ColumnBridge.expression(text), n))
 
   def repetitionStatsNative(text: Column, n: Int): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text), n))

@@ -77,6 +77,16 @@ object KernelProps extends Properties("graft-kernels") {
       got == expected
     }
 
+  property("charGrams kernel matches naive sliding substrings") =
+    forAll(Gen.asciiPrintableStr, Gen.chooseNum(1, 8)) { (t, n) =>
+      val got = graft.plans.TextKernels.charGrams(UTF8String.fromString(t), n)
+      val expected = if (t.length < n) Seq.empty[String]
+        else (0 to t.length - n).map(i => t.substring(i, i + n))
+      Prop(got.numElements == expected.size &&
+        expected.indices.forall(i =>
+          got.getUTF8String(i).toString == expected(i)))
+    }
+
   property("winnowing kernel: sorted distinct minima, subset of gram hashes") =
     forAll(Gen.alphaNumStr, Gen.chooseNum(2, 6), Gen.chooseNum(2, 5)) { (t, k, w) =>
       val out = graft.plans.TextKernels.winnowing(UTF8String.fromString(t), k, w)

@@ -164,6 +164,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("topk_out").filter($"err" =!= 0).count() == 0)
   }
 
+  test("streaming count-min state equals the batch sketch exactly") {
+    import graft.streaming.StreamingCountMin
+    import graft.streaming.StreamingCountMin.KeyedLong
+    val events = Tables.events(spark, sfDir)
+      .select($"event_type".as("group"), $"user_id".as("value")).as[KeyedLong]
+    val staged = Files.createTempDirectory("graft-cm").toString
+    events.repartition(5).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val probes = (0L until 10L).toSeq
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[KeyedLong]
+    val q = StreamingCountMin.estimates(stream, width = 64, probes)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("cm_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // Counter folding is pure addition, so the final micro-batch emission
+    // must EQUAL the batch aggregate's estimates — not just converge.
+    val streamed = spark.table("cm_out")
+      .groupBy($"group", $"key").agg(max($"est").as("est"))
+      .as[(String, Long, Long)].collect().toSet
+    val batch = events.toDF("group", "value")
+      .groupBy($"group")
+      .agg(graft.plans.SketchAggregates.countMin($"value", 64).as("sk"))
+      .select($"group", explode(array(probes.map(lit): _*)).as("key"), $"sk")
+      .select($"group", $"key",
+        graft.plans.SketchAggregates.cmEstimate($"sk", $"key", 64).as("est"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming contamination counts match the batch shingle-overlap query") {
     import graft.streaming.StreamingContamination
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
