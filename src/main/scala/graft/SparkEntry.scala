@@ -510,7 +510,7 @@ object SparkEntry {
       // profile set — their string rendering is engine-specific; every
       // other type renders identically cross-engine.
       graft.operators.Profile.profile(
-        tbl(s, dir, "orders"),
+        tbl(s, dir, "orders").repartition(s.sparkContext.defaultParallelism),
         Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"))),
 
     "q95_video_frames" -> ((s, dir) => {
@@ -689,6 +689,23 @@ object SparkEntry {
           coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
     }),
 
+    "q97_zorder_box" -> ((s, dir) => {
+      // Z-order clustered layout + 2-D box probe: both user_id and value
+      // stay locally clustered on the Morton curve, so the box touches a
+      // minority of files on either dimension (LayoutSpec asserts the
+      // skip; the oracle checks pruning never changes the answer).
+      import graft.sources.Layout
+      val path = s"target/zorder_demo/${new java.io.File(dir).getName}/events"
+      Layout.writeZOrdered(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+        path, "user_id", "value", nFiles = 16)
+      Layout.prunedReadBox(s, path, "user_id", 10L, 40L, "value", 20.0, 60.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "q93_manifest_scan" -> ((s, dir) => {
       // Manifest-pruned range scan: write events range-partitioned on
       // `value` with a per-file min/max sidecar, then answer the range
@@ -716,7 +733,11 @@ object SparkEntry {
       // oracle replays the same LCG counters in SQL (q39 pattern).
       import graft.plans.SketchAggregates
       val events = tbl(s, dir, "events")
-      val sk = events.agg(SketchAggregates.countMin(col("user_id"), 64).as("sk"))
+      // Partial sketches build per input partition; a single local file
+      // would pin that to one task (q94 note), so spread first — the
+      // merge is a vector add, indifferent to partitioning.
+      val sk = events.repartition(s.sparkContext.defaultParallelism)
+        .agg(SketchAggregates.countMin(col("user_id"), 64).as("sk"))
       val truth = events.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
       s.range(0, 10).select(col("id").as("user_id"))
         .join(truth, Seq("user_id"), "left")
@@ -1660,6 +1681,14 @@ object SparkEntry {
          SELECT d.doc_id, CAST(length(d.text) - 19 AS BIGINT) AS total_grams,
                 CAST(coalesce(p.dup_positions, 0) AS BIGINT) AS dup_positions
          FROM d LEFT JOIN per p USING (doc_id)""",
+    "q97_zorder_box" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE user_id >= 10 AND user_id <= 40
+           AND value >= 20.0 AND value <= 60.0
+         GROUP BY 1""",
     "q93_manifest_scan" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

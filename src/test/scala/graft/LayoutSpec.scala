@@ -41,6 +41,25 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.prunedRead(spark, dir, "value", 1e9, 2e9).count() == 0)
   }
 
+  test("z-order layout: 2-D box probe prunes files on both dimensions") {
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/events"
+    val events = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id", $"value")
+    Layout.writeZOrdered(events, dir, "user_id", "value", nFiles = 16)
+    val (kept, total) = Layout.pruneStatsBox(spark, dir, 10L, 40L, 20.0, 60.0)
+    assert(total == 16, s"expected 16 data files, manifest has $total")
+    // A ~quarter-area box on a Morton layout should skip most files —
+    // range-partitioning on one column alone could never prune the other.
+    assert(kept <= total / 2, s"box probe kept $kept/$total files")
+    val pruned = Layout.prunedReadBox(
+        spark, dir, "user_id", 10L, 40L, "value", 20.0, 60.0)
+      .agg(count(lit(1)), sum($"user_id")).as[(Long, Long)].head()
+    val full = events
+      .filter($"user_id".between(10L, 40L) && $"value".between(20.0, 60.0))
+      .agg(count(lit(1)), sum($"user_id")).as[(Long, Long)].head()
+    assert(pruned == full)
+  }
+
   test("bucketed tables join with no exchange") {
     val o = Tables.load(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
