@@ -724,6 +724,25 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q98_inverted_index" -> ((s, dir) => {
+      // Inverted-index build (the search-engine half of a curation
+      // pipeline): token explode -> one groupBy term -> sorted, capped
+      // posting lists as JSON. df is the full distinct-doc count even
+      // where the posting list is capped, so rare-vs-common term stats
+      // survive the cap; collect_set keeps per-term state bounded by
+      // distinct docs, and the cap bounds the OUTPUT, which is what
+      // explodes at corpus scale.
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          sort_array(collect_set(col("doc_id"))).as("docs"))
+        .filter(col("df") >= 50)
+        .select(col("term"), col("df"),
+          to_json(slice(col("docs"), 1, 20)).as("postings"))
+    }),
+
     "q92_count_min" -> ((s, dir) => {
       // Count-min point queries: one vector-add-mergeable sketch over the
       // whole events stream (O(depth*width) state), then 10 key probes
@@ -1695,6 +1714,16 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q98_inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         p AS (
+           SELECT term, count(DISTINCT doc_id) AS df,
+                  list_sort(list(DISTINCT doc_id)) AS docs
+           FROM toks WHERE term <> '' GROUP BY term)
+         SELECT term, df, to_json(docs[1:20]) AS postings
+         FROM p WHERE df >= 50""",
     "q92_count_min" ->
       """WITH params(i, a, b) AS (VALUES
            (0, 1103515245, 12345), (1, 1229782938, 1013904223),
