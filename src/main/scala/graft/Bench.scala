@@ -23,8 +23,12 @@ object Bench {
     // cartesian join stays out of the headline bench so no benched plan
     // contains an all-pairs product. It remains oracle-checked in Verify.
     val excluded = Set("q40_near_pairs")
+    // Dev-only subset filter (comma-separated name prefixes), same
+    // contract as Verify's; the driver sets no env.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
