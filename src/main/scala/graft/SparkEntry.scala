@@ -724,6 +724,13 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q99_sliding_chunks" -> ((s, dir) =>
+      // Sliding-window chunking (embedding/RAG prep): 40-token windows,
+      // 10-token overlap. Shuffle-free explode (see Sampling scaladoc).
+      graft.operators.Sampling.slidingChunks(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", size = 40, overlap = 10)),
+
     "q98_inverted_index" -> ((s, dir) => {
       // Inverted-index build (the search-engine half of a curation
       // pipeline): token explode -> one groupBy term -> sorted, capped
@@ -1724,6 +1731,16 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q99_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 30)) AS st
+           FROM t)
+         SELECT doc_id, CAST(st // 30 AS INT) AS chunk_idx,
+                CAST(least(40, len(toks) - st) AS INT) AS n_chunk_tokens,
+                array_to_string(toks[st + 1 : st + 40], ' ') AS chunk_text
+         FROM s""",
     "q98_inverted_index" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

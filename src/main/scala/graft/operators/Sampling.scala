@@ -57,4 +57,40 @@ object Sampling {
         coalesce(sum(col(tokenCountCol)).over(prev), lit(0L)))
       .withColumn("pack_id", expr(s"prefix_tokens div $budget"))
   }
+
+  /** Sliding-window token chunking — the RAG/embedding prep shape: each
+    * document's token stream splits into windows of `size` tokens
+    * advancing by `size - overlap`, so consecutive chunks share
+    * `overlap` tokens. Emits one row per chunk with the re-joined text
+    * and its token count (the last chunk may run short).
+    *
+    * Pure per-row explode + array slicing: no shuffle, no state —
+    * embarrassingly parallel at any corpus size. The exploded row
+    * carries the doc's token array into the slice, which is fine at
+    * chunk granularity (a handful of chunks per doc), unlike q94's
+    * per-CHARACTER positions where that copy dominated.
+    */
+  def slidingChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > overlap >= 0")
+    val step = size - overlap
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("__toks")) - 1, lit(0)),
+          lit(step))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / step).cast("int").as("chunk_idx"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("__toks")) - col("__start"))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(size)), " ")
+          .as("chunk_text"))
+  }
 }
