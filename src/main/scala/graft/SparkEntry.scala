@@ -724,6 +724,19 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q100_corpus_mix" -> ((s, dir) => {
+      // Deterministic mix-to-target (static DoReMi shape): keep the
+      // largest subset hitting 50/30/20 en/de/fr token proportions.
+      // One tiny totals aggregate + one codegen'd hash filter.
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Sampling.mixToTarget(
+          docs, "lang", "doc_id", "n_tokens",
+          Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     "q99_sliding_chunks" -> ((s, dir) =>
       // Sliding-window chunking (embedding/RAG prep): 40-token windows,
       // 10-token overlap. Shuffle-free explode (see Sampling scaladoc).
@@ -1731,6 +1744,22 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q100_corpus_mix" ->
+      """WITH d AS (SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS frac
+           FROM documents WHERE lang IN ('en', 'de', 'fr')),
+         w(lang, wt) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),
+           ('de', CAST(0.3 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE))),
+         tot AS (SELECT lang, sum(n_tokens) AS t FROM d GROUP BY lang),
+         sc AS (SELECT min(CAST(t AS DOUBLE) / wt) AS s FROM tot JOIN w USING (lang)),
+         r AS (SELECT lang, (SELECT s FROM sc) * wt / CAST(t AS DOUBLE) AS rate
+           FROM tot JOIN w USING (lang))
+         SELECT d.lang, count(*) AS n_docs,
+                CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens
+         FROM d JOIN r ON d.lang = r.lang AND d.frac < r.rate
+         GROUP BY d.lang""",
     "q99_sliding_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),

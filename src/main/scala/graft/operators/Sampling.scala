@@ -58,6 +58,45 @@ object Sampling {
       .withColumn("pack_id", expr(s"prefix_tokens div $budget"))
   }
 
+  /** Deterministic corpus mixing to a target distribution (the static
+    * DoReMi/pretraining-mix shape): given target weights per stratum,
+    * find the largest corpus subset whose token mass matches the target
+    * proportions, then keep it via the same [[unitHash]] filter
+    * stratified sampling uses.
+    *
+    * Math: with `t_s` tokens available in stratum `s` and target weight
+    * `w_s`, the binding stratum sets the scale `S = min_s(t_s / w_s)`;
+    * stratum `s` keeps `rate_s = S * w_s / t_s` of its tokens (the
+    * binding stratum keeps everything). Per-stratum totals are one tiny
+    * aggregate collected to the driver (stratum count rows — the
+    * config-loop pattern), rates fold into ONE codegen'd filter; the
+    * data pass itself is a single scan, no shuffle.
+    *
+    * Strata missing from `weights` are dropped (weight 0). Rates are a
+    * pure arithmetic function of the totals, so any engine reproduces
+    * the exact keep set (q100's oracle recomputes them in SQL).
+    */
+  def mixToTarget(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      tokenCountCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val totals = df.filter(col(stratumCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(stratumCol)).agg(sum(col(tokenCountCol)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => totals.getOrElse(s, 0L) > 0L }
+    require(present.nonEmpty, "no stratum with data")
+    val scale = present.map { case (s, w) => totals(s) / w }.min
+    val rates = present.map { case (s, w) => s -> scale * w / totals(s) }
+    val rate = rates.foldLeft(lit(-1.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(unitHash(col(idCol)) < rate)
+  }
+
   /** Sliding-window token chunking — the RAG/embedding prep shape: each
     * document's token stream splits into windows of `size` tokens
     * advancing by `size - overlap`, so consecutive chunks share

@@ -88,6 +88,36 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("mixToTarget: binding stratum kept whole, mix near target, deterministic") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"lang",
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      .filter($"lang".isin("en", "de", "fr"))
+    val weights = Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2)
+    val avail = docs.groupBy($"lang").agg(sum($"n_tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    val binding = weights.keys.minBy(l => avail(l) / weights(l))
+    val mixed = Sampling.mixToTarget(docs, "lang", "doc_id", "n_tokens", weights)
+    val kept = mixed.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"n_tokens").as("t"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // The binding stratum's rate is 1.0: every doc survives.
+    assert(kept(binding)._1 == docs.filter($"lang" === binding).count())
+    // Achieved token shares track the target (hash sampling is per-doc,
+    // so allow a loose tolerance at this corpus size).
+    val total = kept.values.map(_._2).sum.toDouble
+    weights.foreach { case (l, w) =>
+      assert(math.abs(kept(l)._2 / total - w) < 0.1,
+        s"$l share ${kept(l)._2 / total} vs target $w")
+    }
+    // Partition-layout invariant, like stratifiedSample.
+    val again = Sampling.mixToTarget(
+        docs.repartition(7), "lang", "doc_id", "n_tokens", weights)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == mixed.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("chunkAssignments matches a local replay of the token stream") {
     import graft.operators.Sampling
     val docs = Tables.load(spark, sfDir, "documents")
