@@ -724,6 +724,19 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q101_quarantine" -> ((s, dir) => {
+      // Row-level validation with a quarantine channel: one codegen'd
+      // projection marks each row with the rules it broke; bad rows are
+      // reported (never dropped silently, never fatal).
+      val ev = Tables.events(s, dir)
+      graft.operators.Validate.withViolations(ev, Seq(
+          "extreme_value" -> (col("value") > 95.0),
+          "suspect_user" -> (col("user_id") >= 140),
+          "null_type" -> col("event_type").isNull))
+        .filter(col("violations") =!= "")
+        .select(col("event_id"), col("violations"))
+    }),
+
     "q100_corpus_mix" -> ((s, dir) => {
       // Deterministic mix-to-target (static DoReMi shape): keep the
       // largest subset hitting 50/30/20 en/de/fr token proportions.
@@ -1744,6 +1757,14 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q101_quarantine" ->
+      """SELECT event_id,
+         concat_ws(',',
+           CASE WHEN value > 95.0 THEN 'extreme_value' END,
+           CASE WHEN user_id >= 140 THEN 'suspect_user' END,
+           CASE WHEN event_type IS NULL THEN 'null_type' END) AS violations
+         FROM events
+         WHERE value > 95.0 OR user_id >= 140 OR event_type IS NULL""",
     "q100_corpus_mix" ->
       """WITH d AS (SELECT doc_id, lang,
            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -98,6 +98,38 @@ object Layout {
     } finally { m.unpersist(); () }
   }
 
+  /** Small-files compaction for a [[writeWithManifest]] layout: rewrite
+    * the data into `nFiles` larger range-clustered files and rebuild the
+    * manifest. Streaming ingest accretes tiny files; compaction restores
+    * scan efficiency (fewer tasks, bigger sequential reads) and manifest
+    * tightness. The swap is copy-then-move — a metadata-transaction
+    * engine (Iceberg/Delta) would commit a new snapshot instead; the
+    * data-plane work (read, re-range-partition, rewrite, re-stat) is
+    * identical.
+    */
+  def compact(
+      spark: SparkSession, path: String, statsCol: String, nFiles: Int): Unit = {
+    val tmp = s"$path.compacting"
+    writeWithManifest(spark.read.parquet(path), tmp, statsCol, nFiles)
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(path))
+    rm(new java.io.File(s"$path.manifest"))
+    val ok = new java.io.File(tmp).renameTo(new java.io.File(path)) &&
+      new java.io.File(s"$tmp.manifest").renameTo(new java.io.File(s"$path.manifest"))
+    require(ok, s"compaction swap failed for $path")
+    // The manifest was written while the data lived under the temp dir;
+    // point its file column at the post-move paths (tiny: one row/file).
+    val stale = spark.read.parquet(s"$path.manifest")
+    val fixed = stale.withColumn("file", regexp_replace(col("file"),
+      java.util.regex.Pattern.quote(tmp), path)).collect()
+    spark.createDataFrame(
+        java.util.Arrays.asList(fixed: _*), stale.schema)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path.manifest")
+  }
+
   /** Bit-interleaved Z-value of two quantized coordinates (each in
     * `[0, 2^bits)`): bit i of `a` lands at position 2i+1, bit i of `b`
     * at 2i. Pure shift/mask column arithmetic — whole-stage codegen, no

@@ -41,6 +41,27 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.prunedRead(spark, dir, "value", 1e9, 2e9).count() == 0)
   }
 
+  test("compaction: fewer files, manifest rebuilt, pruned answers unchanged") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/events"
+    val events = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id", $"value")
+    Layout.writeWithManifest(events, dir, "value", nFiles = 16)
+    val before = Layout.prunedRead(spark, dir, "value", 10.0, 20.0)
+      .agg(count(lit(1)), sum($"user_id")).as[(Long, Long)].head()
+    Layout.compact(spark, dir, "value", nFiles = 4)
+    val (_, total) = Layout.pruneStats(spark, dir, 10.0, 20.0)
+    assert(total == 4, s"compaction should leave 4 files, manifest has $total")
+    val after = Layout.prunedRead(spark, dir, "value", 10.0, 20.0)
+      .agg(count(lit(1)), sum($"user_id")).as[(Long, Long)].head()
+    assert(after == before)
+    // The rewritten manifest points at live files (a stale path would
+    // blow up the read above, but assert directly for a clear failure).
+    val files = spark.read.parquet(s"$dir.manifest")
+      .select("file").as[String].collect()
+    assert(files.forall(f => new java.io.File(
+      f.stripPrefix("file:")).exists()))
+  }
+
   test("z-order layout: 2-D box probe prunes files on both dimensions") {
     val dir = Files.createTempDirectory("graft-zorder").toString + "/events"
     val events = Tables.events(spark, sfDir)
