@@ -724,6 +724,24 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q102_bloom_point_scan" -> ((s, dir) => {
+      // Per-file bloom manifest + point probes: equality lookups on a
+      // key whose min/max spans every file (user_id) — range stats skip
+      // nothing, blooms skip almost everything (LayoutSpec asserts the
+      // file skip; the oracle checks the probes return full answers).
+      import graft.sources.Layout
+      val path = s"target/bloom_demo/${new java.io.File(dir).getName}/events"
+      Layout.writeWithBloomManifest(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+        path, "user_id", nFiles = 16)
+      Seq(3L, 77L, 142L).map { k =>
+        Layout.prunedPointRead(s, path, "user_id", k)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).cast("double").as("total_value"))
+      }.reduce(_.unionAll(_))
+    }),
+
     "q101_quarantine" -> ((s, dir) => {
       // Row-level validation with a quarantine channel: one codegen'd
       // projection marks each row with the rules it broke; bad rows are
@@ -1757,6 +1775,11 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q102_bloom_point_scan" ->
+      """SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events WHERE user_id IN (3, 77, 142)
+         GROUP BY user_id""",
     "q101_quarantine" ->
       """SELECT event_id,
          concat_ws(',',

@@ -98,6 +98,58 @@ object Layout {
     } finally { m.unpersist(); () }
   }
 
+  /** [[writeWithManifest]] plus a per-file BLOOM FILTER on a
+    * high-cardinality point-lookup key. Range stats prune RANGE probes;
+    * for an equality probe on a key that is roughly uniform across files
+    * (a user id, a document hash) min/max covers everything and skips
+    * nothing — the per-file bloom is what Parquet/Delta attach for
+    * exactly this case. Partitioning the write by the bloom key makes
+    * each key live in ONE file, so a point probe reads a single file
+    * instead of all of them.
+    */
+  def writeWithBloomManifest(
+      df: DataFrame, path: String, keyCol: String, nFiles: Int,
+      numBits: Int = 1 << 16, numHashes: Int = 5): Unit = {
+    df.repartition(nFiles, col(keyCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.plans.BloomExpressions
+          .bloomBuild(col(keyCol), numBits, numHashes).as("bloom"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path.manifest")
+  }
+
+  /** Point probe over a [[writeWithBloomManifest]] layout: consult the
+    * per-file blooms (no false negatives — a skipped file PROVABLY lacks
+    * the key), read only files that might contain it, keep the equality
+    * filter on the scan for bloom false positives.
+    */
+  def prunedPointRead(
+      spark: SparkSession, path: String, keyCol: String, key: Long): DataFrame = {
+    val files = spark.read.parquet(s"$path.manifest")
+      .filter(graft.plans.BloomExpressions.mightContain(lit(key), col("bloom")))
+      .select(col("file"))
+      .collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(keyCol) === lit(key))
+  }
+
+  /** Files a point probe touches vs total (spec diagnostic). */
+  def pruneStatsPoint(
+      spark: SparkSession, path: String, key: Long): (Long, Long) = {
+    val m = spark.read.parquet(s"$path.manifest").cache()
+    try {
+      val total = m.count()
+      val kept = m.filter(
+        graft.plans.BloomExpressions.mightContain(lit(key), col("bloom"))).count()
+      (kept, total)
+    } finally { m.unpersist(); () }
+  }
+
   /** Small-files compaction for a [[writeWithManifest]] layout: rewrite
     * the data into `nFiles` larger range-clustered files and rebuild the
     * manifest. Streaming ingest accretes tiny files; compaction restores

@@ -41,6 +41,26 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.prunedRead(spark, dir, "value", 1e9, 2e9).count() == 0)
   }
 
+  test("bloom manifest: point probe skips files min/max cannot") {
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/events"
+    val events = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id", $"value")
+    Layout.writeWithBloomManifest(events, dir, "user_id", nFiles = 16)
+    val (kept, total) = Layout.pruneStatsPoint(spark, dir, 3L)
+    // Empty hash partitions write no file, so total can land under 16.
+    assert(total >= 8, s"expected several data files, manifest has $total")
+    // Hash partitioning puts the probed user in ONE file; bloom false positives
+    // may admit a few more, but most files are provably skipped.
+    assert(kept <= total / 2, s"point probe kept $kept/$total files")
+    val pruned = Layout.prunedPointRead(spark, dir, "user_id", 3L)
+      .agg(count(lit(1)), sum($"value")).as[(Long, Double)].head()
+    val full = events.filter($"user_id" === 3L)
+      .agg(count(lit(1)), sum($"value")).as[(Long, Double)].head()
+    assert(pruned == full)
+    // Absent key: every file provably lacks it -> empty frame, no error.
+    assert(Layout.prunedPointRead(spark, dir, "user_id", 999999L).count() == 0)
+  }
+
   test("compaction: fewer files, manifest rebuilt, pruned answers unchanged") {
     val dir = Files.createTempDirectory("graft-compact").toString + "/events"
     val events = Tables.events(spark, sfDir)
