@@ -724,6 +724,27 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q103_time_travel" -> ((s, dir) => {
+      // Snapshot commits + time travel + incremental feed: two appends,
+      // then v1, v2, and the v1->v2 delta each aggregated — the delta
+      // read touches ONLY batch-2's files (the change-feed contract;
+      // SourcesSpec asserts the file sets).
+      import graft.sources.Snapshots
+      val path = s"target/snap_demo/${new java.io.File(dir).getName}/events"
+      Snapshots.reset(path)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+      Snapshots.append(ev.filter(col("event_id") % 2 === 0), path, "value", 4)
+      Snapshots.append(ev.filter(col("event_id") % 2 === 1), path, "value", 4)
+      def agg(df: DataFrame, label: String) = df
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+        .select(lit(label).as("snapshot"), col("n"), col("total_value"))
+      agg(Snapshots.readSnapshot(s, path, 1), "v1")
+        .unionAll(agg(Snapshots.readSnapshot(s, path, 2), "v2"))
+        .unionAll(agg(Snapshots.readIncrement(s, path, 1, 2), "delta"))
+    }),
+
     "q102_bloom_point_scan" -> ((s, dir) => {
       // Per-file bloom manifest + point probes: equality lookups on a
       // key whose min/max spans every file (user_id) — range stats skip
@@ -1775,6 +1796,18 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q103_time_travel" ->
+      """SELECT 'v1' AS snapshot, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT 'v2', count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events
+         UNION ALL
+         SELECT 'delta', count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events WHERE event_id % 2 = 1""",
     "q102_bloom_point_scan" ->
       """SELECT user_id, count(*) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -169,6 +169,34 @@ class SourcesSpec extends SparkSpec {
     assert(types(0) == Seq("Chemotherapy") && types(1).isEmpty)
   }
 
+  test("Snapshots: time travel isolates versions; increment reads only new files") {
+    import graft.sources.Snapshots
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snap").toString + "/t"
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val b = Seq((3L, 30.0)).toDF("id", "v")
+    assert(Snapshots.append(a, path, "v", nFiles = 2) == 1)
+    assert(Snapshots.append(b, path, "v", nFiles = 1) == 2)
+    assert(Snapshots.currentVersion(path) == 2)
+    // v1 is untouched by the later commit.
+    assert(Snapshots.readSnapshot(spark, path, 1)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(Snapshots.readSnapshot(spark, path, 2)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // The change feed is exactly batch 2, and it READS only batch-2
+    // files (the incremental-consumption contract).
+    val inc = Snapshots.readIncrement(spark, path, 1, 2)
+    assert(inc.select("id").as[Long].collect().toSeq == Seq(3L))
+    val incFiles = inc
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().as[String].collect()
+    assert(incFiles.nonEmpty && incFiles.forall(_.contains("batch-2")))
+    // From version 0 = full table.
+    assert(Snapshots.readIncrement(spark, path, 0, 2).count() == 3)
+    // Unknown version is an error, not silent empty.
+    intercept[IllegalArgumentException](Snapshots.readSnapshot(spark, path, 9))
+  }
+
   test("PostgresTsv: array literals, null fill, newline escape") {
     val df = Seq((1L, Seq("a", "b"), "line1\nline2"), (2L, Seq.empty[String], null))
       .toDF("id", "tags", "note")
