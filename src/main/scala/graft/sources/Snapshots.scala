@@ -97,4 +97,29 @@ object Snapshots {
       else filesAt(spark, path, fromVersion)
     readFiles(spark, path, filesAt(spark, path, toVersion) -- from)
   }
+
+  /** Continuous ingest: every micro-batch commits ONE snapshot. A
+    * commit marker per Structured Streaming batch id makes the commit
+    * idempotent — a batch replayed after failure (at-least-once
+    * delivery) finds its marker and skips, so the TABLE sees each batch
+    * exactly once. This is the foreachBatch + transactional-sink recipe
+    * every lakehouse streaming writer implements; here the "transaction"
+    * is the manifest write, which is atomic enough for a single writer.
+    *
+    * Call `.trigger(...).start()` semantics via the returned writer —
+    * the caller controls trigger and await (StreamingSpec drives it with
+    * AvailableNow).
+    */
+  def ingestWriter(
+      stream: DataFrame, path: String, statsCol: String, nFiles: Int):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
+      val marker = new java.io.File(s"$path/_commits/$batchId")
+      if (!marker.exists()) {
+        append(df, path, statsCol, nFiles)
+        marker.getParentFile.mkdirs()
+        marker.createNewFile()
+        ()
+      }
+    }
 }

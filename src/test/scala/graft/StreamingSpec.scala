@@ -164,6 +164,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("topk_out").filter($"err" =!= 0).count() == 0)
   }
 
+  test("streaming snapshot ingest: one snapshot per micro-batch, exactly-once") {
+    import graft.sources.Snapshots
+    val events = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"value")
+    val staged = Files.createTempDirectory("graft-ingest-src").toString
+    events.repartition(3).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val table = Files.createTempDirectory("graft-ingest-tbl").toString + "/t"
+
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = Snapshots.ingestWriter(stream, table, "value", nFiles = 2)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // One committed snapshot per micro-batch; the head snapshot holds
+    // the whole stream, earlier ones are strict prefixes.
+    val v = Snapshots.currentVersion(table)
+    assert(v == 3, s"expected 3 snapshots, got $v")
+    assert(Snapshots.readSnapshot(spark, table, v).count() == events.count())
+    assert(Snapshots.readSnapshot(spark, table, 1).count() < events.count())
+    val ids = Snapshots.readSnapshot(spark, table, v)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == events.select("event_id").as[Long].collect().sorted.toSeq)
+    // Replaying a committed batch is a no-op (exactly-once commits).
+    val before = Snapshots.currentVersion(table)
+    val q2 = Snapshots.ingestWriter(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(staged),
+        table, "value", nFiles = 2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ingest-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    // Fresh checkpoint = batch ids restart at 0, all already committed.
+    assert(Snapshots.currentVersion(table) == before)
+  }
+
   test("streaming count-min state equals the batch sketch exactly") {
     import graft.streaming.StreamingCountMin
     import graft.streaming.StreamingCountMin.KeyedLong
