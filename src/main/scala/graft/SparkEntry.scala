@@ -724,6 +724,43 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q104_funnel" -> ((s, dir) => {
+      // Ordered-funnel analytics (view -> click -> purchase by first
+      // occurrence): one groupBy computing the three conditional min
+      // timestamps, then a pure CASE classification — single shuffle,
+      // no self-joins (the naive form is three joins on user_id).
+      val ev = Tables.events(s, dir)
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+      ev.groupBy(col("user_id"))
+        .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+        .select(
+          when(col("first_view").isNull, "no_view")
+            .when(col("first_click").isNull ||
+              col("first_click") <= col("first_view"), "view")
+            .when(col("first_purchase").isNull ||
+              col("first_purchase") <= col("first_click"), "view_click")
+            .otherwise("view_click_purchase").as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    "q105_cohorts" -> ((s, dir) => {
+      // Cohort retention: users grouped by first-seen day, activity
+      // counted per day offset. Two aggregations (first-seen, then
+      // cohort cell counts) with a broadcast-joinable first-seen side.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(broadcast(cohort), Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day").cast("string").as("cohort_day"),
+          col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     "q103_time_travel" -> ((s, dir) => {
       // Snapshot commits + time travel + incremental feed: two appends,
       // then v1, v2, and the v1->v2 delta each aggregated — the delta
@@ -1796,6 +1833,30 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q104_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+           FROM events GROUP BY user_id)
+         SELECT CASE
+             WHEN first_view IS NULL THEN 'no_view'
+             WHEN first_click IS NULL OR first_click <= first_view THEN 'view'
+             WHEN first_purchase IS NULL OR first_purchase <= first_click
+               THEN 'view_click'
+             ELSE 'view_click_purchase' END AS stage,
+           count(*) AS n_users
+         FROM f GROUP BY 1""",
+    "q105_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+                datediff('day', c.cohort_day, e.day) AS day_offset,
+                count(DISTINCT e.user_id) AS n_active
+         FROM e JOIN c USING (user_id)
+         WHERE datediff('day', c.cohort_day, e.day) <= 7
+         GROUP BY 1, 2""",
     "q103_time_travel" ->
       """SELECT 'v1' AS snapshot, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
