@@ -724,6 +724,20 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q106_transitions" -> ((s, dir) => {
+      // Event-transition mining: per-user ordered stream -> (event,
+      // next_event) bigram counts. One window (partition by user, order
+      // by ts+id for a total order) + one groupBy — the Markov-chain
+      // edge-weight table sessionization tools build.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q104_funnel" -> ((s, dir) => {
       // Ordered-funnel analytics (view -> click -> purchase by first
       // occurrence): one groupBy computing the three conditional min
@@ -1833,6 +1847,15 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q106_transitions" ->
+      """WITH t AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events)
+         SELECT event_type, next_type, count(*) AS n
+         FROM t WHERE next_type IS NOT NULL
+         GROUP BY 1, 2""",
     "q104_funnel" ->
       """WITH f AS (
            SELECT user_id,
