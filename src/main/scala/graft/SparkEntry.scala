@@ -625,9 +625,14 @@ object SparkEntry {
       // with a deterministic tie-break (highest score, then first term),
       // where a row_number window would shuffle and sort.
       val docs = tbl(s, dir, "documents")
+      // tf feeds BOTH df_ and the join: materialize it once (the q78
+      // rule for multiply-referenced subtrees), with the explode spread
+      // off the single local file first.
       val tf = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(broadcast(df_), Seq("term")).crossJoin(broadcast(n))
