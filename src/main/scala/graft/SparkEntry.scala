@@ -729,6 +729,29 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    "q107_decile_bins" -> ((s, dir) => {
+      // Quantile feature binning the scale-clean way: exact decile
+      // BOUNDARIES from one percentile aggregate (9 doubles to the
+      // driver), bucket assignment as a codegen'd comparison sum on the
+      // scan. A global ntile window would sort everything in ONE
+      // partition; this is a scan + tiny agg at any size. DuckDB's
+      // quantile_cont interpolates like Spark's percentile (q65).
+      val orders = tbl(s, dir, "orders")
+      val ps = (1 to 9).map(_ / 10.0)
+      val boundRow = orders.agg(
+        percentile(col("o_totalprice"), lit(ps.head)).as("p0"),
+        ps.tail.zipWithIndex.map { case (p, i) =>
+          percentile(col("o_totalprice"), lit(p)).as(s"p${i + 1}") }: _*).head()
+      val bounds = (0 until 9).map(boundRow.getDouble)
+      val decile = bounds.foldLeft(lit(1)) { (acc, b) =>
+        acc + when(col("o_totalprice") > b, 1).otherwise(0)
+      }
+      orders.groupBy(decile.as("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
     "q106_transitions" -> ((s, dir) => {
       // Event-transition mining: per-user ordered stream -> (event,
       // next_event) bigram counts. One window (partition by user, order
@@ -1852,6 +1875,20 @@ object SparkEntry {
          count(DISTINCT user_id) AS n_users
          FROM events WHERE value >= 10.0 AND value <= 20.0
          GROUP BY 1""",
+    "q107_decile_bins" ->
+      """WITH b AS (
+           SELECT quantile_cont(o_totalprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+           FROM orders),
+         t AS (
+           SELECT o_totalprice,
+             1 + (SELECT count(*) FROM unnest((SELECT qs FROM b)) AS u(q)
+                  WHERE o_totalprice > q) AS decile
+           FROM orders)
+         SELECT CAST(decile AS INT) AS decile, count(*) AS n,
+                min(o_totalprice) AS min_price,
+                max(o_totalprice) AS max_price
+         FROM t GROUP BY decile""",
     "q106_transitions" ->
       """WITH t AS (
            SELECT event_type,
