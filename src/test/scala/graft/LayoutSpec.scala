@@ -101,6 +101,14 @@ class LayoutSpec extends SparkSpec {
     assert(pruned == full)
   }
 
+  test("zValue is a bijection from the coordinate grid onto [0, 4^bits)") {
+    val grid = spark.range(0, 64).selectExpr("id % 8 AS a", "id div 8 AS b")
+    val zs = grid.select(Layout.zValue($"a", $"b", 3).as("z"))
+      .as[Long].collect().sorted.toSeq
+    // 64 distinct cells -> 64 distinct z-values covering 0..63 exactly.
+    assert(zs == (0L until 64L))
+  }
+
   test("bucketed tables join with no exchange") {
     val o = Tables.load(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
