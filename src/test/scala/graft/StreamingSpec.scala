@@ -164,6 +164,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("topk_out").filter($"err" =!= 0).count() == 0)
   }
 
+  test("streaming funnel converges to the batch stage per user") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.Event
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_micros")
+    val staged = Files.createTempDirectory("graft-funnel").toString
+    events.repartition(3).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    // Batch truth: same mins, same classify.
+    val batch = events.groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts_micros")).as("v"),
+        min(when($"event_type" === "click", $"ts_micros")).as("c"),
+        min(when($"event_type" === "purchase", $"ts_micros")).as("p"))
+      .collect().map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) Long.MaxValue else r.getLong(i)
+        r.getLong(0) -> StreamingFunnel.classify(g(1), g(2), g(3))
+      }.toMap
+
+    // Stream: batches arrive file-by-file; the LAST emission per user
+    // (batches process in order) is the converged stage.
+    val finalStage = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val q = StreamingFunnel.stages(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(staged).as[Event])
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingFunnel.StageRow], _: Long) =>
+        df.collect().foreach(s => finalStage.put(s.user_id, s.stage)); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    import scala.jdk.CollectionConverters._
+    assert(finalStage.asScala.toMap == batch && batch.nonEmpty)
+    assert(batch.values.toSet.contains("view_click_purchase"))
+  }
+
   test("streaming snapshot ingest: one snapshot per micro-batch, exactly-once") {
     import graft.sources.Snapshots
     val events = Tables.events(spark, sfDir)
