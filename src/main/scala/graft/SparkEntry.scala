@@ -1001,6 +1001,27 @@ object SparkEntry {
           nPlanes = 4, dim = dim, threshold = 0.3)
         .withColumn("cosine_sim", round(col("cosine_sim"), 4))
     }),
+    "q108_triangles" -> ((s, dir) => {
+      // Triangle enumeration over the near-dup graph (clusters of three
+      // mutually-similar vectors). Edges are already oriented low->high
+      // id, which IS the classic node-iterator degree/order trick: every
+      // triangle a<b<c is found exactly once, and wedge fan-out at a hub
+      // is bounded by its higher-id neighbors only — the skew control
+      // that keeps triangle counting alive on power-law graphs.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+          nPlanes = 4, dim = dim, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // referenced three times (q78 rule)
+      val wedges = pairs
+        .join(pairs.select(col("id_a").as("id_b"), col("id_b").as("id_c")), "id_b")
+      wedges
+        .join(pairs.select(col("id_a"), col("id_b").as("id_c")),
+          Seq("id_a", "id_c"), "left_semi")
+        .select(col("id_a").as("a"), col("id_b").as("b"), col("id_c").as("c"))
+    }),
+
     "q67_ivf_search" -> ((s, dir) => {
       // IVF-Flat with deterministic centroids (first 16 vectors): assign
       // every vector to its nearest centroid cell (codegen'd dot products
@@ -1529,6 +1550,14 @@ object SparkEntry {
   private val bucketedNearPairsSql: String =
     s"""WITH ${bucketedPairCtes(4, 0.3)}
        SELECT id_a, id_b, round(cos, 4) AS cosine_sim FROM pairs"""
+
+  /** Triangles a<b<c over the same pair graph (q108). */
+  private val trianglesSql: String =
+    s"""WITH ${bucketedPairCtes(4, 0.3)}
+       SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+       FROM pairs p1
+       JOIN pairs p2 ON p2.id_a = p1.id_b
+       JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b"""
 
   /** Near-dup clusters: undirected reachability over the pair graph, then
     * component = min reachable id (matches min-label propagation).
@@ -2096,6 +2125,7 @@ object SparkEntry {
          max(len(embedding)) AS max_dim FROM embeddings GROUP BY label""",
     "q39_lsh_ann" -> lshAnnSql,
     "q66_bucketed_near_pairs" -> bucketedNearPairsSql,
+    "q108_triangles" -> trianglesSql,
     "q67_ivf_search" -> ivfSearchSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
