@@ -1001,6 +1001,22 @@ object SparkEntry {
           nPlanes = 4, dim = dim, threshold = 0.3)
         .withColumn("cosine_sim", round(col("cosine_sim"), 4))
     }),
+    "q109_jaccard_join" -> ((s, dir) =>
+      // EXACT set-similarity self-join (PPJoin prefix filter + verify)
+      // at J >= 4/5 over 3-gram shingle SETS (word sets are degenerate
+      // in this corpus — tiny shared vocabulary makes nearly all pairs
+      // similar; shingles discriminate). The oracle is the BRUTE-FORCE
+      // all-pairs Jaccard — matching it proves the prefix filter
+      // dropped no qualifying pair.
+      graft.operators.Dedup.jaccardJoin(
+        tbl(s, dir, "documents")
+          // Spread BEFORE the shingle projection so it computes in
+          // parallel (the projection runs below any later exchange).
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            Text.wordShingles(Text.tokens(col("text")), 3).as("toks")),
+        "doc_id", "toks", tNum = 4, tDen = 5)),
+
     "q108_triangles" -> ((s, dir) => {
       // Triangle enumeration over the near-dup graph (clusters of three
       // mutually-similar vectors). Edges are already oriented low->high
@@ -2126,6 +2142,19 @@ object SparkEntry {
     "q39_lsh_ann" -> lshAnnSql,
     "q66_bucketed_near_pairs" -> bucketedNearPairsSql,
     "q108_triangles" -> trianglesSql,
+    "q109_jaccard_join" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+             CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT) AS nsum
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, inter, nsum - inter AS uni
+         FROM p WHERE inter * 9 >= nsum * 4""",
     "q67_ivf_search" -> ivfSearchSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,

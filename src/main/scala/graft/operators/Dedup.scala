@@ -194,6 +194,82 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** EXACT Jaccard-threshold set-similarity self-join via prefix
+    * filtering (the PPJoin family, Chaudhuri/Xiao et al.) — unlike the
+    * LSH paths this has NO false negatives: candidate generation is a
+    * provably complete filter and every candidate is verified, so the
+    * output IS the set of pairs with `J(x,y) >= t`.
+    *
+    * Why it scales: order each doc's token set by ascending document
+    * frequency (rarest first, ties by token); a pair with Jaccard >= t
+    * MUST share a token inside each side's first `|x| - ceil(t*|x|) + 1`
+    * tokens (if all shared tokens hid in the suffix, the intersection
+    * would be < t*|x|). So only prefix tokens are exploded for the
+    * equi-join — and because prefixes lead with the RAREST tokens, the
+    * hot-key fan-out that kills a naive token join never materializes.
+    * Verification is exact set arithmetic on the two sorted token
+    * arrays. The threshold is a RATIONAL `tNum/tDen` and every
+    * comparison is integer cross-multiplication
+    * (`(tDen+tNum)*|∩| >= tNum*(|x|+|y|)`) — a float threshold would
+    * round the boundary differently across engines (DECIMAL vs DOUBLE
+    * literal semantics), which is exactly the bug class the oracle gate
+    * exists to catch.
+    */
+  def jaccardJoin(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, "need 0 < tNum/tDen <= 1")
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(col(tokensCol)).as("toks"))
+    // (id, token) rows feed BOTH the df count and the per-doc ordering:
+    // materialize once (the multi-reference rule). Partition layout is
+    // the CALLER's concern — a projection passed in `docs` runs below
+    // this plan, so spread the input BEFORE computing token sets (a
+    // single local file otherwise pins that computation to one task).
+    val tok = sets
+      .select(col("id"), explode(col("toks")).as("token"))
+      .localCheckpoint()
+    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // Per-doc tokens ordered (df asc, token asc); prefix length
+    // L = n - ceil(t*n) + 1, with ceil done in integers.
+    val ordered = tok.join(dfreq, "token")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("token"))))
+        .getField("token").as("sorted_toks"))
+      .withColumn("n", size(col("sorted_toks")))
+      .withColumn("prefix", slice(col("sorted_toks"), lit(1),
+        (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+          .cast("int")))
+    // Referenced three times below (prefix self-join + two array
+    // fetches): materialize once, as an indexed PPJoin would.
+    val pinned = ordered.select(col("id"), col("n"),
+        col("sorted_toks"), col("prefix"))
+      .localCheckpoint()
+    // Candidate generation on NARROW (id, token) rows only — the token
+    // arrays stay out of the join and the dedup shuffle; they come back
+    // per UNIQUE candidate pair, of which a threshold this high admits
+    // few.
+    val pref = pinned.select(col("id"), explode(col("prefix")).as("token"))
+    val cands = pref.as("x").join(pref.as("y"),
+        col("x.token") === col("y.token") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val arrays = pinned.select(col("id"), col("n"), col("sorted_toks"))
+    cands
+      .join(arrays.select(col("id").as("id_a"), col("n").as("na"),
+        col("sorted_toks").as("ta")), "id_a")
+      .join(arrays.select(col("id").as("id_b"), col("n").as("nb"),
+        col("sorted_toks").as("tb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", (col("na") + col("nb")).cast("long") - col("inter"))
+      .filter(col("inter") * (tDen + tNum) >=
+        (col("na") + col("nb")).cast("long") * tNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
   /** Incremental ingestion dedup: keep only incoming docs whose bag
     * fingerprint does not already exist in the corpus — the shape a
     * rolling 100 TB pipeline runs per shard. The corpus side reduces to
