@@ -88,6 +88,26 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("profileApprox: exact below k, bounded error above, nulls/min/max identical") {
+    import graft.operators.Profile
+    val orders = Tables.load(spark, sfDir, "orders")
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    def byCol(df: org.apache.spark.sql.DataFrame, distinctCol: String) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Long](distinctCol),
+          r.getString(4), r.getString(5))).toMap
+    val exact = byCol(Profile.profile(orders, cols), "n_distinct")
+    val approx = byCol(Profile.profileApprox(orders, cols, k = 256), "n_distinct_est")
+    cols.foreach { c =>
+      val (er, en, ed, emin, emax) = exact(c)
+      val (ar, an, ad, amin, amax) = approx(c)
+      assert((er, en, emin, emax) == (ar, an, amin, amax))
+      if (ed < 256) assert(ad == ed, s"$c: $ad != $ed in the exact regime")
+      else assert(math.abs(ad - ed).toDouble / ed < 0.2,
+        s"$c: estimate $ad vs exact $ed")
+    }
+  }
+
   test("mixToTarget: binding stratum kept whole, mix near target, deterministic") {
     import graft.operators.Sampling
     val docs = Tables.load(spark, sfDir, "documents")
