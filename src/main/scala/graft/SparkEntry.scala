@@ -842,6 +842,14 @@ object SparkEntry {
       }.reduce(_.unionAll(_))
     }),
 
+    "q110_stratum_topk" -> ((s, dir) =>
+      // Fixed-size per-stratum sample: exactly 20 docs per language by
+      // smallest md5 unit-hash — guaranteed eval-set sizes, same
+      // determinism contract as q76's rate-based form.
+      graft.operators.Sampling.stratumTopK(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 20)),
+
     "q101_quarantine" -> ((s, dir) => {
       // Row-level validation with a quarantine channel: one codegen'd
       // projection marks each row with the rules it broke; bad rows are
@@ -1984,6 +1992,13 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events WHERE user_id IN (3, 77, 142)
          GROUP BY user_id""",
+    "q110_stratum_topk" ->
+      """WITH h AS (SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0, doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang FROM h WHERE rn <= 20""",
     "q101_quarantine" ->
       """SELECT event_id,
          concat_ws(',',

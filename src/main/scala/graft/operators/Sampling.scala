@@ -58,6 +58,27 @@ object Sampling {
       .withColumn("pack_id", expr(s"prefix_tokens div $budget"))
   }
 
+  /** Fixed-SIZE per-stratum sample: exactly `k` rows per stratum (fewer
+    * if the stratum is smaller), chosen as the k smallest [[unitHash]]
+    * values — deterministic, retry-stable, and independent of partition
+    * layout like the rate-based form, but with a guaranteed output size
+    * (what an eval-set builder needs, where "0.1%" of a surging stratum
+    * must not balloon). One window over the hash order per stratum —
+    * a single shuffle by stratum key.
+    */
+  def stratumTopK(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(unitHash(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Deterministic corpus mixing to a target distribution (the static
     * DoReMi/pretraining-mix shape): given target weights per stratum,
     * find the largest corpus subset whose token mass matches the target
