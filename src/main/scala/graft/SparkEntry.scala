@@ -1022,7 +1022,7 @@ object SparkEntry {
           // parallel (the projection runs below any later exchange).
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
-            Text.wordShingles(Text.tokens(col("text")), 3).as("toks")),
+            graft.plans.TextKernels.wordShinglesNative(col("text"), 3).as("toks")),
         "doc_id", "toks", tNum = 4, tDen = 5)),
 
     "q108_triangles" -> ((s, dir) => {
@@ -1306,7 +1306,7 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           explode(array_distinct(
-            Text.wordShingles(Text.tokens(col("text")), 3))).as("shingle"))
+            graft.plans.TextKernels.wordShinglesNative(col("text"), 3))).as("shingle"))
         .localCheckpoint()
       val ev = sh.filter(col("doc_id") < 50)
         .select(col("doc_id").as("eval_id"), col("shingle"))

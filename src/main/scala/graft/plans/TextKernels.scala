@@ -62,6 +62,24 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Word n-gram shingles in ONE pass — byte-identical to the HOF form
+  * `Text.wordShingles(Text.tokens(text), n)` (FunctionsSpec parity test,
+  * including the space-only-trim + `\s+`-split edge semantics), but
+  * without its per-shingle interpreted `transform` lambda: the HOF
+  * projection alone cost 3.5 s at sf0.1 in q109's probe; this kernel is
+  * one tokenize + one StringBuilder sweep per row.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "shingle width must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingleArray(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.wordShingleArray($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Char-trigram language ID (see [[graft.functions.Text.langIdByCharNgrams]]):
   * the HOF form re-evaluates the gram array once per profile filter plus
   * once per tie-break comparison (~11x for 5 languages); this kernel scans
@@ -280,6 +298,34 @@ object TextKernels {
     if (run > 1) dup += run
     new GenericInternalRow(Array[Any](m.toLong, top, dup))
   }
+
+  /** One-pass word shingling (see [[WordShingles]]). Mirrors the HOF
+    * pipeline exactly: SQL `trim` strips SPACES only (not tabs), then
+    * `\s+` split — both Java-regex semantics either way.
+    */
+  def wordShingleArray(s: UTF8String, n: Int): ArrayData = {
+    var str = s.toString
+    var lo = 0
+    var hi = str.length
+    while (lo < hi && str.charAt(lo) == ' ') lo += 1
+    while (hi > lo && str.charAt(hi - 1) == ' ') hi -= 1
+    str = str.substring(lo, hi)
+    val toks = str.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def wordShinglesNative(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
   /** One-pass sliding n-gram extraction (see [[CharGrams]]). */
   def charGrams(s: UTF8String, n: Int): ArrayData = {

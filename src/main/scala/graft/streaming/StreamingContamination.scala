@@ -35,7 +35,7 @@ object StreamingContamination {
       dfCap: Int = 64): DataFrame = {
     val sh = train.select(col(idCol).as("train_id"),
       explode(array_distinct(
-        Text.wordShingles(Text.tokens(col(textCol)), 3))).as("shingle"))
+        graft.plans.TextKernels.wordShinglesNative(col(textCol), 3))).as("shingle"))
     val rare = sh.groupBy(col("shingle"))
       .agg(countDistinct(col("train_id")).as("df"))
       .filter(col("df") <= dfCap).select(col("shingle"))
@@ -51,7 +51,7 @@ object StreamingContamination {
       idCol: String, textCol: String): DataFrame = {
     val evalSh = evalDocs.select(col(idCol).as("eval_id"),
       explode(array_distinct(
-        Text.wordShingles(Text.tokens(col(textCol)), 3))).as("shingle"))
+        graft.plans.TextKernels.wordShinglesNative(col(textCol), 3))).as("shingle"))
     evalSh
       .join(trainSh, Seq("shingle")) // stream-static equi-join
       .groupBy(col("eval_id"))

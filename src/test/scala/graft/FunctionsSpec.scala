@@ -113,6 +113,20 @@ class FunctionsSpec extends SparkSpec {
     assert(approx.map(_._1).contains("a"))
   }
 
+  test("wordShingles kernel is byte-identical to the HOF form") {
+    import graft.plans.TextKernels
+    val texts = Seq("a b c d e", " leading and trailing  ", "\tTAB lead x y",
+      "one two", "", "   ", "x\ny z\tw q", "solo")
+    val df = texts.toDF("t")
+    for (n <- Seq(2, 3)) {
+      val got = df.select(TextKernels.wordShinglesNative($"t", n))
+        .as[Seq[String]].collect().toSeq
+      val want = df.select(Text.wordShingles(Text.tokens($"t"), n))
+        .as[Seq[String]].collect().toSeq
+      assert(got == want, s"n=$n: $got vs $want")
+    }
+  }
+
   test("countMin: estimates upper-bound truth, exact when wide, merge-invariant") {
     import graft.plans.SketchAggregates
     val data = (0L until 200L).flatMap(i => Seq.fill((i % 7).toInt + 1)(i % 20))
