@@ -738,11 +738,13 @@ object SparkEntry {
       // quantile_cont interpolates like Spark's percentile (q65).
       val orders = tbl(s, dir, "orders")
       val ps = (1 to 9).map(_ / 10.0)
-      val boundRow = orders.agg(
-        percentile(col("o_totalprice"), lit(ps.head)).as("p0"),
-        ps.tail.zipWithIndex.map { case (p, i) =>
-          percentile(col("o_totalprice"), lit(p)).as(s"p${i + 1}") }: _*).head()
-      val bounds = (0 until 9).map(boundRow.getDouble)
+      // ONE percentile aggregate with the whole percentage array: one
+      // buffer + one sort (nine scalar percentile calls each buffer and
+      // sort the column separately — 3.0 s vs 1.0 s at sf0.1).
+      val bounds = orders.agg(
+          percentile(col("o_totalprice"),
+            array(ps.map(lit): _*)).as("bs"))
+        .head().getSeq[Double](0)
       val decile = bounds.foldLeft(lit(1)) { (acc, b) =>
         acc + when(col("o_totalprice") > b, 1).otherwise(0)
       }
