@@ -30,7 +30,10 @@ object Bench {
       .filterNot { case (name, _) => excluded(name) }
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      // min-of-3: a single background hiccup on this shared VM inflates
+      // one run by seconds (observed 5-10x on untouched queries); with
+      // three samples the min is reliably the reproducible cost.
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => }

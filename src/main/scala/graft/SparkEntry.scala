@@ -844,6 +844,24 @@ object SparkEntry {
       }.reduce(_.unionAll(_))
     }),
 
+    "q111_sliding_distinct" -> ((s, dir) => {
+      // Trailing-3-day distinct users per (day, event_type): windows
+      // cannot host COUNT(DISTINCT), so the idiom is per-day sets ->
+      // sliding merge -> size(array_distinct(flatten(...))). Set sizes
+      // are bounded by daily actives, so the window state stays small
+      // even when the event count does not.
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(collect_set(col("user_id")).as("users"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rowsBetween(-2, 0)
+      daily
+        .withColumn("u3",
+          size(array_distinct(flatten(collect_list(col("users")).over(w)))))
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          size(col("users")).as("n_today"), col("u3").as("n_trailing_3d"))
+    }),
+
     "q110_stratum_topk" -> ((s, dir) =>
       // Fixed-size per-stratum sample: exactly 20 docs per language by
       // smallest md5 unit-hash — guaranteed eval-set sizes, same
@@ -1994,6 +2012,17 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events WHERE user_id IN (3, 77, 142)
          GROUP BY user_id""",
+    "q111_sliding_distinct" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+                  list(DISTINCT user_id) AS users
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           len(users) AS n_today,
+           len(list_distinct(flatten(list(users) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)))) AS n_trailing_3d
+         FROM daily""",
     "q110_stratum_topk" ->
       """WITH h AS (SELECT doc_id, lang,
            row_number() OVER (PARTITION BY lang ORDER BY
