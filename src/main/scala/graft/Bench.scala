@@ -1,5 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline throughput harness: every registered query against
+  * `SPARK_GRAFT_SF_DIR`, one compact JSON line at the end.
+  *
+  * Measurement design (each choice is load-bearing):
+  *  - **noop sink, not count()**: count() lets Catalyst prune every
+  *    projected column, so projection-heavy queries would measure only
+  *    the scan.
+  *  - **min-of-3, rounds INTERLEAVED**: all queries run once, then the
+  *    whole list repeats (twice). Back-to-back samples share any
+  *    multi-minute VM load spike — the r3 drift cluster (q35/q45/q85
+  *    reported 3-13x their isolated cost) was exactly that: a spike
+  *    inflating all consecutive samples of neighboring queries.
+  *    Spreading a query's three samples minutes apart makes the min a
+  *    load-independent estimate; `noise` (median max/min ratio across
+  *    queries) says how turbulent the run was — a clean VM sits near
+  *    1.1, a loaded one shows >2.
+  *  - **compact numbers** (3 decimals): the driver keeps only a bounded
+  *    tail of this output, and full-precision doubles for 110+ queries
+  *    overflowed it every round (BENCH_r0*.json `parsed: null`, the
+  *    early queries' numbers cut off mid-line).
+  *  - **codegen cache sized to the suite**: the default 100-entry
+  *    generated-class cache thrashes with 110+ distinct plans, so later
+  *    rounds would re-pay janino compilation for every query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,43 +33,53 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT-compile the scan/agg/join paths and fault the
     // parquet footers in before any query is measured.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // Min of two timed runs per query: JIT/GC noise on a shared box swings
-    // single-shot totals by ±30%; the min is the reproducible cost.
-    // noop sink, not count(): count() lets Catalyst prune every projected
-    // column, so projection-heavy queries would measure only the scan.
     // q40 is the deliberately-bounded brute-force CONTRAST demo for the
     // bucketed near-pairs path (q66 is the verified scale plan); its
     // cartesian join stays out of the headline bench so no benched plan
     // contains an all-pairs product. It remains oracle-checked in Verify.
-    val excluded = Set("q40_near_pairs")
+    val excluded = Set("q40_near_pairs", "q40_near_pairs_demo")
     // Dev-only subset filter (comma-separated name prefixes), same
     // contract as Verify's; the driver sets no env.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val rounds = sys.env.get("SPARK_GRAFT_ROUNDS").map(_.toInt).getOrElse(3)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
-      // min-of-3: a single background hiccup on this shared VM inflates
-      // one run by seconds (observed 5-10x on untouched queries); with
-      // three samples the min is reliably the reproducible cost.
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to rounds; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      val sec = (System.nanoTime() - t0) / 1e9
+      samples(name) = sec :: samples.getOrElse(name, Nil)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = queries.map { case (name, _) => name -> samples(name).min }
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+    val spreads = queries.map { case (name, _) =>
+      val s = samples(name); s.max / math.max(s.min, 1e-9)
+    }.sorted
+    val noise = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Builder-side copy with full samples for drift forensics.
+    val dump = results.map { case (k, _) =>
+      s"\"" + k + "\":[" + samples(k).reverse.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      w.println(line); w.println(s"""{"samples":$dump}"""); w.close()
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -62,7 +62,11 @@ object VideoCodec {
       var i = 0
       while (i < n) {
         val len = in.readInt()
-        if (len < 0) return None
+        // An untrusted length field larger than the bytes actually left
+        // would allocate up to 2 GB before readFully could fail — reject
+        // it as truncation BEFORE allocating so corrupt payloads stay on
+        // the decoded=false path instead of OOMing the executor.
+        if (len < 0 || len > in.available()) return None
         if (i % every == 0) {
           val buf = new Array[Byte](len)
           in.readFully(buf)

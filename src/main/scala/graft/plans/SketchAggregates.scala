@@ -275,9 +275,10 @@ object SketchAggregates {
     ColumnBridge.column(
       SpaceSaving(ColumnBridge.expression(c), capacity).toAggregateExpression())
 
-  /** Count-min sketch over a non-negative integer key column: `DEPTH`
-    * rows of `width` counters; each input increments one counter per row
-    * (`((a_i·x + b_i) mod p) mod width`); a point estimate is the MIN over
+  /** Count-min sketch over an integer key column (any Long — the key is
+    * reduced into `[0, p)` before hashing): `DEPTH` rows of `width`
+    * counters; each input increments one counter per row
+    * (`((a_i·(x mod p) + b_i) mod p) mod width`); a point estimate is the MIN over
     * rows — an upper bound on the true count (Cormode/Muthukrishnan),
     * exact when no colliding key shares all `DEPTH` buckets.
     *
@@ -296,8 +297,15 @@ object SketchAggregates {
     val Prime = 2147483647L // 2^31 - 1 (Mersenne)
     val HashA: Array[Long] = Array(1103515245L, 1229782938L, 1103581L, 48271L)
     val HashB: Array[Long] = Array(12345L, 1013904223L, 7919L, 11L)
+    // Reduce the key into [0, Prime) FIRST: `a_i * x` on a raw Long key
+    // overflows for |x| >= ~8.4e9, flipping the sign so `%` returns a
+    // negative index (update would throw / mis-address) — and the same
+    // product THROWS under ANSI mode on the cmEstimate probe side. After
+    // the floorMod the product is bounded by a_max * (p-1) < 2^62, so
+    // every intermediate stays positive and update/probe/oracle agree
+    // for ANY Long key.
     def bucket(i: Int, x: Long, width: Int): Int =
-      (((HashA(i) * x + HashB(i)) % Prime) % width).toInt
+      (((HashA(i) * Math.floorMod(x, Prime) + HashB(i)) % Prime) % width).toInt
   }
 
   case class CountMin(
@@ -376,8 +384,12 @@ object SketchAggregates {
   def cmEstimate(sketch: Column, key: Column, width: Int): Column = {
     import org.apache.spark.sql.functions._
     import CountMinCore._
+    // pmod == Math.floorMod for positive modulus, so this addresses the
+    // SAME buckets as CountMinCore.bucket for any Long key (see there for
+    // why the key is reduced before the multiply).
+    val kr = pmod(key.cast("long"), lit(Prime))
     least((0 until Depth).map { i =>
-      val b = pmod(pmod(lit(HashA(i)) * key + lit(HashB(i)), lit(Prime)), lit(width.toLong))
+      val b = pmod(lit(HashA(i)) * kr + lit(HashB(i)), lit(Prime)) % lit(width.toLong)
       element_at(sketch, (lit(i.toLong * width) + b + 1L).cast("int"))
     }: _*)
   }

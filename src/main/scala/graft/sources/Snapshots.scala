@@ -50,25 +50,50 @@ object Snapshots {
     * `v(N+1)` = previous file list + the new files. Returns the new
     * version. The data write is the only heavy step; the commit itself
     * is one tiny manifest parquet.
+    *
+    * `commitTag` (e.g. a streaming batch id) rides IN the manifest row
+    * for each new file, so "was this batch committed" is answered by the
+    * manifest itself — the atomic commit artifact — never by a side
+    * marker that could be lost between commit and marker write. A batch
+    * directory left by a crashed attempt (data written, manifest commit
+    * missed) is unreferenced by any manifest and is overwritten by the
+    * retry, so readers never see it twice.
     */
   def append(
-      df: DataFrame, path: String, statsCol: String, nFiles: Int): Int = {
+      df: DataFrame, path: String, statsCol: String, nFiles: Int,
+      commitTag: Option[Long] = None): Int = {
     val spark = df.sparkSession
     val prev = currentVersion(path)
     val batchDir = s"$path/batch-${prev + 1}"
     df.repartitionByRange(nFiles, col(statsCol))
-      .write.mode(SaveMode.ErrorIfExists).parquet(batchDir)
+      .write.mode(SaveMode.Overwrite).parquet(batchDir)
     val newFiles = spark.read.parquet(batchDir)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
         count(lit(1)).as("n_rows"))
+      .withColumn("batch_tag",
+        commitTag.map(lit(_)).getOrElse(lit(null)).cast("long"))
     val manifest =
       if (prev == 0) newFiles
       else spark.read.parquet(s"${manifestDir(path)}/v$prev.parquet")
-        .unionByName(newFiles)
+        .unionByName(newFiles, allowMissingColumns = true)
     manifest.coalesce(1).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${manifestDir(path)}/v${prev + 1}.parquet")
     prev + 1
+  }
+
+  /** Commit tags present in the latest manifest — the committed-batch
+    * set a restarted ingest consults for idempotence.
+    */
+  def committedTags(spark: SparkSession, path: String): Set[Long] = {
+    val v = currentVersion(path)
+    if (v == 0) Set.empty
+    else {
+      val m = spark.read.parquet(s"${manifestDir(path)}/v$v.parquet")
+      if (!m.columns.contains("batch_tag")) Set.empty
+      else m.select("batch_tag").where(col("batch_tag").isNotNull)
+        .distinct().collect().map(_.getLong(0)).toSet
+    }
   }
 
   private def filesAt(spark: SparkSession, path: String, version: Int): Set[String] = {
@@ -98,13 +123,16 @@ object Snapshots {
     readFiles(spark, path, filesAt(spark, path, toVersion) -- from)
   }
 
-  /** Continuous ingest: every micro-batch commits ONE snapshot. A
-    * commit marker per Structured Streaming batch id makes the commit
-    * idempotent — a batch replayed after failure (at-least-once
-    * delivery) finds its marker and skips, so the TABLE sees each batch
-    * exactly once. This is the foreachBatch + transactional-sink recipe
-    * every lakehouse streaming writer implements; here the "transaction"
-    * is the manifest write, which is atomic enough for a single writer.
+  /** Continuous ingest: every micro-batch commits ONE snapshot. The
+    * Structured Streaming batch id is recorded INSIDE the manifest
+    * commit ([[append]]'s `commitTag`), so idempotence and commit are
+    * one atomic artifact: a batch replayed after failure (at-least-once
+    * delivery) finds its id in the current manifest and skips — the
+    * TABLE sees each batch exactly once, with no window where the data
+    * is committed but the dedup record is not. This is the foreachBatch
+    * + transactional-sink recipe every lakehouse streaming writer
+    * implements; here the "transaction" is the manifest write, which is
+    * atomic enough for a single writer.
     *
     * Call `.trigger(...).start()` semantics via the returned writer —
     * the caller controls trigger and await (StreamingSpec drives it with
@@ -114,11 +142,8 @@ object Snapshots {
       stream: DataFrame, path: String, statsCol: String, nFiles: Int):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
-      val marker = new java.io.File(s"$path/_commits/$batchId")
-      if (!marker.exists()) {
-        append(df, path, statsCol, nFiles)
-        marker.getParentFile.mkdirs()
-        marker.createNewFile()
+      if (!committedTags(df.sparkSession, path).contains(batchId)) {
+        append(df, path, statsCol, nFiles, commitTag = Some(batchId))
         ()
       }
     }

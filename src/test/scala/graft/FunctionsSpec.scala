@@ -147,6 +147,28 @@ class FunctionsSpec extends SparkSpec {
     assert(estimates(8, 1) == narrow && estimates(8, 13) == narrow)
   }
 
+  test("countMin: huge and negative keys address valid buckets, update == probe") {
+    import graft.plans.SketchAggregates
+    // Keys where a_i * x overflows Long (>= ~8.4e9) used to produce a
+    // negative bucket in update() (JVM % keeps the dividend sign) while
+    // the pmod-based probe stayed non-negative — update threw or
+    // mis-addressed. Both sides now reduce the key mod p first.
+    val keys = Seq(9000000000L, Long.MaxValue, -5L, -9000000000L, 42L)
+    val data = keys.flatMap(k => Seq.fill(3)(k))
+    val width = 64
+    val sk = data.toDF("k").repartition(3)
+      .agg(SketchAggregates.countMin($"k", width).as("sk"))
+    val est = keys.toDF("k").crossJoin(sk)
+      .select($"k", SketchAggregates.cmEstimate($"sk", $"k", width).as("est"))
+      .as[(Long, Long)].collect().toMap
+    // Probe reads back at least the true count for every key — only
+    // possible if update() wrote the same buckets the probe addresses.
+    assert(keys.forall(k => est(k) >= 3L), s"estimates: $est")
+    val total = sk.selectExpr("aggregate(sk, 0L, (a, x) -> a + x)")
+      .as[Long].head()
+    assert(total == data.size.toLong * SketchAggregates.CountMinCore.Depth)
+  }
+
   test("redaction: email/phone/ipv4 masked, counts per pattern") {
     import graft.functions.Redaction
     val df = Seq(

@@ -82,6 +82,23 @@ class LayoutSpec extends SparkSpec {
       f.stripPrefix("file:")).exists()))
   }
 
+  test("compaction survives regex metacharacters in the table path") {
+    // `$` in the replacement side of regexp_replace reads as a group ref
+    // unless quoted — a path like this used to corrupt the manifest.
+    val dir = Files.createTempDirectory("graft-c$0mp").toString + "/ev$1ents"
+    val events = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id", $"value").limit(1000)
+    Layout.writeWithManifest(events, dir, "value", nFiles = 8)
+    Layout.compact(spark, dir, "value", nFiles = 2)
+    val files = spark.read.parquet(s"$dir.manifest")
+      .select("file").as[String].collect()
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("ev$1ents") &&
+        new java.io.File(f.stripPrefix("file:")).exists()))
+    assert(Layout.prunedRead(spark, dir, "value", Double.MinValue, Double.MaxValue)
+      .count() == 1000)
+  }
+
   test("z-order layout: 2-D box probe prunes files on both dimensions") {
     val dir = Files.createTempDirectory("graft-zorder").toString + "/events"
     val events = Tables.events(spark, sfDir)

@@ -120,6 +120,13 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count(f => f.media_id == 2L) == 1)
     val bad = feats.filter(f => f.media_id >= 2L)
     assert(bad.forall(f => !f.decoded && f.frame_idx == -1))
+    // A frame length far beyond the remaining payload must be rejected
+    // as truncation BEFORE allocation (no multi-GB Array attempt).
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(Array[Byte]('G', 'V', 'I', 'D')); out.writeInt(1)
+    out.writeInt(Int.MaxValue - 2); out.write(Array[Byte](1, 2, 3))
+    assert(VideoCodec.demuxSampled(bos.toByteArray, every = 1).isEmpty)
   }
 
   test("mediaStats: byte counts without decode") {

@@ -197,6 +197,30 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.readSnapshot(spark, path, 9))
   }
 
+  test("Snapshots: commit tag rides in the manifest; orphan batch dirs are safe") {
+    import graft.sources.Snapshots
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snap-tag").toString + "/t"
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    // Untagged commit first (schema evolution: old manifests lack the
+    // tag column), then a tagged one — both visible, only the tagged id
+    // in committedTags.
+    Snapshots.append(a, path, "v", nFiles = 1)
+    Snapshots.append(Seq((3L, 30.0)).toDF("id", "v"), path, "v",
+      nFiles = 1, commitTag = Some(7L))
+    assert(Snapshots.committedTags(spark, path) == Set(7L))
+    // Crash window: data for batch-3 written but the manifest commit
+    // never happened. The tag is absent (replay must NOT skip) and the
+    // retry overwrites the orphan dir instead of erroring or duplicating.
+    val orphan = Seq((4L, 40.0)).toDF("id", "v")
+    orphan.write.parquet(s"$path/batch-3")
+    assert(!Snapshots.committedTags(spark, path).contains(8L))
+    Snapshots.append(orphan, path, "v", nFiles = 1, commitTag = Some(8L))
+    assert(Snapshots.committedTags(spark, path) == Set(7L, 8L))
+    assert(Snapshots.readSnapshot(spark, path, 3)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("PostgresTsv: array literals, null fill, newline escape") {
     val df = Seq((1L, Seq("a", "b"), "line1\nline2"), (2L, Seq.empty[String], null))
       .toDF("id", "tags", "note")
