@@ -1432,6 +1432,16 @@ object SparkEntry {
       graft.api.SqlViews.register(s, dir)
       s.sql("SELECT facet_name, option FROM facet_option_rows")
     }),
+    "q115_data_overview_cohorts" -> ((s, dir) => {
+      // data_overview_*_cohorts (data_visualization_views.sql:7,46) —
+      // the cohort views the reference disables on its cluster for
+      // cost. As a folded-view query the panel filter reaches the part
+      // scan and the dims broadcast; the per-row log2 is codegen'd.
+      graft.api.SqlViews.register(s, dir)
+      s.sql("""SELECT l_orderkey, l_linenumber, symbol, provider, type,
+               cohort_system, l_quantity, price_log
+               FROM item_cohorts""")
+    }),
     "q62_sql_kernels" -> ((s, dir) => {
       // Custom Catalyst kernels exposed as SQL functions via
       // GraftFunctions/GraftExtensions; same oracle as the DataFrame form.
@@ -1464,6 +1474,78 @@ object SparkEntry {
         lit("contains").as("label"), col("l_orderkey").as("src"),
         col("l_partkey").as("dst")).dropDuplicates()
       placed.union(contains)
+    }),
+
+    "q112_parents_tree" -> ((s, dir) => {
+      // Nested PARENTS tree per model (reference get_parents_tree,
+      // init.sql:1175-1188) over an 11-deep single-parent hierarchy
+      // (child k -> parent k div 2). The operator resolves one tree
+      // LEVEL per round for ALL models at once (rounds = depth, work =
+      // O(models x depth)) — vs the reference's one recursive Postgres
+      // call per model. The oracle walks each ancestor chain with a
+      // recursive CTE and builds the byte-identical nested JSON.
+      val m = tbl(s, dir, "part").filter(col("p_partkey") < 2048)
+        .select(concat(lit("M"), col("p_partkey")).as("external_model_id"),
+          when(col("p_partkey") % 2 === 0, "PDX").otherwise("organoid").as("type"),
+          when(col("p_partkey") > 1,
+            concat(lit("M"), expr("p_partkey div 2"))).as("parent_id"))
+      graft.graph.Trees.parentsTree(m, "external_model_id", "type", "parent_id")
+    }),
+
+    "q113_model_relationships" -> ((s, dir) => {
+      // model_relationships + has_relations (reference updates.sql:1-39):
+      // {"parents":...,"children":...} per model over a 3-level family
+      // hierarchy (root, 3 mid models, leaf models) derived from part.
+      // Children trees resolve bottom-up (a parent resolves once ALL its
+      // children have), parents trees top-down — both sweeps touch every
+      // model once per level.
+      val o = col("p_partkey") % 16
+      val m = tbl(s, dir, "part").select(
+        concat(lit("M"), col("p_partkey")).as("external_model_id"),
+        when(col("p_partkey") % 3 === 0, "PDX")
+          .when(col("p_partkey") % 3 === 1, "organoid")
+          .otherwise("cell line").as("type"),
+        when(o === 0, lit(null).cast("string"))
+          .when(o <= 3, concat(lit("M"), col("p_partkey") - o))
+          .otherwise(concat(lit("M"),
+            col("p_partkey") - o + 1 + ((o - 4) % 3))).as("parent_id"))
+      graft.graph.Trees.modelRelationships(m, "external_model_id", "type", "parent_id")
+    }),
+
+    "q114_knowledge_graph" -> ((s, dir) => {
+      // Knowledge-graph JSON per root (reference get_knowledge_graph,
+      // updates.sql:81-150): reachable subgraph from each root over a
+      // namespaced customer->order->part->supplier edge table, emitted
+      // as one {"nodes":[...],"edges":[...]} row per root. All roots
+      // expand in the SAME frontier iteration — per-model recursive
+      // calls never scale; a multi-source BFS join does.
+      val oOff = 10000000L; val pOff = 20000000L; val sOff = 30000000L
+      val orders = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      val edges = orders.select(col("o_custkey").as("src"),
+          (col("o_orderkey") + oOff).as("dst"), lit("placed").as("label"))
+        .union(li.select((col("l_orderkey") + oOff).as("src"),
+          (col("l_partkey") + pOff).as("dst"), lit("contains").as("label"))
+          .dropDuplicates())
+        .union(li.select((col("l_partkey") + pOff).as("src"),
+          (col("l_suppkey") + sOff).as("dst"), lit("supplied_by").as("label"))
+          .dropDuplicates())
+      val nodes = tbl(s, dir, "customer").select(col("c_custkey").as("node_id"),
+          lit("customer").as("node_type"),
+          concat(lit("{\"name\":\""), col("c_name"), lit("\"}")).as("data"))
+        .union(orders.select((col("o_orderkey") + oOff).as("node_id"),
+          lit("order").as("node_type"),
+          concat(lit("{\"status\":\""), col("o_orderstatus"), lit("\"}")).as("data")))
+        .union(tbl(s, dir, "part").select((col("p_partkey") + pOff).as("node_id"),
+          lit("part").as("node_type"),
+          concat(lit("{\"name\":\""), col("p_name"), lit("\"}")).as("data")))
+        .union(tbl(s, dir, "supplier").select((col("s_suppkey") + sOff).as("node_id"),
+          lit("supplier").as("node_type"),
+          concat(lit("{\"name\":\""), col("s_name"), lit("\"}")).as("data")))
+      val roots = tbl(s, dir, "customer")
+        .filter(col("c_custkey").isin(1L, 7L, 42L))
+        .select(col("c_custkey").as("root"))
+      graft.graph.Trees.knowledgeGraph(nodes, edges, roots, "root")
     })
   )
 
@@ -2374,6 +2456,135 @@ object SparkEntry {
            UNION
            SELECT a.child, e.parent FROM anc a JOIN e ON a.parent = e.child)
          SELECT child, parent FROM anc""",
+    // Nested parents tree: each model's ancestor CHAIN is linear
+    // (single parent), so the recursive CTE accumulates the opening
+    // half of the nested JSON walking up, then closes depth brackets.
+    "q112_parents_tree" ->
+      """WITH RECURSIVE m AS (
+           SELECT 'M' || p_partkey AS id,
+             CASE WHEN p_partkey % 2 = 0 THEN 'PDX' ELSE 'organoid' END AS mtype,
+             CASE WHEN p_partkey > 1 THEN 'M' || (p_partkey // 2) END AS pid
+           FROM part WHERE p_partkey < 2048),
+         walk AS (
+           SELECT c.id AS model, p.pid AS anc_pid,
+             '[{"external_model_id":"' || p.id || '","type":"' || p.mtype ||
+               '","parents":' AS prefix,
+             1 AS depth
+           FROM m c JOIN m p ON c.pid = p.id
+           UNION ALL
+           SELECT w.model, p.pid,
+             w.prefix || '[{"external_model_id":"' || p.id || '","type":"' ||
+               p.mtype || '","parents":',
+             w.depth + 1
+           FROM walk w JOIN m p ON w.anc_pid = p.id)
+         SELECT m.id AS external_model_id,
+           w.prefix || 'null' || repeat('}]', w.depth) AS parents_json
+         FROM m LEFT JOIN (
+           SELECT model, prefix, depth FROM walk
+           WHERE anc_pid IS NULL
+              OR NOT EXISTS (SELECT 1 FROM m p2 WHERE p2.id = anc_pid)) w
+           ON w.model = m.id""",
+    // 3-level hierarchy: children JSON built bottom-up in two passes
+    // (leaf-children aggregate, then the general wrap), parents in two
+    // joins; model_relationships/has_relations as in updates.sql:1-39.
+    "q113_model_relationships" ->
+      """WITH m AS (
+           SELECT 'M' || p_partkey AS id,
+             CASE p_partkey % 3 WHEN 0 THEN 'PDX' WHEN 1 THEN 'organoid'
+               ELSE 'cell line' END AS mtype,
+             CASE WHEN p_partkey % 16 = 0 THEN NULL
+                  WHEN p_partkey % 16 <= 3 THEN 'M' || (p_partkey - (p_partkey % 16))
+                  ELSE 'M' || (p_partkey - (p_partkey % 16) + 1 + ((p_partkey % 16 - 4) % 3))
+             END AS pid
+           FROM part),
+         link AS (SELECT c.id, c.mtype, c.pid FROM m c JOIN m p ON c.pid = p.id),
+         cj1 AS (
+           SELECT l.pid AS id,
+             '[' || string_agg('{"external_model_id":"' || l.id || '","type":"' ||
+               l.mtype || '","children":null}', ',' ORDER BY l.id) || ']' AS cj
+           FROM link l
+           WHERE NOT EXISTS (SELECT 1 FROM link g WHERE g.pid = l.id)
+           GROUP BY l.pid),
+         cj2 AS (
+           SELECT l.pid AS id,
+             '[' || string_agg('{"external_model_id":"' || l.id || '","type":"' ||
+               l.mtype || '","children":' || coalesce(c1.cj, 'null') || '}',
+               ',' ORDER BY l.id) || ']' AS cj
+           FROM link l LEFT JOIN cj1 c1 ON c1.id = l.id
+           GROUP BY l.pid),
+         pj1 AS (
+           SELECT c.id,
+             '[{"external_model_id":"' || p.id || '","type":"' || p.mtype ||
+               '","parents":null}]' AS pj
+           FROM link c JOIN m p ON c.pid = p.id
+           WHERE p.pid IS NULL
+              OR NOT EXISTS (SELECT 1 FROM m gp WHERE gp.id = p.pid)),
+         pj2 AS (
+           SELECT c.id,
+             '[{"external_model_id":"' || p.id || '","type":"' || p.mtype ||
+               '","parents":' || p1.pj || '}]' AS pj
+           FROM link c JOIN m p ON c.pid = p.id JOIN pj1 p1 ON p1.id = p.id)
+         SELECT m.id AS external_model_id,
+           '{"parents":' || coalesce(coalesce(pj2.pj, pj1.pj), 'null') ||
+             ',"children":' || coalesce(cj2.cj, 'null') || '}' AS model_relationships,
+           (coalesce(pj2.pj, pj1.pj) IS NOT NULL OR cj2.cj IS NOT NULL) AS has_relations
+         FROM m LEFT JOIN pj1 ON pj1.id = m.id
+                LEFT JOIN pj2 ON pj2.id = m.id
+                LEFT JOIN cj2 ON cj2.id = m.id""",
+    // Reachable subgraph per root (multi-source), nodes/edges JSON with
+    // deterministic sort — UNION (not ALL) in the recursive member is
+    // the cycle-safe dedup.
+    "q114_knowledge_graph" ->
+      """WITH RECURSIVE e AS (
+           SELECT o_custkey AS src, o_orderkey + 10000000 AS dst,
+             'placed' AS label FROM orders
+           UNION ALL
+           SELECT DISTINCT l_orderkey + 10000000, l_partkey + 20000000,
+             'contains' FROM lineitem
+           UNION ALL
+           SELECT DISTINCT l_partkey + 20000000, l_suppkey + 30000000,
+             'supplied_by' FROM lineitem),
+         n AS (
+           SELECT c_custkey AS node_id, 'customer' AS node_type,
+             '{"name":"' || c_name || '"}' AS data FROM customer
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'order',
+             '{"status":"' || o_orderstatus || '"}' FROM orders
+           UNION ALL
+           SELECT p_partkey + 20000000, 'part',
+             '{"name":"' || p_name || '"}' FROM part
+           UNION ALL
+           SELECT s_suppkey + 30000000, 'supplier',
+             '{"name":"' || s_name || '"}' FROM supplier),
+         roots AS (SELECT c_custkey AS root FROM customer
+                   WHERE c_custkey IN (1, 7, 42)),
+         reach AS (
+           SELECT r.root, e.src, e.dst, e.label FROM roots r
+           JOIN e ON e.src = r.root
+           UNION
+           SELECT c.root, e.src, e.dst, e.label FROM reach c
+           JOIN e ON e.src = c.dst),
+         member AS (
+           -- outer DISTINCT, not UNION-dedup: DuckDB fails to dedup a
+           -- UNION whose branches both re-reference a recursive CTE
+           SELECT DISTINCT root, node_id FROM (
+             SELECT root, src AS node_id FROM reach
+             UNION ALL SELECT root, dst FROM reach)),
+         nj AS (
+           SELECT member.root,
+             '[' || string_agg('{"id":' || n.node_id || ',"node_type":"' ||
+               n.node_type || '","data":' || n.data || '}',
+               ',' ORDER BY n.node_id, n.node_type, n.data) || ']' AS nodes_json
+           FROM member JOIN n ON n.node_id = member.node_id
+           GROUP BY member.root),
+         ej AS (
+           SELECT root,
+             '[' || string_agg('{"source":' || src || ',"target":' || dst ||
+               ',"label":"' || label || '"}', ',' ORDER BY src, dst, label) || ']' AS edges_json
+           FROM reach GROUP BY root)
+         SELECT nj.root,
+           '{"nodes":' || nj.nodes_json || ',"edges":' || ej.edges_json || '}' AS knowledge_graph
+         FROM nj JOIN ej ON nj.root = ej.root""",
     "q57_asof_join" ->
       """WITH views AS (SELECT user_id, ts, max(event_id) AS view_id
            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
@@ -2514,6 +2725,19 @@ object SparkEntry {
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          JOIN region r ON n.n_regionkey = r.r_regionkey
          GROUP BY n.n_name""",
+    "q115_data_overview_cohorts" ->
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_name AS symbol,
+         n.n_name AS provider, c.c_mktsegment AS type,
+         r.r_name AS cohort_system, l.l_quantity,
+         round(log2(l.l_extendedprice + 0.001), 4) AS price_log
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name != 'AFRICA'
+           AND p.p_name IN ('blue plate', 'red bolt', 'hot widget')""",
     "q80_facet_options_view" ->
       """WITH f AS (
            SELECT 'lang' AS facet_name,

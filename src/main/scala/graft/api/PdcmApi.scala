@@ -15,16 +15,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PdcmApi {
 
+  /** The data-overview gene panel (data_visualization_views.sql:29-34). */
+  private val cohortGenes: String = Seq(
+    "ALK", "BCL2", "BRAF", "BRCA1", "BRCA2", "EGFR", "ESR1", "PGR",
+    "FGFR2", "FGFR3", "ERBB2", "IDH1", "IDH2", "IRF4", "KRAS", "MYC",
+    "PIK3CA", "RET", "ROS1").map(g => s"'$g'").mkString(", ")
+
   /** SQL per derived view (reference views.sql line cited). */
   private val viewSql: Seq[(String, String)] = Seq(
-    // model_information (views.sql:66): model + specimen FK row.
+    // model_information (views.sql:66): model + specimen FK row, plus
+    // the updates.sql:1-55 enrichment columns (model_relationships /
+    // has_relations / knowledge_graph) the reference bolts on with
+    // per-row recursive-function UPDATEs after load.
     "model_information" ->
       """SELECT m.id, m.model_id AS external_model_id,
          m.data_source, m.sample_type, m.accessibility,
          m.license, s.host_strain_id, s.engraftment_site_id,
-         s.engraftment_type_id, s.passage_number
+         s.engraftment_type_id, s.passage_number,
+         r.model_relationships, coalesce(r.has_relations, false) AS has_relations,
+         kg.knowledge_graph
          FROM model_entity m
-         LEFT JOIN xenograft_model_specimen s ON m.id = s.model_fk""",
+         LEFT JOIN xenograft_model_specimen s ON m.id = s.model_fk
+         LEFT JOIN model_relationships r ON m.model_id = r.external_model_id
+         LEFT JOIN knowledge_graph kg
+           ON m.model_id = kg.external_model_id
+          AND m.data_source = kg.data_source""",
     // model_quality_assurance (views.sql:189).
     "model_quality_assurance" ->
       """SELECT model_id, data_source, validation_json
@@ -265,6 +280,36 @@ object PdcmApi {
          FROM pdcm_api_immunemarker_data_table d
          JOIN pdcm_api_model_molecular_metadata mmm
          ON mmm.molecular_characterization_id = d.molecular_characterization_id""",
+    // Data-overview cohort views (data_visualization_views.sql:7,46) —
+    // the two materialized views the reference DISABLES on cluster runs
+    // ("takes a lot to run", etl/workflow/loader.py:277). Served here as
+    // plain declarative views: Catalyst folds the gene-list filter and
+    // the search_index join into the scans, so they cost one filtered
+    // broadcast join instead of a Postgres materialization.
+    "data_overview_mutation_cohorts" ->
+      s"""SELECT mut.model_id, mut.sample_id, mut.hgnc_symbol AS symbol,
+         mut.amino_acid_change, mut.consequence,
+         si.data_source AS provider, si.model_type AS type,
+         si.cancer_system, mut.read_depth, mut.seq_start_position,
+         mut.ref_allele, mut.alt_allele
+         FROM pdcm_api_mutation_data_extended mut
+         JOIN search_index si
+           ON mut.model_id = si.external_model_id
+          AND mut.data_source = si.data_source
+         WHERE si.cancer_system != 'Unclassified'
+           AND mut.hgnc_symbol IN ($cohortGenes)""",
+    "data_overview_expression_cohorts" ->
+      s"""SELECT exp.model_id, exp.sample_id, exp.hgnc_symbol AS symbol,
+         exp.rnaseq_fpkm, si.data_source AS provider,
+         si.model_type AS type, si.cancer_system,
+         log(2.0, exp.rnaseq_fpkm + 0.001) AS rnaseq_fpkm_log
+         FROM pdcm_api_expression_data_extended exp
+         JOIN search_index si
+           ON exp.model_id = si.external_model_id
+          AND exp.data_source = si.data_source
+         WHERE si.cancer_system != 'Unclassified'
+           AND exp.rnaseq_fpkm IS NOT NULL
+           AND exp.hgnc_symbol IN ($cohortGenes)""",
     // details_molecular_data (views.sql:1041): molchar rows with
     // per-data-type availability after restriction filtering.
     "details_molecular_data" ->

@@ -65,6 +65,23 @@ object SqlViews {
     spark.sql(
       """CREATE OR REPLACE TEMP VIEW facet_option_rows AS
          SELECT facet_name, explode(options) AS option FROM facet_options""")
+    // data_overview_*_cohorts shape (reference
+    // `scripts/data_visualization_views.sql:7,46` — the materialized
+    // views the reference DISABLES on cluster runs for cost): fact rows
+    // joined to the search surface, filtered to a hot panel, with a
+    // derived log column. Declarative here, so the panel IN-list and
+    // the dimension filter push into the scans.
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW item_cohorts AS
+         SELECT l.l_orderkey, l.l_linenumber, p.p_name AS symbol,
+                f.nation_name AS provider, f.c_mktsegment AS type,
+                f.region_name AS cohort_system, l.l_quantity,
+                round(log2(l.l_extendedprice + 0.001), 4) AS price_log
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN order_facts f ON l.l_orderkey = f.o_orderkey
+         WHERE f.region_name != 'AFRICA'
+           AND p.p_name IN ('blue plate', 'red bolt', 'hot widget')""")
     // mutation_data_table-style wide display view (reference
     // `scripts/views.sql:363`): fact rows joined to their dims with a
     // concatenated display column.

@@ -1,0 +1,232 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Nested relationship trees and reachable subgraphs over a
+  * single-parent hierarchy — the distributed re-expression of the
+  * reference's recursive SQL surface: `pdcm_api.get_parents_tree` /
+  * `get_children_tree` (`scripts/init.sql:1175-1203`), the
+  * `model_relationships` / `has_relations` columns they populate
+  * (`scripts/updates.sql:1-39`), and `get_knowledge_graph`'s
+  * reachable-subgraph JSON (`scripts/updates.sql:81-150`).
+  *
+  * The reference computes each tree with a correlated recursive function
+  * PER MODEL — N recursive query executions against Postgres. Here every
+  * round is ONE join resolving a whole tree LEVEL for all models at
+  * once, so total work is O(edges × depth) with ⌈depth⌉ rounds of fixed
+  * scheduling cost, independent of model count — the shape that survives
+  * a 100M-model table. Model lineage trees are shallow (patient → PDX →
+  * derived models, depth ≤ ~5), so the round count is tiny.
+  *
+  * JSON is assembled with plain string concatenation (key order and
+  * spacing fixed, children sorted by id), NOT `to_json`, so the result
+  * is a pure deterministic function of the input — replayable in any
+  * engine (the oracle builds byte-identical strings in SQL).
+  */
+object Trees {
+
+  private def pin(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
+
+  /** Per-model nested PARENTS tree as a JSON string column
+    * (`external_model_id`, `parents_json`): for a model with parent P,
+    * `[{"external_model_id":"P","type":…,"parents":<P's tree>}]`; null
+    * for roots and for parent ids that don't resolve (same semantics as
+    * the reference's join in `get_parents_tree` — a dangling parent_id
+    * contributes nothing).
+    *
+    * Resolution sweeps DOWN from the roots: round k resolves every model
+    * at depth k, so rounds = hierarchy depth regardless of model count.
+    * Cycles never resolve and fall out as null after `maxRounds`.
+    */
+  def parentsTree(
+      models: DataFrame, idCol: String, typeCol: String, parentCol: String,
+      maxRounds: Int = 32): DataFrame = {
+    val m = pin(models.select(
+      col(idCol).cast("string").as("id"),
+      col(typeCol).cast("string").as("mtype"),
+      col(parentCol).cast("string").as("pid")))
+    // Roots: no parent, or a parent id that matches no model (the
+    // reference's inner join drops those rows, leaving an empty agg).
+    val withParent = m.as("c").join(
+      m.select(col("id").as("pp_id")).as("p"),
+      col("pid") === col("pp_id"), "left")
+      .select(col("id"), col("mtype"), col("pid"), col("pp_id").isNotNull.as("linked"))
+    var resolved = pin(withParent.filter(!col("linked"))
+      .select(col("id"), col("mtype"), lit(null).cast("string").as("parents_json")))
+    var frontier = resolved
+    var pending = pin(withParent.filter(col("linked"))
+      .select(col("id"), col("mtype"), col("pid")))
+    var round = 0
+    while (round < maxRounds && !pending.isEmpty && !frontier.isEmpty) {
+      // Children whose parent resolved LAST round resolve now: the tree
+      // string is one entry wrapping the parent's own (already final)
+      // tree — no per-node recursion, one hash join per level.
+      val pr = frontier.select(col("id").as("r_pid"),
+        col("mtype").as("r_ptype"), col("parents_json").as("r_pjson"))
+      val step = pin(pending.join(pr, col("pid") === col("r_pid"))
+        .select(col("id"), col("mtype"),
+          concat(lit("["),
+            concat(lit("{\"external_model_id\":\""), col("r_pid"),
+              lit("\",\"type\":\""), col("r_ptype"),
+              lit("\",\"parents\":"), coalesce(col("r_pjson"), lit("null")),
+              lit("}")),
+            lit("]")).as("parents_json")))
+      pending = pin(pending.join(step.select(col("id")), Seq("id"), "left_anti"))
+      resolved = pin(resolved.union(step))
+      frontier = step
+      round += 1
+    }
+    // Unresolved after the cap (cycles): surface as null, not absence.
+    resolved.union(pending.select(col("id"), col("mtype"),
+        lit(null).cast("string").as("parents_json")))
+      .select(col("id").as(idCol), col("parents_json"))
+  }
+
+  /** Per-model nested CHILDREN tree as a JSON string column
+    * (`external_model_id`, `children_json`): entries sorted by child id,
+    * each wrapping the child's own subtree; null for leaves.
+    *
+    * Resolution sweeps UP from the leaves: a model resolves once ALL its
+    * children have (round k resolves subtree-height-k nodes), so rounds
+    * = hierarchy height. The per-round work is one aggregation over the
+    * edges whose child side is fully resolved — map-side combinable,
+    * skew-bounded by real fan-out.
+    */
+  def childrenTree(
+      models: DataFrame, idCol: String, typeCol: String, parentCol: String,
+      maxRounds: Int = 32): DataFrame = {
+    val m = pin(models.select(
+      col(idCol).cast("string").as("id"),
+      col(typeCol).cast("string").as("mtype"),
+      col(parentCol).cast("string").as("pid")))
+    val ids = m.select(col("id").as("known_id"))
+    // Child edges whose parent actually exists (dangling parent_id rows
+    // are nobody's children, mirroring the reference's join).
+    val edges = pin(m.filter(col("pid").isNotNull)
+      .join(ids, col("pid") === col("known_id"))
+      .select(col("pid").as("parent"), col("id").as("child"),
+        col("mtype").as("ctype")))
+    val childCounts = edges.groupBy(col("parent"))
+      .agg(count(lit(1)).as("n_children"))
+    var resolved = pin(m.join(
+        childCounts.select(col("parent").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(null).cast("string").as("children_json")))
+    var pending = pin(m.join(childCounts, col("id") === col("parent"))
+      .select(col("id"), col("n_children")))
+    var round = 0
+    while (round < maxRounds && !pending.isEmpty) {
+      // A pending parent resolves when every child is in `resolved`:
+      // count(resolved children) == n_children. Entries sort by child id
+      // so the array order is deterministic in any engine.
+      val rc = resolved.select(col("id").as("r_id"), col("children_json").as("r_json"))
+      val done = edges.join(rc, col("child") === col("r_id"))
+        .select(col("parent"), col("child"), col("ctype"), col("r_json"))
+        .groupBy(col("parent"))
+        .agg(count(lit(1)).as("n_resolved"),
+          concat(lit("["),
+            array_join(transform(
+              array_sort(collect_list(struct(col("child"), col("ctype"), col("r_json")))),
+              e => concat(lit("{\"external_model_id\":\""), e("child"),
+                lit("\",\"type\":\""), e("ctype"),
+                lit("\",\"children\":"), coalesce(e("r_json"), lit("null")),
+                lit("}"))), ","),
+            lit("]")).as("children_json"))
+      val step = pin(pending.join(done,
+          pending("id") === done("parent") &&
+            col("n_resolved") === col("n_children"))
+        .select(col("id"), col("children_json")))
+      if (step.isEmpty) round = maxRounds // cycle remainder: bail
+      else {
+        pending = pin(pending.join(step.select(col("id")), Seq("id"), "left_anti"))
+        resolved = pin(resolved.union(step))
+        round += 1
+      }
+    }
+    resolved.union(pending.select(col("id"),
+        lit(null).cast("string").as("children_json")))
+      .select(col("id").as(idCol), col("children_json"))
+  }
+
+  /** `model_relationships` + `has_relations` for every model
+    * (`scripts/updates.sql:1-39`): one JSON object
+    * `{"parents":…,"children":…}` and the derived boolean.
+    */
+  def modelRelationships(
+      models: DataFrame, idCol: String, typeCol: String, parentCol: String): DataFrame = {
+    val p = parentsTree(models, idCol, typeCol, parentCol)
+    val c = childrenTree(models, idCol, typeCol, parentCol)
+    p.join(c, Seq(idCol))
+      .select(col(idCol),
+        concat(lit("{\"parents\":"), coalesce(col("parents_json"), lit("null")),
+          lit(",\"children\":"), coalesce(col("children_json"), lit("null")),
+          lit("}")).as("model_relationships"),
+        (col("parents_json").isNotNull || col("children_json").isNotNull)
+          .as("has_relations"))
+  }
+
+  /** Edges reachable FROM each root by following `src → dst` — the
+    * distributed form of `get_knowledge_graph`'s recursive CTE
+    * (`scripts/updates.sql:107-117`), all roots expanded at once.
+    * Returns (root, src, dst, label). Frontier iteration with the seen
+    * set anti-joined out per round (cycle-safe); rounds = graph depth.
+    */
+  def reachableEdges(
+      edges: DataFrame, roots: DataFrame, rootCol: String,
+      maxRounds: Int = 32): DataFrame = {
+    val e = pin(edges.select(col("src"), col("dst"), col("label")))
+    val r0 = roots.select(col(rootCol).as("root"))
+    var acc = pin(r0.join(e, col("root") === col("src"))
+      .select(col("root"), col("src"), col("dst"), col("label")))
+    var frontier = acc
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      val f = frontier.select(col("root").as("f_root"), col("dst").as("f_dst"))
+        .dropDuplicates()
+      val next = pin(f.join(e, col("f_dst") === col("src"))
+        .select(col("f_root").as("root"), col("src"), col("dst"), col("label"))
+        .dropDuplicates()
+        .join(acc, Seq("root", "src", "dst", "label"), "left_anti"))
+      frontier = next
+      if (!next.isEmpty) acc = pin(acc.union(next))
+      round += 1
+    }
+    acc
+  }
+
+  /** Per-root knowledge-graph JSON `{"nodes":[…],"edges":[…]}` over a
+    * typed node table, nodes and edges sorted for determinism — the
+    * assembly half of `get_knowledge_graph` (`scripts/updates.sql:
+    * 118-137`), one row per root instead of one Postgres temp-table
+    * dance per call.
+    */
+  def knowledgeGraph(
+      nodes: DataFrame, edges: DataFrame, roots: DataFrame, rootCol: String): DataFrame = {
+    val reach = reachableEdges(edges, roots, rootCol)
+    val edgeJson = reach.groupBy(col("root"))
+      .agg(concat(lit("["),
+        array_join(transform(
+          array_sort(collect_list(struct(col("src"), col("dst"), col("label")))),
+          e => concat(lit("{\"source\":"), e("src"), lit(",\"target\":"), e("dst"),
+            lit(",\"label\":\""), e("label"), lit("\"}"))), ","),
+        lit("]")).as("edges_json"))
+    val member = reach.select(col("root"), col("src").as("node_id"))
+      .union(reach.select(col("root"), col("dst").as("node_id")))
+      .dropDuplicates()
+    val n = nodes.select(col("node_id").as("n_id"), col("node_type"), col("data"))
+    val nodeJson = member.join(n, col("node_id") === col("n_id"))
+      .groupBy(col("root"))
+      .agg(concat(lit("["),
+        array_join(transform(
+          array_sort(collect_list(struct(col("node_id"), col("node_type"), col("data")))),
+          e => concat(lit("{\"id\":"), e("node_id"),
+            lit(",\"node_type\":\""), e("node_type"),
+            lit("\",\"data\":"), e("data"), lit("}"))), ","),
+        lit("]")).as("nodes_json"))
+    nodeJson.join(edgeJson, Seq("root"))
+      .select(col("root"),
+        concat(lit("{\"nodes\":"), col("nodes_json"),
+          lit(",\"edges\":"), col("edges_json"), lit("}")).as("knowledge_graph"))
+  }
+}

@@ -1280,6 +1280,66 @@ object PdcmEntities {
         patientSample.union(sampleModel).union(parentModel)
       },
       outputColumns = Seq("label", "src", "dst")))
+    // model_relationships + has_relations (scripts/updates.sql:1-39):
+    // nested parents/children JSON per model, resolved one hierarchy
+    // LEVEL per round for every model at once — the reference runs its
+    // recursive get_parents_tree/get_children_tree SQL function once
+    // per model row. Lineage joins on the external model id, exactly
+    // like init.sql:1186-1188.
+    .register(EntityDef("model_relationships", Seq("model_entity"),
+      (_, in) => {
+        val m = in("model_entity")
+          .select(col("model_id").as("external_model_id"),
+            coalesce(col("sample_type"), lit("")).as("type"),
+            when(Cleaning.trimAll(col("parent_model_id")) === "",
+              lit(null).cast("string"))
+              .otherwise(col("parent_model_id")).as("parent_id"))
+          .dropDuplicates("external_model_id")
+        graft.graph.Trees.modelRelationships(
+          m, "external_model_id", "type", "parent_id")
+      },
+      outputColumns = Seq(
+        "external_model_id", "model_relationships", "has_relations")))
+    // knowledge_graph (scripts/updates.sql:81-150): per-model reachable
+    // subgraph JSON over the nodes/edges property graph. The root is
+    // the model's PATIENT ancestor (find_root_node walks up the edge
+    // table); each distinct root's subgraph is assembled ONCE and
+    // joined back to its models — the reference re-runs the recursive
+    // walk and temp-table dance per model call.
+    .register(EntityDef("knowledge_graph",
+      Seq("nodes", "edges", "model_entity"),
+      (_, in) => {
+        val nodes = in("nodes")
+        val edges = in("edges")
+        val models = in("model_entity").select(
+          col("id").as("model_fk"),
+          col("model_id").as("external_model_id"), col(prov))
+        val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+          col("label"))
+        val up = graft.graph.Trees.reachableEdges(
+          rev, models.select(col("model_fk").as("root")), "root")
+        val patientIds = nodes.filter(col("node_type") === "patient")
+          .select(col("node_id").as("p_id"))
+        val rootFor = up.join(patientIds, up("dst") === col("p_id"))
+          .groupBy(col("root")).agg(min(col("dst")).as("graph_root"))
+          .select(col("root").as("m_fk"), col("graph_root"))
+        val graphs = graft.graph.Trees.knowledgeGraph(nodes, edges,
+          rootFor.select(col("graph_root").as("root")).dropDuplicates(),
+          "root").select(col("root").as("g_root"), col("knowledge_graph"))
+        models.join(rootFor, col("model_fk") === col("m_fk"), "left")
+          .join(graphs, col("graph_root") === col("g_root"), "left")
+          .select(col("external_model_id"), col(prov), col("knowledge_graph"))
+      },
+      outputColumns = Seq("external_model_id", prov, "knowledge_graph")))
+    // Release report (scripts/reports.sql:1-146): record counts per
+    // entity/provider + null-FK audit, one lazy UNION of tiny
+    // aggregates (the reference drives a Postgres cursor per table).
+    .register(EntityDef("report",
+      Seq("patient", "patient_sample", "model_entity", "mutation_data",
+        "expression_data", "cna_data", "biomarker_data",
+        "immunemarker_data", "treatment", "search_index", "nodes", "edges"),
+      (_, in) => Report.build(in),
+      outputColumns = Seq("report_type", "report_key", "report_value")))
     .register(EntityDef("available_molecular_data_columns",
       Seq("mutation_data", "expression_data", "cna_data", "biomarker_data"),
       (_, in) => {

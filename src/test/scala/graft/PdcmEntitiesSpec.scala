@@ -17,6 +17,7 @@ class PdcmEntitiesSpec extends SparkSpec {
       PdcmEntities.sources(spark, root))
       .run(Seq("search_index", "search_facet", "treatment_protocol",
         "quality_assurance", "mutation_data", "nodes", "edges",
+        "model_relationships", "knowledge_graph", "report",
         "ontology_term_diagnosis", "ontology_term_treatment",
         "ontology_term_regimen", "sample_to_ontology", "regimen_to_treatment",
         "treatment_by_model", "treatment", "treatment_component",
@@ -444,6 +445,78 @@ class PdcmEntitiesSpec extends SparkSpec {
     val tc = out("treatment_component")
     assert(tc.count() >= 3) // cisplatin, paclitaxel, doxorubicin
     assert(tc.filter($"treatment_id".isNull).count() == 0)
+  }
+
+  test("model_relationships + knowledge_graph: trees and patient-rooted subgraph") {
+    // M1 is the root of the provA family, M2 its child (model.tsv
+    // parent_model_id) — the nested JSON mirrors updates.sql:1-39.
+    val rel = out("model_relationships").orderBy("external_model_id").collect()
+    assert(rel.map(_.getString(0)).toSeq == Seq("M1", "M2"))
+    assert(rel.forall(_.getBoolean(2)), "both related models flag has_relations")
+    assert(rel(0).getString(1) ==
+      """{"parents":null,"children":[{"external_model_id":"M2","type":"tissue","children":null}]}""")
+    assert(rel(1).getString(1) ==
+      """{"parents":[{"external_model_id":"M1","type":"tissue","parents":null}],"children":null}""")
+    // Every model resolves to a patient-rooted subgraph carrying all
+    // three edge kinds (patient->sample->model plus the parent link).
+    val kg = out("knowledge_graph")
+    assert(kg.count() == 2 && kg.filter($"knowledge_graph".isNull).count() == 0)
+    val g1 = kg.filter($"external_model_id" === "M1").head().getString(2)
+    for (want <- Seq("\"node_type\":\"patient\"", "patient_sample",
+        "sample_model", "parent_model", "\"model_id\":\"M2\""))
+      assert(g1.contains(want), s"M1 graph missing $want: $g1")
+    // The API view exposes all three enrichment columns.
+    graft.api.PdcmApi.register(spark, out)
+    val mi = spark.sql(
+      """SELECT external_model_id, has_relations, model_relationships,
+         knowledge_graph FROM pdcm_api_model_information
+         ORDER BY external_model_id""").collect()
+    assert(mi.map(_.getBoolean(1)).toSeq == Seq(true, true))
+    assert(mi.forall(r => r.getString(2) != null && r.getString(3) != null))
+  }
+
+  test("release report: record counts, provider splits, null-FK audit") {
+    val rep = out("report")
+    val byTable = rep.filter($"report_type" === "records_by_table")
+      .collect().map(r => r.getString(1) -> r.getString(2).toLong).toMap
+    assert(byTable("model_entity") == 2 && byTable("patient") == 3)
+    assert(byTable.contains("search_index") && byTable.contains("edges"))
+    // Provider split: provA has 2 patients, provB has 1.
+    val byProv = rep.filter($"report_type" === "records_by_provider")
+      .collect().map(r => r.getString(1) -> r.getString(2).toLong).toMap
+    assert(byProv("patient:provA") == 2 && byProv("patient:provB") == 1)
+    // The null-FK audit reports only non-zero counts (reports.sql:126)
+    // and flags real holes, e.g. provB's patients carry no ethnicity FK
+    // resolution targets... every reported row must be > 0.
+    val fkRows = rep.filter($"report_type" === "fk_null_values").collect()
+    assert(fkRows.forall(_.getString(2).toLong > 0))
+    // model_entity: provB has no sharing rows, so M2's contact_form FK
+    // is null somewhere in the audit OR the audit is empty — either
+    // way the section schema holds.
+    assert(rep.columns.toSeq ==
+      Seq("report_type", "report_key", "report_value"))
+  }
+
+  test("data-overview cohort views: panel-filtered molecular cohorts") {
+    // The two views the reference disables on cluster runs
+    // (data_visualization_views.sql:7,46) — gene panel ∩ fixture =
+    // BRCA1 + harmonised EGFR (from OLDNAME1); unknown/ambiguous
+    // symbols and off-panel genes drop out.
+    graft.api.PdcmApi.register(spark, out)
+    val mut = spark.sql(
+      """SELECT symbol, provider, type, cancer_system
+         FROM pdcm_api_data_overview_mutation_cohorts ORDER BY symbol""")
+      .collect()
+    assert(mut.map(_.getString(0)).toSeq == Seq("BRCA1", "EGFR"))
+    assert(mut.forall(r => r.getString(3) != "Unclassified" &&
+      r.getString(3) != null))
+    val ex = spark.sql(
+      """SELECT symbol, rnaseq_fpkm, rnaseq_fpkm_log
+         FROM pdcm_api_data_overview_expression_cohorts ORDER BY symbol""")
+      .collect()
+    assert(ex.map(_.getString(0)).toSeq == Seq("BRCA1", "EGFR"))
+    val log1 = ex(0).getDouble(2) // log2(8.1 + 0.001)
+    assert(log1 > 3.01 && log1 < 3.03, s"unexpected log value $log1")
   }
 
   test("pdcm_api view surface: derived views answer search queries") {
