@@ -43,6 +43,7 @@ object Trees {
   def parentsTree(
       models: DataFrame, idCol: String, typeCol: String, parentCol: String,
       maxRounds: Int = 32): DataFrame = {
+    val spark = models.sparkSession
     val m = pin(models.select(
       col(idCol).cast("string").as("id"),
       col(typeCol).cast("string").as("mtype"),
@@ -53,19 +54,23 @@ object Trees {
       m.select(col("id").as("pp_id")).as("p"),
       col("pid") === col("pp_id"), "left")
       .select(col("id"), col("mtype"), col("pid"), col("pp_id").isNotNull.as("linked"))
-    var resolved = pin(withParent.filter(!col("linked"))
+    val roots = pin(withParent.filter(!col("linked"))
       .select(col("id"), col("mtype"), lit(null).cast("string").as("parents_json")))
-    var frontier = resolved
-    var pending = pin(withParent.filter(col("linked"))
+    val linked = pin(withParent.filter(col("linked"))
       .select(col("id"), col("mtype"), col("pid")))
+    // Single parent per model ⇒ each model resolves EXACTLY once, when
+    // its parent's frontier round fires — plain BFS, no pending set, no
+    // anti-join, one hash join + one checkpoint + one isEmpty per level.
+    // Cycle members (and their descendants) are never reached and fall
+    // out as null through the final left join.
+    var frontier = roots
+    var resolvedRdd = roots.rdd
     var round = 0
-    while (round < maxRounds && !pending.isEmpty && !frontier.isEmpty) {
-      // Children whose parent resolved LAST round resolve now: the tree
-      // string is one entry wrapping the parent's own (already final)
-      // tree — no per-node recursion, one hash join per level.
+    var more = true
+    while (round < maxRounds && more) {
       val pr = frontier.select(col("id").as("r_pid"),
         col("mtype").as("r_ptype"), col("parents_json").as("r_pjson"))
-      val step = pin(pending.join(pr, col("pid") === col("r_pid"))
+      val step = pin(linked.join(pr, col("pid") === col("r_pid"))
         .select(col("id"), col("mtype"),
           concat(lit("["),
             concat(lit("{\"external_model_id\":\""), col("r_pid"),
@@ -73,14 +78,13 @@ object Trees {
               lit("\",\"parents\":"), coalesce(col("r_pjson"), lit("null")),
               lit("}")),
             lit("]")).as("parents_json")))
-      pending = pin(pending.join(step.select(col("id")), Seq("id"), "left_anti"))
-      resolved = pin(resolved.union(step))
+      more = !step.isEmpty // the one action per level; materializes the pin
+      if (more) resolvedRdd = resolvedRdd.union(step.rdd)
       frontier = step
       round += 1
     }
-    // Unresolved after the cap (cycles): surface as null, not absence.
-    resolved.union(pending.select(col("id"), col("mtype"),
-        lit(null).cast("string").as("parents_json")))
+    val resolved = spark.createDataFrame(resolvedRdd, roots.schema)
+    m.join(resolved.select(col("id"), col("parents_json")), Seq("id"), "left")
       .select(col("id").as(idCol), col("parents_json"))
   }
 
