@@ -1512,6 +1512,54 @@ object SparkEntry {
       graft.graph.Trees.modelRelationships(m, "external_model_id", "type", "parent_id")
     }),
 
+    "q116_bucketed_join" -> ((s, dir) => {
+      // Bucket-bucket co-located join: both sides bucketed 16 ways on
+      // the join key at WRITE time, so the join runs with NO exchange
+      // on either side — the shuffle happened once and is amortized
+      // over every subsequent join (LayoutSpec asserts the only
+      // Exchange left is the final group-by). This is the layout move
+      // that turns a 100 TB fact-fact join from the cluster's biggest
+      // shuffle into a partition-local merge.
+      import graft.sources.Layout
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val oT = s"graft_orders_bkt_$tag"
+      val lT = s"graft_lineitem_bkt_$tag"
+      Layout.prepareOnce(s"bucketed-v1:$dir") {
+        Layout.writeBucketed(
+          tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          s, oT, "o_orderkey", nBuckets = 16)
+        Layout.writeBucketed(
+          tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          s, lT, "l_orderkey", nBuckets = 16)
+      }
+      s.table(lT).join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+    }),
+
+    "q117_partitioned_scan" -> ((s, dir) => {
+      // Hive-layout directory partitioning on the coarse filter key:
+      // the event_type predicate becomes a PartitionFilter, so
+      // non-matching directories contribute ZERO I/O (LayoutSpec
+      // asserts the filter reaches the partition level) — the
+      // partition-pruning tier the reference's flat per-entity dirs
+      // never get (SURVEY §4).
+      import graft.sources.Layout
+      val path = s"target/part_demo/${new java.io.File(dir).getName}/events"
+      Layout.prepareOnce(s"partitioned-v1:$path") {
+        Layout.writePartitioned(
+          Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+          path, Seq("event_type"))
+      }
+      s.read.parquet(path)
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "q114_knowledge_graph" -> ((s, dir) => {
       // Knowledge-graph JSON per root (reference get_knowledge_graph,
       // updates.sql:81-150): reachable subgraph from each root over a
@@ -2531,6 +2579,17 @@ object SparkEntry {
          FROM m LEFT JOIN pj1 ON pj1.id = m.id
                 LEFT JOIN pj2 ON pj2.id = m.id
                 LEFT JOIN cj2 ON cj2.id = m.id""",
+    "q116_bucketed_join" ->
+      """SELECT o.o_custkey, count(1) AS n_items,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_custkey""",
+    "q117_partitioned_scan" ->
+      """SELECT event_type, count(1) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events WHERE event_type IN ('purchase', 'error')
+         GROUP BY event_type""",
     // Reachable subgraph per root (multi-source), nodes/edges JSON with
     // deterministic sort — UNION (not ALL) in the recursive member is
     // the cycle-safe dedup.

@@ -82,6 +82,47 @@ class LayoutSpec extends SparkSpec {
       f.stripPrefix("file:")).exists()))
   }
 
+  test("bucketed tables join with no exchange on either side") {
+    val events = Tables.events(spark, sfDir)
+    val a = events.select($"event_id", $"user_id", $"value")
+    val b = events.select($"event_id", $"event_type")
+    Layout.writeBucketed(a, spark, "bkt_a", "event_id", nBuckets = 8)
+    Layout.writeBucketed(b, spark, "bkt_b", "event_id", nBuckets = 8)
+    // Disable auto-broadcast: at test scale Spark would broadcast the
+    // small side and never exercise the bucketed path a fact-fact join
+    // takes at real scale.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a")
+        .join(spark.table("bkt_b"), Seq("event_id"))
+        .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // The write-time bucketing IS the shuffle: the join runs as a
+      // sort-merge over matching buckets with NO Exchange on either
+      // input; the only one left is what the group-by on a different
+      // key genuinely needs.
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"unexpected shuffle exchanges:\n$plan")
+      assert(plan.contains("Bucketed: true"))
+      assert(joined.agg(sum($"n")).as[Long].head() == events.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("hive partitioning turns the type filter into partition pruning") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val events = Tables.events(spark, sfDir)
+      .select($"event_type", $"user_id", $"value")
+    Layout.writePartitioned(events, dir, Seq("event_type"))
+    val q = spark.read.parquet(dir).filter($"event_type" === "purchase")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"filter did not reach partition level:\n$plan")
+    assert(q.count() == events.filter($"event_type" === "purchase").count())
+  }
+
   test("compaction survives regex metacharacters in the table path") {
     // `$` in the replacement side of regexp_replace reads as a group ref
     // unless quoted — a path like this used to corrupt the manifest.
