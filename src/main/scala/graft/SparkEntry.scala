@@ -694,6 +694,50 @@ object SparkEntry {
           coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
     }),
 
+    "q118_dedup_spans" -> ((s, dir) => {
+      // Exact duplicated-substring REMOVAL (the action q94 only
+      // measures — Lee et al.'s ExactSubstr dedup): every 20-gram
+      // occurrence that is not the globally FIRST occurrence of that
+      // gram (canonical = min (doc_id, pos), a deterministic total
+      // order) has its span deleted; the cleaned text is what survives.
+      // Distributed shape: one CharGrams kernel pass + one gram
+      // aggregate for the canonical occurrence + one per-doc fold that
+      // merges covered spans and stitches the kept segments — no char
+      // explode (q94's lesson), no driver-side text. At 100 TB the
+      // gram key becomes xxhash64(gram) and hot grams take the q78
+      // df cap; semantics identical.
+      val d = tbl(s, dir, "documents")
+        .filter(length(col("text")) >= 20)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val occ = d.select(col("doc_id"), col("text"),
+          posexplode(graft.plans.TextKernels.charGramsNative(col("text"), 20)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      val canon = occ.groupBy(col("gram"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      val covered = occ.join(canon, Seq("gram"))
+        .filter(struct(col("doc_id"), col("pos")) =!= col("c"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("covered"))
+      d.join(covered, Seq("doc_id"), "left")
+        .withColumn("covered",
+          coalesce(col("covered"), array().cast("array<int>")))
+        .withColumn("cleaned_text",
+          expr("""aggregate(
+              covered,
+              struct(CAST(1 AS INT) AS cursor, '' AS acc),
+              (a, s) -> struct(
+                CAST(greatest(s + 20, a.cursor) AS INT) AS cursor,
+                CASE WHEN s > a.cursor
+                  THEN concat(a.acc, substring(text, a.cursor, s - a.cursor))
+                  ELSE a.acc END AS acc),
+              a -> concat(a.acc,
+                substring(text, a.cursor, length(text) - a.cursor + 1)))"""))
+        .select(col("doc_id"), col("cleaned_text"),
+          (length(col("text")) - length(col("cleaned_text"))).cast("long")
+            .as("removed_chars"))
+    }),
+
     "q97_zorder_box" -> ((s, dir) => {
       // Z-order clustered layout + 2-D box probe: both user_id and value
       // stay locally clustered on the Morton curve, so the box touches a
@@ -2071,6 +2115,37 @@ object SparkEntry {
              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rk
            FROM c)
          SELECT lang, source, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk <= 3""",
+    // ExactSubstr removal: canonical occurrence via min(struct) (DuckDB
+    // orders structs lexicographically like Spark); the kept text is
+    // rebuilt char-by-char with a running max over covered span starts
+    // (the engine merges spans in a per-doc fold instead — same result).
+    "q118_dedup_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+         occ AS (SELECT doc_id, CAST(g AS INTEGER) AS pos,
+             substr(text, CAST(g AS INTEGER), 20) AS gram
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 19)) AS g
+                 FROM d)),
+         canon AS (SELECT gram, min({'doc_id': doc_id, 'pos': pos}) AS c
+           FROM occ GROUP BY gram),
+         covered AS (SELECT o.doc_id, o.pos
+           FROM occ o JOIN canon cn ON o.gram = cn.gram
+           WHERE {'doc_id': o.doc_id, 'pos': o.pos} != cn.c),
+         chars AS (SELECT doc_id, text, CAST(cp AS INTEGER) AS cpos
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS cp
+                 FROM d)),
+         marked AS (SELECT c.doc_id, c.text, c.cpos,
+             max(cv.pos) OVER (PARTITION BY c.doc_id ORDER BY c.cpos) AS last_start
+           FROM chars c LEFT JOIN covered cv
+             ON c.doc_id = cv.doc_id AND c.cpos = cv.pos)
+         SELECT doc_id,
+           coalesce(string_agg(substr(text, cpos, 1), '' ORDER BY cpos)
+             FILTER (WHERE last_start IS NULL OR cpos >= last_start + 20), '')
+             AS cleaned_text,
+           CAST(count(*) FILTER (WHERE last_start IS NOT NULL
+             AND cpos < last_start + 20) AS BIGINT) AS removed_chars
+         FROM marked GROUP BY doc_id""",
     "q94_dup_spans" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
          pos AS (SELECT doc_id, text,
