@@ -694,6 +694,31 @@ object SparkEntry {
           coalesce(col("dup_positions"), lit(0L)).as("dup_positions"))
     }),
 
+    "q119_vocab_encode" -> ((s, dir) => {
+      // Corpus vocabulary + token-id encoding (the tokenize step every
+      // training pipeline runs): vocab = top-1000 tokens by (count
+      // desc, token) — a deterministic total order — and each document
+      // becomes its ordered id sequence with OOV = 0. The vocab is a
+      // broadcast join (it is always dictionary-sized); order inside
+      // each document is restored by sorting the (pos, id) structs, so
+      // no window shuffle touches the token stream.
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toks = d.select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"), col("pos"), col("col").as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .select(col("token"), row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))).as("token_id"))
+        .filter(col("token_id") <= 1000)
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(0)).as("tid"))
+        .groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          e => e("tid")).as("token_ids"))
+    }),
+
     "q118_dedup_spans" -> ((s, dir) => {
       // Exact duplicated-substring REMOVAL (the action q94 only
       // measures — Lee et al.'s ExactSubstr dedup): every 20-gram
@@ -2115,6 +2140,21 @@ object SparkEntry {
              row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rk
            FROM c)
          SELECT lang, source, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk <= 3""",
+    "q119_vocab_encode" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+           FROM documents),
+         vocab AS (
+           SELECT token,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS INTEGER) AS token_id
+           FROM toks GROUP BY token
+           QUALIFY token_id <= 1000)
+         SELECT t.doc_id,
+           list(CAST(coalesce(v.token_id, 0) AS INTEGER) ORDER BY t.pos) AS token_ids
+         FROM toks t LEFT JOIN vocab v ON t.token = v.token
+         GROUP BY t.doc_id""",
     // ExactSubstr removal: canonical occurrence via min(struct) (DuckDB
     // orders structs lexicographically like Spark); the kept text is
     // rebuilt char-by-char with a running max over covered span starts

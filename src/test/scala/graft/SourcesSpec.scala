@@ -221,6 +221,29 @@ class SourcesSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("Jsonl source: declared schema, corrupt lines quarantined not dropped") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part0.jsonl"),
+      ("""{"doc_id": 1, "text": "hello world", "lang": "en"}""" + "\n" +
+        """{"doc_id": 2, "text": "bonjour", "lang": "fr"}""" + "\n" +
+        """{"doc_id": 3, "text": "truncated""" + "\n" +
+        """not json at all""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (clean, quarantine) =
+      graft.sources.Jsonl.readWithQuarantine(spark, Seq(s"$dir/*.jsonl"), schema)
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(clean.orderBy("doc_id").select("text").as[String].collect().toSeq ==
+      Seq("hello world", "bonjour"))
+    val bad = quarantine.select("raw_line").as[String].collect().sorted
+    assert(bad.length == 2 && bad.exists(_.contains("truncated")) &&
+      bad.contains("not json at all"))
+    assert(quarantine.select("input_file").as[String].collect()
+      .forall(_.contains("part0.jsonl")))
+  }
+
   test("Jdbc sink: entities round-trip through an embedded database") {
     // Derby ships with Spark, so the S15 live-DB load is exercised
     // against a real (embedded) JDBC database: write an entity table,
