@@ -719,49 +719,12 @@ object SparkEntry {
           e => e("tid")).as("token_ids"))
     }),
 
-    "q118_dedup_spans" -> ((s, dir) => {
+    "q118_dedup_spans" -> ((s, dir) =>
       // Exact duplicated-substring REMOVAL (the action q94 only
-      // measures — Lee et al.'s ExactSubstr dedup): every 20-gram
-      // occurrence that is not the globally FIRST occurrence of that
-      // gram (canonical = min (doc_id, pos), a deterministic total
-      // order) has its span deleted; the cleaned text is what survives.
-      // Distributed shape: one CharGrams kernel pass + one gram
-      // aggregate for the canonical occurrence + one per-doc fold that
-      // merges covered spans and stitches the kept segments — no char
-      // explode (q94's lesson), no driver-side text. At 100 TB the
-      // gram key becomes xxhash64(gram) and hot grams take the q78
-      // df cap; semantics identical.
-      val d = tbl(s, dir, "documents")
-        .filter(length(col("text")) >= 20)
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val occ = d.select(col("doc_id"), col("text"),
-          posexplode(graft.plans.TextKernels.charGramsNative(col("text"), 20)))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-      val canon = occ.groupBy(col("gram"))
-        .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
-      val covered = occ.join(canon, Seq("gram"))
-        .filter(struct(col("doc_id"), col("pos")) =!= col("c"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("pos"))).as("covered"))
-      d.join(covered, Seq("doc_id"), "left")
-        .withColumn("covered",
-          coalesce(col("covered"), array().cast("array<int>")))
-        .withColumn("cleaned_text",
-          expr("""aggregate(
-              covered,
-              struct(CAST(1 AS INT) AS cursor, '' AS acc),
-              (a, s) -> struct(
-                CAST(greatest(s + 20, a.cursor) AS INT) AS cursor,
-                CASE WHEN s > a.cursor
-                  THEN concat(a.acc, substring(text, a.cursor, s - a.cursor))
-                  ELSE a.acc END AS acc),
-              a -> concat(a.acc,
-                substring(text, a.cursor, length(text) - a.cursor + 1)))"""))
-        .select(col("doc_id"), col("cleaned_text"),
-          (length(col("text")) - length(col("cleaned_text"))).cast("long")
-            .as("removed_chars"))
-    }),
+      // measures): see Dedup.removeDuplicateSpans for the distributed
+      // shape and the q94 lessons it inherits.
+      Dedup.removeDuplicateSpans(
+        tbl(s, dir, "documents"), "doc_id", "text", gramLen = 20)),
 
     "q97_zorder_box" -> ((s, dir) => {
       // Z-order clustered layout + 2-D box probe: both user_id and value

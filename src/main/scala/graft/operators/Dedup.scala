@@ -37,6 +37,58 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Exact duplicated-substring REMOVAL (Lee et al.'s ExactSubstr dedup,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * `gramLen`-char span whose gram occurs anywhere earlier in the corpus
+    * (canonical occurrence = minimum (id, position), a deterministic total
+    * order) is deleted; overlapping deletions merge. Returns
+    * (idCol, cleaned_text, removed_chars).
+    *
+    * Distributed shape: one [[graft.plans.TextKernels.CharGrams]] kernel
+    * pass emits the gram stream, ONE aggregate finds each gram's canonical
+    * occurrence, and a per-document fold over the sorted covered starts
+    * merges spans and stitches the kept segments — no char-level explode
+    * (which copies the full text into every position row), no suffix
+    * array, no driver-side text. At 100 TB the gram key becomes
+    * `xxhash64(gram)` (8 bytes on the shuffle instead of `gramLen`+) and
+    * hot grams take a doc-frequency cap; semantics identical.
+    */
+  def removeDuplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val d = docs
+      .filter(length(col(textCol)) >= gramLen)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val occ = d.select(col("doc_id"), col("text"),
+        posexplode(graft.plans.TextKernels.charGramsNative(col("text"), gramLen)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val canon = occ.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val covered = occ.join(canon, Seq("gram"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("covered"))
+    d.join(covered, Seq("doc_id"), "left")
+      .withColumn("covered",
+        coalesce(col("covered"), array().cast("array<int>")))
+      .withColumn("cleaned_text",
+        expr(s"""aggregate(
+            covered,
+            struct(CAST(1 AS INT) AS cursor, '' AS acc),
+            (a, s) -> struct(
+              CAST(greatest(s + $gramLen, a.cursor) AS INT) AS cursor,
+              CASE WHEN s > a.cursor
+                THEN concat(a.acc, substring(text, a.cursor, s - a.cursor))
+                ELSE a.acc END AS acc),
+            a -> concat(a.acc,
+              substring(text, a.cursor, length(text) - a.cursor + 1)))"""))
+      .select(col("doc_id").as(idCol), col("cleaned_text"),
+        (length(col("text")) - length(col("cleaned_text"))).cast("long")
+          .as("removed_chars"))
+  }
+
   /** Connected components over a candidate-pair table (near-duplicate
     * CLUSTERING: after LSH/SimHash candidate generation + verification,
     * group mutually-similar documents so one representative per cluster

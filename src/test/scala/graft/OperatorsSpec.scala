@@ -7,6 +7,22 @@ import graft.plans.BloomExpressions
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("removeDuplicateSpans deletes non-canonical spans, merges overlaps") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "ABCDEFGH"),   // canonical for every gram it contains
+      (2L, "XXABCDEFGH"), // tail duplicates doc 1 -> spans [3,10] removed
+      (3L, "ABCDEABCDE"), // dup grams at pos 1 and 6 cover the whole text
+      (4L, "AB")          // shorter than a gram: no output row
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", gramLen = 5)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "ABCDEFGH", 0L),
+      (2L, "XX", 8L),
+      (3L, "", 10L)))
+  }
+
   test("transformToFk resolves and leaves misses null") {
     val fact = Seq("US", "FR", "XX").toDF("country")
     val dim = Seq((1L, "US"), (2L, "FR")).toDF("id", "code")
