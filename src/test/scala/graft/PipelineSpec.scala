@@ -21,6 +21,25 @@ class PipelineSpec extends SparkSpec {
 
   private val raw = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
 
+  test("corpus pipeline example: stages compose, counts monotone, snapshot committed") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-corpus-spec").toString + "/corpus"
+    val counts = graft.examples.CorpusPipeline.run(spark, sfDir, out).toMap
+    assert(counts("input_docs") > 0)
+    // Each dedup stage can only shrink the corpus.
+    assert(counts("after_quality") <= counts("input_docs"))
+    assert(counts("after_exact_dedup") <= counts("after_quality"))
+    assert(counts("after_near_dedup") <= counts("after_exact_dedup"))
+    assert(counts("after_span_removal") <= counts("after_near_dedup"))
+    // Near-dup clustering actually fired on this corpus and the kept
+    // set excludes every non-representative.
+    assert(counts("near_dup_pairs") > 0)
+    assert(counts("after_near_dedup") < counts("after_exact_dedup"))
+    // The committed snapshot is readable and chunk counts cover docs.
+    assert(counts("chunks_committed") >= counts("after_span_removal"))
+    assert(graft.sources.Snapshots.currentVersion(out) == 1)
+  }
+
   test("topological order respects deps and detects cycles") {
     val r = registry()
     val order = r.topoOrder(Seq("fact"), Set("raw"))
