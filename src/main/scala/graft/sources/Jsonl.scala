@@ -51,4 +51,21 @@ object Jsonl {
   /** Clean rows only (quarantine dropped) — the common read path. */
   def read(spark: SparkSession, paths: Seq[String], schema: StructType): DataFrame =
     readWithQuarantine(spark, paths, schema)._1
+
+  /** Streaming variant: a continuously-arriving JSONL drop directory
+    * (the shape corpus deliveries actually take) as a clean-row stream —
+    * same text-scan + from_json plan as the batch path, so malformed
+    * lines are dropped per-row instead of failing the trigger. Pair
+    * with [[Snapshots.ingestWriter]] for exactly-once snapshot commits
+    * per micro-batch (StreamingSpec drives the combination).
+    */
+  def stream(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+    spark.readStream.text(dir)
+      .withColumn("j", from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+      .filter(col(s"j.$CorruptCol").isNull)
+      .select(schema.fieldNames.toSeq.map(f => col(s"j.$f").as(f)): _*)
+  }
 }
