@@ -698,25 +698,30 @@ object SparkEntry {
       // Corpus vocabulary + token-id encoding (the tokenize step every
       // training pipeline runs): vocab = top-1000 tokens by (count
       // desc, token) — a deterministic total order — and each document
-      // becomes its ordered id sequence with OOV = 0. The vocab is a
-      // broadcast join (it is always dictionary-sized); order inside
-      // each document is restored by sorting the (pos, id) structs, so
-      // no window shuffle touches the token stream.
+      // becomes its ordered id sequence with OOV = 0, emitted as a
+      // space-joined string (the oracle comparator hashes scalars, not
+      // arrays). The top-k is `orderBy(...).limit(1000)` — Spark plans
+      // TakeOrderedAndProject (per-partition top-k, driver merge), so
+      // the corpus-sized distinct-token table is NEVER funneled through
+      // one partition; only the 1000-row dictionary sees a window. The
+      // vocab join is a broadcast (always dictionary-sized); order
+      // inside each document is restored by sorting the (pos, id)
+      // structs, so no window shuffle touches the token stream either.
       val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       val toks = d.select(col("doc_id"),
           posexplode(split(trim(col("text")), "\\s+")))
         .select(col("doc_id"), col("pos"), col("col").as("token"))
-      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .select(col("token"), row_number().over(
-          Window.orderBy(col("cnt").desc, col("token"))).as("token_id"))
-        .filter(col("token_id") <= 1000)
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(1000)
+      val vocab = top.select(col("token"), row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).as("token_id"))
       toks.join(broadcast(vocab), Seq("token"), "left")
         .select(col("doc_id"), col("pos"),
           coalesce(col("token_id"), lit(0)).as("tid"))
         .groupBy(col("doc_id"))
-        .agg(transform(
+        .agg(array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("tid")))),
-          e => e("tid")).as("token_ids"))
+          e => e("tid").cast("string")), " ").as("token_ids"))
     }),
 
     "q118_dedup_spans" -> ((s, dir) =>
@@ -725,6 +730,16 @@ object SparkEntry {
       // shape and the q94 lessons it inherits.
       Dedup.removeDuplicateSpans(
         tbl(s, dir, "documents"), "doc_id", "text", gramLen = 20)),
+
+    "q121_dedup_spans_hash" -> ((s, dir) =>
+      // The 100 TB shuffle shape of q118: grams grouped by their
+      // xxhash64 (8-byte shuffle keys instead of 20-char strings) under
+      // a doc-frequency cap set high enough to be inert at this scale —
+      // proving the scale knobs reproduce the exact path bit-for-bit
+      // (the oracle row is the same SQL as q118).
+      Dedup.removeDuplicateSpans(
+        tbl(s, dir, "documents"), "doc_id", "text", gramLen = 20,
+        gramKeyHash = true, maxDocFreq = Some(1000000))),
 
     "q97_zorder_box" -> ((s, dir) => {
       // Z-order clustered layout + 2-D box probe: both user_id and value
@@ -1867,7 +1882,13 @@ object SparkEntry {
                     CAST(length(text) - length(regexp_replace(text, '[.,;:!?()-]', '', 'g')) AS DOUBLE) AS np
              FROM documents)"""
 
-  def oracleSql: Map[String, String] = Map(
+  // q121 is the xxhash64-gram-key variant of q118 — bit-identical by
+  // contract (see Dedup.removeDuplicateSpans), so it shares the
+  // exact-path oracle verbatim.
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("q121_dedup_spans_hash" -> oracleSqlBase("q118_dedup_spans"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2115,7 +2136,8 @@ object SparkEntry {
            FROM toks GROUP BY token
            QUALIFY token_id <= 1000)
          SELECT t.doc_id,
-           list(CAST(coalesce(v.token_id, 0) AS INTEGER) ORDER BY t.pos) AS token_ids
+           string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ' ' ORDER BY t.pos)
+             AS token_ids
          FROM toks t LEFT JOIN vocab v ON t.token = v.token
          GROUP BY t.doc_id""",
     // ExactSubstr removal: canonical occurrence via min(struct) (DuckDB
@@ -2148,7 +2170,10 @@ object SparkEntry {
              AS cleaned_text,
            CAST(count(*) FILTER (WHERE last_start IS NOT NULL
              AND cpos < last_start + 20) AS BIGINT) AS removed_chars
-         FROM marked GROUP BY doc_id""",
+         FROM marked GROUP BY doc_id
+         UNION ALL
+         SELECT doc_id, text AS cleaned_text, CAST(0 AS BIGINT) AS removed_chars
+         FROM documents WHERE length(text) < 20""",
     "q94_dup_spans" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
          pos AS (SELECT doc_id, text,

@@ -29,6 +29,17 @@ object Trees {
   private def pin(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
 
+  /** One pinned, normalized (id, mtype, pid) frame — the shared base of
+    * both tree sweeps, so `modelRelationships` scans and pins the model
+    * table ONCE instead of once per sweep.
+    */
+  private def normalized(
+      models: DataFrame, idCol: String, typeCol: String, parentCol: String): DataFrame =
+    pin(models.select(
+      col(idCol).cast("string").as("id"),
+      col(typeCol).cast("string").as("mtype"),
+      col(parentCol).cast("string").as("pid")))
+
   /** Per-model nested PARENTS tree as a JSON string column
     * (`external_model_id`, `parents_json`): for a model with parent P,
     * `[{"external_model_id":"P","type":…,"parents":<P's tree>}]`; null
@@ -42,12 +53,12 @@ object Trees {
     */
   def parentsTree(
       models: DataFrame, idCol: String, typeCol: String, parentCol: String,
-      maxRounds: Int = 32): DataFrame = {
-    val spark = models.sparkSession
-    val m = pin(models.select(
-      col(idCol).cast("string").as("id"),
-      col(typeCol).cast("string").as("mtype"),
-      col(parentCol).cast("string").as("pid")))
+      maxRounds: Int = 32): DataFrame =
+    parentsTreeFrom(normalized(models, idCol, typeCol, parentCol), maxRounds)
+      .select(col("id").as(idCol), col("parents_json"))
+
+  private def parentsTreeFrom(m: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = m.sparkSession
     // Roots: no parent, or a parent id that matches no model (the
     // reference's inner join drops those rows, leaving an empty agg).
     val withParent = m.as("c").join(
@@ -85,7 +96,7 @@ object Trees {
     }
     val resolved = spark.createDataFrame(resolvedRdd, roots.schema)
     m.join(resolved.select(col("id"), col("parents_json")), Seq("id"), "left")
-      .select(col("id").as(idCol), col("parents_json"))
+      .select(col("id"), col("parents_json"))
   }
 
   /** Per-model nested CHILDREN tree as a JSON string column
@@ -100,11 +111,11 @@ object Trees {
     */
   def childrenTree(
       models: DataFrame, idCol: String, typeCol: String, parentCol: String,
-      maxRounds: Int = 32): DataFrame = {
-    val m = pin(models.select(
-      col(idCol).cast("string").as("id"),
-      col(typeCol).cast("string").as("mtype"),
-      col(parentCol).cast("string").as("pid")))
+      maxRounds: Int = 32): DataFrame =
+    childrenTreeFrom(normalized(models, idCol, typeCol, parentCol), maxRounds)
+      .select(col("id").as(idCol), col("children_json"))
+
+  private def childrenTreeFrom(m: DataFrame, maxRounds: Int): DataFrame = {
     val ids = m.select(col("id").as("known_id"))
     // Child edges whose parent actually exists (dangling parent_id rows
     // are nobody's children, mirroring the reference's join).
@@ -150,7 +161,7 @@ object Trees {
     }
     resolved.union(pending.select(col("id"),
         lit(null).cast("string").as("children_json")))
-      .select(col("id").as(idCol), col("children_json"))
+      .select(col("id"), col("children_json"))
   }
 
   /** `model_relationships` + `has_relations` for every model
@@ -159,10 +170,14 @@ object Trees {
     */
   def modelRelationships(
       models: DataFrame, idCol: String, typeCol: String, parentCol: String): DataFrame = {
-    val p = parentsTree(models, idCol, typeCol, parentCol)
-    val c = childrenTree(models, idCol, typeCol, parentCol)
-    p.join(c, Seq(idCol))
-      .select(col(idCol),
+    // One shared pinned base: both sweeps read the same materialized
+    // (id, mtype, pid) blocks instead of each re-scanning + re-pinning
+    // the model table.
+    val m = normalized(models, idCol, typeCol, parentCol)
+    val p = parentsTreeFrom(m, 32)
+    val c = childrenTreeFrom(m, 32)
+    p.join(c, Seq("id"))
+      .select(col("id").as(idCol),
         concat(lit("{\"parents\":"), coalesce(col("parents_json"), lit("null")),
           lit(",\"children\":"), coalesce(col("children_json"), lit("null")),
           lit("}")).as("model_relationships"),

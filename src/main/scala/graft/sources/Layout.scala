@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  private val prepared = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
 
   /** Run `write` once per `key` per JVM — the cached-layout mode for
     * demo queries that pair a layout WRITE with the probe it enables.
@@ -27,9 +28,21 @@ object Layout {
     * time the probe alone. Verify still writes (fresh JVM), keeping the
     * correctness path identical. Key the call by output path AND layout
     * format version so a format change never reuses stale files.
+    *
+    * A real synchronization barrier, not just first-caller-wins: the
+    * loser of the insert race BLOCKS on the winner's latch, so no
+    * caller ever probes a half-written layout. A failed write releases
+    * its waiters and clears the key so a later call can retry.
     */
-  def prepareOnce(key: String)(write: => Unit): Unit =
-    if (prepared.add(key)) write
+  def prepareOnce(key: String)(write: => Unit): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val winner = prepared.putIfAbsent(key, latch)
+    if (winner == null) {
+      try write
+      catch { case e: Throwable => prepared.remove(key); throw e }
+      finally latch.countDown()
+    } else winner.await()
+  }
 
   /** Directory-partitioned parquet (hive layout `col=value/`). Keep
     * partition columns low-cardinality: one dir per value.

@@ -13,14 +13,92 @@ class OperatorsSpec extends SparkSpec {
       (1L, "ABCDEFGH"),   // canonical for every gram it contains
       (2L, "XXABCDEFGH"), // tail duplicates doc 1 -> spans [3,10] removed
       (3L, "ABCDEABCDE"), // dup grams at pos 1 and 6 cover the whole text
-      (4L, "AB")          // shorter than a gram: no output row
+      (4L, "AB")          // shorter than a gram: passes through unchanged
     ).toDF("doc_id", "text")
     val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", gramLen = 5)
       .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
     assert(got == Seq(
       (1L, "ABCDEFGH", 0L),
       (2L, "XX", 8L),
-      (3L, "", 10L)))
+      (3L, "", 10L),
+      (4L, "AB", 0L)))
+  }
+
+  test("removeDuplicateSpans: gramKeyHash variant is bit-identical") {
+    // Same corpus through 8-byte xxhash64 gram keys: the shuffle narrows,
+    // the answer must not move (collision odds are ~n²/2⁶⁵).
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map { id =>
+      (id, (1 to 40).map(_ => "ab" (rnd.nextInt(2))).mkString)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.removeDuplicateSpans(docs, "doc_id", "text", gramLen = 7)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    val hashed = Dedup.removeDuplicateSpans(docs, "doc_id", "text", gramLen = 7,
+        gramKeyHash = true)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(exact == hashed)
+  }
+
+  test("removeDuplicateSpans: maxDocFreq caps which grams dedup") {
+    val docs = Seq(
+      (1L, "HOTGRAMXX"), // HOTGRAM in 3 docs (df=3); doc 1 canonical
+      (2L, "HOTGRAMYY"),
+      (3L, "HOTGRAMZZ"),
+      (4L, "AABCDEAABCDE") // within-doc repeat: df=1, always dedups
+    ).toDF("doc_id", "text")
+    def run(cap: Option[Int]) =
+      Dedup.removeDuplicateSpans(docs, "doc_id", "text", gramLen = 6,
+          maxDocFreq = cap)
+        .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    // Cap below the hot gram's df=3: its occurrences survive; the
+    // df=1 within-doc repeat still dedups. Never removes MORE than exact.
+    val capped = run(Some(2))
+    assert(capped.take(3).forall(_._3 == 0L))
+    assert(capped(3)._3 > 0L)
+    // Cap at/above every df: identical to the exact path.
+    assert(run(Some(3)) == run(None))
+  }
+
+  test("removeDuplicateSpans: gramLen sweep matches a local reference") {
+    // Property-style check of the span fold (the off-by-one class the
+    // merge invites) against an independent in-memory implementation,
+    // across gram lengths spanning shorter/longer-than-doc.
+    def reference(corpus: Seq[(Long, String)], gramLen: Int): Seq[(Long, String, Long)] = {
+      val occ = for {
+        (id, t) <- corpus if t.length >= gramLen
+        p <- 1 to (t.length - gramLen + 1)
+      } yield (t.substring(p - 1, p - 1 + gramLen), id, p)
+      val canon = occ.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(o => (o._2, o._3)).min
+      }
+      corpus.map { case (id, t) =>
+        if (t.length < gramLen) (id, t, 0L)
+        else {
+          val covered = (1 to (t.length - gramLen + 1)).filter { p =>
+            canon(t.substring(p - 1, p - 1 + gramLen)) != ((id, p))
+          }
+          var cursor = 1
+          val acc = new StringBuilder
+          covered.foreach { s =>
+            if (s > cursor) acc.append(t.substring(cursor - 1, s - 1))
+            cursor = math.max(s + gramLen, cursor)
+          }
+          val cleaned = acc.append(t.substring(cursor - 1)).toString
+          (id, cleaned, (t.length - cleaned.length).toLong)
+        }
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 50L).map { id =>
+      (id, (1 to (5 + rnd.nextInt(60))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    Seq(5, 10, 20, 50).foreach { gl =>
+      val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", gramLen = gl)
+        .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+      val want = reference(corpus, gl).sortBy(_._1)
+      assert(got == want, s"gramLen=$gl")
+    }
   }
 
   test("transformToFk resolves and leaves misses null") {
