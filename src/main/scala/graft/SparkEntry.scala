@@ -731,6 +731,43 @@ object SparkEntry {
       Dedup.removeDuplicateSpans(
         tbl(s, dir, "documents"), "doc_id", "text", gramLen = 20)),
 
+    "q120_search_index_e2e" -> ((s, _) => {
+      // The composed entity DAG end-to-end under the oracle hash — the
+      // last un-oracled seam (entities are spec-tested one by one; this
+      // hash-checks their COMPOSITION): stage the canonical two-provider
+      // fixture, run the REAL registry through PipelineRunner to
+      // search_index (reference entities_registry.py:623-691), and
+      // project the SQL-replayable scalar columns. Arrays are joined to
+      // strings for the comparator; xxhash64 surrogate ids and
+      // to_json-built columns are excluded (DuckDB can reproduce
+      // neither byte-for-byte). The oracle replays the whole chain —
+      // TSV/YAML/JSON/OBO parse, dims, patient/model joins, the 4-key
+      // diagnosis-mapping join, the recursive ontology ancestor
+      // closure, display renames, scoring — from the SAME staged files.
+      val work = "/root/repo/target/q120_fixtures"
+      graft.examples.PdcmFull.stageExampleProviders(work)
+      val si = new graft.pipeline.PipelineRunner(
+        s, graft.pdcm.PdcmEntities.registry(),
+        graft.pdcm.PdcmEntities.sources(s, work))
+        .run(Seq("search_index"))("search_index")
+      si.select(
+        col("external_model_id"), col("data_source"),
+        col("patient_id"), col("patient_sex"), col("patient_history"),
+        col("patient_ethnicity"),
+        col("patient_age_at_initial_diagnosis"),
+        col("patient_age_category"), col("patient_age"),
+        col("patient_sample_id"), col("primary_site"), col("collection_site"),
+        col("tumour_type"), col("cancer_stage"), col("cancer_grade"),
+        col("histology"),
+        array_join(col("search_terms"), "|").as("search_terms"),
+        col("cancer_system"),
+        array_join(col("dataset_available"), "|").as("dataset_available"),
+        col("data_score"), col("metadata_score"),
+        col("provider_name"), col("project_name"),
+        col("license_name"), col("license_url"),
+        col("model_type"), col("model_availability"), col("date_submitted"))
+    }),
+
     "q121_dedup_spans_hash" -> ((s, dir) =>
       // The 100 TB shuffle shape of q118: grams grouped by their
       // xxhash64 (8-byte shuffle keys instead of 20-char strings) under
@@ -2140,6 +2177,231 @@ object SparkEntry {
              AS token_ids
          FROM toks t LEFT JOIN vocab v ON t.token = v.token
          GROUP BY t.doc_id""",
+    // End-to-end registry replay: the whole raw→search_index chain in
+    // SQL over the SAME staged fixture files the engine reads —
+    // TSV/YAML via read_csv, mapping rules via read_json_auto, the OBO
+    // stanzas via read_text + regex, the ancestor closure via recursive
+    // CTEs (branch roots excluded, like OntologyGraph.branch), and the
+    // display-rename/score arithmetic inline.
+    "q120_search_index_e2e" ->
+      """WITH RECURSIVE
+         raw_patient AS (
+           SELECT patient_id, sex, history, ethnicity, ethnicity_assessment_method,
+                  age_at_initial_diagnosis, initial_diagnosis,
+                  regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/patient.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         raw_sample AS (
+           SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/sample.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         raw_model AS (
+           SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/model.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         raw_sharing AS (
+           SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/sharing.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         raw_mcs AS (
+           SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/molchar_sample.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         raw_mcp AS (
+           SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/molchar_platform.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         src_kv AS (
+           SELECT trim(split_part(line, ':', 1)) AS k,
+                  trim(substr(line, strpos(line, ':') + 1)) AS v,
+                  regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/source.yaml',
+             delim='\t', quote='', header=false, all_varchar=true, filename=true,
+             names=['line'])),
+         raw_source AS (
+           SELECT data_source,
+             max(CASE WHEN k = 'provider_name' THEN v END) AS provider_name,
+             max(CASE WHEN k = 'project' THEN v END) AS project
+           FROM src_kv GROUP BY data_source),
+         rules AS (
+           SELECT lower(trim(m.data_source)) AS r_ds, lower(trim(m.diagnosis)) AS r_diag,
+                  lower(trim(m.primary_site)) AS r_site, lower(trim(m.tumour_type)) AS r_tt,
+                  m.mapped_term_id
+           FROM (SELECT unnest(mappings) AS m
+                 FROM read_json_auto('/root/repo/target/q120_fixtures/diagnosis_mappings.json'))),
+         obo_terms AS (
+           SELECT
+             trim(regexp_extract(stanza_text, '(?m)^\s*id: *([^\n]*)', 1)) AS term_id,
+             trim(regexp_replace(
+               trim(regexp_extract(stanza_text, '(?m)^\s*name: *([^\n]*)', 1)),
+               '\s+', ' ', 'g')) AS term_name,
+             regexp_extract_all(stanza_text, '(?m)^\s*is_a: *([^\n]*)', 1) AS is_a_refs
+           FROM (SELECT unnest(string_split(content, '[Term]')) AS stanza_text
+                 FROM read_text('/root/repo/target/q120_fixtures/ncit.obo'))
+           WHERE regexp_matches(stanza_text, '(?m)^\s*id: ')),
+         obo_edges AS (
+           SELECT term_id AS child, trim(split_part(ref, '!', 1)) AS parent
+           FROM (SELECT term_id, unnest(is_a_refs) AS ref FROM obo_terms)),
+         desc_terms AS (
+           SELECT child AS id FROM obo_edges WHERE parent IN ('NCIT:C3262', 'NCIT:C9305')
+           UNION
+           SELECT e.child FROM obo_edges e, desc_terms d WHERE e.parent = d.id),
+         branch_edges AS (
+           SELECT DISTINCT e.child, e.parent FROM obo_edges e
+           WHERE e.child IN (SELECT id FROM desc_terms)
+             AND e.parent IN (SELECT id FROM desc_terms)),
+         anc AS (
+           SELECT child AS id, parent AS anc FROM branch_edges
+           UNION
+           SELECT a.id, e.parent FROM anc a JOIN branch_edges e ON a.anc = e.child),
+         anc_names AS (
+           SELECT a.id, string_agg(tn.term_name, '|' ORDER BY tn.term_name) AS ancestors
+           FROM (SELECT DISTINCT id, anc FROM anc) a
+           JOIN obo_terms tn ON tn.term_id = a.anc
+           GROUP BY a.id),
+         onto AS (
+           SELECT t.term_id, t.term_name, coalesce(an.ancestors, '') AS ancestors
+           FROM obo_terms t LEFT JOIN anc_names an ON an.id = t.term_id
+           WHERE t.term_id IN (SELECT id FROM desc_terms)),
+         s2o AS (
+           SELECT s.sample_id, s.data_source, o.term_name, o.ancestors,
+             CASE WHEN o.term_name IS NULL THEN NULL
+               ELSE list_transform(
+                 string_split(concat_ws('|', o.term_name, o.ancestors), '|'),
+                 x -> trim(regexp_replace(
+                   CASE WHEN contains(x, 'Malignant')
+                     THEN regexp_replace(x, '(.*)Malignant(.*)Neoplasm(.*)', '\1\2Cancer\3')
+                     ELSE regexp_replace(x, '(.*)Neoplasm(.*)', '\1Cancer\2') END,
+                   '\s+', ' ', 'g'))) END AS display_list
+           FROM raw_sample s
+           LEFT JOIN rules r ON lower(trim(s.data_source)) = r.r_ds
+             AND lower(trim(s.diagnosis)) = r.r_diag
+             AND lower(trim(s.primary_site)) = r.r_site
+             AND lower(trim(s.tumour_type)) = r.r_tt
+           LEFT JOIN onto o ON r.mapped_term_id = o.term_id),
+         datasets AS (
+           SELECT b.sample_id, b.data_source,
+             list_sort(list_distinct(list(
+               coalesce(pl.molecular_characterisation_type, 'unknown')))) AS ds_list
+           FROM (SELECT DISTINCT * FROM raw_mcs) b
+           LEFT JOIN (SELECT DISTINCT platform_id, data_source,
+                        molecular_characterisation_type FROM raw_mcp) pl
+             USING (platform_id, data_source)
+           GROUP BY b.sample_id, b.data_source),
+         model AS (
+           SELECT m.model_id, m.data_source, m.sample_type AS model_type,
+             sh.license AS license_name, sh.model_availability, sh.date_submitted
+           FROM (SELECT DISTINCT model_id, data_source, sample_type FROM raw_model) m
+           LEFT JOIN (SELECT DISTINCT model_id, data_source, license,
+                        model_availability, date_submitted FROM raw_sharing) sh
+             USING (model_id, data_source)),
+         license_dim(license_name, license_url) AS (VALUES
+           ('EMBL-EBI', 'https://www.ebi.ac.uk/about/terms-of-use'),
+           ('CC0', 'https://creativecommons.org/publicdomain/zero/1.0/')),
+         enriched AS (
+           SELECT s.*, p.sex, p.history, p.ethnicity, p.age_at_initial_diagnosis,
+             t.term_name, t.ancestors, d.ds_list, m.model_type, m.license_name,
+             m.model_availability, m.date_submitted, rs.provider_name, rs.project,
+             CASE WHEN t.term_name IS NULL THEN []::VARCHAR[]
+               ELSE list_filter(
+                 list_filter(t.display_list,
+                   (x, i) -> list_position(t.display_list, x) = i),
+                 x -> NOT list_contains(
+                   ['Cancer', 'Cancer by Special Category', 'Cancer by Morphology',
+                    'Cancer by Site'], x))
+               END AS search_terms_list
+           FROM raw_sample s
+           LEFT JOIN raw_patient p USING (patient_id, data_source)
+           LEFT JOIN s2o t USING (sample_id, data_source)
+           LEFT JOIN datasets d USING (sample_id, data_source)
+           LEFT JOIN model m USING (model_id, data_source)
+           LEFT JOIN raw_source rs USING (data_source))
+         SELECT
+           e.model_id AS external_model_id,
+           e.data_source,
+           e.patient_id,
+           lower(trim(replace(e.sex, chr(160), ' '))) AS patient_sex,
+           e.history AS patient_history,
+           CASE WHEN e.ethnicity IS NULL
+               OR lower(trim(replace(e.ethnicity, chr(160), ' ')))
+                 IN ('not provided', 'not collected', '') THEN NULL
+             ELSE e.ethnicity END AS patient_ethnicity,
+           e.age_at_initial_diagnosis AS patient_age_at_initial_diagnosis,
+           CASE WHEN TRY_CAST(trim(replace(e.age_at_initial_diagnosis, chr(160), ' ')) AS DOUBLE) IS NULL THEN NULL
+             WHEN TRY_CAST(trim(replace(e.age_at_initial_diagnosis, chr(160), ' ')) AS DOUBLE) < 2 THEN '0 - 23 months'
+             WHEN TRY_CAST(trim(replace(e.age_at_initial_diagnosis, chr(160), ' ')) AS DOUBLE) < 10 THEN '2 - 9'
+             ELSE concat(
+               CAST(CAST(floor(TRY_CAST(trim(replace(e.age_at_initial_diagnosis, chr(160), ' ')) AS DOUBLE) / 10) * 10 AS INTEGER) AS VARCHAR),
+               ' - ',
+               CAST(CAST(floor(TRY_CAST(trim(replace(e.age_at_initial_diagnosis, chr(160), ' ')) AS DOUBLE) / 10) * 10 + 9 AS INTEGER) AS VARCHAR))
+             END AS patient_age_category,
+           CASE WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) IS NULL THEN NULL
+             WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) < 2 THEN '0 - 23 months'
+             WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) < 10 THEN '2 - 9'
+             ELSE concat(
+               CAST(CAST(floor(TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) / 10) * 10 AS INTEGER) AS VARCHAR),
+               ' - ',
+               CAST(CAST(floor(TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) / 10) * 10 + 9 AS INTEGER) AS VARCHAR))
+             END AS patient_age,
+           e.sample_id AS patient_sample_id,
+           CASE WHEN e.primary_site IS NULL
+               OR lower(trim(replace(e.primary_site, chr(160), ' ')))
+                 IN ('not provided', 'not collected', '') THEN NULL
+             ELSE trim(replace(e.primary_site, chr(160), ' ')) END AS primary_site,
+           e.collection_site,
+           CASE WHEN e.tumour_type IS NULL
+               OR lower(trim(replace(e.tumour_type, chr(160), ' ')))
+                 IN ('not provided', 'not collected', '') THEN NULL
+             ELSE trim(replace(e.tumour_type, chr(160), ' ')) END AS tumour_type,
+           e.stage AS cancer_stage,
+           e.grade AS cancer_grade,
+           trim(regexp_replace(
+             CASE WHEN contains(coalesce(e.term_name, e.diagnosis), 'Malignant')
+               THEN regexp_replace(coalesce(e.term_name, e.diagnosis),
+                 '(.*)Malignant(.*)Neoplasm(.*)', '\1\2Cancer\3')
+               ELSE regexp_replace(coalesce(e.term_name, e.diagnosis),
+                 '(.*)Neoplasm(.*)', '\1Cancer\2') END,
+             '\s+', ' ', 'g')) AS histology,
+           array_to_string(e.search_terms_list, '|') AS search_terms,
+           coalesce(
+             list_filter(
+               ['Breast Cancer', 'Cardiovascular Cancer',
+                'Connective and Soft Tissue Cancer', 'Digestive System Cancer',
+                'Endocrine Cancer', 'Eye Cancer', 'Head and Neck Cancer',
+                'Hematopoietic and Lymphoid System Cancer', 'Nervous System Cancer',
+                'Peritoneal and Retroperitoneal Cancer', 'Reproductive System Cancer',
+                'Respiratory Tract Cancer', 'Thoracic Cancer', 'Skin Cancer',
+                'Urinary System Cancer', 'Unclassified'],
+               x -> list_contains(e.search_terms_list, x))[1],
+             'Unclassified') AS cancer_system,
+           coalesce(array_to_string(e.ds_list, '|'), '') AS dataset_available,
+           CAST(trunc(coalesce(len(e.ds_list), 0) * 100 / 3.0) AS INTEGER) AS data_score,
+           CAST(floor((
+             (CASE WHEN e.diagnosis IS NOT NULL
+                 AND lower(trim(replace(e.diagnosis, chr(160), ' ')))
+                   NOT IN ('not provided', 'not collected', '') THEN 4 ELSE 0 END) +
+             (CASE WHEN e.sex IS NOT NULL
+                 AND lower(trim(replace(e.sex, chr(160), ' ')))
+                   NOT IN ('not provided', 'not collected', '') THEN 2 ELSE 0 END) +
+             (CASE WHEN e.primary_site IS NOT NULL
+                 AND lower(trim(replace(e.primary_site, chr(160), ' ')))
+                   NOT IN ('not provided', 'not collected', '') THEN 2 ELSE 0 END) +
+             (CASE WHEN e.tumour_type IS NOT NULL
+                 AND lower(trim(replace(e.tumour_type, chr(160), ' ')))
+                   NOT IN ('not provided', 'not collected', '') THEN 2 ELSE 0 END)
+             ) * 100.0 / 10) AS INTEGER) AS metadata_score,
+           trim(replace(e.provider_name, chr(160), ' ')) AS provider_name,
+           CASE WHEN e.project IS NULL
+               OR lower(trim(replace(e.project, chr(160), ' ')))
+                 IN ('not provided', 'not collected', '') THEN NULL
+             ELSE trim(replace(e.project, chr(160), ' ')) END AS project_name,
+           e.license_name,
+           ld.license_url,
+           e.model_type,
+           e.model_availability,
+           e.date_submitted
+         FROM enriched e
+         LEFT JOIN license_dim ld ON e.license_name = ld.license_name""",
     // ExactSubstr removal: canonical occurrence via min(struct) (DuckDB
     // orders structs lexicographically like Spark); the kept text is
     // rebuilt char-by-char with a running max over covered span starts
