@@ -193,4 +193,26 @@ class LayoutSpec extends SparkSpec {
         o.join(li, o("o_orderkey") === li("l_orderkey")).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("prepareOnce is a synchronization barrier: one write, losers block") {
+    import graft.sources.Layout
+    val key = s"layout-spec-barrier-${System.nanoTime()}"
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val observed = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Int]())
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        start.await()
+        Layout.prepareOnce(key) { Thread.sleep(100); writes.incrementAndGet() }
+        // After prepareOnce returns, the winner's write MUST be complete —
+        // a loser returning early would read 0 here.
+        observed.add(writes.get())
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(writes.get() == 1)
+    assert(observed.size == 4)
+    observed.forEach(v => assert(v == 1))
+  }
 }
