@@ -666,9 +666,11 @@ object SparkEntry {
       // measure of Lee et al.'s "Deduplicating Training Data", computed
       // the distributed way): every char position starts a 20-gram;
       // positions whose gram recurs in ANOTHER doc are duplicated
-      // coverage. One explode + one gram groupBy + one semi-join — at
-      // 100 TB the gram key would be xxhash64(gram) (8 bytes vs 20+) and
-      // hot grams get the q78 doc-frequency cap; semantics identical.
+      // coverage. One explode + one gram groupBy + one semi-join — the
+      // 100 TB knobs (xxhash64 8-byte gram keys, hot-gram df cap) are
+      // implemented and oracle-proven on the REMOVAL operator
+      // (Dedup.removeDuplicateSpans gramKeyHash/maxDocFreq, q121) and
+      // apply to this measure identically.
       // Plan notes (probe-measured, 15 s -> 2 s at sf0.1): (a) grams come
       // from the one-pass CharGrams kernel — the compositional
       // explode(sequence)+substr form copies the full text into EVERY
@@ -765,7 +767,20 @@ object SparkEntry {
         col("data_score"), col("metadata_score"),
         col("provider_name"), col("project_name"),
         col("license_name"), col("license_url"),
-        col("model_type"), col("model_availability"), col("date_submitted"))
+        col("model_type"), col("model_availability"), col("date_submitted"),
+        // Treatment chain (protocol split -> ontology harmonisation ->
+        // regimen expansion/discovery -> per-model aggregation): the
+        // deepest transform path in the registry, arrays joined for the
+        // comparator. Null (no protocol rows for the model) stays
+        // distinct from '' (protocols present, none harmonised).
+        array_join(col("model_treatments"), "|").as("model_treatments"),
+        array_join(col("model_treatments_responses"), "|")
+          .as("model_treatments_responses"),
+        array_join(col("patient_treatments"), "|").as("patient_treatments"),
+        array_join(col("patient_treatments_responses"), "|")
+          .as("patient_treatments_responses"),
+        array_join(col("custom_treatment_type_list"), "|")
+          .as("custom_treatment_type_list"))
     }),
 
     "q121_dedup_spans_hash" -> ((s, dir) =>
@@ -2215,6 +2230,20 @@ object SparkEntry {
            SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
            FROM read_csv('/root/repo/target/q120_fixtures/*/molchar_platform.tsv',
              delim='\t', header=true, all_varchar=true, filename=true)),
+         raw_dd AS (
+           SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/drug-dosing.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         raw_pt AS (
+           SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/patient-treatment.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         raw_ontolia AS (
+           SELECT trim(split_part(line, '=', 1)) AS regimen_id,
+                  trim(unnest(string_split(split_part(line, '=', 2), ','))) AS comp_id
+           FROM read_csv('/root/repo/target/q120_fixtures/ontolia.txt',
+             delim='\t', quote='', header=false, all_varchar=true, names=['line'])
+           WHERE contains(line, '=')),
          src_kv AS (
            SELECT trim(split_part(line, ':', 1)) AS k,
                   trim(substr(line, strpos(line, ':') + 1)) AS v,
@@ -2267,6 +2296,142 @@ object SparkEntry {
            SELECT t.term_id, t.term_name, coalesce(an.ancestors, '') AS ancestors
            FROM obo_terms t LEFT JOIN anc_names an ON an.id = t.term_id
            WHERE t.term_id IN (SELECT id FROM desc_terms)),
+         desc_treat AS (
+           SELECT child AS id FROM obo_edges WHERE parent IN
+             ('NCIT:C1932', 'NCIT:C1505', 'NCIT:C1913', 'NCIT:C45678', 'NCIT:C1909',
+              'NCIT:C1899', 'NCIT:C15431', 'NCIT:C49236', 'NCIT:C15206', 'NCIT:C26548')
+           UNION
+           SELECT e.child FROM obo_edges e, desc_treat d WHERE e.parent = d.id),
+         branch_edges_treat AS (
+           SELECT DISTINCT e.child, e.parent FROM obo_edges e
+           WHERE e.child IN (SELECT id FROM desc_treat)
+             AND e.parent IN (SELECT id FROM desc_treat)),
+         anc_treat AS (
+           SELECT child AS id, parent AS anc FROM branch_edges_treat
+           UNION
+           SELECT a.id, e.parent FROM anc_treat a JOIN branch_edges_treat e ON a.anc = e.child),
+         onto_treat AS (
+           SELECT t.term_id, t.term_name,
+             coalesce(an.ancestors, '') AS ancestors
+           FROM obo_terms t
+           LEFT JOIN (SELECT a.id, string_agg(tn.term_name, '|' ORDER BY tn.term_name) AS ancestors
+                      FROM (SELECT DISTINCT id, anc FROM anc_treat) a
+                      JOIN obo_terms tn ON tn.term_id = a.anc GROUP BY a.id) an
+             ON an.id = t.term_id
+           WHERE t.term_id IN (SELECT id FROM desc_treat)),
+         desc_reg AS (
+           SELECT child AS id FROM obo_edges WHERE parent IN ('NCIT:C12218')
+           UNION
+           SELECT e.child FROM obo_edges e, desc_reg d WHERE e.parent = d.id),
+         branch_edges_reg AS (
+           SELECT DISTINCT e.child, e.parent FROM obo_edges e
+           WHERE e.child IN (SELECT id FROM desc_reg)
+             AND e.parent IN (SELECT id FROM desc_reg)),
+         anc_reg AS (
+           SELECT child AS id, parent AS anc FROM branch_edges_reg
+           UNION
+           SELECT a.id, e.parent FROM anc_reg a JOIN branch_edges_reg e ON a.anc = e.child),
+         onto_reg AS (
+           SELECT t.term_id, t.term_name,
+             coalesce(an.ancestors, '') AS ancestors
+           FROM obo_terms t
+           LEFT JOIN (SELECT a.id, string_agg(tn.term_name, '|' ORDER BY tn.term_name) AS ancestors
+                      FROM (SELECT DISTINCT id, anc FROM anc_reg) a
+                      JOIN obo_terms tn ON tn.term_id = a.anc GROUP BY a.id) an
+             ON an.id = t.term_id
+           WHERE t.term_id IN (SELECT id FROM desc_reg)),
+         proto_base AS (
+           SELECT model_id AS target_id, 'model' AS target_kind, model_id, data_source,
+                  treatment_name, treatment_dose, treatment_response
+           FROM raw_dd
+           UNION ALL
+           SELECT patient_id, 'patient', model_id, data_source,
+                  treatment_name, treatment_dose, treatment_response
+           FROM raw_pt),
+         components AS (
+           SELECT target_id, target_kind, model_id, data_source, treatment_response,
+             concat_ws(chr(30), target_id, target_kind, treatment_name,
+               treatment_dose, data_source) AS protocol_key,
+             trim(unnest(string_split(treatment_name, '+'))) AS comp_name
+           FROM proto_base
+           WHERE len(string_split(treatment_name, '+'))
+               = len(string_split(treatment_dose, '+'))),
+         harmonised AS (
+           SELECT c.protocol_key, o.term_name,
+             list_filter(
+               ['Hormone Therapy', 'Immunotherapy', 'Targeted Therapy',
+                'Chemotherapy', 'Surgery', 'Radiation Therapy'],
+               ty -> len(list_filter(
+                 list_append(string_split(coalesce(o.ancestors, ''), '|'), o.term_name),
+                 a -> CASE ty
+                   WHEN 'Hormone Therapy' THEN contains(lower(a), 'hormone therapy')
+                   WHEN 'Immunotherapy' THEN contains(lower(a), 'cytokine')
+                     OR contains(lower(a), 'immunotherapeutic')
+                     OR contains(lower(a), 'immunomodulatory')
+                   WHEN 'Targeted Therapy' THEN contains(lower(a), 'targeted therapy')
+                     OR contains(lower(a), 'targeting')
+                   WHEN 'Chemotherapy' THEN contains(lower(a), 'chemotherapy')
+                     OR contains(lower(a), 'chemotherapeutic')
+                   WHEN 'Surgery' THEN contains(lower(a), 'surgery')
+                     OR contains(lower(a), 'mammoplasty') OR contains(lower(a), 'ectomy')
+                     OR contains(lower(a), 'biopsy') OR contains(lower(a), 'plasty')
+                   WHEN 'Radiation Therapy' THEN contains(lower(a), 'radiation therapy')
+                   END)) > 0) AS types,
+             o.cls AS class
+           FROM components c
+           JOIN (SELECT term_name, ancestors, 'treatment' AS cls FROM onto_treat
+                 UNION ALL
+                 SELECT term_name, ancestors, 'regimen' FROM onto_reg) o
+             ON lower(trim(replace(c.comp_name, chr(160), ' '))) = lower(o.term_name)),
+         r2t AS (
+           SELECT reg.term_name AS regimen, tr.term_name AS treatment
+           FROM raw_ontolia p
+           JOIN onto_reg reg ON p.regimen_id = reg.term_id
+           JOIN onto_treat tr ON p.comp_id = tr.term_id),
+         by_protocol AS (
+           SELECT protocol_key, list_sort(list(term_name)) AS treatment_list,
+             list_distinct(flatten(list(types))) AS types
+           FROM harmonised WHERE class = 'treatment' GROUP BY protocol_key),
+         by_regimen AS (
+           SELECT regimen, list(treatment) AS component_list FROM r2t GROUP BY regimen),
+         all_terms AS (
+           SELECT protocol_key, term_name, types, class FROM harmonised
+           UNION ALL
+           SELECT h.protocol_key, r.treatment, h.types, NULL
+           FROM harmonised h JOIN r2t r ON h.term_name = r.regimen
+           WHERE h.class = 'regimen'
+           UNION ALL
+           SELECT bp.protocol_key, br.regimen, bp.types, NULL
+           FROM by_protocol bp JOIN by_regimen br
+             ON list_sort(bp.treatment_list) = list_sort(br.component_list)),
+         proto AS (
+           SELECT DISTINCT protocol_key, model_id, data_source, target_kind,
+             treatment_response
+           FROM components),
+         tbm_grouped AS (
+           SELECT model_id, data_source, target_kind,
+             list_sort(list_distinct(coalesce(list(lower(term_name))
+               FILTER (WHERE term_name IS NOT NULL), []))) AS treatments,
+             list_sort(list_distinct(flatten(coalesce(list(types)
+               FILTER (WHERE types IS NOT NULL), [])))) AS types,
+             list_sort(list_distinct(coalesce(list(treatment_response)
+               FILTER (WHERE treatment_response IS NOT NULL), []))) AS responses
+           FROM (SELECT DISTINCT p.model_id, p.data_source, p.target_kind,
+                   p.treatment_response, a.term_name, a.types, a.class
+                 FROM proto p LEFT JOIN all_terms a USING (protocol_key))
+           GROUP BY model_id, data_source, target_kind),
+         tbm AS (
+           SELECT coalesce(m.model_id, p.model_id) AS model_id,
+             coalesce(m.data_source, p.data_source) AS data_source,
+             m.treatments AS model_treatments,
+             m.responses AS model_treatments_responses,
+             p.treatments AS patient_treatments,
+             p.responses AS patient_treatments_responses,
+             list_sort(list_distinct(coalesce(m.types, []) || coalesce(p.types, [])))
+               AS treatment_types
+           FROM (SELECT * FROM tbm_grouped WHERE target_kind = 'model') m
+           FULL OUTER JOIN (SELECT * FROM tbm_grouped WHERE target_kind = 'patient') p
+             ON m.model_id = p.model_id AND m.data_source = p.data_source),
          s2o AS (
            SELECT s.sample_id, s.data_source, o.term_name, o.ancestors,
              CASE WHEN o.term_name IS NULL THEN NULL
@@ -2366,7 +2531,7 @@ object SparkEntry {
                ELSE regexp_replace(coalesce(e.term_name, e.diagnosis),
                  '(.*)Neoplasm(.*)', '\1Cancer\2') END,
              '\s+', ' ', 'g')) AS histology,
-           array_to_string(e.search_terms_list, '|') AS search_terms,
+           coalesce(array_to_string(e.search_terms_list, '|'), '') AS search_terms,
            coalesce(
              list_filter(
                ['Breast Cancer', 'Cardiovascular Cancer',
@@ -2403,9 +2568,26 @@ object SparkEntry {
            ld.license_url,
            e.model_type,
            e.model_availability,
-           e.date_submitted
+           e.date_submitted,
+           CASE WHEN tb.model_treatments IS NULL THEN NULL
+             ELSE coalesce(array_to_string(tb.model_treatments, '|'), '') END
+             AS model_treatments,
+           CASE WHEN tb.model_treatments_responses IS NULL THEN NULL
+             ELSE coalesce(array_to_string(tb.model_treatments_responses, '|'), '') END
+             AS model_treatments_responses,
+           CASE WHEN tb.patient_treatments IS NULL THEN NULL
+             ELSE coalesce(array_to_string(tb.patient_treatments, '|'), '') END
+             AS patient_treatments,
+           CASE WHEN tb.patient_treatments_responses IS NULL THEN NULL
+             ELSE coalesce(array_to_string(tb.patient_treatments_responses, '|'), '') END
+             AS patient_treatments_responses,
+           CASE WHEN tb.treatment_types IS NULL THEN NULL
+             ELSE coalesce(array_to_string(tb.treatment_types, '|'), '') END
+             AS custom_treatment_type_list
          FROM enriched e
-         LEFT JOIN license_dim ld ON e.license_name = ld.license_name""",
+         LEFT JOIN license_dim ld ON e.license_name = ld.license_name
+         LEFT JOIN tbm tb ON e.model_id = tb.model_id
+           AND e.data_source = tb.data_source""",
     // ExactSubstr removal: canonical occurrence via min(struct) (DuckDB
     // orders structs lexicographically like Spark); the kept text is
     // rebuilt char-by-char with a running max over covered span starts
