@@ -116,6 +116,7 @@ object Trees {
       .select(col("id").as(idCol), col("children_json"))
 
   private def childrenTreeFrom(m: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = m.sparkSession
     val ids = m.select(col("id").as("known_id"))
     // Child edges whose parent actually exists (dangling parent_id rows
     // are nobody's children, mirroring the reference's join).
@@ -125,9 +126,15 @@ object Trees {
         col("mtype").as("ctype")))
     val childCounts = edges.groupBy(col("parent"))
       .agg(count(lit(1)).as("n_children"))
-    var resolved = pin(m.join(
+    // `resolved` accumulates as the free RDD union of pinned per-round
+    // steps (the Closure pattern) — re-pinning the whole resolved set
+    // every round rewrites O(models) blocks per level.
+    val leaves = pin(m.join(
         childCounts.select(col("parent").as("id")), Seq("id"), "left_anti")
       .select(col("id"), lit(null).cast("string").as("children_json")))
+    var resolvedRdd = leaves.rdd
+    val rSchema = leaves.schema
+    def resolved: DataFrame = spark.createDataFrame(resolvedRdd, rSchema)
     var pending = pin(m.join(childCounts, col("id") === col("parent"))
       .select(col("id"), col("n_children")))
     var round = 0
@@ -155,7 +162,7 @@ object Trees {
       if (step.isEmpty) round = maxRounds // cycle remainder: bail
       else {
         pending = pin(pending.join(step.select(col("id")), Seq("id"), "left_anti"))
-        resolved = pin(resolved.union(step))
+        resolvedRdd = resolvedRdd.union(step.rdd)
         round += 1
       }
     }
@@ -194,11 +201,18 @@ object Trees {
   def reachableEdges(
       edges: DataFrame, roots: DataFrame, rootCol: String,
       maxRounds: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
     val e = pin(edges.select(col("src"), col("dst"), col("label")))
     val r0 = roots.select(col(rootCol).as("root"))
-    var acc = pin(r0.join(e, col("root") === col("src"))
+    var frontier = pin(r0.join(e, col("root") === col("src"))
       .select(col("root"), col("src"), col("dst"), col("label")))
-    var frontier = acc
+    // Accumulator as the free RDD union of already-pinned per-round
+    // DELTAS (the Closure.transitiveClosure pattern): re-checkpointing
+    // the whole accumulated set every round rewrites O(reachable) blocks
+    // per level for nothing.
+    var accRdd = frontier.rdd
+    val schema = frontier.schema
+    def acc: DataFrame = spark.createDataFrame(accRdd, schema)
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       val f = frontier.select(col("root").as("f_root"), col("dst").as("f_dst"))
@@ -208,7 +222,7 @@ object Trees {
         .dropDuplicates()
         .join(acc, Seq("root", "src", "dst", "label"), "left_anti"))
       frontier = next
-      if (!next.isEmpty) acc = pin(acc.union(next))
+      if (!next.isEmpty) accRdd = accRdd.union(next.rdd)
       round += 1
     }
     acc
