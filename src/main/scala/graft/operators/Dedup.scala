@@ -157,9 +157,13 @@ object Dedup {
           Seq("b"))
         .groupBy(col("a").as("vertex"))
         .agg(min(col("nb_label")).as("nbr_min"))
-      val relaxed = labels.join(nbrMin, Seq("vertex"), "left")
-        .select(col("vertex"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
+      // The round's starting label rides along as `old`, so convergence
+      // is a filter on the already-pinned result — no extra join against
+      // the previous labels per round.
+      val relaxed = labels.select(col("vertex"), col("component").as("old"))
+        .join(nbrMin, Seq("vertex"), "left")
+        .select(col("vertex"), col("old"),
+          least(col("old"), coalesce(col("nbr_min"), col("old")))
             .as("component"))
       // Pointer jump: label(v) ← label(label(v)). Together with the
       // neighbor-min relax this converges in O(log diameter) rounds.
@@ -167,14 +171,12 @@ object Dedup {
         col("vertex").as("c_vertex"), col("component").as("c_component"))
       val updated = pin(relaxed
         .join(lookup, col("component") === col("c_vertex"), "left")
-        .select(col("vertex"),
+        .select(col("vertex"), col("old"),
           least(col("component"), coalesce(col("c_component"), col("component")))
             .as("component")))
-      changed = updated
-        .join(labels.withColumnRenamed("component", "old"), Seq("vertex"))
-        .filter(col("component") =!= col("old"))
+      changed = updated.filter(col("component") =!= col("old"))
         .limit(1).count() > 0
-      labels = updated
+      labels = updated.select(col("vertex"), col("component"))
       round += 1
     }
     labels
