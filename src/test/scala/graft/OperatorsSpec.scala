@@ -59,6 +59,31 @@ class OperatorsSpec extends SparkSpec {
     assert(run(Some(3)) == run(None))
   }
 
+  test("jaccardJoin: complete vs brute force over random corpora/thresholds") {
+    // The PPJoin prefix filter must drop NO qualifying pair at ANY
+    // threshold — property-checked against all-pairs Jaccard on random
+    // token sets (small vocabulary forces heavy overlap, the hard case
+    // for prefix filtering).
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'j').map(_.toString)
+    def corpus() = (1L to 30L).map { id =>
+      (id, rnd.shuffle(vocab).take(2 + rnd.nextInt(6)).toSeq)
+    }
+    for (((tNum, tDen), docsSeq) <- Seq((1, 2), (2, 3), (4, 5), (1, 1))
+           .map(t => t -> corpus())) {
+      val docs = docsSeq.toDF("id", "toks")
+      val got = Dedup.jaccardJoin(docs, "id", "toks", tNum, tDen)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sets = docsSeq.map { case (id, ts) => id -> ts.toSet }
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size; uni = (sa | sb).size
+        if inter.toLong * tDen >= uni.toLong * tNum
+      } yield (a, b)).toSet
+      assert(got == want, s"t=$tNum/$tDen")
+    }
+  }
+
   test("removeDuplicateSpans: gramLen sweep matches a local reference") {
     // Property-style check of the span fold (the off-by-one class the
     // merge invites) against an independent in-memory implementation,
