@@ -793,6 +793,16 @@ object SparkEntry {
         tbl(s, dir, "documents"), "doc_id", "text", gramLen = 20,
         gramKeyHash = true, maxDocFreq = Some(1000000))),
 
+    "q122_semantic_dedup" -> ((s, dir) =>
+      // SemDeDup over the embedding table: deterministic 2-iteration
+      // Lloyd k-means (8 cells, seeds = lowest-id vectors, per-iteration
+      // centroid means rounded to 6 dp so both engines land on the same
+      // grid), then within-cell cosine >= 0.42 against a lower-id member
+      // marks a semantic duplicate. See Dedup.semanticDedup for the
+      // determinism contract and the 100 TB shuffle shape.
+      Dedup.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 8, lloydIters = 2, simThreshold = 0.42)),
+
     "q97_zorder_box" -> ((s, dir) => {
       // Z-order clustered layout + 2-D box probe: both user_id and value
       // stay locally clustered on the Morton curve, so the box touches a
@@ -1919,6 +1929,53 @@ object SparkEntry {
        SELECT vec_id, cell, round(cos, 4) AS cosine_sim FROM scored
        ORDER BY cos DESC, vec_id LIMIT 10"""
 
+  /** q122 oracle building blocks: one Lloyd assignment (argmin of
+    * `-2·dot + |c|²` over the centroid table, ties toward the lower
+    * cell — the exact [[graft.operators.Ivf.assignCell]] order) and one
+    * centroid update (per-dimension mean rounded to 6 dp; an emptied
+    * cell keeps its previous centroid). Unrolled once per iteration —
+    * SQL has no loop, and the fixed iteration count IS the determinism
+    * contract (see Dedup.semanticDedup).
+    */
+  private def semAssignSql(cents: String, out: String): String =
+    s"""$out AS (SELECT vec_id, cell FROM (
+          SELECT e.vec_id, ct.cell, row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY -2 * list_sum(list_transform(range(1, 65), i -> e.v[i]*ct.c[i]))
+              + list_sum(list_transform(range(1, 65), i -> ct.c[i]*ct.c[i])), ct.cell) AS rn
+          FROM ev e CROSS JOIN $cents ct) WHERE rn = 1)"""
+
+  private def semStepSql(assign: String, prev: String, m: String, next: String): String =
+    s"""$m AS (SELECT a.cell, t.i, round(avg(e.v[t.i]), 6) AS m
+          FROM $assign a JOIN ev e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+          GROUP BY a.cell, t.i),
+        $next AS (SELECT p.cell, coalesce(n.c, p.c) AS c
+          FROM $prev p LEFT JOIN (SELECT cell, list(m ORDER BY i) AS c
+            FROM $m GROUP BY cell) n USING (cell))"""
+
+  private val semanticDedupSql: String =
+    s"""WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+         FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 8) s),
+       ${semAssignSql("c0", "a1")},
+       ${semStepSql("a1", "c0", "m1", "c1")},
+       ${semAssignSql("c1", "a2")},
+       ${semStepSql("a2", "c1", "m2", "c2")},
+       ${semAssignSql("c2", "af")},
+       pr AS (SELECT id_b AS id, min(id_a) AS dup_of FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, 65), i -> ea.v[i]*eb.v[i])) AS dp,
+             sqrt(list_sum(list_transform(range(1, 65), i -> ea.v[i]*ea.v[i]))) AS na,
+             sqrt(list_sum(list_transform(range(1, 65), i -> eb.v[i]*eb.v[i]))) AS nb
+           FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN ev ea ON ea.vec_id = a.vec_id
+           JOIN ev eb ON eb.vec_id = b.vec_id)
+         WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp/(na*nb) END)
+           >= CAST(0.42 AS DOUBLE)
+         GROUP BY id_b)
+       SELECT e.vec_id, af.cell, p.dup_of, p.dup_of IS NOT NULL AS removed
+       FROM ev e JOIN af USING (vec_id) LEFT JOIN pr p ON p.id = e.vec_id"""
+
   private val cosineSqlBody =
     """list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*qv[i]))
        / (sqrt(list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*ev[i])))
@@ -2903,6 +2960,7 @@ object SparkEntry {
          SELECT id_a, id_b, inter, nsum - inter AS uni
          FROM p WHERE inter * 9 >= nsum * 4""",
     "q67_ivf_search" -> ivfSearchSql,
+    "q122_semantic_dedup" -> semanticDedupSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
     "q78_contamination" ->

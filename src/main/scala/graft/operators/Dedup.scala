@@ -373,6 +373,87 @@ object Dedup {
     out
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space, then inside
+    * each cluster mark every vector whose cosine similarity to a
+    * lower-id member is at least `simThreshold` as a semantic duplicate
+    * of that member. Returns one row per input vector:
+    * (idCol, cell, dup_of, removed) — `dup_of` = the smallest same-cell
+    * id it duplicates (null for survivors), `removed` = dup_of IS NOT
+    * NULL. Complements the lexical family above: exact/MinHash/SimHash
+    * find REWORDING-free copies; this finds paraphrases that share an
+    * embedding neighborhood.
+    *
+    * Determinism contract (the oracle gate): k-means is Lloyd with
+    * deterministic seeds (the `nCells` lowest-id vectors) and a FIXED
+    * iteration count, and each iteration's centroid means are rounded
+    * to 6 decimals — engine-side (`round(avg(x), 6)`), so the
+    * sum-order ulp wobble of a distributed mean collapses onto a grid
+    * both engines agree on. Assignment scores and pairwise cosines are
+    * then pure sequential folds over bit-identical doubles
+    * ([[graft.plans.DotProduct]] / DuckDB `list_sum`), so cell ids and
+    * the `>= simThreshold` verdicts are exactly reproducible.
+    *
+    * Scale design (100 TB): per-iteration work is one codegen'd
+    * assignment scan plus one groupBy(cell) with `dim` map-side-combined
+    * `avg` columns — the shuffle carries k×dim partials per partition,
+    * NOT n×dim exploded rows, and only the k×dim centroid table ever
+    * reaches the driver. The dedup step is an equi-join on `cell`
+    * (shuffled hash join — no cross product); its within-cell
+    * quadratic cost is bounded by choosing `nCells` proportional to
+    * corpus size (SemDeDup's own knob), and the per-pair verify is one
+    * codegen'd dot product. The source scan is persisted across the
+    * `lloydIters + 1` passes and released before return.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      lloydIters: Int,
+      simThreshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    val base = embeddings
+      .select(col(idCol).as("id"), Vectors.toDoubleVec(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    // Seeds: the nCells lowest-id vectors (a deterministic, replayable
+    // choice — k-means++ would sharpen clusters but costs determinism).
+    var cents: Seq[Seq[Double]] = base.orderBy(col("id")).limit(nCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 1 to lloydIters) {
+      val assigned = base.withColumn("cell", Ivf.assignCell(col("v"), cents))
+      val meanCols = (1 to dim).map(i =>
+        round(avg(element_at(col("v"), i)), 6).as(s"m$i"))
+      val rows = assigned.groupBy(col("cell"))
+        .agg(meanCols.head, meanCols.tail: _*)
+        .collect()
+      val byCell = rows.map(r => r.getLong(0) -> r).toMap
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        byCell.get(c.toLong)
+          .map(r => (1 to dim).map(r.getDouble): Seq[Double])
+          .getOrElse(prev) // an emptied cell keeps its previous centroid
+      }
+    }
+    val indexed = base.withColumn("cell", Ivf.assignCell(col("v"), cents))
+    val lhs = indexed.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val rhs = indexed.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    val dups = lhs.join(rhs, Seq("cell"))
+      .filter(col("id_a") < col("id_b") &&
+        Vectors.cosine(col("va"), col("vb")) >= simThreshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    val out = indexed.join(dups, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"), col("dup_of"),
+        col("dup_of").isNotNull.as("removed"))
+    // The persist exists for the iteration loop's repeated scans; the
+    // final (lazy) plan recomputes from source rather than holding a
+    // corpus-sized cache past return (the jaccardJoin leak lesson).
+    base.unpersist(blocking = false)
+    out
+  }
+
   /** Incremental ingestion dedup: keep only incoming docs whose bag
     * fingerprint does not already exist in the corpus — the shape a
     * rolling 100 TB pipeline runs per shard. The corpus side reduces to

@@ -84,6 +84,67 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup matches an in-memory Lloyd + cosine reference") {
+    // Three well-separated clusters plus three planted near-copies
+    // (cos ~ 0.99995 to their originals); cluster-mates sit far below
+    // the 0.99 threshold, so every verdict has wide float margin. The
+    // reference mirrors the operator's determinism contract exactly:
+    // lowest-id seeds, argmin(-2·dot + |c|²) with ties to the lower
+    // cell, per-iteration means rounded HALF_UP to 6 dp, empty cells
+    // keeping their previous centroid.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = (0 until 3).map { c =>
+      Array.tabulate(dim)(d => if (d == c) 2.0 else 0.0)
+    }
+    val originals = (0 until 57).map { i =>
+      i.toLong -> centers(i % 3).map(c => c + (rnd.nextDouble() - 0.5) * 4.0)
+    }
+    val copies = (0 until 3).map { i =>
+      (57 + i).toLong -> originals(i)._2.map(x => x * 1.01 + 1e-4)
+    }
+    val all = originals ++ copies
+    val docs = all.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def round6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val doubled = all.map { case (id, v) => id -> v.map(_.toFloat.toDouble) }
+    val nCells = 4
+    var cents = doubled.sortBy(_._1).take(nCells).map(_._2)
+    def assign(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) => (-2 * dot(v, c) + dot(c, c), i) }.min._2
+    for (_ <- 1 to 2) {
+      val byCell = doubled.groupBy { case (_, v) => assign(v) }
+      cents = cents.zipWithIndex.map { case (prev, c) =>
+        byCell.get(c).fold(prev) { members =>
+          val n = members.size
+          prev.indices.map(d =>
+            round6(members.map(_._2(d)).sum / n)).toArray
+        }
+      }
+    }
+    val cells = doubled.map { case (id, v) => id -> assign(v) }.toMap
+    val want = doubled.map { case (id, v) =>
+      val dupOf = doubled
+        .filter { case (oid, ov) =>
+          oid < id && cells(oid) == cells(id) &&
+            dot(ov, v) / (math.sqrt(dot(ov, ov)) * math.sqrt(dot(v, v))) >= 0.99
+        }
+        .map(_._1).sorted.headOption
+      (id, cells(id).toLong, dupOf, dupOf.isDefined)
+    }.sortBy(_._1)
+    val got = Dedup.semanticDedup(docs, "vec_id", "embedding",
+        nCells = nCells, lloydIters = 2, simThreshold = 0.99)
+      .orderBy("vec_id").as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got == want)
+    assert(want.count(_._4) == 3) // exactly the planted copies fall
+  }
+
   test("removeDuplicateSpans: gramLen sweep matches a local reference") {
     // Property-style check of the span fold (the off-by-one class the
     // merge invites) against an independent in-memory implementation,
