@@ -803,6 +803,74 @@ object SparkEntry {
       Dedup.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         nCells = 8, lloydIters = 2, simThreshold = 0.42)),
 
+    "q123_bm25" -> ((s, dir) => {
+      // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query
+      // — the retrieval primitive a training-data pipeline uses for
+      // benchmark-decontamination lookups and RAG corpus probes.
+      // Scale shape: the term filter runs BEFORE the (doc, term) shuffle,
+      // so tf aggregation carries query-term tokens only (matching docs ×
+      // |q| rows, not the corpus token stream); doc length is a
+      // scan-local projection feeding one corpus-stats row; df and stats
+      // broadcast back onto tf; the final top-10 is TakeOrderedAndProject,
+      // never a global sort. Determinism: per-term components rounded to
+      // 6 dp, then summed in term order via an ordered fold
+      // (array_sort(collect_list) → aggregate), mirroring DuckDB
+      // list_sum(list(... ORDER BY term)) — same grid, same fold order
+      // (the q87 ratio-IDF lesson extended to ln via rounding; the idf
+      // argument is > 1, so scores are positive and no-match docs can
+      // never reach the top 10).
+      val qTerms = Seq("spark", "merge", "window")
+      val docs = tbl(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+      val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val tf = toks
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val comp = round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+      tf.join(broadcast(df_), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          struct(col("term").as("term"), comp.as("comp")).as("tc"))
+        .groupBy(col("doc_id"))
+        .agg(aggregate(array_sort(collect_list(col("tc"))), lit(0.0),
+          (acc, x) => acc + x.getField("comp")).as("sc"))
+        .select(col("doc_id"), round(col("sc"), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    "q124_dedup_survivors" -> ((s, dir) => {
+      // Quality-aware near-dup survivor selection — the policy step after
+      // q72's clustering: keep the HIGHEST-quality member of each near-dup
+      // component (ties → lowest doc_id), the choice a curation pipeline
+      // applies before dropping the rest. Components come from the
+      // LSH-bucketed pair graph (candidate-bounded, never all-pairs);
+      // quality is the q36 score joined by id; the survivor argmax is a
+      // min(struct(-quality, id)) partial agg — map-side combinable, no
+      // window, no sort, so the shuffle carries one row per component.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+        nPlanes = 4, dim = dim, threshold = 0.3).select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val qual = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        Text.qualityScore(col("text"), Text.tokens(col("text"))).as("q"))
+      cc.join(qual, cc("vertex") === qual("doc_id"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-col("q")).as("nq"), col("doc_id").as("id"))).as("m"))
+        .select(col("component"), col("m.id").as("survivor_doc_id"),
+          col("n_members"), (-col("m.nq")).as("survivor_quality"))
+    }),
+
     "q97_zorder_box" -> ((s, dir) => {
       // Z-order clustered layout + 2-D box probe: both user_id and value
       // stay locally clustered on the Morton curve, so the box touches a
@@ -1976,6 +2044,52 @@ object SparkEntry {
        SELECT e.vec_id, af.cell, p.dup_of, p.dup_of IS NOT NULL AS removed
        FROM ev e JOIN af USING (vec_id) LEFT JOIN pr p ON p.id = e.vec_id"""
 
+  /** q123 oracle: same tokenize → tf/df/dl/avgdl → BM25 component →
+    * ordered-fold sum pipeline as the Spark side; components rounded to
+    * 6 dp before the term-ordered list_sum so both engines fold the same
+    * grid in the same order (see the q123 scaladoc in `queries`).
+    */
+  private val bm25Sql: String =
+    """WITH toks AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+         FROM documents),
+       dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       comp AS (SELECT t.doc_id, t.term,
+           round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+             (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS comp
+         FROM tf t JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+       SELECT doc_id, round(list_sum(list(comp ORDER BY term)), 4) AS bm25
+       FROM comp GROUP BY doc_id
+       ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
+  /** q124 oracle: q72's recursive-CTE connected components over the
+    * LSH-bucketed pair graph, joined to the q36 quality score, with the
+    * survivor argmax as the same min-of-struct idiom the engine uses.
+    */
+  private def dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       cc AS (SELECT a AS vertex, least(a, min(b)) AS component
+              FROM reach GROUP BY a),
+       qual AS ($qualitySql),
+       j AS (SELECT cc.component, cc.vertex AS doc_id, q.quality_score AS q
+             FROM cc JOIN qual q ON q.doc_id = cc.vertex),
+       m AS (SELECT component, count(*) AS n_members,
+               min({'nq': -q, 'id': doc_id}) AS ms
+             FROM j GROUP BY component)
+       SELECT component, struct_extract(ms, 'id') AS survivor_doc_id,
+         n_members, -struct_extract(ms, 'nq') AS survivor_quality
+       FROM m"""
+
   private val cosineSqlBody =
     """list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*qv[i]))
        / (sqrt(list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*ev[i])))
@@ -2961,6 +3075,8 @@ object SparkEntry {
          FROM p WHERE inter * 9 >= nsum * 4""",
     "q67_ivf_search" -> ivfSearchSql,
     "q122_semantic_dedup" -> semanticDedupSql,
+    "q123_bm25" -> bm25Sql,
+    "q124_dedup_survivors" -> dedupSurvivorsSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
     "q78_contamination" ->

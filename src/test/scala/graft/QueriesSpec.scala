@@ -21,4 +21,36 @@ class QueriesSpec extends SparkSpec {
     // (deterministic hyperplanes/centroids).
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
+
+  test("q123 BM25 matches an in-memory reference") {
+    // Independent recomputation of the whole BM25 pipeline (tokenize,
+    // tf/df/dl/avgdl, 6-dp component grid, term-ordered fold, top-10)
+    // mirroring the query's determinism contract exactly.
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val qTerms = Seq("merge", "spark", "window") // term-sorted fold order
+    def r(x: Double, n: Int): Double =
+      BigDecimal.valueOf(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val nDocs = toks.size
+    val avgdl = toks.map(_._2.size.toLong).sum.toDouble / nDocs
+    val dl = toks.map { case (id, w) => id -> w.size }.toMap
+    val tf = toks
+      .flatMap { case (id, w) => w.filter(qTerms.contains).map((id, _)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size }
+    val df = tf.keySet.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    val want = tf.keySet.map(_._1).toSeq.sorted.map { id =>
+      val score = qTerms.flatMap { t =>
+        tf.get((id, t)).map { n =>
+          val idf = math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+          r(idf * (n * 2.2) / (n + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)), 6)
+        }
+      }.foldLeft(0.0)(_ + _)
+      id -> r(score, 4)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = SparkEntry.queries("q123_bm25")(spark, sfDir)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
 }
