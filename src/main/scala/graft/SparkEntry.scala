@@ -822,12 +822,19 @@ object SparkEntry {
       val qTerms = Seq("spark", "merge", "window")
       val docs = tbl(s, dir, "documents")
       val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      // dl feeds BOTH the corpus stats and the scoring join, and tf
+      // feeds BOTH df and the join — pin each (the q87 rule for
+      // multiply-referenced subtrees), so the corpus text is scanned
+      // exactly twice and each pinned frame is doc-count-sized
+      // (two ints / a few matched terms per doc, not the token stream).
       val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+        .localCheckpoint()
       val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
       val tf = toks
         .select(col("doc_id"), explode(col("toks")).as("term"))
         .filter(col("term").isin(qTerms: _*))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val comp = round(
         log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
@@ -844,6 +851,72 @@ object SparkEntry {
         .select(col("doc_id"), round(col("sc"), 4).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    "q125_perplexity_filter" -> ((s, dir) => {
+      // CCNet-style perplexity quality filter with a corpus unigram LM
+      // as the deterministic stand-in for KenLM: p(t) = cnt(t)/total,
+      // doc score = mean over positions of -ln p(token), keep = score
+      // below threshold (the high-perplexity tail is the noise a
+      // curation pipeline drops). Scale shape: ONE corpus scan feeds the
+      // pinned (doc, pos, term) stream; the LM is a vocab-sized partial
+      // agg of it, joined back BY TERM (Catalyst broadcasts while the LM
+      // fits, shuffles when the vocabulary outgrows it); per-doc order
+      // is restored by sorting (pos, lp) structs — no window touches the
+      // token stream. Determinism: -ln p on a 6-dp grid, summed in
+      // position order via the same ordered fold as q123.
+      val pos = tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+        .localCheckpoint()
+      val lm = pos.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = lm.agg(sum(col("cnt")).as("total"))
+      val lp = lm.crossJoin(broadcast(total)).select(col("term"),
+        round(-log(col("cnt").cast("double") / col("total")), 6).as("lp"))
+      pos.join(lp, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            lit(0.0), (a, x) => a + x.getField("lp")).as("nll"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nll") / col("n_tokens"), 4).as("avg_neg_logp"),
+          (col("nll") / col("n_tokens") <= lit(3.45)).as("keep"))
+    }),
+
+    "q126_pmi_collocations" -> ((s, dir) => {
+      // PMI collocation mining (phrase discovery over the corpus):
+      // pmi(a,b) = ln(p(ab) / (p(a)·p(b))) over adjacent token pairs,
+      // top-20 by PMI among pairs seen >= 5 times. Scale shape: two
+      // corpus scans (unigram explode; shingle explode), each collapsing
+      // scan-locally into a vocab-/pair-type-sized partial agg before
+      // any join; both count tables are pinned once (multiply
+      // referenced: totals + join legs) and the PMI joins run between
+      // dictionary-sized frames that Catalyst broadcasts. The top-20 is
+      // TakeOrderedAndProject. Determinism: one round(ln(ratio of exact
+      // counts), 4) per pair — no float accumulation at all.
+      val docs = tbl(s, dir, "documents")
+      val uni = docs.select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val biAll = docs.select(
+          explode(Text.wordShingles(Text.tokens(col("text")), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt_ab"))
+        .localCheckpoint()
+      val totU = uni.agg(sum(col("cnt")).as("tot_u"))
+      val totB = biAll.agg(sum(col("cnt_ab")).as("tot_b"))
+      val ua = uni.select(col("tok").as("wa"), col("cnt").as("cnt_a"))
+      val ub = uni.select(col("tok").as("wb"), col("cnt").as("cnt_b"))
+      biAll.filter(col("cnt_ab") >= 5)
+        .withColumn("wa", split(col("bigram"), " ").getItem(0))
+        .withColumn("wb", split(col("bigram"), " ").getItem(1))
+        .join(ua, Seq("wa")).join(ub, Seq("wb"))
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .select(col("bigram"), col("cnt_ab"),
+          round(log((col("cnt_ab").cast("double") / col("tot_b")) /
+            ((col("cnt_a").cast("double") / col("tot_u")) *
+             (col("cnt_b").cast("double") / col("tot_u")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(20)
     }),
 
     "q124_dedup_survivors" -> ((s, dir) => {
@@ -2066,6 +2139,50 @@ object SparkEntry {
        FROM comp GROUP BY doc_id
        ORDER BY bm25 DESC, doc_id LIMIT 10"""
 
+  /** q125 oracle: same unigram-LM pipeline; the per-position fold reuses
+    * the q119 position idiom (generate_subscripts) and the q123 ordered
+    * list_sum so both engines sum the 6-dp grid in position order.
+    */
+  private val perplexityFilterSql: String =
+    """WITH pos AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+           generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+         FROM documents),
+       lm AS (SELECT term, count(*) AS cnt FROM pos GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+       lp AS (SELECT term, round(-ln(CAST(cnt AS DOUBLE) / total), 6) AS lp
+         FROM lm CROSS JOIN tot),
+       sc AS (SELECT doc_id, count(*) AS n_tokens,
+           list_sum(list(lp ORDER BY pos)) AS nll
+         FROM pos JOIN lp USING (term) GROUP BY doc_id)
+       SELECT doc_id, n_tokens, round(nll / n_tokens, 4) AS avg_neg_logp,
+         nll / n_tokens <= 3.45 AS keep
+       FROM sc"""
+
+  /** q126 oracle: unigram and adjacent-bigram counts, PMI as one
+    * round(ln(ratio-of-exact-counts), 4), top-20 by (pmi desc, bigram).
+    */
+  private val pmiCollocationsSql: String =
+    """WITH tk AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       uc AS (SELECT tok, count(*) AS cnt
+         FROM (SELECT unnest(w) AS tok FROM tk) GROUP BY 1),
+       bc AS (SELECT bigram, count(*) AS cnt_ab
+         FROM (SELECT unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS bigram FROM tk) GROUP BY 1),
+       tu AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot_u FROM uc),
+       tb AS (SELECT CAST(sum(cnt_ab) AS BIGINT) AS tot_b FROM bc)
+       SELECT b.bigram, b.cnt_ab,
+         round(ln((CAST(b.cnt_ab AS DOUBLE) / tot_b) /
+           ((CAST(a.cnt AS DOUBLE) / tot_u) * (CAST(c.cnt AS DOUBLE) / tot_u))), 4)
+           AS pmi
+       FROM bc b
+       JOIN uc a ON a.tok = string_split(b.bigram, ' ')[1]
+       JOIN uc c ON c.tok = string_split(b.bigram, ' ')[2]
+       CROSS JOIN tu CROSS JOIN tb
+       WHERE b.cnt_ab >= 5
+       ORDER BY pmi DESC, bigram LIMIT 20"""
+
   /** q124 oracle: q72's recursive-CTE connected components over the
     * LSH-bucketed pair graph, joined to the q36 quality score, with the
     * survivor argmax as the same min-of-struct idiom the engine uses.
@@ -3077,6 +3194,8 @@ object SparkEntry {
     "q122_semantic_dedup" -> semanticDedupSql,
     "q123_bm25" -> bm25Sql,
     "q124_dedup_survivors" -> dedupSurvivorsSql,
+    "q125_perplexity_filter" -> perplexityFilterSql,
+    "q126_pmi_collocations" -> pmiCollocationsSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
     "q78_contamination" ->
