@@ -53,4 +53,46 @@ class QueriesSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(got == want)
   }
+
+  test("q125 perplexity filter matches an in-memory unigram LM") {
+    import spark.implicits._
+    def r(x: Double, n: Int): Double =
+      BigDecimal.valueOf(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+    val cnt = toks.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val total = cnt.values.map(_.toLong).sum
+    val lp = cnt.map { case (t, c) => t -> r(-math.log(c.toDouble / total), 6) }
+    val want = toks.map { case (id, w) =>
+      val nll = w.map(lp).foldLeft(0.0)(_ + _) // position order
+      (id, w.size.toLong, r(nll / w.size, 4), nll / w.size <= 3.45)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q125_perplexity_filter")(spark, sfDir)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == want)
+    assert(want.exists(_._4) && want.exists(!_._4)) // the threshold splits
+  }
+
+  test("q126 PMI collocations match an in-memory reference") {
+    import spark.implicits._
+    def r(x: Double, n: Int): Double =
+      BigDecimal.valueOf(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val toks = docs.map { case (_, t) => t.trim.split("\\s+").toSeq }
+    val uni = toks.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val bi = toks.flatMap(w => w.zip(w.drop(1)).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val totU = uni.values.map(_.toLong).sum.toDouble
+    val totB = bi.values.map(_.toLong).sum.toDouble
+    val want = bi.toSeq.filter(_._2 >= 5).map { case (g, cab) =>
+      val Array(a, b) = g.split(" ")
+      (g, cab.toLong,
+        r(math.log((cab / totB) / ((uni(a) / totU) * (uni(b) / totU))), 4))
+    }.sortBy { case (g, _, p) => (-p, g) }.take(20)
+    val got = SparkEntry.queries("q126_pmi_collocations")(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
 }
