@@ -899,7 +899,8 @@ object SparkEntry {
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
       val biAll = docs.select(
-          explode(Text.wordShingles(Text.tokens(col("text")), 2)).as("bigram"))
+          explode(graft.plans.TextKernels.wordShinglesNative(col("text"), 2))
+            .as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt_ab"))
         .localCheckpoint()
       val totU = uni.agg(sum(col("cnt")).as("tot_u"))
@@ -942,6 +943,124 @@ object SparkEntry {
           min(struct((-col("q")).as("nq"), col("doc_id").as("id"))).as("m"))
         .select(col("component"), col("m.id").as("survivor_doc_id"),
           col("n_members"), (-col("m.nq")).as("survivor_quality"))
+    }),
+
+    "q127_kl_drift" -> ((s, dir) => {
+      // Domain-distribution drift: KL(source ‖ corpus) over unigram
+      // distributions — the monitoring signal a data-mixing pipeline
+      // watches to spot a source whose token distribution has shifted
+      // away from the blend. Scale shape: ONE corpus scan collapses
+      // scan-locally into a (source, term) partial agg; corpus counts
+      // derive from that frame (no second scan), so everything after the
+      // first shuffle is (sources × vocab)-sized. Source totals are
+      // source-count-sized and broadcast. Determinism: each term's
+      // contribution p_s·ln(p_s/p_c) lands on a 6-dp grid, summed in
+      // term order via the q123 ordered fold (per-group state is the
+      // source's vocabulary, never the token stream).
+      val st = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val corpus = st.groupBy(col("term")).agg(sum(col("cnt")).as("ccnt"))
+      val ctot = corpus.agg(sum(col("ccnt")).as("ctot"))
+      val stot = st.groupBy(col("source")).agg(sum(col("cnt")).as("stot"))
+      val kc = round(
+        (col("cnt").cast("double") / col("stot")) *
+          log((col("cnt").cast("double") / col("stot")) /
+            (col("ccnt").cast("double") / col("ctot"))), 6)
+      st.join(corpus, Seq("term"))
+        .join(broadcast(stot), Seq("source"))
+        .crossJoin(broadcast(ctot))
+        .select(col("source"), col("stot"),
+          struct(col("term"), kc.as("kc")).as("tc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"), max(col("stot")).as("n_tokens"),
+          aggregate(array_sort(collect_list(col("tc"))), lit(0.0),
+            (a, x) => a + x.getField("kc")).as("kl"))
+        .select(col("source"), col("n_terms"), col("n_tokens"),
+          round(col("kl"), 4).as("kl_vs_corpus"))
+    }),
+
+    "q128_vocab_coverage" -> ((s, dir) => {
+      // Tokenizer-vocabulary coverage per source: the fraction of a
+      // source's token stream covered by the top-k corpus vocabulary,
+      // and its OOV rate — the acceptance test run before freezing a
+      // tokenizer. Scale shape: the same (source, term) partial agg as
+      // q127 feeds both legs; the vocabulary is orderBy+limit
+      // (TakeOrderedAndProject — per-partition top-k, merged on the
+      // driver, NEVER a global sort or single-partition window: the
+      // q119 lesson); the dictionary-sized vocab broadcasts back onto
+      // the (source, term) frame. Determinism: one ratio of exact
+      // counts, rounded once.
+      val st = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val vocab = st.groupBy(col("term")).agg(sum(col("cnt")).as("tc"))
+        .orderBy(col("tc").desc, col("term")).limit(10)
+        .select(col("term"), lit(1).as("in_vocab"))
+      st.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          sum(when(col("in_vocab") === 1, col("cnt")).otherwise(lit(0L)))
+            .as("covered"))
+        .select(col("source"), col("n_tokens"),
+          round(col("covered").cast("double") / col("n_tokens"), 6)
+            .as("coverage"),
+          round(lit(1.0) - col("covered").cast("double") / col("n_tokens"), 6)
+            .as("oov_rate"))
+    }),
+
+    "q129_ngram_novelty" -> ((s, dir) => {
+      // Per-document n-gram novelty: the fraction of a document's word
+      // trigram instances whose trigram occurs in NO other document —
+      // the informativeness prior of dedup-aware sampling (a document
+      // whose trigrams all recur elsewhere adds nothing the corpus
+      // doesn't already say). Scale shape: one scan collapses to a
+      // (doc, gram) partial agg; document frequency is a second
+      // gram-keyed agg of that frame (distinct-doc counts come free
+      // because the frame is already per-doc-distinct); the join back
+      // is gram-keyed and candidate-bounded. No windows, no sorts —
+      // ratios of exact counts, rounded once.
+      // The gram string never leaves the scan: xxhash64(gram) is the
+      // shuffle/join key (8-byte longs, not ~20-char strings — the q121
+      // hash-gram lesson; doc-frequency counts are hash-collision-exact
+      // for all practical purposes and the novelty ratio only needs
+      // equality). The pinned (doc, gramHash) frame feeds both df and
+      // the join back.
+      val sh = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.plans.TextKernels.wordShinglesNative(col("text"), 3))
+            .as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val df_ = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      sh.join(df_, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_shingles"),
+          sum(when(col("df") === 1, col("cnt")).otherwise(lit(0L)))
+            .as("novel"))
+        .select(col("doc_id"), col("n_shingles"),
+          round(col("novel").cast("double") / col("n_shingles"), 6)
+            .as("novelty"))
+    }),
+
+    "q130_hash_split" -> ((s, dir) => {
+      // Deterministic train/val/test assignment by content-stable hash:
+      // split = band of md5(doc_id) — a document's split NEVER changes
+      // when the corpus grows or shrinks (the property row_number-range
+      // splits lack, and the reason every production pipeline splits by
+      // hash). Pure projection: zero shuffles at any corpus size; the
+      // band compare is on the hex prefix, identical ASCII ordering in
+      // both engines ('0d'/256 ≈ 5% test, next ≈ 5% val, rest train).
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < "0d", lit("test"))
+            .when(col("bucket") < "1a", lit("val"))
+            .otherwise(lit("train")).as("split"))
     }),
 
     "q97_zorder_box" -> ((s, dir) => {
@@ -2183,6 +2302,79 @@ object SparkEntry {
        WHERE b.cnt_ab >= 5
        ORDER BY pmi DESC, bigram LIMIT 20"""
 
+  /** q127 oracle: same (source, term) partial agg feeding corpus counts
+    * and per-source totals; contributions on the 6-dp grid summed in
+    * term order (list_sum ORDER BY term ≡ the engine's ordered fold).
+    */
+  private val klDriftSql: String =
+    """WITH st AS (SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+         FROM documents),
+       sc AS (SELECT source, term, count(*) AS cnt FROM st GROUP BY 1, 2),
+       corpus AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS ccnt
+         FROM sc GROUP BY 1),
+       ct AS (SELECT CAST(sum(ccnt) AS BIGINT) AS ctot FROM corpus),
+       stt AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS stot
+         FROM sc GROUP BY 1),
+       comp AS (SELECT s.source, s.term, stot,
+           round((CAST(s.cnt AS DOUBLE) / stot) *
+             ln((CAST(s.cnt AS DOUBLE) / stot) /
+                (CAST(ccnt AS DOUBLE) / ctot)), 6) AS kc
+         FROM sc s JOIN corpus USING (term) JOIN stt USING (source)
+         CROSS JOIN ct)
+       SELECT source, count(*) AS n_terms,
+         CAST(max(stot) AS BIGINT) AS n_tokens,
+         round(list_sum(list(kc ORDER BY term)), 4) AS kl_vs_corpus
+       FROM comp GROUP BY source"""
+
+  /** q128 oracle: top-10 vocabulary by (count desc, term), coverage as a
+    * ratio of exact counts.
+    */
+  private val vocabCoverageSql: String =
+    """WITH st AS (SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+         FROM documents),
+       sc AS (SELECT source, term, count(*) AS cnt FROM st GROUP BY 1, 2),
+       vocab AS (SELECT term FROM
+         (SELECT term, sum(cnt) AS tc FROM sc GROUP BY 1)
+         ORDER BY tc DESC, term LIMIT 10),
+       j AS (SELECT s.source, s.cnt,
+           CASE WHEN v.term IS NOT NULL THEN s.cnt ELSE 0 END AS cov
+         FROM sc s LEFT JOIN vocab v USING (term))
+       SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         round(CAST(sum(cov) AS DOUBLE) / sum(cnt), 6) AS coverage,
+         round(1.0 - CAST(sum(cov) AS DOUBLE) / sum(cnt), 6) AS oov_rate
+       FROM j GROUP BY source"""
+
+  /** q129 oracle: trigram instances per doc, document frequency from the
+    * per-doc-distinct frame, novelty = df=1 instance fraction.
+    */
+  private val ngramNoveltySql: String =
+    """WITH tk AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+       sh AS (SELECT doc_id, g, count(*) AS cnt FROM
+         (SELECT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+          FROM tk WHERE len(w) >= 3)
+         GROUP BY 1, 2),
+       df AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+       SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_shingles,
+         round(CAST(sum(CASE WHEN df = 1 THEN cnt ELSE 0 END) AS DOUBLE)
+           / sum(cnt), 6) AS novelty
+       FROM sh JOIN df USING (g) GROUP BY doc_id"""
+
+  /** q130 oracle: md5 hex prefix bands — identical lowercase hex and
+    * ASCII ordering in both engines.
+    */
+  private val hashSplitSql: String =
+    """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+              ELSE 'train' END AS split
+       FROM documents"""
+
   /** q124 oracle: q72's recursive-CTE connected components over the
     * LSH-bucketed pair graph, joined to the q36 quality score, with the
     * survivor argmax as the same min-of-struct idiom the engine uses.
@@ -3196,6 +3388,10 @@ object SparkEntry {
     "q124_dedup_survivors" -> dedupSurvivorsSql,
     "q125_perplexity_filter" -> perplexityFilterSql,
     "q126_pmi_collocations" -> pmiCollocationsSql,
+    "q127_kl_drift" -> klDriftSql,
+    "q128_vocab_coverage" -> vocabCoverageSql,
+    "q129_ngram_novelty" -> ngramNoveltySql,
+    "q130_hash_split" -> hashSplitSql,
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
     "q78_contamination" ->
