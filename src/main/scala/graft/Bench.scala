@@ -56,53 +56,80 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => excluded(name) }
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // A query that fails does NOT get a timing sample: round 5 recorded two
+    // analysis-failed queries as plausible 0.06 s rows because the catch
+    // swallowed the Throwable. Failures now land in `errs`, are excluded
+    // from the total, surface in both JSON records, and make the process
+    // exit nonzero — a broken query must look broken everywhere.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to rounds; (name, fn) <- queries) {
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to rounds; (name, fn) <- queries; if !errs.contains(name)) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      val sec = (System.nanoTime() - t0) / 1e9
-      samples(name) = sec :: samples.getOrElse(name, Nil)
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) = sec :: samples.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
     }
-    val results = queries.map { case (name, _) => name -> samples(name).min }
+    val ok = queries.filter { case (name, _) => samples.contains(name) }
+    val results = ok.map { case (name, _) => name -> samples(name).min }
     def r3(v: Double) = math.rint(v * 1000) / 1000
     def r2(v: Double) = math.rint(v * 100) / 100
+    def r1(v: Double) = math.rint(v * 10) / 10
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
     def spread(s: List[Double]) = s.max / math.max(s.min, 1e-9)
-    val spreads = queries.map { case (name, _) => spread(samples(name)) }.sorted
+    val spreads = ok.map { case (name, _) => spread(samples(name)) }.sorted
     val noise = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
     // Driver-line keys: the unique qNN prefix (full name if ever ambiguous).
-    val prefix = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
+    val prefix = queries.map(_._1).groupBy(_.takeWhile(_ != '_'))
       .flatMap { case (p, names) =>
         if (names.size == 1) names.map(_ -> p) else names.map(n => n -> n)
       }
-    val qs = results.map { case (k, v) => s"\"" + prefix(k) + "\":" + r2(v) }
-      .mkString("{", ",", "}")
-    // Noise shape for the drifty queries only (spread >= 1.5, top 8):
-    // enough for the driver record to show WHICH samples were inflated
-    // without blowing the 2000-byte tail.
-    val noisy = queries.map { case (name, _) => name -> samples(name) }
-      .filter { case (_, s) => spread(s) >= 1.5 }
-      .sortBy { case (_, s) => -spread(s) }.take(8)
-      .map { case (k, s) =>
-        s"\"" + prefix(k) + "\":[" + s.reverse.map(r2).mkString(",") + "]"
-      }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"queries":$qs,"samples":$noisy,"sf":"$sfDir"}"""
-    // Builder-side copy with full names and full samples for forensics.
-    val full = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // Failed queries: short name -> truncated first-line message. Always in
+    // the driver line (a regression must be visible in the round record).
+    val errsJson = errs.toSeq.sortBy(_._1).map { case (k, msg) =>
+      jstr(prefix(k)) + ":" + jstr(msg.linesIterator.nextOption.getOrElse("").take(80))
+    }.mkString("{", ",", "}")
+    // The driver keeps only a 2000-char TAIL of this process's output, and
+    // sbt appends its own epilogue after the line — r1-r5 all came back
+    // `parsed: null` because the full-precision line overflowed the window.
+    // Cascade to coarser query encodings until the line fits ~1600 bytes;
+    // full precision always lands in BENCH_LOCAL.json (committed).
+    def line(qmap: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"failed":${errs.size},"errs":$errsJson,"queries":$qmap,"sf":"$sfDir"}"""
+    val variants = Seq(
+      results.map { case (k, v) => jstr(prefix(k)) + ":" + r2(v) },
+      results.map { case (k, v) => jstr(prefix(k)) + ":" + r1(v) },
+      results.map { case (k, v) => jstr(prefix(k).drop(1)) + ":" + r1(v) }
+    ).map(entries => line(entries.mkString("{", ",", "}"))) :+
+      line("\"BENCH_LOCAL.json\"")
+    val driverLine = variants.find(_.length <= 1600).getOrElse(variants.last)
+    // Builder-side copy with full names, full samples, and errors.
+    val full = results.map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val dump = results.map { case (k, _) =>
-      s"\"" + k + "\":[" + samples(k).reverse.map(r3).mkString(",") + "]"
+      jstr(k) + ":[" + samples(k).reverse.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val fullErrs = errs.toSeq.sortBy(_._1).map { case (k, msg) =>
+      jstr(k) + ":" + jstr(msg.linesIterator.nextOption.getOrElse("").take(300))
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
       w.println(
-        s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"queries":$full,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"failed":${errs.size},"errs":$fullErrs,"queries":$full,"sf":"$sfDir"}""")
       w.println(s"""{"samples":$dump}"""); w.close()
     } catch { case _: Throwable => }
     // The driver line goes LAST so the 2000-char tail always holds it whole.
-    println(line)
+    println(driverLine)
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

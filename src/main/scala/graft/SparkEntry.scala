@@ -31,6 +31,14 @@ object SparkEntry {
 
   private val dec = "decimal(18,2)"
 
+  /** Expected size of [[queries]]/[[oracleSql]] — bumped ONLY by a human
+    * adding a query. RegistrySpec asserts both maps match this count and
+    * each other, so a query silently vanishing between rounds (as
+    * q42/q58's r5 absence did) fails the build instead of shrinking the
+    * correctness gate without a red signal.
+    */
+  val declaredQueryCount = 130
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     revenueByNation(spark, "/root/testdata/sf0.001")

@@ -28,12 +28,24 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with `ts` as TimestampType (ns → µs, floor). */
+  /** `events` with `ts` normalized to TimestampType.
+    *
+    * The testdata has shipped `ts` two ways across rounds: nanosecond
+    * parquet timestamps (read as nanos-since-epoch longs under the
+    * `nanosAsLong` session flag — restored here with µs truncation, the
+    * same truncation DuckDB applies) and plain `timestamp[us]` with
+    * isAdjustedToUTC=false, which Spark 4 reads as TIMESTAMP_NTZ. The
+    * NTZ case is cast to TIMESTAMP: the engine session timezone is
+    * pinned to UTC (see [[sessionConfigs]]), so the wall-clock values —
+    * and every DuckDB oracle — are unchanged, while `unix_micros` and
+    * streaming watermarks (which require TIMESTAMP) work again.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _      => raw
+      case "long"          => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _               => raw
     }
   }
 }

@@ -19,13 +19,31 @@ object Verify {
     // sets no env, so its runs always dump everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def selected(name: String) = only.forall(_.exists(name.startsWith))
+    // Every declared query MUST yield an output dir: on failure we write a
+    // one-row parquet with a single `err` column, so the downstream oracle
+    // compare produces an explicit red row (schema mismatch) instead of a
+    // silent absence. Round 5 shipped two broken queries invisibly because
+    // a failed dump simply produced no row in CORRECTNESS — absence must be
+    // impossible.
+    var failed = List.empty[String]
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
+        try {
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+          import spark.implicits._
+          Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case marker: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${marker.getMessage}")
+        }
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: ${failed.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -43,8 +43,15 @@ object Relational {
       keys: Seq[String],
       joinType: String = "left"
   ): DataFrame = {
-    val cond = keys.map(k => left(k) <=> right(k)).reduce(_ && _)
-    left.join(right, cond, joinType)
+    // Alias both sides so the join condition references distinct attribute
+    // ids even when left/right share lineage (e.g. two aggregations of the
+    // same frame): `left(k) <=> right(k)` would otherwise resolve both to
+    // the SAME attribute — a trivially-true predicate that only works via
+    // fragile self-join disambiguation heuristics (and warns).
+    val l = left.as("__nsj_l")
+    val r = right.as("__nsj_r")
+    val cond = keys.map(k => col(s"__nsj_l.$k") <=> col(s"__nsj_r.$k")).reduce(_ && _)
+    l.join(r, cond, joinType)
   }
 
   /** "Exactly-one-match" lookup (reference J9,
