@@ -63,9 +63,15 @@ object Bench {
     // exit nonzero — a broken query must look broken everywhere.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val errs = scala.collection.mutable.Map.empty[String, String]
+    // Harness self-test hook: SPARK_GRAFT_FAIL_INJECT=<name> makes that
+    // query throw, proving a failure surfaces as an err row + nonzero exit
+    // (not a silent 0.06 s "timing", the round-5 failure mode).
+    val failInject = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
     for (_ <- 1 to rounds; (name, fn) <- queries; if !errs.contains(name)) {
       val t0 = System.nanoTime()
       try {
+        if (failInject.contains(name))
+          throw new RuntimeException("injected failure (SPARK_GRAFT_FAIL_INJECT)")
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         samples(name) = sec :: samples.getOrElse(name, Nil)

@@ -26,9 +26,16 @@ object Verify {
     // a failed dump simply produced no row in CORRECTNESS — absence must be
     // impossible.
     var failed = List.empty[String]
+    // Harness self-test hook, same contract as Bench's: the named query
+    // throws, and must come out as an err-marker parquet, never an absence.
+    val failInject = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        if (failInject.contains(name))
+          throw new RuntimeException("injected failure (SPARK_GRAFT_FAIL_INJECT)")
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed ::= name
