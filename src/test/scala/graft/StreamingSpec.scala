@@ -300,6 +300,62 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming perplexity filter equals the batch scores exactly") {
+    import graft.streaming.CorpusMonitors
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    // Frozen reference corpus trains the static LM; a DIFFERENT slice
+    // streams in, so the OOV path is genuinely exercised.
+    val (lm, oovLp) = CorpusMonitors.unigramLm(docs.filter($"doc_id" >= 100), "text")
+    val lmPinned = lm.cache()
+    val evalDocs = docs.filter($"doc_id" < 100)
+    val staged = Files.createTempDirectory("graft-ppl").toString
+    evalDocs.repartition(4).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = CorpusMonitors.perplexityScores(stream, lmPinned, oovLp, "doc_id", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ppl_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ppl_out")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val batch = CorpusMonitors
+      .perplexityScores(evalDocs, lmPinned, oovLp, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    lmPinned.unpersist()
+    assert(streamed.nonEmpty && streamed == batch)
+    // The split guarantees OOV terms exist, so the smoothed default must
+    // have fired: no doc scores NaN/zero tokens.
+    assert(streamed.forall { case (_, n, s, _) => n > 0 && !s.isNaN })
+  }
+
+  test("streaming vocab coverage equals the batch per-source aggregate") {
+    import graft.streaming.CorpusMonitors
+    val docs = Tables.load(spark, sfDir, "documents").select("source", "text")
+    val vocab = CorpusMonitors.topKVocab(docs, "text", 50).cache()
+    val staged = Files.createTempDirectory("graft-vocab").toString
+    docs.repartition(5).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = CorpusMonitors.vocabCoverage(stream, vocab, "source", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("vocab_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("vocab_out")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val batch = CorpusMonitors.vocabCoverage(docs, vocab, "source", "text")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    vocab.unpersist()
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.forall { case (_, n, c, cov, oov) =>
+      c <= n && math.abs(cov + oov - 1.0) < 1e-9 })
+  }
+
   test("streaming contamination counts match the batch shingle-overlap query") {
     import graft.streaming.StreamingContamination
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
