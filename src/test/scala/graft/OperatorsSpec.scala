@@ -145,6 +145,53 @@ class OperatorsSpec extends SparkSpec {
     assert(want.count(_._4) == 3) // exactly the planted copies fall
   }
 
+  test("semanticDedup at nCells >> cores with one hot cell stays bounded and exact") {
+    // Scale probe for the SemDeDup knobs (VERDICT r5 item 8): 64 cells on a
+    // 4-core session (cells ≫ parallelism), with a planted HOT cell — 300
+    // verbatim copies of vector 0 — the skew shape that breaks any plan
+    // whose within-cell work is not an equi-join. Verbatim copies make
+    // every hot-cell verdict exact (cosine is identically 1.0), so the
+    // assertions have no float margin to argue about.
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding")
+    // Copies built driver-side from the single collected vector so the
+    // plan under test is the OPERATOR's plan, not the fixture's.
+    val emb0 = base.filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Float]].head()
+    val copies = (1 to 300)
+      .map(i => (100000L + i, emb0)).toDF("vec_id", "embedding")
+    val skewed = base.unionByName(copies)
+    val n = skewed.count()
+
+    val out = Dedup.semanticDedup(skewed, "vec_id", "embedding",
+      nCells = 64, lloydIters = 2, simThreshold = 0.999)
+    // The dedup join must be an equi-join on cell — a cartesian/nested-loop
+    // here is exactly the 100 TB scale-killer this operator exists to avoid.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      "within-cell dedup must stay an equi-join on cell")
+
+    val rows = out.collect().map(r => (r.getLong(0),
+      r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      r.getBoolean(3)))
+    assert(rows.length == n, "one verdict row per input vector")
+    val cells = rows.map(_._2).distinct
+    assert(cells.length <= 64)
+    // Every planted copy is removed, and attributed to vector 0 — the
+    // lowest id in the hot cell (distance 0, same cell by construction).
+    val planted = rows.filter(_._1 >= 100000L)
+    assert(planted.length == 300)
+    assert(planted.forall { case (_, cell, dupOf, removed) =>
+      removed && dupOf.contains(0L) && cell == rows.find(_._1 == 0L).get._2 })
+    // Vector 0 itself survives (nothing below it in the cell).
+    assert(rows.find(_._1 == 0L).exists(r => !r._4 && r._3.isEmpty))
+    // The hot cell is as hot as constructed: >= 301 members, yet the job
+    // finished through the bounded equi-join (this spec IS the measurement
+    // hook — wall time recorded in NOTES.md).
+    val hotCell = rows.find(_._1 == 0L).get._2
+    assert(rows.count(_._2 == hotCell) >= 301)
+  }
+
   test("removeDuplicateSpans: gramLen sweep matches a local reference") {
     // Property-style check of the span fold (the off-by-one class the
     // merge invites) against an independent in-memory implementation,
