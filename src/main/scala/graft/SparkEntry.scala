@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 130
+  val declaredQueryCount = 135
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1069,6 +1069,140 @@ object SparkEntry {
           when(col("bucket") < "0d", lit("test"))
             .when(col("bucket") < "1a", lit("val"))
             .otherwise(lit("train")).as("split"))
+    }),
+
+    "q131_gopher_rules" -> ((s, dir) => {
+      // Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1):
+      // word-count bounds, mean word length window, symbol-to-word ratio
+      // (# and ellipsis), alphabetic-word fraction, and a stopword-presence
+      // check — the cheap first gate a curation pipeline runs before any
+      // model-based scoring. One codegen'd projection pass: every signal
+      // derives from the text column in a single scan, zero shuffles at
+      // any corpus size. Determinism: ratios on exact integer counts,
+      // rounded once; the keep predicate compares UNROUNDED values
+      // identically in both engines.
+      val toks = Text.tokens(col("text"))
+      val nw = size(toks).cast("long")
+      val nonWs = length(regexp_replace(col("text"), "\\s", "")).cast("double")
+      val nHash = (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("double")
+      val nEll = ((length(col("text")) - length(expr("replace(text, '...', '')"))).cast("double") / 3.0)
+      val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double")
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val stopHits = stops.map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+      val meanLen = nonWs / nw
+      val symRatio = (nHash + nEll) / nw
+      val alphaRatio = nAlpha / nw
+      tbl(s, dir, "documents").select(
+        col("doc_id"), nw.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(symRatio, 4).as("symbol_ratio"),
+        round(alphaRatio, 4).as("alpha_ratio"),
+        stopHits.as("stop_hits"),
+        (nw.between(25, 100000) && meanLen.between(3.0, 10.0) &&
+          symRatio <= 0.1 && alphaRatio >= 0.8 && stopHits >= 2).as("keep"))
+    }),
+
+    "q132_c4_filters" -> ((s, dir) => {
+      // C4-style heuristic document filter (Raffel et al. 2020, §2.2):
+      // drop docs containing code braces or boilerplate markers ("lorem
+      // ipsum", "javascript"), require a minimum of terminal-punctuation
+      // sentences and words. Same scan shape as q131: one projection
+      // pass, zero shuffles; counts via length arithmetic (no regex in
+      // the hot path).
+      def cnt(ch: String) =
+        (length(col("text")) - length(expr(s"replace(text, '$ch', '')"))).cast("long")
+      val lowerT = lower(col("text"))
+      val nw = size(Text.tokens(col("text"))).cast("long")
+      val nTerm = cnt(".") + cnt("!") + cnt("?")
+      val hasBrace = col("text").contains("{")
+      val hasLorem = lowerT.contains("lorem ipsum")
+      val hasJs = lowerT.contains("javascript")
+      tbl(s, dir, "documents").select(
+        col("doc_id"), nw.as("n_words"), nTerm.as("n_terminal"),
+        hasBrace.as("has_brace"), hasLorem.as("has_lorem"), hasJs.as("has_javascript"),
+        (!hasBrace && !hasLorem && nTerm >= 3 && nw >= 5).as("keep"))
+    }),
+
+    "q133_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023): score every document by
+      // the log-likelihood ratio of its tokens under a TARGET unigram LM
+      // (here: the English slice) vs the RAW pool LM (the rest), add-one
+      // smoothed over the shared vocabulary — the data-selection signal
+      // used to upsample target-like documents. Scale shape: ONE corpus
+      // scan feeds the pinned (doc, lang, pos, term) stream; both LMs and
+      // the 1-row totals are vocab-/constant-sized partial aggs of it;
+      // the per-term log-ratio table joins back BY TERM (broadcast while
+      // the vocab fits). Determinism: per-term ratios on a 6-dp grid,
+      // summed in position order via the q123 ordered fold.
+      val pos = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("lang"), col("pos"), col("col").as("term"))
+        .localCheckpoint()
+      val isT = col("lang") === "en"
+      val tgt = pos.filter(isT).groupBy(col("term")).agg(count(lit(1)).as("tcnt"))
+      val raw = pos.filter(!isT).groupBy(col("term")).agg(count(lit(1)).as("rcnt"))
+      val totals = pos.agg(
+        sum(isT.cast("long")).as("ttot"),
+        sum((!isT).cast("long")).as("rtot"),
+        countDistinct(col("term")).as("v"))
+      val lt = pos.select(col("term")).distinct()
+        .join(tgt, Seq("term"), "left").join(raw, Seq("term"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("term"), round(log(
+          ((coalesce(col("tcnt"), lit(0L)) + 1).cast("double") / (col("ttot") + col("v"))) /
+          ((coalesce(col("rcnt"), lit(0L)) + 1).cast("double") / (col("rtot") + col("v")))), 6).as("lt"))
+      pos.join(lt, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("lt")))),
+            lit(0.0), (a, x) => a + x.getField("lt")).as("lr"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("lr"), 4).as("log_ratio"), (col("lr") > 0).as("keep"))
+    }),
+
+    "q134_mix_temperature" -> ((s, dir) => {
+      // Temperature-scaled source mixing (multilingual/T5-style α-sampling
+      // with α = 0.5): per-source sampling weight ∝ √n_tokens, plus the
+      // expected epochs over each source for a fixed token budget — the
+      // mixing table a training run is configured from. Scale shape: one
+      // scan-local (source, count) partial agg; everything after is
+      // source-count-sized. Determinism: √n rounded to 6 dp per source
+      // (sqrt is IEEE-exact in both engines), denominator summed in
+      // source order via the ordered fold.
+      val st = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          round(sqrt(col("n_tokens").cast("double")), 6).as("sw"))
+        .localCheckpoint()
+      val tot = st.agg(
+        aggregate(array_sort(collect_list(struct(col("source"), col("sw")))),
+          lit(0.0), (a, x) => a + x.getField("sw")).as("tot"))
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("sw") / col("tot"), 6).as("weight"),
+          round(col("sw") / col("tot") * lit(1000000.0) / col("n_tokens"), 4)
+            .as("expected_epochs"))
+    }),
+
+    "q135_token_shards" -> ((s, dir) => {
+      // Per-source token-budget sharding: contiguous doc runs (by id)
+      // packed into ~2000-token training shards — the planning step that
+      // turns a curated corpus into fixed-budget data files. The cumsum
+      // window is partitioned BY SOURCE (never a global single-partition
+      // window — the q119 lesson): each source's prefix sums shuffle and
+      // sort independently, so the operator scales with the widest
+      // source, not the corpus. All-integer arithmetic, no float drift.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("cum_before div 2000").as("shard_id"),
+          (col("cum_before") % 2000).as("shard_offset"))
     }),
 
     "q97_zorder_box" -> ((s, dir) => {
@@ -3400,6 +3534,87 @@ object SparkEntry {
     "q128_vocab_coverage" -> vocabCoverageSql,
     "q129_ngram_novelty" -> ngramNoveltySql,
     "q130_hash_split" -> hashSplitSql,
+    "q131_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS non_ws,
+             CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+             CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) AS n_alpha,
+             CAST(list_contains(w, 'the') AS INT) + CAST(list_contains(w, 'be') AS INT)
+           + CAST(list_contains(w, 'to') AS INT) + CAST(list_contains(w, 'of') AS INT)
+           + CAST(list_contains(w, 'and') AS INT) + CAST(list_contains(w, 'that') AS INT)
+           + CAST(list_contains(w, 'have') AS INT) + CAST(list_contains(w, 'with') AS INT)
+             AS stop_hits
+           FROM t)
+         SELECT doc_id, n_words,
+           round(non_ws / n_words, 4) AS mean_word_len,
+           round((n_hash + n_ell) / n_words, 4) AS symbol_ratio,
+           round(n_alpha / n_words, 4) AS alpha_ratio,
+           stop_hits,
+           (n_words BETWEEN 25 AND 100000) AND (non_ws / n_words BETWEEN 3.0 AND 10.0)
+             AND ((n_hash + n_ell) / n_words <= 0.1) AND (n_alpha / n_words >= 0.8)
+             AND stop_hits >= 2 AS keep
+         FROM c""",
+    "q132_c4_filters" ->
+      """WITH t AS (SELECT doc_id, text, lower(text) AS lt,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+           FROM documents),
+         c AS (SELECT doc_id, n_words,
+             CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
+           + CAST(length(text) - length(replace(text, '!', '')) AS BIGINT)
+           + CAST(length(text) - length(replace(text, '?', '')) AS BIGINT) AS n_terminal,
+             contains(text, '{') AS has_brace,
+             contains(lt, 'lorem ipsum') AS has_lorem,
+             contains(lt, 'javascript') AS has_javascript
+           FROM t)
+         SELECT doc_id, n_words, n_terminal, has_brace, has_lorem, has_javascript,
+           NOT has_brace AND NOT has_lorem AND n_terminal >= 3 AND n_words >= 5 AS keep
+         FROM c""",
+    "q133_dsir_weights" ->
+      """WITH pos AS (SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+           FROM documents),
+         tgt AS (SELECT term, count(*) AS tcnt FROM pos WHERE lang = 'en' GROUP BY 1),
+         raw AS (SELECT term, count(*) AS rcnt FROM pos WHERE lang <> 'en' GROUP BY 1),
+         tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ttot,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS rtot,
+             CAST(count(DISTINCT term) AS BIGINT) AS v FROM pos),
+         lt AS (SELECT vt.term,
+             round(ln(((COALESCE(tcnt, 0) + 1) / CAST(ttot + v AS DOUBLE)) /
+                      ((COALESCE(rcnt, 0) + 1) / CAST(rtot + v AS DOUBLE))), 6) AS lt
+           FROM (SELECT DISTINCT term FROM pos) vt
+           LEFT JOIN tgt USING (term) LEFT JOIN raw USING (term) CROSS JOIN tot),
+         sc AS (SELECT doc_id, count(*) AS n_tokens,
+             list_sum(list(lt ORDER BY pos)) AS lr
+           FROM pos JOIN lt USING (term) GROUP BY doc_id)
+         SELECT doc_id, n_tokens, round(lr, 4) AS log_ratio, lr > 0 AS keep FROM sc""",
+    "q134_mix_temperature" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY source),
+         sw AS (SELECT source, n_tokens, round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS sw
+           FROM st),
+         tot AS (SELECT list_sum(list(sw ORDER BY source)) AS tot FROM sw)
+         SELECT source, n_tokens, round(sw / tot, 6) AS weight,
+           round(sw / tot * 1000000.0 / n_tokens, 4) AS expected_epochs
+         FROM sw CROSS JOIN tot""",
+    "q135_token_shards" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM t)
+         SELECT doc_id, source, n_tokens,
+           CAST(cum_before // 2000 AS BIGINT) AS shard_id,
+           CAST(cum_before % 2000 AS BIGINT) AS shard_offset
+         FROM c""",
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
     "q78_contamination" ->
