@@ -113,7 +113,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"failed":${errs.size},"errs":$errsJson,"queries":$qmap,"sf":"$sfDir"}"""
     val variants = Seq(
       results.map { case (k, v) => jstr(prefix(k)) + ":" + r2(v) },
-      results.map { case (k, v) => jstr(prefix(k)) + ":" + r1(v) },
+      results.map { case (k, v) => jstr(prefix(k).drop(1)) + ":" + r2(v) },
       results.map { case (k, v) => jstr(prefix(k).drop(1)) + ":" + r1(v) }
     ).map(entries => line(entries.mkString("{", ",", "}"))) :+
       line("\"BENCH_LOCAL.json\"")
