@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 135
+  val declaredQueryCount = 136
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -951,6 +951,38 @@ object SparkEntry {
           min(struct((-col("q")).as("nq"), col("doc_id").as("id"))).as("m"))
         .select(col("component"), col("m.id").as("survivor_doc_id"),
           col("n_members"), (-col("m.nq")).as("survivor_quality"))
+    }),
+
+    "q136_dedup_apply" -> ((s, dir) => {
+      // The dedup ACTION composed end-to-end: q124 picks each near-dup
+      // component's survivor; this query APPLIES the policy and emits the
+      // kept corpus manifest — untouched docs tagged 'unique', component
+      // survivors tagged 'survivor', everything else dropped. Scale
+      // shape: the pair graph and components are LSH-candidate-bounded;
+      // the survivor table is one row per component; both join back to
+      // the corpus BY ID (broadcast while components fit, shuffled
+      // equi-join beyond), so the corpus is scanned once and never
+      // pairwise-compared here.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+        nPlanes = 4, dim = dim, threshold = 0.3).select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val qual = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        Text.qualityScore(col("text"), Text.tokens(col("text"))).as("q"))
+      val surv = cc.join(qual, cc("vertex") === qual("doc_id"))
+        .groupBy(col("component"))
+        .agg(min(struct((-col("q")).as("nq"), col("doc_id").as("id"))).as("m"))
+        .select(col("m.id").as("survivor_doc_id"))
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      docs
+        .join(cc, docs("doc_id") === cc("vertex"), "left")
+        .join(surv, docs("doc_id") === surv("survivor_doc_id"), "left")
+        .filter(col("vertex").isNull || col("survivor_doc_id").isNotNull)
+        .select(col("doc_id"),
+          when(col("vertex").isNull, lit("unique"))
+            .otherwise(lit("survivor")).as("status"))
     }),
 
     "q127_kl_drift" -> ((s, dir) => {
@@ -2541,6 +2573,33 @@ object SparkEntry {
          n_members, -struct_extract(ms, 'nq') AS survivor_quality
        FROM m"""
 
+  /** q136 oracle: q124's component/survivor CTEs, applied as a keep-list
+    * against the corpus (untouched docs kept as 'unique', survivors kept,
+    * all other component members dropped).
+    */
+  private def dedupApplySql: String =
+    s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(a, b) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       cc AS (SELECT a AS vertex, least(a, min(b)) AS component
+              FROM reach GROUP BY a),
+       qual AS ($qualitySql),
+       j AS (SELECT cc.component, cc.vertex AS doc_id, q.quality_score AS q
+             FROM cc JOIN qual q ON q.doc_id = cc.vertex),
+       m AS (SELECT component, min({'nq': -q, 'id': doc_id}) AS ms
+             FROM j GROUP BY component),
+       surv AS (SELECT struct_extract(ms, 'id') AS sid FROM m)
+       SELECT d.doc_id,
+         CASE WHEN cc.vertex IS NULL THEN 'unique' ELSE 'survivor' END AS status
+       FROM documents d
+       LEFT JOIN cc ON d.doc_id = cc.vertex
+       LEFT JOIN surv ON d.doc_id = surv.sid
+       WHERE cc.vertex IS NULL OR surv.sid IS NOT NULL"""
+
   private val cosineSqlBody =
     """list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*qv[i]))
        / (sqrt(list_sum(list_transform(range(1, len(ev)+1), i -> ev[i]*ev[i])))
@@ -3528,6 +3587,7 @@ object SparkEntry {
     "q122_semantic_dedup" -> semanticDedupSql,
     "q123_bm25" -> bm25Sql,
     "q124_dedup_survivors" -> dedupSurvivorsSql,
+    "q136_dedup_apply" -> dedupApplySql,
     "q125_perplexity_filter" -> perplexityFilterSql,
     "q126_pmi_collocations" -> pmiCollocationsSql,
     "q127_kl_drift" -> klDriftSql,

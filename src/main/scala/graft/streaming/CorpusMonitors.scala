@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -67,6 +67,55 @@ object CorpusMonitors {
       .select(col("doc_id"), col("n_tokens"),
         round(col("nll") / col("n_tokens"), 4).as("avg_neg_logp"),
         (col("nll") / col("n_tokens") <= lit(threshold)).as("keep"))
+  }
+
+  /** Static DSIR model (Xie et al. 2023) from a frozen reference corpus:
+    * per-term log-likelihood ratio `lt = ln(p_target(t) / p_raw(t))`,
+    * add-one smoothed over the reference vocabulary — q133's construction
+    * with the totals collected once (3 longs) so the model can be pinned
+    * and reused across micro-batches. Returns (ltTable, oovLt) where
+    * `oovLt` is the ratio an unseen term scores (count 0 on both sides).
+    */
+  def dsirModel(reference: DataFrame, textCol: String,
+      isTarget: Column): (DataFrame, Double) = {
+    val pos = reference
+      .select(isTarget.as("t"), explode(Text.tokens(col(textCol))).as("term"))
+    val Seq(ttot, rtot, v) = pos
+      .agg(sum(col("t").cast("long")), sum((!col("t")).cast("long")),
+        countDistinct(col("term")))
+      .collect().head.toSeq.map(_.toString.toLong)
+    val tgt = pos.filter(col("t")).groupBy(col("term")).agg(count(lit(1)).as("tcnt"))
+    val raw = pos.filter(!col("t")).groupBy(col("term")).agg(count(lit(1)).as("rcnt"))
+    val lt = pos.select(col("term")).distinct()
+      .join(tgt, Seq("term"), "left").join(raw, Seq("term"), "left")
+      .select(col("term"), round(log(
+        ((coalesce(col("tcnt"), lit(0L)) + 1).cast("double") / lit(ttot + v)) /
+        ((coalesce(col("rcnt"), lit(0L)) + 1).cast("double") / lit(rtot + v))), 6)
+        .as("lt"))
+    val oovLt = math.rint(math.log((1.0 / (ttot + v)) / (1.0 / (rtot + v))) * 1e6) / 1e6
+    (lt, oovLt)
+  }
+
+  /** Per-doc DSIR score against a static model — identical code for batch
+    * and streaming frames (stream-static equi-join by term, per-doc state
+    * = the doc's own token list, position-ordered fold). On the
+    * reference corpus itself this reproduces q133's oracle-checked output
+    * bit-for-bit (the spec asserts it).
+    */
+  def dsirScores(docs: DataFrame, lt: DataFrame, oovLt: Double,
+      idCol: String, textCol: String): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"), posexplode(Text.tokens(col(textCol))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    pos.join(lt, Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("lt"), lit(oovLt)).as("lt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("lt")))),
+          lit(0.0), (a, x) => a + x.getField("lt")).as("lr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lr"), 4).as("log_ratio"), (col("lr") > 0).as("keep"))
   }
 
   /** Static tokenizer vocabulary: top-`k` terms of the reference corpus by

@@ -331,6 +331,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall { case (_, n, s, _) => n > 0 && !s.isNaN })
   }
 
+  test("streaming DSIR scores equal batch AND the q133 oracle query") {
+    import graft.streaming.CorpusMonitors
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val (lt, oovLt) = CorpusMonitors.dsirModel(docs, "text", $"lang" === "en")
+    val ltPinned = lt.cache()
+    val staged = Files.createTempDirectory("graft-dsir").toString
+    docs.repartition(4).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = CorpusMonitors.dsirScores(stream, ltPinned, oovLt, "doc_id", "text")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("dsir_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dsir_out")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val batch = CorpusMonitors.dsirScores(docs, ltPinned, oovLt, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    // The streaming face reproduces the oracle-checked q133 EXACTLY when
+    // run over its own reference corpus — the monitor and the batch
+    // selection query are one implementation, not two approximations.
+    val oracle = SparkEntry.queries("q133_dsir_weights")(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    ltPinned.unpersist()
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed == oracle)
+  }
+
   test("streaming vocab coverage equals the batch per-source aggregate") {
     import graft.streaming.CorpusMonitors
     val docs = Tables.load(spark, sfDir, "documents").select("source", "text")
