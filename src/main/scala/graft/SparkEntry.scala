@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 136
+  val declaredQueryCount = 137
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -983,6 +983,35 @@ object SparkEntry {
         .select(col("doc_id"),
           when(col("vertex").isNull, lit("unique"))
             .otherwise(lit("survivor")).as("status"))
+    }),
+
+    "q137_sentence_dedup" -> ((s, dir) => {
+      // C4-style sentence-level dedup (Raffel et al. 2020 §2.2 dedups
+      // three-sentence spans; here the unit is the sentence): every
+      // repeated sentence keeps ONLY its canonical occurrence — lowest
+      // (doc_id, position) corpus-wide — and documents are rebuilt from
+      // their surviving sentences in order. Granularity sits between
+      // q118 (char-gram spans) and q30 (whole documents). Scale shape:
+      // one explode feeds a (sentence → min(doc,pos)) map-combinable
+      // partial agg; the canonical table joins back BY SENTENCE (the
+      // q118 gram-join shape — shuffled equi-join, hashable to 8-byte
+      // keys the same way if sentences are long); per-doc rebuild is a
+      // sorted-struct fold, no window on the sentence stream.
+      val sent = tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .select(col("doc_id"), col("pos"), col("col").as("sent"))
+      val canon = sent.groupBy(col("sent"))
+        .agg(min(struct(col("doc_id").as("d"), col("pos").as("p"))).as("c"))
+      sent.join(canon, Seq("sent"))
+        .select(col("doc_id"), col("pos"), col("sent"),
+          (col("c.d") === col("doc_id") && col("c.p") === col("pos"))
+            .cast("long").as("kept"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sents"), sum(col("kept")).as("n_kept"),
+          // collect_list skips nulls: only kept sentences enter the fold.
+          array_join(transform(array_sort(collect_list(
+            when(col("kept") === 1, struct(col("pos"), col("sent"))))),
+            e => e.getField("sent")), ". ").as("text_deduped"))
     }),
 
     "q127_kl_drift" -> ((s, dir) => {
@@ -3588,6 +3617,22 @@ object SparkEntry {
     "q123_bm25" -> bm25Sql,
     "q124_dedup_survivors" -> dedupSurvivorsSql,
     "q136_dedup_apply" -> dedupApplySql,
+    "q137_sentence_dedup" ->
+      """WITH sent AS (SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\. ')) AS sent,
+             generate_subscripts(regexp_split_to_array(text, '\. '), 1) - 1 AS pos
+           FROM documents),
+         canon AS (SELECT sent, min({'d': doc_id, 'p': pos}) AS c
+           FROM sent GROUP BY sent),
+         k AS (SELECT doc_id, pos, sent.sent,
+             CASE WHEN struct_extract(c, 'd') = doc_id
+                   AND struct_extract(c, 'p') = pos THEN 1 ELSE 0 END AS kept
+           FROM sent JOIN canon USING (sent))
+         SELECT doc_id, count(*) AS n_sents,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           array_to_string(list(sent ORDER BY pos) FILTER (WHERE kept = 1), '. ')
+             AS text_deduped
+         FROM k GROUP BY doc_id""",
     "q125_perplexity_filter" -> perplexityFilterSql,
     "q126_pmi_collocations" -> pmiCollocationsSql,
     "q127_kl_drift" -> klDriftSql,

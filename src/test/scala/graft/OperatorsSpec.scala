@@ -192,6 +192,56 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.count(_._2 == hotCell) >= 301)
   }
 
+  test("BPE merge learning matches a classic in-memory reference") {
+    import graft.operators.Bpe
+    // Reference: textbook BPE (Sennrich et al. 2016) on the SAME word
+    // frequencies — count adjacent pairs weighted by word freq, take the
+    // (count desc, pair asc) argmax, merge left-to-right non-overlapping.
+    val docs = Tables.load(spark, sfDir, "documents").select("text")
+    val words = Bpe.wordTable(docs, "text").cache()
+    val freqs = words.select("word", "freq").as[(String, Long)].collect()
+
+    def refMerges(k: Int): List[(String, String)] = {
+      var tbl: Seq[(Vector[String], Long)] = freqs.toSeq.map { case (w, f) =>
+        (w.map(_.toString).toVector :+ "</w>") -> f
+      }
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var continue = true
+      for (_ <- 1 to k if continue) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((v, f) <- tbl; i <- 0 until v.length - 1)
+          counts((v(i), v(i + 1))) = counts.getOrElse((v(i), v(i + 1)), 0L) + f
+        if (counts.isEmpty) continue = false
+        else {
+          val (a, b) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += ((a, b))
+          tbl = tbl.map { case (v, f) =>
+            val nb = Vector.newBuilder[String]
+            var i = 0
+            while (i < v.length) {
+              if (i < v.length - 1 && v(i) == a && v(i + 1) == b) {
+                nb += (a + b); i += 2
+              } else { nb += v(i); i += 1 }
+            }
+            nb.result() -> f
+          }
+        }
+      }
+      out.toList
+    }
+
+    val got = Bpe.learnMerges(words, k = 8)
+    assert(got == refMerges(8))
+    assert(got.size == 8) // corpus is rich enough for 8 full rounds
+    // Applying the merges shrinks total symbol count by exactly the
+    // weighted number of merged occurrences (sanity on the fold).
+    val before = words.select(sum(size($"symbols") * $"freq")).head().getLong(0)
+    val after = Bpe.applyMerges(words, got)
+      .select(sum(size($"symbols") * $"freq")).head().getLong(0)
+    words.unpersist()
+    assert(after < before)
+  }
+
   test("removeDuplicateSpans: gramLen sweep matches a local reference") {
     // Property-style check of the span fold (the off-by-one class the
     // merge invites) against an independent in-memory implementation,
