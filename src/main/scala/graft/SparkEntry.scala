@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 137
+  val declaredQueryCount = 139
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1012,6 +1012,78 @@ object SparkEntry {
           array_join(transform(array_sort(collect_list(
             when(col("kept") === 1, struct(col("pos"), col("sent"))))),
             e => e.getField("sent")), ". ").as("text_deduped"))
+    }),
+
+    "q138_decontaminate" -> ((s, dir) => {
+      // Train-set decontamination — the ACTION on q78's measurement
+      // (GPT-3-style n-gram overlap removal): every train doc is flagged
+      // by how many of its shingles appear in the eval set, under q78's
+      // boilerplate df-cap (a shingle in > 64 train docs is template
+      // noise, not leakage — the skew killer at 100 TB). Same split and
+      // shingle construction as q78, so the two queries compose into
+      // measure → act. Scale shape: candidate generation is an equi-join
+      // on the shingle key (never doc×doc); the verdict join back to the
+      // train corpus is by id.
+      val sh = tbl(s, dir, "documents").select(col("doc_id"),
+        explode(array_distinct(
+          graft.plans.TextKernels.wordShinglesNative(col("text"), 3)))
+          .as("shingle"))
+      val ev = sh.filter(col("doc_id") < 50).select(col("shingle")).distinct()
+      val tr = sh.filter(col("doc_id") >= 50)
+      val rare = tr.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 64).select(col("shingle"))
+      val shared = tr
+        .join(rare, Seq("shingle"), "left_semi")
+        .join(ev, Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n"))
+      tbl(s, dir, "documents").filter(col("doc_id") >= 50)
+        .select(col("doc_id"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_shared_shingles"),
+          (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+    }),
+
+    "q139_budget_alloc" -> ((s, dir) => {
+      // Water-filling token-budget allocation across sources (the
+      // UniMax idea, Chung et al. 2023): spread a fixed budget so every
+      // source below the water level is fully used and the rest split
+      // the remainder evenly — closed form over sources sorted by size:
+      // k = max{i : sᵢ·(n−i+1) ≤ B − S_{i−1}}, level t = (B−S_k)/(n−k),
+      // allocᵢ = sᵢ for i ≤ k else t. Scale shape: ONE corpus scan
+      // collapses to a source-count-sized table; the windows that
+      // follow run over that tiny frame (source-count rows — NOT the
+      // corpus; the q119 global-window prohibition is about
+      // corpus-sized streams), and the three scalars (n, k, S_k)
+      // broadcast back. All-integer predicate; the level is one exact
+      // division, rounded once.
+      import org.apache.spark.sql.expressions.Window
+      val budget = 26000L
+      val st = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      val nct = st.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n_tokens"), col("source"))
+      val o = st.crossJoin(broadcast(nct))
+        .withColumn("i", row_number().over(w))
+        .withColumn("s_i", sum(col("n_tokens")).over(w))
+      val full = col("n_tokens") * (col("n") - col("i") + 1) <=
+        lit(budget) - (col("s_i") - col("n_tokens"))
+      val p = o
+        .withColumn("pi", when(full, col("i")))
+        .withColumn("psi", when(full, col("s_i")))
+      val t = p.agg(max(col("pi")).as("k"), max(col("psi")).as("sk"))
+      p.crossJoin(broadcast(t))
+        .select(col("source"), col("n_tokens"),
+          round(
+            when(col("k").isNotNull && col("i") <= col("k"),
+              col("n_tokens").cast("double"))
+              .when(col("k").isNull, lit(budget.toDouble) / col("n"))
+              .otherwise((lit(budget) - col("sk")) /
+                (col("n") - col("k")).cast("double")), 4).as("alloc_tokens"),
+          (col("k").isNotNull && col("i") <= col("k")).as("fully_used"))
     }),
 
     "q127_kl_drift" -> ((s, dir) => {
@@ -3720,6 +3792,50 @@ object SparkEntry {
            CAST(cum_before // 2000 AS BIGINT) AS shard_id,
            CAST(cum_before % 2000 AS BIGINT) AS shard_offset
          FROM c""",
+    "q138_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+           FROM toks WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+         tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50),
+         rare AS (SELECT shingle FROM tr GROUP BY shingle
+           HAVING count(DISTINCT doc_id) <= 64),
+         shared AS (SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n
+           FROM tr JOIN rare USING (shingle) JOIN ev USING (shingle)
+           GROUP BY tr.doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared_shingles,
+           COALESCE(shared.n, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
+         WHERE d.doc_id >= 50""",
+    "q139_budget_alloc" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY source),
+         o AS (SELECT source, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM st),
+         p AS (SELECT *,
+             CASE WHEN n_tokens * (n - i + 1) <= 26000 - (s_i - n_tokens)
+                  THEN i END AS pi,
+             CASE WHEN n_tokens * (n - i + 1) <= 26000 - (s_i - n_tokens)
+                  THEN s_i END AS psi
+           FROM o),
+         kk AS (SELECT *, max(pi) OVER () AS k, max(psi) OVER () AS sk FROM p)
+         SELECT source, n_tokens,
+           round(CASE WHEN k IS NOT NULL AND i <= k THEN CAST(n_tokens AS DOUBLE)
+                      WHEN k IS NULL THEN CAST(20000 AS DOUBLE) / n
+                      ELSE (26000 - sk) / CAST(n - k AS DOUBLE) END, 4)
+             AS alloc_tokens,
+           (k IS NOT NULL AND i <= k) AS fully_used
+         FROM kk""",
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
     "q78_contamination" ->
