@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Ids, Redaction, Text, Vectors}
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Relational, Sampling, Similarity}
 
 /** Driver contract: `queries` is the operator inventory (SURVEY.md §2 +
   * the beyond-parity training-data operators), each with a DuckDB oracle
@@ -1059,31 +1059,12 @@ object SparkEntry {
       // corpus-sized streams), and the three scalars (n, k, S_k)
       // broadcast back. All-integer predicate; the level is one exact
       // division, rounded once.
-      import org.apache.spark.sql.expressions.Window
-      val budget = 26000L
       val st = tbl(s, dir, "documents")
         .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
-      val nct = st.agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n_tokens"), col("source"))
-      val o = st.crossJoin(broadcast(nct))
-        .withColumn("i", row_number().over(w))
-        .withColumn("s_i", sum(col("n_tokens")).over(w))
-      val full = col("n_tokens") * (col("n") - col("i") + 1) <=
-        lit(budget) - (col("s_i") - col("n_tokens"))
-      val p = o
-        .withColumn("pi", when(full, col("i")))
-        .withColumn("psi", when(full, col("s_i")))
-      val t = p.agg(max(col("pi")).as("k"), max(col("psi")).as("sk"))
-      p.crossJoin(broadcast(t))
+      Sampling.waterFillBudget(st, "source", "n_tokens", budget = 26000L)
         .select(col("source"), col("n_tokens"),
-          round(
-            when(col("k").isNotNull && col("i") <= col("k"),
-              col("n_tokens").cast("double"))
-              .when(col("k").isNull, lit(budget.toDouble) / col("n"))
-              .otherwise((lit(budget) - col("sk")) /
-                (col("n") - col("k")).cast("double")), 4).as("alloc_tokens"),
-          (col("k").isNotNull && col("i") <= col("k")).as("fully_used"))
+          col("alloc").as("alloc_tokens"), col("fully_used"))
     }),
 
     "q127_kl_drift" -> ((s, dir) => {

@@ -153,4 +153,47 @@ object Sampling {
         array_join(slice(col("__toks"), col("__start") + 1, lit(size)), " ")
           .as("chunk_text"))
   }
+
+  /** Water-filling budget allocation across groups (the UniMax idea,
+    * Chung et al. 2023): spread `budget` units so every group below the
+    * water level is fully used and the rest split the remainder evenly.
+    * Closed form over groups sorted by (size, key) ascending:
+    * k = max{i : sᵢ·(n−i+1) ≤ B − S_{i−1}}, level t = (B−S_k)/(n−k),
+    * allocᵢ = sᵢ for i ≤ k else t (and B/n for every group when even the
+    * smallest exceeds its even share).
+    *
+    * Input: one row per group with `keyCol` (string) and `sizeCol`
+    * (long). Output: keyCol, sizeCol, alloc (double, rounded 4 dp),
+    * fully_used. The windows run over the GROUP-COUNT-sized frame (this
+    * operator's input is an aggregate, never the corpus), and the three
+    * scalars (n, k, S_k) broadcast back.
+    */
+  def waterFillBudget(
+      groups: DataFrame,
+      keyCol: String,
+      sizeCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = groups.select(col(keyCol), col(sizeCol).cast("long").as(sizeCol))
+    val nct = st.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col(sizeCol), col(keyCol))
+    val o = st.crossJoin(broadcast(nct))
+      .withColumn("i", row_number().over(w))
+      .withColumn("s_i", sum(col(sizeCol)).over(w))
+    val full = col(sizeCol) * (col("n") - col("i") + 1) <=
+      lit(budget) - (col("s_i") - col(sizeCol))
+    val p = o
+      .withColumn("pi", when(full, col("i")))
+      .withColumn("psi", when(full, col("s_i")))
+    val t = p.agg(max(col("pi")).as("k"), max(col("psi")).as("sk"))
+    p.crossJoin(broadcast(t))
+      .select(col(keyCol), col(sizeCol),
+        round(
+          when(col("k").isNotNull && col("i") <= col("k"),
+            col(sizeCol).cast("double"))
+            .when(col("k").isNull, lit(budget.toDouble) / col("n"))
+            .otherwise((lit(budget) - col("sk")) /
+              (col("n") - col("k")).cast("double")), 4).as("alloc"),
+        (col("k").isNotNull && col("i") <= col("k")).as("fully_used"))
+  }
 }

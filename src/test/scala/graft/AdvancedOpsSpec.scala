@@ -22,6 +22,42 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(sessions.head.session_end == ts(10))
   }
 
+  test("waterFillBudget matches a greedy water-filling reference across budgets") {
+    import graft.operators.Sampling
+    val sizes = Seq(("a", 1200L), ("b", 300L), ("c", 5000L),
+      ("d", 300L), ("e", 2500L), ("f", 900L)) // total 10200, one tie pair
+    val df = sizes.toDF("key", "size")
+    // Budgets spanning every branch: below the smallest even share,
+    // mixed full/capped, exactly the total, and above the total.
+    for (budget <- Seq(100L, 1000L, 5000L, 10200L, 50000L)) {
+      val got = Sampling.waterFillBudget(df, "key", "size", budget)
+        .as[(String, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._3, r._4))).toMap
+      val sorted = sizes.sortBy { case (k, s) => (s, k) }
+      var remaining = budget.toDouble
+      var level = Double.NaN
+      var capped = false
+      val ref = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
+      for (((k, s), idx) <- sorted.zipWithIndex) {
+        val slots = sorted.size - idx
+        if (!capped && s.toDouble * slots <= remaining) {
+          ref(k) = (s.toDouble, true); remaining -= s
+        } else {
+          if (!capped) { capped = true; level = remaining / slots }
+          ref(k) = (level, false)
+        }
+      }
+      for ((k, (ra, rf)) <- ref) {
+        val (alloc, fu) = got(k)
+        assert(math.abs(alloc - math.rint(ra * 1e4) / 1e4) < 1e-9 && fu == rf,
+          s"budget=$budget key=$k got=($alloc,$fu) want=($ra,$rf)")
+      }
+      // The allocation always exhausts min(budget, total).
+      val total = got.values.map(_._1).sum
+      assert(math.abs(total - math.min(budget, 10200L).toDouble) < 1e-3)
+    }
+  }
+
   test("sessionize matches the window-based q42 session counts") {
     val raw = Tables.events(spark, sfDir)
     val events = Sessionizer.fromEventsTable(spark, raw)
