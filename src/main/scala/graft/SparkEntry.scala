@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 139
+  val declaredQueryCount = 140
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1013,6 +1013,17 @@ object SparkEntry {
             when(col("kept") === 1, struct(col("pos"), col("sent"))))),
             e => e.getField("sent")), ". ").as("text_deduped"))
     }),
+
+    "q140_topk_per_key" -> ((s, dir) =>
+      // Native per-key top-k through the custom planner path (logical
+      // node → strategy → two-phase physical operator): top-3 events per
+      // type by (value desc, event_id) — the partial pass bounds each map
+      // partition to k rows per key BEFORE the exchange, where the
+      // window-based oracle shuffles and sorts every row. See
+      // org.apache.spark.sql.graft.TopKPerKey.
+      org.apache.spark.sql.graft.TopKPerKey(
+        Tables.events(s, dir).select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), Seq(("value", false), ("event_id", true)), k = 3)),
 
     "q138_decontaminate" -> ((s, dir) => {
       // Train-set decontamination — the ACTION on q78's measurement
@@ -3817,6 +3828,13 @@ object SparkEntry {
              AS alloc_tokens,
            (k IS NOT NULL AND i <= k) AS fully_used
          FROM kk""",
+    "q140_topk_per_key" ->
+      """SELECT event_type, event_id, value FROM (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id) AS rn
+           FROM events) t
+         WHERE rn <= 3""",
     "q71_curation" -> curationSql,
     "q72_neardup_components" -> neardupComponentsSql,
     "q78_contamination" ->

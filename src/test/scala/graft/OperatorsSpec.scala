@@ -192,6 +192,29 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.count(_._2 == hotCell) >= 301)
   }
 
+  test("TopKPerKey native operator matches the window top-k, two-phase plan") {
+    import org.apache.spark.sql.graft.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type", $"event_id", $"value")
+    val got = TopKPerKey(ev, Seq("event_type"),
+      Seq(("value", false), ("event_id", true)), k = 3)
+    // Two custom nodes (partial before the exchange, final after) — the
+    // map-side bounding that distinguishes this from the window plan.
+    val plan = got.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).size == 2, plan.take(800))
+    assert(plan.contains("Exchange"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"value".desc, $"event_id")
+    val want = ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .as[(String, Long, Double)].collect().toSet
+    val res = got.as[(String, Long, Double)].collect().toSet
+    assert(res == want && res.nonEmpty)
+    // Bounded-state contract: k rows per key survive.
+    assert(res.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
   test("BPE merge learning matches a classic in-memory reference") {
     import graft.operators.Bpe
     // Reference: textbook BPE (Sennrich et al. 2016) on the SAME word
