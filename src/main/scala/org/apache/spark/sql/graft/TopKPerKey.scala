@@ -33,6 +33,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * config-file coupling); `TopKPerKey(df, …)` injects the strategy
   * idempotently. Determinism: callers pass a total order (tie-break on a
   * unique column) — same contract as every oracle-checked top-k here.
+  *
+  * Cardinality contract: partial-pass state is (keys-in-partition × k)
+  * buffered rows. That is the win whenever keys ≪ rows (group-by-type,
+  * per-source, per-language shapes). When the key is near-unique
+  * (keys ≈ rows), no bounding is possible for ANY algorithm and the
+  * buffer degenerates to the partition — use the window form (which
+  * externalizes its sort) for that shape, exactly as you would fall back
+  * from a hash to a sort aggregate.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
