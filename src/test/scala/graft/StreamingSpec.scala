@@ -387,6 +387,43 @@ class StreamingSpec extends SparkSpec {
       c <= n && math.abs(cov + oov - 1.0) < 1e-9 })
   }
 
+  test("streaming KL drift converges to the batch value per source") {
+    import graft.streaming.StreamingKlDrift
+    import graft.streaming.StreamingKlDrift.TokenRow
+    val docs = Tables.load(spark, sfDir, "documents").select("source", "text")
+    val (refPc, oovPc) = StreamingKlDrift.referenceModel(docs, "text")
+    val tokens = StreamingKlDrift.fromDocuments(docs, "source", "text")
+    val staged = Files.createTempDirectory("graft-kl").toString
+    tokens.repartition(5).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[TokenRow]
+    val q = StreamingKlDrift.drift(stream, refPc, oovPc, streaming = true)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kl_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // Counts only grow, so each source's max-n_tokens emission is the
+    // converged one; it must EQUAL the batch run on the same rows (the
+    // KL is recomputed from exact integer counts at every emission — no
+    // cross-batch float accumulation to drift).
+    val streamed = spark.table("kl_out")
+      .groupBy($"source")
+      .agg(max(struct($"n_tokens", $"n_terms", $"kl_vs_corpus")).as("m"))
+      .select($"source", $"m.n_terms", $"m.n_tokens", $"m.kl_vs_corpus")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val batchTokens = spark.read.parquet(staged).as[TokenRow]
+    val batch = StreamingKlDrift.drift(batchTokens, refPc, oovPc, streaming = false)
+      .select($"source", $"n_terms", $"n_tokens", $"kl_vs_corpus")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // The stream IS the reference corpus here, so every term is known;
+    // each source's KL against the blend is finite and real.
+    assert(streamed.forall { case (_, nt, tok, kl) => nt > 0 && tok > 0 && !kl.isNaN })
+  }
+
   test("streaming contamination counts match the batch shingle-overlap query") {
     import graft.streaming.StreamingContamination
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
