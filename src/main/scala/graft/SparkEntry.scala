@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 140
+  val declaredQueryCount = 141
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1012,6 +1012,25 @@ object SparkEntry {
           array_join(transform(array_sort(collect_list(
             when(col("kept") === 1, struct(col("pos"), col("sent"))))),
             e => e.getField("sent")), ". ").as("text_deduped"))
+    }),
+
+    "q141_mix_apply" -> ((s, dir) => {
+      // The mixing plan APPLIED (q139 → corpus): each source's
+      // water-filled token allocation becomes a per-doc acceptance rate
+      // alloc/n_tokens, executed as the deterministic md5 unit-hash
+      // filter (q76's idiom — replayable on any engine, stable under
+      // retries). Scale shape: the rate table is source-count-sized and
+      // broadcasts; the corpus is scanned once through one codegen'd
+      // filter — the plan-to-sample path has zero extra shuffles.
+      val st = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      val rates = Sampling.waterFillBudget(st, "source", "n_tokens", budget = 26000L)
+        .select(col("source"), (col("alloc") / col("n_tokens")).as("rate"))
+      tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(broadcast(rates), Seq("source"))
+        .filter(Sampling.unitHash(col("doc_id")) < col("rate"))
+        .select(col("doc_id"), col("source"))
     }),
 
     "q140_topk_per_key" -> ((s, dir) =>
@@ -2666,6 +2685,35 @@ object SparkEntry {
          n_members, -struct_extract(ms, 'nq') AS survivor_quality
        FROM m"""
 
+  /** q139 oracle: water-filling allocation over per-source token counts
+    * (also embedded as a CTE by q141's mix-apply oracle).
+    */
+  private val budgetAllocSql: String =
+    """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY source),
+         o AS (SELECT source, n_tokens,
+             CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM st),
+         p AS (SELECT *,
+             CASE WHEN n_tokens * (n - i + 1) <= 26000 - (s_i - n_tokens)
+                  THEN i END AS pi,
+             CASE WHEN n_tokens * (n - i + 1) <= 26000 - (s_i - n_tokens)
+                  THEN s_i END AS psi
+           FROM o),
+         kk AS (SELECT *, max(pi) OVER () AS k, max(psi) OVER () AS sk FROM p)
+         SELECT source, n_tokens,
+           round(CASE WHEN k IS NOT NULL AND i <= k THEN CAST(n_tokens AS DOUBLE)
+                      WHEN k IS NULL THEN CAST(26000 AS DOUBLE) / n
+                      ELSE (26000 - sk) / CAST(n - k AS DOUBLE) END, 4)
+             AS alloc_tokens,
+           (k IS NOT NULL AND i <= k) AS fully_used
+         FROM kk"""
+
   /** q136 oracle: q124's component/survivor CTEs, applied as a keep-list
     * against the corpus (untouched docs kept as 'unique', survivors kept,
     * all other component members dropped).
@@ -3803,31 +3851,14 @@ object SparkEntry {
            COALESCE(shared.n, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
          WHERE d.doc_id >= 50""",
-    "q139_budget_alloc" ->
-      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
-           FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
-                 FROM documents)
-           GROUP BY source),
-         o AS (SELECT source, n_tokens,
-             CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
-             CAST(sum(n_tokens) OVER (ORDER BY n_tokens, source
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
-             CAST(count(*) OVER () AS BIGINT) AS n
-           FROM st),
-         p AS (SELECT *,
-             CASE WHEN n_tokens * (n - i + 1) <= 26000 - (s_i - n_tokens)
-                  THEN i END AS pi,
-             CASE WHEN n_tokens * (n - i + 1) <= 26000 - (s_i - n_tokens)
-                  THEN s_i END AS psi
-           FROM o),
-         kk AS (SELECT *, max(pi) OVER () AS k, max(psi) OVER () AS sk FROM p)
-         SELECT source, n_tokens,
-           round(CASE WHEN k IS NOT NULL AND i <= k THEN CAST(n_tokens AS DOUBLE)
-                      WHEN k IS NULL THEN CAST(20000 AS DOUBLE) / n
-                      ELSE (26000 - sk) / CAST(n - k AS DOUBLE) END, 4)
-             AS alloc_tokens,
-           (k IS NOT NULL AND i <= k) AS fully_used
-         FROM kk""",
+    "q139_budget_alloc" -> budgetAllocSql,
+    "q141_mix_apply" ->
+      s"""WITH alloc AS ($budgetAllocSql),
+         rates AS (SELECT source, alloc_tokens / n_tokens AS rate FROM alloc)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN rates USING (source)
+         WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 < rate""",
     "q140_topk_per_key" ->
       """SELECT event_type, event_id, value FROM (
            SELECT event_type, event_id, value,
