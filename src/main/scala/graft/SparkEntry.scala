@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 141
+  val declaredQueryCount = 142
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1012,6 +1012,25 @@ object SparkEntry {
           array_join(transform(array_sort(collect_list(
             when(col("kept") === 1, struct(col("pos"), col("sent"))))),
             e => e.getField("sent")), ". ").as("text_deduped"))
+    }),
+
+    "q142_quality_quantile" -> ((s, dir) => {
+      // Per-source quality-quantile gate — the calibrated form of a fixed
+      // quality threshold: keep each source's top quartile (quality >=
+      // that source's exact P75). Pipelines calibrate per source because
+      // quality distributions differ by origin; a single global cut
+      // over- or under-prunes. Scale shape: quality is the q36 codegen'd
+      // projection; the P75 is one exact-percentile agg collapsing to a
+      // source-count-sized table that broadcasts back; the gate is one
+      // filter — two corpus scans total (agg + gate), zero extra
+      // shuffles of the corpus.
+      val q = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        Text.qualityScore(col("text"), Text.tokens(col("text"))).as("quality"))
+      val thr = q.groupBy(col("source"))
+        .agg(percentile(col("quality"), lit(0.75)).as("p75"))
+      q.join(broadcast(thr), Seq("source"))
+        .filter(col("quality") >= col("p75"))
+        .select(col("doc_id"), col("source"), col("quality"), col("p75"))
     }),
 
     "q141_mix_apply" -> ((s, dir) => {
@@ -2714,6 +2733,15 @@ object SparkEntry {
            (k IS NOT NULL AND i <= k) AS fully_used
          FROM kk"""
 
+  /** The q36 quality projection with `source` carried through (q142's
+    * per-source quantile gate needs it).
+    */
+  private def qualityWithSourceSql: String = qualitySql
+    .replace("SELECT doc_id, len(w) AS n_tokens,",
+      "SELECT doc_id, source, len(w) AS n_tokens,")
+    .replace("FROM (SELECT doc_id, regexp_split_to_array",
+      "FROM (SELECT doc_id, source, regexp_split_to_array")
+
   /** q136 oracle: q124's component/survivor CTEs, applied as a keep-list
     * against the corpus (untouched docs kept as 'unique', survivors kept,
     * all other component members dropped).
@@ -3852,6 +3880,14 @@ object SparkEntry {
          FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
          WHERE d.doc_id >= 50""",
     "q139_budget_alloc" -> budgetAllocSql,
+    "q142_quality_quantile" ->
+      s"""WITH qq AS (SELECT doc_id, source, quality_score AS quality
+           FROM ($qualityWithSourceSql)),
+         thr AS (SELECT source, quantile_cont(quality, 0.75) AS p75
+           FROM qq GROUP BY source)
+         SELECT doc_id, source, quality, p75
+         FROM qq JOIN thr USING (source)
+         WHERE quality >= p75""",
     "q141_mix_apply" ->
       s"""WITH alloc AS ($budgetAllocSql),
          rates AS (SELECT source, alloc_tokens / n_tokens AS rate FROM alloc)
