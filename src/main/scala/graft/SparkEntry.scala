@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 142
+  val declaredQueryCount = 143
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -600,6 +600,29 @@ object SparkEntry {
             .as("top_bigram_frac"),
           (col("b.dup").cast("double") / col("b.total").cast("double"))
             .as("dup_bigram_frac"))
+    }),
+
+    "q143_repetition_gate" -> ((s, dir) => {
+      // Gopher-style repetition GATE (Rae et al. 2021 §A1.2) composing
+      // q83's oracle-proven fractions into keep/violation verdicts —
+      // same one-pass codegen'd kernel projection, zero shuffles; the
+      // thresholds compare ratios of exact integer counts, identical in
+      // both engines.
+      val stats = struct(
+        graft.plans.TextKernels.repetitionStatsNative(col("text"), 1).as("w"),
+        graft.plans.TextKernels.repetitionStatsNative(col("text"), 2).as("b"))
+      val twf = col("w.top").cast("double") / col("w.total").cast("double")
+      val dwf = col("w.dup").cast("double") / col("w.total").cast("double")
+      val tbf = col("b.top").cast("double") / col("b.total").cast("double")
+      val dbf = col("b.dup").cast("double") / col("b.total").cast("double")
+      val viol = (twf > 0.3).cast("int") + (dwf > 0.4).cast("int") +
+        (tbf > 0.2).cast("int") + (dbf > 0.6).cast("int")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), inline(array(stats)))
+        .filter(col("b.total") > 0)
+        .select(col("doc_id"), col("w.total").as("n_words"),
+          viol.as("n_violations"),
+          (twf <= 0.3 && dwf <= 0.4 && tbf <= 0.2 && dbf <= 0.6).as("keep"))
     }),
 
     "q86_pii_redaction" -> ((s, dir) => {
@@ -2733,6 +2756,34 @@ object SparkEntry {
            (k IS NOT NULL AND i <= k) AS fully_used
          FROM kk"""
 
+  /** q83 oracle (also the CTE of q143's repetition gate): per-doc
+    * top-/duplicated-gram fractions at word and bigram granularity.
+    */
+  private val repetitionSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+           FROM documents),
+         words AS (SELECT doc_id, unnest(t) AS g FROM toks),
+         wc AS (SELECT doc_id, g, count(*) AS cnt FROM words GROUP BY doc_id, g),
+         ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+                  CAST(max(cnt) AS BIGINT) AS top,
+                  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+                FROM wc GROUP BY doc_id),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                    i -> array_to_string(t[i:i+1], ' '))) AS g
+                FROM toks WHERE len(t) >= 2),
+         bc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g),
+         bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+                  CAST(max(cnt) AS BIGINT) AS top,
+                  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
+                FROM bc GROUP BY doc_id)
+         SELECT w.doc_id, w.total AS n_words,
+           CAST(w.top AS DOUBLE) / CAST(w.total AS DOUBLE) AS top_word_frac,
+           CAST(w.dup AS DOUBLE) / CAST(w.total AS DOUBLE) AS dup_word_frac,
+           CAST(b.top AS DOUBLE) / CAST(b.total AS DOUBLE) AS top_bigram_frac,
+           CAST(b.dup AS DOUBLE) / CAST(b.total AS DOUBLE) AS dup_bigram_frac
+         FROM ws w JOIN bs b ON w.doc_id = b.doc_id"""
+
   /** The q36 quality projection with `source` carried through (q142's
     * per-source quantile gate needs it).
     */
@@ -2995,30 +3046,18 @@ object SparkEntry {
     "q61_winnowing" -> winnowingSql,
     "q62_sql_kernels" -> simhashSql,
     "q36_quality" -> qualitySql,
-    "q83_repetition" ->
-      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-           FROM documents),
-         words AS (SELECT doc_id, unnest(t) AS g FROM toks),
-         wc AS (SELECT doc_id, g, count(*) AS cnt FROM words GROUP BY doc_id, g),
-         ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
-                  CAST(max(cnt) AS BIGINT) AS top,
-                  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
-                FROM wc GROUP BY doc_id),
-         bg AS (SELECT doc_id,
-                  unnest(list_transform(range(1, len(t)),
-                    i -> array_to_string(t[i:i+1], ' '))) AS g
-                FROM toks WHERE len(t) >= 2),
-         bc AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY doc_id, g),
-         bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
-                  CAST(max(cnt) AS BIGINT) AS top,
-                  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup
-                FROM bc GROUP BY doc_id)
-         SELECT w.doc_id, w.total AS n_words,
-           CAST(w.top AS DOUBLE) / CAST(w.total AS DOUBLE) AS top_word_frac,
-           CAST(w.dup AS DOUBLE) / CAST(w.total AS DOUBLE) AS dup_word_frac,
-           CAST(b.top AS DOUBLE) / CAST(b.total AS DOUBLE) AS top_bigram_frac,
-           CAST(b.dup AS DOUBLE) / CAST(b.total AS DOUBLE) AS dup_bigram_frac
-         FROM ws w JOIN bs b ON w.doc_id = b.doc_id""",
+    "q83_repetition" -> repetitionSql,
+    "q143_repetition_gate" ->
+      s"""WITH r AS ($repetitionSql)
+         SELECT doc_id, n_words,
+           CAST(CASE WHEN top_word_frac > 0.3 THEN 1 ELSE 0 END
+              + CASE WHEN dup_word_frac > 0.4 THEN 1 ELSE 0 END
+              + CASE WHEN top_bigram_frac > 0.2 THEN 1 ELSE 0 END
+              + CASE WHEN dup_bigram_frac > 0.6 THEN 1 ELSE 0 END AS INT)
+             AS n_violations,
+           top_word_frac <= 0.3 AND dup_word_frac <= 0.4
+             AND top_bigram_frac <= 0.2 AND dup_bigram_frac <= 0.6 AS keep
+         FROM r""",
     "q37_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
