@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 143
+  val declaredQueryCount = 145
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -623,6 +623,62 @@ object SparkEntry {
         .select(col("doc_id"), col("w.total").as("n_words"),
           viol.as("n_violations"),
           (twf <= 0.3 && dwf <= 0.4 && tbf <= 0.2 && dbf <= 0.6).as("keep"))
+    }),
+
+    "q144_source_overlap" -> ((s, dir) => {
+      // Cross-source duplication matrix — the dataset-card report behind
+      // mixing/dedup decisions: for every source pair, the Jaccard
+      // overlap of their distinct word-trigram sets (how much of one
+      // crawl is already inside another). Scale shape: one scan
+      // collapses to a distinct (source, gramHash) frame (8-byte
+      // xxhash64 shuffle keys — the q121/q129 lesson), pinned because it
+      // feeds both legs; shared counts come from a gram-keyed self-join
+      // whose per-gram fan-out is bounded by the SOURCE count (≤ S²/2
+      // pairs per gram), never the corpus; set sizes are a source-sized
+      // agg, and the full matrix (zero-overlap pairs included) is a
+      // cross of two source-sized tables — driver-free, broadcast-sized.
+      val sh = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.plans.TextKernels.wordShinglesNative(col("text"), 3))
+            .as("g"))
+        .select(col("source"), xxhash64(col("g")).as("g"))
+        .distinct()
+        .localCheckpoint()
+      val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val ns = coalesce(col("n_shared"), lit(0L))
+      cnt.select(col("source").as("source_a"), col("n").as("n_a"))
+        .crossJoin(cnt.select(col("source").as("source_b"), col("n").as("n_b")))
+        .filter(col("source_a") < col("source_b"))
+        .join(shared, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), ns.as("n_shared"),
+          col("n_a"), col("n_b"),
+          round(ns.cast("double") / (col("n_a") + col("n_b") - ns), 6)
+            .as("jaccard"))
+    }),
+
+    "q145_boilerplate_prefix" -> ((s, dir) => {
+      // Boilerplate-prefix mining (the signal behind C4/RefinedWeb
+      // repeated-header removal): normalized 30-char document prefixes
+      // shared by ≥ 2 documents are template material, reported with
+      // corpus spread and earliest exemplar. Scale shape: pure
+      // projection → ONE map-combinable agg keyed by the bounded-width
+      // prefix (count, distinct-source count, min id all partial-agg);
+      // the report is top-20 via TakeOrderedAndProject. Zero windows,
+      // one corpus shuffle of ≤ 30-char keys.
+      tbl(s, dir, "documents")
+        .select(substring(lower(trim(col("text"))), 1, 30).as("prefix"),
+          col("doc_id"), col("source"))
+        .groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("first_doc_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("prefix"))
+        .limit(20)
     }),
 
     "q86_pii_redaction" -> ((s, dir) => {
@@ -3058,6 +3114,33 @@ object SparkEntry {
            top_word_frac <= 0.3 AND dup_word_frac <= 0.4
              AND top_bigram_frac <= 0.2 AND dup_bigram_frac <= 0.6 AS keep
          FROM r""",
+    "q144_source_overlap" ->
+      """WITH tk AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT DISTINCT source, g FROM
+           (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+            FROM tk WHERE len(w) >= 3)),
+         cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         shared AS (SELECT a.source AS sa, b.source AS sb,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT ca.source AS source_a, cb.source AS source_b,
+           CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+           ca.n AS n_a, cb.n AS n_b,
+           round(CAST(coalesce(n_shared, 0) AS DOUBLE)
+             / (ca.n + cb.n - coalesce(n_shared, 0)), 6) AS jaccard
+         FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+         LEFT JOIN shared ON shared.sa = ca.source AND shared.sb = cb.source""",
+    "q145_boilerplate_prefix" ->
+      """WITH g AS (SELECT substr(lower(trim(text)), 1, 30) AS prefix,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             min(doc_id) AS first_doc_id
+           FROM documents GROUP BY 1 HAVING count(*) >= 2)
+         SELECT prefix, n_docs, n_sources, first_doc_id
+         FROM g ORDER BY n_docs DESC, prefix LIMIT 20""",
     "q37_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
          len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens

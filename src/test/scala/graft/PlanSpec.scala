@@ -1,0 +1,88 @@
+package graft
+
+/** Physical-plan shape assertions for representative queries.
+  *
+  * The scale story in SparkEntry's scaladoc makes concrete claims — dims
+  * broadcast, top-k compiles to TakeOrderedAndProject, filters reach the
+  * parquet scan, projections prune the read schema, the hot path stays
+  * inside whole-stage codegen. LayoutSpec already proves the layout tier
+  * (bucketed no-exchange joins, partition pruning); this spec pins the
+  * query tier, so a regression that silently degrades a plan (a lost
+  * broadcast hint, a global Sort replacing top-k, a `select(*)` defeating
+  * pruning) fails the build instead of only showing up as a slow bench row.
+  *
+  * Plans are inspected AFTER execution so AQE's final plan (not the
+  * initial placeholder) is what's asserted.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: explicit dim broadcasts plan as BroadcastHashJoin, never SortMergeJoin") {
+    val plan = executedPlan("q02_fk_dim_join")
+    // The AQE plan string prints Final and Initial sections, so each
+    // physical join appears twice — assert on at-least (2 joins × ≥1).
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected both dim joins (nation, region) to broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a dim join fell back to sort-merge (shuffles the fact side):\n$plan")
+  }
+
+  test("q23: orderBy+limit compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q23_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heap + driver merge:\n$plan")
+  }
+
+  test("q38: brute-force cosine top-k is TakeOrderedAndProject over one scan") {
+    val plan = executedPlan("q38_embed_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"embedding top-k must never globally sort the corpus:\n$plan")
+  }
+
+  test("q119: vocab rank is TakeOrderedAndProject (the r4 global-window lesson)") {
+    val plan = executedPlan("q119_vocab_encode")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab truncation must be orderBy+limit, not a single-partition window:\n$plan")
+  }
+
+  test("q01: the shipdate filter is pushed to the parquet scan") {
+    val plan = executedPlan("q01_pricing_summary")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      s"l_shipdate <= … must reach the scan as a pushed filter:\n$plan")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine before the shuffle)") {
+    val plan = executedPlan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial and final HashAggregate nodes:\n$plan")
+    assert(plan.contains("*("),
+      s"expected whole-stage codegen stages in the agg pipeline:\n$plan")
+  }
+
+  test("q37: projection prunes the documents scan to doc_id+text") {
+    val plan = executedPlan("q37_token_count")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"token counting must not read lang/source/n_chars:\n$plan")
+  }
+
+  test("q142: the per-source threshold joins back as a broadcast") {
+    val plan = executedPlan("q142_quality_quantile")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the source-count-sized P75 table must broadcast, not shuffle the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"threshold join-back fell back to sort-merge:\n$plan")
+  }
+
+  test("q03: the order-date filter is pushed down and dims broadcast") {
+    val plan = executedPlan("q03_revenue_by_nation")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"o_orderdate range must reach the orders scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the nation dim must broadcast:\n$plan")
+  }
+}
