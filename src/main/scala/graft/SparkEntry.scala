@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 145
+  val declaredQueryCount = 147
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -679,6 +679,79 @@ object SparkEntry {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("prefix"))
         .limit(20)
+    }),
+
+    "q146_mad_outliers" -> ((s, dir) => {
+      // Robust per-source outlier gate: median/MAD instead of mean/σ —
+      // a single pathological document cannot drag the threshold the
+      // way it drags a mean (the reason robust statistics run quality
+      // anomaly gates in practice). Flags docs whose quality deviates
+      // from their source's median by > 3×MAD. Scale shape: quality is
+      // the q36 codegen'd projection, pinned once; both robust stats
+      // collapse to source-sized tables broadcast back onto the pinned
+      // frame — the corpus is never shuffled. Exact percentile is the
+      // oracle-able form; approx_percentile is the drop-in 100 TB knob
+      // with the identical plan shape (the q142 pairing). Determinism:
+      // median interpolation, abs, and the 3×MAD compare are single
+      // IEEE ops on identical inputs — bit-equal cross-engine.
+      val q = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+          Text.qualityScore(col("text"), Text.tokens(col("text"))).as("quality"))
+        .localCheckpoint()
+      val med = q.groupBy(col("source"))
+        .agg(percentile(col("quality"), lit(0.5)).as("med"))
+      val dev = q.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("quality") - col("med")))
+      val mad = dev.groupBy(col("source"))
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          round(col("quality"), 6).as("quality"),
+          round(col("med"), 6).as("med"),
+          round(col("dev"), 6).as("dev"),
+          (col("dev") > lit(3.0) * col("mad")).as("is_outlier"))
+    }),
+
+    "q147_knn_label_agreement" -> ((s, dir) => {
+      // Embedding-space quality probe: does each vector's (approximate)
+      // nearest neighbor carry the same label? The standard sanity
+      // report before an embedding column drives dedup or search.
+      // Scale-honest kNN: neighbors come from the LSH bucket join
+      // (candidate-bounded, never all-pairs); the per-vector argmax is
+      // min(struct(-cos, id)) — map-combinable, no window on the pair
+      // stream; label join-backs are id-keyed; the report is
+      // label-count-sized. Determinism: both engines compute identical
+      // IEEE cosines (the q66 contract); equal-cos ties break to the
+      // lowest neighbor id via the struct order.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+        nPlanes = 4, dim = dim, threshold = 0.3)
+      val sym = pairs
+        .select(col("id_a").as("v"), col("id_b").as("nb"), col("cosine_sim"))
+        .union(pairs
+          .select(col("id_b").as("v"), col("id_a").as("nb"), col("cosine_sim")))
+      val nn = sym.groupBy(col("v"))
+        .agg(min(struct((-col("cosine_sim")).as("nc"), col("nb").as("nb")))
+          .as("m"))
+        .select(col("v"), col("m.nb").as("nb"))
+      val lab = e.select(col("vec_id"), col("label"))
+      val nnl = nn
+        .join(lab.select(col("vec_id").as("v"), col("label")), Seq("v"))
+        .join(lab.select(col("vec_id").as("nb"), col("label").as("nb_label")),
+          Seq("nb"))
+      val agg = nnl.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(when(col("label") === col("nb_label"), 1L).otherwise(0L))
+            .as("n_agree"))
+      lab.groupBy(col("label")).agg(count(lit(1)).as("n_vectors"))
+        .join(agg, Seq("label"), "left")
+        .select(col("label"), col("n_vectors"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+          when(coalesce(col("n_matched"), lit(0L)) === 0,
+            lit(null).cast("double"))
+            .otherwise(round(col("n_agree").cast("double") / col("n_matched"), 6))
+            .as("agree_rate"))
     }),
 
     "q86_pii_redaction" -> ((s, dir) => {
@@ -4010,6 +4083,42 @@ object SparkEntry {
          SELECT doc_id, source, quality, p75
          FROM qq JOIN thr USING (source)
          WHERE quality >= p75""",
+    "q146_mad_outliers" ->
+      s"""WITH qq AS (SELECT doc_id, source, quality_score AS quality
+           FROM ($qualityWithSourceSql)),
+         med AS (SELECT source, quantile_cont(quality, 0.5) AS med
+           FROM qq GROUP BY source),
+         dv AS (SELECT doc_id, qq.source, quality, med,
+             abs(quality - med) AS dev
+           FROM qq JOIN med USING (source)),
+         mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad
+           FROM dv GROUP BY source)
+         SELECT doc_id, dv.source, round(quality, 6) AS quality,
+           round(med, 6) AS med, round(dev, 6) AS dev,
+           dev > 3.0 * mad AS is_outlier
+         FROM dv JOIN mad USING (source)""",
+    "q147_knn_label_agreement" ->
+      s"""WITH ${bucketedPairCtes(4, 0.3)},
+         sym AS (SELECT id_a AS v, id_b AS nb, cos FROM pairs
+                 UNION ALL SELECT id_b AS v, id_a AS nb, cos FROM pairs),
+         nn AS (SELECT v, struct_extract(min({'nc': -cos, 'nb': nb}), 'nb') AS nb
+                FROM sym GROUP BY v),
+         nnl AS (SELECT a.label AS label, b.label AS nb_label
+                 FROM nn JOIN embeddings a ON a.vec_id = nn.v
+                         JOIN embeddings b ON b.vec_id = nn.nb),
+         agg AS (SELECT label, CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(sum(CASE WHEN label = nb_label THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_agree
+                 FROM nnl GROUP BY label),
+         tot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+                 FROM embeddings GROUP BY label)
+         SELECT t.label, n_vectors,
+           coalesce(n_matched, 0) AS n_matched,
+           coalesce(n_agree, 0) AS n_agree,
+           CASE WHEN coalesce(n_matched, 0) = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(CAST(n_agree AS DOUBLE) / n_matched, 6)
+           END AS agree_rate
+         FROM tot t LEFT JOIN agg USING (label)""",
     "q141_mix_apply" ->
       s"""WITH alloc AS ($budgetAllocSql),
          rates AS (SELECT source, alloc_tokens / n_tokens AS rate FROM alloc)
