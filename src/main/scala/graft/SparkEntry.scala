@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 147
+  val declaredQueryCount = 151
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -752,6 +752,118 @@ object SparkEntry {
             lit(null).cast("double"))
             .otherwise(round(col("n_agree").cast("double") / col("n_matched"), 6))
             .as("agree_rate"))
+    }),
+
+    "q148_hard_negatives" -> ((s, dir) => {
+      // Contrastive-training data prep: for each vector, the top-2 most
+      // similar neighbors that carry a DIFFERENT label (hard negatives).
+      // Scale shape: candidates come from the LSH bucket join (bounded,
+      // never all-pairs); per-vector top-k goes through the native
+      // TopKPerKey physical operator, so each map partition is k-bounded
+      // per key BEFORE the exchange — no window over the pair stream.
+      // Determinism: selection runs on EXACT IEEE cosines (the q66
+      // contract; rounding happens after top-k), ties break to the
+      // lowest neighbor id via the (cos desc, nb asc) total order.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+        nPlanes = 4, dim = dim, threshold = 0.3)
+      val lab = e.select(col("vec_id"), col("label"))
+      val sym = pairs
+        .select(col("id_a").as("v"), col("id_b").as("nb"),
+          col("cosine_sim").as("cos"))
+        .union(pairs.select(col("id_b").as("v"), col("id_a").as("nb"),
+          col("cosine_sim").as("cos")))
+      val cross = sym
+        .join(lab.select(col("vec_id").as("v"), col("label")), Seq("v"))
+        .join(lab.select(col("vec_id").as("nb"), col("label").as("nb_label")),
+          Seq("nb"))
+        .filter(col("label") =!= col("nb_label"))
+        .select(col("v"), col("nb"), col("label"), col("nb_label"), col("cos"))
+      org.apache.spark.sql.graft.TopKPerKey(cross,
+        Seq("v"), Seq(("cos", false), ("nb", true)), k = 2)
+        .select(col("v"), col("nb"), col("label"), col("nb_label"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
+    "q149_label_centroids" -> ((s, dir) => {
+      // Inter-class embedding separation report: per-label centroid,
+      // then pairwise cosine between centroids — the label-count-sized
+      // matrix that says whether an embedding column can drive
+      // label-aware dedup or search. The centroid mean uses the
+      // position-ordered fold (vec_id order) so both engines fold the
+      // same floats in the same order — the oracle-able form; the
+      // order-free `avg` is the drop-in 100 TB knob with identical plan
+      // shape (map-combinable partials, no per-group list). Everything
+      // after the (label, dim) agg is centroid-table-sized; the pairwise
+      // cosine reuses the exact q66 dot/norm contract.
+      val e = tbl(s, dir, "embeddings")
+      val ed = e.select(col("vec_id"), col("label"),
+          posexplode(Vectors.toDoubleVec(col("embedding"))).as(Seq("dim", "x")))
+      val cent = ed.groupBy(col("label"), col("dim"))
+        .agg((aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+          lit(0.0), (a, r) => a + r.getField("x")) / count(lit(1))).as("c"))
+      val cv = cent.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          r => r.getField("c")).as("cv"))
+      val a = cv.select(col("label").as("label_a"), col("cv").as("va"))
+      val b = cv.select(col("label").as("label_b"), col("cv").as("vb"))
+      a.crossJoin(b).filter(col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(Vectors.dot(col("va"), col("vb")) /
+            (Vectors.l2Norm(col("va")) * Vectors.l2Norm(col("vb"))), 6)
+            .as("centroid_cos"))
+    }),
+
+    "q150_padding_efficiency" -> ((s, dir) => {
+      // Batch-shape planning report: for each candidate max sequence
+      // length, per source — tokens kept vs truncated, pad waste under
+      // naive one-doc-per-row padding, and the packed row count (the
+      // q77 packing upper bound), i.e. the numbers that pick seq_len
+      // before a training run. Pure integer arithmetic on one corpus
+      // scan (token count is the codegen'd q37 projection); the explode
+      // over 3 literal lengths triples rows BEFORE a map-combinable
+      // source×len agg — output is sources × lengths.
+      val d = tbl(s, dir, "documents").select(col("source"),
+        size(Text.tokens(col("text"))).cast("bigint").as("n_tok"))
+      d.select(col("source"), col("n_tok"),
+          explode(array(lit(128), lit(512), lit(2048))).as("seq_len"))
+        .groupBy(col("source"), col("seq_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(least(col("n_tok"), col("seq_len").cast("bigint")))
+            .as("kept_tokens"),
+          sum(greatest(col("n_tok") - col("seq_len"), lit(0L)))
+            .as("truncated_tokens"))
+        .select(col("source"), col("seq_len"), col("n_docs"), col("n_tokens"),
+          col("kept_tokens"), col("truncated_tokens"),
+          (col("n_docs") * col("seq_len") - col("kept_tokens")).as("pad_waste"),
+          floor((col("kept_tokens") + col("seq_len") - 1) / col("seq_len"))
+            .cast("bigint").as("packed_rows"),
+          round(col("kept_tokens").cast("double") /
+            (floor((col("kept_tokens") + col("seq_len") - 1) / col("seq_len")) *
+              col("seq_len")), 6).as("pack_efficiency"))
+    }),
+
+    "q151_lexical_diversity" -> ((s, dir) => {
+      // Per-source lexical-diversity signals: type-token ratio and hapax
+      // fraction — the cheap vocabulary-health stats that flag template
+      // spam (low TTR) and OCR noise (high hapax) before training. One
+      // corpus scan collapsing to (source, term) counts (map-combinable,
+      // the q127 shuffle shape), then a source-sized rollup; divisions
+      // are single IEEE ops on exact integer counts — bit-equal
+      // cross-engine.
+      val tf = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      tf.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_hapax").cast("double") / col("n_types"), 6)
+            .as("hapax_frac"))
     }),
 
     "q86_pii_redaction" -> ((s, dir) => {
@@ -4119,6 +4231,78 @@ object SparkEntry {
                 ELSE round(CAST(n_agree AS DOUBLE) / n_matched, 6)
            END AS agree_rate
          FROM tot t LEFT JOIN agg USING (label)""",
+    "q148_hard_negatives" ->
+      s"""WITH ${bucketedPairCtes(4, 0.3)},
+         sym AS (SELECT id_a AS v, id_b AS nb, cos FROM pairs
+                 UNION ALL SELECT id_b AS v, id_a AS nb, cos FROM pairs),
+         crossp AS (SELECT v, nb, a.label AS label, b.label AS nb_label, cos
+                 FROM sym JOIN embeddings a ON a.vec_id = sym.v
+                          JOIN embeddings b ON b.vec_id = sym.nb
+                 WHERE a.label <> b.label),
+         rk AS (SELECT v, nb, label, nb_label, cos,
+                  row_number() OVER (PARTITION BY v
+                    ORDER BY cos DESC, nb) AS rn
+                FROM crossp)
+         SELECT v, nb, label, nb_label, round(cos, 6) AS cos
+         FROM rk WHERE rn <= 2""",
+    "q149_label_centroids" ->
+      """WITH ev AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         ei AS (SELECT vec_id, label, v,
+             unnest(range(1, len(v)+1)) AS i FROM ev),
+         ed AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS x FROM ei),
+         cent AS (SELECT label, dim,
+             list_sum(list(x ORDER BY vec_id)) / count(*) AS c
+           FROM ed GROUP BY label, dim),
+         cv AS (SELECT label, list(c ORDER BY dim) AS cv
+                FROM cent GROUP BY label)
+         SELECT a.label AS label_a, b.label AS label_b,
+           round(list_sum(list_transform(range(1, len(a.cv)+1),
+               i -> a.cv[i]*b.cv[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.cv)+1),
+                 i -> a.cv[i]*a.cv[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.cv)+1),
+                 i -> b.cv[i]*b.cv[i])))), 6) AS centroid_cos
+         FROM cv a JOIN cv b ON a.label < b.label""",
+    "q150_padding_efficiency" ->
+      """WITH toks AS (SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents),
+         ex AS (SELECT source, n_tok,
+             unnest([128, 512, 2048]) AS seq_len FROM toks),
+         ag AS (SELECT source, seq_len,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(least(n_tok, seq_len)) AS BIGINT) AS kept_tokens,
+             CAST(sum(greatest(n_tok - seq_len, 0)) AS BIGINT)
+               AS truncated_tokens
+           FROM ex GROUP BY source, seq_len)
+         SELECT source, CAST(seq_len AS INTEGER) AS seq_len, n_docs,
+           n_tokens, kept_tokens, truncated_tokens,
+           CAST(n_docs * seq_len - kept_tokens AS BIGINT) AS pad_waste,
+           CAST(floor((kept_tokens + seq_len - 1) / seq_len) AS BIGINT)
+             AS packed_rows,
+           round(CAST(kept_tokens AS DOUBLE) /
+             (floor((kept_tokens + seq_len - 1) / seq_len) * seq_len), 6)
+             AS pack_efficiency
+         FROM ag""",
+    "q151_lexical_diversity" ->
+      """WITH w AS (SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT source, term, count(*) AS cnt FROM w
+                GROUP BY source, term),
+         ag AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+           FROM tf GROUP BY source)
+         SELECT source, n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac
+         FROM ag""",
     "q141_mix_apply" ->
       s"""WITH alloc AS ($budgetAllocSql),
          rates AS (SELECT source, alloc_tokens / n_tokens AS rate FROM alloc)
