@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 151
+  val declaredQueryCount = 154
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -864,6 +864,78 @@ object SparkEntry {
           round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
           round(col("n_hapax").cast("double") / col("n_types"), 6)
             .as("hapax_frac"))
+    }),
+
+    "q152_cluster_sizes" -> ((s, dir) => {
+      // Dataset-card staple: the near-dup cluster-size histogram (how
+      // much of the corpus sits in 2-clusters vs mega-clusters decides
+      // whether dedup keeps or reshapes the distribution). Reuses q72's
+      // component assignment (LSH pairs → min-label CC, singletons not
+      // in the pair graph excluded by construction); both rollups are
+      // map-combinable and the output is histogram-sized.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+        nPlanes = 4, dim = dim, threshold = 0.3).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_vectors"))
+    }),
+
+    "q153_zipf_head" -> ((s, dir) => {
+      // Zipf head report: top-50 corpus terms with rank and cumulative
+      // coverage — the "how much text do the top-k types explain"
+      // number behind stopword lists and vocab-size choices. Scale
+      // shape: one (term) partial agg, the head extracted by
+      // orderBy+limit (TakeOrderedAndProject — the q119 lesson); the
+      // rank/cumsum window runs AFTER the limit, over exactly 50 rows
+      // on one partition, so the global-window hazard never touches the
+      // vocab-sized table. Counts are integers — cumulative fractions
+      // are single exact divisions.
+      val tc = tbl(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = tc.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      tc.orderBy(col("cnt").desc, col("term")).limit(50)
+        .crossJoin(broadcast(tot))
+        .select(row_number().over(w).as("rank"), col("term"), col("cnt"),
+          round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") / col("total"), 6)
+            .as("cum_frac"))
+    }),
+
+    "q154_quality_length_corr" -> ((s, dir) => {
+      // Per-source Pearson correlation between document length and the
+      // q36 quality score — the audit that catches a quality signal
+      // that is secretly just a length proxy. Float sums are
+      // order-dependent, so all five moments fold in doc_id order
+      // (position-ordered fold, the q149 contract) for the bit-exact
+      // oracle; the order-free sum/avg moments are the 100 TB knob with
+      // the identical one-shuffle plan. The r formula is written with
+      // the identical IEEE op sequence in both engines.
+      val q = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("double").as("x"),
+        Text.qualityScore(col("text"), Text.tokens(col("text"))).as("y"))
+      def fold(e: Column): Column =
+        aggregate(array_sort(collect_list(struct(col("doc_id"), e.as("e")))),
+          lit(0.0), (a, r) => a + r.getField("e"))
+      val m = q.groupBy(col("source")).agg(
+        count(lit(1)).cast("double").as("n"),
+        fold(col("x")).as("sx"), fold(col("y")).as("sy"),
+        fold(col("x") * col("y")).as("sxy"),
+        fold(col("x") * col("x")).as("sx2"),
+        fold(col("y") * col("y")).as("sy2"))
+      m.select(col("source"), col("n").cast("bigint").as("n_docs"),
+        when((col("n") * col("sx2") - col("sx") * col("sx")) *
+          (col("n") * col("sy2") - col("sy") * col("sy")) <= 0,
+          lit(null).cast("double"))
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6))
+          .as("corr_len_quality"))
     }),
 
     "q86_pii_redaction" -> ((s, dir) => {
@@ -4303,6 +4375,57 @@ object SparkEntry {
            round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
            round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac
          FROM ag""",
+    "q152_cluster_sizes" ->
+      s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (SELECT a AS vertex, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+         cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM cc GROUP BY component)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_vectors
+         FROM cs GROUP BY cluster_size""",
+    "q153_zipf_head" ->
+      """WITH tc AS (SELECT term, count(*) AS cnt
+           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                   AS term FROM documents)
+           GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc),
+         top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 50),
+         r AS (SELECT term, CAST(cnt AS BIGINT) AS cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER)
+               AS rank,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM top)
+         SELECT rank, term, cnt,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
+         FROM r, tot""",
+    "q154_quality_length_corr" ->
+      s"""WITH qq AS (SELECT doc_id, source, quality_score
+           FROM ($qualityWithSourceSql)),
+         base AS (SELECT d.doc_id, qq.source,
+             CAST(d.n_chars AS DOUBLE) AS x, quality_score AS y
+           FROM documents d JOIN qq ON qq.doc_id = d.doc_id),
+         m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             list_sum(list(x ORDER BY doc_id)) AS sx,
+             list_sum(list(y ORDER BY doc_id)) AS sy,
+             list_sum(list(x*y ORDER BY doc_id)) AS sxy,
+             list_sum(list(x*x ORDER BY doc_id)) AS sx2,
+             list_sum(list(y*y ORDER BY doc_id)) AS sy2
+           FROM base GROUP BY source)
+         SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN (n*sx2 - sx*sx) * (n*sy2 - sy*sy) <= 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE round((n*sxy - sx*sy) /
+                  (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 6)
+           END AS corr_len_quality
+         FROM m""",
     "q141_mix_apply" ->
       s"""WITH alloc AS ($budgetAllocSql),
          rates AS (SELECT source, alloc_tokens / n_tokens AS rate FROM alloc)

@@ -85,4 +85,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"the nation dim must broadcast:\n$plan")
   }
+
+  test("q148: hard-negative top-k runs through the native TopKPerKey operator") {
+    val plan = executedPlan("q148_hard_negatives")
+    assert(plan.contains("TopKPerKey"),
+      s"per-vector top-k must be the k-bounded physical operator, not a window:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the pair stream must never be windowed:\n$plan")
+  }
+
+  test("q146: both robust-stat join-backs broadcast (the corpus is never shuffled)") {
+    val plan = executedPlan("q146_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"median and MAD tables must broadcast back onto the quality frame:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a source-sized stats join fell back to sort-merge:\n$plan")
+  }
 }
