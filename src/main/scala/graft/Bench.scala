@@ -127,8 +127,11 @@ object Bench {
     val fullErrs = errs.toSeq.sortBy(_._1).map { case (k, msg) =>
       jstr(k) + ":" + jstr(msg.linesIterator.nextOption.getOrElse("").take(300))
     }.mkString("{", ",", "}")
+    // A SPARK_GRAFT_ONLY dev subset must never clobber the committed
+    // full-suite round record (it did twice in round 6).
+    val localFile = if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_SUBSET.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      val w = new java.io.PrintWriter(localFile)
       w.println(
         s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"failed":${errs.size},"errs":$fullErrs,"queries":$full,"sf":"$sfDir"}""")
       w.println(s"""{"samples":$dump}"""); w.close()
