@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 154
+  val declaredQueryCount = 156
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -936,6 +936,83 @@ object SparkEntry {
             (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
              sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6))
           .as("corr_len_quality"))
+    }),
+
+    "q155_dedup_impact" -> ((s, dir) => {
+      // Dataset-card "what did dedup do" report: per-source doc and
+      // token counts before vs after the q136 keep-list, with keep
+      // rates — the numbers a curation run publishes. Composes q136's
+      // survivor policy verbatim (LSH pairs → CC → quality-argmax
+      // survivor) plus ONE corpus scan for token counts; keep-list
+      // joins are by id and the output is source-sized.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = Similarity.nearDuplicatePairs(e, "vec_id", "embedding",
+        nPlanes = 4, dim = dim, threshold = 0.3).select("id_a", "id_b")
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val qual = tbl(s, dir, "documents").select(col("doc_id"),
+        Text.qualityScore(col("text"), Text.tokens(col("text"))).as("q"))
+      val surv = cc.join(qual, cc("vertex") === qual("doc_id"))
+        .groupBy(col("component"))
+        .agg(min(struct((-col("q")).as("nq"), col("doc_id").as("id"))).as("m"))
+        .select(col("m.id").as("survivor_doc_id"))
+      val toks = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("bigint").as("n_tok"))
+      toks
+        .join(cc, toks("doc_id") === cc("vertex"), "left")
+        .join(surv, toks("doc_id") === surv("survivor_doc_id"), "left")
+        .withColumn("kept",
+          col("vertex").isNull || col("survivor_doc_id").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_before"),
+          sum(col("n_tok")).as("tokens_before"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("docs_after"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L))
+            .as("tokens_after"))
+        .select(col("source"), col("docs_before"), col("docs_after"),
+          col("tokens_before"), col("tokens_after"),
+          round(col("docs_after").cast("double") / col("docs_before"), 6)
+            .as("doc_keep_rate"),
+          round(col("tokens_after").cast("double") / col("tokens_before"), 6)
+            .as("token_keep_rate"))
+    }),
+
+    "q156_contamination_curve" -> ((s, dir) => {
+      // Decontamination threshold curve: how many train docs would be
+      // flagged at each ≥t shared-shingle cutoff — the sweep that picks
+      // q138's operating point before committing to a removal pass.
+      // Same split, shingles, and df-cap as q78/q138 so the three
+      // compose measure → sweep → act. Scale shape: the per-doc shared
+      // count is the q138 equi-join; the sweep is an explode over the
+      // 4-element threshold literal on the doc-count-sized shared table
+      // (never the corpus), collapsing to a 4-row report.
+      import s.implicits._
+      val sh = tbl(s, dir, "documents").select(col("doc_id"),
+        explode(array_distinct(
+          graft.plans.TextKernels.wordShinglesNative(col("text"), 3)))
+          .as("shingle"))
+      val ev = sh.filter(col("doc_id") < 50).select(col("shingle")).distinct()
+      val tr = sh.filter(col("doc_id") >= 50)
+      val rare = tr.groupBy(col("shingle"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 64).select(col("shingle"))
+      val shared = tr
+        .join(rare, Seq("shingle"), "left_semi")
+        .join(ev, Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      val ths = array(lit(1), lit(2), lit(4), lit(8))
+      val fl = shared
+        .select(explode(filter(ths, t => col("n_shared") >= t)).as("threshold"))
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_flagged"))
+      val tot = tbl(s, dir, "documents").filter(col("doc_id") >= 50)
+        .agg(count(lit(1)).as("n_train"))
+      Seq(1, 2, 4, 8).toDF("threshold")
+        .join(fl, Seq("threshold"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("threshold"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"), col("n_train"),
+          round(coalesce(col("n_flagged"), lit(0L)).cast("double") /
+            col("n_train"), 6).as("flagged_frac"))
     }),
 
     "q86_pii_redaction" -> ((s, dir) => {
@@ -3110,8 +3187,11 @@ object SparkEntry {
     * against the corpus (untouched docs kept as 'unique', survivors kept,
     * all other component members dropped).
     */
-  private def dedupApplySql: String =
-    s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
+  /** Shared CTE chain for the q124/q136/q155 family: LSH pair graph →
+    * reachability components → per-component quality-argmax survivor.
+    */
+  private def dedupKeepCtes: String =
+    s"""${bucketedPairCtes(4, 0.3)},
        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                  UNION SELECT id_b, id_a FROM pairs),
        reach(a, b) AS (
@@ -3125,7 +3205,10 @@ object SparkEntry {
              FROM cc JOIN qual q ON q.doc_id = cc.vertex),
        m AS (SELECT component, min({'nq': -q, 'id': doc_id}) AS ms
              FROM j GROUP BY component),
-       surv AS (SELECT struct_extract(ms, 'id') AS sid FROM m)
+       surv AS (SELECT struct_extract(ms, 'id') AS sid FROM m)"""
+
+  private def dedupApplySql: String =
+    s"""WITH RECURSIVE $dedupKeepCtes
        SELECT d.doc_id,
          CASE WHEN cc.vertex IS NULL THEN 'unique' ELSE 'survivor' END AS status
        FROM documents d
@@ -4426,6 +4509,54 @@ object SparkEntry {
                   (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 6)
            END AS corr_len_quality
          FROM m""",
+    "q155_dedup_impact" ->
+      s"""WITH RECURSIVE $dedupKeepCtes,
+         toks AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents),
+         kept AS (SELECT t.doc_id, t.source, t.n_tok,
+             (cc.vertex IS NULL OR surv.sid IS NOT NULL) AS keep
+           FROM toks t
+           LEFT JOIN cc ON t.doc_id = cc.vertex
+           LEFT JOIN surv ON t.doc_id = surv.sid)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_before,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_after,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_after,
+           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS doc_keep_rate,
+           round(CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS DOUBLE)
+             / sum(n_tok), 6) AS token_keep_rate
+         FROM kept GROUP BY source""",
+    "q156_contamination_curve" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+           FROM toks WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+         tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50),
+         rare AS (SELECT shingle FROM tr GROUP BY shingle
+           HAVING count(DISTINCT doc_id) <= 64),
+         shared AS (SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n
+           FROM tr JOIN rare USING (shingle) JOIN ev USING (shingle)
+           GROUP BY tr.doc_id),
+         th AS (SELECT unnest([1, 2, 4, 8]) AS threshold),
+         fl AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_flagged
+           FROM th JOIN shared ON shared.n >= th.threshold
+           GROUP BY threshold),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+           FROM documents WHERE doc_id >= 50)
+         SELECT CAST(th.threshold AS INTEGER) AS threshold,
+           coalesce(n_flagged, 0) AS n_flagged, n_train,
+           round(CAST(coalesce(n_flagged, 0) AS DOUBLE) / n_train, 6)
+             AS flagged_frac
+         FROM th LEFT JOIN fl USING (threshold), tot""",
     "q141_mix_apply" ->
       s"""WITH alloc AS ($budgetAllocSql),
          rates AS (SELECT source, alloc_tokens / n_tokens AS rate FROM alloc)
