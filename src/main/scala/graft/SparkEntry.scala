@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 156
+  val declaredQueryCount = 157
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -936,6 +936,43 @@ object SparkEntry {
             (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
              sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6))
           .as("corr_len_quality"))
+    }),
+
+    "q157_length_debias" -> ((s, dir) => {
+      // The FIX for what q154 detects: length-debiased quality — fit
+      // quality = a + b·length per source (closed-form least squares
+      // from the same five ordered-fold moments) and emit each doc's
+      // residual, the quality signal with the length proxy regressed
+      // out. Scale shape: one corpus scan feeds the moment shuffle; the
+      // source-sized (a, b) table broadcasts back onto the pinned
+      // frame; the residual is a codegen'd projection. Determinism:
+      // identical fold order and an identical IEEE op sequence for
+      // b, a, and the residual in both engines; a zero-variance source
+      // yields null residuals in both.
+      val q = tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("double").as("x"),
+          Text.qualityScore(col("text"), Text.tokens(col("text"))).as("y"))
+        .localCheckpoint()
+      def fold(e: Column): Column =
+        aggregate(array_sort(collect_list(struct(col("doc_id"), e.as("e")))),
+          lit(0.0), (a, r) => a + r.getField("e"))
+      val m = q.groupBy(col("source")).agg(
+        count(lit(1)).cast("double").as("n"),
+        fold(col("x")).as("sx"), fold(col("y")).as("sy"),
+        fold(col("x") * col("y")).as("sxy"),
+        fold(col("x") * col("x")).as("sx2"))
+      val ab = m.select(col("source"), col("n"), col("sx"), col("sy"),
+        when(col("n") * col("sx2") - col("sx") * col("sx") === 0,
+          lit(null).cast("double"))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sx2") - col("sx") * col("sx"))).as("b"))
+        .select(col("source"), col("b"),
+          ((col("sy") - col("b") * col("sx")) / col("n")).as("a"))
+      q.join(broadcast(ab), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          round(col("y"), 6).as("quality"),
+          round(col("y") - (col("a") + col("b") * col("x")), 6)
+            .as("debiased_quality"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -4509,6 +4546,27 @@ object SparkEntry {
                   (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 6)
            END AS corr_len_quality
          FROM m""",
+    "q157_length_debias" ->
+      s"""WITH qq AS (SELECT doc_id, source, quality_score
+           FROM ($qualityWithSourceSql)),
+         base AS (SELECT d.doc_id, qq.source,
+             CAST(d.n_chars AS DOUBLE) AS x, quality_score AS y
+           FROM documents d JOIN qq ON qq.doc_id = d.doc_id),
+         m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             list_sum(list(x ORDER BY doc_id)) AS sx,
+             list_sum(list(y ORDER BY doc_id)) AS sy,
+             list_sum(list(x*y ORDER BY doc_id)) AS sxy,
+             list_sum(list(x*x ORDER BY doc_id)) AS sx2
+           FROM base GROUP BY source),
+         ab AS (SELECT source, n, sx, sy,
+             CASE WHEN n*sx2 - sx*sx = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE (n*sxy - sx*sy) / (n*sx2 - sx*sx) END AS b
+           FROM m),
+         ab2 AS (SELECT source, b, (sy - b*sx) / n AS a FROM ab)
+         SELECT base.doc_id, base.source,
+           round(y, 6) AS quality,
+           round(y - (a + b*x), 6) AS debiased_quality
+         FROM base JOIN ab2 USING (source)""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,
