@@ -450,4 +450,42 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming lexical diversity converges to the q151 batch query exactly") {
+    import graft.streaming.StreamingLexicalDiversity
+    import graft.streaming.StreamingLexicalDiversity.TokenRow
+    val docs = Tables.load(spark, sfDir, "documents").select("source", "text")
+    val tokens = StreamingLexicalDiversity.fromDocuments(docs, "source", "text")
+    val staged = Files.createTempDirectory("graft-lexdiv").toString
+    tokens.repartition(5).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+
+    val stream = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+      .as[TokenRow]
+    val q = StreamingLexicalDiversity.diversity(stream, streaming = true)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("lexdiv_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // Counts only grow, so each source's max-n_tokens emission is the
+    // converged one; stats are recomputed from exact integer counts at
+    // every emission, so it must EQUAL both the batch state-fn run and
+    // the declared q151 query on the same table.
+    val streamed = spark.table("lexdiv_out")
+      .groupBy($"source")
+      .agg(max(struct($"n_tokens", $"n_types", $"n_hapax", $"ttr",
+        $"hapax_frac")).as("m"))
+      .select($"source", $"m.n_tokens", $"m.n_types", $"m.n_hapax",
+        $"m.ttr", $"m.hapax_frac")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    val batchTokens = spark.read.parquet(staged).as[TokenRow]
+    val batch = StreamingLexicalDiversity.diversity(batchTokens, streaming = false)
+      .select($"source", $"n_tokens", $"n_types", $"n_hapax", $"ttr",
+        $"hapax_frac")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    val declared = SparkEntry.queries("q151_lexical_diversity")(spark, sfDir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch && streamed == declared)
+  }
 }
