@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 157
+  val declaredQueryCount = 161
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -974,6 +974,66 @@ object SparkEntry {
           round(col("y") - (col("a") + col("b") * col("x")), 6)
             .as("debiased_quality"))
     }),
+
+    "q158_bpe_pair_stats" -> ((s, dir) => {
+      // The BPE merge-round statistic on the oracle path: frequency-
+      // weighted adjacent-symbol-pair counts — exactly what the
+      // tokenizer trainer's argmax reads each round (operators.Bpe;
+      // the full learnMerges loop is spec-covered) — top 20 by count.
+      // Scale shape: ONE corpus scan builds the VOCABULARY-sized word
+      // table; the pair explode runs over that table's symbol arrays
+      // (never the corpus); the count is a map-combinable partial agg
+      // and the top-k is TakeOrderedAndProject.
+      import graft.operators.Bpe
+      val words = Bpe.wordTable(tbl(s, dir, "documents"), "text")
+        .filter(col("word") =!= "")
+      Bpe.pairCounts(words)
+        .orderBy(col("pair_count").desc, col("a"), col("b")).limit(20)
+    }),
+
+    "q159_gram_matrix" -> ((s, dir) =>
+      // Distributed Gram matrix XᵀX over the embedding corpus — the
+      // covariance/PCA precursor. The typed GramMatrix Aggregator folds
+      // each partition into ONE d(d+1)/2-double buffer (map-side
+      // combine), so shuffle volume is partitions×2080 doubles; the
+      // posexplode+self-join alternative would shuffle corpus×d² rows.
+      // 4-dp rounding absorbs summation-order drift vs the oracle's
+      // flat self-join formulation.
+      operators.Pca.gramUpper(tbl(s, dir, "embeddings"), "embedding", 64)
+        .select(col("i"), col("j"), round(col("gram"), 4).as("gram"))),
+
+    "q160_scd2_dimension" -> ((s, dir) => {
+      // Kimball SCD Type-2 dimension merge (operators.Scd): a derived
+      // update snapshot — balance bump for custkey%7==0, brand-new
+      // keys for custkey%13==0 — merges into the customer dimension:
+      // changed keys close version 1 and open version 2, new keys
+      // insert at version 1, everything else carries forward. The
+      // changed-key set is delta-sized and broadcasts for the base's
+      // close/carry routing; the base never re-shuffles after the one
+      // key-keyed compare join. Balance arithmetic is the identical
+      // IEEE `+100.0` on both engines — no rounding needed.
+      import graft.operators.Scd
+      val snap = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val base = Scd.asDimension(snap, "2026-01-01")
+      val upd = snap.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+        .unionByName(snap.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+            lit(0.0).as("c_acctbal")))
+      Scd.scd2Merge(base, upd, "c_custkey", Seq("c_acctbal"), "2026-06-01")
+    }),
+
+    "q161_pca_power" -> ((s, dir) =>
+      // Top principal component, split the way MLlib splits it: the
+      // O(n·d²) Gram pass is DISTRIBUTED (q159's aggregator), the
+      // O(d²·iters) eigensolve runs on the DRIVER over the collected
+      // d×d matrix (bounded state, same contract as SemDeDup's k×dim
+      // centroids). Fixed 10 power iterations from the deterministic
+      // x₀=1/√d start make the result a pure function of the data —
+      // the oracle replays the identical iterations as unrolled SQL.
+      operators.Pca.topComponent(tbl(s, dir, "embeddings"), "embedding", 64, iters = 10)
+        .select(col("component"), round(col("loading"), 4).as("loading"),
+          round(col("eigenvalue"), 3).as("eigenvalue"))),
 
     "q155_dedup_impact" -> ((s, dir) => {
       // Dataset-card "what did dedup do" report: per-source doc and
@@ -2744,6 +2804,41 @@ object SparkEntry {
   // ───────────────────────── Oracle SQL ─────────────────────────────────
 
   private val tokSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** q161 oracle: the identical fixed power iteration the Scala driver
+    * runs, unrolled as SQL — Gram via the flat self-join, x₀ = 1/√d, then
+    * `iters` rounds of normalize(G·x) as chained CTEs. Both sides do the
+    * same IEEE operations on the same full-precision Gram, so 4-dp
+    * loadings agree.
+    */
+  private def pcaPowerSql(d: Int, iters: Int): String = {
+    // MATERIALIZED: without it DuckDB inlines every CTE reference, so
+    // each of the `iters` steps re-expands the corpus self-join — the
+    // plan (and its file-handle count) explodes combinatorially.
+    val steps = (1 to iters).map { k =>
+      s"""y$k AS MATERIALIZED (SELECT f.i, sum(f.g * x.v) AS y
+           FROM gfull f JOIN x${k - 1} x ON f.j = x.i GROUP BY f.i),
+         x$k AS MATERIALIZED (
+           SELECT i, y / (SELECT sqrt(sum(y*y)) FROM y$k) AS v FROM y$k)"""
+    }.mkString(",\n         ")
+    s"""WITH flat AS MATERIALIZED (
+           SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)),
+         gu AS MATERIALIZED (
+           SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+           FROM flat a JOIN flat b USING (vec_id) WHERE a.i <= b.i
+           GROUP BY 1, 2),
+         gfull AS MATERIALIZED (
+           SELECT i, j, g FROM gu
+           UNION ALL SELECT j, i, g FROM gu WHERE i <> j),
+         x0 AS (SELECT DISTINCT i, 1.0 / sqrt(${d}.0) AS v FROM gfull),
+         $steps
+         SELECT xf.i AS component, round(xf.v, 4) AS loading,
+           round((SELECT sum(f.g * a.v * b.v)
+                  FROM gfull f JOIN x$iters a ON f.i = a.i
+                  JOIN x$iters b ON f.j = b.i), 3) AS eigenvalue
+         FROM x$iters xf"""
+  }
 
   private def vocabHitsSql(words: Seq[String]): String =
     s"len(list_filter(w, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
@@ -4567,6 +4662,58 @@ object SparkEntry {
            round(y, 6) AS quality,
            round(y - (a + b*x), 6) AS debiased_quality
          FROM base JOIN ab2 USING (source)""",
+    "q158_bpe_pair_stats" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+           FROM documents),
+         words AS (SELECT word, count(*) AS freq
+           FROM toks WHERE word <> '' GROUP BY 1),
+         syms AS (SELECT freq,
+             list_append(string_split(word, ''), '</w>') AS symbols
+           FROM words),
+         pairs AS (SELECT symbols[i] AS a, symbols[i+1] AS b, freq
+           FROM syms, UNNEST(range(1, len(symbols))) AS t(i))
+         SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM pairs GROUP BY 1, 2
+         ORDER BY pair_count DESC, a, b LIMIT 20""",
+    "q159_gram_matrix" ->
+      """WITH flat AS (
+           SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i))
+         SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS gram
+         FROM flat a JOIN flat b USING (vec_id) WHERE a.i <= b.i
+         GROUP BY 1, 2""",
+    "q160_scd2_dimension" ->
+      """WITH snap AS (SELECT c_custkey, c_acctbal FROM customer),
+         upd AS (
+           SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+           FROM snap WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 0.0 FROM snap WHERE c_custkey % 13 = 0),
+         chg AS (
+           SELECT u.c_custkey, u.c_acctbal, CAST(2 AS BIGINT) AS version
+           FROM upd u JOIN snap b USING (c_custkey)
+           WHERE u.c_acctbal IS DISTINCT FROM b.c_acctbal),
+         ins AS (
+           SELECT u.c_custkey, u.c_acctbal, CAST(1 AS BIGINT) AS version
+           FROM upd u ANTI JOIN snap b USING (c_custkey)),
+         closed AS (
+           SELECT b.c_custkey, b.c_acctbal, CAST(1 AS BIGINT) AS version,
+             false AS is_current, '2026-01-01' AS valid_from,
+             '2026-06-01' AS valid_to
+           FROM snap b SEMI JOIN chg c USING (c_custkey)),
+         carried AS (
+           SELECT b.c_custkey, b.c_acctbal, CAST(1 AS BIGINT) AS version,
+             true AS is_current, '2026-01-01' AS valid_from,
+             '9999-12-31' AS valid_to
+           FROM snap b ANTI JOIN chg c USING (c_custkey)),
+         opened AS (
+           SELECT c_custkey, c_acctbal, version, true AS is_current,
+             '2026-06-01' AS valid_from, '9999-12-31' AS valid_to
+           FROM (SELECT * FROM chg UNION ALL SELECT * FROM ins))
+         SELECT * FROM closed UNION ALL SELECT * FROM carried
+         UNION ALL SELECT * FROM opened""",
+    "q161_pca_power" -> pcaPowerSql(d = 64, iters = 10),
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,

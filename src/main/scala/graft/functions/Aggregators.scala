@@ -48,6 +48,45 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Distributed Gram matrix Xᵀ X over a vector column: the buffer is the
+    * d(d+1)/2 upper-triangular sums, accumulated row-major
+    * (i outer from 0, j inner from i) — linear index
+    * `k = i·(2d−i+1)/2 + (j−i)`. This is the scale-correct shape for
+    * covariance/PCA precursors at 100 TB: each input partition folds its
+    * rows into ONE fixed d²/2-double buffer (map-side combine), so shuffle
+    * volume is partitions × d(d+1)/2 doubles — never corpus-sized, vs the
+    * explode+self-join formulation whose shuffle is corpus × d². Mirrors
+    * MLlib's `RowMatrix.computeGramianMatrix` contract (driver state is
+    * d×d by definition) re-expressed as a typed `Aggregator` usable from
+    * the DataFrame API via `udaf`.
+    */
+  class GramMatrix(d: Int) extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    private val len = d * (d + 1) / 2
+    override def zero: Array[Double] = new Array[Double](len)
+    override def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
+      val v = x.toArray
+      var k = 0
+      var i = 0
+      while (i < d) {
+        val xi = v(i)
+        var j = i
+        while (j < d) { b(k) += xi * v(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var k = 0
+      while (k < len) { x(k) += y(k); k += 1 }
+      x
+    }
+    override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Bounded top-k smallest values per group (k-element buffer — the
     * aggregation analog of TakeOrderedAndProject; state is O(k) however
     * many rows a group has).

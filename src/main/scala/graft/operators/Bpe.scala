@@ -35,6 +35,16 @@ object Bpe {
       .select(col("word"), col("freq"),
         concat(split(col("word"), ""), array(lit("</w>"))).as("symbols"))
 
+  /** Frequency-weighted adjacent-pair counts over a word table — the
+    * per-round statistic BPE's argmax reads. One explode of the
+    * VOCABULARY-sized symbol arrays (never the corpus) feeding a
+    * map-combinable partial agg; output is alphabet²-bounded.
+    */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.select(col("freq"), explode(adjacentPairs(col("symbols"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("pair_count"))
+
   /** Adjacent symbol pairs of `symbols` as (a, b) structs. */
   private def adjacentPairs(symbols: Column): Column =
     transform(slice(symbols, lit(1), size(symbols) - 1),
@@ -64,10 +74,8 @@ object Bpe {
     try {
       var done = false
       for (_ <- 1 to k if !done) {
-        val top = cur
-          .select(col("freq"), explode(adjacentPairs(col("symbols"))).as("p"))
-          .groupBy(col("p.a"), col("p.b")).agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
+        val top = pairCounts(cur)
+          .orderBy(col("pair_count").desc, col("a"), col("b"))
           .limit(1).collect()
         if (top.isEmpty) done = true
         else {
