@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 161
+  val declaredQueryCount = 162
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1021,6 +1021,32 @@ object SparkEntry {
           .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
             lit(0.0).as("c_acctbal")))
       Scd.scd2Merge(base, upd, "c_custkey", Seq("c_acctbal"), "2026-06-01")
+    }),
+
+    "q162_pit_join" -> ((s, dir) => {
+      // Point-in-time-correct dimension lookup — the feature-store PIT
+      // join that prevents training-data leakage: each fact joins the
+      // dimension VERSION that was valid at fact time, never a later
+      // one. Composes q160's SCD2 machinery (v1 from 1990, balances
+      // bumped for custkey%3==0 on 1995-06-17) with an equi+interval
+      // join: Spark plans the c_custkey equality as the join key and
+      // the [valid_from, valid_to) interval as a post-join filter — a
+      // plain key-shuffled join at 100 TB, no interval blow-up, since
+      // versions-per-key is small by construction.
+      import graft.operators.Scd
+      val snap = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val base = Scd.asDimension(snap, "1990-01-01")
+      val upd = snap.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + lit(500.0)).as("c_acctbal"))
+      val dim = Scd.scd2Merge(base, upd, "c_custkey", Seq("c_acctbal"), "1995-06-17")
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_date"))
+      o.join(dim, o("o_custkey") === dim("c_custkey") &&
+          col("o_date") >= to_date(dim("valid_from")) &&
+          col("o_date") < to_date(dim("valid_to")))
+        .select(col("o_orderkey"),
+          date_format(col("o_date"), "yyyy-MM-dd").as("o_date"),
+          col("c_acctbal").as("acctbal_asof"), col("version"))
     }),
 
     "q161_pca_power" -> ((s, dir) =>
@@ -4714,6 +4740,32 @@ object SparkEntry {
          SELECT * FROM closed UNION ALL SELECT * FROM carried
          UNION ALL SELECT * FROM opened""",
     "q161_pca_power" -> pcaPowerSql(d = 64, iters = 10),
+    "q162_pit_join" ->
+      """WITH snap AS (SELECT c_custkey, c_acctbal FROM customer),
+         upd AS (
+           SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal
+           FROM snap WHERE c_custkey % 3 = 0),
+         chg AS (
+           SELECT u.c_custkey, u.c_acctbal, CAST(2 AS BIGINT) AS version
+           FROM upd u JOIN snap b USING (c_custkey)
+           WHERE u.c_acctbal IS DISTINCT FROM b.c_acctbal),
+         dim AS (
+           SELECT b.c_custkey, b.c_acctbal, CAST(1 AS BIGINT) AS version,
+             '1990-01-01' AS valid_from, '1995-06-17' AS valid_to
+           FROM snap b SEMI JOIN chg c USING (c_custkey)
+           UNION ALL
+           SELECT b.c_custkey, b.c_acctbal, CAST(1 AS BIGINT) AS version,
+             '1990-01-01', '9999-12-31'
+           FROM snap b ANTI JOIN chg c USING (c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_acctbal, version, '1995-06-17', '9999-12-31'
+           FROM chg)
+         SELECT o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+           d.c_acctbal AS acctbal_asof, d.version
+         FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+           AND CAST(o.o_orderdate AS DATE) >= CAST(d.valid_from AS DATE)
+           AND CAST(o.o_orderdate AS DATE) < CAST(d.valid_to AS DATE)""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,

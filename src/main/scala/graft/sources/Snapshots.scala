@@ -61,7 +61,27 @@ object Snapshots {
     */
   def append(
       df: DataFrame, path: String, statsCol: String, nFiles: Int,
-      commitTag: Option[Long] = None): Int = {
+      commitTag: Option[Long] = None): Int =
+    commit(df, path, statsCol, nFiles, commitTag, carryLive = true)
+
+  /** Commit `df` as a FULL-REPLACE snapshot — the Delta/Iceberg
+    * "overwrite" commit: the new version's LIVE file set is only this
+    * batch's files. Prior manifest rows are carried with `live = false`
+    * (data files are immutable, so earlier versions stay readable for
+    * time travel, and their `batch_tag`s stay visible to
+    * [[committedTags]] for exactly-once replay detection). This is the
+    * commit shape a merge/upsert writer needs — e.g. the streaming SCD2
+    * dimension updater, where each micro-batch rewrites current state
+    * but history must remain queryable by version.
+    */
+  def replace(
+      df: DataFrame, path: String, statsCol: String, nFiles: Int,
+      commitTag: Option[Long] = None): Int =
+    commit(df, path, statsCol, nFiles, commitTag, carryLive = false)
+
+  private def commit(
+      df: DataFrame, path: String, statsCol: String, nFiles: Int,
+      commitTag: Option[Long], carryLive: Boolean): Int = {
     val spark = df.sparkSession
     val prev = currentVersion(path)
     val batchDir = s"$path/batch-${prev + 1}"
@@ -73,10 +93,14 @@ object Snapshots {
         count(lit(1)).as("n_rows"))
       .withColumn("batch_tag",
         commitTag.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .withColumn("live", lit(true))
     val manifest =
       if (prev == 0) newFiles
-      else spark.read.parquet(s"${manifestDir(path)}/v$prev.parquet")
-        .unionByName(newFiles, allowMissingColumns = true)
+      else {
+        val prevM = spark.read.parquet(s"${manifestDir(path)}/v$prev.parquet")
+        val prevAdj = if (carryLive) prevM else prevM.withColumn("live", lit(false))
+        prevAdj.unionByName(newFiles, allowMissingColumns = true)
+      }
     manifest.coalesce(1).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"${manifestDir(path)}/v${prev + 1}.parquet")
     prev + 1
@@ -99,8 +123,13 @@ object Snapshots {
   private def filesAt(spark: SparkSession, path: String, version: Int): Set[String] = {
     require(version >= 1 && version <= currentVersion(path),
       s"no snapshot v$version at $path")
-    spark.read.parquet(s"${manifestDir(path)}/v$version.parquet")
-      .select("file").collect().map(_.getString(0)).toSet
+    val m = spark.read.parquet(s"${manifestDir(path)}/v$version.parquet")
+    // `live` arrived with replace-commits; rows from append-only
+    // manifests (or pre-`live` tables) are live by definition.
+    val liveOnly =
+      if (m.columns.contains("live")) m.where(coalesce(col("live"), lit(true)))
+      else m
+    liveOnly.select("file").collect().map(_.getString(0)).toSet
   }
 
   private def readFiles(spark: SparkSession, path: String, files: Set[String]): DataFrame =

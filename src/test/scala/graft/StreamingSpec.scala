@@ -267,6 +267,59 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.currentVersion(table) == before)
   }
 
+  test("streaming SCD2 upsert: sequential merges equal batch merges; replay is a no-op") {
+    import graft.operators.Scd
+    import graft.sources.Snapshots
+    import graft.streaming.StreamingScd
+    val srcDir = Files.createTempDirectory("graft-scd-src").toString
+    val table = Files.createTempDirectory("graft-scd-tbl").toString + "/dim"
+    val ckpt = Files.createTempDirectory("graft-scd-ckpt").toString
+    val dates = Map(0L -> "2026-01-01", 1L -> "2026-06-01")
+
+    // Batch 0: the initial snapshot. Batch 1: two changes + one insert.
+    val b0 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("k", "bal")
+    val b1 = Seq((1L, 11.0), (2L, 22.0), (5L, 50.0)).toDF("k", "bal")
+    val schema = b0.schema
+
+    def runOnce(): Unit = {
+      val q = StreamingScd.upsertWriter(
+          spark.readStream.schema(schema).parquet(srcDir),
+          table, "k", Seq("bal"), loadDateOf = dates)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); ()
+    }
+    // Two sequential AvailableNow runs over a shared checkpoint pin the
+    // batch order: b0 is batch 0, b1 is batch 1.
+    b0.coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "bal", "version", "is_current", "valid_from", "valid_to")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getBoolean(3), r.getString(4), r.getString(5))).toSet
+
+    // Stream-applied merges == the same merges applied in batch.
+    val s1 = Scd.scd2Merge(Scd.asDimension(b0.limit(0), dates(0L)), b0, "k", Seq("bal"), dates(0L))
+    val s2 = Scd.scd2Merge(s1, b1, "k", Seq("bal"), dates(1L))
+    assert(Snapshots.currentVersion(table) == 2)
+    assert(rows(Snapshots.readSnapshot(spark, table, 2)) == rows(s2))
+    // Dimension history stays queryable: v1 is the pre-merge state.
+    assert(rows(Snapshots.readSnapshot(spark, table, 1)) == rows(s1))
+    // Replay from a FRESH checkpoint (batch ids restart at 0): both
+    // batches' tags are carried through the replace-commits, so nothing
+    // recommits — critical for a merge sink, where replay is NOT idempotent.
+    val q3 = StreamingScd.upsertWriter(
+        spark.readStream.schema(schema).parquet(srcDir),
+        table, "k", Seq("bal"), loadDateOf = dates.withDefaultValue("2026-12-31"))
+      .option("checkpointLocation", Files.createTempDirectory("graft-scd-ckpt2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(120000)
+    assert(Snapshots.currentVersion(table) == 2)
+  }
+
   test("streaming count-min state equals the batch sketch exactly") {
     import graft.streaming.StreamingCountMin
     import graft.streaming.StreamingCountMin.KeyedLong
