@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 162
+  val declaredQueryCount = 170
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1060,6 +1060,214 @@ object SparkEntry {
       operators.Pca.topComponent(tbl(s, dir, "embeddings"), "embedding", 64, iters = 10)
         .select(col("component"), round(col("loading"), 4).as("loading"),
           round(col("eigenvalue"), 3).as("eigenvalue"))),
+
+    "q163_pagerank" -> ((s, dir) => {
+      // PageRank over the supplier co-purchase graph (distinct supplier
+      // pairs sharing an order). Per iteration: ONE edge-scan hash join
+      // keyed on src + one map-combinable sum keyed on dst — rank state
+      // is node-sized, lineage re-pinned per round, only the node count
+      // reaches the driver. 10 fixed damped iterations from the uniform
+      // start replay exactly as the oracle's unrolled MATERIALIZED CTEs
+      // (the q161 lesson: without MATERIALIZED, DuckDB re-expands the
+      // edge build per iteration).
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val a = li.select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val nodes = tbl(s, dir, "supplier").select(col("s_suppkey"))
+      graph.PageRank.run(edges, "src", "dst", nodes, "s_suppkey",
+          damping = 0.85, iters = 10)
+        .select(col("node").as("s_suppkey"),
+          round(col("rank"), 8).as("pagerank"))
+    }),
+
+    "q164_assoc_rules" -> ((s, dir) => {
+      // Market-basket association rules (support / confidence / lift)
+      // over per-order brand baskets — the classic co-occurrence mining
+      // shape. Baskets come from one corpus join (lineitem⋈part on the
+      // FK); the pair generation is a self-join keyed on the ORDER (per-
+      // key multiplicity ≤ distinct brands per order, so the output is
+      // ~pairs-per-basket × orders, linear in the fact table — never
+      // brand×brand×corpus). Brand marginals are brand-dimension-sized
+      // and broadcast back; totals ride a 1-row crossJoin. All ratios
+      // are single double divisions of exact BIGINTs (engine convention).
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val items = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val totals = items.agg(countDistinct(col("ok")).as("n_baskets"))
+      val marg = items.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+        .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 5)
+      pairs
+        .join(broadcast(marg.select(col("brand").as("brand_a"), col("cnt").as("cnt_a"))), Seq("brand_a"))
+        .join(broadcast(marg.select(col("brand").as("brand_b"), col("cnt").as("cnt_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(totals))
+        .select(col("brand_a"), col("brand_b"), col("pair_cnt"),
+          round(col("pair_cnt").cast("double") / col("n_baskets").cast("double"), 6)
+            .as("support"),
+          round(col("pair_cnt").cast("double") / col("cnt_a").cast("double"), 6)
+            .as("confidence"),
+          round((col("pair_cnt") * col("n_baskets")).cast("double") /
+            (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+    }),
+
+    "q165_hopping_window" -> ((s, dir) => {
+      // Batch hopping-window aggregation (30-min windows sliding 15 min)
+      // via Spark's native `window()` — each event lands in exactly two
+      // epoch-aligned windows, so the expansion is a fixed ×2 projection
+      // feeding one map-combinable aggregation; no self-join, no range
+      // join. The oracle replays the same grid with time_bucket (both
+      // engines align 15-min buckets to midnight-anchored origins).
+      Tables.events(s, dir)
+        .select(window(col("ts"), "30 minutes", "15 minutes").as("w"),
+          col("event_type"), col("value"))
+        .groupBy(col("w.start").as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    "q166_funnel_steps" -> ((s, dir) => {
+      // Batch funnel: users who viewed, then clicked AFTER their first
+      // view, then purchased AFTER that click — strict event-time
+      // ordering, the batch face of the streaming funnel. Three chained
+      // user-keyed conditional-min aggregations: every shuffle is keyed
+      // on user_id (corpus-bound, honest at 100 TB — no broadcast of a
+      // user-sized side), each stage's state is one timestamp per
+      // surviving user, and the final report is a single 1-row rollup.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      val nc = c.agg(count(lit(1)).as("n_click_after_view"))
+      val np = pu.agg(count(lit(1)).as("n_purchase_after_click"))
+      nv.crossJoin(nc).crossJoin(np)
+        .select(col("n_view"), col("n_click_after_view"),
+          col("n_purchase_after_click"),
+          round(col("n_click_after_view").cast("double") /
+            col("n_view").cast("double"), 6).as("click_rate"),
+          round(col("n_purchase_after_click").cast("double") /
+            col("n_view").cast("double"), 6).as("purchase_rate"))
+    }),
+
+    "q167_bigram_lm" -> ((s, dir) => {
+      // Interpolated bigram-LM scoring (Jelinek-Mercer λ=0.7 over the
+      // corpus bigram + unigram MLEs) — the next model up from q125's
+      // unigram perplexity filter. Scale shape mirrors q125: the
+      // positioned bigram stream comes from ONE codegen'd shingle pass
+      // (no token-stream self-join, no window), the LM tables are
+      // bigram-/vocab-sized partial aggs joined back by type, and
+      // per-doc order is restored with the ordered (pos, lp) fold.
+      // Determinism: -ln on a 6-dp grid, position-ordered summation.
+      val docs = tbl(s, dir, "documents")
+      val pos = docs.select(col("doc_id"),
+          posexplode(graft.plans.TextKernels.wordShinglesNative(col("text"), 2)))
+        .select(col("doc_id"), col("pos"),
+          split(col("col"), " ").getItem(0).as("prev"),
+          split(col("col"), " ").getItem(1).as("cur"))
+        .localCheckpoint()
+      val uni = docs.select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cu"))
+        .localCheckpoint()
+      val totU = uni.agg(sum(col("cu")).as("t"))
+      val big = pos.groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("cb")).localCheckpoint()
+      val cs = big.groupBy(col("prev")).agg(sum(col("cb")).as("cstart"))
+      val lp = big.join(cs, Seq("prev"))
+        .join(uni.select(col("term").as("cur"), col("cu")), Seq("cur"))
+        .crossJoin(broadcast(totU))
+        .select(col("prev"), col("cur"),
+          round(-log(lit(0.7) *
+              (col("cb").cast("double") / col("cstart").cast("double")) +
+            lit(0.3) *
+              (col("cu").cast("double") / col("t").cast("double"))), 6)
+            .as("lp"))
+      pos.join(lp, Seq("prev", "cur"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            lit(0.0), (a, x) => a + x.getField("lp")).as("nll"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("nll") / col("n_bigrams"), 4).as("avg_neg_logp"))
+    }),
+
+    "q168_k_anonymity" -> ((s, dir) => {
+      // k-anonymity suppression gate (k=5) over the (segment, nation)
+      // quasi-identifier: groups below k collapse into ONE fully-
+      // generalized '*' bucket — the governance pre-release check that a
+      // curated dataset can't single out small cohorts. One broadcast
+      // dim join + one map-combinable group count; both branches reuse
+      // the same pinned QI-sized aggregate.
+      val c = tbl(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val g = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val safe = g.filter(col("n") >= 5)
+        .select(col("segment"), col("nation"), col("n"),
+          lit(false).as("suppressed"))
+      val supp = g.filter(col("n") < 5)
+        .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("n"))
+        .select(lit("*").as("segment"), lit("*").as("nation"), col("n"),
+          lit(true).as("suppressed"))
+        .filter(col("n") > 0)
+      safe.unionByName(supp)
+    }),
+
+    "q169_label_propagation" -> ((s, dir) => {
+      // Community detection inside the supplier co-purchase graph via
+      // deterministic synchronous label propagation (5 sweeps, min-label
+      // tie-break) — splits q163's graph into densely-linked groups the
+      // way near-dup families split a giant connected component. Pure
+      // integer math → the oracle replays every sweep exactly.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val a = li.select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val nodes = tbl(s, dir, "supplier").select(col("s_suppkey"))
+      graph.LabelPropagation.run(edges, "src", "dst", nodes, "s_suppkey",
+          rounds = 5)
+        .select(col("node").as("s_suppkey"), col("community"))
+    }),
+
+    "q170_feature_hashing" -> ((s, dir) => {
+      // Hashing-trick collision report: vocabulary → 4096 buckets via
+      // the 3-hex-char md5 prefix (the engine's cross-engine hash), with
+      // bucket-occupancy and collision-fraction stats — what you check
+      // before fixing a feature-hash width for training. Vocab-sized
+      // distinct + two map-combinable aggs; the corpus is scanned once.
+      val terms = tbl(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .distinct()
+      val loads = terms
+        .select(substring(md5(col("term")), 1, 3).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("ld"))
+      loads.agg(
+          sum(col("ld")).cast("long").as("n_terms"),
+          count(lit(1)).as("n_buckets_used"),
+          max(col("ld")).as("max_load"))
+        .select(col("n_terms"), col("n_buckets_used"), col("max_load"),
+          round(lit(1.0) - col("n_buckets_used").cast("double") /
+            col("n_terms").cast("double"), 6).as("collision_frac"))
+    }),
 
     "q155_dedup_impact" -> ((s, dir) => {
       // Dataset-card "what did dedup do" report: per-source doc and
@@ -2864,6 +3072,72 @@ object SparkEntry {
                   FROM gfull f JOIN x$iters a ON f.i = a.i
                   JOIN x$iters b ON f.j = b.i), 3) AS eigenvalue
          FROM x$iters xf"""
+  }
+
+  /** Unrolled damped PageRank over the supplier co-purchase graph —
+    * same MATERIALIZED discipline as [[pcaPowerSql]] (DuckDB inlines
+    * non-materialized CTEs, re-expanding the edge build per iteration).
+    * Constants are CAST AS DOUBLE so DuckDB's decimal literals don't
+    * shift the math off Spark's IEEE doubles (1.0-0.85 differs from a
+    * literal 0.15 by one ulp in binary64).
+    */
+  private def pageRankSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val one = "CAST(1.0 AS DOUBLE)"
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+           SELECT n.node, ($one - $d) / (SELECT n FROM nn)
+               + $d * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS pr
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(r.pr * e.w) AS s
+             FROM ew e JOIN r${k - 1} r ON e.src = r.node
+             GROUP BY e.dst) c USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey, l_suppkey FROM lineitem),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey <> b.l_suppkey),
+         deg AS MATERIALIZED (
+           SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         ew AS MATERIALIZED (
+           SELECT e.src, e.dst, $one / CAST(d.deg AS DOUBLE) AS w
+           FROM edges e JOIN deg d USING (src)),
+         nodes AS MATERIALIZED (SELECT DISTINCT s_suppkey AS node FROM supplier),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS MATERIALIZED (
+           SELECT node, $one / (SELECT n FROM nn) AS pr FROM nodes),
+         $steps
+         SELECT node AS s_suppkey, round(pr, 8) AS pagerank FROM r$iters"""
+  }
+
+  /** Unrolled deterministic label propagation over the same supplier
+    * co-purchase graph as [[pageRankSql]] — integer-only math, so every
+    * sweep replays exactly. Argmax-with-min-tie-break is the two-step
+    * max-count / min-label form (≡ the engine's min(struct(-cnt, label))).
+    */
+  private def labelPropagationSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""cnt$k AS MATERIALIZED (
+           SELECT e.dst AS node, r.label, CAST(count(*) AS BIGINT) AS c
+           FROM edges e JOIN l${k - 1} r ON e.src = r.node GROUP BY 1, 2),
+         mx$k AS (SELECT node, max(c) AS mc FROM cnt$k GROUP BY node),
+         pick$k AS (SELECT c.node, min(c.label) AS nbr
+           FROM cnt$k c JOIN mx$k m ON c.node = m.node AND c.c = m.mc
+           GROUP BY 1),
+         l$k AS MATERIALIZED (
+           SELECT p.node, coalesce(k.nbr, p.label) AS label
+           FROM l${k - 1} p LEFT JOIN pick$k k USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey, l_suppkey FROM lineitem),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey <> b.l_suppkey),
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT s_suppkey AS node, s_suppkey AS label FROM supplier),
+         $steps
+         SELECT node AS s_suppkey, label AS community FROM l$rounds"""
   }
 
   private def vocabHitsSql(words: Seq[String]): String =
@@ -4766,6 +5040,113 @@ object SparkEntry {
          FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
            AND CAST(o.o_orderdate AS DATE) >= CAST(d.valid_from AS DATE)
            AND CAST(o.o_orderdate AS DATE) < CAST(d.valid_to AS DATE)""",
+    "q163_pagerank" -> pageRankSql(iters = 10),
+    "q164_assoc_rules" ->
+      """WITH items AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+         marg AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt
+           FROM items GROUP BY brand),
+         pairs AS (
+           SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS pair_cnt
+           FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT p.brand_a, p.brand_b, p.pair_cnt,
+           round(CAST(p.pair_cnt AS DOUBLE) / CAST(t.n_baskets AS DOUBLE), 6)
+             AS support,
+           round(CAST(p.pair_cnt AS DOUBLE) / CAST(ma.cnt AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(p.pair_cnt * t.n_baskets AS DOUBLE)
+             / CAST(ma.cnt * mb.cnt AS DOUBLE), 6) AS lift
+         FROM pairs p
+         JOIN marg ma ON p.brand_a = ma.brand
+         JOIN marg mb ON p.brand_b = mb.brand
+         CROSS JOIN tot t""",
+    "q165_hopping_window" ->
+      """WITH e AS (
+           SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, event_type, value
+           FROM events),
+         w AS (
+           SELECT b AS ws, event_type, value FROM e
+           UNION ALL
+           SELECT b - INTERVAL '15 minutes', event_type, value FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+         FROM w GROUP BY 1, 2""",
+    "q166_funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1),
+         s AS (SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after_click)
+         SELECT n_view, n_click_after_view, n_purchase_after_click,
+           round(CAST(n_click_after_view AS DOUBLE)
+             / CAST(n_view AS DOUBLE), 6) AS click_rate,
+           round(CAST(n_purchase_after_click AS DOUBLE)
+             / CAST(n_view AS DOUBLE), 6) AS purchase_rate
+         FROM s""",
+    "q167_bigram_lm" ->
+      """WITH tk AS MATERIALIZED (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         pos AS MATERIALIZED (
+           SELECT doc_id, i - 1 AS pos, w[i] AS prev, w[i+1] AS cur
+           FROM tk, UNNEST(range(1, len(w))) AS t(i)),
+         uni AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT unnest(w) AS tok FROM tk) GROUP BY 1),
+         tu AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM uni),
+         big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+           FROM pos GROUP BY 1, 2),
+         cs AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cstart
+           FROM big GROUP BY 1),
+         lp AS (SELECT b.prev, b.cur,
+             round(-ln(CAST(0.7 AS DOUBLE) *
+                 (CAST(b.cb AS DOUBLE) / CAST(c.cstart AS DOUBLE)) +
+               CAST(0.3 AS DOUBLE) *
+                 (CAST(u.cu AS DOUBLE) / CAST(t.t AS DOUBLE))), 6) AS lp
+           FROM big b JOIN cs c USING (prev)
+           JOIN uni u ON u.term = b.cur CROSS JOIN tu t)
+         SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(list_sum(list(l.lp ORDER BY p.pos)) / count(*), 4)
+             AS avg_neg_logp
+         FROM pos p JOIN lp l ON p.prev = l.prev AND p.cur = l.cur
+         GROUP BY p.doc_id""",
+    "q168_k_anonymity" ->
+      """WITH g AS (
+           SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2)
+         SELECT segment, nation, n, false AS suppressed FROM g WHERE n >= 5
+         UNION ALL
+         SELECT '*' AS segment, '*' AS nation,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n, true AS suppressed
+         FROM g WHERE n < 5 HAVING coalesce(sum(n), 0) > 0""",
+    "q169_label_propagation" -> labelPropagationSql(rounds = 5),
+    "q170_feature_hashing" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+'))
+             AS term
+           FROM documents),
+         loads AS (
+           SELECT substr(md5(term), 1, 3) AS bucket,
+             CAST(count(*) AS BIGINT) AS ld
+           FROM terms GROUP BY 1)
+         SELECT CAST(sum(ld) AS BIGINT) AS n_terms,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(max(ld) AS BIGINT) AS max_load,
+           round(CAST(1.0 AS DOUBLE)
+             - CAST(count(*) AS DOUBLE) / CAST(sum(ld) AS DOUBLE), 6)
+             AS collision_frac
+         FROM loads""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,

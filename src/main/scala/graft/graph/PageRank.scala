@@ -1,0 +1,83 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank by synchronous power iteration.
+  *
+  * Rounds out the engine's graph tier (BFS trees in [[Trees]], log-depth
+  * closure in [[Closure]], min-label connected components in
+  * [[graft.operators.Dedup]]) with the canonical *weighted* importance
+  * iteration — the standard tool for ranking documents inside a link or
+  * similarity graph when curating web-scale training corpora (Page et
+  * al. 1999; the "quality via graph centrality" signal in Common-Crawl
+  * pipelines).
+  *
+  * Scale shape (the reason this is written the way it is):
+  *  - the edge table is scanned ONCE per iteration in a single hash join
+  *    keyed on `src` followed by a map-combinable `sum` keyed on `dst` —
+  *    two shuffles of edge-sized data per round, nothing quadratic;
+  *  - per-edge weights (1/outdegree) are folded into the edge table once
+  *    up front, so the iteration body is join→multiply→sum with no
+  *    degree lookup inside the loop;
+  *  - rank state is node-sized and re-pinned (`localCheckpoint`) every
+  *    round — iterative lineage would otherwise re-execute all prior
+  *    rounds (same discipline as [[Closure]]);
+  *  - only ONE scalar (the node count) ever reaches the driver.
+  *
+  * Semantics are the damped formulation without dangling-mass
+  * redistribution — rank(v) = (1-d)/N + d·Σ_{u→v} rank(u)/outdeg(u) —
+  * chosen because it is a pure per-edge computation (no global dangling
+  * sum per round) and therefore replays exactly as unrolled SQL for the
+  * cross-engine oracle. Fixed `iters` rounds from the uniform 1/N start
+  * make the result a deterministic function of the inputs.
+  */
+object PageRank {
+
+  /** Ranks for every node in `nodes` (isolated nodes converge to the
+    * damped floor (1-d)/N). `edges` rows with null endpoints are
+    * dropped; duplicate (src,dst) rows are NOT deduplicated — callers
+    * choose multi-edge or simple-graph semantics upstream.
+    *
+    * @return (node, rank) with one row per input node
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: DataFrame,
+      nodeCol: String,
+      damping: Double = 0.85,
+      iters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+
+    val v = nodes.select(col(nodeCol).as("node")).distinct()
+    val n = v.count() // the one driver-side scalar (bounded: a long)
+    require(n > 0, "PageRank needs at least one node")
+
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // Fold 1/outdegree into the edges once; the loop never recomputes it.
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val weighted = pin(e.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"),
+        (lit(1.0) / col("deg").cast("double")).as("w")))
+
+    val base = lit((1.0 - damping) / n)
+    var ranks = pin(v.withColumn("rank", lit(1.0 / n)))
+    for (_ <- 1 to iters) {
+      val contribs = weighted
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w")).as("contrib"))
+      ranks = pin(v
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (base + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+    }
+    ranks
+  }
+}

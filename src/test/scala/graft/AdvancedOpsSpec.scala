@@ -22,6 +22,54 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(sessions.head.session_end == ts(10))
   }
 
+  test("PageRank matches a driver-side reference iteration and floors isolated nodes") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val pr = graph.PageRank.run(edges, "src", "dst", nodes, "id",
+        damping = 0.85, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L))
+    var ref = Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25)
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for ((u, vs) <- out; v <- vs) contrib(v) += ref(u) / vs.size
+      ref = Seq(1L, 2L, 3L, 4L)
+        .map(v => v -> (0.15 / 4 + 0.85 * contrib(v))).toMap
+    }
+    for (v <- Seq(1L, 2L, 3L, 4L))
+      assert(math.abs(pr(v) - ref(v)) < 1e-12, s"node $v: ${pr(v)} vs ${ref(v)}")
+    // An isolated node keeps exactly the damped floor (1-d)/N.
+    assert(math.abs(pr(4L) - 0.15 / 4) < 1e-15)
+  }
+
+  test("LabelPropagation matches a driver-side reference sweep") {
+    // Two triangles joined by one bridge: dense groups should absorb
+    // their min label; the exact fixed-round outcome is checked against
+    // a driver-side replay of the same synchronous min-tie-break sweep.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("id")
+    val got = graph.LabelPropagation.run(edges, "src", "dst", nodes, "id",
+        rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inNbrs = (und ++ und.map(_.swap)).groupBy(_._2)
+      .map { case (v, es) => v -> es.map(_._1) }
+    var lab = (1L to 6L).map(v => v -> v).toMap
+    for (_ <- 1 to 5) {
+      lab = (1L to 6L).map { v =>
+        val in = inNbrs.getOrElse(v, Nil).map(lab)
+        if (in.isEmpty) v -> lab(v)
+        else v -> in.groupBy(identity).toSeq
+          .map { case (l, xs) => (-xs.size, l) }.min._2
+      }.toMap
+    }
+    assert(got == lab)
+    // The first triangle consolidates on its min label.
+    assert(got(1L) == 1L && got(2L) == 1L)
+  }
+
   test("waterFillBudget matches a greedy water-filling reference across budgets") {
     import graft.operators.Sampling
     val sizes = Seq(("a", 1200L), ("b", 300L), ("c", 5000L),
