@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 170
+  val declaredQueryCount = 174
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1267,6 +1267,149 @@ object SparkEntry {
         .select(col("n_terms"), col("n_buckets_used"), col("max_load"),
           round(lit(1.0) - col("n_buckets_used").cast("double") /
             col("n_terms").cast("double"), 6).as("collision_frac"))
+    }),
+
+    "q171_triangle_count" -> ((s, dir) => {
+      // Triangles + clustering coefficient over the ≥5-shared-orders
+      // co-purchase graph (the raw graph is complete at small SF; the
+      // weight threshold is what a curation pipeline applies before any
+      // cohesion metric). The degree-ordered orientation inside
+      // [[graph.Triangles]] bounds the wedge join at O(m^1.5) — the
+      // reason this runs on a hub-skewed 100 TB graph at all.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5)
+        .select(col("sa"), col("sb"))
+      val nodes = tbl(s, dir, "supplier").select(col("s_suppkey"))
+      graph.Triangles.perNode(edges, "sa", "sb", nodes, "s_suppkey")
+        .select(col("node").as("s_suppkey"), col("degree"),
+          col("n_triangles"), col("clustering_coef"))
+    }),
+
+    "q172_markov_transitions" -> ((s, dir) => {
+      // First-order Markov transition matrix over per-user event
+      // sequences (session path mining): P(next | current) with counts.
+      // The lead() window partitions by user — per-key sequences are
+      // bounded, never a global sort — and everything after it is
+      // event-type²-sized. Probabilities are one double division of
+      // exact counts.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val pairs = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val marg = pairs.groupBy(col("cur")).agg(sum(col("cnt")).as("tot"))
+      pairs.join(broadcast(marg), Seq("cur"))
+        .select(col("cur"), col("nxt"), col("cnt"),
+          round(col("cnt").cast("double") / col("tot").cast("double"), 6)
+            .as("prob"))
+    }),
+
+    "q173_containment_join" -> ((s, dir) => {
+      // Asymmetric containment join (|A∩B|/|A| ≥ 0.8 over distinct word-
+      // trigram shingles — quote/subsumption detection, the measure
+      // Jaccard misses when a small doc is swallowed by a big one).
+      // Candidate generation is the PPJoin-style prefix filter in its
+      // containment form: index only each doc's sz − ⌈t·sz⌉ + 1 RAREST
+      // shingles (global-df order) — any qualifying pair must share one
+      // of them — then verify candidates exactly against the full
+      // shingle sets. The oracle is the brute-force all-pairs
+      // list_intersect, so it independently proves the prefix filter
+      // loses nothing. Shingles (not unigrams) make the filter bite:
+      // the shared unigram vocabulary would qualify ~all pairs.
+      val docs = tbl(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(array_distinct(
+            graft.plans.TextKernels.wordShinglesNative(col("text"), 3)))
+            .as("term"))
+        .localCheckpoint()
+      val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val ordered = toks.join(dfreq, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("term")))).as("ts"))
+      val prefix = ordered.select(col("doc_id").as("id_a"),
+          explode(expr(
+            "slice(ts, 1, size(ts) - cast(ceil(0.8 * size(ts)) as int) + 1)"))
+            .as("p"))
+        .select(col("id_a"), col("p.term").as("term"))
+      val cand = prefix
+        .join(toks.select(col("doc_id").as("id_b"), col("term")), Seq("term"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val ta = toks.select(col("doc_id").as("id_a"), col("term"))
+      val tb = toks.select(col("doc_id").as("id_b"), col("term"))
+      val inter = cand.join(ta, Seq("id_a")).join(tb, Seq("id_b", "term"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      inter.join(sz.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
+          Seq("id_a"))
+        .filter(col("inter").cast("double") / col("sz_a").cast("double") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"),
+          round(col("inter").cast("double") / col("sz_a").cast("double"), 6)
+            .as("containment"))
+    }),
+
+    "q174_rrf_fusion" -> ((s, dir) => {
+      // Hybrid retrieval: q123's BM25 lexical scorer + q38's exact-cosine
+      // contract, fused with reciprocal-rank fusion
+      // rrf(d) = Σ_modality 1/(60 + rank) (Cormack et al. 2009) — the
+      // standard way modern search blends keyword and embedding signals.
+      // Each modality is cut to top-50 by TakeOrderedAndProject BEFORE
+      // any ranking window (the q153 rule), so row_number only ever sees
+      // 50 rows; the fusion itself is a 50∪50-row full-outer join.
+      val qTerms = Seq("spark", "merge", "window")
+      val docs = tbl(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val dl = toks.select(col("doc_id"), size(col("toks")).as("dl"))
+        .localCheckpoint()
+      val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val comp = round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+      val bm25 = tf.join(broadcast(df_), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          struct(col("term").as("term"), comp.as("comp")).as("tc"))
+        .groupBy(col("doc_id"))
+        .agg(aggregate(array_sort(collect_list(col("tc"))), lit(0.0),
+          (acc, x) => acc + x.getField("comp")).as("sc"))
+        .select(col("doc_id"), round(col("sc"), 4).as("bm25"))
+      val lexRank = bm25.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_lex"))
+      val e = tbl(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val semRank = e.select(col("vec_id").as("doc_id"),
+          Vectors.cosineToConst(col("embedding"), qv).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
+        .withColumn("r_sem", row_number()
+          .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_sem"))
+      lexRank.join(semRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60L) + col("r_sem")), lit(0.0)), 8)
+            .as("rrf"),
+          col("r_lex"), col("r_sem"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -5147,6 +5290,116 @@ object SparkEntry {
              - CAST(count(*) AS DOUBLE) / CAST(sum(ld) AS DOUBLE), 6)
              AS collision_frac
          FROM loads""",
+    "q171_triangle_count" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_suppkey AS a, b.l_suppkey AS b
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         deg AS MATERIALIZED (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         o AS MATERIALIZED (
+           SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+           FROM (SELECT e.a, e.b, x.deg AS da, y.deg AS db
+             FROM e JOIN deg x ON e.a = x.node JOIN deg y ON e.b = y.node)),
+         tri AS MATERIALIZED (
+           SELECT w.u, w.v1, w.v2 FROM (
+             SELECT e1.u, e1.v AS v1, e2.v AS v2
+             FROM o e1 JOIN o e2 ON e1.u = e2.u
+               AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))) w
+           JOIN o c ON c.u = w.v1 AND c.v = w.v2),
+         cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+           SELECT u AS node FROM tri UNION ALL SELECT v1 FROM tri
+           UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+         SELECT s.s_suppkey, coalesce(d.deg, 0) AS degree,
+           coalesce(c.t, 0) AS n_triangles,
+           CASE WHEN coalesce(d.deg, 0) >= 2
+             THEN round(CAST(2 * coalesce(c.t, 0) AS DOUBLE)
+               / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+             ELSE 0.0 END AS clustering_coef
+         FROM supplier s
+         LEFT JOIN deg d ON s.s_suppkey = d.node
+         LEFT JOIN cnt c ON s.s_suppkey = c.node""",
+    "q172_markov_transitions" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         nx AS (SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS nxt
+           FROM ev),
+         pairs AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+           FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         marg AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM pairs GROUP BY 1)
+         SELECT p.cur, p.nxt, p.cnt,
+           round(CAST(p.cnt AS DOUBLE) / CAST(m.tot AS DOUBLE), 6) AS prob
+         FROM pairs p JOIN marg m USING (cur)""",
+    "q173_containment_join" ->
+      """WITH d AS MATERIALIZED (
+           SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS g
+           FROM (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter,
+           CAST(len(a.g) AS BIGINT) AS sz_a,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / CAST(len(a.g) AS DOUBLE), 6) AS containment
+         FROM d a JOIN d b ON a.doc_id <> b.doc_id
+         WHERE len(a.g) > 0
+           AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / CAST(len(a.g) AS DOUBLE) >= 0.8""",
+    "q174_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         comp AS (SELECT t.doc_id, t.term,
+             round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+               (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS comp
+           FROM tf t JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats),
+         bm AS (SELECT doc_id,
+             round(list_sum(list(comp ORDER BY term)), 4) AS bm25
+           FROM comp GROUP BY doc_id),
+         lex AS (SELECT doc_id, bm25 FROM bm
+           ORDER BY bm25 DESC, doc_id LIMIT 50),
+         lexr AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS r_lex
+           FROM lex),
+         q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings),
+         sem AS (SELECT vec_id AS doc_id, $cosineSqlBody AS cos
+           FROM e, q ORDER BY cos DESC, doc_id LIMIT 50),
+         semr AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+               AS r_sem
+           FROM sem),
+         f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.r_lex, s.r_sem,
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r_lex),
+               CAST(0.0 AS DOUBLE)) +
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + s.r_sem),
+               CAST(0.0 AS DOUBLE)) AS rrf0
+           FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+         SELECT doc_id, round(rrf0, 8) AS rrf, r_lex, r_sem
+         FROM f ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,

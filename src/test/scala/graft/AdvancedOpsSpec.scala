@@ -70,6 +70,24 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 1L)
   }
 
+  test("Triangles counts K4 and path graphs correctly") {
+    // K4: every node has degree 3, sits in 3 triangles, coefficient 1.0.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val nodes = (1L to 5L).toDF("id") // node 5 isolated
+    val got = graph.Triangles.perNode(k4, "a", "b", nodes, "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    for (v <- 1L to 4L) assert(got(v) == ((3L, 3L, 1.0)), s"node $v: ${got(v)}")
+    assert(got(5L) == ((0L, 0L, 0.0)))
+    // Path 1-2-3: no triangles, middle node coefficient 0.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val gotP = graph.Triangles.perNode(path, "a", "b", (1L to 3L).toDF("id"),
+        "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotP.values.forall(_ == 0L))
+  }
+
   test("waterFillBudget matches a greedy water-filling reference across budgets") {
     import graft.operators.Sampling
     val sizes = Seq(("a", 1200L), ("b", 300L), ("c", 5000L),
