@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 174
+  val declaredQueryCount = 178
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1432,6 +1432,101 @@ object SparkEntry {
             .as("rrf"),
           col("r_lex"), col("r_sem"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }),
+
+    "q175_weighted_sample" -> ((s, dir) => {
+      // Efraimidis–Spirtes weighted sampling WITHOUT replacement via
+      // deterministic exponential clocks: clock(d) = −ln(u_d)/w_d with
+      // u_d a unit-interval double derived from md5(doc_id) (the q88
+      // affinity idiom — no RNG, replayable on any engine) and weight
+      // w = n_chars; the k smallest clocks ARE a weighted sample. One
+      // codegen'd projection + TakeOrderedAndProject — zero shuffles of
+      // corpus data beyond the top-k exchange at any scale.
+      val u = (expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as double)")
+        + lit(0.5)) / lit(4294967296.0)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(-log(u) / col("n_chars").cast("double"), 6).as("clock"))
+        .orderBy(col("clock"), col("doc_id")).limit(20)
+    }),
+
+    "q176_stratified_sample" -> ((s, dir) => {
+      // Deterministic stratified sample: 5 docs per source in md5 order
+      // — a per-stratum reservoir that never changes as the corpus grows
+      // (the q130 content-stable-split property, per key). Runs through
+      // the native TopKPerKey physical operator, so each map partition
+      // holds at most k rows per stratum before the exchange — no
+      // per-source sort, no window over the corpus.
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("hk"))
+      org.apache.spark.sql.graft.TopKPerKey(docs, Seq("source"),
+          Seq(("hk", true), ("doc_id", true)), k = 5)
+        .select(col("source"), col("doc_id"), col("hk"))
+    }),
+
+    "q177_moment_profile" -> ((s, dir) => {
+      // Distribution profile (mean/stddev/skewness/kurtosis) per source
+      // from EXACT integer power sums: n_chars ≤ ~600 keeps Σx⁴ inside
+      // BIGINT, so the four sums are map-combinable exact aggregates and
+      // every float appears only in the final per-source derivation —
+      // bit-identical across engines with no ordered-fold machinery.
+      val x = col("n_chars")
+      val g = tbl(s, dir, "documents")
+        .select(col("source"), x.as("x"), (x * x).as("x2"),
+          (x * x * x).as("x3"), (x * x * x * x).as("x4"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+          sum(col("x4")).as("s4"))
+      val nd = col("n").cast("double")
+      val m = col("s1").cast("double") / nd
+      val e2 = col("s2").cast("double") / nd
+      val e3 = col("s3").cast("double") / nd
+      val e4 = col("s4").cast("double") / nd
+      val v = e2 - m * m
+      val sd = sqrt(v)
+      val skew = (e3 - m * lit(3.0) * v - m * m * m) / (v * sd)
+      val kurt = (e4 - lit(4.0) * m * e3 + lit(6.0) * m * m * e2 -
+        lit(3.0) * m * m * m * m) / (v * v)
+      g.select(col("source"), col("n"), round(m, 4).as("mean"),
+        round(sd, 4).as("stddev"), round(skew, 4).as("skewness"),
+        round(kurt, 4).as("kurtosis"))
+    }),
+
+    "q178_ks_drift" -> ((s, dir) => {
+      // Two-sample Kolmogorov–Smirnov drift per source: sup |F_s − F|
+      // between each source's n_chars CDF and the corpus CDF, evaluated
+      // on the full distinct-value grid (both CDFs are step functions,
+      // so the sup is attained there). The corpus collapses to a
+      // (source, value)-sized count table FIRST; every window after that
+      // is bounded by distinct values (~hundreds), never corpus rows —
+      // the same bounded-state argument as the q146 robust gate.
+      val perSV = tbl(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("x"))
+        .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val srcTot = perSV.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val corpus = perSV.groupBy(col("x")).agg(sum(col("c")).as("cc"))
+        .localCheckpoint()
+      val corpTotal = corpus.agg(sum(col("cc")).as("nc"))
+      val corpCum = corpus.withColumn("ccum",
+        sum(col("cc")).over(Window.orderBy(col("x"))))
+      val grid = srcTot.crossJoin(corpus.select(col("x")))
+        .join(perSV, Seq("source", "x"), "left")
+        .select(col("source"), col("ns"), col("x"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val srcCum = grid.withColumn("scum",
+        sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("x"))))
+      srcCum.join(corpCum.select(col("x"), col("ccum")), Seq("x"))
+        .crossJoin(broadcast(corpTotal))
+        .select(col("source"), col("ns"),
+          abs(col("scum").cast("double") / col("ns").cast("double") -
+            col("ccum").cast("double") / col("nc").cast("double")).as("d"))
+        .groupBy(col("source"), col("ns"))
+        .agg(round(max(col("d")), 6).as("ks"))
+        .select(col("source"), col("ns").as("n"), col("ks"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -5422,6 +5517,62 @@ object SparkEntry {
            FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
          SELECT doc_id, round(rrf0, 8) AS rrf, r_lex, r_sem
          FROM f ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "q175_weighted_sample" ->
+      """SELECT doc_id, source, n_chars,
+           round(-ln((CAST(CAST(concat('0x',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS DOUBLE) + 0.5) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE), 6) AS clock
+         FROM documents ORDER BY clock, doc_id LIMIT 20""",
+    "q176_stratified_sample" ->
+      """SELECT source, doc_id, hk FROM (
+           SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) WHERE rn <= 5""",
+    "q177_moment_profile" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS s1,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+           CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+           CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+           FROM documents GROUP BY source),
+         e AS (SELECT source, n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+           CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+           CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+           CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+           FROM g),
+         v AS (SELECT source, n, m, e2, e3, e4, e2 - m * m AS v FROM e)
+         SELECT source, n, round(m, 4) AS mean, round(sqrt(v), 4) AS stddev,
+           round((e3 - m * 3.0 * v - m * m * m) / (v * sqrt(v)), 4)
+             AS skewness,
+           round((e4 - 4.0 * m * e3 + 6.0 * m * m * e2
+             - 3.0 * m * m * m * m) / (v * v), 4) AS kurtosis
+         FROM v""",
+    "q178_ks_drift" ->
+      """WITH psv AS (SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+           FROM psv GROUP BY 1),
+         corpus AS (SELECT x, CAST(sum(c) AS BIGINT) AS cc
+           FROM psv GROUP BY 1),
+         ct AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corpus),
+         ccum AS (SELECT x,
+             CAST(sum(cc) OVER (ORDER BY x) AS BIGINT) AS ccum
+           FROM corpus),
+         grid AS (SELECT s.source, s.ns, v.x, coalesce(p.c, 0) AS c
+           FROM st s CROSS JOIN (SELECT x FROM corpus) v
+           LEFT JOIN psv p ON p.source = s.source AND p.x = v.x),
+         scum AS (SELECT source, ns, x,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+               AS scum
+           FROM grid)
+         SELECT source, ns AS n,
+           round(max(abs(CAST(scum AS DOUBLE) / CAST(ns AS DOUBLE)
+             - CAST(ccum AS DOUBLE) / CAST(nc AS DOUBLE))), 6) AS ks
+         FROM scum JOIN ccum USING (x) CROSS JOIN ct
+         GROUP BY source, ns""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,

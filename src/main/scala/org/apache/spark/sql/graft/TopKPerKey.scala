@@ -101,7 +101,12 @@ case class TopKPerKeyExec(
       }
       val state = mutable.HashMap.empty[InternalRow, mutable.ArrayBuffer[(Seq[Any], InternalRow)]]
       iter.foreach { row =>
-        val sortKey: Seq[Any] = bound.map(_._1.eval(row))
+        // copyValue: an evaluated UTF8String (or array/struct) aliases the
+        // iterator's REUSED unsafe row buffer — buffering it uncopied made
+        // every string-ordered comparison read corrupted bytes (primitive
+        // sort keys, the only shape exercised before q176, copy by value
+        // and never hit this).
+        val sortKey: Seq[Any] = bound.map(b => InternalRow.copyValue(b._1.eval(row)))
         val buf = state.getOrElseUpdate(keyProj(row).copy(),
           mutable.ArrayBuffer.empty[(Seq[Any], InternalRow)])
         if (buf.size < limit || cmp(sortKey, buf.last._1) < 0) {

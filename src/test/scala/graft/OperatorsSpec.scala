@@ -215,6 +215,24 @@ class OperatorsSpec extends SparkSpec {
     assert(res.groupBy(_._1).values.forall(_.size <= 3))
   }
 
+  test("TopKPerKey orders correctly by STRING sort keys (buffer-aliasing regression)") {
+    // Regression: the partial pass buffered evaluated sort keys without
+    // copying — a UTF8String key aliased the reused unsafe-row buffer and
+    // string-ordered top-k silently returned arrival-order rows. Caught
+    // by q176's oracle; primitive keys (the only prior shape) were safe.
+    import org.apache.spark.sql.graft.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"source", $"doc_id", md5($"doc_id".cast("string")).as("hk"))
+    val got = TopKPerKey(docs, Seq("source"), Seq(("hk", true), ("doc_id", true)), k = 5)
+      .as[(String, Long, String)].collect().toSet
+    val w = Window.partitionBy($"source").orderBy($"hk", $"doc_id")
+    val want = docs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5).drop("rn")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("BPE merge learning matches a classic in-memory reference") {
     import graft.operators.Bpe
     // Reference: textbook BPE (Sennrich et al. 2016) on the SAME word

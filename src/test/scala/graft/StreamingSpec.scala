@@ -202,6 +202,52 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.toSet.contains("view_click_purchase"))
   }
 
+  test("streaming transitions equal the batch lead-window pairs exactly") {
+    import graft.streaming.StreamingTransitions
+    import graft.streaming.StreamingTransitions.Ev
+    val events = Tables.events(spark, sfDir)
+    val evs = StreamingTransitions.fromEvents(events)
+      .collect().sortBy(e => (e.us, e.event_id))
+
+    // Batch truth #1: the operator itself in batch mode.
+    val batchOp = StreamingTransitions
+      .transitions(spark.createDataset(evs.toSeq), streaming = false)
+      .collect().map(t => (t.user_id, t.cur, t.nxt, t.us)).sorted.toSeq
+    // Batch truth #2: the q172 lead()-window formulation.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val windowPairs = StreamingTransitions.fromEvents(events)
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .withColumn("nus", lead($"us", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .select($"user_id", $"event_type", $"nxt", $"nus")
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(batchOp == windowPairs && batchOp.nonEmpty)
+
+    // Stream: three chronological chunks through a MemoryStream (the
+    // face's contract is per-key ordered arrival across batches — the
+    // keyed-Kafka guarantee); within a chunk rows are unordered.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Ev]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val q = StreamingTransitions.transitions(mem.toDS(), streaming = true)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingTransitions.Transition], _: Long) =>
+          df.collect().foreach(t => emitted.add((t.user_id, t.cur, t.nxt, t.us))); ()
+      }
+      .start()
+    val chunks = evs.grouped(math.max(1, evs.length / 3 + 1)).toSeq
+    chunks.foreach { ch =>
+      mem.addData(scala.util.Random.shuffle(ch.toSeq))
+      q.processAllAvailable()
+    }
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(emitted.asScala.toSeq.sorted == batchOp)
+  }
+
   test("streaming JSONL drop-dir ingest: corrupt lines dropped, snapshots committed") {
     import org.apache.spark.sql.types._
     import graft.sources.{Jsonl, Snapshots}
