@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 178
+  val declaredQueryCount = 181
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1527,6 +1527,115 @@ object SparkEntry {
         .groupBy(col("source"), col("ns"))
         .agg(round(max(col("d")), 6).as("ks"))
         .select(col("source"), col("ns").as("n"), col("ks"))
+    }),
+
+    "q179_link_prediction" -> ((s, dir) => {
+      // Link prediction on the ≥20-shared-orders co-purchase graph:
+      // common-neighbor count + Adamic–Adar (Σ 1/ln(deg z) over shared
+      // neighbors) for NON-adjacent pairs — the classic "which edge
+      // appears next" score. Wedge enumeration is the only corpus-shaped
+      // join; scoring components live on a node-sized table (6-dp grid)
+      // and sum per pair in neighbor order (the engine's ordered fold).
+      // Top-20 is TakeOrderedAndProject. (At sf0.001 the 10-node graph
+      // is complete — no non-adjacent pairs, an empty frontier, which
+      // both engines agree on.)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val e = a.join(b, Seq("l_orderkey"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 20)
+        .select(col("sa"), col("sb"))
+        .localCheckpoint()
+      val und = e.union(e.select(col("sb").as("sa"), col("sa").as("sb")))
+      val deg = und.groupBy(col("sa").as("node")).agg(count(lit(1)).as("deg"))
+      val compz = deg.filter(col("deg") >= 2)
+        .select(col("node").as("z"),
+          round(lit(1.0) / log(col("deg").cast("double")), 6).as("comp"))
+      val e1 = und.select(col("sa").as("u"), col("sb").as("z"))
+      val e2 = und.select(col("sa").as("z"), col("sb").as("v"))
+      val wedges = e1.join(e2, Seq("z")).filter(col("u") < col("v"))
+      val cand = wedges.join(e,
+        wedges("u") === e("sa") && wedges("v") === e("sb"), "left_anti")
+      cand.join(compz, Seq("z"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("cn"),
+          round(aggregate(array_sort(collect_list(struct(col("z"), col("comp")))),
+            lit(0.0), (acc, x) => acc + x.getField("comp")), 4)
+            .as("adamic_adar"))
+        .select(col("u").as("s_a"), col("v").as("s_b"), col("cn"),
+          col("adamic_adar"))
+        .orderBy(col("adamic_adar").desc, col("s_a"), col("s_b")).limit(20)
+    }),
+
+    "q180_frequent_triples" -> ((s, dir) => {
+      // Level-wise Apriori: frequent brand PAIRS (L2) generate candidate
+      // triples, pruned by the anti-monotone property (every 2-subset
+      // must itself be frequent) BEFORE any counting touches the corpus
+      // — the candidate set is dimension-sized and broadcast into the
+      // per-basket triple stream (≤ C(brands-per-basket,3) rows per
+      // order, linear in the fact table). Support is RELATIVE (0.5% of
+      // baskets) as an exact integer comparison, cnt·200 ≥ n_baskets —
+      // no float thresholds, stable across corpus sizes.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val items = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+        .localCheckpoint()
+      val totals = items.agg(countDistinct(col("ok")).as("n_baskets"))
+      val l2 = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("pa"), col("y.brand").as("pb"))
+        .agg(count(lit(1)).as("pc"))
+        .crossJoin(broadcast(totals))
+        .filter(col("pc") * 200 >= col("n_baskets"))
+        .select(col("pa"), col("pb"))
+        .localCheckpoint()
+      // Candidate join L2⋈L2 on the first item, then the Apriori prune:
+      // (b, c) must also be in L2.
+      val cand = l2.as("m").join(l2.as("n"),
+          col("m.pa") === col("n.pa") && col("m.pb") < col("n.pb"))
+        .select(col("m.pa").as("a"), col("m.pb").as("b"), col("n.pb").as("c"))
+        .join(l2.select(col("pa").as("b"), col("pb").as("c")), Seq("b", "c"),
+          "left_semi")
+      val triples = items.as("i1")
+        .join(items.as("i2"),
+          col("i1.ok") === col("i2.ok") && col("i1.brand") < col("i2.brand"))
+        .join(items.as("i3"),
+          col("i1.ok") === col("i3.ok") && col("i2.brand") < col("i3.brand"))
+        .select(col("i1.brand").as("a"), col("i2.brand").as("b"),
+          col("i3.brand").as("c"))
+        .join(broadcast(cand), Seq("a", "b", "c"), "left_semi")
+      triples.groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter(col("cnt") * 200 >= col("n_baskets"))
+        .select(col("a"), col("b"), col("c"), col("cnt"),
+          round(col("cnt").cast("double") / col("n_baskets").cast("double"), 6)
+            .as("support"))
+    }),
+
+    "q181_skyline" -> ((s, dir) => {
+      // Pareto frontier over (n_tokens ↑, type-token ratio ↑) — the
+      // multi-objective "keep the long AND lexically-rich docs" selection
+      // a curation pass makes. Two-phase exact skyline: per-partition
+      // local frontiers (mapPartitions — dominance is not a key-equality
+      // join, the one shape the RDD tier is reserved for), then one
+      // dominance anti-join over the frontier-sized candidate union.
+      // TTR is rounded to its 6-dp grid BEFORE dominance in both engines.
+      import s.implicits._
+      val pts = tbl(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          size(Text.tokens(col("text"))).cast("long").as("x"),
+          round(size(array_distinct(Text.tokens(col("text")))).cast("double") /
+            size(Text.tokens(col("text"))).cast("double"), 6).as("y"))
+        .as[operators.Skyline.Pt]
+      operators.Skyline.frontier(pts)
+        .select(col("id").as("doc_id"), col("x").as("n_tokens"),
+          col("y").as("ttr"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -5573,6 +5682,68 @@ object SparkEntry {
              - CAST(ccum AS DOUBLE) / CAST(nc AS DOUBLE))), 6) AS ks
          FROM scum JOIN ccum USING (x) CROSS JOIN ct
          GROUP BY source, ns""",
+    "q179_link_prediction" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2 HAVING count(*) >= 20),
+         und AS MATERIALIZED (
+           SELECT sa, sb FROM e UNION ALL SELECT sb, sa FROM e),
+         deg AS (SELECT sa AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM und GROUP BY 1),
+         compz AS (SELECT node AS z,
+             round(CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 6) AS comp
+           FROM deg WHERE deg >= 2),
+         w AS (SELECT e1.sa AS u, e1.sb AS z, e2.sb AS v
+           FROM und e1 JOIN und e2 ON e1.sb = e2.sa AND e1.sa < e2.sb),
+         cand AS (SELECT u, z, v FROM w
+           ANTI JOIN e ON w.u = e.sa AND w.v = e.sb)
+         SELECT u AS s_a, v AS s_b, CAST(count(*) AS BIGINT) AS cn,
+           round(list_sum(list(c.comp ORDER BY c.z)), 4) AS adamic_adar
+         FROM cand JOIN compz c USING (z)
+         GROUP BY u, v
+         ORDER BY adamic_adar DESC, s_a, s_b LIMIT 20""",
+    "q180_frequent_triples" ->
+      """WITH items AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+           FROM items),
+         l2 AS MATERIALIZED (
+           SELECT x.brand AS pa, y.brand AS pb
+           FROM items x JOIN items y ON x.ok = y.ok AND x.brand < y.brand
+           CROSS JOIN tot
+           GROUP BY 1, 2, n_baskets HAVING count(*) * 200 >= n_baskets),
+         cand AS (
+           SELECT m.pa AS a, m.pb AS b, n.pb AS c
+           FROM l2 m JOIN l2 n ON m.pa = n.pa AND m.pb < n.pb
+           SEMI JOIN l2 z ON z.pa = m.pb AND z.pb = n.pb),
+         tri AS (
+           SELECT i1.brand AS a, i2.brand AS b, i3.brand AS c
+           FROM items i1
+           JOIN items i2 ON i1.ok = i2.ok AND i1.brand < i2.brand
+           JOIN items i3 ON i1.ok = i3.ok AND i2.brand < i3.brand
+           SEMI JOIN cand ON cand.a = i1.brand AND cand.b = i2.brand
+             AND cand.c = i3.brand)
+         SELECT a, b, c, CAST(count(*) AS BIGINT) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+             AS support
+         FROM tri CROSS JOIN tot
+         GROUP BY a, b, c, n_baskets HAVING count(*) * 200 >= n_baskets""",
+    "q181_skyline" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+             round(CAST(len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE), 6) AS ttr
+           FROM (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+         SELECT doc_id, nt AS n_tokens, ttr FROM p a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p b WHERE b.nt >= a.nt AND b.ttr >= a.ttr
+             AND (b.nt > a.nt OR b.ttr > a.ttr))""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,

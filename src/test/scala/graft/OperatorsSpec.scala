@@ -233,6 +233,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("Skyline two-phase frontier equals the brute-force dominance filter") {
+    import graft.operators.Skyline
+    import graft.operators.Skyline.Pt
+    // Adversarial layout: points shuffled across partitions so local
+    // frontiers genuinely disagree; includes exact ties (both survive)
+    // and a fully-dominated cluster.
+    val pts = Seq(
+      Pt(1, 10, 0.9), Pt(2, 10, 0.9), Pt(3, 20, 0.5), Pt(4, 5, 1.0),
+      Pt(5, 20, 0.5), Pt(6, 19, 0.4), Pt(7, 1, 0.1), Pt(8, 15, 0.7),
+      Pt(9, 20, 0.4), Pt(10, 3, 0.95))
+    val got = Skyline.frontier(
+        spark.createDataset(pts).repartition(4))
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = pts.filter(a => !pts.exists(b =>
+        b.x >= a.x && b.y >= a.y && (b.x > a.x || b.y > a.y)))
+      .map(p => (p.id, p.x, p.y)).toSet
+    assert(got == brute)
+    assert(got.map(_._1).intersect(Set(1L, 2L)) == Set(1L, 2L)) // ties survive
+  }
+
   test("BPE merge learning matches a classic in-memory reference") {
     import graft.operators.Bpe
     // Reference: textbook BPE (Sennrich et al. 2016) on the SAME word
