@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 181
+  val declaredQueryCount = 183
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1636,6 +1636,84 @@ object SparkEntry {
       operators.Skyline.frontier(pts)
         .select(col("id").as("doc_id"), col("x").as("n_tokens"),
           col("y").as("ttr"))
+    }),
+
+    "q182_quantile_normalize" -> ((s, dir) => {
+      // Quantile normalization: every doc's n_chars is replaced by the
+      // CORPUS value at the equivalent rank — the cross-source score
+      // calibration a curation pipeline applies before mixing sources
+      // whose scorers drift. All integer: source rank r (per-source
+      // window — per-key sorts are the operation itself; approx
+      // quantiles are the documented 100 TB knob, the q146 pairing),
+      // target corpus rank t = ⌈r·N/n_s⌉ via exact integer div, and the
+      // inverse-CDF lookup is a banded join against the value grid —
+      // distinct-value-sized, broadcast, never corpus².
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").as("x"))
+      val ns_ = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val ntot = d.agg(count(lit(1)).as("n"))
+      val r = d.withColumn("r", row_number()
+        .over(Window.partitionBy(col("source")).orderBy(col("x"), col("doc_id")))
+        .cast("long"))
+      val tt = r.join(broadcast(ns_), Seq("source"))
+        .crossJoin(broadcast(ntot))
+        .withColumn("t", expr("div(r * n + n_s - 1, n_s)"))
+      val grid = d.groupBy(col("x").as("gx")).agg(count(lit(1)).as("c"))
+        .withColumn("ccum", sum(col("c")).over(Window.orderBy(col("gx"))))
+        .withColumn("pcum", col("ccum") - col("c"))
+      tt.join(broadcast(grid),
+          col("t") > col("pcum") && col("t") <= col("ccum"))
+        .select(col("doc_id"), col("source"), col("x"), col("gx").as("norm_x"))
+    }),
+
+    "q183_retrieval_eval" -> ((s, dir) => {
+      // Ranking-quality evaluation: NDCG@10 and MRR for the exact-cosine
+      // retriever, 8 label-relevance queries (vec_ids 0–7; rel = same
+      // label). ONE corpus scan computes all 8 cosines as codegen'd
+      // columns (stack → long format), the native TopKPerKey bounds each
+      // query's candidates to 10 BEFORE any window, and the metric tail
+      // is 80 rows. DCG components round to 6 dp and fold in rank order;
+      // IDCG replays the same grid over sequence(1, m) in index order.
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq,
+          r.getInt(2))).sortBy(_._1)
+      val cosCols = qs.flatMap { case (qid, qv, _) =>
+        Seq(lit(qid), Vectors.cosineToConst(col("embedding"), qv)) }
+      val withCos = e.select(Seq(col("vec_id"), col("label")) ++
+        cosCols.zipWithIndex.map { case (c, i) => c.as(s"c$i") }: _*)
+      val long = withCos.select(col("vec_id"), col("label"),
+        expr(s"stack(${qs.size}, ${(0 until qs.size).map(i => s"c${2 * i}, c${2 * i + 1}").mkString(", ")}) AS (qid, cos)"))
+      val top = org.apache.spark.sql.graft.TopKPerKey(long,
+        Seq("qid"), Seq(("cos", false), ("vec_id", true)), k = 10)
+      val qinfo = qs.map { case (qid, _, ql) => (qid, ql) }
+        .toSeq.toDF("qid", "qlabel")
+      val relCorpus = e.groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("n_label"))
+      val ranked = top.join(broadcast(qinfo), Seq("qid"))
+        .withColumn("rank", row_number()
+          .over(Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id")))
+          .cast("long"))
+        .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+        .withColumn("comp",
+          round(col("rel").cast("double") /
+            log2(col("rank").cast("double") + lit(1.0)), 6))
+      val agg_ = ranked.groupBy(col("qid"), col("qlabel"))
+        .agg(sum(col("rel")).cast("long").as("n_rel_top10"),
+          aggregate(array_sort(collect_list(struct(col("rank"), col("comp")))),
+            lit(0.0), (acc, x) => acc + x.getField("comp")).as("dcg"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      agg_.join(broadcast(relCorpus), Seq("qlabel"))
+        .withColumn("m", least(lit(10L), col("n_label")))
+        .withColumn("idcg", aggregate(sequence(lit(1L), col("m")),
+          lit(0.0), (acc, i) =>
+            acc + round(lit(1.0) / log2(i.cast("double") + lit(1.0)), 6)))
+        .select(col("qid"), col("n_rel_top10"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg10"),
+          coalesce(round(lit(1.0) / col("first_rel").cast("double"), 6), lit(0.0))
+            .as("mrr"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -5744,6 +5822,60 @@ object SparkEntry {
          WHERE NOT EXISTS (
            SELECT 1 FROM p b WHERE b.nt >= a.nt AND b.ttr >= a.ttr
              AND (b.nt > a.nt OR b.ttr > a.ttr))""",
+    "q182_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS x FROM documents),
+         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           FROM d GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         r AS (SELECT doc_id, source, x,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+               AS BIGINT) AS r
+           FROM d),
+         tt AS (SELECT r.doc_id, r.source, r.x,
+             (r.r * nt.n + ns.n_s - 1) // ns.n_s AS t
+           FROM r JOIN ns USING (source) CROSS JOIN nt),
+         grid AS (SELECT x AS gx,
+             CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS ccum,
+             CAST(sum(c) OVER (ORDER BY x) - c AS BIGINT) AS pcum
+           FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1))
+         SELECT doc_id, source, x, gx AS norm_x
+         FROM tt JOIN grid ON tt.t > grid.pcum AND tt.t <= grid.ccum""",
+    "q183_retrieval_eval" ->
+      s"""WITH q8 AS (SELECT vec_id AS qid, label AS qlabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 8),
+         e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings),
+         sc AS (SELECT q8.qid, q8.qlabel, e.vec_id, e.label,
+             $cosineSqlBody AS cos
+           FROM e CROSS JOIN q8),
+         top AS (SELECT * FROM (
+             SELECT qid, qlabel, vec_id, label, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+             FROM sc) WHERE rank <= 10),
+         comp AS (SELECT qid, qlabel, rank,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             round(CAST(CASE WHEN label = qlabel THEN 1 ELSE 0 END AS DOUBLE)
+               / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS comp
+           FROM top),
+         ag AS (SELECT qid, qlabel, CAST(sum(rel) AS BIGINT) AS n_rel_top10,
+             list_sum(list(comp ORDER BY rank)) AS dcg,
+             min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+           FROM comp GROUP BY 1, 2),
+         nl AS (SELECT label AS qlabel, CAST(count(*) AS BIGINT) AS n_label
+           FROM embeddings GROUP BY 1),
+         fin AS (SELECT ag.qid, ag.n_rel_top10, ag.dcg, ag.first_rel,
+             least(10, nl.n_label) AS m
+           FROM ag JOIN nl USING (qlabel))
+         SELECT qid, n_rel_top10,
+           round(dcg / list_sum(list_transform(range(1, m + 1),
+             i -> round(CAST(1.0 AS DOUBLE)
+               / log2(CAST(i AS DOUBLE) + 1.0), 6))), 6) AS ndcg10,
+           coalesce(round(CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE), 6),
+             CAST(0.0 AS DOUBLE)) AS mrr
+         FROM fin""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,
