@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 183
+  val declaredQueryCount = 187
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1714,6 +1714,94 @@ object SparkEntry {
           round(col("dcg") / col("idcg"), 6).as("ndcg10"),
           coalesce(round(lit(1.0) / col("first_rel").cast("double"), 6), lit(0.0))
             .as("mrr"))
+    }),
+
+    "q184_sssp" -> ((s, dir) => {
+      // Bounded-hop weighted shortest paths from the three lowest
+      // supplier keys over the ≥5-shared-orders co-purchase graph,
+      // edge cost 1/shared-orders (strong ties are cheap). Six
+      // Bellman–Ford rounds — "cheapest path using ≤6 edges" — each one
+      // edge-scan join + one min-combine; the oracle unrolls the same
+      // six relaxations as MATERIALIZED CTEs.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val e = a.join(b, Seq("l_orderkey"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5)
+        .select(col("sa"), col("sb"),
+          round(lit(1.0) / col("c").cast("double"), 6).as("w"))
+      val und = e.unionByName(
+        e.select(col("sb").as("sa"), col("sa").as("sb"), col("w")))
+      val sources = tbl(s, dir, "supplier")
+        .filter(col("s_suppkey") <= 3).select(col("s_suppkey"))
+      graph.ShortestPaths.boundedHops(und, "sa", "sb", "w",
+          sources, "s_suppkey", rounds = 6)
+        .select(col("node").as("s_suppkey"), round(col("dist"), 6).as("dist"))
+    }),
+
+    "q185_noisy_counts" -> ((s, dir) => {
+      // DP-STYLE noisy release: (segment, nation) counts plus Laplace
+      // (b=2) noise drawn by inverse-CDF from a DETERMINISTIC md5-seeded
+      // unit uniform — replayable pipeline-testing noise (documented as
+      // such: real DP needs a fresh RNG; the calibration, sensitivity-1
+      // counts ÷ b, is the real thing). Pairs with q168's k-anonymity
+      // gate as the privacy tier. One broadcast dim join + one QI-sized
+      // group count; noise is a codegen'd projection.
+      val c = tbl(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val g = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"))
+      val u = (expr(
+        "cast(conv(substring(md5(concat(segment, '|', nation)), 1, 8), 16, 10) as double)")
+        + lit(0.5)) / lit(4294967296.0)
+      val noise = -lit(2.0) * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      g.select(col("segment"), col("nation"), col("n"),
+        round(noise, 4).as("noise"),
+        round(col("n").cast("double") + noise, 4).as("noisy_n"))
+    }),
+
+    "q186_cdc_compact" -> ((s, dir) => {
+      // CDC log compaction with last-writer-wins: a change log (derived
+      // deterministically from orders — insert/update/delete by key
+      // modulus, sequence = order key) collapses to one surviving row
+      // per key, deletes dropping the key entirely. The compaction is
+      // one map-combinable max-seq agg + one key-equi join back — the
+      // merge a CDC sink runs before loading a snapshot, and the
+      // row-level sibling of the SCD2 history merge (q160).
+      val chg = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("ckey"), col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 10 === 9, lit("D"))
+            .when(col("o_orderkey") % 10 >= 6, lit("U"))
+            .otherwise(lit("I")).as("op"),
+          col("o_totalprice").cast(dec).cast("double").as("val"))
+        .localCheckpoint()
+      val last = chg.groupBy(col("ckey")).agg(max(col("seq")).as("seq"))
+      chg.join(last, Seq("ckey", "seq"))
+        .filter(col("op") =!= "D")
+        .select(col("ckey"), col("seq"), col("op"), col("val"))
+    }),
+
+    "q187_path_trigrams" -> ((s, dir) => {
+      // Top navigation paths: per-user consecutive event-type TRIGRAMS
+      // (the length-3 extension of q172's transition matrix), counted
+      // corpus-wide, top-20. The double-lead window partitions per user
+      // (bounded sequences); everything after is path-type-sized and the
+      // top-20 is TakeOrderedAndProject.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path")).limit(20)
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -3556,6 +3644,38 @@ object SparkEntry {
            SELECT node, $one / (SELECT n FROM nn) AS pr FROM nodes),
          $steps
          SELECT node AS s_suppkey, round(pr, 8) AS pagerank FROM r$iters"""
+  }
+
+  /** Unrolled bounded-hop Bellman–Ford over the weighted (1/shared-
+    * orders) co-purchase graph — same MATERIALIZED/unroll discipline as
+    * [[pageRankSql]]; all relaxations replay the engine's doubles
+    * exactly because both sides build candidate costs with the same
+    * `dist + w` recursion over the same 6-dp weight grid.
+    */
+  private def ssspSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+           SELECT node, min(cand) AS dist FROM (
+             SELECT node, dist AS cand FROM d${k - 1}
+             UNION ALL
+             SELECT e.sb AS node, r.dist + e.w AS cand
+             FROM und e JOIN d${k - 1} r ON e.sa = r.node)
+           GROUP BY node)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+             round(CAST(1.0 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS w
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         und AS MATERIALIZED (
+           SELECT sa, sb, w FROM e UNION ALL SELECT sb, sa, w FROM e),
+         d0 AS (SELECT s_suppkey AS node, CAST(0.0 AS DOUBLE) AS dist
+           FROM supplier WHERE s_suppkey <= 3),
+         $steps
+         SELECT node AS s_suppkey, round(dist, 6) AS dist FROM d$rounds"""
   }
 
   /** Unrolled deterministic label propagation over the same supplier
@@ -5876,6 +5996,49 @@ object SparkEntry {
            coalesce(round(CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE), 6),
              CAST(0.0 AS DOUBLE)) AS mrr
          FROM fin""",
+    "q184_sssp" -> ssspSql(rounds = 6),
+    "q185_noisy_counts" ->
+      """WITH g AS (
+           SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2),
+         u AS (SELECT segment, nation, n,
+             (CAST(CAST(concat('0x', substr(md5(concat(segment, '|', nation)),
+               1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+           FROM g)
+         SELECT segment, nation, n,
+           round(-CAST(2.0 AS DOUBLE) * sign(u - 0.5)
+             * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - 0.5)), 4)
+             AS noise,
+           round(CAST(n AS DOUBLE) + (-CAST(2.0 AS DOUBLE) * sign(u - 0.5)
+             * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - 0.5))), 4)
+             AS noisy_n
+         FROM u""",
+    "q186_cdc_compact" ->
+      """WITH chg AS (
+           SELECT o_custkey AS ckey, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+               WHEN o_orderkey % 10 >= 6 THEN 'U' ELSE 'I' END AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS val
+           FROM orders),
+         lst AS (SELECT ckey, max(seq) AS seq FROM chg GROUP BY 1)
+         SELECT c.ckey, c.seq, c.op, c.val
+         FROM chg c JOIN lst USING (ckey, seq) WHERE c.op <> 'D'""",
+    "q187_path_trigrams" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         x AS (SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS e3
+           FROM ev)
+         SELECT concat_ws('>', e1, e2, e3) AS path,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM x WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,

@@ -1,0 +1,54 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop single-source shortest paths (Bellman–Ford rounds) over a
+  * weighted edge table — the cost-propagation member of the graph tier
+  * (BFS trees in [[Trees]] propagate structure, [[PageRank]] propagates
+  * mass; this propagates MIN-cost labels).
+  *
+  * Each round relaxes every edge once: dist(v) ← min(dist(v),
+  * min over in-edges (dist(u) + w)). `rounds` bounds path length in
+  * hops, so the result is exactly "cheapest path using ≤ rounds edges" —
+  * a deterministic, oracle-replayable semantic (full convergence is the
+  * rounds = |V|−1 special case; fixed rounds keep the unrolled-SQL
+  * oracle finite, the q161/q163 discipline).
+  *
+  * Scale shape per round: one edge-scan join keyed on src + one
+  * map-combinable min keyed on dst; distance state is node-sized and
+  * re-pinned per round ([[Closure]] lineage rule). Only reached nodes
+  * carry rows — the frontier table never exceeds |V|.
+  */
+object ShortestPaths {
+
+  /** (node, dist) for every node reachable from `sources` within
+    * `rounds` hops. Edge weights must be non-negative; pass both
+    * directions for undirected semantics.
+    */
+  def boundedHops(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      sources: DataFrame,
+      sourceCol: String,
+      rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+    val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w")))
+    var dist = pin(sources.select(col(sourceCol).as("node")).distinct()
+      .withColumn("dist", lit(0.0)))
+    for (_ <- 1 to rounds) {
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+      dist = pin(dist.select(col("node"), col("dist").as("cand"))
+        .unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("cand")).as("dist")))
+    }
+    dist
+  }
+}
