@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 187
+  val declaredQueryCount = 191
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1802,6 +1802,111 @@ object SparkEntry {
         .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
         .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("path")).limit(20)
+    }),
+
+    "q188_funnel_latency" -> ((s, dir) => {
+      // Conversion-latency report: first-view → first-purchase-after
+      // delay per user, with exact-count average and interpolated
+      // median/p90 (the q65 percentile contract). Delays stay integer
+      // microseconds through every aggregate; the µs→seconds division
+      // and rounding happen exactly once at the end.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+      pu.select((col("t2") - col("t1")).as("delay_us"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("delay_us")).as("sum_us"),
+          percentile(col("delay_us"), lit(0.5)).as("med_us"),
+          percentile(col("delay_us"), lit(0.9)).as("p90_us"))
+        .select(col("n_conversions"),
+          round(col("sum_us").cast("double") /
+            col("n_conversions").cast("double") / lit(1000000.0), 4).as("avg_s"),
+          round(col("med_us") / lit(1000000.0), 4).as("median_s"),
+          round(col("p90_us") / lit(1000000.0), 4).as("p90_s"))
+    }),
+
+    "q189_ewma_daily" -> ((s, dir) => {
+      // EWMA smoothing (α=0.3) of the daily event count series. The
+      // recurrence unrolls to the closed triangular form s_t =
+      // Σᵢ coef(t,i)·xᵢ, so it runs as a self-join over the DAY-SIZED
+      // series (the corpus collapses to per-day counts first — the only
+      // corpus-shaped step is that one map-combinable count). Components
+      // round to 6 dp and fold in day order; 30 days ⇒ a 30×30/2 join.
+      val daily = Tables.events(s, dir)
+        .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+        .localCheckpoint()
+      val a = daily.select(col("t").as("ti"), col("x").as("xi"))
+      val b = daily.select(col("day"), col("t").as("tt"), col("x"))
+      val comp = b.join(a, col("ti") <= col("tt"))
+        .withColumn("coef",
+          when(col("ti") === 1, pow(lit(0.7), (col("tt") - 1).cast("double")))
+            .otherwise(lit(0.3) *
+              pow(lit(0.7), (col("tt") - col("ti")).cast("double"))))
+        .withColumn("c", round(col("coef") * col("xi").cast("double"), 6))
+      comp.groupBy(col("day"), col("x"))
+        .agg(round(aggregate(array_sort(collect_list(struct(col("ti"), col("c")))),
+          lit(0.0), (acc, e) => acc + e.getField("c")), 4).as("ewma"))
+    }),
+
+    "q190_seasonality" -> ((s, dir) => {
+      // Hour-of-day × day-of-week traffic profile with uniform-lift —
+      // seasonality slots computed with PURE INTEGER epoch arithmetic
+      // (no engine calendar functions, whose week-start conventions
+      // differ): dow = (epoch_day + 4) mod 7, 0 = Sunday. One
+      // map-combinable slot count; lift = one double division of exact
+      // integers.
+      val us = unix_micros(col("ts"))
+      val slots = Tables.events(s, dir)
+        .select(expr("(div(unix_micros(ts), 86400000000) + 4) % 7").as("dow"),
+          expr("div(unix_micros(ts) % 86400000000, 3600000000)").as("hour"))
+        .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tot = slots.agg(sum(col("cnt")).as("total"))
+      slots.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("cnt"),
+          round((col("cnt") * lit(168)).cast("double") /
+            col("total").cast("double"), 4).as("lift"))
+    }),
+
+    "q191_cusum_changepoint" -> ((s, dir) => {
+      // CUSUM changepoint estimate over the daily count series:
+      // C_t = Σᵢ≤t xᵢ − t·μ (an EXACT integer cumulative minus one
+      // double product), changepoint = argmax |C_t| with earliest-day
+      // tie-break, plus before/after means from exact sums. Corpus
+      // collapses to day counts first; every window is day-bounded.
+      val daily = Tables.events(s, dir)
+        .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("x"))
+        .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+        .withColumn("cum", sum(col("x")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint()
+      val stats = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("tot"))
+      val cvals = daily.crossJoin(broadcast(stats))
+        .withColumn("mu", col("tot").cast("double") / col("nd").cast("double"))
+        .withColumn("cusum", col("cum").cast("double") - col("t").cast("double") * col("mu"))
+      val cp = cvals.orderBy(abs(col("cusum")).desc, col("day")).limit(1)
+        .select(col("day").as("cp_day"), col("cusum").as("cp_cusum"),
+          col("nd"), col("tot"))
+      daily.crossJoin(broadcast(cp))
+        .groupBy(col("cp_day"), col("cp_cusum"), col("nd"))
+        .agg(
+          sum(when(col("day") <= col("cp_day"), col("x"))).as("sum_b"),
+          count(when(col("day") <= col("cp_day"), lit(1))).as("n_b"),
+          sum(when(col("day") > col("cp_day"), col("x"))).as("sum_a"),
+          count(when(col("day") > col("cp_day"), lit(1))).as("n_a"))
+        .select(col("cp_day"), round(col("cp_cusum"), 4).as("cusum"),
+          col("nd").as("n_days"),
+          round(col("sum_b").cast("double") / col("n_b").cast("double"), 4)
+            .as("mean_before"),
+          round(col("sum_a").cast("double") / col("n_a").cast("double"), 4)
+            .as("mean_after"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -6039,6 +6144,70 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS cnt
          FROM x WHERE e3 IS NOT NULL
          GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+    "q188_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         pu AS (SELECT e.user_id, v.t1, min(e.us) AS t2
+           FROM ev e JOIN v USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > v.t1 GROUP BY 1, 2),
+         d AS (SELECT t2 - t1 AS delay_us FROM pu)
+         SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(delay_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1000000.0, 4) AS avg_s,
+           round(median(delay_us) / 1000000.0, 4) AS median_s,
+           round(quantile_cont(delay_us, 0.9) / 1000000.0, 4) AS p90_s
+         FROM d""",
+    "q189_ewma_daily" ->
+      """WITH daily AS MATERIALIZED (
+           SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+           FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1)),
+         comp AS (SELECT b.day, b.x, a.t AS ti,
+             round((CASE WHEN a.t = 1
+               THEN pow(CAST(0.7 AS DOUBLE), CAST(b.t - 1 AS DOUBLE))
+               ELSE CAST(0.3 AS DOUBLE)
+                 * pow(CAST(0.7 AS DOUBLE), CAST(b.t - a.t AS DOUBLE)) END)
+               * CAST(a.x AS DOUBLE), 6) AS c
+           FROM daily b JOIN daily a ON a.t <= b.t)
+         SELECT day, x, round(list_sum(list(c ORDER BY ti)), 4) AS ewma
+         FROM comp GROUP BY day, x""",
+    "q190_seasonality" ->
+      """WITH s AS (
+           SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM s)
+         SELECT dow, hour, cnt,
+           round(CAST(cnt * 168 AS DOUBLE) / CAST(total AS DOUBLE), 4) AS lift
+         FROM s CROSS JOIN t""",
+    "q191_cusum_changepoint" ->
+      """WITH daily AS MATERIALIZED (
+           SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+           FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1)),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(x) AS BIGINT) AS tot FROM daily),
+         cv AS (SELECT d.day, d.t, d.cum,
+             CAST(d.cum AS DOUBLE) - CAST(d.t AS DOUBLE)
+               * (CAST(st.tot AS DOUBLE) / CAST(st.nd AS DOUBLE)) AS cusum,
+             st.nd
+           FROM daily d CROSS JOIN st),
+         cp AS (SELECT day AS cp_day, cusum AS cp_cusum, nd
+           FROM cv ORDER BY abs(cusum) DESC, day LIMIT 1)
+         SELECT cp.cp_day, round(cp.cp_cusum, 4) AS cusum, cp.nd AS n_days,
+           round(CAST(sum(CASE WHEN d.day <= cp.cp_day THEN d.x END) AS DOUBLE)
+             / CAST(count(CASE WHEN d.day <= cp.cp_day THEN 1 END) AS DOUBLE),
+             4) AS mean_before,
+           round(CAST(sum(CASE WHEN d.day > cp.cp_day THEN d.x END) AS DOUBLE)
+             / CAST(count(CASE WHEN d.day > cp.cp_day THEN 1 END) AS DOUBLE),
+             4) AS mean_after
+         FROM daily d CROSS JOIN cp
+         GROUP BY cp.cp_day, cp.cp_cusum, cp.nd""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,
