@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 191
+  val declaredQueryCount = 194
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1907,6 +1907,109 @@ object SparkEntry {
             .as("mean_before"),
           round(col("sum_a").cast("double") / col("n_a").cast("double"), 4)
             .as("mean_after"))
+    }),
+
+    "q192_rfm" -> ((s, dir) => {
+      // RFM segmentation: per-customer recency/frequency/monetary
+      // quartile codes (recency reversed — recent is better), segment
+      // counts + average monetary. Quartile thresholds are EXACT
+      // interpolated percentiles broadcast back (the q142/q146 rule: the
+      // corpus is never window-sorted; only the customer-sized aggregate
+      // is). Monetary stays DECIMAL through every sum, one double
+      // division per segment at the end.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"), col("o_totalprice").cast(dec).as("tp"))
+      val maxd = o.agg(max(col("d")).as("dmax"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("d")).as("last"), count(lit(1)).as("f"), sum(col("tp")).as("m"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("r", datediff(col("dmax"), col("last")).cast("long"))
+        .withColumn("md", col("m").cast("double"))
+        .localCheckpoint()
+      val th = cust.agg(
+        percentile(col("r"), lit(0.25)).as("r1"),
+        percentile(col("r"), lit(0.5)).as("r2"),
+        percentile(col("r"), lit(0.75)).as("r3"),
+        percentile(col("f"), lit(0.25)).as("f1"),
+        percentile(col("f"), lit(0.5)).as("f2"),
+        percentile(col("f"), lit(0.75)).as("f3"),
+        percentile(col("md"), lit(0.25)).as("m1"),
+        percentile(col("md"), lit(0.5)).as("m2"),
+        percentile(col("md"), lit(0.75)).as("m3"))
+      def codeOf(x: Column, t1: Column, t2: Column, t3: Column) =
+        when(x <= t1, 1).when(x <= t2, 2).when(x <= t3, 3).otherwise(4)
+      cust.crossJoin(broadcast(th))
+        .select(
+          (lit(5) - codeOf(col("r").cast("double"), col("r1"), col("r2"), col("r3")))
+            .as("r_code"),
+          codeOf(col("f").cast("double"), col("f1"), col("f2"), col("f3"))
+            .as("f_code"),
+          codeOf(col("md"), col("m1"), col("m2"), col("m3")).as("m_code"),
+          col("m"))
+        .groupBy(col("r_code"), col("f_code"), col("m_code"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("sm"))
+        .select(col("r_code"), col("f_code"), col("m_code"), col("n_customers"),
+          round(col("sm").cast("double") / col("n_customers").cast("double"), 2)
+            .as("avg_monetary"))
+    }),
+
+    "q193_minhash_accuracy" -> ((s, dir) => {
+      // Sketch-accuracy evaluation: MinHash Jaccard estimates (matching
+      // signature components / k) vs EXACT trigram-shingle Jaccard over
+      // the adjacent-id pair set — the calibration check you run before
+      // trusting an LSH threshold. The engine's own q31 signatures are
+      // reused; per-pair errors land on a 6-dp grid and fold in id
+      // order; the report is one row.
+      val docs = tbl(s, dir, "documents")
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text",
+          k = 8, bands = 2, shingleN = 3)
+        .select(col("doc_id"), col("signature"))
+      val sh = docs.select(col("doc_id"),
+          array_distinct(
+            graft.plans.TextKernels.wordShinglesNative(col("text"), 3)).as("g"))
+        .filter(size(col("g")) > 0)
+      val a = sh.join(sig, Seq("doc_id"))
+        .select(col("doc_id").as("id_a"), col("g").as("ga"), col("signature").as("sa"))
+      val b = sh.join(sig, Seq("doc_id"))
+        .select(col("doc_id").as("id_b"), col("g").as("gb"), col("signature").as("sb"))
+      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"),
+          round(abs(
+            aggregate(zip_with(col("sa"), col("sb"),
+              (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+              .cast("double") / lit(8.0) -
+            size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb"))).cast("double")), 6)
+            .as("err"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          aggregate(array_sort(collect_list(struct(col("id_a"), col("err")))),
+            lit(0.0), (acc, e) => acc + e.getField("err")).as("sum_err"),
+          max(col("err")).as("max_abs_err"))
+        .select(col("n_pairs"),
+          round(col("sum_err") / col("n_pairs").cast("double"), 6)
+            .as("avg_abs_err"),
+          col("max_abs_err"))
+    }),
+
+    "q194_lang_entropy" -> ((s, dir) => {
+      // Per-source language-mix entropy (−Σ p·ln p over the language
+      // distribution) — the mix-health number a multilingual corpus card
+      // reports. One (source, lang) count, source-sized tails, terms on
+      // the 6-dp grid folded in language order.
+      val lc = tbl(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val st = lc.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+      val p = col("cnt").cast("double") / col("tot").cast("double")
+      lc.join(st, Seq("source"))
+        .select(col("source"), col("lang"), col("tot"),
+          round(-(p * log(p)), 6).as("term"))
+        .groupBy(col("source"), col("tot"))
+        .agg(count(lit(1)).as("n_langs"),
+          round(aggregate(array_sort(collect_list(struct(col("lang"), col("term")))),
+            lit(0.0), (acc, e) => acc + e.getField("term")), 4).as("entropy"))
+        .select(col("source"), col("tot").as("n_docs"), col("n_langs"),
+          col("entropy"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -3873,6 +3976,36 @@ object SparkEntry {
          md5(concat_ws('|', 'band1', sig[5], sig[6], sig[7], sig[8]))]) AS band_key FROM sig)
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+  }
+
+  /** q193 oracle: the q31 signature recipe (seeded md5-min per
+    * component) evaluated per adjacent-id pair against the exact
+    * distinct-trigram Jaccard — same 6-dp error grid, id-ordered fold.
+    */
+  private val minhashAccuracySql: String = {
+    val sigElems = (0 until 8).map(seed =>
+      s"list_aggregate(list_transform(shingles, x -> md5('$seed|' || x)), 'min')")
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+       sh AS (SELECT doc_id,
+           list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+             AS shingles
+         FROM toks WHERE len(w) >= 3),
+       d AS (SELECT doc_id, list_distinct(shingles) AS g,
+           [$sigElems] AS sig FROM sh),
+       pairs AS (SELECT a.doc_id AS id_a,
+           round(abs(
+             CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i]))
+               AS DOUBLE) / CAST(8.0 AS DOUBLE)
+             - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE)), 6)
+             AS err
+         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         round(list_sum(list(err ORDER BY id_a)) / CAST(count(*) AS DOUBLE), 6)
+           AS avg_abs_err,
+         max(err) AS max_abs_err
+       FROM pairs"""
   }
 
   private val simhashSql: String = {
@@ -6208,6 +6341,57 @@ object SparkEntry {
              4) AS mean_after
          FROM daily d CROSS JOIN cp
          GROUP BY cp.cp_day, cp.cp_cusum, cp.nd""",
+    "q192_rfm" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders),
+         mx AS (SELECT max(d) AS dmax FROM o),
+         cust AS (SELECT o_custkey,
+             CAST(date_diff('day', max(d), (SELECT dmax FROM mx)) AS BIGINT)
+               AS r,
+             CAST(count(*) AS BIGINT) AS f, sum(tp) AS m
+           FROM o GROUP BY 1),
+         th AS (SELECT
+             quantile_cont(CAST(r AS DOUBLE), 0.25) AS r1,
+             quantile_cont(CAST(r AS DOUBLE), 0.5) AS r2,
+             quantile_cont(CAST(r AS DOUBLE), 0.75) AS r3,
+             quantile_cont(CAST(f AS DOUBLE), 0.25) AS f1,
+             quantile_cont(CAST(f AS DOUBLE), 0.5) AS f2,
+             quantile_cont(CAST(f AS DOUBLE), 0.75) AS f3,
+             quantile_cont(CAST(m AS DOUBLE), 0.25) AS m1,
+             quantile_cont(CAST(m AS DOUBLE), 0.5) AS m2,
+             quantile_cont(CAST(m AS DOUBLE), 0.75) AS m3
+           FROM cust),
+         coded AS (SELECT
+             5 - (CASE WHEN CAST(r AS DOUBLE) <= r1 THEN 1
+               WHEN CAST(r AS DOUBLE) <= r2 THEN 2
+               WHEN CAST(r AS DOUBLE) <= r3 THEN 3 ELSE 4 END) AS r_code,
+             CASE WHEN CAST(f AS DOUBLE) <= f1 THEN 1
+               WHEN CAST(f AS DOUBLE) <= f2 THEN 2
+               WHEN CAST(f AS DOUBLE) <= f3 THEN 3 ELSE 4 END AS f_code,
+             CASE WHEN CAST(m AS DOUBLE) <= m1 THEN 1
+               WHEN CAST(m AS DOUBLE) <= m2 THEN 2
+               WHEN CAST(m AS DOUBLE) <= m3 THEN 3 ELSE 4 END AS m_code,
+             m
+           FROM cust CROSS JOIN th)
+         SELECT r_code, f_code, m_code,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)
+             AS avg_monetary
+         FROM coded GROUP BY 1, 2, 3""",
+    "q193_minhash_accuracy" -> minhashAccuracySql,
+    "q194_lang_entropy" ->
+      """WITH lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM lc GROUP BY 1),
+         terms AS (SELECT lc.source, lc.lang, st.tot,
+             round(-((CAST(lc.cnt AS DOUBLE) / CAST(st.tot AS DOUBLE))
+               * ln(CAST(lc.cnt AS DOUBLE) / CAST(st.tot AS DOUBLE))), 6)
+               AS term
+           FROM lc JOIN st USING (source))
+         SELECT source, tot AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
+           round(list_sum(list(term ORDER BY lang)), 4) AS entropy
+         FROM terms GROUP BY source, tot""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,
