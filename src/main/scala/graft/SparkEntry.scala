@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 194
+  val declaredQueryCount = 196
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -2010,6 +2010,68 @@ object SparkEntry {
             lit(0.0), (acc, e) => acc + e.getField("term")), 4).as("entropy"))
         .select(col("source"), col("tot").as("n_docs"), col("n_langs"),
           col("entropy"))
+    }),
+
+    "q195_token_gini" -> ((s, dir) => {
+      // Vocabulary-concentration Gini per source over token frequencies:
+      // G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with frequencies ranked
+      // ascending — EXACT BIGINT numerator/denominator, one double
+      // division. The rank window partitions per source over the VOCAB
+      // (never the token stream); equal-frequency ties are order-
+      // invariant in the formula but still tie-broken by term for
+      // determinism.
+      val tf = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("x"))
+      val idx = tf.withColumn("i", row_number()
+        .over(Window.partitionBy(col("source")).orderBy(col("x"), col("term")))
+        .cast("long"))
+      idx.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i") * col("x")).as("a"))
+        .select(col("source"), col("n").as("n_terms"), col("sx").as("n_tokens"),
+          round((lit(2L) * col("a") - (col("n") + 1) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double"), 6).as("gini"))
+    }),
+
+    "q196_lsh_pr_curve" -> ((s, dir) => {
+      // LSH operating-point curve: precision/recall of the q31 MinHash
+      // candidate set against EXACT Jaccard ground truth at three
+      // thresholds — the evaluation that picks bands/rows before a
+      // production dedup run. Ground truth comes from the engine's own
+      // exact PPJoin at the loosest threshold (one run; tighter
+      // thresholds are integer re-filters of its (inter, uni) output);
+      // every ratio is a single division of exact BIGINTs.
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val shingled = docs.select(col("doc_id"),
+          graft.plans.TextKernels.wordShinglesNative(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val truth = Dedup.jaccardJoin(shingled, "doc_id", "sh", tNum = 3, tDen = 10)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+        .localCheckpoint()
+      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          k = 8, bands = 2, shingleN = 3)
+        .localCheckpoint()
+      val th = Seq((3, 10), (1, 2), (7, 10)).toDF("tn", "td")
+      val truthCounts = th.crossJoin(truth)
+        .filter(col("inter") * col("td") >= col("uni") * col("tn"))
+        .groupBy(col("tn"), col("td")).agg(count(lit(1)).as("n_truth"))
+      val candTruth = cand.join(truth, Seq("id_a", "id_b"))
+      val hits = th.crossJoin(candTruth)
+        .filter(col("inter") * col("td") >= col("uni") * col("tn"))
+        .groupBy(col("tn"), col("td")).agg(count(lit(1)).as("hits"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      th.join(truthCounts, Seq("tn", "td"), "left")
+        .join(hits, Seq("tn", "td"), "left")
+        .crossJoin(broadcast(nCand))
+        .select(col("tn"), col("td"),
+          coalesce(col("n_truth"), lit(0L)).as("n_truth"), col("n_cand"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_cand").cast("double"), 6).as("prec"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -4006,6 +4068,49 @@ object SparkEntry {
            AS avg_abs_err,
          max(err) AS max_abs_err
        FROM pairs"""
+  }
+
+  /** q196 oracle: brute-force all-pairs Jaccard as ground truth (proving
+    * the engine's PPJoin-derived truth exact), the q31 signature pairs as
+    * the candidate set, and per-threshold integer re-filters.
+    */
+  private val lshPrCurveSql: String = {
+    val sigElems = (0 until 8).map(seed =>
+      s"list_aggregate(list_transform(shingles, x -> md5('$seed|' || x)), 'min')")
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $tokSql AS w FROM documents),
+       sh AS (SELECT doc_id,
+           list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
+             AS shingles
+         FROM toks WHERE len(w) >= 3),
+       t AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT)
+             - CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+         FROM t a JOIN t b ON a.doc_id < b.doc_id),
+       sig AS (SELECT doc_id, [$sigElems] AS sig FROM sh),
+       bands AS (SELECT doc_id, unnest([
+         md5(concat_ws('|', 'band0', sig[1], sig[2], sig[3], sig[4])),
+         md5(concat_ws('|', 'band1', sig[5], sig[6], sig[7], sig[8]))]) AS bk
+         FROM sig),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       th AS (SELECT * FROM (VALUES (3, 10), (1, 2), (7, 10)) AS v(tn, td)),
+       tc AS (SELECT tn, td, CAST(count(*) AS BIGINT) AS n_truth
+         FROM th, truth WHERE inter * td >= uni * tn GROUP BY 1, 2),
+       ct AS (SELECT tr.* FROM cand c JOIN truth tr USING (id_a, id_b)),
+       hits AS (SELECT tn, td, CAST(count(*) AS BIGINT) AS hits
+         FROM th, ct WHERE inter * td >= uni * tn GROUP BY 1, 2),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+       SELECT th.tn, th.td, coalesce(tc.n_truth, 0) AS n_truth, nc.n_cand,
+         coalesce(hits.hits, 0) AS hits,
+         round(CAST(coalesce(hits.hits, 0) AS DOUBLE)
+           / CAST(nc.n_cand AS DOUBLE), 6) AS prec,
+         round(CAST(coalesce(hits.hits, 0) AS DOUBLE)
+           / CAST(tc.n_truth AS DOUBLE), 6) AS recall
+       FROM th LEFT JOIN tc USING (tn, td) LEFT JOIN hits USING (tn, td)
+       CROSS JOIN nc"""
   }
 
   private val simhashSql: String = {
@@ -6392,6 +6497,23 @@ object SparkEntry {
          SELECT source, tot AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
            round(list_sum(list(term ORDER BY lang)), 4) AS entropy
          FROM terms GROUP BY source, tot""",
+    "q195_token_gini" ->
+      """WITH tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS x
+           FROM (SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             FROM documents) GROUP BY 1, 2),
+         idx AS (SELECT source, x,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY x, term)
+               AS BIGINT) AS i
+           FROM tf),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS a
+           FROM idx GROUP BY 1)
+         SELECT source, n AS n_terms, sx AS n_tokens,
+           round(CAST(2 * a - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+         FROM g""",
+    "q196_lsh_pr_curve" -> lshPrCurveSql,
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,

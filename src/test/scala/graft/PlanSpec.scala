@@ -50,6 +50,26 @@ class PlanSpec extends SparkSpec {
       s"vocab truncation must be orderBy+limit, not a single-partition window:\n$plan")
   }
 
+  test("q175: weighted-sample clock top-k is TakeOrderedAndProject over one scan") {
+    val plan = executedPlan("q175_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the exponential-clock sample must never globally sort the corpus:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window may touch the corpus projection:\n$plan")
+  }
+
+  test("q187: path-trigram top-20 is TakeOrderedAndProject after the path count") {
+    val plan = executedPlan("q187_path_trigrams")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top paths must be per-partition heap + driver merge:\n$plan")
+  }
+
+  test("q182: the inverse-CDF grid joins back as a broadcast (banded join, grid-sized)") {
+    val plan = executedPlan("q182_quantile_normalize")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the value-grid band join must broadcast the grid, not shuffle the corpus:\n$plan")
+  }
+
   test("q01: the shipdate filter is pushed to the parquet scan") {
     val plan = executedPlan("q01_pricing_summary")
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
