@@ -2038,40 +2038,70 @@ object SparkEntry {
       // LSH operating-point curve: precision/recall of the q31 MinHash
       // candidate set against EXACT Jaccard ground truth at three
       // thresholds — the evaluation that picks bands/rows before a
-      // production dedup run. Ground truth comes from the engine's own
-      // exact PPJoin at the loosest threshold (one run; tighter
-      // thresholds are integer re-filters of its (inter, uni) output);
-      // every ratio is a single division of exact BIGINTs.
+      // production dedup run. Composes BOTH scale lessons:
+      //  - q173's EXACT-DUP COLLAPSE: Jaccard and band keys depend only
+      //    on the text, so truth (exact PPJoin, loosest threshold once)
+      //    and candidates are computed on md5-text equivalence classes
+      //    and every pair count is a MULTIPLICITY-WEIGHTED sum
+      //    (cnt_a·cnt_b cross-class, C(cnt,2) same-class with J = 1) —
+      //    the first cut without this ran 15× superlinear at sf1;
+      //  - tighter thresholds are integer re-filters of (inter, uni).
+      // The oracle recomputes doc-level brute force, independently
+      // proving both the prefix filter and the collapse exact.
       import s.implicits._
-      val docs = tbl(s, dir, "documents")
-      val shingled = docs.select(col("doc_id"),
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val canon = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val groups = canon.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val repDocs = docs.join(groups, docs("doc_id") === groups("rep_id"))
+        .select(col("rep_id").as("doc_id"), col("text"), col("cnt"))
+        .localCheckpoint()
+      val shingled = repDocs.select(col("doc_id"),
           graft.plans.TextKernels.wordShinglesNative(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
+      // Class multiplicities for shingle-eligible classes (≥3 tokens —
+      // the same universe truth and candidates live in).
+      val elig = shingled.select(col("doc_id"))
+        .join(repDocs.select(col("doc_id"), col("cnt")), Seq("doc_id"))
+      val withinW = elig.agg(
+        coalesce(sum(expr("div(cnt * (cnt - 1), 2)")), lit(0L)).as("w"))
+      val mult = repDocs.select(col("doc_id"), col("cnt"))
       val truth = Dedup.jaccardJoin(shingled, "doc_id", "sh", tNum = 3, tDen = 10)
-        .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+        .join(mult.select(col("doc_id").as("id_a"), col("cnt").as("ca")), Seq("id_a"))
+        .join(mult.select(col("doc_id").as("id_b"), col("cnt").as("cb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+          (col("ca") * col("cb")).as("w"))
         .localCheckpoint()
-      val cand = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      val cand = Dedup.minhashCandidatePairs(
+          repDocs.select(col("doc_id"), col("text")), "doc_id", "text",
           k = 8, bands = 2, shingleN = 3)
+        .join(mult.select(col("doc_id").as("id_a"), col("cnt").as("ca")), Seq("id_a"))
+        .join(mult.select(col("doc_id").as("id_b"), col("cnt").as("cb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), (col("ca") * col("cb")).as("w"))
         .localCheckpoint()
       val th = Seq((3, 10), (1, 2), (7, 10)).toDF("tn", "td")
       val truthCounts = th.crossJoin(truth)
         .filter(col("inter") * col("td") >= col("uni") * col("tn"))
-        .groupBy(col("tn"), col("td")).agg(count(lit(1)).as("n_truth"))
-      val candTruth = cand.join(truth, Seq("id_a", "id_b"))
+        .groupBy(col("tn"), col("td")).agg(sum(col("w")).as("cross_truth"))
+      val candTruth = cand.drop("w").join(truth, Seq("id_a", "id_b"))
       val hits = th.crossJoin(candTruth)
         .filter(col("inter") * col("td") >= col("uni") * col("tn"))
-        .groupBy(col("tn"), col("td")).agg(count(lit(1)).as("hits"))
-      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        .groupBy(col("tn"), col("td")).agg(sum(col("w")).as("cross_hits"))
+      val nCand = cand.agg(coalesce(sum(col("w")), lit(0L)).as("cross_cand"))
       th.join(truthCounts, Seq("tn", "td"), "left")
         .join(hits, Seq("tn", "td"), "left")
         .crossJoin(broadcast(nCand))
+        .crossJoin(broadcast(withinW.select(col("w").as("within"))))
         .select(col("tn"), col("td"),
-          coalesce(col("n_truth"), lit(0L)).as("n_truth"), col("n_cand"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)).cast("double") /
-            col("n_cand").cast("double"), 6).as("prec"),
-          round(coalesce(col("hits"), lit(0L)).cast("double") /
-            col("n_truth").cast("double"), 6).as("recall"))
+          (coalesce(col("cross_truth"), lit(0L)) + col("within")).as("n_truth"),
+          (col("cross_cand") + col("within")).as("n_cand"),
+          (coalesce(col("cross_hits"), lit(0L)) + col("within")).as("hits"))
+        .select(col("tn"), col("td"), col("n_truth"), col("n_cand"), col("hits"),
+          round(col("hits").cast("double") / col("n_cand").cast("double"), 6)
+            .as("prec"),
+          round(col("hits").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
