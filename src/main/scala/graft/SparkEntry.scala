@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 196
+  val declaredQueryCount = 198
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -2102,6 +2102,43 @@ object SparkEntry {
             .as("prec"),
           round(col("hits").cast("double") / col("n_truth").cast("double"), 6)
             .as("recall"))
+    }),
+
+    "q197_skew_report" -> ((s, dir) => {
+      // Join-skew diagnostic: the 10 hottest l_partkey values with their
+      // load relative to the mean key load — the report you read before
+      // choosing salting (q73) or AQE skew handling for a join. One
+      // map-combinable key count; the mean rides a 1-row crossJoin; the
+      // top-10 is TakeOrderedAndProject.
+      val keyCnt = tbl(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val stats = keyCnt.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+      keyCnt.crossJoin(broadcast(stats))
+        .select(col("l_partkey"), col("cnt"),
+          round(col("cnt").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys").cast("double")), 4)
+            .as("rel_load"))
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+    }),
+
+    "q198_catalog_stats" -> ((s, dir) => {
+      // Catalog statistics sweep (the ANALYZE TABLE numbers a cost-based
+      // optimizer feeds on): row count + distinct primary-key count per
+      // table, one scan each, unioned into a 10-row catalog. Each leg is
+      // a partial-aggregable count + approx-free exact distinct.
+      val pks = Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+      pks.map { case (t, pk) =>
+        tbl(s, dir, t).agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(pk)).as("n_distinct_pk"))
+          .select(lit(t).as("table_name"), lit(pk).as("pk"),
+            col("n_rows"), col("n_distinct_pk"))
+      }.reduce(_.unionByName(_))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -6544,6 +6581,29 @@ object SparkEntry {
              / CAST(n * sx AS DOUBLE), 6) AS gini
          FROM g""",
     "q196_lsh_pr_curve" -> lshPrCurveSql,
+    "q197_skew_report" ->
+      """WITH kc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows FROM kc)
+         SELECT l_partkey, cnt,
+           round(CAST(cnt AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4)
+             AS rel_load
+         FROM kc CROSS JOIN st
+         ORDER BY cnt DESC, l_partkey LIMIT 10""",
+    "q198_catalog_stats" ->
+      Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+        .map { case (t, pk) =>
+          s"""SELECT '$t' AS table_name, '$pk' AS pk,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT $pk) AS BIGINT) AS n_distinct_pk FROM $t"""
+        }.mkString("\n UNION ALL \n"),
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,
