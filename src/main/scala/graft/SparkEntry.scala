@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 198
+  val declaredQueryCount = 200
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -2139,6 +2139,51 @@ object SparkEntry {
           .select(lit(t).as("table_name"), lit(pk).as("pk"),
             col("n_rows"), col("n_distinct_pk"))
       }.reduce(_.unionByName(_))
+    }),
+
+    "q199_yoy_growth" -> ((s, dir) => {
+      // Time-intelligence classic: monthly revenue with year-over-year
+      // growth via lag-12 over the MONTH-bounded series (the corpus
+      // collapses to ~84 month rows first; the window never sees order
+      // rows). Revenue stays DECIMAL through the sum; growth is one
+      // double division; the first year is null in both engines.
+      val m = tbl(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_totalprice").cast(dec).as("tp"))
+        .groupBy(col("month")).agg(sum(col("tp")).as("rev"))
+      val w = Window.orderBy(col("month"))
+      m.withColumn("prev", lag(col("rev"), 12).over(w))
+        .select(col("month"), col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") / col("prev").cast("double")
+            - lit(1.0), 6).as("yoy_growth"))
+    }),
+
+    "q200_pareto_revenue" -> ((s, dir) => {
+      // Revenue-concentration (80/20) report: how many customers carry
+      // 80% of revenue. The cumulative window runs over the CUSTOMER
+      // aggregate (approx-quantile cut-in is the 100 TB knob, q146/q182
+      // pairing); the 80% membership test is an EXACT DECIMAL compare —
+      // (cum − rev)·10 < total·8 — so no float sits on the boundary.
+      val cust = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice").cast(dec).as("tp"))
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("tp")) * 100).cast("long").as("rev_c"))
+        .localCheckpoint()
+      val w = Window.orderBy(col("rev_c").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cust.withColumn("cum_c", sum(col("rev_c")).over(w))
+      val tot = cust.agg(sum(col("rev_c")).as("total_c"), count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("n"), col("total_c"),
+          when((col("cum_c") - col("rev_c")) * 10 < col("total_c") * 8, 1L)
+            .otherwise(0L).as("in80"))
+        .groupBy(col("n"), col("total_c"))
+        .agg(sum(col("in80")).as("n_top80"))
+        .select(col("n").as("n_customers"), col("n_top80"),
+          round(col("n_top80").cast("double") / col("n").cast("double"), 6)
+            .as("top80_frac"),
+          round(col("total_c").cast("double") / lit(100.0), 2)
+            .as("total_revenue"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -6604,6 +6649,36 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(count(DISTINCT $pk) AS BIGINT) AS n_distinct_pk FROM $t"""
         }.mkString("\n UNION ALL \n"),
+    "q199_yoy_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1)
+         SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+             / CAST(lag(rev, 12) OVER (ORDER BY month) AS DOUBLE)
+             - CAST(1.0 AS DOUBLE), 6) AS yoy_growth
+         FROM m""",
+    "q200_pareto_revenue" ->
+      """WITH cust AS (SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS rev_c
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c,
+           CAST(count(*) AS BIGINT) AS n FROM cust),
+         ranked AS (SELECT rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_c
+           FROM cust)
+         SELECT n AS n_customers,
+           CAST(sum(CASE WHEN (cum_c - rev_c) * 10 < total_c * 8
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(CAST(sum(CASE WHEN (cum_c - rev_c) * 10 < total_c * 8
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS top80_frac,
+           round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total_revenue
+         FROM ranked CROSS JOIN tot
+         GROUP BY n, total_c""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,
