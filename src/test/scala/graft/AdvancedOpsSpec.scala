@@ -88,6 +88,42 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(gotP.values.forall(_ == 0L))
   }
 
+  test("graph invariants on testdata: rank mass, SSSP relaxation fixpoint, triangle triple-count") {
+    import org.apache.spark.sql.DataFrame
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey").distinct()
+    val a = li.select($"l_orderkey", $"l_suppkey".as("src"))
+    val b = li.select($"l_orderkey", $"l_suppkey".as("dst"))
+    val edges = a.join(b, Seq("l_orderkey")).filter($"src" =!= $"dst")
+      .select($"src", $"dst").distinct().cache()
+    val nodes = Tables.load(spark, sfDir, "supplier").select($"s_suppkey")
+    // PageRank mass conservation: the co-purchase graph is symmetric, so
+    // every non-isolated node has outdeg ≥ 1 (no dangling leak) and the
+    // damped iteration preserves Σrank = 1 exactly (isolated nodes'
+    // (1-d)/N floors are the mass they were seeded with).
+    val mass = graph.PageRank.run(edges, "src", "dst", nodes, "s_suppkey",
+      damping = 0.85, iters = 10).agg(sum($"rank")).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9, s"rank mass $mass")
+    // SSSP fixpoint: 6 rounds ≥ the sf0.001 graph diameter, so no edge
+    // may still relax — dist(v) ≤ dist(u) + w for every edge.
+    val w = edges.groupBy($"src", $"dst").count()
+      .select($"src", $"dst", (lit(1.0) / $"count".cast("double")).as("w"))
+    val dist = graph.ShortestPaths.boundedHops(w, "src", "dst", "w",
+      nodes.filter($"s_suppkey" <= 3), "s_suppkey", rounds = 6).cache()
+    val viol = w
+      .join(dist.select($"node".as("src"), $"dist".as("du")), Seq("src"))
+      .join(dist.select($"node".as("dst"), $"dist".as("dv")), Seq("dst"))
+      .filter($"dv" > $"du" + $"w" + lit(1e-9)).count()
+    assert(viol == 0, s"$viol relaxable edges after 6 rounds")
+    // Triangles: Σ per-node counts = 3 × distinct triangles.
+    val canon = edges.filter($"src" < $"dst")
+      .select($"src".as("a"), $"dst".as("b"))
+    val tri = graph.Triangles.perNode(canon, "a", "b", nodes, "s_suppkey")
+    val perNodeSum = tri.agg(sum($"n_triangles")).head().getLong(0)
+    assert(perNodeSum % 3 == 0 && perNodeSum > 0,
+      s"per-node triangle sum $perNodeSum must be a positive multiple of 3")
+  }
+
   test("waterFillBudget matches a greedy water-filling reference across budgets") {
     import graft.operators.Sampling
     val sizes = Seq(("a", 1200L), ("b", 300L), ("c", 5000L),
