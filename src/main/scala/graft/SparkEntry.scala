@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 200
+  val declaredQueryCount = 202
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -2184,6 +2184,64 @@ object SparkEntry {
             .as("top80_frac"),
           round(col("total_c").cast("double") / lit(100.0), 2)
             .as("total_revenue"))
+    }),
+
+    "q201_top_brands_per_nation" -> ((s, dir) => {
+      // The classic "top-N per group" report — top-3 part brands by
+      // revenue per customer nation — through the native TopKPerKey
+      // operator (k-bounded per map partition, no per-nation sort, no
+      // window over the rollup). Revenue stays DECIMAL through the sum
+      // and converts to cents for a total-order integer sort key.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val rolled = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
+        .agg(sum(col("rev")).as("rev"))
+      // Order on the EXACT decimal (cents truncation vs rounding differs
+      // across engines); the double conversion happens only at output.
+      org.apache.spark.sql.graft.TopKPerKey(rolled,
+          Seq("nation"), Seq(("rev", false), ("brand", true)), k = 3)
+        .select(col("nation"), col("brand"),
+          round(col("rev").cast("double"), 2).as("revenue"))
+    }),
+
+    "q202_fk_audit" -> ((s, dir) => {
+      // Referential-integrity audit: orphan counts for every lineitem
+      // foreign key (order, part, supplier) plus orders→customer — the
+      // data-quality gate an ETL load runs before publishing. Each leg
+      // is one distinct-key anti-join (key-sized builds); the report is
+      // 4 rows.
+      import s.implicits._
+      val li = tbl(s, dir, "lineitem")
+      val legs = Seq(
+        ("lineitem.l_orderkey -> orders",
+          li.select(col("l_orderkey").as("k")),
+          tbl(s, dir, "orders").select(col("o_orderkey").as("k"))),
+        ("lineitem.l_partkey -> part",
+          li.select(col("l_partkey").as("k")),
+          tbl(s, dir, "part").select(col("p_partkey").as("k"))),
+        ("lineitem.l_suppkey -> supplier",
+          li.select(col("l_suppkey").as("k")),
+          tbl(s, dir, "supplier").select(col("s_suppkey").as("k"))),
+        ("orders.o_custkey -> customer",
+          tbl(s, dir, "orders").select(col("o_custkey").as("k")),
+          tbl(s, dir, "customer").select(col("c_custkey").as("k"))))
+      legs.map { case (name, fk, pk) =>
+        fk.join(pk, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            countDistinct(col("k")).as("n_orphan_keys"))
+          .select(lit(name).as("fk"), col("n_orphans"), col("n_orphan_keys"))
+      }.reduce(_.unionByName(_))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -6679,6 +6737,44 @@ object SparkEntry {
            round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total_revenue
          FROM ranked CROSS JOIN tot
          GROUP BY n, total_c""",
+    "q201_top_brands_per_nation" ->
+      """WITH rolled AS (
+           SELECT n.n_name AS nation, p.p_brand AS brand,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2))
+                 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2)
+         SELECT nation, brand, round(CAST(rev AS DOUBLE), 2) AS revenue
+         FROM (SELECT nation, brand, rev,
+             row_number() OVER (PARTITION BY nation
+               ORDER BY rev DESC, brand) AS rn
+           FROM rolled) WHERE rn <= 3""",
+    "q202_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_orphans,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys
+         FROM (SELECT l_orderkey AS k FROM lineitem) f
+         ANTI JOIN (SELECT o_orderkey AS k FROM orders) p USING (k)
+         UNION ALL
+         SELECT 'lineitem.l_partkey -> part',
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+         FROM (SELECT l_partkey AS k FROM lineitem) f
+         ANTI JOIN (SELECT p_partkey AS k FROM part) p USING (k)
+         UNION ALL
+         SELECT 'lineitem.l_suppkey -> supplier',
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+         FROM (SELECT l_suppkey AS k FROM lineitem) f
+         ANTI JOIN (SELECT s_suppkey AS k FROM supplier) p USING (k)
+         UNION ALL
+         SELECT 'orders.o_custkey -> customer',
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+         FROM (SELECT o_custkey AS k FROM orders) f
+         ANTI JOIN (SELECT c_custkey AS k FROM customer) p USING (k)""",
     "q155_dedup_impact" ->
       s"""WITH RECURSIVE $dedupKeepCtes,
          toks AS (SELECT doc_id, source,
