@@ -37,7 +37,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 202
+  val declaredQueryCount = 204
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -898,12 +898,15 @@ object SparkEntry {
         .select(explode(Text.tokens(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       val tot = tc.agg(sum(col("cnt")).as("total"))
-      val w = Window.orderBy(col("cnt").desc, col("term"))
-      tc.orderBy(col("cnt").desc, col("term")).limit(50)
+      // Rank + running sum over the 50-row post-limit tail go through
+      // the triangular self-join (ScalableWindow.boundedRankCum), not an
+      // unpartitioned window — same values, no single-partition stage.
+      val top50 = tc.orderBy(col("cnt").desc, col("term")).limit(50)
+      operators.ScalableWindow.boundedRankCum(top50,
+          Seq(("cnt", false), ("term", true)), "rank", Seq(("cnt", "cum")))
         .crossJoin(broadcast(tot))
-        .select(row_number().over(w).as("rank"), col("term"), col("cnt"),
-          round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).cast("double") / col("total"), 6)
+        .select(col("rank").cast("int").as("rank"), col("term"), col("cnt"),
+          round(col("cum").cast("double") / col("total"), 6)
             .as("cum_frac"))
     }),
 
@@ -1385,9 +1388,10 @@ object SparkEntry {
       // contract, fused with reciprocal-rank fusion
       // rrf(d) = Σ_modality 1/(60 + rank) (Cormack et al. 2009) — the
       // standard way modern search blends keyword and embedding signals.
-      // Each modality is cut to top-50 by TakeOrderedAndProject BEFORE
-      // any ranking window (the q153 rule), so row_number only ever sees
-      // 50 rows; the fusion itself is a 50∪50-row full-outer join.
+      // Each modality is cut to top-50 by TakeOrderedAndProject, then
+      // ranked by the triangular self-join (the q153 rule — no window
+      // ever, not even over 50 rows); the fusion is a 50∪50-row
+      // full-outer join.
       val qTerms = Seq("spark", "merge", "window")
       val docs = tbl(s, dir, "documents")
       val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
@@ -1412,18 +1416,18 @@ object SparkEntry {
         .agg(aggregate(array_sort(collect_list(col("tc"))), lit(0.0),
           (acc, x) => acc + x.getField("comp")).as("sc"))
         .select(col("doc_id"), round(col("sc"), 4).as("bm25"))
-      val lexRank = bm25.orderBy(col("bm25").desc, col("doc_id")).limit(50)
-        .withColumn("r_lex", row_number()
-          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      val lexRank = operators.ScalableWindow.boundedRankCum(
+          bm25.orderBy(col("bm25").desc, col("doc_id")).limit(50),
+          Seq(("bm25", false), ("doc_id", true)), "r_lex")
         .select(col("doc_id"), col("r_lex"))
       val e = tbl(s, dir, "embeddings")
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
-      val semRank = e.select(col("vec_id").as("doc_id"),
-          Vectors.cosineToConst(col("embedding"), qv).as("cos"))
-        .orderBy(col("cos").desc, col("doc_id")).limit(50)
-        .withColumn("r_sem", row_number()
-          .over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      val semRank = operators.ScalableWindow.boundedRankCum(
+          e.select(col("vec_id").as("doc_id"),
+            Vectors.cosineToConst(col("embedding"), qv).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(50),
+          Seq(("cos", false), ("doc_id", true)), "r_sem")
         .select(col("doc_id"), col("r_sem"))
       lexRank.join(semRank, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
@@ -1511,8 +1515,12 @@ object SparkEntry {
       val corpus = perSV.groupBy(col("x")).agg(sum(col("c")).as("cc"))
         .localCheckpoint()
       val corpTotal = corpus.agg(sum(col("cc")).as("nc"))
-      val corpCum = corpus.withColumn("ccum",
-        sum(col("cc")).over(Window.orderBy(col("x"))))
+      // Corpus-CDF cumsum over the distinct-value grid: banded two-pass
+      // (ScalableWindow), not an unpartitioned window — the grid is
+      // value-domain-bounded but still grows with the domain at 100 TB.
+      val corpCum = operators.ScalableWindow.bandedCumSum(corpus,
+        bandOn = "x", descending = false, tieBreakers = Nil,
+        sumCol = "cc", out = "ccum")
       val grid = srcTot.crossJoin(corpus.select(col("x")))
         .join(perSV, Seq("source", "x"), "left")
         .select(col("source"), col("ns"), col("x"),
@@ -1601,13 +1609,23 @@ object SparkEntry {
         .select(col("m.pa").as("a"), col("m.pb").as("b"), col("n.pb").as("c"))
         .join(l2.select(col("pa").as("b"), col("pb").as("c")), Seq("b", "c"),
           "left_semi")
+      // Apriori prune BEFORE the third self-join: the (i1,i2) pair
+      // stream semi-joins broadcast L2 first, so a hot basket (retail
+      // scale: thousands of items) contributes frequent-pair rows — not
+      // C(width,2) rows — to the triple enumeration, bounding the
+      // intermediate at |frequent pairs|·width instead of width³.
+      // PlanSpec asserts this semi-join sits BELOW the final candidate
+      // semi-join in the plan.
       val triples = items.as("i1")
         .join(items.as("i2"),
           col("i1.ok") === col("i2.ok") && col("i1.brand") < col("i2.brand"))
+        .select(col("i1.ok").as("pair_ok"), col("i1.brand").as("a"),
+          col("i2.brand").as("b"))
+        .join(broadcast(l2.select(col("pa").as("a"), col("pb").as("b"))),
+          Seq("a", "b"), "left_semi")
         .join(items.as("i3"),
-          col("i1.ok") === col("i3.ok") && col("i2.brand") < col("i3.brand"))
-        .select(col("i1.brand").as("a"), col("i2.brand").as("b"),
-          col("i3.brand").as("c"))
+          col("pair_ok") === col("i3.ok") && col("b") < col("i3.brand"))
+        .select(col("a"), col("b"), col("i3.brand").as("c"))
         .join(broadcast(cand), Seq("a", "b", "c"), "left_semi")
       triples.groupBy(col("a"), col("b"), col("c"))
         .agg(count(lit(1)).as("cnt"))
@@ -1836,10 +1854,11 @@ object SparkEntry {
       // series (the corpus collapses to per-day counts first — the only
       // corpus-shaped step is that one map-combinable count). Components
       // round to 6 dp and fold in day order; 30 days ⇒ a 30×30/2 join.
-      val daily = Tables.events(s, dir)
-        .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
-        .groupBy(col("day")).agg(count(lit(1)).as("x"))
-        .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      val daily = operators.ScalableWindow.boundedRankCum(
+          Tables.events(s, dir)
+            .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
+            .groupBy(col("day")).agg(count(lit(1)).as("x")),
+          Seq(("day", true)), "t")
         .localCheckpoint()
       val a = daily.select(col("t").as("ti"), col("x").as("xi"))
       val b = daily.select(col("day"), col("t").as("tt"), col("x"))
@@ -1880,12 +1899,11 @@ object SparkEntry {
       // double product), changepoint = argmax |C_t| with earliest-day
       // tie-break, plus before/after means from exact sums. Corpus
       // collapses to day counts first; every window is day-bounded.
-      val daily = Tables.events(s, dir)
-        .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
-        .groupBy(col("day")).agg(count(lit(1)).as("x"))
-        .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
-        .withColumn("cum", sum(col("x")).over(
-          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val daily = operators.ScalableWindow.boundedRankCum(
+          Tables.events(s, dir)
+            .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
+            .groupBy(col("day")).agg(count(lit(1)).as("x")),
+          Seq(("day", true)), "t", Seq(("x", "cum")))
         .localCheckpoint()
       val stats = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("tot"))
       val cvals = daily.crossJoin(broadcast(stats))
@@ -2151,8 +2169,13 @@ object SparkEntry {
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
           col("o_totalprice").cast(dec).as("tp"))
         .groupBy(col("month")).agg(sum(col("tp")).as("rev"))
-      val w = Window.orderBy(col("month"))
-      m.withColumn("prev", lag(col("rev"), 12).over(w))
+      // Positional lag(12) without a window: triangular rank over the
+      // month-bounded series, then a self-join on t−12 (exactly lag's
+      // semantics, null for the first year in both engines).
+      val ranked = operators.ScalableWindow.boundedRankCum(
+        m, Seq(("month", true)), "t").localCheckpoint()
+      val prev = ranked.select((col("t") + 12).as("t"), col("rev").as("prev"))
+      ranked.join(broadcast(prev), Seq("t"), "left")
         .select(col("month"), col("rev").cast("double").as("revenue"),
           round(col("rev").cast("double") / col("prev").cast("double")
             - lit(1.0), 6).as("yoy_growth"))
@@ -2242,6 +2265,78 @@ object SparkEntry {
             countDistinct(col("k")).as("n_orphan_keys"))
           .select(lit(name).as("fk"), col("n_orphans"), col("n_orphan_keys"))
       }.reduce(_.unionByName(_))
+    }),
+
+    "q203_pareto_scaled" -> ((s, dir) => {
+      // q200's 80/20 report with the scale knob AS CODE: the global
+      // cumulative window (one task over every customer at 100 TB) is
+      // replaced by ScalableWindow.bandedCumSum — approx-percentile
+      // bands, partitioned within-band cumsum, broadcast band offsets —
+      // which is EXACT, so this shares q200's oracle verbatim and
+      // PlanSpec proves the plan has no unpartitioned Window. q200 stays
+      // as the exact-window oracle face; this is the plan you'd run.
+      val cust = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice").cast(dec).as("tp"))
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("tp")) * 100).cast("long").as("rev_c"))
+        .localCheckpoint()
+      val ranked = operators.ScalableWindow.bandedCumSum(cust,
+        bandOn = "rev_c", descending = true, tieBreakers = Seq("o_custkey"),
+        sumCol = "rev_c", out = "cum_c")
+      val tot = cust.agg(sum(col("rev_c")).as("total_c"), count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("n"), col("total_c"),
+          when((col("cum_c") - col("rev_c")) * 10 < col("total_c") * 8, 1L)
+            .otherwise(0L).as("in80"))
+        .groupBy(col("n"), col("total_c"))
+        .agg(sum(col("in80")).as("n_top80"))
+        .select(col("n").as("n_customers"), col("n_top80"),
+          round(col("n_top80").cast("double") / col("n").cast("double"), 6)
+            .as("top80_frac"),
+          round(col("total_c").cast("double") / lit(100.0), 2)
+            .as("total_revenue"))
+    }),
+
+    "q204_quantile_scaled" -> ((s, dir) => {
+      // q182's quantile normalization with BOTH skew knobs as code
+      // (sharing q182's oracle verbatim — the rewrite is exact):
+      //  - the per-source rank no longer funnels each source's full doc
+      //    set through one window partition: rank r = (count of strictly
+      //    smaller values in the source, off the distinct-value grid) +
+      //    (row_number among the value's ties, partitioned by
+      //    (source, value) — tie-group-sized, never source-sized);
+      //  - the corpus-wide value-grid cumsum runs through
+      //    ScalableWindow.bandedCumSum instead of an unpartitioned
+      //    window. PlanSpec asserts no empty Window.partitionSpec.
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars").as("x"))
+      val ns_ = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val ntot = d.agg(count(lit(1)).as("n"))
+      // Per-source grid: strictly-smaller cumulative count per value.
+      // The grid window is partitioned by source AND distinct-value-
+      // sized (bounded by the n_chars domain, not the corpus).
+      val gs = d.groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+        .withColumn("pcum_s",
+          sum(col("c")).over(Window.partitionBy(col("source"))
+            .orderBy(col("x"))) - col("c"))
+        .drop("c")
+      val r = d
+        .withColumn("tie", row_number()
+          .over(Window.partitionBy(col("source"), col("x"))
+            .orderBy(col("doc_id"))).cast("long"))
+        .join(gs, Seq("source", "x"))
+        .withColumn("r", col("pcum_s") + col("tie"))
+      val tt = r.join(broadcast(ns_), Seq("source"))
+        .crossJoin(broadcast(ntot))
+        .withColumn("t", expr("div(r * n + n_s - 1, n_s)"))
+      val grid0 = d.groupBy(col("x").as("gx")).agg(count(lit(1)).as("c"))
+      val grid = operators.ScalableWindow.bandedCumSum(grid0,
+          bandOn = "gx", descending = false, tieBreakers = Nil,
+          sumCol = "c", out = "ccum")
+        .withColumn("pcum", col("ccum") - col("c"))
+      tt.join(broadcast(grid),
+          col("t") > col("pcum") && col("t") <= col("ccum"))
+        .select(col("doc_id"), col("source"), col("x"), col("gx").as("norm_x"))
     }),
 
     "q155_dedup_impact" -> ((s, dir) => {
@@ -2442,8 +2537,11 @@ object SparkEntry {
         .select(col("doc_id"), col("pos"), col("col").as("token"))
       val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(1000)
-      val vocab = top.select(col("token"), row_number().over(
-        Window.orderBy(col("cnt").desc, col("token"))).as("token_id"))
+      // Vocab ids over the post-limit 1000-row head: triangular rank
+      // (q153 rule), never an unpartitioned window.
+      val vocab = operators.ScalableWindow.boundedRankCum(top,
+          Seq(("cnt", false), ("token", true)), "token_id")
+        .select(col("token"), col("token_id").cast("int").as("token_id"))
       toks.join(broadcast(vocab), Seq("token"), "left")
         .select(col("doc_id"), col("pos"),
           coalesce(col("token_id"), lit(0)).as("tid"))
@@ -4750,8 +4848,13 @@ object SparkEntry {
   // q121 is the xxhash64-gram-key variant of q118 — bit-identical by
   // contract (see Dedup.removeDuplicateSpans), so it shares the
   // exact-path oracle verbatim.
+  // q203/q204 are the scale-safe (banded two-pass) rewrites of q200/q182
+  // — exact by construction, so they share those oracles verbatim.
   def oracleSql: Map[String, String] =
-    oracleSqlBase + ("q121_dedup_spans_hash" -> oracleSqlBase("q118_dedup_spans"))
+    oracleSqlBase +
+      ("q121_dedup_spans_hash" -> oracleSqlBase("q118_dedup_spans")) +
+      ("q203_pareto_scaled" -> oracleSqlBase("q200_pareto_revenue")) +
+      ("q204_quantile_scaled" -> oracleSqlBase("q182_quantile_normalize"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q01_pricing_summary" ->

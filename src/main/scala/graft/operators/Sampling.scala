@@ -173,13 +173,14 @@ object Sampling {
       keyCol: String,
       sizeCol: String,
       budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val st = groups.select(col(keyCol), col(sizeCol).cast("long").as(sizeCol))
     val nct = st.agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col(sizeCol), col(keyCol))
-    val o = st.crossJoin(broadcast(nct))
-      .withColumn("i", row_number().over(w))
-      .withColumn("s_i", sum(col(sizeCol)).over(w))
+    // Rank + prefix sum over the group-count-sized frame via the
+    // triangular self-join (ScalableWindow.boundedRankCum) — same values
+    // as the former unpartitioned window, no single-partition stage.
+    val o = ScalableWindow.boundedRankCum(st,
+        Seq((sizeCol, true), (keyCol, true)), "i", Seq((sizeCol, "s_i")))
+      .crossJoin(broadcast(nct))
     val full = col(sizeCol) * (col("n") - col("i") + 1) <=
       lit(budget) - (col("s_i") - col(sizeCol))
     val p = o

@@ -114,6 +114,59 @@ class PlanSpec extends SparkSpec {
       s"the pair stream must never be windowed:\n$plan")
   }
 
+  /** Count logical Window nodes with an EMPTY partition spec — the
+    * single-task global window the scale story forbids. Logical, not
+    * physical: AQE wraps the physical tree in query stages, while the
+    * optimized logical plan is stable and the partition spec is decided
+    * there.
+    */
+  private def globalWindows(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.size
+  }
+
+  test("q203/q204: the banded rewrites plan ZERO unpartitioned windows (and the detector itself works: q200's exact face has one)") {
+    // Detector self-test first — if the collect pattern rotted, the
+    // known-global q200 window would read as 0 and the gate would be
+    // vacuously green (the r5 dark-green lesson).
+    assert(globalWindows("q200_pareto_revenue") >= 1,
+      "detector failure: q200's global cumulative window was not seen")
+    assert(globalWindows("q203_pareto_scaled") == 0,
+      "q203 must not plan any unpartitioned Window")
+    assert(globalWindows("q204_quantile_scaled") == 0,
+      "q204 must not plan any unpartitioned Window")
+  }
+
+  test("q203/q204: banded rewrites hash-match their exact faces row-for-row") {
+    def canon(name: String) = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(canon("q203_pareto_scaled") == canon("q200_pareto_revenue"))
+    assert(canon("q204_quantile_scaled") == canon("q182_quantile_normalize"))
+  }
+
+  test("q180: the Apriori pair prune sits BELOW the final candidate semi-join") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q180_frequent_triples")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    // Three semi-joins total: L2⋈L2 candidate prune, the pair-stream
+    // prune, and the final triple-vs-candidate prune.
+    val semis = plan.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.size >= 3, s"expected ≥3 LeftSemi joins, got ${semis.size}:\n$plan")
+    // The topmost (pre-order head) semi-join's input subtree must itself
+    // contain a semi-join — the pair stream is pruned BEFORE the third
+    // self-join, bounding a hot basket to frequent-pair rows.
+    val top = semis.head
+    assert(top.left.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      s"pair-stream Apriori prune must sit below the final semi-join:\n$plan")
+  }
+
   test("q146: both robust-stat join-backs broadcast (the corpus is never shuffled)") {
     val plan = executedPlan("q146_mad_outliers")
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
