@@ -21,6 +21,19 @@ object PdcmApi {
     "FGFR2", "FGFR3", "ERBB2", "IDH1", "IDH2", "IRF4", "KRAS", "MYC",
     "PIK3CA", "RET", "ROS1").map(g => s"'$g'").mkString(", ")
 
+  /** Postgres `(row)::text` analog for the molecular `*_data_table`
+    * views (views.sql:380,513,596,723): the projected row rendered as
+    * "(v1,v2,…)" with NULL → empty string — the haystack the reference
+    * UI's free-text filter scans. Divergences, both deliberate: the
+    * reference renders the BASE-table tuple (we render the view's own
+    * projection — the columns a consumer can actually see), and Postgres
+    * CSV-quotes values containing commas/quotes (this surface is a
+    * filter haystack, not a parser input, so values render bare).
+    */
+  private def rowText(exprs: Seq[String]): String =
+    exprs.map(e => s"coalesce(CAST($e AS STRING), '')")
+      .mkString("'(' || concat_ws(',', ", ", ", ") || ')'")
+
   /** SQL per derived view (reference views.sql line cited). */
   private val viewSql: Seq[(String, String)] = Seq(
     // model_information (views.sql:66): model + specimen FK row, plus
@@ -44,55 +57,87 @@ object PdcmApi {
     "model_quality_assurance" ->
       """SELECT model_id, data_source, validation_json
          FROM quality_assurance""",
-    // mutation_data_table (views.sql:363): harmonised-or-raw symbol plus
+    // mutation_data_table (views.sql:363-382): harmonised-or-raw symbol,
+    // per-row external_db_links, the row-as-text free-text haystack, and
     // the provider/table restriction filter. NOT EXISTS, not NOT IN: a
     // NULL row in the restriction table would make NOT IN evaluate to
     // NULL for EVERY row and silently empty the view.
     "mutation_data_table" ->
-      """SELECT molchar_id AS molecular_characterization_id,
+      s"""SELECT molchar_id AS molecular_characterization_id,
          COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
          symbol AS non_harmonised_symbol, amino_acid_change, chromosome,
          strand, consequence, read_depth, allele_frequency,
          seq_start_position, ref_allele, alt_allele, biotype,
+         external_db_links,
          match_stage AS harmonisation_result,
-         data_source
+         data_source,
+         ${rowText(Seq("molchar_id", "COALESCE(harmonized_symbol, symbol)",
+          "symbol", "amino_acid_change", "chromosome", "strand",
+          "consequence", "read_depth", "allele_frequency",
+          "seq_start_position", "ref_allele", "alt_allele", "biotype",
+          "external_db_links", "match_stage", "data_source"))} AS text
          FROM mutation_data d
          WHERE NOT EXISTS
            (SELECT 1 FROM molecular_data_restriction r
             WHERE r.data_source = d.data_source
             AND r.molecular_data_table = 'mutation_measurement_data')""",
-    // expression_data_table (views.sql:496).
+    // expression_data_table (views.sql:496-514).
     "expression_data_table" ->
-      """SELECT molchar_id AS molecular_characterization_id,
+      s"""SELECT molchar_id AS molecular_characterization_id,
          COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
          symbol AS non_harmonised_symbol, chromosome, strand,
          seq_start_position, seq_end_position, rnaseq_coverage,
          rnaseq_fpkm, rnaseq_tpm, rnaseq_count,
-         data_source
+         external_db_links,
+         match_stage AS harmonisation_result,
+         data_source,
+         ${rowText(Seq("molchar_id", "COALESCE(harmonized_symbol, symbol)",
+          "symbol", "chromosome", "strand", "seq_start_position",
+          "seq_end_position", "rnaseq_coverage", "rnaseq_fpkm",
+          "rnaseq_tpm", "rnaseq_count", "external_db_links",
+          "match_stage", "data_source"))} AS text
          FROM expression_data d
          WHERE NOT EXISTS
            (SELECT 1 FROM molecular_data_restriction r
             WHERE r.data_source = d.data_source
             AND r.molecular_data_table = 'expression_molecular_data')""",
-    // cna_data_table (views.sql:705).
+    // cna_data_table (views.sql:705-727).
     "cna_data_table" ->
-      """SELECT molchar_id AS molecular_characterization_id,
+      s"""SELECT molchar_id AS molecular_characterization_id,
          COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
          symbol AS non_harmonised_symbol, chromosome, strand,
          seq_start_position, seq_end_position, log10r_cna, log2r_cna,
          copy_number_status, gistic_value,
-         data_source
+         external_db_links,
+         match_stage AS harmonisation_result,
+         data_source,
+         ${rowText(Seq("molchar_id", "COALESCE(harmonized_symbol, symbol)",
+          "symbol", "chromosome", "strand", "seq_start_position",
+          "seq_end_position", "log10r_cna", "log2r_cna",
+          "copy_number_status", "gistic_value", "external_db_links",
+          "match_stage", "data_source"))} AS text
          FROM cna_data d
          WHERE NOT EXISTS
            (SELECT 1 FROM molecular_data_restriction r
             WHERE r.data_source = d.data_source
             AND r.molecular_data_table = 'cna_molecular_data')""",
-    // biomarker_data_table (views.sql:588).
+    // biomarker_data_table (views.sql:588-599): the reference renames
+    // the symbol pair to biomarker/result and rewrites the link JSON's
+    // "column" field from hgnc_symbol to biomarker with a string
+    // REPLACE — reproduced verbatim (the links are built on the shared
+    // molecularTable path under the hgnc_symbol name).
     "biomarker_data_table" ->
-      """SELECT molchar_id AS molecular_characterization_id,
-         COALESCE(harmonized_symbol, symbol) AS hgnc_symbol,
-         symbol AS non_harmonised_symbol, biomarker_status,
-         data_source
+      s"""SELECT molchar_id AS molecular_characterization_id,
+         COALESCE(harmonized_symbol, symbol) AS biomarker,
+         symbol AS non_harmonised_symbol, biomarker_status AS result,
+         replace(external_db_links, 'hgnc_symbol', 'biomarker')
+           AS external_db_links,
+         match_stage AS harmonisation_result,
+         data_source,
+         ${rowText(Seq("molchar_id", "COALESCE(harmonized_symbol, symbol)",
+          "symbol", "biomarker_status",
+          "replace(external_db_links, 'hgnc_symbol', 'biomarker')",
+          "match_stage", "data_source"))} AS text
          FROM biomarker_data d
          WHERE NOT EXISTS
            (SELECT 1 FROM molecular_data_restriction r

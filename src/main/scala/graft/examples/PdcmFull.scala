@@ -179,6 +179,15 @@ object PdcmFull {
     // "<symbol> <position>".
     w(s"$root/externalDBs/cosmic.csv",
       "entry_id,entry\nCOSM1,BRCA1 43044295\n")
+    // referenceLookup files for the per-row molecular external_db_links:
+    // Gene entries keyed by harmonized symbol; Variant entries keyed
+    // "<symbol> <amino_acid_change>" (EGFR L858R matches the harmonised
+    // OLDNAME1 mutation row; BRCA1's E1234K deliberately has no variant
+    // entry, so it gets a gene link only).
+    w(s"$root/externalDBs/civic_genes.csv",
+      "entry_id,entry\nBRCA1,BRCA1\nEGFR,EGFR\n")
+    w(s"$root/externalDBs/civic_variants.csv",
+      "entry_id,entry\n12,EGFR L858R\n")
     w(s"$root/diagnosis_mappings.json",
       """{"mappings": [
         |  {"data_source": "provA", "diagnosis": "Lung Adenocarcinoma",

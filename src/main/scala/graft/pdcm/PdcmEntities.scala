@@ -138,10 +138,20 @@ object PdcmEntities {
     ExternalResources.ResourceDef(2, "cellosaurus", "Cellosaurus", "Model",
       "inline", "https://www.cellosaurus.org/TOKEN"),
     ExternalResources.ResourceDef(3, "cosmic", "COSMIC", "Variant", "download",
-      "https://cancer.sanger.ac.uk/cosmic/search?q=ENTRY_ID"))
+      "https://cancer.sanger.ac.uk/cosmic/search?q=ENTRY_ID"),
+    // referenceLookup pair backing the per-row molecular
+    // external_db_links (reference external_resources.yaml ids 1/2):
+    // Gene entries match the harmonized symbol, Variant entries match
+    // "<symbol> <amino_acid_change>".
+    ExternalResources.ResourceDef(4, "civic_genes", "Civic", "Gene",
+      "download", "https://civicdb.org/links/entrez_name/ENTRY_ID"),
+    ExternalResources.ResourceDef(5, "civic_variants", "Civic", "Variant",
+      "download", "https://civicdb.org/links?idtype=variant&id=ENTRY_ID"))
 
   val DefaultDownloadConfs: Seq[ExternalResources.DownloadConf] =
-    Seq(ExternalResources.DownloadConf(3, "cosmic.csv"))
+    Seq(ExternalResources.DownloadConf(3, "cosmic.csv"),
+      ExternalResources.DownloadConf(4, "civic_genes.csv"),
+      ExternalResources.DownloadConf(5, "civic_variants.csv"))
 
   /** The full reference facet registry (`etl/facets.py`, 28 definitions
     * across the search/model/patient_tumour/molecular_data/treatment
@@ -257,7 +267,8 @@ object PdcmEntities {
       entityName: String,
       rawModule: String,
       valueCols: Seq[String]): EntityDef = EntityDef(
-    entityName, Seq(rawModule, "gene_marker", "molecular_characterization"),
+    entityName, Seq(rawModule, "gene_marker", "molecular_characterization",
+      "raw_downloaded_resources"),
     (_, in) => {
       val gm = in("gene_marker")
       def stage(kind: String) = Harmonization.Stage(kind,
@@ -275,10 +286,58 @@ object PdcmEntities {
       val mc = in("molecular_characterization")
         .select(col("id").as("molchar_id"), col("sample_id"),
           col("platform_id"), col(prov))
-      all.join(mc, Seq("sample_id", "platform_id", prov), "left")
+      // Per-row external_db_links (reference
+      // `molecular_data_links_builder.py:20-38` + the JSON assembly in
+      // `link_builder_utils.py:6-19`): referenceLookup entries from the
+      // downloaded-resource table — "Gene" entries match the harmonized
+      // symbol into the hgnc_symbol column; "Variant" entries match
+      // "<symbol> <amino_acid_change>" (mutation only; concat
+      // null-propagates, so unharmonised rows never link). The link
+      // arrays aggregate on the RESOURCE side first (entry-domain-sized)
+      // and broadcast back — never a per-corpus-row join; entries sort
+      // (column, resource, link) where the reference's collect_list
+      // order is partition-accidental.
+      val linkStruct = "array<struct<column:string,resource:string,link:string>>"
+      val res = in("raw_downloaded_resources").filter(col("link").isNotNull)
+      val geneAgg = res.filter(col("type") === "Gene")
+        .groupBy(col("entry").as("gene_entry"))
+        .agg(sort_array(collect_list(struct(
+          lit("hgnc_symbol").as("column"), col("resource"), col("link"))))
+          .as("gene_links"))
+      val hasAac = valueCols.contains("amino_acid_change")
+      val withGene = all
+        .join(broadcast(geneAgg),
+          all("harmonized_symbol") === geneAgg("gene_entry"), "left")
+        .drop("gene_entry")
+      val withLinks0 =
+        if (!hasAac) withGene.withColumn("var_links", lit(null).cast(linkStruct))
+        else {
+          val varAgg = res.filter(col("type") === "Variant")
+            .groupBy(col("entry").as("var_entry"))
+            .agg(sort_array(collect_list(struct(
+              lit("amino_acid_change").as("column"), col("resource"),
+              col("link")))).as("var_links"))
+          // Alias-qualified: both sides carry raw_downloaded_resources
+          // lineage (gene/variant branches of the same source).
+          withGene.as("wg").join(broadcast(varAgg.as("va")),
+            expr("concat(wg.harmonized_symbol, ' ', wg.amino_acid_change)" +
+              " = va.var_entry"), "left")
+            .drop("var_entry")
+        }
+      val emptyLinks = array().cast(linkStruct)
+      val withLinks = withLinks0
+        .withColumn("external_db_links",
+          when(col("gene_links").isNull && col("var_links").isNull,
+            lit(null).cast("string"))
+            .otherwise(to_json(concat(
+              coalesce(col("gene_links"), emptyLinks),
+              coalesce(col("var_links"), emptyLinks)))))
+        .drop("gene_links", "var_links")
+      withLinks.join(mc, Seq("sample_id", "platform_id", prov), "left")
     },
     outputColumns = Seq("sample_id", "symbol", "harmonized_symbol",
-      "match_stage") ++ valueCols ++ Seq("molchar_id", prov))
+      "match_stage") ++ valueCols ++
+      Seq("external_db_links", "molchar_id", prov))
 
   /** Formulaic dimension: distinct cleaned non-sentinel values of one
     * column + deterministic id (the shape of ~20 reference dims,
@@ -1225,12 +1284,17 @@ object PdcmEntities {
         val sm = in("raw_molchar_sample")
           .select(col("sample_id"), col("model_id"), col(prov))
           .dropDuplicates("sample_id", prov)
-        val md = in("mutation_data")
-        md.join(broadcast(res),
-            concat_ws(" ", md("symbol"), md("seq_start_position")) === res("entry"),
+        // Alias-qualified refs, not dataset-apply ones: mutation_data's
+        // plan now itself contains raw_downloaded_resources (the per-row
+        // external_db_links build), so res("…") against md would be an
+        // ambiguous self-join reference (the r6 nullSafeJoin lesson).
+        val md = in("mutation_data").as("md")
+        md.join(broadcast(res.as("r")),
+            expr("concat_ws(' ', md.symbol, md.seq_start_position) = r.entry"),
             "left")
-          .select(md("sample_id"), md("symbol"), md("seq_start_position"),
-            res("resource"), res("link"), md(prov))
+          .select(col("md.sample_id"), col("md.symbol"),
+            col("md.seq_start_position"),
+            col("r.resource"), col("r.link"), col(s"md.$prov"))
           .join(sm, Seq("sample_id", prov), "left")
       },
       outputColumns = Seq("sample_id", "model_id", "symbol",

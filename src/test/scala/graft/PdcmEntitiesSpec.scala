@@ -570,6 +570,57 @@ class PdcmEntitiesSpec extends SparkSpec {
     graft.api.PdcmApi.register(spark, out) // restore unrestricted views
   }
 
+  test("molecular *_data_table views: external_db_links + row-as-text (views.sql:377-380)") {
+    graft.api.PdcmApi.register(spark, out)
+    // Harmonised EGFR row links gene AND variant (civic fixture pair).
+    val egfr = spark.sql(
+      """SELECT external_db_links, text FROM pdcm_api_mutation_data_table
+         WHERE non_harmonised_symbol = 'OLDNAME1'""").head()
+    val links = egfr.getString(0)
+    assert(links.contains("\"column\":\"hgnc_symbol\""), links)
+    assert(links.contains("https://civicdb.org/links/entrez_name/EGFR"), links)
+    assert(links.contains("\"column\":\"amino_acid_change\""), links)
+    assert(links.contains("idtype=variant&id=12"), links)
+    // The text haystack renders the projected row "(v1,v2,…)" with
+    // nulls empty — the free-text-filter contract of (row)::text.
+    val text = egfr.getString(1)
+    assert(text.startsWith("(") && text.endsWith(")"), text)
+    assert(text.contains("EGFR") && text.contains("L858R") &&
+      text.contains("provA"), text)
+    // BRCA1: gene link only (E1234K has no civic variant entry).
+    val brca = spark.sql(
+      """SELECT external_db_links FROM pdcm_api_mutation_data_table
+         WHERE non_harmonised_symbol = 'BRCA1'""").as[String].head()
+    assert(brca.contains("entrez_name/BRCA1") &&
+      !brca.contains("amino_acid_change"), brca)
+    // Unharmonised rows carry no links but still render a text tuple
+    // (NULL → empty string inside the tuple).
+    val unk = spark.sql(
+      """SELECT external_db_links, text FROM pdcm_api_mutation_data_table
+         WHERE non_harmonised_symbol = 'TOTALLYUNKNOWN'""").head()
+    assert(unk.isNullAt(0))
+    assert(unk.getString(1).contains("TOTALLYUNKNOWN"))
+    // Expression and CNA project the same pair off the shared
+    // molecularTable path.
+    assert(spark.sql(
+      """SELECT external_db_links FROM pdcm_api_expression_data_table
+         WHERE non_harmonised_symbol = 'BRCA1'""").as[String].head()
+      .contains("entrez_name/BRCA1"))
+    assert(spark.sql(
+      """SELECT external_db_links FROM pdcm_api_cna_data_table
+         WHERE non_harmonised_symbol = 'BRCA1'""").as[String].head()
+      .contains("entrez_name/BRCA1"))
+    // Biomarker renames the JSON "column" to biomarker via the
+    // reference's string REPLACE (views.sql:594) and the symbol pair to
+    // biomarker/result.
+    val bio = spark.sql(
+      """SELECT external_db_links, result FROM pdcm_api_biomarker_data_table
+         WHERE non_harmonised_symbol = 'BRCA1'""").head()
+    assert(bio.getString(0).contains("\"column\":\"biomarker\"") &&
+      !bio.getString(0).contains("hgnc_symbol"), bio.getString(0))
+    assert(bio.getString(1) == "positive")
+  }
+
   test("round-3 views: model_metadata, extended data, overview aggregates") {
     graft.api.PdcmApi.register(spark, out)
     // model_metadata joins model + search_index + specimen display names.
