@@ -1,0 +1,747 @@
+package graft
+
+import OracleHelpers._
+
+/** DuckDB oracle SQL for the QueriesText tier (cross-engine determinism
+  * rules in the SparkEntry scaladoc). Moved verbatim from SparkEntry.
+  */
+private[graft] object OracleText {
+  def map: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q31_minhash_lsh" -> minhashSql,
+    "q32_simhash" -> simhashSql,
+    "q33_ngram_jaccard" ->
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(list_concat(
+             list_distinct(regexp_split_to_array(trim(a.text), '\\s+')),
+             list_distinct(regexp_split_to_array(trim(b.text), '\\s+'))))) = 0 THEN 0.0
+         ELSE CAST(len(list_intersect(
+             list_distinct(regexp_split_to_array(trim(a.text), '\\s+')),
+             list_distinct(regexp_split_to_array(trim(b.text), '\\s+')))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(
+             list_distinct(regexp_split_to_array(trim(a.text), '\\s+')),
+             list_distinct(regexp_split_to_array(trim(b.text), '\\s+'))))) AS DOUBLE) END AS jaccard
+         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+    "q34_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint,
+         count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q90_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+           FROM documents),
+         inc AS (SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS doc_id
+           FROM f WHERE doc_id % 10 = 0 GROUP BY fingerprint)
+         SELECT doc_id, fingerprint FROM inc
+         WHERE NOT EXISTS (SELECT 1 FROM f c
+           WHERE c.doc_id % 10 <> 0 AND c.fingerprint = inc.fingerprint)""",
+    "q35_lang_id" -> langIdSql,
+    "q60_langid_ngram" -> ngramLangSql,
+    "q61_winnowing" -> winnowingSql,
+    "q62_sql_kernels" -> simhashSql,
+    "q36_quality" -> qualitySql,
+    "q83_repetition" -> repetitionSql,
+    "q143_repetition_gate" ->
+      s"""WITH r AS ($repetitionSql)
+         SELECT doc_id, n_words,
+           CAST(CASE WHEN top_word_frac > 0.3 THEN 1 ELSE 0 END
+              + CASE WHEN dup_word_frac > 0.4 THEN 1 ELSE 0 END
+              + CASE WHEN top_bigram_frac > 0.2 THEN 1 ELSE 0 END
+              + CASE WHEN dup_bigram_frac > 0.6 THEN 1 ELSE 0 END AS INT)
+             AS n_violations,
+           top_word_frac <= 0.3 AND dup_word_frac <= 0.4
+             AND top_bigram_frac <= 0.2 AND dup_bigram_frac <= 0.6 AS keep
+         FROM r""",
+    "q144_source_overlap" ->
+      """WITH tk AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT DISTINCT source, g FROM
+           (SELECT source, unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+            FROM tk WHERE len(w) >= 3)),
+         cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         shared AS (SELECT a.source AS sa, b.source AS sb,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT ca.source AS source_a, cb.source AS source_b,
+           CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+           ca.n AS n_a, cb.n AS n_b,
+           round(CAST(coalesce(n_shared, 0) AS DOUBLE)
+             / (ca.n + cb.n - coalesce(n_shared, 0)), 6) AS jaccard
+         FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+         LEFT JOIN shared ON shared.sa = ca.source AND shared.sb = cb.source""",
+    "q145_boilerplate_prefix" ->
+      """WITH g AS (SELECT substr(lower(trim(text)), 1, 30) AS prefix,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             min(doc_id) AS first_doc_id
+           FROM documents GROUP BY 1 HAVING count(*) >= 2)
+         SELECT prefix, n_docs, n_sources, first_doc_id
+         FROM g ORDER BY n_docs DESC, prefix LIMIT 20""",
+    "q37_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpeish_tokens
+         FROM documents""",
+    "q119_vocab_encode" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS token,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+           FROM documents),
+         vocab AS (
+           SELECT token,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS INTEGER) AS token_id
+           FROM toks GROUP BY token
+           QUALIFY token_id <= 1000)
+         SELECT t.doc_id,
+           string_agg(CAST(coalesce(v.token_id, 0) AS VARCHAR), ' ' ORDER BY t.pos)
+             AS token_ids
+         FROM toks t LEFT JOIN vocab v ON t.token = v.token
+         GROUP BY t.doc_id""",
+    // ExactSubstr removal: canonical occurrence via min(struct) (DuckDB
+    // orders structs lexicographically like Spark); the kept text is
+    // rebuilt char-by-char with a running max over covered span starts
+    // (the engine merges spans in a per-doc fold instead — same result).
+    "q118_dedup_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+         occ AS (SELECT doc_id, CAST(g AS INTEGER) AS pos,
+             substr(text, CAST(g AS INTEGER), 20) AS gram
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 19)) AS g
+                 FROM d)),
+         canon AS (SELECT gram, min({'doc_id': doc_id, 'pos': pos}) AS c
+           FROM occ GROUP BY gram),
+         covered AS (SELECT o.doc_id, o.pos
+           FROM occ o JOIN canon cn ON o.gram = cn.gram
+           WHERE {'doc_id': o.doc_id, 'pos': o.pos} != cn.c),
+         chars AS (SELECT doc_id, text, CAST(cp AS INTEGER) AS cpos
+           FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS cp
+                 FROM d)),
+         marked AS (SELECT c.doc_id, c.text, c.cpos,
+             max(cv.pos) OVER (PARTITION BY c.doc_id ORDER BY c.cpos) AS last_start
+           FROM chars c LEFT JOIN covered cv
+             ON c.doc_id = cv.doc_id AND c.cpos = cv.pos)
+         SELECT doc_id,
+           coalesce(string_agg(substr(text, cpos, 1), '' ORDER BY cpos)
+             FILTER (WHERE last_start IS NULL OR cpos >= last_start + 20), '')
+             AS cleaned_text,
+           CAST(count(*) FILTER (WHERE last_start IS NOT NULL
+             AND cpos < last_start + 20) AS BIGINT) AS removed_chars
+         FROM marked GROUP BY doc_id
+         UNION ALL
+         SELECT doc_id, text AS cleaned_text, CAST(0 AS BIGINT) AS removed_chars
+         FROM documents WHERE length(text) < 20""",
+    "q94_dup_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 20),
+         pos AS (SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 19)) AS g FROM d),
+         grams AS (SELECT doc_id, substr(text, CAST(g AS INTEGER), 20) AS gram
+           FROM pos),
+         dup AS (SELECT gram FROM grams
+           GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         per AS (SELECT g.doc_id, count(*) AS dup_positions
+           FROM grams g JOIN dup USING (gram) GROUP BY 1)
+         SELECT d.doc_id, CAST(length(d.text) - 19 AS BIGINT) AS total_grams,
+                CAST(coalesce(p.dup_positions, 0) AS BIGINT) AS dup_positions
+         FROM d LEFT JOIN per p USING (doc_id)""",
+    "q100_corpus_mix" ->
+      """WITH d AS (SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS frac
+           FROM documents WHERE lang IN ('en', 'de', 'fr')),
+         w(lang, wt) AS (VALUES ('en', CAST(0.5 AS DOUBLE)),
+           ('de', CAST(0.3 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE))),
+         tot AS (SELECT lang, sum(n_tokens) AS t FROM d GROUP BY lang),
+         sc AS (SELECT min(CAST(t AS DOUBLE) / wt) AS s FROM tot JOIN w USING (lang)),
+         r AS (SELECT lang, (SELECT s FROM sc) * wt / CAST(t AS DOUBLE) AS rate
+           FROM tot JOIN w USING (lang))
+         SELECT d.lang, count(*) AS n_docs,
+                CAST(sum(d.n_tokens) AS BIGINT) AS n_tokens
+         FROM d JOIN r ON d.lang = r.lang AND d.frac < r.rate
+         GROUP BY d.lang""",
+    "q99_sliding_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 30)) AS st
+           FROM t)
+         SELECT doc_id, CAST(st // 30 AS INT) AS chunk_idx,
+                CAST(least(40, len(toks) - st) AS INT) AS n_chunk_tokens,
+                array_to_string(toks[st + 1 : st + 40], ' ') AS chunk_text
+         FROM s""",
+    "q98_inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         p AS (
+           SELECT term, count(DISTINCT doc_id) AS df,
+                  list_sort(list(DISTINCT doc_id)) AS docs
+           FROM toks WHERE term <> '' GROUP BY term)
+         SELECT term, df, to_json(docs[1:20]) AS postings
+         FROM p WHERE df >= 50""",
+    "q86_pii_redaction" ->
+      """WITH t AS (SELECT c_custkey,
+           c_name || ' <user' || CAST(c_custkey AS VARCHAR) || '@example.com>' ||
+           CASE WHEN c_custkey % 3 = 0
+             THEN ' tel 555-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+             ELSE '' END ||
+           CASE WHEN c_custkey % 5 = 0
+             THEN ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.7'
+             ELSE '' END AS text
+           FROM customer)
+         SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+             '[0-9][0-9-]{6,}[0-9]', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9][0-9-]{6,}[0-9]')) AS n_phones,
+           len(regexp_extract_all(text,
+             '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips
+         FROM t""",
+    "q87_salient_terms" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, term,
+             CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         m AS (SELECT doc_id, min({'neg': -score, 'term': term}) AS ms
+           FROM scored GROUP BY doc_id)
+         SELECT doc_id, struct_extract(ms, 'term') AS top_term,
+           -struct_extract(ms, 'neg') AS tfidf
+         FROM m""",
+    "q66_bucketed_near_pairs" -> bucketedNearPairsSql,
+    "q109_jaccard_join" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         t AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks WHERE len(w) >= 3),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+             CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT) AS nsum
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, inter, nsum - inter AS uni
+         FROM p WHERE inter * 9 >= nsum * 4""",
+    "q123_bm25" -> bm25Sql,
+    "q124_dedup_survivors" -> dedupSurvivorsSql,
+    "q136_dedup_apply" -> dedupApplySql,
+    "q137_sentence_dedup" ->
+      """WITH sent AS (SELECT doc_id,
+             unnest(regexp_split_to_array(text, '\. ')) AS sent,
+             generate_subscripts(regexp_split_to_array(text, '\. '), 1) - 1 AS pos
+           FROM documents),
+         canon AS (SELECT sent, min({'d': doc_id, 'p': pos}) AS c
+           FROM sent GROUP BY sent),
+         k AS (SELECT doc_id, pos, sent.sent,
+             CASE WHEN struct_extract(c, 'd') = doc_id
+                   AND struct_extract(c, 'p') = pos THEN 1 ELSE 0 END AS kept
+           FROM sent JOIN canon USING (sent))
+         SELECT doc_id, count(*) AS n_sents,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           array_to_string(list(sent ORDER BY pos) FILTER (WHERE kept = 1), '. ')
+             AS text_deduped
+         FROM k GROUP BY doc_id""",
+    "q125_perplexity_filter" -> perplexityFilterSql,
+    "q126_pmi_collocations" -> pmiCollocationsSql,
+    "q127_kl_drift" -> klDriftSql,
+    "q128_vocab_coverage" -> vocabCoverageSql,
+    "q129_ngram_novelty" -> ngramNoveltySql,
+    "q130_hash_split" -> hashSplitSql,
+    "q131_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS non_ws,
+             CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) AS n_hash,
+             CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS n_ell,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) AS n_alpha,
+             CAST(list_contains(w, 'the') AS INT) + CAST(list_contains(w, 'be') AS INT)
+           + CAST(list_contains(w, 'to') AS INT) + CAST(list_contains(w, 'of') AS INT)
+           + CAST(list_contains(w, 'and') AS INT) + CAST(list_contains(w, 'that') AS INT)
+           + CAST(list_contains(w, 'have') AS INT) + CAST(list_contains(w, 'with') AS INT)
+             AS stop_hits
+           FROM t)
+         SELECT doc_id, n_words,
+           round(non_ws / n_words, 4) AS mean_word_len,
+           round((n_hash + n_ell) / n_words, 4) AS symbol_ratio,
+           round(n_alpha / n_words, 4) AS alpha_ratio,
+           stop_hits,
+           (n_words BETWEEN 25 AND 100000) AND (non_ws / n_words BETWEEN 3.0 AND 10.0)
+             AND ((n_hash + n_ell) / n_words <= 0.1) AND (n_alpha / n_words >= 0.8)
+             AND stop_hits >= 2 AS keep
+         FROM c""",
+    "q132_c4_filters" ->
+      """WITH t AS (SELECT doc_id, text, lower(text) AS lt,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words
+           FROM documents),
+         c AS (SELECT doc_id, n_words,
+             CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
+           + CAST(length(text) - length(replace(text, '!', '')) AS BIGINT)
+           + CAST(length(text) - length(replace(text, '?', '')) AS BIGINT) AS n_terminal,
+             contains(text, '{') AS has_brace,
+             contains(lt, 'lorem ipsum') AS has_lorem,
+             contains(lt, 'javascript') AS has_javascript
+           FROM t)
+         SELECT doc_id, n_words, n_terminal, has_brace, has_lorem, has_javascript,
+           NOT has_brace AND NOT has_lorem AND n_terminal >= 3 AND n_words >= 5 AS keep
+         FROM c""",
+    "q133_dsir_weights" ->
+      """WITH pos AS (SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+           FROM documents),
+         tgt AS (SELECT term, count(*) AS tcnt FROM pos WHERE lang = 'en' GROUP BY 1),
+         raw AS (SELECT term, count(*) AS rcnt FROM pos WHERE lang <> 'en' GROUP BY 1),
+         tot AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ttot,
+             CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS rtot,
+             CAST(count(DISTINCT term) AS BIGINT) AS v FROM pos),
+         lt AS (SELECT vt.term,
+             round(ln(((COALESCE(tcnt, 0) + 1) / CAST(ttot + v AS DOUBLE)) /
+                      ((COALESCE(rcnt, 0) + 1) / CAST(rtot + v AS DOUBLE))), 6) AS lt
+           FROM (SELECT DISTINCT term FROM pos) vt
+           LEFT JOIN tgt USING (term) LEFT JOIN raw USING (term) CROSS JOIN tot),
+         sc AS (SELECT doc_id, count(*) AS n_tokens,
+             list_sum(list(lt ORDER BY pos)) AS lr
+           FROM pos JOIN lt USING (term) GROUP BY doc_id)
+         SELECT doc_id, n_tokens, round(lr, 4) AS log_ratio, lr > 0 AS keep FROM sc""",
+    "q134_mix_temperature" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                 FROM documents)
+           GROUP BY source),
+         sw AS (SELECT source, n_tokens, round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS sw
+           FROM st),
+         tot AS (SELECT list_sum(list(sw ORDER BY source)) AS tot FROM sw)
+         SELECT source, n_tokens, round(sw / tot, 6) AS weight,
+           round(sw / tot * 1000000.0 / n_tokens, 4) AS expected_epochs
+         FROM sw CROSS JOIN tot""",
+    "q135_token_shards" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           FROM t)
+         SELECT doc_id, source, n_tokens,
+           CAST(cum_before // 2000 AS BIGINT) AS shard_id,
+           CAST(cum_before % 2000 AS BIGINT) AS shard_offset
+         FROM c""",
+    "q138_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+           FROM toks WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+         tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50),
+         rare AS (SELECT shingle FROM tr GROUP BY shingle
+           HAVING count(DISTINCT doc_id) <= 64),
+         shared AS (SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n
+           FROM tr JOIN rare USING (shingle) JOIN ev USING (shingle)
+           GROUP BY tr.doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared_shingles,
+           COALESCE(shared.n, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
+         WHERE d.doc_id >= 50""",
+    "q139_budget_alloc" -> budgetAllocSql,
+    "q142_quality_quantile" ->
+      s"""WITH qq AS (SELECT doc_id, source, quality_score AS quality
+           FROM ($qualityWithSourceSql)),
+         thr AS (SELECT source, quantile_cont(quality, 0.75) AS p75
+           FROM qq GROUP BY source)
+         SELECT doc_id, source, quality, p75
+         FROM qq JOIN thr USING (source)
+         WHERE quality >= p75""",
+    "q146_mad_outliers" ->
+      s"""WITH qq AS (SELECT doc_id, source, quality_score AS quality
+           FROM ($qualityWithSourceSql)),
+         med AS (SELECT source, quantile_cont(quality, 0.5) AS med
+           FROM qq GROUP BY source),
+         dv AS (SELECT doc_id, qq.source, quality, med,
+             abs(quality - med) AS dev
+           FROM qq JOIN med USING (source)),
+         mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad
+           FROM dv GROUP BY source)
+         SELECT doc_id, dv.source, round(quality, 6) AS quality,
+           round(med, 6) AS med, round(dev, 6) AS dev,
+           dev > 3.0 * mad AS is_outlier
+         FROM dv JOIN mad USING (source)""",
+    "q150_padding_efficiency" ->
+      """WITH toks AS (SELECT source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents),
+         ex AS (SELECT source, n_tok,
+             unnest([128, 512, 2048]) AS seq_len FROM toks),
+         ag AS (SELECT source, seq_len,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(least(n_tok, seq_len)) AS BIGINT) AS kept_tokens,
+             CAST(sum(greatest(n_tok - seq_len, 0)) AS BIGINT)
+               AS truncated_tokens
+           FROM ex GROUP BY source, seq_len)
+         SELECT source, CAST(seq_len AS INTEGER) AS seq_len, n_docs,
+           n_tokens, kept_tokens, truncated_tokens,
+           CAST(n_docs * seq_len - kept_tokens AS BIGINT) AS pad_waste,
+           CAST(floor((kept_tokens + seq_len - 1) / seq_len) AS BIGINT)
+             AS packed_rows,
+           round(CAST(kept_tokens AS DOUBLE) /
+             (floor((kept_tokens + seq_len - 1) / seq_len) * seq_len), 6)
+             AS pack_efficiency
+         FROM ag""",
+    "q151_lexical_diversity" ->
+      """WITH w AS (SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT source, term, count(*) AS cnt FROM w
+                GROUP BY source, term),
+         ag AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+           FROM tf GROUP BY source)
+         SELECT source, n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+           round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac
+         FROM ag""",
+    "q152_cluster_sizes" ->
+      s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         cc AS (SELECT a AS vertex, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+         cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM cc GROUP BY component)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_vectors
+         FROM cs GROUP BY cluster_size""",
+    "q153_zipf_head" ->
+      """WITH tc AS (SELECT term, count(*) AS cnt
+           FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                   AS term FROM documents)
+           GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc),
+         top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 50),
+         r AS (SELECT term, CAST(cnt AS BIGINT) AS cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER)
+               AS rank,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM top)
+         SELECT rank, term, cnt,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
+         FROM r, tot""",
+    "q154_quality_length_corr" ->
+      s"""WITH qq AS (SELECT doc_id, source, quality_score
+           FROM ($qualityWithSourceSql)),
+         base AS (SELECT d.doc_id, qq.source,
+             CAST(d.n_chars AS DOUBLE) AS x, quality_score AS y
+           FROM documents d JOIN qq ON qq.doc_id = d.doc_id),
+         m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             list_sum(list(x ORDER BY doc_id)) AS sx,
+             list_sum(list(y ORDER BY doc_id)) AS sy,
+             list_sum(list(x*y ORDER BY doc_id)) AS sxy,
+             list_sum(list(x*x ORDER BY doc_id)) AS sx2,
+             list_sum(list(y*y ORDER BY doc_id)) AS sy2
+           FROM base GROUP BY source)
+         SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN (n*sx2 - sx*sx) * (n*sy2 - sy*sy) <= 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE round((n*sxy - sx*sy) /
+                  (sqrt(n*sx2 - sx*sx) * sqrt(n*sy2 - sy*sy)), 6)
+           END AS corr_len_quality
+         FROM m""",
+    "q157_length_debias" ->
+      s"""WITH qq AS (SELECT doc_id, source, quality_score
+           FROM ($qualityWithSourceSql)),
+         base AS (SELECT d.doc_id, qq.source,
+             CAST(d.n_chars AS DOUBLE) AS x, quality_score AS y
+           FROM documents d JOIN qq ON qq.doc_id = d.doc_id),
+         m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             list_sum(list(x ORDER BY doc_id)) AS sx,
+             list_sum(list(y ORDER BY doc_id)) AS sy,
+             list_sum(list(x*y ORDER BY doc_id)) AS sxy,
+             list_sum(list(x*x ORDER BY doc_id)) AS sx2
+           FROM base GROUP BY source),
+         ab AS (SELECT source, n, sx, sy,
+             CASE WHEN n*sx2 - sx*sx = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE (n*sxy - sx*sy) / (n*sx2 - sx*sx) END AS b
+           FROM m),
+         ab2 AS (SELECT source, b, (sy - b*sx) / n AS a FROM ab)
+         SELECT base.doc_id, base.source,
+           round(y, 6) AS quality,
+           round(y - (a + b*x), 6) AS debiased_quality
+         FROM base JOIN ab2 USING (source)""",
+    "q158_bpe_pair_stats" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+           FROM documents),
+         words AS (SELECT word, count(*) AS freq
+           FROM toks WHERE word <> '' GROUP BY 1),
+         syms AS (SELECT freq,
+             list_append(string_split(word, ''), '</w>') AS symbols
+           FROM words),
+         pairs AS (SELECT symbols[i] AS a, symbols[i+1] AS b, freq
+           FROM syms, UNNEST(range(1, len(symbols))) AS t(i))
+         SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM pairs GROUP BY 1, 2
+         ORDER BY pair_count DESC, a, b LIMIT 20""",
+    "q167_bigram_lm" ->
+      """WITH tk AS MATERIALIZED (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         pos AS MATERIALIZED (
+           SELECT doc_id, i - 1 AS pos, w[i] AS prev, w[i+1] AS cur
+           FROM tk, UNNEST(range(1, len(w))) AS t(i)),
+         uni AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT unnest(w) AS tok FROM tk) GROUP BY 1),
+         tu AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM uni),
+         big AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+           FROM pos GROUP BY 1, 2),
+         cs AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cstart
+           FROM big GROUP BY 1),
+         lp AS (SELECT b.prev, b.cur,
+             round(-ln(CAST(0.7 AS DOUBLE) *
+                 (CAST(b.cb AS DOUBLE) / CAST(c.cstart AS DOUBLE)) +
+               CAST(0.3 AS DOUBLE) *
+                 (CAST(u.cu AS DOUBLE) / CAST(t.t AS DOUBLE))), 6) AS lp
+           FROM big b JOIN cs c USING (prev)
+           JOIN uni u ON u.term = b.cur CROSS JOIN tu t)
+         SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(list_sum(list(l.lp ORDER BY p.pos)) / count(*), 4)
+             AS avg_neg_logp
+         FROM pos p JOIN lp l ON p.prev = l.prev AND p.cur = l.cur
+         GROUP BY p.doc_id""",
+    "q170_feature_hashing" ->
+      """WITH terms AS (
+           SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+'))
+             AS term
+           FROM documents),
+         loads AS (
+           SELECT substr(md5(term), 1, 3) AS bucket,
+             CAST(count(*) AS BIGINT) AS ld
+           FROM terms GROUP BY 1)
+         SELECT CAST(sum(ld) AS BIGINT) AS n_terms,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(max(ld) AS BIGINT) AS max_load,
+           round(CAST(1.0 AS DOUBLE)
+             - CAST(count(*) AS DOUBLE) / CAST(sum(ld) AS DOUBLE), 6)
+             AS collision_frac
+         FROM loads""",
+    "q173_containment_join" ->
+      """WITH d AS MATERIALIZED (
+           SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS g
+           FROM (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter,
+           CAST(len(a.g) AS BIGINT) AS sz_a,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / CAST(len(a.g) AS DOUBLE), 6) AS containment
+         FROM d a JOIN d b ON a.doc_id <> b.doc_id
+         WHERE len(a.g) > 0
+           AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / CAST(len(a.g) AS DOUBLE) >= 0.8""",
+    "q175_weighted_sample" ->
+      """SELECT doc_id, source, n_chars,
+           round(-ln((CAST(CAST(concat('0x',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               AS DOUBLE) + 0.5) / 4294967296.0)
+             / CAST(n_chars AS DOUBLE), 6) AS clock
+         FROM documents ORDER BY clock, doc_id LIMIT 20""",
+    "q176_stratified_sample" ->
+      """SELECT source, doc_id, hk FROM (
+           SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents) WHERE rn <= 5""",
+    "q178_ks_drift" ->
+      """WITH psv AS (SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+           FROM psv GROUP BY 1),
+         corpus AS (SELECT x, CAST(sum(c) AS BIGINT) AS cc
+           FROM psv GROUP BY 1),
+         ct AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corpus),
+         ccum AS (SELECT x,
+             CAST(sum(cc) OVER (ORDER BY x) AS BIGINT) AS ccum
+           FROM corpus),
+         grid AS (SELECT s.source, s.ns, v.x, coalesce(p.c, 0) AS c
+           FROM st s CROSS JOIN (SELECT x FROM corpus) v
+           LEFT JOIN psv p ON p.source = s.source AND p.x = v.x),
+         scum AS (SELECT source, ns, x,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+               AS scum
+           FROM grid)
+         SELECT source, ns AS n,
+           round(max(abs(CAST(scum AS DOUBLE) / CAST(ns AS DOUBLE)
+             - CAST(ccum AS DOUBLE) / CAST(nc AS DOUBLE))), 6) AS ks
+         FROM scum JOIN ccum USING (x) CROSS JOIN ct
+         GROUP BY source, ns""",
+    "q182_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source, n_chars AS x FROM documents),
+         ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           FROM d GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         r AS (SELECT doc_id, source, x,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+               AS BIGINT) AS r
+           FROM d),
+         tt AS (SELECT r.doc_id, r.source, r.x,
+             (r.r * nt.n + ns.n_s - 1) // ns.n_s AS t
+           FROM r JOIN ns USING (source) CROSS JOIN nt),
+         grid AS (SELECT x AS gx,
+             CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS ccum,
+             CAST(sum(c) OVER (ORDER BY x) - c AS BIGINT) AS pcum
+           FROM (SELECT x, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1))
+         SELECT doc_id, source, x, gx AS norm_x
+         FROM tt JOIN grid ON tt.t > grid.pcum AND tt.t <= grid.ccum""",
+    "q194_lang_entropy" ->
+      """WITH lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM lc GROUP BY 1),
+         terms AS (SELECT lc.source, lc.lang, st.tot,
+             round(-((CAST(lc.cnt AS DOUBLE) / CAST(st.tot AS DOUBLE))
+               * ln(CAST(lc.cnt AS DOUBLE) / CAST(st.tot AS DOUBLE))), 6)
+               AS term
+           FROM lc JOIN st USING (source))
+         SELECT source, tot AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
+           round(list_sum(list(term ORDER BY lang)), 4) AS entropy
+         FROM terms GROUP BY source, tot""",
+    "q195_token_gini" ->
+      """WITH tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS x
+           FROM (SELECT source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             FROM documents) GROUP BY 1, 2),
+         idx AS (SELECT source, x,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY x, term)
+               AS BIGINT) AS i
+           FROM tf),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS a
+           FROM idx GROUP BY 1)
+         SELECT source, n AS n_terms, sx AS n_tokens,
+           round(CAST(2 * a - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE), 6) AS gini
+         FROM g""",
+    "q155_dedup_impact" ->
+      s"""WITH RECURSIVE $dedupKeepCtes,
+         toks AS (SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+           FROM documents),
+         kept AS (SELECT t.doc_id, t.source, t.n_tok,
+             (cc.vertex IS NULL OR surv.sid IS NOT NULL) AS keep
+           FROM toks t
+           LEFT JOIN cc ON t.doc_id = cc.vertex
+           LEFT JOIN surv ON t.doc_id = surv.sid)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS docs_before,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_after,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_before,
+           CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_after,
+           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS doc_keep_rate,
+           round(CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS DOUBLE)
+             / sum(n_tok), 6) AS token_keep_rate
+         FROM kept GROUP BY source""",
+    "q156_contamination_curve" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+           FROM toks WHERE len(w) >= 3),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+         tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50),
+         rare AS (SELECT shingle FROM tr GROUP BY shingle
+           HAVING count(DISTINCT doc_id) <= 64),
+         shared AS (SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n
+           FROM tr JOIN rare USING (shingle) JOIN ev USING (shingle)
+           GROUP BY tr.doc_id),
+         th AS (SELECT unnest([1, 2, 4, 8]) AS threshold),
+         fl AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_flagged
+           FROM th JOIN shared ON shared.n >= th.threshold
+           GROUP BY threshold),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+           FROM documents WHERE doc_id >= 50)
+         SELECT CAST(th.threshold AS INTEGER) AS threshold,
+           coalesce(n_flagged, 0) AS n_flagged, n_train,
+           round(CAST(coalesce(n_flagged, 0) AS DOUBLE) / n_train, 6)
+             AS flagged_frac
+         FROM th LEFT JOIN fl USING (threshold), tot""",
+    "q141_mix_apply" ->
+      s"""WITH alloc AS ($budgetAllocSql),
+         rates AS (SELECT source, alloc_tokens / n_tokens AS rate FROM alloc)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN rates USING (source)
+         WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 < rate""",
+    "q71_curation" -> curationSql,
+    "q72_neardup_components" -> neardupComponentsSql,
+    "q78_contamination" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         sh AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w)-1),
+               i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+           FROM toks WHERE len(w) >= 3),
+         ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id < 50),
+         tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id >= 50),
+         rare AS (SELECT shingle FROM tr GROUP BY shingle
+           HAVING count(DISTINCT train_id) <= 64)
+         SELECT eval_id, count(DISTINCT shingle) AS n_shared_shingles,
+           count(DISTINCT train_id) AS n_contaminating_docs
+         FROM ev JOIN tr USING (shingle) JOIN rare USING (shingle)
+         GROUP BY eval_id""",
+    "q76_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS frac
+           FROM documents)
+         WHERE frac < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END""",
+    "q77_sequence_packing" ->
+      """WITH t AS (SELECT doc_id, lang,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         FROM documents)
+         SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix_tokens,
+           CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS pack_id
+         FROM t""",
+    "q56_doc_stats_view" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+         FROM documents GROUP BY lang""",
+  )
+}

@@ -1,0 +1,348 @@
+package graft
+
+import OracleHelpers._
+
+/** DuckDB oracle SQL for the QueriesVector tier (cross-engine determinism
+  * rules in the SparkEntry scaladoc). Moved verbatim from SparkEntry.
+  */
+private[graft] object OracleVector {
+  def map: Map[String, String] = Map(
+    "q38_embed_topk" ->
+      s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings)
+         SELECT vec_id, round($cosineSqlBody, 4) AS cosine_sim
+         FROM e, q ORDER BY cosine_sim DESC, vec_id LIMIT 10""",
+    "q88_rerank" ->
+      s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+         cand AS (SELECT vec_id, $cosineSqlBody AS s1
+           FROM e, q ORDER BY s1 DESC, vec_id LIMIT 50),
+         rr AS (SELECT vec_id, s1,
+             0.9 * s1 + 0.1 * (CAST(CAST(concat('0x', substr(md5(
+               concat('0|', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0) AS s2
+           FROM cand)
+         SELECT vec_id, round(s1, 4) AS cosine_sim, round(s2, 4) AS rerank_score
+         FROM rr ORDER BY s2 DESC, vec_id LIMIT 10""",
+    "q84_int8_ann" ->
+      """WITH q0 AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         q1 AS (SELECT qv,
+             list_max(list_transform(qv, x -> abs(x))) / 127.0 AS qscale FROM q0),
+         q AS (SELECT qscale, CASE WHEN qscale > 0
+             THEN list_transform(qv, x -> CAST(round(x / qscale) AS BIGINT))
+             ELSE list_transform(qv, x -> CAST(0 AS BIGINT)) END AS qcodes FROM q1),
+         e0 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+         e1 AS (SELECT vec_id, ev,
+             list_max(list_transform(ev, x -> abs(x))) / 127.0 AS vscale FROM e0),
+         e AS (SELECT vec_id, vscale, CASE WHEN vscale > 0
+             THEN list_transform(ev, x -> CAST(round(x / vscale) AS BIGINT))
+             ELSE list_transform(ev, x -> CAST(0 AS BIGINT)) END AS codes FROM e1),
+         s AS (SELECT vec_id, vscale, qscale,
+             CAST(list_sum(list_transform(range(1, len(codes)+1),
+               i -> codes[i] * qcodes[i])) AS BIGINT) AS q_dot
+           FROM e, q)
+         SELECT vec_id, q_dot,
+           round(vscale * qscale * CAST(q_dot AS DOUBLE), 4) AS approx_dot
+         FROM s
+         ORDER BY vscale * qscale * CAST(q_dot AS DOUBLE) DESC, vec_id LIMIT 10""",
+    "q40_near_pairs_demo" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 300)
+         SELECT id_a, id_b, cosine_sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))), 4) AS cosine_sim
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         WHERE cosine_sim >= 0.35""",
+    "q41_label_stats" ->
+      """SELECT label, count(*) AS n, min(len(embedding)) AS min_dim,
+         max(len(embedding)) AS max_dim FROM embeddings GROUP BY label""",
+    "q39_lsh_ann" -> lshAnnSql,
+    "q108_triangles" -> trianglesSql,
+    "q67_ivf_search" -> ivfSearchSql,
+    "q122_semantic_dedup" -> semanticDedupSql,
+    "q147_knn_label_agreement" ->
+      s"""WITH ${bucketedPairCtes(4, 0.3)},
+         sym AS (SELECT id_a AS v, id_b AS nb, cos FROM pairs
+                 UNION ALL SELECT id_b AS v, id_a AS nb, cos FROM pairs),
+         nn AS (SELECT v, struct_extract(min({'nc': -cos, 'nb': nb}), 'nb') AS nb
+                FROM sym GROUP BY v),
+         nnl AS (SELECT a.label AS label, b.label AS nb_label
+                 FROM nn JOIN embeddings a ON a.vec_id = nn.v
+                         JOIN embeddings b ON b.vec_id = nn.nb),
+         agg AS (SELECT label, CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(sum(CASE WHEN label = nb_label THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_agree
+                 FROM nnl GROUP BY label),
+         tot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+                 FROM embeddings GROUP BY label)
+         SELECT t.label, n_vectors,
+           coalesce(n_matched, 0) AS n_matched,
+           coalesce(n_agree, 0) AS n_agree,
+           CASE WHEN coalesce(n_matched, 0) = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(CAST(n_agree AS DOUBLE) / n_matched, 6)
+           END AS agree_rate
+         FROM tot t LEFT JOIN agg USING (label)""",
+    "q148_hard_negatives" ->
+      s"""WITH ${bucketedPairCtes(4, 0.3)},
+         sym AS (SELECT id_a AS v, id_b AS nb, cos FROM pairs
+                 UNION ALL SELECT id_b AS v, id_a AS nb, cos FROM pairs),
+         crossp AS (SELECT v, nb, a.label AS label, b.label AS nb_label, cos
+                 FROM sym JOIN embeddings a ON a.vec_id = sym.v
+                          JOIN embeddings b ON b.vec_id = sym.nb
+                 WHERE a.label <> b.label),
+         rk AS (SELECT v, nb, label, nb_label, cos,
+                  row_number() OVER (PARTITION BY v
+                    ORDER BY cos DESC, nb) AS rn
+                FROM crossp)
+         SELECT v, nb, label, nb_label, round(cos, 6) AS cos
+         FROM rk WHERE rn <= 2""",
+    "q149_label_centroids" ->
+      """WITH ev AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         ei AS (SELECT vec_id, label, v,
+             unnest(range(1, len(v)+1)) AS i FROM ev),
+         ed AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS x FROM ei),
+         cent AS (SELECT label, dim,
+             list_sum(list(x ORDER BY vec_id)) / count(*) AS c
+           FROM ed GROUP BY label, dim),
+         cv AS (SELECT label, list(c ORDER BY dim) AS cv
+                FROM cent GROUP BY label)
+         SELECT a.label AS label_a, b.label AS label_b,
+           round(list_sum(list_transform(range(1, len(a.cv)+1),
+               i -> a.cv[i]*b.cv[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(a.cv)+1),
+                 i -> a.cv[i]*a.cv[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.cv)+1),
+                 i -> b.cv[i]*b.cv[i])))), 6) AS centroid_cos
+         FROM cv a JOIN cv b ON a.label < b.label""",
+    "q159_gram_matrix" ->
+      """WITH flat AS (
+           SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i))
+         SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 4) AS gram
+         FROM flat a JOIN flat b USING (vec_id) WHERE a.i <= b.i
+         GROUP BY 1, 2""",
+    "q161_pca_power" -> pcaPowerSql(d = 64, iters = 10),
+    "q163_pagerank" -> pageRankSql(iters = 10),
+    "q169_label_propagation" -> labelPropagationSql(rounds = 5),
+    "q171_triangle_count" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_suppkey AS a, b.l_suppkey AS b
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         deg AS MATERIALIZED (
+           SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         o AS MATERIALIZED (
+           SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+             CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+             CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+           FROM (SELECT e.a, e.b, x.deg AS da, y.deg AS db
+             FROM e JOIN deg x ON e.a = x.node JOIN deg y ON e.b = y.node)),
+         tri AS MATERIALIZED (
+           SELECT w.u, w.v1, w.v2 FROM (
+             SELECT e1.u, e1.v AS v1, e2.v AS v2
+             FROM o e1 JOIN o e2 ON e1.u = e2.u
+               AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))) w
+           JOIN o c ON c.u = w.v1 AND c.v = w.v2),
+         cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM (
+           SELECT u AS node FROM tri UNION ALL SELECT v1 FROM tri
+           UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+         SELECT s.s_suppkey, coalesce(d.deg, 0) AS degree,
+           coalesce(c.t, 0) AS n_triangles,
+           CASE WHEN coalesce(d.deg, 0) >= 2
+             THEN round(CAST(2 * coalesce(c.t, 0) AS DOUBLE)
+               / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6)
+             ELSE 0.0 END AS clustering_coef
+         FROM supplier s
+         LEFT JOIN deg d ON s.s_suppkey = d.node
+         LEFT JOIN cnt c ON s.s_suppkey = c.node""",
+    "q174_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+           FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         comp AS (SELECT t.doc_id, t.term,
+             round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+               (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS comp
+           FROM tf t JOIN df USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats),
+         bm AS (SELECT doc_id,
+             round(list_sum(list(comp ORDER BY term)), 4) AS bm25
+           FROM comp GROUP BY doc_id),
+         lex AS (SELECT doc_id, bm25 FROM bm
+           ORDER BY bm25 DESC, doc_id LIMIT 50),
+         lexr AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS r_lex
+           FROM lex),
+         q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings),
+         sem AS (SELECT vec_id AS doc_id, $cosineSqlBody AS cos
+           FROM e, q ORDER BY cos DESC, doc_id LIMIT 50),
+         semr AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+               AS r_sem
+           FROM sem),
+         f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             l.r_lex, s.r_sem,
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + l.r_lex),
+               CAST(0.0 AS DOUBLE)) +
+             coalesce(CAST(1.0 AS DOUBLE) / (60 + s.r_sem),
+               CAST(0.0 AS DOUBLE)) AS rrf0
+           FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+         SELECT doc_id, round(rrf0, 8) AS rrf, r_lex, r_sem
+         FROM f ORDER BY rrf DESC, doc_id LIMIT 20""",
+    "q179_link_prediction" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2 HAVING count(*) >= 20),
+         und AS MATERIALIZED (
+           SELECT sa, sb FROM e UNION ALL SELECT sb, sa FROM e),
+         deg AS (SELECT sa AS node, CAST(count(*) AS BIGINT) AS deg
+           FROM und GROUP BY 1),
+         compz AS (SELECT node AS z,
+             round(CAST(1.0 AS DOUBLE) / ln(CAST(deg AS DOUBLE)), 6) AS comp
+           FROM deg WHERE deg >= 2),
+         w AS (SELECT e1.sa AS u, e1.sb AS z, e2.sb AS v
+           FROM und e1 JOIN und e2 ON e1.sb = e2.sa AND e1.sa < e2.sb),
+         cand AS (SELECT u, z, v FROM w
+           ANTI JOIN e ON w.u = e.sa AND w.v = e.sb)
+         SELECT u AS s_a, v AS s_b, CAST(count(*) AS BIGINT) AS cn,
+           round(list_sum(list(c.comp ORDER BY c.z)), 4) AS adamic_adar
+         FROM cand JOIN compz c USING (z)
+         GROUP BY u, v
+         ORDER BY adamic_adar DESC, s_a, s_b LIMIT 20""",
+    "q183_retrieval_eval" ->
+      s"""WITH q8 AS (SELECT vec_id AS qid, label AS qlabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 8),
+         e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings),
+         sc AS (SELECT q8.qid, q8.qlabel, e.vec_id, e.label,
+             $cosineSqlBody AS cos
+           FROM e CROSS JOIN q8),
+         top AS (SELECT * FROM (
+             SELECT qid, qlabel, vec_id, label, cos,
+               CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+             FROM sc) WHERE rank <= 10),
+         comp AS (SELECT qid, qlabel, rank,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+             round(CAST(CASE WHEN label = qlabel THEN 1 ELSE 0 END AS DOUBLE)
+               / log2(CAST(rank AS DOUBLE) + 1.0), 6) AS comp
+           FROM top),
+         ag AS (SELECT qid, qlabel, CAST(sum(rel) AS BIGINT) AS n_rel_top10,
+             list_sum(list(comp ORDER BY rank)) AS dcg,
+             min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+           FROM comp GROUP BY 1, 2),
+         nl AS (SELECT label AS qlabel, CAST(count(*) AS BIGINT) AS n_label
+           FROM embeddings GROUP BY 1),
+         fin AS (SELECT ag.qid, ag.n_rel_top10, ag.dcg, ag.first_rel,
+             least(10, nl.n_label) AS m
+           FROM ag JOIN nl USING (qlabel))
+         SELECT qid, n_rel_top10,
+           round(dcg / list_sum(list_transform(range(1, m + 1),
+             i -> round(CAST(1.0 AS DOUBLE)
+               / log2(CAST(i AS DOUBLE) + 1.0), 6))), 6) AS ndcg10,
+           coalesce(round(CAST(1.0 AS DOUBLE) / CAST(first_rel AS DOUBLE), 6),
+             CAST(0.0 AS DOUBLE)) AS mrr
+         FROM fin""",
+    "q184_sssp" -> ssspSql(rounds = 6),
+    "q193_minhash_accuracy" -> minhashAccuracySql,
+    "q196_lsh_pr_curve" -> lshPrCurveSql,
+    "q74_media_features" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         CAST(4 AS INTEGER) AS n_features
+         FROM documents""",
+    // PQ/ADC replica: deterministic rank-order codebooks, the same
+    // -2·dot+|c|² scoring with ordered list_sum folds, ADC totals summed
+    // in subspace order (list(... ORDER BY m) -> list_sum), exact rerank.
+    "q82_pq_adc" ->
+      """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         samp AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, v
+           FROM ev WHERE vec_id < 16),
+         ms AS (SELECT unnest(range(0, 8)) AS m),
+         cwn AS (SELECT s.k, ms.m, s.v[ms.m*8+1 : ms.m*8+8] AS c,
+             list_sum(list_transform(range(1, 9),
+               i -> s.v[ms.m*8+i]*s.v[ms.m*8+i])) AS nsq
+           FROM samp s CROSS JOIN ms),
+         enc AS (SELECT vec_id, m, k AS code FROM (
+             SELECT e.vec_id, cn.m, cn.k,
+               row_number() OVER (PARTITION BY e.vec_id, cn.m ORDER BY
+                 -2 * list_sum(list_transform(range(1, 9),
+                   i -> e.v[cn.m*8+i]*cn.c[i])) + cn.nsq, cn.k) AS rn
+             FROM ev e CROSS JOIN cwn cn) WHERE rn = 1),
+         q AS (SELECT v AS qv FROM (
+             SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM ev WHERE vec_id < 16) WHERE rn = 1),
+         lut AS (SELECT cn.m, cn.k,
+             -2 * list_sum(list_transform(range(1, 9),
+               i -> q.qv[cn.m*8+i]*cn.c[i])) + cn.nsq AS lv
+           FROM cwn cn, q),
+         adc AS (SELECT vec_id, list_sum(lvs) AS adc_score FROM (
+             SELECT en.vec_id, list(l.lv ORDER BY en.m) AS lvs
+             FROM enc en JOIN lut l ON l.m = en.m AND l.k = en.code
+             GROUP BY en.vec_id)),
+         cand AS (SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (ORDER BY adc_score, vec_id) AS rn
+             FROM adc) WHERE rn <= 50),
+         rer AS (SELECT e.vec_id,
+             list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*q.qv[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i]*e.v[i])))
+              * sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))) AS cos
+           FROM ev e JOIN cand USING (vec_id), q)
+         SELECT vec_id, round(cos, 4) AS cosine_sim FROM rer
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    // Image round-trip: the decode must recover the encoded gray exactly,
+    // so the oracle predicts it arithmetically.
+    "q81_image_decode" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+         CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+         CAST(p_partkey * 10 % 256 AS INT) AS gray_decoded
+         FROM part WHERE p_partkey < 24""",
+    "q95_video_frames" ->
+      """WITH v AS (SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             CAST(p_partkey % 4 + 2 AS INT) AS n_frames
+           FROM part WHERE p_partkey < 24),
+         f AS (SELECT media_id, n_frames,
+             CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INT) AS frame_idx
+           FROM v)
+         SELECT media_id, frame_idx, n_frames,
+                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                CAST((media_id * 10 + frame_idx * 40) % 256 AS INT) AS gray_decoded
+         FROM f""",
+    "q91_audio_decode" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+         CAST(8000 AS INT) AS sample_rate,
+         CAST(50 + p_partkey % 10 AS BIGINT) AS n_samples,
+         CAST(p_partkey * 7 % 120 + 1 AS DOUBLE) / 128.0 AS rms,
+         CAST(49 + p_partkey % 10 AS BIGINT) AS zero_crossings
+         FROM part WHERE p_partkey < 24""",
+  )
+}

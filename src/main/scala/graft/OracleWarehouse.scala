@@ -1,0 +1,633 @@
+package graft
+
+import OracleHelpers._
+
+/** DuckDB oracle SQL for the QueriesWarehouse tier (cross-engine determinism
+  * rules in the SparkEntry scaladoc). Moved verbatim from SparkEntry.
+  */
+private[graft] object OracleWarehouse {
+  def map: Map[String, String] = Map(
+    "q85_bloom_pruned_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size = 1 GROUP BY p_brand""",
+    "q89_heavy_hitters" ->
+      """WITH c AS (SELECT lang, source, count(*) AS cnt
+           FROM documents GROUP BY lang, source),
+         r AS (SELECT lang, source, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, source) AS rk
+           FROM c)
+         SELECT lang, source, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rk <= 3""",
+    "q97_zorder_box" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE user_id >= 10 AND user_id <= 40
+           AND value >= 20.0 AND value <= 60.0
+         GROUP BY 1""",
+    "q93_manifest_scan" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events WHERE value >= 10.0 AND value <= 20.0
+         GROUP BY 1""",
+    "q107_decile_bins" ->
+      """WITH b AS (
+           SELECT quantile_cont(o_totalprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+           FROM orders),
+         t AS (
+           SELECT o_totalprice,
+             1 + (SELECT count(*) FROM unnest((SELECT qs FROM b)) AS u(q)
+                  WHERE o_totalprice > q) AS decile
+           FROM orders)
+         SELECT CAST(decile AS INT) AS decile, count(*) AS n,
+                min(o_totalprice) AS min_price,
+                max(o_totalprice) AS max_price
+         FROM t GROUP BY decile""",
+    "q106_transitions" ->
+      """WITH t AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events)
+         SELECT event_type, next_type, count(*) AS n
+         FROM t WHERE next_type IS NOT NULL
+         GROUP BY 1, 2""",
+    "q104_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+           FROM events GROUP BY user_id)
+         SELECT CASE
+             WHEN first_view IS NULL THEN 'no_view'
+             WHEN first_click IS NULL OR first_click <= first_view THEN 'view'
+             WHEN first_purchase IS NULL OR first_purchase <= first_click
+               THEN 'view_click'
+             ELSE 'view_click_purchase' END AS stage,
+           count(*) AS n_users
+         FROM f GROUP BY 1""",
+    "q105_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+                datediff('day', c.cohort_day, e.day) AS day_offset,
+                count(DISTINCT e.user_id) AS n_active
+         FROM e JOIN c USING (user_id)
+         WHERE datediff('day', c.cohort_day, e.day) <= 7
+         GROUP BY 1, 2""",
+    "q103_time_travel" ->
+      """SELECT 'v1' AS snapshot, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT 'v2', count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events
+         UNION ALL
+         SELECT 'delta', count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events WHERE event_id % 2 = 1""",
+    "q102_bloom_point_scan" ->
+      """SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events WHERE user_id IN (3, 77, 142)
+         GROUP BY user_id""",
+    "q111_sliding_distinct" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, event_type,
+                  list(DISTINCT user_id) AS users
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           len(users) AS n_today,
+           len(list_distinct(flatten(list(users) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)))) AS n_trailing_3d
+         FROM daily""",
+    "q110_stratum_topk" ->
+      """WITH h AS (SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0, doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang FROM h WHERE rn <= 20""",
+    "q101_quarantine" ->
+      """SELECT event_id,
+         concat_ws(',',
+           CASE WHEN value > 95.0 THEN 'extreme_value' END,
+           CASE WHEN user_id >= 140 THEN 'suspect_user' END,
+           CASE WHEN event_type IS NULL THEN 'null_type' END) AS violations
+         FROM events
+         WHERE value > 95.0 OR user_id >= 140 OR event_type IS NULL""",
+    "q92_count_min" ->
+      """WITH params(i, a, b) AS (VALUES
+           (0, 1103515245, 12345), (1, 1229782938, 1013904223),
+           (2, 1103581, 7919), (3, 48271, 11)),
+         counters AS (
+           SELECT p.i, ((p.a * e.user_id + p.b) % 2147483647) % 64 AS bucket,
+                  count(*) AS c
+           FROM events e CROSS JOIN params p GROUP BY 1, 2),
+         keys AS (SELECT range AS user_id FROM range(0, 10)),
+         est AS (
+           SELECT k.user_id, min(coalesce(c.c, 0)) AS cm_est
+           FROM keys k CROSS JOIN params p
+           LEFT JOIN counters c
+             ON c.i = p.i AND c.bucket = ((p.a * k.user_id + p.b) % 2147483647) % 64
+           GROUP BY 1),
+         truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1)
+         SELECT e.user_id, CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
+                CAST(e.cm_est AS BIGINT) AS cm_est
+         FROM est e LEFT JOIN truth t USING (user_id)""",
+    "q160_scd2_dimension" ->
+      """WITH snap AS (SELECT c_custkey, c_acctbal FROM customer),
+         upd AS (
+           SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+           FROM snap WHERE c_custkey % 7 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 0.0 FROM snap WHERE c_custkey % 13 = 0),
+         chg AS (
+           SELECT u.c_custkey, u.c_acctbal, CAST(2 AS BIGINT) AS version
+           FROM upd u JOIN snap b USING (c_custkey)
+           WHERE u.c_acctbal IS DISTINCT FROM b.c_acctbal),
+         ins AS (
+           SELECT u.c_custkey, u.c_acctbal, CAST(1 AS BIGINT) AS version
+           FROM upd u ANTI JOIN snap b USING (c_custkey)),
+         closed AS (
+           SELECT b.c_custkey, b.c_acctbal, CAST(1 AS BIGINT) AS version,
+             false AS is_current, '2026-01-01' AS valid_from,
+             '2026-06-01' AS valid_to
+           FROM snap b SEMI JOIN chg c USING (c_custkey)),
+         carried AS (
+           SELECT b.c_custkey, b.c_acctbal, CAST(1 AS BIGINT) AS version,
+             true AS is_current, '2026-01-01' AS valid_from,
+             '9999-12-31' AS valid_to
+           FROM snap b ANTI JOIN chg c USING (c_custkey)),
+         opened AS (
+           SELECT c_custkey, c_acctbal, version, true AS is_current,
+             '2026-06-01' AS valid_from, '9999-12-31' AS valid_to
+           FROM (SELECT * FROM chg UNION ALL SELECT * FROM ins))
+         SELECT * FROM closed UNION ALL SELECT * FROM carried
+         UNION ALL SELECT * FROM opened""",
+    "q162_pit_join" ->
+      """WITH snap AS (SELECT c_custkey, c_acctbal FROM customer),
+         upd AS (
+           SELECT c_custkey, c_acctbal + 500.0 AS c_acctbal
+           FROM snap WHERE c_custkey % 3 = 0),
+         chg AS (
+           SELECT u.c_custkey, u.c_acctbal, CAST(2 AS BIGINT) AS version
+           FROM upd u JOIN snap b USING (c_custkey)
+           WHERE u.c_acctbal IS DISTINCT FROM b.c_acctbal),
+         dim AS (
+           SELECT b.c_custkey, b.c_acctbal, CAST(1 AS BIGINT) AS version,
+             '1990-01-01' AS valid_from, '1995-06-17' AS valid_to
+           FROM snap b SEMI JOIN chg c USING (c_custkey)
+           UNION ALL
+           SELECT b.c_custkey, b.c_acctbal, CAST(1 AS BIGINT) AS version,
+             '1990-01-01', '9999-12-31'
+           FROM snap b ANTI JOIN chg c USING (c_custkey)
+           UNION ALL
+           SELECT c_custkey, c_acctbal, version, '1995-06-17', '9999-12-31'
+           FROM chg)
+         SELECT o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+           d.c_acctbal AS acctbal_asof, d.version
+         FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+           AND CAST(o.o_orderdate AS DATE) >= CAST(d.valid_from AS DATE)
+           AND CAST(o.o_orderdate AS DATE) < CAST(d.valid_to AS DATE)""",
+    "q164_assoc_rules" ->
+      """WITH items AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+         marg AS (SELECT brand, CAST(count(*) AS BIGINT) AS cnt
+           FROM items GROUP BY brand),
+         pairs AS (
+           SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS pair_cnt
+           FROM items a JOIN items b ON a.ok = b.ok AND a.brand < b.brand
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT p.brand_a, p.brand_b, p.pair_cnt,
+           round(CAST(p.pair_cnt AS DOUBLE) / CAST(t.n_baskets AS DOUBLE), 6)
+             AS support,
+           round(CAST(p.pair_cnt AS DOUBLE) / CAST(ma.cnt AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(p.pair_cnt * t.n_baskets AS DOUBLE)
+             / CAST(ma.cnt * mb.cnt AS DOUBLE), 6) AS lift
+         FROM pairs p
+         JOIN marg ma ON p.brand_a = ma.brand
+         JOIN marg mb ON p.brand_b = mb.brand
+         CROSS JOIN tot t""",
+    "q165_hopping_window" ->
+      """WITH e AS (
+           SELECT time_bucket(INTERVAL '15 minutes', ts) AS b, event_type, value
+           FROM events),
+         w AS (
+           SELECT b AS ws, event_type, value FROM e
+           UNION ALL
+           SELECT b - INTERVAL '15 minutes', event_type, value FROM e)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+         FROM w GROUP BY 1, 2""",
+    "q166_funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1),
+         s AS (SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after_click)
+         SELECT n_view, n_click_after_view, n_purchase_after_click,
+           round(CAST(n_click_after_view AS DOUBLE)
+             / CAST(n_view AS DOUBLE), 6) AS click_rate,
+           round(CAST(n_purchase_after_click AS DOUBLE)
+             / CAST(n_view AS DOUBLE), 6) AS purchase_rate
+         FROM s""",
+    "q168_k_anonymity" ->
+      """WITH g AS (
+           SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2)
+         SELECT segment, nation, n, false AS suppressed FROM g WHERE n >= 5
+         UNION ALL
+         SELECT '*' AS segment, '*' AS nation,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n, true AS suppressed
+         FROM g WHERE n < 5 HAVING coalesce(sum(n), 0) > 0""",
+    "q172_markov_transitions" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         nx AS (SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS nxt
+           FROM ev),
+         pairs AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+           FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         marg AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM pairs GROUP BY 1)
+         SELECT p.cur, p.nxt, p.cnt,
+           round(CAST(p.cnt AS DOUBLE) / CAST(m.tot AS DOUBLE), 6) AS prob
+         FROM pairs p JOIN marg m USING (cur)""",
+    "q177_moment_profile" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS s1,
+           CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+           CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+           CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+           FROM documents GROUP BY source),
+         e AS (SELECT source, n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+           CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+           CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+           CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+           FROM g),
+         v AS (SELECT source, n, m, e2, e3, e4, e2 - m * m AS v FROM e)
+         SELECT source, n, round(m, 4) AS mean, round(sqrt(v), 4) AS stddev,
+           round((e3 - m * 3.0 * v - m * m * m) / (v * sqrt(v)), 4)
+             AS skewness,
+           round((e4 - 4.0 * m * e3 + 6.0 * m * m * e2
+             - 3.0 * m * m * m * m) / (v * v), 4) AS kurtosis
+         FROM v""",
+    "q180_frequent_triples" ->
+      """WITH items AS MATERIALIZED (
+           SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+           FROM items),
+         l2 AS MATERIALIZED (
+           SELECT x.brand AS pa, y.brand AS pb
+           FROM items x JOIN items y ON x.ok = y.ok AND x.brand < y.brand
+           CROSS JOIN tot
+           GROUP BY 1, 2, n_baskets HAVING count(*) * 200 >= n_baskets),
+         cand AS (
+           SELECT m.pa AS a, m.pb AS b, n.pb AS c
+           FROM l2 m JOIN l2 n ON m.pa = n.pa AND m.pb < n.pb
+           SEMI JOIN l2 z ON z.pa = m.pb AND z.pb = n.pb),
+         tri AS (
+           SELECT i1.brand AS a, i2.brand AS b, i3.brand AS c
+           FROM items i1
+           JOIN items i2 ON i1.ok = i2.ok AND i1.brand < i2.brand
+           JOIN items i3 ON i1.ok = i3.ok AND i2.brand < i3.brand
+           SEMI JOIN cand ON cand.a = i1.brand AND cand.b = i2.brand
+             AND cand.c = i3.brand)
+         SELECT a, b, c, CAST(count(*) AS BIGINT) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+             AS support
+         FROM tri CROSS JOIN tot
+         GROUP BY a, b, c, n_baskets HAVING count(*) * 200 >= n_baskets""",
+    "q181_skyline" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(len(w) AS BIGINT) AS nt,
+             round(CAST(len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE), 6) AS ttr
+           FROM (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
+         SELECT doc_id, nt AS n_tokens, ttr FROM p a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p b WHERE b.nt >= a.nt AND b.ttr >= a.ttr
+             AND (b.nt > a.nt OR b.ttr > a.ttr))""",
+    "q185_noisy_counts" ->
+      """WITH g AS (
+           SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2),
+         u AS (SELECT segment, nation, n,
+             (CAST(CAST(concat('0x', substr(md5(concat(segment, '|', nation)),
+               1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+           FROM g)
+         SELECT segment, nation, n,
+           round(-CAST(2.0 AS DOUBLE) * sign(u - 0.5)
+             * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - 0.5)), 4)
+             AS noise,
+           round(CAST(n AS DOUBLE) + (-CAST(2.0 AS DOUBLE) * sign(u - 0.5)
+             * ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(u - 0.5))), 4)
+             AS noisy_n
+         FROM u""",
+    "q186_cdc_compact" ->
+      """WITH chg AS (
+           SELECT o_custkey AS ckey, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 10 = 9 THEN 'D'
+               WHEN o_orderkey % 10 >= 6 THEN 'U' ELSE 'I' END AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS val
+           FROM orders),
+         lst AS (SELECT ckey, max(seq) AS seq FROM chg GROUP BY 1)
+         SELECT c.ckey, c.seq, c.op, c.val
+         FROM chg c JOIN lst USING (ckey, seq) WHERE c.op <> 'D'""",
+    "q187_path_trigrams" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         x AS (SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) AS e3
+           FROM ev)
+         SELECT concat_ws('>', e1, e2, e3) AS path,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM x WHERE e3 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+    "q188_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         pu AS (SELECT e.user_id, v.t1, min(e.us) AS t2
+           FROM ev e JOIN v USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > v.t1 GROUP BY 1, 2),
+         d AS (SELECT t2 - t1 AS delay_us FROM pu)
+         SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(delay_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1000000.0, 4) AS avg_s,
+           round(median(delay_us) / 1000000.0, 4) AS median_s,
+           round(quantile_cont(delay_us, 0.9) / 1000000.0, 4) AS p90_s
+         FROM d""",
+    "q189_ewma_daily" ->
+      """WITH daily AS MATERIALIZED (
+           SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+           FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1)),
+         comp AS (SELECT b.day, b.x, a.t AS ti,
+             round((CASE WHEN a.t = 1
+               THEN pow(CAST(0.7 AS DOUBLE), CAST(b.t - 1 AS DOUBLE))
+               ELSE CAST(0.3 AS DOUBLE)
+                 * pow(CAST(0.7 AS DOUBLE), CAST(b.t - a.t AS DOUBLE)) END)
+               * CAST(a.x AS DOUBLE), 6) AS c
+           FROM daily b JOIN daily a ON a.t <= b.t)
+         SELECT day, x, round(list_sum(list(c ORDER BY ti)), 4) AS ewma
+         FROM comp GROUP BY day, x""",
+    "q190_seasonality" ->
+      """WITH s AS (
+           SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM s)
+         SELECT dow, hour, cnt,
+           round(CAST(cnt * 168 AS DOUBLE) / CAST(total AS DOUBLE), 4) AS lift
+         FROM s CROSS JOIN t""",
+    "q191_cusum_changepoint" ->
+      """WITH daily AS MATERIALIZED (
+           SELECT day, x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(x) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+           FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1)),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+           CAST(sum(x) AS BIGINT) AS tot FROM daily),
+         cv AS (SELECT d.day, d.t, d.cum,
+             CAST(d.cum AS DOUBLE) - CAST(d.t AS DOUBLE)
+               * (CAST(st.tot AS DOUBLE) / CAST(st.nd AS DOUBLE)) AS cusum,
+             st.nd
+           FROM daily d CROSS JOIN st),
+         cp AS (SELECT day AS cp_day, cusum AS cp_cusum, nd
+           FROM cv ORDER BY abs(cusum) DESC, day LIMIT 1)
+         SELECT cp.cp_day, round(cp.cp_cusum, 4) AS cusum, cp.nd AS n_days,
+           round(CAST(sum(CASE WHEN d.day <= cp.cp_day THEN d.x END) AS DOUBLE)
+             / CAST(count(CASE WHEN d.day <= cp.cp_day THEN 1 END) AS DOUBLE),
+             4) AS mean_before,
+           round(CAST(sum(CASE WHEN d.day > cp.cp_day THEN d.x END) AS DOUBLE)
+             / CAST(count(CASE WHEN d.day > cp.cp_day THEN 1 END) AS DOUBLE),
+             4) AS mean_after
+         FROM daily d CROSS JOIN cp
+         GROUP BY cp.cp_day, cp.cp_cusum, cp.nd""",
+    "q192_rfm" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders),
+         mx AS (SELECT max(d) AS dmax FROM o),
+         cust AS (SELECT o_custkey,
+             CAST(date_diff('day', max(d), (SELECT dmax FROM mx)) AS BIGINT)
+               AS r,
+             CAST(count(*) AS BIGINT) AS f, sum(tp) AS m
+           FROM o GROUP BY 1),
+         th AS (SELECT
+             quantile_cont(CAST(r AS DOUBLE), 0.25) AS r1,
+             quantile_cont(CAST(r AS DOUBLE), 0.5) AS r2,
+             quantile_cont(CAST(r AS DOUBLE), 0.75) AS r3,
+             quantile_cont(CAST(f AS DOUBLE), 0.25) AS f1,
+             quantile_cont(CAST(f AS DOUBLE), 0.5) AS f2,
+             quantile_cont(CAST(f AS DOUBLE), 0.75) AS f3,
+             quantile_cont(CAST(m AS DOUBLE), 0.25) AS m1,
+             quantile_cont(CAST(m AS DOUBLE), 0.5) AS m2,
+             quantile_cont(CAST(m AS DOUBLE), 0.75) AS m3
+           FROM cust),
+         coded AS (SELECT
+             5 - (CASE WHEN CAST(r AS DOUBLE) <= r1 THEN 1
+               WHEN CAST(r AS DOUBLE) <= r2 THEN 2
+               WHEN CAST(r AS DOUBLE) <= r3 THEN 3 ELSE 4 END) AS r_code,
+             CASE WHEN CAST(f AS DOUBLE) <= f1 THEN 1
+               WHEN CAST(f AS DOUBLE) <= f2 THEN 2
+               WHEN CAST(f AS DOUBLE) <= f3 THEN 3 ELSE 4 END AS f_code,
+             CASE WHEN CAST(m AS DOUBLE) <= m1 THEN 1
+               WHEN CAST(m AS DOUBLE) <= m2 THEN 2
+               WHEN CAST(m AS DOUBLE) <= m3 THEN 3 ELSE 4 END AS m_code,
+             m
+           FROM cust CROSS JOIN th)
+         SELECT r_code, f_code, m_code,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 2)
+             AS avg_monetary
+         FROM coded GROUP BY 1, 2, 3""",
+    "q197_skew_report" ->
+      """WITH kc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows FROM kc)
+         SELECT l_partkey, cnt,
+           round(CAST(cnt AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4)
+             AS rel_load
+         FROM kc CROSS JOIN st
+         ORDER BY cnt DESC, l_partkey LIMIT 10""",
+    "q198_catalog_stats" ->
+      Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+        .map { case (t, pk) =>
+          s"""SELECT '$t' AS table_name, '$pk' AS pk,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT $pk) AS BIGINT) AS n_distinct_pk FROM $t"""
+        }.mkString("\n UNION ALL \n"),
+    "q199_yoy_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1)
+         SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+             / CAST(lag(rev, 12) OVER (ORDER BY month) AS DOUBLE)
+             - CAST(1.0 AS DOUBLE), 6) AS yoy_growth
+         FROM m""",
+    "q200_pareto_revenue" ->
+      """WITH cust AS (SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS rev_c
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c,
+           CAST(count(*) AS BIGINT) AS n FROM cust),
+         ranked AS (SELECT rev_c,
+             CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_c
+           FROM cust)
+         SELECT n AS n_customers,
+           CAST(sum(CASE WHEN (cum_c - rev_c) * 10 < total_c * 8
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           round(CAST(sum(CASE WHEN (cum_c - rev_c) * 10 < total_c * 8
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS top80_frac,
+           round(CAST(total_c AS DOUBLE) / 100.0, 2) AS total_revenue
+         FROM ranked CROSS JOIN tot
+         GROUP BY n, total_c""",
+    "q201_top_brands_per_nation" ->
+      """WITH rolled AS (
+           SELECT n.n_name AS nation, p.p_brand AS brand,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2))
+                 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           GROUP BY 1, 2)
+         SELECT nation, brand, round(CAST(rev AS DOUBLE), 2) AS revenue
+         FROM (SELECT nation, brand, rev,
+             row_number() OVER (PARTITION BY nation
+               ORDER BY rev DESC, brand) AS rn
+           FROM rolled) WHERE rn <= 3""",
+    "q202_fk_audit" ->
+      """SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST(count(*) AS BIGINT) AS n_orphans,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys
+         FROM (SELECT l_orderkey AS k FROM lineitem) f
+         ANTI JOIN (SELECT o_orderkey AS k FROM orders) p USING (k)
+         UNION ALL
+         SELECT 'lineitem.l_partkey -> part',
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+         FROM (SELECT l_partkey AS k FROM lineitem) f
+         ANTI JOIN (SELECT p_partkey AS k FROM part) p USING (k)
+         UNION ALL
+         SELECT 'lineitem.l_suppkey -> supplier',
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+         FROM (SELECT l_suppkey AS k FROM lineitem) f
+         ANTI JOIN (SELECT s_suppkey AS k FROM supplier) p USING (k)
+         UNION ALL
+         SELECT 'orders.o_custkey -> customer',
+           CAST(count(*) AS BIGINT), CAST(count(DISTINCT k) AS BIGINT)
+         FROM (SELECT o_custkey AS k FROM orders) f
+         ANTI JOIN (SELECT c_custkey AS k FROM customer) p USING (k)""",
+    "q140_topk_per_key" ->
+      """SELECT event_type, event_id, value FROM (
+           SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id) AS rn
+           FROM events) t
+         WHERE rn <= 3""",
+    "q75_kmv_sketch" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag,
+           CAST(CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS hv
+         FROM lineitem),
+         r AS (SELECT l_returnflag, hv,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS nd
+           FROM h)
+         SELECT l_returnflag,
+           CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                ELSE 63.0 / max(CASE WHEN rn = 64 THEN hv END) END AS distinct_est
+         FROM r GROUP BY l_returnflag""",
+    "q73_salted_agg" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "q116_bucketed_join" ->
+      """SELECT o.o_custkey, count(1) AS n_items,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_custkey""",
+    "q117_partitioned_scan" ->
+      """SELECT event_type, count(1) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events WHERE event_type IN ('purchase', 'error')
+         GROUP BY event_type""",
+    "q96_profile" ->
+      """SELECT 'o_orderstatus' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+           CAST(max(o_orderstatus) AS VARCHAR) AS max_value FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR),
+           CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR),
+           CAST(max(o_custkey) AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR),
+           CAST(max(o_orderdate) AS VARCHAR) FROM orders""",
+    // Sketch validation contract: the oracle's exact side plus the
+    // always-TRUE error-bound flags the Spark side must reproduce.
+    "q59_sketches" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         TRUE AS approx_parts_ok, TRUE AS p50_ok
+         FROM lineitem GROUP BY l_returnflag""",
+  )
+}

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Ids, Redaction, Text, Vectors}
+import graft.operators.{Dedup, Relational, Sampling, Similarity}
+import QueryDsl._
+
+/** Query registry, PDCM registry tier — entity DAG replays, API views, ontology
+  * trees (the reference-parity surface).
+  *
+  * Entries moved verbatim from SparkEntry (r7 registry split); the
+  * contract — name -> (session, sfDir) -> DataFrame, every entry
+  * oracle-checked — is unchanged and pinned by RegistrySpec.
+  */
+private[graft] object QueriesPdcm {
+  def map: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q120_search_index_e2e" -> ((s, _) => {
+      // The composed entity DAG end-to-end under the oracle hash — the
+      // last un-oracled seam (entities are spec-tested one by one; this
+      // hash-checks their COMPOSITION): stage the canonical two-provider
+      // fixture, run the REAL registry through PipelineRunner to
+      // search_index (reference entities_registry.py:623-691), and
+      // project the SQL-replayable scalar columns. Arrays are joined to
+      // strings for the comparator; xxhash64 surrogate ids and
+      // to_json-built columns are excluded (DuckDB can reproduce
+      // neither byte-for-byte). The oracle replays the whole chain —
+      // TSV/YAML/JSON/OBO parse, dims, patient/model joins, the 4-key
+      // diagnosis-mapping join, the recursive ontology ancestor
+      // closure, display renames, scoring — from the SAME staged files.
+      val work = "/root/repo/target/q120_fixtures"
+      graft.examples.PdcmFull.stageExampleProviders(work)
+      val si = new graft.pipeline.PipelineRunner(
+        s, graft.pdcm.PdcmEntities.registry(),
+        graft.pdcm.PdcmEntities.sources(s, work))
+        .run(Seq("search_index"))("search_index")
+      si.select(
+        col("external_model_id"), col("data_source"),
+        col("patient_id"), col("patient_sex"), col("patient_history"),
+        col("patient_ethnicity"),
+        col("patient_age_at_initial_diagnosis"),
+        col("patient_age_category"), col("patient_age"),
+        col("patient_sample_id"), col("primary_site"), col("collection_site"),
+        col("tumour_type"), col("cancer_stage"), col("cancer_grade"),
+        col("histology"),
+        array_join(col("search_terms"), "|").as("search_terms"),
+        col("cancer_system"),
+        array_join(col("dataset_available"), "|").as("dataset_available"),
+        col("data_score"), col("metadata_score"),
+        col("provider_name"), col("project_name"),
+        col("license_name"), col("license_url"),
+        col("model_type"), col("model_availability"), col("date_submitted"),
+        // Treatment chain (protocol split -> ontology harmonisation ->
+        // regimen expansion/discovery -> per-model aggregation): the
+        // deepest transform path in the registry, arrays joined for the
+        // comparator. Null (no protocol rows for the model) stays
+        // distinct from '' (protocols present, none harmonised).
+        array_join(col("model_treatments"), "|").as("model_treatments"),
+        array_join(col("model_treatments_responses"), "|")
+          .as("model_treatments_responses"),
+        array_join(col("patient_treatments"), "|").as("patient_treatments"),
+        array_join(col("patient_treatments_responses"), "|")
+          .as("patient_treatments_responses"),
+        array_join(col("custom_treatment_type_list"), "|")
+          .as("custom_treatment_type_list"))
+    }),
+
+    // ── Property-graph node/edge tables (reference nodes/edges jobs) ────
+    "q53_nodes" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(
+        lit("customer").as("node_type"), col("c_custkey").as("node_id"),
+        concat(lit("{\"name\":\""), col("c_name"), lit("\"}")).as("data"))
+      val sp = tbl(s, dir, "supplier").select(
+        lit("supplier").as("node_type"), col("s_suppkey").as("node_id"),
+        concat(lit("{\"name\":\""), col("s_name"), lit("\"}")).as("data"))
+      c.union(sp)
+    }),
+
+    // ── SQL surface (pdcm_api-style views, §3.3) ────────────────────────
+    "q55_sql_view" -> ((s, dir) => {
+      graft.api.SqlViews.register(s, dir)
+      s.sql(
+        """SELECT region_name, c_mktsegment AS segment, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM order_facts WHERE o_orderstatus = 'F'
+           GROUP BY region_name, segment""")
+    }),
+    "q69_facet_view" -> ((s, dir) => {
+      graft.api.SqlViews.register(s, dir)
+      s.sql(
+        """SELECT facet_name, array_join(options, ',') AS options,
+           CAST(size(options) AS BIGINT) AS n_options
+           FROM facet_options""")
+    }),
+    "q70_display_view" -> ((s, dir) => {
+      graft.api.SqlViews.register(s, dir)
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, p_name, supplier_name,
+           brand_display, l_quantity
+           FROM item_display WHERE brand_display LIKE 'Brand#3%'""")
+    }),
+    "q79_overview_view" -> ((s, dir) => {
+      // models_by_* overview shape (views.sql:1418 family) served from
+      // the registered SQL surface.
+      graft.api.SqlViews.register(s, dir)
+      s.sql("SELECT nation_name, n_orders FROM orders_by_nation")
+    }),
+    "q80_facet_options_view" -> ((s, dir) => {
+      // search_facet_options shape (views.sql:1280): explode the facet
+      // option arrays into one row per option.
+      graft.api.SqlViews.register(s, dir)
+      s.sql("SELECT facet_name, option FROM facet_option_rows")
+    }),
+    "q115_data_overview_cohorts" -> ((s, dir) => {
+      // data_overview_*_cohorts (data_visualization_views.sql:7,46) —
+      // the cohort views the reference disables on its cluster for
+      // cost. As a folded-view query the panel filter reaches the part
+      // scan and the dims broadcast; the per-row log2 is codegen'd.
+      graft.api.SqlViews.register(s, dir)
+      s.sql("""SELECT l_orderkey, l_linenumber, symbol, provider, type,
+               cohort_system, l_quantity, price_log
+               FROM item_cohorts""")
+    }),
+
+    // ── Distributed transitive closure (graph.Closure, semi-naive) ──────
+    "q68_ancestor_closure" -> ((s, dir) => {
+      // Synthetic 11-deep binary tree over part ids (child k → parent
+      // k div 2); the closure operator itself is the ontology/lineage
+      // ancestor-closure path for fact-sized graphs.
+      val edges = tbl(s, dir, "part")
+        .filter(col("p_partkey") > 1)
+        .select(col("p_partkey").as("child"),
+          expr("p_partkey div 2").as("parent"))
+      graft.graph.Closure.transitiveClosure(edges, "child", "parent")
+    }),
+
+    "q54_edges" -> ((s, dir) => {
+      // Dedup per branch, not after the union: 'placed' is already unique
+      // (one row per order) and cross-branch duplicates are impossible
+      // (distinct labels), so only the 'contains' branch shuffles — and
+      // the union itself is shuffle-free.
+      val placed = tbl(s, dir, "orders").select(
+        lit("placed").as("label"), col("o_custkey").as("src"),
+        col("o_orderkey").as("dst"))
+      val contains = tbl(s, dir, "lineitem").select(
+        lit("contains").as("label"), col("l_orderkey").as("src"),
+        col("l_partkey").as("dst")).dropDuplicates()
+      placed.union(contains)
+    }),
+
+    "q112_parents_tree" -> ((s, dir) => {
+      // Nested PARENTS tree per model (reference get_parents_tree,
+      // init.sql:1175-1188) over an 11-deep single-parent hierarchy
+      // (child k -> parent k div 2). The operator resolves one tree
+      // LEVEL per round for ALL models at once (rounds = depth, work =
+      // O(models x depth)) — vs the reference's one recursive Postgres
+      // call per model. The oracle walks each ancestor chain with a
+      // recursive CTE and builds the byte-identical nested JSON.
+      val m = tbl(s, dir, "part").filter(col("p_partkey") < 2048)
+        .select(concat(lit("M"), col("p_partkey")).as("external_model_id"),
+          when(col("p_partkey") % 2 === 0, "PDX").otherwise("organoid").as("type"),
+          when(col("p_partkey") > 1,
+            concat(lit("M"), expr("p_partkey div 2"))).as("parent_id"))
+      graft.graph.Trees.parentsTree(m, "external_model_id", "type", "parent_id")
+    }),
+
+    "q113_model_relationships" -> ((s, dir) => {
+      // model_relationships + has_relations (reference updates.sql:1-39):
+      // {"parents":...,"children":...} per model over a 3-level family
+      // hierarchy (root, 3 mid models, leaf models) derived from part.
+      // Children trees resolve bottom-up (a parent resolves once ALL its
+      // children have), parents trees top-down — both sweeps touch every
+      // model once per level.
+      val o = col("p_partkey") % 16
+      val m = tbl(s, dir, "part").select(
+        concat(lit("M"), col("p_partkey")).as("external_model_id"),
+        when(col("p_partkey") % 3 === 0, "PDX")
+          .when(col("p_partkey") % 3 === 1, "organoid")
+          .otherwise("cell line").as("type"),
+        when(o === 0, lit(null).cast("string"))
+          .when(o <= 3, concat(lit("M"), col("p_partkey") - o))
+          .otherwise(concat(lit("M"),
+            col("p_partkey") - o + 1 + ((o - 4) % 3))).as("parent_id"))
+      graft.graph.Trees.modelRelationships(m, "external_model_id", "type", "parent_id")
+    }),
+
+    "q114_knowledge_graph" -> ((s, dir) => {
+      // Knowledge-graph JSON per root (reference get_knowledge_graph,
+      // updates.sql:81-150): reachable subgraph from each root over a
+      // namespaced customer->order->part->supplier edge table, emitted
+      // as one {"nodes":[...],"edges":[...]} row per root. All roots
+      // expand in the SAME frontier iteration — per-model recursive
+      // calls never scale; a multi-source BFS join does.
+      val oOff = 10000000L; val pOff = 20000000L; val sOff = 30000000L
+      val orders = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      val edges = orders.select(col("o_custkey").as("src"),
+          (col("o_orderkey") + oOff).as("dst"), lit("placed").as("label"))
+        .union(li.select((col("l_orderkey") + oOff).as("src"),
+          (col("l_partkey") + pOff).as("dst"), lit("contains").as("label"))
+          .dropDuplicates())
+        .union(li.select((col("l_partkey") + pOff).as("src"),
+          (col("l_suppkey") + sOff).as("dst"), lit("supplied_by").as("label"))
+          .dropDuplicates())
+      val nodes = tbl(s, dir, "customer").select(col("c_custkey").as("node_id"),
+          lit("customer").as("node_type"),
+          concat(lit("{\"name\":\""), col("c_name"), lit("\"}")).as("data"))
+        .union(orders.select((col("o_orderkey") + oOff).as("node_id"),
+          lit("order").as("node_type"),
+          concat(lit("{\"status\":\""), col("o_orderstatus"), lit("\"}")).as("data")))
+        .union(tbl(s, dir, "part").select((col("p_partkey") + pOff).as("node_id"),
+          lit("part").as("node_type"),
+          concat(lit("{\"name\":\""), col("p_name"), lit("\"}")).as("data")))
+        .union(tbl(s, dir, "supplier").select((col("s_suppkey") + sOff).as("node_id"),
+          lit("supplier").as("node_type"),
+          concat(lit("{\"name\":\""), col("s_name"), lit("\"}")).as("data")))
+      val roots = tbl(s, dir, "customer")
+        .filter(col("c_custkey").isin(1L, 7L, 42L))
+        .select(col("c_custkey").as("root"))
+      graft.graph.Trees.knowledgeGraph(nodes, edges, roots, "root")
+    }),
+  )
+}

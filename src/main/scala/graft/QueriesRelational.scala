@@ -1,0 +1,465 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Ids, Redaction, Text, Vectors}
+import graft.operators.{Dedup, Relational, Sampling, Similarity}
+import QueryDsl._
+
+/** Query registry, core relational operators — aggregations, joins, set ops,
+  * windows, scalar functions (SURVEY §2.2-§2.8) on the TPC-H tables.
+  *
+  * Entries moved verbatim from SparkEntry (r7 registry split); the
+  * contract — name -> (session, sfDir) -> DataFrame, every entry
+  * oracle-checked — is unchanged and pinned by RegistrySpec.
+  */
+private[graft] object QueriesRelational {
+  def map: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── Aggregations (SURVEY §2.4) ──────────────────────────────────────
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+    }),
+    "q02_fk_dim_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(dec)).cast("double").as("total_acctbal")
+        )
+    }),
+    "q03_revenue_by_nation" -> ((s, dir) => SparkEntry.revenueByNation(s, dir)),
+    "q10_collect_set" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n_orders")
+        )
+    }),
+    "q11_conditional_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0, 1).otherwise(0)).as("n_discounted"),
+          sum(when(col("l_tax") === 0, 1).otherwise(0)).as("n_taxfree"),
+          count(lit(1)).as("n_total")
+        )
+    }),
+    "q44_pivot" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("O", "F", "P"))
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_finished")
+        .withColumnRenamed("P", "n_pending")
+    }),
+
+    // ── Joins (SURVEY §2.3) ─────────────────────────────────────────────
+    "q04_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q05_semi_join" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      val li = tbl(s, dir, "lineitem").filter(col("l_discount") > 0.07)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+    }),
+    "q06_full_outer" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val l = tbl(s, dir, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_ships"))
+      o.join(l, o("day") === l("day"), "full_outer")
+        .select(
+          coalesce(o("day"), l("day")).as("day"),
+          coalesce(col("n_orders"), lit(0)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0)).as("n_ships")
+        )
+    }),
+    "q07_self_join" -> ((s, dir) => {
+      val a = tbl(s, dir, "nation").select(
+        col("n_regionkey").as("rk"), col("n_name").as("nation_a"))
+      val b = tbl(s, dir, "nation").select(
+        col("n_regionkey").as("rk"), col("n_name").as("nation_b"))
+      a.join(b, Seq("rk"))
+        .filter(col("nation_a") < col("nation_b"))
+        .select(col("rk").as("region_key"), col("nation_a"), col("nation_b"))
+    }),
+    "q08_expr_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val dim = o
+        .select(concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")).as("class_key"))
+        .distinct()
+        .withColumn("class_id", Ids.denseId(col("class_key")))
+      o.join(
+          broadcast(dim),
+          concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")) === dim("class_key")
+        )
+        .groupBy(col("class_id"), col("class_key"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+    "q09_exactly_one" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      val ps = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      Relational.exactlyOneJoin(p, ps, "p_partkey", "l_partkey")
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey").as("sole_suppkey"))
+    }),
+    "q29_nullsafe_join" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+        .withColumn("pk", when(col("o_orderstatus") === "O", lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")))
+      val a = o.groupBy(col("pk")).agg(count(lit(1)).as("n_a"))
+      val b = o.groupBy(col("pk"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("total_b"))
+      Relational.nullSafeJoin(a, b, Seq("pk"), "inner")
+        .select(a("pk").as("status_key"), col("n_a"), col("total_b"))
+    }),
+    "q28_sorted_array_join" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+        .select(col("p_partkey"), split(col("p_name"), " ").as("words"))
+      val grouped = p
+        .groupBy(sort_array(col("words")).as("word_bag"))
+        .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+        .filter(col("n_parts") > 1)
+        .select(concat_ws(" ", col("word_bag")).as("word_bag"), col("n_parts"), col("min_partkey"))
+      grouped
+    }),
+
+    // ── Windows (SURVEY §2.5) ───────────────────────────────────────────
+    "q12_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+    "q13_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 5)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(dec)).over(w).cast("double").as("running_qty")
+        )
+    }),
+
+    // ── Projections / filters / recodes (SURVEY §2.2) ───────────────────
+    "q14_recode" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .withColumn("size_class",
+          when(col("o_totalprice") < 1000, "small")
+            .when(col("o_totalprice") < 10000, "medium")
+            .when(col("o_totalprice") < 100000, "large")
+            .otherwise("jumbo"))
+        .groupBy(col("size_class"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+    "q15_distinct" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .dropDuplicates()
+    }),
+    "q23_topk" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+    "q25_dense_id" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(col("p_brand")).distinct()
+        .withColumn("brand_id", Ids.denseId(col("p_brand")))
+    }),
+    "q26_binning" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 1000, "0-1k")
+            .when(col("o_totalprice") < 10000, "1k-10k")
+            .when(col("o_totalprice") < 100000, "10k-100k")
+            .otherwise("100k+"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+    "q22_null_handling" -> ((s, dir) => {
+      val d = when(col("l_discount") === 0, lit(null).cast("double"))
+        .otherwise(col("l_discount"))
+      tbl(s, dir, "lineitem")
+        .withColumn("d", d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("d").isNull.cast("long")).as("n_null"),
+          count(col("d")).as("n_nonnull"),
+          sum(col("d").cast(dec)).cast("double").as("sum_disc")
+        )
+    }),
+
+    // ── Set operations & arrays (SURVEY §2.7) ───────────────────────────
+    "q16_union" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(
+        col("c_name").as("entity_name"), lit("customer").as("kind"),
+        col("c_acctbal").as("acctbal"))
+      val sp = tbl(s, dir, "supplier").select(
+        lit("supplier").as("kind"), col("s_name").as("entity_name"),
+        col("s_acctbal").as("acctbal"))
+      c.unionByName(sp)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("acctbal").cast(dec)).cast("double").as("total_acctbal"))
+    }),
+    "q17_array_ops" -> ((s, dir) => {
+      val words = split(col("p_name"), " ")
+      tbl(s, dir, "part").select(
+        col("p_partkey"),
+        concat_ws(" ", sort_array(array_except(words, array(lit("small"), lit("red")))))
+          .as("kept_words"),
+        size(array_intersect(words, array(lit("small"), lit("red"), lit("blue"))))
+          .as("n_marked")
+      )
+    }),
+
+    // ── Scalar functions (SURVEY §2.8) ──────────────────────────────────
+    "q18_string_funcs" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_upper"),
+        replace(lower(col("c_mktsegment")), lit("a"), lit("@")).as("seg_coded"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len")
+      )
+    }),
+    "q19_regexp" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("cust_num"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("seg_novowel")
+      )
+    }),
+    "q20_explode_wordcount" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+    "q21_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k_val", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k_val")).as("sum_k"), max(col("k_val")).as("max_k"),
+          count(lit(1)).as("n"))
+    }),
+    "q24_hourly_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+    "q42_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev"))) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // ── Composite-key join + join-back agg (SURVEY J3/J10) ──────────────
+    "q27_composite_join" -> ((s, dir) => {
+      // Row-preserving aggregate-join-back done as a WINDOW (SURVEY J10
+      // note): one shuffle by the composite key instead of groupBy +
+      // join-back (two). Same result, verified against the join-form
+      // oracle.
+      val w = Window.partitionBy(col("l_partkey"), col("l_suppkey"))
+      tbl(s, dir, "lineitem")
+        .withColumn("avg_qty",
+          sum(col("l_quantity").cast(dec)).over(w).cast("double") / count(lit(1)).over(w))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(col("l_quantity") > col("avg_qty"), 1).otherwise(0)).as("n_above"),
+          count(lit(1)).as("n_total"))
+    }),
+
+    // ── JSON-array-string aggregation (SURVEY A2 concat-built JSON) ─────
+    "q43_json_build" -> ((s, dir) => {
+      val perStatus = tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("obj",
+          concat(lit("{\"status\":\""), col("o_orderstatus"), lit("\",\"n\":"),
+            col("n").cast("string"), lit("}")))
+      perStatus
+        .groupBy(col("o_orderpriority"))
+        .agg(concat(lit("["),
+          concat_ws(",", sort_array(collect_list(col("obj")))), lit("]"))
+          .as("status_json"))
+    }),
+
+    // ── max(when(contains)) existence flag per group (SURVEY A5) ────────
+    "q45_any_flag" -> ((s, dir) => {
+      val flags = tbl(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      val p = tbl(s, dir, "part")
+      p.join(flags, p("p_partkey") === flags("l_partkey"), "left")
+        .groupBy(col("p_brand"))
+        .agg(sum(coalesce(col("has_r"), lit(0))).as("n_parts_with_returns"),
+          count(lit(1)).as("n_parts"))
+    }),
+
+    // ── array_distinct(flatten(collect_list)) (SURVEY A3) ───────────────
+    "q46_flatten_distinct" -> ((s, dir) => {
+      // Single shuffle by design: partial collect_set dedups map-side, so
+      // the exchange already carries per-partition-distinct flags. A
+      // pre-`distinct()` on (orderkey, flag) was A/B-measured at sf0.1 and
+      // LOST (~1.1s vs ~1.0s): it shuffles the same deduped bytes but adds
+      // a second exchange ((okey,flag)-hash → okey-hash).
+      val perOrder = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_returnflag")).as("flags"))
+      val o = tbl(s, dir, "orders")
+      o.join(perOrder, o("o_orderkey") === perOrder("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(
+          sort_array(array_distinct(flatten(collect_list(col("flags"))))), ",")
+          .as("all_flags"))
+    }),
+
+    // ── collect_list over ordered window, then max per group (W1/A8) ────
+    "q47_window_list" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 3)
+        .withColumn("ship_seq",
+          concat_ws(",",
+            collect_list(date_format(col("l_shipdate"), "yyyy-MM-dd")).over(w)))
+        .groupBy(col("l_suppkey"))
+        .agg(max(col("ship_seq")).as("ship_dates"))
+    }),
+
+    // ── Beyond parity: rollup / intersect / except / date parts ─────────
+    "q65_median" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          count(lit(1)).as("n"))
+    }),
+    "q63_cube" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+    }),
+    "q64_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"))
+    }),
+    "q48_rollup" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+    }),
+    "q49_intersect" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+        .intersect(
+          o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey")).distinct())
+    }),
+    "q50_except" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")).distinct()
+        .except(
+          o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey")).distinct())
+    }),
+    "q51_date_parts" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ── Column-expression scoring (SURVEY A6/A7, no UDF/RDD) ────────────
+    "q52_score" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        .select(
+          col("c_custkey"),
+          (when(col("c_acctbal") > 5000, 40).when(col("c_acctbal") > 1000, 20).otherwise(0)
+            + when(col("c_mktsegment") === "BUILDING", 10).otherwise(0)
+            + floor(least(col("n_orders"), lit(7L)) * 100 / 7.0).cast("int"))
+            .as("metadata_score"))
+    }),
+    // ── As-of join (time-series operator composed Spark-first) ──────────
+    "q57_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      Relational.asofJoin(purchases, views, "user_id", "ts", "view_id", "last_view_id")
+        .select(col("purchase_id"), col("user_id"), col("last_view_id"))
+    }),
+
+    // ── Banded range join (inequality join without the cross product) ───
+    "q58_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational.bandedRangeJoin(errors, purchases, "user_id", "ts", 300)
+        .select(col("l_event_id").as("error_id"), col("r_event_id").as("purchase_id"))
+    }),
+  )
+}

@@ -1,0 +1,1069 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Ids, Redaction, Text, Vectors}
+import graft.operators.{Dedup, Relational, Sampling, Similarity}
+import QueryDsl._
+
+/** Query registry, warehouse / BI / time-series tier — layout, sketches,
+  * sessionization, reports, SCD/CDC, the q197-q203 audit family.
+  *
+  * Entries moved verbatim from SparkEntry (r7 registry split); the
+  * contract — name -> (session, sfDir) -> DataFrame, every entry
+  * oracle-checked — is unchanged and pinned by RegistrySpec.
+  */
+private[graft] object QueriesWarehouse {
+  def map: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_bloom_pruned_join" -> ((s, dir) => {
+      // Runtime-filter pattern as an explicit operator: a distributed
+      // bloom of the dim keys (one OR-merged bitset row), broadcast and
+      // applied to the fact scan as a codegen'd predicate BEFORE the join
+      // shuffle. False positives die in the join, so the oracle is the
+      // plain join.
+      val dim = tbl(s, dir, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey"), col("p_brand"))
+      val fact = tbl(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"))
+      graft.operators.BloomJoin
+        .prunedJoin(fact, "l_partkey", dim, "p_partkey", numBits = 1 << 18)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+    }),
+
+    "q73_salted_agg" -> ((s, dir) => {
+      // Two-phase salted aggregation (skew path): partial counts per
+      // (key, salt), then re-aggregate — same result as a plain groupBy,
+      // but a hot key spreads over `salts` reducers.
+      graft.operators.Skew.saltedCount(
+        tbl(s, dir, "lineitem").select(col("l_returnflag")),
+        "l_returnflag", salts = 16)
+    }),
+
+    "q96_profile" -> ((s, dir) =>
+      // One-scan column profiler (Expand-planned multi-countDistinct):
+      // the pre-curation "describe" pass. Doubles stay out of the
+      // profile set — their string rendering is engine-specific; every
+      // other type renders identically cross-engine.
+      graft.operators.Profile.profile(
+        tbl(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"))),
+
+    "q160_scd2_dimension" -> ((s, dir) => {
+      // Kimball SCD Type-2 dimension merge (operators.Scd): a derived
+      // update snapshot — balance bump for custkey%7==0, brand-new
+      // keys for custkey%13==0 — merges into the customer dimension:
+      // changed keys close version 1 and open version 2, new keys
+      // insert at version 1, everything else carries forward. The
+      // changed-key set is delta-sized and broadcasts for the base's
+      // close/carry routing; the base never re-shuffles after the one
+      // key-keyed compare join. Balance arithmetic is the identical
+      // IEEE `+100.0` on both engines — no rounding needed.
+      import graft.operators.Scd
+      val snap = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val base = Scd.asDimension(snap, "2026-01-01")
+      val upd = snap.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+        .unionByName(snap.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+            lit(0.0).as("c_acctbal")))
+      Scd.scd2Merge(base, upd, "c_custkey", Seq("c_acctbal"), "2026-06-01")
+    }),
+
+    "q162_pit_join" -> ((s, dir) => {
+      // Point-in-time-correct dimension lookup — the feature-store PIT
+      // join that prevents training-data leakage: each fact joins the
+      // dimension VERSION that was valid at fact time, never a later
+      // one. Composes q160's SCD2 machinery (v1 from 1990, balances
+      // bumped for custkey%3==0 on 1995-06-17) with an equi+interval
+      // join: Spark plans the c_custkey equality as the join key and
+      // the [valid_from, valid_to) interval as a post-join filter — a
+      // plain key-shuffled join at 100 TB, no interval blow-up, since
+      // versions-per-key is small by construction.
+      import graft.operators.Scd
+      val snap = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val base = Scd.asDimension(snap, "1990-01-01")
+      val upd = snap.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + lit(500.0)).as("c_acctbal"))
+      val dim = Scd.scd2Merge(base, upd, "c_custkey", Seq("c_acctbal"), "1995-06-17")
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_date"))
+      o.join(dim, o("o_custkey") === dim("c_custkey") &&
+          col("o_date") >= to_date(dim("valid_from")) &&
+          col("o_date") < to_date(dim("valid_to")))
+        .select(col("o_orderkey"),
+          date_format(col("o_date"), "yyyy-MM-dd").as("o_date"),
+          col("c_acctbal").as("acctbal_asof"), col("version"))
+    }),
+
+    "q164_assoc_rules" -> ((s, dir) => {
+      // Market-basket association rules (support / confidence / lift)
+      // over per-order brand baskets — the classic co-occurrence mining
+      // shape. Baskets come from one corpus join (lineitem⋈part on the
+      // FK); the pair generation is a self-join keyed on the ORDER (per-
+      // key multiplicity ≤ distinct brands per order, so the output is
+      // ~pairs-per-basket × orders, linear in the fact table — never
+      // brand×brand×corpus). Brand marginals are brand-dimension-sized
+      // and broadcast back; totals ride a 1-row crossJoin. All ratios
+      // are single double divisions of exact BIGINTs (engine convention).
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val items = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val totals = items.agg(countDistinct(col("ok")).as("n_baskets"))
+      val marg = items.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+        .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 5)
+      pairs
+        .join(broadcast(marg.select(col("brand").as("brand_a"), col("cnt").as("cnt_a"))), Seq("brand_a"))
+        .join(broadcast(marg.select(col("brand").as("brand_b"), col("cnt").as("cnt_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(totals))
+        .select(col("brand_a"), col("brand_b"), col("pair_cnt"),
+          round(col("pair_cnt").cast("double") / col("n_baskets").cast("double"), 6)
+            .as("support"),
+          round(col("pair_cnt").cast("double") / col("cnt_a").cast("double"), 6)
+            .as("confidence"),
+          round((col("pair_cnt") * col("n_baskets")).cast("double") /
+            (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+    }),
+
+    "q165_hopping_window" -> ((s, dir) => {
+      // Batch hopping-window aggregation (30-min windows sliding 15 min)
+      // via Spark's native `window()` — each event lands in exactly two
+      // epoch-aligned windows, so the expansion is a fixed ×2 projection
+      // feeding one map-combinable aggregation; no self-join, no range
+      // join. The oracle replays the same grid with time_bucket (both
+      // engines align 15-min buckets to midnight-anchored origins).
+      Tables.events(s, dir)
+        .select(window(col("ts"), "30 minutes", "15 minutes").as("w"),
+          col("event_type"), col("value"))
+        .groupBy(col("w.start").as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
+    "q166_funnel_steps" -> ((s, dir) => {
+      // Batch funnel: users who viewed, then clicked AFTER their first
+      // view, then purchased AFTER that click — strict event-time
+      // ordering, the batch face of the streaming funnel. Three chained
+      // user-keyed conditional-min aggregations: every shuffle is keyed
+      // on user_id (corpus-bound, honest at 100 TB — no broadcast of a
+      // user-sized side), each stage's state is one timestamp per
+      // surviving user, and the final report is a single 1-row rollup.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      val nc = c.agg(count(lit(1)).as("n_click_after_view"))
+      val np = pu.agg(count(lit(1)).as("n_purchase_after_click"))
+      nv.crossJoin(nc).crossJoin(np)
+        .select(col("n_view"), col("n_click_after_view"),
+          col("n_purchase_after_click"),
+          round(col("n_click_after_view").cast("double") /
+            col("n_view").cast("double"), 6).as("click_rate"),
+          round(col("n_purchase_after_click").cast("double") /
+            col("n_view").cast("double"), 6).as("purchase_rate"))
+    }),
+
+    "q168_k_anonymity" -> ((s, dir) => {
+      // k-anonymity suppression gate (k=5) over the (segment, nation)
+      // quasi-identifier: groups below k collapse into ONE fully-
+      // generalized '*' bucket — the governance pre-release check that a
+      // curated dataset can't single out small cohorts. One broadcast
+      // dim join + one map-combinable group count; both branches reuse
+      // the same pinned QI-sized aggregate.
+      val c = tbl(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val g = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val safe = g.filter(col("n") >= 5)
+        .select(col("segment"), col("nation"), col("n"),
+          lit(false).as("suppressed"))
+      val supp = g.filter(col("n") < 5)
+        .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("n"))
+        .select(lit("*").as("segment"), lit("*").as("nation"), col("n"),
+          lit(true).as("suppressed"))
+        .filter(col("n") > 0)
+      safe.unionByName(supp)
+    }),
+
+    "q172_markov_transitions" -> ((s, dir) => {
+      // First-order Markov transition matrix over per-user event
+      // sequences (session path mining): P(next | current) with counts.
+      // The lead() window partitions by user — per-key sequences are
+      // bounded, never a global sort — and everything after it is
+      // event-type²-sized. Probabilities are one double division of
+      // exact counts.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val pairs = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val marg = pairs.groupBy(col("cur")).agg(sum(col("cnt")).as("tot"))
+      pairs.join(broadcast(marg), Seq("cur"))
+        .select(col("cur"), col("nxt"), col("cnt"),
+          round(col("cnt").cast("double") / col("tot").cast("double"), 6)
+            .as("prob"))
+    }),
+
+    "q177_moment_profile" -> ((s, dir) => {
+      // Distribution profile (mean/stddev/skewness/kurtosis) per source
+      // from EXACT integer power sums: n_chars ≤ ~600 keeps Σx⁴ inside
+      // BIGINT, so the four sums are map-combinable exact aggregates and
+      // every float appears only in the final per-source derivation —
+      // bit-identical across engines with no ordered-fold machinery.
+      val x = col("n_chars")
+      val g = tbl(s, dir, "documents")
+        .select(col("source"), x.as("x"), (x * x).as("x2"),
+          (x * x * x).as("x3"), (x * x * x * x).as("x4"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+          sum(col("x4")).as("s4"))
+      val nd = col("n").cast("double")
+      val m = col("s1").cast("double") / nd
+      val e2 = col("s2").cast("double") / nd
+      val e3 = col("s3").cast("double") / nd
+      val e4 = col("s4").cast("double") / nd
+      val v = e2 - m * m
+      val sd = sqrt(v)
+      val skew = (e3 - m * lit(3.0) * v - m * m * m) / (v * sd)
+      val kurt = (e4 - lit(4.0) * m * e3 + lit(6.0) * m * m * e2 -
+        lit(3.0) * m * m * m * m) / (v * v)
+      g.select(col("source"), col("n"), round(m, 4).as("mean"),
+        round(sd, 4).as("stddev"), round(skew, 4).as("skewness"),
+        round(kurt, 4).as("kurtosis"))
+    }),
+
+    "q180_frequent_triples" -> ((s, dir) => {
+      // Level-wise Apriori: frequent brand PAIRS (L2) generate candidate
+      // triples, pruned by the anti-monotone property (every 2-subset
+      // must itself be frequent) BEFORE any counting touches the corpus
+      // — the candidate set is dimension-sized and broadcast into the
+      // per-basket triple stream (≤ C(brands-per-basket,3) rows per
+      // order, linear in the fact table). Support is RELATIVE (0.5% of
+      // baskets) as an exact integer comparison, cnt·200 ≥ n_baskets —
+      // no float thresholds, stable across corpus sizes.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val items = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+        .localCheckpoint()
+      val totals = items.agg(countDistinct(col("ok")).as("n_baskets"))
+      val l2 = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("pa"), col("y.brand").as("pb"))
+        .agg(count(lit(1)).as("pc"))
+        .crossJoin(broadcast(totals))
+        .filter(col("pc") * 200 >= col("n_baskets"))
+        .select(col("pa"), col("pb"))
+        .localCheckpoint()
+      // Candidate join L2⋈L2 on the first item, then the Apriori prune:
+      // (b, c) must also be in L2.
+      val cand = l2.as("m").join(l2.as("n"),
+          col("m.pa") === col("n.pa") && col("m.pb") < col("n.pb"))
+        .select(col("m.pa").as("a"), col("m.pb").as("b"), col("n.pb").as("c"))
+        .join(l2.select(col("pa").as("b"), col("pb").as("c")), Seq("b", "c"),
+          "left_semi")
+      // Apriori prune BEFORE the third self-join: the (i1,i2) pair
+      // stream semi-joins broadcast L2 first, so a hot basket (retail
+      // scale: thousands of items) contributes frequent-pair rows — not
+      // C(width,2) rows — to the triple enumeration, bounding the
+      // intermediate at |frequent pairs|·width instead of width³.
+      // PlanSpec asserts this semi-join sits BELOW the final candidate
+      // semi-join in the plan.
+      val triples = items.as("i1")
+        .join(items.as("i2"),
+          col("i1.ok") === col("i2.ok") && col("i1.brand") < col("i2.brand"))
+        .select(col("i1.ok").as("pair_ok"), col("i1.brand").as("a"),
+          col("i2.brand").as("b"))
+        .join(broadcast(l2.select(col("pa").as("a"), col("pb").as("b"))),
+          Seq("a", "b"), "left_semi")
+        .join(items.as("i3"),
+          col("pair_ok") === col("i3.ok") && col("b") < col("i3.brand"))
+        .select(col("a"), col("b"), col("i3.brand").as("c"))
+        .join(broadcast(cand), Seq("a", "b", "c"), "left_semi")
+      triples.groupBy(col("a"), col("b"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter(col("cnt") * 200 >= col("n_baskets"))
+        .select(col("a"), col("b"), col("c"), col("cnt"),
+          round(col("cnt").cast("double") / col("n_baskets").cast("double"), 6)
+            .as("support"))
+    }),
+
+    "q181_skyline" -> ((s, dir) => {
+      // Pareto frontier over (n_tokens ↑, type-token ratio ↑) — the
+      // multi-objective "keep the long AND lexically-rich docs" selection
+      // a curation pass makes. Two-phase exact skyline: per-partition
+      // local frontiers (mapPartitions — dominance is not a key-equality
+      // join, the one shape the RDD tier is reserved for), then one
+      // dominance anti-join over the frontier-sized candidate union.
+      // TTR is rounded to its 6-dp grid BEFORE dominance in both engines.
+      import s.implicits._
+      val pts = tbl(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          size(Text.tokens(col("text"))).cast("long").as("x"),
+          round(size(array_distinct(Text.tokens(col("text")))).cast("double") /
+            size(Text.tokens(col("text"))).cast("double"), 6).as("y"))
+        .as[operators.Skyline.Pt]
+      operators.Skyline.frontier(pts)
+        .select(col("id").as("doc_id"), col("x").as("n_tokens"),
+          col("y").as("ttr"))
+    }),
+
+    "q185_noisy_counts" -> ((s, dir) => {
+      // DP-STYLE noisy release: (segment, nation) counts plus Laplace
+      // (b=2) noise drawn by inverse-CDF from a DETERMINISTIC md5-seeded
+      // unit uniform — replayable pipeline-testing noise (documented as
+      // such: real DP needs a fresh RNG; the calibration, sensitivity-1
+      // counts ÷ b, is the real thing). Pairs with q168's k-anonymity
+      // gate as the privacy tier. One broadcast dim join + one QI-sized
+      // group count; noise is a codegen'd projection.
+      val c = tbl(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val g = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"))
+      val u = (expr(
+        "cast(conv(substring(md5(concat(segment, '|', nation)), 1, 8), 16, 10) as double)")
+        + lit(0.5)) / lit(4294967296.0)
+      val noise = -lit(2.0) * signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+      g.select(col("segment"), col("nation"), col("n"),
+        round(noise, 4).as("noise"),
+        round(col("n").cast("double") + noise, 4).as("noisy_n"))
+    }),
+
+    "q186_cdc_compact" -> ((s, dir) => {
+      // CDC log compaction with last-writer-wins: a change log (derived
+      // deterministically from orders — insert/update/delete by key
+      // modulus, sequence = order key) collapses to one surviving row
+      // per key, deletes dropping the key entirely. The compaction is
+      // one map-combinable max-seq agg + one key-equi join back — the
+      // merge a CDC sink runs before loading a snapshot, and the
+      // row-level sibling of the SCD2 history merge (q160).
+      val chg = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("ckey"), col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 10 === 9, lit("D"))
+            .when(col("o_orderkey") % 10 >= 6, lit("U"))
+            .otherwise(lit("I")).as("op"),
+          col("o_totalprice").cast(dec).cast("double").as("val"))
+        .localCheckpoint()
+      val last = chg.groupBy(col("ckey")).agg(max(col("seq")).as("seq"))
+      chg.join(last, Seq("ckey", "seq"))
+        .filter(col("op") =!= "D")
+        .select(col("ckey"), col("seq"), col("op"), col("val"))
+    }),
+
+    "q187_path_trigrams" -> ((s, dir) => {
+      // Top navigation paths: per-user consecutive event-type TRIGRAMS
+      // (the length-3 extension of q172's transition matrix), counted
+      // corpus-wide, top-20. The double-lead window partitions per user
+      // (bounded sequences); everything after is path-type-sized and the
+      // top-20 is TakeOrderedAndProject.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path")).limit(20)
+    }),
+
+    "q188_funnel_latency" -> ((s, dir) => {
+      // Conversion-latency report: first-view → first-purchase-after
+      // delay per user, with exact-count average and interpolated
+      // median/p90 (the q65 percentile contract). Delays stay integer
+      // microseconds through every aggregate; the µs→seconds division
+      // and rounding happen exactly once at the end.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("t2"))
+      pu.select((col("t2") - col("t1")).as("delay_us"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("delay_us")).as("sum_us"),
+          percentile(col("delay_us"), lit(0.5)).as("med_us"),
+          percentile(col("delay_us"), lit(0.9)).as("p90_us"))
+        .select(col("n_conversions"),
+          round(col("sum_us").cast("double") /
+            col("n_conversions").cast("double") / lit(1000000.0), 4).as("avg_s"),
+          round(col("med_us") / lit(1000000.0), 4).as("median_s"),
+          round(col("p90_us") / lit(1000000.0), 4).as("p90_s"))
+    }),
+
+    "q189_ewma_daily" -> ((s, dir) => {
+      // EWMA smoothing (α=0.3) of the daily event count series. The
+      // recurrence unrolls to the closed triangular form s_t =
+      // Σᵢ coef(t,i)·xᵢ, so it runs as a self-join over the DAY-SIZED
+      // series (the corpus collapses to per-day counts first — the only
+      // corpus-shaped step is that one map-combinable count). Components
+      // round to 6 dp and fold in day order; 30 days ⇒ a 30×30/2 join.
+      val daily = operators.ScalableWindow.boundedRankCum(
+          Tables.events(s, dir)
+            .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
+            .groupBy(col("day")).agg(count(lit(1)).as("x")),
+          Seq(("day", true)), "t")
+        .localCheckpoint()
+      val a = daily.select(col("t").as("ti"), col("x").as("xi"))
+      val b = daily.select(col("day"), col("t").as("tt"), col("x"))
+      val comp = b.join(a, col("ti") <= col("tt"))
+        .withColumn("coef",
+          when(col("ti") === 1, pow(lit(0.7), (col("tt") - 1).cast("double")))
+            .otherwise(lit(0.3) *
+              pow(lit(0.7), (col("tt") - col("ti")).cast("double"))))
+        .withColumn("c", round(col("coef") * col("xi").cast("double"), 6))
+      comp.groupBy(col("day"), col("x"))
+        .agg(round(aggregate(array_sort(collect_list(struct(col("ti"), col("c")))),
+          lit(0.0), (acc, e) => acc + e.getField("c")), 4).as("ewma"))
+    }),
+
+    "q190_seasonality" -> ((s, dir) => {
+      // Hour-of-day × day-of-week traffic profile with uniform-lift —
+      // seasonality slots computed with PURE INTEGER epoch arithmetic
+      // (no engine calendar functions, whose week-start conventions
+      // differ): dow = (epoch_day + 4) mod 7, 0 = Sunday. One
+      // map-combinable slot count; lift = one double division of exact
+      // integers.
+      val us = unix_micros(col("ts"))
+      val slots = Tables.events(s, dir)
+        .select(expr("(div(unix_micros(ts), 86400000000) + 4) % 7").as("dow"),
+          expr("div(unix_micros(ts) % 86400000000, 3600000000)").as("hour"))
+        .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tot = slots.agg(sum(col("cnt")).as("total"))
+      slots.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("cnt"),
+          round((col("cnt") * lit(168)).cast("double") /
+            col("total").cast("double"), 4).as("lift"))
+    }),
+
+    "q191_cusum_changepoint" -> ((s, dir) => {
+      // CUSUM changepoint estimate over the daily count series:
+      // C_t = Σᵢ≤t xᵢ − t·μ (an EXACT integer cumulative minus one
+      // double product), changepoint = argmax |C_t| with earliest-day
+      // tie-break, plus before/after means from exact sums. Corpus
+      // collapses to day counts first; every window is day-bounded.
+      val daily = operators.ScalableWindow.boundedRankCum(
+          Tables.events(s, dir)
+            .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
+            .groupBy(col("day")).agg(count(lit(1)).as("x")),
+          Seq(("day", true)), "t", Seq(("x", "cum")))
+        .localCheckpoint()
+      val stats = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("tot"))
+      val cvals = daily.crossJoin(broadcast(stats))
+        .withColumn("mu", col("tot").cast("double") / col("nd").cast("double"))
+        .withColumn("cusum", col("cum").cast("double") - col("t").cast("double") * col("mu"))
+      val cp = cvals.orderBy(abs(col("cusum")).desc, col("day")).limit(1)
+        .select(col("day").as("cp_day"), col("cusum").as("cp_cusum"),
+          col("nd"), col("tot"))
+      daily.crossJoin(broadcast(cp))
+        .groupBy(col("cp_day"), col("cp_cusum"), col("nd"))
+        .agg(
+          sum(when(col("day") <= col("cp_day"), col("x"))).as("sum_b"),
+          count(when(col("day") <= col("cp_day"), lit(1))).as("n_b"),
+          sum(when(col("day") > col("cp_day"), col("x"))).as("sum_a"),
+          count(when(col("day") > col("cp_day"), lit(1))).as("n_a"))
+        .select(col("cp_day"), round(col("cp_cusum"), 4).as("cusum"),
+          col("nd").as("n_days"),
+          round(col("sum_b").cast("double") / col("n_b").cast("double"), 4)
+            .as("mean_before"),
+          round(col("sum_a").cast("double") / col("n_a").cast("double"), 4)
+            .as("mean_after"))
+    }),
+
+    "q192_rfm" -> ((s, dir) => {
+      // RFM segmentation: per-customer recency/frequency/monetary
+      // quartile codes (recency reversed — recent is better), segment
+      // counts + average monetary. Quartile thresholds are EXACT
+      // interpolated percentiles broadcast back (the q142/q146 rule: the
+      // corpus is never window-sorted; only the customer-sized aggregate
+      // is). Monetary stays DECIMAL through every sum, one double
+      // division per segment at the end.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"), col("o_totalprice").cast(dec).as("tp"))
+      val maxd = o.agg(max(col("d")).as("dmax"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("d")).as("last"), count(lit(1)).as("f"), sum(col("tp")).as("m"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("r", datediff(col("dmax"), col("last")).cast("long"))
+        .withColumn("md", col("m").cast("double"))
+        .localCheckpoint()
+      val th = cust.agg(
+        percentile(col("r"), lit(0.25)).as("r1"),
+        percentile(col("r"), lit(0.5)).as("r2"),
+        percentile(col("r"), lit(0.75)).as("r3"),
+        percentile(col("f"), lit(0.25)).as("f1"),
+        percentile(col("f"), lit(0.5)).as("f2"),
+        percentile(col("f"), lit(0.75)).as("f3"),
+        percentile(col("md"), lit(0.25)).as("m1"),
+        percentile(col("md"), lit(0.5)).as("m2"),
+        percentile(col("md"), lit(0.75)).as("m3"))
+      def codeOf(x: Column, t1: Column, t2: Column, t3: Column) =
+        when(x <= t1, 1).when(x <= t2, 2).when(x <= t3, 3).otherwise(4)
+      cust.crossJoin(broadcast(th))
+        .select(
+          (lit(5) - codeOf(col("r").cast("double"), col("r1"), col("r2"), col("r3")))
+            .as("r_code"),
+          codeOf(col("f").cast("double"), col("f1"), col("f2"), col("f3"))
+            .as("f_code"),
+          codeOf(col("md"), col("m1"), col("m2"), col("m3")).as("m_code"),
+          col("m"))
+        .groupBy(col("r_code"), col("f_code"), col("m_code"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("sm"))
+        .select(col("r_code"), col("f_code"), col("m_code"), col("n_customers"),
+          round(col("sm").cast("double") / col("n_customers").cast("double"), 2)
+            .as("avg_monetary"))
+    }),
+
+    "q197_skew_report" -> ((s, dir) => {
+      // Join-skew diagnostic: the 10 hottest l_partkey values with their
+      // load relative to the mean key load — the report you read before
+      // choosing salting (q73) or AQE skew handling for a join. One
+      // map-combinable key count; the mean rides a 1-row crossJoin; the
+      // top-10 is TakeOrderedAndProject.
+      val keyCnt = tbl(s, dir, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val stats = keyCnt.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+      keyCnt.crossJoin(broadcast(stats))
+        .select(col("l_partkey"), col("cnt"),
+          round(col("cnt").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys").cast("double")), 4)
+            .as("rel_load"))
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+    }),
+
+    "q198_catalog_stats" -> ((s, dir) => {
+      // Catalog statistics sweep (the ANALYZE TABLE numbers a cost-based
+      // optimizer feeds on): row count + distinct primary-key count per
+      // table, one scan each, unioned into a 10-row catalog. Each leg is
+      // a partial-aggregable count + approx-free exact distinct.
+      val pks = Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+      pks.map { case (t, pk) =>
+        tbl(s, dir, t).agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(pk)).as("n_distinct_pk"))
+          .select(lit(t).as("table_name"), lit(pk).as("pk"),
+            col("n_rows"), col("n_distinct_pk"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    "q199_yoy_growth" -> ((s, dir) => {
+      // Time-intelligence classic: monthly revenue with year-over-year
+      // growth via lag-12 over the MONTH-bounded series (the corpus
+      // collapses to ~84 month rows first; the window never sees order
+      // rows). Revenue stays DECIMAL through the sum; growth is one
+      // double division; the first year is null in both engines.
+      val m = tbl(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_totalprice").cast(dec).as("tp"))
+        .groupBy(col("month")).agg(sum(col("tp")).as("rev"))
+      // Positional lag(12) without a window: triangular rank over the
+      // month-bounded series, then a self-join on t−12 (exactly lag's
+      // semantics, null for the first year in both engines).
+      val ranked = operators.ScalableWindow.boundedRankCum(
+        m, Seq(("month", true)), "t").localCheckpoint()
+      val prev = ranked.select((col("t") + 12).as("t"), col("rev").as("prev"))
+      ranked.join(broadcast(prev), Seq("t"), "left")
+        .select(col("month"), col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") / col("prev").cast("double")
+            - lit(1.0), 6).as("yoy_growth"))
+    }),
+
+    "q200_pareto_revenue" -> ((s, dir) => {
+      // Revenue-concentration (80/20) report: how many customers carry
+      // 80% of revenue. The cumulative window runs over the CUSTOMER
+      // aggregate (approx-quantile cut-in is the 100 TB knob, q146/q182
+      // pairing); the 80% membership test is an EXACT DECIMAL compare —
+      // (cum − rev)·10 < total·8 — so no float sits on the boundary.
+      val cust = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice").cast(dec).as("tp"))
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("tp")) * 100).cast("long").as("rev_c"))
+        .localCheckpoint()
+      val w = Window.orderBy(col("rev_c").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cust.withColumn("cum_c", sum(col("rev_c")).over(w))
+      val tot = cust.agg(sum(col("rev_c")).as("total_c"), count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("n"), col("total_c"),
+          when((col("cum_c") - col("rev_c")) * 10 < col("total_c") * 8, 1L)
+            .otherwise(0L).as("in80"))
+        .groupBy(col("n"), col("total_c"))
+        .agg(sum(col("in80")).as("n_top80"))
+        .select(col("n").as("n_customers"), col("n_top80"),
+          round(col("n_top80").cast("double") / col("n").cast("double"), 6)
+            .as("top80_frac"),
+          round(col("total_c").cast("double") / lit(100.0), 2)
+            .as("total_revenue"))
+    }),
+
+    "q201_top_brands_per_nation" -> ((s, dir) => {
+      // The classic "top-N per group" report — top-3 part brands by
+      // revenue per customer nation — through the native TopKPerKey
+      // operator (k-bounded per map partition, no per-nation sort, no
+      // window over the rollup). Revenue stays DECIMAL through the sum
+      // and converts to cents for a total-order integer sort key.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_extendedprice").cast(dec) *
+            (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val rolled = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
+        .agg(sum(col("rev")).as("rev"))
+      // Order on the EXACT decimal (cents truncation vs rounding differs
+      // across engines); the double conversion happens only at output.
+      org.apache.spark.sql.graft.TopKPerKey(rolled,
+          Seq("nation"), Seq(("rev", false), ("brand", true)), k = 3)
+        .select(col("nation"), col("brand"),
+          round(col("rev").cast("double"), 2).as("revenue"))
+    }),
+
+    "q202_fk_audit" -> ((s, dir) => {
+      // Referential-integrity audit: orphan counts for every lineitem
+      // foreign key (order, part, supplier) plus orders→customer — the
+      // data-quality gate an ETL load runs before publishing. Each leg
+      // is one distinct-key anti-join (key-sized builds); the report is
+      // 4 rows.
+      import s.implicits._
+      val li = tbl(s, dir, "lineitem")
+      val legs = Seq(
+        ("lineitem.l_orderkey -> orders",
+          li.select(col("l_orderkey").as("k")),
+          tbl(s, dir, "orders").select(col("o_orderkey").as("k"))),
+        ("lineitem.l_partkey -> part",
+          li.select(col("l_partkey").as("k")),
+          tbl(s, dir, "part").select(col("p_partkey").as("k"))),
+        ("lineitem.l_suppkey -> supplier",
+          li.select(col("l_suppkey").as("k")),
+          tbl(s, dir, "supplier").select(col("s_suppkey").as("k"))),
+        ("orders.o_custkey -> customer",
+          tbl(s, dir, "orders").select(col("o_custkey").as("k")),
+          tbl(s, dir, "customer").select(col("c_custkey").as("k"))))
+      legs.map { case (name, fk, pk) =>
+        fk.join(pk, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"),
+            countDistinct(col("k")).as("n_orphan_keys"))
+          .select(lit(name).as("fk"), col("n_orphans"), col("n_orphan_keys"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    "q203_pareto_scaled" -> ((s, dir) => {
+      // q200's 80/20 report with the scale knob AS CODE: the global
+      // cumulative window (one task over every customer at 100 TB) is
+      // replaced by ScalableWindow.bandedCumSum — approx-percentile
+      // bands, partitioned within-band cumsum, broadcast band offsets —
+      // which is EXACT, so this shares q200's oracle verbatim and
+      // PlanSpec proves the plan has no unpartitioned Window. q200 stays
+      // as the exact-window oracle face; this is the plan you'd run.
+      val cust = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice").cast(dec).as("tp"))
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("tp")) * 100).cast("long").as("rev_c"))
+        .localCheckpoint()
+      val ranked = operators.ScalableWindow.bandedCumSum(cust,
+        bandOn = "rev_c", descending = true, tieBreakers = Seq("o_custkey"),
+        sumCol = "rev_c", out = "cum_c")
+      val tot = cust.agg(sum(col("rev_c")).as("total_c"), count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("n"), col("total_c"),
+          when((col("cum_c") - col("rev_c")) * 10 < col("total_c") * 8, 1L)
+            .otherwise(0L).as("in80"))
+        .groupBy(col("n"), col("total_c"))
+        .agg(sum(col("in80")).as("n_top80"))
+        .select(col("n").as("n_customers"), col("n_top80"),
+          round(col("n_top80").cast("double") / col("n").cast("double"), 6)
+            .as("top80_frac"),
+          round(col("total_c").cast("double") / lit(100.0), 2)
+            .as("total_revenue"))
+    }),
+
+    "q89_heavy_hitters" -> ((s, dir) =>
+      // SpaceSaving heavy-hitters per language (O(capacity) state per
+      // group at any corpus size). Capacity 64 >= the ~20 distinct
+      // sources, so the sketch is in its EXACT regime and the oracle
+      // checks the counts themselves — the KMV/q75 pattern.
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(graft.plans.SketchAggregates.heavyHitters(col("source"), 64)
+          .as("hh"))
+        .select(col("lang"), explode(slice(col("hh"), 1, 3)).as("h"))
+        .select(col("lang"), col("h.term").as("source"),
+          col("h.cnt").as("cnt"))),
+
+    "q140_topk_per_key" -> ((s, dir) =>
+      // Native per-key top-k through the custom planner path (logical
+      // node → strategy → two-phase physical operator): top-3 events per
+      // type by (value desc, event_id) — the partial pass bounds each map
+      // partition to k rows per key BEFORE the exchange, where the
+      // window-based oracle shuffles and sorts every row. See
+      // org.apache.spark.sql.graft.TopKPerKey.
+      org.apache.spark.sql.graft.TopKPerKey(
+        Tables.events(s, dir).select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), Seq(("value", false), ("event_id", true)), k = 3)),
+
+    "q97_zorder_box" -> ((s, dir) => {
+      // Z-order clustered layout + 2-D box probe: both user_id and value
+      // stay locally clustered on the Morton curve, so the box touches a
+      // minority of files on either dimension (LayoutSpec asserts the
+      // skip; the oracle checks pruning never changes the answer).
+      import graft.sources.Layout
+      val path = s"target/zorder_demo/${new java.io.File(dir).getName}/events"
+      // Cached-layout mode: the clustered write happens once per JVM;
+      // bench rounds past the first time the PROBE (the recurring cost
+      // of a real table), not the one-time write.
+      Layout.prepareOnce(s"zorder-v1:$path") {
+        Layout.writeZOrdered(
+          Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+          path, "user_id", "value", nFiles = 16)
+      }
+      Layout.prunedReadBox(s, path, "user_id", 10L, 40L, "value", 20.0, 60.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    "q93_manifest_scan" -> ((s, dir) => {
+      // Manifest-pruned range scan: write events range-partitioned on
+      // `value` with a per-file min/max sidecar, then answer the range
+      // query reading ONLY overlapping files (LayoutSpec asserts the
+      // file skip; here the oracle checks the answer is unchanged by
+      // pruning — the Iceberg planner contract).
+      import graft.sources.Layout
+      val path = s"target/manifest_demo/${new java.io.File(dir).getName}/events"
+      // Cached-layout mode (see q97): write once per JVM, bench the probe.
+      Layout.prepareOnce(s"manifest-v1:$path") {
+        Layout.writeWithManifest(
+          Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+          path, "value", nFiles = 8)
+      }
+      Layout.prunedRead(s, path, "value", 10.0, 20.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    "q107_decile_bins" -> ((s, dir) => {
+      // Quantile feature binning the scale-clean way: exact decile
+      // BOUNDARIES from one percentile aggregate (9 doubles to the
+      // driver), bucket assignment as a codegen'd comparison sum on the
+      // scan. A global ntile window would sort everything in ONE
+      // partition; this is a scan + tiny agg at any size. DuckDB's
+      // quantile_cont interpolates like Spark's percentile (q65).
+      val orders = tbl(s, dir, "orders")
+      val ps = (1 to 9).map(_ / 10.0)
+      // ONE percentile aggregate with the whole percentage array: one
+      // buffer + one sort (nine scalar percentile calls each buffer and
+      // sort the column separately — 3.0 s vs 1.0 s at sf0.1).
+      val bounds = orders.agg(
+          percentile(col("o_totalprice"),
+            array(ps.map(lit): _*)).as("bs"))
+        .head().getSeq[Double](0)
+      val decile = bounds.foldLeft(lit(1)) { (acc, b) =>
+        acc + when(col("o_totalprice") > b, 1).otherwise(0)
+      }
+      orders.groupBy(decile.as("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
+    "q106_transitions" -> ((s, dir) => {
+      // Event-transition mining: per-user ordered stream -> (event,
+      // next_event) bigram counts. One window (partition by user, order
+      // by ts+id for a total order) + one groupBy — the Markov-chain
+      // edge-weight table sessionization tools build.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q104_funnel" -> ((s, dir) => {
+      // Ordered-funnel analytics (view -> click -> purchase by first
+      // occurrence): one groupBy computing the three conditional min
+      // timestamps, then a pure CASE classification — single shuffle,
+      // no self-joins (the naive form is three joins on user_id).
+      val ev = Tables.events(s, dir)
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+      ev.groupBy(col("user_id"))
+        .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+        .select(
+          when(col("first_view").isNull, "no_view")
+            .when(col("first_click").isNull ||
+              col("first_click") <= col("first_view"), "view")
+            .when(col("first_purchase").isNull ||
+              col("first_purchase") <= col("first_click"), "view_click")
+            .otherwise("view_click_purchase").as("stage"))
+        .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    "q105_cohorts" -> ((s, dir) => {
+      // Cohort retention: users grouped by first-seen day, activity
+      // counted per day offset. Two aggregations (first-seen, then
+      // cohort cell counts) with a broadcast-joinable first-seen side.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      ev.join(broadcast(cohort), Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day").cast("string").as("cohort_day"),
+          col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
+    "q103_time_travel" -> ((s, dir) => {
+      // Snapshot commits + time travel + incremental feed: two appends,
+      // then v1, v2, and the v1->v2 delta each aggregated — the delta
+      // read touches ONLY batch-2's files (the change-feed contract;
+      // SourcesSpec asserts the file sets).
+      import graft.sources.Snapshots
+      val path = s"target/snap_demo/${new java.io.File(dir).getName}/events"
+      // Cached-layout mode (see q97): commit the two snapshots once per
+      // JVM (reset first — stale dirs from older layout formats must
+      // never leak into a fresh commit history), bench the three reads.
+      graft.sources.Layout.prepareOnce(s"snap-v2:$path") {
+        Snapshots.reset(path)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        Snapshots.append(ev.filter(col("event_id") % 2 === 0), path, "value", 4)
+        Snapshots.append(ev.filter(col("event_id") % 2 === 1), path, "value", 4)
+      }
+      def agg(df: DataFrame, label: String) = df
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"))
+        .select(lit(label).as("snapshot"), col("n"), col("total_value"))
+      agg(Snapshots.readSnapshot(s, path, 1), "v1")
+        .unionAll(agg(Snapshots.readSnapshot(s, path, 2), "v2"))
+        .unionAll(agg(Snapshots.readIncrement(s, path, 1, 2), "delta"))
+    }),
+
+    "q102_bloom_point_scan" -> ((s, dir) => {
+      // Per-file bloom manifest + point probes: equality lookups on a
+      // key whose min/max spans every file (user_id) — range stats skip
+      // nothing, blooms skip almost everything (LayoutSpec asserts the
+      // file skip; the oracle checks the probes return full answers).
+      import graft.sources.Layout
+      val path = s"target/bloom_demo/${new java.io.File(dir).getName}/events"
+      // Cached-layout mode (see q97): write once per JVM, bench the probes.
+      Layout.prepareOnce(s"bloom-v1:$path") {
+        Layout.writeWithBloomManifest(
+          Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+          path, "user_id", nFiles = 16)
+      }
+      Seq(3L, 77L, 142L).map { k =>
+        Layout.prunedPointRead(s, path, "user_id", k)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).cast("double").as("total_value"))
+      }.reduce(_.unionAll(_))
+    }),
+
+    "q111_sliding_distinct" -> ((s, dir) => {
+      // Trailing-3-day distinct users per (day, event_type): windows
+      // cannot host COUNT(DISTINCT), so the idiom is per-day sets ->
+      // sliding merge -> size(array_distinct(flatten(...))). Set sizes
+      // are bounded by daily actives, so the window state stays small
+      // even when the event count does not.
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(collect_set(col("user_id")).as("users"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day")).rowsBetween(-2, 0)
+      daily
+        .withColumn("u3",
+          size(array_distinct(flatten(collect_list(col("users")).over(w)))))
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          size(col("users")).as("n_today"), col("u3").as("n_trailing_3d"))
+    }),
+
+    "q110_stratum_topk" -> ((s, dir) =>
+      // Fixed-size per-stratum sample: exactly 20 docs per language by
+      // smallest md5 unit-hash — guaranteed eval-set sizes, same
+      // determinism contract as q76's rate-based form.
+      graft.operators.Sampling.stratumTopK(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 20)),
+
+    "q101_quarantine" -> ((s, dir) => {
+      // Row-level validation with a quarantine channel: one codegen'd
+      // projection marks each row with the rules it broke; bad rows are
+      // reported (never dropped silently, never fatal).
+      val ev = Tables.events(s, dir)
+      graft.operators.Validate.withViolations(ev, Seq(
+          "extreme_value" -> (col("value") > 95.0),
+          "suspect_user" -> (col("user_id") >= 140),
+          "null_type" -> col("event_type").isNull))
+        .filter(col("violations") =!= "")
+        .select(col("event_id"), col("violations"))
+    }),
+
+    "q92_count_min" -> ((s, dir) => {
+      // Count-min point queries: one vector-add-mergeable sketch over the
+      // whole events stream (O(depth*width) state), then 10 key probes
+      // against the one-row sketch (broadcast side). Width 64 << 150
+      // distinct users forces real collisions, so cm_est >= true_cnt
+      // with equality only where no key shares all 4 buckets — the
+      // oracle replays the same LCG counters in SQL (q39 pattern).
+      import graft.plans.SketchAggregates
+      val events = tbl(s, dir, "events")
+      // Partial sketches build per input partition; a single local file
+      // would pin that to one task (q94 note), so spread first — the
+      // merge is a vector add, indifferent to partitioning.
+      val sk = events.repartition(s.sparkContext.defaultParallelism)
+        .agg(SketchAggregates.countMin(col("user_id"), 64).as("sk"))
+      val truth = events.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      s.range(0, 10).select(col("id").as("user_id"))
+        .join(truth, Seq("user_id"), "left")
+        .crossJoin(broadcast(sk))
+        .select(col("user_id"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+          SketchAggregates.cmEstimate(col("sk"), col("user_id"), 64).as("cm_est"))
+    }),
+
+    // ── Sketches (HLL distinct, approximate quantiles; no exact oracle) ─
+    "q59_sketches" -> ((s, dir) => {
+      // HLL + t-digest sketches, emitted as an EXACTLY-checkable
+      // validation contract: raw sketch values differ engine-to-engine,
+      // so the output is the exact statistic plus error-bound flags the
+      // oracle asserts as TRUE (HLL default rsd 5% — checked at 3σ;
+      // percentile_approx rank error ≪ 1% at accuracy 1000). A sketch
+      // drifting out of tolerance flips a flag and fails the hash.
+      // Plan shape: countDistinct goes in its OWN aggregation — mixing a
+      // distinct agg (expand rewrite) with TypedImperative percentiles in
+      // one groupBy degrades the whole aggregate to a sort-based path
+      // over the expanded rows (measured 3.2s vs 0.6s split at sf0.1).
+      // The rejoin is a broadcast on the handful of group rows.
+      // Exact distinct via two-level aggregate, not countDistinct: the
+      // distinct-agg rewrite Expands every row; (flag, key) dedup
+      // partial-aggregates map-side, then the count per flag is tiny.
+      val li = tbl(s, dir, "lineitem")
+      val exactD = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_parts"))
+      val sketches = li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      exactD.join(broadcast(sketches), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.15).as("approx_parts_ok"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.01).as("p50_ok"))
+    }),
+
+    // ── KMV sketch: cross-engine EXACT distinct estimate (vs q59 HLL) ───
+    "q75_kmv_sketch" -> ((s, dir) => {
+      // Native TypedImperativeAggregate (primitive-buffer, no per-row
+      // encoder round-trip); the typed-Aggregator form lives on in
+      // AggregatorsSpec as the extension-point demo.
+      val hv = (conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long").cast("double") / 4294967296.0).as("hv")
+      tbl(s, dir, "lineitem").select(col("l_returnflag"), hv)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.plans.SketchAggregates.kmvDistinct(col("hv"), 64)
+          .as("distinct_est"))
+    }),
+
+    "q116_bucketed_join" -> ((s, dir) => {
+      // Bucket-bucket co-located join: both sides bucketed 16 ways on
+      // the join key at WRITE time, so the join runs with NO exchange
+      // on either side — the shuffle happened once and is amortized
+      // over every subsequent join (LayoutSpec asserts the only
+      // Exchange left is the final group-by). This is the layout move
+      // that turns a 100 TB fact-fact join from the cluster's biggest
+      // shuffle into a partition-local merge.
+      import graft.sources.Layout
+      val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val oT = s"graft_orders_bkt_$tag"
+      val lT = s"graft_lineitem_bkt_$tag"
+      Layout.prepareOnce(s"bucketed-v1:$dir") {
+        Layout.writeBucketed(
+          tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          s, oT, "o_orderkey", nBuckets = 16)
+        Layout.writeBucketed(
+          tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          s, lT, "l_orderkey", nBuckets = 16)
+      }
+      s.table(lT).join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+    }),
+
+    "q117_partitioned_scan" -> ((s, dir) => {
+      // Hive-layout directory partitioning on the coarse filter key:
+      // the event_type predicate becomes a PartitionFilter, so
+      // non-matching directories contribute ZERO I/O (LayoutSpec
+      // asserts the filter reaches the partition level) — the
+      // partition-pruning tier the reference's flat per-entity dirs
+      // never get (SURVEY §4).
+      import graft.sources.Layout
+      val path = s"target/part_demo/${new java.io.File(dir).getName}/events"
+      Layout.prepareOnce(s"partitioned-v1:$path") {
+        Layout.writePartitioned(
+          Tables.events(s, dir).select(col("event_type"), col("user_id"), col("value")),
+          path, Seq("event_type"))
+      }
+      s.read.parquet(path)
+        .filter(col("event_type").isin("purchase", "error"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+  )
+}
