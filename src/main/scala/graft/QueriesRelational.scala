@@ -107,10 +107,10 @@ private[graft] object QueriesRelational {
     }),
     "q08_expr_join" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
-      val dim = o
-        .select(concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")).as("class_key"))
-        .distinct()
-        .withColumn("class_id", Ids.denseId(col("class_key")))
+      val dim = Ids.denseId(
+        o.select(concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")).as("class_key"))
+          .distinct(),
+        "class_key", "class_id")
       o.join(
           broadcast(dim),
           concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")) === dim("class_key")
@@ -191,9 +191,9 @@ private[graft] object QueriesRelational {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     }),
     "q25_dense_id" -> ((s, dir) => {
-      tbl(s, dir, "part")
-        .select(col("p_brand")).distinct()
-        .withColumn("brand_id", Ids.denseId(col("p_brand")))
+      Ids.denseId(
+        tbl(s, dir, "part").select(col("p_brand")).distinct(),
+        "p_brand", "brand_id")
     }),
     "q26_binning" -> ((s, dir) => {
       tbl(s, dir, "orders")

@@ -30,6 +30,9 @@ object Verify {
     // throws, and must come out as an err-marker parquet, never an absence.
     val failInject = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
+      // Progress marker: lets log-tail warnings (e.g. WindowExec's
+      // single-partition warning) be attributed to the emitting query.
+      System.err.println(s"[verify] running $name")
       try {
         if (failInject.contains(name))
           throw new RuntimeException("injected failure (SPARK_GRAFT_FAIL_INJECT)")

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.operators.ScalableWindow
 
 /** Surrogate-id assignment.
   *
@@ -21,12 +22,18 @@ object Ids {
     */
   def hashId(naturalKey: Column*): Column = xxhash64(naturalKey: _*)
 
-  /** Contiguous dense id 1..N ordered by the natural key — only when
-    * contiguity genuinely matters (DB sequences). Costs one shuffle +
-    * a single-partition window, so reserve for small dims.
+  /** Contiguous dense id 1..N over the DISTINCT key set, ordered by
+    * `key` ascending — only when contiguity genuinely matters (DB
+    * sequences). Implemented as the triangular self-join
+    * ([[ScalableWindow.boundedRankCum]]), NOT a global window: no
+    * single-partition stage, at the cost of |keys|² join rows — callers
+    * must be dimension-sized by construction (both engine call sites are
+    * ≤ |order-class| ≈ 15 and |p_brand| = 25). `df` must already be
+    * distinct on `key` (ties would collapse ranks).
     */
-  def denseId(orderBy: Column*): Column =
-    dense_rank().over(Window.orderBy(orderBy: _*))
+  def denseId(df: DataFrame, key: String, out: String): DataFrame =
+    ScalableWindow.boundedRankCum(df, Seq(key -> true), out)
+      .withColumn(out, col(out).cast("int"))
 
   /** Add a deterministic id column named `idCol` from natural keys. */
   def withHashId(df: DataFrame, idCol: String, naturalKey: String*): DataFrame =

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.AnalysisException
+
+/** Adversarial harness drill, round-7 rotation (r6 verdict item 6).
+  *
+  * Round 6 proved the harness's OWN failure path (SPARK_GRAFT_FAIL_INJECT
+  * → err-marker parquet / nonzero rc). This round sabotages the DATA on a
+  * staged copy of sf0.001 (the real testdata stays untouched) and proves
+  * the gate goes red — never silently green, never absent — in each of the
+  * three ways an upstream break can reach the engine:
+  *
+  *  1. corrupt parquet footer  → the scan throws; Verify's catch turns any
+  *     throw into a one-row `err` parquet (schema-mismatch red row) and
+  *     Bench records it in `errs` + exits nonzero — so a throw IS a red;
+  *  2. renamed column          → AnalysisException at plan time (same red
+  *     path as 1);
+  *  3. retyped column (the sneaky one: the query still RUNS) → the result
+  *     schema differs from the declared one, which the driver's per-query
+  *     schema compare flags as its own red channel.
+  *
+  * The drill is recorded in NOTES.md per the per-round rotation.
+  */
+class HarnessDrillSpec extends SparkSpec {
+
+  /** Stage a drill dir: symlinks to every sf0.001 table; the caller then
+    * replaces one table with a sabotaged copy.
+    */
+  private def stageDrillDir(): java.io.File = {
+    val d = Files.createTempDirectory("graft_drill").toFile
+    new java.io.File(sfDir).listFiles().foreach { f =>
+      Files.createSymbolicLink(Paths.get(d.getPath, f.getName), f.toPath)
+    }
+    d
+  }
+
+  private def replaceNation(d: java.io.File)(write: String => Unit): Unit = {
+    val target = Paths.get(d.getPath, "nation.parquet")
+    Files.delete(target)
+    write(target.toString)
+  }
+
+  test("corrupt parquet footer: the scan throws — red in both channels, not absent") {
+    val d = stageDrillDir()
+    replaceNation(d) { path =>
+      val bytes = Files.readAllBytes(Paths.get(sfDir, "nation.parquet"))
+      Files.write(Paths.get(path), bytes.take(bytes.length / 2)) // footer gone
+    }
+    val e = intercept[Throwable] {
+      SparkEntry.queries("q07_self_join")(spark, d.getPath).collect()
+    }
+    // Any throw is a red: Verify writes the one-row `err` parquet (schema
+    // mismatch vs oracle), Bench appends to `errs` and exits nonzero.
+    assert(e.getMessage != null)
+  }
+
+  test("schema drift, renamed column: analysis error at plan time — red, not silent") {
+    val d = stageDrillDir()
+    replaceNation(d) { path =>
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .withColumnRenamed("n_name", "nation_label")
+        .coalesce(1).write.parquet(path)
+    }
+    intercept[AnalysisException] {
+      SparkEntry.queries("q07_self_join")(spark, d.getPath).collect()
+    }
+  }
+
+  test("schema drift, retyped column: query runs but the result schema changes — schema-compare red") {
+    val d = stageDrillDir()
+    replaceNation(d) { path =>
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.withColumn("n_regionkey", n("n_regionkey").cast("string"))
+        .coalesce(1).write.parquet(path)
+    }
+    val drifted = SparkEntry.queries("q07_self_join")(spark, d.getPath)
+    val declared = SparkEntry.queries("q07_self_join")(spark, sfDir)
+    // The sneaky break: rows still come back (green-looking), but the
+    // declared schema drifted — exactly what the driver's per-query
+    // schema compare (CORRECTNESS_r*.json `schema_match`) exists to catch.
+    assert(drifted.collect().nonEmpty)
+    assert(drifted.schema("region_key").dataType
+      != declared.schema("region_key").dataType)
+  }
+}
