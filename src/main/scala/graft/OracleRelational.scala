@@ -258,5 +258,35 @@ private[graft] object OracleRelational {
            ON e.user_id = p.user_id
           AND e.event_type = 'error' AND p.event_type = 'purchase'
           AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000""",
+
+    "q207_fuzzy_join" ->
+      """WITH t AS (SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS blk FROM part)
+         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+         FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+
+    "q208_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+
+    "q212_pivot_multi" ->
+      """SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O_n",
+           CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (o_orderstatus = 'O'), 0) AS DOUBLE) AS "O_rev",
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F_n",
+           CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS "F_rev",
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P_n",
+           CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS "P_rev"
+         FROM orders GROUP BY o_orderpriority""",
   )
 }

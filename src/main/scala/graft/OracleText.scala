@@ -743,5 +743,23 @@ private[graft] object OracleText {
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
          FROM documents GROUP BY lang""",
+
+    "q210_tfidf_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         scored AS (
+           SELECT doc_id, term, tf,
+             round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 6), 6) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, tfidf FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS rn
+           FROM scored) t
+         WHERE rn <= 3""",
   )
 }

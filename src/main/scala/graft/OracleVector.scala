@@ -344,5 +344,39 @@ private[graft] object OracleVector {
          CAST(p_partkey * 7 % 120 + 1 AS DOUBLE) / 128.0 AS rms,
          CAST(49 + p_partkey % 10 AS BIGINT) AS zero_crossings
          FROM part WHERE p_partkey < 24""",
+
+    // Exact replay of KCore.peel(k=4, rounds=4): each sweep is one
+    // unrolled MATERIALIZED CTE pair (degrees -> surviving edges).
+    "q211_kcore" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         k1 AS MATERIALIZED (SELECT node FROM (
+             SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)
+           GROUP BY node HAVING count(*) >= 4),
+         e1 AS MATERIALIZED (SELECT src, dst FROM e0
+           WHERE src IN (SELECT node FROM k1) AND dst IN (SELECT node FROM k1)),
+         k2 AS MATERIALIZED (SELECT node FROM (
+             SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1)
+           GROUP BY node HAVING count(*) >= 4),
+         e2 AS MATERIALIZED (SELECT src, dst FROM e1
+           WHERE src IN (SELECT node FROM k2) AND dst IN (SELECT node FROM k2)),
+         k3 AS MATERIALIZED (SELECT node FROM (
+             SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2)
+           GROUP BY node HAVING count(*) >= 4),
+         e3 AS MATERIALIZED (SELECT src, dst FROM e2
+           WHERE src IN (SELECT node FROM k3) AND dst IN (SELECT node FROM k3)),
+         k4 AS MATERIALIZED (SELECT node FROM (
+             SELECT src AS node FROM e3 UNION ALL SELECT dst FROM e3)
+           GROUP BY node HAVING count(*) >= 4),
+         e4 AS MATERIALIZED (SELECT src, dst FROM e3
+           WHERE src IN (SELECT node FROM k4) AND dst IN (SELECT node FROM k4))
+         SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS core_degree
+         FROM (SELECT src AS node FROM e4 UNION ALL SELECT dst FROM e4)
+         GROUP BY node""",
   )
 }

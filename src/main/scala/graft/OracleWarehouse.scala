@@ -629,5 +629,71 @@ private[graft] object OracleWarehouse {
          CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
          TRUE AS approx_parts_ok, TRUE AS p50_ok
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q205_gap_fill" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           FROM orders GROUP BY 1),
+         bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+         spine AS (
+           SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+             CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         filled AS (
+           SELECT s.day, max(dd.d) AS src_day
+           FROM spine s JOIN daily dd ON dd.d <= s.day GROUP BY s.day)
+         SELECT strftime(f.day, '%Y-%m-%d') AS day, dl.rev AS rev_filled,
+           (f.src_day <> f.day) AS is_gap
+         FROM filled f JOIN daily dl ON dl.d = f.src_day""",
+
+    "q206_attribution" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type, value FROM events),
+         fp AS (
+           SELECT user_id, ts AS p_ts, event_id AS p_id, value AS p_value FROM (
+             SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+         ft AS (
+           SELECT user_id, event_type AS first_ch FROM (
+             SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM e) WHERE rn = 1),
+         lt AS (
+           SELECT user_id, event_type AS last_ch FROM (
+             SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                 ORDER BY e.ts DESC, e.event_id DESC) AS rn
+             FROM e JOIN fp ON e.user_id = fp.user_id
+             WHERE e.ts < fp.p_ts OR (e.ts = fp.p_ts AND e.event_id < fp.p_id))
+           WHERE rn = 1),
+         fta AS (
+           SELECT first_ch AS channel, CAST(count(*) AS BIGINT) AS n_first,
+             CAST(sum(CAST(p_value AS DECIMAL(18,2))) AS DOUBLE) AS val_first
+           FROM ft JOIN fp USING (user_id) GROUP BY 1),
+         lta AS (
+           SELECT last_ch AS channel, CAST(count(*) AS BIGINT) AS n_last
+           FROM lt GROUP BY 1)
+         SELECT coalesce(fta.channel, lta.channel) AS channel,
+           coalesce(n_first, 0) AS n_first,
+           coalesce(val_first, 0.0) AS val_first,
+           coalesce(n_last, 0) AS n_last
+         FROM fta FULL JOIN lta ON fta.channel = lta.channel""",
+
+    "q209_weighted_median" ->
+      """WITH items AS (
+           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1),
+         o AS (
+           SELECT o_custkey, o_totalprice, o_orderkey, w
+           FROM orders JOIN items ON o_orderkey = l_orderkey),
+         c AS (
+           SELECT o_custkey, o_totalprice, w,
+             sum(w) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey ROWS UNBOUNDED PRECEDING) AS cumw,
+             sum(w) OVER (PARTITION BY o_custkey) AS totw
+           FROM o)
+         SELECT o_custkey, min(o_totalprice) AS w_median,
+           CAST(max(totw) AS BIGINT) AS total_weight
+         FROM c WHERE cumw * 2 >= totw GROUP BY o_custkey""",
   )
 }

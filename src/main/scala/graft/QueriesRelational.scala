@@ -461,5 +461,58 @@ private[graft] object QueriesRelational {
       Relational.bandedRangeJoin(errors, purchases, "user_id", "ts", 300)
         .select(col("l_event_id").as("error_id"), col("r_event_id").as("purchase_id"))
     }),
+
+    // ── r7 additions: record linkage / SQL-surface parity ───────────────
+    "q207_fuzzy_join" -> ((s, dir) => {
+      // Record linkage by blocking + edit distance: candidate pairs come
+      // only from a shared first-token BLOCK (an equi-join, shuffled on
+      // the block key — never all-pairs), then the quadratic-per-block
+      // levenshtein verify runs inside each block. Classic
+      // blocking-key linkage: at 100 TB the block histogram is the skew
+      // knob (salt or split hot blocks, the q73 treatment); distance ≤ 2
+      // keeps the verified pair set output-sized.
+      val t = tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      t.as("a").join(t.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+    }),
+
+    "q208_grouping_sets" -> ((s, dir) => {
+      // Explicit GROUPING SETS ((status), (priority), ()) with
+      // grouping_id — the multi-grain report shape rollup/cube (q48/q63)
+      // can't express (disjoint single-dimension grains + grand total in
+      // one pass). One shuffle; each grain is a partial-agg expansion.
+      tbl(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n_orders"), col("revenue"))
+    }),
+
+    "q212_pivot_multi" -> ((s, dir) => {
+      // Multi-measure pivot: one pass producing BOTH a count and a
+      // revenue column per pivoted status — the spread-sheet crosstab
+      // with several aggregates that single-measure q44 doesn't cover.
+      // Pivot values are declared literals, so no pre-pass to discover
+      // them and the schema is static for downstream plans.
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(dec)).cast("double").as("rev"))
+        .na.fill(0L, Seq("O_n", "F_n", "P_n"))
+        .na.fill(0.0, Seq("O_rev", "F_rev", "P_rev"))
+    }),
   )
 }

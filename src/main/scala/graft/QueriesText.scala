@@ -1630,5 +1630,32 @@ private[graft] object QueriesText {
       graft.api.SqlViews.register(s, dir)
       s.sql("SELECT doc_id, graft_simhash16(text) AS simhash FROM documents")
     }),
+
+    "q210_tfidf_topk" -> ((s, dir) => {
+      // TF-IDF top-3 terms per document — the keyword-extraction face of
+      // the q123 retrieval stack, finished by the NATIVE TopKPerKey
+      // operator (partial pass bounds every map partition to k rows per
+      // doc BEFORE the exchange — no full (doc,term) window sort).
+      // Scale shape: tf IS the postings list (the artifact an index
+      // build materializes anyway) — pinned once, feeding both the
+      // vocab-sized df rollup and the scoring join; n_docs is one
+      // broadcast row. Determinism: idf = ln(N/df) rounded to 6 dp
+      // before the integer-tf multiply, product re-rounded (the
+      // q87/q123 cross-engine ln rule); ties break on term asc.
+      val docs = tbl(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df_, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * round(log(col("n_docs").cast("double") / col("df")), 6), 6)
+            .as("tfidf"))
+      org.apache.spark.sql.graft.TopKPerKey(scored, Seq("doc_id"),
+        Seq(("tfidf", false), ("term", true)), k = 3)
+    }),
   )
 }

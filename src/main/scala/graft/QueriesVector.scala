@@ -724,5 +724,28 @@ private[graft] object QueriesVector {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), min(size(col("embedding"))).as("min_dim"),
           max(size(col("embedding"))).as("max_dim"))),
+
+    "q211_kcore" -> ((s, dir) => {
+      // k-core decomposition (k=4, 4 synchronous peel sweeps) of the
+      // ≥2-shared-orders PART co-purchase graph (the supplier graph is
+      // complete at test SF — no fringe to peel; the part graph is
+      // power-law-ish sparse: sf0.01 peels 3445→65 edges over the 4
+      // sweeps): strip the low-degree fringe until only the
+      // mutually-dense core remains — the cohesion filter applied before
+      // q163/q169-style centrality or community math. Per sweep: one
+      // map-combinable degree count + two edge-vs-survivor semi-joins,
+      // all edge-sized; see [[graph.KCore]].
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("pa"), col("pb"))
+      graph.KCore.peel(edges, "pa", "pb", k = 4, rounds = 4)
+        .select(col("node").as("p_partkey"), col("deg").as("core_degree"))
+    }),
   )
 }

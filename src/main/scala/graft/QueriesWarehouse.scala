@@ -1065,5 +1065,89 @@ private[graft] object QueriesWarehouse {
           sum(col("value").cast(dec)).cast("double").as("total_value"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+
+    // ── r7 additions: resample / attribution / robust aggregation ───────
+    "q205_gap_fill" -> ((s, dir) => {
+      // Gap-fill + forward-fill resample: daily revenue onto a complete
+      // day spine, missing days carrying the last observed value — the
+      // time-series regularization every BI layer applies before window
+      // math. Scale shape: the spine and the as-of fill join are
+      // DATE-DOMAIN-sized (~2.4k days regardless of corpus rows), so
+      // after the one day-keyed aggregate everything is broadcast-sized;
+      // no unpartitioned window, no fact-table sort.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("rev"))
+      val spine = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      // As-of backward lookup: the latest data day <= each spine day
+      // (exact forward fill, bounded |days|² worst case — days, not rows).
+      val filled = spine.join(broadcast(daily.select(col("d"))), col("d") <= col("day"))
+        .groupBy(col("day")).agg(max(col("d")).as("src_day"))
+      filled.join(broadcast(daily), col("src_day") === col("d"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("rev").as("rev_filled"),
+          (col("src_day") =!= col("day")).as("is_gap"))
+    }),
+
+    "q206_attribution" -> ((s, dir) => {
+      // First-touch / last-touch conversion attribution: each user's
+      // FIRST purchase is attributed (a) to the first event of their
+      // history and (b) to the last event strictly before that purchase.
+      // All windows are user-partitioned (keys grow with the data — no
+      // funnel), the two channel rollups are channel-sized, and the
+      // deterministic tiebreak is (ts, event_id) everywhere.
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      val wAsc = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val fp = e.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wAsc)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      val ft = e.withColumn("rn", row_number().over(wAsc)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_ch"))
+      val before = e.join(fp, Seq("user_id"))
+        .filter(col("ts") < col("p_ts") ||
+          (col("ts") === col("p_ts") && col("event_id") < col("p_id")))
+      val wDesc = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val lt = before.withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_ch"))
+      val fta = ft.join(fp, Seq("user_id"))
+        .groupBy(col("first_ch").as("channel"))
+        .agg(count(lit(1)).as("n_first"),
+          sum(col("p_value").cast(dec)).cast("double").as("val_first"))
+      val lta = lt.groupBy(col("last_ch").as("channel"))
+        .agg(count(lit(1)).as("n_last"))
+      fta.join(lta, Seq("channel"), "full")
+        .select(col("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("val_first"), lit(0.0)).as("val_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"))
+    }),
+
+    "q209_weighted_median" -> ((s, dir) => {
+      // Exact weighted median order price per customer, weight = the
+      // order's lineitem count: sort within each customer (keys grow
+      // with the data — well-partitioned per-key windows, never global),
+      // integer cumulative weights (2·cumw ≥ totw is exact arithmetic,
+      // no float boundary), and the qualifying suffix's min price IS the
+      // weighted median, so the pick is a plain agg, not a second window.
+      val items = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("w"))
+      val o = tbl(s, dir, "orders")
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"), col("w"))
+      val wv = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy(col("o_custkey"))
+      o.withColumn("cumw", sum(col("w")).over(wv))
+        .withColumn("totw", sum(col("w")).over(tw))
+        .filter(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_totalprice")).as("w_median"),
+          max(col("totw")).as("total_weight"))
+    }),
   )
 }
