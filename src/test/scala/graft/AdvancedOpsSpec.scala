@@ -356,4 +356,21 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(brute.intersect(got).size >= 6,
       s"trained-codebook recall too low: ${brute.intersect(got).size}/10")
   }
+
+  test("KCore: peel strips the tail, keeps the known 2-core, and is a fixpoint") {
+    // Triangle {1,2,3} with a pendant path 3-4-5: the 2-core is exactly
+    // the triangle, reached after two sweeps (5 falls first, then 4).
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = graph.KCore.peel(edges, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"2-core wrong: $got")
+    // Monotone convergence: once the peel reaches the core, extra sweeps
+    // are no-ops — rounds=8 must equal rounds=3 exactly.
+    val more = graph.KCore.peel(edges, "a", "b", k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == got, "extra sweeps changed a converged core")
+    // k above the max degree empties the graph entirely.
+    assert(graph.KCore.peel(edges, "a", "b", k = 5, rounds = 3).count() == 0)
+  }
 }

@@ -174,4 +174,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"a source-sized stats join fell back to sort-merge:\n$plan")
   }
+
+  test("q210: TF-IDF top-k runs through the native TopKPerKey operator, never a window") {
+    val plan = executedPlan("q210_tfidf_topk")
+    assert(plan.contains("TopKPerKey"),
+      s"per-doc top-3 must be the k-bounded physical operator:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the (doc,term) stream must never be windowed:\n$plan")
+  }
+
+  test("q207: blocking-key linkage plans as an equi-join, never a cartesian product") {
+    val plan = executedPlan("q207_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the candidate pairs must come from the blk equi-join, not all-pairs:\n$plan")
+  }
+
+  test("q205/q206/q209: the r7 time-series/attribution tier plans zero unpartitioned windows") {
+    assert(globalWindows("q205_gap_fill") == 0,
+      "gap-fill must stay date-domain joins, no global window")
+    assert(globalWindows("q206_attribution") == 0,
+      "attribution windows must all be user-partitioned")
+    assert(globalWindows("q209_weighted_median") == 0,
+      "weighted-median windows must all be customer-partitioned")
+  }
 }
