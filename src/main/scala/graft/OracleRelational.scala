@@ -260,12 +260,16 @@ private[graft] object OracleRelational {
           AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 300000000""",
 
     "q207_fuzzy_join" ->
-      """WITH t AS (SELECT p_partkey, p_name,
-             string_split(p_name, ' ')[1] AS blk FROM part)
-         SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-         FROM t a JOIN t b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-         WHERE levenshtein(a.p_name, b.p_name) <= 2""",
+      """WITH dn AS (SELECT p_name, min(p_partkey) AS k,
+             CAST(count(*) AS BIGINT) AS n
+           FROM part GROUP BY 1),
+         t AS (SELECT p_name, k, n,
+             string_split(p_name, ' ')[1] AS blk FROM dn)
+         SELECT a.k AS key_a, b.k AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n AS n_a, b.n AS n_b
+         FROM t a JOIN t b ON a.blk = b.blk AND a.k < b.k
+         WHERE levenshtein(a.p_name, b.p_name) <= 3""",
 
     "q208_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

@@ -695,5 +695,36 @@ private[graft] object OracleWarehouse {
          SELECT o_custkey, min(o_totalprice) AS w_median,
            CAST(max(totw) AS BIGINT) AS total_weight
          FROM c WHERE cumw * 2 >= totw GROUP BY o_custkey""",
+
+    // Exact replay of DdSketch (γ = 101/99): same 6-dp-rounded log
+    // bucketing, same integer rank walk, same 4-dp midpoint estimate.
+    "q213_ddsketch_quantiles" ->
+      """WITH li AS (SELECT l_returnflag,
+             CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+         b AS (SELECT l_returnflag,
+             CAST(ceil(round(ln(v) / ln(101.0/99.0), 6)) AS BIGINT) AS idx,
+             CAST(count(*) AS BIGINT) AS c
+           FROM li GROUP BY 1, 2),
+         cum AS (SELECT l_returnflag, idx, c,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY idx
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY l_returnflag) AS n
+           FROM b),
+         p50 AS (SELECT l_returnflag, min(idx) AS i50 FROM cum
+           WHERE cum * 2 >= n GROUP BY 1),
+         p90 AS (SELECT l_returnflag, min(idx) AS i90 FROM cum
+           WHERE cum * 10 >= n * 9 GROUP BY 1),
+         ex AS (SELECT l_returnflag,
+             quantile_cont(v, 0.5) AS e50, quantile_cont(v, 0.9) AS e90,
+             CAST(count(*) AS BIGINT) AS n_rows
+           FROM li GROUP BY 1)
+         SELECT ex.l_returnflag, n_rows,
+           round(2.0 * pow(101.0/99.0, i50) / (101.0/99.0 + 1.0), 4) AS p50_est,
+           round(2.0 * pow(101.0/99.0, i90) / (101.0/99.0 + 1.0), 4) AS p90_est,
+           (abs(round(2.0 * pow(101.0/99.0, i50) / (101.0/99.0 + 1.0), 4) - e50)
+             <= e50 * 0.02) AS p50_ok,
+           (abs(round(2.0 * pow(101.0/99.0, i90) / (101.0/99.0 + 1.0), 4) - e90)
+             <= e90 * 0.02) AS p90_ok
+         FROM ex JOIN p50 USING (l_returnflag) JOIN p90 USING (l_returnflag)""",
   )
 }

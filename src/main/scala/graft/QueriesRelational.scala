@@ -464,22 +464,33 @@ private[graft] object QueriesRelational {
 
     // ── r7 additions: record linkage / SQL-surface parity ───────────────
     "q207_fuzzy_join" -> ((s, dir) => {
-      // Record linkage by blocking + edit distance: candidate pairs come
-      // only from a shared first-token BLOCK (an equi-join, shuffled on
-      // the block key — never all-pairs), then the quadratic-per-block
-      // levenshtein verify runs inside each block. Classic
-      // blocking-key linkage: at 100 TB the block histogram is the skew
-      // knob (salt or split hot blocks, the q73 treatment); distance ≤ 2
-      // keeps the verified pair set output-sized.
-      val t = tbl(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("blk"))
-      t.as("a").join(t.as("b"),
-          col("a.blk") === col("b.blk") &&
-            col("a.p_partkey") < col("b.p_partkey"))
-        .filter(levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
-        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
-          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+      // Record linkage by blocking + edit distance, on NAME EQUIVALENCE
+      // CLASSES: rows are first collapsed to distinct names (one
+      // corpus-sized groupBy; representative = min key, multiplicity
+      // carried), then candidate pairs come only from a shared
+      // first-token BLOCK (an equi-join, never all-pairs) and the
+      // quadratic levenshtein verify runs over distinct-name classes —
+      // VOCABULARY²-bounded, not corpus²-bounded. The first cut verified
+      // raw rows and went 830× superlinear sf0.01→sf1 (416 s) because
+      // repeated names made both the per-block pair stream and the
+      // output itself quadratic in the corpus — the q173/q196 collapse
+      // lesson re-learned on the linkage surface. Distinct names make
+      // dist ≥ 1 by construction; multiplicities (n_a, n_b) let a
+      // consumer expand class pairs to row pairs without the engine ever
+      // materializing them.
+      val classes = tbl(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("k"), count(lit(1)).as("n"))
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = classes.select(col("blk"), col("p_name").as("name_a"),
+        col("k").as("key_a"), col("n").as("n_a"))
+      val b = classes.select(col("blk"), col("p_name").as("name_b"),
+        col("k").as("key_b"), col("n").as("n_b"))
+      a.join(b, Seq("blk")).filter(col("key_a") < col("key_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("key_a"), col("key_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"),
+          col("n_a"), col("n_b"))
     }),
 
     "q208_grouping_sets" -> ((s, dir) => {

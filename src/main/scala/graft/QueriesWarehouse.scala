@@ -1149,5 +1149,36 @@ private[graft] object QueriesWarehouse {
         .agg(min(col("o_totalprice")).as("w_median"),
           max(col("totw")).as("total_weight"))
     }),
+
+    "q213_ddsketch_quantiles" -> ((s, dir) => {
+      // DDSketch relative-error quantiles as a RELATIONAL sketch
+      // (operators.DdSketch): deterministic log-γ bucket counts are the
+      // sketch state (mergeable by pure addition — the property the
+      // streaming face needs and a t-digest can't give), extraction is
+      // an exact-integer rank walk over the ≤600-bucket table, and the
+      // oracle replays buckets + walk + midpoint estimate EXACTLY while
+      // the α-bound flags prove the estimates sit within 2α of the
+      // exact percentiles. The corpus is touched twice (sketch build,
+      // exact-percentile contrast) and never window-sorted.
+      import operators.DdSketch
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val b = DdSketch.buckets(li, "l_returnflag", "l_extendedprice")
+      val p50 = DdSketch.quantileIdx(b, "l_returnflag", 1, 2, "i50")
+      val p90 = DdSketch.quantileIdx(b, "l_returnflag", 9, 10, "i90")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("e50"),
+          expr("percentile(l_extendedprice, 0.9D)").as("e90"),
+          count(lit(1)).as("n_rows"))
+      exact.join(broadcast(p50), Seq("l_returnflag"))
+        .join(broadcast(p90), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"),
+          DdSketch.estimate(col("i50")).as("p50_est"),
+          DdSketch.estimate(col("i90")).as("p90_est"),
+          (abs(DdSketch.estimate(col("i50")) - col("e50")) <= col("e50") * 0.02)
+            .as("p50_ok"),
+          (abs(DdSketch.estimate(col("i90")) - col("e90")) <= col("e90") * 0.02)
+            .as("p90_ok"))
+    }),
   )
 }

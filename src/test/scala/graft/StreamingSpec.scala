@@ -248,6 +248,94 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.asScala.toSeq.sorted == batchOp)
   }
 
+  test("streaming attribution: converged snapshots equal batch, rollup equals the q206 query") {
+    import graft.streaming.StreamingAttribution
+    import graft.streaming.StreamingAttribution.{AttRow, Ev}
+    val evs = StreamingAttribution.fromEvents(Tables.events(spark, sfDir))
+      .collect().sortBy(e => (e.us, e.event_id))
+
+    // Batch truth: the operator itself over the full history.
+    val batch = StreamingAttribution
+      .attribution(spark.createDataset(evs.toSeq), streaming = false)
+      .collect().map(r => r.user_id -> r).toMap
+
+    // Stream: chronological chunks (per-key ordered arrival — the keyed-
+    // Kafka contract); rows unordered within a chunk. Last emission per
+    // user (update mode) is the converged snapshot.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, AttRow]()
+    val q = StreamingAttribution.attribution(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AttRow], _: Long) =>
+        df.collect().foreach(r => last.put(r.user_id, r)); ()
+      }
+      .start()
+    evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+      mem.addData(scala.util.Random.shuffle(ch.toSeq))
+      q.processAllAvailable()
+    }
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(last.asScala.toMap == batch && batch.nonEmpty)
+    assert(batch.values.exists(_.converted))
+
+    // The channel rollup of the converged snapshots IS the declared
+    // q206 query (same decimal-cast sum, same null handling).
+    val rows = spark.createDataset(batch.values.toSeq.filter(_.converted))
+    val fta = rows.groupBy($"first_ch".as("channel"))
+      .agg(count(lit(1)).as("n_first"),
+        sum($"p_value".cast("decimal(18,2)")).cast("double").as("val_first"))
+    val lta = rows.filter($"last_ch".isNotNull)
+      .groupBy($"last_ch".as("channel")).agg(count(lit(1)).as("n_last"))
+    val rollup = fta.join(lta, Seq("channel"), "full")
+      .select($"channel", coalesce($"n_first", lit(0L)).as("n_first"),
+        coalesce($"val_first", lit(0.0)).as("val_first"),
+        coalesce($"n_last", lit(0L)).as("n_last"))
+      .collect().map(_.toString).sorted.toSeq
+    val declared = SparkEntry.queries("q206_attribution")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rollup == declared)
+  }
+
+  test("streaming quantiles: order-free convergence to batch and to the q213 estimates") {
+    import graft.streaming.StreamingQuantiles
+    import graft.streaming.StreamingQuantiles.{Obs, QRow}
+    val obs = StreamingQuantiles.fromColumns(
+      Tables.load(spark, sfDir, "lineitem"), "l_returnflag", "l_extendedprice")
+      .collect().toSeq
+
+    val batch = StreamingQuantiles
+      .quantiles(spark.createDataset(obs), streaming = false)
+      .collect().map(r => r.key -> r).toMap
+
+    // NO ordered-arrival contract: the sketch is mergeable, so a fully
+    // shuffled chunking must still converge exactly.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Obs]
+    val last = new java.util.concurrent.ConcurrentHashMap[String, QRow]()
+    val q = StreamingQuantiles.quantiles(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[QRow], _: Long) =>
+        df.collect().foreach(r => last.put(r.key, r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(obs).grouped(math.max(1, obs.length / 3 + 1))
+      .foreach { ch => mem.addData(ch); q.processAllAvailable() }
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(last.asScala.toMap == batch && batch.nonEmpty)
+
+    // Converged emissions equal the declared q213 estimates bit-for-bit.
+    val declared = SparkEntry.queries("q213_ddsketch_quantiles")(spark, sfDir)
+      .select($"l_returnflag", $"n_rows", $"p50_est", $"p90_est")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sorted.toSeq
+    val streamed = last.asScala.values
+      .map(r => (r.key, r.n, r.p50_est, r.p90_est)).toSeq.sorted
+    assert(streamed == declared)
+  }
+
   test("streaming JSONL drop-dir ingest: corrupt lines dropped, snapshots committed") {
     import org.apache.spark.sql.types._
     import graft.sources.{Jsonl, Snapshots}
