@@ -280,6 +280,41 @@ private[graft] object OracleRelational {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 
+    "q214_table_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents_a,
+             o_orderstatus AS st_a FROM orders),
+         base AS (SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             o_orderstatus FROM orders),
+         b AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 97 = 0 THEN cents + 100 ELSE cents END AS cents_b,
+             o_orderstatus AS st_b
+           FROM base WHERE o_orderkey % 101 <> 0
+           UNION ALL
+           SELECT -o_orderkey, cents, o_orderstatus
+           FROM base WHERE o_orderkey % 103 = 0)
+         SELECT CASE WHEN cents_b IS NULL THEN 'only_a'
+             WHEN cents_a IS NULL THEN 'only_b'
+             WHEN cents_a <> cents_b OR st_a <> st_b THEN 'changed'
+             ELSE 'same' END AS status,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM a FULL JOIN b USING (k)
+         GROUP BY 1""",
+
+    "q216_rank_family" ->
+      """SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile,
+           round(percent_rank() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey), 6) AS cum_dist,
+           CAST(dense_rank() OVER (PARTITION BY c_nationkey
+             ORDER BY c_mktsegment) AS INTEGER) AS seg_rank
+         FROM customer""",
+
     "q212_pivot_multi" ->
       """SELECT o_orderpriority,
            CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O_n",

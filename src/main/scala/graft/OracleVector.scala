@@ -345,6 +345,33 @@ private[graft] object OracleVector {
          CAST(49 + p_partkey % 10 AS BIGINT) AS zero_crossings
          FROM part WHERE p_partkey < 24""",
 
+    // Pure-arithmetic replay of the decode→aHash→band→verify chain: the
+    // gradient pixel formula gives the bits (p·64 > total, gray factor
+    // cancels), halves rebuilt with integer shifts, same band union.
+    "q215_phash_neardup" ->
+      """WITH ids AS (SELECT CAST(p_partkey AS BIGINT) AS id
+           FROM part WHERE p_partkey < 48),
+         grid AS (SELECT x.x, y.y
+           FROM (SELECT unnest(generate_series(0, 7)) AS x) x,
+                (SELECT unnest(generate_series(0, 7)) AS y) y),
+         px AS (SELECT id, (y * 8 + x) AS i,
+             (id * 7 + x * 3 + y * 5) % 256 AS p
+           FROM ids, grid),
+         s AS (SELECT id, sum(p) AS tot FROM px GROUP BY 1),
+         h AS (SELECT px.id,
+             CAST(sum(CASE WHEN i < 32 AND p * 64 > tot
+               THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS h_lo,
+             CAST(sum(CASE WHEN i >= 32 AND p * 64 > tot
+               THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS h_hi
+           FROM px JOIN s USING (id) GROUP BY 1),
+         cand AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.h_hi, b.h_hi)) +
+                  bit_count(xor(a.h_lo, b.h_lo)) AS INTEGER) AS hamming
+           FROM h a JOIN h b
+             ON a.id < b.id AND (a.h_hi = b.h_hi OR a.h_lo = b.h_lo))
+         SELECT DISTINCT id_a, id_b, hamming FROM cand WHERE hamming <= 12""",
+
     // Exact replay of KCore.peel(k=4, rounds=4): each sweep is one
     // unrolled MATERIALIZED CTE pair (degrees -> surviving edges).
     "q211_kcore" ->

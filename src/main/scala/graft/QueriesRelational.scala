@@ -511,6 +511,58 @@ private[graft] object QueriesRelational {
           col("gid"), col("n_orders"), col("revenue"))
     }),
 
+    "q214_table_diff" -> ((s, dir) => {
+      // Reconciliation diff — the anti-entropy check a migration or CDC
+      // pipeline runs before cutover: full outer join on the key, rows
+      // classified only_a / only_b / changed / same, one count per
+      // status. The "restated" side is derived deterministically from
+      // orders (drop %101 keys, bump price on %97 keys, add %103 keys
+      // negated) so the oracle replays it exactly. Values compare as
+      // EXACT CENTS (BIGINT) — no float equality anywhere. Scale shape:
+      // one key-keyed outer join + a 4-row rollup; both sides shuffle
+      // once on the key.
+      val a = tbl(s, dir, "orders").select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents_a"),
+        col("o_orderstatus").as("st_a"))
+      val base = tbl(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"),
+        col("o_orderstatus"))
+      val b = base.filter(col("o_orderkey") % 101 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 97 === 0, col("cents") + 100)
+            .otherwise(col("cents")).as("cents_b"),
+          col("o_orderstatus").as("st_b"))
+        .unionByName(base.filter(col("o_orderkey") % 103 === 0)
+          .select((-col("o_orderkey")).as("k"), col("cents").as("cents_b"),
+            col("o_orderstatus").as("st_b")))
+      a.join(b, Seq("k"), "full")
+        .select(when(col("cents_b").isNull, "only_a")
+          .when(col("cents_a").isNull, "only_b")
+          .when(col("cents_a") =!= col("cents_b") || col("st_a") =!= col("st_b"),
+            "changed")
+          .otherwise("same").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+    }),
+
+    "q216_rank_family" -> ((s, dir) => {
+      // The analytic-rank function family in one partitioned window —
+      // ntile quartiles, percent_rank, cume_dist over a TOTAL order
+      // (acctbal desc, custkey tiebreak → no peer-group ambiguity), and
+      // dense_rank over the genuinely-tied segment column (ties share a
+      // rank, so no tiebreak is needed for determinism). All windows
+      // are nation-partitioned — keys grow with the data, never global.
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val ws = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_mktsegment"))
+      tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cum_dist"),
+          dense_rank().over(ws).as("seg_rank"))
+    }),
+
     "q212_pivot_multi" -> ((s, dir) => {
       // Multi-measure pivot: one pass producing BOTH a count and a
       // revenue column per pivoted status — the spread-sheet crosstab

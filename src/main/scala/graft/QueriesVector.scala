@@ -725,6 +725,50 @@ private[graft] object QueriesVector {
         .agg(count(lit(1)).as("n"), min(size(col("embedding"))).as("min_dim"),
           max(size(col("embedding"))).as("max_dim"))),
 
+    "q215_phash_neardup" -> ((s, dir) => {
+      // Perceptual-hash near-dup over the REAL image decode path: 8×8
+      // gradient PNGs (pixel(x,y) = (id·7 + 3x + 5y) mod 256) are
+      // encoded per row, decoded back through ImageIO, aHashed with
+      // PURE-INTEGER bit math (ImageCodec.aHash64 — the ×3 channel
+      // factor cancels, so the oracle replays the bits from the pixel
+      // formula alone), and the two 32-bit halves double as LSH BANDS:
+      // candidates are pairs agreeing on ≥1 half (two equi-joins +
+      // union, never all-pairs — the q32 simhash banding on the
+      // multimodal tier), verified at Hamming ≤ 12 via bit_count(xor).
+      // The demo id<48 bound mirrors q81/q95; at scale the band join is
+      // the plan.
+      import s.implicits._
+      val media = tbl(s, dir, "part").filter(col("p_partkey") < 48)
+        .select(col("p_partkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          graft.multimodal.Multimodal.MediaRow(id, bos.toByteArray, "image/png", 8, 8)
+        }
+      val h = graft.multimodal.ImageCodec.aHashes(media)
+        .filter(col("decoded")).toDF().localCheckpoint() // 48 rows, feeds both bands
+      def band(onCol: String) = h.as("a").join(h.as("b"),
+          col(s"a.$onCol") === col(s"b.$onCol") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          (bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))) +
+            bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo")))).as("hamming"))
+      band("h_hi").union(band("h_lo")).distinct()
+        .filter(col("hamming") <= 12)
+    }),
+
     "q211_kcore" -> ((s, dir) => {
       // k-core decomposition (k=4, 4 synchronous peel sweeps) of the
       // ≥2-shared-orders PART co-purchase graph (the supplier graph is

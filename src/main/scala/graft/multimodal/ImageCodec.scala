@@ -99,6 +99,59 @@ object ImageCodec {
     }
   }
 
+  case class AHash(media_id: Long, decoded: Boolean, h_hi: Long, h_lo: Long)
+
+  /** 64-bit average hash (aHash) of an 8×8 image as two 32-bit halves
+    * held in longs: bit i set ⇔ pixel i's channel sum × 64 > the image's
+    * total channel sum — PURE INTEGER arithmetic end to end (no float
+    * mean), so an oracle can replay the bits from the pixel formula
+    * exactly and the common ×3 gray factor cancels. Halves double as
+    * LSH bands: near-dup candidates are pairs agreeing exactly on at
+    * least one half (two equi-joins + union — never all-pairs), with
+    * the ≤-threshold Hamming verify run only on candidates.
+    */
+  def aHash64(img: BufferedImage): (Long, Long) = {
+    val p = new Array[Long](64)
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val rgb = img.getRGB(x, y)
+        p(i) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val sum = p.sum
+    var lo = 0L; var hi = 0L
+    i = 0
+    while (i < 64) {
+      if (p(i) * 64 > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-partition aHash extraction; undecodable rows emit
+    * `decoded = false` with zero hashes (kept alive, filterable).
+    */
+  def aHashes(media: Dataset[Multimodal.MediaRow]): Dataset[AHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decode(r.payload) match {
+          case Some(img) =>
+            val (hi, lo) = aHash64(img)
+            AHash(r.media_id, decoded = true, hi, lo)
+          case None => AHash(r.media_id, decoded = false, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** Real resize (smooth-scaled, re-encoded PNG): the bytes→bytes shape a
     * thumbnailing stage runs per partition.
     */
