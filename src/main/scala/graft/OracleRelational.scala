@@ -280,6 +280,18 @@ private[graft] object OracleRelational {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
 
+    "q217_jaro_winkler_join" ->
+      """WITH dn AS (SELECT p_name, min(p_partkey) AS k,
+             CAST(count(*) AS BIGINT) AS n
+           FROM part GROUP BY 1),
+         t AS (SELECT p_name, k, n,
+             string_split(p_name, ' ')[1] AS blk FROM dn)
+         SELECT a.k AS key_a, b.k AS key_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw,
+           a.n AS n_a, b.n AS n_b
+         FROM t a JOIN t b ON a.blk = b.blk AND a.k < b.k
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.85""",
+
     "q214_table_diff" ->
       """WITH a AS (SELECT o_orderkey AS k,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents_a,

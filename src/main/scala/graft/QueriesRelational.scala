@@ -511,6 +511,31 @@ private[graft] object QueriesRelational {
           col("gid"), col("n_orders"), col("revenue"))
     }),
 
+    "q217_jaro_winkler_join" -> ((s, dir) => {
+      // q207's linkage shape with a NATIVE similarity kernel: the
+      // Jaro–Winkler scorer is a custom codegen'd Catalyst Expression
+      // (plans.JaroWinkler, also SQL-registered as graft_jaro_winkler) —
+      // extension-ladder tier (b), no UDF boxing in the verify loop.
+      // Same scale contract as q207: name-class collapse first
+      // (vocabulary²-bounded verify), first-token block equi-join,
+      // similarity gate ≥ 0.85. Oracle = DuckDB's built-in
+      // jaro_winkler_similarity (same Winkler 1990 definition, 0.7
+      // gate, 0.1 prefix scale), both sides rounded to 6 dp.
+      val classes = tbl(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("k"), count(lit(1)).as("n"))
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val a = classes.select(col("blk"), col("p_name").as("name_a"),
+        col("k").as("key_a"), col("n").as("n_a"))
+      val b = classes.select(col("blk"), col("p_name").as("name_b"),
+        col("k").as("key_b"), col("n").as("n_b"))
+      val jw = round(graft.plans.TextKernels.jaroWinklerNative(
+        col("name_a"), col("name_b")), 6)
+      a.join(b, Seq("blk")).filter(col("key_a") < col("key_b"))
+        .filter(jw >= 0.85)
+        .select(col("key_a"), col("key_b"), jw.as("jw"), col("n_a"), col("n_b"))
+    }),
+
     "q214_table_diff" -> ((s, dir) => {
       // Reconciliation diff — the anti-entropy check a migration or CDC
       // pipeline runs before cutover: full outer join on the key, rows

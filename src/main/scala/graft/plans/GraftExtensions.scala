@@ -57,7 +57,11 @@ object GraftFunctions {
       info("graft_count_min",
         "graft_count_min(key, width) - count-min sketch counters (agg)"),
       (es: Seq[Expression]) =>
-        SketchAggregates.CountMin(es.head, intArg(es(1), "width"))))
+        SketchAggregates.CountMin(es.head, intArg(es(1), "width"))),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (0.7 gate, 0.1 prefix scale)"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

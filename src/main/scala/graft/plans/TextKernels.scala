@@ -138,7 +138,83 @@ case class RepetitionStats(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd Jaro–Winkler similarity (Winkler 1990: Jaro with a
+  * common-prefix boost of 0.1 per char up to 4, applied only above the
+  * standard 0.7 gate). A native scalar `Expression` (extension-ladder
+  * tier b) — inside whole-stage codegen the per-pair cost is two char
+  * walks with a match window, no UDF boxing, no row serialization.
+  * DuckDB ships the same definition as `jaro_winkler_similarity`, so
+  * the oracle is the built-in (both sides rounded to 6 dp — the float
+  * tolerance for an identical formula evaluated in two engines).
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.TextKernels.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
 object TextKernels {
+
+  /** Textbook Jaro–Winkler over UTF-16 code units (names here are
+    * ASCII; for full Unicode the contract would move to code points).
+    */
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    if (a == b) return 1.0
+    val la = a.length
+    val lb = b.length
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val matchedA = new Array[Boolean](la)
+    val matchedB = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (!found && j <= hi) {
+        if (!matchedB(j) && a.charAt(i) == b.charAt(j)) {
+          matchedA(i) = true; matchedB(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // Transpositions: aligned walk over the matched chars of each side.
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (matchedA(i)) {
+        while (!matchedB(j)) j += 1
+        if (a.charAt(i) != b.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t / 2) / md) / 3.0
+    // Winkler prefix boost, standard 0.7 gate, prefix capped at 4.
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    while (l < math.min(4, math.min(la, lb)) && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
 
   private val hexChars = "0123456789abcdef".toCharArray
 
@@ -348,4 +424,8 @@ object TextKernels {
 
   def winnowingNative(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowingFingerprints(ColumnBridge.expression(text), k, w))
+
+  def jaroWinklerNative(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaroWinkler(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

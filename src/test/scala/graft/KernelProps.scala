@@ -31,6 +31,18 @@ object KernelProps extends Properties("graft-kernels") {
       }
     }
 
+  property("jaroWinkler: bounds, identity, symmetry, disjoint-zero") =
+    forAll(word, word) { (a, b) =>
+      def jw(x: String, y: String) = graft.plans.TextKernels.jaroWinkler(
+        UTF8String.fromString(x), UTF8String.fromString(y))
+      val s = jw(a, b)
+      Prop(s >= 0.0 && s <= 1.0) &&
+        Prop(jw(a, a) == 1.0) &&
+        Prop(s == jw(b, a)) &&
+        // Strings over disjoint alphabets share no matches → exactly 0.
+        Prop(jw("aaa", "bbb") == 0.0)
+    }
+
   property("ontolia parse roundtrips well-formed lines") =
     forAll(word, Gen.nonEmptyListOf(word)) { (reg, ts) =>
       val line = s"  $reg = ${ts.mkString(" , ")} "
