@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * expressions, not UDFs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(e.injectFunction)
+    // Plan governance (no-op unless spark.graft.failOnGlobalWindow=true).
+    e.injectOptimizerRule(_ => GraftGuards.GlobalWindowGuard)
+  }
 }
 
 object GraftFunctions {
