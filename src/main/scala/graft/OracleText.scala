@@ -761,5 +761,32 @@ private[graft] object OracleText {
              ORDER BY tfidf DESC, term) AS rn
            FROM scored) t
          WHERE rn <= 3""",
+    "q224_ks_two_sample" ->
+      """WITH d AS (SELECT n_chars, source FROM documents
+           WHERE source IN ('src0', 'src1')),
+         g AS (SELECT n_chars,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+           FROM d GROUP BY 1),
+         c AS (SELECT n_chars,
+             CAST(sum(c0) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum0,
+             CAST(sum(c1) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1
+           FROM g),
+         t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(c1) AS BIGINT) AS n1 FROM g),
+         k AS (SELECT n0, n1,
+             round(max(abs(CAST(cum0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+               - CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE))), 6) AS ks_stat
+           FROM c CROSS JOIN t GROUP BY 1, 2)
+         SELECT n0, n1, ks_stat,
+           round(1.358 * sqrt(CAST(n0 + n1 AS DOUBLE)
+             / CAST(n0 * n1 AS DOUBLE)), 6) AS d_crit,
+           ks_stat > round(1.358 * sqrt(CAST(n0 + n1 AS DOUBLE)
+             / CAST(n0 * n1 AS DOUBLE)), 6) AS reject_h0
+         FROM k""",
   )
 }

@@ -405,5 +405,20 @@ private[graft] object OracleVector {
          SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS core_degree
          FROM (SELECT src AS node FROM e4 UNION ALL SELECT dst FROM e4)
          GROUP BY node""",
+    "q225_item_cf_topk" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+           FROM lineitem),
+         ci AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+         co AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS cij
+           FROM li x JOIN li y ON x.ok = y.ok AND x.item <> y.item
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sc AS (SELECT a, b, cij,
+             round(CAST(cij AS DOUBLE)
+               / sqrt(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS cosine
+           FROM co JOIN ci ca ON ca.item = co.a JOIN ci cb ON cb.item = co.b),
+         r AS (SELECT a, b, cij, cosine,
+             row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rn
+           FROM sc)
+         SELECT a, b, cij, cosine FROM r WHERE rn <= 3""",
   )
 }

@@ -726,5 +726,120 @@ private[graft] object OracleWarehouse {
            (abs(round(2.0 * pow(101.0/99.0, i90) / (101.0/99.0 + 1.0), 4) - e90)
              <= e90 * 0.02) AS p90_ok
          FROM ex JOIN p50 USING (l_returnflag) JOIN p90 USING (l_returnflag)""",
+    "q218_retention_cohorts" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+           CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT) AS m
+           FROM orders),
+         f AS (SELECT cust, min(m) AS cohort_m FROM o GROUP BY 1),
+         a AS (SELECT DISTINCT f.cohort_m, o.m - f.cohort_m AS offset_m, o.cust
+           FROM o JOIN f USING (cust)),
+         c AS (SELECT cohort_m, offset_m, CAST(count(*) AS BIGINT) AS n_active
+           FROM a GROUP BY 1, 2),
+         sz AS (SELECT cohort_m, n_active AS cohort_size FROM c
+           WHERE offset_m = 0)
+         SELECT c.cohort_m, c.offset_m, c.n_active, sz.cohort_size,
+           round(CAST(c.n_active AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE), 4)
+             AS retention
+         FROM c JOIN sz USING (cohort_m)""",
+    "q219_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM items),
+         c1 AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+         pairs AS (SELECT x.brand AS pa, y.brand AS pb,
+             CAST(count(*) AS BIGINT) AS pc, any_value(t.n_baskets) AS n_baskets
+           FROM items x JOIN items y ON x.ok = y.ok AND x.brand < y.brand
+           CROSS JOIN t GROUP BY 1, 2
+           HAVING CAST(count(*) AS BIGINT) * 200 >= any_value(t.n_baskets)),
+         rules AS (SELECT pa AS ante, pb AS cons, pc, n_baskets FROM pairs
+           UNION ALL SELECT pb, pa, pc, n_baskets FROM pairs)
+         SELECT ante, cons, pc AS pair_n,
+           round(CAST(pc AS DOUBLE) / CAST(ca.c AS DOUBLE), 4) AS confidence,
+           round(CAST(pc * n_baskets AS DOUBLE)
+             / CAST(ca.c * cb.c AS DOUBLE), 4) AS lift
+         FROM rules JOIN c1 ca ON ca.brand = rules.ante
+           JOIN c1 cb ON cb.brand = rules.cons""",
+    "q220_streak_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+           epoch_us(ts) // 86400000000 AS day FROM events),
+         g AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           FROM d),
+         st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+           FROM g GROUP BY 1, 2),
+         lg AS (SELECT user_id, max(len) AS streak_days FROM st GROUP BY 1)
+         SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+         FROM lg GROUP BY 1""",
+    "q221_ols_price_qty" ->
+      """WITH base AS (SELECT n_name,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100
+             AS y
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey),
+         m AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sx2,
+             CAST(sum(y*y) AS BIGINT) AS sy2
+           FROM base GROUP BY 1),
+         f AS (SELECT n_name, n_lines,
+             CAST(n_lines AS DOUBLE) AS dn, CAST(sx AS DOUBLE) AS dsx,
+             CAST(sy AS DOUBLE) AS dsy, CAST(sxy AS DOUBLE) AS dsxy,
+             CAST(sx2 AS DOUBLE) AS dsx2, CAST(sy2 AS DOUBLE) AS dsy2
+           FROM m)
+         SELECT n_name, n_lines,
+           round((dn*dsxy - dsx*dsy) / (dn*dsx2 - dsx*dsx), 6) AS slope,
+           round((dsy - ((dn*dsxy - dsx*dsy) / (dn*dsx2 - dsx*dsx)) * dsx) / dn,
+             4) AS intercept,
+           round((dn*dsxy - dsx*dsy) * (dn*dsxy - dsx*dsy)
+             / ((dn*dsx2 - dsx*dsx) * (dn*dsy2 - dsy*dsy)), 6) AS r2
+         FROM f""",
+    "q222_ab_value_ztest" ->
+      """WITH spend AS (SELECT user_id % 2 AS variant, user_id,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS cu
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         per AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cu) AS BIGINT) AS s1, CAST(sum(cu*cu) AS BIGINT) AS s2
+           FROM spend GROUP BY 1),
+         one AS (SELECT
+             max(CASE WHEN variant = 0 THEN n END) AS n0,
+             max(CASE WHEN variant = 0 THEN s1 END) AS a1,
+             max(CASE WHEN variant = 0 THEN s2 END) AS a2,
+             max(CASE WHEN variant = 1 THEN n END) AS n1,
+             max(CASE WHEN variant = 1 THEN s1 END) AS b1,
+             max(CASE WHEN variant = 1 THEN s2 END) AS b2
+           FROM per),
+         f AS (SELECT n0, n1,
+             CAST(a1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+             CAST(b1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             (CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE)
+               / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) AS v0,
+             (CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE) * CAST(b1 AS DOUBLE)
+               / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1
+           FROM one)
+         SELECT n0, n1, round(m0 / 100.0, 4) AS mean0,
+           round(m1 / 100.0, 4) AS mean1,
+           round((m1 - m0) / sqrt(v0 / CAST(n0 AS DOUBLE)
+             + v1 / CAST(n1 AS DOUBLE)), 4) AS z_stat,
+           abs(round((m1 - m0) / sqrt(v0 / CAST(n0 AS DOUBLE)
+             + v1 / CAST(n1 AS DOUBLE)), 4)) > 1.96 AS significant
+         FROM f""",
+    "q223_benford_digits" ->
+      """WITH obs AS (SELECT
+           substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS VARCHAR), 1, 1) AS digit,
+           CAST(count(*) AS BIGINT) AS n_obs
+           FROM orders GROUP BY 1),
+         t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+         f AS (SELECT digit, n_obs,
+             log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_p_raw,
+             CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+               AS exp_n
+           FROM obs CROSS JOIN t)
+         SELECT digit, n_obs, round(exp_p_raw, 6) AS exp_p,
+           round((CAST(n_obs AS DOUBLE) - exp_n) * (CAST(n_obs AS DOUBLE) - exp_n)
+             / exp_n, 4) AS chi2_part
+         FROM f""",
   )
 }

@@ -1657,5 +1657,37 @@ private[graft] object QueriesText {
       org.apache.spark.sql.graft.TopKPerKey(scored, Seq("doc_id"),
         Seq(("tfidf", false), ("term", true)), k = 3)
     }),
+
+    "q224_ks_two_sample" -> ((s, dir) => {
+      // Two-sample Kolmogorov–Smirnov on document length (src0 vs src1):
+      // the distribution-drift test a corpus monitor runs between two
+      // snapshots. The ECDF gap is evaluated on the VALUE GRID (distinct
+      // n_chars, domain-bounded — thousands of rows at any corpus size),
+      // so the cumulative counts ride the n²-bounded triangular rank —
+      // never a global per-document window. The max of per-grid-point
+      // double gaps is order-free; D_crit is the α=0.05 large-sample
+      // bound 1.358·√((n0+n1)/(n0·n1)).
+      val d = tbl(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("n_chars"), col("source"))
+      val grid = d.groupBy(col("n_chars")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+        .localCheckpoint()
+      val cum = operators.ScalableWindow.boundedRankCum(grid,
+        Seq(("n_chars", true)), "t", Seq(("c0", "cum0"), ("c1", "cum1")))
+      val tot = grid.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      val dCrit = round(lit(1.358) *
+        sqrt((col("n0") + col("n1")).cast("double") /
+          (col("n0") * col("n1")).cast("double")), 6)
+      cum.crossJoin(broadcast(tot))
+        .select(col("n0"), col("n1"),
+          abs(col("cum0").cast("double") / col("n0").cast("double") -
+            col("cum1").cast("double") / col("n1").cast("double")).as("gap"))
+        .groupBy(col("n0"), col("n1"))
+        .agg(round(max(col("gap")), 6).as("ks_stat"))
+        .select(col("n0"), col("n1"), col("ks_stat"), dCrit.as("d_crit"),
+          (col("ks_stat") > dCrit).as("reject_h0"))
+    }),
   )
 }

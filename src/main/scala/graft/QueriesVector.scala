@@ -791,5 +791,36 @@ private[graft] object QueriesVector {
       graph.KCore.peel(edges, "pa", "pb", k = 4, rounds = 4)
         .select(col("node").as("p_partkey"), col("deg").as("core_degree"))
     }),
+
+    "q225_item_cf_topk" -> ((s, dir) => {
+      // Item-item collaborative filtering: cosine similarity on binary
+      // basket vectors (cij/√(ci·cj)) with the 3 nearest neighbors per
+      // item selected by the NATIVE TopKPerKey operator — no window, no
+      // global sort. The co-occurrence stream is bounded by basket width
+      // (the q180 contract); per-item basket counts are item-sized and
+      // ride broadcast; rounding to 6 dp before the (cosine desc, b asc)
+      // total order makes the top-3 deterministic across engines.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct().localCheckpoint()
+      val ci = li.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      val co = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.item") =!= col("y.item"))
+        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+        .agg(count(lit(1)).as("cij"))
+        .filter(col("cij") >= 2)
+      val scored = co
+        .join(broadcast(ci.select(col("item").as("a"), col("c").as("ca"))),
+          Seq("a"))
+        .join(broadcast(ci.select(col("item").as("b"), col("c").as("cb"))),
+          Seq("b"))
+        .select(col("a"), col("b"), col("cij"),
+          round(col("cij").cast("double") /
+            sqrt(col("ca").cast("double") * col("cb").cast("double")), 6)
+            .as("cosine"))
+      org.apache.spark.sql.graft.TopKPerKey(scored, Seq("a"),
+        Seq(("cosine", false), ("b", true)), 3)
+        .select(col("a"), col("b"), col("cij"), col("cosine"))
+    }),
   )
 }

@@ -1180,5 +1180,187 @@ private[graft] object QueriesWarehouse {
           (abs(DdSketch.estimate(col("i90")) - col("e90")) <= col("e90") * 0.02)
             .as("p90_ok"))
     }),
+
+    "q218_retention_cohorts" -> ((s, dir) => {
+      // Cohort-retention triangle: cohort = a customer's first order
+      // month, offset = months since, cell = distinct active customers,
+      // rate = cell / cohort size. Two custkey-partitioned shuffles (the
+      // first-order min and the co-partitioned join back) and a
+      // month²-bounded final aggregate; cohort sizes are the offset-0
+      // diagonal, joined back broadcast. Month index is pure calendar
+      // arithmetic (year·12+month−1) — no week conventions, identical in
+      // both engines under the pinned UTC session.
+      val o = tbl(s, dir, "orders").select(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("bigint").as("m"))
+      val first = o.groupBy(col("cust")).agg(min(col("m")).as("cohort_m"))
+      val active = o.join(first, Seq("cust"))
+        .select(col("cohort_m"), (col("m") - col("cohort_m")).as("offset_m"),
+          col("cust"))
+        .distinct()
+      val counts = active.groupBy(col("cohort_m"), col("offset_m"))
+        .agg(count(lit(1)).as("n_active")).localCheckpoint()
+      val sizes = counts.filter(col("offset_m") === 0)
+        .select(col("cohort_m"), col("n_active").as("cohort_size"))
+      counts.join(broadcast(sizes), Seq("cohort_m"))
+        .select(col("cohort_m"), col("offset_m"), col("n_active"),
+          col("cohort_size"),
+          round(col("n_active").cast("double") /
+            col("cohort_size").cast("double"), 4).as("retention"))
+    }),
+
+    "q219_association_rules" -> ((s, dir) => {
+      // Association rules over the q180 brand baskets: every frequent
+      // unordered pair (relative support ≥ 0.5% of baskets, exact
+      // integer compare) emits both directed rules with confidence
+      // pc/c(ante) and lift pc·n/(c(ante)·c(cons)). The pair stream is
+      // bounded by basket width (TPC-H ≤ 7 brands; a retail-width hot
+      // basket is bounded by the same broadcast-L2 prune as q180); the
+      // per-brand counts are brand-sized and ride broadcast. All counts
+      // stay exact integers; each ratio is one double division.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val items = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct().localCheckpoint()
+      val totals = items.agg(countDistinct(col("ok")).as("n_baskets"))
+      val c1 = items.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("pa"), col("y.brand").as("pb"))
+        .agg(count(lit(1)).as("pc"))
+        .crossJoin(broadcast(totals))
+        .filter(col("pc") * 200 >= col("n_baskets"))
+      val rules = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
+          col("pc"), col("n_baskets"))
+        .union(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
+          col("pc"), col("n_baskets")))
+      rules
+        .join(broadcast(c1.select(col("brand").as("ante"), col("c").as("ca"))),
+          Seq("ante"))
+        .join(broadcast(c1.select(col("brand").as("cons"), col("c").as("cb"))),
+          Seq("cons"))
+        .select(col("ante"), col("cons"), col("pc").as("pair_n"),
+          round(col("pc").cast("double") / col("ca").cast("double"), 4)
+            .as("confidence"),
+          round((col("pc") * col("n_baskets")).cast("double") /
+            (col("ca") * col("cb")).cast("double"), 4).as("lift"))
+    }),
+
+    "q220_streak_islands" -> ((s, dir) => {
+      // Gaps-and-islands: longest run of CONSECUTIVE active days per
+      // user (day − row_number is constant within a run — the classic
+      // islands key), reported as a histogram of longest-streak lengths.
+      // The one window is partitioned by user_id — per-user day lists,
+      // never a global sort — and every aggregate after it is
+      // map-combinable. Day is integer epoch-day arithmetic (µs div
+      // 86400e6), no calendar functions.
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("div(unix_micros(ts), 86400000000)").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+      streaks.groupBy(col("user_id")).agg(max(col("len")).as("streak_days"))
+        .groupBy(col("streak_days")).agg(count(lit(1)).as("n_users"))
+    }),
+
+    "q221_ols_price_qty" -> ((s, dir) => {
+      // Closed-form per-nation OLS of whole-dollar line price on
+      // quantity from EXACT-INTEGER sufficient statistics (n, Σx, Σy,
+      // Σxy, Σx², Σy²) — one map-combinable aggregate over the fact
+      // table, two broadcast dim joins, then slope/intercept/R² as a
+      // fixed IEEE double sequence over stats each < 2^53. y is the
+      // whole-dollar price via exact cents (cast DECIMAL(18,2) · 100 →
+      // BIGINT, then integer div 100), so every sum commutes — no
+      // ordered folds, unlike the float path of q154. Σy² is the
+      // magnitude bound: ~3·10¹⁵ per nation at sf1; beyond that the
+      // same stats move to DECIMAL(38) partials with the identical
+      // formula tail.
+      val li = tbl(s, dir, "lineitem").select(col("l_suppkey"),
+        col("l_quantity").cast("bigint").as("x"),
+        expr("div(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint), 100)")
+          .as("y"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val m = li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+      def d(c: String): Column = col(c).cast("double")
+      val den = d("n_lines") * d("sx2") - d("sx") * d("sx")
+      val slope = (d("n_lines") * d("sxy") - d("sx") * d("sy")) / den
+      m.select(col("n_name"), col("n_lines"),
+        round(slope, 6).as("slope"),
+        round((d("sy") - slope * d("sx")) / d("n_lines"), 4).as("intercept"),
+        round((d("n_lines") * d("sxy") - d("sx") * d("sy")) *
+          (d("n_lines") * d("sxy") - d("sx") * d("sy")) /
+          (den * (d("n_lines") * d("sy2") - d("sy") * d("sy"))), 6).as("r2"))
+    }),
+
+    "q222_ab_value_ztest" -> ((s, dir) => {
+      // Unpaired Welch z-test on mean purchase value per user under a
+      // deterministic hash split (variant = user_id mod 2) — the A/B
+      // readout an experimentation platform computes. (A two-proportion
+      // conversion test is degenerate on this data: every user
+      // converts, pooled variance 0.) Per-user spend folds as EXACT
+      // INTEGER CENTS, so the user-level sufficient statistics (n, Σc,
+      // Σc²) are order-free map-combinable bigints; means, variances,
+      // and z are one fixed double sequence on the final 2-row rollup.
+      val ev = Tables.events(s, dir)
+      val spend = ev.filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("variant"), col("user_id"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .groupBy(col("variant"), col("user_id"))
+        .agg(sum(col("cents")).as("cu"))
+      val per = spend.groupBy(col("variant")).agg(
+        count(lit(1)).as("n"), sum(col("cu")).as("s1"),
+        sum(col("cu") * col("cu")).as("s2"))
+      val one = per.agg(
+        max(when(col("variant") === 0, col("n"))).as("n0"),
+        max(when(col("variant") === 0, col("s1"))).as("a1"),
+        max(when(col("variant") === 0, col("s2"))).as("a2"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 1, col("s1"))).as("b1"),
+        max(when(col("variant") === 1, col("s2"))).as("b2"))
+      def d(c: String): Column = col(c).cast("double")
+      val m0 = d("a1") / d("n0")
+      val m1 = d("b1") / d("n1")
+      val v0 = (d("a2") - d("a1") * d("a1") / d("n0")) / (d("n0") - lit(1.0))
+      val v1 = (d("b2") - d("b1") * d("b1") / d("n1")) / (d("n1") - lit(1.0))
+      val z = (m1 - m0) / sqrt(v0 / d("n0") + v1 / d("n1"))
+      one.select(col("n0"), col("n1"),
+        round(m0 / lit(100.0), 4).as("mean0"),
+        round(m1 / lit(100.0), 4).as("mean1"),
+        round(z, 4).as("z_stat"), (abs(round(z, 4)) > 1.96).as("significant"))
+    }),
+
+    "q223_benford_digits" -> ((s, dir) => {
+      // Benford first-digit audit of order totals: observed leading
+      // digit counts vs log10(1+1/d) expectation with per-digit χ²
+      // contributions. The digit comes from the STRING form of exact
+      // integer cents (both engines render BIGINT identically; ×100
+      // never changes the leading digit), so the whole query is one
+      // map-combinable 9-group count plus a broadcast total — a single
+      // fact-table scan at any scale.
+      val digit = substring(
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+          .cast("string"), 1, 1)
+      val obs = tbl(s, dir, "orders").select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .localCheckpoint()
+      val tot = obs.agg(sum(col("n_obs")).as("n"))
+      val expP = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      val expN = col("n").cast("double") * expP
+      obs.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          round(expP, 6).as("exp_p"),
+          round((col("n_obs").cast("double") - expN) *
+            (col("n_obs").cast("double") - expN) / expN, 4).as("chi2_part"))
+    }),
   )
 }

@@ -197,4 +197,41 @@ class PlanSpec extends SparkSpec {
     assert(globalWindows("q209_weighted_median") == 0,
       "weighted-median windows must all be customer-partitioned")
   }
+
+  test("q218/q220/q222: the r7 analytics batch plans zero unpartitioned windows") {
+    assert(globalWindows("q218_retention_cohorts") == 0,
+      "retention must be pure groupBy/join — no window at all")
+    assert(globalWindows("q220_streak_islands") == 0,
+      "the islands window must be user-partitioned, never global")
+    assert(globalWindows("q222_ab_value_ztest") == 0,
+      "the Welch rollup is two aggregates — no window")
+  }
+
+  test("q225: item-item CF top-3 runs through the native TopKPerKey operator with broadcast count joins") {
+    val plan = executedPlan("q225_item_cf_topk")
+    assert(plan.contains("TopKPerKey"),
+      s"expected the native per-key top-k operator:\n$plan")
+    assert(!plan.contains("Window"),
+      s"neighbor selection must never fall back to a row_number window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"co-occurrence must come from the basket equi-join, not all-pairs:\n$plan")
+  }
+
+  test("q219: association rules join pairs to per-item counts via broadcast, and the pair stream is an equi-join") {
+    val plan = executedPlan("q219_association_rules")
+    assert(!plan.contains("CartesianProduct"),
+      s"the pair stream must be the ok-keyed equi-join, not all-pairs:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"ante/cons count joins must both broadcast (item-sized dims):\n$plan")
+  }
+
+  test("q221: OLS sufficient statistics fold in ONE map-combinable aggregate over broadcast-dim joins") {
+    val plan = executedPlan("q221_ols_price_qty")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"supplier and nation dims must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the stats fold:\n$plan")
+    assert(plan.contains("*("),
+      s"the stats fold must stay inside whole-stage codegen:\n$plan")
+  }
 }

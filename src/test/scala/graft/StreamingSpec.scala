@@ -675,4 +675,45 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double, Double)].collect().toSet
     assert(streamed.nonEmpty && streamed == batch && streamed == declared)
   }
+
+  test("streaming streaks: converged snapshots equal batch, histogram equals the q220 query") {
+    import graft.streaming.StreamingStreaks
+    import graft.streaming.StreamingStreaks.{DayEv, StreakRow}
+    val evs = StreamingStreaks.fromEvents(Tables.events(spark, sfDir))
+      .collect().sortBy(e => (e.day, e.user_id))
+
+    // Batch truth: the operator itself over the full day history.
+    val batch = StreamingStreaks
+      .longest(spark.createDataset(evs.toSeq), streaming = false)
+      .collect().map(r => r.user_id -> r.streak_days).toMap
+
+    // Stream: chronological chunks (per-key ordered arrival — the
+    // keyed-Kafka contract); rows unordered within a chunk. Last
+    // emission per user (update mode) is the converged snapshot.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DayEv]
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = StreamingStreaks.longest(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreakRow], _: Long) =>
+        df.collect().foreach(r => last.put(r.user_id, r.streak_days)); ()
+      }
+      .start()
+    evs.grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+      mem.addData(scala.util.Random.shuffle(ch.toSeq))
+      q.processAllAvailable()
+    }
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(last.asScala.toMap == batch && batch.nonEmpty)
+    assert(batch.values.exists(_ > 1L))
+
+    // The longest-streak histogram of the converged snapshots IS the
+    // declared q220 query.
+    val hist = batch.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val declared = SparkEntry.queries("q220_streak_islands")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(hist == declared)
+  }
 }
