@@ -788,5 +788,33 @@ private[graft] object OracleText {
            ks_stat > round(1.358 * sqrt(CAST(n0 + n1 AS DOUBLE)
              / CAST(n0 * n1 AS DOUBLE)), 6) AS reject_h0
          FROM k""",
+    "q227_mann_whitney_u" ->
+      """WITH d AS (SELECT n_chars, source FROM documents
+           WHERE source IN ('src2', 'src3')),
+         g AS (SELECT n_chars,
+             CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2,
+             CAST(count(*) AS BIGINT) AS c
+           FROM d GROUP BY 1),
+         cc AS (SELECT n_chars, c1, c2, c,
+             CAST(sum(c) OVER (ORDER BY n_chars ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cumc
+           FROM g),
+         t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c*c*c - c) AS BIGINT) AS ties FROM g),
+         r AS (SELECT CAST(sum(c1 * (2 * (cumc - c) + c + 1)) AS BIGINT)
+             AS r1x2 FROM cc),
+         f AS (SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u2,
+             CAST(n1 + n2 AS DOUBLE) AS nn, ties FROM r CROSS JOIN t)
+         SELECT n1, n2, CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+           round((CAST(u2 AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+               * ((nn + 1.0) - CAST(ties AS DOUBLE) / (nn * (nn - 1.0)))), 4)
+             AS z_stat
+         FROM f""",
   )
 }

@@ -841,5 +841,102 @@ private[graft] object OracleWarehouse {
            round((CAST(n_obs AS DOUBLE) - exp_n) * (CAST(n_obs AS DOUBLE) - exp_n)
              / exp_n, 4) AS chi2_part
          FROM f""",
+    "q226_holt_forecast" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+           SELECT day, CAST(x AS DOUBLE) AS x,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+           FROM (SELECT epoch_us(ts) // 86400000000 AS day,
+             count(*) AS x FROM events GROUP BY 1)),
+         rec AS (
+           SELECT t, round(x, 6) AS l, CAST(0.0 AS DOUBLE) AS b
+           FROM daily WHERE t = 1
+           UNION ALL
+           SELECT d.t,
+             round(0.3 * d.x + 0.7 * (r.l + r.b), 6) AS l,
+             round(0.2 * (round(0.3 * d.x + 0.7 * (r.l + r.b), 6) - r.l)
+               + 0.8 * r.b, 6) AS b
+           FROM rec r JOIN daily d ON d.t = r.t + 1)
+         SELECT t AS n_days, l AS level, b AS trend,
+           round(l + 7.0 * b, 4) AS forecast_7
+         FROM rec WHERE t = (SELECT max(t) FROM daily)""",
+    "q228_chi2_independence" ->
+      """WITH cells AS (SELECT o_orderpriority AS prio, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_obs FROM orders GROUP BY 1, 2),
+         rm AS (SELECT prio, CAST(sum(n_obs) AS BIGINT) AS rt
+           FROM cells GROUP BY 1),
+         cm AS (SELECT status, CAST(sum(n_obs) AS BIGINT) AS ct
+           FROM cells GROUP BY 1),
+         t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM cells)
+         SELECT prio, status, n_obs,
+           round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS exp_n,
+           round((CAST(n_obs AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_obs AS DOUBLE)
+               - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+             AS chi2_part
+         FROM cells JOIN rm USING (prio) JOIN cm USING (status) CROSS JOIN t""",
+    "q229_hill_tail_index" ->
+      """WITH deg AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS d
+           FROM orders GROUP BY 1),
+         grid AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt
+           FROM deg WHERE d >= 10 GROUP BY 1),
+         s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+             list_sum(list(round(CAST(cnt AS DOUBLE)
+               * ln(CAST(d AS DOUBLE) / 10.0), 6) ORDER BY d)) AS s
+           FROM grid)
+         SELECT n_tail, CAST(10 AS BIGINT) AS d_min,
+           round(1.0 + CAST(n_tail AS DOUBLE) / s, 4) AS alpha
+         FROM s""",
+    "q230_bootstrap_ci" ->
+      """WITH o AS (SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         rep AS (SELECT o_orderkey, cents, b,
+             CAST(CAST(concat('0x', substr(md5(concat(
+               CAST(o_orderkey AS VARCHAR), '_', CAST(b AS VARCHAR))), 1, 8))
+               AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+           FROM o CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+         rep2 AS (SELECT b, cents,
+             CAST(CASE WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2 ELSE 3 END AS BIGINT) AS m
+           FROM rep),
+         means AS (SELECT b,
+             CAST(CAST(sum(m * cents) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / 100.0 AS mean_b
+           FROM rep2 GROUP BY 1),
+         e AS (SELECT CAST(count(*) AS BIGINT) AS n_boot,
+             round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+             round(quantile_cont(mean_b, 0.975), 4) AS ci_hi FROM means),
+         f AS (SELECT CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0 AS mean_full FROM o)
+         SELECT n_boot, ci_lo, ci_hi, round(mean_full, 4) AS mean_full
+         FROM e CROSS JOIN f""",
+    "q231_ordered_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.us > t1.t1 GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'signup' AND e.us > t2.t2 GROUP BY 1),
+         t4 AS (SELECT e.user_id, min(e.us) AS t4 FROM ev e JOIN t3 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > t3.t3 GROUP BY 1),
+         c AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n_view,
+             (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n_click,
+             (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n_signup,
+             (SELECT CAST(count(*) AS BIGINT) FROM t4) AS n_purchase)
+         SELECT n_view, n_click, n_signup, n_purchase,
+           round(CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE), 4) AS r_click,
+           round(CAST(n_signup AS DOUBLE) / CAST(n_click AS DOUBLE), 4)
+             AS r_signup,
+           round(CAST(n_purchase AS DOUBLE) / CAST(n_signup AS DOUBLE), 4)
+             AS r_purchase,
+           round(CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE), 4)
+             AS r_overall
+         FROM c""",
   )
 }

@@ -1689,5 +1689,42 @@ private[graft] object QueriesText {
         .select(col("n0"), col("n1"), col("ks_stat"), dCrit.as("d_crit"),
           (col("ks_stat") > dCrit).as("reject_h0"))
     }),
+
+    "q227_mann_whitney_u" -> ((s, dir) => {
+      // Mann–Whitney rank-sum test on document length (src2 vs src3) —
+      // the nonparametric mean-shift companion to q224's KS. Ranks are
+      // computed on the VALUE GRID with exact tie handling: doubling the
+      // average-rank identity (2·R₁ = Σc₁·(2·cum_before + c + 1)) keeps
+      // the rank sum an exact integer, and the tie correction Σ(c³−c)
+      // is integer too — the only doubles are the final z sequence. The
+      // grid rides the n²-bounded triangular rank, never a per-document
+      // window.
+      val d = tbl(s, dir, "documents")
+        .filter(col("source").isin("src2", "src3"))
+        .select(col("n_chars"), col("source"))
+      val grid = d.groupBy(col("n_chars")).agg(
+        sum(when(col("source") === "src2", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src3", 1L).otherwise(0L)).as("c2"))
+        .withColumn("c", col("c1") + col("c2"))
+        .localCheckpoint()
+      val cum = operators.ScalableWindow.boundedRankCum(grid,
+        Seq(("n_chars", true)), "t", Seq(("c", "cumc")))
+      val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      val r1x2 = cum.select((col("c1") *
+          (lit(2L) * (col("cumc") - col("c")) + col("c") + lit(1L))).as("rx"))
+        .agg(sum(col("rx")).as("r1x2"))
+      def dd(c: String): Column = col(c).cast("double")
+      r1x2.crossJoin(broadcast(tot))
+        .withColumn("u2", col("r1x2") - col("n1") * (col("n1") + lit(1L)))
+        .withColumn("nn", (col("n1") + col("n2")).cast("double"))
+        .select(col("n1"), col("n2"),
+          (col("u2").cast("double") / lit(2.0)).as("u_stat"),
+          round((col("u2").cast("double") / lit(2.0) -
+            dd("n1") * dd("n2") / lit(2.0)) /
+            sqrt(dd("n1") * dd("n2") / lit(12.0) *
+              ((col("nn") + lit(1.0)) - dd("ties") /
+                (col("nn") * (col("nn") - lit(1.0))))), 4).as("z_stat"))
+    }),
   )
 }

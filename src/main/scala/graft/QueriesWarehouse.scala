@@ -1362,5 +1362,157 @@ private[graft] object QueriesWarehouse {
           round((col("n_obs").cast("double") - expN) *
             (col("n_obs").cast("double") - expN) / expN, 4).as("chi2_part"))
     }),
+
+    "q226_holt_forecast" -> ((s, dir) => {
+      // Holt double-exponential smoothing (α=0.3, β=0.2) of the daily
+      // event count with a 7-day-ahead forecast. The recurrence is
+      // inherently sequential, so it folds over the DAY-BOUNDED series
+      // (the only corpus-shaped step is the map-combinable per-day
+      // count; the fold input is calendar-sized at any corpus scale).
+      // Level and trend round to 6 dp at every step — the same
+      // fixed-point discipline as q189 — so the DuckDB recursive-CTE
+      // replay of the identical recurrence is bit-equal.
+      val daily = Tables.events(s, dir)
+        .select(expr("div(unix_micros(ts), 86400000000)").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).cast("double").as("x"))
+      val ser = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("ser"))
+      val zero = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0L).as("t"))
+      ser.select(aggregate(col("ser"), zero,
+        (acc, e) => {
+          val x = e.getField("x")
+          val l1 = when(acc.getField("t") === 0, round(x, 6))
+            .otherwise(round(lit(0.3) * x +
+              lit(0.7) * (acc.getField("l") + acc.getField("b")), 6))
+          val b1 = when(acc.getField("t") === 0, lit(0.0))
+            .otherwise(round(lit(0.2) * (l1 - acc.getField("l")) +
+              lit(0.8) * acc.getField("b"), 6))
+          struct(l1.as("l"), b1.as("b"), (acc.getField("t") + 1).as("t"))
+        },
+        acc => struct(acc.getField("t").as("n_days"),
+          acc.getField("l").as("level"), acc.getField("b").as("trend"),
+          round(acc.getField("l") + lit(7.0) * acc.getField("b"), 4)
+            .as("forecast_7"))).as("r"))
+        .select(col("r.n_days"), col("r.level"), col("r.trend"),
+          col("r.forecast_7"))
+    }),
+
+    "q228_chi2_independence" -> ((s, dir) => {
+      // Pearson χ² independence test of order priority × status: one
+      // map-combinable cell count (|priorities|·|statuses| cells at any
+      // scale), margins re-aggregated from the CELLS (never a second
+      // corpus scan) and joined back broadcast. Expected counts and the
+      // per-cell χ² contributions are one fixed double sequence over
+      // exact integers.
+      val cells = tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+        .groupBy(col("prio"), col("status")).agg(count(lit(1)).as("n_obs"))
+        .localCheckpoint()
+      val rowm = cells.groupBy(col("prio")).agg(sum(col("n_obs")).as("rt"))
+      val colm = cells.groupBy(col("status")).agg(sum(col("n_obs")).as("ct"))
+      val tot = cells.agg(sum(col("n_obs")).as("n"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      cells.join(broadcast(rowm), Seq("prio"))
+        .join(broadcast(colm), Seq("status"))
+        .crossJoin(broadcast(tot))
+        .select(col("prio"), col("status"), col("n_obs"),
+          round(e, 4).as("exp_n"),
+          round((col("n_obs").cast("double") - e) *
+            (col("n_obs").cast("double") - e) / e, 4).as("chi2_part"))
+    }),
+
+    "q229_hill_tail_index" -> ((s, dir) => {
+      // Hill maximum-likelihood tail index of the orders-per-customer
+      // distribution (α = 1 + n/Σln(dᵢ/dmin) over the dᵢ ≥ dmin tail) —
+      // the power-law diagnostic run on degree/frequency distributions.
+      // The corpus collapses to the DEGREE GRID first (one groupBy
+      // chain), so the ln terms — rounded to 6 dp and folded in degree
+      // order, the q149 float contract — see a domain-bounded input at
+      // any scale.
+      val deg = tbl(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("d"))
+      val grid = deg.filter(col("d") >= 10)
+        .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+      val sums = grid.agg(sum(col("cnt")).as("n_tail"),
+        aggregate(array_sort(collect_list(struct(col("d"),
+          round(col("cnt").cast("double") *
+            log(col("d").cast("double") / lit(10.0)), 6).as("term")))),
+          lit(0.0), (a, e) => a + e.getField("term")).as("s"))
+      sums.select(col("n_tail"), lit(10L).as("d_min"),
+        round(lit(1.0) + col("n_tail").cast("double") / col("s"), 4).as("alpha"))
+    }),
+
+    "q230_bootstrap_ci" -> ((s, dir) => {
+      // Poisson-bootstrap confidence interval for the mean order total:
+      // 32 resamples where row i enters resample b with multiplicity
+      // drawn by inverse-CDF of Poisson(1) from the md5(orderkey·b)
+      // unit hash (the q88 idiom — deterministic, replayable on any
+      // engine, no RNG state). Each resample mean folds as EXACT cents
+      // (Σ m·cents / Σ m), so the 32 means are bit-equal cross-engine;
+      // the 2.5/97.5% envelope uses the q65 interpolated-percentile
+      // contract. Scale shape: a 32× flat-map of one scan, zero
+      // corpus-keyed shuffles — the aggregate is 32 groups.
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+          .as("cents"))
+      val rep = o.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      val u = expr("cast(conv(substring(md5(concat(cast(o_orderkey as string), " +
+        "'_', cast(b as string))), 1, 8), 16, 10) as double)") /
+        lit(4294967296.0)
+      // Poisson(1) CDF cut points: P(0)=e⁻¹, P(≤1), P(≤2); tail mass → 3.
+      val m = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L).otherwise(3L)
+      val means = rep.select(col("b"), col("cents"), m.as("m"))
+        .groupBy(col("b"))
+        .agg((sum(col("m") * col("cents")).cast("double") /
+          sum(col("m")).cast("double") / lit(100.0)).as("mean_b"))
+      val full = o.agg((sum(col("cents")).cast("double") /
+        count(lit(1)).cast("double") / lit(100.0)).as("mean_full"))
+      means.agg(count(lit(1)).as("n_boot"),
+          round(percentile(col("mean_b"), lit(0.025)), 4).as("ci_lo"),
+          round(percentile(col("mean_b"), lit(0.975)), 4).as("ci_hi"))
+        .crossJoin(broadcast(full))
+        .select(col("n_boot"), col("ci_lo"), col("ci_hi"),
+          round(col("mean_full"), 4).as("mean_full"))
+    }),
+
+    "q231_ordered_funnel" -> ((s, dir) => {
+      // Strictly-ordered four-step funnel (view → click → signup →
+      // purchase): a user counts for step k only with an event AFTER
+      // their step-(k−1) time. Four user-keyed min-aggregates chained by
+      // co-partitioned joins — each stage is map-combinable and the key
+      // never changes, so at scale this is one shuffle's partitioning
+      // reused four times. Counts are exact; step rates are one double
+      // division each.
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      def step(prev: DataFrame, prevT: String, evType: String, outT: String) =
+        ev.filter(col("event_type") === evType)
+          .join(prev, Seq("user_id"))
+          .filter(col("us") > col(prevT))
+          .groupBy(col("user_id")).agg(min(col("us")).as(outT))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = step(t1, "t1", "click", "t2")
+      val t3 = step(t2, "t2", "signup", "t3")
+      val t4 = step(t3, "t3", "purchase", "t4")
+      t1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(t2.agg(count(lit(1)).as("n_click")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_signup")))
+        .crossJoin(t4.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_signup"),
+          col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view").cast("double"), 4)
+            .as("r_click"),
+          round(col("n_signup").cast("double") / col("n_click").cast("double"), 4)
+            .as("r_signup"),
+          round(col("n_purchase").cast("double") / col("n_signup").cast("double"), 4)
+            .as("r_purchase"),
+          round(col("n_purchase").cast("double") / col("n_view").cast("double"), 4)
+            .as("r_overall"))
+    }),
   )
 }

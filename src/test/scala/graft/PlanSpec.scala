@@ -207,6 +207,21 @@ class PlanSpec extends SparkSpec {
       "the Welch rollup is two aggregates — no window")
   }
 
+  test("q226-q231: the statistics tier plans zero unpartitioned windows (folds are domain-bounded, stats map-combinable)") {
+    for (q <- Seq("q226_holt_forecast", "q227_mann_whitney_u",
+        "q228_chi2_independence", "q229_hill_tail_index",
+        "q230_bootstrap_ci", "q231_ordered_funnel"))
+      assert(globalWindows(q) == 0, s"$q must not plan a global window")
+  }
+
+  test("q230: the bootstrap replicate stream is a generator expansion, never a shuffle of corpus data per replicate") {
+    val plan = executedPlan("q230_bootstrap_ci")
+    assert(plan.contains("Generate"),
+      s"the 32 replicates must come from explode(sequence(...)):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus-keyed join anywhere in the resample path:\n$plan")
+  }
+
   test("q225: item-item CF top-3 runs through the native TopKPerKey operator with broadcast count joins") {
     val plan = executedPlan("q225_item_cf_topk")
     assert(plan.contains("TopKPerKey"),
