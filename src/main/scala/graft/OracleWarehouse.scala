@@ -938,5 +938,26 @@ private[graft] object OracleWarehouse {
            round(CAST(n_purchase AS DOUBLE) / CAST(n_view AS DOUBLE), 4)
              AS r_overall
          FROM c""",
+    "q232_wallet_balance" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CASE WHEN event_type = 'signup' THEN CAST(10000 AS BIGINT)
+                ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           END AS delta
+           FROM events WHERE event_type IN ('signup', 'purchase')),
+         c AS (SELECT user_id, us, event_id,
+             CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+           FROM d),
+         b AS (SELECT user_id, us, event_id,
+             cum - least(CAST(0 AS BIGINT),
+               CAST(min(cum) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+               AS bal
+           FROM c)
+         SELECT user_id,
+           CAST((max(struct_pack(us := us, event_id := event_id,
+             bal := bal))).bal AS DOUBLE) / 100.0 AS final_balance
+         FROM b GROUP BY user_id""",
   )
 }

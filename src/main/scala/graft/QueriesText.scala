@@ -554,9 +554,11 @@ private[graft] object QueriesText {
       // w = n_chars; the k smallest clocks ARE a weighted sample. One
       // codegen'd projection + TakeOrderedAndProject — zero shuffles of
       // corpus data beyond the top-k exchange at any scale.
-      val u = (expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as double)")
-        + lit(0.5)) / lit(4294967296.0)
+      // Native UnitHash kernel; ·2³² recovers the exact integer (v/2³²
+      // is dyadic, so the reconstruction is lossless and the (v+0.5)/2³²
+      // sequence stays bit-identical to the oracle's hex-parse form).
+      val u = (graft.plans.TextKernels.unitHashNative(col("doc_id").cast("string")) *
+        lit(4294967296.0) + lit(0.5)) / lit(4294967296.0)
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"),
           round(-log(u) / col("n_chars").cast("double"), 6).as("clock"))

@@ -347,9 +347,9 @@ private[graft] object QueriesWarehouse {
       val g = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_mktsegment").as("segment"), col("n_name").as("nation"))
         .agg(count(lit(1)).as("n"))
-      val u = (expr(
-        "cast(conv(substring(md5(concat(segment, '|', nation)), 1, 8), 16, 10) as double)")
-        + lit(0.5)) / lit(4294967296.0)
+      val u = (graft.plans.TextKernels.unitHashNative(
+        concat(col("segment"), lit("|"), col("nation"))) *
+        lit(4294967296.0) + lit(0.5)) / lit(4294967296.0)
       val noise = -lit(2.0) * signum(u - lit(0.5)) *
         log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
       g.select(col("segment"), col("nation"), col("n"),
@@ -1010,8 +1010,8 @@ private[graft] object QueriesWarehouse {
       // Native TypedImperativeAggregate (primitive-buffer, no per-row
       // encoder round-trip); the typed-Aggregator form lives on in
       // AggregatorsSpec as the extension-point demo.
-      val hv = (conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 8),
-        16, 10).cast("long").cast("double") / 4294967296.0).as("hv")
+      val hv = graft.plans.TextKernels
+        .unitHashNative(col("l_partkey").cast("string")).as("hv")
       tbl(s, dir, "lineitem").select(col("l_returnflag"), hv)
         .groupBy(col("l_returnflag"))
         .agg(graft.plans.SketchAggregates.kmvDistinct(col("hv"), 64)
@@ -1458,9 +1458,8 @@ private[graft] object QueriesWarehouse {
           .as("cents"))
       val rep = o.select(col("o_orderkey"), col("cents"),
         explode(sequence(lit(0), lit(31))).as("b"))
-      val u = expr("cast(conv(substring(md5(concat(cast(o_orderkey as string), " +
-        "'_', cast(b as string))), 1, 8), 16, 10) as double)") /
-        lit(4294967296.0)
+      val u = graft.plans.TextKernels.unitHashNative(
+        concat(col("o_orderkey").cast("string"), lit("_"), col("b").cast("string")))
       // Poisson(1) CDF cut points: P(0)=e⁻¹, P(≤1), P(≤2); tail mass → 3.
       val m = when(u < 0.36787944117144233, 0L)
         .when(u < 0.7357588823428847, 1L)
@@ -1513,6 +1512,32 @@ private[graft] object QueriesWarehouse {
             .as("r_purchase"),
           round(col("n_purchase").cast("double") / col("n_view").cast("double"), 4)
             .as("r_overall"))
+    }),
+
+    "q232_wallet_balance" -> ((s, dir) => {
+      // Floor-clamped running balance (wallet: signup credits 100.00,
+      // purchases debit, balance never goes below zero). The recursion
+      // b_t = max(0, b_{t-1} + d_t) looks sequential, but has the
+      // drawdown closed form b_t = cum_t − min(0, runmin(cum_t)) — so
+      // it stays TWO USER-PARTITIONED WINDOWS over exact integer cents,
+      // never a per-user sequential fold; the final row per user is a
+      // map-combinable max-of-struct. The one double division happens
+      // per user at the end.
+      val d = Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+          when(col("event_type") === "signup", lit(10000L))
+            .otherwise(-expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+            .as("delta"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = d.withColumn("cum", sum(col("delta")).over(w))
+      val b = c.withColumn("bal",
+        col("cum") - least(lit(0L), min(col("cum")).over(w)))
+      b.groupBy(col("user_id"))
+        .agg(max(struct(col("us"), col("event_id"), col("bal"))).as("m"))
+        .select(col("user_id"),
+          (col("m.bal").cast("double") / lit(100.0)).as("final_balance"))
     }),
   )
 }

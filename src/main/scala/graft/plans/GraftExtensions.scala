@@ -64,7 +64,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_jaro_winkler"),
       info("graft_jaro_winkler",
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (0.7 gate, 0.1 prefix scale)"),
-      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
+    (FunctionIdentifier("graft_unit_hash"),
+      info("graft_unit_hash",
+        "graft_unit_hash(key) - deterministic md5 unit-interval hash in [0,1)"),
+      (es: Seq[Expression]) => UnitHash(es.head)))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -163,7 +163,49 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic unit-interval hash u ∈ [0,1): the first 4 bytes of
+  * md5(key) read big-endian unsigned, over 2³². BIT-IDENTICAL to the
+  * engine's established column idiom
+  * `conv(substring(md5(key),1,8),16,10)/4294967296.0` (the first 8 hex
+  * chars ARE the first 4 bytes) and to the DuckDB oracle form
+  * `concat('0x', substr(md5(key),1,8))::BIGINT / 2^32` — but computed
+  * without materializing the 32-char hex string or parsing it back:
+  * one digest, four byte reads, inside whole-stage codegen. The idiom
+  * powers every deterministic sampling/splitting query (hash split,
+  * weighted clocks, bootstrap multiplicities, noise draws).
+  */
+case class UnitHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.unitHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.unitHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): UnitHash =
+    copy(child = newChild)
+}
+
 object TextKernels {
+
+  // MessageDigest is stateful; one per thread, reset per call — the
+  // per-row getInstance() of the naive form dominates at corpus scale.
+  private val md5Local: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+
+  def unitHash(s: UTF8String): Double = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v.toDouble / 4294967296.0
+  }
+
+  def unitHashNative(key: Column): Column =
+    ColumnBridge.column(UnitHash(ColumnBridge.expression(key)))
+
 
   /** Textbook Jaro–Winkler over UTF-16 code units (names here are
     * ASCII; for full Unicode the contract would move to code points).

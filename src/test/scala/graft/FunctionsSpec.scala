@@ -313,6 +313,35 @@ class FunctionsSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("UnitHash kernel is bit-identical to the md5 hex-parse column idiom") {
+    // The legacy idiom every sampling query used before the native
+    // kernel: conv(substring(md5(key),1,8),16,10)/2^32. The kernel must
+    // match it EXACTLY (same doubles) on arbitrary keys — it replaced
+    // the idiom in q75/q175/q176/q230 under unchanged oracles.
+    val keys = (0 until 500).map(i => s"key_${i}_${"x" * (i % 17)}") ++
+      Seq("", "_", "0", "ümlaut-日本語", "a|b", "1_31")
+    val df = keys.toDF("k").select(col("k"),
+      graft.plans.TextKernels.unitHashNative(col("k")).as("native"),
+      (expr("cast(conv(substring(md5(k), 1, 8), 16, 10) as double)") /
+        lit(4294967296.0)).as("legacy"))
+    val rows = df.collect()
+    assert(rows.length == keys.length)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"mismatch for key=${r.getString(0)}")
+    }
+    // Range + null safety + SQL surface.
+    assert(rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0))
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_unit_hash('key_1_x') AS u").head().getDouble(0)
+    assert(viaSql == graft.plans.TextKernels.unitHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("key_1_x")))
+    val nullRow = Seq[Option[String]](None).toDF("k")
+      .select(graft.plans.TextKernels.unitHashNative(col("k"))).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("cosine of identical vectors is 1") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
       .select(Vectors.cosine(Vectors.toDoubleVec($"a"), Vectors.toDoubleVec($"b")).as("c"))

@@ -716,4 +716,58 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(hist == declared)
   }
+
+  test("streaming A/B spend: order-free convergence to batch, Welch rollup equals the q222 query") {
+    import graft.streaming.StreamingAbSpend
+    import graft.streaming.StreamingAbSpend.{Purchase, SpendRow}
+    val ps = StreamingAbSpend.fromEvents(Tables.events(spark, sfDir)).collect()
+
+    val batch = StreamingAbSpend
+      .spend(spark.createDataset(ps.toSeq), streaming = false)
+      .collect().map(r => r.user_id -> r).toMap
+
+    // NO arrival contract: feed a fully shuffled permutation in chunks.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Purchase]
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, SpendRow]()
+    val q = StreamingAbSpend.spend(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[SpendRow], _: Long) =>
+        df.collect().foreach(r => last.put(r.user_id, r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(ps.toSeq)
+      .grouped(math.max(1, ps.length / 5 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(last.asScala.toMap == batch && batch.nonEmpty)
+
+    // The Welch z rollup of the converged snapshots IS the declared
+    // q222 query (same integer sufficient statistics, same double
+    // sequence).
+    val one = spark.createDataset(batch.values.toSeq)
+      .groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s1"),
+        sum($"cents" * $"cents").as("s2"))
+      .agg(max(when($"variant" === 0, $"n")).as("n0"),
+        max(when($"variant" === 0, $"s1")).as("a1"),
+        max(when($"variant" === 0, $"s2")).as("a2"),
+        max(when($"variant" === 1, $"n")).as("n1"),
+        max(when($"variant" === 1, $"s1")).as("b1"),
+        max(when($"variant" === 1, $"s2")).as("b2"))
+    def d(c: String) = col(c).cast("double")
+    val m0 = d("a1") / d("n0"); val m1 = d("b1") / d("n1")
+    val v0 = (d("a2") - d("a1") * d("a1") / d("n0")) / (d("n0") - lit(1.0))
+    val v1 = (d("b2") - d("b1") * d("b1") / d("n1")) / (d("n1") - lit(1.0))
+    val z = (m1 - m0) / sqrt(v0 / d("n0") + v1 / d("n1"))
+    val rollup = one.select($"n0", $"n1",
+        round(m0 / lit(100.0), 4).as("mean0"), round(m1 / lit(100.0), 4).as("mean1"),
+        round(z, 4).as("z_stat"), (abs(round(z, 4)) > 1.96).as("significant"))
+      .collect().map(_.toString).toSeq
+    val declared = SparkEntry.queries("q222_ab_value_ztest")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(rollup == declared)
+  }
 }
