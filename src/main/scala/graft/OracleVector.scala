@@ -420,5 +420,35 @@ private[graft] object OracleVector {
              row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b) AS rn
            FROM sc)
          SELECT a, b, cij, cosine FROM r WHERE rn <= 3""",
+    "q234_jl_projection" -> {
+      // The SAME deterministic sign matrix as the Spark side, embedded
+      // as inline list literals (QueryDsl.jlSigns is the single source).
+      def sgn(k: Int): String =
+        QueryDsl.jlSigns.map(r => r(k)).mkString("[", ", ", "]")
+      val projCols = (0 until 8).map(k =>
+        s"list_sum(list_transform(range(1, 65), i -> v[i] * (${sgn(k)})[i]))" +
+          s" / sqrt(8.0) AS p$k").mkString(",\n             ")
+      val dp2 = (0 until 8)
+        .map(k => s"(a.p$k - b.p$k) * (a.p$k - b.p$k)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT vec_id, v,
+             $projCols
+           FROM e),
+         pr AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+             list_sum(list_transform(range(1, 65),
+               i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS do2,
+             $dp2 AS dp2
+           FROM p a JOIN p b ON a.vec_id < b.vec_id),
+         d AS (SELECT ai, bi, sqrt(dp2) / sqrt(do2) AS dist
+           FROM pr WHERE do2 > 0.0)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(list_sum(list(dist ORDER BY ai, bi))
+             / CAST(count(*) AS DOUBLE), 6) AS mean_distortion,
+           round(min(dist), 6) AS min_distortion,
+           round(max(dist), 6) AS max_distortion
+         FROM d"""
+    },
   )
 }

@@ -959,5 +959,22 @@ private[graft] object OracleWarehouse {
            CAST((max(struct_pack(us := us, event_id := event_id,
              bal := bal))).bal AS DOUBLE) / 100.0 AS final_balance
          FROM b GROUP BY user_id""",
+    "q233_truncated_mean" ->
+      """WITH li AS (SELECT l_returnflag,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS cents
+           FROM lineitem),
+         b AS (SELECT l_returnflag,
+             quantile_cont(cents, 0.1) AS lo, quantile_cont(cents, 0.9) AS hi
+           FROM li GROUP BY 1),
+         k AS (SELECT li.l_returnflag, cents, lo, hi
+           FROM li JOIN b USING (l_returnflag)
+           WHERE CAST(cents AS DOUBLE) > lo AND CAST(cents AS DOUBLE) < hi)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+           round(max(lo) / 100.0, 4) AS p10,
+           round(max(hi) / 100.0, 4) AS p90,
+           round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100.0, 4) AS truncated_mean
+         FROM k GROUP BY 1""",
   )
 }

@@ -822,5 +822,50 @@ private[graft] object QueriesVector {
         Seq(("cosine", false), ("b", true)), 3)
         .select(col("a"), col("b"), col("cij"), col("cosine"))
     }),
+
+    "q234_jl_projection" -> ((s, dir) => {
+      // Johnson–Lindenstrauss random projection 64→8 dims with the
+      // deterministic ±1/√8 sign matrix of QueryDsl.jlSigns (md5 unit
+      // hash — no RNG state; the oracle embeds the SAME matrix as list
+      // literals). The projection itself is one codegen'd per-row fold —
+      // the 100 TB shape. The distortion audit ‖pa−pb‖/‖va−vb‖ runs on
+      // a BOUNDED 100-vector sample (4,950 pairs — an eval tail, the
+      // q40-class documented bounded cartesian, not a corpus join);
+      // per-index squared-difference folds and the pair-ordered mean
+      // follow the q154 float contract.
+      val emb = tbl(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val projCols = (0 until 8).map { k =>
+        val signs = array(jlSigns.map(row => lit(row(k))): _*)
+        (aggregate(zip_with(col("v"), signs, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / sqrt(lit(8.0))).as(s"p$k")
+      }
+      val proj = emb.select((col("vec_id") +: col("v") +: projCols): _*)
+        .localCheckpoint()
+      val a = proj.toDF(proj.columns.map("a_" + _): _*)
+      val b = proj.toDF(proj.columns.map("b_" + _): _*)
+      val do2 = aggregate(zip_with(col("a_v"), col("b_v"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      val dp2 = (0 until 8).map(k =>
+        (col(s"a_p$k") - col(s"b_p$k")) * (col(s"a_p$k") - col(s"b_p$k")))
+        .reduce(_ + _)
+      val pairs = a.join(b, col("a_vec_id") < col("b_vec_id"))
+        .select(col("a_vec_id").as("ai"), col("b_vec_id").as("bi"),
+          do2.as("do2"), dp2.as("dp2"))
+        .filter(col("do2") > 0.0)
+        .select(col("ai"), col("bi"),
+          (sqrt(col("dp2")) / sqrt(col("do2"))).as("dist"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          aggregate(array_sort(collect_list(struct(col("ai"), col("bi"),
+            col("dist").as("dist")))), lit(0.0),
+            (acc, e) => acc + e.getField("dist")).as("sd"),
+          min(col("dist")).as("mind"), max(col("dist")).as("maxd"))
+        .select(col("n_pairs"),
+          round(col("sd") / col("n_pairs").cast("double"), 6)
+            .as("mean_distortion"),
+          round(col("mind"), 6).as("min_distortion"),
+          round(col("maxd"), 6).as("max_distortion"))
+    }),
   )
 }

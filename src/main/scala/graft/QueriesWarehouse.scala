@@ -1539,5 +1539,35 @@ private[graft] object QueriesWarehouse {
         .select(col("user_id"),
           (col("m.bal").cast("double") / lit(100.0)).as("final_balance"))
     }),
+
+    "q233_truncated_mean" -> ((s, dir) => {
+      // Robust (10/90-truncated) mean per return flag: values strictly
+      // inside the interpolated p10/p90 bounds (the q65 percentile
+      // contract) are averaged as EXACT INTEGER CENTS — rows are kept
+      // or dropped whole, so unlike a winsorized clamp no fractional
+      // boundary values enter the sum and the mean stays an order-free
+      // bigint/bigint division. Two passes over the fact table: the
+      // per-group percentile pair (flag-sized, broadcast back) and one
+      // filtered map-combinable sum. The exact-percentile buffer is the
+      // test-scale face; q213's DDSketch bounds are the documented
+      // 100 TB knob for the same two-pass shape.
+      val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+          .as("cents"))
+      val bounds = li.groupBy(col("l_returnflag")).agg(
+        percentile(col("cents"), lit(0.1)).as("lo"),
+        percentile(col("cents"), lit(0.9)).as("hi"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .filter(col("cents").cast("double") > col("lo") &&
+          col("cents").cast("double") < col("hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("cents")).as("sc"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        .select(col("l_returnflag"), col("n_kept"),
+          round(col("lo") / lit(100.0), 4).as("p10"),
+          round(col("hi") / lit(100.0), 4).as("p90"),
+          round(col("sc").cast("double") / col("n_kept").cast("double") /
+            lit(100.0), 4).as("truncated_mean"))
+    }),
   )
 }

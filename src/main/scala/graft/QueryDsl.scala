@@ -25,6 +25,21 @@ private[graft] object QueryDsl {
     "zh" -> Seq("的", "是", "了")
   )
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (64 source dims
+    * × 8 target dims), derived from the engine's md5 unit hash — the
+    * SAME values on the Spark side (literal arrays in q234) and in the
+    * DuckDB oracle (inline list literals built from this object), so
+    * the projection is replayable with no RNG state anywhere.
+    */
+  val jlSigns: Seq[Seq[Double]] = Seq.tabulate(64) { j =>
+    Seq.tabulate(8) { k =>
+      if (graft.plans.TextKernels.unitHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"${j}_$k")) >= 0.5)
+        1.0
+      else -1.0
+    }
+  }
+
   val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das", "und"),
     "en" -> Seq("the", "a", "of", "and"),

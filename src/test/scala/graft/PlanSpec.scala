@@ -214,6 +214,16 @@ class PlanSpec extends SparkSpec {
       assert(globalWindows(q) == 0, s"$q must not plan a global window")
   }
 
+  test("q233: truncated mean joins percentile bounds back via broadcast and keeps the sum map-combinable") {
+    val plan = executedPlan("q233_truncated_mean")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the flag-sized bounds table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"),
+      s"no shuffle join or window in the two-pass shape:\n$plan")
+    assert(globalWindows("q234_jl_projection") == 0,
+      "the JL projection must stay a per-row fold + bounded pair sample")
+  }
+
   test("q230: the bootstrap replicate stream is a generator expansion, never a shuffle of corpus data per replicate") {
     val plan = executedPlan("q230_bootstrap_ci")
     assert(plan.contains("Generate"),
