@@ -976,5 +976,124 @@ private[graft] object OracleWarehouse {
            round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) / 100.0, 4) AS truncated_mean
          FROM k GROUP BY 1""",
+    "q235_spearman_rho" ->
+      """WITH base AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         gx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1),
+         cx AS (SELECT x, 2 * (CAST(sum(cnt) OVER (ORDER BY x ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt) + cnt + 1
+             AS r2x FROM gx),
+         gy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1),
+         cy AS (SELECT y, 2 * (CAST(sum(cnt) OVER (ORDER BY y ROWS BETWEEN
+             UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cnt) + cnt + 1
+             AS r2y FROM gy),
+         r AS (SELECT r2x, r2y FROM base JOIN cx USING (x) JOIN cy USING (y)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r2x) AS BIGINT) AS sx, CAST(sum(r2y) AS BIGINT) AS sy,
+             CAST(sum(r2x * r2y) AS BIGINT) AS sxy,
+             CAST(sum(r2x * r2x) AS BIGINT) AS sx2,
+             CAST(sum(r2y * r2y) AS BIGINT) AS sy2
+           FROM r)
+         SELECT n AS n_cust,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+         FROM m""",
+    "q236_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t0 AS (SELECT user_id, min(us) AS t0 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         fp AS (SELECT e.user_id, min(e.us) AS tp FROM ev e JOIN t0 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > t0.t0 GROUP BY 1),
+         la AS (SELECT e.user_id, max(e.us) AS tl FROM ev e JOIN t0 USING (user_id)
+           GROUP BY 1),
+         times AS (SELECT t0.user_id,
+             CASE WHEN tp IS NOT NULL THEN (tp - t0.t0) // 86400000000
+                  ELSE (tl - t0.t0) // 86400000000 END AS day,
+             tp IS NOT NULL AS is_event
+           FROM t0 LEFT JOIN fp USING (user_id) JOIN la USING (user_id)),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM times),
+         grid AS (SELECT day,
+             CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM times GROUP BY 1),
+         cumt AS (SELECT day, d, c,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cumd,
+             CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cumc
+           FROM grid),
+         risk AS (SELECT day, t, d,
+             nt.ntot - (cumd - d) - (cumc - c) AS n_risk
+           FROM cumt CROSS JOIN nt),
+         eventd AS (SELECT t, day, n_risk, d,
+             1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+           FROM risk WHERE d > 0)
+         SELECT b.day, b.n_risk, b.d AS d_events,
+           list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             list(a.f ORDER BY a.t)), (acc, x) -> round(acc * x, 8)) AS surv
+         FROM eventd b JOIN eventd a ON a.t <= b.t
+         GROUP BY b.day, b.n_risk, b.d""",
+    "q237_logrank_test" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t0 AS (SELECT user_id, min(us) AS t0 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         fp AS (SELECT e.user_id, min(e.us) AS tp FROM ev e JOIN t0 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > t0.t0 GROUP BY 1),
+         la AS (SELECT e.user_id, max(e.us) AS tl FROM ev e JOIN t0 USING (user_id)
+           GROUP BY 1),
+         times AS (SELECT t0.user_id % 2 AS g,
+             CASE WHEN tp IS NOT NULL THEN (tp - t0.t0) // 86400000000
+                  ELSE (tl - t0.t0) // 86400000000 END AS day,
+             tp IS NOT NULL AS is_event
+           FROM t0 LEFT JOIN fp USING (user_id) JOIN la USING (user_id)),
+         grid AS (SELECT day,
+             CAST(sum(CASE WHEN is_event AND g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d0,
+             CAST(sum(CASE WHEN is_event AND g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(sum(CASE WHEN NOT is_event AND g = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN NOT is_event AND g = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1
+           FROM times GROUP BY 1),
+         tt AS (SELECT CAST(sum(d0 + c0) AS BIGINT) AS m0,
+             CAST(sum(d1 + c1) AS BIGINT) AS m1 FROM grid),
+         cumt AS (SELECT day, d0, d1, c0, c1,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(d0) OVER w AS BIGINT) AS cd0,
+             CAST(sum(d1) OVER w AS BIGINT) AS cd1,
+             CAST(sum(c0) OVER w AS BIGINT) AS cc0,
+             CAST(sum(c1) OVER w AS BIGINT) AS cc1
+           FROM grid
+           WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)),
+         risk AS (SELECT t, d0, d1,
+             tt.m0 - (cd0 - d0) - (cc0 - c0) AS n0,
+             tt.m1 - (cd1 - d1) - (cc1 - c1) AS n1,
+             d0 + d1 AS d,
+             (tt.m0 - (cd0 - d0) - (cc0 - c0))
+               + (tt.m1 - (cd1 - d1) - (cc1 - c1)) AS n
+           FROM cumt CROSS JOIN tt),
+         terms AS (SELECT t,
+             round(CAST(d0 AS DOUBLE)
+               - CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE), 8)
+               AS oe,
+             round(CAST(d AS DOUBLE) * (CAST(n0 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0), 8) AS v
+           FROM risk WHERE d > 0 AND n > 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+           round(list_sum(list(oe ORDER BY t)), 4) AS observed_minus_expected,
+           round(list_sum(list(oe ORDER BY t)) * list_sum(list(oe ORDER BY t))
+             / list_sum(list(v ORDER BY t)), 4) AS chi2
+         FROM terms""",
   )
 }

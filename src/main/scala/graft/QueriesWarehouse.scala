@@ -1569,5 +1569,145 @@ private[graft] object QueriesWarehouse {
           round(col("sc").cast("double") / col("n_kept").cast("double") /
             lit(100.0), 4).as("truncated_mean"))
     }),
+
+    "q235_spearman_rho" -> ((s, dir) => {
+      // Spearman rank correlation between a customer's order count and
+      // total spend. Ranks are tie-averaged and DOUBLED (2·r = integer),
+      // so the whole Pearson-on-ranks tail runs on exact bigints — the
+      // ×2 cancels in ρ. The order-count grid is domain-bounded; the
+      // near-unique spend ranks ride the banded two-pass cumsum
+      // (ScalableWindow.bandedCumSum — no unpartitioned window over the
+      // customer aggregate, the q203/q204 contract). Σ(2r)² ≈ 4n³ caps
+      // the bigint path at ~10⁶ customers; past that the same sums move
+      // to DECIMAL(38) partials.
+      val base = tbl(s, dir, "orders").groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("x"),
+        sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+          .as("y")).localCheckpoint()
+      def ranks(c: String): DataFrame = {
+        val grid = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        operators.ScalableWindow
+          .bandedCumSum(grid, c, descending = false, Nil, "cnt", "cum")
+          .select(col(c),
+            (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + lit(1L))
+              .as(s"r2$c"))
+      }
+      val r = base.join(ranks("x"), Seq("x")).join(ranks("y"), Seq("y"))
+      val m = r.agg(count(lit(1)).as("n"),
+        sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+        sum(col("r2x") * col("r2y")).as("sxy"),
+        sum(col("r2x") * col("r2x")).as("sx2"),
+        sum(col("r2y") * col("r2y")).as("sy2"))
+      def d(c: String): Column = col(c).cast("double")
+      m.select(col("n").as("n_cust"),
+        round((d("n") * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(d("n") * d("sx2") - d("sx") * d("sx")) *
+           sqrt(d("n") * d("sy2") - d("sy") * d("sy"))), 6).as("rho"))
+    }),
+
+    "q236_kaplan_meier" -> ((s, dir) => {
+      // Kaplan–Meier survival curve for view→purchase latency with
+      // right-censoring at last activity — the clinical estimator the
+      // reference's domain (patient-derived cancer models) reports on.
+      // Per-user times are two user-keyed min/max aggregates; the
+      // estimator itself lives entirely on the DAY GRID (integer day
+      // offsets — calendar-bounded at any corpus size): at-risk counts
+      // from running sums over the grid, and the survival product folds
+      // per event day over the grid's triangular join (the q189 shape)
+      // with an 8-dp fixed-point per step, replayed exactly by the
+      // oracle's list_reduce.
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val t0 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(t0, Seq("user_id")).filter(col("us") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+      val lastAny = ev.join(t0, Seq("user_id"))
+        .groupBy(col("user_id")).agg(max(col("us")).as("tl"))
+      val times = t0.join(firstP, Seq("user_id"), "left")
+        .join(lastAny, Seq("user_id"))
+        .select(col("user_id"),
+          when(col("tp").isNotNull, expr("div(tp - t0, 86400000000)"))
+            .otherwise(expr("div(tl - t0, 86400000000)")).as("day"),
+          col("tp").isNotNull.as("is_event"))
+        .localCheckpoint()
+      val nTot = times.agg(count(lit(1)).as("ntot"))
+      val grid = times.groupBy(col("day")).agg(
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
+      val cum = operators.ScalableWindow.boundedRankCum(grid,
+        Seq(("day", true)), "t", Seq(("d", "cumd"), ("c", "cumc")))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_risk",
+          col("ntot") - (col("cumd") - col("d")) - (col("cumc") - col("c")))
+        .withColumn("f",
+          lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+        .localCheckpoint()
+      val eventDays = cum.filter(col("d") > 0)
+        .select(col("t"), col("day"), col("n_risk"), col("d"), col("f"))
+      eventDays.as("b").join(eventDays.as("a"), col("a.t") <= col("b.t"))
+        .groupBy(col("b.day").as("day"), col("b.n_risk").as("n_risk"),
+          col("b.d").as("d_events"))
+        .agg(aggregate(array_sort(collect_list(struct(col("a.t"),
+            col("a.f").as("f")))), lit(1.0),
+            (acc, e) => round(acc * e.getField("f"), 8)).as("surv"))
+    }),
+
+    "q237_logrank_test" -> ((s, dir) => {
+      // Log-rank test comparing view→purchase survival between the two
+      // hash-split cohorts (user mod 2) on the q236 survival table:
+      // χ² = (Σ(d₀−E₀))²/ΣV with the hypergeometric per-day variance.
+      // Same scale shape as q236 — user-keyed aggregates, then the whole
+      // test statistic on the day grid (per-group at-risk counts from
+      // running sums; the two fold sums run day-ordered per the float
+      // contract).
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val t0 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(t0, Seq("user_id")).filter(col("us") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+      val lastAny = ev.join(t0, Seq("user_id"))
+        .groupBy(col("user_id")).agg(max(col("us")).as("tl"))
+      val times = t0.join(firstP, Seq("user_id"), "left")
+        .join(lastAny, Seq("user_id"))
+        .select((col("user_id") % 2).as("g"),
+          when(col("tp").isNotNull, expr("div(tp - t0, 86400000000)"))
+            .otherwise(expr("div(tl - t0, 86400000000)")).as("day"),
+          col("tp").isNotNull.as("is_event"))
+      val grid = times.groupBy(col("day")).agg(
+        sum(when(col("is_event") && col("g") === 0, 1L).otherwise(0L)).as("d0"),
+        sum(when(col("is_event") && col("g") === 1, 1L).otherwise(0L)).as("d1"),
+        sum(when(!col("is_event") && col("g") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(!col("is_event") && col("g") === 1, 1L).otherwise(0L)).as("c1"))
+      val tot = grid.agg(sum(col("d0") + col("c0")).as("m0"),
+        sum(col("d1") + col("c1")).as("m1"))
+      val cum = operators.ScalableWindow.boundedRankCum(grid,
+        Seq(("day", true)), "t",
+        Seq(("d0", "cd0"), ("d1", "cd1"), ("c0", "cc0"), ("c1", "cc1")))
+        .crossJoin(broadcast(tot))
+        .withColumn("n0", col("m0") - (col("cd0") - col("d0")) -
+          (col("cc0") - col("c0")))
+        .withColumn("n1", col("m1") - (col("cd1") - col("d1")) -
+          (col("cc1") - col("c1")))
+        .withColumn("d", col("d0") + col("d1"))
+        .withColumn("n", col("n0") + col("n1"))
+        .filter(col("d") > 0 && col("n") > 1)
+      def dd(c: String): Column = col(c).cast("double")
+      val terms = cum.select(col("t"),
+        (dd("d0") - dd("d") * dd("n0") / dd("n")).as("oe"),
+        (dd("d") * (dd("n0") / dd("n")) * (dd("n1") / dd("n")) *
+          (dd("n") - dd("d")) / (dd("n") - lit(1.0))).as("v"))
+      def fold(c: Column): Column =
+        aggregate(array_sort(collect_list(struct(col("t"), c.as("e")))),
+          lit(0.0), (a, r) => a + r.getField("e"))
+      terms.agg(count(lit(1)).as("n_event_days"),
+          fold(round(col("oe"), 8)).as("soe"), fold(round(col("v"), 8)).as("sv"))
+        .select(col("n_event_days"),
+          round(col("soe"), 4).as("observed_minus_expected"),
+          round(col("soe") * col("soe") / col("sv"), 4).as("chi2"))
+    }),
   )
 }

@@ -224,6 +224,15 @@ class PlanSpec extends SparkSpec {
       "the JL projection must stay a per-row fold + bounded pair sample")
   }
 
+  test("q235-q237: Spearman rides the banded cumsum and the survival tier plans zero unpartitioned windows") {
+    // q235 ranks a near-unique customer aggregate — exactly the shape
+    // that would tempt a global row_number window; bandedCumSum's
+    // band-partitioned window must be the only Window in the plan.
+    for (q <- Seq("q235_spearman_rho", "q236_kaplan_meier",
+        "q237_logrank_test"))
+      assert(globalWindows(q) == 0, s"$q must not plan a global window")
+  }
+
   test("q230: the bootstrap replicate stream is a generator expansion, never a shuffle of corpus data per replicate") {
     val plan = executedPlan("q230_bootstrap_ci")
     assert(plan.contains("Generate"),
