@@ -1095,5 +1095,62 @@ private[graft] object OracleWarehouse {
            round(list_sum(list(oe ORDER BY t)) * list_sum(list(oe ORDER BY t))
              / list_sum(list(v ORDER BY t)), 4) AS chi2
          FROM terms""",
+    "q238_time_decay_attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+         conv AS (SELECT user_id, min(us) AS tc FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+         touches AS (SELECT e.user_id, e.event_type, e.us, e.event_id,
+             round(pow(0.5, CAST(tc - e.us AS DOUBLE) / 86400000000.0), 8)
+               AS w
+           FROM ev e JOIN conv USING (user_id)
+           WHERE e.us < conv.tc AND e.event_type <> 'purchase'),
+         norms AS (SELECT user_id,
+             list_sum(list(w ORDER BY us, event_id)) AS norm
+           FROM touches GROUP BY 1),
+         shares AS (SELECT t.user_id, t.event_type, t.us, t.event_id,
+             round(t.w / n.norm, 8) AS share
+           FROM touches t JOIN norms n USING (user_id))
+         SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+           round(list_sum(list(share ORDER BY user_id, us, event_id)), 4)
+             AS credit
+         FROM shares GROUP BY 1""",
+    "q239_conversion_paths" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+           FROM events),
+         conv AS (SELECT user_id, min(us) AS tc FROM ev
+           WHERE event_type = 'purchase' GROUP BY 1),
+         seqs AS (SELECT e.user_id,
+             list(e.event_type ORDER BY e.us, e.event_id) AS sq
+           FROM ev e JOIN conv USING (user_id)
+           WHERE e.us < conv.tc AND e.event_type <> 'purchase'
+           GROUP BY 1),
+         paths AS (SELECT array_to_string(
+             sq[greatest(len(sq) - 3, 1):len(sq)], '->') AS path
+           FROM seqs)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_users
+         FROM paths GROUP BY 1
+         ORDER BY n_users DESC, path LIMIT 10""",
+    "q240_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+           CAST(year(o_orderdate)*12 + month(o_orderdate) - 1 AS BIGINT) AS m,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+         f AS (SELECT cust, min(m) AS cohort_m FROM o GROUP BY 1),
+         base AS (SELECT f.cohort_m, o.m - f.cohort_m AS offset_m, o.cust,
+             o.cents
+           FROM o JOIN f USING (cust)),
+         sz AS (SELECT cohort_m, CAST(count(DISTINCT cust) AS BIGINT) AS sz
+           FROM base WHERE offset_m = 0 GROUP BY 1),
+         grid AS (SELECT cohort_m, offset_m, CAST(sum(cents) AS BIGINT) AS sp
+           FROM base GROUP BY 1, 2),
+         c AS (SELECT cohort_m, offset_m,
+             CAST(sum(sp) OVER (PARTITION BY cohort_m ORDER BY offset_m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+           FROM grid)
+         SELECT c.cohort_m, c.offset_m,
+           CAST(cum // sz.sz AS DOUBLE) / 100.0 AS ltv_per_user
+         FROM c JOIN sz USING (cohort_m)""",
   )
 }

@@ -1709,5 +1709,92 @@ private[graft] object QueriesWarehouse {
           round(col("soe"), 4).as("observed_minus_expected"),
           round(col("soe") * col("soe") / col("sv"), 4).as("chi2"))
     }),
+
+    "q238_time_decay_attribution" -> ((s, dir) => {
+      // Time-decay multi-touch attribution (half-life 1 day): every
+      // touchpoint before a user's first purchase earns weight
+      // 0.5^(Δdays), each user's credit is normalized to 1 and split
+      // across channels, and channels sum the per-user shares. Weights
+      // and shares round to 8 dp at creation; the per-user norm folds
+      // user-locally (bounded lists) and the channel totals fold in
+      // (user, us, event_id) order — the q154 float contract, whose
+      // order-free variant is the documented 100 TB knob.
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("us")).as("tc"))
+      val touches = ev.join(conv, Seq("user_id"))
+        .filter(col("us") < col("tc") && col("event_type") =!= "purchase")
+        .withColumn("w", round(pow(lit(0.5),
+          (col("tc") - col("us")).cast("double") / lit(86400000000.0)), 8))
+      val norms = touches.groupBy(col("user_id")).agg(
+        aggregate(array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("w").as("w")))), lit(0.0),
+          (a, e) => a + e.getField("w")).as("norm"))
+      touches.join(norms, Seq("user_id"))
+        .withColumn("share", round(col("w") / col("norm"), 8))
+        .groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(aggregate(array_sort(collect_list(struct(col("user_id"),
+            col("us"), col("event_id"), col("share").as("share")))), lit(0.0),
+            (a, e) => a + e.getField("share")), 4).as("credit"))
+    }),
+
+    "q239_conversion_paths" -> ((s, dir) => {
+      // Top converting paths: each converted user's last ≤4 touchpoint
+      // types before first purchase, joined "->", counted, top 10 by
+      // (count desc, path asc) — a TakeOrderedAndProject tail, never a
+      // global sort. Per-user path assembly is a bounded user-local
+      // ordered collect (the Sessionizer batch contract); everything
+      // after is a path-type-bounded count.
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("us")).as("tc"))
+      val paths = ev.join(conv, Seq("user_id"))
+        .filter(col("us") < col("tc") && col("event_type") =!= "purchase")
+        .groupBy(col("user_id"))
+        .agg(transform(array_sort(collect_list(struct(col("us"),
+          col("event_id"), col("event_type").as("et")))),
+          e => e.getField("et")).as("seq"))
+        .select(array_join(slice(col("seq"),
+          greatest(size(col("seq")) - 3, lit(1)), lit(4)), "->").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(10)
+    }),
+
+    "q240_cohort_ltv" -> ((s, dir) => {
+      // Cohort LTV curve: cumulative spend per cohort member by month
+      // offset — the revenue companion to q218's retention triangle.
+      // Spend stays exact integer cents through the per-(cohort, offset)
+      // rollup AND the cumulative window (partitioned by cohort over the
+      // month²-bounded grid — never corpus rows); one double division
+      // per output row at the end.
+      val o = tbl(s, dir, "orders").select(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("bigint").as("m"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+          .as("cents"))
+      val first = o.groupBy(col("cust")).agg(min(col("m")).as("cohort_m"))
+      val base = o.join(first, Seq("cust"))
+        .select(col("cohort_m"), (col("m") - col("cohort_m")).as("offset_m"),
+          col("cust"), col("cents"))
+        .localCheckpoint()
+      val sizes = base.filter(col("offset_m") === 0)
+        .groupBy(col("cohort_m")).agg(countDistinct(col("cust")).as("sz"))
+      val grid = base.groupBy(col("cohort_m"), col("offset_m"))
+        .agg(sum(col("cents")).as("sp"))
+      val w = Window.partitionBy(col("cohort_m")).orderBy(col("offset_m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Floor-to-cent per-user LTV: cum/sz can land EXACTLY on a 4-dp
+      // rounding tie (cents are exact and sz often divides them), where
+      // HALF_UP (Spark) and half-even (DuckDB) disagree — integer cent
+      // division has no tie to disagree on.
+      grid.withColumn("cum", sum(col("sp")).over(w))
+        .join(broadcast(sizes), Seq("cohort_m"))
+        .select(col("cohort_m"), col("offset_m"),
+          (expr("div(cum, sz)").cast("double") / lit(100.0))
+            .as("ltv_per_user"))
+    }),
   )
 }

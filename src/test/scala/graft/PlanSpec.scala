@@ -233,6 +233,15 @@ class PlanSpec extends SparkSpec {
       assert(globalWindows(q) == 0, s"$q must not plan a global window")
   }
 
+  test("q238-q240: attribution/path/LTV tier plans zero unpartitioned windows and a top-k tail for paths") {
+    for (q <- Seq("q238_time_decay_attribution", "q239_conversion_paths",
+        "q240_cohort_ltv"))
+      assert(globalWindows(q) == 0, s"$q must not plan a global window")
+    val plan = executedPlan("q239_conversion_paths")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-10 path tail must be top-k, not a global sort:\n$plan")
+  }
+
   test("q230: the bootstrap replicate stream is a generator expansion, never a shuffle of corpus data per replicate") {
     val plan = executedPlan("q230_bootstrap_ci")
     assert(plan.contains("Generate"),
