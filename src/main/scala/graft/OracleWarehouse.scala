@@ -1152,5 +1152,6 @@ private[graft] object OracleWarehouse {
          SELECT c.cohort_m, c.offset_m,
            CAST(cum // sz.sz AS DOUBLE) / 100.0 AS ltv_per_user
          FROM c JOIN sz USING (cohort_m)""",
+    "q241_recursive_closure" -> QueryDsl.recursiveClosureSql("part", "//"),
   )
 }

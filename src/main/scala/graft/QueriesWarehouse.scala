@@ -1796,5 +1796,19 @@ private[graft] object QueriesWarehouse {
           (expr("div(cum, sz)").cast("double") / lit(100.0))
             .as("ltv_per_user"))
     }),
+
+    "q241_recursive_closure" -> ((s, dir) => {
+      // The ancestor closure through Spark 4's native WITH RECURSIVE
+      // (UnionLoopExec) — the one query surface the engine hadn't
+      // exercised, on the reference's actual recursive workload (the
+      // ontology/lineage closure q68 computes with the iterative
+      // operator). One SQL template (QueryDsl.recursiveClosureSql) runs
+      // verbatim in both engines; iterations = tree depth (11), each a
+      // frontier⋈edges hash join — UnionLoop's per-iteration scheduling
+      // floor is the cost model, the same depth bound as the
+      // graph-tier's iterative operators.
+      tbl(s, dir, "part").createOrReplaceTempView("q241_part")
+      s.sql(recursiveClosureSql("q241_part", "div"))
+    }),
   )
 }

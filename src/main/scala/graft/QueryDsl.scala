@@ -40,6 +40,25 @@ private[graft] object QueryDsl {
     }
   }
 
+  /** q241's WITH RECURSIVE ancestor-closure SQL — ONE template executed
+    * by BOTH engines (Spark 4's UnionLoop recursive CTE and DuckDB), so
+    * the oracle is literally the same query text; only the integer-div
+    * spelling differs (`div` vs `//`), passed in. Single-parent tree ⇒
+    * every (descendant, ancestor) path is unique, so UNION ALL (the form
+    * UnionLoop supports) equals UNION and the recursion terminates at
+    * the tree depth (11 levels here — iterations = depth, the same
+    * bound as the reference's recursive ontology closure).
+    */
+  def recursiveClosureSql(table: String, div: String): String =
+    s"""WITH RECURSIVE e AS (
+         SELECT p_partkey AS child, p_partkey $div 2 AS parent
+         FROM $table WHERE p_partkey > 1),
+       anc AS (
+         SELECT child, parent FROM e
+         UNION ALL
+         SELECT a.child, e.parent FROM anc a JOIN e ON a.parent = e.child)
+       SELECT child, parent FROM anc"""
+
   val langMarkers: Map[String, Seq[String]] = Map(
     "de" -> Seq("der", "die", "das", "und"),
     "en" -> Seq("the", "a", "of", "and"),

@@ -120,4 +120,22 @@ object KernelProps extends Properties("graft-kernels") {
       val once = graft.functions.Cleaning.cleanName(s)
       graft.functions.Cleaning.cleanName(once) == once
     }
+
+  property("drawdown identity: clamp-at-zero fold == cum - min(0, runmin(cum)) (the q232 rewrite)") =
+    forAll(Gen.listOf(Gen.chooseNum(-1000L, 1000L))) { deltas =>
+      val folded = deltas.scanLeft(0L)((b, d) => math.max(0L, b + d)).tail
+      val cums = deltas.scanLeft(0L)(_ + _).tail
+      val runmins = cums.scanLeft(Long.MaxValue)(math.min).tail
+      val closed = cums.zip(runmins).map { case (c, m) => c - math.min(0L, m) }
+      folded == closed
+    }
+
+  property("unitHash: [0,1) range and first-4-md5-bytes definition") =
+    forAll(word) { s =>
+      val u = graft.plans.TextKernels.unitHash(UTF8String.fromString(s))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val ref = java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+      u >= 0.0 && u < 1.0 && u == ref
+    }
 }
