@@ -450,5 +450,36 @@ private[graft] object OracleVector {
            round(max(dist), 6) AS max_distortion
          FROM d"""
     },
+    "q243_hits" -> {
+      // 5 unrolled HITS iterations, max-normalized half-steps — same
+      // MATERIALIZED/unroll discipline as pageRankSql.
+      val steps = (1 to 5).map { k =>
+        s"""ar$k AS MATERIALIZED (
+             SELECT v.node, coalesce(s.s, CAST(0.0 AS DOUBLE)) AS a
+             FROM v LEFT JOIN (
+               SELECT e.dst AS node, sum(h.h) AS s
+               FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst) s
+               USING (node)),
+           a$k AS MATERIALIZED (
+             SELECT node, a / (SELECT max(a) FROM ar$k) AS a FROM ar$k),
+           hr$k AS MATERIALIZED (
+             SELECT v.node, coalesce(s.s, CAST(0.0 AS DOUBLE)) AS h
+             FROM v LEFT JOIN (
+               SELECT e.src AS node, sum(a.a) AS s
+               FROM e JOIN a$k a ON e.dst = a.node GROUP BY e.src) s
+               USING (node)),
+           h$k AS MATERIALIZED (
+             SELECT node, h / (SELECT max(h) FROM hr$k) AS h FROM hr$k)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS MATERIALIZED (
+           SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         v AS MATERIALIZED (SELECT src AS node FROM e
+           UNION SELECT dst FROM e),
+         h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM v),
+         $steps
+         SELECT h.node, round(h.h, 8) AS hub, round(a.a, 8) AS authority
+         FROM h5 h JOIN a5 a USING (node)"""
+    },
   )
 }

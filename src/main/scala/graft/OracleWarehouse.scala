@@ -1153,5 +1153,36 @@ private[graft] object OracleWarehouse {
            CAST(cum // sz.sz AS DOUBLE) / 100.0 AS ltv_per_user
          FROM c JOIN sz USING (cohort_m)""",
     "q241_recursive_closure" -> QueryDsl.recursiveClosureSql("part", "//"),
+    "q242_fifo_allocation" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         lots AS (SELECT user_id,
+             CAST(sum(10000) OVER w AS BIGINT) - 10000 AS in_lo,
+             CAST(sum(10000) OVER w AS BIGINT) AS in_hi
+           FROM ev WHERE event_type = 'signup'
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         outs AS (SELECT user_id, cents,
+             CAST(sum(cents) OVER w AS BIGINT) - cents AS out_lo,
+             CAST(sum(cents) OVER w AS BIGINT) AS out_hi
+           FROM ev WHERE event_type = 'purchase'
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         m AS (SELECT l.user_id, CAST(count(*) AS BIGINT) AS nm,
+             CAST(sum(least(in_hi, out_hi) - greatest(in_lo, out_lo))
+               AS BIGINT) AS mc
+           FROM lots l JOIN outs o ON l.user_id = o.user_id
+             AND in_lo < out_hi AND out_lo < in_hi
+           GROUP BY 1),
+         t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS pc FROM outs GROUP BY 1),
+         nl AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_lots
+           FROM lots GROUP BY 1)
+         SELECT t.user_id, CAST(coalesce(nl.n_lots, 0) AS BIGINT) AS n_lots,
+           t.n_purchases, CAST(coalesce(m.nm, 0) AS BIGINT) AS n_matches,
+           CAST(coalesce(m.mc, 0) AS DOUBLE) / 100.0 AS funded,
+           CAST(t.pc - coalesce(m.mc, 0) AS DOUBLE) / 100.0 AS unfunded
+         FROM t LEFT JOIN nl USING (user_id) LEFT JOIN m USING (user_id)""",
   )
 }

@@ -867,5 +867,21 @@ private[graft] object QueriesVector {
           round(col("mind"), 6).as("min_distortion"),
           round(col("maxd"), 6).as("max_distortion"))
     }),
+
+    "q243_hits" -> ((s, dir) => {
+      // HITS hubs & authorities over the DIRECTED customer→supplier
+      // purchase graph (node ids prefixed so the two key spaces never
+      // collide). Same execution contract as q163's PageRank — edge-scan
+      // joins + node-sized pinned state per iteration, max-normalized
+      // half-steps (max is order-free, so no float-fold in the norm),
+      // 8-dp final rounding; the oracle replays all 5 iterations
+      // unrolled.
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      graph.Hits.run(edges, "src", "dst", iters = 5)
+    }),
   )
 }

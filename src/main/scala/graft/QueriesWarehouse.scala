@@ -1810,5 +1810,49 @@ private[graft] object QueriesWarehouse {
       tbl(s, dir, "part").createOrReplaceTempView("q241_part")
       s.sql(recursiveClosureSql("q241_part", "div"))
     }),
+
+    "q242_fifo_allocation" -> ((s, dir) => {
+      // FIFO lot allocation — the classically "sequential" matching of
+      // outflows (purchases) against inflow lots (signup credits of
+      // 100.00) in arrival order, rewritten declaratively: cumulative
+      // cents give every lot and purchase a half-open interval on the
+      // user's credit number line, and FIFO matching IS interval
+      // overlap — a user-keyed equi-join with a range predicate, never
+      // a per-user loop. Windows are user-partitioned; all quantities
+      // stay exact integer cents; the two divisions at the end are
+      // exact (cents < 2^53).
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lots = ev.filter(col("event_type") === "signup")
+        .withColumn("amt", lit(10000L))
+        .withColumn("hi", sum(col("amt")).over(w))
+        .select(col("user_id"), (col("hi") - col("amt")).as("in_lo"),
+          col("hi").as("in_hi"))
+      val outs = ev.filter(col("event_type") === "purchase")
+        .withColumn("hi", sum(col("cents")).over(w))
+        .select(col("user_id"), (col("hi") - col("cents")).as("out_lo"),
+          col("hi").as("out_hi"), col("cents"))
+      val matched = lots.join(outs, Seq("user_id"))
+        .filter(col("in_lo") < col("out_hi") && col("out_lo") < col("in_hi"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("nm"),
+          sum(least(col("in_hi"), col("out_hi")) -
+            greatest(col("in_lo"), col("out_lo"))).as("mc"))
+      val totals = outs.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("pc"))
+      val nLots = lots.groupBy(col("user_id")).agg(count(lit(1)).as("n_lots"))
+      totals.join(nLots, Seq("user_id"), "left")
+        .join(matched, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("n_lots"), lit(0L)).as("n_lots"), col("n_purchases"),
+          coalesce(col("nm"), lit(0L)).as("n_matches"),
+          (coalesce(col("mc"), lit(0L)).cast("double") / lit(100.0))
+            .as("funded"),
+          ((col("pc") - coalesce(col("mc"), lit(0L))).cast("double") /
+            lit(100.0)).as("unfunded"))
+    }),
   )
 }

@@ -373,4 +373,20 @@ class AdvancedOpsSpec extends SparkSpec {
     // k above the max degree empties the graph entirely.
     assert(graph.KCore.peel(edges, "a", "b", k = 5, rounds = 3).count() == 0)
   }
+
+  test("Hits: known star graph ranks the shared authority and busy hub on top, max-normalized to 1") {
+    import spark.implicits._
+    // c1→s1, c2→s1, c2→s2: s1 is the consensus authority, c2 the
+    // stronger hub (it cites the strong authority AND another).
+    val edges = Seq(("c1", "s1"), ("c2", "s1"), ("c2", "s2")).toDF("src", "dst")
+    val got = graph.Hits.run(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val (h, a) = (got.view.mapValues(_._1).toMap, got.view.mapValues(_._2).toMap)
+    assert(a("s1") == 1.0 && h("c2") == 1.0,
+      s"max-normalization must pin the top scores at 1: $got")
+    assert(a("s1") > a("s2") && h("c2") > h("c1"), s"ordering wrong: $got")
+    assert(a("c1") == 0.0 && a("c2") == 0.0 && h("s1") == 0.0 && h("s2") == 0.0,
+      s"sources have no authority, sinks no hub score: $got")
+  }
 }

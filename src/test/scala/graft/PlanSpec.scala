@@ -242,6 +242,14 @@ class PlanSpec extends SparkSpec {
       s"the top-10 path tail must be top-k, not a global sort:\n$plan")
   }
 
+  test("q242: FIFO allocation is user-partitioned windows + a user-keyed range join, never a cartesian or global window") {
+    assert(globalWindows("q242_fifo_allocation") == 0,
+      "cumulative intervals must be user-partitioned")
+    val plan = executedPlan("q242_fifo_allocation")
+    assert(!plan.contains("CartesianProduct"),
+      s"lot×purchase matching must ride the user equi-join:\n$plan")
+  }
+
   test("q230: the bootstrap replicate stream is a generator expansion, never a shuffle of corpus data per replicate") {
     val plan = executedPlan("q230_bootstrap_ci")
     assert(plan.contains("Generate"),
