@@ -816,5 +816,17 @@ private[graft] object OracleText {
                * ((nn + 1.0) - CAST(ties AS DOUBLE) / (nn * (nn - 1.0)))), 4)
              AS z_stat
          FROM f""",
+    "q245_phrase_proximity" ->
+      """WITH t AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1
+             AS pos
+           FROM documents),
+         a AS (SELECT doc_id, pos AS pa FROM t WHERE tok = 'hash'),
+         b AS (SELECT doc_id, pos AS pb FROM t WHERE tok = 'join')
+         SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(abs(pa - pb)) AS BIGINT) AS min_dist
+         FROM a JOIN b USING (doc_id)
+         WHERE abs(pa - pb) <= 3 GROUP BY 1""",
   )
 }

@@ -1184,5 +1184,41 @@ private[graft] object OracleWarehouse {
            CAST(coalesce(m.mc, 0) AS DOUBLE) / 100.0 AS funded,
            CAST(t.pc - coalesce(m.mc, 0) AS DOUBLE) / 100.0 AS unfunded
          FROM t LEFT JOIN nl USING (user_id) LEFT JOIN m USING (user_id)""",
+    "q244_diff_in_diff" ->
+      """WITH ev AS (SELECT user_id, event_type,
+           epoch_us(ts) // 86400000000 AS day,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+         cells AS (SELECT user_id % 2 AS g,
+             day > b.mn + (b.mx - b.mn) // 2 AS post,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sc
+           FROM ev CROSS JOIN b WHERE event_type = 'purchase'
+           GROUP BY 1, 2),
+         one AS (SELECT
+             max(CASE WHEN g = 0 AND NOT post THEN sc END) AS s00,
+             max(CASE WHEN g = 0 AND NOT post THEN n END) AS n00,
+             max(CASE WHEN g = 0 AND post THEN sc END) AS s01,
+             max(CASE WHEN g = 0 AND post THEN n END) AS n01,
+             max(CASE WHEN g = 1 AND NOT post THEN sc END) AS s10,
+             max(CASE WHEN g = 1 AND NOT post THEN n END) AS n10,
+             max(CASE WHEN g = 1 AND post THEN sc END) AS s11,
+             max(CASE WHEN g = 1 AND post THEN n END) AS n11
+           FROM cells)
+         SELECT
+           round(CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 100.0, 4)
+             AS ctrl_pre,
+           round(CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / 100.0, 4)
+             AS ctrl_post,
+           round(CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / 100.0, 4)
+             AS treat_pre,
+           round(CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / 100.0, 4)
+             AS treat_post,
+           round((CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) / 100.0
+               - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) / 100.0)
+             - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) / 100.0
+               - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 100.0), 4)
+             AS did_estimate
+         FROM one""",
   )
 }

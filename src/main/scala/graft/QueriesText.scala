@@ -1728,5 +1728,26 @@ private[graft] object QueriesText {
               ((col("nn") + lit(1.0)) - dd("ties") /
                 (col("nn") * (col("nn") - lit(1.0))))), 4).as("z_stat"))
     }),
+
+    "q245_phrase_proximity" -> ((s, dir) => {
+      // Positional phrase-proximity search: documents where "hash" and
+      // "join" occur within 3 tokens — the posting-list intersection a
+      // search engine runs for NEAR queries, on the engine's standard
+      // whitespace-token contract. The positional explode is one corpus
+      // scan; each term's postings are filtered BEFORE the doc-keyed
+      // equi-join (posting-list-sized, never token×token); the distance
+      // predicate rides the join.
+      val toks = tbl(s, dir, "documents").select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val a = toks.filter(col("tok") === "hash")
+        .select(col("doc_id"), col("pos").as("pa"))
+      val b = toks.filter(col("tok") === "join")
+        .select(col("doc_id"), col("pos").as("pb"))
+      a.join(b, Seq("doc_id"))
+        .filter(abs(col("pa") - col("pb")) <= 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("pa") - col("pb"))).cast("bigint").as("min_dist"))
+    }),
   )
 }

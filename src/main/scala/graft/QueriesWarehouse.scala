@@ -1854,5 +1854,42 @@ private[graft] object QueriesWarehouse {
           ((col("pc") - coalesce(col("mc"), lit(0L))).cast("double") /
             lit(100.0)).as("unfunded"))
     }),
+
+    "q244_diff_in_diff" -> ((s, dir) => {
+      // Difference-in-differences: purchase-value change across the
+      // dataset's calendar midpoint, treatment = the user_id mod 2 hash
+      // split — the quasi-experimental readout layered on the q222
+      // machinery. The period cutoff is pure integer day arithmetic
+      // from the data's own bounds (broadcast, 1 row); the four cell
+      // means come from one map-combinable exact-cents rollup folded to
+      // a single row; DiD is one fixed double sequence.
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        expr("div(unix_micros(ts), 86400000000)").as("day"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(bounds))
+        .select((col("user_id") % 2).as("g"),
+          (col("day") > col("mn") + expr("div(mx - mn, 2)")).as("post"),
+          col("cents"))
+        .groupBy(col("g"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      def cell(g: Int, post: Boolean, c: String): Column =
+        max(when(col("g") === g && col("post") === post, col(c)))
+      val one = cells.agg(
+        cell(0, post = false, "sc").as("s00"), cell(0, post = false, "n").as("n00"),
+        cell(0, post = true, "sc").as("s01"), cell(0, post = true, "n").as("n01"),
+        cell(1, post = false, "sc").as("s10"), cell(1, post = false, "n").as("n10"),
+        cell(1, post = true, "sc").as("s11"), cell(1, post = true, "n").as("n11"))
+      def m(sc: String, n: String): Column =
+        col(sc).cast("double") / col(n).cast("double") / lit(100.0)
+      one.select(
+        round(m("s00", "n00"), 4).as("ctrl_pre"),
+        round(m("s01", "n01"), 4).as("ctrl_post"),
+        round(m("s10", "n10"), 4).as("treat_pre"),
+        round(m("s11", "n11"), 4).as("treat_post"),
+        round((m("s11", "n11") - m("s10", "n10")) -
+          (m("s01", "n01") - m("s00", "n00")), 4).as("did_estimate"))
+    }),
   )
 }
