@@ -770,4 +770,49 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(rollup == declared)
   }
+
+  test("streaming FIFO allocation: converged snapshots equal the q242 interval-join row per user") {
+    import graft.streaming.StreamingFifo
+    import graft.streaming.StreamingFifo.{Ev, FifoRow}
+    val evs = StreamingFifo.fromEvents(Tables.events(spark, sfDir))
+      .collect().sortBy(e => (e.us, e.event_id))
+
+    // Batch truth: the incremental operator over the full history.
+    val batch = StreamingFifo
+      .allocate(spark.createDataset(evs.toSeq), streaming = false)
+      .collect().map(r => r.user_id -> r).toMap
+
+    // Stream: chronological chunks (per-key ordered arrival), rows
+    // shuffled within a chunk.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, FifoRow]()
+    val q = StreamingFifo.allocate(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FifoRow], _: Long) =>
+        df.collect().foreach(r => last.put(r.user_id, r)); ()
+      }
+      .start()
+    evs.grouped(math.max(1, evs.length / 5 + 1)).foreach { ch =>
+      mem.addData(scala.util.Random.shuffle(ch.toSeq))
+      q.processAllAvailable()
+    }
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(last.asScala.toMap == batch && batch.nonEmpty)
+
+    // Converged snapshots == the declared q242 interval-overlap join
+    // (users with at least one purchase; funded compared in cents).
+    val declared = SparkEntry.queries("q242_fifo_allocation")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        math.round(r.getDouble(4) * 100))))
+      .toMap
+    val snap = batch.filter(_._2.n_purchases > 0)
+      .map { case (u, r) =>
+        u -> ((r.n_lots, r.n_purchases, r.n_matches, r.funded_cents))
+      }
+    assert(snap == declared && declared.nonEmpty)
+    assert(batch.values.exists(_.n_matches > 0))
+  }
 }
