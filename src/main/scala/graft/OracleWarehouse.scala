@@ -1220,5 +1220,52 @@ private[graft] object OracleWarehouse {
                - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) / 100.0), 4)
              AS did_estimate
          FROM one""",
+    "q246_l_diversity" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+           CAST(CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0 THEN 0
+             WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 3000 THEN 1
+             WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 7000 THEN 2
+             ELSE 3 END AS BIGINT) AS band
+           FROM customer),
+         gb AS (SELECT c_mktsegment AS segment, n_name AS nation, band,
+             CAST(count(*) AS BIGINT) AS bn
+           FROM c JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2, 3)
+         SELECT segment, nation, CAST(sum(bn) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_sensitive,
+           count(*) >= 3 AS l3_ok
+         FROM gb GROUP BY 1, 2""",
+    "q247_t_closeness" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey,
+           CAST(CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0 THEN 0
+             WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 3000 THEN 1
+             WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 7000 THEN 2
+             ELSE 3 END AS BIGINT) AS band
+           FROM customer),
+         g AS (SELECT c_mktsegment AS segment, n_name AS nation,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN band = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+           FROM c JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(c0) AS BIGINT) AS t0, CAST(sum(c1) AS BIGINT) AS t1,
+             CAST(sum(c2) AS BIGINT) AS t2 FROM g),
+         f AS (SELECT segment, nation, n,
+             CAST(c0 AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(t0 AS DOUBLE) / CAST(tn AS DOUBLE) AS d0,
+             CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(t1 AS DOUBLE) / CAST(tn AS DOUBLE) AS d1,
+             CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(t2 AS DOUBLE) / CAST(tn AS DOUBLE) AS d2
+           FROM g CROSS JOIN t)
+         SELECT segment, nation, n,
+           round((abs(d0) + abs(d0 + d1) + abs(d0 + d1 + d2)) / 3.0, 6)
+             AS t_dist,
+           round((abs(d0) + abs(d0 + d1) + abs(d0 + d1 + d2)) / 3.0, 6) <= 0.2
+             AS t_ok
+         FROM f""",
   )
 }

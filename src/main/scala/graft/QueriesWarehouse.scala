@@ -1891,5 +1891,62 @@ private[graft] object QueriesWarehouse {
         round((m("s11", "n11") - m("s10", "n10")) -
           (m("s01", "n01") - m("s00", "n00")), 4).as("did_estimate"))
     }),
+
+    "q246_l_diversity" -> ((s, dir) => {
+      // l-diversity audit (l=3) on the q168 quasi-identifier: a QI group
+      // is safe only if its members span ≥3 distinct sensitive values
+      // (account-balance band) — k-anonymity's fix for the homogeneity
+      // attack. One broadcast dim join + one map-combinable
+      // (QI, band)-bounded aggregate; the distinct count re-aggregates
+      // the band grid, never the corpus.
+      val c = tbl(s, dir, "customer").select(col("c_mktsegment"),
+        col("c_nationkey"),
+        when(col("c_acctbal").cast(dec) < 0, 0L)
+          .when(col("c_acctbal").cast(dec) < 3000, 1L)
+          .when(col("c_acctbal").cast(dec) < 7000, 2L).otherwise(3L)
+          .as("band"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("n_name").as("nation"),
+          col("band"))
+        .agg(count(lit(1)).as("bn"))
+        .groupBy(col("segment"), col("nation"))
+        .agg(sum(col("bn")).as("n"), count(lit(1)).as("n_sensitive"))
+        .select(col("segment"), col("nation"), col("n"), col("n_sensitive"),
+          (col("n_sensitive") >= 3).as("l3_ok"))
+    }),
+
+    "q247_t_closeness" -> ((s, dir) => {
+      // t-closeness (t=0.2) on the same QI/sensitive pair: the ordinal
+      // earth-mover's distance between each group's balance-band
+      // distribution and the global one, D = Σ|cum diffs|/(m−1). Four
+      // fixed bands ⇒ the whole distance is an EXPLICIT column
+      // expression over conditional counts (no folds, no collects);
+      // the global distribution rides broadcast.
+      val c = tbl(s, dir, "customer").select(col("c_mktsegment"),
+        col("c_nationkey"),
+        when(col("c_acctbal").cast(dec) < 0, 0L)
+          .when(col("c_acctbal").cast(dec) < 3000, 1L)
+          .when(col("c_acctbal").cast(dec) < 7000, 2L).otherwise(3L)
+          .as("band"))
+      val nat = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      def bandCount(b: Int): Column =
+        sum(when(col("band") === b, 1L).otherwise(0L)).as(s"c$b")
+      val g = c.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n"), bandCount(0), bandCount(1), bandCount(2),
+          bandCount(3))
+        .localCheckpoint()
+      val tot = g.agg(sum(col("n")).as("tn"), sum(col("c0")).as("t0"),
+        sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      def p(c: String, n: String): Column = col(c).cast("double") / col(n).cast("double")
+      val cum1 = p("c0", "n") - p("t0", "tn")
+      val cum2 = cum1 + (p("c1", "n") - p("t1", "tn"))
+      val cum3 = cum2 + (p("c2", "n") - p("t2", "tn"))
+      val dist = round((abs(cum1) + abs(cum2) + abs(cum3)) / lit(3.0), 6)
+      g.crossJoin(broadcast(tot))
+        .select(col("segment"), col("nation"), col("n"),
+          dist.as("t_dist"), (dist <= 0.2).as("t_ok"))
+    }),
   )
 }
