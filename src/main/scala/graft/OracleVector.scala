@@ -481,5 +481,110 @@ private[graft] object OracleVector {
          SELECT h.node, round(h.h, 8) AS hub, round(a.a, 8) AS authority
          FROM h5 h JOIN a5 a USING (node)"""
     },
+    "q248_assortativity" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS sa, b.l_partkey AS sb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         d2 AS (SELECT sa, sb FROM e UNION ALL SELECT sb, sa FROM e),
+         deg AS (SELECT sa AS node, CAST(count(*) AS BIGINT) AS d
+           FROM d2 GROUP BY 1),
+         samp AS (SELECT da.d AS x, db.d AS y FROM d2
+           JOIN deg da ON d2.sa = da.node JOIN deg db ON d2.sb = db.node),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sx2,
+             CAST(sum(y*y) AS BIGINT) AS sy2
+           FROM samp)
+         SELECT n // 2 AS n_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+         FROM m""",
+    "q249_rich_club" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS sa, b.l_partkey AS sb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+           (SELECT sa AS node FROM e UNION ALL SELECT sb FROM e)
+           GROUP BY 1),
+         ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+         nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+           FROM ks CROSS JOIN deg WHERE d > k GROUP BY 1),
+         ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_rich
+           FROM ks CROSS JOIN (SELECT da.d AS da, db.d AS db FROM e
+             JOIN deg da ON e.sa = da.node JOIN deg db ON e.sb = db.node) t
+           WHERE da > k AND db > k GROUP BY 1)
+         SELECT ks.k, CAST(coalesce(nk.n_rich, 0) AS BIGINT) AS n_rich,
+           CAST(coalesce(ek.e_rich, 0) AS BIGINT) AS e_rich,
+           CASE WHEN coalesce(nk.n_rich, 0) >= 2 THEN
+             round(CAST(2 * coalesce(ek.e_rich, 0) AS DOUBLE)
+               / CAST(nk.n_rich * (nk.n_rich - 1) AS DOUBLE), 6) END AS phi
+         FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)""",
+    "q250_modularity" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS sa, b.l_partkey AS sb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         com AS (SELECT p_partkey AS node, p_brand AS community FROM part),
+         wc AS MATERIALIZED (SELECT ca.community AS ca, cb.community AS cb
+           FROM e JOIN com ca ON e.sa = ca.node
+             JOIN com cb ON e.sb = cb.node),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM wc),
+         ein AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_in
+           FROM wc WHERE ca = cb GROUP BY 1),
+         ds AS (SELECT community, CAST(count(*) AS BIGINT) AS d_sum FROM
+           (SELECT ca AS community FROM wc UNION ALL SELECT cb FROM wc)
+           GROUP BY 1)
+         SELECT ds.community, CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+           d_sum,
+           round(CAST(coalesce(e_in, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+             - (CAST(d_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+             * (CAST(d_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))), 6)
+             AS q_contrib
+         FROM ds LEFT JOIN ein USING (community) CROSS JOIN mm""",
+    "q251_eccentricity" -> {
+      val steps = (1 to 6).map { k =>
+        s"""d$k AS MATERIALIZED (
+             SELECT probe, node, min(cand) AS dist FROM (
+               SELECT probe, node, dist AS cand FROM d${k - 1}
+               UNION ALL
+               SELECT r.probe, u.sb AS node, r.dist + u.w AS cand
+               FROM und u JOIN d${k - 1} r ON u.sa = r.node)
+             GROUP BY 1, 2)"""
+      }.mkString(",\n         ")
+      s"""WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS sa, b.l_partkey AS sb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS MATERIALIZED (
+           SELECT sa, sb, CAST(1.0 AS DOUBLE) AS w FROM e
+           UNION ALL SELECT sb, sa, CAST(1.0 AS DOUBLE) FROM e),
+         d0 AS (SELECT p_partkey AS probe, p_partkey AS node,
+             CAST(0.0 AS DOUBLE) AS dist
+           FROM part WHERE p_partkey BETWEEN 1 AND 3),
+         $steps
+         SELECT probe, CAST(max(dist) AS BIGINT) AS ecc,
+           CAST(count(*) AS BIGINT) AS n_reached
+         FROM d6 GROUP BY 1"""
+    },
   )
 }

@@ -883,5 +883,142 @@ private[graft] object QueriesVector {
           concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
       graph.Hits.run(edges, "src", "dst", iters = 5)
     }),
+
+    "q248_assortativity" -> ((s, dir) => {
+      // Degree assortativity of the q211 part co-purchase graph
+      // (≥2 shared orders — the supplier graph is degree-regular at test
+      // SF, the q211 lesson): Pearson correlation of endpoint degrees over
+      // the directed edge list (each undirected edge counted both ways —
+      // the standard estimator). Degrees are integers, so all five
+      // moments are EXACT bigints over edge-sized tables; r is the fixed
+      // q154 double sequence. Degree lookups ride broadcast (node-sized).
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("sa"), col("b.l_partkey").as("sb"))
+        .agg(count(lit(1)).as("sh")).filter(col("sh") >= 2)
+        .select(col("sa"), col("sb")).localCheckpoint()
+      val dir2 = e.union(e.select(col("sb").as("sa"), col("sa").as("sb")))
+      val deg = dir2.groupBy(col("sa").as("node")).agg(count(lit(1)).as("d"))
+      val samp = dir2
+        .join(broadcast(deg.select(col("node").as("sa"), col("d").as("x"))),
+          Seq("sa"))
+        .join(broadcast(deg.select(col("node").as("sb"), col("d").as("y"))),
+          Seq("sb"))
+      val m = samp.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+      def d(c: String): Column = col(c).cast("double")
+      // n is even by construction (each undirected edge sampled twice),
+      // so the double division is exact and the cast lossless.
+      m.select((col("n").cast("double") / lit(2.0)).cast("bigint").as("n_edges"),
+        round((d("n") * d("sxy") - d("sx") * d("sy")) /
+          (sqrt(d("n") * d("sx2") - d("sx") * d("sx")) *
+           sqrt(d("n") * d("sy2") - d("sy") * d("sy"))), 6).as("assortativity"))
+    }),
+
+    "q249_rich_club" -> ((s, dir) => {
+      // Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) for k ∈
+      // {2,4,8}: how densely the high-degree nodes connect to EACH
+      // OTHER. One degree table (node-sized, broadcast onto the edge
+      // list), then a 3-row k-grid cross joined over node- and
+      // edge-sized conditional counts — all integers until the one φ
+      // division.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("sa"), col("b.l_partkey").as("sb"))
+        .agg(count(lit(1)).as("sh")).filter(col("sh") >= 2)
+        .select(col("sa"), col("sb")).localCheckpoint()
+      val deg = e.select(col("sa").as("node"))
+        .union(e.select(col("sb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")).localCheckpoint()
+      val ks = s.range(0, 3).select(
+        element_at(typedLit(Seq(2L, 4L, 8L)), col("id").cast("int") + 1).as("k"))
+      val nk = ks.crossJoin(deg).filter(col("d") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+      val ek = ks.crossJoin(
+          e.join(broadcast(deg.select(col("node").as("sa"), col("d").as("da"))),
+            Seq("sa"))
+           .join(broadcast(deg.select(col("node").as("sb"), col("d").as("db"))),
+            Seq("sb")))
+        .filter(col("da") > col("k") && col("db") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("e_rich"))
+      ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .select(col("k"), coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+          coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+          when(coalesce(col("n_rich"), lit(0L)) >= 2,
+            round((lit(2L) * coalesce(col("e_rich"), lit(0L))).cast("double") /
+              (col("n_rich") * (col("n_rich") - 1)).cast("double"), 6))
+            .as("phi"))
+    }),
+
+    "q250_modularity" -> ((s, dir) => {
+      // Newman modularity of the BRAND partition on the part co-purchase
+      // graph: Q_c = e_c/m − (d_c/2m)² per community. Edge endpoints
+      // resolve to brands via one broadcast dim join; e_c, d_c, m are
+      // exact integers; each contribution is a fixed double sequence
+      // over them. Tells whether brand explains the co-purchase
+      // structure (it shouldn't, on synthetic data).
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("sa"), col("b.l_partkey").as("sb"))
+        .agg(count(lit(1)).as("sh")).filter(col("sh") >= 2)
+        .select(col("sa"), col("sb")).localCheckpoint()
+      val com = tbl(s, dir, "part")
+        .select(col("p_partkey").as("node"), col("p_brand").as("community"))
+      val withC = e
+        .join(broadcast(com.select(col("node").as("sa"), col("community").as("ca"))),
+          Seq("sa"))
+        .join(broadcast(com.select(col("node").as("sb"), col("community").as("cb"))),
+          Seq("sb")).localCheckpoint()
+      val mTot = withC.agg(count(lit(1)).as("m"))
+      val eIn = withC.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+      val dSum = withC.select(col("ca").as("community"))
+        .union(withC.select(col("cb").as("community")))
+        .groupBy(col("community")).agg(count(lit(1)).as("d_sum"))
+      def d(c: String): Column = col(c).cast("double")
+      dSum.join(eIn, Seq("community"), "left").crossJoin(broadcast(mTot))
+        .select(col("community"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+          col("d_sum"),
+          round(coalesce(col("e_in"), lit(0L)).cast("double") / d("m") -
+            (d("d_sum") / (lit(2.0) * d("m"))) *
+            (d("d_sum") / (lit(2.0) * d("m"))), 6).as("q_contrib"))
+    }),
+
+    "q251_eccentricity" -> ((s, dir) => {
+      // Bounded-hop eccentricity probe: unit-weight BFS from 3 fixed
+      // probe parts over the q211 co-purchase graph, ecc = the farthest hop
+      // count reached within 6 rounds, n_reached = the ball size — the
+      // diameter/coverage diagnostic. One boundedHops run per probe
+      // (probe count is the bound); distances are integers riding the
+      // SSSP double lane, so the oracle replay is exact.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("sa"), col("b.l_partkey").as("sb"))
+        .agg(count(lit(1)).as("sh")).filter(col("sh") >= 2)
+        .select(col("sa"), col("sb"), lit(1.0).as("w")).localCheckpoint()
+      val und = e.union(e.select(col("sb").as("sa"), col("sa").as("sb"),
+        col("w")))
+      val probes = (1 to 3).map { p =>
+        val src = s.range(p, p + 1).select(col("id").as("node"))
+        graph.ShortestPaths.boundedHops(und, "sa", "sb", "w", src, "node", 6)
+          .agg(max(col("dist")).cast("bigint").as("ecc"),
+            count(lit(1)).as("n_reached"))
+          .select(lit(p.toLong).as("probe"), col("ecc"), col("n_reached"))
+      }
+      probes.reduce(_.unionByName(_))
+    }),
   )
 }
