@@ -828,5 +828,65 @@ private[graft] object OracleText {
            CAST(min(abs(pa - pb)) AS BIGINT) AS min_dist
          FROM a JOIN b USING (doc_id)
          WHERE abs(pa - pb) <= 3 GROUP BY 1""",
+    "q252_collocations_g2" ->
+      """WITH t AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1
+             AS pos
+           FROM documents),
+         big AS (SELECT x.tok AS w1, y.tok AS w2,
+             CAST(count(*) AS BIGINT) AS o11
+           FROM t x JOIN t y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+           GROUP BY 1, 2),
+         m1 AS (SELECT w1, CAST(sum(o11) AS BIGINT) AS c1 FROM big GROUP BY 1),
+         m2 AS (SELECT w2, CAST(sum(o11) AS BIGINT) AS c2 FROM big GROUP BY 1),
+         nn AS (SELECT CAST(sum(o11) AS BIGINT) AS nn FROM big),
+         sc AS (SELECT w1, w2, o11, c1 - o11 AS o12, c2 - o11 AS o21,
+             nn.nn - c1 - c2 + o11 AS o22, c1, c2, nn.nn AS n
+           FROM big JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nn
+           WHERE o11 >= 5),
+         g AS (SELECT w1, w2, o11,
+             round(2.0 * (
+               (CASE WHEN o11 > 0 THEN CAST(o11 AS DOUBLE)
+                 * ln(CAST(o11 AS DOUBLE) / (CAST(c1 AS DOUBLE)
+                   * CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))) ELSE 0.0 END)
+               + (CASE WHEN o12 > 0 THEN CAST(o12 AS DOUBLE)
+                 * ln(CAST(o12 AS DOUBLE) / (CAST(c1 AS DOUBLE)
+                   * (CAST(n AS DOUBLE) - CAST(c2 AS DOUBLE))
+                   / CAST(n AS DOUBLE))) ELSE 0.0 END)
+               + (CASE WHEN o21 > 0 THEN CAST(o21 AS DOUBLE)
+                 * ln(CAST(o21 AS DOUBLE) / ((CAST(n AS DOUBLE)
+                   - CAST(c1 AS DOUBLE)) * CAST(c2 AS DOUBLE)
+                   / CAST(n AS DOUBLE))) ELSE 0.0 END)
+               + (CASE WHEN o22 > 0 THEN CAST(o22 AS DOUBLE)
+                 * ln(CAST(o22 AS DOUBLE) / ((CAST(n AS DOUBLE)
+                   - CAST(c1 AS DOUBLE)) * (CAST(n AS DOUBLE)
+                   - CAST(c2 AS DOUBLE)) / CAST(n AS DOUBLE))) ELSE 0.0 END)
+             ), 4) AS g2
+           FROM sc)
+         SELECT w1, w2, o11, g2 FROM g
+         ORDER BY g2 DESC, w1, w2 LIMIT 20""",
+    "q253_rake_keywords" ->
+      """WITH t AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+           generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1
+             AS pos
+           FROM documents),
+         nt AS (SELECT doc_id, tok, pos FROM t
+           WHERE tok NOT IN ('a', 'the', 'of', 'and', 'to', 'in')
+             AND tok <> ''),
+         phr AS (SELECT doc_id, tok, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM nt),
+         plen AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
+           FROM phr GROUP BY 1, 2),
+         occ AS (SELECT phr.tok, plen.plen FROM phr
+           JOIN plen ON phr.doc_id = plen.doc_id AND phr.grp = plen.grp)
+         SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq,
+           CAST(sum(plen) AS BIGINT) AS degree,
+           round(CAST(CAST(sum(plen) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 4) AS rake_score
+         FROM occ GROUP BY 1
+         ORDER BY rake_score DESC, word LIMIT 15""",
   )
 }

@@ -1749,5 +1749,67 @@ private[graft] object QueriesText {
         .agg(count(lit(1)).as("n_pairs"),
           min(abs(col("pa") - col("pb"))).cast("bigint").as("min_dist"))
     }),
+
+    "q252_collocations_g2" -> ((s, dir) => {
+      // Collocation strength by log-likelihood ratio (Dunning's G²) —
+      // the significance-aware companion to q126's PMI: G² = 2·ΣO·ln(O/E)
+      // over each bigram's 2×2 contingency table. Margins re-aggregate
+      // the BIGRAM-TYPE table (never a second corpus scan) and ride
+      // broadcast; every G² is a per-row scalar formula of that row's
+      // exact integer counts — no folds anywhere, so ordering cannot
+      // perturb it. Top-20 by (G² desc, bigram) is a
+      // TakeOrderedAndProject tail.
+      val toks = tbl(s, dir, "documents").select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val big = toks.as("x").join(toks.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("y.pos") === col("x.pos") + 1)
+        .groupBy(col("x.tok").as("w1"), col("y.tok").as("w2"))
+        .agg(count(lit(1)).as("o11")).localCheckpoint()
+      val c1 = big.groupBy(col("w1")).agg(sum(col("o11")).as("c1"))
+      val c2 = big.groupBy(col("w2")).agg(sum(col("o11")).as("c2"))
+      val nTot = big.agg(sum(col("o11")).as("nn"))
+      def term(o: Column, e: Column): Column =
+        when(o > 0, o.cast("double") * log(o.cast("double") / e)).otherwise(lit(0.0))
+      val scored = big.filter(col("o11") >= 5)
+        .join(broadcast(c1), Seq("w1")).join(broadcast(c2), Seq("w2"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("o12", col("c1") - col("o11"))
+        .withColumn("o21", col("c2") - col("o11"))
+        .withColumn("o22", col("nn") - col("c1") - col("c2") + col("o11"))
+      def d(c: String): Column = col(c).cast("double")
+      val e11 = d("c1") * d("c2") / d("nn")
+      val e12 = d("c1") * (d("nn") - d("c2")) / d("nn")
+      val e21 = (d("nn") - d("c1")) * d("c2") / d("nn")
+      val e22 = (d("nn") - d("c1")) * (d("nn") - d("c2")) / d("nn")
+      scored.select(col("w1"), col("w2"), col("o11"),
+          round(lit(2.0) * (term(col("o11"), e11) + term(col("o12"), e12) +
+            term(col("o21"), e21) + term(col("o22"), e22)), 4).as("g2"))
+        .orderBy(col("g2").desc, col("w1"), col("w2")).limit(20)
+    }),
+
+    "q253_rake_keywords" -> ((s, dir) => {
+      // RAKE-style keyword scoring: phrases are maximal runs of
+      // non-stopword tokens (the gaps-and-islands key pos − row_number,
+      // partitioned PER DOCUMENT — never a global window), each word
+      // scores degree/frequency where degree sums the lengths of the
+      // phrases it appears in. Phrase assembly is doc-local; the word
+      // table is vocabulary-bounded; top-15 is a top-k tail.
+      val stop = Seq("a", "the", "of", "and", "to", "in")
+      val toks = tbl(s, dir, "documents").select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+        .filter(!col("tok").isin(stop: _*) && col("tok") =!= "")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val phr = toks.withColumn("grp", col("pos") - row_number().over(w))
+      val plen = phr.groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("plen"))
+      val occ = phr.join(plen, Seq("doc_id", "grp"))
+      occ.groupBy(col("tok").as("word"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+        .select(col("word"), col("freq"), col("degree"),
+          round(col("degree").cast("double") / col("freq").cast("double"), 4)
+            .as("rake_score"))
+        .orderBy(col("rake_score").desc, col("word")).limit(15)
+    }),
   )
 }
