@@ -1,0 +1,84 @@
+package graft
+
+/** DuckDB oracles for the spatial tier. The oracle is brute-force all
+  * pairs (fine at the sf0.01 gate) while the engine is grid-pruned —
+  * same results by the grid-exhaustiveness argument in
+  * [[graft.spatial.Geo]]. Coordinates and the haversine are spelled with
+  * the engine's exact operation order; distances compare 6-dp-rounded.
+  */
+private[graft] object OracleSpatial {
+
+  /** unit hash of a salted key expression, as inline SQL. */
+  private def unit(expr: String): String =
+    s"""CAST(CAST(concat('0x', substr(md5($expr), 1, 8)) AS BIGINT) AS DOUBLE)
+           / 4294967296.0"""
+
+  private def lat(key: String): String =
+    s"${unit(s"'glat_' || $key")} * 116.0 - 58.0"
+  private def lon(key: String): String =
+    s"${unit(s"'glon_' || $key")} * 340.0 - 170.0"
+
+  /** d = 2·R·asin(√h) rounded to 6 dp — textual mirror of Geo.haversineKm. */
+  private def dkm(la: String, lo: String, lb: String, lnb: String): String =
+    s"""round(2.0 * 6371.0088 * asin(sqrt(
+         sin(radians($lb - $la) / 2.0) * sin(radians($lb - $la) / 2.0)
+         + cos(radians($la)) * cos(radians($lb))
+           * sin(radians($lnb - $lo) / 2.0) * sin(radians($lnb - $lo) / 2.0))), 6)"""
+
+  private val custPts =
+    s"""SELECT c_custkey AS id, ${lat("CAST(c_custkey AS VARCHAR)")} AS lat,
+         ${lon("CAST(c_custkey AS VARCHAR)")} AS lon FROM customer"""
+
+  val map: Map[String, String] = Map(
+
+    "q254_geo_neighbors" ->
+      s"""WITH p AS ($custPts),
+         d AS (SELECT a.id AS ia, b.id AS ib,
+             ${dkm("a.lat", "a.lon", "b.lat", "b.lon")} AS d6
+           FROM p a JOIN p b ON a.id <> b.id)
+         SELECT ia AS id, CAST(count(*) AS BIGINT) AS n_neighbors,
+           min(d6) AS nn_km
+         FROM d WHERE d6 <= 500.0 GROUP BY 1""",
+
+    "q255_geo_knn" ->
+      s"""WITH p AS ($custPts),
+         s AS (SELECT s_suppkey AS sid,
+             ${lat("'s' || CAST(s_suppkey AS VARCHAR)")} AS lat,
+             ${lon("'s' || CAST(s_suppkey AS VARCHAR)")} AS lon FROM supplier),
+         d AS (SELECT p.id AS c_id, s.sid AS s_id,
+             ${dkm("p.lat", "p.lon", "s.lat", "s.lon")} AS d_km
+           FROM p CROSS JOIN s),
+         r AS (SELECT c_id, s_id, d_km,
+             row_number() OVER (PARTITION BY c_id ORDER BY d_km, s_id) AS rn
+           FROM d WHERE d_km <= 3000.0)
+         SELECT c_id, s_id, d_km FROM r WHERE rn <= 3""",
+
+    "q256_geo_dbscan" ->
+      s"""WITH RECURSIVE p AS ($custPts),
+         pr AS (SELECT a.id AS id_a, b.id AS id_b,
+             ${dkm("a.lat", "a.lon", "b.lat", "b.lon")} AS d6
+           FROM p a JOIN p b ON a.id < b.id),
+         e AS (SELECT id_a, id_b FROM pr WHERE d6 <= 400.0),
+         sym AS (SELECT id_a AS id, id_b AS nb FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+         core AS (SELECT id FROM sym GROUP BY id HAVING count(*) + 1 >= 4),
+         ce AS (SELECT s.id AS a, s.nb AS b FROM sym s
+                JOIN core c1 ON s.id = c1.id JOIN core c2 ON s.nb = c2.id),
+         reach(a, b) AS (
+           SELECT a, b FROM ce
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN ce e2 ON r.b = e2.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS cluster
+                  FROM reach GROUP BY a
+                  UNION ALL
+                  SELECT id, id FROM core
+                  WHERE id NOT IN (SELECT a FROM ce)),
+         border AS (SELECT s.id, min(comp.cluster) AS cluster
+                    FROM sym s JOIN comp ON s.nb = comp.id
+                    WHERE s.id NOT IN (SELECT id FROM core)
+                    GROUP BY s.id)
+         SELECT id, 'core' AS role, cluster FROM comp
+         UNION ALL
+         SELECT id, 'border' AS role, cluster FROM border""",
+  )
+}

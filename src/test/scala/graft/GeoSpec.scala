@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.spatial.Geo
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteWithin(pts: Seq[(Long, Double, Double)], eps: Double) = {
+    def hav(a: (Double, Double), b: (Double, Double)): Double = {
+      val sdlat = math.sin(math.toRadians(b._1 - a._1) / 2)
+      val sdlon = math.sin(math.toRadians(b._2 - a._2) / 2)
+      val h = sdlat * sdlat +
+        math.cos(math.toRadians(a._1)) * math.cos(math.toRadians(b._1)) * sdlon * sdlon
+      2.0 * 6371.0088 * math.asin(math.sqrt(h))
+    }
+    (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d = BigDecimal(hav((a._2, a._3), (b._2, b._3)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if d <= eps
+    } yield (a._1, b._1, d)).toSet
+  }
+
+  private def df(pts: Seq[(Long, Double, Double)]): DataFrame =
+    pts.toDF("id", "lat", "lon")
+
+  test("gridNeighborPairs equals brute force on seam-straddling points") {
+    // The regression that shipped (and the oracle caught): a cap large
+    // enough that the short arc crosses the ±180 seam. Points sit at the
+    // band's lon extremes and high latitude, where the seam gap is
+    // narrowest (~1174 km at lat 58 for the 20° margin).
+    val pts = Seq(
+      (1L, 57.0, -169.9), (2L, 57.0, 169.9),   // ~1208 km across the seam
+      (3L, 56.5, -150.0), (4L, -57.0, 169.9),  // far side / other hemisphere
+      (5L, 0.0, -169.9), (6L, 0.0, 169.9),     // equator seam pair ~2247 km
+      (7L, 10.0, 10.0), (8L, 10.5, 10.5))
+    for (eps <- Seq(1300.0, 2500.0, 3000.0)) {
+      val got = Geo.gridNeighborPairs(df(pts), "id", eps)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == bruteWithin(pts, eps), s"eps=$eps")
+    }
+  }
+
+  test("gridJoinWithin equals brute force bipartite, including the wrap") {
+    val left = Seq((1L, 57.5, -169.5), (2L, -30.0, 0.0), (3L, 40.0, 100.0))
+    val right = Seq((10L, 57.0, 169.9), (11L, -31.0, 1.0), (12L, 41.0, 101.0),
+      (13L, 57.9, -150.0))
+    val cap = 3000.0
+    val got = Geo.gridJoinWithin(df(left), df(right), "id", "id", cap)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = (for {
+      a <- left; b <- right
+      d = bruteWithin(Seq(a, (b._1 + 1000L, b._2, b._3)), 1e9)
+        .find(_._2 == b._1 + 1000L).get._3
+      if d <= cap
+    } yield (a._1, b._1, d)).toSet
+    assert(got == brute)
+  }
+
+  test("gridSpec refuses radii the band or the 3-cell ring cannot serve") {
+    // 6000 km: sin(d/2R)/cos58 ≈ 0.854 → Δλ ≈ 117° → nLon = 3 still ok;
+    // 9000 km pushes sinHalf past 1 inside the band.
+    assert(Geo.gridSpec(3000.0)._2 >= 3)
+    intercept[IllegalArgumentException](Geo.gridSpec(9000.0))
+  }
+
+  test("haversine column matches the scalar reference formula") {
+    val got = Seq((51.5074, -0.1278, 48.8566, 2.3522))
+      .toDF("la", "lo", "lb", "ln")
+      .select(round(Geo.haversineKm(col("la"), col("lo"), col("lb"), col("ln")), 3))
+      .as[Double].head()
+    assert(math.abs(got - 343.556) < 0.01) // London–Paris ≈ 343.5 km
+  }
+}
