@@ -742,4 +742,45 @@ private[graft] object OracleHelpers {
                     CAST(length(text) AS DOUBLE) AS nc,
                     CAST(length(text) - length(regexp_replace(text, '[.,;:!?()-]', '', 'g')) AS DOUBLE) AS np
              FROM documents)"""
+
+  /** q262: one CTE chain per feature (category-grid counts → binary-
+    * entropy terms → 10-dp ordered fold), mirroring the engine's
+    * expression structure; the binary entropy h(p) is spelled once per
+    * use with identical texture so the doubles agree bit-for-bit.
+    */
+  private def igBranch(tag: String, from: String, x: String): String = {
+    def h(p: String): String =
+      s"""(-(CASE WHEN $p > 0 THEN $p * log2($p) ELSE 0.0 END)
+          - (CASE WHEN $p < 1 THEN (1.0 - $p) * log2(1.0 - $p) ELSE 0.0 END))"""
+    s"""g_$tag AS (SELECT $x AS x, CAST(count(*) AS BIGINT) AS nx,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS px
+         FROM $from GROUP BY 1),
+       t_$tag AS (SELECT CAST(sum(nx) AS BIGINT) AS n,
+           CAST(sum(px) AS BIGINT) AS p FROM g_$tag),
+       m_$tag AS (SELECT x,
+           (CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) * ${h("pr")} AS term,
+           CAST(p AS DOUBLE) / CAST(n AS DOUBLE) AS py
+         FROM (SELECT x, nx, n, p,
+             CAST(px AS DOUBLE) / CAST(nx AS DOUBLE) AS pr
+           FROM g_$tag CROSS JOIN t_$tag) q_$tag),
+       r_$tag AS (SELECT '$tag' AS feature, max(py) AS py,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY x)),
+             (acc, t) -> round(acc + t, 10)) AS hc
+         FROM m_$tag),
+       f_$tag AS (SELECT feature, round(${h("py")}, 6) AS h_y,
+           round(hc, 6) AS h_y_given_x,
+           round(${h("py")} - hc, 6) AS info_gain
+         FROM r_$tag)"""
+  }
+
+  val infoGainSql: String =
+    s"""WITH ${igBranch("linestatus", "lineitem", "l_linestatus")},
+       ${igBranch("priority",
+        "lineitem JOIN orders ON l_orderkey = o_orderkey", "o_orderpriority")},
+       ${igBranch("brand",
+        "lineitem JOIN part ON l_partkey = p_partkey", "p_brand")}
+       SELECT * FROM f_linestatus
+       UNION ALL SELECT * FROM f_priority
+       UNION ALL SELECT * FROM f_brand"""
 }

@@ -1267,5 +1267,131 @@ private[graft] object OracleWarehouse {
            round((abs(d0) + abs(d0 + d1) + abs(d0 + d1 + d2)) / 3.0, 6) <= 0.2
              AS t_ok
          FROM f""",
+
+    "q257_acf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS HUGEINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, x
+           FROM daily),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(x * x) AS sxx FROM idx),
+         p AS (SELECT l.lag, sum(a.x) AS s1, sum(b.x) AS s2,
+             sum(a.x * b.x) AS s12, CAST(count(*) AS BIGINT) AS nl
+           FROM range(1, 8) l(lag)
+           CROSS JOIN idx a JOIN idx b ON a.t + l.lag = b.t
+           GROUP BY 1),
+         f AS (SELECT p.*, g.n, g.sxx,
+             CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE) AS xb
+           FROM p CROSS JOIN g)
+         SELECT CAST(lag AS BIGINT) AS lag,
+           round((CAST(s12 AS DOUBLE) - xb * (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE))
+               + CAST(nl AS DOUBLE) * (xb * xb))
+             / (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * (xb * xb)), 6) AS acf
+         FROM f""",
+
+    "q258_wilson_lcb" ->
+      """WITH b AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS pos
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         f AS (SELECT brand, n, pos, CAST(n AS DOUBLE) AS nd,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM b)
+         SELECT brand, n, pos,
+           round((p + 1.96 * 1.96 / (2.0 * nd)
+               - 1.96 * sqrt((p * (1.0 - p) + 1.96 * 1.96 / (4.0 * nd)) / nd))
+             / (1.0 + 1.96 * 1.96 / nd), 6) AS wilson_lcb
+         FROM f""",
+
+    "q259_auc_brier" ->
+      """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS pk,
+           l_returnflag = 'R' AS y,
+           CAST(CAST(concat('0x', substr(md5('auc_' || CAST(l_orderkey AS VARCHAR)
+             || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS score
+         FROM lineitem),
+         r AS (SELECT y, CAST(row_number() OVER (ORDER BY score, pk) AS BIGINT)
+             AS rank,
+           CAST(score * 4294967296.0 AS BIGINT)
+             - (CASE WHEN y THEN 4294967296 ELSE 0 END) AS dev
+           FROM li),
+         a AS (SELECT sum(CAST(CASE WHEN y THEN rank ELSE 0 END AS HUGEINT))
+             AS rpos,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+           CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nneg,
+           sum(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)) AS ss,
+           CAST(count(*) AS BIGINT) AS n FROM r)
+         SELECT npos, nneg,
+           round((CAST(rpos AS DOUBLE)
+               - CAST(npos AS DOUBLE) * (CAST(npos AS DOUBLE) + 1.0) / 2.0)
+             / (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE)), 6) AS auc,
+           round(CAST(ss AS DOUBLE)
+             / (CAST(4294967296.0 AS DOUBLE) * CAST(4294967296.0 AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS brier
+         FROM a""",
+
+    "q260_nelson_aalen" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         t0 AS (SELECT user_id, min(us) AS t0 FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         fp AS (SELECT e.user_id, min(e.us) AS tp FROM ev e JOIN t0 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.us > t0.t0 GROUP BY 1),
+         la AS (SELECT e.user_id, max(e.us) AS tl FROM ev e JOIN t0 USING (user_id)
+           GROUP BY 1),
+         times AS (SELECT t0.user_id,
+             CASE WHEN tp IS NOT NULL THEN (tp - t0.t0) // 86400000000
+                  ELSE (tl - t0.t0) // 86400000000 END AS day,
+             tp IS NOT NULL AS is_event
+           FROM t0 LEFT JOIN fp USING (user_id) JOIN la USING (user_id)),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM times),
+         grid AS (SELECT day,
+             CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM times GROUP BY 1),
+         cumt AS (SELECT day, d, c,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cumd,
+             CAST(sum(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cumc
+           FROM grid),
+         risk AS (SELECT day, t, d,
+             nt.ntot - (cumd - d) - (cumc - c) AS n_risk
+           FROM cumt CROSS JOIN nt),
+         eventd AS (SELECT t, day, n_risk, d,
+             CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h
+           FROM risk WHERE d > 0)
+         SELECT b.day, b.n_risk, b.d AS d_events,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(a.h ORDER BY a.t)), (acc, x) -> round(acc + x, 8)) AS cumhaz
+         FROM eventd b JOIN eventd a ON a.t <= b.t
+         GROUP BY b.day, b.n_risk, b.d""",
+
+    "q261_market_concentration" ->
+      """WITH rev AS (SELECT l_suppkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS cents
+         FROM lineitem GROUP BY 1),
+         g AS (SELECT n_name AS nation, s_suppkey, cents
+           FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey),
+         tot AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS tc,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sq
+           FROM g GROUP BY 1),
+         rk AS (SELECT nation, cents,
+             row_number() OVER (PARTITION BY nation
+               ORDER BY cents DESC, s_suppkey) AS rn
+           FROM g),
+         t4 AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS c4
+           FROM rk WHERE rn <= 4 GROUP BY 1)
+         SELECT tot.nation, n_suppliers,
+           round(CAST(sq AS DOUBLE) / (CAST(tc AS DOUBLE) * CAST(tc AS DOUBLE)), 6)
+             AS hhi,
+           round(CAST(c4 AS DOUBLE) / CAST(tc AS DOUBLE), 6) AS cr4
+         FROM tot JOIN t4 ON tot.nation = t4.nation""",
+
+    "q262_info_gain" -> OracleHelpers.infoGainSql,
   )
 }

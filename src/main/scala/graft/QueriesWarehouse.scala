@@ -1948,5 +1948,205 @@ private[graft] object QueriesWarehouse {
         .select(col("segment"), col("nation"), col("n"),
           dist.as("t_dist"), (dist <= 0.2).as("t_ok"))
     }),
+
+    "q257_acf" -> ((s, dir) => {
+      // Sample autocorrelation of the daily revenue series at lags 1..7.
+      // The series lives on the DAY GRID (calendar-bounded at any corpus
+      // size); the grid index comes from the triangular-join rank (no
+      // global window), and every sum in the estimator is EXACT (cents
+      // as DECIMAL(38,0), products likewise), so the only float ops are
+      // the final closed-form divisions — order-free, bit-equal
+      // cross-engine. acf_l = (S12 − x̄(S1+S2) + (n−l)x̄²)/(Sxx − n x̄²).
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+          .cast("decimal(38,0)").as("x"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t")
+        .select(col("t"), col("x"))
+        .localCheckpoint()
+      val glob = idx.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val pairs = idx.as("a").crossJoin(broadcast(lags))
+        .join(idx.as("b"), col("a.t") + col("lag") === col("b.t"))
+        .groupBy(col("lag"))
+        .agg(sum(col("a.x")).as("s1"), sum(col("b.x")).as("s2"),
+          sum(col("a.x") * col("b.x")).as("s12"), count(lit(1)).as("nl"))
+      def d(c: String): Column = col(c).cast("double")
+      pairs.crossJoin(broadcast(glob))
+        .withColumn("xb", d("sx") / d("n"))
+        .select(col("lag"),
+          round((d("s12") - col("xb") * (d("s1") + d("s2"))
+              + d("nl") * (col("xb") * col("xb")))
+            / (d("sxx") - d("n") * (col("xb") * col("xb"))), 6).as("acf"))
+    }),
+
+    "q258_wilson_lcb" -> ((s, dir) => {
+      // Wilson lower confidence bound (z = 1.96) on per-brand return
+      // rate — the ranking statistic that doesn't reward tiny samples
+      // (a 1/1 returner ranks below a 40/100 one). Brand-bounded
+      // aggregate of exact integer counts; the bound is one closed-form
+      // double expression mirrored textually by the oracle.
+      val j = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+      val nd = col("n").cast("double")
+      val p = col("pos").cast("double") / nd
+      val z2 = lit(1.96) * lit(1.96)
+      j.select(col("brand"), col("n"), col("pos"),
+        round((p + z2 / (lit(2.0) * nd)
+            - lit(1.96) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nd)) / nd))
+          / (lit(1.0) + z2 / nd), 6).as("wilson_lcb"))
+    }),
+
+    "q259_auc_brier" -> ((s, dir) => {
+      // Exact ROC-AUC via the rank-sum identity, WITHOUT a global sort:
+      // ranks come from the banded two-pass cumsum (value-domain bands →
+      // per-band partitioned window + broadcast band offsets — the
+      // q203/q204 operator), so no unpartitioned window anywhere
+      // (PlanSpec-gated). Scores are md5-unit hashes (tie-free), labels
+      // are the return flag; Brier error folds as EXACT integers via the
+      // lossless v = score·2³² reconstruction, squared in DECIMAL(38,0).
+      val li = tbl(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("pk"),
+        (col("l_returnflag") === "R").as("y"),
+        graft.plans.TextKernels.unitHashNative(concat(lit("auc_"),
+          col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))).as("score"))
+        .withColumn("one", lit(1L))
+      val ranked = operators.ScalableWindow
+        .bandedCumSum(li, "score", descending = false, Seq("pk"), "one", "rank")
+      val dev = (col("score") * lit(4294967296.0)).cast("long") -
+        when(col("y"), lit(4294967296L)).otherwise(lit(0L))
+      val devd = dev.cast("decimal(38,0)")
+      val a = ranked.agg(
+        sum(when(col("y"), col("rank")).otherwise(lit(0L)).cast("decimal(38,0)"))
+          .as("rpos"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("npos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("nneg"),
+        sum(devd * devd).as("ss"),
+        count(lit(1)).as("n"))
+      def d(c: String): Column = col(c).cast("double")
+      a.select(col("npos"), col("nneg"),
+        round((d("rpos") - d("npos") * (d("npos") + lit(1.0)) / lit(2.0))
+          / (d("npos") * d("nneg")), 6).as("auc"),
+        round(d("ss") / (lit(4294967296.0) * lit(4294967296.0)) / d("n"), 6)
+          .as("brier"))
+    }),
+
+    "q260_nelson_aalen" -> ((s, dir) => {
+      // Nelson–Aalen cumulative hazard on the q236 survival table: the
+      // same day-grid at-risk machinery, but H(t) = Σ_{event days ≤ t}
+      // d/n — an ordered 8-dp fixed-point fold over the event-day grid
+      // (calendar-bounded), replayed exactly by the oracle's list_reduce.
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val t0 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .join(t0, Seq("user_id")).filter(col("us") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("tp"))
+      val lastAny = ev.join(t0, Seq("user_id"))
+        .groupBy(col("user_id")).agg(max(col("us")).as("tl"))
+      val times = t0.join(firstP, Seq("user_id"), "left")
+        .join(lastAny, Seq("user_id"))
+        .select(col("user_id"),
+          when(col("tp").isNotNull, expr("div(tp - t0, 86400000000)"))
+            .otherwise(expr("div(tl - t0, 86400000000)")).as("day"),
+          col("tp").isNotNull.as("is_event"))
+        .localCheckpoint()
+      val nTot = times.agg(count(lit(1)).as("ntot"))
+      val grid = times.groupBy(col("day")).agg(
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("c"))
+      val cum = operators.ScalableWindow.boundedRankCum(grid,
+        Seq(("day", true)), "t", Seq(("d", "cumd"), ("c", "cumc")))
+        .crossJoin(broadcast(nTot))
+        .withColumn("n_risk",
+          col("ntot") - (col("cumd") - col("d")) - (col("cumc") - col("c")))
+        .withColumn("h",
+          col("d").cast("double") / col("n_risk").cast("double"))
+        .localCheckpoint()
+      val eventDays = cum.filter(col("d") > 0)
+        .select(col("t"), col("day"), col("n_risk"), col("d"), col("h"))
+      eventDays.as("b").join(eventDays.as("a"), col("a.t") <= col("b.t"))
+        .groupBy(col("b.day").as("day"), col("b.n_risk").as("n_risk"),
+          col("b.d").as("d_events"))
+        .agg(aggregate(array_sort(collect_list(struct(col("a.t"),
+            col("a.h").as("h")))), lit(0.0),
+            (acc, e) => round(acc + e.getField("h"), 8)).as("cumhaz"))
+    }),
+
+    "q261_market_concentration" -> ((s, dir) => {
+      // Market-concentration audit per nation over supplier revenue:
+      // HHI = Σ share² computed as Σrev²/(Σrev)² — EXACT cents and
+      // cents² (DECIMAL(38,0)), one final division, no float sums — and
+      // CR4 = top-4 suppliers' revenue share via the native TopKPerKey
+      // (two-phase per-partition heads, no window).
+      val rev = tbl(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
+          .as("cents"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val g = rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("s_suppkey"), col("cents"))
+        .localCheckpoint()
+      val cd = col("cents").cast("decimal(38,0)")
+      val tot = g.groupBy(col("nation")).agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cents")).as("tc"), sum(cd * cd).as("sq"))
+      val top4 = org.apache.spark.sql.graft.TopKPerKey(
+        g, Seq("nation"), Seq(("cents", false), ("s_suppkey", true)), 4)
+        .groupBy(col("nation")).agg(sum(col("cents")).as("c4"))
+      def d(c: String): Column = col(c).cast("double")
+      tot.join(top4, Seq("nation"))
+        .select(col("nation"), col("n_suppliers"),
+          round(d("sq") / (d("tc") * d("tc")), 6).as("hhi"),
+          round(d("c4") / d("tc"), 6).as("cr4"))
+    }),
+
+    "q262_info_gain" -> ((s, dir) => {
+      // Information gain of three categorical features predicting the
+      // return flag — the feature-ranking primitive of decision-tree
+      // curation. Per feature: (category)-bounded exact counts; the
+      // label is binary so H(Y|X=x) is the closed-form binary entropy
+      // (no inner fold); H(Y|X) = Σ_x (n_x/n)·h(p_x) folds ordered by
+      // category with a 10-dp fixed point (oracle: list_reduce).
+      def h(p: Column): Column =
+        -(when(p > 0, p * log2(p)).otherwise(lit(0.0))) -
+          when(p < 1, (lit(1.0) - p) * log2(lit(1.0) - p)).otherwise(lit(0.0))
+      def branch(df: DataFrame, feature: String, x: Column): DataFrame = {
+        val g = df.groupBy(x.as("x")).agg(count(lit(1)).as("nx"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("px"))
+        val tot = g.agg(sum(col("nx")).as("n"), sum(col("px")).as("p"))
+        val terms = g.crossJoin(broadcast(tot))
+          .select(col("x"),
+            ((col("nx").cast("double") / col("n").cast("double")) *
+              h(col("px").cast("double") / col("nx").cast("double"))).as("term"),
+            (col("p").cast("double") / col("n").cast("double")).as("py"))
+        terms.agg(
+          aggregate(array_sort(collect_list(struct(col("x"), col("term")))),
+            lit(0.0), (acc, e) => round(acc + e.getField("term"), 10)).as("hc"),
+          max(col("py")).as("py"))
+          .select(lit(feature).as("feature"), round(h(col("py")), 6).as("h_y"),
+            round(col("hc"), 6).as("h_y_given_x"),
+            round(h(col("py")) - col("hc"), 6).as("info_gain"))
+      }
+      val li = tbl(s, dir, "lineitem")
+      val withOrders = li.join(
+        tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      val withPart = li.join(
+        broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      branch(li, "linestatus", col("l_linestatus"))
+        .union(branch(withOrders, "priority", col("o_orderpriority")))
+        .union(branch(withPart, "brand", col("p_brand")))
+    }),
   )
 }

@@ -285,4 +285,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("),
       s"the stats fold must stay inside whole-stage codegen:\n$plan")
   }
+
+  test("q259: AUC rank rides the banded cumsum — zero unpartitioned windows over the corpus") {
+    assert(globalWindows("q259_auc_brier") == 0,
+      "the rank-sum must come from bandedCumSum (band-partitioned window " +
+        "+ broadcast offsets), never a global ORDER BY window")
+  }
+
+  test("q255/q261: capped kNN and CR4 run through the native TopKPerKey, never a window or cartesian") {
+    for (name <- Seq("q255_geo_knn", "q261_market_concentration")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("TopKPerKey"),
+        s"$name must plan the native two-phase top-k operator:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must stay an equi-join (grid cells / nation keys):\n$plan")
+      assert(globalWindows(name) == 0, s"$name must not plan a global window")
+    }
+  }
+
+  test("q254/q256: the spatial grid joins are equi-joins on cells, never cartesian") {
+    for (name <- Seq("q254_geo_neighbors", "q256_geo_dbscan")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name candidate pairs must come from the cell equi-join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name candidate pairs must come from the cell equi-join:\n$plan")
+    }
+  }
+
+  test("q257: ACF sums are map-combinable partial aggregates over the day grid") {
+    val plan = executedPlan("q257_acf")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"the daily rollup must combine map-side before the shuffle:\n$plan")
+    assert(globalWindows("q257_acf") == 0,
+      "the day-grid index must come from boundedRankCum, not a global window")
+  }
 }
