@@ -339,5 +339,23 @@ private[graft] object OracleRelational {
            CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2)))
              FILTER (o_orderstatus = 'P'), 0) AS DOUBLE) AS "P_rev"
          FROM orders GROUP BY o_orderpriority""",
+
+    "q265_table_checksum" ->
+      """WITH oh AS (SELECT CAST(CAST(concat('0x', substr(md5(
+             concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+               strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)),
+             1, 15)) AS BIGINT) AS HUGEINT) AS h
+           FROM orders),
+         ch AS (SELECT CAST(CAST(concat('0x', substr(md5(
+             concat_ws('|', c_custkey, c_name, c_nationkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR),
+               c_mktsegment)), 1, 15)) AS BIGINT) AS HUGEINT) AS h
+           FROM customer)
+         SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) % 4611686018427387904 AS BIGINT) AS checksum FROM oh
+         UNION ALL
+         SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) % 4611686018427387904 AS BIGINT) AS checksum FROM ch""",
   )
 }

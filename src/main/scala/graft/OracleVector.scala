@@ -586,5 +586,36 @@ private[graft] object OracleVector {
            CAST(count(*) AS BIGINT) AS n_reached
          FROM d6 GROUP BY 1"""
     },
+
+    "q263_gini_stump" ->
+      """WITH grid AS (SELECT CAST(th AS BIGINT) AS threshold
+           FROM range(1000, 1901, 50) t(th)),
+         p AS (SELECT CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+             p_size >= 26 AS y FROM part),
+         g AS (SELECT threshold,
+             CAST(sum(CASE WHEN price <= CAST(threshold AS DECIMAL(18,2))
+               THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+             CAST(sum(CASE WHEN price <= CAST(threshold AS DECIMAL(18,2)) AND y
+               THEN 1 ELSE 0 END) AS BIGINT) AS pl,
+             CAST(sum(CASE WHEN price > CAST(threshold AS DECIMAL(18,2))
+               THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+             CAST(sum(CASE WHEN price > CAST(threshold AS DECIMAL(18,2)) AND y
+               THEN 1 ELSE 0 END) AS BIGINT) AS pr
+           FROM p CROSS JOIN grid GROUP BY 1),
+         sc AS (SELECT threshold, nl AS n_left, nr AS n_right,
+             round((CASE WHEN nl > 0 THEN
+                 (CAST(nl AS DOUBLE) / (CAST(nl AS DOUBLE) + CAST(nr AS DOUBLE)))
+                 * (2.0 * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                    * (1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+               ELSE 0.0 END)
+             + (CASE WHEN nr > 0 THEN
+                 (CAST(nr AS DOUBLE) / (CAST(nl AS DOUBLE) + CAST(nr AS DOUBLE)))
+                 * (2.0 * (CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+                    * (1.0 - CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE)))
+               ELSE 0.0 END), 6) AS gini
+           FROM g),
+         b AS (SELECT min(gini) AS gmin FROM sc)
+         SELECT threshold, n_left, n_right, gini, gini = gmin AS is_best
+         FROM sc CROSS JOIN b""",
   )
 }

@@ -1393,5 +1393,18 @@ private[graft] object OracleWarehouse {
          FROM tot JOIN t4 ON tot.nation = t4.nation""",
 
     "q262_info_gain" -> OracleHelpers.infoGainSql,
+
+    "q264_seq_brand_pairs" ->
+      """WITH seqo AS (SELECT o_custkey, o_orderkey,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS next_ok
+         FROM orders),
+         ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(count(DISTINCT s.o_custkey) AS BIGINT) AS support
+         FROM seqo s JOIN ob a ON s.o_orderkey = a.ok
+         JOIN ob b ON s.next_ok = b.ok
+         GROUP BY 1, 2 HAVING count(DISTINCT s.o_custkey) >= 3""",
   )
 }

@@ -602,5 +602,30 @@ private[graft] object QueriesRelational {
         .na.fill(0L, Seq("O_n", "F_n", "P_n"))
         .na.fill(0.0, Seq("O_rev", "F_rev", "P_rev"))
     }),
+
+    "q265_table_checksum" -> ((s, dir) => {
+      // Order-free table content digest — the reconciliation primitive
+      // for replica comparison at 100 TB: the per-row hash sum COMMUTES,
+      // so the digest needs no sort and no single reducer (one partial
+      // aggregate per partition, one 2-row final), and a streaming
+      // arrival maintains it incrementally (StreamingChecksum pins
+      // stream == this batch face). Canonical row text pins the
+      // cross-engine formatting: money through DECIMAL(18,2)→string,
+      // dates through explicit yyyy-MM-dd; the row hash is the first 15
+      // md5 hex digits (60 bits — overflow-free in BIGINT), summed in
+      // DECIMAL(38,0) and reduced mod 2^62.
+      // Canonical text + row hash live in StreamingChecksum (ONE source
+      // for the batch face, the streaming face, and the spec that pins
+      // them equal).
+      import graft.streaming.StreamingChecksum.{rowHash, ordersCanon, customerCanon, Mod}
+      def digest(df: DataFrame, name: String, canon: Column): DataFrame =
+        df.select(rowHash(canon).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("h").cast("decimal(38,0)")) % lit(Mod))
+              .cast("long").as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+      digest(tbl(s, dir, "orders"), "orders", ordersCanon)
+        .union(digest(tbl(s, dir, "customer"), "customer", customerCanon))
+    }),
   )
 }

@@ -1020,5 +1020,42 @@ private[graft] object QueriesVector {
       }
       probes.reduce(_.unionByName(_))
     }),
+
+    "q263_gini_stump" -> ((s, dir) => {
+      // Best decision stump on p_retailprice for the "large part" label
+      // (p_size ≥ 26): weighted Gini impurity over a FIXED 19-point
+      // threshold grid. One corpus pass — the grid rides a broadcast
+      // cross join, so the shuffle is (threshold)-bounded conditional
+      // counts, never corpus×grid rows re-sorted. All counts exact
+      // integers; impurity is one closed-form double expression; the
+      // argmin compares 6-dp-ROUNDED values (cross-engine safe) with
+      // lower-threshold tie-break via min-on-rounded.
+      val grid = broadcast(s.range(1000, 1901, 50).select(col("id").as("threshold")))
+      val part = tbl(s, dir, "part").select(
+        col("p_retailprice").cast(dec).as("price"),
+        (col("p_size") >= 26).as("y"))
+      val g = part.crossJoin(grid).groupBy(col("threshold")).agg(
+        sum(when(col("price") <= col("threshold").cast(dec), 1L).otherwise(0L)).as("nl"),
+        sum(when(col("price") <= col("threshold").cast(dec) && col("y"), 1L)
+          .otherwise(0L)).as("pl"),
+        sum(when(col("price") > col("threshold").cast(dec), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("price") > col("threshold").cast(dec) && col("y"), 1L)
+          .otherwise(0L)).as("pr"))
+      def d(c: String): Column = col(c).cast("double")
+      // 0-row side contributes 0 (p undefined) — guard like the oracle.
+      def side(n: String, p: String): Column =
+        when(col(n) > 0,
+          (d(n) / (d("nl") + d("nr"))) *
+            (lit(2.0) * (d(p) / d(n)) * (lit(1.0) - d(p) / d(n))))
+          .otherwise(lit(0.0))
+      val scored = g.select(col("threshold"), col("nl").as("n_left"),
+        col("nr").as("n_right"),
+        round(side("nl", "pl") + side("nr", "pr"), 6).as("gini"))
+        .localCheckpoint()
+      val best = scored.agg(min(col("gini")).as("gmin"))
+      scored.crossJoin(broadcast(best))
+        .select(col("threshold"), col("n_left"), col("n_right"), col("gini"),
+          (col("gini") === col("gmin")).as("is_best"))
+    }),
   )
 }

@@ -2148,5 +2148,35 @@ private[graft] object QueriesWarehouse {
         .union(branch(withOrders, "priority", col("o_orderpriority")))
         .union(branch(withPart, "brand", col("p_brand")))
     }),
+
+    "q264_seq_brand_pairs" -> ((s, dir) => {
+      // Sequential pattern mining at length 2: brand A in one order,
+      // brand B in the same customer's NEXT order (consecutive by order
+      // date, orderkey tie-break), support = distinct customers, kept at
+      // ≥ 3. The ordering window is customer-partitioned (key-parallel);
+      // the brand sets are per-order DISTINCT (bounds the pair explosion
+      // to basket², baskets ≤ 7 here); the stream collapses onto the
+      // 25×25 brand grid before the distinct-support count.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val seq = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("next_ok", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("next_ok").isNotNull)
+        .drop("o_orderdate")
+      val ob = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .dropDuplicates("ok", "brand")
+      seq
+        .join(ob.select(col("ok").as("o_orderkey"), col("brand").as("brand_a")),
+          Seq("o_orderkey"))
+        .join(ob.select(col("ok").as("next_ok"), col("brand").as("brand_b")),
+          Seq("next_ok"))
+        .groupBy(col("brand_a"), col("brand_b"))
+        .agg(countDistinct(col("o_custkey")).as("support"))
+        .filter(col("support") >= 3)
+    }),
   )
 }

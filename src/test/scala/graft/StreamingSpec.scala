@@ -815,4 +815,51 @@ class StreamingSpec extends SparkSpec {
     assert(snap == declared && declared.nonEmpty)
     assert(batch.values.exists(_.n_matches > 0))
   }
+
+  test("streaming checksum: shuffled arrival converges to the q265 digest exactly") {
+    import graft.streaming.StreamingChecksum
+    import graft.streaming.StreamingChecksum.{RowHash, ShardSum}
+    val rows =
+      StreamingChecksum.rowHashes(QueryDsl.tbl(spark, sfDir, "orders"),
+          "orders", StreamingChecksum.ordersCanon, shards = 8)
+        .collect() ++
+      StreamingChecksum.rowHashes(QueryDsl.tbl(spark, sfDir, "customer"),
+          "customer", StreamingChecksum.customerCanon, shards = 8)
+        .collect()
+
+    // NO arrival contract: modular addition commutes, so feed a fully
+    // shuffled permutation in chunks and take the last snapshot per key.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RowHash]
+    val last = new java.util.concurrent.ConcurrentHashMap[(String, Long), ShardSum]()
+    val q = StreamingChecksum.shardSums(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[ShardSum], _: Long) =>
+        df.collect().foreach(r => last.put((r.table, r.shard), r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(rows.toSeq)
+      .grouped(math.max(1, rows.length / 5 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingChecksum
+      .rollup(spark.createDataFrame(last.values.asScala.toSeq))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val declared = SparkEntry.queries("q265_table_checksum")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rollup == declared && declared.size == 2)
+
+    // Sensitivity: flipping ONE row's hash by one moves the digest.
+    val tweaked = last.values.asScala.toSeq.map {
+      case s if s.table == "orders" && s.shard == 0L =>
+        s.copy(hsum = (s.hsum + 1L) % StreamingChecksum.Mod)
+      case s => s
+    }
+    val drifted = StreamingChecksum.rollup(spark.createDataFrame(tweaked))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(drifted != declared)
+  }
 }
