@@ -80,5 +80,36 @@ private[graft] object OracleSpatial {
          SELECT id, 'core' AS role, cluster FROM comp
          UNION ALL
          SELECT id, 'border' AS role, cluster FROM border""",
+
+    "q266_geohash_cells" -> {
+      // Generated bit-exact mirror of Geohash.cell for chars = 2
+      // (bits 10, lonBits 5, latBits 5): closed-form ids, then the
+      // MSB-first interleave as a sum of shifted bit extracts.
+      val chars = 2
+      val bits = chars * 5
+      val lonBits = (bits + 1) / 2
+      val latBits = bits / 2
+      val lonTerms = (0 until lonBits).map(i =>
+        s"(((lon_id >> ${lonBits - 1 - i}) & 1) << ${bits - 1 - 2 * i})")
+      val latTerms = (0 until latBits).map(i =>
+        s"(((lat_id >> ${latBits - 1 - i}) & 1) << ${bits - 2 - 2 * i})")
+      val cellExpr = (lonTerms ++ latTerms).mkString(" + ")
+      val alpha = graft.spatial.Geohash.Alphabet
+      s"""WITH p AS ($custPts),
+         ids AS (SELECT
+             CAST(floor((lon + 180.0) / 360.0 * ${1L << lonBits}.0) AS BIGINT)
+               AS lon_id,
+             CAST(floor((lat + 90.0) / 180.0 * ${1L << latBits}.0) AS BIGINT)
+               AS lat_id
+           FROM p),
+         c AS (SELECT $cellExpr AS cell FROM ids),
+         g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_points
+           FROM c GROUP BY 1)
+         SELECT concat(
+             substr('$alpha', CAST(((cell >> 5) % 32) + 1 AS INT), 1),
+             substr('$alpha', CAST(((cell >> 0) % 32) + 1 AS INT), 1)) AS geohash,
+           cell, n_points
+         FROM g"""
+    },
   )
 }

@@ -888,5 +888,47 @@ private[graft] object OracleText {
              / CAST(count(*) AS DOUBLE), 4) AS rake_score
          FROM occ GROUP BY 1
          ORDER BY rake_score DESC, word LIMIT 15""",
+
+    "q269_burrows_delta" ->
+      """WITH toks AS (SELECT source, w
+           FROM (SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             FROM documents)
+           WHERE length(w) > 0),
+         counts AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+         totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS t
+           FROM counts GROUP BY 1),
+         top AS (SELECT w FROM (SELECT w, CAST(sum(c) AS BIGINT) AS tc
+             FROM counts GROUP BY 1)
+           ORDER BY tc DESC, w LIMIT 15),
+         grid AS (SELECT totals.source, top.w,
+             CAST(coalesce(c, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS f
+           FROM totals CROSS JOIN top
+           LEFT JOIN counts ON counts.source = totals.source
+             AND counts.w = top.w),
+         st AS (SELECT w,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(f ORDER BY source)), (acc, x) -> round(acc + x, 10)) AS sf,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(f * f ORDER BY source)), (acc, x) -> round(acc + x, 10))
+               AS sf2,
+             CAST(count(*) AS BIGINT) AS ns
+           FROM grid GROUP BY 1),
+         st2 AS (SELECT w, sf / CAST(ns AS DOUBLE) AS mu,
+             sqrt((sf2 - CAST(ns AS DOUBLE)
+                 * ((sf / CAST(ns AS DOUBLE)) * (sf / CAST(ns AS DOUBLE))))
+               / (CAST(ns AS DOUBLE) - 1.0)) AS sigma
+           FROM st),
+         z AS (SELECT source, grid.w,
+             CASE WHEN sigma > 0 THEN (f - mu) / sigma ELSE 0.0 END AS z
+           FROM grid JOIN st2 ON grid.w = st2.w)
+         SELECT a.source AS source_a, b.source AS source_b,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(abs(a.z - b.z) ORDER BY a.w)),
+               (acc, x) -> round(acc + x, 10))
+             / CAST(count(*) AS DOUBLE), 6) AS delta
+         FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         GROUP BY 1, 2""",
   )
 }

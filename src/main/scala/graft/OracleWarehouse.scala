@@ -1406,5 +1406,40 @@ private[graft] object OracleWarehouse {
          FROM seqo s JOIN ob a ON s.o_orderkey = a.ok
          JOIN ob b ON s.next_ok = b.ok
          GROUP BY 1, 2 HAVING count(DISTINCT s.o_custkey) >= 3""",
+
+    "q267_order_backlog" ->
+      """WITH arr AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS arrivals
+         FROM orders GROUP BY 1),
+         done AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS day
+           FROM lineitem GROUP BY 1),
+         dep AS (SELECT day, CAST(count(*) AS BIGINT) AS completions
+           FROM done GROUP BY 1),
+         grid AS (SELECT coalesce(arr.day, dep.day) AS day,
+             coalesce(arrivals, 0) AS arrivals,
+             coalesce(completions, 0) AS completions
+           FROM arr FULL OUTER JOIN dep ON arr.day = dep.day)
+         SELECT strftime(day, '%Y-%m-%d') AS day, arrivals, completions,
+           CAST(sum(arrivals) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW)
+             - sum(completions) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+         FROM grid""",
+
+    "q268_empirical_bayes" ->
+      """WITH b AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS pos
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+             CAST(sum(pos) AS BIGINT) AS gp FROM b),
+         f AS (SELECT brand, n, pos,
+             CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE) AS p0
+           FROM b CROSS JOIN g)
+         SELECT brand, n,
+           round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+           round((CAST(pos AS DOUBLE) + 50.0 * p0)
+             / (CAST(n AS DOUBLE) + 50.0), 6) AS shrunk_rate
+         FROM f""",
   )
 }

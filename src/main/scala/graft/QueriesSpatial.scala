@@ -92,5 +92,21 @@ private[graft] object QueriesSpatial {
       coreLabels.select(col("id"), lit("core").as("role"), col("cluster"))
         .union(border.select(col("id"), lit("border").as("role"), col("cluster")))
     }),
+
+    "q266_geohash_cells" -> ((s, dir) => {
+      // Geohash bucketing via the native codegen'd interleave kernel
+      // (integer bit math + two IEEE divides, no transcendentals — the
+      // oracle replays the cell id bit-exactly from generated SQL). At
+      // 2-char precision (10 bits) the cells are the spatial analog of
+      // the LSH band key: a corpus-independent bucket grid the engine
+      // can shuffle on. The base-32 string derives from the cell id with
+      // the same substr arithmetic on both engines.
+      import graft.spatial.Geohash
+      custPoints(s, dir)
+        .select(Geohash.cellNative(col("lat"), col("lon"), 2).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_points"))
+        .select(Geohash.base32Col("cell", 2).as("geohash"), col("cell"),
+          col("n_points"))
+    }),
   )
 }

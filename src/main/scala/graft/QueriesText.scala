@@ -1811,5 +1811,55 @@ private[graft] object QueriesText {
             .as("rake_score"))
         .orderBy(col("rake_score").desc, col("word")).limit(15)
     }),
+
+    "q269_burrows_delta" -> ((s, dir) => {
+      // Burrows's Delta stylometry between sources: z-score each
+      // source's relative frequency of the 15 globally-commonest words
+      // against the cross-source mean/std, Delta(s1,s2) = mean_w
+      // |z₁−z₂|. Corpus-sized work is ONE (source, word) count; every
+      // later stage lives on the (20 sources × 15 words) grid, where
+      // float sums fold ordered (by source, then by word) with a 10-dp
+      // fixed point so DuckDB's list_reduce replays them exactly.
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val counts = toks.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("t"))
+      val top = counts.groupBy(col("w")).agg(sum(col("c")).as("tc"))
+        .orderBy(col("tc").desc, col("w")).limit(15).select(col("w"))
+      val grid = totals.crossJoin(broadcast(top))
+        .join(counts, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          (coalesce(col("c"), lit(0L)).cast("double") / col("t").cast("double"))
+            .as("f"))
+        .localCheckpoint()
+      def fold(src: Column, v: Column): Column =
+        aggregate(array_sort(collect_list(struct(src, v.as("v")))), lit(0.0),
+          (acc, e) => round(acc + e.getField("v"), 10))
+      val stats = grid.groupBy(col("w")).agg(
+        fold(col("source"), col("f")).as("sf"),
+        fold(col("source"), col("f") * col("f")).as("sf2"),
+        count(lit(1)).as("ns"))
+        .withColumn("mu", col("sf") / col("ns").cast("double"))
+        .withColumn("sigma",
+          sqrt((col("sf2") - col("ns").cast("double") * (col("mu") * col("mu")))
+            / (col("ns").cast("double") - lit(1.0))))
+      val z = grid.join(broadcast(stats.select(col("w"), col("mu"), col("sigma"))),
+          Seq("w"))
+        .select(col("source"), col("w"),
+          when(col("sigma") > 0, (col("f") - col("mu")) / col("sigma"))
+            .otherwise(lit(0.0)).as("z"))
+      z.as("a").join(z.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(round(
+          aggregate(array_sort(collect_list(struct(col("a.w"),
+              abs(col("a.z") - col("b.z")).as("dz")))), lit(0.0),
+            (acc, e) => round(acc + e.getField("dz"), 10))
+            / count(lit(1)).cast("double"), 6).as("delta"))
+    }),
   )
 }

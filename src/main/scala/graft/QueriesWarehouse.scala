@@ -2178,5 +2178,52 @@ private[graft] object QueriesWarehouse {
         .agg(countDistinct(col("o_custkey")).as("support"))
         .filter(col("support") >= 3)
     }),
+
+    "q267_order_backlog" -> ((s, dir) => {
+      // Open-order backlog (Little's-law WIP curve): arrivals = orders
+      // placed per day, completions = orders whose LAST line ships that
+      // day, open = cum(arrivals) − cum(completions). Corpus-sized work
+      // is two keyed aggregates; the cumulative pass lives on the
+      // calendar-bounded day grid via the triangular-join rank (no
+      // global window).
+      val arr = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("arrivals"))
+      val dep = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate").cast("date")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("completions"))
+      val grid = arr.join(dep, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("arrivals"), lit(0L)).as("arrivals"),
+          coalesce(col("completions"), lit(0L)).as("completions"))
+      operators.ScalableWindow.boundedRankCum(grid, Seq(("day", true)), "t",
+          Seq(("arrivals", "ca"), ("completions", "cc")))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("arrivals"), col("completions"),
+          (col("ca") - col("cc")).as("open_orders"))
+    }),
+
+    "q268_empirical_bayes" -> ((s, dir) => {
+      // Empirical-Bayes (m-estimate, m = 50) shrinkage of per-brand
+      // return rates toward the global rate — the stabilized companion
+      // of q258's Wilson bound. Exact integer counts; the prior and the
+      // shrunk rate are single double divisions mirrored textually.
+      val j = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+        .localCheckpoint()
+      val g = j.agg(sum(col("n")).as("gn"), sum(col("pos")).as("gp"))
+      def d(c: String): Column = col(c).cast("double")
+      j.crossJoin(broadcast(g))
+        .withColumn("p0", d("gp") / d("gn"))
+        .select(col("brand"), col("n"),
+          round(d("pos") / d("n"), 6).as("raw_rate"),
+          round((d("pos") + lit(50.0) * col("p0")) / (d("n") + lit(50.0)), 6)
+            .as("shrunk_rate"))
+    }),
   )
 }

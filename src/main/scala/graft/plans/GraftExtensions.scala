@@ -68,7 +68,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_unit_hash"),
       info("graft_unit_hash",
         "graft_unit_hash(key) - deterministic md5 unit-interval hash in [0,1)"),
-      (es: Seq[Expression]) => UnitHash(es.head)))
+      (es: Seq[Expression]) => UnitHash(es.head)),
+    (FunctionIdentifier("graft_geohash"),
+      info("graft_geohash",
+        "graft_geohash(lat, lon, chars) - geohash cell id (5*chars bits)"),
+      (es: Seq[Expression]) =>
+        graft.spatial.GeohashCell(es(0), es(1), intArg(es(2), "chars"))))
 
   /** Register on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

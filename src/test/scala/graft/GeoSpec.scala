@@ -66,6 +66,25 @@ class GeoSpec extends SparkSpec {
     intercept[IllegalArgumentException](Geo.gridSpec(9000.0))
   }
 
+  test("geohash cell matches published geohashes and the SQL-function surface") {
+    import graft.spatial.Geohash
+    // Known geohashes: geohash.org test vectors.
+    assert(Geohash.base32(Geohash.cell(57.64911, 10.40744, 5), 5) == "u4pru")
+    assert(Geohash.base32(Geohash.cell(0.0, 0.0, 5), 5) == "s0000")
+    assert(Geohash.base32(Geohash.cell(-25.382708, -49.265506, 6), 6) == "6gkzwg")
+    // Native column path == scalar reference, and the registered SQL
+    // function resolves to the same kernel.
+    graft.plans.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_geohash(57.64911d, 10.40744d, 5) AS c").head().getLong(0)
+    assert(got == Geohash.cell(57.64911, 10.40744, 5))
+    // base32Col (the SQL-expressible rendering) == the scalar rendering.
+    import spark.implicits._
+    val rendered = Seq(Geohash.cell(57.64911, 10.40744, 5)).toDF("cell")
+      .select(Geohash.base32Col("cell", 5)).as[String].head()
+    assert(rendered == "u4pru")
+  }
+
   test("haversine column matches the scalar reference formula") {
     val got = Seq((51.5074, -0.1278, 48.8566, 2.3522))
       .toDF("la", "lo", "lb", "ln")
