@@ -357,5 +357,30 @@ private[graft] object OracleRelational {
          UNION ALL
          SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(h) % 4611686018427387904 AS BIGINT) AS checksum FROM ch""",
+
+    "q270_zorder_layout" -> {
+      // Generated mirror of the 12+12-bit Morton interleave (x on even
+      // MSB-first positions).
+      val zx = (0 until 12).map(i => s"(((xi >> ${11 - i}) & 1) << ${23 - 2 * i})")
+      val zy = (0 until 12).map(i => s"(((yi >> ${11 - i}) & 1) << ${22 - 2 * i})")
+      val z = (zx ++ zy).mkString(" + ")
+      s"""WITH o AS (SELECT o_custkey AS x,
+           CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             AS BIGINT) AS y
+         FROM orders),
+         m AS (SELECT max(x) AS mx, max(y) AS my FROM o),
+         pts AS (SELECT x // (mx // 4096 + 1) AS xi, y // (my // 4096 + 1) AS yi
+           FROM o CROSS JOIN m),
+         b AS (SELECT xi, yi, ($z) >> 20 AS zb, xi >> 8 AS xb FROM pts),
+         zs AS (SELECT 'zorder' AS layout, zb AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             max(xi) - min(xi) AS x_span, max(yi) - min(yi) AS y_span
+           FROM b GROUP BY 2),
+         xs AS (SELECT 'xsort' AS layout, xb AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             max(xi) - min(xi) AS x_span, max(yi) - min(yi) AS y_span
+           FROM b GROUP BY 2)
+         SELECT * FROM zs UNION ALL SELECT * FROM xs"""
+    },
   )
 }

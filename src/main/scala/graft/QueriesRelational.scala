@@ -627,5 +627,41 @@ private[graft] object QueriesRelational {
       digest(tbl(s, dir, "orders"), "orders", ordersCanon)
         .union(digest(tbl(s, dir, "customer"), "customer", customerCanon))
     }),
+
+    "q270_zorder_layout" -> ((s, dir) => {
+      // Z-order (Morton) layout audit — the space-filling-curve file
+      // layout a lakehouse uses so MULTI-dimension min/max pruning
+      // works: map (custkey, order day) onto 12-bit grids, interleave to
+      // a 24-bit z-value, bucket by the top 4 z bits (16 "files"), and
+      // report each bucket's per-dimension id span next to the same
+      // stats for a naive custkey-sorted layout. Z-order bounds BOTH
+      // spans (~2^8 of 4096 ids); the 1-D sort bounds only its own key
+      // (day span ≈ the full grid), which is the pruning argument in
+      // numbers. Pure integer math (division grid + bit interleave) —
+      // the oracle replays it exactly; one bounded max() rides broadcast.
+      val o = tbl(s, dir, "orders").select(col("o_custkey").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("long").as("y"))
+      val mx = o.agg(max(col("x")).as("mx"), max(col("y")).as("my"))
+      val pts = o.crossJoin(broadcast(mx))
+        .select(expr("x div (mx div 4096 + 1)").as("xi"),
+          expr("y div (my div 4096 + 1)").as("yi"))
+      val zx = (0 until 12).map(i =>
+        shiftleft(shiftright(col("xi"), 11 - i).bitwiseAND(lit(1L)), 23 - 2 * i))
+        .reduce(_ + _)
+      val zy = (0 until 12).map(i =>
+        shiftleft(shiftright(col("yi"), 11 - i).bitwiseAND(lit(1L)), 22 - 2 * i))
+        .reduce(_ + _)
+      val withB = pts.select(col("xi"), col("yi"),
+        shiftright(zx + zy, 20).as("zb"), shiftright(col("xi"), 8).as("xb"))
+        .localCheckpoint()
+      def stats(layout: String, bucket: Column): DataFrame =
+        withB.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"),
+          (max(col("xi")) - min(col("xi"))).as("x_span"),
+          (max(col("yi")) - min(col("yi"))).as("y_span"))
+          .select(lit(layout).as("layout"), col("bucket"), col("n"),
+            col("x_span"), col("y_span"))
+      stats("zorder", col("zb")).union(stats("xsort", col("xb")))
+    }),
   )
 }

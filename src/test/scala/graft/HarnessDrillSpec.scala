@@ -84,4 +84,30 @@ class HarnessDrillSpec extends SparkSpec {
     assert(drifted.schema("region_key").dataType
       != declared.schema("region_key").dataType)
   }
+
+  test("value drift, one cell flipped: rows and schema stay green — ONLY the value hash catches it") {
+    // r7 rotation addition (the sneakiest break mode): an upstream feed
+    // silently corrupts one VALUE. The query runs, the schema matches,
+    // the row count matches — rows_match and schema_match both stay
+    // green, so the drill proves the third channel (value hash) is what
+    // stands between this break and a green gate.
+    val d = stageDrillDir()
+    replaceNation(d) { path =>
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.withColumn("n_name",
+          org.apache.spark.sql.functions.when(n("n_nationkey") === 0,
+            org.apache.spark.sql.functions.concat(n("n_name"),
+              org.apache.spark.sql.functions.lit("X")))
+            .otherwise(n("n_name")))
+        .coalesce(1).write.parquet(path)
+    }
+    val drifted = SparkEntry.queries("q03_revenue_by_nation")(spark, d.getPath)
+    val declared = SparkEntry.queries("q03_revenue_by_nation")(spark, sfDir)
+    val dRows = drifted.collect()
+    val cRows = declared.collect()
+    assert(drifted.schema == declared.schema, "schema channel must stay green")
+    assert(dRows.length == cRows.length, "row-count channel must stay green")
+    assert(dRows.map(_.toString).toSet != cRows.map(_.toString).toSet,
+      "the value hash MUST differ — otherwise the sabotage is invisible")
+  }
 }

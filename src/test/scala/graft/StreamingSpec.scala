@@ -862,4 +862,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(drifted != declared)
   }
+
+  test("streaming backlog: shuffled arrival converges to the q267 open-orders curve exactly") {
+    import graft.streaming.StreamingBacklog
+    import graft.streaming.StreamingBacklog.{DayEv, DayCounts}
+    val evs = StreamingBacklog.fromTables(
+      QueryDsl.tbl(spark, sfDir, "orders"),
+      QueryDsl.tbl(spark, sfDir, "lineitem")).collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DayEv]
+    val last = new java.util.concurrent.ConcurrentHashMap[String, DayCounts]()
+    val q = StreamingBacklog.counters(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[DayCounts], _: Long) =>
+        df.collect().foreach(r => last.put(r.day, r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 5 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingBacklog
+      .rollup(spark.createDataset(last.values.asScala.toSeq).toDF())
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q267_order_backlog")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
 }
