@@ -774,6 +774,51 @@ private[graft] object OracleHelpers {
          FROM r_$tag)"""
   }
 
+  /** Unrolled weighted PageRank over the adjacent-word co-occurrence
+    * graph (q271) — same MATERIALIZED/unroll discipline and the same
+    * CAST AS DOUBLE constant hygiene as [[pageRankSql]]; the only
+    * difference is caller-count edge weights normalized by exact
+    * integer out-weight totals instead of 1/outdegree.
+    */
+  def textRankSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val one = "CAST(1.0 AS DOUBLE)"
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+           SELECT n.node, ($one - $d) / (SELECT n FROM nn)
+               + $d * coalesce(c.s, CAST(0.0 AS DOUBLE)) AS pr
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(r.pr * e.w) AS s
+             FROM ew e JOIN r${k - 1} r ON e.src = r.node
+             GROUP BY e.dst) c USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w,
+           generate_subscripts(regexp_split_to_array(trim(lower(text)), '\\s+'), 1)
+             - 1 AS pos
+         FROM documents),
+         pairs AS MATERIALIZED (
+           SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE length(a.w) >= 4 AND length(b.w) >= 4 AND a.w <> b.w),
+         und AS MATERIALIZED (SELECT wa, wb, CAST(count(*) AS BIGINT) AS cnt
+           FROM pairs GROUP BY 1, 2),
+         ew0 AS MATERIALIZED (SELECT wa AS src, wb AS dst, cnt FROM und
+           UNION ALL SELECT wb, wa, cnt FROM und),
+         tot AS MATERIALIZED (SELECT src, CAST(sum(cnt) AS BIGINT) AS tw
+           FROM ew0 GROUP BY 1),
+         ew AS MATERIALIZED (SELECT e.src, e.dst,
+             CAST(e.cnt AS DOUBLE) / CAST(t.tw AS DOUBLE) AS w
+           FROM ew0 e JOIN tot t USING (src)),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ew0),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS MATERIALIZED (
+           SELECT node, $one / (SELECT n FROM nn) AS pr FROM nodes),
+         $steps
+         SELECT node AS word, round(pr, 8) AS textrank FROM r$iters
+         ORDER BY textrank DESC, word LIMIT 15"""
+  }
+
   val infoGainSql: String =
     s"""WITH ${igBranch("linestatus", "lineitem", "l_linestatus")},
        ${igBranch("priority",

@@ -930,5 +930,7 @@ private[graft] object OracleText {
              / CAST(count(*) AS DOUBLE), 6) AS delta
          FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
          GROUP BY 1, 2""",
+
+    "q271_textrank" -> OracleHelpers.textRankSql(iters = 10),
   )
 }

@@ -1861,5 +1861,33 @@ private[graft] object QueriesText {
             (acc, e) => round(acc + e.getField("dz"), 10))
             / count(lit(1)).cast("double"), 6).as("delta"))
     }),
+
+    "q271_textrank" -> ((s, dir) => {
+      // TextRank keyword extraction: weighted PageRank over the
+      // adjacent-word co-occurrence graph (window 2, words ≥ 4 chars,
+      // undirected with count weights — Mihalcea & Tarau 2004). The
+      // pair stream is a doc-keyed lead window (no join); the iteration
+      // is the graph tier's PageRank with caller weights, normalized
+      // ONCE by exact integer out-weight sums. Complements q253's RAKE
+      // (degree/freq heuristic) with the eigenvector-centrality signal.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val pairs = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull && length(col("tok")) >= 4 &&
+          length(col("nxt")) >= 4 && col("tok") =!= col("nxt"))
+        .select(least(col("tok"), col("nxt")).as("wa"),
+          greatest(col("tok"), col("nxt")).as("wb"))
+      val und = pairs.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("cnt"))
+      val edges = und.select(col("wa").as("src"), col("wb").as("dst"), col("cnt"))
+        .union(und.select(col("wb").as("src"), col("wa").as("dst"), col("cnt")))
+      val nodes = edges.select(col("src").as("word")).distinct()
+      graph.PageRank.runWeighted(edges, "src", "dst", "cnt", nodes, "word",
+          damping = 0.85, iters = 10)
+        .select(col("node").as("word"), round(col("rank"), 8).as("textrank"))
+        .orderBy(col("textrank").desc, col("word")).limit(15)
+    }),
   )
 }

@@ -66,6 +66,50 @@ object PageRank {
       .select(col("src"), col("dst"),
         (lit(1.0) / col("deg").cast("double")).as("w")))
 
+    iterate(spark, v, n, weighted, damping, iters)
+  }
+
+  /** Weighted PageRank (the TextRank formulation): caller supplies an
+    * edge weight column; the operator normalizes it by the source's
+    * total outgoing weight ONCE up front (exact integer sums when the
+    * weights are counts), then runs the same damped iteration. Same
+    * scale shape as [[run]]: two edge-sized shuffles per round,
+    * node-sized pinned state, one scalar to the driver.
+    */
+  def runWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      wCol: String,
+      nodes: DataFrame,
+      nodeCol: String,
+      damping: Double = 0.85,
+      iters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+    val v = nodes.select(col(nodeCol).as("node")).distinct()
+    val n = v.count()
+    require(n > 0, "PageRank needs at least one node")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("cw"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val tot = e.groupBy(col("src")).agg(sum(col("cw")).as("tw"))
+    val weighted = pin(e.join(tot, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("cw").cast("double") / col("tw").cast("double")).as("w")))
+    iterate(spark, v, n, weighted, damping, iters)
+  }
+
+  private def iterate(
+      spark: org.apache.spark.sql.SparkSession,
+      v: DataFrame,
+      n: Long,
+      weighted: DataFrame,
+      damping: Double,
+      iters: Int): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
     val base = lit((1.0 - damping) / n)
     var ranks = pin(v.withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iters) {

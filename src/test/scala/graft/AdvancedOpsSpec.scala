@@ -22,6 +22,31 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(sessions.head.session_end == ts(10))
   }
 
+  test("weighted PageRank (TextRank form) matches a driver-side reference iteration") {
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "cnt")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val pr = graph.PageRank.runWeighted(edges, "src", "dst", "cnt",
+        nodes, "id", damping = 0.85, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Reference: same normalized weights, same damped update.
+    val out = Map(
+      1L -> Seq((2L, 1.0)),
+      2L -> Seq((1L, 0.75), (3L, 0.25)),
+      3L -> Seq((2L, 1.0)))
+    var ref = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    for (_ <- 1 to 10) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      for ((u, vs) <- out; (v, w) <- vs) contrib(v) += ref(u) * w
+      ref = Seq(1L, 2L, 3L).map(v => v -> (0.15 / 3 + 0.85 * contrib(v))).toMap
+    }
+    for (v <- Seq(1L, 2L, 3L))
+      assert(math.abs(pr(v) - ref(v)) < 1e-12, s"node $v: ${pr(v)} vs ${ref(v)}")
+    // The heavier 1<->2 edge must dominate the rank order.
+    assert(pr(2L) > pr(1L) && pr(1L) > pr(3L))
+  }
+
   test("PageRank matches a driver-side reference iteration and floors isolated nodes") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
