@@ -819,6 +819,46 @@ private[graft] object OracleHelpers {
          ORDER BY textrank DESC, word LIMIT 15"""
   }
 
+  /** Unrolled absorbing-chain reachability (q273) — p_k over the
+    * event-type grid with the engine's 12-dp ordered fold spelled as
+    * list_reduce ORDER BY dst; MATERIALIZED per the [[pageRankSql]]
+    * discipline.
+    */
+  def markovAbsorptionSql(steps: Int): String = {
+    val rounds = (1 to steps).map { k =>
+      s"""p$k AS MATERIALIZED (
+           SELECT s.state,
+             CASE WHEN s.state = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                  ELSE coalesce(r.reach, CAST(0.0 AS DOUBLE)) END AS p
+           FROM states s LEFT JOIN (
+             SELECT t.src AS state,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(t.w * q.p ORDER BY t.dst)),
+                 (acc, x) -> round(acc + x, 12)) AS reach
+             FROM tm t JOIN p${k - 1} q ON t.dst = q.state
+             GROUP BY t.src) r ON s.state = r.state)"""
+    }.mkString(",\n         ")
+    s"""WITH ev AS MATERIALIZED (
+           SELECT user_id, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events),
+         trans AS MATERIALIZED (
+           SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+           FROM ev WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         tot AS MATERIALIZED (
+           SELECT src, CAST(sum(c) AS BIGINT) AS tc FROM trans GROUP BY 1),
+         tm AS MATERIALIZED (
+           SELECT t.src, t.dst, CAST(t.c AS DOUBLE) / CAST(o.tc AS DOUBLE) AS w
+           FROM trans t JOIN tot o USING (src)),
+         states AS MATERIALIZED (SELECT DISTINCT src AS state FROM tm),
+         p0 AS MATERIALIZED (
+           SELECT state, CASE WHEN state = 'purchase' THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS p FROM states),
+         $rounds
+         SELECT state, round(p, 8) AS p_reach_5 FROM p$steps"""
+  }
+
   val infoGainSql: String =
     s"""WITH ${igBranch("linestatus", "lineitem", "l_linestatus")},
        ${igBranch("priority",

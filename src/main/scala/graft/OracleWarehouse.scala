@@ -1441,5 +1441,42 @@ private[graft] object OracleWarehouse {
            round((CAST(pos AS DOUBLE) + 50.0 * p0)
              / (CAST(n AS DOUBLE) + 50.0), 6) AS shrunk_rate
          FROM f""",
+
+    "q272_bh_fdr" ->
+      """WITH b AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS pos
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+             CAST(sum(pos) AS BIGINT) AS gp FROM b),
+         z AS (SELECT brand, n,
+             (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+             / sqrt((CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+                 * (1.0 - CAST(gp AS DOUBLE) / CAST(gn AS DOUBLE))
+                 / CAST(n AS DOUBLE)) AS z
+           FROM b CROSS JOIN g),
+         e AS (SELECT brand, n, z,
+             1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t,
+             abs(z) / sqrt(2.0) AS x
+           FROM z),
+         p AS (SELECT brand, n, z,
+             round(2.0 * (1.0 - 0.5 * (1.0 + (1.0
+               - ((((1.061405429 * t - 1.453152027) * t
+                   + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t
+                 * exp(-(x * x))))), 10) AS p
+           FROM e),
+         r AS (SELECT brand, n, z, p,
+             CAST(row_number() OVER (ORDER BY p, brand) AS BIGINT) AS bh_rank
+           FROM p),
+         k AS (SELECT coalesce(max(CASE WHEN p <= 0.10
+               * CAST(bh_rank AS DOUBLE) / CAST(m AS DOUBLE)
+               THEN bh_rank END), 0) AS kmax
+           FROM r CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS m FROM r) mm)
+         SELECT brand, n, round(z, 4) AS z, round(p, 6) AS p_value, bh_rank,
+           bh_rank <= kmax AS rejected
+         FROM r CROSS JOIN k""",
+
+    "q273_markov_absorption" -> OracleHelpers.markovAbsorptionSql(steps = 5),
   )
 }

@@ -2225,5 +2225,93 @@ private[graft] object QueriesWarehouse {
           round((d("pos") + lit(50.0) * col("p0")) / (d("n") + lit(50.0)), 6)
             .as("shrunk_rate"))
     }),
+
+    "q272_bh_fdr" -> ((s, dir) => {
+      // Benjamini–Hochberg FDR control (q = 0.10) across the 25
+      // per-brand return-rate z-tests — the multiple-testing layer the
+      // single-test tier (q222/q227) lacks. Φ comes from the
+      // Abramowitz–Stegun 7.1.26 erf polynomial (elementary ops only,
+      // mirrored textually, so both engines compute the same doubles up
+      // to exp()'s ulp — p-values compare 10-dp-ROUNDED). The p-value
+      // rank rides the brand-grid triangular join; BH rejects rank ≤
+      // max{i : p_(i) ≤ q·i/m}.
+      val b = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+        .localCheckpoint()
+      val g = b.agg(sum(col("n")).as("gn"), sum(col("pos")).as("gp"))
+      def d(c: String): Column = col(c).cast("double")
+      val withZ = b.crossJoin(broadcast(g))
+        .withColumn("p0", d("gp") / d("gn"))
+        .withColumn("z", (d("pos") / d("n") - col("p0"))
+          / sqrt(col("p0") * (lit(1.0) - col("p0")) / d("n")))
+      // erf(x) ≈ 1 − (a1·t + a2·t² + a3·t³ + a4·t⁴ + a5·t⁵)·e^(−x²),
+      // t = 1/(1 + 0.3275911·x), x ≥ 0; p = 2·(1 − Φ(|z|)).
+      val x = abs(col("z")) / sqrt(lit(2.0))
+      val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+        + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+      val erfX = lit(1.0) - poly * exp(-(x * x))
+      val phi = lit(0.5) * (lit(1.0) + erfX)
+      val withP = withZ
+        .withColumn("p", round(lit(2.0) * (lit(1.0) - phi), 10))
+        .select(col("brand"), col("n"), col("z"), col("p"))
+      val ranked = operators.ScalableWindow
+        .boundedRankCum(withP, Seq(("p", true), ("brand", true)), "bh_rank")
+        .localCheckpoint()
+      val mm = ranked.agg(count(lit(1)).as("m"))
+      val kmax = ranked.crossJoin(broadcast(mm))
+        .agg(coalesce(max(when(col("p") <= lit(0.10)
+            * col("bh_rank").cast("double") / col("m").cast("double"),
+            col("bh_rank"))), lit(0L)).as("kmax"))
+      ranked.crossJoin(broadcast(kmax))
+        .select(col("brand"), col("n"), round(col("z"), 4).as("z"),
+          round(col("p"), 6).as("p_value"), col("bh_rank"),
+          (col("bh_rank") <= col("kmax")).as("rejected"))
+    }),
+
+    "q273_markov_absorption" -> ((s, dir) => {
+      // Absorbing-chain reachability: probability a user's event chain
+      // reaches 'purchase' within 5 steps from each state, via 5
+      // unrolled rounds of p_k(s) = [s=purchase] + [s≠purchase]·Σ_t
+      // T(s,t)·p_{k−1}(t). Corpus work is ONE consecutive-transition
+      // count (user-keyed lead window); the iteration lives entirely on
+      // the event-type grid (≤ 6 states), replayed by unrolled oracle
+      // CTEs.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = trans.groupBy(col("src")).agg(sum(col("c")).as("tc"))
+      val tm = trans.join(tot, Seq("src"))
+        .select(col("src"), col("dst"),
+          (col("c").cast("double") / col("tc").cast("double")).as("w"))
+        .localCheckpoint()
+      val states = tm.select(col("src").as("state")).distinct()
+        .localCheckpoint()
+      var p = states.withColumn("p",
+        when(col("state") === "purchase", lit(1.0)).otherwise(lit(0.0)))
+      for (_ <- 1 to 5) {
+        val nxt = tm.join(p.select(col("state").as("dst"), col("p")), Seq("dst"))
+          .groupBy(col("src").as("state"))
+          .agg(aggregate(array_sort(collect_list(struct(col("dst"),
+              (col("w") * col("p")).as("wp")))), lit(0.0),
+              (acc, e) => round(acc + e.getField("wp"), 12)).as("reach"))
+        p = states.join(nxt, Seq("state"), "left")
+          .select(col("state"),
+            when(col("state") === "purchase", lit(1.0))
+              .otherwise(coalesce(col("reach"), lit(0.0))).as("p"))
+          .localCheckpoint()
+      }
+      p.select(col("state"), round(col("p"), 8).as("p_reach_5"))
+    }),
   )
 }
