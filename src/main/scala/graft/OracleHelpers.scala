@@ -859,6 +859,73 @@ private[graft] object OracleHelpers {
          SELECT state, round(p, 8) AS p_reach_5 FROM p$steps"""
   }
 
+  /** Unrolled removal-effect attribution (q274): one [[markovAbsorptionSql]]
+    * -style chain per removal (none + 4 channels) over the start-rooted
+    * transition grid; effects and the normalizer fold over 8-dp/6-dp
+    * ROUNDED probabilities (both engines), so exp-free exactness holds.
+    */
+  def removalAttributionSql(steps: Int): String = {
+    val channels = Seq("click", "error", "signup", "view")
+    def chain(tag: String, filter: String): String = {
+      val rounds = (1 to steps).map { k =>
+        s"""p${tag}_$k AS MATERIALIZED (
+             SELECT s.state,
+               CASE WHEN s.state = 'purchase' THEN CAST(1.0 AS DOUBLE)
+                    ELSE coalesce(r.reach, CAST(0.0 AS DOUBLE)) END AS p
+             FROM st_$tag s LEFT JOIN (
+               SELECT t.src AS state,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(t.w * q.p ORDER BY t.dst)),
+                   (acc, x) -> round(acc + x, 12)) AS reach
+               FROM tm_$tag t JOIN p${tag}_${k - 1} q ON t.dst = q.state
+               GROUP BY t.src) r ON s.state = r.state)"""
+      }.mkString(",\n         ")
+      s"""tm_$tag AS MATERIALIZED (SELECT * FROM tm WHERE $filter),
+         st_$tag AS MATERIALIZED (SELECT DISTINCT src AS state FROM tm_$tag),
+         p${tag}_0 AS MATERIALIZED (
+           SELECT state, CASE WHEN state = 'purchase' THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS p FROM st_$tag),
+         $rounds,
+         pb_$tag AS (SELECT round(coalesce(
+             (SELECT p FROM p${tag}_$steps WHERE state = 'start'),
+             CAST(0.0 AS DOUBLE)), 8) AS p)"""
+    }
+    val chains = chain("base", "1=1") +: channels.map(ch =>
+      chain(ch, s"src <> '$ch' AND dst <> '$ch'"))
+    val effRows = channels.map(ch =>
+      s"""SELECT '$ch' AS channel, (SELECT p FROM pb_base) AS p_base,
+         (SELECT p FROM pb_$ch) AS p_removed,
+         round(1.0 - (SELECT p FROM pb_$ch) / (SELECT p FROM pb_base), 6)
+           AS removal_effect""").mkString("\n         UNION ALL\n         ")
+    s"""WITH ev AS MATERIALIZED (
+           SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+           FROM events),
+         tr AS MATERIALIZED (
+           SELECT 'start' AS src, event_type AS dst FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT event_type, nxt FROM ev WHERE nxt IS NOT NULL),
+         trans AS MATERIALIZED (
+           SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+           FROM tr GROUP BY 1, 2),
+         tot AS MATERIALIZED (
+           SELECT src, CAST(sum(c) AS BIGINT) AS tc FROM trans GROUP BY 1),
+         tm AS MATERIALIZED (
+           SELECT t.src, t.dst, CAST(t.c AS DOUBLE) / CAST(o.tc AS DOUBLE) AS w
+           FROM trans t JOIN tot o USING (src)),
+         ${chains.mkString(",\n         ")},
+         eff AS MATERIALIZED ($effRows),
+         nrm AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(removal_effect ORDER BY channel)),
+             (acc, x) -> round(acc + x, 12)) AS sre FROM eff)
+         SELECT channel, p_base, p_removed, removal_effect,
+           round(removal_effect / sre, 6) AS attribution
+         FROM eff CROSS JOIN nrm"""
+  }
+
   val infoGainSql: String =
     s"""WITH ${igBranch("linestatus", "lineitem", "l_linestatus")},
        ${igBranch("priority",

@@ -1478,5 +1478,8 @@ private[graft] object OracleWarehouse {
          FROM r CROSS JOIN k""",
 
     "q273_markov_absorption" -> OracleHelpers.markovAbsorptionSql(steps = 5),
+
+    "q274_removal_attribution" ->
+      OracleHelpers.removalAttributionSql(steps = 6),
   )
 }

@@ -2313,5 +2313,65 @@ private[graft] object QueriesWarehouse {
       }
       p.select(col("state"), round(col("p"), 8).as("p_reach_5"))
     }),
+
+    "q274_removal_attribution" -> ((s, dir) => {
+      // Markov removal-effect attribution (the data-driven alternative
+      // to q238's time-decay heuristic): conversion = reaching
+      // 'purchase' within 6 steps from the synthetic 'start' state;
+      // each channel's effect = 1 − P(conv | channel removed)/P(conv);
+      // attribution = normalized effects. Corpus work is ONE transition
+      // count (user-keyed windows); the five chain evaluations run
+      // DRIVER-SIDE over the collected event-type grid (≤ 7 states ⇒
+      // ≤ 49 weights — a bounded, documented collect, the config-table
+      // class), mirroring the oracle's unrolled CTEs exactly: per round,
+      // 12-dp fold over dst-sorted edges, contributions only from dst
+      // states that are themselves sources.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val firsts = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(lit("start").as("src"), col("event_type").as("dst"))
+      val consec = ev
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("event_type").as("src"), col("nxt").as("dst"))
+      val trans = firsts.union(consec)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      val rows = trans.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val tot = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val tm = rows.map { case (a, b, c) => (a, b, c.toDouble / tot(a)) }
+      def r(x: Double, dp: Int) =
+        BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def reach(removed: Option[String], steps: Int): Double = {
+        val edges = tm.filter { case (a, b, _) =>
+          removed.forall(s0 => a != s0 && b != s0) }
+        val srcs = edges.map(_._1).distinct
+        var p = srcs.map(st => st -> (if (st == "purchase") 1.0 else 0.0)).toMap
+        for (_ <- 1 to steps) {
+          p = srcs.map { st =>
+            st -> (if (st == "purchase") 1.0
+              else edges.filter(_._1 == st).sortBy(_._2)
+                .foldLeft(0.0) { case (acc, (_, dst, wt)) =>
+                  r(acc + wt * p.getOrElse(dst, 0.0), 12) })
+          }.toMap
+        }
+        p.getOrElse("start", 0.0)
+      }
+      val channels = Seq("click", "error", "signup", "view")
+      val pBase = r(reach(None, 6), 8)
+      val eff = channels.map { ch =>
+        val pr = r(reach(Some(ch), 6), 8)
+        (ch, pr, r(1.0 - pr / pBase, 6))
+      }
+      val sumRe = eff.sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (_, _, re)) => r(acc + re, 12) }
+      import s.implicits._
+      eff.map { case (ch, pr, re) =>
+        (ch, pBase, pr, re, r(re / sumRe, 6))
+      }.toDF("channel", "p_base", "p_removed", "removal_effect", "attribution")
+    }),
   )
 }
