@@ -1,0 +1,128 @@
+package graft
+
+/** DuckDB oracles for the statistics/evaluation tier II (q275+). */
+private[graft] object OracleStats {
+
+  val map: Map[String, String] = Map(
+
+    "q275_forecast_backtest" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, x
+           FROM daily),
+         nn AS (SELECT max(t) AS n FROM idx),
+         lagd AS (SELECT a.t, a.x AS actual, b.x AS pred, nn.n
+           FROM idx a JOIN idx b ON a.t = b.t + 7 CROSS JOIN nn),
+         hold AS (SELECT * FROM lagd WHERE t > n - 28),
+         ins AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(abs(actual - pred)) AS BIGINT) AS inae
+           FROM lagd WHERE t <= n - 28),
+         h AS (SELECT CAST(count(*) AS BIGINT) AS h,
+             CAST(sum(abs(actual - pred)) AS BIGINT) AS sae,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(abs(CAST(actual AS DOUBLE) - CAST(pred AS DOUBLE))
+                 / ((CAST(actual AS DOUBLE) + CAST(pred AS DOUBLE)) / 2.0)
+                 ORDER BY t)), (acc, x) -> round(acc + x, 12)) AS smsum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(abs(CAST(actual AS DOUBLE) - CAST(pred AS DOUBLE))
+                 / CAST(actual AS DOUBLE) ORDER BY t)),
+               (acc, x) -> round(acc + x, 12)) AS mapesum
+           FROM hold)
+         SELECT h AS n_holdout,
+           round(mapesum / CAST(h AS DOUBLE), 6) AS mape,
+           round(smsum / CAST(h AS DOUBLE), 6) AS smape,
+           round((CAST(sae AS DOUBLE) / CAST(h AS DOUBLE))
+             / (CAST(inae AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS mase
+         FROM h CROSS JOIN ins""",
+
+    "q276_theil_sen" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS t,
+             x FROM m),
+         sl AS (SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+             AS slope
+           FROM idx a JOIN idx b ON b.t > a.t),
+         r AS (SELECT slope, CAST(row_number() OVER (ORDER BY slope) AS BIGINT)
+             AS rn, CAST(count(*) OVER () AS BIGINT) AS cnt FROM sl),
+         k AS (SELECT max(CASE WHEN rn <= (cnt + 1) // 2 THEN slope END) AS s1,
+             max(CASE WHEN rn <= cnt // 2 + 1 THEN slope END) AS s2,
+             max(cnt) AS n_slopes FROM r)
+         SELECT CAST(n_slopes AS BIGINT) AS n_slopes,
+           round((s1 + s2) / 2.0, 6) AS slope_cents_per_month FROM k""",
+
+    "q277_heaps_law" ->
+      """WITH toks AS (SELECT doc_id, w
+           FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+             FROM documents)
+           WHERE length(w) > 0),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+           FROM toks GROUP BY 1),
+         nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nnew
+           FROM (SELECT w, min(doc_id) AS doc_id FROM toks GROUP BY 1)
+           GROUP BY 1),
+         grid AS (SELECT pd.doc_id, ntok, coalesce(nnew, 0) AS nnew
+           FROM pd LEFT JOIN nw ON pd.doc_id = nw.doc_id),
+         cum AS (SELECT doc_id,
+             CAST(sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cumtok,
+             CAST(sum(nnew) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cumvoc,
+             CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+           FROM grid),
+         nd AS (SELECT max(rn) AS nd FROM cum),
+         sel AS (SELECT rn, ln(CAST(cumtok AS DOUBLE)) AS lx,
+             ln(CAST(cumvoc AS DOUBLE)) AS ly
+           FROM cum CROSS JOIN nd
+           WHERE rn % ((nd + 19) // 20) = 0 OR rn = nd),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx ORDER BY rn)), (acc, x) -> round(acc + x, 12)) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ly ORDER BY rn)), (acc, x) -> round(acc + x, 12)) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx * ly ORDER BY rn)), (acc, x) -> round(acc + x, 12))
+               AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx * lx ORDER BY rn)), (acc, x) -> round(acc + x, 12))
+               AS sx2
+           FROM sel)
+         SELECT np AS n_points,
+           round((CAST(np AS DOUBLE) * sxy - sx * sy)
+             / (CAST(np AS DOUBLE) * sx2 - sx * sx), 6) AS beta,
+           round(exp((sy - ((CAST(np AS DOUBLE) * sxy - sx * sy)
+               / (CAST(np AS DOUBLE) * sx2 - sx * sx)) * sx)
+             / CAST(np AS DOUBLE)), 4) AS k
+         FROM f""",
+
+    "q278_calibration_ece" ->
+      """WITH li AS (SELECT l_returnflag = 'R' AS y,
+           CAST(CAST(concat('0x', substr(md5('auc_' || CAST(l_orderkey AS VARCHAR)
+             || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS score
+         FROM lineitem),
+         b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             CAST(score * 4294967296.0 AS BIGINT) AS v, y FROM li),
+         g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             sum(CAST(v AS HUGEINT)) AS sv FROM b GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM g),
+         wc AS (SELECT bin, n, pos,
+             CAST(sv AS DOUBLE) / CAST(4294967296.0 AS DOUBLE)
+               / CAST(n AS DOUBLE) AS conf,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc, tn
+           FROM g CROSS JOIN t),
+         e AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)) * abs(acc - conf)
+               ORDER BY bin)), (a2, x) -> round(a2 + x, 12)) AS ece
+           FROM wc)
+         SELECT bin, n, round(conf, 6) AS mean_score, round(acc, 6) AS frac_pos,
+           round(ece, 6) AS ece
+         FROM wc CROSS JOIN e""",
+  )
+}

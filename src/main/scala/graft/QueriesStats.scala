@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryDsl._
+
+/** Query registry, statistics/evaluation tier II (q275+): forecast
+  * backtesting, robust trend estimation, corpus-growth laws, model
+  * calibration. Same contract as every other Queries* file — each entry
+  * oracle-checked, counts pinned by RegistrySpec.
+  */
+private[graft] object QueriesStats {
+
+  /** Daily revenue in exact cents on the day grid, indexed by the
+    * triangular-join rank (calendar-bounded).
+    */
+  private def dailyIdx(s: SparkSession, dir: String): DataFrame =
+    operators.ScalableWindow.boundedRankCum(
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+          .as("x")),
+      Seq(("day", true)), "t")
+      .select(col("t"), col("x"))
+
+  val map: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q275_forecast_backtest" -> ((s, dir) => {
+      // Seasonal-naive (lag-7) forecast backtest on the last 28 grid
+      // days. |errors| sum as EXACT integer cents (MASE is a ratio of
+      // two exact sums); the per-day ratio statistics (MAPE, sMAPE)
+      // fold ordered by day with a 12-dp fixed point.
+      val idx = dailyIdx(s, dir).localCheckpoint()
+      val n = idx.agg(max(col("t")).as("n"))
+      val lagged = idx.as("a")
+        .join(idx.as("b"), col("a.t") === col("b.t") + 7)
+        .select(col("a.t").as("t"), col("a.x").as("actual"),
+          col("b.x").as("pred"))
+        .crossJoin(broadcast(n))
+        .localCheckpoint()
+      val hold = lagged.filter(col("t") > col("n") - 28)
+      val insample = lagged.filter(col("t") <= col("n") - 28)
+      def d(c: Column): Column = c.cast("double")
+      val h = hold.agg(count(lit(1)).as("h"),
+        sum(abs(col("actual") - col("pred"))).as("sae"),
+        aggregate(array_sort(collect_list(struct(col("t"),
+            (abs(d(col("actual")) - d(col("pred")))
+              / ((d(col("actual")) + d(col("pred"))) / lit(2.0))).as("r")))),
+          lit(0.0), (acc, e) => round(acc + e.getField("r"), 12)).as("smsum"),
+        aggregate(array_sort(collect_list(struct(col("t"),
+            (abs(d(col("actual")) - d(col("pred"))) / d(col("actual")))
+              .as("r")))),
+          lit(0.0), (acc, e) => round(acc + e.getField("r"), 12)).as("mapesum"))
+      val ins = insample.agg(count(lit(1)).as("m"),
+        sum(abs(col("actual") - col("pred"))).as("inae"))
+      h.crossJoin(broadcast(ins))
+        .select(col("h").as("n_holdout"),
+          round(col("mapesum") / d(col("h")), 6).as("mape"),
+          round(col("smsum") / d(col("h")), 6).as("smape"),
+          round((d(col("sae")) / d(col("h")))
+            / (d(col("inae")) / d(col("m"))), 6).as("mase"))
+    }),
+
+    "q276_theil_sen" -> ((s, dir) => {
+      // Theil–Sen robust trend of MONTHLY revenue: the median of all
+      // pairwise slopes (month-grid² pairs — calendar-bounded, ~3.5k at
+      // 7 years). Exact-cents differences over integer month gaps make
+      // every slope a single exact division; the median is the max of
+      // the k smallest slopes (TakeOrderedAndProject — no global
+      // window), averaged over k1/k2 for even counts.
+      val m = operators.ScalableWindow.boundedRankCum(
+        tbl(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+            .as("x")),
+        Seq(("month", true)), "t")
+        .select(col("t"), col("x"))
+        .localCheckpoint()
+      val slopes = m.as("a").join(m.as("b"), col("b.t") > col("a.t"))
+        .select(((col("b.x") - col("a.x")).cast("double")
+          / (col("b.t") - col("a.t")).cast("double")).as("slope"))
+        .localCheckpoint()
+      val cnt = slopes.count() // bounded: month-grid² pairs
+      val k1 = ((cnt + 1) / 2).toInt
+      val k2 = (cnt / 2 + 1).toInt
+      def kth(k: Int): DataFrame =
+        slopes.orderBy(col("slope")).limit(k).agg(max(col("slope")).as(s"s$k"))
+      kth(k1).crossJoin(kth(k2))
+        .select(lit(cnt).as("n_slopes"),
+          round((col(s"s$k1") + col(s"s$k2")) / lit(2.0), 6)
+            .as("slope_cents_per_month"))
+    }),
+
+    "q277_heaps_law" -> ((s, dir) => {
+      // Heaps' law fit V = K·N^β: cumulative vocabulary vs cumulative
+      // tokens sampled at ~20 doc checkpoints, β and K from a log-log
+      // least-squares fit. New-word counts come from first-occurrence
+      // docs (min doc_id per word — corpus-sized but map-combinable);
+      // the cumulative pass is the BANDED cumsum over doc_id (scale-safe
+      // — no global window, PlanSpec-gated); the ≤21-point fit folds
+      // ordered with a 12-dp fixed point. (The synthetic corpus's
+      // ~31-word vocabulary saturates in the first checkpoints, so β
+      // fits ≈ 0 — the CORRECT answer for this data; the operator's
+      // value is the machinery, verified end-to-end by the oracle.)
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
+      val news = toks.groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nnew"))
+      val grid = perDoc.join(news, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ntok"),
+          coalesce(col("nnew"), lit(0L)).as("nnew"))
+        .withColumn("one", lit(1L))
+      val cum = operators.ScalableWindow.bandedCumSum(
+        operators.ScalableWindow.bandedCumSum(
+          operators.ScalableWindow.bandedCumSum(grid, "doc_id",
+            descending = false, Nil, "ntok", "cumtok"),
+          "doc_id", descending = false, Nil, "nnew", "cumvoc"),
+        "doc_id", descending = false, Nil, "one", "rn")
+        .localCheckpoint()
+      val nd = cum.agg(max(col("rn")).as("nd"))
+      // Checkpoint rule shared with the oracle: rn divisible by
+      // ceil(nd/20), plus the final point.
+      val step = floor((col("nd") + lit(19)) / lit(20))
+      val sel = cum.crossJoin(broadcast(nd))
+        .filter(col("rn") % step === 0 || col("rn") === col("nd"))
+        .select(col("rn"), log(col("cumtok").cast("double")).as("lx"),
+          log(col("cumvoc").cast("double")).as("ly"))
+        .dropDuplicates("rn")
+      def fold(v: Column): Column =
+        aggregate(array_sort(collect_list(struct(col("rn"), v.as("v")))),
+          lit(0.0), (acc, e) => round(acc + e.getField("v"), 12))
+      val f = sel.agg(count(lit(1)).as("np"), fold(col("lx")).as("sx"),
+        fold(col("ly")).as("sy"), fold(col("lx") * col("ly")).as("sxy"),
+        fold(col("lx") * col("lx")).as("sx2"))
+      def d(c: String): Column = col(c).cast("double")
+      f.select(col("np").as("n_points"),
+        round((d("np") * col("sxy") - col("sx") * col("sy"))
+          / (d("np") * col("sx2") - col("sx") * col("sx")), 6).as("beta"),
+        round(exp((col("sy") - ((d("np") * col("sxy") - col("sx") * col("sy"))
+            / (d("np") * col("sx2") - col("sx") * col("sx"))) * col("sx"))
+          / d("np")), 4).as("k"))
+    }),
+
+    "q278_calibration_ece" -> ((s, dir) => {
+      // Reliability table + expected calibration error for the q259
+      // synthetic scorer: 10 equal-width confidence bins, per-bin mean
+      // score vs empirical positive rate, ECE = Σ (n_b/n)·|acc − conf|.
+      // Bin stats are exact integers plus the lossless v=score·2³² sum;
+      // the 10-term ECE folds ordered by bin.
+      val li = tbl(s, dir, "lineitem").select(
+        (col("l_returnflag") === "R").as("y"),
+        graft.plans.TextKernels.unitHashNative(concat(lit("auc_"),
+          col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))).as("score"))
+      val binned = li
+        .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
+        .withColumn("v", (col("score") * lit(4294967296.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+          sum(col("v").cast("decimal(38,0)")).as("sv"))
+        .localCheckpoint()
+      val tot = binned.agg(sum(col("n")).as("tn"))
+      def d(c: String): Column = col(c).cast("double")
+      val withConf = binned.crossJoin(broadcast(tot))
+        .withColumn("conf",
+          d("sv") / lit(4294967296.0) / d("n"))
+        .withColumn("acc", d("pos") / d("n"))
+        .localCheckpoint()
+      val ece = withConf.agg(
+        aggregate(array_sort(collect_list(struct(col("bin"),
+            ((d("n") / d("tn")) * abs(col("acc") - col("conf"))).as("e")))),
+          lit(0.0), (acc, e) => round(acc + e.getField("e"), 12)).as("ece"))
+      withConf.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), round(col("conf"), 6).as("mean_score"),
+          round(col("acc"), 6).as("frac_pos"), round(col("ece"), 6).as("ece"))
+    }),
+  )
+}

@@ -31,7 +31,7 @@ object SparkEntry {
     * q42/q58's r5 absence did) fails the build instead of shrinking the
     * correctness gate without a red signal.
     */
-  val declaredQueryCount = 274
+  val declaredQueryCount = 278
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -64,7 +64,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.map ++ QueriesWarehouse.map ++ QueriesText.map ++
-      QueriesVector.map ++ QueriesPdcm.map ++ QueriesSpatial.map
+      QueriesVector.map ++ QueriesPdcm.map ++ QueriesSpatial.map ++ QueriesStats.map
 
   // q121 is the xxhash64-gram-key variant of q118 — bit-identical by
   // contract (see Dedup.removeDuplicateSpans), so it shares the
@@ -79,5 +79,5 @@ object SparkEntry {
 
   private lazy val oracleSqlBase: Map[String, String] =
     OracleRelational.map ++ OracleWarehouse.map ++ OracleText.map ++
-      OracleVector.map ++ OraclePdcm.map ++ OracleSpatial.map
+      OracleVector.map ++ OraclePdcm.map ++ OracleSpatial.map ++ OracleStats.map
 }

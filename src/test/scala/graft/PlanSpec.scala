@@ -313,6 +313,11 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q277: the Heaps cumulative pass rides the banded cumsum — zero unpartitioned windows") {
+    assert(globalWindows("q277_heaps_law") == 0,
+      "cumtok/cumvoc/rn must come from bandedCumSum, never a global ORDER BY window")
+  }
+
   test("q257: ACF sums are map-combinable partial aggregates over the day grid") {
     val plan = executedPlan("q257_acf")
     assert(plan.contains("partial_sum") || plan.contains("partial_count"),
