@@ -587,6 +587,34 @@ private[graft] object OracleVector {
          FROM d6 GROUP BY 1"""
     },
 
+    "q279_image_quality" ->
+      """WITH ids AS (SELECT CAST(p_partkey AS BIGINT) AS id
+           FROM part WHERE p_partkey < 48),
+         grid AS (SELECT x.x, y.y
+           FROM (SELECT unnest(generate_series(0, 7)) AS x) x,
+                (SELECT unnest(generate_series(0, 7)) AS y) y),
+         px AS (SELECT id, x, y,
+             3 * (CASE WHEN id % 5 = 0 THEN id * 10 % 256
+                  ELSE (id * 7 + x * 3 + y * 5) % 256 END) AS p
+           FROM ids, grid),
+         st AS (SELECT id, CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum(p) AS BIGINT) AS s, CAST(sum(p * p) AS BIGINT) AS s2
+           FROM px GROUP BY 1),
+         tvh AS (SELECT a.id, CAST(sum(abs(b.p - a.p)) AS BIGINT) AS tvx
+           FROM px a JOIN px b ON a.id = b.id AND b.y = a.y AND b.x = a.x + 1
+           GROUP BY 1),
+         tvv AS (SELECT a.id, CAST(sum(abs(b.p - a.p)) AS BIGINT) AS tvy
+           FROM px a JOIN px b ON a.id = b.id AND b.x = a.x AND b.y = a.y + 1
+           GROUP BY 1)
+         SELECT st.id AS media_id, n_px,
+           round(CAST(s AS DOUBLE) / CAST(n_px AS DOUBLE), 6) AS mean_lum,
+           round(CAST(s2 AS DOUBLE) / CAST(n_px AS DOUBLE)
+             - (CAST(s AS DOUBLE) / CAST(n_px AS DOUBLE))
+               * (CAST(s AS DOUBLE) / CAST(n_px AS DOUBLE)), 6) AS var_lum,
+           CAST(tvx + tvy AS BIGINT) AS tv,
+           (tvx + tvy) = 0 AS is_flat
+         FROM st JOIN tvh ON st.id = tvh.id JOIN tvv ON st.id = tvv.id""",
+
     "q263_gini_stump" ->
       """WITH grid AS (SELECT CAST(th AS BIGINT) AS threshold
            FROM range(1000, 1901, 50) t(th)),

@@ -1021,6 +1021,44 @@ private[graft] object QueriesVector {
       probes.reduce(_.unionByName(_))
     }),
 
+    "q279_image_quality" -> ((s, dir) => {
+      // Image quality gate on the REAL ImageIO path: per-image exact
+      // integer pixel stats (luminance mean/variance + total variation,
+      // the cheap sharpness signal) over a mixed corpus of solid-gray
+      // (id % 5 = 0 — the "blank" class, tv = 0) and gradient images
+      // (the q215 pixel formula). The oracle replays decode→stats as
+      // pure arithmetic because the PNG round-trip is lossless and
+      // every statistic is an integer sum.
+      import s.implicits._
+      val media = tbl(s, dir, "part").filter(col("p_partkey") < 48)
+        .select(col("p_partkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val g = (if (id % 5 == 0) id * 10 % 256
+                       else (id * 7 + x * 3 + y * 5) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          graft.multimodal.Multimodal.MediaRow(id, bos.toByteArray, "image/png", 8, 8)
+        }
+      val mean = col("sum_lum").cast("double") / col("n_px").cast("double")
+      graft.multimodal.ImageCodec.extractPixelStats(media)
+        .select(col("media_id"), col("n_px"),
+          round(mean, 6).as("mean_lum"),
+          round(col("sum_lum_sq").cast("double") / col("n_px").cast("double")
+            - mean * mean, 6).as("var_lum"),
+          col("tv"), (col("tv") === 0).as("is_flat"))
+    }),
+
     "q263_gini_stump" -> ((s, dir) => {
       // Best decision stump on p_retailprice for the "large part" label
       // (p_size ≥ 26): weighted Gini impurity over a FIXED 19-point

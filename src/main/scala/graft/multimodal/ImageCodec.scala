@@ -99,6 +99,65 @@ object ImageCodec {
     }
   }
 
+  case class PixelStats(
+      media_id: Long, decoded: Boolean, n_px: Long,
+      sum_lum: Long, sum_lum_sq: Long, tv: Long)
+
+  /** Exact integer pixel statistics for quality gating: channel-sum
+    * luminance sums (÷3 gray factor NOT applied — it cancels in the
+    * ratios callers compute), the squared sum, and the total variation
+    * (Σ|p−right| + Σ|p−below|) — the cheap sharpness/flatness signal
+    * (tv = 0 ⇔ a solid image; low tv ⇔ blurry/blank). PURE INTEGER end
+    * to end, so an oracle replays it from the pixel formula exactly.
+    */
+  def pixelStats(img: BufferedImage): (Long, Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val p = Array.ofDim[Long](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        p(y)(x) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+        x += 1
+      }
+      y += 1
+    }
+    var s = 0L; var s2 = 0L; var tv = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = p(y)(x)
+        s += v; s2 += v * v
+        if (x + 1 < w) tv += math.abs(p(y)(x + 1) - v)
+        if (y + 1 < h) tv += math.abs(p(y + 1)(x) - v)
+        x += 1
+      }
+      y += 1
+    }
+    (s, s2, tv)
+  }
+
+  /** Per-partition pixel-stat extraction (same iterator-batch shape as
+    * [[extractImageFeatures]]; undecodable rows emit decoded = false).
+    */
+  def extractPixelStats(media: Dataset[Multimodal.MediaRow]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        decode(r.payload) match {
+          case Some(img) =>
+            val (s, s2, tv) = pixelStats(img)
+            PixelStats(r.media_id, decoded = true,
+              img.getWidth.toLong * img.getHeight, s, s2, tv)
+          case None => PixelStats(r.media_id, decoded = false, 0L, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
   case class AHash(media_id: Long, decoded: Boolean, h_hi: Long, h_lo: Long)
 
   /** 64-bit average hash (aHash) of an 8×8 image as two 32-bit halves
