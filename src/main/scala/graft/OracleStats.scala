@@ -100,6 +100,79 @@ private[graft] object OracleStats {
              / CAST(np AS DOUBLE)), 4) AS k
          FROM f""",
 
+    "q280_kendall_tau" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+           least(CAST(floor(l_extendedprice / 4000.0) AS BIGINT), 25) AS pb
+         FROM lineitem),
+         cells AS (SELECT q, pb, CAST(count(*) AS BIGINT) AS c
+           FROM li GROUP BY 1, 2),
+         conc AS (SELECT sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS cc
+           FROM cells a JOIN cells b ON b.q > a.q AND b.pb > a.pb),
+         disc AS (SELECT sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS dd
+           FROM cells a JOIN cells b ON b.q > a.q AND b.pb < a.pb),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         tq AS (SELECT sum(CAST(tc AS HUGEINT) * CAST(tc - 1 AS HUGEINT)) AS t1
+           FROM (SELECT q, CAST(sum(c) AS BIGINT) AS tc FROM cells GROUP BY 1)),
+         tp AS (SELECT sum(CAST(tc AS HUGEINT) * CAST(tc - 1 AS HUGEINT)) AS t2
+           FROM (SELECT pb, CAST(sum(c) AS BIGINT) AS tc FROM cells GROUP BY 1)),
+         f AS (SELECT cc, dd, n.n, t1, t2,
+             CAST(n.n AS HUGEINT) * CAST(n.n - 1 AS HUGEINT) AS n0
+           FROM conc CROSS JOIN disc CROSS JOIN n CROSS JOIN tq CROSS JOIN tp)
+         SELECT n,
+           round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) / 2.0 - CAST(t1 AS DOUBLE) / 2.0)
+               * (CAST(n0 AS DOUBLE) / 2.0 - CAST(t2 AS DOUBLE) / 2.0)), 6)
+             AS tau_b
+         FROM f""",
+
+    "q281_cohens_kappa" -> {
+      s"""WITH lid AS (${OracleHelpers.langIdSql}),
+         nid AS (${OracleHelpers.ngramLangSql}),
+         cm AS (SELECT lid.pred_lang AS r1, nid.pred_lang AS r2,
+             CAST(count(*) AS BIGINT) AS c
+           FROM lid JOIN nid ON lid.doc_id = nid.doc_id GROUP BY 1, 2),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cm),
+         po AS (SELECT CAST(sum(c) AS BIGINT) AS agree FROM cm WHERE r1 = r2),
+         m1 AS (SELECT r1, CAST(sum(c) AS BIGINT) AS c1 FROM cm GROUP BY 1),
+         m2 AS (SELECT r2, CAST(sum(c) AS BIGINT) AS c2 FROM cm GROUP BY 1),
+         pe AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(c1 AS DOUBLE) / CAST(n.n AS DOUBLE))
+               * (CAST(c2 AS DOUBLE) / CAST(n.n AS DOUBLE)) ORDER BY r1)),
+             (acc, x) -> round(acc + x, 12)) AS pe
+           FROM m1 JOIN m2 ON m1.r1 = m2.r2 CROSS JOIN n)
+         SELECT n.n AS n,
+           round(CAST(agree AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS p_observed,
+           round(pe, 6) AS p_expected,
+           round((CAST(agree AS DOUBLE) / CAST(n.n AS DOUBLE) - pe)
+             / (1.0 - pe), 6) AS kappa
+         FROM po CROSS JOIN n CROSS JOIN pe"""
+    },
+
+    "q282_anova_f" ->
+      """WITH c AS (SELECT c_nationkey,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         FROM customer),
+         g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(v) AS BIGINT) AS sg,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS qg
+           FROM c GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+             sum(qg) AS q FROM g),
+         terms AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+               ORDER BY c_nationkey)), (acc, x) -> round(acc + x, 6)) AS sgg
+           FROM g),
+         f AS (SELECT k, n,
+             sgg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               AS ssb,
+             CAST(q AS DOUBLE) - sgg AS ssw
+           FROM tot CROSS JOIN terms)
+         SELECT k, n,
+           round((ssb / (CAST(k AS DOUBLE) - 1.0))
+             / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+         FROM f""",
+
     "q278_calibration_ece" ->
       """WITH li AS (SELECT l_returnflag = 'R' AS y,
            CAST(CAST(concat('0x', substr(md5('auc_' || CAST(l_orderkey AS VARCHAR)

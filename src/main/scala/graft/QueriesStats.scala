@@ -144,6 +144,108 @@ private[graft] object QueriesStats {
           / d("np")), 4).as("k"))
     }),
 
+    "q280_kendall_tau" -> ((s, dir) => {
+      // Kendall's τ-b between quantity (1..50) and a fixed price band —
+      // rank correlation with tie correction, computed ENTIRELY on the
+      // bounded contingency grid (≤ 50×26 cells): concordant/discordant
+      // pair counts are grid² joins over exact integer cell counts,
+      // never corpus² pairs. τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)).
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        least(floor(col("l_extendedprice") / 4000.0).cast("long"), lit(25L))
+          .as("pb"))
+      val cells = li.groupBy(col("q"), col("pb")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      def d(c: Column): Column = c.cast("double")
+      val conc = cells.as("a").join(cells.as("b"),
+          col("b.q") > col("a.q") && col("b.pb") > col("a.pb"))
+        .agg(sum(col("a.c").cast("decimal(38,0)") * col("b.c").cast("decimal(38,0)"))
+          .as("cc"))
+      val disc = cells.as("a").join(cells.as("b"),
+          col("b.q") > col("a.q") && col("b.pb") < col("a.pb"))
+        .agg(sum(col("a.c").cast("decimal(38,0)") * col("b.c").cast("decimal(38,0)"))
+          .as("dd"))
+      val n = cells.agg(sum(col("c")).as("n"))
+      val tq = cells.groupBy(col("q")).agg(sum(col("c")).as("tc"))
+        .agg(sum(col("tc").cast("decimal(38,0)") * (col("tc") - 1).cast("decimal(38,0)"))
+          .as("t1"))
+      val tp = cells.groupBy(col("pb")).agg(sum(col("c")).as("tc"))
+        .agg(sum(col("tc").cast("decimal(38,0)") * (col("tc") - 1).cast("decimal(38,0)"))
+          .as("t2"))
+      conc.crossJoin(disc).crossJoin(broadcast(n))
+        .crossJoin(broadcast(tq)).crossJoin(broadcast(tp))
+        .withColumn("n0",
+          col("n").cast("decimal(38,0)") * (col("n") - 1).cast("decimal(38,0)"))
+        .select(col("n"),
+          round((d(col("cc")) - d(col("dd")))
+            / sqrt((d(col("n0")) / lit(2.0) - d(col("t1")) / lit(2.0))
+              * (d(col("n0")) / lit(2.0) - d(col("t2")) / lit(2.0))), 6)
+            .as("tau_b"))
+    }),
+
+    "q281_cohens_kappa" -> ((s, dir) => {
+      // Cohen's κ agreement between the engine's TWO language-ID
+      // predictors (q35 stopword markers vs q60 char-n-gram profiles) —
+      // the inter-rater face composed from existing operators. The
+      // confusion grid is language² (≤ 25 cells); κ = (pₒ − pₑ)/(1 − pₑ)
+      // from exact integer counts.
+      val docs = tbl(s, dir, "documents")
+      val both = docs.select(col("doc_id"),
+        graft.functions.Text.langIdByStopwords(
+          graft.functions.Text.tokens(col("text")), langMarkers).as("r1"),
+        graft.plans.TextKernels.langIdNative(col("text"), ngramProfiles).as("r2"))
+      val cm = both.groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      def d(c: Column): Column = c.cast("double")
+      val n = cm.agg(sum(col("c")).as("n"))
+      val po = cm.filter(col("r1") === col("r2")).agg(sum(col("c")).as("agree"))
+      val m1 = cm.groupBy(col("r1")).agg(sum(col("c")).as("c1"))
+      val m2 = cm.groupBy(col("r2")).agg(sum(col("c")).as("c2"))
+      // pₑ = Σ_k (row_k/n)·(col_k/n): a language-grid join, folded
+      // ordered by label with a 12-dp fixed point.
+      val pe = m1.join(m2, col("r1") === col("r2"))
+        .crossJoin(broadcast(n))
+        .select(col("r1"),
+          ((d(col("c1")) / d(col("n"))) * (d(col("c2")) / d(col("n")))).as("p"))
+        .agg(aggregate(array_sort(collect_list(struct(col("r1"), col("p").as("p")))),
+          lit(0.0), (acc, e) => round(acc + e.getField("p"), 12)).as("pe"))
+      po.crossJoin(broadcast(n)).crossJoin(broadcast(pe))
+        .withColumn("po", d(col("agree")) / d(col("n")))
+        .select(col("n"), round(col("po"), 6).as("p_observed"),
+          round(col("pe"), 6).as("p_expected"),
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
+    }),
+
+    "q282_anova_f" -> ((s, dir) => {
+      // One-way ANOVA F across nations on customer account balance:
+      // between/within sums of squares from EXACT integer-cents moments
+      // (group sums and squared sums in DECIMAL(38,0)), so the only
+      // float ops are the final closed-form divisions. Outputs F and
+      // both degrees of freedom.
+      val c = tbl(s, dir, "customer").select(col("c_nationkey"),
+        expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)").as("v"))
+      val vd = col("v").cast("decimal(38,0)")
+      val g = c.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"), sum(vd * vd).as("qg"))
+        .localCheckpoint()
+      def d(c: Column): Column = c.cast("double")
+      val tot = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"), sum(col("qg")).as("q"))
+      // SSB = Σ sg²/ng − s²/n (per-group terms fold ordered by nation);
+      // SSW = q − Σ sg²/ng.
+      val terms = g.select(col("c_nationkey"),
+        (d(col("sg")) * d(col("sg")) / d(col("ng"))).as("t"))
+        .agg(aggregate(array_sort(collect_list(struct(col("c_nationkey"),
+            col("t").as("t")))), lit(0.0),
+          (acc, e) => round(acc + e.getField("t"), 6)).as("sgg"))
+      tot.crossJoin(broadcast(terms))
+        .withColumn("ssb", col("sgg") - d(col("s")) * d(col("s")) / d(col("n")))
+        .withColumn("ssw", d(col("q")) - col("sgg"))
+        .select(col("k"), col("n"),
+          round((col("ssb") / (d(col("k")) - lit(1.0)))
+            / (col("ssw") / (d(col("n")) - d(col("k")))), 6).as("f_stat"))
+    }),
+
     "q278_calibration_ece" -> ((s, dir) => {
       // Reliability table + expected calibration error for the q259
       // synthetic scorer: 10 equal-width confidence bins, per-bin mean
