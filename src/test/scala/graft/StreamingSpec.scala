@@ -893,4 +893,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(rollup == declared && declared.nonEmpty)
   }
+
+  test("streaming geo cells: shuffled arrival converges to the q266 occupancy exactly") {
+    import graft.streaming.StreamingGeoCells
+    import graft.streaming.StreamingGeoCells.{PointEv, CellCount}
+    val evs = StreamingGeoCells
+      .fromCustomers(QueryDsl.tbl(spark, sfDir, "customer")).collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PointEv]
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, CellCount]()
+    val q = StreamingGeoCells.counters(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[CellCount], _: Long) =>
+        df.collect().foreach(r => last.put(r.cell, r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingGeoCells
+      .rollup(spark.createDataset(last.values.asScala.toSeq).toDF())
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q266_geohash_cells")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
 }
