@@ -173,6 +173,127 @@ private[graft] object OracleStats {
              / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
          FROM f""",
 
+    "q283_multiclass_f1" -> {
+      s"""WITH nid AS (${OracleHelpers.ngramLangSql}),
+         labels AS (SELECT actual_lang AS lang FROM nid
+           UNION SELECT pred_lang FROM nid),
+         tpx AS (SELECT actual_lang AS lang, CAST(count(*) AS BIGINT) AS tp
+           FROM nid WHERE actual_lang = pred_lang GROUP BY 1),
+         ap AS (SELECT actual_lang AS lang, CAST(count(*) AS BIGINT) AS na
+           FROM nid GROUP BY 1),
+         pp AS (SELECT pred_lang AS lang, CAST(count(*) AS BIGINT) AS np
+           FROM nid GROUP BY 1),
+         base AS (SELECT l.lang, coalesce(tp, 0) AS tp, coalesce(na, 0) AS na,
+             coalesce(np, 0) AS np
+           FROM labels l LEFT JOIN tpx ON l.lang = tpx.lang
+           LEFT JOIN ap ON l.lang = ap.lang LEFT JOIN pp ON l.lang = pp.lang),
+         pr AS (SELECT lang, tp, na, np,
+             CASE WHEN np > 0 THEN CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)
+                  ELSE 0.0 END AS precision,
+             CASE WHEN na > 0 THEN CAST(tp AS DOUBLE) / CAST(na AS DOUBLE)
+                  ELSE 0.0 END AS recall
+           FROM base),
+         per AS (SELECT lang, tp, na, np, precision, recall,
+             CASE WHEN precision + recall > 0
+                  THEN 2.0 * precision * recall / (precision + recall)
+                  ELSE 0.0 END AS f1
+           FROM pr),
+         mac AS (SELECT '__macro__' AS lang, CAST(sum(tp) AS BIGINT) AS tp,
+             CAST(sum(na) AS BIGINT) AS na, CAST(sum(np) AS BIGINT) AS np,
+             0.0 AS precision, 0.0 AS recall,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(f1 ORDER BY lang)), (acc, x) -> round(acc + x, 12))
+               / CAST(count(*) AS DOUBLE) AS f1
+           FROM per)
+         SELECT lang, tp, na, np, round(precision, 6) AS precision,
+           round(recall, 6) AS recall, round(f1, 6) AS f1 FROM per
+         UNION ALL
+         SELECT lang, tp, na, np, round(precision, 6), round(recall, 6),
+           round(f1, 6) FROM mac"""
+    },
+
+    "q284_clustering_eval" -> {
+      s"""WITH comp AS MATERIALIZED (${OracleHelpers.neardupComponentsSql}),
+         grid AS (SELECT coalesce(component, e.vec_id) AS community, label,
+             CAST(count(*) AS BIGINT) AS c
+           FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.vec_id
+           GROUP BY 1, 2),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid),
+         byc AS (SELECT community, CAST(sum(c) AS BIGINT) AS nc,
+             CAST(max(c) AS BIGINT) AS mx FROM grid GROUP BY 1),
+         byn AS (SELECT label, CAST(sum(c) AS BIGINT) AS nn
+           FROM grid GROUP BY 1),
+         hc AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(-(CAST(nc AS DOUBLE) / CAST(n.n AS DOUBLE))
+               * ln(CAST(nc AS DOUBLE) / CAST(n.n AS DOUBLE))
+               ORDER BY community)), (acc, x) -> round(acc + x, 12)) AS hc
+           FROM byc CROSS JOIN n),
+         hn AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(-(CAST(nn AS DOUBLE) / CAST(n.n AS DOUBLE))
+               * ln(CAST(nn AS DOUBLE) / CAST(n.n AS DOUBLE))
+               ORDER BY label)), (acc, x) -> round(acc + x, 12)) AS hn
+           FROM byn CROSS JOIN n),
+         mi AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+               * ln(CAST(n.n AS DOUBLE) * CAST(c AS DOUBLE)
+                 / (CAST(nc AS DOUBLE) * CAST(nn AS DOUBLE)))
+               ORDER BY community, label)),
+             (acc, x) -> round(acc + x, 12)) AS mi
+           FROM grid JOIN byc USING (community) JOIN byn USING (label)
+           CROSS JOIN n),
+         pur AS (SELECT CAST(sum(mx) AS DOUBLE) / CAST(max(n.n) AS DOUBLE)
+             AS purity, CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(max(n.n) AS BIGINT) AS n
+           FROM byc CROSS JOIN n)
+         SELECT pur.n AS n, n_communities, round(purity, 6) AS purity,
+           round(CASE WHEN hc > 0 AND hn > 0 THEN mi / sqrt(hc * hn)
+                 ELSE 0.0 END, 6) AS nmi
+         FROM pur CROSS JOIN hc CROSS JOIN hn CROSS JOIN mi"""
+    },
+
+    "q285_mcc" -> {
+      s"""WITH nid AS (${OracleHelpers.ngramLangSql}),
+         b AS (SELECT actual_lang = 'en' AS t, pred_lang = 'en' AS p FROM nid),
+         cm AS (SELECT
+             CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT)
+               AS tn,
+             CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM b)
+         SELECT tp, tn, fp, fn,
+           round(CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+               - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE)
+             / (sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(tp + fn AS DOUBLE))
+               * sqrt(CAST(tn + fp AS DOUBLE)) * sqrt(CAST(tn + fn AS DOUBLE))),
+             6) AS mcc
+         FROM cm"""
+    },
+
+    "q286_psi" ->
+      """WITH e AS (SELECT event_id % 2 = 0 AS h,
+           least(CAST(floor(value / 100.0) AS BIGINT), 9) AS band
+         FROM events),
+         g AS (SELECT band,
+             CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN h THEN 0 ELSE 1 END) AS BIGINT) AS c2
+           FROM e GROUP BY 1),
+         tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+             CAST(sum(c2) AS BIGINT) AS t2 FROM g),
+         terms AS (SELECT band, c1, c2,
+             CASE WHEN c1 > 0 AND c2 > 0 THEN
+               (CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                 - CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE))
+               * ln((CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                 / (CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)))
+             ELSE 0.0 END AS term
+           FROM g CROSS JOIN tot),
+         p AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY band)), (acc, x) -> round(acc + x, 12)) AS psi
+           FROM terms)
+         SELECT band, c1, c2, round(term, 6) AS term, round(psi, 6) AS psi
+         FROM terms CROSS JOIN p""",
+
     "q278_calibration_ece" ->
       """WITH li AS (SELECT l_returnflag = 'R' AS y,
            CAST(CAST(concat('0x', substr(md5('auc_' || CAST(l_orderkey AS VARCHAR)

@@ -246,6 +246,167 @@ private[graft] object QueriesStats {
             / (col("ssw") / (d(col("n")) - d(col("k")))), 6).as("f_stat"))
     }),
 
+    "q283_multiclass_f1" -> ((s, dir) => {
+      // Per-language precision/recall/F1 for the n-gram language
+      // identifier, plus the macro row — the multiclass-evaluation face
+      // next to q281's agreement κ. Confusion counts live on the
+      // language² grid; zero-denominator classes define P/R/F1 = 0 in
+      // both engines; macro-F1 folds ordered by language.
+      val both = tbl(s, dir, "documents").select(col("lang").as("actual"),
+        graft.plans.TextKernels.langIdNative(col("text"), ngramProfiles)
+          .as("pred"))
+      val labels = both.select(col("actual").as("lang"))
+        .union(both.select(col("pred"))).distinct()
+      val tp = both.filter(col("actual") === col("pred"))
+        .groupBy(col("actual").as("lang")).agg(count(lit(1)).as("tp"))
+      val ap = both.groupBy(col("actual").as("lang")).agg(count(lit(1)).as("na"))
+      val pp = both.groupBy(col("pred").as("lang")).agg(count(lit(1)).as("np"))
+      def d(c: Column): Column = c.cast("double")
+      def safe(num: Column, den: Column): Column =
+        when(den > 0, num / den).otherwise(lit(0.0))
+      val per = labels.join(tp, Seq("lang"), "left")
+        .join(ap, Seq("lang"), "left").join(pp, Seq("lang"), "left")
+        .select(col("lang"), coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("np"), lit(0L)).as("np"))
+        .withColumn("precision", safe(d(col("tp")), d(col("np"))))
+        .withColumn("recall", safe(d(col("tp")), d(col("na"))))
+        .withColumn("f1", when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall"))).otherwise(lit(0.0)))
+        .localCheckpoint()
+      val macroRow = per.agg(
+        aggregate(array_sort(collect_list(struct(col("lang"), col("f1").as("v")))),
+          lit(0.0), (acc, e) => round(acc + e.getField("v"), 12)).as("sf1"),
+        count(lit(1)).as("k"), sum(col("tp")).as("tp"), sum(col("na")).as("na"),
+        sum(col("np")).as("np"))
+        .select(lit("__macro__").as("lang"), col("tp"), col("na"), col("np"),
+          lit(0.0).as("precision"), lit(0.0).as("recall"),
+          (col("sf1") / col("k").cast("double")).as("f1"))
+      per.select(col("lang"), col("tp"), col("na"), col("np"),
+          col("precision"), col("recall"), col("f1"))
+        .union(macroRow)
+        .select(col("lang"), col("tp"), col("na"), col("np"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"), round(col("f1"), 6).as("f1"))
+    }),
+
+    "q284_clustering_eval" -> ((s, dir) => {
+      // External clustering evaluation of the q72 LSH near-dup
+      // components against the embedding LABEL ground truth: purity and
+      // NMI. (First cut evaluated the q169 label-propagation
+      // communities — the co-purchase graph is so dense that LP
+      // collapses to ONE community at every threshold, H(C) = 0 and NMI
+      // is undefined; the near-dup components have real cluster
+      // structure.) Vectors in no pair are their own singleton cluster;
+      // the (cluster × label) grid is bounded; entropies and mutual
+      // information fold ordered over it with a 12-dp fixed point.
+      val e = tbl(s, dir, "embeddings")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val pairs = graft.operators.Similarity.nearDuplicatePairs(e, "vec_id",
+        "embedding", nPlanes = 4, dim = dim, threshold = 0.3)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("vertex", "vec_id")
+      val grid = e.select(col("vec_id"), col("label"))
+        .join(comp, Seq("vec_id"), "left")
+        .select(coalesce(col("component"), col("vec_id")).as("community"),
+          col("label"))
+        .groupBy(col("community"), col("label")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      def d(c: Column): Column = c.cast("double")
+      val n = grid.agg(sum(col("c")).as("n"))
+      val byC = grid.groupBy(col("community")).agg(sum(col("c")).as("nc"),
+        max(col("c")).as("mx")).localCheckpoint()
+      val byN = grid.groupBy(col("label")).agg(sum(col("c")).as("nn"))
+      def entFold(df: DataFrame, key: Column, cnt: Column, out: String) =
+        df.crossJoin(broadcast(n))
+          .select(key.as("k"),
+            (-(d(cnt) / d(col("n"))) * log(d(cnt) / d(col("n")))).as("e"))
+          .agg(aggregate(array_sort(collect_list(struct(col("k"),
+              col("e").as("e")))), lit(0.0),
+            (acc, e) => round(acc + e.getField("e"), 12)).as(out))
+      val hc = entFold(byC, col("community"), col("nc"), "hc")
+      val hn = entFold(byN, col("label"), col("nn"), "hn")
+      val mi = grid
+        .join(broadcast(byC.select(col("community"), col("nc"))), Seq("community"))
+        .join(broadcast(byN), Seq("label"))
+        .crossJoin(broadcast(n))
+        .select(col("community"), col("label"),
+          ((d(col("c")) / d(col("n"))) *
+            log(d(col("n")) * d(col("c")) / (d(col("nc")) * d(col("nn")))))
+            .as("i"))
+        .agg(aggregate(array_sort(collect_list(struct(col("community"),
+            col("label"), col("i").as("i")))), lit(0.0),
+          (acc, e) => round(acc + e.getField("i"), 12)).as("mi"))
+      val purity = byC.crossJoin(broadcast(n))
+        .agg((sum(col("mx")).cast("double")
+          / max(col("n")).cast("double")).as("purity"),
+          count(lit(1)).as("n_communities"), max(col("n")).as("n"))
+      purity.crossJoin(broadcast(hc)).crossJoin(broadcast(hn))
+        .crossJoin(broadcast(mi))
+        .select(col("n"), col("n_communities"), round(col("purity"), 6).as("purity"),
+          round(when(col("hc") > 0 && col("hn") > 0,
+            col("mi") / sqrt(col("hc") * col("hn"))).otherwise(lit(0.0)), 6)
+            .as("nmi"))
+    }),
+
+    "q285_mcc" -> ((s, dir) => {
+      // Matthews correlation for the binary "is English" task (truth =
+      // document lang, prediction = the n-gram identifier): the
+      // balanced-binary-classifier metric from four exact integer
+      // counts; products ride DECIMAL(38,0), the denominator is the
+      // product of four square roots (textually mirrored).
+      val both = tbl(s, dir, "documents").select(
+        (col("lang") === "en").as("t"),
+        (graft.plans.TextKernels.langIdNative(col("text"), ngramProfiles)
+          === "en").as("p"))
+      val cm = both.agg(
+        sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("fn"))
+      def dd(c: Column): Column = c.cast("decimal(38,0)")
+      def d(c: Column): Column = c.cast("double")
+      cm.select(col("tp"), col("tn"), col("fp"), col("fn"),
+        round((d(dd(col("tp")) * dd(col("tn")) - dd(col("fp")) * dd(col("fn"))))
+          / (sqrt(d(col("tp") + col("fp"))) * sqrt(d(col("tp") + col("fn")))
+            * sqrt(d(col("tn") + col("fp"))) * sqrt(d(col("tn") + col("fn")))), 6)
+          .as("mcc"))
+    }),
+
+    "q286_psi" -> ((s, dir) => {
+      // Population Stability Index between two deterministic halves of
+      // the event stream (event_id parity) over fixed value bands — the
+      // industry drift gate next to q127's KL. Band counts are exact
+      // integers; the ≤10-term Σ(p−q)·ln(p/q) folds ordered by band,
+      // empty-on-either-side bands contribute 0 in both engines.
+      val e = Tables.events(s, dir).select(
+        (col("event_id") % 2 === 0).as("h"),
+        least(floor(col("value") / 100.0).cast("long"), lit(9L)).as("band"))
+      val g = e.groupBy(col("band")).agg(
+        sum(when(col("h"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("h"), 0L).otherwise(1L)).as("c2"))
+        .localCheckpoint()
+      val tot = g.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      def d(c: Column): Column = c.cast("double")
+      val terms = g.crossJoin(broadcast(tot))
+        .select(col("band"), col("c1"), col("c2"),
+          when(col("c1") > 0 && col("c2") > 0,
+            (d(col("c1")) / d(col("t1")) - d(col("c2")) / d(col("t2")))
+              * log((d(col("c1")) / d(col("t1")))
+                / (d(col("c2")) / d(col("t2")))))
+            .otherwise(lit(0.0)).as("term"))
+        .localCheckpoint()
+      val psi = terms.agg(
+        aggregate(array_sort(collect_list(struct(col("band"),
+            col("term").as("t")))), lit(0.0),
+          (acc, e) => round(acc + e.getField("t"), 12)).as("psi"))
+      terms.crossJoin(broadcast(psi))
+        .select(col("band"), col("c1"), col("c2"),
+          round(col("term"), 6).as("term"), round(col("psi"), 6).as("psi"))
+    }),
+
     "q278_calibration_ece" -> ((s, dir) => {
       // Reliability table + expected calibration error for the q259
       // synthetic scorer: 10 equal-width confidence bins, per-bin mean
