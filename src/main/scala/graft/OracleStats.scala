@@ -294,6 +294,51 @@ private[graft] object OracleStats {
          SELECT band, c1, c2, round(term, 6) AS term, round(psi, 6) AS psi
          FROM terms CROSS JOIN p""",
 
+    "q287_apportionment" ->
+      """WITH counts AS (SELECT source,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             AS tok
+         FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM counts),
+         q AS (SELECT source, tok, (tok * 1000) // tt AS fl,
+             tok * 1000 - ((tok * 1000) // tt) * tt AS rem
+           FROM counts CROSS JOIN tot),
+         r AS (SELECT source, tok, fl,
+             CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+               AS rk
+           FROM q),
+         lo AS (SELECT 1000 - CAST(sum(fl) AS BIGINT) AS extra FROM q)
+         SELECT source, tok, fl AS floor_quota,
+           CAST(fl + (CASE WHEN rk <= extra THEN 1 ELSE 0 END) AS BIGINT)
+             AS allocated
+         FROM r CROSS JOIN lo""",
+
+    "q288_er_survivorship" ->
+      """WITH RECURSIVE dn AS (SELECT p_name, min(p_partkey) AS k,
+             CAST(count(*) AS BIGINT) AS n,
+             max(CAST(p_retailprice AS DECIMAL(18,2))) AS mx
+           FROM part GROUP BY 1),
+         t AS (SELECT p_name, k, n, mx,
+             string_split(p_name, ' ')[1] AS blk FROM dn),
+         pr AS (SELECT a.k AS key_a, b.k AS key_b
+           FROM t a JOIN t b ON a.blk = b.blk AND a.k < b.k
+           WHERE levenshtein(a.p_name, b.p_name) <= 3),
+         edges AS (SELECT key_a AS a, key_b AS b FROM pr
+                   UNION SELECT key_b, key_a FROM pr),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         comp AS (SELECT a AS k, least(a, min(b)) AS component
+           FROM reach GROUP BY a),
+         lab AS (SELECT coalesce(component, t.k) AS cluster, p_name, n, mx
+           FROM t LEFT JOIN comp ON t.k = comp.k)
+         SELECT cluster, CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           min(p_name) AS canonical_name,
+           CAST(max(mx) AS DOUBLE) AS max_retail
+         FROM lab GROUP BY 1 HAVING count(*) >= 2""",
+
     "q278_calibration_ece" ->
       """WITH li AS (SELECT l_returnflag = 'R' AS y,
            CAST(CAST(concat('0x', substr(md5('auc_' || CAST(l_orderkey AS VARCHAR)

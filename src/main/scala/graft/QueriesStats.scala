@@ -407,6 +407,68 @@ private[graft] object QueriesStats {
           round(col("term"), 6).as("term"), round(col("psi"), 6).as("psi"))
     }),
 
+    "q287_apportionment" -> ((s, dir) => {
+      // Largest-remainder (Hamilton) apportionment of a 1000-sample
+      // budget across sources by exact token share — the EXACT-quota
+      // allocator next to q139's water-filling (quotas sum to the budget
+      // by construction, no iterative rebalancing). Corpus work is one
+      // (source, token-count) aggregate; floors, remainders and the
+      // remainder rank all live on the source grid (triangular-join
+      // rank — bounded).
+      val counts = tbl(s, dir, "documents")
+        .select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+        .groupBy(col("source")).agg(sum(col("ntok")).as("tok"))
+        .localCheckpoint()
+      val tot = counts.agg(sum(col("tok")).as("tt"))
+      // Exact integer floor quota: (tok * 1000) div tt; remainder
+      // compared as the exact integer tok*1000 − floor*tt (no floats).
+      val q = counts.crossJoin(broadcast(tot))
+        .withColumn("fl", expr("div(tok * 1000, tt)"))
+        .withColumn("rem", col("tok") * 1000 - col("fl") * col("tt"))
+        .localCheckpoint()
+      val ranked = operators.ScalableWindow.boundedRankCum(
+        q.select(col("source"), col("tok"), col("fl"), col("rem")),
+        Seq(("rem", false), ("source", true)), "rk")
+      val leftover = q.agg((lit(1000L) - sum(col("fl"))).as("extra"))
+      ranked.crossJoin(broadcast(leftover))
+        .select(col("source"), col("tok"), col("fl").as("floor_quota"),
+          (col("fl") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+            .as("allocated"))
+    }),
+
+    "q288_er_survivorship" -> ((s, dir) => {
+      // Entity-resolution survivorship — the missing last stage of the
+      // q207 linkage pipeline: fuzzy class pairs → connected components
+      // → ONE golden record per merged cluster (canonical name = lexical
+      // min, members/rows counted, max list price), emitted only for
+      // clusters that actually merged ≥ 2 name classes. Everything
+      // after the q207 block join is vocabulary-bounded.
+      val part = tbl(s, dir, "part")
+      val classes = part.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("k"), count(lit(1)).as("n"),
+          max(col("p_retailprice").cast(dec)).as("mx"))
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+        .localCheckpoint()
+      val a = classes.select(col("blk"), col("p_name").as("name_a"),
+        col("k").as("key_a"))
+      val b = classes.select(col("blk"), col("p_name").as("name_b"),
+        col("k").as("key_b"))
+      val pairs = a.join(b, Seq("blk")).filter(col("key_a") < col("key_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("key_a"), col("key_b"))
+      val comp = graft.operators.Dedup.connectedComponents(pairs, "key_a", "key_b")
+      val labeled = classes
+        .join(comp.select(col("vertex").as("k"), col("component")), Seq("k"), "left")
+        .select(coalesce(col("component"), col("k")).as("cluster"),
+          col("p_name"), col("n"), col("mx"))
+      labeled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_names"), sum(col("n")).as("n_rows"),
+          min(col("p_name")).as("canonical_name"),
+          max(col("mx")).cast("double").as("max_retail"))
+        .filter(col("n_names") >= 2)
+    }),
+
     "q278_calibration_ece" -> ((s, dir) => {
       // Reliability table + expected calibration error for the q259
       // synthetic scorer: 10 equal-width confidence bins, per-bin mean
