@@ -294,6 +294,83 @@ private[graft] object OracleStats {
          SELECT band, c1, c2, round(term, 6) AS term, round(psi, 6) AS psi
          FROM terms CROSS JOIN p""",
 
+    "q289_grubbs_test" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2 FROM m),
+         w AS (SELECT month, n,
+             abs(CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)
+                 * ((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+               / (CAST(n AS DOUBLE) - 1.0)) AS dev
+           FROM m CROSS JOIN g)
+         SELECT n, month AS outlier_month, round(dev, 6) AS g_stat
+         FROM w ORDER BY dev DESC, month LIMIT 1""",
+
+    "q290_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, x
+           FROM daily),
+         rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS cnt FROM idx),
+         med AS (SELECT (CAST(max(CASE WHEN rn <= (cnt + 1) // 2 THEN x END)
+               AS DOUBLE)
+             + CAST(max(CASE WHEN rn <= cnt // 2 + 1 THEN x END) AS DOUBLE))
+             / 2.0 AS med FROM rk),
+         signs AS (SELECT t, CAST(x AS DOUBLE) > med AS up
+           FROM idx CROSS JOIN med WHERE CAST(x AS DOUBLE) <> med),
+         rr AS (SELECT up, CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS r
+           FROM signs),
+         fl AS (SELECT CAST(sum(CASE WHEN a.up <> b.up THEN 1 ELSE 0 END)
+             AS BIGINT) AS fl
+           FROM rr a JOIN rr b ON b.r = a.r + 1),
+         nn AS (SELECT CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2 FROM rr),
+         f AS (SELECT fl + 1 AS runs, n1, n2,
+             2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0 AS mu,
+             (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+               * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+               * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)) AS s2
+           FROM fl CROSS JOIN nn)
+         SELECT n1, n2, CAST(runs AS BIGINT) AS runs,
+           round((CAST(runs AS DOUBLE) - mu) / sqrt(s2), 6) AS z
+         FROM f""",
+
+    "q291_gains_table" ->
+      """WITH li AS (SELECT l_returnflag = 'R' AS y,
+           CAST(CAST(concat('0x', substr(md5('auc_' || CAST(l_orderkey AS VARCHAR)
+             || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS score
+         FROM lineitem),
+         bins AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+           FROM li GROUP BY 1),
+         cum AS (SELECT decile, n, pos,
+             CAST(sum(n) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cpos
+           FROM bins),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(pos) AS BIGINT) AS tp FROM bins)
+         SELECT decile, n, pos,
+           round(CAST(cpos AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS cum_capture,
+           round((CAST(cpos AS DOUBLE) / CAST(cn AS DOUBLE))
+             / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
+         FROM cum CROSS JOIN tot""",
+
     "q287_apportionment" ->
       """WITH counts AS (SELECT source,
            CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)

@@ -83,11 +83,13 @@ private[graft] object QueriesStats {
       val cnt = slopes.count() // bounded: month-grid² pairs
       val k1 = ((cnt + 1) / 2).toInt
       val k2 = (cnt / 2 + 1).toInt
-      def kth(k: Int): DataFrame =
-        slopes.orderBy(col("slope")).limit(k).agg(max(col("slope")).as(s"s$k"))
-      kth(k1).crossJoin(kth(k2))
+      // Distinct output names: k1 == k2 on odd counts (the q290 lesson —
+      // same-named aggregates make the crossJoin ambiguous).
+      def kth(k: Int, as: String): DataFrame =
+        slopes.orderBy(col("slope")).limit(k).agg(max(col("slope")).as(as))
+      kth(k1, "sa").crossJoin(kth(k2, "sb"))
         .select(lit(cnt).as("n_slopes"),
-          round((col(s"s$k1") + col(s"s$k2")) / lit(2.0), 6)
+          round((col("sa") + col("sb")) / lit(2.0), 6)
             .as("slope_cents_per_month"))
     }),
 
@@ -405,6 +407,98 @@ private[graft] object QueriesStats {
       terms.crossJoin(broadcast(psi))
         .select(col("band"), col("c1"), col("c2"),
           round(col("term"), 6).as("term"), round(col("psi"), 6).as("psi"))
+    }),
+
+    "q289_grubbs_test" -> ((s, dir) => {
+      // Grubbs' max-studentized-deviation outlier test on the monthly
+      // revenue grid: G = max|x−μ|/s over the calendar-bounded months,
+      // moments from EXACT cents (Σx, Σx² in DECIMAL(38,0)), the argmax
+      // a TakeOrdered head on the grid with month tie-break.
+      val m = tbl(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+          .as("x"))
+        .localCheckpoint()
+      val xd = col("x").cast("decimal(38,0)")
+      val g = m.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(xd * xd).as("s2"))
+      def d(c: Column): Column = c.cast("double")
+      val withStats = m.crossJoin(broadcast(g))
+        .withColumn("mu", d(col("s1")) / d(col("n")))
+        .withColumn("sd", sqrt((d(col("s2")) - d(col("n")) * (col("mu") * col("mu")))
+          / (d(col("n")) - lit(1.0))))
+        .withColumn("dev", abs(d(col("x")) - col("mu")) / col("sd"))
+      withStats.orderBy(col("dev").desc, col("month")).limit(1)
+        .select(col("n"), col("month").as("outlier_month"),
+          round(col("dev"), 6).as("g_stat"))
+    }),
+
+    "q290_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs test for randomness of the daily revenue
+      // series around its median: exact median by max-of-top-k on the
+      // day grid, runs counted from consecutive sign flips (grid
+      // re-ranked after dropping median-equal days), z from the
+      // closed-form run moments — integers everywhere until the final
+      // division.
+      val idx = dailyIdx(s, dir).localCheckpoint()
+      val cnt = idx.count() // bounded: day-grid size
+      val k1 = ((cnt + 1) / 2).toInt
+      val k2 = (cnt / 2 + 1).toInt
+      def kth(k: Int, as: String): DataFrame =
+        idx.orderBy(col("x")).limit(k).agg(max(col("x")).as(as))
+      val med = kth(k1, "ma").crossJoin(kth(k2, "mb"))
+        .select(((col("ma") + col("mb")).cast("double") / lit(2.0))
+          .as("med"))
+      val signs = idx.crossJoin(broadcast(med))
+        .filter(col("x").cast("double") =!= col("med"))
+        .select(col("t"), (col("x").cast("double") > col("med")).as("up"))
+      val ranked = operators.ScalableWindow
+        .boundedRankCum(signs, Seq(("t", true)), "r")
+        .localCheckpoint()
+      val flips = ranked.as("a")
+        .join(ranked.as("b"), col("b.r") === col("a.r") + 1)
+        .agg(sum(when(col("a.up") =!= col("b.up"), 1L).otherwise(0L)).as("fl"))
+      val nn = ranked.agg(
+        sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("up"), 0L).otherwise(1L)).as("n2"))
+      def d(c: Column): Column = c.cast("double")
+      flips.crossJoin(broadcast(nn))
+        .withColumn("runs", col("fl") + 1L)
+        .withColumn("mu", lit(2.0) * d(col("n1")) * d(col("n2"))
+          / (d(col("n1")) + d(col("n2"))) + lit(1.0))
+        .withColumn("s2",
+          (lit(2.0) * d(col("n1")) * d(col("n2"))
+            * (lit(2.0) * d(col("n1")) * d(col("n2"))
+              - d(col("n1")) - d(col("n2"))))
+          / ((d(col("n1")) + d(col("n2"))) * (d(col("n1")) + d(col("n2")))
+            * (d(col("n1")) + d(col("n2")) - lit(1.0))))
+        .select(col("n1"), col("n2"), col("runs"),
+          round((d(col("runs")) - col("mu")) / sqrt(col("s2")), 6).as("z"))
+    }),
+
+    "q291_gains_table" -> ((s, dir) => {
+      // Cumulative-gains / lift table for the q259 scorer: capture rate
+      // and lift per score decile, cumulated best-score-first. Decile
+      // counts are exact integers from one corpus pass; the 10-row
+      // cumulative pass is the grid triangular join.
+      val li = tbl(s, dir, "lineitem").select(
+        (col("l_returnflag") === "R").as("y"),
+        graft.plans.TextKernels.unitHashNative(concat(lit("auc_"),
+          col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))).as("score"))
+      val bins = li
+        .withColumn("decile", least(floor(col("score") * 10).cast("long"), lit(9L)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+      val cum = operators.ScalableWindow.boundedRankCum(bins,
+        Seq(("decile", false)), "r", Seq(("n", "cn"), ("pos", "cpos")))
+      val tot = bins.agg(sum(col("n")).as("tn"), sum(col("pos")).as("tp"))
+      def d(c: Column): Column = c.cast("double")
+      cum.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("pos"),
+          round(d(col("cpos")) / d(col("tp")), 6).as("cum_capture"),
+          round((d(col("cpos")) / d(col("cn")))
+            / (d(col("tp")) / d(col("tn"))), 6).as("lift"))
     }),
 
     "q287_apportionment" -> ((s, dir) => {
