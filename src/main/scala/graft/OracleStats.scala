@@ -294,6 +294,73 @@ private[graft] object OracleStats {
          SELECT band, c1, c2, round(term, 6) AS term, round(psi, 6) AS psi
          FROM terms CROSS JOIN p""",
 
+    "q292_mcnemar" -> {
+      s"""WITH lid AS (${OracleHelpers.langIdSql}),
+         nid AS (${OracleHelpers.ngramLangSql}),
+         b0 AS (SELECT lid.pred_lang = lid.actual_lang AS c1,
+             nid.pred_lang = nid.actual_lang AS c2
+           FROM lid JOIN nid ON lid.doc_id = nid.doc_id),
+         cm AS (SELECT
+             CAST(sum(CASE WHEN c1 AND NOT c2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM b0)
+         SELECT b, c,
+           round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+             * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+             / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) AS chi2,
+           round((abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+             * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+             / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) AS chi2_cc
+         FROM cm"""
+    },
+
+    "q293_power_analysis" ->
+      """WITH b AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS pos
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         p AS (SELECT brand, n,
+             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+             (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1.1 AS p2
+           FROM b),
+         f AS (SELECT brand, n, p1, p2, (p1 + p2) / 2.0 AS pbar FROM p)
+         SELECT brand, n, round(p1, 6) AS base_rate,
+           CAST(ceil(((1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+               + 0.8416 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+             * (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+               + 0.8416 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))))
+             / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+         FROM f""",
+
+    "q294_xbar_control_chart" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, x
+           FROM daily),
+         weeks AS (SELECT (t - 1) // 7 AS wk, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(max(x) AS BIGINT) AS mx,
+             CAST(min(x) AS BIGINT) AS mn
+           FROM idx GROUP BY 1),
+         ws AS (SELECT wk, CAST(sx AS DOUBLE) / 7.0 AS xbar,
+             CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) AS r
+           FROM weeks WHERE nd = 7),
+         ctr AS (SELECT
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(xbar ORDER BY wk)), (acc, x) -> round(acc + x, 6))
+               / CAST(count(*) AS DOUBLE) AS cl,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(r ORDER BY wk)), (acc, x) -> round(acc + x, 6))
+               / CAST(count(*) AS DOUBLE) AS rbar
+           FROM ws)
+         SELECT wk, round(xbar, 2) AS xbar, round(cl, 2) AS center,
+           round(cl + 0.419 * rbar, 2) AS ucl,
+           round(cl - 0.419 * rbar, 2) AS lcl,
+           (xbar > cl + 0.419 * rbar OR xbar < cl - 0.419 * rbar)
+             AS out_of_control
+         FROM ws CROSS JOIN ctr""",
+
     "q289_grubbs_test" ->
       """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -409,6 +409,91 @@ private[graft] object QueriesStats {
           round(col("term"), 6).as("term"), round(col("psi"), 6).as("psi"))
     }),
 
+    "q292_mcnemar" -> ((s, dir) => {
+      // McNemar's paired test between the two language identifiers
+      // (stopword vs n-gram) on per-document CORRECTNESS — the paired
+      // significance view next to q281's agreement κ. Only the
+      // discordant cells matter: χ² = (b−c)²/(b+c), with the
+      // continuity-corrected variant alongside; exact integers until
+      // the final division.
+      val both = tbl(s, dir, "documents").select(
+        (graft.functions.Text.langIdByStopwords(
+          graft.functions.Text.tokens(col("text")), langMarkers)
+          === col("lang")).as("c1"),
+        (graft.plans.TextKernels.langIdNative(col("text"), ngramProfiles)
+          === col("lang")).as("c2"))
+      val cm = both.agg(
+        sum(when(col("c1") && !col("c2"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("c1") && col("c2"), 1L).otherwise(0L)).as("c"))
+      def d(c: Column): Column = c.cast("double")
+      cm.select(col("b"), col("c"),
+        round((d(col("b")) - d(col("c"))) * (d(col("b")) - d(col("c")))
+          / (d(col("b")) + d(col("c"))), 6).as("chi2"),
+        round((abs(d(col("b")) - d(col("c"))) - lit(1.0))
+          * (abs(d(col("b")) - d(col("c"))) - lit(1.0))
+          / (d(col("b")) + d(col("c"))), 6).as("chi2_cc"))
+    }),
+
+    "q293_power_analysis" -> ((s, dir) => {
+      // Two-proportion sample-size planning per brand: n per arm to
+      // detect a +10% relative lift in the return rate at α = 0.05
+      // (two-sided) and power 0.80 — n = (z_α·√(2p̄q̄) +
+      // z_β·√(p₁q₁+p₂q₂))² / (p₂−p₁)². Brand-grid closed forms over
+      // exact integer counts; z constants are literals in both engines.
+      val b = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+      def d(c: Column): Column = c.cast("double")
+      val p1 = d(col("pos")) / d(col("n"))
+      val p2 = p1 * lit(1.1)
+      val pbar = (p1 + p2) / lit(2.0)
+      val num = lit(1.96) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+        lit(0.8416) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+      b.select(col("brand"), col("n"),
+        round(p1, 6).as("base_rate"),
+        ceil((num * num) / ((p2 - p1) * (p2 - p1))).cast("long")
+          .as("n_per_arm"))
+    }),
+
+    "q294_xbar_control_chart" -> ((s, dir) => {
+      // Shewhart X̄-R control chart over weekly subgroups of the daily
+      // revenue series (subgroup = 7 consecutive grid days): centerline
+      // and A2·R̄ limits (A2 = 0.419 for n = 7), each week flagged
+      // out-of-control. Subgroup stats are exact-cents aggregates on
+      // the calendar-bounded week grid; the chart constants are shared
+      // literals.
+      val idx = dailyIdx(s, dir)
+        .withColumn("wk", expr("div(t - 1, 7)"))
+      val weeks = idx.groupBy(col("wk"))
+        .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"),
+          max(col("x")).as("mx"), min(col("x")).as("mn"))
+        .filter(col("nd") === 7) // only full subgroups
+        .localCheckpoint()
+      def d(c: Column): Column = c.cast("double")
+      val xbar = d(col("sx")) / lit(7.0)
+      val weekStats = weeks.select(col("wk"), xbar.as("xbar"),
+        (d(col("mx")) - d(col("mn"))).as("r"))
+        .localCheckpoint()
+      val centers = weekStats.agg(count(lit(1)).as("k"),
+        aggregate(array_sort(collect_list(struct(col("wk"), col("xbar").as("v")))),
+          lit(0.0), (acc, e) => round(acc + e.getField("v"), 6)).as("sxb"),
+        aggregate(array_sort(collect_list(struct(col("wk"), col("r").as("v")))),
+          lit(0.0), (acc, e) => round(acc + e.getField("v"), 6)).as("sr"))
+        .select((col("sxb") / col("k").cast("double")).as("cl"),
+          (col("sr") / col("k").cast("double")).as("rbar"))
+      weekStats.crossJoin(broadcast(centers))
+        .select(col("wk"), round(col("xbar"), 2).as("xbar"),
+          round(col("cl"), 2).as("center"),
+          round(col("cl") + lit(0.419) * col("rbar"), 2).as("ucl"),
+          round(col("cl") - lit(0.419) * col("rbar"), 2).as("lcl"),
+          (col("xbar") > col("cl") + lit(0.419) * col("rbar") ||
+            col("xbar") < col("cl") - lit(0.419) * col("rbar"))
+            .as("out_of_control"))
+    }),
+
     "q289_grubbs_test" -> ((s, dir) => {
       // Grubbs' max-studentized-deviation outlier test on the monthly
       // revenue grid: G = max|x−μ|/s over the calendar-bounded months,
