@@ -40,7 +40,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "1000")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: r7's driver record came back `parsed: null` because
+    // buffered WARN lines (stderr) landed in the driver's 2000-char tail
+    // AFTER the final stdout line. Bench is a timing harness; warnings
+    // belong to Verify/tests, not the one output channel the driver parses.
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warmup: JIT-compile the scan/agg/join paths and fault the
     // parquet footers in before any query is measured.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -48,7 +52,13 @@ object Bench {
     // bucketed near-pairs path (q66 is the verified scale plan); its
     // cartesian join stays out of the headline bench so no benched plan
     // contains an all-pairs product. It remains oracle-checked in Verify.
-    val excluded = Set("q40_near_pairs", "q40_near_pairs_demo")
+    // q200/q182 are the declared global-window EXACT faces whose banded
+    // rewrites (q203/q204) hash-match them row-for-row; the exact faces
+    // stay oracle-checked (and PlanSpec's detector self-test points at
+    // q200) but leave the headline bench so no benched plan moves all
+    // rows to one partition — same precedent as q40.
+    val excluded = Set("q40_near_pairs", "q40_near_pairs_demo",
+      "q200_pareto_revenue", "q182_quantile_normalize")
     // Dev-only subset filter (comma-separated name prefixes), same
     // contract as Verify's; the driver sets no env.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -137,7 +147,11 @@ object Bench {
       w.println(s"""{"samples":$dump}"""); w.close()
     } catch { case _: Throwable => }
     // The driver line goes LAST so the 2000-char tail always holds it whole.
+    // Drain stderr first and give log4j's async appender a beat: r7's tail
+    // was WARN lines that flushed AFTER the stdout line, nulling the record.
+    System.err.flush(); Thread.sleep(500)
     println(driverLine)
+    System.out.flush()
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -6,14 +6,16 @@ import OracleHelpers._
   * rules in the SparkEntry scaladoc). Moved verbatim from SparkEntry.
   */
 private[graft] object OraclePdcm {
-  def map: Map[String, String] = Map(
-    // End-to-end registry replay: the whole raw→search_index chain in
-    // SQL over the SAME staged fixture files the engine reads —
-    // TSV/YAML via read_csv, mapping rules via read_json_auto, the OBO
-    // stanzas via read_text + regex, the ancestor closure via recursive
-    // CTEs (branch roots excluded, like OntologyGraph.branch), and the
-    // display-rename/score arithmetic inline.
-    "q120_search_index_e2e" ->
+  // End-to-end registry replay: the whole raw→search_index chain in
+  // SQL over the SAME staged fixture files the engine reads —
+  // TSV/YAML via read_csv, mapping rules via read_json_auto, the OBO
+  // stanzas via read_text + regex, the ancestor closure via recursive
+  // CTEs (branch roots excluded, like OntologyGraph.branch), and the
+  // display-rename/score arithmetic inline. The CTE chain is SHARED
+  // between q120 (the entity projection) and q295 (the views.sql:816-851
+  // computed-column contract over the API view) so the two oracles can
+  // never drift apart.
+  private val siCtes: String =
       """WITH RECURSIVE
          raw_patient AS (
            SELECT patient_id, sex, history, ethnicity, ethnicity_assessment_method,
@@ -262,7 +264,12 @@ private[graft] object OraclePdcm {
          datasets AS (
            SELECT b.sample_id, b.data_source,
              list_sort(list_distinct(list(
-               coalesce(pl.molecular_characterisation_type, 'unknown')))) AS ds_list
+               CASE WHEN pl.molecular_characterisation_type = 'biomarker'
+                 THEN 'bio markers'
+                 WHEN pl.molecular_characterisation_type = 'immunemarker'
+                 THEN 'immune markers'
+                 ELSE coalesce(pl.molecular_characterisation_type, 'unknown')
+                 END))) AS ds_list
            FROM (SELECT DISTINCT * FROM raw_mcs) b
            LEFT JOIN (SELECT DISTINCT platform_id, data_source,
                         molecular_characterisation_type FROM raw_mcp) pl
@@ -270,8 +277,10 @@ private[graft] object OraclePdcm {
            GROUP BY b.sample_id, b.data_source),
          model AS (
            SELECT m.model_id, m.data_source, m.sample_type AS model_type,
+             m.publications,
              sh.license AS license_name, sh.model_availability, sh.date_submitted
-           FROM (SELECT DISTINCT model_id, data_source, sample_type FROM raw_model) m
+           FROM (SELECT DISTINCT model_id, data_source, sample_type,
+                   publications FROM raw_model) m
            LEFT JOIN (SELECT DISTINCT model_id, data_source, license,
                         model_availability, date_submitted FROM raw_sharing) sh
              USING (model_id, data_source)),
@@ -280,7 +289,8 @@ private[graft] object OraclePdcm {
            ('CC0', 'https://creativecommons.org/publicdomain/zero/1.0/')),
          enriched AS (
            SELECT s.*, p.sex, p.history, p.ethnicity, p.age_at_initial_diagnosis,
-             t.term_name, t.ancestors, d.ds_list, m.model_type, m.license_name,
+             t.term_name, t.ancestors, d.ds_list, m.model_type, m.publications,
+             m.license_name,
              m.model_availability, m.date_submitted, rs.provider_name, rs.project,
              CASE WHEN t.term_name IS NULL THEN []::VARCHAR[]
                ELSE list_filter(
@@ -295,8 +305,69 @@ private[graft] object OraclePdcm {
            LEFT JOIN s2o t USING (sample_id, data_source)
            LEFT JOIN datasets d USING (sample_id, data_source)
            LEFT JOIN model m USING (model_id, data_source)
-           LEFT JOIN raw_source rs USING (data_source))
-         SELECT
+           LEFT JOIN raw_source rs USING (data_source)),
+         raw_cell AS (
+           SELECT *, regexp_extract(filename, '.*/([^/]+)/[^/]+$', 1) AS data_source
+           FROM read_csv('/root/repo/target/q120_fixtures/*/cell_model.tsv',
+             delim='\t', header=true, all_varchar=true, filename=true)),
+         rel AS (
+           SELECT DISTINCT model_id, data_source FROM (
+             SELECT model_id, data_source FROM raw_model
+             WHERE parent_model_id IS NOT NULL AND parent_model_id <> ''
+             UNION ALL
+             SELECT parent_model_id, data_source FROM raw_model
+             WHERE parent_model_id IS NOT NULL AND parent_model_id <> ''))"""
+
+  /** The dataset_available list with the reference's appended flags
+    * (model_metadata_transformer_job.py:237-266), as a DuckDB expression
+    * over `enriched e` + `tbm tb` — used by dataset_available,
+    * data_score, and the view's model_dataset_type_count.
+    */
+  private val dsExt: String =
+    """coalesce(e.ds_list, [])
+               || (CASE WHEN tb.model_treatments IS NOT NULL
+                     AND len(tb.model_treatments) > 0
+                   THEN ['model treatment'] ELSE [] END)
+               || (CASE WHEN tb.patient_treatments IS NOT NULL
+                     AND len(tb.patient_treatments) > 0
+                   THEN ['patient treatment'] ELSE [] END)
+               || (CASE WHEN e.publications IS NOT NULL
+                   THEN ['publication'] ELSE [] END)"""
+
+  /** The display-renamed histology (Links.displayTermName over the
+    * mapped term or raw diagnosis) as a DuckDB expression.
+    */
+  private val histologySql: String =
+    """trim(regexp_replace(
+             CASE WHEN contains(coalesce(e.term_name, e.diagnosis), 'Malignant')
+               THEN regexp_replace(coalesce(e.term_name, e.diagnosis),
+                 '(.*)Malignant(.*)Neoplasm(.*)', '\1\2Cancer\3')
+               ELSE regexp_replace(coalesce(e.term_name, e.diagnosis),
+                 '(.*)Neoplasm(.*)', '\1Cancer\2') END,
+             '\s+', ' ', 'g'))"""
+
+  /** Cleaning.binAge over age_in_years_at_collection (the search_index
+    * patient_age column) as a DuckDB expression.
+    */
+  private val patientAgeSql: String =
+    """CASE WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) IS NULL THEN NULL
+             WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) < 2 THEN '0 - 23 months'
+             WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) < 10 THEN '2 - 9'
+             ELSE concat(
+               CAST(CAST(floor(TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) / 10) * 10 AS INTEGER) AS VARCHAR),
+               ' - ',
+               CAST(CAST(floor(TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) / 10) * 10 + 9 AS INTEGER) AS VARCHAR))
+             END"""
+
+  /** Sentinel-cleaned project_name as a DuckDB expression. */
+  private val projectSql: String =
+    """CASE WHEN e.project IS NULL
+               OR lower(trim(replace(e.project, chr(160), ' ')))
+                 IN ('not provided', 'not collected', '') THEN NULL
+             ELSE trim(replace(e.project, chr(160), ' ')) END"""
+
+  private val q120Select: String =
+      s"""SELECT
            e.model_id AS external_model_id,
            e.data_source,
            e.patient_id,
@@ -315,14 +386,7 @@ private[graft] object OraclePdcm {
                ' - ',
                CAST(CAST(floor(TRY_CAST(trim(replace(e.age_at_initial_diagnosis, chr(160), ' ')) AS DOUBLE) / 10) * 10 + 9 AS INTEGER) AS VARCHAR))
              END AS patient_age_category,
-           CASE WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) IS NULL THEN NULL
-             WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) < 2 THEN '0 - 23 months'
-             WHEN TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) < 10 THEN '2 - 9'
-             ELSE concat(
-               CAST(CAST(floor(TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) / 10) * 10 AS INTEGER) AS VARCHAR),
-               ' - ',
-               CAST(CAST(floor(TRY_CAST(trim(replace(e.age_in_years_at_collection, chr(160), ' ')) AS DOUBLE) / 10) * 10 + 9 AS INTEGER) AS VARCHAR))
-             END AS patient_age,
+           $patientAgeSql AS patient_age,
            e.sample_id AS patient_sample_id,
            CASE WHEN e.primary_site IS NULL
                OR lower(trim(replace(e.primary_site, chr(160), ' ')))
@@ -335,13 +399,7 @@ private[graft] object OraclePdcm {
              ELSE trim(replace(e.tumour_type, chr(160), ' ')) END AS tumour_type,
            e.stage AS cancer_stage,
            e.grade AS cancer_grade,
-           trim(regexp_replace(
-             CASE WHEN contains(coalesce(e.term_name, e.diagnosis), 'Malignant')
-               THEN regexp_replace(coalesce(e.term_name, e.diagnosis),
-                 '(.*)Malignant(.*)Neoplasm(.*)', '\1\2Cancer\3')
-               ELSE regexp_replace(coalesce(e.term_name, e.diagnosis),
-                 '(.*)Neoplasm(.*)', '\1Cancer\2') END,
-             '\s+', ' ', 'g')) AS histology,
+           $histologySql AS histology,
            coalesce(array_to_string(e.search_terms_list, '|'), '') AS search_terms,
            coalesce(
              list_filter(
@@ -354,8 +412,8 @@ private[graft] object OraclePdcm {
                 'Urinary System Cancer', 'Unclassified'],
                x -> list_contains(e.search_terms_list, x))[1],
              'Unclassified') AS cancer_system,
-           coalesce(array_to_string(e.ds_list, '|'), '') AS dataset_available,
-           CAST(trunc(coalesce(len(e.ds_list), 0) * 100 / 3.0) AS INTEGER) AS data_score,
+           coalesce(array_to_string($dsExt, '|'), '') AS dataset_available,
+           CAST(trunc(len($dsExt) * 100 / 7.0) AS INTEGER) AS data_score,
            CAST(floor((
              (CASE WHEN e.diagnosis IS NOT NULL
                  AND lower(trim(replace(e.diagnosis, chr(160), ' ')))
@@ -371,10 +429,7 @@ private[graft] object OraclePdcm {
                    NOT IN ('not provided', 'not collected', '') THEN 2 ELSE 0 END)
              ) * 100.0 / 10) AS INTEGER) AS metadata_score,
            trim(replace(e.provider_name, chr(160), ' ')) AS provider_name,
-           CASE WHEN e.project IS NULL
-               OR lower(trim(replace(e.project, chr(160), ' ')))
-                 IN ('not provided', 'not collected', '') THEN NULL
-             ELSE trim(replace(e.project, chr(160), ' ')) END AS project_name,
+           $projectSql AS project_name,
            e.license_name,
            ld.license_url,
            e.model_type,
@@ -398,7 +453,53 @@ private[graft] object OraclePdcm {
          FROM enriched e
          LEFT JOIN license_dim ld ON e.license_name = ld.license_name
          LEFT JOIN tbm tb ON e.model_id = tb.model_id
-           AND e.data_source = tb.data_source""",
+           AND e.data_source = tb.data_source"""
+
+  /** The API-view computed columns (views.sql:819-851) over the same
+    * chain: paediatric CASE, dataset count net of the publication flag,
+    * availability booleans, has_relations. Spark side reads
+    * pdcm_api_search_index_vw; this replays the CASEs in DuckDB.
+    */
+  private val q295Select: String =
+      s"""SELECT
+           e.model_id AS external_model_id,
+           e.data_source,
+           coalesce(array_to_string($dsExt, '|'), '') AS dataset_available,
+           CAST(CASE WHEN list_contains($dsExt, 'publication')
+             THEN len($dsExt) - 1
+             ELSE len($dsExt) END AS INTEGER) AS model_dataset_type_count,
+           CASE WHEN ($projectSql) = 'PIVOT'
+               OR lower($histologySql) LIKE '%childhood%'
+               OR ($patientAgeSql) LIKE '%19'
+               OR ($patientAgeSql) LIKE '2 - 9'
+               OR ($patientAgeSql) LIKE '%months'
+               OR e.data_source = 'CCC'
+             THEN true ELSE false END AS paediatric,
+           CASE WHEN lower(e.model_availability) = 'available'
+               OR lower(e.model_availability) = 'unknown'
+               OR coalesce(lower(cm.vendor_link), '') LIKE 'http%'
+             THEN true ELSE false END AS model_availability_boolean,
+           concat(
+             CASE WHEN e.model_availability = 'available'
+               THEN 'Available' ELSE 'Not available' END,
+             '|',
+             CASE WHEN cm.vendor_link IS NULL
+                 OR lower(cm.vendor_link) = 'not provided'
+               THEN 'Commercially Not Available'
+               ELSE 'Commercially Available' END) AS availability_rollup,
+           CASE WHEN r.model_id IS NOT NULL THEN true ELSE false END
+             AS has_relations
+         FROM enriched e
+         LEFT JOIN tbm tb ON e.model_id = tb.model_id
+           AND e.data_source = tb.data_source
+         LEFT JOIN (SELECT model_id, data_source, vendor_link FROM raw_cell) cm
+           ON e.model_id = cm.model_id AND e.data_source = cm.data_source
+         LEFT JOIN rel r ON e.model_id = r.model_id
+           AND e.data_source = r.data_source"""
+
+  def map: Map[String, String] = Map(
+    "q120_search_index_e2e" -> (siCtes + "\n         " + q120Select),
+    "q295_search_index_flags" -> (siCtes + "\n         " + q295Select),
     "q53_nodes" ->
       """SELECT 'customer' AS node_type, c_custkey AS node_id,
          '{"name":"' || c_name || '"}' AS data FROM customer

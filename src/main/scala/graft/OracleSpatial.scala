@@ -97,9 +97,11 @@ private[graft] object OracleSpatial {
       val alpha = graft.spatial.Geohash.Alphabet
       s"""WITH p AS ($custPts),
          ids AS (SELECT
-             CAST(floor((lon + 180.0) / 360.0 * ${1L << lonBits}.0) AS BIGINT)
+             least(${(1L << lonBits) - 1},
+               CAST(floor((lon + 180.0) / 360.0 * ${1L << lonBits}.0) AS BIGINT))
                AS lon_id,
-             CAST(floor((lat + 90.0) / 180.0 * ${1L << latBits}.0) AS BIGINT)
+             least(${(1L << latBits) - 1},
+               CAST(floor((lat + 90.0) / 180.0 * ${1L << latBits}.0) AS BIGINT))
                AS lat_id
            FROM p),
          c AS (SELECT $cellExpr AS cell FROM ids),

@@ -325,11 +325,12 @@ private[graft] object OracleStats {
            FROM b),
          f AS (SELECT brand, n, p1, p2, (p1 + p2) / 2.0 AS pbar FROM p)
          SELECT brand, n, round(p1, 6) AS base_rate,
-           CAST(ceil(((1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+           CASE WHEN p1 = 0 OR p2 >= 1 THEN NULL
+             ELSE CAST(ceil(((1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
                + 0.8416 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
              * (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
                + 0.8416 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))))
-             / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+             / ((p2 - p1) * (p2 - p1))) AS BIGINT) END AS n_per_arm
          FROM f""",
 
     "q294_xbar_control_chart" ->

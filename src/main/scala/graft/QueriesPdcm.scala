@@ -67,6 +67,33 @@ private[graft] object QueriesPdcm {
           .as("custom_treatment_type_list"))
     }),
 
+    "q295_search_index_flags" -> ((s, _) => {
+      // The views.sql:816-851 computed-column contract served from the
+      // API VIEW surface (not the entity): run the registry to
+      // search_index plus the relationship entities the view's
+      // model_information join needs, register the pdcm_api views, and
+      // read pdcm_api_search_index_vw — so the facet registry's
+      // "Paediatric Models" (facet 8, column paediatric) and "Related
+      // Models" (facet 6, has_relations) facets resolve against REAL
+      // columns of the search surface. The oracle replays the same
+      // CASEs over the shared q120 CTE chain in DuckDB.
+      val work = "/root/repo/target/q120_fixtures"
+      graft.examples.PdcmFull.stageExampleProviders(work)
+      val ents = new graft.pipeline.PipelineRunner(
+        s, graft.pdcm.PdcmEntities.registry(),
+        graft.pdcm.PdcmEntities.sources(s, work))
+        .run(Seq("search_index", "model_relationships", "knowledge_graph"))
+      graft.api.PdcmApi.register(s, ents)
+      s.sql(
+        """SELECT external_model_id, data_source,
+           array_join(dataset_available, '|') AS dataset_available,
+           model_dataset_type_count, paediatric, model_availability_boolean,
+           array_join(model_availability_plus_commercial_availability, '|')
+             AS availability_rollup,
+           has_relations
+           FROM pdcm_api_search_index_vw""")
+    }),
+
     // ── Property-graph node/edge tables (reference nodes/edges jobs) ────
     "q53_nodes" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(

@@ -452,9 +452,14 @@ private[graft] object QueriesStats {
       val pbar = (p1 + p2) / lit(2.0)
       val num = lit(1.96) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
         lit(0.8416) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+      // Degenerate brands (pos = 0 → zero effect size, or p2 ≥ 1 →
+      // √negative) get NULL rather than ceil(NaN/Inf): ANSI Spark would
+      // THROW on the cast where DuckDB yields NaN — the same divergence
+      // q263's side() guards. Same CASE in the oracle.
       b.select(col("brand"), col("n"),
         round(p1, 6).as("base_rate"),
-        ceil((num * num) / ((p2 - p1) * (p2 - p1))).cast("long")
+        when(col("pos") === 0 || p2 >= 1.0, lit(null).cast("long"))
+          .otherwise(ceil((num * num) / ((p2 - p1) * (p2 - p1))).cast("long"))
           .as("n_per_arm"))
     }),
 

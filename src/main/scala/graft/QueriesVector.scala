@@ -781,11 +781,10 @@ private[graft] object QueriesVector {
       // all edge-sized; see [[graph.KCore]].
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
-      val edges = a.join(b, Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("w"))
+      // Capped wedge-join operator (maxWidth off: TPC-H baskets ≤ 7).
+      val edges = Relational.keyedPairs(li, "l_orderkey", "l_partkey")
+        .groupBy(col("l_partkey_a").as("pa"), col("l_partkey_b").as("pb"))
+        .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
         .select(col("pa"), col("pb"))
       graph.KCore.peel(edges, "pa", "pb", k = 4, rounds = 4)
@@ -894,10 +893,8 @@ private[graft] object QueriesVector {
       // q154 double sequence. Degree lookups ride broadcast (node-sized).
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("sa"), col("b.l_partkey").as("sb"))
+      val e = Relational.keyedPairs(li, "l_orderkey", "l_partkey")
+        .groupBy(col("l_partkey_a").as("sa"), col("l_partkey_b").as("sb"))
         .agg(count(lit(1)).as("sh")).filter(col("sh") >= 2)
         .select(col("sa"), col("sb")).localCheckpoint()
       val dir2 = e.union(e.select(col("sb").as("sa"), col("sa").as("sb")))
@@ -928,10 +925,8 @@ private[graft] object QueriesVector {
       // division.
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("sa"), col("b.l_partkey").as("sb"))
+      val e = Relational.keyedPairs(li, "l_orderkey", "l_partkey")
+        .groupBy(col("l_partkey_a").as("sa"), col("l_partkey_b").as("sb"))
         .agg(count(lit(1)).as("sh")).filter(col("sh") >= 2)
         .select(col("sa"), col("sb")).localCheckpoint()
       val deg = e.select(col("sa").as("node"))
@@ -966,10 +961,8 @@ private[graft] object QueriesVector {
       // structure (it shouldn't, on synthetic data).
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("sa"), col("b.l_partkey").as("sb"))
+      val e = Relational.keyedPairs(li, "l_orderkey", "l_partkey")
+        .groupBy(col("l_partkey_a").as("sa"), col("l_partkey_b").as("sb"))
         .agg(count(lit(1)).as("sh")).filter(col("sh") >= 2)
         .select(col("sa"), col("sb")).localCheckpoint()
       val com = tbl(s, dir, "part")
@@ -1003,10 +996,8 @@ private[graft] object QueriesVector {
       // SSSP double lane, so the oracle replay is exact.
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("sa"), col("b.l_partkey").as("sb"))
+      val e = Relational.keyedPairs(li, "l_orderkey", "l_partkey")
+        .groupBy(col("l_partkey_a").as("sa"), col("l_partkey_b").as("sb"))
         .agg(count(lit(1)).as("sh")).filter(col("sh") >= 2)
         .select(col("sa"), col("sb"), lit(1.0).as("w")).localCheckpoint()
       val und = e.union(e.select(col("sb").as("sa"), col("sa").as("sb"),
@@ -1051,7 +1042,12 @@ private[graft] object QueriesVector {
           graft.multimodal.Multimodal.MediaRow(id, bos.toByteArray, "image/png", 8, 8)
         }
       val mean = col("sum_lum").cast("double") / col("n_px").cast("double")
+      // Quality stats only exist for decodable payloads: an undecodable
+      // row carries decoded=false with n_px=0, and dividing by it would
+      // emit NaN rows the oracle cannot have. All generated PNGs decode;
+      // the filter is the robustness contract for real corpora.
       graft.multimodal.ImageCodec.extractPixelStats(media)
+        .filter(col("decoded"))
         .select(col("media_id"), col("n_px"),
           round(mean, 6).as("mean_lum"),
           round(col("sum_lum_sq").cast("double") / col("n_px").cast("double")

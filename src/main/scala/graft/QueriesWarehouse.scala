@@ -115,10 +115,11 @@ private[graft] object QueriesWarehouse {
         .distinct()
       val totals = items.agg(countDistinct(col("ok")).as("n_baskets"))
       val marg = items.groupBy(col("brand")).agg(count(lit(1)).as("cnt"))
-      val pairs = items.as("a")
-        .join(items.as("b"),
-          col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
-        .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      // Pair stream via the capped wedge-join operator (cap off by
+      // default: TPC-H baskets are ≤ 7 brands; a real corpus with hot
+      // baskets sets maxWidth and reports Relational.overWidthKeys).
+      val pairs = Relational.keyedPairs(items, "ok", "brand")
+        .groupBy(col("brand_a"), col("brand_b"))
         .agg(count(lit(1)).as("pair_cnt"))
         .filter(col("pair_cnt") >= 5)
       pairs

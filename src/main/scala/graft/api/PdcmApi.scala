@@ -216,8 +216,41 @@ object PdcmApi {
     "engraftment_site_vw" -> "SELECT id, name FROM engraftment_site",
     "engraftment_type_vw" -> "SELECT id, name FROM engraftment_type",
     "host_strain_vw" -> "SELECT id, name FROM host_strain",
-    // search surface passthroughs (views.sql:816, :932, :1028).
-    "search_index_vw" -> "SELECT * FROM search_index",
+    // search_index API surface (views.sql:816-851): the entity plus the
+    // view-computed columns — dataset count net of the publication flag,
+    // the paediatric CASE the "Paediatric Models" facet (facet 8)
+    // resolves against, the availability booleans, and the
+    // model_information enrichment the reference fetches per-row with
+    // correlated subqueries (views.sql:843-851; a hash join here — same
+    // rows, no per-row probe).
+    "search_index_vw" ->
+      """SELECT si.*,
+         CASE WHEN array_contains(si.dataset_available, 'publication')
+           THEN size(si.dataset_available) - 1
+           ELSE size(si.dataset_available) END AS model_dataset_type_count,
+         CASE WHEN si.project_name = 'PIVOT'
+             OR lower(si.histology) LIKE '%childhood%'
+             OR si.patient_age LIKE '%19'
+             OR si.patient_age LIKE '2 - 9'
+             OR si.patient_age LIKE '%months'
+             OR si.data_source = 'CCC'
+           THEN true ELSE false END AS paediatric,
+         CASE WHEN lower(si.model_availability) = 'available'
+             OR lower(si.model_availability) = 'unknown'
+             OR coalesce(lower(si.vendor_link), '') LIKE 'http%'
+           THEN true ELSE false END AS model_availability_boolean,
+         array(
+           CASE WHEN si.model_availability = 'available'
+             THEN 'Available' ELSE 'Not available' END,
+           CASE WHEN si.vendor_link IS NULL
+               OR lower(si.vendor_link) = 'not provided'
+             THEN 'Commercially Not Available'
+             ELSE 'Commercially Available' END)
+           AS model_availability_plus_commercial_availability,
+         mi.model_relationships, coalesce(mi.has_relations, false) AS has_relations
+         FROM search_index si
+         LEFT JOIN pdcm_api_model_information mi
+           ON si.pdcm_model_id = mi.id AND si.data_source = mi.data_source""",
     "search_facet_vw" -> "SELECT * FROM search_facet",
     "available_molecular_data_columns_vw" ->
       "SELECT * FROM available_molecular_data_columns",

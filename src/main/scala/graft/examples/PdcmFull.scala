@@ -37,11 +37,20 @@ object PdcmFull {
     w(s"$root/provA/sample.tsv",
       "patient_id\tsample_id\tdiagnosis\ttumour_type\tprimary_site\tcollection_site\tage_in_years_at_collection\tcollection_date\tcollection_event\tcollection_method\tmonths_since_collection_1\tstage\tstaging_system\tgrade\tgrading_system\tvirology_status\tgene_mutation_status\tsharable\ttreatment_naive_at_collection\ttreated_at_collection\ttreated_prior_to_collection\tresponse_to_treatment\tmodel_id\n" +
         "P1\tS1\tLung Adenocarcinoma\tprimary\tlung\tlung\t45\t2019-05-01\tdiagnosis\tbiopsy\t0\tIII\tTNM\t2\tWHO\tnegative\ttested\tyes\tyes\tno\tno\tPD\tM1\n" +
-        "P2\tS2\tBreast Carcinoma\tmetastatic\tbreast\tlymph node\t61\t2020-01-15\trelapse\tresection\t6\tIV\tTNM\t3\tWHO\tnegative\t\tno\tno\tyes\tyes\tSD\tM2\n")
+        "P2\tS2\tBreast Carcinoma\tmetastatic\tbreast\tlymph node\t61\t2020-01-15\trelapse\tresection\t6\tIV\tTNM\t3\tWHO\tnegative\t\tno\tno\tyes\tyes\tSD\tM2\n" +
+        // S3/M3: the paediatric fixture — unmapped "Childhood Neoplasm"
+        // renames to histology "Childhood Cancer" and age-at-collection 8
+        // bins to "2 - 9", so BOTH paediatric branches of the
+        // search_index view CASE (views.sql:825-833) fire on it.
+        "P2\tS3\tChildhood Neoplasm\tprimary\tbone marrow\tbone marrow\t8\t2021-06-01\tdiagnosis\tbiopsy\t1\t\t\t\t\t\t\tyes\tyes\tno\tno\t\tM3\n")
     w(s"$root/provA/model.tsv",
       "model_id\thost_strain_name\thost_strain_nomenclature\tengraftment_site\tengraftment_type\tsample_type\tsample_state\tpassage_number\tpublications\texternal_ids\tparent_model_id\n" +
         "M1\tNSG\tNOD.Cg-Prkdc<scid>\tflank\theterotopic\ttissue\tfresh\t2\t\tJAX:123\t\n" +
-        "M2\tNOD\tNOD/ShiLtJ\tmammary\torthotopic\ttissue\tfrozen\t1\t\t\tM1\n")
+        "M2\tNOD\tNOD/ShiLtJ\tmammary\torthotopic\ttissue\tfrozen\t1\t\t\tM1\n" +
+        // M3 (the paediatric model): carries a publication, so the
+        // "publication" dataset_available append and the view's
+        // model_dataset_type_count publication discount both exercise.
+        "M3\tNSG\tNOD.Cg-Prkdc<scid>\tflank\theterotopic\ttissue\tfresh\t1\tPMID: 12345678\t\t\n")
     w(s"$root/provA/model_image.tsv",
       "model_id\turl\tdescription\tsample_type\tpassage\tmagnification\tstaining\n" +
         "M1\thttps://example.org/img/m1-he.png\tH&E \"section\"\ttissue\t2\t20x\tH&E\n" +

@@ -91,9 +91,14 @@ object PageRank {
     val v = nodes.select(col(nodeCol).as("node")).distinct()
     val n = v.count()
     require(n > 0, "PageRank needs at least one node")
+    // Precondition: caller weights must be POSITIVE. Zero/negative rows
+    // are dropped here rather than silently producing tw = 0 → NaN/Inf
+    // ranks (run()'s 1/outdegree weight is always positive; this path
+    // takes arbitrary caller input).
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"), col(wCol).as("cw"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("cw").cast("double") > 0d)
     val tot = e.groupBy(col("src")).agg(sum(col("cw")).as("tw"))
     val weighted = pin(e.join(tot, Seq("src"))
       .select(col("src"), col("dst"),

@@ -223,4 +223,52 @@ object Relational {
         .drop("__a", "__b")
     (matched, mismatched)
   }
+
+  /** Per-key unordered pair stream (`item_a < item_b`) from a distinct
+    * (key, item) table — the wedge-join shape behind co-occurrence /
+    * co-purchase graphs (q164/q211/q248/q251/q264). Output is
+    * Σ C(width(key), 2): data-bounded while basket widths are (TPC-H
+    * orders hold ≤ 7 parts), but a single hot key of width 10⁵ would
+    * emit 5·10⁹ rows — `maxWidth` is the q121-style guard for that
+    * regime.
+    *
+    * `maxWidth = Some(w)`: keys whose item count exceeds `w` are DROPPED
+    * from the pair stream entirely (skip, never silently sample — the
+    * dropped keys are enumerable via [[overWidthKeys]] so callers can
+    * report the excluded mass; the no-silent-caps rule). The width
+    * pre-pass is one map-combinable count per key, key-sized.
+    *
+    * `maxWidth = None` (default): no pre-pass, plan identical to the
+    * bare self-join — zero cost on the default path.
+    */
+  def keyedPairs(
+      items: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      maxWidth: Option[Int] = None): DataFrame = {
+    val kept = maxWidth match {
+      case None => items
+      case Some(w) =>
+        items.join(
+          items.groupBy(col(keyCol)).agg(count(lit(1)).as("__width"))
+            .filter(col("__width") <= w).select(col(keyCol)),
+          Seq(keyCol), "left_semi")
+    }
+    kept.select(col(keyCol), col(itemCol).as("__ia")).as("a")
+      .join(kept.select(col(keyCol), col(itemCol).as("__ib")).as("b"),
+        Seq(keyCol))
+      .filter(col("__ia") < col("__ib"))
+      .select(col(keyCol),
+        col("__ia").as(s"${itemCol}_a"), col("__ib").as(s"${itemCol}_b"))
+  }
+
+  /** The keys [[keyedPairs]] would drop at `maxWidth` with their widths —
+    * the report surface for the no-silent-caps rule.
+    */
+  def overWidthKeys(
+      items: DataFrame,
+      keyCol: String,
+      maxWidth: Int): DataFrame =
+    items.groupBy(col(keyCol)).agg(count(lit(1)).as("width"))
+      .filter(col("width") > maxWidth)
 }

@@ -827,10 +827,19 @@ object PdcmEntities {
             .select(col("term_id").as("mapped_term_id"), col("ancestors"))),
             Seq("mapped_term_id"), "left")
           .drop("mapped_term_id")
+        // Dataset names follow the reference's display renames
+        // (model_metadata_transformer_job.py:221-227): biomarker →
+        // "bio markers", immunemarker → "immune markers"; the treatment /
+        // publication flags are appended AFTER the joins below
+        // (model_metadata_transformer_job.py:237-266).
+        val mcType =
+          coalesce(col("molecular_characterisation_type"), lit("unknown"))
         val datasets = in("molecular_characterization")
           .groupBy(col("sample_id"), col(prov))
           .agg(sort_array(collect_set(
-            coalesce(col("molecular_characterisation_type"), lit("unknown"))))
+            when(mcType === "biomarker", lit("bio markers"))
+              .when(mcType === "immunemarker", lit("immune markers"))
+              .otherwise(mcType)))
             .as("dataset_available"))
         def markers(entity: String, outCol: String) = in(entity)
           .filter(col("harmonized_symbol").isNotNull)
@@ -940,7 +949,26 @@ object PdcmEntities {
             "patient_sample_treated_prior_to_collection")
           .withColumn("dataset_available",
             coalesce(col("dataset_available"), emptyArr))
-          .withColumn("data_score", Scoring.dataScore(col("dataset_available"), 3))
+          // Treatment/publication availability rides the SAME list the
+          // UI facets on (model_metadata_transformer_job.py:237-266):
+          // sorted molchar kinds first, then the flags in the reference's
+          // append order — deterministic on both engines.
+          .withColumn("dataset_available",
+            when(size(col("model_treatments")) > 0,
+              concat(col("dataset_available"), array(lit("model treatment"))))
+              .otherwise(col("dataset_available")))
+          .withColumn("dataset_available",
+            when(size(col("patient_treatments")) > 0,
+              concat(col("dataset_available"), array(lit("patient treatment"))))
+              .otherwise(col("dataset_available")))
+          .withColumn("dataset_available",
+            when(col("pdx_model_publications").isNotNull,
+              concat(col("dataset_available"), array(lit("publication"))))
+              .otherwise(col("dataset_available")))
+          // 7 possible kinds (data_calculator.py:8-9): mutation,
+          // biomarkers, copy number alteration, expression, patient
+          // treatment, model treatment, publication.
+          .withColumn("data_score", Scoring.dataScore(col("dataset_available"), 7))
           .withColumn("metadata_score", Scoring.metadataScore(Seq(
             Scoring.Weight("diagnosis", 4), Scoring.Weight("patient_sex", 2),
             Scoring.Weight("tissue_id", 2), Scoring.Weight("tumour_type_id", 2))))

@@ -49,8 +49,15 @@ object Geohash {
     val bits = chars * 5
     val lonBits = (bits + 1) / 2
     val latBits = bits / 2
-    val lonId = math.floor((lon + 180.0) / 360.0 * (1L << lonBits)).toLong
-    val latId = math.floor((lat + 90.0) / 180.0 * (1L << latBits)).toLong
+    // Clamp the closed upper boundary (lat = 90, lon = 180): the raw id
+    // would be 2^bits and its high bit would shift into the WRONG
+    // interleave slot. Standard geohash puts the boundary in the last
+    // cell. The kernel is SQL-registered (graft_geohash) so arbitrary
+    // caller input must be safe, not just band-confined internal calls.
+    val lonId = math.min((1L << lonBits) - 1,
+      math.floor((lon + 180.0) / 360.0 * (1L << lonBits)).toLong)
+    val latId = math.min((1L << latBits) - 1,
+      math.floor((lat + 90.0) / 180.0 * (1L << latBits)).toLong)
     var out = 0L
     var li = lonBits - 1
     var ai = latBits - 1

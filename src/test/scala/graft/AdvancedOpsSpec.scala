@@ -45,6 +45,16 @@ class AdvancedOpsSpec extends SparkSpec {
       assert(math.abs(pr(v) - ref(v)) < 1e-12, s"node $v: ${pr(v)} vs ${ref(v)}")
     // The heavier 1<->2 edge must dominate the rank order.
     assert(pr(2L) > pr(1L) && pr(1L) > pr(3L))
+    // Non-positive caller weights are dropped, not divided by: a source
+    // whose weights sum to 0 would otherwise emit NaN/Inf ranks silently.
+    val guarded = graph.PageRank.runWeighted(
+      Seq((1L, 2L, 0L), (1L, 3L, -2L), (2L, 1L, 3L)).toDF("src", "dst", "cnt"),
+      "src", "dst", "cnt", nodes, "id", damping = 0.85, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(guarded.values.forall(v => !v.isNaN && !v.isInfinite))
+    // Node 1's outgoing mass is gone entirely (both edges non-positive),
+    // so node 2 holds only its teleport floor.
+    assert(math.abs(guarded(2L) - 0.05) < 1e-12)
   }
 
   test("PageRank matches a driver-side reference iteration and floors isolated nodes") {

@@ -83,6 +83,14 @@ class GeoSpec extends SparkSpec {
     val rendered = Seq(Geohash.cell(57.64911, 10.40744, 5)).toDF("cell")
       .select(Geohash.base32Col("cell", 5)).as[String].head()
     assert(rendered == "u4pru")
+    // Closed boundary: lat 90 / lon 180 clamp into the LAST cell (the
+    // standard edge convention) instead of overflowing 2^bits and
+    // shifting a stray bit into the wrong interleave slot.
+    assert(Geohash.cell(90.0, 180.0, 5) == (1L << 25) - 1)
+    assert(Geohash.base32(Geohash.cell(90.0, 180.0, 5), 5) == "zzzzz")
+    // Just inside the boundary stays in the same last cell.
+    assert(Geohash.cell(89.9999999, 179.9999999, 5) ==
+      Geohash.cell(90.0, 180.0, 5))
   }
 
   test("haversine column matches the scalar reference formula") {

@@ -85,6 +85,47 @@ class HarnessDrillSpec extends SparkSpec {
       != declared.schema("region_key").dataType)
   }
 
+  test("ORACLE sabotage: a wrong oracle SQL string turns the gate red — guards oracle-drift false-greens") {
+    // r8 rotation (r7 verdict item 8): rounds 6-7 sabotaged the harness
+    // and the DATA; this round sabotages the ORACLE side. If an oracle
+    // SQL string drifts from the query's semantics (the false-green
+    // nightmare: both engines "agree" because the comparator never really
+    // compared), the DuckDB compare must go RED. Staged copy only —
+    // the real SparkEntry.oracleSql is untouched.
+    //
+    // The drill runs the REAL comparator (tools/check.py, the local
+    // replica of the driver's gate) twice over the same q01 dump: once
+    // with the true oracle (control, must be OK) and once with an
+    // off-by-one sabotage (must FAIL + nonzero exit).
+    import scala.sys.process._
+    val out = Files.createTempDirectory("graft_oracle_drill").toString
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/q01_pricing_summary")
+    def runGate(oracleSql: String): (Int, String) = {
+      val json = "{\"q01_pricing_summary\": " +
+        "\"" + oracleSql.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").replace("\t", " ") + "\"}"
+      Files.writeString(Paths.get(out, "oracle_sql.json"), json)
+      val buf = new StringBuilder
+      val rc = Process(Seq("python3", "tools/check.py", sfDir, out),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => buf.append(l).append('\n'), _ => ()))
+      (rc, buf.toString)
+    }
+    val truth = SparkEntry.oracleSql("q01_pricing_summary")
+    val (rcOk, outOk) = runGate(truth)
+    assert(rcOk == 0 && outOk.contains("OK   q01_pricing_summary"),
+      s"control run must be green:\n$outOk")
+    // Sabotage: same shape, same columns, one value expression nudged —
+    // the exact drift mode a stale oracle string would produce.
+    val sabotaged = truth.replace("count(*) AS count_order",
+      "count(*) + 1 AS count_order")
+    assert(sabotaged != truth, "sabotage must actually change the SQL")
+    val (rcBad, outBad) = runGate(sabotaged)
+    assert(rcBad != 0 && outBad.contains("FAIL q01_pricing_summary"),
+      s"sabotaged oracle MUST go red:\n$outBad")
+  }
+
   test("value drift, one cell flipped: rows and schema stay green — ONLY the value hash catches it") {
     // r7 rotation addition (the sneakiest break mode): an upstream feed
     // silently corrupts one VALUE. The query runs, the schema matches,

@@ -558,4 +558,30 @@ class OperatorsSpec extends SparkSpec {
     // Codes lie in [-127, 127]: q_dot of any pair is bounded by dim * 127^2.
     assert(got.forall(r => math.abs(r._2) <= q.size.toLong * 127 * 127))
   }
+
+  test("keyedPairs: wedge-join pair stream, hot-basket cap drops (never samples) over-width keys") {
+    // Baskets: b1 width 3 (3 pairs), b2 width 2 (1 pair), HOT width 5
+    // (10 pairs — the skew the cap targets).
+    val items = (Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "d")) ++
+      (1 to 5).map(i => (9L, s"h$i"))).toDF("ok", "item")
+    val uncapped = Relational.keyedPairs(items, "ok", "item")
+      .as[(Long, String, String)].collect().toSeq
+    assert(uncapped.size == 3 + 1 + 10)
+    // Pairs are canonical (a < b) and per-key.
+    assert(uncapped.forall { case (_, a, b) => a < b })
+    assert(uncapped.count(_._1 == 1L) == 3)
+    // Cap at width 3: the hot basket vanishes ENTIRELY — its pair count
+    // is 0, not a sampled subset (skip, never silently sample).
+    val capped = Relational.keyedPairs(items, "ok", "item", maxWidth = Some(3))
+      .as[(Long, String, String)].collect().toSeq
+    assert(capped.size == 3 + 1)
+    assert(!capped.exists(_._1 == 9L))
+    // The dropped mass is reportable: exactly the hot key with its width.
+    val dropped = Relational.overWidthKeys(items, "ok", maxWidth = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(dropped == Seq((9L, 5L)))
+    // A cap wider than every basket is a no-op (the default-path contract).
+    assert(Relational.keyedPairs(items, "ok", "item", maxWidth = Some(100))
+      .count() == 14)
+  }
 }

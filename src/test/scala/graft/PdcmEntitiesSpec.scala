@@ -49,7 +49,7 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(dims("license").count() == 2)
     assert(dims("molecular_characterization_type").count() == 5)
     val spec = dims("xenograft_model_specimen")
-    assert(spec.count() == 2)
+    assert(spec.count() == 3) // M1, M2, M3 (the paediatric fixture model)
     assert(spec.filter($"model_fk".isNull || $"host_strain_id".isNull ||
       $"engraftment_site_id".isNull || $"engraftment_type_id".isNull)
       .count() == 0)
@@ -60,7 +60,7 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(pg.filter($"provider_type_id".isNull ||
       $"project_group_id".isNull).count() == 0)
     assert(dims("contact_people").count() == 1) // only provA sharing has contact
-    assert(dims("publication_group").count() == 0) // fixture has no pubs
+    assert(dims("publication_group").count() == 1) // M3 carries the one pub
   }
 
   test("dims and patient entity: clean, dedup, FK-resolved") {
@@ -75,15 +75,16 @@ class PdcmEntitiesSpec extends SparkSpec {
 
   test("patient_sample links patient and dims across providers") {
     val ps = out("patient_sample")
-    assert(ps.count() == 2)
+    assert(ps.count() == 3) // S1, S2, S3 (paediatric)
     assert(ps.filter($"patient_fk".isNull).count() == 0)
-    assert(out("tissue").count() == 2)
+    assert(out("tissue").count() == 3) // lung, breast, bone marrow
   }
 
   test("model joins sharing; missing sharing leaves nulls") {
     val m = out("model_entity").orderBy("model_id")
     val rows = m.select("model_id", "license").as[(String, String)].collect()
-    assert(rows.toSeq == Seq(("M1", "CC0"), ("M2", null)))
+    // M3 (paediatric fixture) has no sharing row -> null license.
+    assert(rows.toSeq == Seq(("M1", "CC0"), ("M2", null), ("M3", null)))
   }
 
   test("treatment_protocol splits matched name/dose lists, drops mismatches") {
@@ -102,9 +103,15 @@ class PdcmEntitiesSpec extends SparkSpec {
 
   test("search_index aggregates dataset_available with data score") {
     val si = out("search_index").filter($"patient_sample_id" === "S1").head()
+    // Sorted molchar kinds, then the reference's appended flags
+    // (model_metadata_transformer_job.py:237-266): M1 has harmonised
+    // model treatments, its patient treatments list is EMPTY (doxorubicin
+    // has no ontology match — empty ≠ absent, no flag), publications are
+    // blank → only "model treatment" appends.
     assert(si.getSeq[String](si.fieldIndex("dataset_available")).toSeq ==
-      Seq("expression", "mutation"))
-    assert(si.getAs[Int]("data_score") == 66)
+      Seq("expression", "mutation", "model treatment"))
+    // 3 of the 7 possible dataset kinds (data_calculator.py:8-9).
+    assert(si.getAs[Int]("data_score") == 42)
   }
 
   test("scoring and facets: weighted metadata score, sorted facet options") {
@@ -289,8 +296,9 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(json.startsWith("{\"external_model_id\":\"M1\""))
     assert(json.contains("\"quality_assurance\":[{"))
     assert(json.contains("\"external_db_links\":[{"))
+    // model_metadata re-sorts the list, so the appended flag interleaves.
     assert(mm.getSeq[String](mm.fieldIndex("dataset_available")).toSeq ==
-      Seq("expression", "mutation"))
+      Seq("expression", "model treatment", "mutation"))
   }
 
   test("link generation: template expansion and id-pattern resolution") {
@@ -346,8 +354,10 @@ class PdcmEntitiesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     assert(rows == Seq(
       ("S1", "NCIT:C2926", "Lung Adenocarcinoma"),
-      ("S2", "NCIT:C9305", "Malignant Neoplasm")))
-    assert(so.filter($"ontology_term_id".isNull).count() == 0)
+      ("S2", "NCIT:C9305", "Malignant Neoplasm"),
+      ("S3", null, null))) // S3's "Childhood Neoplasm" is deliberately unmapped
+    assert(so.filter($"ontology_term_id".isNull && $"sample_id" =!= "S3")
+      .count() == 0)
   }
 
   test("regimen_to_treatment: ontolia links resolve both ontology FKs") {
@@ -451,8 +461,9 @@ class PdcmEntitiesSpec extends SparkSpec {
     // M1 is the root of the provA family, M2 its child (model.tsv
     // parent_model_id) — the nested JSON mirrors updates.sql:1-39.
     val rel = out("model_relationships").orderBy("external_model_id").collect()
-    assert(rel.map(_.getString(0)).toSeq == Seq("M1", "M2"))
-    assert(rel.forall(_.getBoolean(2)), "both related models flag has_relations")
+    assert(rel.map(_.getString(0)).toSeq == Seq("M1", "M2", "M3"))
+    assert(rel.map(_.getBoolean(2)).toSeq == Seq(true, true, false),
+      "M1/M2 related; standalone M3 is not")
     assert(rel(0).getString(1) ==
       """{"parents":null,"children":[{"external_model_id":"M2","type":"tissue","children":null}]}""")
     assert(rel(1).getString(1) ==
@@ -460,7 +471,7 @@ class PdcmEntitiesSpec extends SparkSpec {
     // Every model resolves to a patient-rooted subgraph carrying all
     // three edge kinds (patient->sample->model plus the parent link).
     val kg = out("knowledge_graph")
-    assert(kg.count() == 2 && kg.filter($"knowledge_graph".isNull).count() == 0)
+    assert(kg.count() == 3 && kg.filter($"knowledge_graph".isNull).count() == 0)
     val g1 = kg.filter($"external_model_id" === "M1").head().getString(2)
     for (want <- Seq("\"node_type\":\"patient\"", "patient_sample",
         "sample_model", "parent_model", "\"model_id\":\"M2\""))
@@ -471,7 +482,7 @@ class PdcmEntitiesSpec extends SparkSpec {
       """SELECT external_model_id, has_relations, model_relationships,
          knowledge_graph FROM pdcm_api_model_information
          ORDER BY external_model_id""").collect()
-    assert(mi.map(_.getBoolean(1)).toSeq == Seq(true, true))
+    assert(mi.map(_.getBoolean(1)).toSeq == Seq(true, true, false))
     assert(mi.forall(r => r.getString(2) != null && r.getString(3) != null))
   }
 
@@ -479,7 +490,7 @@ class PdcmEntitiesSpec extends SparkSpec {
     val rep = out("report")
     val byTable = rep.filter($"report_type" === "records_by_table")
       .collect().map(r => r.getString(1) -> r.getString(2).toLong).toMap
-    assert(byTable("model_entity") == 2 && byTable("patient") == 3)
+    assert(byTable("model_entity") == 3 && byTable("patient") == 3)
     assert(byTable.contains("search_index") && byTable.contains("edges"))
     // Provider split: provA has 2 patients, provB has 1.
     val byProv = rep.filter($"report_type" === "records_by_provider")
@@ -548,7 +559,7 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT hgnc_symbol FROM pdcm_api_mutation_data_table WHERE non_harmonised_symbol = 'TOTALLYUNKNOWN'")
       .as[String].head() == "TOTALLYUNKNOWN")
-    assert(spark.sql("SELECT * FROM pdcm_api_model_information").count() == 2)
+    assert(spark.sql("SELECT * FROM pdcm_api_model_information").count() == 3)
     assert(spark.sql(
       "SELECT treatment FROM pdcm_api_dosing_studies ORDER BY treatment")
       .as[String].collect().toSeq ==
@@ -621,6 +632,41 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(bio.getString(1) == "positive")
   }
 
+  test("search_index view: every declared facet column resolves; paediatric CASE") {
+    graft.api.PdcmApi.register(spark, out)
+    val view = spark.sql("SELECT * FROM pdcm_api_search_index_vw")
+    // EVERY facet in the registry (facets.py / PdcmEntities.ReferenceFacets)
+    // must point at a real column of the search surface — the round-7
+    // defect was facet 8 ("Paediatric Models") declaring column
+    // `paediatric` while the view was a bare SELECT *.
+    val cols = view.columns.toSet
+    for (f <- PdcmEntities.ReferenceFacets if f.column.nonEmpty)
+      assert(cols.contains(f.column), s"facet ${f.index} (${f.name}) column ${f.column}")
+    // The paediatric CASE (views.sql:825-833): M3's "Childhood Cancer"
+    // histology + "2 - 9" age bin fire it; M1/M2 stay adult.
+    assert(spark.sql(
+      """SELECT external_model_id FROM pdcm_api_search_index_vw
+         WHERE paediatric = true""").as[String].collect().toSeq == Seq("M3"))
+    // model_dataset_type_count nets out the publication flag
+    // (views.sql:819-824): M1 has 3 real kinds, M3's single entry IS the
+    // publication flag -> 0, M2 has none.
+    val counts = spark.sql(
+      """SELECT external_model_id, model_dataset_type_count
+         FROM pdcm_api_search_index_vw ORDER BY external_model_id""")
+      .as[(String, Int)].collect().toSeq
+    assert(counts == Seq(("M1", 3), ("M2", 0), ("M3", 0)))
+    // Availability: M1 'available'; M2 via its commercial vendor link;
+    // M3 neither. has_relations joins through model_information.
+    assert(spark.sql(
+      """SELECT external_model_id, model_availability_boolean, has_relations,
+         array_join(model_availability_plus_commercial_availability, '|')
+         FROM pdcm_api_search_index_vw ORDER BY external_model_id""")
+      .as[(String, Boolean, Boolean, String)].collect().toSeq == Seq(
+      ("M1", true, true, "Available|Commercially Not Available"),
+      ("M2", true, true, "Not available|Commercially Available"),
+      ("M3", false, false, "Not available|Commercially Not Available")))
+  }
+
   test("round-3 views: model_metadata, extended data, overview aggregates") {
     graft.api.PdcmApi.register(spark, out)
     // model_metadata joins model + search_index + specimen display names.
@@ -683,7 +729,7 @@ class PdcmEntitiesSpec extends SparkSpec {
     assert(out("nodes").groupBy("node_type").count().count() == 3)
     val labels = out("edges").select("label").distinct().as[String].collect().toSet
     assert(labels == Set("patient_sample", "sample_model", "parent_model"))
-    assert(out("edges").filter($"label" === "sample_model").count() == 2)
+    assert(out("edges").filter($"label" === "sample_model").count() == 3)
     // M2's parent is M1: one lineage edge M1 -> M2.
     assert(out("edges").filter($"label" === "parent_model").count() == 1)
   }

@@ -325,4 +325,24 @@ class PlanSpec extends SparkSpec {
     assert(globalWindows("q257_acf") == 0,
       "the day-grid index must come from boundedRankCum, not a global window")
   }
+
+  test("SUITE-WIDE: no query plans an unpartitioned window, allowlist = the two declared exact faces") {
+    // The per-tier gates above cover the batches that historically
+    // carried the risk; this one closes the seam a FUTURE query could
+    // slip through ungated. Allowlist is exactly the two deliberately
+    // unscalable contrast faces (kept oracle-checked, excluded from the
+    // headline bench) — anything else planning a global window fails.
+    // The detector self-test in the q203/q204 case above proves the
+    // collect pattern still sees q200's window, so an all-zero sweep
+    // here cannot be a rotted detector.
+    val allow = Set("q200_pareto_revenue", "q182_quantile_normalize")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow)
+      .flatMap { name =>
+        val n = globalWindows(name)
+        if (n > 0) Some(s"$name ($n)") else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window outside the allowlist: ${offenders.mkString(", ")}")
+  }
 }
