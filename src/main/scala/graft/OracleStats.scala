@@ -508,5 +508,265 @@ private[graft] object OracleStats {
          SELECT bin, n, round(conf, 6) AS mean_score, round(acc, 6) AS frac_pos,
            round(ece, 6) AS ece
          FROM wc CROSS JOIN e""",
+
+    // ── r8 economics / industrial-statistics tier ──────────────────────
+
+    "q296_herfindahl" ->
+      """WITH rev AS (SELECT n_name AS nation, l_suppkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS r
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1, 2)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(CAST(sum(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0)))
+               AS DOUBLE)
+             / (CAST(sum(r) AS DOUBLE) * CAST(sum(r) AS DOUBLE)), 6) AS hhi
+         FROM rev GROUP BY 1""",
+
+    "q297_price_elasticity" ->
+      """WITH cells AS (SELECT p_brand AS brand,
+           strftime(l_shipdate, '%Y-%m') AS month,
+           round(ln(
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)), 9) AS x,
+           round(ln(
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+             / 100.0), 9) AS y
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1, 2),
+         f AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(x ORDER BY month)), (a, e) -> round(a + e, 12)) AS sx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(y ORDER BY month)), (a, e) -> round(a + e, 12)) AS sy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(x * y, 12) ORDER BY month)),
+             (a, e) -> round(a + e, 12)) AS sxy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(x * x, 12) ORDER BY month)),
+             (a, e) -> round(a + e, 12)) AS sxx
+         FROM cells GROUP BY 1)
+         SELECT brand, n AS n_months,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS elasticity
+         FROM f""",
+
+    "q298_gini_by_nation" ->
+      """WITH spend AS (SELECT o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         ranked AS (SELECT n_name AS nation, x,
+           CAST(row_number() OVER (PARTITION BY n_name
+             ORDER BY x ASC, o_custkey ASC) AS BIGINT) AS i
+         FROM spend
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+           round((2.0 * CAST(sum(CAST(i AS DECIMAL(19,0))
+               * CAST(x AS DECIMAL(19,0))) AS DOUBLE)
+             - CAST(count(*) + 1 AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6) AS gini
+         FROM ranked GROUP BY 1""",
+
+    "q299_newsvendor" ->
+      """WITH rows_ AS (SELECT p_brand AS brand,
+           CAST(l_shipdate AS DATE) AS day,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+           CASE WHEN l_returnflag = 'R'
+             THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END AS rq
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+         daily AS (SELECT brand, day, CAST(sum(q) AS BIGINT) AS x
+           FROM rows_ GROUP BY 1, 2),
+         rates AS (SELECT brand, CAST(sum(q) AS BIGINT) AS tot,
+             CAST(sum(rq) AS BIGINT) AS ret
+           FROM rows_ GROUP BY 1),
+         nd AS (SELECT brand, CAST(count(*) AS BIGINT) AS nd
+           FROM daily GROUP BY 1),
+         ranked AS (SELECT brand, x,
+           CAST(row_number() OVER (PARTITION BY brand
+             ORDER BY x ASC, day ASC) AS BIGINT) AS rn
+         FROM daily)
+         SELECT r.brand, CAST(min(r.x) AS BIGINT) AS stock_qty_cents,
+           CAST(max(n.nd) AS BIGINT) AS n_days,
+           round(1.0 - CAST(max(t.ret) AS DOUBLE) / CAST(max(t.tot) AS DOUBLE), 6)
+             AS critical_fractile
+         FROM ranked r
+         JOIN rates t ON r.brand = t.brand
+         JOIN nd n ON r.brand = n.brand
+         WHERE r.rn * t.tot >= (t.tot - t.ret) * n.nd
+         GROUP BY 1""",
+
+    "q300_ks_two_sample" ->
+      """WITH v AS (SELECT
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+           c_mktsegment = 'BUILDING' AS g1
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         grid AS (SELECT v,
+           CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+         FROM v GROUP BY 1),
+         cum AS (SELECT v,
+           CAST(sum(c1) OVER (ORDER BY v ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+           CAST(sum(c2) OVER (ORDER BY v ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+         FROM grid),
+         tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(sum(c2) AS BIGINT) AS n2 FROM grid)
+         SELECT n1, n2,
+           round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d,
+           round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+             * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6) AS ks_scaled
+         FROM cum CROSS JOIN tot GROUP BY 1, 2""",
+
+    "q301_kendall_grid" ->
+      """WITH g AS (SELECT p_brand AS brand,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS sp,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS ret
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         pr AS (SELECT
+           CASE WHEN CAST(a.sp AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))
+               > CAST(b.sp AS DECIMAL(19,0)) * CAST(a.cnt AS DECIMAL(19,0))
+             THEN 1.0 WHEN CAST(a.sp AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))
+               < CAST(b.sp AS DECIMAL(19,0)) * CAST(a.cnt AS DECIMAL(19,0))
+             THEN -1.0 ELSE 0.0 END AS sx,
+           CASE WHEN CAST(a.ret AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))
+               > CAST(b.ret AS DECIMAL(19,0)) * CAST(a.cnt AS DECIMAL(19,0))
+             THEN 1.0 WHEN CAST(a.ret AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))
+               < CAST(b.ret AS DECIMAL(19,0)) * CAST(a.cnt AS DECIMAL(19,0))
+             THEN -1.0 ELSE 0.0 END AS sy
+         FROM g a JOIN g b ON a.brand < b.brand)
+         SELECT CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           round(CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)
+               - sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sqrt(CAST(count(*) - sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               * CAST(count(*) - sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS DOUBLE)),
+             6) AS tau_b
+         FROM pr""",
+
+    "q302_levene_bf" ->
+      """WITH x AS (SELECT c_mktsegment AS g, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+         ranked AS (SELECT g, o_orderkey, x,
+           CAST(row_number() OVER (PARTITION BY g
+             ORDER BY x ASC, o_orderkey ASC) AS BIGINT) AS rn
+         FROM x),
+         cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1),
+         meds AS (SELECT r.g,
+           CASE WHEN count(*) = 1 THEN CAST(sum(r.x) AS BIGINT) * 2
+             ELSE CAST(sum(r.x) AS BIGINT) END AS med2
+         FROM ranked r JOIN cnt c ON r.g = c.g
+         WHERE r.rn = (c.n + 1) // 2 OR r.rn = c.n // 2 + 1
+         GROUP BY 1),
+         z AS (SELECT x.g, abs(x.x * 2 - m.med2) AS z
+           FROM x JOIN meds m ON x.g = m.g),
+         grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ni,
+           CAST(sum(z) AS BIGINT) AS sz,
+           sum(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS szz
+         FROM z GROUP BY 1),
+         k AS (SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(ni) AS BIGINT) AS nn,
+           CAST(sum(sz) AS BIGINT) AS gz FROM grp),
+         terms AS (SELECT g, ni, k.k, k.nn,
+           CAST(sz AS DOUBLE) / CAST(ni AS DOUBLE)
+             - CAST(k.gz AS DOUBLE) / CAST(k.nn AS DOUBLE) AS dm,
+           CAST(szz AS DOUBLE)
+             - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(ni AS DOUBLE) AS wss
+         FROM grp CROSS JOIN k),
+         f AS (SELECT k, nn,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(CAST(ni AS DOUBLE) * dm * dm, 9) ORDER BY g)),
+             (a, e) -> round(a + e, 9)) AS bss,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(wss, 9) ORDER BY g)),
+             (a, e) -> round(a + e, 9)) AS wss
+         FROM terms GROUP BY 1, 2)
+         SELECT k AS n_groups, nn AS n_obs,
+           round((bss / CAST(k - 1 AS DOUBLE))
+             / (wss / CAST(nn - k AS DOUBLE)), 6) AS levene_w
+         FROM f""",
+
+    "q303_jarque_bera" ->
+      """WITH daily AS (SELECT
+           (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) + 50000) // 100000 AS x
+         FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s1,
+           CAST(sum(x * x) AS BIGINT) AS s2,
+           sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+             * CAST(x AS DECIMAL(19,0))) AS s3,
+           sum((CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+             * (CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))) AS s4
+         FROM daily),
+         c AS (SELECT n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+           CAST(n AS DOUBLE) AS nd, CAST(s2 AS DOUBLE) AS d2,
+           CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+         FROM m),
+         mom AS (SELECT n, mu, nd,
+           (d2 / nd) - mu * mu AS m2,
+           d3 / nd - 3.0 * mu * (d2 / nd) + 2.0 * mu * mu * mu AS m3,
+           d4 / nd - 4.0 * mu * (d3 / nd) + 6.0 * mu * mu * (d2 / nd)
+             - 3.0 * mu * mu * mu * mu AS m4
+         FROM c)
+         SELECT n AS n_days,
+           round(m3 / sqrt(m2 * m2 * m2), 6) AS skewness,
+           round(m4 / (m2 * m2), 6) AS kurtosis,
+           round(nd / 6.0
+             * (pow(m3 / sqrt(m2 * m2 * m2), 2)
+               + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0), 6) AS jarque_bera
+         FROM mom""",
+
+    "q304_poisson_dispersion" ->
+      """WITH daily AS (SELECT p_brand AS brand, CAST(l_shipdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS c
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)
+         SELECT brand, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_count,
+           round((CAST(count(*) AS DOUBLE) * CAST(sum(c * c) AS DOUBLE)
+             - CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+             / ((CAST(count(*) AS DOUBLE) - 1.0) * CAST(sum(c) AS DOUBLE)), 6)
+             AS dispersion
+         FROM daily GROUP BY 1""",
+
+    "q305_cohens_kappa" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+           CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus <> 'F'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_linestatus = 'F'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           CAST(sum(CASE WHEN l_returnflag <> 'R' AND l_linestatus <> 'F'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         FROM lineitem),
+         p AS (SELECT n, n11, n10, n01, n00,
+           (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE) AS po,
+           ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+             * (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE))
+             + (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE))
+             * (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+         FROM m)
+         SELECT n, n11, n10, n01, n00,
+           round(po, 6) AS observed_agreement,
+           round((po - pe) / (1.0 - pe), 6) AS kappa
+         FROM p""",
   )
 }

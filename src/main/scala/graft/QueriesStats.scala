@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryDsl._
 
@@ -686,6 +687,356 @@ private[graft] object QueriesStats {
       withConf.crossJoin(broadcast(ece))
         .select(col("bin"), col("n"), round(col("conf"), 6).as("mean_score"),
           round(col("acc"), 6).as("frac_pos"), round(col("ece"), 6).as("ece"))
+    }),
+
+    // ── r8 economics / industrial-statistics tier ──────────────────────
+
+    "q296_herfindahl" -> ((s, dir) => {
+      // Supplier-revenue concentration (Herfindahl–Hirschman index) per
+      // nation: HHI = Σ share², share = supplier revenue / nation
+      // revenue. Two map-combinable aggregations — (nation, supplier)
+      // partials then the nation rollup — output is nation-grid-sized.
+      // Squares ride DECIMAL(38,0) so Σr² is EXACT at any SF (a bigint
+      // square overflows past ~3 G cents); the only double op is the
+      // final one-division share-of-squares.
+      val li = tbl(s, dir, "lineitem").select(col("l_suppkey"),
+        expr(s"cast(cast(l_extendedprice as $dec) * 100 as bigint)").as("c"))
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val rev = li
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("s_suppkey"))
+        .agg(sum(col("c")).as("r"))
+      rev.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("r")).as("tot"),
+          sum(col("r").cast("decimal(19,0)") * col("r").cast("decimal(19,0)"))
+            .as("sq"))
+        .select(col("nation"), col("n_suppliers"),
+          round(col("sq").cast("double")
+            / (col("tot").cast("double") * col("tot").cast("double")), 6)
+            .as("hhi"))
+    }),
+
+    "q297_price_elasticity" -> ((s, dir) => {
+      // Log-log demand elasticity per brand: OLS slope of ln(monthly
+      // quantity) on ln(monthly mean unit price) over the brand×month
+      // grid. Corpus pass = one map-combinable (brand, month) aggregate
+      // of exact cents; the per-brand regression folds the BOUNDED month
+      // list position-ordered (the q275 convention) so float summation
+      // order is pinned; ln inputs are exact-integer ratios rounded to
+      // 9 dp before the transcendental.
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cells = li
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(expr(s"sum(cast(cast(l_extendedprice as $dec) * 100 as bigint))")
+            .as("sp"),
+          expr(s"sum(cast(cast(l_quantity as $dec) * 100 as bigint))").as("sq"))
+        .select(col("brand"), col("month"),
+          round(log(col("sp").cast("double") / col("sq").cast("double")), 9)
+            .as("x"),
+          round(log(col("sq").cast("double") / lit(100.0)), 9).as("y"))
+      val folded = cells.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"),
+          aggregate(array_sort(collect_list(struct(col("month"), col("x")))),
+            lit(0.0), (a, e) => round(a + e.getField("x"), 12)).as("sx"),
+          aggregate(array_sort(collect_list(struct(col("month"), col("y")))),
+            lit(0.0), (a, e) => round(a + e.getField("y"), 12)).as("sy"),
+          aggregate(array_sort(collect_list(struct(col("month"),
+              round(col("x") * col("y"), 12).as("xy")))),
+            lit(0.0), (a, e) => round(a + e.getField("xy"), 12)).as("sxy"),
+          aggregate(array_sort(collect_list(struct(col("month"),
+              round(col("x") * col("x"), 12).as("xx")))),
+            lit(0.0), (a, e) => round(a + e.getField("xx"), 12)).as("sxx"))
+      def d(c: String): Column = col(c).cast("double")
+      folded.select(col("brand"), col("n").as("n_months"),
+        round((d("n") * col("sxy") - col("sx") * col("sy"))
+          / (d("n") * col("sxx") - col("sx") * col("sx")), 6).as("elasticity"))
+    }),
+
+    "q298_gini_by_nation" -> ((s, dir) => {
+      // Exact Gini coefficient of customer spend per nation:
+      // G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the within-nation
+      // spend order. The rank window is NATION-partitioned (key-parallel
+      // — the allowed window class); Σ i·x rides DECIMAL(38,0) (rank ×
+      // cents exceeds bigint range at warehouse SF). One corpus pass,
+      // nation-grid output, one final double division.
+      val spend = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(expr(s"sum(cast(cast(o_totalprice as $dec) * 100 as bigint))")
+          .as("x"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nat = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val w = Window.partitionBy(col("nation"))
+        .orderBy(col("x").asc, col("o_custkey").asc)
+      spend
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_custkey"), col("x"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("i").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+            .as("six"))
+        .select(col("nation"), col("n").as("n_customers"),
+          round((lit(2.0) * col("six").cast("double")
+            - (col("n") + 1).cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * col("sx").cast("double")), 6)
+            .as("gini"))
+    }),
+
+    "q299_newsvendor" -> ((s, dir) => {
+      // Newsvendor stocking quantile per brand: critical fractile
+      // cf = 1 − return_rate (quantity-weighted), optimal stock = the
+      // cf-quantile (lower percentile_disc) of DAILY brand demand. The
+      // quantile threshold is the EXACT integer inequality
+      // rank·tot ≥ (tot − ret)·n_days — no double ever decides a row, so
+      // both engines pick the identical day. Demand ranks are
+      // brand-partitioned (key-parallel); output is brand-grid-sized.
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val rows = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          col("l_shipdate").cast("date").as("day"),
+          expr(s"cast(cast(l_quantity as $dec) * 100 as bigint)").as("q"),
+          when(col("l_returnflag") === "R",
+            expr(s"cast(cast(l_quantity as $dec) * 100 as bigint)"))
+            .otherwise(0L).as("rq"))
+      val daily = rows.groupBy(col("brand"), col("day"))
+        .agg(sum(col("q")).as("x"))
+      val rates = rows.groupBy(col("brand"))
+        .agg(sum(col("q")).as("tot"), sum(col("rq")).as("ret"))
+      val nDays = daily.groupBy(col("brand")).agg(count(lit(1)).as("nd"))
+      val w = Window.partitionBy(col("brand"))
+        .orderBy(col("x").asc, col("day").asc)
+      daily.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(rates), Seq("brand"))
+        .join(broadcast(nDays), Seq("brand"))
+        .filter(col("rn") * col("tot") >= (col("tot") - col("ret")) * col("nd"))
+        .groupBy(col("brand"))
+        .agg(min(col("x")).as("stock_qty_cents"),
+          max(col("nd")).as("n_days"),
+          round(lit(1.0)
+            - max(col("ret")).cast("double") / max(col("tot")).cast("double"), 6)
+            .as("critical_fractile"))
+    }),
+
+    "q300_ks_two_sample" -> ((s, dir) => {
+      // Two-sample Kolmogorov–Smirnov: BUILDING vs MACHINERY customer
+      // segments over order totals. ECDFs ride bandedCumSum (zero
+      // unpartitioned windows — the q203 machinery) on the distinct-value
+      // grid; the supremum picks max|cum1·n2 − cum2·n1| as an EXACT
+      // bigint before the single normalizing division, so the argmax is
+      // engine-independent. One corpus pass + value-grid work.
+      val seg = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      val v = tbl(s, dir, "orders")
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .select(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"),
+          (col("c_mktsegment") === "BUILDING").as("g1"))
+      val grid = v.groupBy(col("v"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("g1"), 0L).otherwise(1L)).as("c2"))
+      val cum1 = operators.ScalableWindow.bandedCumSum(
+        grid, "v", descending = false, Seq.empty, "c1", "cum1")
+      val cum2 = operators.ScalableWindow.bandedCumSum(
+        cum1, "v", descending = false, Seq.empty, "c2", "cum2")
+      val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      def d(c: String): Column = col(c).cast("double")
+      cum2.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(col("dn")).as("dmax"))
+        .select(col("n1"), col("n2"),
+          round(d("dmax") / (d("n1") * d("n2")), 6).as("ks_d"),
+          round(d("dmax") / (d("n1") * d("n2"))
+            * sqrt(d("n1") * d("n2") / (d("n1") + d("n2"))), 6).as("ks_scaled"))
+    }),
+
+    "q301_kendall_grid" -> ((s, dir) => {
+      // Kendall τ-b between brand mean price and brand return rate over
+      // the 25-brand grid: concordance counted on grid² (≤625 pairs —
+      // grid-bounded, never corpus²). Orderings compare EXACT integer
+      // cross-products (spA·cntB vs spB·cntA in DECIMAL(38,0)), so rank
+      // comparisons never touch a double; τ-b's tie-corrected
+      // denominator is the only floating step.
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val g = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(expr(s"sum(cast(cast(l_extendedprice as $dec) * 100 as bigint))")
+            .as("sp"),
+          count(lit(1)).as("cnt"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+        .localCheckpoint()
+      def dd(c: Column): Column = c.cast("decimal(19,0)")
+      val pr = g.as("a").join(g.as("b"),
+          col("a.brand") < col("b.brand"))
+        .select(
+          signum((dd(col("a.sp")) * dd(col("b.cnt"))
+            - dd(col("b.sp")) * dd(col("a.cnt"))).cast("double")).as("sx"),
+          signum((dd(col("a.ret")) * dd(col("b.cnt"))
+            - dd(col("b.ret")) * dd(col("a.cnt"))).cast("double")).as("sy"))
+      pr.agg(count(lit(1)).as("n0"),
+          sum(when(col("sx") * col("sy") > 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("sx") * col("sy") < 0, 1L).otherwise(0L)).as("nd"),
+          sum(when(col("sx") === 0, 1L).otherwise(0L)).as("tx"),
+          sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ty"))
+        .select(col("n0"), col("nc"), col("nd"),
+          round((col("nc") - col("nd")).cast("double")
+            / sqrt((col("n0") - col("tx")).cast("double")
+              * (col("n0") - col("ty")).cast("double")), 6).as("tau_b"))
+    }),
+
+    "q302_levene_bf" -> ((s, dir) => {
+      // Brown–Forsythe (median-based Levene) homogeneity-of-variance
+      // test across the five market segments over order totals. Exact
+      // group medians come from segment-partitioned ranks (key-parallel)
+      // as 2·median in cents (integer even for even n); |deviations| and
+      // their squares stay exact (DECIMAL(38,0) for the squares); W's
+      // numerator/denominator are assembled from those exact sums with
+      // one final division.
+      val seg = tbl(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val x = tbl(s, dir, "orders")
+        .join(seg, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("g"), col("o_orderkey"),
+          expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("x"))
+      val w = Window.partitionBy(col("g")).orderBy(col("x").asc, col("o_orderkey").asc)
+      val ranked = x.withColumn("rn", row_number().over(w).cast("long"))
+      val meds = ranked.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .join(ranked.select(col("g"), col("rn"), col("x")), Seq("g"))
+        .filter(expr("rn = div(n + 1, 2) OR rn = div(n, 2) + 1"))
+        .groupBy(col("g"))
+        .agg(sum(col("x")).as("med2x"), count(lit(1)).as("nm"))
+        // odd n hits the same row twice (rn formulas coincide) -> double it.
+        .select(col("g"),
+          when(col("nm") === 1, col("med2x") * 2).otherwise(col("med2x"))
+            .as("med2"))
+      val z = x.join(broadcast(meds), Seq("g"))
+        .select(col("g"), abs(col("x") * 2 - col("med2")).as("z"))
+      val grp = z.groupBy(col("g"))
+        .agg(count(lit(1)).as("ni"), sum(col("z")).as("sz"),
+          sum(col("z").cast("decimal(19,0)") * col("z").cast("decimal(19,0)"))
+            .as("szz"))
+        .localCheckpoint()
+      val k = grp.agg(count(lit(1)).as("k"), sum(col("ni")).as("nn"),
+        sum(col("sz").cast("decimal(19,0)")).as("gz"))
+      def d(c: Column): Column = c.cast("double")
+      // Within-group SS = Σ(z²) − (Σz)²/nᵢ; between SS from group means
+      // vs the grand mean — all from the same exact sums.
+      grp.crossJoin(broadcast(k))
+        .select(col("g"), col("ni"), col("k"), col("nn"),
+          (d(col("sz")) / d(col("ni"))
+            - d(col("gz")) / d(col("nn"))).as("dm"),
+          (d(col("szz")) - d(col("sz")) * d(col("sz")) / d(col("ni"))).as("wss"))
+        .groupBy(col("k"), col("nn"))
+        // k-group double sums fold ORDERED BY segment name (k = 5 rows,
+        // but the convention is no order-free float summation anywhere).
+        .agg(aggregate(array_sort(collect_list(struct(col("g"),
+              round(col("ni").cast("double") * col("dm") * col("dm"), 9)
+                .as("b")))),
+            lit(0.0), (a, e) => round(a + e.getField("b"), 9)).as("bss"),
+          aggregate(array_sort(collect_list(struct(col("g"),
+              round(col("wss"), 9).as("w")))),
+            lit(0.0), (a, e) => round(a + e.getField("w"), 9)).as("wss"))
+        .select(col("k").as("n_groups"), col("nn").as("n_obs"),
+          round((col("bss") / (col("k") - 1).cast("double"))
+            / (col("wss") / (col("nn") - col("k")).cast("double")), 6)
+            .as("levene_w"))
+    }),
+
+    "q303_jarque_bera" -> ((s, dir) => {
+      // Jarque–Bera normality test on the daily revenue series, binned
+      // to $1000 units so ALL four power sums stay exact integers
+      // (4th powers of raw cents overflow even DECIMAL(38,0) at
+      // warehouse SF; the binned statistic is the declared contract and
+      // is identical in both engines). One day-grid aggregate; skewness/
+      // kurtosis/JB assembled from the exact sums in doubles.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(expr(s"sum(cast(cast(o_totalprice as $dec) * 100 as bigint))")
+          .as("c"))
+        .select(expr("div(c + 50000, 100000)").as("x"))
+      val m = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")
+          * col("x").cast("decimal(19,0)")).as("s3"),
+        sum((col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          * (col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")))
+          .as("s4"))
+      def d(c: String): Column = col(c).cast("double")
+      m.select(col("n").as("n_days"),
+          (d("s1") / d("n")).as("mu"),
+          d("n").as("nd"), d("s2").as("d2"), d("s3").as("d3"), d("s4").as("d4"))
+        .select(col("n_days"),
+          col("mu"),
+          ((col("d2") / col("nd")) - col("mu") * col("mu")).as("m2"),
+          (col("d3") / col("nd") - lit(3.0) * col("mu") * (col("d2") / col("nd"))
+            + lit(2.0) * col("mu") * col("mu") * col("mu")).as("m3"),
+          (col("d4") / col("nd")
+            - lit(4.0) * col("mu") * (col("d3") / col("nd"))
+            + lit(6.0) * col("mu") * col("mu") * (col("d2") / col("nd"))
+            - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")).as("m4"),
+          col("nd"))
+        .select(col("n_days"),
+          round(col("m3") / sqrt(col("m2") * col("m2") * col("m2")), 6)
+            .as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")), 6).as("kurtosis"),
+          round(col("nd") / lit(6.0)
+            * (pow(col("m3") / sqrt(col("m2") * col("m2") * col("m2")), 2)
+              + pow(col("m4") / (col("m2") * col("m2")) - lit(3.0), 2)
+                / lit(4.0)), 6).as("jarque_bera"))
+    }),
+
+    "q304_poisson_dispersion" -> ((s, dir) => {
+      // Overdispersion diagnostic per brand: variance-to-mean ratio of
+      // DAILY order-line counts (a Poisson process would sit at 1).
+      // Counts are integers, so n, Σc, Σc² are exact and the dispersion
+      // is one double division of exact bigints; brand-grid output.
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val daily = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          col("l_shipdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      def d(c: String): Column = col(c).cast("double")
+      daily.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+        .select(col("brand"), col("n").as("n_days"),
+          round(d("sc") / d("n"), 6).as("mean_count"),
+          round((d("n") * d("scc") - d("sc") * d("sc"))
+            / ((d("n") - lit(1.0)) * d("sc")), 6).as("dispersion"))
+    }),
+
+    "q305_cohens_kappa" -> ((s, dir) => {
+      // Cohen's κ between two binary "raters" over lineitems — returned
+      // (l_returnflag = R) vs finalized (l_linestatus = F): the
+      // inter-rater agreement estimator on the 2×2 contingency of exact
+      // counts. One map-combinable pass; κ is assembled from the four
+      // cells with doubles only at the end.
+      val li = tbl(s, dir, "lineitem").select(
+        (col("l_returnflag") === "R").as("a"),
+        (col("l_linestatus") === "F").as("b"))
+      val m = li.agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      def d(c: String): Column = col(c).cast("double")
+      m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          ((d("n11") + d("n00")) / d("n")).as("po"),
+          (((d("n11") + d("n10")) * (d("n11") + d("n01"))
+            + (d("n01") + d("n00")) * (d("n10") + d("n00")))
+            / (d("n") * d("n"))).as("pe"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round(col("po"), 6).as("observed_agreement"),
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
     }),
   )
 }
