@@ -768,5 +768,262 @@ private[graft] object OracleStats {
            round(po, 6) AS observed_agreement,
            round((po - pe) / (1.0 - pe), 6) AS kappa
          FROM p""",
+
+    "q306_partial_corr" ->
+      """WITH per AS (SELECT l_orderkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y,
+           CAST(sum(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))
+             AS BIGINT) AS z
+         FROM lineitem GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(z) AS BIGINT) AS sz,
+           sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+           sum(CAST(x AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS sxz,
+           sum(CAST(y AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS syz,
+           sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+           sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+           sum(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0))) AS szz
+         FROM per),
+         r AS (SELECT n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rxy,
+           (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                 - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS rxz,
+           (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                 - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS ryz
+         FROM m)
+         SELECT n AS n_orders,
+           round(rxy, 6) AS r_value_lines,
+           round(rxz, 6) AS r_value_discount,
+           round(ryz, 6) AS r_lines_discount,
+           round((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) AS partial_r
+         FROM r""",
+
+    "q307_cooks_distance" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, x
+           FROM daily),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+           sum(CAST(t AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS stx,
+           CAST(sum(t * t) AS BIGINT) AS stt,
+           sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+         FROM idx),
+         fit AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+           CAST(st AS DOUBLE) AS std, CAST(sx AS DOUBLE) AS sxd,
+           CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+             / CAST(n AS DOUBLE) AS Stt,
+           CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(n AS DOUBLE) AS Stx,
+           CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(n AS DOUBLE) AS Sxx2
+         FROM m),
+         fit2 AS (SELECT nd, std, sxd, Stt, Stx / Stt AS b1,
+           (Sxx2 - Stx * Stx / Stt) / (nd - 2.0) AS s2
+         FROM fit),
+         rows_ AS (SELECT t, x,
+           1.0 / nd + (CAST(t AS DOUBLE) - std / nd)
+             * (CAST(t AS DOUBLE) - std / nd) / Stt AS h,
+           CAST(x AS DOUBLE) - (sxd / nd
+             + b1 * (CAST(t AS DOUBLE) - std / nd)) AS e,
+           s2
+         FROM idx CROSS JOIN fit2)
+         SELECT t, x, round(h, 6) AS leverage,
+           round(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) AS cooks_d
+         FROM rows_
+         ORDER BY cooks_d DESC, t ASC LIMIT 10""",
+
+    "q308_zipf_slope" ->
+      """WITH tc AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+               FROM documents)
+         GROUP BY 1),
+         top AS (SELECT term, cnt FROM tc
+           ORDER BY cnt DESC, term ASC LIMIT 500),
+         ranked AS (SELECT
+           CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT)
+             AS rank, cnt
+         FROM top),
+         lr AS (SELECT rank,
+           round(ln(CAST(rank AS DOUBLE)), 9) AS lx,
+           round(ln(CAST(cnt AS DOUBLE)), 9) AS ly
+         FROM ranked),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(lx ORDER BY rank)), (a, e) -> round(a + e, 12)) AS sx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(ly ORDER BY rank)), (a, e) -> round(a + e, 12)) AS sy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(lx * ly, 12) ORDER BY rank)),
+             (a, e) -> round(a + e, 12)) AS sxy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(lx * lx, 12) ORDER BY rank)),
+             (a, e) -> round(a + e, 12)) AS sxx
+         FROM lr)
+         SELECT n AS n_terms,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+         FROM f""",
+
+    "q309_burstiness" ->
+      """WITH td AS (SELECT t AS term, doc_id, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+               FROM documents)
+         GROUP BY 1, 2),
+         top AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM td GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 20),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         g AS (SELECT td.term, top.df,
+           CAST(sum(td.c) AS BIGINT) AS sc,
+           CAST(sum(td.c * td.c) AS BIGINT) AS scc
+         FROM td JOIN top ON td.term = top.term
+         GROUP BY 1, 2)
+         SELECT term, df,
+           round(CAST(sc AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS mean_count,
+           round((CAST(scc AS DOUBLE) / CAST(nd AS DOUBLE)
+             - (CAST(sc AS DOUBLE) / CAST(nd AS DOUBLE))
+               * (CAST(sc AS DOUBLE) / CAST(nd AS DOUBLE)))
+             / (CAST(sc AS DOUBLE) / CAST(nd AS DOUBLE)), 6) AS fano
+         FROM g CROSS JOIN nd""",
+
+    "q310_source_pair_kl" ->
+      """WITH st AS (SELECT source, t AS term, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+               FROM documents)
+         GROUP BY 1, 2),
+         vocab AS (SELECT term FROM
+           (SELECT term, CAST(sum(cnt) AS BIGINT) AS tc FROM st GROUP BY 1)
+           ORDER BY tc DESC, term ASC LIMIT 200),
+         sources AS (SELECT DISTINCT source FROM st),
+         grid AS (SELECT s.source, v.term, coalesce(st.cnt, 0) AS c
+           FROM sources s CROSS JOIN vocab v
+           LEFT JOIN st ON st.source = s.source AND st.term = v.term),
+         totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS v
+           FROM grid GROUP BY 1),
+         g AS (SELECT grid.source, grid.term, grid.c, totals.tot, totals.v
+           FROM grid JOIN totals ON grid.source = totals.source),
+         pair AS (SELECT a.source AS source_a, b.source AS source_b, a.term,
+           round(((CAST(a.c AS DOUBLE) + 1.0) / (CAST(a.tot AS DOUBLE) + CAST(a.v AS DOUBLE)))
+             * ln(((CAST(a.c AS DOUBLE) + 1.0) / (CAST(a.tot AS DOUBLE) + CAST(a.v AS DOUBLE)))
+               / ((CAST(b.c AS DOUBLE) + 1.0) / (CAST(b.tot AS DOUBLE) + CAST(b.v AS DOUBLE)))),
+             12) AS kterm
+         FROM g a JOIN g b ON a.term = b.term AND a.source <> b.source)
+         SELECT source_a, source_b,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(kterm ORDER BY term)), (a, e) -> round(a + e, 12)), 6) AS kl
+         FROM pair GROUP BY 1, 2""",
+
+    "q311_mann_kendall" ->
+      """WITH monthly AS (SELECT strftime(o_orderdate, '%Y-%m') AS m,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         pr AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+           FROM monthly a JOIN monthly b ON a.m < b.m),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM monthly),
+         ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+             AS BIGINT) AS tie_corr
+           FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM monthly
+                 GROUP BY x HAVING count(*) > 1)),
+         c AS (SELECT n.n AS n_months, pr.s_stat,
+           (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)
+             * (2.0 * CAST(n.n AS DOUBLE) + 5.0)
+             - CAST(ties.tie_corr AS DOUBLE)) / 18.0 AS v
+         FROM pr CROSS JOIN n CROSS JOIN ties)
+         SELECT n_months, s_stat,
+           round(CASE WHEN v <= 0 THEN NULL
+             WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(v)
+             WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(v)
+             ELSE 0.0 END, 6) AS z,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+             WHEN s_stat < 0 THEN 'decreasing'
+             ELSE 'no trend' END AS trend
+         FROM c""",
+
+    "q312_wilcoxon_brand" ->
+      """WITH cells AS (SELECT p_brand AS brand,
+           CAST(month(l_shipdate) AS INTEGER) AS moy,
+           CAST(year(l_shipdate) AS INTEGER) AS yr,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS c
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) IN (1995, 1996)
+         GROUP BY 1, 2, 3),
+         paired AS (SELECT brand, moy,
+           CAST(sum(CASE WHEN yr = 1996 THEN c ELSE 0 END)
+             - sum(CASE WHEN yr = 1995 THEN c ELSE 0 END) AS BIGINT) AS dd
+         FROM cells GROUP BY 1, 2 HAVING count(*) = 2),
+         nz AS (SELECT brand, dd, abs(dd) AS absd FROM paired WHERE dd <> 0),
+         ranked AS (SELECT brand, dd, absd,
+           CAST(rank() OVER (PARTITION BY brand ORDER BY absd ASC) AS BIGINT)
+             AS minrank
+         FROM nz),
+         tiesz AS (SELECT brand, absd, CAST(count(*) AS BIGINT) AS tsz,
+             CAST(max(minrank) AS BIGINT) AS mr
+           FROM ranked GROUP BY 1, 2),
+         withavg AS (SELECT r.brand, r.dd, t.mr * 2 + t.tsz - 1 AS avg2, t.tsz
+           FROM ranked r JOIN tiesz t ON r.brand = t.brand AND r.absd = t.absd),
+         stats AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN dd > 0 THEN avg2 ELSE 0 END) AS BIGINT) AS w2p
+           FROM withavg GROUP BY 1),
+         tc AS (SELECT brand,
+             CAST(sum(tsz * tsz * tsz - tsz) AS BIGINT) AS t3
+           FROM tiesz GROUP BY 1)
+         SELECT s.brand, s.n AS n_pairs, s.w2p,
+           round((CAST(s.w2p AS DOUBLE) / 2.0
+             - CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1.0) / 4.0)
+             / sqrt(CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1.0)
+               * (2.0 * CAST(s.n AS DOUBLE) + 1.0) / 24.0
+               - CAST(tc.t3 AS DOUBLE) / 48.0), 6) AS z
+         FROM stats s JOIN tc ON s.brand = tc.brand""",
+
+    "q313_seasonality_strength" ->
+      """WITH daily AS (SELECT
+           (CAST(day AS DATE) - DATE '1970-01-01') % 7 AS w, x
+         FROM (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS x
+           FROM orders GROUP BY 1)),
+         byw AS (SELECT w, CAST(count(*) AS BIGINT) AS nw,
+           CAST(sum(x) AS BIGINT) AS sw,
+           sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sww
+         FROM daily GROUP BY 1),
+         tot AS (SELECT CAST(sum(nw) AS BIGINT) AS n,
+           CAST(sum(sw) AS BIGINT) AS sx,
+           CAST(sum(sww) AS DOUBLE) AS sxx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+               / CAST(nw AS DOUBLE), 6) ORDER BY w)),
+             (a, e) -> round(a + e, 6)) AS fitss
+         FROM byw)
+         SELECT n AS n_days,
+           round(greatest(0.0,
+             1.0 - (sxx - fitss)
+               / (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE))), 6) AS seasonal_strength
+         FROM tot""",
   )
 }

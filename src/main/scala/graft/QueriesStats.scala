@@ -1038,5 +1038,299 @@ private[graft] object QueriesStats {
           round(col("po"), 6).as("observed_agreement"),
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
     }),
+
+    "q306_partial_corr" -> ((s, dir) => {
+      // Partial correlation of order value and line count, controlling
+      // for total discount: one map-combinable moment aggregate over the
+      // per-order rollup (second-order sums in DECIMAL(38,0) — Σx²
+      // exceeds bigint range past ~15 k orders), then the three pairwise
+      // r's and the partial r assembled in closed form. One-row output.
+      val per = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(expr(s"sum(cast(cast(l_extendedprice as $dec) * 100 as bigint))")
+            .as("x"),
+          count(lit(1)).as("y"),
+          expr(s"sum(cast(cast(l_discount as decimal(18,4)) * 10000 as bigint))")
+            .as("z"))
+      def d19(c: String): Column = col(c).cast("decimal(19,0)")
+      val m = per.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+        sum(d19("x") * d19("y")).as("sxy"),
+        sum(d19("x") * d19("z")).as("sxz"),
+        sum(d19("y") * d19("z")).as("syz"),
+        sum(d19("x") * d19("x")).as("sxx"),
+        sum(d19("y") * d19("y")).as("syy"),
+        sum(d19("z") * d19("z")).as("szz"))
+      def d(c: String): Column = col(c).cast("double")
+      def r(ab: String, a: String, b: String, aa: String, bb: String): Column =
+        (d("n") * d(ab) - d(a) * d(b)) /
+          sqrt((d("n") * d(aa) - d(a) * d(a)) * (d("n") * d(bb) - d(b) * d(b)))
+      m.select(col("n").as("n_orders"),
+          r("sxy", "sx", "sy", "sxx", "syy").as("rxy"),
+          r("sxz", "sx", "sz", "sxx", "szz").as("rxz"),
+          r("syz", "sy", "sz", "syy", "szz").as("ryz"))
+        .select(col("n_orders"),
+          round(col("rxy"), 6).as("r_value_lines"),
+          round(col("rxz"), 6).as("r_value_discount"),
+          round(col("ryz"), 6).as("r_lines_discount"),
+          round((col("rxy") - col("rxz") * col("ryz"))
+            / sqrt((lit(1.0) - col("rxz") * col("rxz"))
+              * (lit(1.0) - col("ryz") * col("ryz"))), 6)
+            .as("partial_r"))
+    }),
+
+    "q307_cooks_distance" -> ((s, dir) => {
+      // Top-10 most influential days of the daily-revenue-on-time OLS by
+      // Cook's distance — the regression-diagnostics pass that flags the
+      // days dragging the trend line. Slope/intercept/SSE come from ONE
+      // exact moment aggregate (closed forms — no per-row residual sum,
+      // so no float-order hazard); each day's leverage and D are then
+      // pure per-row expressions and the head is TakeOrderedAndProject.
+      val idx = dailyIdx(s, dir).localCheckpoint()
+      def d19(c: String): Column = col(c).cast("decimal(19,0)")
+      val m = idx.agg(count(lit(1)).as("n"),
+        sum(col("t")).as("st"), sum(col("x")).as("sx"),
+        sum(d19("t") * d19("x")).as("stx"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(d19("x") * d19("x")).as("sxx"))
+      def d(c: String): Column = col(c).cast("double")
+      val fit = m.select(col("n"), d("n").as("nd"),
+          d("st").as("std"), d("sx").as("sxd"), d("stx").as("stxd"),
+          d("stt").as("sttd"), d("sxx").as("sxxd"))
+        .select(col("n"), col("nd"), col("std"), col("sxd"),
+          (col("sttd") - col("std") * col("std") / col("nd")).as("Stt"),
+          (col("stxd") - col("std") * col("sxd") / col("nd")).as("Stx"),
+          (col("sxxd") - col("sxd") * col("sxd") / col("nd")).as("Sxx2"))
+        .select(col("n"), col("nd"), col("std"), col("sxd"),
+          col("Stt"), (col("Stx") / col("Stt")).as("b1"),
+          ((col("Sxx2") - col("Stx") * col("Stx") / col("Stt"))
+            / (col("nd") - lit(2.0))).as("s2"))
+      idx.crossJoin(broadcast(fit))
+        .select(col("t"), col("x"),
+          (lit(1.0) / col("nd")
+            + (d("t") - col("std") / col("nd")) * (d("t") - col("std") / col("nd"))
+              / col("Stt")).as("h"),
+          (d("x") - (col("sxd") / col("nd")
+            + col("b1") * (d("t") - col("std") / col("nd")))).as("e"),
+          col("s2"))
+        .select(col("t"), col("x"), round(col("h"), 6).as("leverage"),
+          round(col("e") * col("e") * col("h")
+            / (lit(2.0) * col("s2") * (lit(1.0) - col("h")) * (lit(1.0) - col("h"))),
+            6).as("cooks_d"))
+        .orderBy(col("cooks_d").desc, col("t").asc)
+        .limit(10)
+    }),
+
+    "q308_zipf_slope" -> ((s, dir) => {
+      // Zipf exponent fit: OLS slope of ln(freq) on ln(rank) over the
+      // top-500 vocabulary head (q153 reports the head; this fits the
+      // law). Head extraction is TakeOrderedAndProject; ranks come from
+      // ONE bounded sorted array (500 structs) via posexplode — no
+      // window anywhere; the regression folds position-ordered. Equal
+      // counts make the fit invariant to tie permutation (a tie block
+      // occupies a contiguous rank range and y is constant on it).
+      val tc = tbl(s, dir, "documents")
+        .select(explode(functions.Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val top = tc.orderBy(col("cnt").desc, col("term").asc).limit(500)
+      val ranked = top
+        .agg(array_sort(collect_list(struct((-col("cnt")).as("negc"),
+          col("term")))).as("a"))
+        .select(posexplode(col("a")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          (-col("e.negc")).as("cnt"))
+        .select(col("rank"), col("cnt"),
+          round(log(col("rank").cast("double")), 9).as("lx"),
+          round(log(col("cnt").cast("double")), 9).as("ly"))
+      val f = ranked.agg(count(lit(1)).as("n"),
+        aggregate(array_sort(collect_list(struct(col("rank"), col("lx")))),
+          lit(0.0), (a, e) => round(a + e.getField("lx"), 12)).as("sx"),
+        aggregate(array_sort(collect_list(struct(col("rank"), col("ly")))),
+          lit(0.0), (a, e) => round(a + e.getField("ly"), 12)).as("sy"),
+        aggregate(array_sort(collect_list(struct(col("rank"),
+            round(col("lx") * col("ly"), 12).as("v")))),
+          lit(0.0), (a, e) => round(a + e.getField("v"), 12)).as("sxy"),
+        aggregate(array_sort(collect_list(struct(col("rank"),
+            round(col("lx") * col("lx"), 12).as("v")))),
+          lit(0.0), (a, e) => round(a + e.getField("v"), 12)).as("sxx"))
+      def d(c: String): Column = col(c).cast("double")
+      f.select(col("n").as("n_terms"),
+        round((d("n") * col("sxy") - col("sx") * col("sy"))
+          / (d("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+    }),
+
+    "q309_burstiness" -> ((s, dir) => {
+      // Term burstiness (Fano factor of per-document counts, zeros
+      // included) for the 20 highest-df terms: var/mean = 1 for a
+      // Poisson-scattered term, ≫1 for topical/bursty ones — the
+      // feature that separates content words from function words.
+      // Per-(term, doc) counts are corpus partials; the head is
+      // TakeOrdered; zeros enter through N (total docs) in the closed
+      // form, never as materialized rows.
+      val td = tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(functions.Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val top = td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc).limit(20)
+      val nDocs = tbl(s, dir, "documents").agg(count(lit(1)).as("nd"))
+      def d(c: String): Column = col(c).cast("double")
+      td.join(broadcast(top), Seq("term"))
+        .groupBy(col("term"), col("df"))
+        .agg(sum(col("c")).as("sc"), sum(col("c") * col("c")).as("scc"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("term"), col("df"),
+          round(d("sc") / d("nd"), 6).as("mean_count"),
+          round((d("scc") / d("nd") - (d("sc") / d("nd")) * (d("sc") / d("nd")))
+            / (d("sc") / d("nd")), 6).as("fano"))
+    }),
+
+    "q310_source_pair_kl" -> ((s, dir) => {
+      // Pairwise corpus-mix divergence: KL(a ‖ b) for every ordered
+      // source pair over the SHARED top-200 vocabulary with add-1
+      // smoothing (q127 monitors each source against the blend; this is
+      // the source×source matrix a mixing planner reads). The grid is
+      // (sources × 200) — zeros materialize on the bounded grid via a
+      // broadcast vocab cross join, per-pair sums fold term-ordered.
+      val st = tbl(s, dir, "documents")
+        .select(col("source"), explode(functions.Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val vocab = st.groupBy(col("term")).agg(sum(col("cnt")).as("tc"))
+        .orderBy(col("tc").desc, col("term").asc).limit(200)
+        .select(col("term"))
+      val sources = st.select(col("source")).distinct()
+      val grid = sources.crossJoin(broadcast(vocab))
+        .join(st, Seq("source", "term"), "left")
+        .select(col("source"), col("term"),
+          coalesce(col("cnt"), lit(0L)).as("c"))
+      val totals = grid.groupBy(col("source"))
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("v"))
+      val g = grid.join(broadcast(totals), Seq("source"))
+      def d(c: Column): Column = c.cast("double")
+      val pair = g.as("a").join(g.as("b"),
+          col("a.term") === col("b.term") && col("a.source") =!= col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          col("a.term").as("term"),
+          round(((d(col("a.c")) + lit(1.0)) / (d(col("a.tot")) + d(col("a.v"))))
+            * log(((d(col("a.c")) + lit(1.0)) / (d(col("a.tot")) + d(col("a.v"))))
+              / ((d(col("b.c")) + lit(1.0)) / (d(col("b.tot")) + d(col("b.v"))))),
+            12).as("kterm"))
+      pair.groupBy(col("source_a"), col("source_b"))
+        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("kterm")))),
+          lit(0.0), (a, e) => round(a + e.getField("kterm"), 12)).as("kl"))
+        .select(col("source_a"), col("source_b"), round(col("kl"), 6).as("kl"))
+    }),
+
+    "q311_mann_kendall" -> ((s, dir) => {
+      // Mann–Kendall trend test on monthly revenue: S = Σ sign(xⱼ−xᵢ)
+      // over the month-grid pairs (calendar-bounded — never corpus
+      // pairs), tie-corrected variance, continuity-corrected z. Exact
+      // integers decide every comparison; doubles appear only in z.
+      val monthly = tbl(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+        .agg(expr(s"sum(cast(cast(o_totalprice as $dec) * 100 as bigint))")
+          .as("x"))
+        .localCheckpoint()
+      val pr = monthly.as("a").join(monthly.as("b"), col("a.m") < col("b.m"))
+        .agg(sum(signum((col("b.x") - col("a.x")).cast("double")).cast("long"))
+          .as("s_stat"))
+      val n = monthly.agg(count(lit(1)).as("n"))
+      val ties = monthly.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)), lit(0L))
+          .as("tie_corr"))
+      def d(c: String): Column = col(c).cast("double")
+      pr.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+        .select(col("n").as("n_months"), col("s_stat"),
+          ((d("n") * (d("n") - lit(1.0)) * (lit(2.0) * d("n") + lit(5.0))
+            - d("tie_corr")) / lit(18.0)).as("v"),
+          col("s_stat").as("s"))
+        .select(col("n_months"), col("s_stat"),
+          // v = 0 (every month tied) would divide by zero under ANSI
+          // where DuckDB yields NULL — same guard class as q293.
+          round(when(col("v") <= 0, lit(null).cast("double"))
+            .when(col("s") > 0, (d("s") - lit(1.0)) / sqrt(col("v")))
+            .when(col("s") < 0, (d("s") + lit(1.0)) / sqrt(col("v")))
+            .otherwise(lit(0.0)), 6).as("z"),
+          when(col("s") > 0, "increasing").when(col("s") < 0, "decreasing")
+            .otherwise("no trend").as("trend"))
+    }),
+
+    "q312_wilcoxon_brand" -> ((s, dir) => {
+      // Wilcoxon signed-rank per brand: 1996 vs 1995 monthly revenue,
+      // paired on month-of-year (12 bounded pairs per brand). Ranks of
+      // |d| are brand-partitioned (key-parallel) with EXACT average-rank
+      // tie handling in doubled units (avg2 = 2·minrank + ties − 1), so
+      // W⁺ stays an integer; the normal approximation with tie-corrected
+      // variance is the only floating step.
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cells = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .groupBy(col("p_brand").as("brand"), month(col("l_shipdate")).as("moy"),
+          year(col("l_shipdate")).as("yr"))
+        .agg(expr(s"sum(cast(cast(l_extendedprice as $dec) * 100 as bigint))")
+          .as("c"))
+      val paired = cells.groupBy(col("brand"), col("moy"))
+        .agg(sum(when(col("yr") === 1996, col("c")).otherwise(0L)).as("c96"),
+          sum(when(col("yr") === 1995, col("c")).otherwise(0L)).as("c95"),
+          count(lit(1)).as("nyr"))
+        .filter(col("nyr") === 2) // both years present
+        .select(col("brand"), col("moy"), (col("c96") - col("c95")).as("dd"))
+        .filter(col("dd") =!= 0)
+        .withColumn("absd", abs(col("dd")))
+      val w = Window.partitionBy(col("brand")).orderBy(col("absd").asc)
+      val ranked = paired
+        .withColumn("minrank", rank().over(w).cast("long"))
+      val tieSizes = ranked.groupBy(col("brand"), col("absd"))
+        .agg(count(lit(1)).as("tsz"), max(col("minrank")).as("mr"))
+      val withAvg = ranked.join(tieSizes, Seq("brand", "absd"))
+        .select(col("brand"), col("dd"),
+          (col("mr") * 2 + col("tsz") - 1).as("avg2"), col("tsz"))
+      def d(c: String): Column = col(c).cast("double")
+      val stats = withAvg.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dd") > 0, col("avg2")).otherwise(0L)).as("w2p"))
+      val tiecor = tieSizes.groupBy(col("brand"))
+        .agg(sum(col("tsz") * col("tsz") * col("tsz") - col("tsz")).as("t3"))
+      stats.join(tiecor, Seq("brand"))
+        .select(col("brand"), col("n").as("n_pairs"), col("w2p"),
+          round((d("w2p") / lit(2.0) - d("n") * (d("n") + lit(1.0)) / lit(4.0))
+            / sqrt(d("n") * (d("n") + lit(1.0)) * (lit(2.0) * d("n") + lit(1.0))
+              / lit(24.0) - d("t3") / lit(48.0)), 6).as("z"))
+    }),
+
+    "q313_seasonality_strength" -> ((s, dir) => {
+      // Weekday-seasonality strength of daily revenue: 1 − SS_resid/SS_tot
+      // where the seasonal component is the weekday mean — the variance-
+      // decomposition number behind "is this series worth deseasonalizing".
+      // Weekday = (epoch_days % 7) in BOTH engines (no locale-dependent
+      // dayofweek); SS terms assemble from exact per-weekday sums with a
+      // 7-row ordered fold.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(expr(s"sum(cast(cast(o_totalprice as $dec) * 100 as bigint))")
+          .as("x"))
+        .select(pmod(datediff(col("day"), lit("1970-01-01")), lit(7)).as("w"),
+          col("x"))
+      def d19(c: String): Column = col(c).cast("decimal(19,0)")
+      val byW = daily.groupBy(col("w"))
+        .agg(count(lit(1)).as("nw"), sum(col("x")).as("sw"),
+          sum(d19("x") * d19("x")).as("sww"))
+      def d(c: String): Column = col(c).cast("double")
+      val tot = byW.agg(sum(col("nw")).as("n"),
+        sum(col("sw").cast("decimal(19,0)")).as("sx"),
+        sum(col("sww")).as("sxx"),
+        aggregate(array_sort(collect_list(struct(col("w"),
+            round(col("sw").cast("double") * col("sw").cast("double")
+              / col("nw").cast("double"), 6).as("v")))),
+          lit(0.0), (a, e) => round(a + e.getField("v"), 6)).as("fitss"))
+      tot.select(col("n").as("n_days"),
+        round(greatest(lit(0.0),
+          lit(1.0) - (d("sxx") - col("fitss"))
+            / (d("sxx") - d("sx") * d("sx") / d("n"))), 6)
+          .as("seasonal_strength"))
+    }),
   )
 }
