@@ -935,4 +935,53 @@ private[graft] object OracleHelpers {
        SELECT * FROM f_linestatus
        UNION ALL SELECT * FROM f_priority
        UNION ALL SELECT * FROM f_brand"""
+
+  /** q329 oracle: the identical deterministic Lloyd iterations the Scala
+    * side runs, unrolled as chained MATERIALIZED CTEs (the pageRankSql
+    * discipline). Seeds = 4 smallest md5 unit hashes; distances are
+    * dimension-ordered list folds (list_sum ≡ the engine's zip_with +
+    * aggregate, the q149-proven equivalence); centroid means fold
+    * vec_id-ordered; argmin ties break on cid via struct ordering.
+    */
+  def kmeansSql(iters: Int): String = {
+    def distCte(name: String, centTable: String) =
+      s"""$name AS MATERIALIZED (SELECT e.vec_id, c.cid,
+           list_sum(list_transform(range(1, len(e.v)+1),
+             i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS dist
+           FROM ev e CROSS JOIN $centTable c)"""
+    val steps = (1 to iters).map { k =>
+      s"""${distCte(s"d$k", s"c${k - 1}")},
+         a$k AS MATERIALIZED (SELECT vec_id,
+           (min(struct_pack(d := dist, cid := cid))).cid AS cid
+           FROM d$k GROUP BY 1),
+         c$k AS MATERIALIZED (SELECT cid, list(c ORDER BY dim) AS cv FROM (
+           SELECT t.cid, t.i - 1 AS dim,
+             list_sum(list(t.x ORDER BY t.vec_id)) / count(*) AS c
+           FROM (SELECT a.vec_id, a.cid, i, e.v[i] AS x
+                 FROM a$k a JOIN ev e USING (vec_id),
+                 UNNEST(range(1, len(e.v)+1)) AS u(i)) t
+           GROUP BY t.cid, t.i) GROUP BY cid)"""
+    }.mkString(",\n         ")
+    s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         sd AS (SELECT vec_id, v,
+           CAST(CAST(concat('0x', substr(md5(concat('km_',
+             CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+             / 4294967296.0 AS h
+           FROM ev ORDER BY h ASC, vec_id ASC LIMIT 4),
+         c0 AS MATERIALIZED (SELECT CAST(row_number()
+             OVER (ORDER BY h ASC, vec_id ASC) AS BIGINT) AS cid, v AS cv
+           FROM sd),
+         $steps,
+         ${distCte("df", s"c$iters")},
+         af AS (SELECT vec_id,
+           (min(struct_pack(d := dist, cid := cid))).cid AS cid,
+           (min(struct_pack(d := dist, cid := cid))).d AS dist
+           FROM df GROUP BY 1)
+         SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(list_sum(list(round(dist, 9) ORDER BY vec_id)), 4)
+             AS inertia
+         FROM af GROUP BY 1"""
+  }
 }

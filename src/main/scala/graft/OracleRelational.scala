@@ -382,5 +382,15 @@ private[graft] object OracleRelational {
            FROM b GROUP BY 2)
          SELECT * FROM zs UNION ALL SELECT * FROM xs"""
     },
+
+    "q327_lev_join" ->
+      """WITH vocab AS (SELECT DISTINCT w FROM (
+           SELECT unnest(regexp_split_to_array(p_name, ' ')) AS w FROM part)
+         WHERE length(w) > 0)
+         SELECT a.w AS w1, b.w AS w2,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+         FROM vocab a JOIN vocab b
+           ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+         WHERE levenshtein(a.w, b.w) <= 2""",
   )
 }

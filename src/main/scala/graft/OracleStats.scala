@@ -1025,5 +1025,379 @@ private[graft] object OracleStats {
                / (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                  / CAST(n AS DOUBLE))), 6) AS seasonal_strength
          FROM tot""",
+
+    "q314_kruskal_wallis" ->
+      """WITH v AS (SELECT c_mktsegment AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (SELECT v, g, CAST(count(*) AS BIGINT) AS cgv
+           FROM v GROUP BY 1, 2),
+         grid AS (SELECT v, CAST(sum(cgv) AS BIGINT) AS cnt
+           FROM cells GROUP BY 1),
+         cum AS (SELECT v, cnt, CAST(sum(cnt) OVER (ORDER BY v ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM grid),
+         a2 AS (SELECT v, 2 * cum - cnt + 1 AS avg2 FROM cum),
+         gr AS (SELECT g, CAST(sum(cgv) AS BIGINT) AS ng,
+             sum(CAST(cgv AS DECIMAL(19,0)) * CAST(avg2 AS DECIMAL(19,0)))
+               AS r2
+           FROM cells JOIN a2 USING (v) GROUP BY 1),
+         ties AS (SELECT sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+             * CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS t3 FROM grid),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n FROM gr),
+         terms AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+               / (4.0 * CAST(ng AS DOUBLE)), 6) ORDER BY g)),
+             (a, e) -> round(a + e, 6)) AS sr FROM gr)
+         SELECT k AS n_groups, n AS n_obs,
+           round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sr
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h_stat,
+           round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sr
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(t3 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE))), 6) AS h_tie_corrected
+         FROM tot CROSS JOIN terms CROSS JOIN ties""",
+
+    "q315_friedman" ->
+      """WITH rev AS (SELECT n_name AS nat, CAST(month(o_orderdate) AS INT)
+             AS m,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE year(o_orderdate) = 1995 GROUP BY 1, 2),
+         full_g AS (SELECT n.nat, m.m, coalesce(r.x, 0) AS x
+           FROM (SELECT n_name AS nat FROM nation) n
+           CROSS JOIN (SELECT CAST(unnest(range(1, 13)) AS INT) AS m) m
+           LEFT JOIN rev r ON r.nat = n.nat AND r.m = m.m),
+         ranked AS (SELECT nat, m, x,
+             CAST(rank() OVER (PARTITION BY m ORDER BY x ASC) AS BIGINT)
+               AS minrank
+           FROM full_g),
+         tz AS (SELECT m, x, CAST(count(*) AS BIGINT) AS tsz,
+             max(minrank) AS mr
+           FROM ranked GROUP BY 1, 2),
+         avg2 AS (SELECT r.nat, r.m, t.mr * 2 + t.tsz - 1 AS avg2
+           FROM ranked r JOIN tz t ON r.m = t.m AND r.x = t.x),
+         pn AS (SELECT nat, CAST(sum(avg2) AS BIGINT) AS r2j,
+             CAST(count(*) AS BIGINT) AS nb FROM avg2 GROUP BY 1),
+         aa AS (SELECT CAST(sum(avg2 * avg2) AS BIGINT) AS a2 FROM avg2),
+         k AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(max(nb) AS BIGINT) AS n FROM pn),
+         num AS (SELECT CAST(sum((r2j - k.n * (k.k + 1))
+             * (r2j - k.n * (k.k + 1))) AS BIGINT) AS snum
+           FROM pn CROSS JOIN k)
+         SELECT k.k AS k_treatments, k.n AS n_blocks,
+           round((CAST(k.k AS DOUBLE) - 1.0) * CAST(snum AS DOUBLE)
+             / (CAST(a2 AS DOUBLE) - CAST(k.n AS DOUBLE) * CAST(k.k AS DOUBLE)
+               * (CAST(k.k AS DOUBLE) + 1.0) * (CAST(k.k AS DOUBLE) + 1.0)),
+             6) AS q_stat
+         FROM k CROSS JOIN num CROSS JOIN aa""",
+
+    "q316_durbin_watson" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS HUGEINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             x FROM daily),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt,
+             sum(x) AS sx, sum(x * x) AS sxx,
+             sum(CAST(t AS HUGEINT) * x) AS stx
+           FROM idx),
+         dd AS (SELECT sum(a.x - b.x) AS sd,
+             sum((a.x - b.x) * (a.x - b.x)) AS sdd
+           FROM idx a JOIN idx b ON a.t = b.t + 1),
+         f AS (SELECT *, (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+           FROM m CROSS JOIN dd),
+         g AS (SELECT *, (CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE))
+             / CAST(n AS DOUBLE) AS a FROM f)
+         SELECT n AS n_days, round(b, 6) AS slope_cents,
+           round((CAST(sdd AS DOUBLE) - 2.0 * b * CAST(sd AS DOUBLE)
+               + (CAST(n AS DOUBLE) - 1.0) * b * b)
+             / (CAST(sxx AS DOUBLE) - 2.0 * a * CAST(sx AS DOUBLE)
+               - 2.0 * b * CAST(stx AS DOUBLE)
+               + CAST(n AS DOUBLE) * a * a
+               + 2.0 * a * b * CAST(st AS DOUBLE)
+               + b * b * CAST(stt AS DOUBLE)), 6) AS dw
+         FROM g""",
+
+    "q317_ljung_box" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS HUGEINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             x FROM daily),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(x * x) AS sxx FROM idx),
+         p AS (SELECT l.lag, sum(a.x) AS s1, sum(b.x) AS s2,
+             sum(a.x * b.x) AS s12, CAST(count(*) AS BIGINT) AS nl
+           FROM range(1, 8) l(lag)
+           CROSS JOIN idx a JOIN idx b ON a.t + l.lag = b.t
+           GROUP BY 1),
+         rho AS (SELECT lag, g.n,
+             (CAST(s12 AS DOUBLE) - (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 * (CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE))
+               + CAST(nl AS DOUBLE)
+                 * ((CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                   * (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))))
+             / (CAST(g.sxx AS DOUBLE) - CAST(g.n AS DOUBLE)
+                 * ((CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                   * (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)))) AS rho
+           FROM p CROSS JOIN g),
+         f AS (SELECT n, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(rho * rho
+               / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)), 12)
+               ORDER BY lag)),
+             (a, e) -> round(a + e, 12)) AS srho FROM rho GROUP BY 1)
+         SELECT n AS n_days, CAST(7 AS BIGINT) AS n_lags,
+           round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * srho, 6)
+             AS q_lb
+         FROM f""",
+
+    "q318_page_hinkley" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+           SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             day, x
+           FROM (SELECT date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS x
+           FROM orders GROUP BY 1)),
+         rec AS (
+           SELECT t, CAST(1 AS BIGINT) AS i, x AS sx,
+             CAST(0.0 AS DOUBLE) AS m, CAST(0.0 AS DOUBLE) AS mn,
+             CAST(0.0 AS DOUBLE) AS ph, day AS argd
+           FROM daily WHERE t = 1
+           UNION ALL
+           SELECT d.t, r.i + 1 AS i, r.sx + d.x AS sx,
+             round(r.m + (CAST(d.x AS DOUBLE)
+               - CAST(r.sx + d.x AS DOUBLE) / CAST(r.i + 1 AS DOUBLE))
+               / 1.0e8, 6) AS m,
+             least(r.mn, round(r.m + (CAST(d.x AS DOUBLE)
+               - CAST(r.sx + d.x AS DOUBLE) / CAST(r.i + 1 AS DOUBLE))
+               / 1.0e8, 6)) AS mn,
+             CASE WHEN round(round(r.m + (CAST(d.x AS DOUBLE)
+                   - CAST(r.sx + d.x AS DOUBLE) / CAST(r.i + 1 AS DOUBLE))
+                   / 1.0e8, 6)
+                 - least(r.mn, round(r.m + (CAST(d.x AS DOUBLE)
+                   - CAST(r.sx + d.x AS DOUBLE) / CAST(r.i + 1 AS DOUBLE))
+                   / 1.0e8, 6)), 6) > r.ph
+               THEN round(round(r.m + (CAST(d.x AS DOUBLE)
+                   - CAST(r.sx + d.x AS DOUBLE) / CAST(r.i + 1 AS DOUBLE))
+                   / 1.0e8, 6)
+                 - least(r.mn, round(r.m + (CAST(d.x AS DOUBLE)
+                   - CAST(r.sx + d.x AS DOUBLE) / CAST(r.i + 1 AS DOUBLE))
+                   / 1.0e8, 6)), 6)
+               ELSE r.ph END AS ph,
+             CASE WHEN round(round(r.m + (CAST(d.x AS DOUBLE)
+                   - CAST(r.sx + d.x AS DOUBLE) / CAST(r.i + 1 AS DOUBLE))
+                   / 1.0e8, 6)
+                 - least(r.mn, round(r.m + (CAST(d.x AS DOUBLE)
+                   - CAST(r.sx + d.x AS DOUBLE) / CAST(r.i + 1 AS DOUBLE))
+                   / 1.0e8, 6)), 6) > r.ph
+               THEN d.day ELSE r.argd END AS argd
+           FROM rec r JOIN daily d ON d.t = r.t + 1)
+         SELECT i AS n_days, ph AS max_ph, argd AS day_at_max
+         FROM rec WHERE t = (SELECT max(t) FROM daily)""",
+
+    "q319_odds_ratio" ->
+      """WITH cells AS (SELECT p_brand AS brand,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS a,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT)
+             AS b
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+             CAST(sum(b) AS BIGINT) AS tb FROM cells),
+         f AS (SELECT brand, a, b, ta - a AS c, tb - b AS d
+           FROM cells CROSS JOIN tot),
+         g AS (SELECT brand, a, b,
+             CAST(CAST(a AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))
+               AS DOUBLE)
+               / CAST(CAST(b AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+                 AS DOUBLE) AS orv,
+             sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+               + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+           FROM f WHERE a > 0 AND b > 0 AND c > 0 AND d > 0)
+         SELECT brand, a AS n_ret, b AS n_kept,
+           round(orv, 6) AS odds_ratio,
+           round(exp(ln(orv) - 1.96 * se), 6) AS ci_lo,
+           round(exp(ln(orv) + 1.96 * se), 6) AS ci_hi
+         FROM g""",
+
+    "q320_price_index" ->
+      """WITH li AS (SELECT p_brand AS brand, year(l_shipdate) AS yr,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS rev,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) IN (1995, 1996) GROUP BY 1, 2),
+         wide AS (SELECT brand,
+             CAST(sum(CASE WHEN yr = 1995 THEN rev ELSE 0 END) AS BIGINT)
+               AS r0,
+             CAST(sum(CASE WHEN yr = 1995 THEN qty ELSE 0 END) AS BIGINT)
+               AS q0,
+             CAST(sum(CASE WHEN yr = 1996 THEN rev ELSE 0 END) AS BIGINT)
+               AS r1,
+             CAST(sum(CASE WHEN yr = 1996 THEN qty ELSE 0 END) AS BIGINT)
+               AS q1
+           FROM li GROUP BY 1),
+         w2 AS (SELECT * FROM wide WHERE q0 > 0 AND q1 > 0),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_brands,
+             CAST(sum(r0) AS BIGINT) AS sr0, CAST(sum(r1) AS BIGINT) AS sr1
+           FROM w2),
+         folds AS (SELECT
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(round(CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                 * CAST(q0 AS DOUBLE), 6) ORDER BY brand)),
+               (a, e) -> round(a + e, 6)) AS lnum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(round(CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                 * CAST(q1 AS DOUBLE), 6) ORDER BY brand)),
+               (a, e) -> round(a + e, 6)) AS pden
+           FROM w2)
+         SELECT n_brands, round(lnum / CAST(sr0 AS DOUBLE), 6) AS laspeyres,
+           round(CAST(sr1 AS DOUBLE) / pden, 6) AS paasche,
+           round(sqrt((lnum / CAST(sr0 AS DOUBLE))
+             * (CAST(sr1 AS DOUBLE) / pden)), 6) AS fisher
+         FROM tot CROSS JOIN folds""",
+
+    "q321_eoq" ->
+      """WITH demand AS (SELECT p_brand AS brand,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS d100
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) = 1995 GROUP BY 1),
+         price AS (SELECT p_brand AS brand,
+             CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS pc,
+             CAST(count(*) AS BIGINT) AS np
+           FROM part GROUP BY 1),
+         f AS (SELECT d.brand, CAST(d100 AS DOUBLE) / 100.0 AS dd,
+             0.2 * (CAST(pc AS DOUBLE) / 100.0 / CAST(np AS DOUBLE)) AS h
+           FROM demand d JOIN price p ON d.brand = p.brand)
+         SELECT brand, round(dd, 2) AS annual_demand,
+           round(h, 6) AS holding_cost,
+           round(sqrt(2.0 * dd * 100.0 / h), 4) AS eoq
+         FROM f""",
+
+    "q322_lorenz_curve" ->
+      """WITH spend AS (SELECT o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS v
+         FROM orders GROUP BY 1),
+         grid AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(v AS HUGEINT) * count(*) AS sv
+           FROM spend GROUP BY 1),
+         cum AS (SELECT v, cnt, sv,
+             CAST(sum(cnt) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn,
+             sum(sv) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cums
+           FROM grid),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, sum(sv) AS stot
+           FROM grid),
+         d AS (SELECT unnest(range(1, 11)) AS k)
+         SELECT k AS decile, (k * n) // 10 AS n_cust,
+           round(CAST(cums - (cumn - (k * n) // 10) * CAST(v AS HUGEINT)
+             AS DOUBLE) / CAST(stot AS DOUBLE), 6) AS cum_spend_share
+         FROM cum CROSS JOIN tot CROSS JOIN d
+         WHERE cumn - cnt < (k * n) // 10 AND (k * n) // 10 <= cumn""",
+
+    "q323_kde_grid" ->
+      """WITH x AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT) AS x FROM orders),
+         mm AS (SELECT CAST(min(x) AS BIGINT) AS lo,
+             CAST(max(x) AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS n
+           FROM x),
+         bins AS (SELECT (x - lo) * 400 // (hi - lo) AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM x CROSS JOIN mm GROUP BY 1),
+         params AS (SELECT lo, hi, n,
+             (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) / 20.0 AS h,
+             (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) / 400.0 AS w
+           FROM mm),
+         grid AS (SELECT unnest(range(0, 41)) AS i),
+         t1 AS (SELECT g.i, p.n, p.h, p.w, p.lo,
+             CAST(p.lo AS DOUBLE) + CAST(g.i AS DOUBLE)
+               * (CAST(p.hi AS DOUBLE) - CAST(p.lo AS DOUBLE)) / 40.0 AS gp
+           FROM grid g CROSS JOIN params p),
+         t2 AS (SELECT t1.i, t1.n, t1.h, t1.gp, b.b,
+             (t1.gp - (CAST(t1.lo AS DOUBLE)
+               + (CAST(b.b AS DOUBLE) + 0.5) * t1.w)) / t1.h AS u,
+             b.cnt
+           FROM t1 JOIN bins b
+             ON abs(t1.gp - (CAST(t1.lo AS DOUBLE)
+               + (CAST(b.b AS DOUBLE) + 0.5) * t1.w)) < t1.h),
+         t3 AS (SELECT i, n, h, gp, b,
+             round(CAST(cnt AS DOUBLE) * 0.75 * (1.0 - u * u), 9) AS kv
+           FROM t2),
+         f AS (SELECT i, gp,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(kv ORDER BY b)), (a, e) -> round(a + e, 9)) AS ks,
+             max(n) AS n, max(h) AS h
+           FROM t3 GROUP BY 1, 2)
+         SELECT i AS grid_i, round(gp, 4) AS g_cents,
+           round(ks / (CAST(n AS DOUBLE) * h), 12) AS density
+         FROM f""",
+
+    "q324_gof_weekday" ->
+      """WITH cells AS (SELECT date_diff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) % 7 AS w,
+           CAST(count(*) AS BIGINT) AS o
+         FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         t AS (SELECT w, n,
+             round((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+               * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 7.0)
+               / (CAST(n AS DOUBLE) / 7.0), 9) AS t
+           FROM cells CROSS JOIN tot)
+         SELECT n AS n_obs, CAST(6 AS BIGINT) AS df,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(t ORDER BY w)), (a, e) -> round(a + e, 9)), 6) AS chi2
+         FROM t GROUP BY 1""",
+
+    "q325_effect_size" ->
+      """WITH v AS (SELECT c_mktsegment = 'BUILDING' AS g1,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         m AS (SELECT g1, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+           FROM v GROUP BY 1),
+         wide AS (SELECT
+             CAST(sum(CASE WHEN g1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g1 THEN s ELSE 0 END) AS BIGINT) AS s1,
+             sum(CASE WHEN g1 THEN q ELSE 0 END) AS q1,
+             CAST(sum(CASE WHEN NOT g1 THEN n ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN NOT g1 THEN s ELSE 0 END) AS BIGINT) AS s2,
+             sum(CASE WHEN NOT g1 THEN q ELSE 0 END) AS q2
+           FROM m),
+         f AS (SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+               / CAST(n1 AS DOUBLE) AS ss1,
+             CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               / CAST(n2 AS DOUBLE) AS ss2
+           FROM wide),
+         g AS (SELECT n1, n2, (m1 - m2) / sqrt((ss1 + ss2)
+             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)) AS cd
+           FROM f)
+         SELECT n1, n2, round(cd, 6) AS cohens_d,
+           round(cd * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
+             + CAST(n2 AS DOUBLE)) - 9.0)), 6) AS hedges_g
+         FROM g""",
   )
 }

@@ -932,5 +932,35 @@ private[graft] object OracleText {
          GROUP BY 1, 2""",
 
     "q271_textrank" -> OracleHelpers.textRankSql(iters = 10),
+
+    "q326_flesch_reading" ->
+      """WITH d AS (SELECT source,
+           len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+           len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y,
+           greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS se
+         FROM documents),
+         f AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS tw, CAST(sum(y) AS BIGINT) AS ty,
+             CAST(sum(se) AS BIGINT) AS ts
+           FROM d WHERE w > 0 GROUP BY 1)
+         SELECT source, n_docs,
+           round(206.835 - 1.015 * (CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE))
+             - 84.6 * (CAST(ty AS DOUBLE) / CAST(tw AS DOUBLE)), 4) AS fre
+         FROM f""",
+
+    "q331_token_fertility" ->
+      """WITH d AS (SELECT lang, n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS ntok
+         FROM documents),
+         f AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS tc,
+             CAST(sum(ntok) AS BIGINT) AS tt
+           FROM d WHERE ntok > 0 GROUP BY 1)
+         SELECT lang, n_docs,
+           round(CAST(tc AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+             AS chars_per_token,
+           round(CAST(tt AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS tokens_per_doc
+         FROM f""",
   )
 }

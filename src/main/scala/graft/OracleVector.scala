@@ -645,5 +645,36 @@ private[graft] object OracleVector {
          b AS (SELECT min(gini) AS gmin FROM sc)
          SELECT threshold, n_left, n_right, gini, gini = gmin AS is_best
          FROM sc CROSS JOIN b""",
+
+    "q329_kmeans_lloyd" -> kmeansSql(iters = 3),
+
+    "q330_silhouette" ->
+      """WITH ev AS MATERIALIZED (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         ei AS (SELECT vec_id, label, v,
+           unnest(range(1, len(v)+1)) AS i FROM ev),
+         ed AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS x FROM ei),
+         cent AS (SELECT label, dim,
+             list_sum(list(x ORDER BY vec_id)) / count(*) AS c
+           FROM ed GROUP BY 1, 2),
+         cv AS MATERIALIZED (SELECT label AS clabel,
+             list(c ORDER BY dim) AS cv
+           FROM cent GROUP BY 1),
+         dists AS MATERIALIZED (SELECT e.vec_id, e.label, c.clabel,
+             sqrt(list_sum(list_transform(range(1, len(e.v)+1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))) AS dist
+           FROM ev e CROSS JOIN cv c),
+         ad AS (SELECT vec_id, label, dist AS a FROM dists
+           WHERE label = clabel),
+         bd AS (SELECT vec_id, min(dist) AS b FROM dists
+           WHERE label <> clabel GROUP BY 1),
+         sil AS (SELECT ad.vec_id, ad.label,
+             (b - a) / greatest(a, b) AS sil
+           FROM ad JOIN bd ON ad.vec_id = bd.vec_id)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(list_sum(list(round(sil, 9) ORDER BY vec_id))
+             / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+         FROM sil GROUP BY 1""",
   )
 }

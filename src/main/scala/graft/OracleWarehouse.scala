@@ -1481,5 +1481,49 @@ private[graft] object OracleWarehouse {
 
     "q274_removal_attribution" ->
       OracleHelpers.removalAttributionSql(steps = 6),
+
+    "q328_abc_xyz" ->
+      """WITH li AS (SELECT p_brand AS brand, month(l_shipdate) AS m,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS rev,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) = 1995 GROUP BY 1, 2),
+         grid AS (SELECT b.brand, m.m, coalesce(li.rev, 0) AS rev,
+             coalesce(li.qty, 0) AS qty
+           FROM (SELECT DISTINCT p_brand AS brand FROM part) b
+           CROSS JOIN (SELECT CAST(unnest(range(1, 13)) AS INT) AS m) m
+           LEFT JOIN li ON li.brand = b.brand AND li.m = m.m),
+         byb AS (SELECT brand, CAST(sum(rev) AS BIGINT) AS trev,
+             CAST(sum(qty) AS BIGINT) AS sq,
+             sum(CAST(qty AS DECIMAL(19,0)) * CAST(qty AS DECIMAL(19,0)))
+               AS sqq
+           FROM grid GROUP BY 1),
+         rk AS (SELECT brand, trev, sq, sqq,
+             CAST(sum(trev) OVER (ORDER BY trev DESC, brand ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumrev
+           FROM byb),
+         tot AS (SELECT CAST(sum(trev) AS BIGINT) AS gt FROM byb),
+         cl AS (SELECT brand, trev,
+             CASE WHEN CAST(cumrev AS DOUBLE) / CAST(gt AS DOUBLE) <= 0.7
+                 THEN 'A'
+               WHEN CAST(cumrev AS DOUBLE) / CAST(gt AS DOUBLE) <= 0.9
+                 THEN 'B' ELSE 'C' END AS abc,
+             CASE WHEN sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+                   * CAST(sq AS DOUBLE) / 12.0) / 12.0)
+                   / (CAST(sq AS DOUBLE) / 12.0) <= 0.5 THEN 'X'
+               WHEN sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)
+                   * CAST(sq AS DOUBLE) / 12.0) / 12.0)
+                   / (CAST(sq AS DOUBLE) / 12.0) <= 1.0 THEN 'Y'
+               ELSE 'Z' END AS xyz
+           FROM rk CROSS JOIN tot),
+         agg AS (SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_brands,
+             CAST(sum(trev) AS BIGINT) AS crev
+           FROM cl GROUP BY 1, 2)
+         SELECT abc, xyz, n_brands,
+           round(CAST(crev AS DOUBLE) / CAST(gt AS DOUBLE), 6) AS rev_share
+         FROM agg CROSS JOIN tot""",
   )
 }

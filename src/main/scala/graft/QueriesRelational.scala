@@ -663,5 +663,25 @@ private[graft] object QueriesRelational {
             col("x_span"), col("y_span"))
       stats("zorder", col("zb")).union(stats("xsort", col("xb")))
     }),
+
+    "q327_lev_join" -> ((s, dir) => {
+      // Levenshtein fuzzy self-join over the part-name color vocabulary:
+      // exact-dup collapse to the VOCABULARY first (the q207 discipline),
+      // then a length-banded candidate join (|len diff| ≤ 1 prunes the
+      // vocab² pairs before the DP kernel) verified with the built-in
+      // codegen'd levenshtein ≤ 2. Both engines share the classic
+      // unit-cost edit-distance semantics.
+      val vocab = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+        .localCheckpoint()
+      val a = vocab.select(col("w").as("w1"), length(col("w")).as("l1"))
+      val b = vocab.select(col("w").as("w2"), length(col("w")).as("l2"))
+      a.join(b, col("w1") < col("w2")
+          && abs(col("l1") - col("l2")) <= 1)
+        .withColumn("dist", levenshtein(col("w1"), col("w2")))
+        .filter(col("dist") <= 2)
+        .select(col("w1"), col("w2"), col("dist").cast("long").as("dist"))
+    }),
   )
 }

@@ -1332,5 +1332,438 @@ private[graft] object QueriesStats {
             / (d("sxx") - d("sx") * d("sx") / d("n"))), 6)
           .as("seasonal_strength"))
     }),
+
+    "q314_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal–Wallis H across market segments on order value. The
+      // corpus collapses to the VALUE GRID (distinct cents → per-group
+      // counts) before any ranking; global average ranks come from the
+      // banded cumulative count (no unpartitioned window) in DOUBLED
+      // units (avg2 = 2·cum − cnt + 1), so every rank sum is an exact
+      // integer. Tie correction from Σ(t³−t) on the same grid.
+      val v = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("g"),
+          expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"))
+      val cells = v.groupBy(col("v"), col("g")).agg(count(lit(1)).as("cgv"))
+        .localCheckpoint()
+      val grid = cells.groupBy(col("v")).agg(sum(col("cgv")).as("cnt"))
+      val cum = operators.ScalableWindow
+        .bandedCumSum(grid, "v", descending = false, Nil, "cnt", "cum")
+      val a2 = cum.select(col("v"),
+        (lit(2L) * col("cum") - col("cnt") + 1).as("avg2"))
+      def d19(c: Column): Column = c.cast("decimal(19,0)")
+      val gr = cells.join(a2, Seq("v"))
+        .groupBy(col("g"))
+        .agg(sum(col("cgv")).as("ng"),
+          sum(d19(col("cgv")) * d19(col("avg2"))).as("r2"))
+      val ties = grid.agg(
+        sum(d19(col("cnt")) * d19(col("cnt")) * col("cnt").cast("decimal(38,0)")
+          - col("cnt").cast("decimal(38,0)")).as("t3"))
+      def d(c: String): Column = col(c).cast("double")
+      val tot = gr.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"))
+      val terms = gr.agg(
+        aggregate(array_sort(collect_list(struct(col("g"),
+            round(d("r2") * d("r2") / (lit(4.0) * d("ng")), 6).as("t")))),
+          lit(0.0), (a, e) => round(a + e.getField("t"), 6)).as("sr"))
+      val nd = d("n")
+      val h = lit(12.0) / (nd * (nd + lit(1.0))) * col("sr") -
+        lit(3.0) * (nd + lit(1.0))
+      tot.crossJoin(broadcast(terms)).crossJoin(broadcast(ties))
+        .select(col("k").as("n_groups"), col("n").as("n_obs"),
+          round(h, 6).as("h_stat"),
+          round(h / (lit(1.0) - d("t3") / (nd * nd * nd - nd)), 6)
+            .as("h_tie_corrected"))
+    }),
+
+    "q315_friedman" -> ((s, dir) => {
+      // Friedman rank test: blocks = months of 1995, treatments =
+      // nations, response = monthly revenue cents (absent cells filled
+      // with literal 0 on the nation×month grid, so blocks are complete
+      // by construction). Ranks are BLOCK-partitioned (never global)
+      // with exact average-rank ties in doubled units; the tie-general
+      // statistic Q = (k−1)·Σ(R2_j − n(k+1))² / (A2 − n·k·(k+1)²) is an
+      // exact integer ratio — one double division at the end.
+      val rev = tbl(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nat"), month(col("o_orderdate")).as("m"))
+        .agg(expr(s"sum(cast(cast(o_totalprice as $dec) * 100 as bigint))")
+          .as("x"))
+      val nations = tbl(s, dir, "nation").select(col("n_name").as("nat"))
+      val months = s.range(1, 13).select(col("id").cast("int").as("m"))
+      val full = nations.crossJoin(broadcast(months))
+        .join(rev, Seq("nat", "m"), "left")
+        .select(col("nat"), col("m"), coalesce(col("x"), lit(0L)).as("x"))
+      val w = Window.partitionBy(col("m")).orderBy(col("x").asc)
+      val ranked = full.withColumn("minrank", rank().over(w).cast("long"))
+      val tieSizes = ranked.groupBy(col("m"), col("x"))
+        .agg(count(lit(1)).as("tsz"), max(col("minrank")).as("mr"))
+      val withAvg = ranked.join(tieSizes, Seq("m", "x"))
+        .select(col("nat"), col("m"),
+          (col("mr") * 2 + col("tsz") - 1).as("avg2"))
+        .localCheckpoint()
+      val perNat = withAvg.groupBy(col("nat"))
+        .agg(sum(col("avg2")).as("r2j"), count(lit(1)).as("nb"))
+      def d(c: Column): Column = c.cast("double")
+      val a2 = withAvg.agg(sum(col("avg2") * col("avg2")).as("a2"))
+      val k = perNat.agg(count(lit(1)).as("k"), max(col("nb")).as("n"))
+      val num = perNat.crossJoin(broadcast(k))
+        .select(((col("r2j") - col("n") * (col("k") + 1))
+          * (col("r2j") - col("n") * (col("k") + 1))).as("sq"))
+        .agg(sum(col("sq")).as("snum"))
+      k.crossJoin(broadcast(num)).crossJoin(broadcast(a2))
+        .select(col("k").as("k_treatments"), col("n").as("n_blocks"),
+          round((d(col("k")) - lit(1.0)) * d(col("snum"))
+            / (d(col("a2")) - d(col("n")) * d(col("k"))
+              * (d(col("k")) + lit(1.0)) * (d(col("k")) + lit(1.0))), 6)
+            .as("q_stat"))
+    }),
+
+    "q316_durbin_watson" -> ((s, dir) => {
+      // Durbin–Watson first-order autocorrelation diagnostic on the OLS
+      // detrended daily-revenue series. Every sum is an EXACT moment of
+      // the day grid (t from the triangular rank, Δx from the lag-1
+      // grid join); Σe² and Σ(Δe)² expand in closed form over those
+      // moments, so the whole statistic is one double expression —
+      // order-free, no residual materialization, no global window.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .cast("decimal(38,0)").as("x"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t")
+        .select(col("t"), col("x")).localCheckpoint()
+      def d19(c: Column): Column = c.cast("decimal(19,0)")
+      val m = idx.agg(count(lit(1)).as("n"),
+        sum(col("t")).as("st"), sum(d19(col("t")) * d19(col("t"))).as("stt"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("t").cast("decimal(38,0)") * col("x")).as("stx"))
+      val dd = idx.as("a").join(idx.as("b"), col("a.t") === col("b.t") + 1)
+        .select((col("a.x") - col("b.x")).as("dx"))
+        .agg(sum(col("dx")).as("sd"), sum(col("dx") * col("dx")).as("sdd"))
+      def d(c: String): Column = col(c).cast("double")
+      m.crossJoin(broadcast(dd))
+        .withColumn("b", (d("n") * d("stx") - d("st") * d("sx"))
+          / (d("n") * d("stt") - d("st") * d("st")))
+        .withColumn("a", (d("sx") - col("b") * d("st")) / d("n"))
+        .withColumn("se2", d("sxx") - lit(2.0) * col("a") * d("sx")
+          - lit(2.0) * col("b") * d("stx") + d("n") * col("a") * col("a")
+          + lit(2.0) * col("a") * col("b") * d("st")
+          + col("b") * col("b") * d("stt"))
+        .withColumn("sde", d("sdd") - lit(2.0) * col("b") * d("sd")
+          + (d("n") - lit(1.0)) * col("b") * col("b"))
+        .select(col("n").as("n_days"), round(col("b"), 6).as("slope_cents"),
+          round(col("sde") / col("se2"), 6).as("dw"))
+    }),
+
+    "q317_ljung_box" -> ((s, dir) => {
+      // Ljung–Box portmanteau Q over lags 1..7 of the daily revenue
+      // series: the q257 exact-moment autocorrelations (day-grid lag
+      // joins, DECIMAL(38,0) cross-products) composed into
+      // Q = n(n+2)·Σ ρ²/(n−l) with a 7-term ordered fold.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .cast("decimal(38,0)").as("x"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t")
+        .select(col("t"), col("x")).localCheckpoint()
+      val glob = idx.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val pairs = idx.as("a").crossJoin(broadcast(lags))
+        .join(idx.as("b"), col("a.t") + col("lag") === col("b.t"))
+        .groupBy(col("lag"))
+        .agg(sum(col("a.x")).as("s1"), sum(col("b.x")).as("s2"),
+          sum(col("a.x") * col("b.x")).as("s12"), count(lit(1)).as("nl"))
+      def d(c: String): Column = col(c).cast("double")
+      val rho = pairs.crossJoin(broadcast(glob))
+        .withColumn("xb", d("sx") / d("n"))
+        .select(col("lag"), col("n"),
+          ((d("s12") - col("xb") * (d("s1") + d("s2"))
+            + d("nl") * (col("xb") * col("xb")))
+            / (d("sxx") - d("n") * (col("xb") * col("xb")))).as("rho"))
+      rho.groupBy(col("n"))
+        .agg(aggregate(array_sort(collect_list(struct(col("lag"),
+            round(col("rho") * col("rho")
+              / (d("n") - col("lag").cast("double")), 12).as("t")))),
+          lit(0.0), (a, e) => round(a + e.getField("t"), 12)).as("srho"))
+        .select(col("n").as("n_days"), lit(7L).as("n_lags"),
+          round(d("n") * (d("n") + lit(2.0)) * col("srho"), 6).as("q_lb"))
+    }),
+
+    "q318_page_hinkley" -> ((s, dir) => {
+      // Page–Hinkley upward-drift detector on daily revenue: the
+      // sequential recurrence m_t = m_{t−1} + (x_t − x̄_t) with running
+      // mean x̄ and PH_t = m_t − min m — inherently ordered, so it folds
+      // over the CALENDAR-BOUNDED day grid (the only corpus-shaped step
+      // is the map-combinable daily sum). The deviation is scaled from
+      // cents to $M (×1e-8, an exact power-of-ten double op) BEFORE the
+      // 6-dp fixed point: at 1e9-cent magnitudes the 6th decimal sits
+      // below the double ulp, so rounding there cannot snap both
+      // engines to the same value (measured: diverged in the 12th sig
+      // digit); at ~1e3 $M it is bit-exact. The running mean divides
+      // exact integers, never accumulated floats.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(expr(s"sum(cast(cast(o_totalprice as $dec) * 100 as bigint))")
+          .as("x"))
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("day"),
+          col("x"))
+      val ser = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("x")))).as("ser"))
+      val zero = struct(lit(0L).as("i"), lit(0L).as("sx"), lit(0.0).as("m"),
+        lit(0.0).as("mn"), lit(-1.0).as("ph"), lit(0L).as("argd"))
+      ser.select(aggregate(col("ser"), zero,
+        (acc, e) => {
+          val i1 = acc.getField("i") + lit(1L)
+          val sx1 = acc.getField("sx") + e.getField("x")
+          val mean = sx1.cast("double") / i1.cast("double")
+          val m1 = round(acc.getField("m")
+            + (e.getField("x").cast("double") - mean) / lit(1.0e8), 6)
+          val mn1 = least(acc.getField("mn"), m1)
+          val phc = round(m1 - mn1, 6)
+          val better = phc > acc.getField("ph")
+          struct(i1.as("i"), sx1.as("sx"), m1.as("m"), mn1.as("mn"),
+            when(better, phc).otherwise(acc.getField("ph")).as("ph"),
+            when(better, e.getField("day")).otherwise(acc.getField("argd"))
+              .as("argd"))
+        },
+        acc => struct(acc.getField("i").as("n_days"),
+          acc.getField("ph").as("max_ph"),
+          acc.getField("argd").as("day_at_max"))).as("r"))
+        .select(col("r.n_days"), col("r.max_ph"), col("r.day_at_max"))
+    }),
+
+    "q319_odds_ratio" -> ((s, dir) => {
+      // Per-brand odds ratio of line-item returns vs the rest of the
+      // catalog, with the 95% log-normal CI — the case/control 2×2 next
+      // to q258's Wilson bound. Cells are exact integers off ONE
+      // brand-bounded aggregate (margins re-aggregated from the cells,
+      // never a second scan); brands with any empty cell are excluded —
+      // the CI is undefined there (same WHERE in the oracle).
+      val cells = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("a"),
+          sum(when(col("l_returnflag") === "R", 0L).otherwise(1L)).as("b"))
+        .localCheckpoint()
+      val tot = cells.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      def d(c: Column): Column = c.cast("double")
+      def d19(c: Column): Column = c.cast("decimal(19,0)")
+      cells.crossJoin(broadcast(tot))
+        .withColumn("c", col("ta") - col("a"))
+        .withColumn("d", col("tb") - col("b"))
+        .filter(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0)
+        .withColumn("or", d(d19(col("a")) * d19(col("d")))
+          / d(d19(col("b")) * d19(col("c"))))
+        .withColumn("se", sqrt(lit(1.0) / d(col("a")) + lit(1.0) / d(col("b"))
+          + lit(1.0) / d(col("c")) + lit(1.0) / d(col("d"))))
+        .select(col("brand"), col("a").as("n_ret"), col("b").as("n_kept"),
+          round(col("or"), 6).as("odds_ratio"),
+          round(exp(log(col("or")) - lit(1.96) * col("se")), 6).as("ci_lo"),
+          round(exp(log(col("or")) + lit(1.96) * col("se")), 6).as("ci_hi"))
+    }),
+
+    "q320_price_index" -> ((s, dir) => {
+      // Laspeyres / Paasche / Fisher price indices 1995→1996 over BRAND
+      // unit values (the trade-statistics formulation: brand-level
+      // revenue / quantity is the unit price, so both index denominators
+      // with own-period weights are EXACT revenue sums and only the
+      // cross-period Σ uv·qty terms need a brand-ordered fold —
+      // brand-bounded at any corpus size).
+      val li = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .groupBy(col("p_brand").as("brand"), year(col("l_shipdate")).as("yr"))
+        .agg(sum(expr(s"cast(cast(l_extendedprice as $dec) * 100 as bigint)"))
+          .as("rev"),
+          sum(expr(s"cast(cast(l_quantity as $dec) * 100 as bigint)")).as("qty"))
+      val wide = li.groupBy(col("brand"))
+        .agg(sum(when(col("yr") === 1995, col("rev")).otherwise(0L)).as("r0"),
+          sum(when(col("yr") === 1995, col("qty")).otherwise(0L)).as("q0"),
+          sum(when(col("yr") === 1996, col("rev")).otherwise(0L)).as("r1"),
+          sum(when(col("yr") === 1996, col("qty")).otherwise(0L)).as("q1"))
+        .filter(col("q0") > 0 && col("q1") > 0)
+        .localCheckpoint()
+      def d(c: String): Column = col(c).cast("double")
+      val tot = wide.agg(count(lit(1)).as("n_brands"),
+        sum(col("r0")).as("sr0"), sum(col("r1")).as("sr1"))
+      val folds = wide.agg(
+        aggregate(array_sort(collect_list(struct(col("brand"),
+            round(d("r1") / d("q1") * d("q0"), 6).as("t")))),
+          lit(0.0), (a, e) => round(a + e.getField("t"), 6)).as("lnum"),
+        aggregate(array_sort(collect_list(struct(col("brand"),
+            round(d("r0") / d("q0") * d("q1"), 6).as("t")))),
+          lit(0.0), (a, e) => round(a + e.getField("t"), 6)).as("pden"))
+      tot.crossJoin(broadcast(folds))
+        .withColumn("laspeyres", col("lnum") / d("sr0"))
+        .withColumn("paasche", d("sr1") / col("pden"))
+        .select(col("n_brands"),
+          round(col("laspeyres"), 6).as("laspeyres"),
+          round(col("paasche"), 6).as("paasche"),
+          round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
+    }),
+
+    "q321_eoq" -> ((s, dir) => {
+      // Economic order quantity per brand: EOQ = √(2DK/h) with annual
+      // 1995 demand D (exact summed quantity), fixed ordering cost
+      // K = $100, and holding cost h = 20% of the brand's average
+      // retail price — every input an exact brand-bounded aggregate,
+      // the closed form the only float step.
+      val demand = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(expr(s"cast(cast(l_quantity as $dec) * 100 as bigint)"))
+          .as("d100"))
+      val price = tbl(s, dir, "part")
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(expr(s"cast(cast(p_retailprice as $dec) * 100 as bigint)"))
+          .as("pc"), count(lit(1)).as("np"))
+      def d(c: String): Column = col(c).cast("double")
+      demand.join(price, Seq("brand"))
+        .withColumn("dd", d("d100") / lit(100.0))
+        .withColumn("h", lit(0.2) * (d("pc") / lit(100.0) / d("np")))
+        .select(col("brand"), round(col("dd"), 2).as("annual_demand"),
+          round(col("h"), 6).as("holding_cost"),
+          round(sqrt(lit(2.0) * col("dd") * lit(100.0) / col("h")), 4)
+            .as("eoq"))
+    }),
+
+    "q322_lorenz_curve" -> ((s, dir) => {
+      // Lorenz curve of customer spend at the population deciles,
+      // EXACTLY: the corpus collapses to the distinct-spend grid, the
+      // banded cumulative count/spend locates the decile boundary row
+      // (cum−cnt < n_k ≤ cum), and the within-value correction
+      // (cum−n_k)·v makes the poorest-n_k spend an exact integer — no
+      // global sort, no interpolation error.
+      val spend = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("v"))
+      val grid = spend.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("v"), col("cnt"),
+          (col("v").cast("decimal(38,0)") * col("cnt")).as("sv"))
+      val cum0 = operators.ScalableWindow
+        .bandedCumSum(grid, "v", descending = false, Nil, "cnt", "cumn")
+      val cum = operators.ScalableWindow
+        .bandedCumSum(cum0, "v", descending = false, Nil, "sv", "cums")
+      val tot = grid.agg(sum(col("cnt")).as("n"), sum(col("sv")).as("stot"))
+      val deciles = s.range(1, 11).select(col("id").as("k"))
+      def d(c: String): Column = col(c).cast("double")
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+        .withColumn("nk", expr("(k * n) div 10"))
+        .filter(col("cumn") - col("cnt") < col("nk") && col("nk") <= col("cumn"))
+        .select(col("k").as("decile"), col("nk").as("n_cust"),
+          round((col("cums") - (col("cumn") - col("nk"))
+            * col("v").cast("decimal(38,0)")).cast("double") / d("stot"), 6)
+            .as("cum_spend_share"))
+    }),
+
+    "q323_kde_grid" -> ((s, dir) => {
+      // Epanechnikov kernel density of order value on a 41-point grid.
+      // The corpus collapses to 401 EXACT integer fine-bins first
+      // (floor((x−min)·400/range) is pure integer arithmetic), so the
+      // kernel sum per grid point is a bounded 41×401 join folded in
+      // bin order — corpus-size-independent past the one binning scan.
+      val x = tbl(s, dir, "orders")
+        .select(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)")
+          .as("x"))
+      val mm = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+      val bins = x.crossJoin(broadcast(mm))
+        .select(expr("(x - lo) * 400 div (hi - lo)").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val gridPts = s.range(0, 41).select(col("id").as("i"))
+      def d(c: String): Column = col(c).cast("double")
+      val params = mm
+        .withColumn("h", (d("hi") - d("lo")) / lit(20.0))
+        .withColumn("w", (d("hi") - d("lo")) / lit(400.0))
+      val terms = gridPts.crossJoin(broadcast(params))
+        .withColumn("g", d("lo") + col("i").cast("double")
+          * (d("hi") - d("lo")) / lit(40.0))
+        .join(bins,
+          abs(col("g") - (col("lo").cast("double")
+            + (col("b").cast("double") + lit(0.5)) * col("w")))
+            < col("h"))
+        .withColumn("u", (col("g") - (col("lo").cast("double")
+          + (col("b").cast("double") + lit(0.5)) * col("w"))) / col("h"))
+        .withColumn("kv", round(col("cnt").cast("double") * lit(0.75)
+          * (lit(1.0) - col("u") * col("u")), 9))
+      terms.groupBy(col("i"), col("g"), col("h"), col("n"))
+        .agg(aggregate(array_sort(collect_list(struct(col("b"), col("kv")))),
+          lit(0.0), (a, e) => round(a + e.getField("kv"), 9)).as("ks"))
+        .select(col("i").as("grid_i"), round(col("g"), 4).as("g_cents"),
+          round(col("ks") / (d("n") * col("h")), 12).as("density"))
+    }),
+
+    "q324_gof_weekday" -> ((s, dir) => {
+      // χ² goodness-of-fit of order arrivals to the uniform weekday
+      // law — the calendar-seasonality screen next to q313's strength
+      // number. Weekday = epoch-days mod 7 (locale-free, both engines);
+      // 7 exact cells against e = n/7, folded in weekday order.
+      val cells = tbl(s, dir, "orders")
+        .select(pmod(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01")), lit(7)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("o"))
+      def d(c: String): Column = col(c).cast("double")
+      val tot = cells.agg(sum(col("o")).as("n"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("e", d("n") / lit(7.0))
+        .withColumn("t", round((d("o") - col("e")) * (d("o") - col("e"))
+          / col("e"), 9))
+        .groupBy(col("n"))
+        .agg(aggregate(array_sort(collect_list(struct(col("w"), col("t")))),
+          lit(0.0), (a, e) => round(a + e.getField("t"), 9)).as("chi2"))
+        .select(col("n").as("n_obs"), lit(6L).as("df"),
+          round(col("chi2"), 6).as("chi2"))
+    }),
+
+    "q325_effect_size" -> ((s, dir) => {
+      // Cohen's d and Hedges' g between the BUILDING and MACHINERY
+      // segments on order value — the magnitude companion to q222's
+      // z-test. Group moments are exact integer cents (sums and
+      // DECIMAL(38,0) squares); pooled SD and both effect sizes are
+      // closed-form doubles.
+      val v = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select((col("c_mktsegment") === "BUILDING").as("g1"),
+          expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("x"))
+      val vd = col("x").cast("decimal(38,0)")
+      val m = v.groupBy(col("g1"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"), sum(vd * vd).as("q"))
+      def d(c: String): Column = col(c).cast("double")
+      val wide = m.agg(
+        sum(when(col("g1"), col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("g1"), col("s")).otherwise(0L)).as("s1"),
+        sum(when(col("g1"), col("q")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("q1"),
+        sum(when(!col("g1"), col("n")).otherwise(0L)).as("n2"),
+        sum(when(!col("g1"), col("s")).otherwise(0L)).as("s2"),
+        sum(when(!col("g1"), col("q")).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("q2"))
+      wide
+        .withColumn("m1", d("s1") / d("n1"))
+        .withColumn("m2", d("s2") / d("n2"))
+        .withColumn("ss1", d("q1") - d("s1") * d("s1") / d("n1"))
+        .withColumn("ss2", d("q2") - d("s2") * d("s2") / d("n2"))
+        .withColumn("sp", sqrt((col("ss1") + col("ss2"))
+          / (d("n1") + d("n2") - lit(2.0))))
+        .withColumn("cd", (col("m1") - col("m2")) / col("sp"))
+        .select(col("n1"), col("n2"), round(col("cd"), 6).as("cohens_d"),
+          round(col("cd") * (lit(1.0) - lit(3.0)
+            / (lit(4.0) * (d("n1") + d("n2")) - lit(9.0))), 6).as("hedges_g"))
+    }),
   )
 }

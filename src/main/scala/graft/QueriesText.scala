@@ -1889,5 +1889,46 @@ private[graft] object QueriesText {
         .select(col("node").as("word"), round(col("rank"), 8).as("textrank"))
         .orderBy(col("textrank").desc, col("word")).limit(15)
     }),
+
+    "q326_flesch_reading" -> ((s, dir) => {
+      // Flesch reading-ease per source: words = [a-z]+ runs, syllables ≈
+      // [aeiouy]+ vowel groups (the classic heuristic), sentences =
+      // [.!?]+ runs floored at 1/doc. All three are exact integer counts
+      // off one codegen'd regex scan; the formula is the only float step.
+      val d = tbl(s, dir, "documents")
+        .select(col("source"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .as("y"),
+          greatest(lit(1),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)"))).as("se"))
+        .filter(col("w") > 0)
+      def dd(c: String): Column = col(c).cast("double")
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("tw"),
+          sum(col("y")).as("ty"), sum(col("se")).as("ts"))
+        .select(col("source"), col("n_docs"),
+          round(lit(206.835) - lit(1.015) * (dd("tw") / dd("ts"))
+            - lit(84.6) * (dd("ty") / dd("tw")), 4).as("fre"))
+    }),
+
+    "q331_token_fertility" -> ((s, dir) => {
+      // Tokenizer-fertility profile per language: characters per
+      // whitespace token and tokens per document — the "how expensive is
+      // this language under a byte-level tokenizer" planning table.
+      // Exact integer sums off one scan (the token count reuses the
+      // engine's whitespace contract).
+      val d = tbl(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(Text.tokens(col("text"))).as("ntok"))
+        .filter(col("ntok") > 0)
+      def dd(c: String): Column = col(c).cast("double")
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tc"),
+          sum(col("ntok")).as("tt"))
+        .select(col("lang"), col("n_docs"),
+          round(dd("tc") / dd("tt"), 6).as("chars_per_token"),
+          round(dd("tt") / dd("n_docs"), 6).as("tokens_per_doc"))
+    }),
   )
 }

@@ -1091,5 +1091,104 @@ private[graft] object QueriesVector {
         .select(col("threshold"), col("n_left"), col("n_right"), col("gini"),
           (col("gini") === col("gmin")).as("is_best"))
     }),
+
+    "q329_kmeans_lloyd" -> ((s, dir) => {
+      // k-means (k=4, 3 Lloyd iterations) over the embedding corpus with
+      // FULLY deterministic state: seeds are the 4 smallest md5 unit
+      // hashes (TakeOrderedAndProject — no RNG, no global window),
+      // distances fold dimension-ordered (zip_with + aggregate, the
+      // engine's bit-deterministic vector contract), centroid means fold
+      // vec_id-ordered (the q149 discipline), argmin ties break on cid
+      // via struct ordering. Per iteration the corpus work is ONE
+      // broadcast-k cross join + one (cid,dim)-keyed mean — the textbook
+      // distributed Lloyd shape; all driver-side state is k vectors.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint()
+      val seeds = e.select(col("vec_id"), col("v"),
+          graft.plans.TextKernels.unitHashNative(concat(lit("km_"),
+            col("vec_id").cast("string"))).as("h"))
+        .orderBy(col("h").asc, col("vec_id").asc).limit(4)
+      val c0 = operators.ScalableWindow.boundedRankCum(seeds,
+        Seq(("h", true), ("vec_id", true)), "cid")
+        .select(col("cid"), col("v").as("cv"))
+      def sqDist(v: Column, c: Column): Column =
+        aggregate(zip_with(v, c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      def assign(cent: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), sqDist(col("v"), col("cv"))
+            .as("dist"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"),
+            col("m.dist").as("dist"))
+      def newCent(asg: DataFrame): DataFrame =
+        asg.join(e, Seq("vec_id"))
+          .select(col("cid"), col("vec_id"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg((aggregate(array_sort(collect_list(struct(col("vec_id"),
+              col("x")))), lit(0.0), (a, r) => a + r.getField("x"))
+            / count(lit(1))).as("c"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"),
+            col("c")))), r => r.getField("c")).as("cv"))
+          .localCheckpoint()
+      val c3 = (1 to 3).foldLeft(c0)((c, _) => newCent(assign(c)))
+      val fin = assign(c3)
+      fin.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          aggregate(array_sort(collect_list(struct(col("vec_id"),
+              round(col("dist"), 9).as("d9")))), lit(0.0),
+            (a, r) => a + r.getField("d9")).as("inertia"))
+        .select(col("cid"), col("n_vecs"),
+          round(col("inertia"), 4).as("inertia"))
+    }),
+
+    "q330_silhouette" -> ((s, dir) => {
+      // Simplified (centroid-based) silhouette per label: a = distance
+      // to the own-label centroid, b = nearest other-label centroid;
+      // s = (b−a)/max(a,b) — the linear-cost variant of the O(n²)
+      // silhouette, the standard screen for "are these labels separable
+      // in embedding space". Centroids reuse the q149 vec_id-ordered
+      // fold; per-label means fold vec_id-ordered. One broadcast-
+      // centroid cross join is the only corpus-shaped step.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint()
+      val cent = e
+        .select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg((aggregate(array_sort(collect_list(struct(col("vec_id"),
+            col("x")))), lit(0.0), (a, r) => a + r.getField("x"))
+          / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"),
+          col("c")))), r => r.getField("c")).as("cv"))
+        .withColumnRenamed("label", "clabel")
+      val dists = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          sqrt(aggregate(zip_with(col("v"), col("cv"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+            .as("dist"))
+      val aDist = dists.filter(col("label") === col("clabel"))
+        .select(col("vec_id"), col("label"), col("dist").as("a"))
+      val bDist = dists.filter(col("label") =!= col("clabel"))
+        .groupBy(col("vec_id")).agg(min(col("dist")).as("b"))
+      aDist.join(bDist, Seq("vec_id"))
+        .select(col("vec_id"), col("label"),
+          ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          aggregate(array_sort(collect_list(struct(col("vec_id"),
+              round(col("sil"), 9).as("s9")))), lit(0.0),
+            (a, r) => a + r.getField("s9")).as("ssum"))
+        .select(col("label"), col("n_vecs"),
+          round(col("ssum") / col("n_vecs").cast("double"), 6)
+            .as("mean_silhouette"))
+    }),
   )
 }

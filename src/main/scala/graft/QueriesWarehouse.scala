@@ -2374,5 +2374,57 @@ private[graft] object QueriesWarehouse {
         (ch, pBase, pr, re, r(re / sumRe, 6))
       }.toDF("channel", "p_base", "p_removed", "removal_effect", "attribution")
     }),
+
+    "q328_abc_xyz" -> ((s, dir) => {
+      // ABC–XYZ inventory classification per brand: ABC from the
+      // cumulative 1995 revenue share ranked best-first (brand-bounded
+      // triangular rank — no window), XYZ from the coefficient of
+      // variation of monthly demand on the COMPLETE 12-month grid
+      // (absent cells are literal 0). Both class cuts are double
+      // comparisons over exact integer moments; output is the 2D class
+      // occupancy with its revenue share.
+      val li = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")) === 1995)
+        .groupBy(col("p_brand").as("brand"), month(col("l_shipdate")).as("m"))
+        .agg(sum(expr(s"cast(cast(l_extendedprice as $dec) * 100 as bigint)"))
+          .as("rev"),
+          sum(expr(s"cast(cast(l_quantity as $dec) * 100 as bigint)"))
+          .as("qty"))
+      val brands = tbl(s, dir, "part").select(col("p_brand").as("brand"))
+        .distinct()
+      val months = s.range(1, 13).select(col("id").cast("int").as("m"))
+      val grid = brands.crossJoin(broadcast(months))
+        .join(li, Seq("brand", "m"), "left")
+        .select(col("brand"), col("m"), coalesce(col("rev"), lit(0L)).as("rev"),
+          coalesce(col("qty"), lit(0L)).as("qty"))
+        .localCheckpoint()
+      def d(c: String): Column = col(c).cast("double")
+      val q19 = (c: Column) => c.cast("decimal(19,0)")
+      val byBrand = grid.groupBy(col("brand"))
+        .agg(sum(col("rev")).as("trev"), sum(col("qty")).as("sq"),
+          sum(q19(col("qty")) * q19(col("qty"))).as("sqq"))
+      val ranked = operators.ScalableWindow.boundedRankCum(
+        byBrand.select(col("brand"), col("trev"), col("sq"), col("sqq")),
+        Seq(("trev", false), ("brand", true)), "r", Seq(("trev", "cumrev")))
+      val tot = byBrand.agg(sum(col("trev")).as("gt"))
+      val classed = ranked.crossJoin(broadcast(tot))
+        .withColumn("cshare", d("cumrev") / d("gt"))
+        .withColumn("abc", when(col("cshare") <= 0.7, "A")
+          .when(col("cshare") <= 0.9, "B").otherwise("C"))
+        .withColumn("mean", d("sq") / lit(12.0))
+        .withColumn("cv",
+          sqrt((d("sqq") - d("sq") * d("sq") / lit(12.0)) / lit(12.0))
+            / col("mean"))
+        .withColumn("xyz", when(col("cv") <= 0.5, "X")
+          .when(col("cv") <= 1.0, "Y").otherwise("Z"))
+      classed.groupBy(col("abc"), col("xyz"))
+        .agg(count(lit(1)).as("n_brands"), sum(col("trev")).as("crev"))
+        .crossJoin(broadcast(tot))
+        .select(col("abc"), col("xyz"), col("n_brands"),
+          round(d("crev") / d("gt"), 6).as("rev_share"))
+    }),
   )
 }
