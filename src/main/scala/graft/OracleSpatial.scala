@@ -113,5 +113,35 @@ private[graft] object OracleSpatial {
            cell, n_points
          FROM g"""
     },
+
+    "q337_geofence" -> {
+      // Textual mirror of QueriesStats q337: the SAME fixed polygon,
+      // each edge's ray-cast crossing unrolled with CAST AS DOUBLE
+      // constants (the pageRankSql literal discipline).
+      val poly = Seq((-100.0, -40.0), (-20.0, -50.0), (60.0, -10.0),
+        (100.0, 40.0), (0.0, 55.0), (-120.0, 30.0))
+      val edges = poly.indices.map { i =>
+        val (x1, y1) = poly(i)
+        val (x2, y2) = poly((i + 1) % poly.size)
+        s"""CASE WHEN (CAST($y1 AS DOUBLE) > lat)
+             <> (CAST($y2 AS DOUBLE) > lat)
+           THEN CASE WHEN lon < (CAST($x2 AS DOUBLE) - CAST($x1 AS DOUBLE))
+               * (lat - CAST($y1 AS DOUBLE))
+               / (CAST($y2 AS DOUBLE) - CAST($y1 AS DOUBLE))
+               + CAST($x1 AS DOUBLE) THEN 1 ELSE 0 END
+           ELSE 0 END"""
+      }.mkString("(", "\n           + ", ")")
+      s"""WITH p AS (SELECT c_custkey, c_nationkey,
+           ${lat("CAST(c_custkey AS VARCHAR)")} AS lat,
+           ${lon("CAST(c_custkey AS VARCHAR)")} AS lon FROM customer),
+         f AS (SELECT c_nationkey, $edges % 2 = 1 AS inside FROM p)
+         SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inside,
+           round(CAST(sum(CASE WHEN inside THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS share
+         FROM f JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1"""
+    },
   )
 }

@@ -1399,5 +1399,223 @@ private[graft] object OracleStats {
            round(cd * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE)
              + CAST(n2 AS DOUBLE)) - 9.0)), 6) AS hedges_g
          FROM g""",
+
+    "q332_hurst_rs" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             x FROM daily),
+         nn AS (SELECT max(t) AS nn FROM idx),
+         sizes AS (SELECT CAST(unnest([16, 32, 64, 128]) AS INT) AS bs),
+         blocks AS (SELECT i.t, i.x, s.bs, (i.t - 1) // s.bs AS blk
+           FROM idx i CROSS JOIN sizes s CROSS JOIN nn
+           WHERE ((i.t - 1) // s.bs + 1) * s.bs <= nn.nn),
+         btot AS (SELECT bs, blk, CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+           FROM blocks GROUP BY 1, 2),
+         wc AS (SELECT b.bs, b.blk,
+             CAST(sum(b.x) OVER (PARTITION BY b.bs, b.blk ORDER BY b.t ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum,
+             b.t - b.blk * b.bs AS k, bt.sx, bt.sxx
+           FROM blocks b JOIN btot bt ON b.bs = bt.bs AND b.blk = bt.blk),
+         bstats AS (SELECT bs, blk, max(sx) AS sx, max(sxx) AS sxx,
+             max(CAST(bs AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
+               - CAST(k AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)))
+               AS devmax,
+             min(CAST(bs AS DECIMAL(19,0)) * CAST(cum AS DECIMAL(19,0))
+               - CAST(k AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0)))
+               AS devmin
+           FROM wc GROUP BY 1, 2),
+         rs AS (SELECT bs, blk,
+             round(((CAST(devmax AS DOUBLE) - CAST(devmin AS DOUBLE))
+                 / CAST(bs AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(bs AS DOUBLE))
+                 / CAST(bs AS DOUBLE)), 9) AS rs
+           FROM bstats),
+         ps AS (SELECT bs, CAST(count(*) AS BIGINT) AS nb,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(rs ORDER BY blk)), (a, e) -> round(a + e, 9)) AS srs
+           FROM rs GROUP BY 1),
+         pts AS (SELECT bs, round(ln(CAST(bs AS DOUBLE)), 9) AS lx,
+             round(ln(srs / CAST(nb AS DOUBLE)), 9) AS ly FROM ps),
+         fit AS (SELECT CAST(count(*) AS BIGINT) AS n_sizes,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx ORDER BY bs)), (a, e) -> round(a + e, 12)) AS slx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ly ORDER BY bs)), (a, e) -> round(a + e, 12)) AS sly,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx * ly ORDER BY bs)), (a, e) -> round(a + e, 12)) AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx * lx ORDER BY bs)), (a, e) -> round(a + e, 12)) AS sxx
+           FROM pts)
+         SELECT n_sizes,
+           round((CAST(n_sizes AS DOUBLE) * sxy - slx * sly)
+             / (CAST(n_sizes AS DOUBLE) * sxx - slx * slx), 6) AS hurst
+         FROM fit""",
+
+    "q333_binseg_split" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             day, x,
+             CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cum
+           FROM daily),
+         tot AS (SELECT max(t) AS nn, CAST(sum(x) AS BIGINT) AS ss FROM idx),
+         g AS (SELECT t, day, cum, nn, ss,
+             CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+               + (CAST(ss AS DOUBLE) - CAST(cum AS DOUBLE))
+                 * (CAST(ss AS DOUBLE) - CAST(cum AS DOUBLE))
+                 / (CAST(nn AS DOUBLE) - CAST(t AS DOUBLE))
+               - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+               AS gain
+           FROM idx CROSS JOIN tot WHERE t < nn),
+         b AS (SELECT (max(struct_pack(g := gain, negt := -t))).negt AS negt
+           FROM g)
+         SELECT nn AS n_days, t AS split_t,
+           strftime(day, '%Y-%m-%d') AS split_day,
+           round(gain, 4) AS gain,
+           round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 4) AS mean_before,
+           round((CAST(ss AS DOUBLE) - CAST(cum AS DOUBLE))
+             / (CAST(nn AS DOUBLE) - CAST(t AS DOUBLE)), 4) AS mean_after
+         FROM g JOIN b ON g.t = -b.negt""",
+
+    "q334_weibull_fit" ->
+      """WITH grid AS (SELECT date_diff('day', CAST(o_orderdate AS DATE),
+             CAST(l_shipdate AS DATE)) AS dur,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE date_diff('day', CAST(o_orderdate AS DATE),
+           CAST(l_shipdate AS DATE)) > 0
+         GROUP BY 1),
+         cum AS (SELECT dur, cnt, CAST(sum(cnt) OVER (ORDER BY dur ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM grid),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM grid),
+         pts AS (SELECT dur, round(ln(CAST(dur AS DOUBLE)), 9) AS lx,
+             round(ln(-ln(1.0 - CAST(cum AS DOUBLE)
+               / (CAST(nn AS DOUBLE) + 1.0))), 9) AS ly
+           FROM cum CROSS JOIN tot),
+         fit AS (SELECT CAST(count(*) AS BIGINT) AS n_grid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx ORDER BY dur)), (a, e) -> round(a + e, 12)) AS slx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(ly ORDER BY dur)), (a, e) -> round(a + e, 12)) AS sly,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx * ly ORDER BY dur)), (a, e) -> round(a + e, 12))
+               AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lx * lx ORDER BY dur)), (a, e) -> round(a + e, 12))
+               AS sxx
+           FROM pts),
+         sh AS (SELECT n_grid, slx, sly,
+             (CAST(n_grid AS DOUBLE) * sxy - slx * sly)
+               / (CAST(n_grid AS DOUBLE) * sxx - slx * slx) AS shape
+           FROM fit)
+         SELECT n_grid, round(shape, 6) AS shape,
+           round(exp(-((sly - shape * slx) / CAST(n_grid AS DOUBLE))
+             / shape), 6) AS scale_days
+         FROM sh""",
+
+    "q335_gumbel_maxima" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         maxima AS (SELECT strftime(day, '%Y-%m') AS month,
+             CAST(max(x) AS BIGINT) AS mx
+           FROM daily GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(mx) AS BIGINT) AS sx,
+             sum(CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0)))
+               AS sxx
+           FROM maxima),
+         f AS (SELECT n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0)) AS sd
+           FROM m),
+         g AS (SELECT n, mean, sd,
+             sd * sqrt(6.0) / CAST(3.141592653589793 AS DOUBLE) AS beta
+           FROM f),
+         h AS (SELECT n, beta,
+             mean - CAST(0.5772156649015329 AS DOUBLE) * beta AS mu
+           FROM g)
+         SELECT n AS n_months, round(mu, 4) AS mu_cents,
+           round(beta, 4) AS beta_cents,
+           round(mu - beta * ln(-ln(1.0 - 1.0 / 12.0)), 4)
+             AS return_level_12m
+         FROM h""",
+
+    "q336_bass_diffusion" ->
+      """WITH firsts AS (SELECT o_custkey,
+           min(strftime(o_orderdate, '%Y-%m')) AS month
+         FROM orders GROUP BY 1),
+         mt AS (SELECT month, CAST(count(*) AS BIGINT) AS nt
+           FROM firsts GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT)
+             AS t, nt,
+             CAST(sum(nt) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) - nt AS cprev
+           FROM mt),
+         mom AS (SELECT CAST(count(*) AS BIGINT) AS s0,
+             CAST(sum(cprev) AS BIGINT) AS s1,
+             sum(CAST(cprev AS HUGEINT) * CAST(cprev AS HUGEINT)) AS s2,
+             sum(CAST(cprev AS HUGEINT) * CAST(cprev AS HUGEINT)
+               * CAST(cprev AS HUGEINT)) AS s3,
+             sum(CAST(cprev AS HUGEINT) * CAST(cprev AS HUGEINT)
+               * CAST(cprev AS HUGEINT) * CAST(cprev AS HUGEINT)) AS s4,
+             CAST(sum(nt) AS BIGINT) AS sy,
+             sum(CAST(cprev AS HUGEINT) * CAST(nt AS HUGEINT)) AS sxy,
+             sum(CAST(cprev AS HUGEINT) * CAST(cprev AS HUGEINT)
+               * CAST(nt AS HUGEINT)) AS sx2y
+           FROM idx),
+         f1 AS (SELECT *,
+             CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det
+           FROM mom),
+         f2 AS (SELECT *,
+             (CAST(sy AS DOUBLE) * (CAST(s2 AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(sx2y AS DOUBLE) * CAST(s3 AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - CAST(sx2y AS DOUBLE) * CAST(s2 AS DOUBLE))) / det AS a,
+             (CAST(s0 AS DOUBLE) * (CAST(sxy AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(sx2y AS DOUBLE))
+             - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s4 AS DOUBLE)
+               - CAST(s3 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE)
+               * CAST(sx2y AS DOUBLE)
+               - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))) / det AS b,
+             (CAST(s0 AS DOUBLE) * (CAST(s2 AS DOUBLE)
+               * CAST(sx2y AS DOUBLE)
+               - CAST(sxy AS DOUBLE) * CAST(s3 AS DOUBLE))
+             - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE)
+               * CAST(sx2y AS DOUBLE)
+               - CAST(sxy AS DOUBLE) * CAST(s2 AS DOUBLE))
+             + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) / det AS c
+           FROM f1),
+         f3 AS (SELECT *, b * b - 4.0 * a * c AS disc FROM f2),
+         f4 AS (SELECT *, CASE WHEN disc >= 0 AND c <> 0.0
+             THEN (-b - sqrt(disc)) / (2.0 * c) ELSE NULL END AS m
+           FROM f3),
+         f5 AS (SELECT *, a / m AS p FROM f4)
+         SELECT s0 AS n_months, round(a, 6) AS a, round(b, 6) AS b,
+           round(c, 9) AS c, round(m, 2) AS m_total,
+           round(p, 6) AS p_innov, round(b + p, 6) AS q_imit
+         FROM f5""",
   )
 }

@@ -1765,5 +1765,256 @@ private[graft] object QueriesStats {
           round(col("cd") * (lit(1.0) - lit(3.0)
             / (lit(4.0) * (d("n1") + d("n2")) - lit(9.0))), 6).as("hedges_g"))
     }),
+
+    "q332_hurst_rs" -> ((s, dir) => {
+      // Hurst exponent of daily revenue by rescaled-range analysis over
+      // dyadic block sizes 16..128. Within-block cumulative deviations
+      // stay EXACT integers (dev_k = n·cum_k − k·sum, so the block mean
+      // never becomes a float), cumulated under a block-PARTITIONED
+      // window (parallel, never global); R/S per block and the 4-point
+      // log-log regression are the only float steps, folded in block /
+      // size order.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t")
+        .select(col("t"), col("x")).localCheckpoint()
+      val nTot = idx.agg(max(col("t")).as("nn"))
+      val sizes = s.createDataFrame(Seq(16, 32, 64, 128).map(Tuple1(_)))
+        .toDF("bs")
+      val blocks = idx.crossJoin(broadcast(sizes))
+        .crossJoin(broadcast(nTot))
+        .withColumn("blk", expr("(t - 1) div bs"))
+        .filter((col("blk") + 1) * col("bs") <= col("nn"))
+        .localCheckpoint()
+      val w = Window.partitionBy(col("bs"), col("blk")).orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val q19 = (c: Column) => c.cast("decimal(19,0)")
+      val btot = blocks.groupBy(col("bs"), col("blk"))
+        .agg(sum(col("x")).as("sx"),
+          sum(q19(col("x")) * q19(col("x"))).as("sxx"))
+      val withCum = blocks
+        .withColumn("cum", sum(col("x")).over(w))
+        .withColumn("k", col("t") - col("blk") * col("bs"))
+        .join(btot, Seq("bs", "blk"))
+      val bstats = withCum.groupBy(col("bs"), col("blk"))
+        .agg(max(col("sx")).as("sx"), max(col("sxx")).as("sxx"),
+          max(q19(col("bs")) * q19(col("cum")) - q19(col("k")) * q19(col("sx")))
+            .as("devmax"),
+          min(q19(col("bs")) * q19(col("cum")) - q19(col("k")) * q19(col("sx")))
+            .as("devmin"))
+      def d(c: String): Column = col(c).cast("double")
+      val rs = bstats
+        .withColumn("r", (d("devmax") - d("devmin")) / d("bs"))
+        .withColumn("sd", sqrt((d("sxx") - d("sx") * d("sx") / d("bs"))
+          / d("bs")))
+        .select(col("bs"), col("blk"), round(col("r") / col("sd"), 9).as("rs"))
+      val perSize = rs.groupBy(col("bs"))
+        .agg(count(lit(1)).as("nb"),
+          aggregate(array_sort(collect_list(struct(col("blk"), col("rs")))),
+            lit(0.0), (a, e) => round(a + e.getField("rs"), 9)).as("srs"))
+        .select(col("bs"), round(log(col("bs").cast("double")), 9).as("lx"),
+          round(log(col("srs") / col("nb").cast("double")), 9).as("ly"))
+      def fold(t: Column): Column =
+        aggregate(array_sort(collect_list(struct(col("bs"), t.as("v")))),
+          lit(0.0), (a, e) => round(a + e.getField("v"), 12))
+      perSize.agg(count(lit(1)).as("n_sizes"), fold(col("lx")).as("slx"),
+          fold(col("ly")).as("sly"), fold(col("lx") * col("ly")).as("sxy"),
+          fold(col("lx") * col("lx")).as("sxx"))
+        .select(col("n_sizes"),
+          round((d("n_sizes") * col("sxy") - col("slx") * col("sly"))
+            / (d("n_sizes") * col("sxx") - col("slx") * col("slx")), 6)
+            .as("hurst"))
+    }),
+
+    "q333_binseg_split" -> ((s, dir) => {
+      // Best single changepoint of daily revenue (binary segmentation,
+      // first split): argmax over the day grid of the two-segment SSE
+      // reduction gain(t) = cum_t²/t + (S−cum_t)²/(N−t) − S²/N. The
+      // prefix sums ride the triangular rank (day-grid-bounded, no
+      // window); gain is a pure double function of exact integers, so
+      // the argmax (ties → earliest day, via max(struct(gain, −t)))
+      // is bit-agreed across engines.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t", Seq(("x", "cum")))
+        .localCheckpoint()
+      val tot = idx.agg(max(col("t")).as("nn"), sum(col("x")).as("ss"))
+      def d(c: String): Column = col(c).cast("double")
+      val gains = idx.crossJoin(broadcast(tot))
+        .filter(col("t") < col("nn"))
+        .withColumn("gain", d("cum") * d("cum") / d("t")
+          + (d("ss") - d("cum")) * (d("ss") - d("cum")) / (d("nn") - d("t"))
+          - d("ss") * d("ss") / d("nn"))
+      val best = gains
+        .agg(max(struct(col("gain"), (-col("t")).as("negt"))).as("b"))
+        .select((-col("b.negt")).as("t"))
+      gains.join(broadcast(best), Seq("t"))
+        .select(col("nn").as("n_days"), col("t").as("split_t"),
+          date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+          round(col("gain"), 4).as("gain"),
+          round(d("cum") / d("t"), 4).as("mean_before"),
+          round((d("ss") - d("cum")) / (d("nn") - d("t")), 4)
+            .as("mean_after"))
+    }),
+
+    "q334_weibull_fit" -> ((s, dir) => {
+      // Weibull (shape, scale) of order→ship lead time by mean-rank
+      // regression: the corpus collapses to the DURATION GRID (bounded
+      // distinct day counts), cumulative counts ride the triangular
+      // rank, F_d = cum/(N+1), and ln(−ln(1−F)) vs ln(d) is a
+      // grid-ordered OLS fold — the reliability-engineering face next
+      // to q236's Kaplan–Meier.
+      val grid = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).as("dur"))
+        .filter(col("dur") > 0)
+        .groupBy(col("dur")).agg(count(lit(1)).as("cnt"))
+      val cum = operators.ScalableWindow
+        .boundedRankCum(grid, Seq(("dur", true)), "r", Seq(("cnt", "cum")))
+      val tot = grid.agg(sum(col("cnt")).as("nn"))
+      def d(c: String): Column = col(c).cast("double")
+      val pts = cum.crossJoin(broadcast(tot))
+        .withColumn("f", d("cum") / (d("nn") + lit(1.0)))
+        .select(col("dur"),
+          round(log(d("dur")), 9).as("lx"),
+          round(log(-log(lit(1.0) - col("f"))), 9).as("ly"))
+      def fold(t: Column): Column =
+        aggregate(array_sort(collect_list(struct(col("dur"), t.as("v")))),
+          lit(0.0), (a, e) => round(a + e.getField("v"), 12))
+      pts.agg(count(lit(1)).as("n_grid"), fold(col("lx")).as("slx"),
+          fold(col("ly")).as("sly"), fold(col("lx") * col("ly")).as("sxy"),
+          fold(col("lx") * col("lx")).as("sxx"))
+        .withColumn("shape", (d("n_grid") * col("sxy")
+          - col("slx") * col("sly"))
+          / (d("n_grid") * col("sxx") - col("slx") * col("slx")))
+        .select(col("n_grid"), round(col("shape"), 6).as("shape"),
+          round(exp(-((col("sly") - col("shape") * col("slx"))
+            / d("n_grid")) / col("shape")), 6).as("scale_days"))
+    }),
+
+    "q335_gumbel_maxima" -> ((s, dir) => {
+      // Gumbel fit of MONTHLY block maxima of daily revenue (method of
+      // moments: β = s·√6/π, μ = x̄ − γβ) plus the 12-month return
+      // level — the extreme-value face of the series toolkit. Block
+      // maxima are exact integers off the day grid; moments are exact;
+      // the fit and return level are closed-form doubles.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+      val maxima = daily
+        .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(max(col("x")).as("mx"))
+      val q19 = (c: Column) => c.cast("decimal(19,0)")
+      val m = maxima.agg(count(lit(1)).as("n"), sum(col("mx")).as("sx"),
+        sum(q19(col("mx")) * q19(col("mx"))).as("sxx"))
+      def d(c: String): Column = col(c).cast("double")
+      m.withColumn("mean", d("sx") / d("n"))
+        .withColumn("sd", sqrt((d("sxx") - d("sx") * d("sx") / d("n"))
+          / (d("n") - lit(1.0))))
+        .withColumn("beta", col("sd") * sqrt(lit(6.0))
+          / lit(3.141592653589793))
+        .withColumn("mu", col("mean") - lit(0.5772156649015329) * col("beta"))
+        .select(col("n").as("n_months"), round(col("mu"), 4).as("mu_cents"),
+          round(col("beta"), 4).as("beta_cents"),
+          round(col("mu") - col("beta")
+            * log(-log(lit(1.0) - lit(1.0) / lit(12.0))), 4)
+            .as("return_level_12m"))
+    }),
+
+    "q336_bass_diffusion" -> ((s, dir) => {
+      // Bass diffusion (p, q, m) fit of customer adoption: new adopters
+      // per month n_t regressed on cumulative adopters n_t = a + b·C +
+      // c·C² (the discrete Bass form), solved by Cramer's rule over
+      // EXACT integer moments (C⁴ stays inside DECIMAL(38,0) even at
+      // 10⁹ customers); p, q, m come from the closed-form root. A
+      // negative discriminant yields NULLs (same CASE in the oracle).
+      val firsts = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(date_format(col("o_orderdate"), "yyyy-MM")).as("month"))
+        .groupBy(col("month")).agg(count(lit(1)).as("nt"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(firsts, Seq(("month", true)), "t", Seq(("nt", "cumn")))
+        .select(col("t"), col("nt"), (col("cumn") - col("nt")).as("cprev"))
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val q19 = (c: Column) => c.cast("decimal(19,0)")
+      val mom = idx.agg(count(lit(1)).as("s0"), sum(col("cprev")).as("s1"),
+        sum(q19(col("cprev")) * q19(col("cprev"))).as("s2"),
+        sum(q19(col("cprev")) * q19(col("cprev")) * d38(col("cprev")))
+          .as("s3"),
+        sum(q19(col("cprev")) * q19(col("cprev")) * d38(col("cprev"))
+          * d38(col("cprev"))).as("s4"),
+        sum(col("nt")).as("sy"),
+        sum(q19(col("cprev")) * q19(col("nt"))).as("sxy"),
+        sum(q19(col("cprev")) * q19(col("cprev")) * d38(col("nt")))
+          .as("sx2y"))
+      def d(c: String): Column = col(c).cast("double")
+      val f = mom
+        .withColumn("det", d("s0") * (d("s2") * d("s4") - d("s3") * d("s3"))
+          - d("s1") * (d("s1") * d("s4") - d("s3") * d("s2"))
+          + d("s2") * (d("s1") * d("s3") - d("s2") * d("s2")))
+        .withColumn("a", (d("sy") * (d("s2") * d("s4") - d("s3") * d("s3"))
+          - d("s1") * (d("sxy") * d("s4") - d("sx2y") * d("s3"))
+          + d("s2") * (d("sxy") * d("s3") - d("sx2y") * d("s2")))
+          / col("det"))
+        .withColumn("b", (d("s0") * (d("sxy") * d("s4") - d("s3") * d("sx2y"))
+          - d("sy") * (d("s1") * d("s4") - d("s3") * d("s2"))
+          + d("s2") * (d("s1") * d("sx2y") - d("sxy") * d("s2")))
+          / col("det"))
+        .withColumn("c", (d("s0") * (d("s2") * d("sx2y") - d("sxy") * d("s3"))
+          - d("s1") * (d("s1") * d("sx2y") - d("sxy") * d("s2"))
+          + d("sy") * (d("s1") * d("s3") - d("s2") * d("s2")))
+          / col("det"))
+        .withColumn("disc", col("b") * col("b")
+          - lit(4.0) * col("a") * col("c"))
+        .withColumn("m", when(col("disc") >= 0 && col("c") =!= 0.0,
+          (-col("b") - sqrt(col("disc"))) / (lit(2.0) * col("c")))
+          .otherwise(lit(null).cast("double")))
+        .withColumn("p", col("a") / col("m"))
+      f.select(col("s0").as("n_months"), round(col("a"), 6).as("a"),
+        round(col("b"), 6).as("b"), round(col("c"), 9).as("c"),
+        round(col("m"), 2).as("m_total"), round(col("p"), 6).as("p_innov"),
+        round(col("b") + col("p"), 6).as("q_imit"))
+    }),
+
+    "q337_geofence" -> ((s, dir) => {
+      // Point-in-polygon geofence over the deterministic customer
+      // coordinates: ray-cast parity against a FIXED 6-edge polygon,
+      // unrolled as one codegen'd scalar expression chain (no join, no
+      // shuffle — the fence test is free at any corpus size); the
+      // per-nation occupancy is one aggregate. Coordinates are
+      // bit-identical across engines by the unit-hash parity spec, so
+      // the crossing booleans agree exactly.
+      val poly = Seq((-100.0, -40.0), (-20.0, -50.0), (60.0, -10.0),
+        (100.0, 40.0), (0.0, 55.0), (-120.0, 30.0))
+      val pts = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          spatial.Geo.latOf(col("c_custkey")).as("lat"),
+          spatial.Geo.lonOf(col("c_custkey")).as("lon"))
+      val crossings = poly.indices.map { i =>
+        val (x1, y1) = poly(i)
+        val (x2, y2) = poly((i + 1) % poly.size)
+        when((lit(y1) > col("lat")) =!= (lit(y2) > col("lat")),
+          when(col("lon") < (lit(x2) - lit(x1)) * (col("lat") - lit(y1))
+            / (lit(y2) - lit(y1)) + lit(x1), 1).otherwise(0))
+          .otherwise(0)
+      }.reduce(_ + _)
+      pts.withColumn("inside", pmod(crossings, lit(2)) === 1)
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
+        .select(col("nation"), col("n_total"), col("n_inside"),
+          round(col("n_inside").cast("double")
+            / col("n_total").cast("double"), 6).as("share"))
+    }),
   )
 }
