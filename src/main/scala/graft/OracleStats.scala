@@ -1617,5 +1617,104 @@ private[graft] object OracleStats {
            round(c, 9) AS c, round(m, 2) AS m_total,
            round(p, 6) AS p_innov, round(b + p, 6) AS q_imit
          FROM f5""",
+
+    "q338_sprt" ->
+      """WITH RECURSIVE daily AS MATERIALIZED (
+           SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             day, n, k
+           FROM (SELECT date_diff('day', DATE '1970-01-01',
+               CAST(l_shipdate AS DATE)) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM lineitem GROUP BY 1)),
+         rec AS (
+           SELECT t,
+             round(0.0 + (CAST(k AS DOUBLE)
+               * CAST(0.26236426446749106 AS DOUBLE)
+               + CAST(n - k AS DOUBLE)
+                 * CAST(-0.07796154146971193 AS DOUBLE)), 6) AS llr,
+             CASE WHEN round(0.0 + (CAST(k AS DOUBLE)
+                   * CAST(0.26236426446749106 AS DOUBLE)
+                   + CAST(n - k AS DOUBLE)
+                     * CAST(-0.07796154146971193 AS DOUBLE)), 6)
+                 >= CAST(2.9444389791664403 AS DOUBLE) THEN 1
+               WHEN round(0.0 + (CAST(k AS DOUBLE)
+                   * CAST(0.26236426446749106 AS DOUBLE)
+                   + CAST(n - k AS DOUBLE)
+                     * CAST(-0.07796154146971193 AS DOUBLE)), 6)
+                 <= -CAST(2.9444389791664403 AS DOUBLE) THEN -1
+               ELSE 0 END AS dec,
+             CASE WHEN round(0.0 + (CAST(k AS DOUBLE)
+                   * CAST(0.26236426446749106 AS DOUBLE)
+                   + CAST(n - k AS DOUBLE)
+                     * CAST(-0.07796154146971193 AS DOUBLE)), 6)
+                 >= CAST(2.9444389791664403 AS DOUBLE)
+                 OR round(0.0 + (CAST(k AS DOUBLE)
+                   * CAST(0.26236426446749106 AS DOUBLE)
+                   + CAST(n - k AS DOUBLE)
+                     * CAST(-0.07796154146971193 AS DOUBLE)), 6)
+                 <= -CAST(2.9444389791664403 AS DOUBLE)
+               THEN day ELSE 0 END AS decday
+           FROM daily WHERE t = 1
+           UNION ALL
+           SELECT d.t,
+             round(r.llr + (CAST(d.k AS DOUBLE)
+               * CAST(0.26236426446749106 AS DOUBLE)
+               + CAST(d.n - d.k AS DOUBLE)
+                 * CAST(-0.07796154146971193 AS DOUBLE)), 6) AS llr,
+             CASE WHEN r.dec <> 0 THEN r.dec
+               WHEN round(r.llr + (CAST(d.k AS DOUBLE)
+                   * CAST(0.26236426446749106 AS DOUBLE)
+                   + CAST(d.n - d.k AS DOUBLE)
+                     * CAST(-0.07796154146971193 AS DOUBLE)), 6)
+                 >= CAST(2.9444389791664403 AS DOUBLE) THEN 1
+               WHEN round(r.llr + (CAST(d.k AS DOUBLE)
+                   * CAST(0.26236426446749106 AS DOUBLE)
+                   + CAST(d.n - d.k AS DOUBLE)
+                     * CAST(-0.07796154146971193 AS DOUBLE)), 6)
+                 <= -CAST(2.9444389791664403 AS DOUBLE) THEN -1
+               ELSE 0 END AS dec,
+             CASE WHEN r.dec <> 0 THEN r.decday
+               WHEN round(r.llr + (CAST(d.k AS DOUBLE)
+                   * CAST(0.26236426446749106 AS DOUBLE)
+                   + CAST(d.n - d.k AS DOUBLE)
+                     * CAST(-0.07796154146971193 AS DOUBLE)), 6)
+                 >= CAST(2.9444389791664403 AS DOUBLE)
+                 OR round(r.llr + (CAST(d.k AS DOUBLE)
+                   * CAST(0.26236426446749106 AS DOUBLE)
+                   + CAST(d.n - d.k AS DOUBLE)
+                     * CAST(-0.07796154146971193 AS DOUBLE)), 6)
+                 <= -CAST(2.9444389791664403 AS DOUBLE)
+               THEN d.day ELSE 0 END AS decday
+           FROM rec r JOIN daily d ON d.t = r.t + 1)
+         SELECT t AS n_days, dec AS decision, decday AS day_at_decision,
+           llr AS final_llr
+         FROM rec WHERE t = (SELECT max(t) FROM daily)""",
+
+    "q339_markov_entropy" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+         nx AS (SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY us,
+               event_id) AS nxt
+           FROM ev),
+         pairs AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+           FROM nx WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         marg AS (SELECT cur, CAST(sum(cnt) AS BIGINT) AS rt
+           FROM pairs GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS gt FROM pairs),
+         terms AS (SELECT p.cur, p.nxt,
+             round((CAST(m.rt AS DOUBLE) / CAST(gt AS DOUBLE))
+               * (CAST(p.cnt AS DOUBLE) / CAST(m.rt AS DOUBLE))
+               * ln(CAST(p.cnt AS DOUBLE) / CAST(m.rt AS DOUBLE)), 12)
+               AS term
+           FROM pairs p JOIN marg m USING (cur) CROSS JOIN tot)
+         SELECT CAST(count(DISTINCT cur) AS BIGINT) AS n_states,
+           round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY cur, nxt)), (a, e) -> round(a + e, 12)), 6)
+             AS entropy_rate_nats
+         FROM terms""",
   )
 }

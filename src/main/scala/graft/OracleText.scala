@@ -962,5 +962,41 @@ private[graft] object OracleText {
            round(CAST(tt AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
              AS tokens_per_doc
          FROM f""",
+
+    "q340_kmv_set_ops" ->
+      """WITH toks AS MATERIALIZED (SELECT DISTINCT source, tok FROM (
+           SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents) WHERE length(tok) > 0),
+         hashed AS (SELECT source, tok,
+             CAST(CAST(concat('0x', substr(md5(concat('kmv_', tok)), 1, 8))
+               AS BIGINT) AS DOUBLE) / 4294967296.0 AS h
+           FROM toks),
+         sk AS (SELECT source, list(h ORDER BY h) AS kmv FROM (
+             SELECT source, h, row_number() OVER (PARTITION BY source
+               ORDER BY h ASC, tok ASC) AS rn
+             FROM hashed) WHERE rn <= 64 GROUP BY 1),
+         pe AS (SELECT a.source AS sa, b.source AS sb,
+             list_sort(list_distinct(a.kmv || b.kmv))[1:64] AS merged,
+             list_intersect(a.kmv, b.kmv) AS common
+           FROM sk a JOIN sk b ON a.source < b.source),
+         pe2 AS (SELECT sa, sb, merged[64] AS hk,
+             CAST(len(list_intersect(merged, common)) AS INT) AS nmatch
+           FROM pe),
+         est AS (SELECT sa, sb, round(63.0 / hk, 2) AS est_union,
+             round(CAST(nmatch AS DOUBLE) / 64.0, 6) AS est_jaccard
+           FROM pe2),
+         px AS (SELECT a.source AS sa, b.source AS sb,
+             CAST(count(*) AS BIGINT) AS n_both
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nt
+           FROM toks GROUP BY 1)
+         SELECT e.sb, e.sa, e.est_union, e.est_jaccard,
+           round(CAST(x.n_both AS DOUBLE)
+             / CAST(na.nt + nb.nt - x.n_both AS DOUBLE), 6) AS exact_jaccard
+         FROM est e JOIN px x ON e.sa = x.sa AND e.sb = x.sb
+         JOIN sizes na ON e.sa = na.source
+         JOIN sizes nb ON e.sb = nb.source""",
   )
 }

@@ -2016,5 +2016,140 @@ private[graft] object QueriesStats {
           round(col("n_inside").cast("double")
             / col("n_total").cast("double"), 6).as("share"))
     }),
+
+    "q338_sprt" -> ((s, dir) => {
+      // Wald sequential probability ratio test on the daily return
+      // rate: H₀ p=0.20 vs H₁ p=0.26 at α=β=0.05 (barriers ±ln 19).
+      // Per-day (k, n) are exact integers off one scan; the LLR walk
+      // folds over the CALENDAR-BOUNDED day grid with pinned double
+      // literals for ln(p₁/p₀) and ln((1−p₁)/(1−p₀)) — no runtime ln,
+      // no cross-libm drift — and records the FIRST barrier crossing.
+      val lnA = 0.26236426446749106 // ln(0.26/0.20)
+      val lnB = -0.07796154146971193 // ln(0.74/0.80)
+      val bar = 2.9444389791664403 // ln(19)
+      val daily = tbl(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("k"))
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("day"),
+          col("n"), col("k"))
+      val ser = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("n"), col("k"))))
+          .as("ser"))
+      val zero = struct(lit(0L).as("t"), lit(0.0).as("llr"),
+        lit(0).as("dec"), lit(0L).as("decday"))
+      ser.select(aggregate(col("ser"), zero,
+        (acc, e) => {
+          val llr1 = round(acc.getField("llr")
+            + (e.getField("k").cast("double") * lit(lnA)
+              + (e.getField("n") - e.getField("k")).cast("double")
+                * lit(lnB)), 6)
+          val newDec = when(acc.getField("dec") =!= 0, acc.getField("dec"))
+            .when(llr1 >= bar, lit(1))
+            .when(llr1 <= -bar, lit(-1))
+            .otherwise(lit(0))
+          val newDay = when(acc.getField("dec") =!= 0, acc.getField("decday"))
+            .when(newDec =!= 0, e.getField("day"))
+            .otherwise(lit(0L))
+          struct((acc.getField("t") + 1).as("t"), llr1.as("llr"),
+            newDec.as("dec"), newDay.as("decday"))
+        },
+        acc => struct(acc.getField("t").as("n_days"),
+          acc.getField("dec").as("decision"),
+          acc.getField("decday").as("day_at_decision"),
+          acc.getField("llr").as("final_llr"))).as("r"))
+        .select(col("r.n_days"), col("r.decision"), col("r.day_at_decision"),
+          col("r.final_llr"))
+    }),
+
+    "q339_markov_entropy" -> ((s, dir) => {
+      // Entropy rate of the q172 event-type Markov chain:
+      // H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ with the empirical row-mass πᵢ. The
+      // corpus collapses to the event-type² transition grid (q172's
+      // user-partitioned lead), then every term folds in (i, j) order
+      // — the information-theoretic summary next to the raw matrix.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val pairs = ev.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val marg = pairs.groupBy(col("cur")).agg(sum(col("cnt")).as("rt"))
+      val tot = pairs.agg(sum(col("cnt")).as("gt"))
+      def d(c: String): Column = col(c).cast("double")
+      val terms = pairs.join(broadcast(marg), Seq("cur"))
+        .crossJoin(broadcast(tot))
+        .select(col("cur"), col("nxt"),
+          round((d("rt") / d("gt")) * (d("cnt") / d("rt"))
+            * log(d("cnt") / d("rt")), 12).as("term"))
+      terms
+        .agg(countDistinct(col("cur")).as("n_states"),
+          aggregate(array_sort(collect_list(struct(col("cur"), col("nxt"),
+            col("term")))), lit(0.0),
+            (a, e) => round(a + e.getField("term"), 12)).as("hsum"))
+        .select(col("n_states"), round(-col("hsum"), 6)
+          .as("entropy_rate_nats"))
+    }),
+
+    "q340_kmv_set_ops" -> ((s, dir) => {
+      // KMV (k-minimum-values) sketch algebra over per-source token
+      // sets: k=64 smallest md5 unit hashes per source — pruned by the
+      // native TopKPerKey BEFORE any collect, so per-source state is 64
+      // doubles at any corpus size — then pairwise union/Jaccard
+      // estimates from merged sketches, next to the EXACT Jaccard for
+      // calibration. Sketch hashes are md5-deterministic, so the oracle
+      // replays the identical sketches.
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.Text.tokens(lower(col("text")))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("source"), col("tok")).distinct()
+        .localCheckpoint()
+      val hashed = toks.select(col("source"), col("tok"),
+        graft.plans.TextKernels.unitHashNative(concat(lit("kmv_"),
+          col("tok"))).as("h"))
+      val topk = org.apache.spark.sql.graft.TopKPerKey(hashed,
+        Seq("source"), Seq(("h", true), ("tok", true)), k = 64)
+      val sk = topk.groupBy(col("source"))
+        .agg(array_sort(collect_list(col("h"))).as("kmv"),
+          count(lit(1)).as("kk"))
+      val a = sk.select(col("source").as("sa"), col("kmv").as("va"))
+      val b = sk.select(col("source").as("sb"), col("kmv").as("vb"))
+      val pairsEst = a.crossJoin(b).filter(col("sa") < col("sb"))
+        .withColumn("merged",
+          slice(array_sort(array_union(col("va"), col("vb"))), 1, 64))
+        // out-of-bounds element_at throws under ANSI; a short merged
+        // sketch (tiny sf) yields NULL estimates in BOTH engines.
+        .withColumn("hk", when(size(col("merged")) >= 64,
+          element_at(col("merged"), 64)).otherwise(lit(null).cast("double")))
+        .withColumn("common", array_intersect(col("va"), col("vb")))
+        .withColumn("nmatch",
+          size(array_intersect(col("merged"), col("common"))))
+        .select(col("sa"), col("sb"),
+          round(lit(63.0) / col("hk"), 2).as("est_union"),
+          round(col("nmatch").cast("double") / lit(64.0), 6)
+            .as("est_jaccard"))
+      val exact = toks.groupBy(col("tok"))
+        .agg(collect_set(col("source")).as("srcs"))
+        .select(explode(col("srcs")).as("sa"), col("srcs"))
+        .select(col("sa"), explode(col("srcs")).as("sb"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_both"))
+      val sizes = toks.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+      pairsEst
+        .join(exact, Seq("sa", "sb"))
+        .join(sizes.withColumnRenamed("source", "sa")
+          .withColumnRenamed("nt", "na"), Seq("sa"))
+        .join(sizes.withColumnRenamed("source", "sb")
+          .withColumnRenamed("nt", "nb"), Seq("sb"))
+        .select(col("sa"), col("sb"), col("est_union"), col("est_jaccard"),
+          round(col("n_both").cast("double")
+            / (col("na") + col("nb") - col("n_both")).cast("double"), 6)
+            .as("exact_jaccard"))
+    }),
   )
 }
