@@ -115,11 +115,11 @@ private[graft] object OracleSpatial {
     },
 
     "q337_geofence" -> {
-      // Textual mirror of QueriesStats q337: the SAME fixed polygon,
-      // each edge's ray-cast crossing unrolled with CAST AS DOUBLE
-      // constants (the pageRankSql literal discipline).
-      val poly = Seq((-100.0, -40.0), (-20.0, -50.0), (60.0, -10.0),
-        (100.0, 40.0), (0.0, 55.0), (-120.0, 30.0))
+      // Textual mirror of QueriesStats q337: the polygon comes from the
+      // SHARED Geo.fencePoly definition (no drift possible), each edge's
+      // ray-cast crossing unrolled with CAST AS DOUBLE constants (the
+      // pageRankSql literal discipline).
+      val poly = graft.spatial.Geo.fencePoly
       val edges = poly.indices.map { i =>
         val (x1, y1) = poly(i)
         val (x2, y2) = poly((i + 1) % poly.size)

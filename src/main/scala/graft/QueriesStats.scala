@@ -1992,21 +1992,12 @@ private[graft] object QueriesStats {
       // per-nation occupancy is one aggregate. Coordinates are
       // bit-identical across engines by the unit-hash parity spec, so
       // the crossing booleans agree exactly.
-      val poly = Seq((-100.0, -40.0), (-20.0, -50.0), (60.0, -10.0),
-        (100.0, 40.0), (0.0, 55.0), (-120.0, 30.0))
       val pts = tbl(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
           spatial.Geo.latOf(col("c_custkey")).as("lat"),
           spatial.Geo.lonOf(col("c_custkey")).as("lon"))
-      val crossings = poly.indices.map { i =>
-        val (x1, y1) = poly(i)
-        val (x2, y2) = poly((i + 1) % poly.size)
-        when((lit(y1) > col("lat")) =!= (lit(y2) > col("lat")),
-          when(col("lon") < (lit(x2) - lit(x1)) * (col("lat") - lit(y1))
-            / (lit(y2) - lit(y1)) + lit(x1), 1).otherwise(0))
-          .otherwise(0)
-      }.reduce(_ + _)
-      pts.withColumn("inside", pmod(crossings, lit(2)) === 1)
+      pts.withColumn("inside",
+          spatial.Geo.insideFence(col("lat"), col("lon")))
         .join(broadcast(tbl(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"))

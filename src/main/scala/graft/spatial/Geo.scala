@@ -137,4 +137,29 @@ object Geo {
           .as("d_km"))
       .filter(col("d_km") <= lit(capKm))
   }
+
+  /** The q337 geofence polygon — ONE definition shared by the batch
+    * query, the streaming face, and (via interpolation) the DuckDB
+    * oracle, so the three can never drift. Vertices are integral-valued
+    * doubles: decimal→double conversion is exact in both engines.
+    */
+  val fencePoly: Seq[(Double, Double)] = Seq((-100.0, -40.0), (-20.0, -50.0),
+    (60.0, -10.0), (100.0, 40.0), (0.0, 55.0), (-120.0, 30.0))
+
+  /** Ray-cast parity against [[fencePoly]], unrolled as one codegen'd
+    * scalar expression chain (no join, no shuffle). The crossing
+    * comparisons are pure double ops on bit-identical inputs, so the
+    * boolean agrees exactly with the oracle's textual mirror.
+    */
+  def insideFence(lat: Column, lon: Column): Column = {
+    val crossings = fencePoly.indices.map { i =>
+      val (x1, y1) = fencePoly(i)
+      val (x2, y2) = fencePoly((i + 1) % fencePoly.size)
+      when((lit(y1) > lat) =!= (lit(y2) > lat),
+        when(lon < (lit(x2) - lit(x1)) * (lat - lit(y1))
+          / (lit(y2) - lit(y1)) + lit(x1), 1).otherwise(0))
+        .otherwise(0)
+    }.reduce(_ + _)
+    pmod(crossings, lit(2)) === 1
+  }
 }

@@ -923,4 +923,65 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(rollup == declared && declared.nonEmpty)
   }
+
+  test("streaming geofence: shuffled arrival converges to the q337 occupancy exactly") {
+    import graft.streaming.StreamingGeofence
+    import graft.streaming.StreamingGeofence.{FenceEv, FenceCount}
+    val evs = StreamingGeofence
+      .fromCustomers(QueryDsl.tbl(spark, sfDir, "customer")).collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FenceEv]
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, FenceCount]()
+    val q = StreamingGeofence.counters(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FenceCount], _: Long) =>
+        df.collect().foreach(r => last.put(r.nationkey, r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingGeofence
+      .rollup(spark.createDataset(last.values.asScala.toSeq).toDF(),
+        QueryDsl.tbl(spark, sfDir, "nation"))
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q337_geofence")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
+
+  test("streaming fertility: shuffled arrival converges to the q331 profile exactly") {
+    import graft.streaming.StreamingFertility
+    import graft.streaming.StreamingFertility.{DocEv, LangCount}
+    val evs = StreamingFertility
+      .fromDocuments(QueryDsl.tbl(spark, sfDir, "documents")).collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocEv]
+    val last = new java.util.concurrent.ConcurrentHashMap[String, LangCount]()
+    val q = StreamingFertility.counters(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[LangCount], _: Long) =>
+        df.collect().foreach(r => last.put(r.lang, r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingFertility
+      .rollup(spark.createDataset(last.values.asScala.toSeq).toDF())
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q331_token_fertility")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
 }
