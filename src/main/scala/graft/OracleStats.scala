@@ -1716,5 +1716,83 @@ private[graft] object OracleStats {
              list(term ORDER BY cur, nxt)), (a, e) -> round(a + e, 12)), 6)
              AS entropy_rate_nats
          FROM terms""",
+
+    "q341_cochran_armitage" ->
+      """WITH lv AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+             AS w,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+         FROM orders),
+         g AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS r FROM lv GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_levels,
+             CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+             CAST(sum(w * r) AS BIGINT) AS swr,
+             CAST(sum(w * n) AS BIGINT) AS swn,
+             CAST(sum(w * w * n) AS BIGINT) AS sw2n
+           FROM g)
+         SELECT n_levels, nn AS n_obs,
+           round((CAST(swr AS DOUBLE) - CAST(swn AS DOUBLE)
+               * (CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)))
+             / sqrt((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+               * (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE)
+                 * CAST(swn AS DOUBLE) / CAST(nn AS DOUBLE))), 6) AS z_trend
+         FROM t""",
+
+    "q342_capture_recapture" ->
+      """WITH byc AS (SELECT o_custkey,
+           CAST(max(CASE WHEN year(o_orderdate) = 1994 THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+           CAST(max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b
+         FROM orders WHERE year(o_orderdate) IN (1994, 1995) GROUP BY 1)
+         SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+           CAST(sum(a * b) AS BIGINT) AS m,
+           round((CAST(sum(a) AS DOUBLE) + 1.0)
+             * (CAST(sum(b) AS DOUBLE) + 1.0)
+             / (CAST(sum(a * b) AS DOUBLE) + 1.0) - 1.0, 2) AS chapman_n
+         FROM byc""",
+
+    "q345_series_outliers" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             day, x FROM daily),
+         nn AS (SELECT max(t) AS nn FROM idx),
+         ctr AS (SELECT t AS tc, day, x AS x0 FROM idx CROSS JOIN nn
+           WHERE t >= 4 AND t <= nn - 3),
+         win AS (SELECT c.tc, c.day, c.x0, (list_sort(list(i.x)))[4] AS med
+           FROM ctr c JOIN idx i ON i.t >= c.tc - 3 AND i.t <= c.tc + 3
+           GROUP BY 1, 2, 3),
+         md AS (SELECT c.tc, (list_sort(list(abs(i.x - w.med))))[4] AS mad
+           FROM ctr c JOIN idx i ON i.t >= c.tc - 3 AND i.t <= c.tc + 3
+           JOIN win w ON w.tc = c.tc
+           GROUP BY 1)
+         SELECT strftime(w.day, '%Y-%m-%d') AS day, w.x0 AS x_cents,
+           w.med AS med_cents, m.mad AS mad_cents
+         FROM win w JOIN md m ON w.tc = m.tc
+         WHERE abs(w.x0 - w.med) > 5 * m.mad""",
+
+    "q346_theil_u" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS HUGEINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             x FROM daily),
+         p AS (SELECT a.x AS act, b.x AS pred
+           FROM idx a JOIN idx b ON a.t = b.t + 7),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum((act - pred) * (act - pred)) AS se,
+             sum(act * act) AS sa, sum(pred * pred) AS sp
+           FROM p)
+         SELECT n AS n_days,
+           round(sqrt(CAST(se AS DOUBLE) / CAST(n AS DOUBLE))
+             / (sqrt(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE))
+               + sqrt(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS theil_u1
+         FROM t""",
   )
 }

@@ -963,6 +963,42 @@ private[graft] object OracleText {
              AS tokens_per_doc
          FROM f""",
 
+    "q343_vocab_richness" ->
+      """WITH tk AS MATERIALIZED (
+           SELECT source, regexp_split_to_array(trim(lower(text)), '\s+')
+             AS w
+           FROM documents),
+         bg AS (SELECT source, w[i] || ' ' || w[i+1] AS g
+           FROM tk, UNNEST(range(1, len(w))) AS t(i)),
+         tf AS (SELECT source, g, CAST(count(*) AS BIGINT) AS f
+           FROM bg GROUP BY 1, 2),
+         agg AS (SELECT source, CAST(count(*) AS BIGINT) AS d_types,
+             CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+           FROM tf GROUP BY 1)
+         SELECT source, d_types, n_tokens, f1, f2,
+           CASE WHEN f2 > 0 THEN round(CAST(d_types AS DOUBLE)
+             + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+               / (2.0 * CAST(f2 AS DOUBLE)), 2) ELSE NULL END AS chao1,
+           round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS good_coverage
+         FROM agg""",
+
+    "q344_good_turing" ->
+      """WITH tk AS MATERIALIZED (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+           FROM documents),
+         bg AS (SELECT w[i] || ' ' || w[i+1] AS g
+           FROM tk, UNNEST(range(1, len(w))) AS t(i)),
+         fof AS (SELECT f, CAST(count(*) AS BIGINT) AS nr FROM (
+           SELECT g, CAST(count(*) AS BIGINT) AS f FROM bg GROUP BY 1)
+         GROUP BY 1)
+         SELECT a.f AS r, a.nr AS n_r, b.nr AS n_r1,
+           round((CAST(a.f AS DOUBLE) + 1.0) * CAST(b.nr AS DOUBLE)
+             / CAST(a.nr AS DOUBLE), 6) AS r_star
+         FROM fof a JOIN fof b ON a.f + 1 = b.f WHERE a.f <= 5""",
+
     "q340_kmv_set_ops" ->
       """WITH toks AS MATERIALIZED (SELECT DISTINCT source, tok FROM (
            SELECT source,

@@ -2086,6 +2086,110 @@ private[graft] object QueriesStats {
           .as("entropy_rate_nats"))
     }),
 
+    "q341_cochran_armitage" -> ((s, dir) => {
+      // Cochran–Armitage trend test: does the fulfilled-rate move
+      // monotonically with order priority? Integer level scores make
+      // EVERY sum exact (Σwr, Σwn, Σw²n are plain integer aggregates —
+      // no ordered folds at all); the z statistic is one closed-form
+      // double. Grid is the 5-level priority table.
+      val lv = tbl(s, dir, "orders")
+        .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val g = lv.groupBy(col("w"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+      def d(c: String): Column = col(c).cast("double")
+      g.agg(count(lit(1)).as("n_levels"), sum(col("n")).as("nn"),
+          sum(col("r")).as("rr"), sum(col("w") * col("r")).as("swr"),
+          sum(col("w") * col("n")).as("swn"),
+          sum(col("w") * col("w") * col("n")).as("sw2n"))
+        .withColumn("pbar", d("rr") / d("nn"))
+        .select(col("n_levels"), col("nn").as("n_obs"),
+          round((d("swr") - d("swn") * col("pbar"))
+            / sqrt(col("pbar") * (lit(1.0) - col("pbar"))
+              * (d("sw2n") - d("swn") * d("swn") / d("nn"))), 6).as("z_trend"))
+    }),
+
+    "q342_capture_recapture" -> ((s, dir) => {
+      // Chapman capture–recapture estimate of the active customer
+      // population from two yearly "survey" samples (1994 / 1995
+      // orderers): N̂ = (nA+1)(nB+1)/(m+1) − 1. Three exact integer
+      // counts off one scan; the estimate is one double expression.
+      val byc = tbl(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1994, 1995))
+        .groupBy(col("o_custkey"))
+        .agg(max(when(year(col("o_orderdate")) === 1994, 1L).otherwise(0L))
+          .as("a"),
+          max(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L))
+          .as("b"))
+      def d(c: String): Column = col(c).cast("double")
+      byc.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"),
+          sum(col("a") * col("b")).as("m"))
+        .select(col("na"), col("nb"), col("m"),
+          round((d("na") + lit(1.0)) * (d("nb") + lit(1.0))
+            / (d("m") + lit(1.0)) - lit(1.0), 2).as("chapman_n"))
+    }),
+
+    "q345_series_outliers" -> ((s, dir) => {
+      // Rolling-median anomaly flags on daily revenue: for each full
+      // 7-day window, median and MAD are the 4th-smallest of SEVEN
+      // exact integers (array_sort picks, zero float ops anywhere), and
+      // a day is an outlier iff |x − med| > 5·mad — an integer
+      // comparison, bit-agreed by construction. The ±3 band join is
+      // grid-sized; output is the flagged days only.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t")
+        .localCheckpoint()
+      val nTot = idx.agg(max(col("t")).as("nn"))
+      val ctr = idx.crossJoin(broadcast(nTot))
+        .filter(col("t") >= 4 && col("t") <= col("nn") - 3)
+        .select(col("t").as("tc"), col("day"), col("x").as("x0"))
+      val win = ctr.join(idx.select(col("t"), col("x")),
+          col("t") >= col("tc") - 3 && col("t") <= col("tc") + 3)
+        .groupBy(col("tc"), col("day"), col("x0"))
+        .agg(element_at(array_sort(collect_list(col("x"))), 4).as("med"))
+      val mad = ctr.join(idx.select(col("t"), col("x")),
+          col("t") >= col("tc") - 3 && col("t") <= col("tc") + 3)
+        .join(win.select(col("tc"), col("med")), Seq("tc"))
+        .groupBy(col("tc"))
+        .agg(element_at(array_sort(collect_list(abs(col("x") - col("med")))),
+          4).as("mad"))
+      win.join(mad, Seq("tc"))
+        .filter(abs(col("x0") - col("med")) > lit(5L) * col("mad"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x0").as("x_cents"), col("med").as("med_cents"),
+          col("mad").as("mad_cents"))
+    }),
+
+    "q346_theil_u" -> ((s, dir) => {
+      // Theil's U1 forecast-inequality coefficient of the lag-7
+      // seasonal-naive forecast on daily revenue: every Σ is an exact
+      // integer cross-moment off the day-grid lag join; U1 is one
+      // closed-form double.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .cast("decimal(38,0)").as("x"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t")
+        .select(col("t"), col("x")).localCheckpoint()
+      val pairs = idx.as("a").join(idx.as("b"), col("a.t") === col("b.t") + 7)
+        .select(col("a.x").as("act"), col("b.x").as("pred"))
+      def d(c: String): Column = col(c).cast("double")
+      pairs.agg(count(lit(1)).as("n"),
+          sum((col("act") - col("pred")) * (col("act") - col("pred")))
+            .as("se"),
+          sum(col("act") * col("act")).as("sa"),
+          sum(col("pred") * col("pred")).as("sp"))
+        .select(col("n").as("n_days"),
+          round(sqrt(d("se") / d("n"))
+            / (sqrt(d("sa") / d("n")) + sqrt(d("sp") / d("n"))), 6)
+            .as("theil_u1"))
+    }),
+
     "q340_kmv_set_ops" -> ((s, dir) => {
       // KMV (k-minimum-values) sketch algebra over per-source token
       // sets: k=64 smallest md5 unit hashes per source — pruned by the

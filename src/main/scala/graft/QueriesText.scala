@@ -1912,6 +1912,54 @@ private[graft] object QueriesText {
             - lit(84.6) * (dd("ty") / dd("tw")), 4).as("fre"))
     }),
 
+    "q343_vocab_richness" -> ((s, dir) => {
+      // Chao1 richness estimate and Good's coverage per source over
+      // word BIGRAMS (the unigram vocabulary is dense — every type
+      // repeats — so the estimator's f1/f2 tail lives at the bigram
+      // granularity): D observed types, f1 singletons, f2 doubletons →
+      // Chao1 = D + f1²/(2f2) (NULL when f2 = 0 — Spark's ANSI double
+      // divide raises on /0, and the estimator is undefined there
+      // anyway), C = 1 − f1/N. All inputs exact integers.
+      val tf = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(Text.wordShingles(Text.tokens(lower(col("text"))), 2))
+            .as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("f"))
+      def d(c: String): Column = col(c).cast("double")
+      tf.groupBy(col("source"))
+        .agg(count(lit(1)).as("d_types"), sum(col("f")).as("n_tokens"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("d_types"), col("n_tokens"), col("f1"),
+          col("f2"),
+          when(col("f2") > 0, round(d("d_types") + d("f1") * d("f1")
+            / (lit(2.0) * d("f2")), 2)).otherwise(lit(null).cast("double"))
+            .as("chao1"),
+          round(lit(1.0) - d("f1") / d("n_tokens"), 6).as("good_coverage"))
+    }),
+
+    "q344_good_turing" -> ((s, dir) => {
+      // Good–Turing frequency re-estimation over the global BIGRAM
+      // distribution (bigrams carry the low-frequency tail the
+      // estimator needs — see q343): r* = (r+1)·N_{r+1}/N_r for
+      // r = 1..5 — the language-model smoothing table. Two grid
+      // collapses (bigram frequencies → frequency-of-frequencies),
+      // then a 5-row self-join; every input an exact integer.
+      val fof = tbl(s, dir, "documents")
+        .select(explode(Text.wordShingles(Text.tokens(lower(col("text"))), 2))
+          .as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("nr"))
+        .localCheckpoint()
+      def d(c: Column): Column = c.cast("double")
+      fof.as("a").join(fof.as("b"), col("a.f") + 1 === col("b.f"))
+        .filter(col("a.f") <= 5)
+        .select(col("a.f").as("r"), col("a.nr").as("n_r"),
+          col("b.nr").as("n_r1"),
+          round((d(col("a.f")) + lit(1.0)) * d(col("b.nr"))
+            / d(col("a.nr")), 6).as("r_star"))
+    }),
+
     "q331_token_fertility" -> ((s, dir) => {
       // Tokenizer-fertility profile per language: characters per
       // whitespace token and tokens per document — the "how expensive is
