@@ -1775,6 +1775,73 @@ private[graft] object OracleStats {
          FROM win w JOIN md m ON w.tc = m.tc
          WHERE abs(w.x0 - w.med) > 5 * m.mad""",
 
+    "q347_energy_distance" ->
+      """WITH v AS (SELECT c_mktsegment = 'BUILDING' AS g1,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         grid AS (SELECT v,
+             CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+             CAST(v AS HUGEINT)
+               * sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS sa,
+             CAST(v AS HUGEINT)
+               * sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS sb
+           FROM v GROUP BY 1),
+         cum AS (SELECT v, ca, cb, sa, sb,
+             CAST(sum(ca) OVER win AS BIGINT) AS cca,
+             CAST(sum(cb) OVER win AS BIGINT) AS ccb,
+             sum(sa) OVER win AS csa, sum(sb) OVER win AS csb
+           FROM grid WINDOW win AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
+             CAST(sum(cb) AS BIGINT) AS m,
+             sum(sa) AS sat, sum(sb) AS sbt FROM grid),
+         t AS (SELECT
+             sum(CAST(ca AS HUGEINT) * (CAST(v AS HUGEINT)
+               * CAST(ccb - cb AS HUGEINT) - (csb - sb)
+               + (sbt - (csb - sb) - sb)
+               - CAST(v AS HUGEINT)
+                 * CAST(m - (ccb - cb) - cb AS HUGEINT))) AS tab,
+             sum(CAST(ca AS HUGEINT) * (CAST(v AS HUGEINT)
+               * CAST(cca - ca AS HUGEINT) - (csa - sa)
+               + (sat - (csa - sa) - sa)
+               - CAST(v AS HUGEINT)
+                 * CAST(n - (cca - ca) - ca AS HUGEINT))) AS taa,
+             sum(CAST(cb AS HUGEINT) * (CAST(v AS HUGEINT)
+               * CAST(ccb - cb AS HUGEINT) - (csb - sb)
+               + (sbt - (csb - sb) - sb)
+               - CAST(v AS HUGEINT)
+                 * CAST(m - (ccb - cb) - cb AS HUGEINT))) AS tbb,
+             max(n) AS n, max(m) AS m
+           FROM cum CROSS JOIN tot)
+         SELECT n, m,
+           round(2.0 * CAST(tab AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))
+             - CAST(taa AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             - CAST(tbb AS DOUBLE)
+               / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 4)
+             AS energy_d2_cents
+         FROM t""",
+
+    "q348_business_days" ->
+      """WITH li AS (SELECT o_orderpriority AS priority,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS a,
+           date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+             AS b
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         w AS (SELECT priority,
+             (5 * ((b - 4) // 7) + least((b - 4) % 7 + 1, 5))
+             - (5 * ((a - 4) // 7) + least((a - 4) % 7 + 1, 5)) AS bd
+           FROM li)
+         SELECT priority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bd) AS BIGINT) AS total_busdays,
+           round(CAST(sum(bd) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_busdays
+         FROM w GROUP BY 1""",
+
     "q346_theil_u" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))

@@ -999,6 +999,28 @@ private[graft] object OracleText {
              / CAST(a.nr AS DOUBLE), 6) AS r_star
          FROM fof a JOIN fof b ON a.f + 1 = b.f WHERE a.f <= 5""",
 
+    "q349_kneser_ney" ->
+      """WITH tk AS MATERIALIZED (
+           SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS wr
+           FROM documents),
+         bg AS (SELECT wr[i] AS v, wr[i+1] AS w
+           FROM tk, UNNEST(range(1, len(wr))) AS t(i)),
+         big AS (SELECT v, w, CAST(count(*) AS BIGINT) AS cb
+           FROM bg GROUP BY 1, 2),
+         cv AS (SELECT v, CAST(sum(cb) AS BIGINT) AS cvv,
+             CAST(count(*) AS BIGINT) AS n1v FROM big GROUP BY 1),
+         cw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w
+           FROM big GROUP BY 1),
+         tb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM big),
+         p AS (SELECT b.v, b.w,
+             greatest(CAST(cb AS DOUBLE) - 0.75, 0.0) / CAST(cvv AS DOUBLE)
+             + (0.75 * CAST(n1v AS DOUBLE) / CAST(cvv AS DOUBLE))
+               * (CAST(n1w AS DOUBLE) / CAST(nbb AS DOUBLE)) AS pkn
+           FROM big b JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN tb),
+         r AS (SELECT v, w, pkn, row_number() OVER (PARTITION BY v
+             ORDER BY pkn DESC, w ASC) AS rn FROM p)
+         SELECT v, w, round(pkn, 6) AS p_kn FROM r WHERE rn <= 3""",
+
     "q340_kmv_set_ops" ->
       """WITH toks AS MATERIALIZED (SELECT DISTINCT source, tok FROM (
            SELECT source,

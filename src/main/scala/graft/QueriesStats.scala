@@ -2164,6 +2164,85 @@ private[graft] object QueriesStats {
           col("mad").as("mad_cents"))
     }),
 
+    "q347_energy_distance" -> ((s, dir) => {
+      // Energy distance between the BUILDING and MACHINERY order-value
+      // distributions, EXACTLY and in O(grid): the all-pairs sum
+      // Σ|x−y| collapses to prefix counts/sums over the sorted value
+      // grid (contribution per value v: c(v)·[v·C_below − S_below +
+      // S_above − v·C_above]) — every term an exact integer, so the
+      // n²-looking statistic needs no pair join and no float folds.
+      // D² = 2T_AB/(nm) − T_AA/n² − T_BB/m² is the only float step.
+      val v = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select((col("c_mktsegment") === "BUILDING").as("g1"),
+          expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"))
+      val grid0 = v.groupBy(col("v"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("g1"), 0L).otherwise(1L)).as("cb"))
+        .withColumn("sa", col("v").cast("decimal(38,0)") * col("ca"))
+        .withColumn("sb", col("v").cast("decimal(38,0)") * col("cb"))
+      import operators.ScalableWindow.bandedCumSum
+      val grid = bandedCumSum(bandedCumSum(bandedCumSum(bandedCumSum(
+        grid0, "v", descending = false, Nil, "ca", "cca"),
+        "v", descending = false, Nil, "cb", "ccb"),
+        "v", descending = false, Nil, "sa", "csa"),
+        "v", descending = false, Nil, "sb", "csb")
+        .localCheckpoint()
+      val tot = grid0.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"),
+        sum(col("sa")).as("sat"), sum(col("sb")).as("sbt"))
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      // below-EXCLUSIVE prefixes; above excludes the value itself.
+      def pairSum(c: Column, cntBelow: Column, sumBelow: Column,
+          cntTot: Column, sumTot: Column, cSame: Column,
+          sSame: Column): Column =
+        sum(d38(c) * (d38(col("v")) * d38(cntBelow) - sumBelow
+          + (sumTot - sumBelow - sSame)
+          - d38(col("v")) * (cntTot - cntBelow - cSame)))
+      val t = grid.crossJoin(broadcast(tot))
+        .agg(
+          pairSum(col("ca"), col("ccb") - col("cb"), col("csb") - col("sb"),
+            col("m"), col("sbt"), col("cb"), col("sb")).as("tab"),
+          pairSum(col("ca"), col("cca") - col("ca"), col("csa") - col("sa"),
+            col("n"), col("sat"), col("ca"), col("sa")).as("taa"),
+          pairSum(col("cb"), col("ccb") - col("cb"), col("csb") - col("sb"),
+            col("m"), col("sbt"), col("cb"), col("sb")).as("tbb"),
+          max(col("n")).as("n"), max(col("m")).as("m"))
+      def d(c: String): Column = col(c).cast("double")
+      t.select(col("n"), col("m"),
+        round(lit(2.0) * d("tab") / (d("n") * d("m"))
+          - d("taa") / (d("n") * d("n"))
+          - d("tbb") / (d("m") * d("m")), 4).as("energy_d2_cents"))
+    }),
+
+    "q348_business_days" -> ((s, dir) => {
+      // Order→ship lead time in BUSINESS days per priority, via the
+      // closed-form weekday count W(x) = 5·(u div 7) + least(u mod 7
+      // + 1, 5) with u = epochday − 4 (1970-01-05 is a Monday);
+      // busdays(a,b] = W(b) − W(a). Pure integer arithmetic mirrored
+      // textually — no calendar UDF, no locale, no float anywhere
+      // until the final average.
+      val li = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+            .cast("long").as("a"),
+          datediff(col("l_shipdate").cast("date"), lit("1970-01-01"))
+            .cast("long").as("b"))
+        .withColumn("ua", col("a") - 4L)
+        .withColumn("ub", col("b") - 4L)
+        .withColumn("wa", lit(5L) * expr("ua div 7")
+          + least(pmod(col("ua"), lit(7L)) + 1L, lit(5L)))
+        .withColumn("wb", lit(5L) * expr("ub div 7")
+          + least(pmod(col("ub"), lit(7L)) + 1L, lit(5L)))
+        .withColumn("bd", col("wb") - col("wa"))
+      def d(c: String): Column = col(c).cast("double")
+      li.groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"), sum(col("bd")).as("total_busdays"))
+        .select(col("priority"), col("n"), col("total_busdays"),
+          round(d("total_busdays") / d("n"), 6).as("avg_busdays"))
+    }),
+
     "q346_theil_u" -> ((s, dir) => {
       // Theil's U1 forecast-inequality coefficient of the lag-7
       // seasonal-naive forecast on daily revenue: every Σ is an exact

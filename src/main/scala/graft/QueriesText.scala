@@ -1960,6 +1960,38 @@ private[graft] object QueriesText {
             / d(col("a.nr")), 6).as("r_star"))
     }),
 
+    "q349_kneser_ney" -> ((s, dir) => {
+      // Interpolated Kneser–Ney bigram model (d = 0.75): top-3
+      // continuations per context by P_KN(w|v) = max(c(vw)−d,0)/c(v)
+      // + d·N1+(v·)/c(v) · N1+(·w)/N1+(··) — the production LM
+      // smoothing next to q167's add-k bigram LM. Every count is an
+      // exact integer on the bigram grid; P_KN is one closed-form
+      // double, bit-agreed, so the per-context top-3 (native
+      // TopKPerKey, ties on the word) matches the oracle's
+      // row_number replay.
+      val big = tbl(s, dir, "documents")
+        .select(explode(Text.wordShingles(Text.tokens(lower(col("text"))), 2))
+          .as("g"))
+        .select(split(col("g"), " ").getItem(0).as("v"),
+          split(col("g"), " ").getItem(1).as("w"))
+        .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
+      val cv = big.groupBy(col("v"))
+        .agg(sum(col("cb")).as("cvv"), count(lit(1)).as("n1v"))
+      val contW = big.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+      val totB = big.agg(count(lit(1)).as("nbb"))
+      def d(c: String): Column = col(c).cast("double")
+      val p = big.join(cv, Seq("v")).join(contW, Seq("w"))
+        .crossJoin(broadcast(totB))
+        .withColumn("pkn",
+          greatest(d("cb") - lit(0.75), lit(0.0)) / d("cvv")
+            + (lit(0.75) * d("n1v") / d("cvv"))
+              * (d("n1w") / d("nbb")))
+      org.apache.spark.sql.graft.TopKPerKey(p, Seq("v"),
+          Seq(("pkn", false), ("w", true)), k = 3)
+        .select(col("v"), col("w"), round(col("pkn"), 6).as("p_kn"))
+    }),
+
     "q331_token_fertility" -> ((s, dir) => {
       // Tokenizer-fertility profile per language: characters per
       // whitespace token and tokens per document — the "how expensive is
