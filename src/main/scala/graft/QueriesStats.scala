@@ -1654,10 +1654,8 @@ private[graft] object QueriesStats {
         .agg(count(lit(1)).as("cnt"))
         .select(col("v"), col("cnt"),
           (col("v").cast("decimal(38,0)") * col("cnt")).as("sv"))
-      val cum0 = operators.ScalableWindow
-        .bandedCumSum(grid, "v", descending = false, Nil, "cnt", "cumn")
-      val cum = operators.ScalableWindow
-        .bandedCumSum(cum0, "v", descending = false, Nil, "sv", "cums")
+      val cum = operators.ScalableWindow.bandedCumSums(grid, "v",
+        descending = false, Nil, Seq("cnt" -> "cumn", "sv" -> "cums"))
       val tot = grid.agg(sum(col("cnt")).as("n"), sum(col("sv")).as("stot"))
       val deciles = s.range(1, 11).select(col("id").as("k"))
       def d(c: String): Column = col(c).cast("double")
@@ -2182,12 +2180,9 @@ private[graft] object QueriesStats {
           sum(when(col("g1"), 0L).otherwise(1L)).as("cb"))
         .withColumn("sa", col("v").cast("decimal(38,0)") * col("ca"))
         .withColumn("sb", col("v").cast("decimal(38,0)") * col("cb"))
-      import operators.ScalableWindow.bandedCumSum
-      val grid = bandedCumSum(bandedCumSum(bandedCumSum(bandedCumSum(
-        grid0, "v", descending = false, Nil, "ca", "cca"),
-        "v", descending = false, Nil, "cb", "ccb"),
-        "v", descending = false, Nil, "sa", "csa"),
-        "v", descending = false, Nil, "sb", "csb")
+      val grid = operators.ScalableWindow.bandedCumSums(grid0, "v",
+        descending = false, Nil,
+        Seq("ca" -> "cca", "cb" -> "ccb", "sa" -> "csa", "sb" -> "csb"))
         .localCheckpoint()
       val tot = grid0.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"),
         sum(col("sa")).as("sat"), sum(col("sb")).as("sbt"))

@@ -49,8 +49,24 @@ object ScalableWindow {
       tieBreakers: Seq[String],
       sumCol: String,
       out: String,
+      nBands: Int = 32): DataFrame =
+    bandedCumSums(df, bandOn, descending, tieBreakers,
+      Seq(sumCol -> out), nBands)
+
+  /** Multi-column form of [[bandedCumSum]]: ALL running sums share ONE
+    * band pass (one percentile collect, one partitioned window, one
+    * offset join) instead of chaining a full pass per column — q347's
+    * four prefix sums cost one scan, not four.
+    */
+  def bandedCumSums(
+      df: DataFrame,
+      bandOn: String,
+      descending: Boolean,
+      tieBreakers: Seq[String],
+      sums: Seq[(String, String)],
       nBands: Int = 32): DataFrame = {
     require(nBands >= 2, "nBands must be at least 2")
+    require(sums.nonEmpty, "at least one (src, out) column pair")
     // One bounded collect: nBands-1 doubles. The cuts need not be good
     // quantiles — only a deterministic function of the value — so the
     // default percentile_approx accuracy is plenty.
@@ -68,30 +84,40 @@ object ScalableWindow {
       if (cuts.isEmpty) lit(0)
       else size(filter(typedLit(cuts), c => c < col(bandOn).cast("double")))
     val band = "__swb_band"
-    val within = "__swb_within"
-    val btot = "__swb_btot"
-    val off = "__swb_off"
+    def within(i: Int) = s"__swb_within_$i"
+    def btot(i: Int) = s"__swb_btot_$i"
+    def off(i: Int) = s"__swb_off_$i"
     val banded = df.withColumn(band, bandExpr)
     val orderCols =
       (if (descending) col(bandOn).desc else col(bandOn).asc) +:
         tieBreakers.map(col(_).asc)
     val w = Window.partitionBy(col(band)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withWithin = banded.withColumn(within, sum(col(sumCol)).over(w))
+    val withWithin = sums.zipWithIndex.foldLeft(banded) {
+      case (acc, ((src, _), i)) =>
+        acc.withColumn(within(i), sum(col(src)).over(w))
+    }
     // Band totals (≤ nBands rows) → running offset via a triangular
     // self-join: offset(b) = Σ totals of bands sorting before b.
-    val totals = banded.groupBy(col(band)).agg(sum(col(sumCol)).as(btot))
+    val totals = banded.groupBy(col(band))
+      .agg(sums.head._1 -> "sum",
+        sums.tail.map(s => s._1 -> "sum"): _*)
+      .toDF(band +: sums.indices.map(btot): _*)
     val before: Column =
       if (descending) col(s"b.$band") > col(s"a.$band")
       else col(s"b.$band") < col(s"a.$band")
     val offsets = totals.as("a")
       .join(totals.as("b"), before, "left")
       .groupBy(col(s"a.$band").as(band))
-      .agg(sum(col(s"b.$btot")).as(off))
-    withWithin
-      .join(broadcast(offsets), Seq(band))
-      .withColumn(out, col(within) + coalesce(col(off), lit(0)))
-      .drop(band, within, off)
+      .agg(sum(col(s"b.${btot(0)}")).as(off(0)),
+        sums.indices.tail.map(i => sum(col(s"b.${btot(i)}")).as(off(i))): _*)
+    val joined = withWithin.join(broadcast(offsets), Seq(band))
+    val withOuts = sums.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, out), i)) =>
+        acc.withColumn(out, col(within(i)) + coalesce(col(off(i)), lit(0)))
+    }
+    withOuts.drop(band +: sums.indices.flatMap(i =>
+      Seq(within(i), off(i))): _*)
   }
 
   /** Exact `row_number` (and optional running sums, current row

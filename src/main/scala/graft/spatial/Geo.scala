@@ -95,10 +95,27 @@ object Geo {
     * id_a < id_b and round(d_km, 6) ≤ epsKm. `d_km` is the 6-dp-rounded
     * distance (the cross-engine comparable form).
     */
-  def gridNeighborPairs(points: DataFrame, idCol: String, epsKm: Double): DataFrame = {
+  def gridNeighborPairs(points: DataFrame, idCol: String, epsKm: Double,
+      maxPerCell: Option[Int] = None): DataFrame = {
     val (latCell, nLon) = gridSpec(epsKm)
-    val cells = withCells(
+    val cells0 = withCells(
       points.select(col(idCol).as("id"), col("lat"), col("lon")), latCell, nLon)
+    // Density cap (the q121 / keyedPairs discipline, motivated by the
+    // r8 sf10 probe: at fixed eps on a fixed-area domain, density grows
+    // linearly with corpus and the pair stream QUADRATICALLY — q254
+    // measured 56×/decade, q256 OOM'd). Points whose HOME cell exceeds
+    // the cap are DROPPED entirely (skip, never sample — partial pair
+    // streams would silently bias neighbor counts); the dropped mass is
+    // enumerable via [[overDenseCells]] per the no-silent-caps rule.
+    // Default None → plan and results bit-identical to the uncapped op.
+    val cells = maxPerCell match {
+      case None => cells0
+      case Some(cap) =>
+        val occ = cells0.groupBy(col("ci"), col("cj"))
+          .agg(count(lit(1)).as("__occ"))
+        cells0.join(occ, Seq("ci", "cj"))
+          .filter(col("__occ") <= cap).drop("__occ")
+    }
     val left = explodeRing(cells, nLon)
       .select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
         col("ci"), col("cj"))
@@ -136,6 +153,20 @@ object Geo {
         round(haversineKm(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 6)
           .as("d_km"))
       .filter(col("d_km") <= lit(capKm))
+  }
+
+  /** The cells a `maxPerCell` cap on [[gridNeighborPairs]] would drop —
+    * the no-silent-caps report surface: (ci, cj, n_points) for every
+    * home cell over the cap, so a capped run can account for exactly
+    * which mass it skipped.
+    */
+  def overDenseCells(points: DataFrame, idCol: String, epsKm: Double,
+      maxPerCell: Int): DataFrame = {
+    val (latCell, nLon) = gridSpec(epsKm)
+    withCells(points.select(col(idCol).as("id"), col("lat"), col("lon")),
+        latCell, nLon)
+      .groupBy(col("ci"), col("cj")).agg(count(lit(1)).as("n_points"))
+      .filter(col("n_points") > maxPerCell)
   }
 
   /** The q337 geofence polygon — ONE definition shared by the batch

@@ -100,4 +100,30 @@ class GeoSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(got - 343.556) < 0.01) // London–Paris ≈ 343.5 km
   }
+
+  test("maxPerCell cap drops over-dense cells entirely and reports them") {
+    // The r8 sf10 probe measured the fixed-radius pair stream quadratic
+    // in density (q254 56×/decade, q256 OOM): this is the code-level
+    // knob. One hot cell (6 co-located points) + scattered points; cap 5
+    // must (a) drop ALL hot-cell points — skip, never sample — (b) leave
+    // the survivors' pairs EXACTLY equal to brute force over the
+    // survivors, and (c) surface the dropped cell via overDenseCells.
+    val hot = (1L to 6L).map(i => (i, 10.0 + i * 1e-4, 10.0))
+    val cold = Seq((20L, 30.0, 30.0), (21L, 30.2, 30.2), (22L, -40.0, 100.0))
+    val pts = hot ++ cold
+    val eps = 500.0
+    val capped = Geo.gridNeighborPairs(df(pts), "id", eps, maxPerCell = Some(5))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == bruteWithin(cold, eps),
+      "survivor pairs must equal brute force over the non-dropped points")
+    assert(capped.flatMap(p => Seq(p._1, p._2)).forall(_ >= 20L),
+      "no hot-cell point may leak into the pair stream")
+    val dropped = Geo.overDenseCells(df(pts), "id", eps, maxPerCell = 5)
+      .select(col("n_points")).as[Long].collect().toSeq
+    assert(dropped == Seq(6L), "the hot cell must be reported with its mass")
+    // Default (no cap) is unchanged: full brute-force parity.
+    val uncapped = Geo.gridNeighborPairs(df(pts), "id", eps)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped == bruteWithin(pts, eps))
+  }
 }
