@@ -1825,6 +1825,101 @@ private[graft] object OracleStats {
              AS energy_d2_cents
          FROM t""",
 
+    "q350_crps" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1),
+         v AS (SELECT year(day) = 1995 AS g1, x AS v FROM daily),
+         grid AS (SELECT v,
+             CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS cb,
+             CAST(v AS HUGEINT)
+               * sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS sa,
+             CAST(v AS HUGEINT)
+               * sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS sb
+           FROM v GROUP BY 1),
+         cum AS (SELECT v, ca, cb, sa, sb,
+             CAST(sum(ca) OVER win AS BIGINT) AS cca,
+             CAST(sum(cb) OVER win AS BIGINT) AS ccb,
+             sum(sa) OVER win AS csa, sum(sb) OVER win AS csb
+           FROM grid WINDOW win AS (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW)),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n,
+             CAST(sum(cb) AS BIGINT) AS m,
+             sum(sa) AS sat, sum(sb) AS sbt FROM grid),
+         t AS (SELECT
+             sum(CAST(ca AS HUGEINT) * (CAST(v AS HUGEINT)
+               * CAST(ccb - cb AS HUGEINT) - (csb - sb)
+               + (sbt - (csb - sb) - sb)
+               - CAST(v AS HUGEINT)
+                 * CAST(m - (ccb - cb) - cb AS HUGEINT))) AS tab,
+             sum(CAST(ca AS HUGEINT) * (CAST(v AS HUGEINT)
+               * CAST(cca - ca AS HUGEINT) - (csa - sa)
+               + (sat - (csa - sa) - sa)
+               - CAST(v AS HUGEINT)
+                 * CAST(n - (cca - ca) - ca AS HUGEINT))) AS taa,
+             max(n) AS n, max(m) AS m
+           FROM cum CROSS JOIN tot)
+         SELECT n AS n_ensemble, m AS n_outcomes,
+           round(CAST(tab AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE))
+             - CAST(taa AS DOUBLE)
+               / (2.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
+             AS mean_crps_cents
+         FROM t""",
+
+    "q351_cond_entropy" ->
+      """WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+           CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+         hxy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(-(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)), 12)
+               ORDER BY x, y)),
+             (a, e) -> round(a + e, 12)) AS hxy
+           FROM cells CROSS JOIN tot),
+         cx AS (SELECT x, CAST(sum(n) AS BIGINT) AS n FROM cells GROUP BY 1),
+         hx AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(-(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)), 12)
+               ORDER BY x)),
+             (a, e) -> round(a + e, 12)) AS hx
+           FROM cx CROSS JOIN tot),
+         cy AS (SELECT y, CAST(sum(n) AS BIGINT) AS n FROM cells GROUP BY 1),
+         hy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(round(-(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)), 12)
+               ORDER BY y)),
+             (a, e) -> round(a + e, 12)) AS hy
+           FROM cy CROSS JOIN tot)
+         SELECT round(hxy, 6) AS h_joint,
+           round(hxy - hy, 6) AS h_x_given_y,
+           round(hx + hy - hxy, 6) AS mutual_info
+         FROM hxy CROSS JOIN hx CROSS JOIN hy""",
+
+    "q352_turning_points" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             x FROM daily),
+         trip AS (SELECT (l.x < c.x AND c.x > r.x)
+             OR (l.x > c.x AND c.x < r.x) AS turn
+           FROM idx c JOIN idx l ON c.t = l.t + 1
+           JOIN idx r ON c.t = r.t - 1),
+         nn AS (SELECT max(t) AS n FROM idx),
+         t AS (SELECT CAST(sum(CASE WHEN turn THEN 1 ELSE 0 END) AS BIGINT)
+             AS turns FROM trip)
+         SELECT n AS n_days, turns,
+           round(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 4)
+             AS expected_turns,
+           round((CAST(turns AS DOUBLE)
+               - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+             / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6) AS z
+         FROM t CROSS JOIN nn""",
+
     "q348_business_days" ->
       """WITH li AS (SELECT o_orderpriority AS priority,
            date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

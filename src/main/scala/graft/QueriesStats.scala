@@ -2210,6 +2210,110 @@ private[graft] object QueriesStats {
           - d("tbb") / (d("m") * d("m")), 4).as("energy_d2_cents"))
     }),
 
+    "q350_crps" -> ((s, dir) => {
+      // Mean CRPS of the climatological forecast: the 1995 daily-revenue
+      // distribution as the ensemble F, scored on every 1996 day y —
+      // CRPS(F,y) = E|X−y| − ½E|X−X′|, so mean CRPS = T_AB/(n·m) −
+      // T_AA/(2n²) with the SAME exact O(grid) prefix-sum pair sums as
+      // q347 (A = ensemble, B = outcomes): no pair join, every term an
+      // exact integer, one double at the end.
+      val daily = tbl(s, dir, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+        .select((year(col("day")) === 1995).as("g1"), col("x").as("v"))
+      val grid0 = daily.groupBy(col("v"))
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("g1"), 0L).otherwise(1L)).as("cb"))
+        .withColumn("sa", col("v").cast("decimal(38,0)") * col("ca"))
+        .withColumn("sb", col("v").cast("decimal(38,0)") * col("cb"))
+      val grid = operators.ScalableWindow.bandedCumSums(grid0, "v",
+        descending = false, Nil,
+        Seq("ca" -> "cca", "cb" -> "ccb", "sa" -> "csa", "sb" -> "csb"))
+        .localCheckpoint()
+      val tot = grid0.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"),
+        sum(col("sa")).as("sat"), sum(col("sb")).as("sbt"))
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      def pairSum(c: Column, cntBelow: Column, sumBelow: Column,
+          cntTot: Column, sumTot: Column, cSame: Column,
+          sSame: Column): Column =
+        sum(d38(c) * (d38(col("v")) * d38(cntBelow) - sumBelow
+          + (sumTot - sumBelow - sSame)
+          - d38(col("v")) * (cntTot - cntBelow - cSame)))
+      val t = grid.crossJoin(broadcast(tot))
+        .agg(
+          pairSum(col("ca"), col("ccb") - col("cb"), col("csb") - col("sb"),
+            col("m"), col("sbt"), col("cb"), col("sb")).as("tab"),
+          pairSum(col("ca"), col("cca") - col("ca"), col("csa") - col("sa"),
+            col("n"), col("sat"), col("ca"), col("sa")).as("taa"),
+          max(col("n")).as("n"), max(col("m")).as("m"))
+      def d(c: String): Column = col(c).cast("double")
+      t.select(col("n").as("n_ensemble"), col("m").as("n_outcomes"),
+        round(d("tab") / (d("n") * d("m"))
+          - d("taa") / (lit(2.0) * d("n") * d("n")), 4)
+          .as("mean_crps_cents"))
+    }),
+
+    "q351_cond_entropy" -> ((s, dir) => {
+      // Joint/conditional entropy and mutual information of order
+      // priority × status: H(X,Y), H(Y), H(X|Y) = H(X,Y) − H(Y), and
+      // I(X;Y) = H(X) + H(Y) − H(X,Y) — the information-theoretic
+      // companion to q228's χ². One cell aggregate; every entropy folds
+      // in key order at 12 dp.
+      val cells = tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = cells.agg(sum(col("n")).as("nn"))
+      def d(c: String): Column = col(c).cast("double")
+      def hFold(df: DataFrame, keys: Seq[Column], out: String): DataFrame =
+        df.crossJoin(broadcast(tot))
+          .select(struct(keys: _*).as("k"),
+            round(-(d("n") / d("nn")) * log(d("n") / d("nn")), 12).as("t"))
+          .agg(aggregate(array_sort(collect_list(struct(col("k"), col("t")))),
+            lit(0.0), (a, e) => round(a + e.getField("t"), 12)).as(out))
+      val hxy = hFold(cells, Seq(col("x"), col("y")), "hxy")
+      val hx = hFold(cells.groupBy(col("x")).agg(sum(col("n")).as("n")),
+        Seq(col("x")), "hx")
+      val hy = hFold(cells.groupBy(col("y")).agg(sum(col("n")).as("n")),
+        Seq(col("y")), "hy")
+      hxy.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .select(round(col("hxy"), 6).as("h_joint"),
+          round(col("hxy") - col("hy"), 6).as("h_x_given_y"),
+          round(col("hx") + col("hy") - col("hxy"), 6).as("mutual_info"))
+    }),
+
+    "q352_turning_points" -> ((s, dir) => {
+      // Turning-point test for series randomness: count local extrema
+      // of daily revenue (x_{t−1} < x_t > x_{t+1} or the reverse —
+      // exact integer comparisons off two lag joins), against
+      // E[T] = 2(n−2)/3, Var[T] = (16n−29)/90. The i.i.d. screen next
+      // to q290's runs test.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t")
+        .select(col("t"), col("x")).localCheckpoint()
+      val trip = idx.as("c")
+        .join(idx.as("l"), col("c.t") === col("l.t") + 1)
+        .join(idx.as("r"), col("c.t") === col("r.t") - 1)
+        .select(((col("l.x") < col("c.x") && col("c.x") > col("r.x"))
+          || (col("l.x") > col("c.x") && col("c.x") < col("r.x")))
+          .as("turn"))
+      def d(c: String): Column = col(c).cast("double")
+      val n = idx.agg(max(col("t")).as("n"))
+      trip.agg(sum(when(col("turn"), 1L).otherwise(0L)).as("turns"))
+        .crossJoin(broadcast(n))
+        .withColumn("et", lit(2.0) * (d("n") - lit(2.0)) / lit(3.0))
+        .withColumn("vt", (lit(16.0) * d("n") - lit(29.0)) / lit(90.0))
+        .select(col("n").as("n_days"), col("turns"),
+          round(col("et"), 4).as("expected_turns"),
+          round((d("turns") - col("et")) / sqrt(col("vt")), 6).as("z"))
+    }),
+
     "q348_business_days" -> ((s, dir) => {
       // Order→ship lead time in BUSINESS days per priority, via the
       // closed-form weekday count W(x) = 5·(u div 7) + least(u mod 7
