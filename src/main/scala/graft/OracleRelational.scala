@@ -383,6 +383,45 @@ private[graft] object OracleRelational {
          SELECT * FROM zs UNION ALL SELECT * FROM xs"""
     },
 
+    "q353_damerau_join" ->
+      """WITH vocab AS (SELECT DISTINCT w FROM (
+           SELECT unnest(regexp_split_to_array(p_name, ' ')) AS w FROM part)
+         WHERE length(w) > 0)
+         SELECT a.w AS w1, b.w AS w2,
+           CAST(damerau_levenshtein(a.w, b.w) AS BIGINT) AS dl,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev
+         FROM vocab a JOIN vocab b
+           ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2
+         WHERE damerau_levenshtein(a.w, b.w) <= 2""",
+
+    "q354_char_jaccard_join" ->
+      """WITH vocab AS (SELECT DISTINCT w FROM (
+           SELECT unnest(regexp_split_to_array(p_name, ' ')) AS w FROM part)
+         WHERE length(w) > 0)
+         SELECT a.w AS w1, b.w AS w2,
+           round(jaccard(a.w, b.w), 6) AS char_jaccard
+         FROM vocab a JOIN vocab b ON a.w < b.w
+         WHERE jaccard(a.w, b.w) >= 0.75""",
+
+    "q355_hamming_blocked" ->
+      """WITH codes AS (SELECT c_nationkey,
+             substr(md5(concat('ph_', CAST(c_custkey AS VARCHAR))), 1, 8)
+               AS code
+           FROM customer),
+         items AS (SELECT concat(CAST(c_nationkey AS VARCHAR), '_',
+             substr(code, 1, 1)) AS blk, code
+           FROM codes),
+         widths AS (SELECT blk FROM items GROUP BY 1
+           HAVING count(*) <= 2000),
+         kept AS (SELECT i.blk, i.code FROM items i
+           JOIN widths w ON i.blk = w.blk),
+         pairs AS (SELECT a.blk, a.code AS pa, b.code AS pb
+           FROM kept a JOIN kept b
+             ON a.blk = b.blk AND a.code < b.code)
+         SELECT CAST(hamming(pa, pb) AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pairs GROUP BY 1""",
+
     "q327_lev_join" ->
       """WITH vocab AS (SELECT DISTINCT w FROM (
            SELECT unnest(regexp_split_to_array(p_name, ' ')) AS w FROM part)

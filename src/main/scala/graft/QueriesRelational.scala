@@ -664,6 +664,76 @@ private[graft] object QueriesRelational {
       stats("zorder", col("zb")).union(stats("xsort", col("xb")))
     }),
 
+    "q353_damerau_join" -> ((s, dir) => {
+      // q327's fuzzy vocabulary join under TRUE Damerau–Levenshtein
+      // (the codegen'd native kernel — transpositions cost 1, so
+      // 'blot'/'bolt' matches at 1 where plain Levenshtein says 2).
+      // Emitting BOTH distances makes the variant difference visible
+      // row-by-row under the hash; DL ≤ 2 implies |len diff| ≤ 2, the
+      // band prefilter.
+      val vocab = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+        .localCheckpoint()
+      val a = vocab.select(col("w").as("w1"), length(col("w")).as("l1"))
+      val b = vocab.select(col("w").as("w2"), length(col("w")).as("l2"))
+      a.join(b, col("w1") < col("w2")
+          && abs(col("l1") - col("l2")) <= 2)
+        .withColumn("dl",
+          graft.plans.TextKernels.damerauNative(col("w1"), col("w2")))
+        .filter(col("dl") <= 2)
+        .select(col("w1"), col("w2"), col("dl").cast("long").as("dl"),
+          levenshtein(col("w1"), col("w2")).cast("long").as("lev"))
+    }),
+
+    "q354_char_jaccard_join" -> ((s, dir) => {
+      // Character-set Jaccard fuzzy join over the same vocabulary
+      // (DuckDB's `jaccard` builtin is the oracle): |chars(a) ∩
+      // chars(b)| / |chars(a) ∪ chars(b)| ≥ 0.75 — the cheap
+      // set-similarity screen before an edit-distance verify, all
+      // codegen'd array HOFs, exact small-integer ratio.
+      val vocab = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+        .select(col("w"), array_distinct(split(col("w"), "")).as("cs"))
+        .localCheckpoint()
+      val a = vocab.select(col("w").as("w1"), col("cs").as("ca"))
+      val b = vocab.select(col("w").as("w2"), col("cs").as("cb"))
+      a.join(b, col("w1") < col("w2"))
+        .withColumn("j",
+          size(array_intersect(col("ca"), col("cb"))).cast("double")
+            / size(array_union(col("ca"), col("cb"))).cast("double"))
+        .filter(col("j") >= 0.75)
+        .select(col("w1"), col("w2"), round(col("j"), 6).as("char_jaccard"))
+    }),
+
+    "q355_hamming_blocked" -> ((s, dir) => {
+      // Hamming-distance histogram over fixed-width (8 hex chars)
+      // customer codes — the md5 idiom both engines share, standing in
+      // for any fixed-width identifier column — paired WITHIN
+      // deterministic blocks (nation × first hex char) through the
+      // capped wedge-join operator (X139's keyedPairs, maxWidth = 2000
+      // — the declared guard that keeps the per-block pair stream
+      // bounded when a block runs hot; the cap is part of the
+      // semantics and the oracle mirrors it). The distance itself is a
+      // dimension-ordered HOF fold over the 8 aligned chars —
+      // codegen'd, no UDF.
+      val items = tbl(s, dir, "customer")
+        .select(col("c_nationkey"),
+          substring(md5(concat(lit("ph_"), col("c_custkey").cast("string"))),
+            1, 8).as("code"))
+        .select(concat(col("c_nationkey").cast("string"), lit("_"),
+          substring(col("code"), 1, 1)).as("blk"), col("code"))
+      val pairs = operators.Relational.keyedPairs(items, "blk", "code",
+        maxWidth = Some(2000))
+      pairs
+        .withColumn("dist", aggregate(zip_with(
+          split(col("code_a"), ""), split(col("code_b"), ""),
+          (x, y) => when(x === y, 0).otherwise(1)), lit(0), (acc, v) => acc + v))
+        .groupBy(col("dist").cast("long").as("hamming"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "q327_lev_join" -> ((s, dir) => {
       // Levenshtein fuzzy self-join over the part-name color vocabulary:
       // exact-dup collapse to the VOCABULARY first (the q207 discipline),

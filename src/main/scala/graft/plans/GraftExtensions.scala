@@ -65,6 +65,10 @@ object GraftFunctions {
       info("graft_jaro_winkler",
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (0.7 gate, 0.1 prefix scale)"),
       (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
+    (FunctionIdentifier("graft_damerau"),
+      info("graft_damerau",
+        "graft_damerau(a, b) - true Damerau-Levenshtein distance (adjacent transpositions cost 1)"),
+      (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1))),
     (FunctionIdentifier("graft_unit_hash"),
       info("graft_unit_hash",
         "graft_unit_hash(key) - deterministic md5 unit-interval hash in [0,1)"),

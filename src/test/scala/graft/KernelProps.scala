@@ -43,6 +43,24 @@ object KernelProps extends Properties("graft-kernels") {
         Prop(jw("aaa", "bbb") == 0.0)
     }
 
+  property("damerauLevenshtein: TRUE-DL variant values, identity, symmetry, lev upper bound") =
+    forAll(word, word) { (a, b) =>
+      def dl(x: String, y: String) = graft.plans.TextKernels.damerauLevenshtein(
+        UTF8String.fromString(x), UTF8String.fromString(y))
+      def lev(x: String, y: String) = UTF8String.fromString(x)
+        .levenshteinDistance(UTF8String.fromString(y))
+      // The variant pins: true DL (Lowrance–Wagner) gives CA→ABC = 2
+      // where the restricted OSA form gives 3 — DuckDB's builtin (the
+      // oracle) agrees on 2, which is what q353 hash-checks at scale.
+      Prop(dl("CA", "ABC") == 2) &&
+        Prop(dl("ab", "ba") == 1) &&
+        Prop(dl("abcdef", "abdcef") == 1) &&
+        Prop(dl("kitten", "sitting") == 3) &&
+        Prop(dl(a, a) == 0) &&
+        Prop(dl(a, b) == dl(b, a)) &&
+        Prop(dl(a, b) <= lev(a, b)) // transpositions only ever help
+    }
+
   property("ontolia parse roundtrips well-formed lines") =
     forAll(word, Gen.nonEmptyListOf(word)) { (reg, ts) =>
       val line = s"  $reg = ${ts.mkString(" , ")} "
