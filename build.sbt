@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as bare JSON. sbt's default forked-output strategy routes the child's
+// stdout through its logger, prefixing every line `[info] ` — which is
+// exactly why BENCH_r0[1-8].json all came back `parsed: null` even after
+// the line itself was made to fit the 2000-char tail window. StdoutOutput
+// passes the forked process's stdout/stderr through UNDECORATED, so the
+// final JSON line reaches the driver verbatim (sbt's own `[success]`
+// epilogue follows it, but that is ~70 chars and the tail keeps both).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -487,13 +487,16 @@ private[graft] object OraclePdcm {
                  OR lower(cm.vendor_link) = 'not provided'
                THEN 'Commercially Not Available'
                ELSE 'Commercially Available' END) AS availability_rollup,
-           CASE WHEN r.model_id IS NOT NULL THEN true ELSE false END
+           CASE WHEN mi.model_id IS NULL THEN NULL
+                WHEN r.model_id IS NOT NULL THEN true ELSE false END
              AS has_relations
          FROM enriched e
          LEFT JOIN tbm tb ON e.model_id = tb.model_id
            AND e.data_source = tb.data_source
          LEFT JOIN (SELECT model_id, data_source, vendor_link FROM raw_cell) cm
            ON e.model_id = cm.model_id AND e.data_source = cm.data_source
+         LEFT JOIN (SELECT DISTINCT model_id, data_source FROM raw_model) mi
+           ON e.model_id = mi.model_id AND e.data_source = mi.data_source
          LEFT JOIN rel r ON e.model_id = r.model_id
            AND e.data_source = r.data_source"""
 

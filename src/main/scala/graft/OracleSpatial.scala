@@ -81,6 +81,70 @@ private[graft] object OracleSpatial {
          UNION ALL
          SELECT id, 'border' AS role, cluster FROM border""",
 
+    // Density-normalized twins (q356–q358): the SAME brute-force bodies
+    // with eps re-derived in SQL — least(eps0*sqrt(nRef/n), 6000.0) is
+    // the textual mirror of Geo.scaledEps (·, sqrt, min are IEEE-exact /
+    // correctly rounded in both engines), so these oracles track the
+    // engine at EVERY sf: at the sf0.01 gate n = nRef and eps = eps0
+    // exactly; at other sfs both engines shrink/grow the radius by the
+    // identical double.
+
+    "q356_geo_neighbors_scaled" ->
+      s"""WITH p AS ($custPts),
+         eps AS (SELECT least(500.0 * sqrt(1500.0 / CAST(count(*) AS DOUBLE)),
+             6000.0) AS e FROM customer),
+         d AS (SELECT a.id AS ia, b.id AS ib,
+             ${dkm("a.lat", "a.lon", "b.lat", "b.lon")} AS d6
+           FROM p a JOIN p b ON a.id <> b.id)
+         SELECT ia AS id, CAST(count(*) AS BIGINT) AS n_neighbors,
+           min(d6) AS nn_km
+         FROM d, eps WHERE d6 <= eps.e GROUP BY 1""",
+
+    "q357_geo_knn_scaled" ->
+      s"""WITH p AS ($custPts),
+         cap AS (SELECT least(3000.0 * sqrt(100.0 / CAST(count(*) AS DOUBLE)),
+             6000.0) AS e FROM supplier),
+         s AS (SELECT s_suppkey AS sid,
+             ${lat("'s' || CAST(s_suppkey AS VARCHAR)")} AS lat,
+             ${lon("'s' || CAST(s_suppkey AS VARCHAR)")} AS lon FROM supplier),
+         d AS (SELECT p.id AS c_id, s.sid AS s_id,
+             ${dkm("p.lat", "p.lon", "s.lat", "s.lon")} AS d_km
+           FROM p CROSS JOIN s),
+         r AS (SELECT c_id, s_id, d_km,
+             row_number() OVER (PARTITION BY c_id ORDER BY d_km, s_id) AS rn
+           FROM d, cap WHERE d_km <= cap.e)
+         SELECT c_id, s_id, d_km FROM r WHERE rn <= 3""",
+
+    "q358_geo_dbscan_scaled" ->
+      s"""WITH RECURSIVE p AS ($custPts),
+         eps AS (SELECT least(400.0 * sqrt(1500.0 / CAST(count(*) AS DOUBLE)),
+             6000.0) AS e FROM customer),
+         pr AS (SELECT a.id AS id_a, b.id AS id_b,
+             ${dkm("a.lat", "a.lon", "b.lat", "b.lon")} AS d6
+           FROM p a JOIN p b ON a.id < b.id),
+         e AS (SELECT id_a, id_b FROM pr, eps WHERE d6 <= eps.e),
+         sym AS (SELECT id_a AS id, id_b AS nb FROM e
+                 UNION ALL SELECT id_b, id_a FROM e),
+         core AS (SELECT id FROM sym GROUP BY id HAVING count(*) + 1 >= 4),
+         ce AS (SELECT s.id AS a, s.nb AS b FROM sym s
+                JOIN core c1 ON s.id = c1.id JOIN core c2 ON s.nb = c2.id),
+         reach(a, b) AS (
+           SELECT a, b FROM ce
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN ce e2 ON r.b = e2.a),
+         comp AS (SELECT a AS id, least(a, min(b)) AS cluster
+                  FROM reach GROUP BY a
+                  UNION ALL
+                  SELECT id, id FROM core
+                  WHERE id NOT IN (SELECT a FROM ce)),
+         border AS (SELECT s.id, min(comp.cluster) AS cluster
+                    FROM sym s JOIN comp ON s.nb = comp.id
+                    WHERE s.id NOT IN (SELECT id FROM core)
+                    GROUP BY s.id)
+         SELECT id, 'core' AS role, cluster FROM comp
+         UNION ALL
+         SELECT id, 'border' AS role, cluster FROM border""",
+
     "q266_geohash_cells" -> {
       // Generated bit-exact mirror of Geohash.cell for chars = 2
       // (bits 10, lonBits 5, latBits 5): closed-form ids, then the

@@ -93,6 +93,75 @@ private[graft] object QueriesSpatial {
         .union(border.select(col("id"), lit("border").as("role"), col("cluster")))
     }),
 
+    // ── Density-normalized PRIMARY faces (q356–q358) ───────────────────
+    // The r8 sf10 probe measured the fixed-radius faces density-QUADRATIC
+    // (q254 56×/decade², q256 DBSCAN OOM at sf10): at fixed eps on a
+    // fixed-area domain the true answer itself grows ∝ n². These twins
+    // hold the radius ∝ 1/√density (Geo.scaledEps — expected neighbors
+    // per point constant, pair stream n-LINEAR), so they are the benched
+    // primary faces; the fixed-eps faces are demoted to oracle-only
+    // contrast (the q40/q200/q182 precedent). At the gate sf the corpus
+    // count equals nRef, so eps == eps0 exactly and each twin reproduces
+    // its fixed face bit-for-bit — the oracles re-derive the same eps
+    // with least(eps0*sqrt(nRef/n), 6000.0) in SQL, so they stay green
+    // at EVERY sf, not just the gate. The count() is one parquet
+    // metadata read (a documented bounded driver-side scalar: the grid
+    // geometry needs eps as a plan-time constant).
+
+    "q356_geo_neighbors_scaled" -> ((s, dir) => {
+      val eps = Geo.scaledEps(500.0, 1500L, tbl(s, dir, "customer").count())
+      val pairs = Geo.gridNeighborPairs(custPoints(s, dir), "id", eps)
+      val sym = pairs.select(col("id_a").as("id"), col("d_km"))
+        .union(pairs.select(col("id_b").as("id"), col("d_km")))
+      sym.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_neighbors"), min(col("d_km")).as("nn_km"))
+    }),
+
+    "q357_geo_knn_scaled" -> ((s, dir) => {
+      // kNN candidate cap ∝ 1/√(supplier density): the bipartite
+      // candidate stream is |cust|·density_sup·π·cap², so cap² ∝ 1/n_sup
+      // keeps it linear in |cust| at every scale. nRef = 100 suppliers
+      // (the sf0.01 gate count).
+      val cap = Geo.scaledEps(3000.0, 100L, tbl(s, dir, "supplier").count())
+      val c = custPoints(s, dir)
+      val sup = tbl(s, dir, "supplier").select(col("s_suppkey").as("sid"),
+        Geo.latOf(concat(lit("s"), col("s_suppkey").cast("string"))).as("lat"),
+        Geo.lonOf(concat(lit("s"), col("s_suppkey").cast("string"))).as("lon"))
+      val cand = Geo.gridJoinWithin(c, sup, "id", "sid", cap)
+        .select(col("id_a").as("c_id"), col("id_b").as("s_id"), col("d_km"))
+      org.apache.spark.sql.graft.TopKPerKey(
+        cand, Seq("c_id"), Seq(("d_km", true), ("s_id", true)), 3)
+    }),
+
+    "q358_geo_dbscan_scaled" -> ((s, dir) => {
+      // Same cluster recipe as q256 with eps ∝ 1/√density: the pair
+      // stream (the stage that OOM'd uncapped at sf10) stays n-linear,
+      // and everything downstream was already degree-/core-sized.
+      val eps = Geo.scaledEps(400.0, 1500L, tbl(s, dir, "customer").count())
+      val pairs = Geo.gridNeighborPairs(custPoints(s, dir), "id", eps)
+        .localCheckpoint()
+      val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+        .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+      val core = sym.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") + 1 >= 4).select(col("id"))
+      val coreEdges = pairs
+        .join(core.select(col("id").as("id_a")), Seq("id_a"))
+        .join(core.select(col("id").as("id_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.Dedup
+        .connectedComponents(coreEdges, "id_a", "id_b")
+        .select(col("vertex").as("id"), col("component").as("cluster"))
+      val singletons = core.join(comp, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster"))
+      val coreLabels = comp.union(singletons).localCheckpoint()
+      val border = sym
+        .join(core.select(col("id")), Seq("id"), "left_anti")
+        .join(coreLabels.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      coreLabels.select(col("id"), lit("core").as("role"), col("cluster"))
+        .union(border.select(col("id"), lit("border").as("role"), col("cluster")))
+    }),
+
     "q266_geohash_cells" -> ((s, dir) => {
       // Geohash bucketing via the native codegen'd interleave kernel
       // (integer bit math + two IEEE divides, no transcendentals — the

@@ -247,10 +247,16 @@ object PdcmApi {
              THEN 'Commercially Not Available'
              ELSE 'Commercially Available' END)
            AS model_availability_plus_commercial_availability,
-         mi.model_relationships, coalesce(mi.has_relations, false) AS has_relations
+         mi.model_relationships, mi.has_relations
          FROM search_index si
          LEFT JOIN pdcm_api_model_information mi
            ON si.pdcm_model_id = mi.id AND si.data_source = mi.data_source""",
+    // ^ has_relations stays UN-coalesced: the reference computes it with a
+    //   correlated scalar subquery (views.sql:847-851) that yields NULL for
+    //   a model absent from model_information — the left join reproduces
+    //   that exactly. (Within model_information itself the column is never
+    //   NULL: updates.sql:23-34 UPDATEs every row, mirrored by the coalesce
+    //   in the model_information view above.)
     "search_facet_vw" -> "SELECT * FROM search_facet",
     "available_molecular_data_columns_vw" ->
       "SELECT * FROM available_molecular_data_columns",

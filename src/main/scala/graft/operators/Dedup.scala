@@ -406,6 +406,20 @@ object Dedup {
     * codegen'd dot product. The source scan is persisted across the
     * `lloydIters + 1` passes and released before return.
     */
+  /** Rows-derived default for [[semanticDedup]]'s `nCells` — the policy
+    * form of the knob the r8 sf10 probe demonstrated (fixed nCells=8 at
+    * 100× the corpus ⇒ 100× points per cell ⇒ within-cell quadratic
+    * blow-up 326.8 s, vs 20.9 s after scaling the knob): hold the
+    * EXPECTED CELL OCCUPANCY constant at `targetPerCell`, so the
+    * within-cell pair work stays n·targetPerCell/2 — linear in corpus —
+    * at every scale. The fixed-value form stays available for the
+    * oracle faces (whose unrolled Lloyd SQL needs a literal k).
+    */
+  def defaultNCells(n: Long, targetPerCell: Int = 2048): Int = {
+    require(n > 0 && targetPerCell > 0, "defaultNCells needs positive sizes")
+    math.max(1L, (n + targetPerCell - 1) / targetPerCell).toInt
+  }
+
   def semanticDedup(
       embeddings: DataFrame,
       idCol: String,

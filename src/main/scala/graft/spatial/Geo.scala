@@ -52,6 +52,31 @@ object Geo {
     lit(2.0) * lit(6371.0088) * asin(sqrt(h))
   }
 
+  /** Density-normalized radius — the rows-derived default policy for the
+    * fixed-radius operators (the geo analog of SemDeDup's
+    * nCells ≈ n/targetPerCell). On a FIXED-AREA domain a fixed radius is
+    * density-quadratic: per-point neighbor count grows ∝ n, so the pair
+    * stream grows ∝ n² (the r8 sf10 probe measured q254 at 56×/decade²
+    * and q256 DBSCAN OOM'd outright). Shrinking the radius as
+    * eps(n) = eps0·√(nRef/n) keeps the expected points per eps-disc —
+    * and with it cell occupancy and the per-point pair work — CONSTANT:
+    * the grid cell area is ∝ eps² ∝ 1/density, so the candidate stream
+    * is n-linear at every scale. At n = nRef the radius is exactly eps0
+    * (√1 = 1.0, an exact IEEE identity), so the scaled face reproduces
+    * the fixed face bit-for-bit at the reference scale — which is what
+    * lets it share the fixed face's oracle semantics at the gate sf.
+    *
+    * The clamp keeps tiny corpora inside the grid's feasible band
+    * (6000 km < the nLon ≥ 3 bound of 6074 km; see [[gridSpec]]).
+    * All three ops (·, √, min) are IEEE-exact or correctly rounded, so
+    * DuckDB's textual mirror `least(eps0*sqrt(nRef/n), 6000.0)` computes
+    * the identical double.
+    */
+  def scaledEps(eps0: Double, nRef: Long, n: Long, maxEps: Double = 6000.0): Double = {
+    require(n > 0, "scaledEps needs a nonempty point set")
+    math.min(eps0 * math.sqrt(nRef.toDouble / n.toDouble), maxEps)
+  }
+
   /** Grid geometry for a radius: latitude cell size in degrees (no
     * wrap — poles are outside the band) and the modular longitude cell
     * count. The longitude bound gets a 0.1% safety factor (covers the

@@ -126,4 +126,29 @@ class GeoSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(uncapped == bruteWithin(pts, eps))
   }
+
+  test("scaledEps: exact at nRef, area tracks 1/density, clamp stays feasible") {
+    // The rows-derived default policy behind the q356-q358 primary faces.
+    // At the reference count the radius is EXACTLY eps0 (sqrt(1.0) is an
+    // IEEE identity) — this equality is what lets the scaled face share
+    // the fixed face's semantics at the gate sf.
+    assert(Geo.scaledEps(500.0, 1500L, 1500L) == 500.0)
+    assert(Geo.scaledEps(400.0, 1500L, 1500L) == 400.0)
+    // Perfect-square density growth halves the radius exactly: eps² — and
+    // with it the grid cell AREA and the expected per-cell occupancy —
+    // is ∝ 1/n. 4× the points ⇒ half the radius ⇒ the expected points
+    // per eps-disc (the per-point pair work) is unchanged.
+    assert(Geo.scaledEps(500.0, 1500L, 6000L) == 250.0)
+    assert(Geo.scaledEps(500.0, 1500L, 150000L) == 50.0)
+    // Tiny corpora clamp to 6000 km, which gridSpec can still serve
+    // (nLon = 3, inside the 6074 km feasibility bound) — the scaled face
+    // can never construct an infeasible grid.
+    assert(Geo.scaledEps(500.0, 1500L, 2L) == 6000.0)
+    assert(Geo.gridSpec(6000.0)._2 >= 3)
+    // The sf0.001 gate point: 150 customers ⇒ eps = 500·√10, feasible.
+    val eps001 = Geo.scaledEps(500.0, 1500L, 150L)
+    assert(math.abs(eps001 - 500.0 * math.sqrt(10.0)) == 0.0)
+    assert(Geo.gridSpec(eps001)._2 >= 3)
+    intercept[IllegalArgumentException](Geo.scaledEps(500.0, 1500L, 0L))
+  }
 }

@@ -192,6 +192,34 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.count(_._2 == hotCell) >= 301)
   }
 
+  test("defaultNCells holds expected cell occupancy constant across scales") {
+    // The rows-derived policy form of the SemDeDup knob (the r8 sf10
+    // probe: fixed nCells=8 at 100× the corpus = 326.8 s, scaled = 20.9 s).
+    // Ceiling division: occupancy never exceeds the target.
+    assert(Dedup.defaultNCells(2048L) == 1)
+    assert(Dedup.defaultNCells(2049L) == 2)
+    assert(Dedup.defaultNCells(16384L, 2048) == 8)
+    // 100× the corpus ⇒ 100× the cells ⇒ same expected occupancy — the
+    // exact recovery the probe demonstrated by hand.
+    assert(Dedup.defaultNCells(1638400L, 2048) == 100 * Dedup.defaultNCells(16384L, 2048))
+    assert(Dedup.defaultNCells(1L) == 1)
+    intercept[IllegalArgumentException](Dedup.defaultNCells(0L))
+    // The derived default drives the operator end-to-end: tiny target ⇒
+    // several cells, verdicts still exact on verbatim copies.
+    val base = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").limit(40)
+    val emb0 = base.filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Float]].head()
+    val withCopy = base.unionByName(Seq((90000L, emb0)).toDF("vec_id", "embedding"))
+    val k = Dedup.defaultNCells(withCopy.count(), targetPerCell = 16)
+    assert(k == 3) // ceil(41/16)
+    val out = Dedup.semanticDedup(withCopy, "vec_id", "embedding",
+      nCells = k, lloydIters = 2, simThreshold = 0.999)
+      .filter($"vec_id" === 90000L).collect().head
+    assert(out.getBoolean(3) && out.getLong(2) == 0L,
+      "verbatim copy must dedup against vector 0 under the derived k")
+  }
+
   test("TopKPerKey native operator matches the window top-k, two-phase plan") {
     import org.apache.spark.sql.graft.TopKPerKey
     import org.apache.spark.sql.expressions.Window

@@ -667,6 +667,32 @@ class PdcmEntitiesSpec extends SparkSpec {
       ("M3", false, false, "Not available|Commercially Not Available")))
   }
 
+  test("search_index view: has_relations is NULL for a model absent from model_information") {
+    // views.sql:847-851 computes has_relations with a correlated scalar
+    // subquery — a search_index row whose model is NOT in
+    // model_information gets NULL (no row), not false. The registry can
+    // never produce that row (search_index derives from model_entity),
+    // so pin it with an augmented search surface: re-register with one
+    // phantom row appended to search_index and assert the left join
+    // propagates the NULL while the real rows keep their booleans.
+    graft.api.PdcmApi.register(spark, out)
+    val si = spark.table("search_index")
+    val phantom = si.limit(1)
+      .withColumn("pdcm_model_id", org.apache.spark.sql.functions.lit(-999L)
+        .cast(si.schema("pdcm_model_id").dataType))
+      .withColumn("external_model_id", org.apache.spark.sql.functions.lit("PHANTOM"))
+    graft.api.PdcmApi.register(spark, out + ("search_index" -> si.union(phantom)))
+    val got = spark.sql(
+      """SELECT external_model_id, has_relations
+         FROM pdcm_api_search_index_vw ORDER BY external_model_id""")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) "null" else r.getBoolean(1).toString)).toSeq
+    assert(got == Seq(("M1", "true"), ("M2", "true"), ("M3", "false"),
+      ("PHANTOM", "null")), got)
+    // Restore the unaugmented views for any later test.
+    graft.api.PdcmApi.register(spark, out)
+  }
+
   test("round-3 views: model_metadata, extended data, overview aggregates") {
     graft.api.PdcmApi.register(spark, out)
     // model_metadata joins model + search_index + specimen display names.

@@ -984,4 +984,88 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(rollup == declared && declared.nonEmpty)
   }
+
+  test("streaming blocked pairs: shuffled arrival converges to the q355 histogram exactly") {
+    import graft.streaming.StreamingBlockedPairs
+    import graft.streaming.StreamingBlockedPairs.{CodeEv, PairDelta}
+    val evs = StreamingBlockedPairs
+      .fromCustomer(QueryDsl.tbl(spark, sfDir, "customer")).collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CodeEv]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[PairDelta]()
+    val q = StreamingBlockedPairs.deltas(mem.toDS(), maxWidth = 2000)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[PairDelta], _: Long) =>
+        df.collect().foreach(acc.add); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 5 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingBlockedPairs
+      .rollup(spark.createDataset(acc.asScala.toSeq).toDF())
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q355_hamming_blocked")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
+
+  test("streaming blocked pairs: crossing the cap retracts the block to net zero") {
+    import graft.streaming.StreamingBlockedPairs
+    import graft.streaming.StreamingBlockedPairs.{CodeEv, PairDelta}
+    // Hot block "h": 5 codes at cap 3 → batch keyedPairs drops it whole;
+    // the stream must emit +1s while small, then retract to exactly zero
+    // at the crossing. Cold block "c" (3 codes, one duplicated value)
+    // stays: duplicate occurrences pair with the distinct value once
+    // each, equal codes never pair — the batch strict-< contract.
+    val hot = Seq("aaaa", "aaab", "aabb", "abbb", "bbbb").map(CodeEv("h", _))
+    val cold = Seq("xxxx", "xxxx", "xxxy").map(CodeEv("c", _))
+    val evs = hot ++ cold
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CodeEv]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[PairDelta]()
+    val q = StreamingBlockedPairs.deltas(mem.toDS(), maxWidth = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[PairDelta], _: Long) =>
+        df.collect().foreach(acc.add); ()
+      }
+      .start()
+    // One event per trigger: the worst interleaving for retraction.
+    scala.util.Random.shuffle(evs).foreach { e =>
+      mem.addData(e); q.processAllAvailable()
+    }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val deltas = acc.asScala.toSeq
+    assert(deltas.filter(_.blk == "h").map(_.delta).sum == 0L,
+      "poisoned block must net to zero across every hamming bin")
+    assert(deltas.filter(_.blk == "h").groupBy(_.hamming)
+      .forall { case (_, ds) => ds.map(_.delta).sum == 0L })
+    val rollup = StreamingBlockedPairs
+      .rollup(spark.createDataset(deltas).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Batch truth over the same rows through the REAL capped operator.
+    import spark.implicits._
+    val items = evs.toDF("blk", "code")
+    val batch = graft.operators.Relational
+      .keyedPairs(items, "blk", "code", maxWidth = Some(3))
+      .withColumn("h", org.apache.spark.sql.functions.aggregate(
+        org.apache.spark.sql.functions.zip_with(
+          split($"code_a", ""), split($"code_b", ""),
+          (x, y) => org.apache.spark.sql.functions.when(x === y, 0).otherwise(1)),
+        org.apache.spark.sql.functions.lit(0), (a, v) => a + v))
+      .groupBy($"h".cast("long")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rollup == batch && batch.nonEmpty)
+    // The cold block's duplicate semantics, explicitly: xxxx pairs with
+    // xxxy twice (once per occurrence), xxxx/xxxx never pairs.
+    assert(rollup == Set((1L, 2L)))
+  }
 }
