@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{lit, monotonically_increasing_id, raise_error, when}
 
 /** Headline throughput harness: every registered query against
   * `SPARK_GRAFT_SF_DIR`, one compact JSON line at the end.
@@ -84,12 +85,28 @@ object Bench {
     // query throw, proving a failure surfaces as an err row + nonzero exit
     // (not a silent 0.06 s "timing", the round-5 failure mode).
     val failInject = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
+    // Second drill hook (r9 rotation): FAIL_INJECT throws EAGERLY, before
+    // any plan exists. The sneakier runtime break analyzes fine, produces
+    // rows, then throws MID-ITERATION (a corrupt late rowgroup, an
+    // expression that only trips on row N). LAZY_FAIL plants exactly
+    // that: the named query's plan gains a column that passes the first
+    // rows and raise_error()s after them, so the failure surfaces during
+    // the noop write — HarnessDrillSpec proves it lands in errs +
+    // nonzero rc, never a silent timing row.
+    val lazyFail = sys.env.get("SPARK_GRAFT_LAZY_FAIL")
     for (_ <- 1 to rounds; (name, fn) <- queries; if !errs.contains(name)) {
       val t0 = System.nanoTime()
       try {
         if (failInject.contains(name))
           throw new RuntimeException("injected failure (SPARK_GRAFT_FAIL_INJECT)")
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val df0 = fn(spark, sfDir)
+        val df = if (lazyFail.contains(name))
+          df0.withColumn("__drill",
+            when(monotonically_increasing_id() < 3, lit(1))
+              .otherwise(raise_error(lit(
+                "injected lazy failure (SPARK_GRAFT_LAZY_FAIL)"))))
+        else df0
+        df.write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         samples(name) = sec :: samples.getOrElse(name, Nil)
       } catch { case e: Throwable =>

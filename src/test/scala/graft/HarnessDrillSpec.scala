@@ -126,6 +126,53 @@ class HarnessDrillSpec extends SparkSpec {
       s"sabotaged oracle MUST go red:\n$outBad")
   }
 
+  test("BENCH sabotage: a lazily-throwing plan lands in errs + nonzero rc, never a silent total") {
+    // r9 rotation (r8 verdict item 7): rounds 6-8 sabotaged the harness's
+    // eager path, the data, and the oracle. This round attacks the BENCH
+    // channel with the sneakiest runtime shape: a plan that analyzes
+    // fine, produces its first rows, then throws MID-ITERATION (the
+    // round-5 failure mode was exactly such a query being recorded as a
+    // plausible 0.06 s timing). The drill runs the REAL graft.Bench main
+    // in a subprocess with SPARK_GRAFT_LAZY_FAIL planted on q03 and
+    // proves: nonzero exit, the failure named in `errs`, failed=1, and
+    // NO timing row for the sabotaged query — while the healthy q01
+    // still gets its timing.
+    import scala.sys.process._
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val addOpens = jvmArgs.zipWithIndex.collect {
+      case (a, i) if a == "--add-opens" => Seq(a, jvmArgs(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+    }.flatten
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq("java", "-Xmx4g") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.Bench")
+    val out = new StringBuilder
+    val rc = Process(cmd, new java.io.File("/root/repo"),
+      "SPARK_GRAFT_SF_DIR" -> sfDir,
+      "SPARK_GRAFT_ONLY" -> "q01,q03",
+      "SPARK_GRAFT_ROUNDS" -> "1",
+      "SPARK_GRAFT_CPUS" -> "4",
+      "SPARK_GRAFT_LAZY_FAIL" -> "q03_revenue_by_nation")
+      .!(ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
+    val line = out.toString.linesIterator
+      .filter(l => l.startsWith("{") && l.contains("\"metric\"")).toSeq.lastOption
+    assert(rc != 0, s"Bench must exit nonzero on a failed query; got rc=$rc\n$out")
+    assert(line.isDefined, s"Bench must still emit its JSON line:\n$out")
+    val json = line.get
+    assert(json.contains("\"failed\":1"), json)
+    assert(json.contains("injected lazy failure"), json)
+    // Spark renders raise_error as "[USER_RAISED_EXCEPTION] <msg>" — pin
+    // only that the err row is keyed to q03 and carries the message.
+    assert(json.contains("\"q03\":\"") || json.contains("\"q03_revenue_by_nation\":\""), json)
+    // The sabotaged query must NOT appear as a timing sample; q01 must.
+    val queriesPart = json.substring(json.indexOf("\"queries\""))
+    assert(!queriesPart.contains("q03"), s"no silent timing for the failure: $json")
+    assert(queriesPart.contains("q01"), s"healthy query keeps its timing: $json")
+  }
+
   test("value drift, one cell flipped: rows and schema stay green — ONLY the value hash catches it") {
     // r7 rotation addition (the sneakiest break mode): an upstream feed
     // silently corrupts one VALUE. The query runs, the schema matches,
