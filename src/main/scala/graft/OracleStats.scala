@@ -1956,5 +1956,180 @@ private[graft] object OracleStats {
                + sqrt(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))), 6)
              AS theil_u1
          FROM t""",
+
+    // ── Homogeneity / association tier (q359–q364, round 9) ────────────
+
+    "q359_bartlett" ->
+      """WITH g AS (SELECT o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m2
+           FROM orders GROUP BY 1),
+         per AS (SELECT grp, n,
+             (CAST(m2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v
+           FROM g),
+         f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             list_sum(list(CAST(n - 1 AS DOUBLE) * v ORDER BY grp)) AS sw,
+             list_sum(list(round(CAST(n - 1 AS DOUBLE) * ln(v), 6)
+               ORDER BY grp)) AS st,
+             list_sum(list(1.0 / CAST(n - 1 AS DOUBLE) ORDER BY grp)) AS sr
+           FROM per)
+         SELECT k, n_total,
+           round(1.0 + (sr - 1.0 / CAST(n_total - k AS DOUBLE))
+             / (3.0 * CAST(k - 1 AS DOUBLE)), 6) AS c_factor,
+           round((CAST(n_total - k AS DOUBLE)
+               * ln(sw / CAST(n_total - k AS DOUBLE)) - st)
+             / (1.0 + (sr - 1.0 / CAST(n_total - k AS DOUBLE))
+               / (3.0 * CAST(k - 1 AS DOUBLE))), 4) AS t_bartlett
+         FROM f""",
+
+    "q360_mood_median" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS v
+           FROM orders),
+         med AS (SELECT quantile_cont(v, 0.5) AS med FROM o),
+         cells AS (SELECT n_name,
+             CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(count(*) AS BIGINT) AS n_total
+           FROM o CROSS JOIN med
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_above) AS BIGINT) AS ga,
+             CAST(sum(n_total) AS BIGINT) AS gn FROM cells)
+         SELECT n_name AS nation, n_above, n_total,
+           round(CAST(n_total AS DOUBLE) * CAST(ga AS DOUBLE)
+             / CAST(gn AS DOUBLE), 4) AS exp_above,
+           round((CAST(n_above AS DOUBLE) - CAST(n_total AS DOUBLE)
+               * CAST(ga AS DOUBLE) / CAST(gn AS DOUBLE))
+             * (CAST(n_above AS DOUBLE) - CAST(n_total AS DOUBLE)
+               * CAST(ga AS DOUBLE) / CAST(gn AS DOUBLE))
+             / (CAST(n_total AS DOUBLE) * CAST(ga AS DOUBLE)
+               / CAST(gn AS DOUBLE))
+             + (CAST(n_total - n_above AS DOUBLE)
+               - (CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+                 * CAST(ga AS DOUBLE) / CAST(gn AS DOUBLE)))
+             * (CAST(n_total - n_above AS DOUBLE)
+               - (CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+                 * CAST(ga AS DOUBLE) / CAST(gn AS DOUBLE)))
+             / (CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)
+               * CAST(ga AS DOUBLE) / CAST(gn AS DOUBLE)), 4) AS chi2_part
+         FROM cells CROSS JOIN tot""",
+
+    "q361_cramers_v" ->
+      """WITH cells AS (SELECT c_nationkey AS nk, o_orderpriority AS prio,
+           CAST(count(*) AS BIGINT) AS n_obs
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         rm AS (SELECT nk, CAST(sum(n_obs) AS BIGINT) AS rt
+           FROM cells GROUP BY 1),
+         cm AS (SELECT prio, CAST(sum(n_obs) AS BIGINT) AS ct
+           FROM cells GROUP BY 1),
+         rc AS (SELECT CAST(count(DISTINCT nk) AS BIGINT) AS r,
+             CAST(count(DISTINCT prio) AS BIGINT) AS cc,
+             CAST(sum(n_obs) AS BIGINT) AS n FROM cells),
+         parts AS (SELECT nk, prio, r, cc, n,
+             round((CAST(n_obs AS DOUBLE) - CAST(rt AS DOUBLE)
+                 * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n_obs AS DOUBLE) - CAST(rt AS DOUBLE)
+                 * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                 / CAST(n AS DOUBLE)), 6) AS p2
+           FROM cells JOIN rm USING (nk) JOIN cm USING (prio) CROSS JOIN rc),
+         s AS (SELECT r, cc, n,
+             list_sum(list(p2 ORDER BY nk, prio)) AS chi2
+           FROM parts GROUP BY 1, 2, 3)
+         SELECT n, r AS r_levels, cc AS c_levels,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+             * CAST(least(r - 1, cc - 1) AS DOUBLE))), 6) AS cramers_v
+         FROM s""",
+
+    "q362_diversity_profile" ->
+      """WITH cnt AS (SELECT n_name, p_brand,
+           CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         tot AS (SELECT n_name, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM cnt GROUP BY 1),
+         terms AS (SELECT cnt.n_name, p_brand, tot,
+             round(-(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS hterm,
+             round((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+               * (CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS p2,
+             CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+           FROM cnt JOIN tot USING (n_name)),
+         f AS (SELECT n_name, tot,
+             CAST(count(*) AS BIGINT) AS s_brands,
+             list_sum(list(hterm ORDER BY p_brand)) AS h,
+             list_sum(list(p2 ORDER BY p_brand)) AS sp2,
+             max(p) AS bp
+           FROM terms GROUP BY 1, 2)
+         SELECT n_name AS nation, tot AS n_items, s_brands,
+           round(h, 4) AS shannon_h,
+           round(1.0 - sp2, 6) AS gini_simpson,
+           round(bp, 6) AS berger_parker,
+           round(h / ln(CAST(s_brands AS DOUBLE)), 6) AS pielou_j
+         FROM f""",
+
+    "q363_cronbach_alpha" ->
+      """WITH per AS (SELECT o_custkey AS ck,
+           CAST(sum(CASE WHEN quarter(o_orderdate) = 1
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS i1,
+           CAST(sum(CASE WHEN quarter(o_orderdate) = 2
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS i2,
+           CAST(sum(CASE WHEN quarter(o_orderdate) = 3
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS i3,
+           CAST(sum(CASE WHEN quarter(o_orderdate) = 4
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS i4
+           FROM orders GROUP BY 1),
+         sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(i1) AS s1, sum(i1 * i1) AS q1,
+             sum(i2) AS s2, sum(i2 * i2) AS q2,
+             sum(i3) AS s3, sum(i3 * i3) AS q3,
+             sum(i4) AS s4, sum(i4 * i4) AS q4,
+             sum(i1 + i2 + i3 + i4) AS st,
+             sum((i1 + i2 + i3 + i4) * (i1 + i2 + i3 + i4)) AS qt
+           FROM per)
+         SELECT n AS n_customers, CAST(4 AS BIGINT) AS k_items,
+           round((4.0 / 3.0) * (1.0 -
+             (((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+              + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+              + ((CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+              + ((CAST(q4 AS DOUBLE) - CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))
+             / ((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))), 6) AS alpha
+         FROM sums""",
+
+    "q364_hodges_lehmann" ->
+      """WITH grid AS (SELECT p_brand,
+           quantile_cont(CAST(p_retailprice AS DOUBLE),
+             [0.05, 0.15000000000000002, 0.25, 0.35000000000000003,
+              0.45, 0.55, 0.6500000000000001, 0.75,
+              0.8500000000000001, 0.9500000000000001]) AS g,
+           CAST(count(*) AS BIGINT) AS n
+           FROM part GROUP BY 1),
+         idx AS (SELECT unnest(range(0, 10)) AS i),
+         w AS (SELECT p_brand, n,
+             (g[a.i + 1] + g[b.i + 1]) / 2 AS w
+           FROM grid, idx a, idx b WHERE a.i <= b.i)
+         SELECT p_brand AS brand, n AS n_parts,
+           round(quantile_cont(w, 0.5), 6) AS hl_estimate
+         FROM w GROUP BY 1, 2""",
   )
 }

@@ -1525,5 +1525,67 @@ private[graft] object OracleWarehouse {
          SELECT abc, xyz, n_brands,
            round(CAST(crev AS DOUBLE) / CAST(gt AS DOUBLE), 6) AS rev_share
          FROM agg CROSS JOIN tot""",
+
+    // ── Finance-series tier (q365–q367, round 9): shared daily grid ────
+
+    "q365_max_drawdown" ->
+      s"""WITH daily AS ($dailyRevenueSql)
+         , w AS (SELECT nation, d,
+             sum(c) OVER (PARTITION BY nation ORDER BY d) AS cum
+           FROM daily),
+         p AS (SELECT nation,
+             cum - max(cum) OVER (PARTITION BY nation ORDER BY d) AS dd
+           FROM w)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(min(dd) AS BIGINT) AS max_drawdown_cents
+         FROM p GROUP BY 1""",
+
+    "q366_bollinger" ->
+      s"""WITH daily AS ($dailyRevenueSql)
+         , w AS (SELECT nation, c,
+             count(*) OVER fr AS nw,
+             CAST(sum(c) OVER fr AS DOUBLE) / 7.0 AS mean,
+             sqrt((CAST(sum(c * c) OVER fr AS DOUBLE)
+               - CAST(sum(c) OVER fr AS DOUBLE)
+                 * CAST(sum(c) OVER fr AS DOUBLE) / 7.0) / 6.0) AS sd
+           FROM daily
+           WINDOW fr AS (PARTITION BY nation ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN CAST(c AS DOUBLE) > mean + 2.0 * sd
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_up,
+           CAST(sum(CASE WHEN CAST(c AS DOUBLE) < mean - 2.0 * sd
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_breakout_down
+         FROM w WHERE nw = 7 GROUP BY 1""",
+
+    "q367_hist_var" ->
+      s"""WITH daily AS ($dailyRevenueSql)
+         , deltas AS (SELECT nation,
+             c - lag(c, 1) OVER (PARTITION BY nation ORDER BY d) AS delta
+           FROM daily),
+         d2 AS (SELECT nation, delta FROM deltas WHERE delta IS NOT NULL),
+         v AS (SELECT nation,
+             quantile_cont(CAST(delta AS DOUBLE), 0.05) AS var5,
+             CAST(count(*) AS BIGINT) AS n_days
+           FROM d2 GROUP BY 1)
+         SELECT nation, n_days, round(var5, 4) AS var_5pct,
+           CAST(count(*) AS BIGINT) AS n_tail,
+           round(CAST(sum(delta) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS cvar_5pct
+         FROM d2 JOIN v USING (nation)
+         WHERE CAST(delta AS DOUBLE) <= var5
+         GROUP BY 1, 2, 3""",
   )
+
+  /** The q365–q367 shared grid: daily order revenue in exact cents per
+    * (nation, day) — textual mirror of QueriesWarehouse.dailyRevenue.
+    */
+  private val dailyRevenueSql: String =
+    """SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS d,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         AS BIGINT) AS c
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY 1, 2"""
 }

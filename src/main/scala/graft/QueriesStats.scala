@@ -2424,5 +2424,213 @@ private[graft] object QueriesStats {
             / (col("na") + col("nb") - col("n_both")).cast("double"), 6)
             .as("exact_jaccard"))
     }),
+
+    // ── Homogeneity / association tier (q359–q364, round 9) ────────────
+
+    "q359_bartlett" -> ((s, dir) => {
+      // Bartlett's test of variance homogeneity of order value across
+      // the five order priorities. The corpus collapses to k=5 group
+      // triples (n, Σx, Σx²) in ONE map-combinable pass — x in exact
+      // cents, the squares summed as DECIMAL(38,0) (a per-element c² of
+      // ~2.5e15 fits BIGINT; the SUM does not) — so every variance is a
+      // double derived from exact integers and the ln terms (rounded to
+      // 6 dp, folded in group order — the q194/q229 float contract)
+      // agree across engines bit-for-bit.
+      val cents = (col("o_totalprice").cast(dec) * 100).cast("long")
+      val g = tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), cents.as("c"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("s"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("m2"))
+      val v = ((col("m2").cast("double")
+        - col("s").cast("double") * col("s").cast("double")
+          / col("n").cast("double"))
+        / (col("n") - 1).cast("double"))
+      val per = g.select(col("grp"), col("n"), v.as("v"))
+      def fold(w: Column) =
+        aggregate(array_sort(collect_list(struct(col("grp"), w.as("w")))),
+          lit(0.0), (acc, e) => acc + e.getField("w"))
+      per.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+          fold((col("n") - 1).cast("double") * col("v")).as("sw"),
+          fold(round((col("n") - 1).cast("double") * log(col("v")), 6)).as("st"),
+          fold(lit(1.0) / (col("n") - 1).cast("double")).as("sr"))
+        .select(col("k"), col("n_total"),
+          round(lit(1.0) + (col("sr") - lit(1.0)
+            / (col("n_total") - col("k")).cast("double"))
+            / (lit(3.0) * (col("k") - 1).cast("double")), 6).as("c_factor"),
+          round(((col("n_total") - col("k")).cast("double")
+              * log(col("sw") / (col("n_total") - col("k")).cast("double"))
+              - col("st"))
+            / (lit(1.0) + (col("sr") - lit(1.0)
+              / (col("n_total") - col("k")).cast("double"))
+              / (lit(3.0) * (col("k") - 1).cast("double"))), 4).as("t_bartlett"))
+    }),
+
+    "q360_mood_median" -> ((s, dir) => {
+      // Mood's median test of order value across nations: ONE exact
+      // interpolated grand median (both engines share the (n−1)·p linear
+      // interpolation), then per-nation above/≤ counts and the 2×k χ²
+      // contributions — all integer counts, the expected counts one
+      // fixed double expression over them.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice").cast("double").as("v"))
+      val med = o.agg(expr("percentile(v, 0.5)").as("med"))
+      val c = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val cells = o.crossJoin(broadcast(med))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("n_above"),
+          count(lit(1)).as("n_total"))
+        .localCheckpoint()
+      val tot = cells.agg(sum(col("n_above")).as("ga"), sum(col("n_total")).as("gn"))
+      val e = col("n_total").cast("double") * col("ga").cast("double") /
+        col("gn").cast("double")
+      cells.crossJoin(broadcast(tot))
+        .select(col("n_name").as("nation"), col("n_above"), col("n_total"),
+          round(e, 4).as("exp_above"),
+          round((col("n_above").cast("double") - e) * (col("n_above").cast("double") - e) / e
+            + ((col("n_total") - col("n_above")).cast("double")
+              - (col("n_total").cast("double") - e))
+              * ((col("n_total") - col("n_above")).cast("double")
+                - (col("n_total").cast("double") - e))
+              / (col("n_total").cast("double") - e), 4).as("chi2_part"))
+    }),
+
+    "q361_cramers_v" -> ((s, dir) => {
+      // Cramér's V of the nation × order-priority contingency: the χ²
+      // machinery of q228 reduced to ONE row — cell counts map-combine,
+      // the 125 χ² parts fold in (nation, priority) order, and V is one
+      // sqrt of exact-integer-derived doubles.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority").as("prio"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val cells = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("prio"))
+        .agg(count(lit(1)).as("n_obs"))
+        .localCheckpoint()
+      val rm = cells.groupBy(col("nk")).agg(sum(col("n_obs")).as("rt"))
+      val cm = cells.groupBy(col("prio")).agg(sum(col("n_obs")).as("ct"))
+      val rc = cells.agg(countDistinct(col("nk")).as("r"),
+        countDistinct(col("prio")).as("cc"), sum(col("n_obs")).as("n"))
+      val e = col("rt").cast("double") * col("ct").cast("double") /
+        col("n").cast("double")
+      val part = (col("n_obs").cast("double") - e) *
+        (col("n_obs").cast("double") - e) / e
+      cells.join(broadcast(rm), Seq("nk"))
+        .join(broadcast(cm), Seq("prio"))
+        .crossJoin(broadcast(rc))
+        .select(col("nk"), col("prio"), col("r"), col("cc"), col("n"),
+          round(part, 6).as("p2"))
+        .groupBy(col("r"), col("cc"), col("n"))
+        .agg(aggregate(array_sort(collect_list(struct(col("nk"), col("prio"),
+          col("p2")))), lit(0.0), (acc, x) => acc + x.getField("p2")).as("chi2"))
+        .select(col("n"), col("r").as("r_levels"), col("cc").as("c_levels"),
+          round(col("chi2"), 4).as("chi2"),
+          round(sqrt(col("chi2") / (col("n").cast("double")
+            * least(col("r") - 1, col("cc") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+
+    "q362_diversity_profile" -> ((s, dir) => {
+      // Ecology diversity panel per nation over purchased part brands:
+      // Shannon H (6-dp terms folded in brand order), Gini–Simpson
+      // 1−Σp², Berger–Parker max p, Pielou evenness H/ln S. The corpus
+      // collapses to (nation, brand) counts — ≤ 25·25 cells at any
+      // scale — before any float appears.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cnt = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tot = cnt.groupBy(col("n_name")).agg(sum(col("cnt")).as("tot"))
+      val pr = col("cnt").cast("double") / col("tot").cast("double")
+      cnt.join(tot, Seq("n_name"))
+        .select(col("n_name"), col("p_brand"), col("tot"),
+          round(-(pr * log(pr)), 6).as("hterm"),
+          round(pr * pr, 6).as("p2"), pr.as("p"))
+        .groupBy(col("n_name"), col("tot"))
+        .agg(count(lit(1)).as("s_brands"),
+          aggregate(array_sort(collect_list(struct(col("p_brand"), col("hterm")))),
+            lit(0.0), (a, e) => a + e.getField("hterm")).as("h"),
+          aggregate(array_sort(collect_list(struct(col("p_brand"), col("p2")))),
+            lit(0.0), (a, e) => a + e.getField("p2")).as("sp2"),
+          max(col("p")).as("bp"))
+        .select(col("n_name").as("nation"), col("tot").as("n_items"),
+          col("s_brands"), round(col("h"), 4).as("shannon_h"),
+          round(lit(1.0) - col("sp2"), 6).as("gini_simpson"),
+          round(col("bp"), 6).as("berger_parker"),
+          round(col("h") / log(col("s_brands").cast("double")), 6).as("pielou_j"))
+    }),
+
+    "q363_cronbach_alpha" -> ((s, dir) => {
+      // Cronbach's α of the four quarterly spend "items" per customer:
+      // internal-consistency reliability as pure sums — per-customer
+      // quarter cents (exact, missing quarters 0), item and total-score
+      // variances from (n, Σx, Σx²) in DECIMAL(38,0), α one fixed double
+      // expression. Customers-with-orders is the declared universe.
+      val cents = (col("o_totalprice").cast(dec) * 100).cast("long")
+      val per = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), quarter(col("o_orderdate")).as("q"),
+          cents.as("c"))
+        .groupBy(col("ck"))
+        .agg(sum(when(col("q") === 1, col("c")).otherwise(0L)).as("i1"),
+          (2 to 4).map(i =>
+            sum(when(col("q") === i, col("c")).otherwise(0L)).as(s"i$i")): _*)
+      val t = col("i1") + col("i2") + col("i3") + col("i4")
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      val sums = per.agg(
+        count(lit(1)).as("n"),
+        sum(d38(col("i1"))).as("s1"), sum(d38(col("i1") * col("i1"))).as("q1"),
+        sum(d38(col("i2"))).as("s2"), sum(d38(col("i2") * col("i2"))).as("q2"),
+        sum(d38(col("i3"))).as("s3"), sum(d38(col("i3") * col("i3"))).as("q3"),
+        sum(d38(col("i4"))).as("s4"), sum(d38(col("i4") * col("i4"))).as("q4"),
+        sum(d38(t)).as("st"), sum(d38(t * t)).as("qt"))
+      def v(sq: Column, sm: Column) = (sq.cast("double")
+        - sm.cast("double") * sm.cast("double") / col("n").cast("double")) /
+        (col("n") - 1).cast("double")
+      val sumVi = v(col("q1"), col("s1")) + v(col("q2"), col("s2")) +
+        v(col("q3"), col("s3")) + v(col("q4"), col("s4"))
+      sums.select(col("n").as("n_customers"), lit(4L).as("k_items"),
+        round((lit(4.0) / lit(3.0))
+          * (lit(1.0) - sumVi / v(col("qt"), col("st"))), 6).as("alpha"))
+    }),
+
+    "q364_hodges_lehmann" -> ((s, dir) => {
+      // Hodges–Lehmann location estimator per brand on the DECILE GRID:
+      // the exact HL (median of all Walsh averages) is quadratic in
+      // group size, so the operator computes it over the ten
+      // interpolated deciles — 55 Walsh averages per brand at ANY
+      // corpus size, the grid discipline of q347/q350 — and both
+      // engines share the interpolation, so the grid HL is exactly
+      // reproducible (and a consistent estimator of the exact one).
+      val qs = (0 to 9).map(i => 0.05 + 0.1 * i)
+      val grid = tbl(s, dir, "part")
+        .select(col("p_brand"), col("p_retailprice").cast("double").as("x"))
+        .groupBy(col("p_brand"))
+        .agg(expr(s"percentile(x, array(${qs.mkString(",")}))").as("g"),
+          count(lit(1)).as("n"))
+      val a = grid.select(col("p_brand"), col("n"),
+        posexplode(col("g")).as(Seq("i", "va")))
+      val b = grid.select(col("p_brand"), posexplode(col("g")).as(Seq("j", "vb")))
+      a.join(b, Seq("p_brand")).filter(col("i") <= col("j"))
+        .select(col("p_brand"), col("n"),
+          ((col("va") + col("vb")) / 2).as("w"))
+        .groupBy(col("p_brand"), col("n"))
+        .agg(expr("percentile(w, 0.5)").as("hl"))
+        .select(col("p_brand").as("brand"), col("n").as("n_parts"),
+          round(col("hl"), 6).as("hl_estimate"))
+    }),
   )
 }

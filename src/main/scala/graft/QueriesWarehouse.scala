@@ -2426,5 +2426,98 @@ private[graft] object QueriesWarehouse {
         .select(col("abc"), col("xyz"), col("n_brands"),
           round(d("crev") / d("gt"), 6).as("rev_share"))
     }),
+
+    // ── Finance-series tier (q365–q367, round 9) ────────────────────────
+    // All three ride the same calendar-bounded base: daily order revenue
+    // in exact cents per (nation, day). The corpus collapses to that
+    // grid in ONE map-combinable pass (≤ 25 nations × the calendar at
+    // any scale), and every window below is PARTITIONED BY nation over
+    // grid rows — never corpus rows, never a single global partition.
+
+    "q365_max_drawdown" -> ((s, dir) => {
+      // Maximum drawdown of each nation's cumulative revenue series —
+      // the classic running-peak scan, all in exact BIGINT cents: the
+      // cumulative sum and its running max are windows over the
+      // calendar-bounded daily grid, the drawdown the integer min of
+      // (cum − peak). No float appears anywhere.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      daily
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"),
+          min(col("cum") - col("peak")).as("max_drawdown_cents"))
+    }),
+
+    "q366_bollinger" -> ((s, dir) => {
+      // Bollinger-band breakout counter per nation: 7-day rolling mean
+      // and sample σ over the daily grid (exact integer Σx/Σx² inside
+      // the frame → one fixed double sequence), a breakout when the day
+      // closes beyond mean ± 2σ. Only full 7-day frames count — the
+      // warm-up rows are excluded on both engines.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+        .rowsBetween(-6, 0)
+      val nW = count(lit(1)).over(w)
+      val mean = sum(col("c")).over(w).cast("double") / lit(7.0)
+      // The square is cast BEFORE multiplying: daily revenue grows with
+      // the corpus, so c² would overflow BIGINT per element at scale.
+      val sd = sqrt((sum(col("c").cast("decimal(19,0)") *
+          col("c").cast("decimal(19,0)")).over(w)
+        .cast("double") - sum(col("c")).over(w).cast("double") *
+          sum(col("c")).over(w).cast("double") / lit(7.0)) / lit(6.0))
+      daily
+        .withColumn("nw", nW)
+        .withColumn("up", col("c").cast("double") > mean + lit(2.0) * sd)
+        .withColumn("dn", col("c").cast("double") < mean - lit(2.0) * sd)
+        .filter(col("nw") === 7)
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("up"), 1L).otherwise(0L)).as("n_breakout_up"),
+          sum(when(col("dn"), 1L).otherwise(0L)).as("n_breakout_down"))
+    }),
+
+    "q367_hist_var" -> ((s, dir) => {
+      // Historical VaR/CVaR of daily revenue CHANGES per nation: deltas
+      // are exact integer cents (lag over the grid), VaR the 5%
+      // interpolated quantile both engines share, CVaR one double
+      // division of the exact tail sum. The tail membership compare
+      // (delta ≤ VaR) sees an exact integer against a double both
+      // engines computed identically.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val deltas = daily
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("nation"), (col("c") - col("prev")).as("delta"))
+      val v = deltas.groupBy(col("nation"))
+        .agg(expr("percentile(CAST(delta AS DOUBLE), 0.05)").as("var5"),
+          count(lit(1)).as("n_days"))
+      deltas.join(v, Seq("nation"))
+        .filter(col("delta").cast("double") <= col("var5"))
+        .groupBy(col("nation"), col("n_days"), col("var5"))
+        .agg(count(lit(1)).as("n_tail"),
+          sum(col("delta")).as("tail_sum"))
+        .select(col("nation"), col("n_days"), round(col("var5"), 4).as("var_5pct"),
+          col("n_tail"),
+          round(col("tail_sum").cast("double") / col("n_tail").cast("double"), 4)
+            .as("cvar_5pct"))
+    }),
   )
+
+  /** Daily order revenue in exact cents per (nation, day) — the shared
+    * calendar-bounded grid of the finance tier (q365–q367).
+    */
+  private def dailyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders").select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("d"),
+      (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+    val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("d"))
+      .agg(sum(col("cents")).as("c"))
+  }
 }
