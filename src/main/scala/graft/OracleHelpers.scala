@@ -82,6 +82,48 @@ private[graft] object OracleHelpers {
          SELECT node AS s_suppkey, round(pr, 8) AS pagerank FROM r$iters"""
   }
 
+  /** Personalized-PageRank mirror of [[pageRankSql]]: the teleport mass
+    * lands on the seed set (s_suppkey ≤ 5, indicator inlined on the
+    * node frame), ranks start from the seed distribution, and each of
+    * the unrolled MATERIALIZED iterations computes
+    * (1−d)·s(v) + d·Σ contrib — the exact double sequence
+    * PageRank.runPersonalized produces.
+    */
+  def pprSql(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val one = "CAST(1.0 AS DOUBLE)"
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+           SELECT n.node, ($one - $d) * n.s
+               + $d * coalesce(c.c, CAST(0.0 AS DOUBLE)) AS pr
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(r.pr * e.w) AS c
+             FROM ew e JOIN r${k - 1} r ON e.src = r.node
+             GROUP BY e.dst) c USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey, l_suppkey FROM lineitem),
+         edges AS MATERIALIZED (
+           SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey <> b.l_suppkey),
+         deg AS MATERIALIZED (
+           SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         ew AS MATERIALIZED (
+           SELECT e.src, e.dst, $one / CAST(d.deg AS DOUBLE) AS w
+           FROM edges e JOIN deg d USING (src)),
+         ns AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS k FROM supplier
+           WHERE s_suppkey <= 5),
+         nodes AS MATERIALIZED (
+           SELECT DISTINCT s_suppkey AS node,
+             CASE WHEN s_suppkey <= 5 THEN $one / (SELECT k FROM ns)
+               ELSE CAST(0.0 AS DOUBLE) END AS s
+           FROM supplier),
+         r0 AS MATERIALIZED (SELECT node, s AS pr FROM nodes),
+         $steps
+         SELECT node AS s_suppkey, round(pr, 8) AS ppr FROM r$iters"""
+  }
+
   /** Unrolled bounded-hop Bellman–Ford over the weighted (1/shared-
     * orders) co-purchase graph — same MATERIALIZED/unroll discipline as
     * [[pageRankSql]]; all relaxations replay the engine's doubles

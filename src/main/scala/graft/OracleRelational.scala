@@ -431,5 +431,24 @@ private[graft] object OracleRelational {
          FROM vocab a JOIN vocab b
            ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
          WHERE levenshtein(a.w, b.w) <= 2""",
+
+    "q370_qgram_profile_join" ->
+      """WITH vocab AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+           FROM part),
+         v2 AS (SELECT w FROM vocab WHERE length(w) > 1),
+         grams AS (SELECT w, substr(w, CAST(i AS INT), 2) AS g,
+             CAST(count(*) AS BIGINT) AS c
+           FROM v2 CROSS JOIN (SELECT unnest(range(1, 64)) AS i)
+           WHERE i <= length(w) - 1
+           GROUP BY 1, 2),
+         shared AS (SELECT a.w AS w1, b.w AS w2,
+             CAST(sum(least(a.c, b.c)) AS BIGINT) AS shared
+           FROM grams a JOIN grams b ON a.g = b.g AND a.w < b.w
+           GROUP BY 1, 2)
+         SELECT w1, w2,
+           CAST(length(w1) - 1 + length(w2) - 1 - 2 * shared AS BIGINT)
+             AS l1_dist
+         FROM shared
+         WHERE length(w1) - 1 + length(w2) - 1 - 2 * shared <= 4""",
   )
 }

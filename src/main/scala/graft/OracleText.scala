@@ -1056,5 +1056,42 @@ private[graft] object OracleText {
          FROM est e JOIN px x ON e.sa = x.sa AND e.sb = x.sb
          JOIN sizes na ON e.sa = na.source
          JOIN sizes nb ON e.sb = nb.source""",
+
+    "q368_anagram_groups" ->
+      """WITH codes AS (SELECT DISTINCT
+           substr(md5('ph_' || CAST(c_custkey AS VARCHAR)), 1, 8) AS w
+           FROM customer),
+         k AS (SELECT array_to_string(list_sort(string_split(w, '')), '') AS sig,
+             w FROM codes)
+         SELECT sig, CAST(count(*) AS BIGINT) AS n_words,
+           array_to_string(list_sort(list(DISTINCT w)), '|') AS words
+         FROM k GROUP BY 1 HAVING count(*) >= 2""",
+
+    "q369_sparse_cosine_join" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50),
+         w AS (SELECT doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE)
+               * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+           FROM tf JOIN dft USING (term) CROSS JOIN nd),
+         norms AS (SELECT doc_id,
+             sqrt(list_sum(list(round(w * w, 9) ORDER BY term))) AS norm
+           FROM w GROUP BY 1),
+         dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             list_sum(list(round(a.w * b.w, 9) ORDER BY a.term)) AS dot
+           FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         c AS (SELECT doc_a, doc_b,
+             round(dot / (na.norm * nb.norm), 6) AS cosine
+           FROM dots
+           JOIN norms na ON na.doc_id = doc_a
+           JOIN norms nb ON nb.doc_id = doc_b)
+         SELECT doc_a, doc_b, cosine FROM c WHERE cosine >= 0.3""",
   )
 }

@@ -676,5 +676,27 @@ private[graft] object OracleVector {
            round(list_sum(list(round(sil, 9) ORDER BY vec_id))
              / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
          FROM sil GROUP BY 1""",
+
+    "q371_edge_truss_support" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         edges AS MATERIALIZED (
+           SELECT a.l_suppkey AS sa, b.l_suppkey AS sb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         sym AS (SELECT sa AS id, sb AS nb FROM edges
+                 UNION ALL SELECT sb, sa FROM edges),
+         sup AS (SELECT e.sa, e.sb, CAST(count(*) AS BIGINT) AS support
+           FROM edges e
+           JOIN sym x ON x.id = e.sa
+           JOIN sym y ON y.id = e.sb AND y.nb = x.nb
+           GROUP BY 1, 2)
+         SELECT e.sa, e.sb,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+           coalesce(s.support, 0) >= 2 AS in_4truss
+         FROM edges e LEFT JOIN sup s ON e.sa = s.sa AND e.sb = s.sb""",
+
+    "q372_ppr_seeded" -> OracleHelpers.pprSql(iters = 10),
   )
 }

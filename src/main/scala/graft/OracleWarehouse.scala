@@ -1575,6 +1575,45 @@ private[graft] object OracleWarehouse {
          FROM d2 JOIN v USING (nation)
          WHERE CAST(delta AS DOUBLE) <= var5
          GROUP BY 1, 2, 3""",
+  ) ++ roundNineSql
+
+  /** q373/q374 oracles (appended to [[map]] via [[roundNineSql]]). */
+  private val roundNineSql: Map[String, String] = Map(
+
+    "q373_interval_coalesce" ->
+      """WITH iv AS (SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS st,
+           CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS en
+           FROM lineitem),
+         m AS (SELECT supp, st, en,
+             max(en) OVER (PARTITION BY supp ORDER BY st, en
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM iv),
+         isl AS (SELECT supp, st, en,
+             sum(CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY supp ORDER BY st, en
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM m),
+         g AS (SELECT supp, island, CAST(count(*) AS BIGINT) AS n_iv,
+             date_diff('day', min(st), max(en)) + 1 AS days
+           FROM isl GROUP BY 1, 2)
+         SELECT supp, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(days) AS BIGINT) AS covered_days
+         FROM g GROUP BY 1""",
+
+    "q374_brand_trigrams" ->
+      """WITH ev AS (SELECT o_custkey AS ck, o_orderdate AS d,
+           l_orderkey AS ok, l_linenumber AS ln, p_brand AS b1
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey),
+         t AS (SELECT ck, b1,
+             lead(b1, 1) OVER w AS b2, lead(b1, 2) OVER w AS b3
+           FROM ev WINDOW w AS (PARTITION BY ck ORDER BY d, ok, ln, b1))
+         SELECT b1, b2, b3, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT ck) AS BIGINT) AS n_customers
+         FROM t WHERE b3 IS NOT NULL
+         GROUP BY 1, 2, 3 HAVING count(*) >= 3""",
   )
 
   /** The q365–q367 shared grid: daily order revenue in exact cents per

@@ -734,6 +734,35 @@ private[graft] object QueriesRelational {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    "q370_qgram_profile_join" -> ((s, dir) => {
+      // Bigram-profile L1 distance join over the part-name vocabulary —
+      // the q-gram screen that UPPER-BOUNDS edit operations (each edit
+      // touches ≤ 2 bigrams, so L1 ≤ 4 admits every DL ≤ 2 pair)
+      // without any per-pair DP: candidate pairs meet through SHARED
+      // bigrams (inverted-index join, vocab-bounded like q353), and
+      // L1 = |A| + |B| − 2·Σ_g min(cA(g), cB(g)) needs only the shared
+      // grams — pure integer arithmetic end to end.
+      val vocab = tbl(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("w"))
+        .filter(length(col("w")) > 1).distinct()
+        .localCheckpoint()
+      val grams = vocab
+        .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w"), expr("substring(w, i, 2)").as("g"))
+        .groupBy(col("w"), col("g")).agg(count(lit(1)).as("c"))
+      val a = grams.select(col("g"), col("w").as("w1"), col("c").as("ca"))
+      val b = grams.select(col("g"), col("w").as("w2"), col("c").as("cb"))
+      val shared = a.join(b, Seq("g"))
+        .filter(col("w1") < col("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(least(col("ca"), col("cb"))).as("shared"))
+      shared
+        .select(col("w1"), col("w2"),
+          (length(col("w1")) - 1 + length(col("w2")) - 1 -
+            lit(2) * col("shared")).cast("long").as("l1_dist"))
+        .filter(col("l1_dist") <= 4)
+    }),
+
     "q327_lev_join" -> ((s, dir) => {
       // Levenshtein fuzzy self-join over the part-name color vocabulary:
       // exact-dup collapse to the VOCABULARY first (the q207 discipline),

@@ -2010,5 +2010,72 @@ private[graft] object QueriesText {
           round(dd("tc") / dd("tt"), 6).as("chars_per_token"),
           round(dd("tt") / dd("n_docs"), 6).as("tokens_per_doc"))
     }),
+
+    "q368_anagram_groups" -> ((s, dir) => {
+      // Anagram-class collapse: the key is the string's SORTED character
+      // multiset — the canonical-form trick every fuzzy-join tier here
+      // uses (md5 class, simhash band, LSH bucket) in its purest form:
+      // one groupBy on a derived key, NO pair join at all. Runs over
+      // q355's fixed-width customer codes (the synthetic vocabularies
+      // carry no natural-language anagrams, while 8-hex codes collide as
+      // character multisets by the pigeonhole, so the operator's
+      // grouping is actually exercised). Integer counts and
+      // lexicographic renders only.
+      val codes = tbl(s, dir, "customer")
+        .select(substring(md5(concat(lit("ph_"),
+          col("c_custkey").cast("string"))), 1, 8).as("w"))
+        .distinct()
+      codes
+        .select(array_join(array_sort(split(col("w"), "")), "").as("sig"),
+          col("w"))
+        .groupBy(col("sig"))
+        .agg(count(lit(1)).as("n_words"),
+          array_join(array_sort(collect_set(col("w"))), "|").as("words"))
+        .filter(col("n_words") >= 2)
+    }),
+
+    "q369_sparse_cosine_join" -> ((s, dir) => {
+      // Sparse tf-idf cosine similarity join via the inverted index —
+      // the document-analog of the supplier co-purchase join: doc pairs
+      // meet ONLY through shared RARE terms (2 ≤ df ≤ 50, the DAAT
+      // blocking contract: a term seen everywhere carries no pair
+      // signal and would drive the per-term pair fanout quadratic), so
+      // the shuffle is Σ df² over rare terms, never docs². Cosine is
+      // over the rare-term projection; every per-pair dot and per-doc
+      // norm folds its term partials in term order on the 9-dp grid
+      // (the q123 float contract).
+      val docs = tbl(s, dir, "documents")
+      val tf = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 50)
+      val w = tf.join(dfT, Seq("term")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") *
+            log(col("nd").cast("double") / col("df").cast("double"))).as("w"))
+        .localCheckpoint()
+      val norms = w.select(col("doc_id"), col("term"),
+          round(col("w") * col("w"), 9).as("w2"))
+        .groupBy(col("doc_id"))
+        .agg(sqrt(aggregate(array_sort(collect_list(struct(col("term"), col("w2")))),
+          lit(0.0), (a, e) => a + e.getField("w2"))).as("norm"))
+      val a = w.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      val b = w.select(col("term"), col("doc_id").as("doc_b"), col("w").as("wb"))
+      val dots = a.join(b, Seq("term"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("term"),
+          round(col("wa") * col("wb"), 9).as("p"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("p")))),
+          lit(0.0), (acc, e) => acc + e.getField("p")).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("na")), Seq("doc_a"))
+        .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+    }),
   )
 }

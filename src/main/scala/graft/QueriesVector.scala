@@ -1190,5 +1190,46 @@ private[graft] object QueriesVector {
           round(col("ssum") / col("n_vecs").cast("double"), 6)
             .as("mean_silhouette"))
     }),
+
+    "q371_edge_truss_support" -> ((s, dir) => {
+      // Per-edge triangle support over q171's thresholded co-purchase
+      // graph — the k-truss building block (an edge survives the
+      // 4-truss iff support ≥ 2). Same degree-ordered O(m^1.5) wedge
+      // join as the per-node counter ([[graph.Triangles]]); the output
+      // adds the support integer and the 4-truss verdict per edge.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_suppkey").as("sa"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("sb"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 5)
+        .select(col("sa"), col("sb"))
+      graph.Triangles.perEdgeSupport(edges, "sa", "sb")
+        .select(col("a").as("sa"), col("b").as("sb"), col("support"),
+          (col("support") >= 2).as("in_4truss"))
+    }),
+
+    "q372_ppr_seeded" -> ((s, dir) => {
+      // Personalized PageRank from a 5-supplier seed set over the q163
+      // co-purchase graph: the teleport lands on the seeds, so rank mass
+      // measures proximity TO the seeds — the similar-item expansion a
+      // recommender or a data-curation "find more like these" pass runs.
+      // Same per-iteration shape as q163 (edge-scan join + map-combined
+      // sum, node-sized pinned state); the oracle unrolls the identical
+      // 10 damped iterations with the seed indicator inlined.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val a = li.select(col("l_orderkey"), col("l_suppkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_suppkey").as("dst"))
+      val edges = a.join(b, Seq("l_orderkey"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val nodes = tbl(s, dir, "supplier").select(col("s_suppkey"))
+      val seeds = nodes.filter(col("s_suppkey") <= 5)
+      graph.PageRank.runPersonalized(edges, "src", "dst", nodes, "s_suppkey",
+          seeds, "s_suppkey", damping = 0.85, iters = 10)
+        .select(col("node").as("s_suppkey"), round(col("rank"), 8).as("ppr"))
+    }),
   )
 }

@@ -15,7 +15,10 @@ import QueryDsl._
   * oracle-checked — is unchanged and pinned by RegistrySpec.
   */
 private[graft] object QueriesWarehouse {
-  def map: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def map: Map[String, (SparkSession, String) => DataFrame] =
+    baseMap ++ roundNine
+
+  private def baseMap: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_bloom_pruned_join" -> ((s, dir) => {
       // Runtime-filter pattern as an explicit operator: a distributed
       // bloom of the dim keys (one OR-merged bitset row), broadcast and
@@ -2503,6 +2506,76 @@ private[graft] object QueriesWarehouse {
           col("n_tail"),
           round(col("tail_sum").cast("double") / col("n_tail").cast("double"), 4)
             .as("cvar_5pct"))
+    }),
+  )
+
+  /** q373/q374 live here (the relational-mechanics corner of the
+    * warehouse tier): interval coalescing and sequential pattern
+    * trigrams, both per-key windows over key-partitioned event rows —
+    * the q42-sessionize class, never a global window.
+    */
+  private val roundNine: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q373_interval_coalesce" -> ((s, dir) => {
+      // Gaps-and-islands interval coalescing per supplier: each lineitem
+      // occupies [shipdate, shipdate + quantity days]; overlapping or
+      // touching intervals merge into islands (a new island starts when
+      // the ship date passes the running max of previous interval ends —
+      // the classic scan, deterministic under ties because an
+      // equal-start row can never out-run its predecessor's end). All
+      // date arithmetic is exact integer days.
+      val iv = tbl(s, dir, "lineitem")
+        .select(col("l_suppkey").as("supp"),
+          to_date(col("l_shipdate")).as("st"),
+          date_add(to_date(col("l_shipdate")),
+            col("l_quantity").cast("int")).as("en"))
+      val w = Window.partitionBy(col("supp")).orderBy(col("st"), col("en"))
+      val prevMax = max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val isl = iv
+        .withColumn("new_isl",
+          when(prevMax.isNull || col("st") > prevMax, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("new_isl")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      isl.groupBy(col("supp"), col("island"))
+        .agg(count(lit(1)).as("n_iv"),
+          (datediff(max(col("en")), min(col("st"))) + 1).as("days"))
+        .groupBy(col("supp"))
+        .agg(sum(col("n_iv")).as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(col("days")).cast("long").as("covered_days"))
+    }),
+
+    "q374_brand_trigrams" -> ((s, dir) => {
+      // Sequential pattern mining, consecutive length-3 form: each
+      // customer's purchase stream (ordered by order date, then the
+      // orderkey/linenumber total order — fully deterministic) yields
+      // its consecutive brand trigrams; support counts occurrences and
+      // distinct customers. lead() windows are per-customer — the
+      // events-class partitioning — and the support table is
+      // brand³-bounded at any scale.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val ev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("ck"), col("o_orderdate").as("d"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("p_brand").as("b1"))
+      // The synthetic lineitem carries duplicate (orderkey, linenumber)
+      // rows with DIFFERENT parts, so the brand itself joins the total
+      // order — remaining ties are same-brand rows, interchangeable for
+      // a brand sequence.
+      val w = Window.partitionBy(col("ck"))
+        .orderBy(col("d"), col("ok"), col("ln"), col("b1"))
+      ev.withColumn("b2", lead(col("b1"), 1).over(w))
+        .withColumn("b3", lead(col("b1"), 2).over(w))
+        .filter(col("b3").isNotNull)
+        .groupBy(col("b1"), col("b2"), col("b3"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("ck")).as("n_customers"))
+        .filter(col("n_occurrences") >= 3)
     }),
   )
 

@@ -106,6 +106,57 @@ object PageRank {
     iterate(spark, v, n, weighted, damping, iters)
   }
 
+  /** Personalized PageRank: the teleport mass lands on the SEED set
+    * instead of uniformly — rank(v) = (1-d)·s(v) + d·Σ rank(u)/outdeg(u)
+    * with s(v) = 1/|S| for seeds, 0 otherwise, started from s. Same
+    * scale shape as [[run]] (two edge-sized shuffles per round,
+    * node-sized pinned state); the per-node restart column rides the
+    * node frame, so the loop body is unchanged. Non-seed nodes
+    * unreachable from the seeds converge to exactly 0.0 — a pure
+    * per-edge computation like run(), so it unrolls exactly as the
+    * oracle's MATERIALIZED CTE chain.
+    */
+  def runPersonalized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      nodes: DataFrame,
+      nodeCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      damping: Double = 0.85,
+      iters: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+    val nSeeds = sd.count() // bounded driver scalar, like run()'s n
+    require(nSeeds > 0, "personalized PageRank needs at least one seed")
+    val v = pin(nodes.select(col(nodeCol).as("node")).distinct()
+      .join(sd.withColumn("s", lit(1.0 / nSeeds)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0.0)).as("s")))
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val weighted = pin(e.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"),
+        (lit(1.0) / col("deg").cast("double")).as("w")))
+    var ranks = pin(v.select(col("node"), col("s").as("rank")))
+    for (_ <- 1 to iters) {
+      val contribs = weighted
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w")).as("contrib"))
+      ranks = pin(v
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("s") +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+    }
+    ranks
+  }
+
   private def iterate(
       spark: org.apache.spark.sql.SparkSession,
       v: DataFrame,

@@ -78,4 +78,50 @@ object Triangles {
             (col("deg") * (col("deg") - lit(1L))).cast("double"), 6))
           .otherwise(lit(0.0)).as("clustering_coef"))
   }
+
+  /** Per-EDGE triangle support — |N(a) ∩ N(b)| for every canonical
+    * `a < b` edge (edges in no triangle report 0). This is the k-truss
+    * building block: a k-truss keeps edges with support ≥ k−2. Same
+    * degree-ordered orientation as [[perNode]] (the wedge join is
+    * O(m^1.5), never degree²·nodes), with each found triangle exploded
+    * back onto its three canonical edges — triangle-count-sized, the
+    * output of the wedge close.
+    */
+  def perEdgeSupport(
+      edges: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aLow = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = withDeg.select(
+      when(aLow, col("a")).otherwise(col("b")).as("u"),
+      when(aLow, col("b")).otherwise(col("a")).as("v"),
+      when(aLow, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
+    val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val e2 = o.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val tris = e1.join(e2, Seq("u"))
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+      .select(col("u"), col("v1"), col("v2"))
+      .join(o.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    // Canonical (min,max) form of each triangle edge; support per edge.
+    val sup = tris.select(least(col("u"), col("v1")).as("a"),
+        greatest(col("u"), col("v1")).as("b"))
+      .union(tris.select(least(col("u"), col("v2")).as("a"),
+        greatest(col("u"), col("v2")).as("b")))
+      .union(tris.select(least(col("v1"), col("v2")).as("a"),
+        greatest(col("v1"), col("v2")).as("b")))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    e.join(sup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+  }
 }

@@ -24,6 +24,13 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# Large-sf runs (the one-off sf0.1 oracle sweep): cap DuckDB's memory and
+# let it spill, so a token-stream-sized oracle intermediate degrades to
+# disk instead of an OOM kill of the whole gate. No effect unless set.
+if os.environ.get("GRAFT_DUCK_MEM"):
+    con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    con.sql("SET temp_directory='/tmp/duckspill'")
+    con.sql("SET preserve_insertion_order=false")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
