@@ -3,6 +3,24 @@ package graft
 /** DuckDB oracles for the statistics/evaluation tier II (q275+). */
 private[graft] object OracleStats {
 
+  /** Exact per-customer spend cents per nation — textual mirror of
+    * QueriesStats.spendPerCustomer (the q377–q379 inequality base).
+    */
+  private val spendSql: String =
+    """spend AS (SELECT n_name AS nation, o_custkey,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS x
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2)"""
+
+  /** The decile probe points, rendered from the SAME Scala doubles the
+    * Spark side interpolates at — no literal drift possible.
+    */
+  private val decileList: String =
+    (0 to 9).map(i => 0.05 + 0.1 * i).mkString("[", ", ", "]")
+
   val map: Map[String, String] = Map(
 
     "q275_forecast_backtest" ->
@@ -2116,12 +2134,46 @@ private[graft] object OracleStats {
                  / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))), 6) AS alpha
          FROM sums""",
 
+    "q377_atkinson_grid" ->
+      s"""WITH $spendSql,
+         grid AS (SELECT nation,
+             quantile_cont(CAST(x AS DOUBLE), $decileList) AS g,
+             CAST(count(*) AS BIGINT) AS n_customers
+           FROM spend GROUP BY 1)
+         SELECT nation, n_customers,
+           round(list_sum(g) / 10.0, 4) AS grid_mean,
+           round(1.0 - (list_sum(list_transform(g, x -> sqrt(x))) / 10.0)
+             * (list_sum(list_transform(g, x -> sqrt(x))) / 10.0)
+             / (list_sum(g) / 10.0), 6) AS atkinson_05
+         FROM grid""",
+
+    "q378_theil_grid" ->
+      s"""WITH $spendSql,
+         grid AS (SELECT nation,
+             quantile_cont(CAST(x AS DOUBLE), $decileList) AS g,
+             CAST(count(*) AS BIGINT) AS n_customers
+           FROM spend GROUP BY 1)
+         SELECT nation, n_customers,
+           round(list_sum(g) / 10.0, 4) AS grid_mean,
+           round(list_sum(list_transform(g, x ->
+             round((x / (list_sum(g) / 10.0))
+               * ln(x / (list_sum(g) / 10.0)), 9))) / 10.0, 6) AS theil_t
+         FROM grid""",
+
+    "q379_hoover_index" ->
+      s"""WITH $spendSql,
+         agg1 AS (SELECT nation, CAST(count(*) AS BIGINT) AS n, sum(x) AS st
+           FROM spend GROUP BY 1)
+         SELECT s.nation, a.n AS n_customers,
+           round(CAST(sum(abs(a.n * s.x - a.st)) AS DOUBLE)
+             / (2.0 * CAST(a.n AS DOUBLE) * CAST(a.st AS DOUBLE)), 6)
+             AS hoover
+         FROM spend s JOIN agg1 a USING (nation)
+         GROUP BY 1, 2, a.st""",
+
     "q364_hodges_lehmann" ->
-      """WITH grid AS (SELECT p_brand,
-           quantile_cont(CAST(p_retailprice AS DOUBLE),
-             [0.05, 0.15000000000000002, 0.25, 0.35000000000000003,
-              0.45, 0.55, 0.6500000000000001, 0.75,
-              0.8500000000000001, 0.9500000000000001]) AS g,
+      s"""WITH grid AS (SELECT p_brand,
+           quantile_cont(CAST(p_retailprice AS DOUBLE), $decileList) AS g,
            CAST(count(*) AS BIGINT) AS n
            FROM part GROUP BY 1),
          idx AS (SELECT unnest(range(0, 10)) AS i),

@@ -252,9 +252,15 @@ private[graft] object OracleText {
            FROM sent JOIN canon USING (sent))
          SELECT doc_id, count(*) AS n_sents,
            CAST(sum(kept) AS BIGINT) AS n_kept,
-           array_to_string(list(sent ORDER BY pos) FILTER (WHERE kept = 1), '. ')
+           coalesce(array_to_string(
+             list(sent ORDER BY pos) FILTER (WHERE kept = 1), '. '), '')
              AS text_deduped
          FROM k GROUP BY doc_id""",
+    // ^ coalesce: a document whose EVERY sentence was deduplicated away
+    //   rebuilds to the EMPTY string (Spark's concat over an empty fold),
+    //   not NULL — DuckDB's FILTERed list is NULL on zero rows. Invisible
+    //   at sf0.01 (no fully-deduplicated doc exists there); flushed by
+    //   the one-off sf0.1 oracle sweep (round 9).
     "q125_perplexity_filter" -> perplexityFilterSql,
     "q126_pmi_collocations" -> pmiCollocationsSql,
     "q127_kl_drift" -> klDriftSql,
@@ -1066,6 +1072,31 @@ private[graft] object OracleText {
          SELECT sig, CAST(count(*) AS BIGINT) AS n_words,
            array_to_string(list_sort(list(DISTINCT w)), '|') AS words
          FROM k GROUP BY 1 HAVING count(*) >= 2""",
+
+    "q375_bcubed_eval" ->
+      s"""WITH sh AS (${OracleHelpers.simhashSql}),
+         cells AS (SELECT sh.simhash >> 10 AS c, d.lang AS l,
+             CAST(count(*) AS BIGINT) AS n_cl
+           FROM sh JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         nc AS (SELECT c, CAST(sum(n_cl) AS BIGINT) AS n_c
+           FROM cells GROUP BY 1),
+         nl AS (SELECT l, CAST(sum(n_cl) AS BIGINT) AS n_l
+           FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cells),
+         f AS (SELECT n,
+             list_sum(list(round(CAST(n_cl AS DOUBLE) * CAST(n_cl AS DOUBLE)
+               / CAST(n_c AS DOUBLE), 9) ORDER BY c, l)) AS sp,
+             list_sum(list(round(CAST(n_cl AS DOUBLE) * CAST(n_cl AS DOUBLE)
+               / CAST(n_l AS DOUBLE), 9) ORDER BY c, l)) AS sr
+           FROM cells JOIN nc USING (c) JOIN nl USING (l) CROSS JOIN tot
+           GROUP BY n)
+         SELECT n AS n_docs,
+           round(sp / CAST(n AS DOUBLE), 6) AS bcubed_p,
+           round(sr / CAST(n AS DOUBLE), 6) AS bcubed_r,
+           round(2.0 * (sp / CAST(n AS DOUBLE)) * (sr / CAST(n AS DOUBLE))
+             / (sp / CAST(n AS DOUBLE) + sr / CAST(n AS DOUBLE)), 6)
+             AS bcubed_f1
+         FROM f""",
 
     "q369_sparse_cosine_join" ->
       """WITH toks AS (SELECT doc_id,

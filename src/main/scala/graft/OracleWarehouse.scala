@@ -1601,6 +1601,82 @@ private[graft] object OracleWarehouse {
            CAST(sum(days) AS BIGINT) AS covered_days
          FROM g GROUP BY 1""",
 
+    "q376_gap_sequence_pairs" ->
+      """WITH ev AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+           p_brand AS b
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey)
+         SELECT a.b AS b_from, b2.b AS b_to,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT a.ck) AS BIGINT) AS n_customers
+         FROM ev a JOIN ev b2 ON a.ck = b2.ck AND b2.d > a.d
+           AND date_diff('day', a.d, b2.d) <= 30 AND a.b <> b2.b
+         GROUP BY 1, 2 HAVING count(*) >= 5""",
+
+    "q380_churn_hazard" ->
+      """WITH per AS (SELECT o_custkey,
+           min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0,
+           max(year(o_orderdate) * 12 + month(o_orderdate)) AS ml
+           FROM orders GROUP BY 1),
+         mm AS (SELECT max(ml) AS mm FROM per),
+         grid AS (SELECT ml - m0 AS t, CAST(count(*) AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN ml <= mm - 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d_t
+           FROM per CROSS JOIN mm GROUP BY 1)
+         SELECT g.t AS tenure_months,
+           CAST(sum(h.c_t) AS BIGINT) AS n_at_risk,
+           g.d_t AS n_events,
+           round(CAST(g.d_t AS DOUBLE) / CAST(sum(h.c_t) AS DOUBLE), 6)
+             AS hazard
+         FROM grid g JOIN grid h ON h.t >= g.t GROUP BY 1, 3""",
+
+    "q381_segment_migration" ->
+      """WITH per AS (SELECT o_custkey AS ck,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS xa,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS xb
+           FROM orders GROUP BY 1),
+         qa AS (SELECT quantile_cont(CAST(xa AS DOUBLE), [0.2, 0.4, 0.6, 0.8])
+             AS q FROM per WHERE xa > 0),
+         qb AS (SELECT quantile_cont(CAST(xb AS DOUBLE), [0.2, 0.4, 0.6, 0.8])
+             AS q FROM per WHERE xb > 0),
+         seg AS (SELECT
+             CASE WHEN xa = 0 THEN 0
+               WHEN CAST(xa AS DOUBLE) <= qa.q[1] THEN 1
+               WHEN CAST(xa AS DOUBLE) <= qa.q[2] THEN 2
+               WHEN CAST(xa AS DOUBLE) <= qa.q[3] THEN 3
+               WHEN CAST(xa AS DOUBLE) <= qa.q[4] THEN 4
+               ELSE 5 END AS seg_from,
+             CASE WHEN xb = 0 THEN 0
+               WHEN CAST(xb AS DOUBLE) <= qb.q[1] THEN 1
+               WHEN CAST(xb AS DOUBLE) <= qb.q[2] THEN 2
+               WHEN CAST(xb AS DOUBLE) <= qb.q[3] THEN 3
+               WHEN CAST(xb AS DOUBLE) <= qb.q[4] THEN 4
+               ELSE 5 END AS seg_to
+           FROM per CROSS JOIN qa CROSS JOIN qb)
+         SELECT seg_from, seg_to, CAST(count(*) AS BIGINT) AS n_customers
+         FROM seg GROUP BY 1, 2""",
+
+    "q382_stickiness" ->
+      """WITH cm AS (SELECT DISTINCT o_custkey AS ck,
+           year(o_orderdate) * 12 + month(o_orderdate) AS m FROM orders),
+         monthly AS (SELECT m, CAST(count(DISTINCT ck) AS BIGINT) AS active
+           FROM cm GROUP BY 1),
+         tr AS (SELECT ck, m + i AS tm
+           FROM cm CROSS JOIN (SELECT unnest(range(0, 3)) AS i)),
+         tr3 AS (SELECT tm, CAST(count(DISTINCT ck) AS BIGINT) AS active3
+           FROM tr GROUP BY 1),
+         mn AS (SELECT min(m) AS mmin FROM cm)
+         SELECT m AS month_idx, active, active3,
+           round(CAST(active AS DOUBLE) / CAST(active3 AS DOUBLE), 6)
+             AS stickiness
+         FROM monthly JOIN tr3 ON m = tm CROSS JOIN mn
+         WHERE m >= mmin + 2""",
+
     "q374_brand_trigrams" ->
       """WITH ev AS (SELECT o_custkey AS ck, o_orderdate AS d,
            l_orderkey AS ok, l_linenumber AS ln, p_brand AS b1

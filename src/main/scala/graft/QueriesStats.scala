@@ -2607,6 +2607,52 @@ private[graft] object QueriesStats {
           * (lit(1.0) - sumVi / v(col("qt"), col("st"))), 6).as("alpha"))
     }),
 
+    // ── Inequality panel (q377–q379) over per-customer spend ────────────
+    // Shared base: exact per-customer total spend cents per nation.
+    // Gini already ships exact (q298); Atkinson/Theil need per-element
+    // √/ln so they run on the DECILE GRID (the q364 discipline — 10
+    // interpolated values per nation at ANY corpus size, folds are
+    // fixed-order array transforms); Hoover reduces to EXACT integers:
+    // |n·x − S| sums in DECIMAL(38,0), one double division at the end.
+
+    "q377_atkinson_grid" -> ((s, dir) => {
+      val g = spendDecileGrid(s, dir)
+      val sqs = aggregate(transform(col("g"), x => sqrt(x)), lit(0.0), _ + _)
+      val ss = aggregate(col("g"), lit(0.0), _ + _)
+      g.select(col("nation"), col("n_customers"),
+        round(ss / 10.0, 4).as("grid_mean"),
+        round(lit(1.0) - (sqs / lit(10.0)) * (sqs / lit(10.0)) /
+          (ss / lit(10.0)), 6).as("atkinson_05"))
+    }),
+
+    "q378_theil_grid" -> ((s, dir) => {
+      val g = spendDecileGrid(s, dir)
+      val mu = aggregate(col("g"), lit(0.0), _ + _) / lit(10.0)
+      val t = aggregate(transform(col("g"),
+        x => round((x / mu) * log(x / mu), 9)), lit(0.0), _ + _) / lit(10.0)
+      g.select(col("nation"), col("n_customers"),
+        round(mu, 4).as("grid_mean"), round(t, 6).as("theil_t"))
+    }),
+
+    "q379_hoover_index" -> ((s, dir) => {
+      // Hoover (Robin Hood) index, EXACT: |x − μ| = |n·x − S| / n, so
+      // Σ|x − μ| / (2·n·μ) = Σ|n·x − S| / (2·n·S) — the numerator is an
+      // exact DECIMAL(38,0) integer sum, the index one double division.
+      val base = spendPerCustomer(s, dir).localCheckpoint()
+      val agg1 = base.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(38,0)")).as("st"))
+      base.join(broadcast(agg1), Seq("nation"))
+        .select(col("nation"), col("n"), col("st"),
+          abs(col("n").cast("decimal(19,0)") * col("x").cast("decimal(19,0)") -
+            col("st")).as("dev"))
+        .groupBy(col("nation"), col("n"), col("st"))
+        .agg(sum(col("dev")).as("sdev"))
+        .select(col("nation"), col("n").as("n_customers"),
+          round(col("sdev").cast("double") /
+            (lit(2.0) * col("n").cast("double") * col("st").cast("double")), 6)
+            .as("hoover"))
+    }),
+
     "q364_hodges_lehmann" -> ((s, dir) => {
       // Hodges–Lehmann location estimator per brand on the DECILE GRID:
       // the exact HL (median of all Walsh averages) is quadratic in
@@ -2633,4 +2679,29 @@ private[graft] object QueriesStats {
           round(col("hl"), 6).as("hl_estimate"))
     }),
   )
+
+  /** Exact per-customer total spend cents per nation — the shared base
+    * of the inequality panel (q377–q379).
+    */
+  private def spendPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders").select(col("o_custkey"),
+      (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+    val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_custkey"))
+      .agg(sum(col("cents")).as("x"))
+  }
+
+  /** Per-nation decile grid of customer spend (10 interpolated values,
+    * both engines share the (n−1)·p interpolation) + customer count.
+    */
+  private def spendDecileGrid(s: SparkSession, dir: String): DataFrame = {
+    val qs = (0 to 9).map(i => 0.05 + 0.1 * i)
+    spendPerCustomer(s, dir)
+      .groupBy(col("nation"))
+      .agg(expr(s"percentile(CAST(x AS DOUBLE), array(${qs.mkString(",")}))").as("g"),
+        count(lit(1)).as("n_customers"))
+  }
 }

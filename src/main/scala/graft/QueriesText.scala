@@ -2034,6 +2034,40 @@ private[graft] object QueriesText {
         .filter(col("n_words") >= 2)
     }),
 
+    "q375_bcubed_eval" -> ((s, dir) => {
+      // B-cubed precision/recall/F1 of the simhash-bucket clustering
+      // (top 6 bits → 64 buckets) against the language labels — the
+      // third clustering-eval face (purity/NMI q284, silhouette q331)
+      // and the one item-weighted metric of the family. Everything
+      // reduces to the (cluster, label) contingency cells (≤ 64·|langs|
+      // at any scale): P = Σ n_cl²/n_c / N, R = Σ n_cl²/n_l / N, the
+      // per-cell terms folded in (cluster, label) order on the 9-dp
+      // grid.
+      val cells = tbl(s, dir, "documents")
+        .select(shiftright(graft.plans.TextKernels.simhash16Native(col("text")),
+          10).as("c"), col("lang").as("l"))
+        .groupBy(col("c"), col("l")).agg(count(lit(1)).as("n_cl"))
+        .localCheckpoint()
+      val nc = cells.groupBy(col("c")).agg(sum(col("n_cl")).as("n_c"))
+      val nl = cells.groupBy(col("l")).agg(sum(col("n_cl")).as("n_l"))
+      val tot = cells.agg(sum(col("n_cl")).as("n"))
+      def fold(w: Column) =
+        aggregate(array_sort(collect_list(struct(col("c"), col("l"), w.as("w")))),
+          lit(0.0), (a, e) => a + e.getField("w"))
+      val joined = cells.join(broadcast(nc), Seq("c"))
+        .join(broadcast(nl), Seq("l")).crossJoin(broadcast(tot))
+      val d = (cc: String) => col(cc).cast("double")
+      joined
+        .groupBy(col("n"))
+        .agg(fold(round(d("n_cl") * d("n_cl") / d("n_c"), 9)).as("sp"),
+          fold(round(d("n_cl") * d("n_cl") / d("n_l"), 9)).as("sr"))
+        .select(col("n").as("n_docs"),
+          round(col("sp") / d("n"), 6).as("bcubed_p"),
+          round(col("sr") / d("n"), 6).as("bcubed_r"),
+          round(lit(2.0) * (col("sp") / d("n")) * (col("sr") / d("n")) /
+            (col("sp") / d("n") + col("sr") / d("n")), 6).as("bcubed_f1"))
+    }),
+
     "q369_sparse_cosine_join" -> ((s, dir) => {
       // Sparse tf-idf cosine similarity join via the inverted index —
       // the document-analog of the supplier co-purchase join: doc pairs

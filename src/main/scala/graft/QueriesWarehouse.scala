@@ -2545,6 +2545,116 @@ private[graft] object QueriesWarehouse {
           sum(col("days")).cast("long").as("covered_days"))
     }),
 
+    "q376_gap_sequence_pairs" -> ((s, dir) => {
+      // Sequential pattern mining, gap-constrained form (the GSP
+      // complement of q374's consecutive trigrams): brand A followed by
+      // a DIFFERENT brand B within 30 days, per customer. The self-join
+      // is equi on the customer plus a date band, so per-customer
+      // fanout is events × events-per-30-days — purchase-rate-bounded,
+      // not corpus-bounded (the q57 as-of class). Pure integer counts.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val ev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("o_custkey").as("ck"), col("d"), col("p_brand").as("b"))
+        .localCheckpoint()
+      val e1 = ev.select(col("ck"), col("d").as("d1"), col("b").as("b_from"))
+      val e2 = ev.select(col("ck"), col("d").as("d2"), col("b").as("b_to"))
+      e1.join(e2, Seq("ck"))
+        .filter(col("d2") > col("d1") &&
+          datediff(col("d2"), col("d1")) <= 30 &&
+          col("b_from") =!= col("b_to"))
+        .groupBy(col("b_from"), col("b_to"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("ck")).as("n_customers"))
+        .filter(col("n_pairs") >= 5)
+    }),
+
+    "q380_churn_hazard" -> ((s, dir) => {
+      // Discrete-time churn hazard by tenure month: a customer churns
+      // if silent for the last 3 observed months; hazard(τ) = churn
+      // events at tenure τ / customers still at risk (tenure ≥ τ). The
+      // corpus collapses to per-customer (first, last) month pairs,
+      // then the TENURE GRID (≤ the calendar in months); the at-risk
+      // reverse-cumulative is the grid's triangular join (the q236
+      // Kaplan–Meier shape), never a global window.
+      val m = year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+      val per = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(m).as("m0"), max(m).as("ml"))
+        .localCheckpoint()
+      val mmax = per.agg(max(col("ml")).as("mm"))
+      val grid = per.crossJoin(broadcast(mmax))
+        .select((col("ml") - col("m0")).as("t"),
+          when(col("ml") <= col("mm") - 3, 1L).otherwise(0L).as("churn"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("c_t"), sum(col("churn")).as("d_t"))
+        .localCheckpoint()
+      val g2 = grid.select(col("t").as("t2"), col("c_t").as("c2"))
+      grid.join(g2, col("t2") >= col("t"))
+        .groupBy(col("t"), col("d_t"))
+        .agg(sum(col("c2")).as("n_at_risk"))
+        .select(col("t").as("tenure_months"), col("n_at_risk"),
+          col("d_t").as("n_events"),
+          round(col("d_t").cast("double") / col("n_at_risk").cast("double"), 6)
+            .as("hazard"))
+    }),
+
+    "q381_segment_migration" -> ((s, dir) => {
+      // Value-segment migration matrix between the two halves of the
+      // calendar (split at 1995-01-01): per-customer exact spend cents
+      // per half, quintile boundaries from the interpolated percentile
+      // grid of the ACTIVE customers of each half (broadcast back — the
+      // q142 threshold pattern, no global ntile window), inactive
+      // halves labeled segment 0. Output is the ≤ 6×6 matrix.
+      val cents = (col("o_totalprice").cast(dec) * 100).cast("long")
+      val per = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          (col("o_orderdate") < lit("1995-01-01")).as("h1"), cents.as("c"))
+        .groupBy(col("ck"))
+        .agg(sum(when(col("h1"), col("c")).otherwise(0L)).as("xa"),
+          sum(when(!col("h1"), col("c")).otherwise(0L)).as("xb"))
+        .localCheckpoint()
+      def bounds(xc: String) = per.filter(col(xc) > 0)
+        .agg(expr(s"percentile(CAST($xc AS DOUBLE), array(0.2,0.4,0.6,0.8))").as(s"q_$xc"))
+      def seg(xc: String, q: String) = when(col(xc) === 0, 0)
+        .when(col(xc).cast("double") <= element_at(col(q), 1), 1)
+        .when(col(xc).cast("double") <= element_at(col(q), 2), 2)
+        .when(col(xc).cast("double") <= element_at(col(q), 3), 3)
+        .when(col(xc).cast("double") <= element_at(col(q), 4), 4)
+        .otherwise(5)
+      per.crossJoin(broadcast(bounds("xa"))).crossJoin(broadcast(bounds("xb")))
+        .select(seg("xa", "q_xa").as("seg_from"), seg("xb", "q_xb").as("seg_to"))
+        .groupBy(col("seg_from"), col("seg_to"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    "q382_stickiness" -> ((s, dir) => {
+      // Monthly actives over trailing-3-month actives (the DAU/MAU
+      // ratio at order granularity): exact distinct counts via the
+      // (customer, month) pair table exploded onto its ≤ 3 target
+      // months — calendar-bounded grid join, no approximate sketches.
+      val m = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m")
+      val cm = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("ck"), m).distinct()
+        .localCheckpoint()
+      val monthly = cm.groupBy(col("m")).agg(countDistinct(col("ck")).as("active"))
+      val trailing = cm
+        .select(col("ck"), explode(sequence(col("m"), col("m") + 2)).as("tm"))
+        .groupBy(col("tm")).agg(countDistinct(col("ck")).as("active3"))
+      monthly.join(trailing, col("m") === col("tm"))
+        // Only months with a full 3-month trailing window (the first two
+        // observed months see a truncated window on both engines, but
+        // excluding them keeps the metric honest).
+        .crossJoin(broadcast(cm.agg(min(col("m")).as("mmin"))))
+        .filter(col("m") >= col("mmin") + 2)
+        .select(col("m").as("month_idx"), col("active"), col("active3"),
+          round(col("active").cast("double") / col("active3").cast("double"), 6)
+            .as("stickiness"))
+    }),
+
     "q374_brand_trigrams" -> ((s, dir) => {
       // Sequential pattern mining, consecutive length-3 form: each
       // customer's purchase stream (ordered by order date, then the
