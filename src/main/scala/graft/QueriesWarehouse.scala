@@ -2692,7 +2692,7 @@ private[graft] object QueriesWarehouse {
   /** Daily order revenue in exact cents per (nation, day) — the shared
     * calendar-bounded grid of the finance tier (q365–q367).
     */
-  private def dailyRevenue(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dailyRevenue(s: SparkSession, dir: String): DataFrame = {
     val o = tbl(s, dir, "orders").select(col("o_custkey"),
       to_date(col("o_orderdate")).as("d"),
       (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))

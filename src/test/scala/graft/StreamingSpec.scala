@@ -1068,4 +1068,39 @@ class StreamingSpec extends SparkSpec {
     // xxxy twice (once per occurrence), xxxx/xxxx never pairs.
     assert(rollup == Set((1L, 2L)))
   }
+
+  test("streaming drawdown: per-key ordered arrival converges to the q365 series exactly") {
+    import graft.streaming.StreamingDrawdown
+    import graft.streaming.StreamingDrawdown.DayRevenue
+    // Per-key ORDERED contract (the sessionizer class): each nation's
+    // days arrive in date order; keys interleave arbitrarily and the
+    // chunking is shuffled — a round-robin across shuffled keys.
+    val perKey = StreamingDrawdown
+      .fromDailyGrid(QueriesWarehouse.dailyRevenue(spark, sfDir))
+      .collect().toSeq
+    val queues = scala.util.Random.shuffle(perKey)
+      .map { case (k, cs) => scala.collection.mutable.Queue(cs.map(DayRevenue(k, _)): _*) }
+    val feed = scala.collection.mutable.ArrayBuffer.empty[DayRevenue]
+    while (queues.exists(_.nonEmpty))
+      queues.foreach { q => if (q.nonEmpty) feed += q.dequeue() }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DayRevenue]
+    val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val q = StreamingDrawdown.monitor(mem.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) =>
+        df.collect().foreach(r => last.put(r._1, (r._2, r._3))); ()
+      }
+      .start()
+    feed.grouped(math.max(1, feed.length / 5 + 1)).foreach { ch =>
+      mem.addData(ch); q.processAllAvailable()
+    }
+    q.stop()
+
+    val declared = SparkEntry.queries("q365_max_drawdown")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    import scala.jdk.CollectionConverters._
+    assert(last.asScala.toMap == declared && declared.nonEmpty)
+  }
 }
