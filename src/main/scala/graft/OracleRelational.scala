@@ -432,6 +432,17 @@ private[graft] object OracleRelational {
            ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
          WHERE levenshtein(a.w, b.w) <= 2""",
 
+    "q385_lcp_join" ->
+      """WITH ids AS (SELECT s_name AS w, substr(s_name, 1, 17) AS blk
+           FROM supplier)
+         SELECT a.w AS w1, b.w AS w2,
+           CAST(len(list_filter(range(1, least(length(a.w), length(b.w)) + 1),
+             i -> substr(a.w, 1, CAST(i AS INT)) = substr(b.w, 1, CAST(i AS INT))))
+             AS BIGINT) AS lcp
+         FROM ids a JOIN ids b ON a.blk = b.blk AND a.w < b.w
+         WHERE len(list_filter(range(1, least(length(a.w), length(b.w)) + 1),
+           i -> substr(a.w, 1, CAST(i AS INT)) = substr(b.w, 1, CAST(i AS INT)))) >= 17""",
+
     "q370_qgram_profile_join" ->
       """WITH vocab AS (SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
            FROM part),

@@ -698,5 +698,29 @@ private[graft] object OracleVector {
          FROM edges e LEFT JOIN sup s ON e.sa = s.sa AND e.sb = s.sb""",
 
     "q372_ppr_seeded" -> OracleHelpers.pprSql(iters = 10),
+
+    "q383_matryoshka_recall" -> {
+      val dims = Seq(64, 32, 16, 8)
+      val blocks = dims.map { d =>
+        s"""e$d AS (SELECT vec_id, fv[1:$d] AS ev FROM e),
+           q$d AS (SELECT fq[1:$d] AS qv FROM q),
+           t$d AS (SELECT vec_id FROM (
+             SELECT vec_id, round($cosineSqlBody, 4) AS cs
+             FROM e$d, q$d ORDER BY cs DESC, vec_id LIMIT 10)),
+           r$d AS (SELECT CAST($d AS INT) AS dim,
+               CAST(count(*) AS BIGINT) AS n_overlap
+             FROM t$d WHERE vec_id IN (SELECT vec_id FROM t64))"""
+      }.mkString(",\n         ")
+      val union = dims.map(d => s"SELECT * FROM r$d").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+           FROM embeddings WHERE vec_id <> 0),
+         q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fq
+           FROM embeddings WHERE vec_id = 0),
+         $blocks
+         SELECT dim, n_overlap,
+           round(CAST(n_overlap AS DOUBLE) / 10.0, 2) AS recall_at_10
+         FROM ($union)"""
+    },
   )
 }

@@ -1601,6 +1601,42 @@ private[graft] object OracleWarehouse {
            CAST(sum(days) AS BIGINT) AS covered_days
          FROM g GROUP BY 1""",
 
+    "q384_rbo_rankings" -> {
+      val cases = QueryDsl.rboWeights.zipWithIndex
+        .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+      s"""WITH per AS (SELECT o_custkey AS ck,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS xa,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS xb
+           FROM orders GROUP BY 1),
+         ta AS (SELECT ck, xa AS s FROM per ORDER BY s DESC, ck LIMIT 20),
+         tb AS (SELECT ck, xb AS s FROM per ORDER BY s DESC, ck LIMIT 20),
+         ra AS (SELECT t.ck, CAST(count(o.ck) + 1 AS BIGINT) AS pa
+           FROM ta t LEFT JOIN ta o
+             ON o.s > t.s OR (o.s = t.s AND o.ck < t.ck)
+           GROUP BY t.ck),
+         rb AS (SELECT t.ck, CAST(count(o.ck) + 1 AS BIGINT) AS pb
+           FROM tb t LEFT JOIN tb o
+             ON o.s > t.s OR (o.s = t.s AND o.ck < t.ck)
+           GROUP BY t.ck),
+         bt AS (SELECT ra.ck, pa, pb FROM ra JOIN rb USING (ck)),
+         x AS (SELECT d, CAST(count(*) AS BIGINT) AS x_d
+           FROM bt CROSS JOIN (SELECT unnest(range(1, 21)) AS d)
+           WHERE pa <= d AND pb <= d GROUP BY d),
+         terms AS (SELECT d,
+             round((CASE d $cases END) * CAST(x_d AS DOUBLE)
+               / CAST(d AS DOUBLE), 9) AS term, x_d
+           FROM x)
+         SELECT CAST(20 AS BIGINT) AS depth,
+           round(coalesce(list_sum(list(term ORDER BY d)), 0.0), 6) AS rbo_min,
+           CAST(coalesce(max(CASE WHEN d = 20 THEN x_d END), 0) AS BIGINT)
+             AS overlap_at_20
+         FROM terms"""
+    },
+
     "q376_gap_sequence_pairs" ->
       """WITH ev AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
            p_brand AS b

@@ -734,6 +734,30 @@ private[graft] object QueriesRelational {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    "q385_lcp_join" -> ((s, dir) => {
+      // Prefix-blocked identifier-affinity join through the NATIVE
+      // CommonPrefixLen kernel: zero-padded supplier names meet on
+      // their 17-char prefix (the blocking equi-key — a pair with
+      // lcp ≥ 17 shares it by construction, so the block is EXHAUSTIVE
+      // for the output contract and holds ≤ 10 ids at ANY corpus size:
+      // zero-padded decimal ids differing past position 17 are the
+      // same ten-bucket), then one codegen'd static call per candidate
+      // scores the exact shared-prefix length — the screen a record-
+      // linkage pass runs on structured identifiers before any
+      // edit-distance verify.
+      val ids = tbl(s, dir, "supplier")
+        .select(col("s_name").as("w"),
+          substring(col("s_name"), 1, 17).as("blk"))
+      val a = ids.select(col("blk"), col("w").as("w1"))
+      val b = ids.select(col("blk"), col("w").as("w2"))
+      a.join(b, Seq("blk"))
+        .filter(col("w1") < col("w2"))
+        .withColumn("lcp",
+          graft.plans.TextKernels.lcpNative(col("w1"), col("w2")).cast("long"))
+        .filter(col("lcp") >= 17)
+        .select(col("w1"), col("w2"), col("lcp"))
+    }),
+
     "q370_qgram_profile_join" -> ((s, dir) => {
       // Bigram-profile L1 distance join over the part-name vocabulary —
       // the q-gram screen that UPPER-BOUNDS edit operations (each edit

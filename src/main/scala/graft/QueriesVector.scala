@@ -1211,6 +1211,35 @@ private[graft] object QueriesVector {
           (col("support") >= 2).as("in_4truss"))
     }),
 
+    "q383_matryoshka_recall" -> ((s, dir) => {
+      // Matryoshka truncation evaluation (Kusupati et al. 2022): how
+      // much of the FULL-dim exact top-10 survives when the stored
+      // embedding is truncated to its 32/16/8-dim prefix — the sizing
+      // study behind every MRL index deployment. Each candidate list
+      // is the q38 brute-force contract (one codegen'd scan →
+      // TakeOrderedAndProject, 4-dp-rounded cosine, vec_id tie-break);
+      // recall is a 10-row semi-join per dim. Query vector is the
+      // bounded driver-side scalar the tier always uses.
+      import graft.functions.Vectors
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      require(q.size == 64, s"embeddings are 64-dim by contract, got ${q.size}")
+      def topk(d: Int) = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Vectors.cosineToConst(slice(col("embedding"), 1, d), q.take(d)), 4)
+            .as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      val full = topk(64).localCheckpoint()
+      Seq(64, 32, 16, 8).map { d =>
+        topk(d).join(full, Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(d).as("dim"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / 10.0, 2).as("recall_at_10"))
+      }.reduce(_.unionAll(_))
+    }),
+
     "q372_ppr_seeded" -> ((s, dir) => {
       // Personalized PageRank from a 5-supplier seed set over the q163
       // co-purchase graph: the teleport lands on the seeds, so rank mass

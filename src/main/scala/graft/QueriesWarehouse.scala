@@ -2545,6 +2545,59 @@ private[graft] object QueriesWarehouse {
           sum(col("days")).cast("long").as("covered_days"))
     }),
 
+    "q384_rbo_rankings" -> ((s, dir) => {
+      // Rank-biased overlap (Webber et al. 2010, p = 0.9, truncated at
+      // depth 20) between the top-20 customers by FIRST-half spend and
+      // by SECOND-half spend — the top-weighted way to compare two
+      // rankings of the same population (the same customer base ranked
+      // twice correlates by construction, so the metric is exercised,
+      // unlike disjoint ad-hoc rankings). Both top-20s are
+      // TakeOrderedAndProject; positions come from the triangular
+      // self-join (the q174 rule: no window, not even over 20 rows);
+      // the depth terms use PRECOMPUTED (1−p)/p·p^d literals
+      // (QueryDsl.rboWeights — ONE Scala constant list consumed by
+      // both engines; pow() is libm territory, the fencePoly
+      // discipline) folded in depth order on the 9-dp grid.
+      val cents = (col("o_totalprice").cast(dec) * 100).cast("long")
+      val per = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("ck"),
+          (col("o_orderdate") < lit("1995-01-01")).as("h1"), cents.as("c"))
+        .groupBy(col("ck"))
+        .agg(sum(when(col("h1"), col("c")).otherwise(0L)).as("xa"),
+          sum(when(!col("h1"), col("c")).otherwise(0L)).as("xb"))
+        .localCheckpoint()
+      def ranked(xc: String, name: String) = {
+        val top = per.select(col("ck"), col(xc).as("s"))
+          .orderBy(col("s").desc, col("ck")).limit(20)
+          .localCheckpoint()
+        val o = top.select(col("ck").as("o_id"), col("s").as("o_s"))
+        top.join(o, col("o_s") > col("s") ||
+            (col("o_s") === col("s") && col("o_id") < col("ck")), "left")
+          .groupBy(col("ck"))
+          .agg((count(col("o_id")) + 1).as(name))
+      }
+      val bt = ranked("xa", "pa").join(ranked("xb", "pb"), Seq("ck"))
+      val depths = s.range(1, 21).select(col("id").as("d"))
+      val wd = QueryDsl.rboWeights.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (p, i)) => when(col("d") === (i + 1), lit(p)).otherwise(acc)
+      }
+      bt.crossJoin(depths)
+        .filter(col("pa") <= col("d") && col("pb") <= col("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("x_d"))
+        .select(col("d"),
+          round(wd * col("x_d").cast("double") / col("d").cast("double"), 9)
+            .as("term"),
+          col("x_d"))
+        .agg(
+          round(coalesce(
+            aggregate(array_sort(collect_list(struct(col("d"), col("term")))),
+              lit(0.0), (a, e) => a + e.getField("term")), lit(0.0)), 6)
+            .as("rbo_min"),
+          coalesce(max(when(col("d") === 20, col("x_d"))), lit(0L))
+            .as("overlap_at_20"))
+        .select(lit(20L).as("depth"), col("rbo_min"), col("overlap_at_20"))
+    }),
+
     "q376_gap_sequence_pairs" -> ((s, dir) => {
       // Sequential pattern mining, gap-constrained form (the GSP
       // complement of q374's consecutive trigrams): brand A followed by

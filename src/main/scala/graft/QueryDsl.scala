@@ -25,6 +25,18 @@ private[graft] object QueryDsl {
     "zh" -> Seq("的", "是", "了")
   )
 
+  /** RBO depth weights (1−p)/p · p^d for p = 0.9, d = 1..20 — built by
+    * REPEATED MULTIPLICATION in one place (pow() is libm territory,
+    * so each engine calling its own power would diverge in the last
+    * ulp; instead BOTH sides consume these exact doubles — the Spark
+    * query as when-chain literals, the DuckDB oracle as CASE literals,
+    * the fencePoly discipline).
+    */
+  val rboWeights: Seq[Double] = {
+    val w = (1.0 - 0.9) / 0.9
+    Iterator.iterate(0.9)(_ * 0.9).take(20).map(_ * w).toSeq
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (64 source dims
     * × 8 target dims), derived from the engine's md5 unit hash — the
     * SAME values on the Spark side (literal arrays in q234) and in the

@@ -69,6 +69,10 @@ object GraftFunctions {
       info("graft_damerau",
         "graft_damerau(a, b) - true Damerau-Levenshtein distance (adjacent transpositions cost 1)"),
       (es: Seq[Expression]) => DamerauLevenshtein(es(0), es(1))),
+    (FunctionIdentifier("graft_lcp"),
+      info("graft_lcp",
+        "graft_lcp(a, b) - longest-common-prefix length in UTF-16 code units"),
+      (es: Seq[Expression]) => CommonPrefixLen(es(0), es(1))),
     (FunctionIdentifier("graft_unit_hash"),
       info("graft_unit_hash",
         "graft_unit_hash(key) - deterministic md5 unit-interval hash in [0,1)"),

@@ -188,6 +188,31 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Longest-common-prefix LENGTH in UTF-16 code units — the affix
+  * primitive of prefix-blocked fuzzy joins (a pair with lcp ≥ k shares
+  * the length-k blocking key by construction, so the kernel doubles as
+  * the verify step of prefix blocking). Spark has no native form; a
+  * UDF would box every row — this is one static call inside
+  * whole-stage codegen, same contract as [[JaroWinkler]].
+  */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.commonPrefixLen(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.TextKernels.commonPrefixLen($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonPrefixLen =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Deterministic unit-interval hash u ∈ [0,1): the first 4 bytes of
   * md5(key) read big-endian unsigned, over 2³². BIT-IDENTICAL to the
   * engine's established column idiom
@@ -542,5 +567,19 @@ object TextKernels {
 
   def damerauNative(a: Column, b: Column): Column =
     ColumnBridge.column(DamerauLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** UTF-16 code-unit common-prefix length, called from generated code. */
+  def commonPrefixLen(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    i
+  }
+
+  def lcpNative(a: Column, b: Column): Column =
+    ColumnBridge.column(CommonPrefixLen(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -148,6 +148,18 @@ object KernelProps extends Properties("graft-kernels") {
       folded == closed
     }
 
+  property("commonPrefixLen: definition, identity, symmetry, block consistency") =
+    forAll(word, word) { (a, b) =>
+      val ua = UTF8String.fromString(a); val ub = UTF8String.fromString(b)
+      val got = graft.plans.TextKernels.commonPrefixLen(ua, ub)
+      val ref = a.zip(b).takeWhile { case (x, y) => x == y }.size
+      got == ref &&
+        graft.plans.TextKernels.commonPrefixLen(ua, ua) == a.length &&
+        got == graft.plans.TextKernels.commonPrefixLen(ub, ua) &&
+        // The q385 blocking soundness: lcp >= k implies equal k-prefix.
+        (got < 3 || a.take(3) == b.take(3))
+    }
+
   property("unitHash: [0,1) range and first-4-md5-bytes definition") =
     forAll(word) { s =>
       val u = graft.plans.TextKernels.unitHash(UTF8String.fromString(s))
