@@ -319,10 +319,10 @@ private[graft] object OracleRelational {
       """SELECT c_custkey, c_nationkey,
            CAST(ntile(4) OVER (PARTITION BY c_nationkey
              ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile,
-           round(percent_rank() OVER (PARTITION BY c_nationkey
-             ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank,
-           round(cume_dist() OVER (PARTITION BY c_nationkey
-             ORDER BY c_acctbal DESC, c_custkey), 6) AS cum_dist,
+           percent_rank() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey) AS pct_rank,
+           cume_dist() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey) AS cum_dist,
            CAST(dense_rank() OVER (PARTITION BY c_nationkey
              ORDER BY c_mktsegment) AS INTEGER) AS seg_rank
          FROM customer""",

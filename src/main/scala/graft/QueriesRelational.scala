@@ -580,11 +580,17 @@ private[graft] object QueriesRelational {
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       val ws = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_mktsegment"))
+      // pct_rank/cum_dist are emitted UNROUNDED: each is ONE division of
+      // exact integers, so the doubles are bit-identical across engines
+      // — while round(x, 6) is NOT when x lands exactly on a .5 tie at
+      // the 7th decimal (Spark HALF_UP vs DuckDB half-even; at sf0.1
+      // nation groups hit n = 640 and k/640 = 0.5203125 EXACTLY — the
+      // divergence the one-off sf0.1 oracle sweep flushed in round 9).
       tbl(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cum_dist"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"),
           dense_rank().over(ws).as("seg_rank"))
     }),
 
