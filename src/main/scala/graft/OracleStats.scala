@@ -2171,6 +2171,85 @@ private[graft] object OracleStats {
          FROM spend s JOIN agg1 a USING (nation)
          GROUP BY 1, 2, a.st""",
 
+    "q386_simpson_reversal" ->
+      """WITH base AS (SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         per AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2
+           FROM base GROUP BY 1),
+         pl AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2
+           FROM base),
+         pb AS (SELECT p_brand, per.n,
+             round((CAST(per.n AS DOUBLE) * CAST(per.sxy AS DOUBLE)
+                 - CAST(per.sx AS DOUBLE) * CAST(per.sy AS DOUBLE))
+               / (CAST(per.n AS DOUBLE) * CAST(per.sx2 AS DOUBLE)
+                 - CAST(per.sx AS DOUBLE) * CAST(per.sx AS DOUBLE)), 6)
+               AS slope_brand
+           FROM per),
+         pp AS (SELECT
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               AS slope_pooled
+           FROM pl)
+         SELECT p_brand AS brand, n AS n_items, slope_brand, slope_pooled,
+           sign(slope_brand) <> sign(slope_pooled) AS reversed
+         FROM pb CROSS JOIN pp""",
+
+    "q388_negbin_fit" ->
+      """WITH d AS (SELECT coalesce(o.d0, 0) AS d
+           FROM customer
+           LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS d0
+             FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey),
+         sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sd, sum(d * d) AS sd2 FROM d)
+         SELECT n AS n_customers,
+           round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_orders,
+           round((CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+             / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE), 6) AS var_orders,
+           CASE WHEN ((CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE)
+               * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n - 1 AS DOUBLE))
+             > (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+             THEN round((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+               / (((CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE)
+                   * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE))
+                 - (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+           END AS nb_r,
+           CASE WHEN ((CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE)
+               * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n - 1 AS DOUBLE))
+             > (CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+             THEN round((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+               / ((CAST(sd2 AS DOUBLE) - CAST(sd AS DOUBLE)
+                   * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n - 1 AS DOUBLE)), 6)
+           END AS nb_p
+         FROM sums""",
+
+    "q389_lorenz_dominance" ->
+      s"""WITH $spendSql,
+         grid AS (SELECT nation,
+             quantile_cont(CAST(x AS DOUBLE), $decileList) AS g
+           FROM spend GROUP BY 1),
+         lor AS (SELECT nation, list_transform(range(1, 11),
+             i -> list_sum(g[1:CAST(i AS INT)]) / list_sum(g)) AS lz
+           FROM grid)
+         SELECT a.nation AS na, b.nation AS nb,
+           len(list_filter(range(1, 11), i -> a.lz[i] >= b.lz[i])) = 10
+             AS a_dominates,
+           len(list_filter(range(1, 11), i -> b.lz[i] >= a.lz[i])) = 10
+             AS b_dominates,
+           NOT (len(list_filter(range(1, 11), i -> a.lz[i] >= b.lz[i])) = 10)
+             AND NOT (len(list_filter(range(1, 11), i -> b.lz[i] >= a.lz[i])) = 10)
+             AS curves_cross
+         FROM lor a JOIN lor b ON a.nation < b.nation""",
+
     "q364_hodges_lehmann" ->
       s"""WITH grid AS (SELECT p_brand,
            quantile_cont(CAST(p_retailprice AS DOUBLE), $decileList) AS g,

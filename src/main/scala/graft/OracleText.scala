@@ -1073,6 +1073,25 @@ private[graft] object OracleText {
            array_to_string(list_sort(list(DISTINCT w)), '|') AS words
          FROM k GROUP BY 1 HAVING count(*) >= 2""",
 
+    "q387_krippendorff_alpha" ->
+      s"""WITH la AS ($langIdSql), lb AS ($ngramLangSql),
+         labs AS (SELECT la.pred_lang AS a, lb.pred_lang AS b
+           FROM la JOIN lb USING (doc_id)),
+         coin AS (SELECT c, k, CAST(count(*) AS BIGINT) AS o FROM (
+           SELECT a AS c, b AS k FROM labs
+           UNION ALL SELECT b AS c, a AS k FROM labs) GROUP BY 1, 2),
+         nc AS (SELECT c, CAST(sum(o) AS BIGINT) AS n_c FROM coin GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS bign,
+             CAST(sum(CASE WHEN c <> k THEN o ELSE 0 END) AS BIGINT) AS o_off
+           FROM coin),
+         sq AS (SELECT sum(n_c * n_c) AS sn2 FROM nc)
+         SELECT CAST(bign // 2 AS BIGINT) AS n_units,
+           CAST(o_off // 2 AS BIGINT) AS n_disagree,
+           round(1.0 - CAST(bign - 1 AS DOUBLE) * CAST(o_off AS DOUBLE)
+             / (CAST(bign AS DOUBLE) * CAST(bign AS DOUBLE)
+               - CAST(sn2 AS DOUBLE)), 6) AS alpha
+         FROM tot CROSS JOIN sq""",
+
     "q375_bcubed_eval" ->
       s"""WITH sh AS (${OracleHelpers.simhashSql}),
          cells AS (SELECT sh.simhash >> 10 AS c, d.lang AS l,

@@ -2653,6 +2653,91 @@ private[graft] object QueriesStats {
             .as("hoover"))
     }),
 
+    "q386_simpson_reversal" -> ((s, dir) => {
+      // Simpson's-paradox audit: the quantity→price OLS slope per brand
+      // vs pooled — the aggregation-reversal check a reporting layer
+      // runs before trusting a pooled trend. Slopes are pure functions
+      // of exact integer sums (x ≤ 50 units, y exact cents; Σxy/Σx²
+      // summed as DECIMAL(38,0) — per-element products fit BIGINT, the
+      // corpus-sized sums do not), so both engines see identical
+      // doubles. Output is brand-sized.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast(dec) * 100).cast("long").as("y"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val base = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("x"), col("y"))
+        .localCheckpoint()
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      def sums(df: DataFrame, keys: Seq[Column]) = df
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"), sum(d38(col("x"))).as("sx"),
+          sum(d38(col("y"))).as("sy"), sum(d38(col("x") * col("y"))).as("sxy"),
+          sum(d38(col("x") * col("x"))).as("sx2"))
+      def slope = (col("n").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n").cast("double") * col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      val per = sums(base, Seq(col("p_brand"))).select(col("p_brand"),
+        col("n"), round(slope, 6).as("slope_brand"))
+      val pooled = sums(base, Seq.empty).select(round(slope, 6).as("slope_pooled"))
+      per.crossJoin(broadcast(pooled))
+        .select(col("p_brand").as("brand"), col("n").as("n_items"),
+          col("slope_brand"), col("slope_pooled"),
+          (signum(col("slope_brand")) =!= signum(col("slope_pooled")))
+            .as("reversed"))
+    }),
+
+    "q388_negbin_fit" -> ((s, dir) => {
+      // Negative-binomial method-of-moments fit of orders-per-customer
+      // (zeros included — the left join defines the universe): r =
+      // μ²/(σ²−μ), p = μ/σ², NULL when the data is not overdispersed
+      // (σ² ≤ μ ⇒ NB degenerates — the CASE is mirrored in the oracle).
+      // One grid of exact integer sums, one row out.
+      val c = tbl(s, dir, "customer").select(col("c_custkey"))
+      val o = tbl(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("d0"))
+      val d = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("d0"), lit(0L)).as("d"))
+      val sums = d.agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum((col("d") * col("d")).cast("decimal(38,0)")).as("sd2"))
+      val mu = col("sd").cast("double") / col("n").cast("double")
+      val v = (col("sd2").cast("double") - col("sd").cast("double") *
+        col("sd").cast("double") / col("n").cast("double")) /
+        (col("n") - 1).cast("double")
+      sums.select(col("n").as("n_customers"), round(mu, 6).as("mean_orders"),
+        round(v, 6).as("var_orders"),
+        when(v > mu, round(mu * mu / (v - mu), 6)).as("nb_r"),
+        when(v > mu, round(mu / v, 6)).as("nb_p"))
+    }),
+
+    "q389_lorenz_dominance" -> ((s, dir) => {
+      // Pairwise Lorenz-curve dominance between nations on the decile
+      // grid: nation A Lorenz-dominates B when A's cumulative spend
+      // share is ≥ B's at EVERY decile (less inequality in the
+      // second-order-stochastic sense) — the ORDERING companion to the
+      // scalar inequality indices (q298 Gini, q377–q379). The grid is
+      // 10 doubles per nation computed identically in both engines
+      // (prefix sums of the shared interpolated deciles), the
+      // comparison a 25×25 broadcast pair join.
+      val g = spendDecileGrid(s, dir)
+      val lor = g.select(col("nation"),
+        transform(sequence(lit(1), lit(10)), i =>
+          aggregate(slice(col("g"), lit(1), i), lit(0.0), _ + _) /
+            aggregate(col("g"), lit(0.0), _ + _)).as("lz"))
+        .localCheckpoint()
+      val a = lor.select(col("nation").as("na"), col("lz").as("la"))
+      val b = lor.select(col("nation").as("nb"), col("lz").as("lb"))
+      a.join(broadcast(b), col("na") < col("nb"))
+        .select(col("na"), col("nb"),
+          (size(filter(zip_with(col("la"), col("lb"), (x, y) => x >= y),
+            v => v)) === 10).as("a_dominates"),
+          (size(filter(zip_with(col("la"), col("lb"), (x, y) => y >= x),
+            v => v)) === 10).as("b_dominates"))
+        .select(col("na"), col("nb"), col("a_dominates"), col("b_dominates"),
+          (!col("a_dominates") && !col("b_dominates")).as("curves_cross"))
+    }),
+
     "q364_hodges_lehmann" -> ((s, dir) => {
       // Hodges–Lehmann location estimator per brand on the DECILE GRID:
       // the exact HL (median of all Walsh averages) is quadratic in

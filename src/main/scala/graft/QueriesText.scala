@@ -2034,6 +2034,39 @@ private[graft] object QueriesText {
         .filter(col("n_words") >= 2)
     }),
 
+    "q387_krippendorff_alpha" -> ((s, dir) => {
+      // Krippendorff's α (nominal, two raters, no missing) between the
+      // engine's TWO independent language-ID heuristics — the stopword
+      // voter (q35) and the native char-ngram kernel (q60) — the
+      // inter-annotator agreement a labeling pipeline reports where
+      // Cohen's κ (q281/q305) assumes exactly two raters and
+      // per-rater marginals; α uses the pooled coincidence matrix:
+      // α = 1 − (N−1)·Σ_{c≠k} o_ck / (N² − Σ_c n_c²), every term an
+      // exact integer (N = 2·units), so α is ONE double division.
+      val toks = graft.functions.Text.tokens(col("text"))
+      val labs = tbl(s, dir, "documents").select(
+          graft.functions.Text.langIdByStopwords(toks, QueryDsl.langMarkers).as("a"),
+          graft.plans.TextKernels.langIdNative(col("text"), QueryDsl.ngramProfiles)
+            .as("b"))
+        .localCheckpoint()
+      val coin = labs.select(col("a").as("c"), col("b").as("k"))
+        .union(labs.select(col("b").as("c"), col("a").as("k")))
+        .groupBy(col("c"), col("k")).agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val nc = coin.groupBy(col("c")).agg(sum(col("o")).as("n_c"))
+      val tot = coin.agg(sum(col("o")).as("bign"),
+        sum(when(col("c") =!= col("k"), col("o")).otherwise(0L)).as("o_off"))
+      val sq = nc.agg(sum((col("n_c") * col("n_c")).cast("decimal(38,0)"))
+        .as("sn2"))
+      tot.crossJoin(broadcast(sq))
+        .select((col("bign") / 2).cast("long").as("n_units"),
+          (col("o_off") / 2).cast("long").as("n_disagree"),
+          round(lit(1.0) - (col("bign") - 1).cast("double") *
+            col("o_off").cast("double") /
+            (col("bign").cast("double") * col("bign").cast("double") -
+              col("sn2").cast("double")), 6).as("alpha"))
+    }),
+
     "q375_bcubed_eval" -> ((s, dir) => {
       // B-cubed precision/recall/F1 of the simhash-bucket clustering
       // (top 6 bits → 64 buckets) against the language labels — the
