@@ -2250,6 +2250,23 @@ private[graft] object OracleStats {
              AS curves_cross
          FROM lor a JOIN lor b ON a.nation < b.nation""",
 
+    "q391_tail_dependence" ->
+      """WITH li AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+         q AS (SELECT quantile_cont(x, 0.95) AS qx,
+             quantile_cont(y, 0.95) AS qy FROM li)
+         SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(qx, 4) AS q95_x, round(qy, 4) AS q95_y,
+           CAST(sum(CASE WHEN x > qx AND y > qy THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_joint,
+           CAST(sum(CASE WHEN y > qy THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ytail,
+           round(CAST(sum(CASE WHEN x > qx AND y > qy THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             / CAST(sum(CASE WHEN y > qy THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             AS lambda_u
+         FROM li CROSS JOIN q GROUP BY qx, qy""",
+
     "q364_hodges_lehmann" ->
       s"""WITH grid AS (SELECT p_brand,
            quantile_cont(CAST(p_retailprice AS DOUBLE), $decileList) AS g,

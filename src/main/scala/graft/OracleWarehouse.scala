@@ -1577,8 +1577,11 @@ private[graft] object OracleWarehouse {
          GROUP BY 1, 2, 3""",
   ) ++ roundNineSql
 
-  /** q373/q374 oracles (appended to [[map]] via [[roundNineSql]]). */
-  private val roundNineSql: Map[String, String] = Map(
+  /** Round-9 oracles (appended to [[map]]). A `def`, not a `val`: some
+    * entries interpolate [[dailyRevenueSql]], which as a val would still
+    * be null during this object's initialization.
+    */
+  private def roundNineSql: Map[String, String] = Map(
 
     "q373_interval_coalesce" ->
       """WITH iv AS (SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS st,
@@ -1600,6 +1603,67 @@ private[graft] object OracleWarehouse {
            CAST(count(*) AS BIGINT) AS n_islands,
            CAST(sum(days) AS BIGINT) AS covered_days
          FROM g GROUP BY 1""",
+
+    "q390_shapley_attribution" -> {
+      val w = QueryDsl.shapleyWeights
+      s"""WITH fp AS (SELECT user_id, min(ts) AS t0 FROM events
+           WHERE event_type = 'purchase' GROUP BY 1),
+         pre AS (SELECT e.user_id, e.event_type
+           FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+           WHERE e.event_type <> 'purchase'
+             AND (fp.t0 IS NULL OR e.ts < fp.t0)),
+         users AS (SELECT u.user_id,
+           CAST(coalesce(max(CASE WHEN p.event_type = 'click' THEN 1 ELSE 0 END)
+             + 2 * max(CASE WHEN p.event_type = 'error' THEN 1 ELSE 0 END)
+             + 4 * max(CASE WHEN p.event_type = 'signup' THEN 1 ELSE 0 END)
+             + 8 * max(CASE WHEN p.event_type = 'view' THEN 1 ELSE 0 END), 0)
+             AS INTEGER) AS mask,
+           CAST(CASE WHEN max(fp2.t0) IS NOT NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS conv
+           FROM (SELECT DISTINCT user_id FROM events) u
+           LEFT JOIN pre p ON u.user_id = p.user_id
+           LEFT JOIN fp fp2 ON u.user_id = fp2.user_id
+           GROUP BY 1),
+         nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM users),
+         grid AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS nc
+           FROM users GROUP BY 1),
+         subsets AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS sset),
+         cum AS (SELECT sset, CAST(coalesce(sum(nc), 0) AS BIGINT) AS cum
+           FROM subsets LEFT JOIN grid ON (mask & sset) = mask GROUP BY 1),
+         chan AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+           ('signup', 4), ('view', 8)) t(channel, bit)),
+         terms AS (SELECT channel, c1.sset,
+             round((CASE bit_count(c1.sset)
+                 WHEN 0 THEN ${w(0)} WHEN 1 THEN ${w(1)}
+                 WHEN 2 THEN ${w(2)} ELSE ${w(3)} END)
+               * CAST(c2.cum - c1.cum AS DOUBLE) / CAST(nu AS DOUBLE), 9)
+               AS term
+           FROM chan JOIN cum c1 ON (c1.sset & bit) = 0
+           JOIN cum c2 ON c2.sset = c1.sset + bit CROSS JOIN nu)
+         SELECT channel, round(list_sum(list(term ORDER BY sset)), 6)
+           AS shapley
+         FROM terms GROUP BY 1"""
+    },
+
+    "q392_record_counts" ->
+      s"""WITH daily AS ($dailyRevenueSql)
+         , r AS (SELECT nation, c,
+             max(c) OVER (PARTITION BY nation ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+             row_number() OVER (PARTITION BY nation ORDER BY d) AS k
+           FROM daily),
+         recs AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN pm IS NULL OR c > pm THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_records
+           FROM r GROUP BY 1),
+         harm AS (SELECT nation,
+             list_sum(list(round(1.0 / CAST(k AS DOUBLE), 9) ORDER BY k))
+               AS hsum
+           FROM r GROUP BY 1)
+         SELECT nation, n_days, n_records,
+           round(hsum, 4) AS expected_records,
+           round(CAST(n_records AS DOUBLE) / hsum, 4) AS record_ratio
+         FROM recs JOIN harm USING (nation)""",
 
     "q384_rbo_rankings" -> {
       val cases = QueryDsl.rboWeights.zipWithIndex

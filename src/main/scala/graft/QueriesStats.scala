@@ -2738,6 +2738,30 @@ private[graft] object QueriesStats {
           (!col("a_dominates") && !col("b_dominates")).as("curves_cross"))
     }),
 
+    "q391_tail_dependence" -> ((s, dir) => {
+      // Empirical upper-tail dependence of (quantity, price):
+      // λ_U = P(x > q95x ∧ y > q95y) / P(y > q95y) — the copula-class
+      // diagnostic that distinguishes "correlated" from "extremes move
+      // together". Two interpolated 95% quantiles broadcast back onto
+      // one scan; exact tail counts; one double division.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"))
+        .localCheckpoint()
+      val q = li.agg(expr("percentile(x, 0.95)").as("qx"),
+        expr("percentile(y, 0.95)").as("qy"))
+      li.crossJoin(broadcast(q))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("x") > col("qx") && col("y") > col("qy"), 1L)
+            .otherwise(0L)).as("n_joint"),
+          sum(when(col("y") > col("qy"), 1L).otherwise(0L)).as("n_ytail"),
+          first(col("qx")).as("qx"), first(col("qy")).as("qy"))
+        .select(col("n").as("n_items"), round(col("qx"), 4).as("q95_x"),
+          round(col("qy"), 4).as("q95_y"), col("n_joint"), col("n_ytail"),
+          round(col("n_joint").cast("double") / col("n_ytail").cast("double"), 6)
+            .as("lambda_u"))
+    }),
+
     "q364_hodges_lehmann" -> ((s, dir) => {
       // Hodges–Lehmann location estimator per brand on the DECILE GRID:
       // the exact HL (median of all Walsh averages) is quadratic in

@@ -2545,6 +2545,101 @@ private[graft] object QueriesWarehouse {
           sum(col("days")).cast("long").as("covered_days"))
     }),
 
+    "q390_shapley_attribution" -> ((s, dir) => {
+      // Exact Shapley-value attribution over the four non-purchase
+      // channels — the axiomatic completion of the attribution family
+      // (last-touch q206, time-decay q238, leave-one-out q274):
+      // v(S) = share of users converted having touched ONLY channels in
+      // S; φ_i sums w(|S|)·(v(S∪i) − v(S)) over the 8 S ∌ i with the
+      // closed-form weights. Everything lives on the 16-row mask GRID
+      // (bitmask subset-sum join, 16×16), the weights are ONE Scala
+      // constant list consumed by both engines (the rboWeights
+      // discipline), and the 8 per-channel terms fold in S order.
+      // Only PRE-conversion touches count (events before the user's
+      // first purchase; non-converters contribute all their events) —
+      // the attribution-correct window, and the thing that makes the
+      // mask grid non-degenerate (every heavy user eventually touches
+      // everything; what matters is what they touched BEFORE buying).
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val pre = ev.join(firstP, Seq("user_id"), "left")
+        .filter(col("event_type") =!= "purchase" &&
+          (col("t0").isNull || col("ts") < col("t0")))
+        .select(col("user_id"), col("event_type"))
+      def touched(t: String) = max(when(col("event_type") === t, 1L).otherwise(0L))
+      val users = ev.select(col("user_id")).distinct()
+        .join(pre, Seq("user_id"), "left")
+        .join(firstP.select(col("user_id"), lit(1L).as("cv")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(coalesce(touched("click") + touched("error") * 2 +
+          touched("signup") * 4 + touched("view") * 8, lit(0L))
+          .cast("int").as("mask"),
+          coalesce(max(col("cv")), lit(0L)).as("conv"))
+        .localCheckpoint()
+      val nUsers = users.agg(count(lit(1)).as("nu"))
+      val grid = users.groupBy(col("mask")).agg(sum(col("conv")).as("nc"))
+        .localCheckpoint()
+      val subsets = s.range(0, 16).select(col("id").cast("int").as("sset"))
+      // LEFT join: a subset covering NO observed mask (e.g. ∅ when every
+      // user touched something) still needs its cum = 0 row — the c1
+      // side of every Shapley term.
+      val cum = subsets.join(broadcast(grid),
+          col("mask").bitwiseAND(col("sset")) === col("mask"), "left")
+        .groupBy(col("sset")).agg(coalesce(sum(col("nc")), lit(0L)).as("cum"))
+        .localCheckpoint()
+      import s.implicits._
+      val chan = Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+        .toDF("channel", "bit")
+      val w = QueryDsl.shapleyWeights // w(|S|) for |S| = 0..3
+      val wS = (0 to 3).foldLeft(lit(0.0)) { (acc, k) =>
+        when(bit_count(col("sset")) === k, lit(w(k))).otherwise(acc)
+      }
+      chan.join(cum.select(col("sset"), col("cum")),
+          col("sset").bitwiseAND(col("bit")) === 0)
+        .join(cum.select(col("sset").as("s2"), col("cum").as("cum2")),
+          col("s2") === col("sset") + col("bit"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("channel"), col("sset"),
+          round(wS * (col("cum2") - col("cum")).cast("double") /
+            col("nu").cast("double"), 9).as("term"))
+        .groupBy(col("channel"))
+        .agg(round(aggregate(
+          array_sort(collect_list(struct(col("sset"), col("term")))),
+          lit(0.0), (a, e) => a + e.getField("term")), 6).as("shapley"))
+    }),
+
+    "q392_record_counts" -> ((s, dir) => {
+      // Record-values test per nation: how often the daily revenue set
+      // a new all-time high. Under exchangeable (trend-free) days the
+      // expected record count is the harmonic number H_n — the classic
+      // distribution-free trend diagnostic; ratio >> 1 means the series
+      // drifts upward. Records via a per-nation window over the
+      // calendar grid; H_n as a 6-dp ordered fold over the same grid.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val prevMax = max(col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val recs = daily
+        .withColumn("rec", when(prevMax.isNull || col("c") > prevMax, 1L)
+          .otherwise(0L))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"), sum(col("rec")).as("n_records"))
+      val harm = daily
+        .select(col("nation"), row_number().over(w).as("k"))
+        .select(col("nation"), col("k"),
+          round(lit(1.0) / col("k").cast("double"), 9).as("h"))
+        .groupBy(col("nation"))
+        .agg(aggregate(array_sort(collect_list(struct(col("k"), col("h")))),
+          lit(0.0), (a, e) => a + e.getField("h")).as("hsum"))
+      recs.join(harm, Seq("nation"))
+        .select(col("nation"), col("n_days"), col("n_records"),
+          round(col("hsum"), 4).as("expected_records"),
+          round(col("n_records").cast("double") / col("hsum"), 4)
+            .as("record_ratio"))
+    }),
+
     "q384_rbo_rankings" -> ((s, dir) => {
       // Rank-biased overlap (Webber et al. 2010, p = 0.9, truncated at
       // depth 20) between the top-20 customers by FIRST-half spend and

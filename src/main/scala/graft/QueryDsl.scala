@@ -25,6 +25,16 @@ private[graft] object QueryDsl {
     "zh" -> Seq("的", "是", "了")
   )
 
+  /** Shapley weights w(s) = s!(n−1−s)!/n! for n = 4 players, s = 0..3 —
+    * the q390 closed form, computed ONCE here from exact small-integer
+    * factorials so both engines consume identical doubles (the
+    * rboWeights discipline).
+    */
+  val shapleyWeights: Seq[Double] = {
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    (0 to 3).map(s => fact(s).toDouble * fact(3 - s).toDouble / fact(4).toDouble)
+  }
+
   /** RBO depth weights (1−p)/p · p^d for p = 0.9, d = 1..20 — built by
     * REPEATED MULTIPLICATION in one place (pow() is libm territory,
     * so each engine calling its own power would diverge in the last
