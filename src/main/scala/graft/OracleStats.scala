@@ -2250,6 +2250,54 @@ private[graft] object OracleStats {
              AS curves_cross
          FROM lor a JOIN lor b ON a.nation < b.nation""",
 
+    "q393_theil_decomposition" ->
+      s"""WITH $spendSql,
+         g AS (SELECT nation, CAST(count(*) AS BIGINT) AS ng,
+             sum(x) AS sg FROM spend GROUP BY 1),
+         tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS st FROM g),
+         grid AS (SELECT nation,
+             quantile_cont(CAST(x AS DOUBLE), $decileList) AS gl
+           FROM spend GROUP BY 1)
+         SELECT g.nation, ng AS n_customers,
+           round((CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))
+             * ((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+               / (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+             * ln((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+               / (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             AS between_term,
+           round((CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))
+             * ((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+               / (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))
+             * (list_sum(list_transform(gl, x ->
+                 round((x / (list_sum(gl) / 10.0))
+                   * ln(x / (list_sum(gl) / 10.0)), 9))) / 10.0), 6)
+             AS within_term
+         FROM g CROSS JOIN tot JOIN grid ON g.nation = grid.nation""",
+
+    "q394_weighted_jaccard" ->
+      """WITH cnt AS (SELECT n_name, p_brand, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2),
+         tot AS (SELECT n_name, CAST(sum(cnt) AS BIGINT) AS tot
+           FROM cnt GROUP BY 1),
+         smin AS (SELECT a.n_name AS na, b.n_name AS nb,
+             CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS smin
+           FROM cnt a JOIN cnt b ON a.p_brand = b.p_brand
+             AND a.n_name < b.n_name
+           GROUP BY 1, 2)
+         SELECT na, nb, smin,
+           CAST(ta.tot + tb.tot - smin AS BIGINT) AS smax,
+           round(CAST(smin AS DOUBLE)
+             / CAST(ta.tot + tb.tot - smin AS DOUBLE), 6)
+             AS weighted_jaccard
+         FROM smin
+         JOIN tot ta ON smin.na = ta.n_name
+         JOIN tot tb ON smin.nb = tb.n_name""",
+
     "q391_tail_dependence" ->
       """WITH li AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
            CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),

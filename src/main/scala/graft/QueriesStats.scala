@@ -2738,6 +2738,66 @@ private[graft] object QueriesStats {
           (!col("a_dominates") && !col("b_dominates")).as("curves_cross"))
     }),
 
+    "q393_theil_decomposition" -> ((s, dir) => {
+      // Theil-T between/within decomposition across nations — the
+      // property that makes Theil THE decomposable inequality index
+      // (Gini is not): T = Σ_g w_g·(μ_g/μ)·ln(μ_g/μ)  [between]
+      //                  + Σ_g w_g·(μ_g/μ)·T_g         [within].
+      // Group means and weights are EXACT (integer cents / counts);
+      // the within terms reuse the q378 decile-grid Theil (declared
+      // grid semantics). Output is one row per nation with its two
+      // contributions — they sum to the decomposed total.
+      val base = spendPerCustomer(s, dir).localCheckpoint()
+      val g = base.groupBy(col("nation"))
+        .agg(count(lit(1)).as("ng"), sum(col("x").cast("decimal(38,0)")).as("sg"))
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"))
+      val grid = spendDecileGrid(s, dir).select(col("nation"), col("g"))
+      val muG = col("sg").cast("double") / col("ng").cast("double")
+      val mu = col("st").cast("double") / col("n").cast("double")
+      val wg = col("ng").cast("double") / col("n").cast("double")
+      val muGrid = aggregate(col("g"), lit(0.0), _ + _) / lit(10.0)
+      val tg = aggregate(transform(col("g"),
+        x => round((x / muGrid) * log(x / muGrid), 9)), lit(0.0), _ + _) / lit(10.0)
+      g.crossJoin(broadcast(tot)).join(grid, Seq("nation"))
+        .select(col("nation"), col("ng").as("n_customers"),
+          round(wg * (muG / mu) * log(muG / mu), 6).as("between_term"),
+          round(wg * (muG / mu) * tg, 6).as("within_term"))
+    }),
+
+    "q394_weighted_jaccard" -> ((s, dir) => {
+      // Weighted (histogram) Jaccard between nations over their brand
+      // purchase-count vectors: Σ_b min(c_a, c_b) / Σ_b max(c_a, c_b),
+      // with Σmax = tot_a + tot_b − Σmin so only SHARED brands join —
+      // the multiset generalization of the set Jaccard the dedup tier
+      // uses, all exact integers and one division. ≤ 25×25 pairs.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cnt = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tot = cnt.groupBy(col("n_name")).agg(sum(col("cnt")).as("tot"))
+      val a = cnt.select(col("n_name").as("na"), col("p_brand"), col("cnt").as("ca"))
+      val b = cnt.select(col("n_name").as("nb"), col("p_brand"), col("cnt").as("cb"))
+      val smin = a.join(b, Seq("p_brand")).filter(col("na") < col("nb"))
+        .groupBy(col("na"), col("nb"))
+        .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+      smin
+        .join(tot.select(col("n_name").as("na"), col("tot").as("ta")), Seq("na"))
+        .join(tot.select(col("n_name").as("nb"), col("tot").as("tb")), Seq("nb"))
+        .select(col("na"), col("nb"), col("smin"),
+          (col("ta") + col("tb") - col("smin")).as("smax"),
+          round(col("smin").cast("double") /
+            (col("ta") + col("tb") - col("smin")).cast("double"), 6)
+            .as("weighted_jaccard"))
+    }),
+
     "q391_tail_dependence" -> ((s, dir) => {
       // Empirical upper-tail dependence of (quantity, price):
       // λ_U = P(x > q95x ∧ y > q95y) / P(y > q95y) — the copula-class
