@@ -2327,5 +2327,147 @@ private[graft] object OracleStats {
          SELECT p_brand AS brand, n AS n_parts,
            round(quantile_cont(w, 0.5), 6) AS hl_estimate
          FROM w GROUP BY 1, 2""",
+
+    "q396_welch_ttest" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+           CAST(l_quantity AS BIGINT) AS x
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         g AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM li GROUP BY 1),
+         j AS (SELECT r.n AS n1, r.sx AS sx1, r.sxx AS sxx1,
+             a.n AS n2, a.sx AS sx2, a.sxx AS sxx2
+           FROM (SELECT * FROM g WHERE g = 'R') r
+           CROSS JOIN (SELECT * FROM g WHERE g = 'A') a),
+         m AS (SELECT n1, n2,
+             CAST(CAST(n1 AS HUGEINT) * sxx1 - CAST(sx1 AS HUGEINT) * sx1
+                 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))
+               / CAST(n1 AS DOUBLE) AS se1,
+             CAST(CAST(n2 AS HUGEINT) * sxx2 - CAST(sx2 AS HUGEINT) * sx2
+                 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))
+               / CAST(n2 AS DOUBLE) AS se2,
+             CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md
+           FROM j)
+         SELECT n1, n2, round(md, 6) AS mean_diff,
+           round(md / sqrt(se1 + se2), 4) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+               + se2 * se2 / CAST(n2 - 1 AS DOUBLE)), 2) AS welch_df
+         FROM m""",
+
+    "q397_hotelling_t2" ->
+      """WITH li AS (SELECT l_returnflag AS g,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         g AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM li GROUP BY 1),
+         j AS (SELECT r.n AS n1, r.sx AS sx1, r.sy AS sy1, r.sxx AS sxx1,
+             r.syy AS syy1, r.sxy AS sxy1,
+             a.n AS n2, a.sx AS sx2, a.sy AS sy2, a.sxx AS sxx2,
+             a.syy AS syy2, a.sxy AS sxy2
+           FROM (SELECT * FROM g WHERE g = 'R') r
+           CROSS JOIN (SELECT * FROM g WHERE g = 'A') a),
+         m AS (SELECT n1, n2, CAST(n1 + n2 AS DOUBLE) AS nn,
+             (CAST(CAST(n1 AS HUGEINT) * sxx1 - CAST(sx1 AS HUGEINT) * sx1
+                   AS DOUBLE) / CAST(n1 AS DOUBLE)
+               + CAST(CAST(n2 AS HUGEINT) * sxx2 - CAST(sx2 AS HUGEINT) * sx2
+                   AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / (CAST(n1 + n2 AS DOUBLE) - 2.0) AS pxx,
+             (CAST(CAST(n1 AS HUGEINT) * syy1 - CAST(sy1 AS HUGEINT) * sy1
+                   AS DOUBLE) / CAST(n1 AS DOUBLE)
+               + CAST(CAST(n2 AS HUGEINT) * syy2 - CAST(sy2 AS HUGEINT) * sy2
+                   AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / (CAST(n1 + n2 AS DOUBLE) - 2.0) AS pyy,
+             (CAST(CAST(n1 AS HUGEINT) * sxy1 - CAST(sx1 AS HUGEINT) * sy1
+                   AS DOUBLE) / CAST(n1 AS DOUBLE)
+               + CAST(CAST(n2 AS HUGEINT) * sxy2 - CAST(sx2 AS HUGEINT) * sy2
+                   AS DOUBLE) / CAST(n2 AS DOUBLE))
+               / (CAST(n1 + n2 AS DOUBLE) - 2.0) AS pxy,
+             CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dx,
+             CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dy
+           FROM j),
+         t AS (SELECT n1, n2, nn,
+             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / nn
+               * (dx * (pyy * dx - pxy * dy) + dy * (pxx * dy - pxy * dx))
+               / (pxx * pyy - pxy * pxy) AS t2
+           FROM m)
+         SELECT n1, n2, round(t2, 4) AS t2,
+           round(t2 * (nn - 3.0) / (2.0 * (nn - 2.0)), 4) AS f_stat
+         FROM t""",
+
+    "q398_mahalanobis_outliers" ->
+      """WITH per AS (SELECT o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS x,
+           CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         base AS (SELECT n_name AS nation, x, y
+           FROM per
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+           FROM base),
+         m AS (SELECT n,
+             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vxx,
+             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vyy,
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vxy,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+           FROM st),
+         d AS (SELECT nation,
+             CASE WHEN ((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)
+                   * vyy
+                 - 2.0 * (CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my)
+                   * vxy
+                 + (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my)
+                   * vxx)
+                 / (vxx * vyy - vxy * vxy) > 9.21
+               THEN 1 ELSE 0 END AS o
+           FROM base CROSS JOIN m)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(o) AS BIGINT) AS n_outliers,
+           round(CAST(sum(o) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS outlier_rate
+         FROM d GROUP BY 1""",
+
+    "q399_winsorized_trimmed" ->
+      """WITH p AS (SELECT p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM part),
+         b AS (SELECT p_brand,
+             quantile_cont(CAST(c AS DOUBLE), 0.05) AS lo,
+             quantile_cont(CAST(c AS DOUBLE), 0.95) AS hi
+           FROM p GROUP BY 1)
+         SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           round((CAST(sum(CASE WHEN c >= lo AND c <= hi THEN c ELSE 0 END)
+                 AS DOUBLE)
+               + CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS DOUBLE) * lo
+               + CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS DOUBLE) * hi)
+             / CAST(count(*) AS DOUBLE) / 100.0, 4) AS wins_mean,
+           round(CAST(sum(CASE WHEN c >= lo AND c <= hi THEN c ELSE 0 END)
+               AS DOUBLE)
+             / CAST(sum(CASE WHEN c >= lo AND c <= hi THEN 1 ELSE 0 END)
+               AS DOUBLE) / 100.0, 4) AS trim_mean
+         FROM p JOIN b USING (p_brand) GROUP BY 1, lo, hi""",
   )
 }

@@ -1143,5 +1143,30 @@ private[graft] object OracleText {
            JOIN norms na ON na.doc_id = doc_a
            JOIN norms nb ON nb.doc_id = doc_b)
          SELECT doc_a, doc_b, cosine FROM c WHERE cosine >= 0.3""",
+
+    "q395_fleiss_kappa" ->
+      """WITH v AS (SELECT
+           (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+           + (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 55
+               THEN 1 ELSE 0 END)
+           + (CASE WHEN len(list_distinct(
+                 regexp_split_to_array(trim(text), '\s+'))) >= 27
+               THEN 1 ELSE 0 END) AS m
+           FROM documents),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(m) AS BIGINT) AS sm,
+             CAST(sum(m * m + (3 - m) * (3 - m)) AS BIGINT) AS sq
+           FROM v),
+         b AS (SELECT n_docs,
+             (CAST(sq AS DOUBLE) - 3.0 * CAST(n_docs AS DOUBLE))
+               / (6.0 * CAST(n_docs AS DOUBLE)) AS pbar,
+             CAST(sm AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)) AS p1
+           FROM a)
+         SELECT n_docs, round(pbar, 6) AS p_bar,
+           round(p1 * p1 + (1.0 - p1) * (1.0 - p1), 6) AS p_e,
+           round((pbar - (p1 * p1 + (1.0 - p1) * (1.0 - p1)))
+             / (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 6)
+             AS fleiss_kappa
+         FROM b""",
   )
 }

@@ -2847,6 +2847,169 @@ private[graft] object QueriesStats {
         .select(col("p_brand").as("brand"), col("n").as("n_parts"),
           round(col("hl"), 6).as("hl_estimate"))
     }),
+
+    "q396_welch_ttest" -> ((s, dir) => {
+      // Welch's unequal-variance t between returned ('R') and accepted
+      // ('A') line quantities, with the Welch–Satterthwaite df — the
+      // test q222's pooled z is the equal-variance special case of.
+      // Per-group n, Σx, Σx² are exact BIGINTs (quantity ≤ 50); each
+      // sample variance is the decimal(38,0) product form
+      // n·Σx² − (Σx)² (cast BEFORE multiplying — Σx grows with the
+      // corpus, the q366 overflow discipline) over n(n−1), so t and df
+      // are fixed double expressions of exact integers.
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("x"))
+      val gs = li.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .localCheckpoint()
+      def side(f: String, sfx: String) = gs.filter(col("g") === f)
+        .select(col("n").as("n" + sfx), col("sx").as("sx" + sfx),
+          col("sxx").as("sxx" + sfx))
+      def variance(n: Column, sx: Column, sxx: Column) =
+        (n.cast("decimal(38,0)") * sxx.cast("decimal(38,0)") -
+          sx.cast("decimal(38,0)") * sx.cast("decimal(38,0)")).cast("double") /
+          (n.cast("double") * (n - 1).cast("double"))
+      val j = side("R", "1").crossJoin(side("A", "2"))
+      val v1 = variance(col("n1"), col("sx1"), col("sxx1"))
+      val v2 = variance(col("n2"), col("sx2"), col("sxx2"))
+      val se1 = v1 / col("n1").cast("double")
+      val se2 = v2 / col("n2").cast("double")
+      val md = col("sx1").cast("double") / col("n1").cast("double") -
+        col("sx2").cast("double") / col("n2").cast("double")
+      val df = (se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1") - 1).cast("double") +
+          se2 * se2 / (col("n2") - 1).cast("double"))
+      j.select(col("n1"), col("n2"), round(md, 6).as("mean_diff"),
+        round(md / sqrt(se1 + se2), 4).as("t_stat"),
+        round(df, 2).as("welch_df"))
+    }),
+
+    "q397_hotelling_t2" -> ((s, dir) => {
+      // Two-sample Hotelling T² on the (quantity, discount-cents) pair
+      // between returned and accepted lines — the multivariate mean
+      // test whose univariate margin is q396. Pooled 2×2 covariance is
+      // inverted in closed form; every moment is an exact BIGINT
+      // (x ≤ 50, y ≤ 10), the per-group sum-of-squares uses the
+      // decimal(38,0) product form, and T² and its F conversion
+      // F = T²(n−3)/(2(n−2)) are fixed double expressions.
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_discount").cast(dec) * 100).cast("long").as("y"))
+      val gs = li.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .localCheckpoint()
+      def side(f: String, sfx: String) = gs.filter(col("g") === f)
+        .select(Seq("n", "sx", "sy", "sxx", "syy", "sxy")
+          .map(c => col(c).as(c + sfx)): _*)
+      // Within-group SS in the exact product form, over n → double.
+      def ss(n: Column, sa: Column, sb: Column, sab: Column) =
+        (n.cast("decimal(38,0)") * sab.cast("decimal(38,0)") -
+          sa.cast("decimal(38,0)") * sb.cast("decimal(38,0)")).cast("double") /
+          n.cast("double")
+      val j = side("R", "1").crossJoin(side("A", "2"))
+      val nn = (col("n1") + col("n2")).cast("double")
+      val denom = nn - lit(2.0)
+      val pxx = (ss(col("n1"), col("sx1"), col("sx1"), col("sxx1")) +
+        ss(col("n2"), col("sx2"), col("sx2"), col("sxx2"))) / denom
+      val pyy = (ss(col("n1"), col("sy1"), col("sy1"), col("syy1")) +
+        ss(col("n2"), col("sy2"), col("sy2"), col("syy2"))) / denom
+      val pxy = (ss(col("n1"), col("sx1"), col("sy1"), col("sxy1")) +
+        ss(col("n2"), col("sx2"), col("sy2"), col("sxy2"))) / denom
+      val dx = col("sx1").cast("double") / col("n1").cast("double") -
+        col("sx2").cast("double") / col("n2").cast("double")
+      val dy = col("sy1").cast("double") / col("n1").cast("double") -
+        col("sy2").cast("double") / col("n2").cast("double")
+      val det = pxx * pyy - pxy * pxy
+      val t2 = (col("n1").cast("double") * col("n2").cast("double") / nn) *
+        (dx * (pyy * dx - pxy * dy) + dy * (pxx * dy - pxy * dx)) / det
+      j.select(col("n1"), col("n2"), round(t2, 4).as("t2"),
+        round(t2 * (nn - lit(3.0)) / (lit(2.0) * (nn - lit(2.0))), 4)
+          .as("f_stat"))
+    }),
+
+    "q398_mahalanobis_outliers" -> ((s, dir) => {
+      // Per-nation multivariate outlier rate: customers whose
+      // (total-spend-cents, order-count) pair sits beyond the χ²₂ 99%
+      // contour (Mahalanobis² > 9.21) of the GLOBAL population — the
+      // 2-D generalization of the z-score screen q146 runs per column.
+      // The five moments are exact decimal(38,0) sums (spend² would
+      // overflow BIGINT per element at scale — q366 discipline);
+      // population covariance comes out of the n·Σ−Σ·Σ product form,
+      // and the per-customer quadratic form is one broadcast join plus
+      // fixed double arithmetic.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).as("x"), count(lit(1)).as("y"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val base = per.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("x"), col("y"))
+        .localCheckpoint()
+      val d38 = "decimal(38,0)"
+      val stats = base.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"))
+      val nD = col("n").cast("double")
+      def cv(sab: Column, sa: Column, sb: Column) =
+        (col("n").cast(d38) * sab - sa * sb).cast("double") / (nD * nD)
+      val vxx = cv(col("sxx"), col("sx"), col("sx"))
+      val vyy = cv(col("syy"), col("sy"), col("sy"))
+      val vxy = cv(col("sxy"), col("sx"), col("sy"))
+      val det = vxx * vyy - vxy * vxy
+      val ddx = col("x").cast("double") - col("sx").cast("double") / nD
+      val ddy = col("y").cast("double") - col("sy").cast("double") / nD
+      val d2 = (ddx * ddx * vyy - lit(2.0) * ddx * ddy * vxy +
+        ddy * ddy * vxx) / det
+      base.crossJoin(broadcast(stats))
+        .select(col("nation"), when(d2 > 9.21, 1L).otherwise(0L).as("out"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("out")).as("n_outliers"))
+        .select(col("nation"), col("n_customers"), col("n_outliers"),
+          round(col("n_outliers").cast("double") /
+            col("n_customers").cast("double"), 6).as("outlier_rate"))
+    }),
+
+    "q399_winsorized_trimmed" -> ((s, dir) => {
+      // Per-brand 5–95% winsorized and trimmed means of retail price —
+      // the robust-location pair beside the median (q65) and MAD
+      // (q146). No per-row float sum exists: the interior mass is an
+      // exact BIGINT cents sum, the winsorized tails contribute
+      // count × interpolated-bound, so each mean is a fixed double
+      // expression of exact integers plus the two shared quantile
+      // interpolations (broadcast back onto one scan).
+      val p = tbl(s, dir, "part").select(col("p_brand"),
+        (col("p_retailprice").cast(dec) * 100).cast("long").as("c"))
+      val bounds = p.groupBy(col("p_brand"))
+        .agg(expr("percentile(CAST(c AS DOUBLE), 0.05)").as("lo"),
+          expr("percentile(CAST(c AS DOUBLE), 0.95)").as("hi"))
+      val interior = col("c") >= col("lo") && col("c") <= col("hi")
+      p.join(broadcast(bounds), Seq("p_brand"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(interior, col("c")).otherwise(0L)).as("si"),
+          sum(when(interior, 1L).otherwise(0L)).as("ni"),
+          sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+        .select(col("p_brand").as("brand"), col("n_parts"),
+          col("n_lo"), col("n_hi"),
+          round((col("si").cast("double") +
+            col("n_lo").cast("double") * col("lo") +
+            col("n_hi").cast("double") * col("hi")) /
+            col("n_parts").cast("double") / lit(100.0), 4).as("wins_mean"),
+          round(col("si").cast("double") / col("ni").cast("double") /
+            lit(100.0), 4).as("trim_mean"))
+    }),
   )
 
   /** Exact per-customer total spend cents per nation — the shared base

@@ -2144,5 +2144,33 @@ private[graft] object QueriesText {
           round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
         .filter(col("cosine") >= 0.3)
     }),
+
+    "q395_fleiss_kappa" -> ((s, dir) => {
+      // Fleiss' κ for THREE deterministic raters over two categories —
+      // the multi-rater agreement statistic beside Cohen's κ (q281/q305,
+      // exactly two raters) and Krippendorff's α (q387, pooled
+      // coincidences). The raters are three independent "substantial
+      // document" screens (char count, token count, distinct-token
+      // count, fixed integer thresholds); per item m = votes for
+      // category 1, P_i = (m² + (3−m)² − 3)/6, κ = (P̄−P_e)/(1−P_e)
+      // with P_e = p₁² + p₂². Every sum is an exact BIGINT over one
+      // codegen'd scan; the finals are fixed double expressions both
+      // engines evaluate identically.
+      val toks = graft.functions.Text.tokens(col("text"))
+      val m = (when(col("n_chars") >= 300, 1L).otherwise(0L) +
+        when(size(toks) >= 55, 1L).otherwise(0L) +
+        when(size(array_distinct(toks)) >= 27, 1L).otherwise(0L)).as("m")
+      val a = tbl(s, dir, "documents").select(m)
+        .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("sm"),
+          sum(col("m") * col("m") +
+            (lit(3L) - col("m")) * (lit(3L) - col("m"))).as("sq"))
+      val n = col("n_docs").cast("double")
+      val pbar = (col("sq").cast("double") - lit(3.0) * n) / (lit(6.0) * n)
+      val p1 = col("sm").cast("double") / (lit(3.0) * n)
+      val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+      a.select(col("n_docs"), round(pbar, 6).as("p_bar"),
+        round(pe, 6).as("p_e"),
+        round((pbar - pe) / (lit(1.0) - pe), 6).as("fleiss_kappa"))
+    }),
   )
 }
