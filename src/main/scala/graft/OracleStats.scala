@@ -2469,5 +2469,60 @@ private[graft] object OracleStats {
              / CAST(sum(CASE WHEN c >= lo AND c <= hi THEN 1 ELSE 0 END)
                AS DOUBLE) / 100.0, 4) AS trim_mean
          FROM p JOIN b USING (p_brand) GROUP BY 1, lo, hi""",
+
+    "q403_box_cox" ->
+      s"""WITH $spendSql,
+         grid AS (SELECT nation,
+             quantile_cont(CAST(x AS DOUBLE), $decileList) AS gl,
+             CAST(count(*) AS BIGINT) AS n_customers
+           FROM spend GROUP BY 1),
+         z AS (SELECT nation, n_customers,
+             list_transform(gl, x -> x / (list_sum(gl) / 10.0)) AS zl
+           FROM grid),
+         t AS (SELECT nation, n_customers,
+             list_transform(zl, v -> round((1.0 / v - 1.0) / (-1.0), 9))
+               AS ym10,
+             list_transform(zl, v -> round((1.0 / sqrt(v) - 1.0) / (-0.5), 9))
+               AS ym05,
+             list_transform(zl, v -> round(ln(v), 9)) AS y00,
+             list_transform(zl, v -> round((sqrt(v) - 1.0) / 0.5, 9)) AS y05,
+             list_transform(zl, v -> round(v - 1.0, 9)) AS y10,
+             list_sum(list_transform(zl, v -> round(ln(v), 9))) AS slnz
+           FROM z),
+         m AS (SELECT nation, n_customers, slnz,
+             ym10, ym05, y00, y05, y10,
+             list_sum(ym10) / 10.0 AS mm10, list_sum(ym05) / 10.0 AS mm05,
+             list_sum(y00) / 10.0 AS m00, list_sum(y05) / 10.0 AS m05,
+             list_sum(y10) / 10.0 AS m10
+           FROM t),
+         v AS (SELECT nation, n_customers, slnz,
+             list_sum(list_transform(ym10, v -> (v - mm10) * (v - mm10)))
+               / 10.0 AS s2m10,
+             list_sum(list_transform(ym05, v -> (v - mm05) * (v - mm05)))
+               / 10.0 AS s2m05,
+             list_sum(list_transform(y00, v -> (v - m00) * (v - m00)))
+               / 10.0 AS s200,
+             list_sum(list_transform(y05, v -> (v - m05) * (v - m05)))
+               / 10.0 AS s205,
+             list_sum(list_transform(y10, v -> (v - m10) * (v - m10)))
+               / 10.0 AS s210
+           FROM m),
+         l AS (SELECT nation, n_customers,
+             round(-5.0 * ln(s2m10) + -2.0 * slnz, 4) AS ll_m10,
+             round(-5.0 * ln(s2m05) + -1.5 * slnz, 4) AS ll_m05,
+             round(-5.0 * ln(s200) + -1.0 * slnz, 4) AS ll_00,
+             round(-5.0 * ln(s205) + -0.5 * slnz, 4) AS ll_05,
+             round(-5.0 * ln(s210) + 0.0 * slnz, 4) AS ll_10
+           FROM v)
+         SELECT nation, n_customers, ll_m10, ll_m05, ll_00, ll_05, ll_10,
+           CAST(CASE
+             WHEN ll_m10 >= ll_m05 AND ll_m10 >= ll_00 AND ll_m10 >= ll_05
+               AND ll_m10 >= ll_10 THEN -1.0
+             WHEN ll_m05 >= ll_00 AND ll_m05 >= ll_05 AND ll_m05 >= ll_10
+               THEN -0.5
+             WHEN ll_00 >= ll_05 AND ll_00 >= ll_10 THEN 0.0
+             WHEN ll_05 >= ll_10 THEN 0.5
+             ELSE 1.0 END AS DOUBLE) AS best_lambda
+         FROM l""",
   )
 }

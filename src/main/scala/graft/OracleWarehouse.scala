@@ -1790,6 +1790,55 @@ private[graft] object OracleWarehouse {
            CAST(count(DISTINCT ck) AS BIGINT) AS n_customers
          FROM t WHERE b3 IS NOT NULL
          GROUP BY 1, 2, 3 HAVING count(*) >= 3""",
+
+    "q400_order_gaps" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+           FROM orders),
+         g AS (SELECT o_custkey,
+             date_diff('day',
+               lag(d) OVER (PARTITION BY o_custkey ORDER BY d), d) AS gap
+           FROM o),
+         base AS (SELECT n_name AS nation, CAST(gap AS BIGINT) AS gap
+           FROM g
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE gap IS NOT NULL)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS mean_gap,
+           round(quantile_cont(CAST(gap AS DOUBLE), 0.5), 2) AS median_gap,
+           CAST(max(gap) AS BIGINT) AS max_gap
+         FROM base GROUP BY 1""",
+
+    "q401_new_vs_returning" ->
+      """WITH per AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS m
+           FROM orders GROUP BY 1, 2),
+         f AS (SELECT o_custkey, min(m) AS fm FROM per GROUP BY 1)
+         SELECT m AS month, CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(count(*) - sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning,
+           round(CAST(sum(CASE WHEN m = fm THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS new_share
+         FROM per JOIN f USING (o_custkey) GROUP BY 1""",
+
+    "q402_pinball_loss" ->
+      """WITH p AS (SELECT p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM part),
+         b AS (SELECT p_brand,
+             quantile_cont(CAST(c AS DOUBLE), 0.9) AS q
+           FROM p GROUP BY 1)
+         SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS n_parts,
+           round(q / 100.0, 4) AS q90_dollars,
+           round((0.9 * (CAST(sum(CASE WHEN c > q THEN c ELSE 0 END)
+                 AS DOUBLE)
+               - CAST(sum(CASE WHEN c > q THEN 1 ELSE 0 END) AS DOUBLE) * q)
+             + (1.0 - 0.9)
+               * (CAST(sum(CASE WHEN c <= q THEN 1 ELSE 0 END) AS DOUBLE) * q
+                 - CAST(sum(CASE WHEN c <= q THEN c ELSE 0 END) AS DOUBLE)))
+             / CAST(count(*) AS DOUBLE) / 100.0, 6) AS pinball_loss
+         FROM p JOIN b USING (p_brand) GROUP BY 1, q""",
   )
 
   /** The q365–q367 shared grid: daily order revenue in exact cents per

@@ -3010,6 +3010,48 @@ private[graft] object QueriesStats {
           round(col("si").cast("double") / col("ni").cast("double") /
             lit(100.0), 4).as("trim_mean"))
     }),
+
+    "q403_box_cox" -> ((s, dir) => {
+      // Box–Cox λ selection per nation on the mean-normalized decile
+      // grid of customer spend: profile log-likelihood
+      // LL(λ) = −(k/2)·ln σ̂²_λ + (λ−1)·Σ ln z over the k = 10 grid
+      // points z = x/μ_grid, λ ∈ {−1, −½, 0, ½, 1} — each power
+      // spelled as 1/z, 1/√z, ln z, √z (sqrt and division are
+      // IEEE-exact; pow never appears, the rboWeights discipline).
+      // Normalizing by the grid mean keeps every transform O(1) at ANY
+      // corpus scale, and the variance is the centered two-pass form,
+      // so nothing cancels. Terms round on the 9-dp grid and fold in
+      // grid order (the q393 discipline).
+      val grid = spendDecileGrid(s, dir)
+      val mu = aggregate(col("g"), lit(0.0), _ + _) / lit(10.0)
+      def fold(arr: Column) = aggregate(arr, lit(0.0), _ + _)
+      def y9(f: Column => Column) =
+        transform(col("g"), x => round(f(x / mu), 9))
+      val slnz = fold(transform(col("g"), x => round(log(x / mu), 9)))
+      def ll(f: Column => Column, lam: Double) = {
+        val ys = y9(f)
+        val m = fold(ys) / lit(10.0)
+        val s2 = fold(transform(ys, v => (v - m) * (v - m))) / lit(10.0)
+        round(lit(-5.0) * log(s2) + lit(lam - 1.0) * slnz, 4)
+      }
+      val lls = Seq(
+        ll(z => (lit(1.0) / z - lit(1.0)) / lit(-1.0), -1.0).as("ll_m10"),
+        ll(z => (lit(1.0) / sqrt(z) - lit(1.0)) / lit(-0.5), -0.5).as("ll_m05"),
+        ll(z => log(z), 0.0).as("ll_00"),
+        ll(z => (sqrt(z) - lit(1.0)) / lit(0.5), 0.5).as("ll_05"),
+        ll(z => z - lit(1.0), 1.0).as("ll_10"))
+      grid.select(col("nation") +: col("n_customers") +: lls: _*)
+        .withColumn("best_lambda",
+          when(col("ll_m10") >= col("ll_m05") && col("ll_m10") >= col("ll_00") &&
+            col("ll_m10") >= col("ll_05") && col("ll_m10") >= col("ll_10"),
+            lit(-1.0))
+          .when(col("ll_m05") >= col("ll_00") && col("ll_m05") >= col("ll_05") &&
+            col("ll_m05") >= col("ll_10"), lit(-0.5))
+          .when(col("ll_00") >= col("ll_05") && col("ll_00") >= col("ll_10"),
+            lit(0.0))
+          .when(col("ll_05") >= col("ll_10"), lit(0.5))
+          .otherwise(lit(1.0)))
+    }),
   )
 
   /** Exact per-customer total spend cents per nation — the shared base

@@ -2835,6 +2835,84 @@ private[graft] object QueriesWarehouse {
           countDistinct(col("ck")).as("n_customers"))
         .filter(col("n_occurrences") >= 3)
     }),
+
+    "q400_order_gaps" -> ((s, dir) => {
+      // Interpurchase-interval profile per nation: day gaps between each
+      // customer's consecutive orders (customer-partitioned lag window —
+      // the q42 sessionize class, never global). Equal order dates make
+      // the gap MULTISET order-invariant (consecutive pairs of a sorted
+      // sequence depend only on the sorted values), so no tie-break
+      // column is needed for cross-engine agreement. Mean is an exact
+      // integer sum over count; the median is the shared interpolation.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      o.withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)))
+        .filter(col("gap").isNotNull)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("gap").cast("long").as("gap"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sgap"),
+          expr("percentile(CAST(gap AS DOUBLE), 0.5)").as("med"),
+          max(col("gap")).as("max_gap"))
+        .select(col("nation"), col("n_gaps"),
+          round(col("sgap").cast("double") / col("n_gaps").cast("double"), 4)
+            .as("mean_gap"),
+          round(col("med"), 2).as("median_gap"), col("max_gap"))
+    }),
+
+    "q401_new_vs_returning" -> ((s, dir) => {
+      // Monthly new-vs-returning customer split — the acquisition-mix
+      // report beside retention cohorts (q218): a customer is "new"
+      // exactly in their first-ever order month (per-customer min, one
+      // shuffle on the customer key); actives are month-grouped counts.
+      // All exact integers, the share one division.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      val per = o.groupBy(col("o_custkey"), col("m")).agg(count(lit(1)).as("n_o"))
+      val firstM = per.groupBy(col("o_custkey")).agg(min(col("m")).as("fm"))
+      per.join(firstM, Seq("o_custkey"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("m") === col("fm"), 1L).otherwise(0L)).as("n_new"))
+        .select(col("m").as("month"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          round(col("n_new").cast("double") / col("n_active").cast("double"), 6)
+            .as("new_share"))
+    }),
+
+    "q402_pinball_loss" -> ((s, dir) => {
+      // Pinball (quantile) loss of the per-brand 0.9-quantile price
+      // forecast — the metric that scores a quantile forecast the way
+      // Brier (q259) scores a probability. No per-row float sum exists:
+      // the loss decomposes into exact BIGINT tail sums ± count × bound
+      // (the q399 winsorized discipline), so the mean loss is a fixed
+      // double expression of exact integers plus the shared quantile
+      // interpolation.
+      val tau = 0.9
+      val p = tbl(s, dir, "part").select(col("p_brand"),
+        (col("p_retailprice").cast(dec) * 100).cast("long").as("c"))
+      val b = p.groupBy(col("p_brand"))
+        .agg(expr("percentile(CAST(c AS DOUBLE), 0.9)").as("q"))
+      p.join(broadcast(b), Seq("p_brand"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(when(col("c") > col("q"), col("c")).otherwise(0L)).as("shi"),
+          sum(when(col("c") > col("q"), 1L).otherwise(0L)).as("nhi"),
+          sum(when(col("c") <= col("q"), col("c")).otherwise(0L)).as("slo"),
+          sum(when(col("c") <= col("q"), 1L).otherwise(0L)).as("nlo"),
+          first(col("q")).as("q"))
+        .select(col("p_brand").as("brand"), col("n_parts"),
+          round(col("q") / lit(100.0), 4).as("q90_dollars"),
+          round((lit(tau) * (col("shi").cast("double") -
+            col("nhi").cast("double") * col("q")) +
+            (lit(1.0) - lit(tau)) * (col("nlo").cast("double") * col("q") -
+              col("slo").cast("double"))) /
+            col("n_parts").cast("double") / lit(100.0), 6).as("pinball_loss"))
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared
