@@ -1168,5 +1168,68 @@ private[graft] object OracleText {
              / (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 6)
              AS fleiss_kappa
          FROM b""",
+
+    "q404_lexical_richness" ->
+      """WITH toks AS (SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+         a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS sc2
+           FROM tf GROUP BY 1)
+         SELECT source, n AS n_tokens, v AS n_types,
+           round(10000.0 * (CAST(sc2 AS DOUBLE) - CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS yules_k,
+           round(CAST(v AS DOUBLE) / sqrt(CAST(n AS DOUBLE)), 4)
+             AS guiraud_r,
+           round(CAST(v2 AS DOUBLE) / CAST(v AS DOUBLE), 6) AS sichel_s,
+           CASE WHEN v1 < v THEN
+             round(100.0 * ln(CAST(n AS DOUBLE))
+               / (1.0 - CAST(v1 AS DOUBLE) / CAST(v AS DOUBLE)), 4)
+           ELSE NULL END AS honore_h
+         FROM a""",
+
+    "q405_coleman_liau" ->
+      """WITH d AS (SELECT source,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             AS BIGINT) AS l,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           round(CAST(sum(l) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4)
+             AS avg_word_len,
+           round(0.0588
+               * (100.0 * CAST(sum(l) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+             - 0.296
+               * (100.0 * CAST(count(*) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+             - 15.8, 4) AS cli
+         FROM d GROUP BY 1""",
+
+    "q406_term_dispersion" ->
+      """WITH toks AS (SELECT source,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+         tok AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ntok
+           FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt FROM tf),
+         trm AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS ct
+           FROM tf GROUP BY 1 HAVING sum(cnt) >= 50),
+         d AS (SELECT trm.term, trm.ct, tok.source,
+             round(abs(CAST(coalesce(tf.cnt, 0) AS DOUBLE)
+                 / CAST(trm.ct AS DOUBLE)
+               - CAST(tok.ntok AS DOUBLE) / CAST(tt AS DOUBLE)), 9) AS d
+           FROM trm CROSS JOIN tok
+           LEFT JOIN tf ON tf.term = trm.term AND tf.source = tok.source
+           CROSS JOIN tot)
+         SELECT term, ct AS n_occurrences,
+           round(list_sum(list(d ORDER BY source)) / 2.0, 6) AS dp
+         FROM d GROUP BY 1, 2""",
   )
 }

@@ -2172,5 +2172,93 @@ private[graft] object QueriesText {
         round(pe, 6).as("p_e"),
         round((pbar - pe) / (lit(1.0) - pe), 6).as("fleiss_kappa"))
     }),
+
+    "q404_lexical_richness" -> ((s, dir) => {
+      // The classical vocabulary-richness panel per source — Yule's K
+      // (10⁴·(Σc²−N)/N², the repeat-rate index), Guiraud's R (V/√N),
+      // Sichel's S (V₂/V) and Honoré's H (100·ln N/(1−V₁/V)) — the
+      // length-robust complements of the raw TTR/hapax stats q151
+      // reports and the Chao1 tail estimate q343 fits. One corpus scan
+      // to (source, term) counts; Σc² rides decimal(38,0) (a hot
+      // term's square would outgrow BIGINT at scale); H is NULL when
+      // every type is a hapax (V₁ = V), CASE mirrored.
+      val tf = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      tf.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("v2"),
+          sum(col("cnt").cast("decimal(38,0)") * col("cnt").cast("decimal(38,0)"))
+            .as("sc2"))
+        .select(col("source"), col("n").as("n_tokens"), col("v").as("n_types"),
+          round(lit(10000.0) *
+            (col("sc2").cast("double") - col("n").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double")), 4)
+            .as("yules_k"),
+          round(col("v").cast("double") / sqrt(col("n").cast("double")), 4)
+            .as("guiraud_r"),
+          round(col("v2").cast("double") / col("v").cast("double"), 6)
+            .as("sichel_s"),
+          when(col("v1") < col("v"),
+            round(lit(100.0) * log(col("n").cast("double")) /
+              (lit(1.0) - col("v1").cast("double") / col("v").cast("double")),
+              4)).otherwise(lit(null).cast("double")).as("honore_h"))
+    }),
+
+    "q405_coleman_liau" -> ((s, dir) => {
+      // Coleman–Liau readability per source under the declared
+      // one-sentence-per-document convention (the synthetic corpus
+      // carries no terminal punctuation, so each document is its one
+      // sentence): CLI = 0.0588·L − 0.296·S − 15.8 with L = letters
+      // per 100 words, S = sentences per 100 words — the char-count
+      // sibling of Flesch (q326, which needs syllables). Letters strip
+      // through one codegen'd regexp; every sum is exact.
+      val d = tbl(s, dir, "documents").select(col("source"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("l"),
+        size(Text.tokens(col("text"))).cast("long").as("w"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("l")).as("sl"),
+          sum(col("w")).as("sw"))
+        .select(col("source"), col("n_docs"), col("sw").as("n_words"),
+          round(col("sl").cast("double") / col("sw").cast("double"), 4)
+            .as("avg_word_len"),
+          round(lit(0.0588) *
+            (lit(100.0) * col("sl").cast("double") / col("sw").cast("double")) -
+            lit(0.296) *
+            (lit(100.0) * col("n_docs").cast("double") / col("sw").cast("double")) -
+            lit(15.8), 4).as("cli"))
+    }),
+
+    "q406_term_dispersion" -> ((s, dir) => {
+      // Gries' deviation of proportions (DP) per frequent term: how
+      // unevenly a term spreads across sources relative to the
+      // sources' token-mass shares — 0 = perfectly proportional,
+      // →1 = concentrated in one source; the dispersion complement of
+      // the frequency-only Zipf/burstiness panel (q308/q309). The
+      // dense term × source frame is vocabulary-bounded (tt ≥ 50 cap),
+      // absent cells contribute |0 − s_i| via the coalesce, and the
+      // 20 per-term |v−s| terms fold in source order on the 9-dp grid.
+      val tf = tbl(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tok = tf.groupBy(col("source")).agg(sum(col("cnt")).as("ntok"))
+      val tot = tf.agg(sum(col("cnt")).as("tt"))
+      val trm = tf.groupBy(col("term")).agg(sum(col("cnt")).as("ct"))
+        .filter(col("ct") >= 50)
+      trm.crossJoin(broadcast(tok))
+        .join(tf, Seq("term", "source"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("term"), col("ct"), col("source"),
+          round(abs(coalesce(col("cnt"), lit(0L)).cast("double") /
+            col("ct").cast("double") -
+            col("ntok").cast("double") / col("tt").cast("double")), 9).as("d"))
+        .groupBy(col("term"), col("ct"))
+        .agg(aggregate(array_sort(collect_list(struct(col("source"), col("d")))),
+          lit(0.0), (a, e) => a + e.getField("d")).as("sd"))
+        .select(col("term"), col("ct").as("n_occurrences"),
+          round(col("sd") / lit(2.0), 6).as("dp"))
+    }),
   )
 }
