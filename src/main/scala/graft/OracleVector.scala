@@ -722,5 +722,102 @@ private[graft] object OracleVector {
            round(CAST(n_overlap AS DOUBLE) / 10.0, 2) AS recall_at_10
          FROM ($union)"""
     },
+
+    "q407_sign_quant_recall" ->
+      s"""WITH q AS (SELECT
+           list_transform(embedding, x ->
+             CASE WHEN CAST(x AS DOUBLE) > 0.0 THEN 1 ELSE 0 END) AS qb,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x ->
+               CASE WHEN CAST(x AS DOUBLE) > 0.0 THEN 1 ELSE 0 END) AS eb,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings WHERE vec_id <> 0),
+         st AS (SELECT vec_id, ham FROM (
+           SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, len(eb)+1),
+               i -> abs(eb[i] - qb[i]))) AS BIGINT) AS ham
+           FROM e, q ORDER BY ham ASC, vec_id LIMIT 10)),
+         et AS (SELECT vec_id FROM (
+           SELECT vec_id, round($cosineSqlBody, 4) AS cs
+           FROM e, q ORDER BY cs DESC, vec_id LIMIT 10)),
+         ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+           FROM st WHERE vec_id IN (SELECT vec_id FROM et))
+         SELECT n_overlap,
+           round(CAST(n_overlap AS DOUBLE) / 10.0, 2) AS recall_at_10,
+           (SELECT CAST(max(ham) AS BIGINT) FROM st) AS max_ham
+         FROM ov""",
+
+    "q408_calinski_harabasz" ->
+      """WITH ev AS MATERIALIZED (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         ei AS (SELECT vec_id, label, v,
+           unnest(range(1, len(v)+1)) AS i FROM ev),
+         ed AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS x FROM ei),
+         cent AS (SELECT label, dim,
+             list_sum(list(x ORDER BY vec_id)) / count(*) AS c
+           FROM ed GROUP BY 1, 2),
+         cv AS MATERIALIZED (SELECT label, list(c ORDER BY dim) AS cv
+           FROM cent GROUP BY 1),
+         gc AS (SELECT dim, list_sum(list(x ORDER BY vec_id)) / count(*) AS g
+           FROM ed GROUP BY 1),
+         gv AS (SELECT list(g ORDER BY dim) AS gv FROM gc),
+         nj AS (SELECT label, CAST(count(*) AS BIGINT) AS nj
+           FROM ev GROUP BY 1),
+         d2 AS (SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(range(1, len(e.v)+1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 9) AS d2
+           FROM ev e JOIN cv c USING (label)),
+         wj AS (SELECT label, list_sum(list(d2 ORDER BY vec_id)) AS w
+           FROM d2 GROUP BY 1),
+         bj AS (SELECT c.label,
+             round(CAST(nj.nj AS DOUBLE)
+               * list_sum(list_transform(range(1, len(c.cv)+1),
+                 i -> (c.cv[i] - gv.gv[i]) * (c.cv[i] - gv.gv[i]))), 9) AS b
+           FROM cv c JOIN nj USING (label) CROSS JOIN gv),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT label) AS BIGINT) AS k FROM ev),
+         sums AS (SELECT list_sum(list(w ORDER BY label)) AS wcss,
+             list_sum(list(b ORDER BY label)) AS bcss
+           FROM wj JOIN bj USING (label))
+         SELECT n AS n_vecs, k AS n_clusters,
+           round(bcss, 4) AS bcss, round(wcss, 4) AS wcss,
+           round((bcss / CAST(k - 1 AS DOUBLE))
+             / (wcss / CAST(n - k AS DOUBLE)), 4) AS ch_index
+         FROM sums CROSS JOIN tot""",
+
+    "q409_davies_bouldin" ->
+      """WITH ev AS MATERIALIZED (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         ei AS (SELECT vec_id, label, v,
+           unnest(range(1, len(v)+1)) AS i FROM ev),
+         ed AS (SELECT vec_id, label, i - 1 AS dim, v[i] AS x FROM ei),
+         cent AS (SELECT label, dim,
+             list_sum(list(x ORDER BY vec_id)) / count(*) AS c
+           FROM ed GROUP BY 1, 2),
+         cv AS MATERIALIZED (SELECT label, list(c ORDER BY dim) AS cv
+           FROM cent GROUP BY 1),
+         d AS (SELECT e.label, e.vec_id,
+             round(sqrt(list_sum(list_transform(range(1, len(e.v)+1),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))), 9) AS d
+           FROM ev e JOIN cv c USING (label)),
+         sig AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             list_sum(list(d ORDER BY vec_id)) / count(*) AS sigma
+           FROM d GROUP BY 1),
+         cd AS (SELECT a.label AS li, b.label AS lj,
+             sqrt(list_sum(list_transform(range(1, len(a.cv)+1),
+               i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i])))) AS dc
+           FROM cv a JOIN cv b ON a.label <> b.label),
+         r AS (SELECT li, si.n_vecs, si.sigma,
+             (si.sigma + sj.sigma) / dc AS r
+           FROM cd
+           JOIN sig si ON si.label = li
+           JOIN sig sj ON sj.label = lj)
+         SELECT li AS label, n_vecs, round(sigma, 6) AS sigma,
+           round(max(r), 6) AS db_term
+         FROM r GROUP BY 1, 2, sigma""",
   )
 }

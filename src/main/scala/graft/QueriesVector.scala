@@ -1260,5 +1260,138 @@ private[graft] object QueriesVector {
           seeds, "s_suppkey", damping = 0.85, iters = 10)
         .select(col("node").as("s_suppkey"), round(col("rank"), 8).as("ppr"))
     }),
+
+    "q407_sign_quant_recall" -> ((s, dir) => {
+      // 1-bit (sign) quantization evaluation: Hamming top-10 over the
+      // 64×-compressed sign codes vs the full-precision exact cosine
+      // top-10 (the q38 contract) — the cheapest point on the
+      // quantization curve q84 (int8) and q383 (Matryoshka prefixes)
+      // trace, and the binary-code screen an ANN index uses before a
+      // float rerank. Hamming distances are exact integers (zip_with
+      // |a−b| over 0/1 codes); both top-10s are TakeOrderedAndProject;
+      // recall is a 10-row semi-join.
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val qbits = q.map(x => if (x > 0.0) 1L else 0L)
+      val bits = transform(col("embedding"),
+        x => when(x.cast("double") > 0.0, 1L).otherwise(0L))
+      val ham = aggregate(zip_with(bits, array(qbits.map(lit): _*),
+        (a, b) => abs(a - b)), lit(0L), _ + _)
+      val signTop = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), ham.as("ham"))
+        .orderBy(col("ham").asc, col("vec_id")).limit(10)
+        .localCheckpoint()
+      val exact = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Vectors.cosineToConst(col("embedding"), q), 4).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(10)
+      val overlap = signTop.join(exact, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      signTop.agg(max(col("ham")).as("max_ham")).crossJoin(overlap)
+        .select(col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10.0, 2).as("recall_at_10"),
+          col("max_ham"))
+    }),
+
+    "q408_calinski_harabasz" -> ((s, dir) => {
+      // Calinski–Harabasz (variance-ratio) index of the labeled
+      // embedding clusters — the between/within dispersion complement
+      // of silhouette (q330) and purity/NMI (q284). WCSS and BCSS
+      // reduce to per-label folds: per-vector squared distances fold
+      // vec_id-ordered on the 9-dp grid (the q330 float contract),
+      // per-label terms fold label-ordered, and the index is one fixed
+      // double expression. The only corpus-shaped step is the
+      // broadcast-centroid join.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint()
+      val ed = e.select(col("vec_id"), col("label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      def centroid(keys: Seq[Column]) = ed.groupBy(keys :+ col("dim"): _*)
+        .agg((aggregate(array_sort(collect_list(struct(col("vec_id"),
+            col("x")))), lit(0.0), (a, r) => a + r.getField("x"))
+          / count(lit(1))).as("c"))
+      val cent = centroid(Seq(col("label")))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          r => r.getField("c")).as("cv"))
+      val gcent = centroid(Seq.empty)
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          r => r.getField("c")).as("gv"))
+      val nj = e.groupBy(col("label")).agg(count(lit(1)).as("nj"))
+      def sq(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)), lit(0.0),
+          (acc, x) => acc + x)
+      val wj = e.join(broadcast(cent), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          round(sq(col("v"), col("cv")), 9).as("d2"))
+        .groupBy(col("label"))
+        .agg(aggregate(array_sort(collect_list(struct(col("vec_id"),
+          col("d2")))), lit(0.0), (a, r) => a + r.getField("d2")).as("w"))
+      val bj = cent.join(nj, Seq("label")).crossJoin(broadcast(gcent))
+        .select(col("label"),
+          round(col("nj").cast("double") * sq(col("cv"), col("gv")), 9).as("b"))
+      val tot = e.agg(count(lit(1)).as("n"), countDistinct(col("label")).as("k"))
+      wj.join(bj, Seq("label"))
+        .agg(aggregate(array_sort(collect_list(struct(col("label"), col("w")))),
+          lit(0.0), (a, r) => a + r.getField("w")).as("wcss"),
+          aggregate(array_sort(collect_list(struct(col("label"), col("b")))),
+            lit(0.0), (a, r) => a + r.getField("b")).as("bcss"))
+        .crossJoin(tot)
+        .select(col("n").as("n_vecs"), col("k").as("n_clusters"),
+          round(col("bcss"), 4).as("bcss"), round(col("wcss"), 4).as("wcss"),
+          round((col("bcss") / (col("k") - 1).cast("double")) /
+            (col("wcss") / (col("n") - col("k")).cast("double")), 4)
+            .as("ch_index"))
+    }),
+
+    "q409_davies_bouldin" -> ((s, dir) => {
+      // Davies–Bouldin terms per labeled cluster: σ_j = mean distance
+      // to the own centroid (vec_id-ordered 9-dp fold), pairwise
+      // centroid separations on the k²-sized (label-bounded) frame,
+      // db_term_j = max_{i≠j}(σ_i+σ_j)/d_ij — the third internal
+      // cluster-validity face beside silhouette (q330) and CH (q408);
+      // lower is better-separated.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint()
+      val cent = e.select(col("vec_id"), col("label"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg((aggregate(array_sort(collect_list(struct(col("vec_id"),
+            col("x")))), lit(0.0), (a, r) => a + r.getField("x"))
+          / count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          r => r.getField("c")).as("cv"))
+        .localCheckpoint()
+      def sq(a: Column, b: Column) =
+        aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)), lit(0.0),
+          (acc, x) => acc + x)
+      val sig = e.join(broadcast(cent), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          round(sqrt(sq(col("v"), col("cv"))), 9).as("d"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (aggregate(array_sort(collect_list(struct(col("vec_id"), col("d")))),
+            lit(0.0), (a, r) => a + r.getField("d")) / count(lit(1)))
+            .as("sigma"))
+      val cd = cent.select(col("label").as("li"), col("cv").as("cvi"))
+        .join(cent.select(col("label").as("lj"), col("cv").as("cvj")),
+          col("li") =!= col("lj"))
+        .select(col("li"), col("lj"), sqrt(sq(col("cvi"), col("cvj"))).as("dc"))
+      cd.join(sig.select(col("label").as("li"), col("sigma").as("si"),
+          col("n_vecs")), Seq("li"))
+        .join(sig.select(col("label").as("lj"), col("sigma").as("sj")), Seq("lj"))
+        .select(col("li"), col("n_vecs"), col("si"),
+          ((col("si") + col("sj")) / col("dc")).as("r"))
+        .groupBy(col("li"), col("n_vecs"), col("si"))
+        .agg(max(col("r")).as("dbm"))
+        .select(col("li").as("label"), col("n_vecs"),
+          round(col("si"), 6).as("sigma"), round(col("dbm"), 6).as("db_term"))
+    }),
   )
 }
