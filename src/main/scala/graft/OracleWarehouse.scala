@@ -1839,7 +1839,135 @@ private[graft] object OracleWarehouse {
                  - CAST(sum(CASE WHEN c <= q THEN c ELSE 0 END) AS DOUBLE)))
              / CAST(count(*) AS DOUBLE) / 100.0, 6) AS pinball_loss
          FROM p JOIN b USING (p_brand) GROUP BY 1, q""",
+
+    "q410_chow_test" -> {
+      // SSE in the centered-cross-moment closed form — one template
+      // reused for the per-segment and pooled fits (mirrors the Spark
+      // side's `sse` column builder exactly).
+      val sse =
+        """CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)
+             / CAST(n AS DOUBLE)
+           - CAST(CAST(n AS HUGEINT) * sty - st * sy AS DOUBLE)
+             * CAST(CAST(n AS HUGEINT) * sty - st * sy AS DOUBLE)
+             / (CAST(n AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE))"""
+      val moments =
+        """CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(t AS HUGEINT)) AS st, sum(CAST(c AS HUGEINT)) AS sy,
+           sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS stt,
+           sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy,
+           sum(CAST(t AS HUGEINT) * CAST(c AS HUGEINT)) AS sty"""
+      s"""WITH daily AS ($dailyRevenueSql),
+         idx AS (SELECT nation, c,
+             CAST(row_number() OVER (PARTITION BY nation ORDER BY d)
+               AS BIGINT) AS t
+           FROM daily),
+         np AS (SELECT nation, CAST(count(*) AS BIGINT) AS nd
+           FROM idx GROUP BY 1),
+         seg AS (SELECT idx.nation, c, t,
+             CASE WHEN t * 2 <= nd THEN 1 ELSE 2 END AS sgm
+           FROM idx JOIN np USING (nation)),
+         m AS (SELECT nation, sgm, $moments FROM seg GROUP BY 1, 2),
+         e AS (SELECT nation, sgm, $sse AS sse FROM m),
+         mp AS (SELECT nation, $moments FROM idx GROUP BY 1),
+         ep AS (SELECT nation, n AS nd, $sse AS ssep FROM mp)
+         SELECT ep.nation, nd AS n_days,
+           round((ssep - e1.sse - e2.sse) / ssep, 6) AS break_share,
+           round(((ssep - e1.sse - e2.sse) / 2.0)
+             / ((e1.sse + e2.sse) / CAST(nd - 4 AS DOUBLE)), 4) AS f_chow
+         FROM ep
+         JOIN (SELECT nation, sse FROM e WHERE sgm = 1) e1 USING (nation)
+         JOIN (SELECT nation, sse FROM e WHERE sgm = 2) e2 USING (nation)"""
+    },
+
+    "q411_granger_lag1" ->
+      """WITH daily AS (SELECT n_name AS nation,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS x
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         lagged AS (SELECT nation, y,
+             lag(y) OVER (PARTITION BY nation ORDER BY d) AS yl,
+             lag(x) OVER (PARTITION BY nation ORDER BY d) AS xl
+           FROM daily),
+         f AS (SELECT nation, y, yl, xl FROM lagged WHERE yl IS NOT NULL),
+         m AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(yl AS HUGEINT)) AS s1,
+             sum(CAST(xl AS HUGEINT)) AS s2,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             sum(CAST(yl AS HUGEINT) * CAST(yl AS HUGEINT)) AS s11,
+             sum(CAST(xl AS HUGEINT) * CAST(xl AS HUGEINT)) AS s22,
+             sum(CAST(yl AS HUGEINT) * CAST(xl AS HUGEINT)) AS s12,
+             sum(CAST(yl AS HUGEINT) * CAST(y AS HUGEINT)) AS s1y,
+             sum(CAST(xl AS HUGEINT) * CAST(y AS HUGEINT)) AS s2y
+           FROM f GROUP BY 1),
+         cvals AS (SELECT nation, n,
+             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS cyy,
+             CAST(CAST(n AS HUGEINT) * s11 - s1 * s1 AS DOUBLE) AS c11,
+             CAST(CAST(n AS HUGEINT) * s22 - s2 * s2 AS DOUBLE) AS c22,
+             CAST(CAST(n AS HUGEINT) * s12 - s1 * s2 AS DOUBLE) AS c12,
+             CAST(CAST(n AS HUGEINT) * s1y - s1 * sy AS DOUBLE) AS c1y,
+             CAST(CAST(n AS HUGEINT) * s2y - s2 * sy AS DOUBLE) AS c2y
+           FROM m),
+         b AS (SELECT nation, n, cyy, c1y, c2y, c11, c22, c12,
+             (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+             (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+           FROM cvals),
+         sse AS (SELECT nation, n, b2, c11, c22, c12,
+             (cyy - b1 * c1y - b2 * c2y) / CAST(n AS DOUBLE) AS sseu,
+             (cyy - c1y * c1y / c11) / CAST(n AS DOUBLE) AS sser
+           FROM b)
+         SELECT nation, n AS n_days,
+           CASE WHEN c22 > 0.0 AND c11 <> 0.0
+               AND (c11 * c22 - c12 * c12) <> 0.0
+             THEN round(b2, 4) ELSE NULL END AS beta_xlag,
+           CASE WHEN c22 > 0.0 AND c11 <> 0.0
+               AND (c11 * c22 - c12 * c12) <> 0.0 AND sseu > 0.0
+             THEN round((sser - sseu)
+               / (sseu / (CAST(n AS DOUBLE) - 3.0)), 4)
+             ELSE NULL END AS f_granger
+         FROM sse""",
+
+    "q412_periodogram" ->
+      s"""WITH daily AS ($dailyRevenueSql),
+         idx AS (SELECT nation, d, c,
+             date_diff('day', DATE '1992-01-01', d) AS t
+           FROM daily),
+         terms AS (SELECT nation, d, c,
+             CAST(c AS DOUBLE) * (${fourierCase(7, 0)}) AS c7,
+             CAST(c AS DOUBLE) * (${fourierCase(7, 1)}) AS s7,
+             CAST(c AS DOUBLE) * (${fourierCase(30, 0)}) AS c30,
+             CAST(c AS DOUBLE) * (${fourierCase(30, 1)}) AS s30
+           FROM idx),
+         g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sy,
+             list_sum(list(c7 ORDER BY d)) AS fc7,
+             list_sum(list(s7 ORDER BY d)) AS fs7,
+             list_sum(list(c30 ORDER BY d)) AS fc30,
+             list_sum(list(s30 ORDER BY d)) AS fs30
+           FROM terms GROUP BY 1)
+         SELECT nation, n_days,
+           round(sqrt(fc7 * fc7 + fs7 * fs7) / CAST(sy AS DOUBLE), 6)
+             AS amp_weekly,
+           round(sqrt(fc30 * fc30 + fs30 * fs30) / CAST(sy AS DOUBLE), 6)
+             AS amp_monthly
+         FROM g""",
   )
+
+  /** q412's trig basis as a CASE over the day index mod p — rendered
+    * from the SAME Scala doubles the Spark when-chain consumes
+    * (QueryDsl.fourierWeights), so no engine ever calls its own
+    * cos/sin. `which` 0 = cos, 1 = sin.
+    */
+  private def fourierCase(p: Int, which: Int): String =
+    "CASE " + QueryDsl.fourierWeights(p).zipWithIndex.map {
+      case ((c, sn), k) =>
+        s"WHEN t % $p = $k THEN ${if (which == 0) c else sn}"
+    }.mkString(" ") + " ELSE 0.0 END"
 
   /** The q365–q367 shared grid: daily order revenue in exact cents per
     * (nation, day) — textual mirror of QueriesWarehouse.dailyRevenue.

@@ -2913,6 +2913,156 @@ private[graft] object QueriesWarehouse {
               col("slo").cast("double"))) /
             col("n_parts").cast("double") / lit(100.0), 6).as("pinball_loss"))
     }),
+
+    "q410_chow_test" -> ((s, dir) => {
+      // Chow structural-break F-test per nation at the series midpoint:
+      // fit revenue-on-time OLS to each half and to the pooled series,
+      // F = ((SSE_p − SSE₁ − SSE₂)/k) / ((SSE₁+SSE₂)/(n−2k)), k = 2.
+      // The day index is a calendar-bounded per-nation window (the
+      // q392 class); the five moments per segment are exact
+      // decimal(38,0) sums, each SSE the closed form
+      // cyy/n − cxy²/(n·cxx) of the centered cross-moments — fixed
+      // double expressions, no per-row float anywhere.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val idx = daily.withColumn("t", row_number().over(w).cast("long"))
+        .localCheckpoint()
+      val nPer = idx.groupBy(col("nation")).agg(count(lit(1)).as("nd"))
+      val seg = idx.join(broadcast(nPer), Seq("nation"))
+        .withColumn("sgm", when(col("t") * 2 <= col("nd"), 1).otherwise(2))
+      val d38 = "decimal(38,0)"
+      def moments(df: DataFrame, keys: Seq[Column]) = df.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("t").cast(d38)).as("st"), sum(col("c").cast(d38)).as("sy"),
+          sum(col("t").cast(d38) * col("t").cast(d38)).as("stt"),
+          sum(col("c").cast(d38) * col("c").cast(d38)).as("syy"),
+          sum(col("t").cast(d38) * col("c").cast(d38)).as("sty"))
+      def sse: Column = {
+        val nD = col("n").cast("double")
+        val cxx = (col("n").cast(d38) * col("stt") - col("st") * col("st"))
+          .cast("double")
+        val cyy = (col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+          .cast("double")
+        val cxy = (col("n").cast(d38) * col("sty") - col("st") * col("sy"))
+          .cast("double")
+        cyy / nD - cxy * cxy / (nD * cxx)
+      }
+      val perSeg = moments(seg, Seq(col("nation"), col("sgm")))
+        .select(col("nation"), col("sgm"), sse.as("sse"))
+      val s1 = perSeg.filter(col("sgm") === 1)
+        .select(col("nation"), col("sse").as("sse1"))
+      val s2 = perSeg.filter(col("sgm") === 2)
+        .select(col("nation"), col("sse").as("sse2"))
+      moments(idx, Seq(col("nation")))
+        .select(col("nation"), col("n").as("nd"), sse.as("ssep"))
+        .join(s1, Seq("nation")).join(s2, Seq("nation"))
+        .select(col("nation"), col("nd").as("n_days"),
+          round((col("ssep") - col("sse1") - col("sse2")) / col("ssep"), 6)
+            .as("break_share"),
+          round(((col("ssep") - col("sse1") - col("sse2")) / lit(2.0)) /
+            ((col("sse1") + col("sse2")) / (col("nd") - lit(4)).cast("double")),
+            4).as("f_chow"))
+    }),
+
+    "q411_granger_lag1" -> ((s, dir) => {
+      // Lag-1 Granger test per nation: does yesterday's ORDER COUNT
+      // improve today's revenue beyond yesterday's revenue?
+      // F = (SSE_r − SSE_u)/(SSE_u/(n−3)) between the restricted
+      // (y~y₋₁) and unrestricted (y~y₋₁+x₋₁) OLS fits, both in closed
+      // form from exact decimal(38,0) moments via centered
+      // cross-moments (c-values, the n² scale cancels in every
+      // coefficient) — the 2-predictor normal equations inverted
+      // 2×2, fixed double expressions end to end. Lags are
+      // calendar-bounded per-nation windows.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("d"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val daily = o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("d"))
+        .agg(sum(col("cents")).as("y"), count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val lagged = daily
+        .withColumn("yl", lag(col("y"), 1).over(w))
+        .withColumn("xl", lag(col("x"), 1).over(w))
+        .filter(col("yl").isNotNull)
+      val d38 = "decimal(38,0)"
+      def p(a: Column, b: Column) = sum(a.cast(d38) * b.cast(d38))
+      val m = lagged.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast(d38)).as("sy"), sum(col("yl").cast(d38)).as("s1"),
+          sum(col("xl").cast(d38)).as("s2"),
+          p(col("y"), col("y")).as("syy"), p(col("yl"), col("yl")).as("s11"),
+          p(col("xl"), col("xl")).as("s22"), p(col("yl"), col("xl")).as("s12"),
+          p(col("yl"), col("y")).as("s1y"), p(col("xl"), col("y")).as("s2y"))
+      val nD = col("n").cast("double")
+      def cc(sab: Column, sa: Column, sb: Column) =
+        (col("n").cast(d38) * sab - sa * sb).cast("double")
+      val cyy = cc(col("syy"), col("sy"), col("sy"))
+      val c11 = cc(col("s11"), col("s1"), col("s1"))
+      val c22 = cc(col("s22"), col("s2"), col("s2"))
+      val c12 = cc(col("s12"), col("s1"), col("s2"))
+      val c1y = cc(col("s1y"), col("s1"), col("sy"))
+      val c2y = cc(col("s2y"), col("s2"), col("sy"))
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      val sseu = (cyy - b1 * c1y - b2 * c2y) / nD
+      val sser = (cyy - c1y * c1y / c11) / nD
+      // Degenerate regressors (a constant order count — every sf0.001
+      // day has exactly one order — or a singular normal matrix) yield
+      // NULL, CASE mirrored in the oracle; the And chain evaluates
+      // left-to-right so no guarded division ever runs (q388
+      // precedent).
+      val valid = c22 > 0.0 && c11 =!= 0.0 && det =!= 0.0
+      m.select(col("nation"), col("n").as("n_days"),
+        when(valid, round(b2, 4)).otherwise(lit(null).cast("double"))
+          .as("beta_xlag"),
+        when(valid && sseu > 0.0,
+          round((sser - sseu) / (sseu / (nD - lit(3.0))), 4))
+          .otherwise(lit(null).cast("double")).as("f_granger"))
+    }),
+
+    "q412_periodogram" -> ((s, dir) => {
+      // Fixed-frequency periodogram per nation: relative spectral
+      // amplitude of the daily revenue series at the weekly (p = 7)
+      // and monthly (p = 30) periods — amp_p = √((Σy·cos)² + (Σy·sin)²)
+      // / Σy. The trig basis is QueryDsl.fourierWeights — p literal
+      // (cos, sin) pairs computed ONCE in Scala and consumed by both
+      // engines keyed on day-number mod p (cos/sin are libm territory,
+      // the rboWeights discipline). Each product is one IEEE multiply
+      // of an exact integer by a shared literal; the sums fold in
+      // calendar order on the bounded day grid.
+      val daily = dailyRevenue(s, dir)
+      def wcase(p: Int, which: Int) =
+        QueryDsl.fourierWeights(p).zipWithIndex.foldLeft(lit(0.0)) {
+          case (acc, ((cw, sw), k)) =>
+            when(pmod(col("t"), lit(p)) === k,
+              lit(if (which == 0) cw else sw)).otherwise(acc)
+        }
+      val terms = daily
+        .withColumn("t",
+          datediff(col("d"), to_date(lit("1992-01-01"))).cast("long"))
+        .select(col("nation"), col("d"), col("c"),
+          (col("c").cast("double") * wcase(7, 0)).as("c7"),
+          (col("c").cast("double") * wcase(7, 1)).as("s7"),
+          (col("c").cast("double") * wcase(30, 0)).as("c30"),
+          (col("c").cast("double") * wcase(30, 1)).as("s30"))
+      def fold(cn: String) =
+        aggregate(array_sort(collect_list(struct(col("d"), col(cn)))),
+          lit(0.0), (a, e) => a + e.getField(cn))
+      terms.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sy"),
+          fold("c7").as("fc7"), fold("s7").as("fs7"),
+          fold("c30").as("fc30"), fold("s30").as("fs30"))
+        .select(col("nation"), col("n_days"),
+          round(sqrt(col("fc7") * col("fc7") + col("fs7") * col("fs7")) /
+            col("sy").cast("double"), 6).as("amp_weekly"),
+          round(sqrt(col("fc30") * col("fc30") + col("fs30") * col("fs30")) /
+            col("sy").cast("double"), 6).as("amp_monthly"))
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared

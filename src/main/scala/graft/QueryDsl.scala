@@ -35,6 +35,19 @@ private[graft] object QueryDsl {
     (0 to 3).map(s => fact(s).toDouble * fact(3 - s).toDouble / fact(4).toDouble)
   }
 
+  /** Fourier weights (cos, sin) of 2π·k/p for k = 0..p−1 — the q412
+    * periodogram's basis, computed ONCE here (cos/sin are libm
+    * territory, so each engine calling its own trig would diverge in
+    * the last ulp; instead BOTH sides consume these exact doubles as
+    * CASE/when literals keyed by the day index mod p — the rboWeights
+    * discipline).
+    */
+  def fourierWeights(p: Int): Seq[(Double, Double)] =
+    (0 until p).map { k =>
+      val a = 2.0 * math.Pi * k / p
+      (math.cos(a), math.sin(a))
+    }
+
   /** RBO depth weights (1−p)/p · p^d for p = 0.9, d = 1..20 — built by
     * REPEATED MULTIPLICATION in one place (pow() is libm territory,
     * so each engine calling its own power would diverge in the last
