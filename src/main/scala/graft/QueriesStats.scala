@@ -2782,20 +2782,7 @@ private[graft] object QueriesStats {
         .groupBy(col("n_name"), col("p_brand"))
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
-      val tot = cnt.groupBy(col("n_name")).agg(sum(col("cnt")).as("tot"))
-      val a = cnt.select(col("n_name").as("na"), col("p_brand"), col("cnt").as("ca"))
-      val b = cnt.select(col("n_name").as("nb"), col("p_brand"), col("cnt").as("cb"))
-      val smin = a.join(b, Seq("p_brand")).filter(col("na") < col("nb"))
-        .groupBy(col("na"), col("nb"))
-        .agg(sum(least(col("ca"), col("cb"))).as("smin"))
-      smin
-        .join(tot.select(col("n_name").as("na"), col("tot").as("ta")), Seq("na"))
-        .join(tot.select(col("n_name").as("nb"), col("tot").as("tb")), Seq("nb"))
-        .select(col("na"), col("nb"), col("smin"),
-          (col("ta") + col("tb") - col("smin")).as("smax"),
-          round(col("smin").cast("double") /
-            (col("ta") + col("tb") - col("smin")).cast("double"), 6)
-            .as("weighted_jaccard"))
+      weightedJaccardFinish(cnt)
     }),
 
     "q391_tail_dependence" -> ((s, dir) => {
@@ -3053,6 +3040,29 @@ private[graft] object QueriesStats {
           .otherwise(lit(1.0)))
     }),
   )
+
+  /** q394's finishing join over the (n_name, p_brand, cnt) profile
+    * table — Σmin over shared brands, Σmax = tot_a + tot_b − Σmin.
+    * Shared VERBATIM by the streaming face's rollup
+    * ([[graft.streaming.StreamingBrandMix]]), so stream == batch is
+    * pinned on the same code path.
+    */
+  private[graft] def weightedJaccardFinish(cnt: DataFrame): DataFrame = {
+    val tot = cnt.groupBy(col("n_name")).agg(sum(col("cnt")).as("tot"))
+    val a = cnt.select(col("n_name").as("na"), col("p_brand"), col("cnt").as("ca"))
+    val b = cnt.select(col("n_name").as("nb"), col("p_brand"), col("cnt").as("cb"))
+    val smin = a.join(b, Seq("p_brand")).filter(col("na") < col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(least(col("ca"), col("cb"))).as("smin"))
+    smin
+      .join(tot.select(col("n_name").as("na"), col("tot").as("ta")), Seq("na"))
+      .join(tot.select(col("n_name").as("nb"), col("tot").as("tb")), Seq("nb"))
+      .select(col("na"), col("nb"), col("smin"),
+        (col("ta") + col("tb") - col("smin")).as("smax"),
+        round(col("smin").cast("double") /
+          (col("ta") + col("tb") - col("smin")).cast("double"), 6)
+          .as("weighted_jaccard"))
+  }
 
   /** Exact per-customer total spend cents per nation — the shared base
     * of the inequality panel (q377–q379).

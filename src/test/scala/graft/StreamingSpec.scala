@@ -1103,4 +1103,34 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(last.asScala.toMap == declared && declared.nonEmpty)
   }
+
+  test("streaming brand mix: shuffled arrival converges to the q394 matrix exactly") {
+    import graft.streaming.StreamingBrandMix
+    import graft.streaming.StreamingBrandMix.{BrandEv, BrandCount}
+    val evs = StreamingBrandMix.fromTables(spark, sfDir).collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[BrandEv]
+    val last =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), BrandCount]()
+    val q = StreamingBrandMix.counters(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[BrandCount], _: Long) =>
+        df.collect().foreach(r => last.put((r.nation, r.brand), r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingBrandMix
+      .rollup(spark.createDataset(last.values.asScala.toSeq).toDF())
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q394_weighted_jaccard")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
 }
