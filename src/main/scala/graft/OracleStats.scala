@@ -2524,5 +2524,71 @@ private[graft] object OracleStats {
              WHEN ll_05 >= ll_10 THEN 0.5
              ELSE 1.0 END AS DOUBLE) AS best_lambda
          FROM l""",
+
+    "q413_icc" ->
+      """WITH p AS (SELECT p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+           FROM part),
+         g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS nj,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+           FROM p GROUP BY 1),
+         terms AS (SELECT p_brand,
+             CAST(CAST(nj AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               / CAST(nj AS DOUBLE) AS wj,
+             CAST(sx * sx AS DOUBLE) / CAST(nj AS DOUBLE) AS bj
+           FROM g),
+         folded AS (SELECT list_sum(list(wj ORDER BY p_brand)) AS ssw,
+             list_sum(list(bj ORDER BY p_brand)) AS sbj
+           FROM terms),
+         tot AS (SELECT CAST(sum(nj) AS BIGINT) AS n, sum(sx) AS sxall,
+             sum(CAST(nj AS HUGEINT) * CAST(nj AS HUGEINT)) AS sn2,
+             CAST(count(*) AS BIGINT) AS j
+           FROM g),
+         m AS (SELECT n, j,
+             (sbj - CAST(sxall * sxall AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(j AS DOUBLE) - 1.0) AS msb,
+             ssw / (CAST(n AS DOUBLE) - CAST(j AS DOUBLE)) AS msw,
+             (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(j AS DOUBLE) - 1.0) AS k0
+           FROM folded CROSS JOIN tot)
+         SELECT n AS n_parts, j AS n_groups,
+           round(msb, 4) AS ms_between, round(msw, 4) AS ms_within,
+           round((msb - msw) / (msb + (k0 - 1.0) * msw), 6) AS icc1
+         FROM m""",
+
+    "q416_jsd_matrix" -> {
+      val pa = """((CAST(a.c AS DOUBLE) + 1.0)
+        / (CAST(a.tot AS DOUBLE) + CAST(a.v AS DOUBLE)))"""
+      val pb = """((CAST(b.c AS DOUBLE) + 1.0)
+        / (CAST(b.tot AS DOUBLE) + CAST(b.v AS DOUBLE)))"""
+      val m = s"(($pa + $pb) / 2.0)"
+      s"""WITH st AS (SELECT source, t AS term, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+               FROM documents)
+         GROUP BY 1, 2),
+         vocab AS (SELECT term FROM
+           (SELECT term, CAST(sum(cnt) AS BIGINT) AS tc FROM st GROUP BY 1)
+           ORDER BY tc DESC, term ASC LIMIT 200),
+         sources AS (SELECT DISTINCT source FROM st),
+         grid AS (SELECT s.source, v.term, coalesce(st.cnt, 0) AS c
+           FROM sources s CROSS JOIN vocab v
+           LEFT JOIN st ON st.source = s.source AND st.term = v.term),
+         totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS v
+           FROM grid GROUP BY 1),
+         g AS (SELECT grid.source, grid.term, grid.c, totals.tot, totals.v
+           FROM grid JOIN totals ON grid.source = totals.source),
+         pair AS (SELECT a.source AS source_a, b.source AS source_b, a.term,
+           round(0.5 * ($pa * ln($pa / $m)) + 0.5 * ($pb * ln($pb / $m)),
+             12) AS jterm
+         FROM g a JOIN g b ON a.term = b.term AND a.source < b.source)
+         SELECT source_a, source_b,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(jterm ORDER BY term)), (a, e) -> round(a + e, 12)), 6)
+             AS jsd
+         FROM pair GROUP BY 1, 2"""
+    },
   )
 }

@@ -1231,5 +1231,73 @@ private[graft] object OracleText {
          SELECT term, ct AS n_occurrences,
            round(list_sum(list(d ORDER BY source)) / 2.0, 6) AS dp
          FROM d GROUP BY 1, 2""",
+
+    "q414_v_measure" ->
+      s"""WITH sh AS (${OracleHelpers.simhashSql}),
+         cells AS (SELECT sh.simhash >> 10 AS c, d.lang AS l,
+             CAST(count(*) AS BIGINT) AS n_cl
+           FROM sh JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         nc AS (SELECT c, CAST(sum(n_cl) AS BIGINT) AS n_c
+           FROM cells GROUP BY 1),
+         nl AS (SELECT l, CAST(sum(n_cl) AS BIGINT) AS n_l
+           FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cells),
+         conds AS (SELECT n,
+             list_sum(list(round(CAST(n_cl AS DOUBLE) / CAST(n AS DOUBLE)
+               * ln(CAST(n_cl AS DOUBLE) / CAST(n_c AS DOUBLE)), 9)
+               ORDER BY c, l)) AS fck,
+             list_sum(list(round(CAST(n_cl AS DOUBLE) / CAST(n AS DOUBLE)
+               * ln(CAST(n_cl AS DOUBLE) / CAST(n_l AS DOUBLE)), 9)
+               ORDER BY c, l)) AS fkc
+           FROM cells JOIN nc USING (c) JOIN nl USING (l) CROSS JOIN tot
+           GROUP BY n),
+         hc AS (SELECT list_sum(list(round(CAST(n_l AS DOUBLE)
+             / CAST(n AS DOUBLE)
+             * ln(CAST(n_l AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             ORDER BY l)) AS fc
+           FROM nl CROSS JOIN tot),
+         hk AS (SELECT list_sum(list(round(CAST(n_c AS DOUBLE)
+             / CAST(n AS DOUBLE)
+             * ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             ORDER BY c)) AS fk
+           FROM nc CROSS JOIN tot),
+         v AS (SELECT n, 1.0 - (-(fck)) / (-(fc)) AS h,
+             1.0 - (-(fkc)) / (-(fk)) AS cm
+           FROM conds CROSS JOIN hc CROSS JOIN hk)
+         SELECT n AS n_docs, round(h, 6) AS homogeneity,
+           round(cm, 6) AS completeness,
+           round(2.0 * h * cm / (h + cm), 6) AS v_measure
+         FROM v""",
+
+    "q415_umass_coherence" ->
+      """WITH dt AS (SELECT DISTINCT source, doc_id, t AS term FROM
+           (SELECT source, doc_id,
+              unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+            FROM documents)),
+         tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS df
+           FROM dt GROUP BY 1, 2),
+         top AS (SELECT source, term, rk, df FROM
+             (SELECT source, term, df,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY df DESC, term ASC) AS rk
+             FROM tf)
+           WHERE rk <= 5),
+         pairs AS (SELECT a.source, a.rk AS ri, b.rk AS rj, b.df AS dfj
+           FROM top a JOIN top b ON a.source = b.source AND a.rk < b.rk),
+         pres AS (SELECT dt.source, dt.doc_id, top.rk
+           FROM dt JOIN top ON dt.source = top.source AND dt.term = top.term),
+         co AS (SELECT a.source, a.rk AS ri, b.rk AS rj,
+             CAST(count(*) AS BIGINT) AS dij
+           FROM pres a JOIN pres b
+             ON a.source = b.source AND a.doc_id = b.doc_id AND a.rk < b.rk
+           GROUP BY 1, 2, 3),
+         sc AS (SELECT p.source, p.ri, p.rj,
+             round(ln((CAST(coalesce(co.dij, 0) AS DOUBLE) + 1.0)
+               / CAST(p.dfj AS DOUBLE)), 9) AS t
+           FROM pairs p LEFT JOIN co
+             ON co.source = p.source AND co.ri = p.ri AND co.rj = p.rj)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(list_sum(list(t ORDER BY ri, rj)), 6) AS coherence
+         FROM sc GROUP BY 1""",
   )
 }

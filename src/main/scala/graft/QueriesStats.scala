@@ -3039,6 +3039,84 @@ private[graft] object QueriesStats {
           .when(col("ll_05") >= col("ll_10"), lit(0.5))
           .otherwise(lit(1.0)))
     }),
+
+    "q413_icc" -> ((s, dir) => {
+      // One-way random-effects intraclass correlation ICC(1,1) of
+      // retail price within brand — "how much of the variance IS the
+      // brand" — from the same exact ANOVA moments q282's F rides:
+      // per-brand n_j, Σx, Σx² in decimal(38,0); SSW = Σ_j c_j/n_j and
+      // the between partials (Σx_j)²/n_j fold brand-ordered (25
+      // terms); the unbalanced-design k₀ = (N − Σn_j²/N)/(J−1). Every
+      // division is a fixed double op on exact integers.
+      val d38 = "decimal(38,0)"
+      val p = tbl(s, dir, "part").select(col("p_brand"),
+        (col("p_retailprice").cast(dec) * 100).cast("long").as("x"))
+      val g = p.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("nj"), sum(col("x").cast(d38)).as("sx"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+        .localCheckpoint()
+      val terms = g.select(col("p_brand"),
+        ((col("nj").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double") / col("nj").cast("double")).as("wj"),
+        ((col("sx") * col("sx")).cast("double") / col("nj").cast("double"))
+          .as("bj"))
+      def fold(cn: String) =
+        aggregate(array_sort(collect_list(struct(col("p_brand"), col(cn)))),
+          lit(0.0), (a, e) => a + e.getField(cn))
+      val folded = terms.agg(fold("wj").as("ssw"), fold("bj").as("sbj"))
+      val tot = g.agg(sum(col("nj")).as("n"), sum(col("sx")).as("sxall"),
+        sum((col("nj") * col("nj")).cast(d38)).as("sn2"),
+        count(lit(1)).as("j"))
+      val nD = col("n").cast("double")
+      val jD = col("j").cast("double")
+      val ssb = col("sbj") -
+        (col("sxall") * col("sxall")).cast("double") / nD
+      val msb = ssb / (jD - lit(1.0))
+      val msw = col("ssw") / (nD - jD)
+      val k0 = (nD - col("sn2").cast("double") / nD) / (jD - lit(1.0))
+      folded.crossJoin(tot)
+        .select(col("n").as("n_parts"), col("j").as("n_groups"),
+          round(msb, 4).as("ms_between"), round(msw, 4).as("ms_within"),
+          round((msb - msw) / (msb + (k0 - lit(1.0)) * msw), 6).as("icc1"))
+    }),
+
+    "q416_jsd_matrix" -> ((s, dir) => {
+      // Pairwise Jensen–Shannon divergence between source unigram
+      // mixes over the shared smoothed top-200 grid — the SYMMETRIC,
+      // bounded complement of the q310 KL matrix (JSD is what a
+      // mixing planner can treat as a distance; KL is not symmetric).
+      // Same bounded grid, same add-1 smoothing, per-pair terms fold
+      // term-ordered on the 12-dp running grid; unordered pairs only.
+      val st = tbl(s, dir, "documents")
+        .select(col("source"), explode(functions.Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val vocab = st.groupBy(col("term")).agg(sum(col("cnt")).as("tc"))
+        .orderBy(col("tc").desc, col("term").asc).limit(200)
+        .select(col("term"))
+      val sources = st.select(col("source")).distinct()
+      val grid = sources.crossJoin(broadcast(vocab))
+        .join(st, Seq("source", "term"), "left")
+        .select(col("source"), col("term"),
+          coalesce(col("cnt"), lit(0L)).as("c"))
+      val totals = grid.groupBy(col("source"))
+        .agg(sum(col("c")).as("tot"), count(lit(1)).as("v"))
+      val g = grid.join(broadcast(totals), Seq("source"))
+      def d(c: Column): Column = c.cast("double")
+      val pa = (d(col("a.c")) + lit(1.0)) / (d(col("a.tot")) + d(col("a.v")))
+      val pb = (d(col("b.c")) + lit(1.0)) / (d(col("b.tot")) + d(col("b.v")))
+      val m = (pa + pb) / lit(2.0)
+      val pair = g.as("a").join(g.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          col("a.term").as("term"),
+          round(lit(0.5) * (pa * log(pa / m)) + lit(0.5) * (pb * log(pb / m)),
+            12).as("jterm"))
+      pair.groupBy(col("source_a"), col("source_b"))
+        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("jterm")))),
+          lit(0.0), (a, e) => round(a + e.getField("jterm"), 12)).as("jsd"))
+        .select(col("source_a"), col("source_b"), round(col("jsd"), 6).as("jsd"))
+    }),
   )
 
   /** q394's finishing join over the (n_name, p_brand, cnt) profile

@@ -2260,5 +2260,95 @@ private[graft] object QueriesText {
         .select(col("term"), col("ct").as("n_occurrences"),
           round(col("sd") / lit(2.0), 6).as("dp"))
     }),
+
+    "q414_v_measure" -> ((s, dir) => {
+      // V-measure (homogeneity/completeness harmonic) of the simhash
+      // buckets against the language labels — the entropy-based
+      // external clustering eval beside purity/NMI (q284) and B-cubed
+      // (q375), on the same bounded (cluster × label) contingency
+      // cells: h = 1 − H(C|K)/H(C), c = 1 − H(K|C)/H(K). Entropy terms
+      // round on the 9-dp grid and fold cell-ordered; the sums are
+      // negated once at the end (one IEEE negate, never per-term).
+      val cells = tbl(s, dir, "documents")
+        .select(shiftright(graft.plans.TextKernels.simhash16Native(col("text")),
+          10).as("c"), col("lang").as("l"))
+        .groupBy(col("c"), col("l")).agg(count(lit(1)).as("n_cl"))
+        .localCheckpoint()
+      val nc = cells.groupBy(col("c")).agg(sum(col("n_cl")).as("n_c"))
+      val nl = cells.groupBy(col("l")).agg(sum(col("n_cl")).as("n_l"))
+      val tot = cells.agg(sum(col("n_cl")).as("n"))
+      def d(cn: String) = col(cn).cast("double")
+      val joined = cells.join(broadcast(nc), Seq("c"))
+        .join(broadcast(nl), Seq("l")).crossJoin(broadcast(tot))
+      def foldCL(w: Column) =
+        aggregate(array_sort(collect_list(struct(col("c"), col("l"), w.as("w")))),
+          lit(0.0), (a, e) => a + e.getField("w"))
+      val conds = joined.groupBy(col("n"))
+        .agg(foldCL(round(d("n_cl") / d("n") * log(d("n_cl") / d("n_c")), 9))
+            .as("fck"),
+          foldCL(round(d("n_cl") / d("n") * log(d("n_cl") / d("n_l")), 9))
+            .as("fkc"))
+      val hc = nl.crossJoin(broadcast(tot)).agg(
+        aggregate(array_sort(collect_list(struct(col("l"),
+          round(d("n_l") / d("n") * log(d("n_l") / d("n")), 9).as("t")))),
+          lit(0.0), (a, e) => a + e.getField("t")).as("fc"))
+      val hk = nc.crossJoin(broadcast(tot)).agg(
+        aggregate(array_sort(collect_list(struct(col("c"),
+          round(d("n_c") / d("n") * log(d("n_c") / d("n")), 9).as("t")))),
+          lit(0.0), (a, e) => a + e.getField("t")).as("fk"))
+      val h = lit(1.0) - (-col("fck")) / (-col("fc"))
+      val cm = lit(1.0) - (-col("fkc")) / (-col("fk"))
+      conds.crossJoin(broadcast(hc)).crossJoin(broadcast(hk))
+        .select(col("n").as("n_docs"), round(h, 6).as("homogeneity"),
+          round(cm, 6).as("completeness"),
+          round(lit(2.0) * h * cm / (h + cm), 6).as("v_measure"))
+    }),
+
+    "q415_umass_coherence" -> ((s, dir) => {
+      // UMass topic coherence of each source's top-5 document-frequency
+      // terms: Σ_{i<j} ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) over rank-ordered pairs,
+      // where D counts documents IN THE SOURCE containing the term(s)
+      // — the intrinsic "do the salient terms actually co-occur"
+      // check beside PMI collocations (q126) and salient terms (q87).
+      // Top-5 is a source-partitioned window; the dense 10-pair grid
+      // is catalog-bounded, zero co-occurrence survives via the LEFT
+      // join (+1 smoothing), and the ≤10 terms fold rank-ordered.
+      val dt = tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(array_distinct(Text.tokens(col("text")))).as("term"))
+        .localCheckpoint()
+      val tf = dt.groupBy(col("source"), col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("df").desc, col("term").asc)
+      val top = tf.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("term"), col("rk"), col("df"))
+        .localCheckpoint()
+      val pairs = top.select(col("source"), col("rk").as("ri"),
+          col("term").as("wi"))
+        .join(top.select(col("source"), col("rk").as("rj"),
+          col("term").as("wj"), col("df").as("dfj")), Seq("source"))
+        .filter(col("ri") < col("rj"))
+      val a = dt.join(top.select(col("source"), col("term"),
+          col("rk").as("ri")), Seq("source", "term"))
+        .select(col("source"), col("doc_id"), col("ri"))
+      val b = dt.join(top.select(col("source"), col("term"),
+          col("rk").as("rj")), Seq("source", "term"))
+        .select(col("source"), col("doc_id"), col("rj"))
+      val codf = a.join(b, Seq("source", "doc_id"))
+        .filter(col("ri") < col("rj"))
+        .groupBy(col("source"), col("ri"), col("rj"))
+        .agg(count(lit(1)).as("dij"))
+      pairs.join(codf, Seq("source", "ri", "rj"), "left")
+        .select(col("source"), col("ri"), col("rj"),
+          round(log((coalesce(col("dij"), lit(0L)).cast("double") + lit(1.0)) /
+            col("dfj").cast("double")), 9).as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          aggregate(array_sort(collect_list(struct(col("ri"), col("rj"),
+            col("t")))), lit(0.0), (acc, e) => acc + e.getField("t"))
+            .as("f"))
+        .select(col("source"), col("n_pairs"), round(col("f"), 6).as("coherence"))
+    }),
   )
 }
