@@ -1956,6 +1956,103 @@ private[graft] object OracleWarehouse {
            round(sqrt(fc30 * fc30 + fs30 * fs30) / CAST(sy AS DOUBLE), 6)
              AS amp_monthly
          FROM g""",
+
+    "q417_price_volume_mix" ->
+      """WITH li AS (SELECT l_partkey, CAST(year(l_shipdate) AS INT) AS yr,
+           CAST(l_quantity AS BIGINT) AS q,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+           FROM lineitem),
+         cells AS (SELECT p_brand, yr, CAST(sum(q) AS BIGINT) AS q,
+             CAST(sum(r) AS BIGINT) AS r
+           FROM li JOIN part ON l_partkey = p_partkey
+           WHERE yr IN (1996, 1997) GROUP BY 1, 2),
+         y0 AS (SELECT p_brand, q AS q0, r AS r0 FROM cells WHERE yr = 1996),
+         y1 AS (SELECT p_brand, q AS q1, r AS r1 FROM cells WHERE yr = 1997)
+         SELECT p_brand AS brand, q0, q1,
+           CAST(r1 - r0 AS BIGINT) AS delta_cents,
+           round(CAST(q1 - q0 AS DOUBLE)
+             * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)) / 100.0, 4)
+             AS volume_effect,
+           round((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+               - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+             * CAST(q1 AS DOUBLE) / 100.0, 4) AS price_effect
+         FROM y0 JOIN y1 USING (p_brand)""",
+
+    "q418_shift_share" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey,
+           CAST(year(l_shipdate) AS INT) AS yr,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+           FROM lineitem),
+         cell AS (SELECT n_name AS nation, p_brand, yr,
+             CAST(sum(r) AS BIGINT) AS e
+           FROM li
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE yr IN (1996, 1997) GROUP BY 1, 2, 3),
+         nb AS (SELECT nation, p_brand, a.e AS e0, b.e AS e1
+           FROM (SELECT * FROM cell WHERE yr = 1996) a
+           JOIN (SELECT * FROM cell WHERE yr = 1997) b
+             USING (nation, p_brand)),
+         br AS (SELECT p_brand, CAST(sum(e0) AS BIGINT) AS b0,
+             CAST(sum(e1) AS BIGINT) AS b1
+           FROM nb GROUP BY 1),
+         tot AS (SELECT CAST(sum(e0) AS BIGINT) AS t0,
+             CAST(sum(e1) AS BIGINT) AS t1
+           FROM nb),
+         terms AS (SELECT nation, nb.p_brand, e0, e1,
+             round(CAST(e0 AS DOUBLE)
+               * (CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) - 1.0), 6) AS tn,
+             round(CAST(e0 AS DOUBLE)
+               * ((CAST(b1 AS DOUBLE) / CAST(b0 AS DOUBLE) - 1.0)
+                 - (CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) - 1.0)), 6)
+               AS tm,
+             round(CAST(e0 AS DOUBLE)
+               * ((CAST(e1 AS DOUBLE) / CAST(e0 AS DOUBLE) - 1.0)
+                 - (CAST(b1 AS DOUBLE) / CAST(b0 AS DOUBLE) - 1.0)), 6)
+               AS tc
+           FROM nb JOIN br USING (p_brand) CROSS JOIN tot)
+         SELECT nation, CAST(sum(e0) AS BIGINT) AS e0_cents,
+           CAST(sum(e1) AS BIGINT) AS e1_cents,
+           round(list_sum(list(tn ORDER BY p_brand)) / 100.0, 2)
+             AS national_effect,
+           round(list_sum(list(tm ORDER BY p_brand)) / 100.0, 2)
+             AS mix_effect,
+           round(list_sum(list(tc ORDER BY p_brand)) / 100.0, 2)
+             AS competitive_effect
+         FROM terms GROUP BY 1""",
+
+    "q419_tukey_range" ->
+      """WITH p AS (SELECT p_brand,
+           CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+           FROM part),
+         g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS nj,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+           FROM p GROUP BY 1),
+         w AS (SELECT p_brand,
+             CAST(CAST(nj AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               / CAST(nj AS DOUBLE) AS wj
+           FROM g),
+         t AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS j
+           FROM g),
+         msw AS (SELECT list_sum(list(wj ORDER BY p_brand))
+             / (CAST(n AS DOUBLE) - CAST(j AS DOUBLE)) AS msw
+           FROM w CROSS JOIN t GROUP BY n, j),
+         pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             a.nj AS na, b.nj AS nb2, a.sx AS sxa, b.sx AS sxb
+           FROM g a JOIN g b ON a.p_brand < b.p_brand)
+         SELECT brand_a, brand_b,
+           round(abs(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(sxb AS DOUBLE) / CAST(nb2 AS DOUBLE)) / 100.0, 4)
+             AS mean_diff_dollars,
+           round(abs(CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(sxb AS DOUBLE) / CAST(nb2 AS DOUBLE))
+             / sqrt(msw / 2.0 * (1.0 / CAST(na AS DOUBLE)
+               + 1.0 / CAST(nb2 AS DOUBLE))), 4) AS q_stat
+         FROM pr CROSS JOIN msw""",
   )
 
   /** q412's trig basis as a CASE over the day index mod p — rendered

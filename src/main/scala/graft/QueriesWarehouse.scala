@@ -3063,6 +3063,129 @@ private[graft] object QueriesWarehouse {
           round(sqrt(col("fc30") * col("fc30") + col("fs30") * col("fs30")) /
             col("sy").cast("double"), 6).as("amp_monthly"))
     }),
+
+    "q417_price_volume_mix" -> ((s, dir) => {
+      // Revenue-bridge decomposition per brand, 1996 → 1997: the FP&A
+      // "why did revenue move" split ΔR = volume effect (Δq at old
+      // price) + price effect (Δp at new volume) — exact by
+      // construction for the 2-way bridge. Quantities and gross
+      // revenue cents are exact BIGINT cells; the unit prices are one
+      // division each, so both effects are fixed double expressions.
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
+        year(col("l_shipdate")).as("yr"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cells = li.filter(col("yr").isin(1996, 1997))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("yr"))
+        .agg(sum(col("q")).as("q"), sum(col("r")).as("r"))
+        .localCheckpoint()
+      val y0 = cells.filter(col("yr") === 1996)
+        .select(col("p_brand"), col("q").as("q0"), col("r").as("r0"))
+      val y1 = cells.filter(col("yr") === 1997)
+        .select(col("p_brand"), col("q").as("q1"), col("r").as("r1"))
+      y0.join(y1, Seq("p_brand"))
+        .select(col("p_brand").as("brand"), col("q0"), col("q1"),
+          (col("r1") - col("r0")).as("delta_cents"),
+          round((col("q1") - col("q0")).cast("double") *
+            (col("r0").cast("double") / col("q0").cast("double")) / lit(100.0),
+            4).as("volume_effect"),
+          round((col("r1").cast("double") / col("q1").cast("double") -
+            col("r0").cast("double") / col("q0").cast("double")) *
+            col("q1").cast("double") / lit(100.0), 4).as("price_effect"))
+    }),
+
+    "q418_shift_share" -> ((s, dir) => {
+      // Shift-share decomposition of each nation's 1996 → 1997 revenue
+      // growth into national, industry-mix (brand portfolio), and
+      // competitive components: Δe_n = Σ_b e₀·G + e₀·(G_b − G) +
+      // e₀·(g_nb − G_b) — an exact identity over the joined cells.
+      // Cells are exact BIGINT cents; growth rates are single
+      // divisions; the ≤25 per-nation brand terms fold brand-ordered.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cell = li.filter(col("yr").isin(1996, 1997))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name").as("nation"), col("p_brand"), col("yr"))
+        .agg(sum(col("r")).as("e"))
+        .localCheckpoint()
+      val nb = cell.filter(col("yr") === 1996)
+        .select(col("nation"), col("p_brand"), col("e").as("e0"))
+        .join(cell.filter(col("yr") === 1997)
+          .select(col("nation"), col("p_brand"), col("e").as("e1")),
+          Seq("nation", "p_brand"))
+        .localCheckpoint()
+      val br = nb.groupBy(col("p_brand"))
+        .agg(sum(col("e0")).as("b0"), sum(col("e1")).as("b1"))
+      val tot = nb.agg(sum(col("e0")).as("t0"), sum(col("e1")).as("t1"))
+      val gAll = col("t1").cast("double") / col("t0").cast("double") - lit(1.0)
+      val gBr = col("b1").cast("double") / col("b0").cast("double") - lit(1.0)
+      val gNb = col("e1").cast("double") / col("e0").cast("double") - lit(1.0)
+      val terms = nb.join(broadcast(br), Seq("p_brand"))
+        .crossJoin(broadcast(tot))
+        .select(col("nation"), col("p_brand"), col("e0"), col("e1"),
+          round(col("e0").cast("double") * gAll, 6).as("tn"),
+          round(col("e0").cast("double") * (gBr - gAll), 6).as("tm"),
+          round(col("e0").cast("double") * (gNb - gBr), 6).as("tc"))
+      def fold(cn: String) =
+        aggregate(array_sort(collect_list(struct(col("p_brand"), col(cn)))),
+          lit(0.0), (a, e) => a + e.getField(cn))
+      terms.groupBy(col("nation"))
+        .agg(sum(col("e0")).as("e0_cents"), sum(col("e1")).as("e1_cents"),
+          fold("tn").as("fn"), fold("tm").as("fm"), fold("tc").as("fc"))
+        .select(col("nation"), col("e0_cents"), col("e1_cents"),
+          round(col("fn") / lit(100.0), 2).as("national_effect"),
+          round(col("fm") / lit(100.0), 2).as("mix_effect"),
+          round(col("fc") / lit(100.0), 2).as("competitive_effect"))
+    }),
+
+    "q419_tukey_range" -> ((s, dir) => {
+      // Tukey–Kramer studentized-range statistic for every brand pair:
+      // q_ij = |m_i − m_j| / √((MSW/2)·(1/n_i + 1/n_j)) with MSW from
+      // the same exact one-way ANOVA moments q413 folds — the post-hoc
+      // "which pairs differ" companion of the global F (q282). The
+      // pair frame is catalog-bounded (25² brands); every input to the
+      // doubles is an exact integer.
+      val d38 = "decimal(38,0)"
+      val p = tbl(s, dir, "part").select(col("p_brand"),
+        (col("p_retailprice").cast(dec) * 100).cast("long").as("x"))
+      val g = p.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("nj"), sum(col("x").cast(d38)).as("sx"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+        .localCheckpoint()
+      val wterms = g.select(col("p_brand"),
+        ((col("nj").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double") / col("nj").cast("double")).as("wj"))
+      val msw = wterms
+        .agg(aggregate(array_sort(collect_list(struct(col("p_brand"),
+          col("wj")))), lit(0.0), (a, e) => a + e.getField("wj")).as("ssw"))
+        .crossJoin(broadcast(
+          g.agg(sum(col("nj")).as("n"), count(lit(1)).as("j"))))
+        .select((col("ssw") /
+          (col("n").cast("double") - col("j").cast("double"))).as("msw"))
+      val a = g.select(col("p_brand").as("brand_a"), col("nj").as("na"),
+        col("sx").as("sxa"))
+      val b = g.select(col("p_brand").as("brand_b"), col("nj").as("nb"),
+        col("sx").as("sxb"))
+      val ma = col("sxa").cast("double") / col("na").cast("double")
+      val mb = col("sxb").cast("double") / col("nb").cast("double")
+      a.join(b, col("brand_a") < col("brand_b")).crossJoin(broadcast(msw))
+        .select(col("brand_a"), col("brand_b"),
+          round(abs(ma - mb) / lit(100.0), 4).as("mean_diff_dollars"),
+          round(abs(ma - mb) /
+            sqrt(col("msw") / lit(2.0) *
+              (lit(1.0) / col("na").cast("double") +
+                lit(1.0) / col("nb").cast("double"))), 4).as("q_stat"))
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared
