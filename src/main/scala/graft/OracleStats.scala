@@ -2590,5 +2590,99 @@ private[graft] object OracleStats {
              AS jsd
          FROM pair GROUP BY 1, 2"""
     },
+
+    "q420_pacf" ->
+      s"""WITH daily AS (${OracleWarehouse.dailyRevenueSql}),
+         led AS (SELECT nation, c,
+             lead(c, 1) OVER (PARTITION BY nation ORDER BY d) AS y1,
+             lead(c, 2) OVER (PARTITION BY nation ORDER BY d) AS y2,
+             lead(c, 3) OVER (PARTITION BY nation ORDER BY d) AS y3
+           FROM daily),
+         m0 AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(c AS HUGEINT)) AS sy,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy,
+             sum(CASE WHEN y1 IS NOT NULL
+               THEN CAST(c AS HUGEINT) * CAST(y1 AS HUGEINT) ELSE 0 END) AS p1,
+             sum(CASE WHEN y1 IS NOT NULL
+               THEN CAST(c AS HUGEINT) ELSE 0 END) AS h1,
+             sum(coalesce(CAST(y1 AS HUGEINT), 0)) AS t1,
+             sum(CASE WHEN y2 IS NOT NULL
+               THEN CAST(c AS HUGEINT) * CAST(y2 AS HUGEINT) ELSE 0 END) AS p2,
+             sum(CASE WHEN y2 IS NOT NULL
+               THEN CAST(c AS HUGEINT) ELSE 0 END) AS h2,
+             sum(coalesce(CAST(y2 AS HUGEINT), 0)) AS t2,
+             sum(CASE WHEN y3 IS NOT NULL
+               THEN CAST(c AS HUGEINT) * CAST(y3 AS HUGEINT) ELSE 0 END) AS p3,
+             sum(CASE WHEN y3 IS NOT NULL
+               THEN CAST(c AS HUGEINT) ELSE 0 END) AS h3,
+             sum(coalesce(CAST(y3 AS HUGEINT), 0)) AS t3
+           FROM led GROUP BY 1),
+         mm AS (SELECT m0.*,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM m0),
+         cks AS (SELECT nation, n,
+             CAST(syy AS DOUBLE) - CAST(n AS DOUBLE) * m * m AS c0,
+             CAST(p1 AS DOUBLE) - m * CAST(t1 AS DOUBLE)
+               - m * CAST(h1 AS DOUBLE)
+               + (CAST(n AS DOUBLE) - 1.0) * m * m AS c1,
+             CAST(p2 AS DOUBLE) - m * CAST(t2 AS DOUBLE)
+               - m * CAST(h2 AS DOUBLE)
+               + (CAST(n AS DOUBLE) - 2.0) * m * m AS c2,
+             CAST(p3 AS DOUBLE) - m * CAST(t3 AS DOUBLE)
+               - m * CAST(h3 AS DOUBLE)
+               + (CAST(n AS DOUBLE) - 3.0) * m * m AS c3
+           FROM mm),
+         rr AS (SELECT nation, n, c1 / c0 AS r1, c2 / c0 AS r2,
+             c3 / c0 AS r3 FROM cks),
+         ph AS (SELECT nation, n, r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS f22 FROM rr),
+         ph2 AS (SELECT ph.*, r1 - f22 * r1 AS f21 FROM ph)
+         SELECT nation, n AS n_days, round(r1, 6) AS pacf1,
+           round(f22, 6) AS pacf2,
+           round((r3 - f21 * r2 - f22 * r1)
+             / (1.0 - f21 * r1 - f22 * r2), 6) AS pacf3
+         FROM ph2""",
+
+    "q422_cuped" ->
+      """WITH per AS (SELECT o_custkey,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1996
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS y
+           FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+           GROUP BY 1),
+         base AS (SELECT c_custkey, coalesce(x, 0) AS x, coalesce(y, 0) AS y,
+             c_custkey % 2 AS arm
+           FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+         pooled AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+           FROM base),
+         arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS na,
+             sum(CAST(x AS HUGEINT)) AS ax, sum(CAST(y AS HUGEINT)) AS ay
+           FROM base GROUP BY 1),
+         j AS (SELECT a0.na AS n_a, a0.ax AS ax0, a0.ay AS ay0,
+             a1.na AS n_b, a1.ax AS ax1, a1.ay AS ay1
+           FROM (SELECT * FROM arms WHERE arm = 0) a0
+           CROSS JOIN (SELECT * FROM arms WHERE arm = 1) a1),
+         cv AS (SELECT n,
+             CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cxy,
+             CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS cxx,
+             CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS cyy
+           FROM pooled),
+         f AS (SELECT n_a, n_b,
+             CAST(ay0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(ay1 AS DOUBLE) / CAST(n_b AS DOUBLE) AS raw,
+             CAST(ax0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(ax1 AS DOUBLE) / CAST(n_b AS DOUBLE) AS xd,
+             cxy / cxx AS theta, cxy * cxy / (cxx * cyy) AS rho2
+           FROM cv CROSS JOIN j)
+         SELECT n_a, n_b, round(raw / 100.0, 4) AS raw_diff_dollars,
+           round((raw - theta * xd) / 100.0, 4) AS cuped_diff_dollars,
+           round(theta, 6) AS theta, round(rho2, 6) AS rho2
+         FROM f""",
   )
 }

@@ -1299,5 +1299,19 @@ private[graft] object OracleText {
          SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
            round(list_sum(list(t ORDER BY ri, rj)), 6) AS coherence
          FROM sc GROUP BY 1""",
+
+    "q421_ess_token_weights" ->
+      """WITH d AS (SELECT source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_tokens,
+           round((CAST(sum(w) AS DOUBLE) * CAST(sum(w) AS DOUBLE))
+             / CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS DOUBLE),
+             4) AS ess,
+           round((CAST(sum(w) AS DOUBLE) * CAST(sum(w) AS DOUBLE))
+             / CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS ess_ratio
+         FROM d GROUP BY 1""",
   )
 }

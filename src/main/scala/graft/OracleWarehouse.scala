@@ -2069,7 +2069,7 @@ private[graft] object OracleWarehouse {
   /** The q365–q367 shared grid: daily order revenue in exact cents per
     * (nation, day) — textual mirror of QueriesWarehouse.dailyRevenue.
     */
-  private val dailyRevenueSql: String =
+  private[graft] val dailyRevenueSql: String =
     """SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS d,
        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
          AS BIGINT) AS c

@@ -3117,6 +3117,105 @@ private[graft] object QueriesStats {
           lit(0.0), (a, e) => round(a + e.getField("jterm"), 12)).as("jsd"))
         .select(col("source_a"), col("source_b"), round(col("jsd"), 6).as("jsd"))
     }),
+
+    "q420_pacf" -> ((s, dir) => {
+      // Partial autocorrelation of daily revenue at lags 1–3 per
+      // nation via the Durbin–Levinson recursion on exact-moment ACF
+      // estimates — the AR-order diagnostic beside the raw ACF (q257)
+      // and Durbin-Watson (q316). Each r_k comes from one pass of
+      // lead-window products in decimal(38,0)
+      // (c_k = P_k − m·T_k − m·H_k + (n−k)·m²), and the recursion is a
+      // fixed double chain both engines evaluate identically.
+      val daily = graft.QueriesWarehouse.dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val d38 = "decimal(38,0)"
+      val led = daily
+        .withColumn("y1", lead(col("c"), 1).over(w))
+        .withColumn("y2", lead(col("c"), 2).over(w))
+        .withColumn("y3", lead(col("c"), 3).over(w))
+      def pk(yk: String) = sum(when(col(yk).isNotNull,
+        col("c").cast(d38) * col(yk).cast(d38)).otherwise(lit(0).cast(d38)))
+      def hk(yk: String) = sum(when(col(yk).isNotNull, col("c").cast(d38))
+        .otherwise(lit(0).cast(d38)))
+      def tk(yk: String) = sum(coalesce(col(yk).cast(d38), lit(0).cast(d38)))
+      val m0 = led.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("c").cast(d38)).as("sy"),
+          sum(col("c").cast(d38) * col("c").cast(d38)).as("syy"),
+          pk("y1").as("p1"), hk("y1").as("h1"), tk("y1").as("t1"),
+          pk("y2").as("p2"), hk("y2").as("h2"), tk("y2").as("t2"),
+          pk("y3").as("p3"), hk("y3").as("h3"), tk("y3").as("t3"))
+      val nD = col("n").cast("double")
+      val m = col("sy").cast("double") / nD
+      val c0 = col("syy").cast("double") - nD * m * m
+      def ck(p: String, t: String, h: String, k: Double) =
+        col(p).cast("double") - m * col(t).cast("double") -
+          m * col(h).cast("double") + (nD - lit(k)) * m * m
+      val r1 = ck("p1", "t1", "h1", 1.0) / c0
+      val r2 = ck("p2", "t2", "h2", 2.0) / c0
+      val r3 = ck("p3", "t3", "h3", 3.0) / c0
+      val f22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+      val f21 = r1 - f22 * r1
+      val f33 = (r3 - f21 * r2 - f22 * r1) /
+        (lit(1.0) - f21 * r1 - f22 * r2)
+      m0.select(col("nation"), col("n").as("n_days"),
+        round(r1, 6).as("pacf1"), round(f22, 6).as("pacf2"),
+        round(f33, 6).as("pacf3"))
+    }),
+
+    "q422_cuped" -> ((s, dir) => {
+      // CUPED variance-reduced A/B effect: the 1997 spend difference
+      // between the even/odd customer-key arms, adjusted by the 1996
+      // pre-period covariate — θ = cov(x,y)/var(x) pooled, adjusted
+      // diff = raw − θ·Δx̄, and ρ² reports the variance a CUPED
+      // analysis removes. Per-customer year sums are exact BIGINT
+      // cents on the full customer base (absence = 0 spend via the
+      // left join); every moment is decimal(38,0); all finals are
+      // fixed double expressions.
+      val d38 = "decimal(38,0)"
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val per = o.filter(col("yr").isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(col("yr") === 1996, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("yr") === 1997, col("cents")).otherwise(0L)).as("y"))
+      val base = tbl(s, dir, "customer").select(col("c_custkey"))
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"),
+          pmod(col("c_custkey"), lit(2)).as("arm"))
+        .localCheckpoint()
+      val pooled = base.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"),
+        sum(col("y").cast(d38) * col("y").cast(d38)).as("syy"),
+        sum(col("x").cast(d38) * col("y").cast(d38)).as("sxy"))
+      val arms = base.groupBy(col("arm"))
+        .agg(count(lit(1)).as("na"), sum(col("x").cast(d38)).as("ax"),
+          sum(col("y").cast(d38)).as("ay"))
+      val a0 = arms.filter(col("arm") === 0)
+        .select(col("na").as("n_a"), col("ax").as("ax0"), col("ay").as("ay0"))
+      val a1 = arms.filter(col("arm") === 1)
+        .select(col("na").as("n_b"), col("ax").as("ax1"), col("ay").as("ay1"))
+      val nD = col("n").cast("double")
+      def cc(sab: Column, sa: Column, sb: Column) =
+        (col("n").cast(d38) * sab - sa * sb).cast("double")
+      val cxy = cc(col("sxy"), col("sx"), col("sy"))
+      val cxx = cc(col("sxx"), col("sx"), col("sx"))
+      val cyy = cc(col("syy"), col("sy"), col("sy"))
+      val theta = cxy / cxx
+      val rho2 = cxy * cxy / (cxx * cyy)
+      val rawDiff = col("ay0").cast("double") / col("n_a").cast("double") -
+        col("ay1").cast("double") / col("n_b").cast("double")
+      val xDiff = col("ax0").cast("double") / col("n_a").cast("double") -
+        col("ax1").cast("double") / col("n_b").cast("double")
+      pooled.crossJoin(broadcast(a0)).crossJoin(broadcast(a1))
+        .select(col("n_a"), col("n_b"),
+          round(rawDiff / lit(100.0), 4).as("raw_diff_dollars"),
+          round((rawDiff - theta * xDiff) / lit(100.0), 4)
+            .as("cuped_diff_dollars"),
+          round(theta, 6).as("theta"), round(rho2, 6).as("rho2"))
+    }),
   )
 
   /** q394's finishing join over the (n_name, p_brand, cnt) profile

@@ -2350,5 +2350,27 @@ private[graft] object QueriesText {
             .as("f"))
         .select(col("source"), col("n_pairs"), round(col("f"), 6).as("coherence"))
     }),
+
+    "q421_ess_token_weights" -> ((s, dir) => {
+      // Effective sample size of token-proportional document sampling
+      // per source: ESS = (Σw)²/Σw² with w = token count — the Kish
+      // design-effect check a weighted sampler (q175) or a mix planner
+      // (q134) runs before trusting its weights; ESS/n near 1 means
+      // the weights are benign, near 1/n means one document dominates.
+      // Both sums are exact integers (squares in decimal(38,0), the
+      // q366 overflow discipline); ESS is one double expression.
+      val d38 = "decimal(38,0)"
+      val d = tbl(s, dir, "documents").select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("w"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+          sum(col("w").cast(d38) * col("w").cast(d38)).as("sww"))
+        .select(col("source"), col("n_docs"), col("sw").as("n_tokens"),
+          round((col("sw").cast("double") * col("sw").cast("double")) /
+            col("sww").cast("double"), 4).as("ess"),
+          round((col("sw").cast("double") * col("sw").cast("double")) /
+            col("sww").cast("double") / col("n_docs").cast("double"), 6)
+            .as("ess_ratio"))
+    }),
   )
 }
