@@ -2053,6 +2053,73 @@ private[graft] object OracleWarehouse {
              / sqrt(msw / 2.0 * (1.0 / CAST(na AS DOUBLE)
                + 1.0 / CAST(nb2 AS DOUBLE))), 4) AS q_stat
          FROM pr CROSS JOIN msw""",
+
+    "q423_rsi" ->
+      s"""WITH daily AS ($dailyRevenueSql),
+         dl0 AS (SELECT nation, d,
+             c - lag(c) OVER (PARTITION BY nation ORDER BY d) AS delta
+           FROM daily),
+         dlt AS (SELECT nation, d, greatest(delta, 0) AS gain,
+             greatest(-delta, 0) AS loss
+           FROM dl0 WHERE delta IS NOT NULL),
+         rs AS (SELECT nation,
+             count(*) OVER w AS nw, sum(gain) OVER w AS sg,
+             sum(loss) OVER w AS sl
+           FROM dlt WINDOW w AS (PARTITION BY nation ORDER BY d
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         rv AS (SELECT nation,
+             CASE WHEN sl = 0 THEN 100.0
+               ELSE 100.0 - 100.0
+                 / (1.0 + CAST(sg AS DOUBLE) / CAST(sl AS DOUBLE)) END AS rsi
+           FROM rs WHERE nw = 14)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN rsi > 70.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overbought,
+           CAST(sum(CASE WHEN rsi < 30.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oversold,
+           round(CAST(sum(CASE WHEN rsi > 70.0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS share_overbought
+         FROM rv GROUP BY 1""",
+
+    "q424_kendall_w" ->
+      """WITH li AS (SELECT l_partkey, CAST(year(l_shipdate) AS INT) AS yr,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+           FROM lineitem),
+         cells AS (SELECT p_brand, yr, CAST(sum(r) AS BIGINT) AS rev
+           FROM li JOIN part ON l_partkey = p_partkey
+           WHERE yr IN (1995, 1996, 1997) GROUP BY 1, 2),
+         ranks AS (SELECT p_brand, yr,
+             CAST(row_number() OVER (PARTITION BY yr
+               ORDER BY rev DESC, p_brand ASC) AS BIGINT) AS rk
+           FROM cells),
+         rsums AS (SELECT p_brand, CAST(sum(rk) AS BIGINT) AS rj
+           FROM ranks GROUP BY 1 HAVING count(*) = 3),
+         nbr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rsums),
+         t AS (SELECT n,
+             CAST(sum((rj * 2 - 3 * (n + 1)) * (rj * 2 - 3 * (n + 1)))
+               AS BIGINT) AS t
+           FROM rsums CROSS JOIN nbr GROUP BY 1)
+         SELECT n AS n_brands, CAST(3 AS BIGINT) AS m_years, t AS t_stat,
+           round(3.0 * CAST(t AS DOUBLE)
+             / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS w
+         FROM t""",
+
+    "q425_mase_naive" ->
+      s"""WITH daily AS ($dailyRevenueSql),
+         lagged AS (SELECT nation,
+             abs(c - lag(c, 1) OVER (PARTITION BY nation ORDER BY d)) AS e1,
+             abs(c - lag(c, 7) OVER (PARTITION BY nation ORDER BY d)) AS e7
+           FROM daily)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(e1) AS DOUBLE) / CAST(count(e1) AS DOUBLE)
+             / 100.0, 4) AS mae_naive,
+           round(CAST(sum(e7) AS DOUBLE) / CAST(count(e7) AS DOUBLE)
+             / 100.0, 4) AS mae_seasonal,
+           round((CAST(sum(e7) AS DOUBLE) / CAST(count(e7) AS DOUBLE))
+             / (CAST(sum(e1) AS DOUBLE) / CAST(count(e1) AS DOUBLE)), 6)
+             AS mase_ratio
+         FROM lagged GROUP BY 1""",
   )
 
   /** q412's trig basis as a CASE over the day index mod p — rendered

@@ -3186,6 +3186,103 @@ private[graft] object QueriesWarehouse {
               (lit(1.0) / col("na").cast("double") +
                 lit(1.0) / col("nb").cast("double"))), 4).as("q_stat"))
     }),
+
+    "q423_rsi" -> ((s, dir) => {
+      // 14-day RSI (simple-average form) regime counts per nation:
+      // gains/losses are exact BIGINT cent deltas over the calendar
+      // grid, the rolling sums are 14-row window frames (only full
+      // frames count, the q366 warm-up rule), RS = Σgain/Σloss one
+      // division, and the output is the count of overbought (> 70) /
+      // oversold (< 30) days — integer comparisons on identical
+      // doubles, so no per-day float ever aggregates.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val dlt = daily.withColumn("delta", col("c") - lag(col("c"), 1).over(w))
+        .filter(col("delta").isNotNull)
+        .select(col("nation"), col("d"),
+          greatest(col("delta"), lit(0L)).as("gain"),
+          greatest(-col("delta"), lit(0L)).as("loss"))
+      val fw = Window.partitionBy(col("nation")).orderBy(col("d"))
+        .rowsBetween(-13, 0)
+      val rsi = dlt
+        .withColumn("nw", count(lit(1)).over(fw))
+        .withColumn("sg", sum(col("gain")).over(fw))
+        .withColumn("sl", sum(col("loss")).over(fw))
+        .filter(col("nw") === 14)
+        .select(col("nation"),
+          when(col("sl") === 0, lit(100.0))
+            .otherwise(lit(100.0) - lit(100.0) /
+              (lit(1.0) + col("sg").cast("double") / col("sl").cast("double")))
+            .as("rsi"))
+      rsi.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("rsi") > 70.0, 1L).otherwise(0L)).as("n_overbought"),
+          sum(when(col("rsi") < 30.0, 1L).otherwise(0L)).as("n_oversold"))
+        .select(col("nation"), col("n_windows"), col("n_overbought"),
+          col("n_oversold"),
+          round(col("n_overbought").cast("double") /
+            col("n_windows").cast("double"), 6).as("share_overbought"))
+    }),
+
+    "q424_kendall_w" -> ((s, dir) => {
+      // Kendall's coefficient of concordance W across the three yearly
+      // brand-revenue rankings (1995/1996/1997): do the years agree on
+      // the brand order? Ranks are row_numbers over exact cents
+      // (brand tie-break), the rank-sum deviations stay INTEGER via
+      // T = Σ(2R_j − m(n+1))² = 4·ΣD², and W = 3T/(m²(n³−n)) is ONE
+      // double division — no float until the last step.
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
+        year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cells = li.filter(col("yr").isin(1995, 1996, 1997))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("yr")).agg(sum(col("r")).as("rev"))
+      val w = Window.partitionBy(col("yr"))
+        .orderBy(col("rev").desc, col("p_brand").asc)
+      val ranks = cells.withColumn("rk", row_number().over(w).cast("long"))
+      val rsums = ranks.groupBy(col("p_brand"))
+        .agg(sum(col("rk")).as("rj"), count(lit(1)).as("m"))
+        .filter(col("m") === 3)
+        .localCheckpoint()
+      val nBr = rsums.agg(count(lit(1)).as("n"))
+      val dev = col("rj") * 2 - lit(3) * (col("n") + 1)
+      val t = rsums.crossJoin(broadcast(nBr))
+        .select(col("n"), (dev * dev).as("d2"))
+        .groupBy(col("n")).agg(sum(col("d2")).as("t"))
+      t.select(col("n").as("n_brands"), lit(3L).as("m_years"),
+        col("t").as("t_stat"),
+        round(lit(3.0) * col("t").cast("double") /
+          (lit(9.0) * (col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") - col("n").cast("double"))), 6).as("w"))
+    }),
+
+    "q425_mase_naive" -> ((s, dir) => {
+      // Seasonal-naive vs naive forecast error on the daily grid:
+      // MAE of the lag-7 forecast over MAE of the lag-1 forecast per
+      // nation — the MASE-style scale-free skill score that says
+      // whether weekly seasonality actually helps (ratio < 1) before
+      // anyone fits a model (q226/q275 evaluate the fitted ones).
+      // Absolute errors are exact BIGINT cents; each MAE is one
+      // division.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val lagged = daily
+        .withColumn("e1", abs(col("c") - lag(col("c"), 1).over(w)))
+        .withColumn("e7", abs(col("c") - lag(col("c"), 7).over(w)))
+      lagged.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("e1")).as("s1"), count(col("e1")).as("n1"),
+          sum(col("e7")).as("s7"), count(col("e7")).as("n7"))
+        .select(col("nation"), col("n_days"),
+          round(col("s1").cast("double") / col("n1").cast("double") /
+            lit(100.0), 4).as("mae_naive"),
+          round(col("s7").cast("double") / col("n7").cast("double") /
+            lit(100.0), 4).as("mae_seasonal"),
+          round((col("s7").cast("double") / col("n7").cast("double")) /
+            (col("s1").cast("double") / col("n1").cast("double")), 6)
+            .as("mase_ratio"))
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared
