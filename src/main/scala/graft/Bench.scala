@@ -38,7 +38,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // 4000, not 1000: the suite passed ~419 benched queries × several
+      // codegen units each, so a 1000-entry LRU evicts a query's
+      // generated classes before its round-2/3 samples run — every min
+      // then re-pays janino compilation (~40-100 ms/query, and seconds
+      // on the widest plans), which is measurement overhead, not query
+      // cost.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
     Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     // ERROR, not WARN: r7's driver record came back `parsed: null` because
