@@ -2684,5 +2684,94 @@ private[graft] object OracleStats {
            round((raw - theta * xd) / 100.0, 4) AS cuped_diff_dollars,
            round(theta, 6) AS theta, round(rho2, 6) AS rho2
          FROM f""",
+
+    "q428_stratified_ate" ->
+      """WITH per AS (SELECT o_custkey,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1996
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS x,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS y
+           FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+           GROUP BY 1),
+         base AS (SELECT c_custkey, coalesce(x, 0) AS x, coalesce(y, 0) AS y,
+             c_custkey % 2 AS arm
+           FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+         bounds AS (SELECT
+             quantile_cont(CAST(x AS DOUBLE), 0.2) AS b1,
+             quantile_cont(CAST(x AS DOUBLE), 0.4) AS b2,
+             quantile_cont(CAST(x AS DOUBLE), 0.6) AS b3,
+             quantile_cont(CAST(x AS DOUBLE), 0.8) AS b4
+           FROM base),
+         strat AS (SELECT y, arm,
+             CASE WHEN x <= b1 THEN 1 WHEN x <= b2 THEN 2
+               WHEN x <= b3 THEN 3 WHEN x <= b4 THEN 4 ELSE 5 END AS stratum
+           FROM base CROSS JOIN bounds),
+         cells AS (SELECT stratum,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+           FROM strat GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS ty1,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn1,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS ty0,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn0
+           FROM base),
+         terms AS (SELECT stratum,
+             CAST(n1 + n0 AS DOUBLE) / CAST(n AS DOUBLE)
+               * (CASE WHEN n1 > 0 AND n0 > 0
+                 THEN CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                 ELSE 0.0 END) AS t
+           FROM cells CROSS JOIN tot),
+         ate AS (SELECT list_sum(list(t ORDER BY stratum)) AS ate FROM terms)
+         SELECT n AS n_customers,
+           round((CAST(ty1 AS DOUBLE) / CAST(tn1 AS DOUBLE)
+             - CAST(ty0 AS DOUBLE) / CAST(tn0 AS DOUBLE)) / 100.0, 4)
+             AS raw_diff_dollars,
+           round(ate / 100.0, 4) AS stratified_ate_dollars
+         FROM ate CROSS JOIN tot""",
+
+    "q429_meta_analysis" ->
+      """WITH li AS (SELECT l_orderkey, l_returnflag AS g,
+           CAST(l_quantity AS BIGINT) AS x
+           FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+         gs AS (SELECT n_name AS nation, g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM li
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         study AS (SELECT nation,
+             CAST(r.sx AS DOUBLE) / CAST(r.n AS DOUBLE)
+               - CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) AS d,
+             CAST(CAST(r.n AS HUGEINT) * r.sxx - CAST(r.sx AS HUGEINT) * r.sx
+                 AS DOUBLE)
+               / (CAST(r.n AS DOUBLE) * CAST(r.n - 1 AS DOUBLE))
+               / CAST(r.n AS DOUBLE)
+             + CAST(CAST(a.n AS HUGEINT) * a.sxx - CAST(a.sx AS HUGEINT) * a.sx
+                 AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE))
+               / CAST(a.n AS DOUBLE) AS v
+           FROM (SELECT * FROM gs WHERE g = 'R') r
+           JOIN (SELECT * FROM gs WHERE g = 'A') a USING (nation)
+           WHERE r.n > 1 AND a.n > 1),
+         pooled AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             list_sum(list(1.0 / v * d ORDER BY nation))
+               / list_sum(list(1.0 / v ORDER BY nation)) AS pooled
+           FROM study),
+         q AS (SELECT k, pooled,
+             list_sum(list(1.0 / v * (d - pooled) * (d - pooled)
+               ORDER BY nation)) AS q
+           FROM study CROSS JOIN pooled GROUP BY k, pooled)
+         SELECT k AS k_nations, round(pooled, 6) AS pooled_diff,
+           round(q, 4) AS q_cochran,
+           round(greatest(0.0, (q - CAST(k - 1 AS DOUBLE)) / q), 6)
+             AS i_squared
+         FROM q""",
   )
 }

@@ -2120,6 +2120,78 @@ private[graft] object OracleWarehouse {
              / (CAST(sum(e1) AS DOUBLE) / CAST(count(e1) AS DOUBLE)), 6)
              AS mase_ratio
          FROM lagged GROUP BY 1""",
+
+    "q426_rank_aggregation" ->
+      """WITH li AS (SELECT l_partkey, CAST(year(l_shipdate) AS INT) AS yr,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+           FROM lineitem),
+         cells AS (SELECT p_brand, yr, CAST(sum(r) AS BIGINT) AS rev
+           FROM li JOIN part ON l_partkey = p_partkey
+           WHERE yr IN (1995, 1996, 1997) GROUP BY 1, 2),
+         ranks AS (SELECT p_brand, yr,
+             CAST(row_number() OVER (PARTITION BY yr
+               ORDER BY rev DESC, p_brand ASC) AS BIGINT) AS rk
+           FROM cells),
+         nbr AS (SELECT CAST(count(*) AS BIGINT) AS n
+           FROM ranks WHERE yr = 1995),
+         borda AS (SELECT p_brand, CAST(sum(n - rk) AS BIGINT) AS borda
+           FROM ranks CROSS JOIN nbr GROUP BY 1),
+         beats AS (SELECT bi, CAST(count(*) AS BIGINT) AS n_beats FROM (
+             SELECT a.p_brand AS bi, b.p_brand AS bj
+             FROM ranks a JOIN ranks b
+               ON a.yr = b.yr AND a.p_brand <> b.p_brand
+             GROUP BY 1, 2
+             HAVING sum(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END) >= 2)
+           GROUP BY 1)
+         SELECT borda.p_brand AS brand, borda,
+           CAST(coalesce(n_beats, 0) AS BIGINT) AS n_pairwise_wins,
+           coalesce(n_beats, 0) = n - 1 AS condorcet_winner
+         FROM borda LEFT JOIN beats ON borda.p_brand = beats.bi
+         CROSS JOIN nbr""",
+
+    "q427_bradley_terry" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey,
+           CAST(year(l_shipdate) AS INT) AS yr,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+           FROM lineitem),
+         cell AS (SELECT n_name AS nation, p_brand, CAST(sum(r) AS BIGINT) AS e
+           FROM li
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE yr = 1997 GROUP BY 1, 2),
+         w AS (SELECT bi, bj,
+             CAST(sum(CASE WHEN ei > ej THEN 1 ELSE 0 END) AS BIGINT) AS wij,
+             CAST(count(*) AS BIGINT) AS nij
+           FROM (SELECT nation, p_brand AS bi, e AS ei FROM cell) a
+           JOIN (SELECT nation, p_brand AS bj, e AS ej FROM cell) b
+             USING (nation)
+           WHERE bi <> bj GROUP BY 1, 2),
+         wt AS (SELECT bi, CAST(sum(wij) AS BIGINT) AS wtot FROM w GROUP BY 1),
+         p1 AS (SELECT w.bi AS brand, CAST(wt.wtot AS DOUBLE)
+             / list_sum(list(round(CAST(w.nij AS DOUBLE) / (1.0 + 1.0), 9)
+               ORDER BY w.bj)) AS p
+           FROM w JOIN wt ON wt.bi = w.bi GROUP BY w.bi, wt.wtot),
+         p2 AS (SELECT w.bi AS brand, CAST(wt.wtot AS DOUBLE)
+             / list_sum(list(round(CAST(w.nij AS DOUBLE) / (pi.p + pj.p), 9)
+               ORDER BY w.bj)) AS p
+           FROM w
+           JOIN p1 pi ON pi.brand = w.bi
+           JOIN p1 pj ON pj.brand = w.bj
+           JOIN wt ON wt.bi = w.bi
+           GROUP BY w.bi, wt.wtot),
+         p3 AS (SELECT w.bi AS brand, CAST(wt.wtot AS DOUBLE)
+             / list_sum(list(round(CAST(w.nij AS DOUBLE) / (pi.p + pj.p), 9)
+               ORDER BY w.bj)) AS p
+           FROM w
+           JOIN p2 pi ON pi.brand = w.bi
+           JOIN p2 pj ON pj.brand = w.bj
+           JOIN wt ON wt.bi = w.bi
+           GROUP BY w.bi, wt.wtot),
+         ps AS (SELECT list_sum(list(p ORDER BY brand)) AS ps FROM p3)
+         SELECT p3.brand, wt.wtot AS wins, round(p / ps, 6) AS bt_score
+         FROM p3 JOIN wt ON wt.bi = p3.brand CROSS JOIN ps""",
   )
 
   /** q412's trig basis as a CASE over the day index mod p — rendered

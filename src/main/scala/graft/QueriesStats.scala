@@ -3216,6 +3216,123 @@ private[graft] object QueriesStats {
             .as("cuped_diff_dollars"),
           round(theta, 6).as("theta"), round(rho2, 6).as("rho2"))
     }),
+
+    "q428_stratified_ate" -> ((s, dir) => {
+      // Stratified treatment-effect estimate: outcome = 1997 spend,
+      // treatment = even/odd customer key, strata = quintiles of the
+      // 1996 PRE-period spend (broadcast global bounds, the q381
+      // discipline — no global ntile). ATE = Σ_s (n_s/N)·(ȳ₁ − ȳ₀)_s;
+      // an empty arm contributes 0 by declared CASE (mirrored). All
+      // sums exact cents; the 5 stratum terms fold stratum-ordered.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val per = o.filter(col("yr").isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(col("yr") === 1996, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("yr") === 1997, col("cents")).otherwise(0L)).as("y"))
+      val base = tbl(s, dir, "customer").select(col("c_custkey"))
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"),
+          pmod(col("c_custkey"), lit(2)).as("arm"))
+        .localCheckpoint()
+      val bounds = base.agg(
+        expr("percentile(CAST(x AS DOUBLE), 0.2)").as("b1"),
+        expr("percentile(CAST(x AS DOUBLE), 0.4)").as("b2"),
+        expr("percentile(CAST(x AS DOUBLE), 0.6)").as("b3"),
+        expr("percentile(CAST(x AS DOUBLE), 0.8)").as("b4"))
+      val strat = base.crossJoin(broadcast(bounds))
+        .select(col("y"), col("arm"),
+          when(col("x") <= col("b1"), 1).when(col("x") <= col("b2"), 2)
+            .when(col("x") <= col("b3"), 3).when(col("x") <= col("b4"), 4)
+            .otherwise(5).as("stratum"))
+      val cells = strat.groupBy(col("stratum"))
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy0"))
+      val tot = base.agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("ty1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("tn1"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("ty0"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("tn0"))
+      val diffS = when(col("n1") > 0 && col("n0") > 0,
+        col("sy1").cast("double") / col("n1").cast("double") -
+          col("sy0").cast("double") / col("n0").cast("double"))
+        .otherwise(lit(0.0))
+      val terms = cells.crossJoin(broadcast(tot))
+        .select(col("stratum"),
+          ((col("n1") + col("n0")).cast("double") / col("n").cast("double") *
+            diffS).as("t"))
+      val ate = terms.agg(aggregate(array_sort(collect_list(
+        struct(col("stratum"), col("t")))), lit(0.0),
+        (acc, e) => acc + e.getField("t")).as("ate"))
+      ate.crossJoin(broadcast(tot))
+        .select(col("n").as("n_customers"),
+          round((col("ty1").cast("double") / col("tn1").cast("double") -
+            col("ty0").cast("double") / col("tn0").cast("double")) /
+            lit(100.0), 4).as("raw_diff_dollars"),
+          round(col("ate") / lit(100.0), 4).as("stratified_ate_dollars"))
+    }),
+
+    "q429_meta_analysis" -> ((s, dir) => {
+      // Fixed-effect meta-analysis of the per-nation R-vs-A quantity
+      // effects (the q396 Welch moments per nation): inverse-variance
+      // pooled effect, Cochran's Q heterogeneity, I² — the
+      // combine-25-experiments layer an A/B platform reports. Every
+      // per-nation effect/variance is a fixed double expression of
+      // exact decimal(38,0) moments; the 25 study terms fold
+      // nation-ordered, and Q reuses the pooled value via one
+      // broadcast back.
+      val d38 = "decimal(38,0)"
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A"))
+        .select(col("l_orderkey"), col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("x"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val gs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .localCheckpoint()
+      def side(f: String, sfx: String) = gs.filter(col("g") === f)
+        .select(col("nation"), col("n").as("n" + sfx),
+          col("sx").as("sx" + sfx), col("sxx").as("sxx" + sfx))
+      def variance(nc: Column, sx: Column, sxx: Column) =
+        (nc.cast(d38) * sxx.cast(d38) - sx.cast(d38) * sx.cast(d38))
+          .cast("double") / (nc.cast("double") * (nc - 1).cast("double"))
+      val study = side("R", "1").join(side("A", "2"), Seq("nation"))
+        .filter(col("n1") > 1 && col("n2") > 1)
+        .select(col("nation"),
+          (col("sx1").cast("double") / col("n1").cast("double") -
+            col("sx2").cast("double") / col("n2").cast("double")).as("d"),
+          (variance(col("n1"), col("sx1"), col("sxx1")) /
+            col("n1").cast("double") +
+            variance(col("n2"), col("sx2"), col("sxx2")) /
+            col("n2").cast("double")).as("v"))
+        .localCheckpoint()
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("nation"), w.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      val pooled = study.agg(count(lit(1)).as("k"),
+        fold(lit(1.0) / col("v") * col("d"), "wd").as("swd"),
+        fold(lit(1.0) / col("v"), "w").as("sw"))
+        .select(col("k"), (col("swd") / col("sw")).as("pooled"))
+      val q = study.crossJoin(broadcast(pooled))
+        .agg(first(col("k")).as("k"), first(col("pooled")).as("pooled"),
+          fold(lit(1.0) / col("v") * (col("d") - col("pooled")) *
+            (col("d") - col("pooled")), "qt").as("q"))
+      q.select(col("k").as("k_nations"), round(col("pooled"), 6).as("pooled_diff"),
+        round(col("q"), 4).as("q_cochran"),
+        round(greatest(lit(0.0),
+          (col("q") - (col("k") - 1).cast("double")) / col("q")), 6)
+          .as("i_squared"))
+    }),
   )
 
   /** q394's finishing join over the (n_name, p_brand, cnt) profile

@@ -3283,6 +3283,98 @@ private[graft] object QueriesWarehouse {
             (col("s1").cast("double") / col("n1").cast("double")), 6)
             .as("mase_ratio"))
     }),
+
+    "q426_rank_aggregation" -> ((s, dir) => {
+      // Borda + Condorcet aggregation of the three yearly brand-revenue
+      // rankings (the q424 grid): Borda score Σ(n − rank) across
+      // years, pairwise win = lower rank in a majority of years,
+      // Condorcet winner = beats every other brand — the social-choice
+      // layer over catalog-bounded integer ranks; no float anywhere.
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
+        year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cells = li.filter(col("yr").isin(1995, 1996, 1997))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("yr")).agg(sum(col("r")).as("rev"))
+      val w = Window.partitionBy(col("yr"))
+        .orderBy(col("rev").desc, col("p_brand").asc)
+      val ranks = cells.withColumn("rk", row_number().over(w).cast("long"))
+        .localCheckpoint()
+      val nBr = ranks.filter(col("yr") === 1995).agg(count(lit(1)).as("n"))
+      val borda = ranks.crossJoin(broadcast(nBr))
+        .groupBy(col("p_brand")).agg(sum(col("n") - col("rk")).as("borda"))
+      val a = ranks.select(col("yr"), col("p_brand").as("bi"), col("rk").as("ri"))
+      val b = ranks.select(col("yr"), col("p_brand").as("bj"), col("rk").as("rj"))
+      val beats = a.join(b, Seq("yr")).filter(col("bi") =!= col("bj"))
+        .groupBy(col("bi"), col("bj"))
+        .agg(sum(when(col("ri") < col("rj"), 1L).otherwise(0L)).as("wins"))
+        .filter(col("wins") >= 2)
+        .groupBy(col("bi")).agg(count(lit(1)).as("n_beats"))
+      borda.join(beats.withColumnRenamed("bi", "p_brand"), Seq("p_brand"), "left")
+        .crossJoin(broadcast(nBr))
+        .select(col("p_brand").as("brand"), col("borda"),
+          coalesce(col("n_beats"), lit(0L)).as("n_pairwise_wins"),
+          (coalesce(col("n_beats"), lit(0L)) === (col("n") - 1))
+            .as("condorcet_winner"))
+    }),
+
+    "q427_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry strengths from pairwise brand "matches" (one per
+      // nation, 1997 revenue decides the winner), fitted by THREE
+      // unrolled MM iterations p_i ← W_i / Σ_j n_ij/(p_i+p_j) from
+      // p = 1 — the paired-comparison model behind every ranking
+      // system, on a catalog-bounded (25²) win matrix. Win counts are
+      // exact; each iteration's 24 per-brand terms round on the 9-dp
+      // grid and fold opponent-ordered, so three iterations stay
+      // bit-deterministic in both engines.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cell = li.filter(col("yr") === 1997)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name").as("nation"), col("p_brand"))
+        .agg(sum(col("r")).as("e"))
+        .localCheckpoint()
+      val i = cell.select(col("nation"), col("p_brand").as("bi"), col("e").as("ei"))
+      val j = cell.select(col("nation"), col("p_brand").as("bj"), col("e").as("ej"))
+      val wins = i.join(j, Seq("nation")).filter(col("bi") =!= col("bj"))
+        .groupBy(col("bi"), col("bj"))
+        .agg(sum(when(col("ei") > col("ej"), 1L).otherwise(0L)).as("wij"),
+          count(lit(1)).as("nij"))
+        .localCheckpoint()
+      val wt = wins.groupBy(col("bi")).agg(sum(col("wij")).as("wtot"))
+        .localCheckpoint()
+      def iter(pd: DataFrame): DataFrame = {
+        val pi = pd.select(col("brand").as("bi"), col("p").as("pi"))
+        val pj = pd.select(col("brand").as("bj"), col("p").as("pj"))
+        wins.join(broadcast(pi), Seq("bi")).join(broadcast(pj), Seq("bj"))
+          .select(col("bi"), col("bj"),
+            round(col("nij").cast("double") / (col("pi") + col("pj")), 9)
+              .as("t"))
+          .groupBy(col("bi"))
+          .agg(aggregate(array_sort(collect_list(struct(col("bj"), col("t")))),
+            lit(0.0), (acc, e) => acc + e.getField("t")).as("d"))
+          .join(wt, Seq("bi"))
+          .select(col("bi").as("brand"),
+            (col("wtot").cast("double") / col("d")).as("p"))
+      }
+      val p0 = wt.select(col("bi").as("brand"), lit(1.0).as("p"))
+      val p3 = iter(iter(iter(p0)))
+      val psum = p3.agg(aggregate(array_sort(collect_list(struct(col("brand"),
+        col("p")))), lit(0.0), (acc, e) => acc + e.getField("p")).as("ps"))
+      p3.crossJoin(broadcast(psum))
+        .join(wt.withColumnRenamed("bi", "brand"), Seq("brand"))
+        .select(col("brand"), col("wtot").as("wins"),
+          round(col("p") / col("ps"), 6).as("bt_score"))
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared
