@@ -1313,5 +1313,39 @@ private[graft] object OracleText {
              / CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 6) AS ess_ratio
          FROM d GROUP BY 1""",
+
+    "q432_chi2_terms" -> {
+      val det = """(CAST(a AS HUGEINT) * CAST(nn - nl - df + a AS HUGEINT)
+        - CAST(nl - a AS HUGEINT) * CAST(df - a AS HUGEINT))"""
+      s"""WITH dt AS (SELECT DISTINCT lang, doc_id, t AS term FROM
+           (SELECT lang, doc_id,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+            FROM documents)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         langn AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+           FROM documents GROUP BY 1),
+         tl AS (SELECT term, lang, CAST(count(*) AS BIGINT) AS a
+           FROM dt GROUP BY 1, 2),
+         tdf AS (SELECT term, CAST(sum(a) AS BIGINT) AS df
+           FROM tl GROUP BY 1),
+         grid AS (SELECT tdf.term, langn.lang, langn.nl, tdf.df, nn.nn,
+             coalesce(tl.a, 0) AS a
+           FROM tdf CROSS JOIN langn
+           LEFT JOIN tl ON tl.term = tdf.term AND tl.lang = langn.lang
+           CROSS JOIN nn
+           WHERE tdf.df >= 20 AND tdf.df < nn.nn),
+         scored AS (SELECT lang, term, a AS n_in_lang,
+             CAST(nn AS DOUBLE)
+               * CAST($det AS DOUBLE) * CAST($det AS DOUBLE)
+               / (CAST(nl AS DOUBLE) * CAST(nn - nl AS DOUBLE)
+                 * CAST(df AS DOUBLE) * CAST(nn - df AS DOUBLE)) AS chi2
+           FROM grid),
+         rk AS (SELECT lang, term, n_in_lang, chi2,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY chi2 DESC, term ASC) AS BIGINT) AS rk
+           FROM scored)
+         SELECT lang, rk, term, n_in_lang, round(chi2, 4) AS chi2
+         FROM rk WHERE rk <= 3"""
+    },
   )
 }

@@ -819,5 +819,76 @@ private[graft] object OracleVector {
          SELECT li AS label, n_vecs, round(sigma, 6) AS sigma,
            round(max(r), 6) AS db_term
          FROM r GROUP BY 1, 2, sigma""",
+
+    "q430_mmr_diversity" -> {
+      // Pairwise candidate cosine — same op structure as cosineSqlBody
+      // but over two candidate vectors (va, vb).
+      val pairCos =
+        """list_sum(list_transform(range(1, len(va)+1), i -> va[i]*vb[i]))
+           / (sqrt(list_sum(list_transform(range(1, len(va)+1),
+               i -> va[i]*va[i])))
+             * sqrt(list_sum(list_transform(range(1, len(vb)+1),
+               i -> vb[i]*vb[i]))))"""
+      def stepSql(t: Int): String =
+        s"""p$t AS (SELECT CAST($t AS BIGINT) AS rank, vec_id, rel, score
+           FROM (SELECT c.vec_id, c.rel,
+               0.7 * c.rel - 0.3 * max(s.sim) AS score
+             FROM cand c
+             JOIN sim s ON s.vi = c.vec_id
+               AND s.vj IN (SELECT vec_id FROM sel${t - 1})
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+             GROUP BY c.vec_id, c.rel
+             ORDER BY score DESC, c.vec_id LIMIT 1)),
+         sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
+      val steps = (2 to 5).map(stepSql).mkString(",\n         ")
+      s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+             AS qv
+           FROM embeddings WHERE vec_id = 0),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+           FROM embeddings WHERE vec_id <> 0),
+         cand AS (SELECT vec_id, rel, ev FROM (
+           SELECT vec_id, round($cosineSqlBody, 4) AS rel, ev
+           FROM e, q ORDER BY rel DESC, vec_id LIMIT 50)),
+         sim AS (SELECT a.vec_id AS vi, b.vec_id AS vj,
+             round($pairCos, 4) AS sim
+           FROM (SELECT vec_id, ev AS va FROM cand) a
+           JOIN (SELECT vec_id, ev AS vb FROM cand) b
+             ON a.vec_id <> b.vec_id),
+         sel1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+             rel AS score
+           FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         $steps
+         SELECT rank, vec_id, rel, round(score, 4) AS score FROM sel5"""
+    },
+
+    "q431_centroid_drift" ->
+      """WITH ev AS MATERIALIZED (SELECT vec_id, label, vec_id % 2 AS half,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         ei AS (SELECT vec_id, label, half, v,
+           unnest(range(1, len(v)+1)) AS i FROM ev),
+         ed AS (SELECT vec_id, label, half, i - 1 AS dim, v[i] AS x FROM ei),
+         cent AS (SELECT label, half, dim,
+             list_sum(list(x ORDER BY vec_id)) / count(*) AS c,
+             CAST(count(*) AS BIGINT) AS nv
+           FROM ed GROUP BY 1, 2, 3),
+         cv AS (SELECT label, half, list(c ORDER BY dim) AS cv,
+             first(nv) AS n_vecs
+           FROM cent GROUP BY 1, 2),
+         j AS (SELECT a.label, a.cv AS c0, a.n_vecs AS n_even,
+             b.cv AS c1, b.n_vecs AS n_odd
+           FROM (SELECT * FROM cv WHERE half = 0) a
+           JOIN (SELECT * FROM cv WHERE half = 1) b USING (label))
+         SELECT label, n_even, n_odd,
+           round(list_sum(list_transform(range(1, len(c0)+1),
+               i -> c0[i]*c1[i]))
+             / (sqrt(list_sum(list_transform(range(1, len(c0)+1),
+                 i -> c0[i]*c0[i])))
+               * sqrt(list_sum(list_transform(range(1, len(c1)+1),
+                 i -> c1[i]*c1[i])))), 6) AS centroid_cosine,
+           round(sqrt(list_sum(list_transform(range(1, len(c0)+1),
+             i -> (c0[i] - c1[i]) * (c0[i] - c1[i])))), 6) AS centroid_l2
+         FROM j""",
   )
 }

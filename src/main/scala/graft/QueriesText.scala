@@ -2372,5 +2372,48 @@ private[graft] object QueriesText {
             col("sww").cast("double") / col("n_docs").cast("double"), 6)
             .as("ess_ratio"))
     }),
+
+    "q432_chi2_terms" -> ((s, dir) => {
+      // χ² feature selection: the most language-discriminative terms
+      // via the 2×2 term-presence × language contingency —
+      // χ² = N(ad−bc)²/(n_l(N−n_l)·df(N−df)), every cell an exact
+      // integer, the ad−bc determinant in decimal(38,0) (q366
+      // discipline). The dense term×lang grid is df-bounded
+      // (20 ≤ df < N — an everywhere-term carries no signal and would
+      // zero the denominator); top-3 per language by a
+      // lang-partitioned window, tie-break on term.
+      val dt = tbl(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(array_distinct(Text.tokens(col("text")))).as("term"))
+      val nDocs = tbl(s, dir, "documents").agg(count(lit(1)).as("nn"))
+      val langN = tbl(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("nl"))
+      val tl = dt.groupBy(col("term"), col("lang")).agg(count(lit(1)).as("a"))
+        .localCheckpoint()
+      val tdf = tl.groupBy(col("term")).agg(sum(col("a")).as("df"))
+      val d38 = "decimal(38,0)"
+      val grid = tdf.crossJoin(broadcast(langN))
+        .join(tl, Seq("term", "lang"), "left")
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") >= 20 && col("df") < col("nn"))
+        .select(col("term"), col("lang"), col("nl"), col("df"), col("nn"),
+          coalesce(col("a"), lit(0L)).as("a"))
+      val b = col("nl") - col("a")
+      val c = col("df") - col("a")
+      val d = col("nn") - col("nl") - col("df") + col("a")
+      val det = col("a").cast(d38) * d.cast(d38) - b.cast(d38) * c.cast(d38)
+      val chi2 = col("nn").cast("double") *
+        det.cast("double") * det.cast("double") /
+        (col("nl").cast("double") * (col("nn") - col("nl")).cast("double") *
+          col("df").cast("double") * (col("nn") - col("df")).cast("double"))
+      val scored = grid.select(col("lang"), col("term"), col("a").as("n_in_lang"),
+        chi2.as("chi2"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("chi2").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("term"), col("n_in_lang"),
+          round(col("chi2"), 4).as("chi2"))
+    }),
   )
 }

@@ -1393,5 +1393,88 @@ private[graft] object QueriesVector {
         .select(col("li").as("label"), col("n_vecs"),
           round(col("si"), 6).as("sigma"), round(col("dbm"), 6).as("db_term"))
     }),
+
+    "q430_mmr_diversity" -> ((s, dir) => {
+      // Maximal Marginal Relevance top-5 over the exact cosine top-50
+      // shortlist (λ = 0.7): each step picks argmax of
+      // 0.7·rel − 0.3·max-sim-to-selected — the diversity re-ranker a
+      // retrieval stack runs after ANN (q38/q88's rerank is
+      // score-only). Five unrolled greedy steps on the 50-row
+      // (shortlist-bounded) frame; rel and the 50² pairwise cosines
+      // round at 4 dp (the q38 contract), ties break on vec_id, so
+      // every argmax is deterministic in both engines.
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+      val cand = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Vectors.cosineToConst(col("embedding"), q), 4).as("rel"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(50)
+        .localCheckpoint()
+      val sim = cand.select(col("vec_id").as("vi"), col("v").as("va"))
+        .join(cand.select(col("vec_id").as("vj"), col("v").as("vb")),
+          col("vi") =!= col("vj"))
+        .select(col("vi"), col("vj"),
+          round(Vectors.cosine(col("va"), col("vb")), 4).as("sim"))
+        .localCheckpoint()
+      val rels = cand.select(col("vec_id"), col("rel"))
+      val p1 = rels.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(lit(1L).as("rank"), col("vec_id"), col("rel"),
+          col("rel").as("score"))
+        .localCheckpoint()
+      def step(sel: DataFrame, t: Int): DataFrame = {
+        val selIds = sel.select(col("vec_id").as("vj"))
+        val pick = rels.join(sel.select(col("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .join(sim, col("vec_id") === col("vi"))
+          .join(broadcast(selIds), Seq("vj"), "left_semi")
+          .groupBy(col("vec_id"), col("rel"))
+          .agg(max(col("sim")).as("ms"))
+          .select(col("vec_id"), col("rel"),
+            (lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .select(lit(t.toLong).as("rank"), col("vec_id"), col("rel"),
+            col("score"))
+        sel.unionAll(pick).localCheckpoint()
+      }
+      val sel5 = (2 to 5).foldLeft(p1)((acc, t) => step(acc, t))
+      sel5.select(col("rank"), col("vec_id"), col("rel"),
+        round(col("score"), 4).as("score"))
+    }),
+
+    "q431_centroid_drift" -> ((s, dir) => {
+      // Embedding drift check per label: split each label's vectors
+      // into even/odd vec_id halves, compare the half-centroids by
+      // cosine and L2 — the "has this slice of the corpus moved"
+      // monitor an embedding pipeline runs between snapshots (the
+      // vector analog of the q127 KL drift). Centroids are the q330
+      // vec_id-ordered dimension folds; the comparison is
+      // dimension-ordered zip folds of identical doubles.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          pmod(col("vec_id"), lit(2)).as("half"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint()
+      val cent = e.select(col("vec_id"), col("label"), col("half"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("half"), col("dim"))
+        .agg((aggregate(array_sort(collect_list(struct(col("vec_id"),
+            col("x")))), lit(0.0), (a, r) => a + r.getField("x"))
+          / count(lit(1))).as("c"), count(lit(1)).as("nv"))
+        .groupBy(col("label"), col("half"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          r => r.getField("c")).as("cv"), first(col("nv")).as("n_vecs"))
+      val ev0 = cent.filter(col("half") === 0)
+        .select(col("label"), col("cv").as("c0"), col("n_vecs").as("n_even"))
+      val ev1 = cent.filter(col("half") === 1)
+        .select(col("label"), col("cv").as("c1"), col("n_vecs").as("n_odd"))
+      ev0.join(ev1, Seq("label"))
+        .select(col("label"), col("n_even"), col("n_odd"),
+          round(Vectors.cosine(col("c0"), col("c1")), 6).as("centroid_cosine"),
+          round(sqrt(aggregate(zip_with(col("c0"), col("c1"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6)
+            .as("centroid_l2"))
+    }),
   )
 }
