@@ -2773,5 +2773,55 @@ private[graft] object OracleStats {
            round(greatest(0.0, (q - CAST(k - 1 AS DOUBLE)) / q), 6)
              AS i_squared
          FROM q""",
+
+    "q434_cpk" ->
+      """WITH li AS (SELECT p_brand, CAST(l_quantity AS BIGINT) AS x
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+           FROM li GROUP BY 1),
+         m AS (SELECT p_brand, n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+           FROM g)
+         SELECT p_brand AS brand, n AS n_items,
+           round(mean, 4) AS mean_qty,
+           round((50.0 - 1.0) / (6.0 * sd), 4) AS cp,
+           round(least(50.0 - mean, mean - 1.0) / (3.0 * sd), 4) AS cpk
+         FROM m""",
+
+    "q435_youden_grid" ->
+      s"""WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS score,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS y97
+           FROM orders GROUP BY 1),
+         med AS (SELECT quantile_cont(CAST(y97 AS DOUBLE), 0.5) AS md
+           FROM per),
+         lab AS (SELECT score, y97 > md AS pos FROM per CROSS JOIN med),
+         grid AS (SELECT quantile_cont(CAST(score AS DOUBLE),
+             [${(1 to 9).map(i => 0.1 * i).mkString(", ")}]) AS ts
+           FROM lab),
+         th AS (SELECT CAST(i AS BIGINT) AS decile, ts[i] AS t
+           FROM grid, unnest(range(1, 10)) AS u(i))
+         SELECT decile, round(t, 2) AS threshold,
+           round(CAST(sum(CASE WHEN pos AND score > t THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             / CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             AS tpr,
+           round(CAST(sum(CASE WHEN NOT pos AND score > t THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             / CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             AS fpr,
+           round(CAST(sum(CASE WHEN pos AND score > t THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             / CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(sum(CASE WHEN NOT pos AND score > t THEN 1 ELSE 0 END)
+               AS DOUBLE)
+             / CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             AS youden_j
+         FROM lab CROSS JOIN th GROUP BY 1, 2""",
   )
 }

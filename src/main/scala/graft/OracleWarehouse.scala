@@ -2192,6 +2192,64 @@ private[graft] object OracleWarehouse {
          ps AS (SELECT list_sum(list(p ORDER BY brand)) AS ps FROM p3)
          SELECT p3.brand, wt.wtot AS wins, round(p / ps, 6) AS bt_score
          FROM p3 JOIN wt ON wt.bi = p3.brand CROSS JOIN ps""",
+
+    "q433_topsis" -> {
+      def u(f: String) = s"(1.0 - (-($f) / ln(CAST(nb AS DOUBLE))))"
+      val wsum = s"(${u("f1")} + ${u("f2")} + ${u("f3")})"
+      def v(x: String, ss: String, f: String) =
+        s"$x / sqrt($ss) * (${u(f)} / $wsum)"
+      s"""WITH base AS (SELECT p_brand,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS sp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS nc
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1),
+         m AS (SELECT p_brand,
+             CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS x1,
+             CAST(sq AS DOUBLE) AS x2, CAST(nc AS DOUBLE) AS x3
+           FROM base),
+         sums AS (SELECT
+             list_sum(list(x1 * x1 ORDER BY p_brand)) AS ss1,
+             list_sum(list(x2 * x2 ORDER BY p_brand)) AS ss2,
+             list_sum(list(x3 * x3 ORDER BY p_brand)) AS ss3,
+             list_sum(list(x1 ORDER BY p_brand)) AS t1,
+             list_sum(list(x2 ORDER BY p_brand)) AS t2,
+             list_sum(list(x3 ORDER BY p_brand)) AS t3,
+             CAST(count(*) AS BIGINT) AS nb
+           FROM m),
+         ent AS (SELECT
+             list_sum(list(round(x1 / t1 * ln(x1 / t1), 9)
+               ORDER BY p_brand)) AS f1,
+             list_sum(list(round(x2 / t2 * ln(x2 / t2), 9)
+               ORDER BY p_brand)) AS f2,
+             list_sum(list(round(x3 / t3 * ln(x3 / t3), 9)
+               ORDER BY p_brand)) AS f3
+           FROM m CROSS JOIN sums),
+         sc AS (SELECT p_brand,
+             ${v("x1", "ss1", "f1")} AS v1,
+             ${v("x2", "ss2", "f2")} AS v2,
+             ${v("x3", "ss3", "f3")} AS v3
+           FROM m CROSS JOIN sums CROSS JOIN ent),
+         id AS (SELECT max(v1) AS i1, min(v1) AS a1, max(v2) AS i2,
+             min(v2) AS a2, max(v3) AS i3, min(v3) AS a3
+           FROM sc)
+         SELECT p_brand AS brand,
+           round(sqrt((v1 - i1) * (v1 - i1) + (v2 - i2) * (v2 - i2)
+             + (v3 - i3) * (v3 - i3)), 6) AS d_plus,
+           round(sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2)
+             + (v3 - a3) * (v3 - a3)), 6) AS d_minus,
+           round(sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2)
+               + (v3 - a3) * (v3 - a3))
+             / (sqrt((v1 - i1) * (v1 - i1) + (v2 - i2) * (v2 - i2)
+               + (v3 - i3) * (v3 - i3))
+               + sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2)
+                 + (v3 - a3) * (v3 - a3))), 6) AS topsis_closeness
+         FROM sc CROSS JOIN id"""
+    },
   )
 
   /** q412's trig basis as a CASE over the day index mod p — rendered

@@ -3333,6 +3333,75 @@ private[graft] object QueriesStats {
           (col("q") - (col("k") - 1).cast("double")) / col("q")), 6)
           .as("i_squared"))
     }),
+
+    "q434_cpk" -> ((s, dir) => {
+      // Process-capability indices per brand against the declared
+      // quantity spec [1, 50]: Cp = (USL−LSL)/6σ,
+      // Cpk = min(USL−x̄, x̄−LSL)/3σ — the SPC companion of the x̄
+      // control chart (q294). σ is the sample form from exact
+      // decimal(38,0) moments; every final is a fixed double
+      // expression.
+      val d38 = "decimal(38,0)"
+      val li = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_quantity").cast("long").as("x"))
+      val g = li.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(d38)).as("sx"),
+          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+      val nD = col("n").cast("double")
+      val m = col("sx").cast("double") / nD
+      val sd = sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+        .cast("double") / (nD * (col("n") - 1).cast("double")))
+      g.select(col("p_brand").as("brand"), col("n").as("n_items"),
+        round(m, 4).as("mean_qty"),
+        round((lit(50.0) - lit(1.0)) / (lit(6.0) * sd), 4).as("cp"),
+        round(least(lit(50.0) - m, m - lit(1.0)) / (lit(3.0) * sd), 4)
+          .as("cpk"))
+    }),
+
+    "q435_youden_grid" -> ((s, dir) => {
+      // Youden-J threshold screen: classify "1997 spend above the
+      // median" from the customer's lifetime order count, sweeping the
+      // 9 interpolated deciles of the score — TPR/FPR/J per threshold,
+      // the operating-point table behind the single-number AUC (q259).
+      // Labels and tail counts are exact integers; thresholds are the
+      // shared interpolation; each rate is one division.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("score"),
+          sum(when(col("yr") === 1997, col("cents")).otherwise(0L)).as("y97"))
+        .localCheckpoint()
+      val med = per.agg(expr("percentile(CAST(y97 AS DOUBLE), 0.5)").as("md"))
+      val lab = per.crossJoin(broadcast(med))
+        .select(col("score"), (col("y97") > col("md")).as("pos"))
+        .localCheckpoint()
+      val qs = (1 to 9).map(i => 0.1 * i)
+      val grid = lab.agg(
+        expr(s"percentile(CAST(score AS DOUBLE), array(${qs.mkString(",")}))")
+          .as("ts"))
+      val th = grid.select(posexplode(col("ts")).as(Seq("i", "t")))
+        .select((col("i") + 1).cast("long").as("decile"), col("t"))
+      lab.crossJoin(broadcast(th))
+        .groupBy(col("decile"), col("t"))
+        .agg(sum(when(col("pos") && col("score") > col("t"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+          sum(when(!col("pos") && col("score") > col("t"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("neg"))
+        .select(col("decile"), round(col("t"), 2).as("threshold"),
+          round(col("tp").cast("double") / col("p").cast("double"), 6)
+            .as("tpr"),
+          round(col("fp").cast("double") / col("neg").cast("double"), 6)
+            .as("fpr"),
+          round(col("tp").cast("double") / col("p").cast("double") -
+            col("fp").cast("double") / col("neg").cast("double"), 6)
+            .as("youden_j"))
+    }),
   )
 
   /** q394's finishing join over the (n_name, p_brand, cnt) profile

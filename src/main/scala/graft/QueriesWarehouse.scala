@@ -3375,6 +3375,67 @@ private[graft] object QueriesWarehouse {
         .select(col("brand"), col("wtot").as("wins"),
           round(col("p") / col("ps"), 6).as("bt_score"))
     }),
+
+    "q433_topsis" -> ((s, dir) => {
+      // Entropy-weighted TOPSIS ranking of brands on three benefit
+      // criteria (mean unit price, total quantity sold, distinct
+      // buyers): Shannon-entropy column weights, vector-normalized
+      // decision matrix, closeness d⁻/(d⁺+d⁻) to the ideal/anti-ideal
+      // points — the multi-criteria decision layer on a
+      // catalog-bounded 25×3 matrix. Column folds are brand-ordered;
+      // entropy terms round on the 9-dp grid.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("r")).as("sp"), count(lit(1)).as("n"),
+          sum(col("q")).as("sq"), countDistinct(col("o_custkey")).as("nc"))
+      val m = base.select(col("p_brand"),
+        (col("sp").cast("double") / col("n").cast("double")).as("x1"),
+        col("sq").cast("double").as("x2"), col("nc").cast("double").as("x3"))
+        .localCheckpoint()
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("p_brand"), w.as(nm)))),
+          lit(0.0), (a, e) => a + e.getField(nm))
+      val sums = m.agg(
+        fold(col("x1") * col("x1"), "s1").as("ss1"),
+        fold(col("x2") * col("x2"), "s2").as("ss2"),
+        fold(col("x3") * col("x3"), "s3").as("ss3"),
+        fold(col("x1"), "u1").as("t1"), fold(col("x2"), "u2").as("t2"),
+        fold(col("x3"), "u3").as("t3"), count(lit(1)).as("nb"))
+      def eterm(x: String, t: String) =
+        round(col(x) / col(t) * log(col(x) / col(t)), 9)
+      val ent = m.crossJoin(broadcast(sums))
+        .agg(fold(eterm("x1", "t1"), "e1").as("f1"),
+          fold(eterm("x2", "t2"), "e2").as("f2"),
+          fold(eterm("x3", "t3"), "e3").as("f3"))
+      val lnn = log(col("nb").cast("double"))
+      def u(f: String) = lit(1.0) - (-col(f) / lnn)
+      val wsum = u("f1") + u("f2") + u("f3")
+      def v(x: String, ss: String, f: String) =
+        col(x) / sqrt(col(ss)) * (u(f) / wsum)
+      val scored = m.crossJoin(broadcast(sums)).crossJoin(broadcast(ent))
+        .select(col("p_brand"), v("x1", "ss1", "f1").as("v1"),
+          v("x2", "ss2", "f2").as("v2"), v("x3", "ss3", "f3").as("v3"))
+        .localCheckpoint()
+      val ideals = scored.agg(max(col("v1")).as("i1"), min(col("v1")).as("a1"),
+        max(col("v2")).as("i2"), min(col("v2")).as("a2"),
+        max(col("v3")).as("i3"), min(col("v3")).as("a3"))
+      def dist(c1: Column, c2: Column, c3: Column) =
+        sqrt(c1 * c1 + c2 * c2 + c3 * c3)
+      val dp = dist(col("v1") - col("i1"), col("v2") - col("i2"),
+        col("v3") - col("i3"))
+      val dm = dist(col("v1") - col("a1"), col("v2") - col("a2"),
+        col("v3") - col("a3"))
+      scored.crossJoin(broadcast(ideals))
+        .select(col("p_brand").as("brand"), round(dp, 6).as("d_plus"),
+          round(dm, 6).as("d_minus"),
+          round(dm / (dp + dm), 6).as("topsis_closeness"))
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared
