@@ -2778,12 +2778,13 @@ private[graft] object OracleStats {
       """WITH li AS (SELECT p_brand, CAST(l_quantity AS BIGINT) AS x
            FROM lineitem JOIN part ON l_partkey = p_partkey),
          g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
-             sum(CAST(x AS HUGEINT)) AS sx,
-             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
            FROM li GROUP BY 1),
          m AS (SELECT p_brand, n,
              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-             sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+             sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                 AS DOUBLE)
                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
            FROM g)
          SELECT p_brand AS brand, n AS n_items,

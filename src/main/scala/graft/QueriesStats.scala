@@ -3342,17 +3342,22 @@ private[graft] object QueriesStats {
       // decimal(38,0) moments; every final is a fixed double
       // expression.
       val d38 = "decimal(38,0)"
+      // Per-row sums stay LONG (x ≤ 50 so x² ≤ 2500 — Σ fits BIGINT at
+      // any scale); only the 25-row n·Σx²−(Σx)² step widens to
+      // decimal(38,0). The first cut cast per row and paid 23× in the
+      // second probe decade for pure decimal128 arithmetic.
       val li = tbl(s, dir, "lineitem")
         .join(broadcast(tbl(s, dir, "part")
           .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"), col("l_quantity").cast("long").as("x"))
       val g = li.groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"), sum(col("x").cast(d38)).as("sx"),
-          sum(col("x").cast(d38) * col("x").cast(d38)).as("sxx"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
       val nD = col("n").cast("double")
       val m = col("sx").cast("double") / nD
-      val sd = sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+      val sd = sqrt((col("n").cast(d38) * col("sxx").cast(d38) -
+        col("sx").cast(d38) * col("sx").cast(d38))
         .cast("double") / (nD * (col("n") - 1).cast("double")))
       g.select(col("p_brand").as("brand"), col("n").as("n_items"),
         round(m, 4).as("mean_qty"),

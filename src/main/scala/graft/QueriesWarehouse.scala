@@ -3389,11 +3389,21 @@ private[graft] object QueriesWarehouse {
         (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
       val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
-      val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"))
-        .agg(sum(col("r")).as("sp"), count(lit(1)).as("n"),
-          sum(col("q")).as("sq"), countDistinct(col("o_custkey")).as("nc"))
+        .select(col("p_brand"), col("q"), col("r"), col("o_custkey"))
+      // Two-level re-aggregation instead of countDistinct-in-the-agg:
+      // one map-combined shuffle keyed (brand, buyer) carries the
+      // plain sums AND makes the distinct-buyer count a row count of
+      // the 25×|buyers| intermediate — countDistinct mixed with plain
+      // sums would Expand the fact rows ×2 through the shuffle (the
+      // first probe paid 19× in the second decade for it).
+      val lvl1 = joined.groupBy(col("p_brand"), col("o_custkey"))
+        .agg(sum(col("r")).as("sp1"), count(lit(1)).as("n1"),
+          sum(col("q")).as("sq1"))
+      val base = lvl1.groupBy(col("p_brand"))
+        .agg(sum(col("sp1")).as("sp"), sum(col("n1")).as("n"),
+          sum(col("sq1")).as("sq"), count(lit(1)).as("nc"))
       val m = base.select(col("p_brand"),
         (col("sp").cast("double") / col("n").cast("double")).as("x1"),
         col("sq").cast("double").as("x2"), col("nc").cast("double").as("x3"))
