@@ -278,9 +278,18 @@ private[graft] object OracleHelpers {
        FROM pairs"""
   }
 
-  /** q196 oracle: brute-force all-pairs Jaccard as ground truth (proving
-    * the engine's PPJoin-derived truth exact), the q31 signature pairs as
+  /** q196 oracle: exact all-pairs Jaccard as ground truth (proving the
+    * engine's PPJoin-derived truth exact), the q31 signature pairs as
     * the candidate set, and per-threshold integer re-filters.
+    *
+    * Truth via the inverted index, not a doc×doc list_intersect loop
+    * (the r9 form — O(n²·|s|) — was the sf0.1 sweep's TIMEOUT here):
+    * every threshold is positive, so a pair counts toward n_truth only
+    * with inter ≥ 1, i.e. only when it shares a distinct shingle — the
+    * pairs the shingle-equality self-join generates, at Σ_t df(t)² cost.
+    * Candidate pairs absent from `truth` (possible only if a band
+    * collision carried no shared shingle) are restored with inter = 0 by
+    * the LEFT join, so `hits` filters the identical pair set.
     */
   val lshPrCurveSql: String = {
     val sigElems = (0 until 8).map(seed =>
@@ -291,12 +300,17 @@ private[graft] object OracleHelpers {
            list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
              AS shingles
          FROM toks WHERE len(w) >= 3),
-       t AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
-       truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
-           CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT)
-             - CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
-         FROM t a JOIN t b ON a.doc_id < b.doc_id),
+       t AS MATERIALIZED (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+       tsz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM t),
+       tex AS (SELECT doc_id, unnest(s) AS g FROM t),
+       tiv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS inter
+         FROM tex a JOIN tex b ON a.g = b.g AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       truth AS (SELECT tiv.id_a, tiv.id_b, tiv.inter,
+           sa.sz + sb.sz - tiv.inter AS uni
+         FROM tiv JOIN tsz sa ON sa.doc_id = tiv.id_a
+         JOIN tsz sb ON sb.doc_id = tiv.id_b),
        sig AS (SELECT doc_id, [$sigElems] AS sig FROM sh),
        bands AS (SELECT doc_id, unnest([
          md5(concat_ws('|', 'band0', sig[1], sig[2], sig[3], sig[4])),
@@ -307,7 +321,9 @@ private[graft] object OracleHelpers {
        th AS (SELECT * FROM (VALUES (3, 10), (1, 2), (7, 10)) AS v(tn, td)),
        tc AS (SELECT tn, td, CAST(count(*) AS BIGINT) AS n_truth
          FROM th, truth WHERE inter * td >= uni * tn GROUP BY 1, 2),
-       ct AS (SELECT tr.* FROM cand c JOIN truth tr USING (id_a, id_b)),
+       ct AS (SELECT c.id_a, c.id_b, coalesce(tr.inter, 0) AS inter,
+           coalesce(tr.uni, 1) AS uni
+         FROM cand c LEFT JOIN truth tr USING (id_a, id_b)),
        hits AS (SELECT tn, td, CAST(count(*) AS BIGINT) AS hits
          FROM th, ct WHERE inter * td >= uni * tn GROUP BY 1, 2),
        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)

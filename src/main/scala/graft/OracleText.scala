@@ -556,6 +556,16 @@ private[graft] object OracleText {
              - CAST(count(*) AS DOUBLE) / CAST(sum(ld) AS DOUBLE), 6)
              AS collision_frac
          FROM loads""",
+    // Inverted-index truth, not all-pairs: the r9 oracle joined every doc
+    // against every doc and ran list_intersect per pair — O(n² · |g|),
+    // the sf0.1 sweep's one TIMEOUT on this surface. Exactness argument
+    // for the rewrite: a pair reaches containment ≥ 0.8 > 0 only with
+    // inter ≥ 1, i.e. only when the two docs share at least one distinct
+    // trigram — exactly the pairs the gram-equality self-join generates;
+    // count(*) over shared grams of DISTINCT-gram lists IS
+    // len(list_intersect). Cost is Σ_t df(t)² (measured 2.8M at sf0.1,
+    // vs 25M·|g| before), the same posting-list bound as the engine's
+    // prefix-filter side.
     "q173_containment_join" ->
       """WITH d AS MATERIALIZED (
            SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
@@ -563,16 +573,18 @@ private[graft] object OracleText {
                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
                ELSE [] END) AS g
            FROM (SELECT doc_id,
-             regexp_split_to_array(trim(text), '\s+') AS w FROM documents))
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter,
-           CAST(len(a.g) AS BIGINT) AS sz_a,
-           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-             / CAST(len(a.g) AS DOUBLE), 6) AS containment
-         FROM d a JOIN d b ON a.doc_id <> b.doc_id
-         WHERE len(a.g) > 0
-           AND CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-             / CAST(len(a.g) AS DOUBLE) >= 0.8""",
+             regexp_split_to_array(trim(text), '\s+') AS w FROM documents)),
+         sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS sz FROM d),
+         ex AS (SELECT doc_id, unnest(g) AS t FROM d),
+         iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+           FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT iv.id_a, iv.id_b, iv.inter, sa.sz AS sz_a,
+           round(CAST(iv.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6)
+             AS containment
+         FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+         WHERE CAST(iv.inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.8""",
     "q175_weighted_sample" ->
       """SELECT doc_id, source, n_chars,
            round(-ln((CAST(CAST(concat('0x',
