@@ -2808,20 +2808,24 @@ private[graft] object OracleStats {
          th AS (SELECT CAST(i AS BIGINT) AS decile, ts[i] AS t
            FROM grid, unnest(range(1, 10)) AS u(i))
          SELECT decile, round(t, 2) AS threshold,
-           round(CAST(sum(CASE WHEN pos AND score > t THEN 1 ELSE 0 END)
+           round(CASE WHEN sum(CASE WHEN pos THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CASE WHEN pos AND score > t THEN 1 ELSE 0 END)
                AS DOUBLE)
-             / CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             / CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE) END, 6)
              AS tpr,
-           round(CAST(sum(CASE WHEN NOT pos AND score > t THEN 1 ELSE 0 END)
+           round(CASE WHEN sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CASE WHEN NOT pos AND score > t THEN 1 ELSE 0 END)
                AS DOUBLE)
-             / CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             / CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) END, 6)
              AS fpr,
-           round(CAST(sum(CASE WHEN pos AND score > t THEN 1 ELSE 0 END)
+           round(CASE WHEN sum(CASE WHEN pos THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CASE WHEN pos AND score > t THEN 1 ELSE 0 END)
                AS DOUBLE)
              / CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
              - CAST(sum(CASE WHEN NOT pos AND score > t THEN 1 ELSE 0 END)
                AS DOUBLE)
-             / CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             / CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) END, 6)
              AS youden_j
          FROM lab CROSS JOIN th GROUP BY 1, 2""",
   )

@@ -2125,15 +2125,17 @@ private[graft] object OracleWarehouse {
       """WITH li AS (SELECT l_partkey, CAST(year(l_shipdate) AS INT) AS yr,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
            FROM lineitem),
-         cells AS (SELECT p_brand, yr, CAST(sum(r) AS BIGINT) AS rev
+         cells0 AS (SELECT p_brand, yr, CAST(sum(r) AS BIGINT) AS rev
            FROM li JOIN part ON l_partkey = p_partkey
            WHERE yr IN (1995, 1996, 1997) GROUP BY 1, 2),
+         universe AS (SELECT p_brand FROM cells0
+           GROUP BY 1 HAVING count(*) = 3),
+         cells AS (SELECT c.* FROM cells0 c JOIN universe USING (p_brand)),
          ranks AS (SELECT p_brand, yr,
              CAST(row_number() OVER (PARTITION BY yr
                ORDER BY rev DESC, p_brand ASC) AS BIGINT) AS rk
            FROM cells),
-         nbr AS (SELECT CAST(count(*) AS BIGINT) AS n
-           FROM ranks WHERE yr = 1995),
+         nbr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM universe),
          borda AS (SELECT p_brand, CAST(sum(n - rk) AS BIGINT) AS borda
            FROM ranks CROSS JOIN nbr GROUP BY 1),
          beats AS (SELECT bi, CAST(count(*) AS BIGINT) AS n_beats FROM (

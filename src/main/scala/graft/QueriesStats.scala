@@ -3398,13 +3398,20 @@ private[graft] object QueriesStats {
           sum(when(!col("pos") && col("score") > col("t"), 1L)
             .otherwise(0L)).as("fp"),
           sum(when(!col("pos"), 1L).otherwise(0L)).as("neg"))
+        // Degenerate-input guard (the q411 discipline): an all-above or
+        // none-above median split leaves p or neg at 0 — the rate is
+        // then undefined, and NULL (mirrored in the oracle) beats the
+        // 0/0 NaN both engines would otherwise agree on by accident.
         .select(col("decile"), round(col("t"), 2).as("threshold"),
-          round(col("tp").cast("double") / col("p").cast("double"), 6)
+          round(when(col("p") > 0,
+            col("tp").cast("double") / col("p").cast("double")), 6)
             .as("tpr"),
-          round(col("fp").cast("double") / col("neg").cast("double"), 6)
+          round(when(col("neg") > 0,
+            col("fp").cast("double") / col("neg").cast("double")), 6)
             .as("fpr"),
-          round(col("tp").cast("double") / col("p").cast("double") -
-            col("fp").cast("double") / col("neg").cast("double"), 6)
+          round(when(col("p") > 0 && col("neg") > 0,
+            col("tp").cast("double") / col("p").cast("double") -
+            col("fp").cast("double") / col("neg").cast("double")), 6)
             .as("youden_j"))
     }),
   )

@@ -3290,18 +3290,29 @@ private[graft] object QueriesWarehouse {
       // years, pairwise win = lower rank in a majority of years,
       // Condorcet winner = beats every other brand — the social-choice
       // layer over catalog-bounded integer ranks; no float anywhere.
+      // Universe = brands ranked in ALL THREE years (the q424 count = 3
+      // discipline), ranked within that universe — so n is the one true
+      // candidate count for both the Borda Σ(n − rank) and the
+      // Condorcet n − 1 test even when a brand sells in only some years
+      // (possible at tiny scale factors; the r9 cut pinned n to the
+      // 1995 ranking and summed Borda over a brand's present years
+      // only, which skews both scores for a partially-ranked brand).
       val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
         year(col("l_shipdate")).as("yr"),
         (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
       val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
-      val cells = li.filter(col("yr").isin(1995, 1996, 1997))
+      val cells0 = li.filter(col("yr").isin(1995, 1996, 1997))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("yr")).agg(sum(col("r")).as("rev"))
+      val universe = cells0.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("ny")).filter(col("ny") === 3)
+        .select(col("p_brand"))
+      val cells = cells0.join(broadcast(universe), Seq("p_brand"))
       val w = Window.partitionBy(col("yr"))
         .orderBy(col("rev").desc, col("p_brand").asc)
       val ranks = cells.withColumn("rk", row_number().over(w).cast("long"))
         .localCheckpoint()
-      val nBr = ranks.filter(col("yr") === 1995).agg(count(lit(1)).as("n"))
+      val nBr = universe.agg(count(lit(1)).cast("long").as("n"))
       val borda = ranks.crossJoin(broadcast(nBr))
         .groupBy(col("p_brand")).agg(sum(col("n") - col("rk")).as("borda"))
       val a = ranks.select(col("yr"), col("p_brand").as("bi"), col("rk").as("ri"))
@@ -3378,8 +3389,9 @@ private[graft] object QueriesWarehouse {
 
     "q433_topsis" -> ((s, dir) => {
       // Entropy-weighted TOPSIS ranking of brands on three benefit
-      // criteria (mean unit price, total quantity sold, distinct
-      // buyers): Shannon-entropy column weights, vector-normalized
+      // criteria (mean extended price per line item — price × quantity,
+      // not unit price —, total quantity sold, distinct buyers):
+      // Shannon-entropy column weights, vector-normalized
       // decision matrix, closeness d⁻/(d⁺+d⁻) to the ideal/anti-ideal
       // points — the multi-criteria decision layer on a
       // catalog-bounded 25×3 matrix. Column folds are brand-ordered;
