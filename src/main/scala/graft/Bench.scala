@@ -100,7 +100,28 @@ object Bench {
     // the noop write — HarnessDrillSpec proves it lands in errs +
     // nonzero rc, never a silent timing row.
     val lazyFail = sys.env.get("SPARK_GRAFT_LAZY_FAIL")
-    for (_ <- 1 to rounds; (name, fn) <- queries; if !errs.contains(name)) {
+    // Fixed pure-CPU calibration probe, one sample per round (so its
+    // min is interleaved exactly like every query's): a data-independent
+    // codegen'd hash-reduce over spark.range — no I/O, no shuffle beyond
+    // the final single-row agg — whose cost tracks host CPU contention
+    // and nothing else. Three identical-code r9 runs spread 421–493 s
+    // (the VM, not the plans); `cal` lets a reader divide that drift out
+    // of round-over-round totals (`norm_total` = total / cal is the
+    // drift-normalized form).
+    val calSamples = scala.collection.mutable.ListBuffer.empty[Double]
+    def runCalibration(): Unit = {
+      import org.apache.spark.sql.functions.{sum => fsum, xxhash64, col, shiftright}
+      val t0 = System.nanoTime()
+      // shift keeps the ANSI sum far from BIGINT overflow (2e8 × ±2³¹)
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .select(fsum(shiftright(xxhash64(col("id")), 32)).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      calSamples += (System.nanoTime() - t0) / 1e9
+    }
+    runCalibration() // untimed-warmup pass is separate: this one counts
+    for (r <- 1 to rounds) {
+      if (r > 1) runCalibration()
+      for ((name, fn) <- queries; if !errs.contains(name)) {
       val t0 = System.nanoTime()
       try {
         if (failInject.contains(name))
@@ -118,7 +139,9 @@ object Bench {
       } catch { case e: Throwable =>
         errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
+      }
     }
+    val cal = if (calSamples.isEmpty) 0.0 else calSamples.min
     val ok = queries.filter { case (name, _) => samples.contains(name) }
     val results = ok.map { case (name, _) => name -> samples(name).min }
     def r3(v: Double) = math.rint(v * 1000) / 1000
@@ -149,8 +172,9 @@ object Bench {
     // `parsed: null` because the full-precision line overflowed the window.
     // Cascade to coarser query encodings until the line fits ~1600 bytes;
     // full precision always lands in BENCH_LOCAL.json (committed).
+    val norm = if (cal > 0) r2(total / cal) else 0.0
     def line(qmap: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"failed":${errs.size},"errs":$errsJson,"queries":$qmap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cal":${r3(cal)},"norm_total":$norm,"noise":${r3(noise)},"failed":${errs.size},"errs":$errsJson,"queries":$qmap,"sf":"$sfDir"}"""
     val variants = Seq(
       results.map { case (k, v) => jstr(prefix(k)) + ":" + r2(v) },
       results.map { case (k, v) => jstr(prefix(k).drop(1)) + ":" + r2(v) },
@@ -173,8 +197,8 @@ object Bench {
     try {
       val w = new java.io.PrintWriter(localFile)
       w.println(
-        s"""{"metric":"total","value":$total,"unit":"sec","noise":${r3(noise)},"failed":${errs.size},"errs":$fullErrs,"queries":$full,"sf":"$sfDir"}""")
-      w.println(s"""{"samples":$dump}"""); w.close()
+        s"""{"metric":"total","value":$total,"unit":"sec","cal":${r3(cal)},"norm_total":$norm,"noise":${r3(noise)},"failed":${errs.size},"errs":$fullErrs,"queries":$full,"sf":"$sfDir"}""")
+      w.println(s"""{"samples":$dump,"cal_samples":[${calSamples.map(r3).mkString(",")}]}"""); w.close()
     } catch { case _: Throwable => }
     // The driver line goes LAST so the 2000-char tail always holds it whole.
     // Drain stderr first and give log4j's async appender a beat: r7's tail
