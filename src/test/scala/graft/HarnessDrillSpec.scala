@@ -198,4 +198,33 @@ class HarnessDrillSpec extends SparkSpec {
     assert(dRows.map(_.toString).toSet != cRows.map(_.toString).toSet,
       "the value hash MUST differ — otherwise the sabotage is invisible")
   }
+
+  test("SCANNER sabotage: leakscan and copyscan flag planted violations — clean-tree zeros are earned") {
+    // r10 rotation (r9 verdict item 6): harness, data, oracle, and bench
+    // channels are drill-proven (rounds 6-9), but LEAKCHECK and
+    // COPYCHECK had only ever scanned clean trees — "0 hits" and
+    // "flagged: []" were never negatively tested. Each scanner now
+    // carries a --selftest that stages a temp tree with a known
+    // violation (a file carrying every leak-pattern class; a >60%-
+    // similar near-copy of a real reference file) next to a clean
+    // control file, and asserts the violation is flagged and the control
+    // is not. The drill runs both selftests and requires exit 0.
+    import scala.sys.process._
+    assume(Process(Seq("python3", "--version")).!(ProcessLogger(_ => ())) == 0,
+      "python3 not available in this environment")
+    def run(tool: String): (Int, String) = {
+      val out = new StringBuilder
+      val rc = Process(Seq("python3", s"tools/$tool", "--selftest"),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => { out.append(l).append('\n'); () },
+          l => { out.append(l).append('\n'); () }))
+      (rc, out.toString)
+    }
+    val (lrc, lout) = run("leakscan.py")
+    assert(lrc == 0 && lout.contains("selftest OK"),
+      s"leakscan selftest must pass and flag the planted file:\n$lout")
+    val (crc, cout) = run("copyscan.py")
+    assert(crc == 0 && cout.contains("selftest OK"),
+      s"copyscan selftest must pass and flag the planted near-copy:\n$cout")
+  }
 }

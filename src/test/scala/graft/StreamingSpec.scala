@@ -8,6 +8,22 @@ import graft.streaming.EventStreams
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The shipped streaming-face count. Bump this WITH the new face's
+    * spec pin; the README-sync test below fails on any drift (the r9
+    * README said "31 faces" after the 32nd had landed — prose counts
+    * rot, pinned counts don't).
+    */
+  private val declaredFaceCount = 32
+
+  test("README's streaming face count matches the declared registry") {
+    val readme = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = "(\\d+) faces".r.findFirstMatchIn(readme)
+    assert(m.nonEmpty, "README.md no longer states the face count")
+    assert(m.get.group(1).toInt == declaredFaceCount,
+      s"README says '${m.get.group(0)}' but the declared count is $declaredFaceCount")
+  }
+
   /** Drive a streaming transform from the sf0.001 events parquet through a
     * memory sink, then cross-check counts against the same transform run
     * in batch — the streaming/batch duality Structured Streaming promises.

@@ -30,11 +30,12 @@ SKIP_FILES = {"LEAKCHECK.json", "LEAKCHECK_LOCAL.json", "leakscan.py",
               "VERDICT.md", "ADVICE.md"}
 
 
-def main():
+def scan_tree(root):
+    """Walk `root` and return (n_files, hits-per-pattern-class)."""
     hits = {k: [] for k in PATTERNS}
     compiled = {k: re.compile(v, re.IGNORECASE) for k, v in PATTERNS.items()}
     n_files = 0
-    for dirpath, dirnames, filenames in os.walk(ROOT):
+    for dirpath, dirnames, filenames in os.walk(root):
         dirnames[:] = [d for d in dirnames if d not in SKIP_DIRS]
         for fn in filenames:
             if not fn.endswith(EXTS) or fn in SKIP_FILES:
@@ -48,7 +49,47 @@ def main():
             for key, rx in compiled.items():
                 for i, line in enumerate(text.splitlines(), 1):
                     if rx.search(line):
-                        hits[key].append(f"{os.path.relpath(path, ROOT)}:{i}")
+                        hits[key].append(f"{os.path.relpath(path, root)}:{i}")
+    return n_files, hits
+
+
+def selftest():
+    """Negative test (r10 drill rotation): the scanner has only ever seen
+    clean trees, so prove it CAN flag. Plant one file carrying a marker
+    from every pattern class (strings assembled by concatenation so this
+    source file itself stays clean under the real scan) plus one clean
+    file, scan the staged tree, and require every class to hit exactly
+    the planted file and nothing to hit the clean one."""
+    import tempfile
+    a = "anthro" + "pic"          # avoid self-matching the scanner source
+    planted = "\n".join([
+        "import com." + a + ".sdk",
+        "see https://docs." + a + ".com/x",
+        "from claude" + "-cli import x",
+        "s3://" + a + "-internal-bucket/path",
+        "go/" + "ccode and #claude" + "-code-feedback",
+        "key = sk-ant-" + "abcdef1234567890",
+        "-----BEGIN RSA" + " PRIVATE KEY-----",
+    ])
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "planted.scala"), "w") as f:
+            f.write(planted)
+        with open(os.path.join(td, "clean.scala"), "w") as f:
+            f.write("object Clean { val x = 1 }\n")
+        n_files, hits = scan_tree(td)
+        assert n_files == 2, f"expected 2 staged files, scanned {n_files}"
+        missed = [k for k, v in hits.items() if not v]
+        assert not missed, f"pattern classes that failed to flag: {missed}"
+        wrong = [h for v in hits.values() for h in v
+                 if not h.startswith("planted.scala")]
+        assert not wrong, f"clean file flagged: {wrong}"
+    print(f"selftest OK: all {len(PATTERNS)} pattern classes flag the "
+          "planted file; the clean file stays clean")
+    return 0
+
+
+def main():
+    n_files, hits = scan_tree(ROOT)
     head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=ROOT,
                           capture_output=True, text=True).stdout.strip()
     record = {
@@ -67,4 +108,4 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(selftest() if "--selftest" in sys.argv else main())
