@@ -2252,6 +2252,79 @@ private[graft] object OracleWarehouse {
                  + (v3 - a3) * (v3 - a3))), 6) AS topsis_closeness
          FROM sc CROSS JOIN id"""
     },
+
+    // q436: the q433 body with x3 = the DECLARED KMV estimate — the k=256
+    // smallest distinct md5 unit hashes of the buyer key per brand
+    // ((k−1)/h_k when full, exact count otherwise), replayed exactly (a
+    // set's k smallest distinct values are order-independent).
+    "q436_topsis_kmv" -> {
+      def u(f: String) = s"(1.0 - (-($f) / ln(CAST(nb AS DOUBLE))))"
+      val wsum = s"(${u("f1")} + ${u("f2")} + ${u("f3")})"
+      def v(x: String, ss: String, f: String) =
+        s"$x / sqrt($ss) * (${u(f)} / $wsum)"
+      s"""WITH j AS MATERIALIZED (SELECT p_brand,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r,
+           CAST(l_quantity AS BIGINT) AS q, o_custkey
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN part ON l_partkey = p_partkey),
+         base AS (SELECT p_brand, CAST(sum(r) AS BIGINT) AS sp,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq
+           FROM j GROUP BY 1),
+         hb AS (SELECT DISTINCT p_brand,
+             CAST(CAST(concat('0x', substr(md5(concat('kmvb_',
+               CAST(o_custkey AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS h
+           FROM j),
+         rk AS (SELECT p_brand, h, row_number() OVER (PARTITION BY p_brand
+             ORDER BY h ASC) AS rn FROM hb),
+         sk AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS kk,
+             max(h) AS hk
+           FROM rk WHERE rn <= 256 GROUP BY 1),
+         m AS (SELECT base.p_brand,
+             CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS x1,
+             CAST(sq AS DOUBLE) AS x2,
+             CASE WHEN kk >= 256 THEN round(255.0 / hk, 6)
+               ELSE CAST(kk AS DOUBLE) END AS x3
+           FROM base JOIN sk ON base.p_brand = sk.p_brand),
+         sums AS (SELECT
+             list_sum(list(x1 * x1 ORDER BY p_brand)) AS ss1,
+             list_sum(list(x2 * x2 ORDER BY p_brand)) AS ss2,
+             list_sum(list(x3 * x3 ORDER BY p_brand)) AS ss3,
+             list_sum(list(x1 ORDER BY p_brand)) AS t1,
+             list_sum(list(x2 ORDER BY p_brand)) AS t2,
+             list_sum(list(x3 ORDER BY p_brand)) AS t3,
+             CAST(count(*) AS BIGINT) AS nb
+           FROM m),
+         ent AS (SELECT
+             list_sum(list(round(x1 / t1 * ln(x1 / t1), 9)
+               ORDER BY p_brand)) AS f1,
+             list_sum(list(round(x2 / t2 * ln(x2 / t2), 9)
+               ORDER BY p_brand)) AS f2,
+             list_sum(list(round(x3 / t3 * ln(x3 / t3), 9)
+               ORDER BY p_brand)) AS f3
+           FROM m CROSS JOIN sums),
+         sc AS (SELECT p_brand, x3,
+             ${v("x1", "ss1", "f1")} AS v1,
+             ${v("x2", "ss2", "f2")} AS v2,
+             ${v("x3", "ss3", "f3")} AS v3
+           FROM m CROSS JOIN sums CROSS JOIN ent),
+         id AS (SELECT max(v1) AS i1, min(v1) AS a1, max(v2) AS i2,
+             min(v2) AS a2, max(v3) AS i3, min(v3) AS a3
+           FROM sc)
+         SELECT p_brand AS brand, x3 AS est_buyers,
+           round(sqrt((v1 - i1) * (v1 - i1) + (v2 - i2) * (v2 - i2)
+             + (v3 - i3) * (v3 - i3)), 6) AS d_plus,
+           round(sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2)
+             + (v3 - a3) * (v3 - a3)), 6) AS d_minus,
+           round(sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2)
+               + (v3 - a3) * (v3 - a3))
+             / (sqrt((v1 - i1) * (v1 - i1) + (v2 - i2) * (v2 - i2)
+               + (v3 - i3) * (v3 - i3))
+               + sqrt((v1 - a1) * (v1 - a1) + (v2 - a2) * (v2 - a2)
+                 + (v3 - a3) * (v3 - a3))), 6) AS topsis_closeness
+         FROM sc CROSS JOIN id"""
+    },
   )
 
   /** q412's trig basis as a CASE over the day index mod p — rendered

@@ -3458,6 +3458,94 @@ private[graft] object QueriesWarehouse {
           round(dm, 6).as("d_minus"),
           round(dm / (dp + dm), 6).as("topsis_closeness"))
     }),
+
+    "q436_topsis_kmv" -> ((s, dir) => {
+      // Sketch-faced twin of q433 (the r9 verdict's standing worst sf10
+      // slope: the exact distinct-buyer criterion is an honest
+      // 50M-group (brand, buyer) shuffle, 21.7×/100×). The distinct
+      // count becomes a per-brand KMV sketch: TopKPerKey in DISTINCT
+      // mode (native operator, new this round) keeps the k = 256
+      // smallest DISTINCT md5 unit hashes of the buyer key with
+      // (brands × k) state per partition, so the exchange carries at
+      // most 256 rows per brand per input partition instead of one row
+      // per (brand, buyer) — mergeable sketch algebra, the q340 KMV
+      // tier riding the q433 face. Estimator: (k−1)/h_k when the sketch
+      // is full, the exact count otherwise. A set's k smallest distinct
+      // values don't depend on arrival order or multiplicity, so the
+      // sketch is deterministic and the oracle replays it bit-for-bit:
+      // this face's oracle pins the DECLARED sketch semantics while the
+      // exact q433 stays the oracle-of-record for true counts (the q193
+      // MinHash-accuracy precedent); WarehouseSpec pins the estimate
+      // within KMV's expected relative error of q433's exact nc at the
+      // gate sf. x1/x2 and the whole TOPSIS finish are q433's, with x3
+      // the 6-dp-rounded estimate.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("q"), col("r"), col("o_custkey"))
+      // two scans of the same broadcast-join pipeline (sums + sketch):
+      // both are map-side until their 25-group/25×256-row reductions —
+      // cheaper at scale than materializing the joined fact stream.
+      val base = joined.groupBy(col("p_brand"))
+        .agg(sum(col("r")).as("sp"), count(lit(1)).as("n"),
+          sum(col("q")).as("sq"))
+      val hashed = joined.select(col("p_brand"),
+        graft.plans.TextKernels.unitHashNative(concat(lit("kmvb_"),
+          col("o_custkey").cast("string"))).as("h"))
+      val topk = org.apache.spark.sql.graft.TopKPerKey(hashed,
+        Seq("p_brand"), Seq(("h", true)), k = 256, distinct = true)
+      val sk = topk.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("kk"), max(col("h")).as("hk"))
+      val est = sk.select(col("p_brand"),
+        when(col("kk") >= 256, round(lit(255.0) / col("hk"), 6))
+          .otherwise(col("kk").cast("double")).as("x3"))
+      val m = base.join(est, Seq("p_brand"))
+        .select(col("p_brand"),
+          (col("sp").cast("double") / col("n").cast("double")).as("x1"),
+          col("sq").cast("double").as("x2"), col("x3"))
+        .localCheckpoint()
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("p_brand"), w.as(nm)))),
+          lit(0.0), (a, e) => a + e.getField(nm))
+      val sums = m.agg(
+        fold(col("x1") * col("x1"), "s1").as("ss1"),
+        fold(col("x2") * col("x2"), "s2").as("ss2"),
+        fold(col("x3") * col("x3"), "s3").as("ss3"),
+        fold(col("x1"), "u1").as("t1"), fold(col("x2"), "u2").as("t2"),
+        fold(col("x3"), "u3").as("t3"), count(lit(1)).as("nb"))
+      def eterm(x: String, t: String) =
+        round(col(x) / col(t) * log(col(x) / col(t)), 9)
+      val ent = m.crossJoin(broadcast(sums))
+        .agg(fold(eterm("x1", "t1"), "e1").as("f1"),
+          fold(eterm("x2", "t2"), "e2").as("f2"),
+          fold(eterm("x3", "t3"), "e3").as("f3"))
+      val lnn = log(col("nb").cast("double"))
+      def u(f: String) = lit(1.0) - (-col(f) / lnn)
+      val wsum = u("f1") + u("f2") + u("f3")
+      def v(x: String, ss: String, f: String) =
+        col(x) / sqrt(col(ss)) * (u(f) / wsum)
+      val scored = m.crossJoin(broadcast(sums)).crossJoin(broadcast(ent))
+        .select(col("p_brand"), col("x3"), v("x1", "ss1", "f1").as("v1"),
+          v("x2", "ss2", "f2").as("v2"), v("x3", "ss3", "f3").as("v3"))
+        .localCheckpoint()
+      val ideals = scored.agg(max(col("v1")).as("i1"), min(col("v1")).as("a1"),
+        max(col("v2")).as("i2"), min(col("v2")).as("a2"),
+        max(col("v3")).as("i3"), min(col("v3")).as("a3"))
+      def dist(c1: Column, c2: Column, c3: Column) =
+        sqrt(c1 * c1 + c2 * c2 + c3 * c3)
+      val dp = dist(col("v1") - col("i1"), col("v2") - col("i2"),
+        col("v3") - col("i3"))
+      val dm = dist(col("v1") - col("a1"), col("v2") - col("a2"),
+        col("v3") - col("a3"))
+      scored.crossJoin(broadcast(ideals))
+        .select(col("p_brand").as("brand"), col("x3").as("est_buyers"),
+          round(dp, 6).as("d_plus"), round(dm, 6).as("d_minus"),
+          round(dm / (dp + dm), 6).as("topsis_closeness"))
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared

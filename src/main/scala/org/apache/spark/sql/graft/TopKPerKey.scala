@@ -46,6 +46,7 @@ case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    distinct: Boolean,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -56,6 +57,7 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    distinct: Boolean,
     partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -113,8 +115,16 @@ case class TopKPerKeyExec(
           // insertion into a ≤ k-sized sorted buffer: O(k) per accepted row
           var i = buf.size
           while (i > 0 && cmp(sortKey, buf(i - 1)._1) < 0) i -= 1
-          buf.insert(i, (sortKey, row.copy()))
-          if (buf.size > limit) buf.remove(limit)
+          // distinct mode (the KMV-sketch contract): keep the k smallest
+          // DISTINCT sort keys — a duplicate of an already-buffered key
+          // is skipped, in the partial pass AND in the final merge, so
+          // the result is the true k-minimum distinct set regardless of
+          // multiplicities or arrival order.
+          val dup = distinct && i > 0 && cmp(sortKey, buf(i - 1)._1) == 0
+          if (!dup) {
+            buf.insert(i, (sortKey, row.copy()))
+            if (buf.size > limit) buf.remove(limit)
+          }
         }
       }
       state.valuesIterator.flatMap(_.iterator.map(_._2))
@@ -124,9 +134,10 @@ case class TopKPerKeyExec(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case TopKPerKeyNode(keys, order, k, distinct, child) =>
+      TopKPerKeyExec(keys, order, k, distinct, partial = false,
+        TopKPerKeyExec(keys, order, k, distinct, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -141,7 +152,8 @@ object TopKPerKey {
       df: DataFrame,
       keyCols: Seq[String],
       orderBy: Seq[(String, Boolean)],
-      k: Int): DataFrame = {
+      k: Int,
+      distinct: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
@@ -156,6 +168,6 @@ object TopKPerKey {
       SortOrder(resolve(n), if (asc) Ascending else Descending)
     }
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession],
-      TopKPerKeyNode(keyCols.map(resolve), order, k, analyzed))
+      TopKPerKeyNode(keyCols.map(resolve), order, k, distinct, analyzed))
   }
 }

@@ -261,6 +261,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("TopKPerKey distinct mode keeps the k smallest DISTINCT keys under heavy duplication") {
+    // The KMV-sketch contract (q436): per key, the k smallest DISTINCT
+    // sort-key values — multiplicities and arrival order must not
+    // matter, in the partial pass or the final merge. events replays
+    // each user_id many times; distinct-mode top-k over the md5 unit
+    // hash of user_id must equal distinct-then-window exactly.
+    import org.apache.spark.sql.graft.TopKPerKey
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type",
+        md5($"user_id".cast("string")).as("h"))
+    val got = TopKPerKey(ev, Seq("event_type"), Seq(("h", true)),
+      k = 7, distinct = true)
+      .as[(String, String)].collect().toSeq
+    // no duplicate (key, h) survives, ≤ k per key
+    assert(got.distinct.size == got.size)
+    assert(got.groupBy(_._1).values.forall(_.size <= 7))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val want = ev.distinct().withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 7).drop("rn")
+      .as[(String, String)].collect().toSet
+    assert(got.toSet == want && got.nonEmpty)
+    // non-distinct mode on the same input keeps duplicates — the two
+    // modes genuinely differ on this data
+    val dup = TopKPerKey(ev, Seq("event_type"), Seq(("h", true)), k = 7)
+      .as[(String, String)].collect().toSeq
+    assert(dup.distinct.size < dup.size)
+  }
+
   test("Skyline two-phase frontier equals the brute-force dominance filter") {
     import graft.operators.Skyline
     import graft.operators.Skyline.Pt

@@ -76,4 +76,36 @@ class WarehouseSpec extends SparkSpec {
     assert(r30 < r3, s"residual should shrink: $r3 -> $r30")
     assert(r30 < 0.05, s"relative residual at 30 iters: $r30")
   }
+
+  test("q436 KMV buyer estimate calibrates against q433's exact distinct count") {
+    // The sketch-faced twin's accuracy pin (the q193 MinHash precedent):
+    // at sf0.01 the per-brand buyer sets exceed k = 256, so the KMV
+    // estimator (k-1)/h_k is genuinely estimating; require every brand
+    // within 25% of the exact count (k = 256 gives ~6% standard error;
+    // 25% is > 4 sigma) and the unsaturated case to be exact.
+    val dir = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("q436_topsis_kmv")(spark, dir)
+      .select($"brand", $"est_buyers").as[(String, Double)].collect().toMap
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val pt = Tables.load(spark, dir, "part").select($"p_partkey", $"p_brand")
+    val exact = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(pt, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand").agg(countDistinct($"o_custkey").as("nc"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    val saturated = est.count { case (b, e) =>
+      val ex = exact(b).toDouble
+      if (e != math.rint(e) || e >= 256.0) { // full sketch: an estimate
+        assert(math.abs(e / ex - 1.0) <= 0.25,
+          s"brand $b: est $e vs exact $ex")
+        true
+      } else { // unsaturated sketch holds every distinct hash: exact
+        assert(e == ex, s"brand $b: unsaturated sketch must be exact ($e vs $ex)")
+        false
+      }
+    }
+    assert(saturated > 0, "sf0.01 should saturate at least one brand's sketch")
+  }
 }
