@@ -372,6 +372,38 @@ private[graft] object OracleVector {
              ON a.id < b.id AND (a.h_hi = b.h_hi OR a.h_lo = b.h_lo))
          SELECT DISTINCT id_a, id_b, hamming FROM cand WHERE hamming <= 12""",
 
+    // q437: the engine decodes the synthetic WAV and counts real sign
+    // changes per frame; the oracle replays each frame's crossing count
+    // in closed form — a crossing sits at sample i iff p | (i + phase),
+    // so the count over frame f's span [max(1, 16f), 16f+15] is one
+    // integer floor difference. Amplitude never appears: the fingerprint
+    // is sign-only, which is exactly why the (2k, 2k+1) amplitude twins
+    // collide. Bands and the L1 verify bit-unpack with the same shifts
+    // as the Spark side.
+    "q437_audio_fp_neardup" ->
+      """WITH ids AS (SELECT CAST(p_partkey AS BIGINT) AS id
+           FROM part WHERE p_partkey < 48),
+         par AS (SELECT id, 1 + (id // 2) % 7 AS p, id % 3 AS ph FROM ids),
+         fr AS (SELECT id, f,
+             (16 * f + 15 + ph) // p
+               - ((CASE WHEN f = 0 THEN 0 ELSE 16 * f - 1 END) + ph) // p AS c
+           FROM par, (SELECT unnest(generate_series(0, 7)) AS f) t),
+         fp AS (SELECT id,
+             CAST(sum(c * (1::BIGINT << CAST(8 * f AS INT))) AS BIGINT) AS fp
+           FROM fr GROUP BY 1),
+         hv AS (SELECT id, fp, fp >> 32 AS fp_hi,
+             fp & 4294967295 AS fp_lo FROM fp),
+         cand AS (
+           SELECT a.id AS id_a, b.id AS id_b, a.fp AS fa, b.fp AS fb
+           FROM hv a JOIN hv b
+             ON a.id < b.id AND (a.fp_hi = b.fp_hi OR a.fp_lo = b.fp_lo)),
+         l1 AS (SELECT id_a, id_b,
+             CAST(sum(abs(((fa >> CAST(8 * f AS INT)) & 255)
+               - ((fb >> CAST(8 * f AS INT)) & 255))) AS BIGINT) AS l1
+           FROM cand, (SELECT unnest(generate_series(0, 7)) AS f) t
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, l1 FROM l1 WHERE l1 <= 2""",
+
     // Exact replay of KCore.peel(k=4, rounds=4): each sweep is one
     // unrolled MATERIALIZED CTE pair (degrees -> surviving edges).
     "q211_kcore" ->

@@ -769,6 +769,64 @@ private[graft] object QueriesVector {
         .filter(col("hamming") <= 12)
     }),
 
+    "q437_audio_fp_neardup" -> ((s, dir) => {
+      // Audio fingerprint near-dup over the REAL decode path — the
+      // multimodal tier's audio analog of q215 (r9 verdict item 8):
+      // per row an 8-bit unsigned PCM WAV square wave (half-period
+      // p = 1 + (id/2) mod 7, phase id mod 3, amplitude 1 + 5·id mod
+      // 100) is written via javax.sound, decoded back, and fingerprinted
+      // by AudioCodec.frameCrossingFingerprint — 8 frames × 8-bit
+      // zero-crossing counts packed into one long, PURE INTEGER (the
+      // amplitude cancels: only sign changes count, so re-leveled
+      // copies — the (2k, 2k+1) amplitude twins — fingerprint
+      // IDENTICALLY). The 32-bit halves are the LSH bands (two
+      // equi-joins + union, never all-pairs); the verify is the exact
+      // per-frame L1 distance ≤ 2, bit-unpacked from the fingerprints
+      // with the same shifts in both engines. Crossings sit where
+      // p | (i + phase), so the oracle replays every frame count with
+      // closed-form integer floor arithmetic — no audio library, the
+      // q91/q215 discipline. The id < 48 bound mirrors q215; at scale
+      // the band join is the plan.
+      import s.implicits._
+      val media = tbl(s, dir, "part").filter(col("p_partkey") < 48)
+        .select(col("p_partkey").cast("long").as("id")).as[Long]
+        .map { id =>
+          val p = (1 + (id / 2) % 7).toInt
+          val ph = (id % 3).toInt
+          val a = (1 + (id * 5) % 100).toInt
+          val n = 128
+          val pcm = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            val up = ((i + ph) / p) % 2 == 0
+            pcm(i) = (if (up) 128 + a else 128 - a).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          graft.multimodal.Multimodal.MediaRow(id, bos.toByteArray, "audio/wav", 0, 0)
+        }
+      val fp = graft.multimodal.AudioCodec.audioFingerprints(media)
+        .filter(col("decoded")).toDF()
+        .select(col("media_id"), col("fp"), col("fp_hi"), col("fp_lo"))
+        .localCheckpoint() // 48 rows, feeds both band joins
+      def band(onCol: String) = fp.as("a").join(fp.as("b"),
+          col(s"a.$onCol") === col(s"b.$onCol") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.fp").as("fa"), col("b.fp").as("fb"))
+      val l1 = (0 until 8).map(f =>
+        abs(shiftright(col("fa"), 8 * f).bitwiseAND(lit(255L)) -
+          shiftright(col("fb"), 8 * f).bitwiseAND(lit(255L)))).reduce(_ + _)
+      band("fp_hi").union(band("fp_lo")).distinct()
+        .select(col("id_a"), col("id_b"), l1.as("l1"))
+        .filter(col("l1") <= 2)
+    }),
+
     "q211_kcore" -> ((s, dir) => {
       // k-core decomposition (k=4, 4 synchronous peel sweeps) of the
       // ≥2-shared-orders PART co-purchase graph (the supplier graph is

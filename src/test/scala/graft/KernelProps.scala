@@ -160,6 +160,23 @@ object KernelProps extends Properties("graft-kernels") {
         (got < 3 || a.take(3) == b.take(3))
     }
 
+  property("frameCrossingFingerprint: amplitude invariance, byte bounds, crossing conservation") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf(Gen.chooseNum(-1.0, -0.01),
+        Gen.chooseNum(0.01, 1.0))), Gen.chooseNum(1.1, 5.0)) { (xs, scale) =>
+      val s = xs.toArray
+      val fp = graft.multimodal.AudioCodec.frameCrossingFingerprint(s)
+      val scaled = s.map(_ * scale)
+      val bytes = (0 until 8).map(f => (fp >> (8 * f)) & 255L)
+      val crossings = graft.multimodal.AudioCodec.zeroCrossings(s)
+      // sign-only: re-leveling the clip never changes the fingerprint
+      graft.multimodal.AudioCodec.frameCrossingFingerprint(scaled) == fp &&
+        fp >= 0L &&
+        // every frame count bounded by its span (and the 255 cap)
+        bytes.forall(b => b >= 0L && b <= 255L) &&
+        // unsaturated frames conserve the clip's total crossing count
+        (crossings > 255L || bytes.sum == crossings)
+    }
+
   property("unitHash: [0,1) range and first-4-md5-bytes definition") =
     forAll(word) { s =>
       val u = graft.plans.TextKernels.unitHash(UTF8String.fromString(s))
