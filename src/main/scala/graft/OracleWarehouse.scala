@@ -2284,7 +2284,7 @@ private[graft] object OracleWarehouse {
          m AS (SELECT base.p_brand,
              CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS x1,
              CAST(sq AS DOUBLE) AS x2,
-             CASE WHEN kk >= 256 THEN round(255.0 / hk, 6)
+             CASE WHEN kk >= 256 THEN 255.0 / hk
                ELSE CAST(kk AS DOUBLE) END AS x3
            FROM base JOIN sk ON base.p_brand = sk.p_brand),
          sums AS (SELECT

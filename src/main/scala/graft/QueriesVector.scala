@@ -434,28 +434,7 @@ private[graft] object QueriesVector {
         .toSeq.toDF("qid", "qlabel")
       val relCorpus = e.groupBy(col("label").as("qlabel"))
         .agg(count(lit(1)).as("n_label"))
-      val ranked = top.join(broadcast(qinfo), Seq("qid"))
-        .withColumn("rank", row_number()
-          .over(Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id")))
-          .cast("long"))
-        .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
-        .withColumn("comp",
-          round(col("rel").cast("double") /
-            log2(col("rank").cast("double") + lit(1.0)), 6))
-      val agg_ = ranked.groupBy(col("qid"), col("qlabel"))
-        .agg(sum(col("rel")).cast("long").as("n_rel_top10"),
-          aggregate(array_sort(collect_list(struct(col("rank"), col("comp")))),
-            lit(0.0), (acc, x) => acc + x.getField("comp")).as("dcg"),
-          min(when(col("rel") === 1, col("rank"))).as("first_rel"))
-      agg_.join(broadcast(relCorpus), Seq("qlabel"))
-        .withColumn("m", least(lit(10L), col("n_label")))
-        .withColumn("idcg", aggregate(sequence(lit(1L), col("m")),
-          lit(0.0), (acc, i) =>
-            acc + round(lit(1.0) / log2(i.cast("double") + lit(1.0)), 6)))
-        .select(col("qid"), col("n_rel_top10"),
-          round(col("dcg") / col("idcg"), 6).as("ndcg10"),
-          coalesce(round(lit(1.0) / col("first_rel").cast("double"), 6), lit(0.0))
-            .as("mrr"))
+      retrievalEvalFinish(top, qinfo, relCorpus)
     }),
 
     "q184_sssp" -> ((s, dir) => {
@@ -1535,4 +1514,36 @@ private[graft] object QueriesVector {
             .as("centroid_l2"))
     }),
   )
+
+  /** q183's metric tail — rank, DCG/IDCG on the 6-dp grid, MRR — over a
+    * `top` table of (qid, vec_id, label, cos) shortlist rows. Shared
+    * VERBATIM by the streaming retrieval monitor's rollup
+    * ([[graft.streaming.StreamingRetrievalEval]]), so stream == batch is
+    * pinned on one code path (the weightedJaccardFinish discipline).
+    */
+  private[graft] def retrievalEvalFinish(
+      top: DataFrame, qinfo: DataFrame, relCorpus: DataFrame): DataFrame = {
+    val ranked = top.join(broadcast(qinfo), Seq("qid"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id")))
+        .cast("long"))
+      .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+      .withColumn("comp",
+        round(col("rel").cast("double") /
+          log2(col("rank").cast("double") + lit(1.0)), 6))
+    val agg_ = ranked.groupBy(col("qid"), col("qlabel"))
+      .agg(sum(col("rel")).cast("long").as("n_rel_top10"),
+        aggregate(array_sort(collect_list(struct(col("rank"), col("comp")))),
+          lit(0.0), (acc, x) => acc + x.getField("comp")).as("dcg"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+    agg_.join(broadcast(relCorpus), Seq("qlabel"))
+      .withColumn("m", least(lit(10L), col("n_label")))
+      .withColumn("idcg", aggregate(sequence(lit(1L), col("m")),
+        lit(0.0), (acc, i) =>
+          acc + round(lit(1.0) / log2(i.cast("double") + lit(1.0)), 6)))
+      .select(col("qid"), col("n_rel_top10"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg10"),
+        coalesce(round(lit(1.0) / col("first_rel").cast("double"), 6), lit(0.0))
+          .as("mrr"))
+  }
 }

@@ -3463,22 +3463,25 @@ private[graft] object QueriesWarehouse {
       // Sketch-faced twin of q433 (the r9 verdict's standing worst sf10
       // slope: the exact distinct-buyer criterion is an honest
       // 50M-group (brand, buyer) shuffle, 21.7×/100×). The distinct
-      // count becomes a per-brand KMV sketch: TopKPerKey in DISTINCT
-      // mode (native operator, new this round) keeps the k = 256
-      // smallest DISTINCT md5 unit hashes of the buyer key with
-      // (brands × k) state per partition, so the exchange carries at
-      // most 256 rows per brand per input partition instead of one row
-      // per (brand, buyer) — mergeable sketch algebra, the q340 KMV
-      // tier riding the q433 face. Estimator: (k−1)/h_k when the sketch
-      // is full, the exact count otherwise. A set's k smallest distinct
-      // values don't depend on arrival order or multiplicity, so the
-      // sketch is deterministic and the oracle replays it bit-for-bit:
-      // this face's oracle pins the DECLARED sketch semantics while the
-      // exact q433 stays the oracle-of-record for true counts (the q193
-      // MinHash-accuracy precedent); WarehouseSpec pins the estimate
+      // count becomes a per-brand KMV sketch riding IN THE SAME AGG as
+      // the plain sums — one map-combined 25-group shuffle total, no
+      // buyer-level key anywhere: SketchAggregates.kmvDistinct (native
+      // TypedImperativeAggregate, q340's sketch algebra) keeps the
+      // k = 256 smallest DISTINCT md5 unit hashes of the buyer key per
+      // brand (O(k) state, O(1) steady-state reject) and evals to
+      // (k−1)/h_k when full / the exact count otherwise. (A first cut
+      // ran the sketch as a SECOND TopKPerKey-distinct scan — probed at
+      // sf10 it paid the lineitem⨝orders shuffle twice and matched
+      // q433's runtime; the single-agg form is the re-plan.) A set's
+      // k smallest distinct values don't depend on arrival order or
+      // multiplicity, so the sketch is deterministic and the oracle
+      // replays it bit-for-bit: this face pins the DECLARED sketch
+      // semantics while exact q433 stays the oracle-of-record for true
+      // counts (the q193 precedent); WarehouseSpec pins the estimate
       // within KMV's expected relative error of q433's exact nc at the
       // gate sf. x1/x2 and the whole TOPSIS finish are q433's, with x3
-      // the 6-dp-rounded estimate.
+      // the estimate (one IEEE division of md5-identical doubles — no
+      // rounding needed to agree cross-engine).
       val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
         col("l_partkey"), col("l_quantity").cast("long").as("q"),
         (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
@@ -3487,23 +3490,12 @@ private[graft] object QueriesWarehouse {
       val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"), col("q"), col("r"), col("o_custkey"))
-      // two scans of the same broadcast-join pipeline (sums + sketch):
-      // both are map-side until their 25-group/25×256-row reductions —
-      // cheaper at scale than materializing the joined fact stream.
-      val base = joined.groupBy(col("p_brand"))
+      val m = joined.groupBy(col("p_brand"))
         .agg(sum(col("r")).as("sp"), count(lit(1)).as("n"),
-          sum(col("q")).as("sq"))
-      val hashed = joined.select(col("p_brand"),
-        graft.plans.TextKernels.unitHashNative(concat(lit("kmvb_"),
-          col("o_custkey").cast("string"))).as("h"))
-      val topk = org.apache.spark.sql.graft.TopKPerKey(hashed,
-        Seq("p_brand"), Seq(("h", true)), k = 256, distinct = true)
-      val sk = topk.groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("kk"), max(col("h")).as("hk"))
-      val est = sk.select(col("p_brand"),
-        when(col("kk") >= 256, round(lit(255.0) / col("hk"), 6))
-          .otherwise(col("kk").cast("double")).as("x3"))
-      val m = base.join(est, Seq("p_brand"))
+          sum(col("q")).as("sq"),
+          graft.plans.SketchAggregates.kmvDistinct(
+            graft.plans.TextKernels.unitHashNative(concat(lit("kmvb_"),
+              col("o_custkey").cast("string"))), 256).as("x3"))
         .select(col("p_brand"),
           (col("sp").cast("double") / col("n").cast("double")).as("x1"),
           col("sq").cast("double").as("x2"), col("x3"))

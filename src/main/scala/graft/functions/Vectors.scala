@@ -45,6 +45,22 @@ object Vectors {
   def cosineToConst(v: Column, q: Seq[Double]): Column =
     cosine(toDoubleVec(v), array(q.map(lit): _*))
 
+  /** Scalar mirror of [[cosineToConst]] for driver/state-side code (the
+    * streaming retrieval monitor): the SAME left-to-right fold order and
+    * the same d / (√na · √nb) spelling, so the double agrees bit-for-bit
+    * with the codegen'd column — StreamingSpec pins stream == batch on
+    * exactly this equality.
+    */
+  def cosineScalar(a: Seq[Double], b: Seq[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else d / (sa * sb)
+  }
+
   /** Symmetric int8 scalar-quantization scale: max|x| / 127. */
   def int8Scale(dv: Column): Column =
     array_max(transform(dv, x => abs(x))) / lit(127.0)

@@ -13,7 +13,7 @@ class StreamingSpec extends SparkSpec {
     * README said "31 faces" after the 32nd had landed — prose counts
     * rot, pinned counts don't).
     */
-  private val declaredFaceCount = 32
+  private val declaredFaceCount = 33
 
   test("README's streaming face count matches the declared registry") {
     val readme = new String(Files.readAllBytes(
@@ -997,6 +997,62 @@ class StreamingSpec extends SparkSpec {
       .rollup(spark.createDataset(last.values.asScala.toSeq).toDF())
       .collect().map(_.toString).toSet
     val declared = SparkEntry.queries("q331_token_fertility")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
+
+  test("streaming retrieval monitor: shuffled arrival converges to the q183 metrics exactly") {
+    // 33rd face: live NDCG@10/MRR. Shortlist state is bounded (8 queries
+    // × 10 entries) and arrival-order independent (top-k of a set under
+    // a total order); label counters commute; the rollup runs q183's own
+    // metric tail (retrievalEvalFinish — shared code path).
+    import graft.streaming.StreamingRetrievalEval
+    import graft.streaming.StreamingRetrievalEval.{Cand, LabelCount, VecEv}
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val evs = StreamingRetrievalEval.fromEmbeddings(emb).collect()
+    val qs = StreamingRetrievalEval.queriesOf(emb)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VecEv]
+    val lastSl = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Cand]()
+    val lastLc = new java.util.concurrent.ConcurrentHashMap[Int, LabelCount]()
+    val q1 = StreamingRetrievalEval
+      .shortlists(mem.toDS(), qs.map(q => (q._1, q._2)))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Cand], _: Long) =>
+        df.collect().foreach(c => lastSl.put((c.qid, c.vec_id), c)); ()
+      }
+      .start()
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VecEv]
+    val q2 = StreamingRetrievalEval.labelCounts(mem2.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[LabelCount], _: Long) =>
+        df.collect().foreach(r => lastLc.put(r.label, r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+        mem.addData(ch); q1.processAllAvailable()
+        mem2.addData(ch); q2.processAllAvailable()
+      }
+    q1.stop(); q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    // An Update-mode sink retains superseded shortlist rows from early
+    // micro-batches; the CURRENT shortlist is the final state's top-10
+    // per qid — re-derive it exactly as the operator does.
+    val current = lastSl.values.asScala.toSeq.groupBy(_.qid).toSeq
+      .flatMap { case (_, cs) =>
+        cs.sortWith((a, b) =>
+          a.cos > b.cos || (a.cos == b.cos && a.vec_id < b.vec_id)).take(10)
+      }
+    val qinfo = qs.map(q => (q._1, q._3)).toDF("qid", "qlabel")
+    val rollup = StreamingRetrievalEval.rollup(
+      spark.createDataset(current).toDF(),
+      spark.createDataset(lastLc.values.asScala.toSeq).toDF(),
+      qinfo)
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q183_retrieval_eval")(spark, sfDir)
       .collect().map(_.toString).toSet
     assert(rollup == declared && declared.nonEmpty)
   }
