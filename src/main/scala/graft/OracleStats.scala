@@ -2828,5 +2828,105 @@ private[graft] object OracleStats {
              / CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) END, 6)
              AS youden_j
          FROM lab CROSS JOIN th GROUP BY 1, 2""",
+
+    // Survival tier (q438–q440): the shared lifetime derivation is the
+    // textual mirror of QueriesStats.lifetimes; every folded term is an
+    // exact-integer division (identical IEEE doubles), ordered by event
+    // time, with list_reduce replaying the prefix product.
+    "q438_kaplan_meier" ->
+      s"""WITH $lifetimeCtes,
+         ar AS (SELECT t, d, n_risk FROM grid WHERE d > 0),
+         fac AS (SELECT t, CAST(1.0 AS DOUBLE)
+             - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f FROM ar),
+         srv AS (SELECT a.t,
+             list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+               list(b.f ORDER BY b.t)), (x, y) -> x * y) AS s
+           FROM ar a JOIN fac b ON b.t <= a.t GROUP BY a.t)
+         SELECT ar.t, ar.n_risk, ar.d, round(srv.s, 6) AS survival
+         FROM ar JOIN srv ON ar.t = srv.t""",
+
+    "q439_nelson_aalen" ->
+      s"""WITH $lifetimeCtes,
+         ar AS (SELECT t, d, n_risk FROM grid WHERE d > 0),
+         fac AS (SELECT t,
+             CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h FROM ar),
+         hz AS (SELECT a.t,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(b.h ORDER BY b.t)), (x, y) -> x + y) AS s
+           FROM ar a JOIN fac b ON b.t <= a.t GROUP BY a.t)
+         SELECT ar.t, ar.n_risk, ar.d, round(hz.s, 6) AS cum_hazard
+         FROM ar JOIN hz ON ar.t = hz.t""",
+
+    "q440_logrank" ->
+      s"""WITH $lifetimeBase,
+         lt2 AS (SELECT lt.*, c_mktsegment = 'BUILDING' AS a1
+           FROM lt JOIN customer ON ck = c_custkey),
+         g AS (SELECT t,
+             CAST(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN a1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN NOT a1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN NOT a1 THEN ev ELSE 0 END) AS BIGINT) AS d2
+           FROM lt2 GROUP BY 1),
+         nt AS (SELECT CAST(sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nn1,
+             CAST(sum(CASE WHEN NOT a1 THEN 1 ELSE 0 END) AS BIGINT) AS nn2
+           FROM lt2),
+         cum AS (SELECT t, c1, d1, c2, d2,
+             CAST(sum(c1) OVER (ORDER BY t) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (ORDER BY t) AS BIGINT) AS cum2
+           FROM g),
+         ev AS (SELECT t, d1, d2,
+             nn1 - (cum1 - c1) AS n1, nn2 - (cum2 - c2) AS n2,
+             d1 + d2 AS d,
+             (nn1 - (cum1 - c1)) + (nn2 - (cum2 - c2)) AS n
+           FROM cum CROSS JOIN nt WHERE d1 + d2 > 0),
+         terms AS (SELECT t, d1,
+             CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)
+               / CAST(n AS DOUBLE) AS ome,
+             CASE WHEN n > 1 THEN CAST(d AS DOUBLE)
+               * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(1.0 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+               ELSE CAST(0.0 AS DOUBLE) END AS vterm
+           FROM ev)
+         SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+           CAST(sum(d1) AS BIGINT) AS o1,
+           round(CAST(CAST(sum(d1) AS BIGINT) AS DOUBLE)
+             - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(ome ORDER BY t)), (x, y) -> x + y), 6) AS e1,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(vterm ORDER BY t)), (x, y) -> x + y), 6) AS variance,
+           round(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(vterm ORDER BY t)), (x, y) -> x + y) > 0
+             THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(ome ORDER BY t)), (x, y) -> x + y)
+               * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(ome ORDER BY t)), (x, y) -> x + y)
+               / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(vterm ORDER BY t)), (x, y) -> x + y) END, 6) AS chi2
+         FROM terms""",
   )
+
+  /** Shared lifetime CTEs (q438–q440): per-customer first/last order
+    * dates, 90-day right-censoring against the corpus max date.
+    */
+  private def lifetimeBase: String =
+    """per AS (SELECT o_custkey AS ck,
+           min(CAST(o_orderdate AS DATE)) AS fd,
+           max(CAST(o_orderdate AS DATE)) AS ld
+         FROM orders GROUP BY 1),
+       mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+       lt AS (SELECT ck, CAST(date_diff('day', fd, ld) AS BIGINT) AS t,
+           CASE WHEN ld < md - 90 THEN 1 ELSE 0 END AS ev
+         FROM per CROSS JOIN mx)"""
+
+  private def lifetimeCtes: String =
+    s"""$lifetimeBase,
+       g0 AS (SELECT t, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(ev) AS BIGINT) AS d FROM lt GROUP BY 1),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM lt),
+       grid AS (SELECT t, c, d,
+           nn - (CAST(sum(c) OVER (ORDER BY t) AS BIGINT) - c) AS n_risk
+         FROM g0 CROSS JOIN nn)"""
 }

@@ -3414,7 +3414,129 @@ private[graft] object QueriesStats {
             col("fp").cast("double") / col("neg").cast("double")), 6)
             .as("youden_j"))
     }),
+
+    // ── Survival-analysis tier (q438–q440, round 10) ────────────────────
+
+    "q438_kaplan_meier" -> ((s, dir) => {
+      // Kaplan–Meier survival over customer LIFETIMES (days between
+      // first and last order; right-censored when the last order falls
+      // within 90 days of the corpus max date — the customer may still
+      // be active). The per-customer reduction is one map-combinable
+      // shuffle; the event grid is distinct-lifetime-sized (calendar-
+      // bounded at ANY corpus size); at-risk counts ride ONE
+      // bandedCumSum (no unpartitioned window); and the survival prefix
+      // PRODUCT folds an ordered factor array — each factor 1 − d/n is
+      // one exact-integer division, the identical IEEE double in both
+      // engines, so the product needs no per-term rounding (the ordered-
+      // fold contract extended to ×, replayed by DuckDB list_reduce).
+      val grid = lifetimeGrid(lifetimes(s, dir))
+      val atRisk = grid.filter(col("d") > 0).localCheckpoint()
+      val facts = atRisk.agg(array_sort(collect_list(struct(col("t"),
+        (lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+          .as("f")))).as("arr"))
+      atRisk.crossJoin(broadcast(facts))
+        .select(col("t"), col("n_risk"), col("d"),
+          round(aggregate(
+            filter(col("arr"), e => e.getField("t") <= col("t")),
+            lit(1.0), (acc, e) => acc * e.getField("f")), 6).as("survival"))
+    }),
+
+    "q439_nelson_aalen" -> ((s, dir) => {
+      // Nelson–Aalen cumulative hazard on the same lifetime grid:
+      // H(t) = Σ_{tᵢ ≤ t} dᵢ/nᵢ — an ordered prefix SUM of exact-integer
+      // divisions (identical doubles both engines; fold order = t asc).
+      val grid = lifetimeGrid(lifetimes(s, dir))
+      val atRisk = grid.filter(col("d") > 0).localCheckpoint()
+      val terms = atRisk.agg(array_sort(collect_list(struct(col("t"),
+        (col("d").cast("double") / col("n_risk").cast("double"))
+          .as("h")))).as("arr"))
+      atRisk.crossJoin(broadcast(terms))
+        .select(col("t"), col("n_risk"), col("d"),
+          round(aggregate(
+            filter(col("arr"), e => e.getField("t") <= col("t")),
+            lit(0.0), (acc, e) => acc + e.getField("h")), 6).as("cum_hazard"))
+    }),
+
+    "q440_logrank" -> ((s, dir) => {
+      // Two-sample log-rank test: BUILDING-segment customers vs the
+      // rest, on the shared lifetime/censoring definition. Per event
+      // time: observed arm-1 deaths d1, expectation d·n1/n under H₀,
+      // hypergeometric variance d·(n1/n)·(1−n1/n)·(n−d)/(n−1) (0 when
+      // n ≤ 1 by mirrored guard); χ² = (Σ(d1−e1))²/ΣV, NULL when the
+      // variance mass is 0 (the q411 degenerate discipline). Both
+      // per-arm at-risk series ride ONE bandedCumSums pass; every
+      // summed term is pure arithmetic on exact integers, folded in
+      // event-time order.
+      val c = tbl(s, dir, "customer").select(col("c_custkey").as("ck"),
+        (col("c_mktsegment") === "BUILDING").as("a1"))
+      val lt = lifetimes(s, dir).join(c, Seq("ck"))
+      val grid = lt.groupBy(col("t"))
+        .agg(sum(when(col("a1"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("a1"), col("ev")).otherwise(0L)).as("d1"),
+          sum(when(!col("a1"), 1L).otherwise(0L)).as("c2"),
+          sum(when(!col("a1"), col("ev")).otherwise(0L)).as("d2"))
+      val cum = operators.ScalableWindow.bandedCumSums(grid, "t",
+        descending = false, Seq.empty, Seq("c1" -> "cum1", "c2" -> "cum2"))
+      val nTot = lt.agg(sum(when(col("a1"), 1L).otherwise(0L)).as("nn1"),
+        sum(when(!col("a1"), 1L).otherwise(0L)).as("nn2"))
+      val ev = cum.crossJoin(broadcast(nTot))
+        .select(col("t"), col("d1"), col("d2"),
+          (col("nn1") - (col("cum1") - col("c1"))).as("n1"),
+          (col("nn2") - (col("cum2") - col("c2"))).as("n2"))
+        .withColumn("d", col("d1") + col("d2"))
+        .withColumn("n", col("n1") + col("n2"))
+        .filter(col("d") > 0)
+      val nd = (col("n1").cast("double") / col("n").cast("double"))
+      val ome = col("d1").cast("double") -
+        col("d").cast("double") * col("n1").cast("double") /
+          col("n").cast("double")
+      val vterm = when(col("n") > 1,
+        col("d").cast("double") * nd * (lit(1.0) - nd) *
+          ((col("n") - col("d")).cast("double") /
+            (col("n") - 1).cast("double"))).otherwise(lit(0.0))
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("t"), w.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      ev.agg(count(lit(1)).as("n_event_times"),
+          sum(col("d1")).as("o1"), fold(ome, "e").as("oe"),
+          fold(vterm, "v").as("vv"))
+        .select(col("n_event_times"), col("o1"),
+          round(col("o1").cast("double") - col("oe"), 6).as("e1"),
+          round(col("vv"), 6).as("variance"),
+          round(when(col("vv") > 0, col("oe") * col("oe") / col("vv")), 6)
+            .as("chi2"))
+    }),
   )
+
+  /** Per-customer lifetime rows for the survival tier: (ck, t = days
+    * first→last order, ev = 1 when churned / 0 when right-censored —
+    * last order within 90 days of the corpus max date).
+    */
+  private def lifetimes(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders").select(col("o_custkey").as("ck"),
+      col("o_orderdate").cast("date").as("dd"))
+    val per = o.groupBy(col("ck")).agg(min(col("dd")).as("f"),
+      max(col("dd")).as("l"))
+    val mx = o.agg(max(col("dd")).as("md"))
+    per.crossJoin(broadcast(mx)).select(col("ck"),
+      datediff(col("l"), col("f")).cast("long").as("t"),
+      when(col("l") < date_sub(col("md"), 90), 1L).otherwise(0L).as("ev"))
+  }
+
+  /** Distinct-lifetime event grid with at-risk counts: (t, c, d, n_risk)
+    * where n_risk = N − #(T < t), via one [[operators.ScalableWindow
+    * .bandedCumSum]] — never an unpartitioned window.
+    */
+  private def lifetimeGrid(lt: DataFrame): DataFrame = {
+    val grid = lt.groupBy(col("t"))
+      .agg(count(lit(1)).as("c"), sum(col("ev")).as("d"))
+    val cum = operators.ScalableWindow.bandedCumSum(grid, "t",
+      descending = false, Seq.empty, "c", "cumc")
+    val n = lt.agg(count(lit(1)).as("nn"))
+    cum.crossJoin(broadcast(n))
+      .select(col("t"), col("c"), col("d"),
+        (col("nn") - (col("cumc") - col("c"))).as("n_risk"))
+  }
 
   /** q394's finishing join over the (n_name, p_brand, cnt) profile
     * table — Σmin over shared brands, Σmax = tot_a + tot_b − Σmin.

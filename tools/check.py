@@ -58,10 +58,25 @@ for name in sorted(oracle):
         st = pq.read_table(qdir)
         scols = st.column_names
         sdata = [tuple(row[c] for c in scols) for row in st.to_pylist()]
-        duck = con.sql(oracle[name])
-        dcols = duck.columns
-        ddata = duck.fetchall()
-        duck_df = con.sql(oracle[name]).df()
+        # GRAFT_ORACLE_TIMEOUT=<sec>: per-ORACLE bound for the large-sf
+        # sweeps — a timer thread interrupts DuckDB so one pathological
+        # oracle (always the brute-force truth's cost, never the
+        # engine's) degrades to a recorded FAIL(timeout) instead of
+        # stalling the whole sweep. Unset (the driver's gate): no bound.
+        tmo = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+        timer = None
+        if tmo > 0:
+            import threading
+            timer = threading.Timer(tmo, con.interrupt)
+            timer.start()
+        try:
+            duck = con.sql(oracle[name])
+            dcols = duck.columns
+            ddata = duck.fetchall()
+            duck_df = con.sql(oracle[name]).df()
+        finally:
+            if timer is not None:
+                timer.cancel()
         spark_df = st.to_pandas()
     except Exception as e:
         print(f"FAIL {name}: {str(e)[:200]}"); fails += 1; continue
