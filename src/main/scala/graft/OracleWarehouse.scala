@@ -1540,6 +1540,81 @@ private[graft] object OracleWarehouse {
            CAST(min(dd) AS BIGINT) AS max_drawdown_cents
          FROM p GROUP BY 1""",
 
+    "q441_cusum_chart" ->
+      s"""WITH daily AS ($dailyRevenueSql),
+         t0 AS (SELECT nation, sum(c) // count(*) AS tt,
+             (sum(c) // count(*)) // 100 AS k
+           FROM daily GROUP BY 1),
+         cs AS (SELECT daily.nation, d, k,
+             sum(c - tt - k) OVER (PARTITION BY daily.nation ORDER BY d)
+               AS cup,
+             sum(tt - c - k) OVER (PARTITION BY daily.nation ORDER BY d)
+               AS cdn
+           FROM daily JOIN t0 ON daily.nation = t0.nation),
+         sx AS (SELECT nation, k,
+             cup - least(0, min(cup) OVER (PARTITION BY nation ORDER BY d))
+               AS sup,
+             cdn - least(0, min(cdn) OVER (PARTITION BY nation ORDER BY d))
+               AS sdn
+           FROM cs)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN sup > k * 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_up,
+           CAST(sum(CASE WHEN sdn > k * 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_down,
+           CAST(max(sup) AS BIGINT) AS max_cusum_up,
+           CAST(max(sdn) AS BIGINT) AS max_cusum_down
+         FROM sx GROUP BY 1""",
+
+    "q442_ewma_chart" ->
+      s"""WITH daily AS MATERIALIZED ($dailyRevenueSql),
+         g AS (SELECT nation, d, CAST(c AS DOUBLE) AS x FROM daily),
+         st AS (SELECT a.nation, a.d, a.x,
+             list_reduce(list(b.x ORDER BY b.d) FILTER (WHERE b.d < a.d),
+               (p, q) -> CAST(0.25 AS DOUBLE) * q
+                 + CAST(0.75 AS DOUBLE) * p) AS sprev,
+             list_reduce(list(b.x ORDER BY b.d),
+               (p, q) -> CAST(0.25 AS DOUBLE) * q
+                 + CAST(0.75 AS DOUBLE) * p) AS snow,
+             CAST(count(*) FILTER (WHERE b.d < a.d) AS BIGINT) AS np
+           FROM g a JOIN g b ON a.nation = b.nation AND b.d <= a.d
+           GROUP BY 1, 2, 3),
+         lastd AS (SELECT nation, max(d) AS md FROM g GROUP BY 1)
+         SELECT st.nation, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN np > 0
+             AND abs(x - sprev) > CAST(0.5 AS DOUBLE) * sprev
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+           round(max(CASE WHEN st.d = md THEN snow END), 4) AS ewma_final
+         FROM st JOIN lastd ON st.nation = lastd.nation
+         GROUP BY 1""",
+
+    "q443_theil_u2" ->
+      s"""WITH daily AS MATERIALIZED ($dailyRevenueSql),
+         g AS (SELECT nation, d, CAST(c AS DOUBLE) AS x FROM daily),
+         st AS (SELECT a.nation, a.d, a.x,
+             list_reduce(list(b.x ORDER BY b.d) FILTER (WHERE b.d < a.d),
+               (p, q) -> CAST(0.25 AS DOUBLE) * q
+                 + CAST(0.75 AS DOUBLE) * p) AS sprev,
+             max(CASE WHEN b.d = a.pd THEN b.x END) AS xprev,
+             CAST(count(*) FILTER (WHERE b.d < a.d) AS BIGINT) AS np
+           FROM (SELECT nation, d, x,
+               lag(d) OVER (PARTITION BY nation ORDER BY d) AS pd
+             FROM g) a
+           JOIN g b ON a.nation = b.nation AND b.d <= a.d
+           GROUP BY 1, 2, 3, a.pd),
+         terms AS (SELECT nation, d,
+             (sprev - x) * (sprev - x) AS f,
+             (xprev - x) * (xprev - x) AS n
+           FROM st WHERE np > 0)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_eval_days,
+           round(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(n ORDER BY d)), (x, y) -> x + y) > 0
+             THEN sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(f ORDER BY d)), (x, y) -> x + y)
+               / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(n ORDER BY d)), (x, y) -> x + y)) END, 6) AS theil_u2
+         FROM terms GROUP BY 1""",
+
     "q366_bollinger" ->
       s"""WITH daily AS ($dailyRevenueSql)
          , w AS (SELECT nation, c,

@@ -2481,6 +2481,82 @@ private[graft] object QueriesWarehouse {
           sum(when(col("dn"), 1L).otherwise(0L)).as("n_breakout_down"))
     }),
 
+    // ── Control-chart / forecast tier (q441–q443, round 10) ─────────────
+    // Same calendar-bounded daily grid as q365–q367; the EWMA recurrence
+    // is replayed per day as an ordered prefix fold (first element =
+    // init, DuckDB list_reduce's own convention) — O(days²) per nation,
+    // CONSTANT at any corpus scale because the grid is the calendar.
+
+    "q441_cusum_chart" -> ((s, dir) => {
+      // Tabular CUSUM on daily revenue, ALL in exact BIGINT cents via
+      // the drawdown identity (KernelProps' clamp-at-zero pin):
+      // s⁺_t = max(0, s⁺ + (c − T − k)) == cum_t − min(0, runmin cum),
+      // so both one-sided sums are partitioned windows over the grid —
+      // no recursion, no float. Target T = mean cents (integer div),
+      // slack k = T/100, decision limit h = 10k.
+      val daily = dailyRevenue(s, dir)
+      val t0 = daily.groupBy(col("nation"))
+        .agg(expr("sum(c) div count(*)").as("tt"))
+        .withColumn("k", expr("tt div 100"))
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val cs = daily.join(broadcast(t0), Seq("nation"))
+        .withColumn("cup", sum(col("c") - col("tt") - col("k")).over(w))
+        .withColumn("cdn", sum(col("tt") - col("c") - col("k")).over(w))
+        .withColumn("sup", col("cup") -
+          least(lit(0L), min(col("cup")).over(w)))
+        .withColumn("sdn", col("cdn") -
+          least(lit(0L), min(col("cdn")).over(w)))
+      cs.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("sup") > col("k") * 10, 1L).otherwise(0L))
+            .as("n_alarm_up"),
+          sum(when(col("sdn") > col("k") * 10, 1L).otherwise(0L))
+            .as("n_alarm_down"),
+          max(col("sup")).as("max_cusum_up"),
+          max(col("sdn")).as("max_cusum_down"))
+    }),
+
+    "q442_ewma_chart" -> ((s, dir) => {
+      // EWMA control chart (α = 1/4): s_t = 0.25·x_t + 0.75·s_{t−1},
+      // s_1 = x_1, replayed per day as a fold over the ordered prefix —
+      // the fold's FIRST element is the init (list_reduce's convention,
+      // mirrored with slice + element_at on the Spark side), every op
+      // an identical IEEE double in both engines. A day alarms when it
+      // deviates from yesterday's smoothed level by more than 50%.
+      val byNation = ewmaPrefix(dailyRevenue(s, dir))
+      byNation
+        .withColumn("alarm", col("sprev").isNotNull &&
+          abs(col("x") - col("sprev")) > lit(0.5) * col("sprev"))
+        .groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          round(max(when(col("rn") === col("nd"), col("snow"))), 4)
+            .as("ewma_final"))
+    }),
+
+    "q443_theil_u2" -> ((s, dir) => {
+      // Theil's U₂ for the EWMA one-step forecast vs the naive carry-
+      // forward: U₂ = √(Σ(s_{t−1} − x_t)² / Σ(x_{t−1} − x_t)²) over the
+      // evaluable days (t ≥ 2). U₂ < 1 ⇔ the smoother beats naive.
+      // Terms are squares of identical doubles, folded in day order; a
+      // zero naive denominator (constant series) yields NULL by
+      // mirrored guard.
+      val byNation = ewmaPrefix(dailyRevenue(s, dir))
+      val ev = byNation.filter(col("sprev").isNotNull)
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("d"), w.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      ev.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_eval_days"),
+          fold((col("sprev") - col("x")) * (col("sprev") - col("x")), "f")
+            .as("sf"),
+          fold((col("xprev") - col("x")) * (col("xprev") - col("x")), "n")
+            .as("sn"))
+        .select(col("nation"), col("n_eval_days"),
+          round(when(col("sn") > 0, sqrt(col("sf") / col("sn"))), 6)
+            .as("theil_u2"))
+    }),
+
     "q367_hist_var" -> ((s, dir) => {
       // Historical VaR/CVaR of daily revenue CHANGES per nation: deltas
       // are exact integer cents (lag over the grid), VaR the 5%
@@ -3553,5 +3629,39 @@ private[graft] object QueriesWarehouse {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), col("d"))
       .agg(sum(col("cents")).as("c"))
+  }
+
+  /** Per-day EWMA state over the daily grid (q442/q443): x = cents as
+    * double, xprev = yesterday's x, sprev = EWMA of the strict prefix
+    * (NULL on day 1), snow = EWMA including today, rn/nd for final-row
+    * selection. The recurrence s ← 0.25·x + 0.75·s replays as an
+    * ordered fold whose FIRST element is the init — exactly DuckDB
+    * list_reduce's convention, mirrored here with element_at + slice —
+    * so both engines execute the identical double-op sequence. Cost is
+    * O(days²) per nation: calendar²-bounded, corpus-size-independent.
+    */
+  private def ewmaPrefix(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+    val arr = daily.groupBy(col("nation"))
+      .agg(array_sort(collect_list(struct(col("d"),
+        col("c").cast("double").as("x")))).as("arr"),
+        count(lit(1)).as("nd"))
+    def ewmaFold(xs: Column) =
+      aggregate(slice(xs, lit(2), size(xs) - 1), element_at(xs, 1),
+        (a, e) => lit(0.25) * e + lit(0.75) * a)
+    daily.select(col("nation"), col("d"), col("c").cast("double").as("x"))
+      .withColumn("xprev", lag(col("x"), 1).over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .join(arr, Seq("nation"))
+      .withColumn("xsPrev", transform(
+        filter(col("arr"), e => e.getField("d") < col("d")),
+        e => e.getField("x")))
+      .withColumn("xsNow", transform(
+        filter(col("arr"), e => e.getField("d") <= col("d")),
+        e => e.getField("x")))
+      .withColumn("sprev",
+        when(size(col("xsPrev")) > 0, ewmaFold(col("xsPrev"))))
+      .withColumn("snow", ewmaFold(col("xsNow")))
+      .drop("arr", "xsPrev", "xsNow")
   }
 }
