@@ -2829,6 +2829,90 @@ private[graft] object OracleStats {
              AS youden_j
          FROM lab CROSS JOIN th GROUP BY 1, 2""",
 
+    "q444_zipf_fit" -> {
+      val folds = Seq("x" -> "sx", "y" -> "sy", "x * x" -> "sxx",
+        "x * y" -> "sxy", "y * y" -> "syy").map { case (e, nm) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list($e ORDER BY rank)), (p, q) -> p + q) AS $nm"""
+      }.mkString(",\n             ")
+      s"""WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS tok FROM documents) WHERE length(tok) > 0 GROUP BY 1),
+         top AS (SELECT freq, CAST(row_number() OVER (ORDER BY freq DESC,
+             tok ASC) AS BIGINT) AS rank
+           FROM tf ORDER BY freq DESC, tok ASC LIMIT 200),
+         xy AS (SELECT rank,
+             round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+             round(ln(CAST(freq AS DOUBLE)), 6) AS y
+           FROM top),
+         sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             $folds
+           FROM xy)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept,
+           round(CASE WHEN n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+         FROM sums"""
+    },
+
+    "q445_benford" -> {
+      val pCase = "CASE digit " + QueryDsl.benfordExpected.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN CAST($p AS DOUBLE)" }
+        .mkString(" ") + " END"
+      s"""WITH obs AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+             AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+             AS digit, CAST(count(*) AS BIGINT) AS n_obs
+           FROM orders GROUP BY 1),
+         grid AS (SELECT CAST(d AS INT) AS digit, $pCase AS p_expected
+           FROM (SELECT unnest(generate_series(1, 9)) AS d)),
+         dense AS (SELECT grid.digit, p_expected,
+             coalesce(n_obs, 0) AS n_obs
+           FROM grid LEFT JOIN obs ON grid.digit = obs.digit),
+         tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM dense),
+         chi AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list((CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) * p_expected)
+               * (CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) * p_expected)
+               / (CAST(nn AS DOUBLE) * p_expected) ORDER BY digit)),
+             (p, q) -> p + q) AS chi2
+           FROM dense CROSS JOIN tot)
+         SELECT digit, n_obs, round(p_expected, 6) AS p_expected,
+           round(CAST(n_obs AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+             AS obs_share,
+           round(chi2, 6) AS chi2
+         FROM dense CROSS JOIN tot CROSS JOIN chi"""
+    },
+
+    "q446_hhi" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey,
+           CAST(year(l_shipdate) AS INT) AS yr,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS r
+           FROM lineitem WHERE CAST(year(l_shipdate) AS INT)
+             IN (1995, 1996, 1997)),
+         cell AS (SELECT n_name AS nation, yr, p_brand,
+             CAST(sum(r) AS BIGINT) AS rev
+           FROM li
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2, 3),
+         tot AS (SELECT nation, yr, CAST(sum(rev) AS BIGINT) AS trev
+           FROM cell GROUP BY 1, 2),
+         sh AS (SELECT cell.nation, cell.yr, p_brand,
+             (CAST(rev AS DOUBLE) / CAST(trev AS DOUBLE))
+               * (CAST(rev AS DOUBLE) / CAST(trev AS DOUBLE)) AS s2
+           FROM cell JOIN tot ON cell.nation = tot.nation
+             AND cell.yr = tot.yr)
+         SELECT nation, yr, CAST(count(*) AS BIGINT) AS n_brands,
+           round(CAST(10000.0 AS DOUBLE)
+             * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(s2 ORDER BY p_brand)), (p, q) -> p + q), 4) AS hhi
+         FROM sh GROUP BY 1, 2""",
+
     // Survival tier (q438–q440): the shared lifetime derivation is the
     // textual mirror of QueriesStats.lifetimes; every folded term is an
     // exact-integer division (identical IEEE doubles), ordered by event

@@ -3415,6 +3415,116 @@ private[graft] object QueriesStats {
             .as("youden_j"))
     }),
 
+    // ── Distributional-law tier (q444–q446, round 10) ───────────────────
+
+    "q444_zipf_fit" -> ((s, dir) => {
+      // Zipf's-law fit: OLS of ln(freq) on ln(rank) over the corpus's
+      // top-200 tokens — slope ≈ −1 is the law. Token counts collapse
+      // in one map-combinable pass; the native TopKPerKey bounds the
+      // head BEFORE any rank (one literal key: partial 200-row buffers
+      // per partition); ranks come from boundedRankCum (200² join, no
+      // unpartitioned window). ln() is libm, so x/y round to 6 dp
+      // before any product (the q194 contract); all five OLS sums fold
+      // in rank order.
+      val tf = tbl(s, dir, "documents")
+        .select(explode(graft.functions.Text.tokens(lower(col("text"))))
+          .as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val top = org.apache.spark.sql.graft.TopKPerKey(
+        tf.withColumn("g", lit(1)), Seq("g"),
+        Seq(("freq", false), ("tok", true)), k = 200).drop("g")
+      val ranked = operators.ScalableWindow.boundedRankCum(
+        top, Seq(("freq", false), ("tok", true)), "rank")
+      val xy = ranked.select(col("rank"),
+        round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("rank"), w.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      val sums = xy.agg(count(lit(1)).cast("double").as("n"),
+        fold(col("x"), "a").as("sx"), fold(col("y"), "b").as("sy"),
+        fold(col("x") * col("x"), "c").as("sxx"),
+        fold(col("x") * col("y"), "d").as("sxy"),
+        fold(col("y") * col("y"), "e").as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("n").cast("long").as("n_terms"),
+        round(cov / vx, 6).as("zipf_slope"),
+        round((col("sy") - cov / vx * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(when(vy > 0, cov * cov / (vx * vy)), 6).as("r2"))
+    }),
+
+    "q445_benford" -> ((s, dir) => {
+      // Benford's-law audit of order totals: observed first-significant-
+      // digit counts (cents are positive integers, so the leading digit
+      // of the cents string IS the price's leading digit) against
+      // log₁₀(1+1/d) expectations — consumed as QueryDsl.benfordExpected
+      // literals on BOTH sides (no libm in either engine). χ² folds in
+      // digit order over the dense 1–9 grid (absent digits contribute
+      // their full expectation).
+      val cents = (col("o_totalprice").cast(dec) * 100).cast("long")
+      val obs = tbl(s, dir, "orders")
+        .select(substring(cents.cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      import s.implicits._
+      val grid = (1 to 9).map(d =>
+        (d, QueryDsl.benfordExpected(d - 1))).toDF("digit", "p_expected")
+      val dense = grid.join(obs, Seq("digit"), "left")
+        .select(col("digit"), col("p_expected"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .localCheckpoint()
+      val tot = dense.agg(sum(col("n_obs")).as("nn"))
+      val term = {
+        val e = col("nn").cast("double") * col("p_expected")
+        (col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e
+      }
+      val chi = dense.crossJoin(broadcast(tot))
+        .agg(aggregate(array_sort(collect_list(struct(col("digit"),
+          term.as("t")))), lit(0.0), (acc, e) => acc + e.getField("t"))
+          .as("chi2"))
+      dense.crossJoin(broadcast(tot)).crossJoin(broadcast(chi))
+        .select(col("digit"), col("n_obs"),
+          round(col("p_expected"), 6).as("p_expected"),
+          round(col("n_obs").cast("double") / col("nn").cast("double"), 6)
+            .as("obs_share"),
+          round(col("chi2"), 6).as("chi2"))
+    }),
+
+    "q446_hhi" -> ((s, dir) => {
+      // Herfindahl–Hirschman market concentration of brand revenue per
+      // (nation, year): HHI = 10⁴·Σ share² over the ≤25-brand catalog —
+      // exact cents sums, one division per share, squares folded in
+      // brand order. The cell table is catalog×calendar-bounded.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+        .filter(col("yr").isin(1995, 1996, 1997))
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = tbl(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = tbl(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val cell = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name").as("nation"), col("yr"), col("p_brand"))
+        .agg(sum(col("r")).as("rev"))
+      val tot = cell.groupBy(col("nation"), col("yr"))
+        .agg(sum(col("rev")).as("trev"))
+      val sh = col("rev").cast("double") / col("trev").cast("double")
+      cell.join(tot, Seq("nation", "yr"))
+        .withColumn("s2", sh * sh)
+        .groupBy(col("nation"), col("yr"))
+        .agg(count(lit(1)).as("n_brands"),
+          round(lit(10000.0) * aggregate(
+            array_sort(collect_list(struct(col("p_brand"), col("s2")))),
+            lit(0.0), (acc, e) => acc + e.getField("s2")), 4).as("hhi"))
+    }),
+
     // ── Survival-analysis tier (q438–q440, round 10) ────────────────────
 
     "q438_kaplan_meier" -> ((s, dir) => {

@@ -48,6 +48,13 @@ private[graft] object QueryDsl {
       (math.cos(a), math.sin(a))
     }
 
+  /** Benford first-digit expectations log₁₀(1 + 1/d) for d = 1..9 —
+    * computed ONCE here (log10 is libm territory) and consumed by BOTH
+    * engines as when-chain / CASE literals, the rboWeights discipline.
+    */
+  val benfordExpected: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
   /** RBO depth weights (1−p)/p · p^d for p = 0.9, d = 1..20 — built by
     * REPEATED MULTIPLICATION in one place (pow() is libm territory,
     * so each engine calling its own power would diverge in the last
