@@ -2829,6 +2829,86 @@ private[graft] object OracleStats {
              AS youden_j
          FROM lab CROSS JOIN th GROUP BY 1, 2""",
 
+    // q447: planes replayed by the SAME integer LCG as
+    // Similarity.hyperplanes (the lshBucketCtes discipline); both
+    // distance folds are position-ordered.
+    "q447_jl_distortion" ->
+      """WITH ev AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         planes AS (SELECT p, list_transform(range(0, 64),
+             d -> ((p * 2654435761 + d * 40503 + 12345) % 4294967296)
+               / 2147483648.0 - 1.0) AS plane
+           FROM range(0, 8) tp(p)),
+         proj AS (SELECT e.vec_id, p.p,
+             list_sum(list_transform(range(1, 65),
+               i -> e.v[i] * p.plane[i])) AS pv
+           FROM ev e CROSS JOIN planes p),
+         pw AS (SELECT vec_id, list(pv ORDER BY p) AS pvs
+           FROM proj GROUP BY 1),
+         pair AS (SELECT a.vec_id AS id_a, a.v AS va, b.v AS vb,
+             pa.pvs AS pva, pb.pvs AS pvb
+           FROM ev a JOIN ev b ON b.vec_id = a.vec_id + 1
+           JOIN pw pa ON pa.vec_id = a.vec_id
+           JOIN pw pb ON pb.vec_id = b.vec_id),
+         d AS (SELECT id_a,
+             list_sum(list_transform(range(1, 9),
+               i -> (pva[i] - pvb[i]) * (pva[i] - pvb[i]))) AS dp,
+             list_sum(list_transform(range(1, 65),
+               i -> (va[i] - vb[i]) * (va[i] - vb[i]))) AS dn
+           FROM pair)
+         SELECT id_a, round(CASE WHEN dn > 0
+           THEN CAST(8.0 AS DOUBLE) * dp / dn END, 6) AS distortion
+         FROM d""",
+
+    "q448_ece_calibration" ->
+      """WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS y97
+           FROM orders GROUP BY 1),
+         mx AS (SELECT CAST(max(cnt) AS BIGINT) AS mc,
+             quantile_cont(CAST(y97 AS DOUBLE), 0.5) AS md FROM per),
+         binned AS (SELECT least(9, cnt * 10 // mc) AS bin, cnt,
+             CASE WHEN y97 > md THEN 1 ELSE 0 END AS pos, mc
+           FROM per CROSS JOIN mx),
+         bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS scnt,
+             CAST(sum(pos) AS BIGINT) AS npos, max(mc) AS mc
+           FROM binned GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bins),
+         ece AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+               * abs(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(scnt AS DOUBLE) / CAST(n * mc AS DOUBLE))
+               ORDER BY bin)), (p, q) -> p + q) AS ece
+           FROM bins CROSS JOIN tot)
+         SELECT bin, n,
+           round(CAST(scnt AS DOUBLE) / CAST(n * mc AS DOUBLE), 6)
+             AS avg_conf,
+           round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+           round(ece, 6) AS ece
+         FROM bins CROSS JOIN tot CROSS JOIN ece""",
+
+    "q449_abc_classes" ->
+      """WITH per AS (SELECT l_partkey,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1),
+         cum AS (SELECT l_partkey, rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC)
+               AS BIGINT) AS cum
+           FROM per),
+         tot AS (SELECT CAST(sum(rev) AS BIGINT) AS trev FROM per),
+         cls AS (SELECT CASE WHEN cum * 100 <= trev * 80 THEN 'A'
+             WHEN cum * 100 <= trev * 95 THEN 'B' ELSE 'C' END AS abc, rev
+           FROM cum CROSS JOIN tot)
+         SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           round(CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE)
+             / CAST(trev AS DOUBLE), 6) AS share
+         FROM cls CROSS JOIN tot GROUP BY abc, trev""",
+
     "q444_zipf_fit" -> {
       val folds = Seq("x" -> "sx", "y" -> "sy", "x * x" -> "sxx",
         "x * y" -> "sxy", "y * y" -> "syy").map { case (e, nm) =>

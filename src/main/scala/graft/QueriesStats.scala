@@ -3415,6 +3415,108 @@ private[graft] object QueriesStats {
             .as("youden_j"))
     }),
 
+    // ── Audit/calibration tier (q447–q449, round 10) ────────────────────
+
+    "q447_jl_distortion" -> ((s, dir) => {
+      // Johnson–Lindenstrauss distortion audit: project the 64-dim
+      // embeddings to 8 dims through the deterministic LCG hyperplanes
+      // (Similarity.hyperplanes — integer math, bit-identical in SQL)
+      // and measure the squared-distance ratio ‖P(a−b)‖²/(m/n)·‖a−b‖²…
+      // spelled as (n/m)·‖Pa−Pb‖²/‖a−b‖² on ADJACENT-ID pairs — an
+      // n-linear pair stream, never all-pairs. Every distance is a
+      // position-ordered fold of identical doubles; the ratio is one
+      // division. Zero-distance pairs are NULL by mirrored guard.
+      val planes = operators.Similarity.hyperplanes(8, 64)
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.Vectors.toDoubleVec(col("embedding")).as("v"))
+      val proj = planes.zipWithIndex.foldLeft(e) { case (acc, (pl, i)) =>
+        acc.withColumn(s"p$i", graft.functions.Vectors.dot(col("v"),
+          array(pl.map(lit): _*)))
+      }
+      val a = proj.select(Seq(col("vec_id").as("id_a"), col("v").as("va")) ++
+        (0 until 8).map(i => col(s"p$i").as(s"a$i")): _*)
+      val b = proj.select(Seq((col("vec_id") - 1).as("id_a"),
+        col("v").as("vb")) ++
+        (0 until 8).map(i => col(s"p$i").as(s"b$i")): _*)
+      val dproj = (0 until 8).map(i =>
+        (col(s"a$i") - col(s"b$i")) * (col(s"a$i") - col(s"b$i")))
+        .reduce(_ + _)
+      val dorig = aggregate(zip_with(col("va"), col("vb"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      a.join(b, Seq("id_a"))
+        .select(col("id_a"), dproj.as("dp"), dorig.as("dn"))
+        .select(col("id_a"),
+          round(when(col("dn") > 0,
+            lit(8.0) * col("dp") / col("dn")), 6).as("distortion"))
+    }),
+
+    "q448_ece_calibration" -> ((s, dir) => {
+      // Expected-calibration-error of the naive propensity "order count
+      // / max order count" against the above-median-1997-spend label
+      // (q435's setting): 10 equal-width bins, bin id from EXACT integer
+      // arithmetic (cnt·10 div maxcnt, clamped to 9), per-bin confidence
+      // as one division of exact integer sums (never a float sum), and
+      // ECE = Σ (n_b/N)·|acc_b − conf_b| folded in bin order.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("yr") === 1997, col("cents")).otherwise(0L)).as("y97"))
+        .localCheckpoint()
+      val mx = per.agg(max(col("cnt")).as("mc"),
+        expr("percentile(CAST(y97 AS DOUBLE), 0.5)").as("md"))
+      val binned = per.crossJoin(broadcast(mx))
+        .select(least(lit(9L), expr("cnt * 10 div mc")).as("bin"),
+          col("cnt"), (col("y97") > col("md")).cast("long").as("pos"),
+          col("mc"))
+      val bins = binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("scnt"),
+          sum(col("pos")).as("npos"), max(col("mc")).as("mc"))
+        .localCheckpoint()
+      val tot = bins.agg(sum(col("n")).as("nn"))
+      val conf = col("scnt").cast("double") /
+        (col("n") * col("mc")).cast("double")
+      val acc_ = col("npos").cast("double") / col("n").cast("double")
+      val term = col("n").cast("double") / col("nn").cast("double") *
+        abs(acc_ - conf)
+      val ece = bins.crossJoin(broadcast(tot))
+        .agg(aggregate(array_sort(collect_list(struct(col("bin"),
+          term.as("t")))), lit(0.0), (acc, e) => acc + e.getField("t"))
+          .as("ece"))
+      bins.crossJoin(broadcast(tot)).crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"),
+          round(conf, 6).as("avg_conf"), round(acc_, 6).as("accuracy"),
+          round(col("ece"), 6).as("ece"))
+    }),
+
+    "q449_abc_classes" -> ((s, dir) => {
+      // ABC inventory classification: parts ranked by revenue, class A
+      // = cumulative share ≤ 80%, B ≤ 95%, C the tail — the decision
+      // rule runs on EXACT integers (cum·100 ≤ 80·total cents, no
+      // float anywhere), with the cumulative riding one bandedCumSum
+      // over the part-revenue table (n-scale input, no unpartitioned
+      // window).
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
+        (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      val per = li.groupBy(col("l_partkey")).agg(sum(col("r")).as("rev"))
+      val cum = operators.ScalableWindow.bandedCumSum(per, "rev",
+        descending = true, Seq("l_partkey"), "rev", "cum")
+      val tot = per.agg(sum(col("rev")).as("trev"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("rev"),
+          when(col("cum") * 100 <= col("trev") * 80, "A")
+            .when(col("cum") * 100 <= col("trev") * 95, "B")
+            .otherwise("C").as("abc"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("abc"), col("n_parts"), col("revenue_cents"),
+          round(col("revenue_cents").cast("double") /
+            col("trev").cast("double"), 6).as("share"))
+    }),
+
     // ── Distributional-law tier (q444–q446, round 10) ───────────────────
 
     "q444_zipf_fit" -> ((s, dir) => {
