@@ -13,7 +13,7 @@ class StreamingSpec extends SparkSpec {
     * README said "31 faces" after the 32nd had landed — prose counts
     * rot, pinned counts don't).
     */
-  private val declaredFaceCount = 33
+  private val declaredFaceCount = 34
 
   test("README's streaming face count matches the declared registry") {
     val readme = new String(Files.readAllBytes(
@@ -1174,6 +1174,50 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     import scala.jdk.CollectionConverters._
     assert(last.asScala.toMap == declared && declared.nonEmpty)
+  }
+
+  test("streaming CUSUM: per-key ordered arrival converges to the q441 chart exactly") {
+    // 34th face. The batch q441 computes each one-sided sum through the
+    // drawdown IDENTITY (cum − min(0, runmin cum)); the face runs the
+    // clamp-at-zero recursion literally in seven-long per-key state with
+    // offline-trained limits — this pin is the two sides of KernelProps'
+    // identity meeting on real data. Per-key ordered arrival, keys
+    // interleaved round-robin from shuffled queues (the q365 contract).
+    import graft.streaming.StreamingCusum
+    import graft.streaming.StreamingCusum.{CusumRow, DayEv}
+    val daily = QueriesWarehouse.dailyRevenue(spark, sfDir).localCheckpoint()
+    val limits = StreamingCusum.trainLimits(daily)
+    val perKey = StreamingCusum.fromDaily(daily).collect().toSeq
+      .groupBy(_.nation).toSeq
+    val queues = scala.util.Random.shuffle(perKey)
+      .map { case (_, evs) =>
+        scala.collection.mutable.Queue(evs.sortBy(_.day.getTime): _*) }
+    val feed = scala.collection.mutable.ArrayBuffer.empty[DayEv]
+    while (queues.exists(_.nonEmpty))
+      queues.foreach { q => if (q.nonEmpty) feed += q.dequeue() }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DayEv]
+    val last = new java.util.concurrent.ConcurrentHashMap[String, CusumRow]()
+    val q = StreamingCusum.monitor(mem.toDS(), limits)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[CusumRow], _: Long) =>
+        df.collect().foreach(r => last.put(r.nation, r)); ()
+      }
+      .start()
+    feed.grouped(math.max(1, feed.length / 5 + 1)).foreach { ch =>
+      mem.addData(ch); q.processAllAvailable()
+    }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = last.values.asScala
+      .map(r => (r.nation, r.n_days, r.n_alarm_up, r.n_alarm_down,
+        r.max_cusum_up, r.max_cusum_down)).toSet
+    val declared = SparkEntry.queries("q441_cusum_chart")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == declared && declared.nonEmpty)
   }
 
   test("streaming brand mix: shuffled arrival converges to the q394 matrix exactly") {
