@@ -3642,26 +3642,32 @@ private[graft] object QueriesWarehouse {
     */
   private def ewmaPrefix(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("nation")).orderBy(col("d"))
-    val arr = daily.groupBy(col("nation"))
+    // The whole per-nation EWMA SERIES is built ONCE as an array-growing
+    // fold over the day-ordered values (se[1] = x₁; se[k] = 0.25·x_k +
+    // 0.75·se[k−1] — the same double-op sequence as before), then each
+    // daily row just indexes it by row number. The first cut re-folded
+    // the prefix PER ROW (filter+transform of the struct array on every
+    // one of the 60k grid rows) — the sf0.1 probe measured q442/q443 at
+    // 42/85 s for what is a 2-second grid computation; this form does
+    // the O(days²) element copies once per nation, in one 25-row pass.
+    val ser = daily.groupBy(col("nation"))
       .agg(array_sort(collect_list(struct(col("d"),
-        col("c").cast("double").as("x")))).as("arr"),
-        count(lit(1)).as("nd"))
-    def ewmaFold(xs: Column) =
-      aggregate(slice(xs, lit(2), size(xs) - 1), element_at(xs, 1),
-        (a, e) => lit(0.25) * e + lit(0.75) * a)
+        col("c").cast("double").as("x")))).as("a"))
+      .select(col("nation"),
+        aggregate(transform(col("a"), e => e.getField("x")),
+          typedLit(Seq.empty[Double]),
+          (acc, x) => concat(acc, array(when(size(acc) === 0, x)
+            .otherwise(lit(0.25) * x + lit(0.75) * element_at(acc, -1)))))
+          .as("se"))
     daily.select(col("nation"), col("d"), col("c").cast("double").as("x"))
       .withColumn("xprev", lag(col("x"), 1).over(w))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .join(arr, Seq("nation"))
-      .withColumn("xsPrev", transform(
-        filter(col("arr"), e => e.getField("d") < col("d")),
-        e => e.getField("x")))
-      .withColumn("xsNow", transform(
-        filter(col("arr"), e => e.getField("d") <= col("d")),
-        e => e.getField("x")))
-      .withColumn("sprev",
-        when(size(col("xsPrev")) > 0, ewmaFold(col("xsPrev"))))
-      .withColumn("snow", ewmaFold(col("xsNow")))
-      .drop("arr", "xsPrev", "xsNow")
+      .join(broadcast(ser), Seq("nation"))
+      .withColumn("nd", count(lit(1))
+        .over(Window.partitionBy(col("nation"))).cast("long"))
+      .withColumn("sprev", when(col("rn") > 1,
+        element_at(col("se"), (col("rn") - 1).cast("int"))))
+      .withColumn("snow", element_at(col("se"), col("rn").cast("int")))
+      .drop("se")
   }
 }
