@@ -114,21 +114,22 @@ private[graft] object OracleText {
            FROM (SELECT doc_id, text,
                    unnest(generate_series(1, length(text) - 19)) AS g
                  FROM d)),
-         canon AS (SELECT gram, min({'doc_id': doc_id, 'pos': pos}) AS c
+         canon AS (SELECT gram, min(doc_id * 1048576 + pos) AS ck
            FROM occ GROUP BY gram),
          covered AS (SELECT o.doc_id, o.pos
            FROM occ o JOIN canon cn ON o.gram = cn.gram
-           WHERE {'doc_id': o.doc_id, 'pos': o.pos} != cn.c),
-         chars AS (SELECT doc_id, text, CAST(cp AS INTEGER) AS cpos
+           WHERE o.doc_id * 1048576 + o.pos != cn.ck),
+         chars AS (SELECT doc_id, CAST(cp AS INTEGER) AS cpos,
+             substr(text, CAST(cp AS INTEGER), 1) AS ch
            FROM (SELECT doc_id, text,
                    unnest(generate_series(1, length(text))) AS cp
                  FROM d)),
-         marked AS (SELECT c.doc_id, c.text, c.cpos,
+         marked AS (SELECT c.doc_id, c.ch, c.cpos,
              max(cv.pos) OVER (PARTITION BY c.doc_id ORDER BY c.cpos) AS last_start
            FROM chars c LEFT JOIN covered cv
              ON c.doc_id = cv.doc_id AND c.cpos = cv.pos)
          SELECT doc_id,
-           coalesce(string_agg(substr(text, cpos, 1), '' ORDER BY cpos)
+           coalesce(string_agg(ch, '' ORDER BY cpos)
              FILTER (WHERE last_start IS NULL OR cpos >= last_start + 20), '')
              AS cleaned_text,
            CAST(count(*) FILTER (WHERE last_start IS NOT NULL

@@ -23,6 +23,41 @@ import pyarrow.parquet as pq
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
+# --fanout: run every query's compare in its OWN subprocess. A large-sf
+# brute-force oracle can exceed the machine (the r10 sf0.1 sweep's q121
+# replay peaked >100 GB and the OOM killer took the whole gate with it —
+# 32 queries in, no summary, exit untraceable); per-query isolation turns
+# that into one recorded FAIL and a sweep that finishes. Inherits
+# GRAFT_DUCK_MEM / GRAFT_ORACLE_TIMEOUT per child.
+if "--fanout" in sys.argv:
+    import subprocess
+    names = sorted(json.load(open(f"{outdir}/oracle_sql.json")))
+    fails = 0
+    for name in names:
+        env = dict(os.environ, GRAFT_CHECK_ONLY=name)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sfdir, outdir],
+                env=env, capture_output=True, text=True,
+                timeout=float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+                    * 1.5 or None)
+            line = next((l for l in r.stdout.splitlines()
+                         if l.startswith(("OK", "FAIL"))), None)
+            if line is None:
+                print(f"FAIL {name}: child died rc={r.returncode} "
+                      f"(likely OOM-killed)"); fails += 1
+            else:
+                print(line)
+                if line.startswith("FAIL"):
+                    fails += 1
+                    for l in r.stdout.splitlines()[1:6]:
+                        print(l)
+        except subprocess.TimeoutExpired:
+            print(f"FAIL {name}: child wall-clock timeout"); fails += 1
+        sys.stdout.flush()
+    print(f"\n{len(names) - fails}/{len(names)} queries match")
+    sys.exit(1 if fails else 0)
+
 con = duckdb.connect()
 # Large-sf runs (the one-off sf0.1 oracle sweep): cap DuckDB's memory and
 # let it spill, so a token-stream-sized oracle intermediate degrades to
@@ -33,7 +68,9 @@ if os.environ.get("GRAFT_DUCK_MEM"):
     con.sql("SET preserve_insertion_order=false")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # ScaleUp-generated tables are Spark output DIRECTORIES of part files
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -49,8 +86,11 @@ def render(v):
     return "NULL" if v is None else f"{type(v).__name__}:{v}"
 
 
+only = os.environ.get("GRAFT_CHECK_ONLY")
 fails = 0
 for name in sorted(oracle):
+    if only and name not in only.split(","):
+        continue
     qdir = f"{outdir}/{name}"
     if not os.path.isdir(qdir):
         print(f"FAIL {name}: no spark output"); fails += 1; continue
