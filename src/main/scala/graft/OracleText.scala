@@ -224,19 +224,28 @@ private[graft] object OracleText {
            -struct_extract(ms, 'neg') AS tfidf
          FROM m""",
     "q66_bucketed_near_pairs" -> bucketedNearPairsSql,
+    // Inverted-index truth (the q173/q196 rewrite): the threshold is
+    // positive, so only pairs sharing a distinct shingle can qualify —
+    // exactly the pairs the gram-equality self-join generates at Σdf²
+    // cost; the r10 form (doc×doc list_intersect) cost ~15 min at sf0.1
+    // and would time out the sf1 sweep.
     "q109_jaccard_join" ->
       """WITH toks AS (SELECT doc_id,
            regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
-         t AS (SELECT doc_id,
+         t AS MATERIALIZED (SELECT doc_id,
              list_distinct(list_transform(range(1, len(w) - 1),
                i -> array_to_string(w[i:i+2], ' '))) AS s
            FROM toks WHERE len(w) >= 3),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
-             CAST(len(a.s) AS BIGINT) + CAST(len(b.s) AS BIGINT) AS nsum
-           FROM t a JOIN t b ON a.doc_id < b.doc_id)
-         SELECT id_a, id_b, inter, nsum - inter AS uni
-         FROM p WHERE inter * 9 >= nsum * 4""",
+         sz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM t),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM t),
+         iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+         FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+         JOIN sz sb ON sb.doc_id = iv.id_b
+         WHERE inter * 9 >= (sa.n + sb.n) * 4""",
     "q123_bm25" -> bm25Sql,
     "q124_dedup_survivors" -> dedupSurvivorsSql,
     "q136_dedup_apply" -> dedupApplySql,
