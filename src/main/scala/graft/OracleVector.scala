@@ -406,6 +406,97 @@ private[graft] object OracleVector {
 
     // Exact replay of KCore.peel(k=4, rounds=4): each sweep is one
     // unrolled MATERIALIZED CTE pair (degrees -> surviving edges).
+    "q450_modularity" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         lab AS MATERIALIZED (SELECT e.pa, e.pb,
+             x.p_brand AS ba, y.p_brand AS bb
+           FROM e JOIN part x ON e.pa = x.p_partkey
+           JOIN part y ON e.pb = y.p_partkey),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+         intra AS (SELECT ba AS brand, CAST(count(*) AS BIGINT) AS mc
+           FROM lab WHERE ba = bb GROUP BY 1),
+         degs AS (SELECT brand, CAST(count(*) AS BIGINT) AS dc FROM (
+             SELECT ba AS brand FROM lab
+             UNION ALL SELECT bb FROM lab) GROUP BY 1),
+         per AS (SELECT degs.brand, dc, coalesce(mc, 0) AS mc, m,
+             CAST(coalesce(mc, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+               - (CAST(dc AS DOUBLE)
+                   / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
+                 * (CAST(dc AS DOUBLE)
+                   / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE))) AS term
+           FROM degs LEFT JOIN intra ON degs.brand = intra.brand
+           CROSS JOIN m)
+         SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(m) AS BIGINT) AS n_edges,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY brand)), (p, q) -> p + q), 6) AS modularity
+         FROM per""",
+
+    "q451_assortativity" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+           GROUP BY 1),
+         lab AS (SELECT da.deg AS ja, db.deg AS jb
+           FROM e JOIN deg da ON e.pa = da.node
+           JOIN deg db ON e.pb = db.node),
+         ends AS (SELECT ja AS j, jb AS k FROM lab
+           UNION ALL SELECT jb, ja FROM lab),
+         sums AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+             sum(j * k) AS sjk, sum(j) AS sj, sum(j * j) AS sjj
+           FROM ends)
+         SELECT m2 AS n_edge_ends,
+           round(CASE WHEN CAST(sjj AS DOUBLE) / CAST(m2 AS DOUBLE)
+               - (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE))
+                 * (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE)) > 0
+             THEN (CAST(sjk AS DOUBLE) / CAST(m2 AS DOUBLE)
+               - (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE))
+                 * (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE)))
+               / (CAST(sjj AS DOUBLE) / CAST(m2 AS DOUBLE)
+                 - (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE))
+                   * (CAST(sj AS DOUBLE) / CAST(m2 AS DOUBLE))) END, 6)
+             AS assortativity
+         FROM sums""",
+
+    "q452_rich_club" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e)
+           GROUP BY 1),
+         ks AS (SELECT CAST(k AS BIGINT) AS k
+           FROM (VALUES (4), (8), (16), (32)) v(k)),
+         lab AS (SELECT da.deg AS ja, db.deg AS jb
+           FROM e JOIN deg da ON e.pa = da.node
+           JOIN deg db ON e.pb = db.node),
+         ek AS (SELECT k, CAST(count(*) AS BIGINT) AS ek
+           FROM lab JOIN ks ON ja > k AND jb > k GROUP BY 1),
+         nk AS (SELECT k, CAST(count(*) AS BIGINT) AS nk
+           FROM deg JOIN ks ON deg > k GROUP BY 1)
+         SELECT ks.k, coalesce(nk.nk, 0) AS n_club,
+           coalesce(ek.ek, 0) AS club_edges,
+           round(CASE WHEN coalesce(nk.nk, 0) > 1
+             THEN CAST(2.0 AS DOUBLE) * CAST(coalesce(ek.ek, 0) AS DOUBLE)
+               / CAST(nk.nk * (nk.nk - 1) AS DOUBLE) END, 6) AS phi
+         FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k""",
+
     "q211_kcore" ->
       """WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

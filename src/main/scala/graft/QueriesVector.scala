@@ -806,6 +806,105 @@ private[graft] object QueriesVector {
         .filter(col("l1") <= 2)
     }),
 
+    // ── Graph-topology audit tier (q450–q452, round 10): closed-form
+    // structure metrics on the q211 co-purchase graph — every one is
+    // edge-sized integer sums + a handful of divisions, no iteration,
+    // no libm, so the oracle replays them exactly. ────────────────────
+
+    "q450_modularity" -> ((s, dir) => {
+      // Newman modularity of the BRAND partition (a natural closed-form
+      // community assignment — no iterative community detection in the
+      // truth path): Q = Σ_c (m_c/m − (d_c/2m)²) over the ≥2-shared-
+      // orders part co-purchase graph. m_c (intra-brand edges) and d_c
+      // (total degree of brand-c nodes) are exact integer sums; the two
+      // divisions per brand and the brand-ordered fold are the only
+      // float steps.
+      val edges = copurchaseEdges(s, dir).localCheckpoint()
+      val p = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val lab = edges
+        .join(p.select(col("p_partkey").as("pa"), col("p_brand").as("ba")), Seq("pa"))
+        .join(p.select(col("p_partkey").as("pb"), col("p_brand").as("bb")), Seq("pb"))
+      val m = lab.agg(count(lit(1)).as("m"))
+      val intra = lab.filter(col("ba") === col("bb"))
+        .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("mc"))
+      val degs = lab.select(col("ba").as("brand"))
+        .union(lab.select(col("bb").as("brand")))
+        .groupBy(col("brand")).agg(count(lit(1)).as("dc"))
+      val per = degs.join(intra, Seq("brand"), "left")
+        .select(col("brand"), col("dc"),
+          coalesce(col("mc"), lit(0L)).as("mc"))
+        .crossJoin(broadcast(m))
+        .withColumn("term",
+          col("mc").cast("double") / col("m").cast("double") -
+            (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+            (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))))
+      per.agg(count(lit(1)).as("n_communities"),
+          max(col("m")).as("n_edges"),
+          round(aggregate(array_sort(collect_list(struct(col("brand"),
+            col("term").as("t")))), lit(0.0),
+            (acc, e) => acc + e.getField("t")), 6).as("modularity"))
+    }),
+
+    "q451_assortativity" -> ((s, dir) => {
+      // Degree assortativity (Newman's r): the Pearson correlation of
+      // endpoint degrees over edges, computed from exact integer
+      // moments in DECIMAL(38,0) (degree products summed over edges
+      // outgrow BIGINT at corpus scale), each direction of every edge
+      // counted once — the standard undirected convention.
+      val edges = copurchaseEdges(s, dir).localCheckpoint()
+      val deg = edges.select(col("pa").as("node"))
+        .union(edges.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val lab = edges
+        .join(deg.select(col("node").as("pa"), col("deg").as("ja")), Seq("pa"))
+        .join(deg.select(col("node").as("pb"), col("deg").as("jb")), Seq("pb"))
+      // both orientations: (j,k) and (k,j)
+      val ends = lab.select(col("ja").as("j"), col("jb").as("k"))
+        .union(lab.select(col("jb").as("j"), col("ja").as("k")))
+      val s38 = "decimal(38,0)"
+      val sums = ends.agg(count(lit(1)).as("m2"),
+        sum((col("j") * col("k")).cast(s38)).as("sjk"),
+        sum(col("j").cast(s38)).as("sj"),
+        sum((col("j") * col("j")).cast(s38)).as("sjj"))
+      def d(c: Column) = c.cast("double")
+      val me = d(col("m2"))
+      val num = d(col("sjk")) / me - (d(col("sj")) / me) * (d(col("sj")) / me)
+      val den = d(col("sjj")) / me - (d(col("sj")) / me) * (d(col("sj")) / me)
+      sums.select(col("m2").cast("long").as("n_edge_ends"),
+        round(when(den > 0, num / den), 6).as("assortativity"))
+    }),
+
+    "q452_rich_club" -> ((s, dir) => {
+      // Rich-club coefficients φ(k) = 2·E_k / (N_k·(N_k−1)) for the
+      // degree thresholds k ∈ {4, 8, 16, 32}: the edge density among
+      // nodes of degree > k — whether the hubs form their own dense
+      // club. All integer counts; one division per threshold; the
+      // degenerate N_k ≤ 1 row is NULL by mirrored guard.
+      import s.implicits._
+      val edges = copurchaseEdges(s, dir).localCheckpoint()
+      val deg = edges.select(col("pa").as("node"))
+        .union(edges.select(col("pb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val ks = Seq(4L, 8L, 16L, 32L).toDF("k")
+      val lab = edges
+        .join(deg.select(col("node").as("pa"), col("deg").as("ja")), Seq("pa"))
+        .join(deg.select(col("node").as("pb"), col("deg").as("jb")), Seq("pb"))
+      val ek = lab.crossJoin(broadcast(ks))
+        .filter(col("ja") > col("k") && col("jb") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("ek"))
+      val nk = deg.crossJoin(broadcast(ks))
+        .filter(col("deg") > col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("nk"))
+      ks.join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+        .select(col("k"),
+          coalesce(col("nk"), lit(0L)).as("n_club"),
+          coalesce(col("ek"), lit(0L)).as("club_edges"),
+          round(when(coalesce(col("nk"), lit(0L)) > 1,
+            lit(2.0) * coalesce(col("ek"), lit(0L)).cast("double") /
+              (col("nk") * (col("nk") - 1)).cast("double")), 6).as("phi"))
+    }),
+
     "q211_kcore" -> ((s, dir) => {
       // k-core decomposition (k=4, 4 synchronous peel sweeps) of the
       // ≥2-shared-orders PART co-purchase graph (the supplier graph is
@@ -1514,6 +1613,20 @@ private[graft] object QueriesVector {
             .as("centroid_l2"))
     }),
   )
+
+  /** The ≥2-shared-orders part co-purchase edge list (pa < pb) — q211's
+    * construction, shared by the q450–q452 topology-audit tier. Basket-
+    * width-bounded pair stream (keyedPairs), never corpus².
+    */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    operators.Relational.keyedPairs(li, "l_orderkey", "l_partkey")
+      .groupBy(col("l_partkey_a").as("pa"), col("l_partkey_b").as("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("pa"), col("pb"))
+  }
 
   /** q183's metric tail — rank, DCG/IDCG on the 6-dp grid, MRR — over a
     * `top` table of (qid, vec_id, label, cos) shortlist rows. Shared
