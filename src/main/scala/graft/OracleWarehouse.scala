@@ -1540,6 +1540,126 @@ private[graft] object OracleWarehouse {
            CAST(min(dd) AS BIGINT) AS max_drawdown_cents
          FROM p GROUP BY 1""",
 
+    "q453_durbin_watson" ->
+      s"""WITH daily AS ($dailyRevenueSql),
+         t AS MATERIALIZED (SELECT nation, d, c,
+             CAST(row_number() OVER (PARTITION BY nation ORDER BY d)
+               AS BIGINT) AS t
+           FROM daily),
+         mom AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(t AS HUGEINT)) AS st,
+             sum(CAST(t AS HUGEINT) * t) AS stt,
+             sum(CAST(c AS HUGEINT)) AS sx,
+             sum(CAST(t AS HUGEINT) * c) AS stx
+           FROM t GROUP BY 1),
+         ab AS (SELECT nation, n,
+             (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b
+           FROM mom),
+         ab2 AS (SELECT ab.nation, ab.n, b,
+             (CAST(sx AS DOUBLE) - b * CAST(st AS DOUBLE))
+               / CAST(ab.n AS DOUBLE) AS a
+           FROM ab JOIN mom ON ab.nation = mom.nation),
+         fit AS (SELECT t.nation, t.t,
+             CAST(c AS DOUBLE) - (a + b * CAST(t.t AS DOUBLE)) AS e
+           FROM t JOIN ab2 ON t.nation = ab2.nation),
+         fl AS (SELECT nation, t, e,
+             lag(e) OVER (PARTITION BY nation ORDER BY t) AS eprev
+           FROM fit)
+         SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+           round(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(e * e ORDER BY t)), (p, q) -> p + q) > 0
+             THEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CASE WHEN eprev IS NULL THEN CAST(0.0 AS DOUBLE)
+                 ELSE (e - eprev) * (e - eprev) END ORDER BY t)),
+               (p, q) -> p + q)
+             / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(e * e ORDER BY t)), (p, q) -> p + q) END, 6) AS dw
+         FROM fl GROUP BY 1""",
+
+    "q454_runs_test" ->
+      s"""WITH daily AS ($dailyRevenueSql),
+         lagd AS (SELECT nation, d, c,
+             lag(c) OVER (PARTITION BY nation ORDER BY d) AS prev
+           FROM daily),
+         sgn AS (SELECT nation, d,
+             CASE WHEN c > prev THEN 1 ELSE -1 END AS sg
+           FROM lagd WHERE prev IS NOT NULL AND c <> prev),
+         sl AS (SELECT nation, sg,
+             lag(sg) OVER (PARTITION BY nation ORDER BY d) AS sprev
+           FROM sgn),
+         runs AS (SELECT nation,
+             CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+             CAST(sum(CASE WHEN sprev IS NULL OR sprev <> sg
+               THEN 1 ELSE 0 END) AS BIGINT) AS r
+           FROM sl GROUP BY 1)
+         SELECT nation, np, nm, r AS n_runs,
+           round(CASE WHEN np > 0 AND nm > 0 AND
+             CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+               * (CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE)
+                 * CAST(nm AS DOUBLE)
+                 - (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE)))
+               / ((CAST(np AS DOUBLE) + CAST(nm AS DOUBLE))
+                 * (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE))
+                 * (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE)
+                   - CAST(1.0 AS DOUBLE))) > 0
+             THEN (CAST(r AS DOUBLE)
+               - (CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE)
+                 * CAST(nm AS DOUBLE)
+                 / (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE))
+                 + CAST(1.0 AS DOUBLE)))
+               / sqrt(CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE)
+                 * CAST(nm AS DOUBLE)
+                 * (CAST(2.0 AS DOUBLE) * CAST(np AS DOUBLE)
+                   * CAST(nm AS DOUBLE)
+                   - (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE)))
+                 / ((CAST(np AS DOUBLE) + CAST(nm AS DOUBLE))
+                   * (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE))
+                   * (CAST(np AS DOUBLE) + CAST(nm AS DOUBLE)
+                     - CAST(1.0 AS DOUBLE)))) END, 6) AS z
+         FROM runs""",
+
+    "q455_ljung_box" -> {
+      val lagSel = (1 to 7).map(k =>
+        s"lag(e, $k) OVER (PARTITION BY nation ORDER BY t) AS e$k")
+        .mkString(",\n             ")
+      val folds = (1 to 7).map(k =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CASE WHEN e$k IS NULL THEN CAST(0.0 AS DOUBLE)
+               ELSE e * e$k END ORDER BY t)), (p, q) -> p + q) AS s$k""")
+        .mkString(",\n             ")
+      val qterms = (1 to 7).map(k =>
+        s"(s$k / s0) * (s$k / s0) / (CAST(n AS DOUBLE) - CAST($k.0 AS DOUBLE))")
+        .mkString(" + ")
+      s"""WITH daily AS ($dailyRevenueSql),
+         mean AS (SELECT nation,
+             CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+             CAST(count(*) AS BIGINT) AS n
+           FROM daily GROUP BY 1),
+         e0 AS (SELECT daily.nation, n,
+             CAST(row_number() OVER (PARTITION BY daily.nation ORDER BY d)
+               AS BIGINT) AS t,
+             CAST(c AS DOUBLE) - mu AS e
+           FROM daily JOIN mean ON daily.nation = mean.nation),
+         lagged AS (SELECT nation, n, t, e,
+             $lagSel
+           FROM e0),
+         sums AS (SELECT nation, max(n) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(e * e ORDER BY t)), (p, q) -> p + q) AS s0,
+             $folds
+           FROM lagged GROUP BY 1)
+         SELECT nation, n AS n_days,
+           round(CASE WHEN s0 > 0 THEN s1 / s0 END, 6) AS r1,
+           round(CASE WHEN n > 8 AND s0 > 0
+             THEN ($qterms) * CAST(n AS DOUBLE)
+               * (CAST(n AS DOUBLE) + CAST(2.0 AS DOUBLE)) END, 6) AS lb_q
+         FROM sums"""
+    },
+
     "q441_cusum_chart" ->
       s"""WITH daily AS ($dailyRevenueSql),
          t0 AS (SELECT nation, sum(c) // count(*) AS tt,

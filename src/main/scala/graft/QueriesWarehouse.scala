@@ -2487,6 +2487,114 @@ private[graft] object QueriesWarehouse {
     // init, DuckDB list_reduce's own convention) — O(days²) per nation,
     // CONSTANT at any corpus scale because the grid is the calendar.
 
+    // ── Serial-correlation diagnostics tier (q453–q455, round 10) ──────
+    // Per-nation tests over the same calendar-bounded daily grid; every
+    // residual/sum derives from exact integer moments, folded day-
+    // ordered — the no-libm, no-unpartitioned-window contract.
+
+    "q453_durbin_watson" -> ((s, dir) => {
+      // Durbin–Watson on the residuals of each nation's linear trend
+      // fit: slope/intercept from exact integer moments (t = day index,
+      // x = cents; Σtx in decimal(38,0)), residuals e_t as identical
+      // doubles, DW = Σ(e_t − e_{t−1})² / Σe_t² with both sums folded
+      // in day order.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val t = daily.withColumn("t", row_number().over(w).cast("long"))
+        .select(col("nation"), col("d"), col("t"), col("c"))
+        .localCheckpoint()
+      val s38 = "decimal(38,0)"
+      val mom = t.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("t").cast(s38)).as("st"),
+          sum((col("t") * col("t")).cast(s38)).as("stt"),
+          sum(col("c").cast(s38)).as("sx"),
+          sum((col("t").cast(s38) * col("c").cast(s38))).as("stx"))
+      def d(c: Column) = c.cast("double")
+      val slope = (d(col("n")) * d(col("stx")) - d(col("st")) * d(col("sx"))) /
+        (d(col("n")) * d(col("stt")) - d(col("st")) * d(col("st")))
+      val icept = (d(col("sx")) - slope * d(col("st"))) / d(col("n"))
+      val fit = t.join(mom.select(col("nation"), slope.as("b"), icept.as("a")),
+          Seq("nation"))
+        .withColumn("e", d(col("c")) - (col("a") + col("b") * d(col("t"))))
+        .withColumn("eprev", lag(col("e"), 1).over(w))
+      def fold(wc: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("t"), wc.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      fit.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"),
+          fold(col("e") * col("e"), "s").as("see"),
+          fold(when(col("eprev").isNotNull,
+            (col("e") - col("eprev")) * (col("e") - col("eprev")))
+            .otherwise(lit(0.0)), "q").as("sdd"))
+        .select(col("nation"), col("n_days"),
+          round(when(col("see") > 0, col("sdd") / col("see")), 6).as("dw"))
+    }),
+
+    "q454_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs test on the SIGN of daily revenue deltas
+      // (zero deltas dropped, the standard treatment): run count R and
+      // the n₊/n₋ tallies are exact integers; z = (R − μ)/σ with the
+      // closed-form moments — one sqrt, degenerate σ² ≤ 0 or an
+      // empty-sign arm ⇒ NULL by mirrored guard.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val sgn = daily.withColumn("prev", lag(col("c"), 1).over(w))
+        .filter(col("prev").isNotNull && col("c") =!= col("prev"))
+        .withColumn("sg", when(col("c") > col("prev"), 1L).otherwise(-1L))
+      val w2 = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val runs = sgn.withColumn("sprev", lag(col("sg"), 1).over(w2))
+        .groupBy(col("nation"))
+        .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("np"),
+          sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("nm"),
+          (sum(when(col("sprev").isNull ||
+            col("sprev") =!= col("sg"), 1L).otherwise(0L))).as("r"))
+      def d(c: Column) = c.cast("double")
+      val nn = d(col("np")) + d(col("nm"))
+      val mu = lit(2.0) * d(col("np")) * d(col("nm")) / nn + lit(1.0)
+      val v = lit(2.0) * d(col("np")) * d(col("nm")) *
+        (lit(2.0) * d(col("np")) * d(col("nm")) - nn) /
+        (nn * nn * (nn - lit(1.0)))
+      runs.select(col("nation"), col("np"), col("nm"), col("r").as("n_runs"),
+        round(when(col("np") > 0 && col("nm") > 0 && v > 0,
+          (d(col("r")) - mu) / sqrt(v)), 6).as("z"))
+    }),
+
+    "q455_ljung_box" -> ((s, dir) => {
+      // Ljung–Box Q at lags 1..7 on each nation's demeaned daily cents:
+      // r_k = Σ e_t·e_{t−k} / Σ e_t² with every sum folded day-ordered
+      // (e_t doubles from the exact mean Σx/n), Q = n(n+2)·Σ r_k²/(n−k).
+      // Nations with n ≤ 8 are NULL by mirrored guard.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val mean = daily.groupBy(col("nation"))
+        .agg((sum(col("c")).cast("double") /
+          count(lit(1)).cast("double")).as("mu"), count(lit(1)).as("n"))
+      val e = daily.join(mean, Seq("nation"))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("e", col("c").cast("double") - col("mu"))
+      val lagged = (1 to 7).foldLeft(e) { case (acc, k) =>
+        acc.withColumn(s"e$k", lag(col("e"), k).over(w))
+      }
+      def fold(wc: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("t"), wc.as(nm)))),
+          lit(0.0), (acc, x) => acc + x.getField(nm))
+      val aggCols = Seq(max(col("n")).as("n"),
+        fold(col("e") * col("e"), "s0").as("s0")) ++
+        (1 to 7).map(k => fold(when(col(s"e$k").isNotNull,
+          col("e") * col(s"e$k")).otherwise(lit(0.0)), s"c$k")
+          .as(s"s$k"))
+      val sums = lagged.groupBy(col("nation"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      def d(c: Column) = c.cast("double")
+      val q = (1 to 7).map { k =>
+        val rk = col(s"s$k") / col("s0")
+        rk * rk / (d(col("n")) - lit(k.toDouble))
+      }.reduce(_ + _) * d(col("n")) * (d(col("n")) + lit(2.0))
+      sums.select(col("nation"), col("n").as("n_days"),
+        round(when(col("s0") > 0, col("s1") / col("s0")), 6).as("r1"),
+        round(when(col("n") > 8 && col("s0") > 0, q), 6).as("lb_q"))
+    }),
+
     "q441_cusum_chart" -> ((s, dir) => {
       // Tabular CUSUM on daily revenue, ALL in exact BIGINT cents via
       // the drawdown identity (KernelProps' clamp-at-zero pin):
