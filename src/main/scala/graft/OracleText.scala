@@ -631,6 +631,35 @@ private[graft] object OracleText {
              - CAST(ccum AS DOUBLE) / CAST(nc AS DOUBLE))), 6) AS ks
          FROM scum JOIN ccum USING (x) CROSS JOIN ct
          GROUP BY source, ns""",
+    "q456_wasserstein_drift" ->
+      """WITH psv AS (SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+           FROM psv GROUP BY 1),
+         corpus AS (SELECT x, CAST(sum(c) AS BIGINT) AS cc
+           FROM psv GROUP BY 1),
+         ct AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corpus),
+         ccum AS (SELECT x,
+             CAST(sum(cc) OVER (ORDER BY x) AS BIGINT) AS ccum
+           FROM corpus),
+         nx AS (SELECT x, lead(x) OVER (ORDER BY x) AS nx FROM corpus),
+         grid AS (SELECT s.source, s.ns, v.x, coalesce(p.c, 0) AS c
+           FROM st s CROSS JOIN (SELECT x FROM corpus) v
+           LEFT JOIN psv p ON p.source = s.source AND p.x = v.x),
+         scum AS (SELECT source, ns, x,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+               AS scum
+           FROM grid),
+         terms AS (SELECT source, ns, scum.x,
+             abs(CAST(scum AS DOUBLE) / CAST(ns AS DOUBLE)
+               - CAST(ccum AS DOUBLE) / CAST(nc AS DOUBLE))
+               * CAST(coalesce(nx.nx, scum.x) - scum.x AS DOUBLE) AS t
+           FROM scum JOIN ccum USING (x) JOIN nx USING (x) CROSS JOIN ct)
+         SELECT source, ns AS n,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(t ORDER BY x)), (p, q) -> p + q), 4) AS w1_chars
+         FROM terms GROUP BY source, ns""",
+
     "q182_quantile_normalize" ->
       """WITH d AS (SELECT doc_id, source, n_chars AS x FROM documents),
          ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s

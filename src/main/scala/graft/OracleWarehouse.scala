@@ -1540,6 +1540,79 @@ private[graft] object OracleWarehouse {
            CAST(min(dd) AS BIGINT) AS max_drawdown_cents
          FROM p GROUP BY 1""",
 
+    "q457_stl_strength" ->
+      s"""WITH daily AS ($dailyRevenueSql),
+         base AS (SELECT nation, d, c, CAST(c AS DOUBLE) AS x,
+             (CAST(d AS DATE) - DATE '1970-01-01') % 7 AS wd
+           FROM daily),
+         mu AS (SELECT nation,
+             CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+           FROM base GROUP BY 1),
+         sw AS (SELECT nation, wd,
+             CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS wmu
+           FROM base GROUP BY 1, 2),
+         comp AS (SELECT base.nation, d, x,
+             CAST(count(*) OVER fr AS BIGINT) AS nw,
+             CAST(sum(c) OVER fr AS DOUBLE) / CAST(7.0 AS DOUBLE) AS tr,
+             wmu - mu AS sc
+           FROM base JOIN mu USING (nation) JOIN sw USING (nation, wd)
+           WINDOW fr AS (PARTITION BY base.nation ORDER BY d
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         ev AS (SELECT nation, x, tr, sc, x - tr - sc AS r,
+             CAST(row_number() OVER (PARTITION BY nation ORDER BY d)
+               AS BIGINT) AS t2
+           FROM comp WHERE nw = 7),
+         sums AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(r * r ORDER BY t2)), (p, q) -> p + q) AS rr,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(r ORDER BY t2)), (p, q) -> p + q) AS rs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((sc + r) * (sc + r) ORDER BY t2)), (p, q) -> p + q)
+               AS srr,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(sc + r ORDER BY t2)), (p, q) -> p + q) AS srs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((tr + r) * (tr + r) ORDER BY t2)), (p, q) -> p + q)
+               AS trr,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(tr + r ORDER BY t2)), (p, q) -> p + q) AS trs
+           FROM ev GROUP BY 1)
+         SELECT nation, n AS n_days,
+           round(CASE WHEN (srr - srs * srs / CAST(n AS DOUBLE))
+               / CAST(n AS DOUBLE) > 0
+             THEN greatest(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+               - ((rr - rs * rs / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               / ((srr - srs * srs / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE))) END, 6) AS f_seasonal,
+           round(CASE WHEN (trr - trs * trs / CAST(n AS DOUBLE))
+               / CAST(n AS DOUBLE) > 0
+             THEN greatest(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+               - ((rr - rs * rs / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+               / ((trr - trs * trs / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE))) END, 6) AS f_trend
+         FROM sums""",
+
+    "q458_hill_tail" ->
+      """WITH cents AS (SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM orders),
+         top AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC,
+             o_orderkey ASC) AS BIGINT) AS rk
+           FROM cents ORDER BY c DESC, o_orderkey ASC LIMIT 101),
+         xk AS (SELECT c AS ck FROM top WHERE rk = 101),
+         terms AS (SELECT rk,
+             round(ln(CAST(c AS DOUBLE) / CAST(ck AS DOUBLE)), 6) AS t, ck
+           FROM top CROSS JOIN xk WHERE rk <= 100)
+         SELECT CAST(count(*) AS BIGINT) AS k_exceedances, ck AS xk_cents,
+           round(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(t ORDER BY rk)), (p, q) -> p + q) > 0
+             THEN CAST(count(*) AS DOUBLE)
+               / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(t ORDER BY rk)), (p, q) -> p + q) END, 6)
+             AS hill_alpha
+         FROM terms GROUP BY ck""",
+
     "q453_durbin_watson" ->
       s"""WITH daily AS ($dailyRevenueSql),
          t AS MATERIALIZED (SELECT nation, d, c,

@@ -618,6 +618,53 @@ private[graft] object QueriesText {
         .select(col("source"), col("ns").as("n"), col("ks"))
     }),
 
+    "q456_wasserstein_drift" -> ((s, dir) => {
+      // Earth-mover drift per source: W₁(source, corpus) = ∫|F_s − F_c|dx
+      // over the n_chars distributions — the area version of q178's sup
+      // (KS says "how far apart at the worst point", W₁ says "how much
+      // mass must move"). Same bounded machinery as q178: the corpus
+      // collapses to the (source, value) count table first; the step
+      // widths come from a triangular next-value join on the DISTINCT-
+      // VALUE grid — value-DOMAIN-bounded (max document length), never
+      // corpus-sized, the boundedRankCum class with the bound documented
+      // here. |F_s − F_c|·Δx terms fold in value order.
+      val perSV = tbl(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("x"))
+        .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val srcTot = perSV.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val corpus = perSV.groupBy(col("x")).agg(sum(col("c")).as("cc"))
+        .localCheckpoint()
+      val corpTotal = corpus.agg(sum(col("cc")).as("nc"))
+      val corpCum = operators.ScalableWindow.bandedCumSum(corpus,
+        bandOn = "x", descending = false, tieBreakers = Nil,
+        sumCol = "cc", out = "ccum")
+      // next distinct value per grid row (triangular min-join; the last
+      // value gets no next and contributes zero width)
+      val nextX = corpus.as("a").join(corpus.as("b"),
+          col("b.x") > col("a.x"), "left")
+        .groupBy(col("a.x").as("x")).agg(min(col("b.x")).as("nx"))
+      val grid = srcTot.crossJoin(corpus.select(col("x")))
+        .join(perSV, Seq("source", "x"), "left")
+        .select(col("source"), col("ns"), col("x"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val srcCum = grid.withColumn("scum",
+        sum(col("c")).over(Window.partitionBy(col("source")).orderBy(col("x"))))
+      val terms = srcCum.join(corpCum.select(col("x"), col("ccum")), Seq("x"))
+        .join(nextX, Seq("x"))
+        .crossJoin(broadcast(corpTotal))
+        .select(col("source"), col("ns"), col("x"),
+          (abs(col("scum").cast("double") / col("ns").cast("double") -
+            col("ccum").cast("double") / col("nc").cast("double")) *
+            (coalesce(col("nx"), col("x")) - col("x")).cast("double"))
+            .as("t"))
+      terms.groupBy(col("source"), col("ns"))
+        .agg(round(aggregate(array_sort(collect_list(struct(col("x"),
+          col("t").as("t")))), lit(0.0), (acc, e) => acc + e.getField("t")),
+          4).as("w1_chars"))
+        .select(col("source"), col("ns").as("n"), col("w1_chars"))
+    }),
+
     "q182_quantile_normalize" -> ((s, dir) => {
       // Quantile normalization: every doc's n_chars is replaced by the
       // CORPUS value at the equivalent rank — the cross-source score

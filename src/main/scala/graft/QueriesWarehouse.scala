@@ -2487,6 +2487,89 @@ private[graft] object QueriesWarehouse {
     // init, DuckDB list_reduce's own convention) — O(days²) per nation,
     // CONSTANT at any corpus scale because the grid is the calendar.
 
+    "q457_stl_strength" -> ((s, dir) => {
+      // STL-style seasonal/trend strengths per nation on the daily
+      // grid: seasonal = weekday mean − nation mean (a closed-form
+      // seasonal component, no iterative loess), trend = centered 7-day
+      // MA (full frames only), remainder the rest; strengths
+      // F = max(0, 1 − Var(R)/Var(X+R)) for X ∈ {S, T} — every variance
+      // from day-ordered folds of identical doubles.
+      val daily = dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val wf = w.rowsBetween(-3, 3)
+      val base = daily
+        .withColumn("wd", pmod(datediff(col("d"), lit("1970-01-01")), lit(7)))
+        .withColumn("x", col("c").cast("double"))
+      val mu = base.groupBy(col("nation"))
+        .agg((sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+          .as("mu"))
+      val sw = base.groupBy(col("nation"), col("wd"))
+        .agg((sum(col("c")).cast("double") / count(lit(1)).cast("double"))
+          .as("wmu"))
+      val comp = base
+        .withColumn("nw", count(lit(1)).over(wf))
+        .withColumn("tr", sum(col("c")).over(wf).cast("double") / lit(7.0))
+        .join(broadcast(mu), Seq("nation"))
+        .join(broadcast(sw), Seq("nation", "wd"))
+        .filter(col("nw") === 7)
+        .withColumn("sc", col("wmu") - col("mu"))
+        .withColumn("r", col("x") - col("tr") - col("sc"))
+        .withColumn("t2", row_number().over(w).cast("long"))
+      def fold(wc: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("t2"), wc.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      def varOf(sq: Column, sm: Column, n: Column) =
+        (sq - sm * sm / n.cast("double")) / n.cast("double")
+      val sums = comp.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"),
+          fold(col("r") * col("r"), "a").as("rr"),
+          fold(col("r"), "b").as("rs"),
+          fold((col("sc") + col("r")) * (col("sc") + col("r")), "c2").as("srr"),
+          fold(col("sc") + col("r"), "d2").as("srs"),
+          fold((col("tr") + col("r")) * (col("tr") + col("r")), "e2").as("trr"),
+          fold(col("tr") + col("r"), "f2").as("trs"))
+      val vr = varOf(col("rr"), col("rs"), col("n"))
+      val vsr = varOf(col("srr"), col("srs"), col("n"))
+      val vtr = varOf(col("trr"), col("trs"), col("n"))
+      sums.select(col("nation"), col("n").as("n_days"),
+        round(when(vsr > 0, greatest(lit(0.0), lit(1.0) - vr / vsr)), 6)
+          .as("f_seasonal"),
+        round(when(vtr > 0, greatest(lit(0.0), lit(1.0) - vr / vtr)), 6)
+          .as("f_trend"))
+    }),
+
+    "q458_hill_tail" -> ((s, dir) => {
+      // Hill tail-index estimator on the global top-101 order totals:
+      // α̂ = (k−1) / Σ ln(xᵢ/x_k) over the 100 exceedances of the 101st
+      // largest — the EVT heaviness gauge behind VaR scaling. TopKPerKey
+      // bounds the order stream map-side BEFORE any rank; each ln term
+      // rounds to 6 dp (libm contract) and folds in rank order.
+      val cents = tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(dec) * 100).cast("long").as("c"))
+      val top = org.apache.spark.sql.graft.TopKPerKey(
+        cents.withColumn("g", lit(1)), Seq("g"),
+        Seq(("c", false), ("o_orderkey", true)), k = 101).drop("g")
+      val ranked = operators.ScalableWindow.boundedRankCum(
+        top, Seq(("c", false), ("o_orderkey", true)), "rk")
+        .localCheckpoint()
+      val xk = ranked.filter(col("rk") === 101)
+        .select(col("c").as("ck"))
+      val terms = ranked.filter(col("rk") <= 100).crossJoin(broadcast(xk))
+        .select(col("rk"),
+          round(log(col("c").cast("double") / col("ck").cast("double")), 6)
+            .as("t"), col("ck"))
+      terms.groupBy(col("ck"))
+        .agg(count(lit(1)).as("k_exceedances"),
+          aggregate(array_sort(collect_list(struct(col("rk"),
+            col("t").as("t")))), lit(0.0), (acc, e) => acc + e.getField("t"))
+            .as("sl"))
+        .select(col("k_exceedances"), col("ck").as("xk_cents"),
+          round(when(col("sl") > 0,
+            col("k_exceedances").cast("double") / col("sl")), 6)
+            .as("hill_alpha"))
+    }),
+
     // ── Serial-correlation diagnostics tier (q453–q455, round 10) ──────
     // Per-nation tests over the same calendar-bounded daily grid; every
     // residual/sum derives from exact integer moments, folded day-
