@@ -2832,6 +2832,53 @@ private[graft] object OracleStats {
     // q447: planes replayed by the SAME integer LCG as
     // Similarity.hyperplanes (the lshBucketCtes discipline); both
     // distance folds are position-ordered.
+    "q459_isotonic_calibration" ->
+      """WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997
+             THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS y97
+           FROM orders GROUP BY 1),
+         mx AS (SELECT CAST(max(cnt) AS BIGINT) AS mc,
+             quantile_cont(CAST(y97 AS DOUBLE), 0.5) AS md FROM per),
+         bins AS (SELECT least(9, cnt * 10 // mc) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN y97 > md THEN 1 ELSE 0 END) AS BIGINT)
+               AS npos
+           FROM per CROSS JOIN mx GROUP BY 1),
+         ivals AS (SELECT j.bin AS j, k.bin AS k,
+             CAST(sum(b.npos) AS DOUBLE) / CAST(sum(b.n) AS DOUBLE) AS r
+           FROM bins j JOIN bins k ON j.bin <= k.bin
+           JOIN bins b ON b.bin BETWEEN j.bin AND k.bin
+           GROUP BY 1, 2),
+         iso AS (SELECT bin, max(mi) AS iso FROM (
+             SELECT bins.bin, ivals.j, min(r) AS mi
+             FROM bins JOIN ivals
+               ON ivals.j <= bins.bin AND ivals.k >= bins.bin
+             GROUP BY 1, 2) GROUP BY 1)
+         SELECT bins.bin, n,
+           round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+           round(iso, 6) AS iso_accuracy
+         FROM bins JOIN iso ON bins.bin = iso.bin""",
+
+    "q460_conformal_naive" ->
+      s"""WITH daily AS (${OracleWarehouse.dailyRevenueSql}),
+         deltas AS (SELECT nation, t, abs(c - prev) AS ad FROM (
+             SELECT nation, c,
+               lag(c) OVER (PARTITION BY nation ORDER BY d) AS prev,
+               CAST(row_number() OVER (PARTITION BY nation ORDER BY d)
+                 AS BIGINT) AS t
+             FROM daily) WHERE prev IS NOT NULL),
+         qhat AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_cal,
+             quantile_cont(CAST(ad AS DOUBLE), 0.9) AS qh
+           FROM deltas WHERE t % 2 = 0 GROUP BY 1)
+         SELECT d.nation, n_cal, CAST(count(*) AS BIGINT) AS n_test,
+           round(qh, 4) AS q_hat_cents,
+           round(CAST(sum(CASE WHEN CAST(ad AS DOUBLE) <= qh
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS coverage
+         FROM deltas d JOIN qhat ON d.nation = qhat.nation
+         WHERE t % 2 = 1 GROUP BY 1, 2, qh""",
+
     "q447_jl_distortion" ->
       """WITH ev AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

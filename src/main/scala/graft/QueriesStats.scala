@@ -3627,6 +3627,76 @@ private[graft] object QueriesStats {
             lit(0.0), (acc, e) => acc + e.getField("s2")), 4).as("hhi"))
     }),
 
+    "q459_isotonic_calibration" -> ((s, dir) => {
+      // Isotonic (PAVA) calibration of the q448 reliability bins via the
+      // MINIMAX identity ŷᵢ = max_{j≤i} min_{k≥i} (Σnpos[j..k]/Σn[j..k])
+      // — the closed form of weighted isotonic regression, so the
+      // iterative pooling never appears in the truth path. The bin
+      // table is ≤10 rows; every interval mean is one division of exact
+      // integer sums (bit-equal cross-engine, no folds needed).
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        (col("o_totalprice").cast(dec) * 100).cast("long").as("cents"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("yr") === 1997, col("cents")).otherwise(0L)).as("y97"))
+      val mx = per.agg(max(col("cnt")).as("mc"),
+        expr("percentile(CAST(y97 AS DOUBLE), 0.5)").as("md"))
+      val bins = per.crossJoin(broadcast(mx))
+        .select(least(lit(9L), expr("cnt * 10 div mc")).as("bin"),
+          (col("y97") > col("md")).cast("long").as("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+        .localCheckpoint()
+      val j = bins.select(col("bin").as("j"))
+      val k = bins.select(col("bin").as("k"))
+      val ivals = j.crossJoin(k).filter(col("j") <= col("k"))
+        .join(bins, col("bin").between(col("j"), col("k")))
+        .groupBy(col("j"), col("k"))
+        .agg((sum(col("npos")).cast("double") /
+          sum(col("n")).cast("double")).as("r"))
+      val iso = bins.select(col("bin"))
+        .join(ivals, col("j") <= col("bin") && col("k") >= col("bin"))
+        .groupBy(col("bin"), col("j")).agg(min(col("r")).as("mi"))
+        .groupBy(col("bin")).agg(max(col("mi")).as("iso"))
+      bins.join(iso, Seq("bin"))
+        .select(col("bin"), col("n"),
+          round(col("npos").cast("double") / col("n").cast("double"), 6)
+            .as("accuracy"),
+          round(col("iso"), 6).as("iso_accuracy"))
+    }),
+
+    "q460_conformal_naive" -> ((s, dir) => {
+      // Split-conformal interval for the naive day-ahead forecast of
+      // daily revenue: calibration = even day-index rows, test = odd
+      // (a deterministic split), q̂ = the shared interpolated 90th
+      // percentile of calibration |Δ| (exact integer cents residuals),
+      // coverage = share of test days with |Δ| ≤ q̂ — an integer-vs-
+      // shared-double compare, the q367 VaR discipline.
+      val daily = QueriesWarehouse.dailyRevenue(s, dir)
+      val w = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val deltas = daily
+        .withColumn("prev", lag(col("c"), 1).over(w))
+        .withColumn("t", row_number().over(w).cast("long"))
+        .filter(col("prev").isNotNull)
+        .select(col("nation"), col("t"),
+          abs(col("c") - col("prev")).as("ad"))
+        .localCheckpoint()
+      val cal = deltas.filter(col("t") % 2 === 0)
+      val qhat = cal.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_cal"),
+          expr("percentile(CAST(ad AS DOUBLE), 0.9)").as("qh"))
+      deltas.filter(col("t") % 2 === 1).join(qhat, Seq("nation"))
+        .groupBy(col("nation"), col("n_cal"), col("qh"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("ad").cast("double") <= col("qh"), 1L)
+            .otherwise(0L)).as("n_in"))
+        .select(col("nation"), col("n_cal"), col("n_test"),
+          round(col("qh"), 4).as("q_hat_cents"),
+          round(col("n_in").cast("double") / col("n_test").cast("double"), 6)
+            .as("coverage"))
+    }),
+
     // ── Survival-analysis tier (q438–q440, round 10) ────────────────────
 
     "q438_kaplan_meier" -> ((s, dir) => {
