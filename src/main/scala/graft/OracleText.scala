@@ -631,6 +631,75 @@ private[graft] object OracleText {
              - CAST(ccum AS DOUBLE) / CAST(nc AS DOUBLE))), 6) AS ks
          FROM scum JOIN ccum USING (x) CROSS JOIN ct
          GROUP BY source, ns""",
+    "q461_heaps_fit" -> {
+      val folds = Seq("x" -> "sx", "y" -> "sy", "x * x" -> "sxx",
+        "x * y" -> "sxy", "y * y" -> "syy").map { case (e, nm) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list($e ORDER BY source)), (p, q) -> p + q) AS $nm"""
+      }.mkString(",\n             ")
+      s"""WITH per AS (SELECT source, CAST(sum(c) AS BIGINT) AS t,
+           CAST(count(*) AS BIGINT) AS v FROM (
+             SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT source, unnest(regexp_split_to_array(
+                 trim(lower(text)), '\\s+')) AS tok FROM documents)
+             WHERE length(tok) > 0 GROUP BY 1, 2) GROUP BY 1),
+         xy AS (SELECT source, round(ln(CAST(t AS DOUBLE)), 6) AS x,
+             round(ln(CAST(v AS DOUBLE)), 6) AS y FROM per),
+         sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             $folds
+           FROM xy)
+         SELECT CAST(n AS BIGINT) AS n_sources,
+           round(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+             + CAST(0.0 AS DOUBLE) AS heaps_beta,
+           round(CASE WHEN n * sxx - sx * sx > 0
+             THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             END, 6) AS ln_k,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+         FROM sums"""
+    },
+
+    "q462_contamination_matrix" ->
+      """WITH g AS MATERIALIZED (SELECT DISTINCT source, g FROM (
+           SELECT source, unnest(CASE WHEN len(w) >= 5
+               THEN list_transform(range(1, len(w) - 3),
+                 i -> array_to_string(w[i:i+4], ' '))
+               ELSE [] END) AS g
+           FROM (SELECT source, regexp_split_to_array(trim(lower(text)),
+             '\s+') AS w FROM documents))),
+         sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS ng
+           FROM g GROUP BY 1),
+         pairs AS (SELECT a.source AS sa, b.source AS sb,
+             CAST(count(*) AS BIGINT) AS shared
+           FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT sa, sb, shared, na.ng AS na, nb.ng AS nb,
+           round(CAST(shared AS DOUBLE)
+             / CAST(least(na.ng, nb.ng) AS DOUBLE), 6) AS containment
+         FROM pairs JOIN sizes na ON sa = na.source
+         JOIN sizes nb ON sb = nb.source""",
+
+    "q463_vocab_coverage" ->
+      """WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS tok FROM documents)
+           WHERE length(tok) > 0 GROUP BY 1),
+         cum AS (SELECT c,
+             CAST(sum(c) OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS cum
+           FROM tf),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS v FROM tf)
+         SELECT max(v) AS vocab_size, max(t) AS total_tokens,
+           CAST(sum(CASE WHEN cum * 100 < t * 50 THEN 1 ELSE 0 END) + 1
+             AS BIGINT) AS k50,
+           CAST(sum(CASE WHEN cum * 100 < t * 90 THEN 1 ELSE 0 END) + 1
+             AS BIGINT) AS k90,
+           CAST(sum(CASE WHEN cum * 100 < t * 99 THEN 1 ELSE 0 END) + 1
+             AS BIGINT) AS k99
+         FROM cum CROSS JOIN tot""",
+
     "q456_wasserstein_drift" ->
       """WITH psv AS (SELECT source, n_chars AS x, CAST(count(*) AS BIGINT) AS c
            FROM documents GROUP BY 1, 2),

@@ -618,6 +618,98 @@ private[graft] object QueriesText {
         .select(col("source"), col("ns").as("n"), col("ks"))
     }),
 
+    // ── Corpus-scaling-law tier (q461–q463, round 10) ───────────────────
+
+    "q461_heaps_fit" -> ((s, dir) => {
+      // Heaps'-law fit V = k·T^β: OLS of ln(distinct tokens) on
+      // ln(total tokens) across sources — the vocabulary-growth exponent
+      // a tokenizer-budget planner needs. One (source, token) collapse
+      // gives both axes; the ≤20-source point set folds source-ordered;
+      // ln on the 6-dp grid (libm contract).
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.Text.tokens(lower(col("text")))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val per = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+      val xy = per.select(col("source"),
+        round(log(col("t").cast("double")), 6).as("x"),
+        round(log(col("v").cast("double")), 6).as("y"))
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("source"), w.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      val sums = xy.agg(count(lit(1)).cast("double").as("n"),
+        fold(col("x"), "a").as("sx"), fold(col("y"), "b").as("sy"),
+        fold(col("x") * col("x"), "c").as("sxx"),
+        fold(col("x") * col("y"), "d").as("sxy"),
+        fold(col("y") * col("y"), "e").as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      sums.select(col("n").cast("long").as("n_sources"),
+        // + 0.0 AFTER the round canonicalizes IEEE -0.0 (a ~1e-14
+        // covariance rounds to a signed zero whose sign bit differs
+        // across engines) without touching any nonzero value
+        (round(when(vx > 0, cov / vx), 6) + lit(0.0)).as("heaps_beta"),
+        round(when(vx > 0,
+          (col("sy") - cov / vx * col("sx")) / col("n")), 6).as("ln_k"),
+        round(when(vx > 0 && vy > 0, cov * cov / (vx * vy)), 6).as("r2"))
+    }),
+
+    "q462_contamination_matrix" -> ((s, dir) => {
+      // Cross-source contamination matrix: shared distinct 5-gram mass
+      // between every source pair — the decontamination audit run
+      // between train/eval splits before training. Grams collapse to
+      // DISTINCT (source, gram) first; pairs come only from the shared-
+      // gram equi-join (Σ_g df(g)² with df ≤ #sources — never doc²);
+      // containment = shared/min(|A|,|B|) is one division of exact
+      // integers.
+      val grams = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.Text.wordShingles(
+            graft.functions.Text.tokens(lower(col("text"))), 5)).as("g"))
+        .select(col("source"), col("g")).distinct()
+        .localCheckpoint()
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("ng"))
+      val pairs = grams.as("a").join(grams.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sizes.select(col("source").as("sa"), col("ng").as("na")), Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("ng").as("nb")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("shared"), col("na"), col("nb"),
+          round(col("shared").cast("double") /
+            least(col("na"), col("nb")).cast("double"), 6).as("containment"))
+    }),
+
+    "q463_vocab_coverage" -> ((s, dir) => {
+      // Vocabulary coverage points: the smallest head size k whose
+      // frequency-ranked token mass reaches 50/90/99% of the corpus —
+      // the vocab-size planning curve. Entirely exact integers: the
+      // cumulative rides one bandedCumSum over (freq desc, tok asc) and
+      // each threshold is an integer cross-multiply (cum·100 < p·total
+      // counts the head strictly BEFORE the threshold, +1 lands on it).
+      val tf = tbl(s, dir, "documents")
+        .select(explode(graft.functions.Text.tokens(lower(col("text"))))
+          .as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val cum = operators.ScalableWindow.bandedCumSum(tf, "c",
+        descending = true, Seq("tok"), "c", "cum")
+      val tot = tf.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("v")).as("vocab_size"), max(col("t")).as("total_tokens"),
+          (sum(when(col("cum") * 100 < col("t") * 50, 1L).otherwise(0L)) +
+            lit(1L)).as("k50"),
+          (sum(when(col("cum") * 100 < col("t") * 90, 1L).otherwise(0L)) +
+            lit(1L)).as("k90"),
+          (sum(when(col("cum") * 100 < col("t") * 99, 1L).otherwise(0L)) +
+            lit(1L)).as("k99"))
+    }),
+
     "q456_wasserstein_drift" -> ((s, dir) => {
       // Earth-mover drift per source: W₁(source, corpus) = ∫|F_s − F_c|dx
       // over the n_chars distributions — the area version of q178's sup
