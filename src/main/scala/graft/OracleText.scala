@@ -631,6 +631,29 @@ private[graft] object OracleText {
              - CAST(ccum AS DOUBLE) / CAST(nc AS DOUBLE))), 6) AS ks
          FROM scum JOIN ccum USING (x) CROSS JOIN ct
          GROUP BY source, ns""",
+    "q464_good_turing" ->
+      """WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT unnest(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               ELSE [] END) AS tok
+           FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+             AS w FROM documents))
+           GROUP BY 1),
+         nr AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+           FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+           FROM tf),
+         nxt AS (SELECT r - 1 AS r, n_r AS n_r1 FROM nr)
+         SELECT nr.r, nr.n_r,
+           round(CASE WHEN n_r1 IS NOT NULL
+             THEN CAST(nr.r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)
+               / CAST(nr.n_r AS DOUBLE) END, 6) AS r_star,
+           round(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS missing_mass
+         FROM nr LEFT JOIN nxt ON nr.r = nxt.r CROSS JOIN tot
+         WHERE nr.r <= 5""",
+
     "q461_heaps_fit" -> {
       val folds = Seq("x" -> "sx", "y" -> "sy", "x * x" -> "sxx",
         "x * y" -> "sxy", "y * y" -> "syy").map { case (e, nm) =>

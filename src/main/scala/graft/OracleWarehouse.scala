@@ -1540,6 +1540,29 @@ private[graft] object OracleWarehouse {
            CAST(min(dd) AS BIGINT) AS max_drawdown_cents
          FROM p GROUP BY 1""",
 
+    "q465_newsvendor" ->
+      s"""WITH daily AS ($dailyRevenueSql),
+         st AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+             quantile_cont(CAST(c AS DOUBLE), 0.75) AS sstar
+           FROM daily GROUP BY 1),
+         t AS (SELECT daily.nation, n_days, sstar,
+             CAST(sum(CASE WHEN CAST(c AS DOUBLE) > sstar THEN c ELSE 0 END)
+               AS BIGINT) AS ss,
+             CAST(sum(CASE WHEN CAST(c AS DOUBLE) > sstar THEN 1 ELSE 0 END)
+               AS BIGINT) AS ns,
+             CAST(sum(CASE WHEN CAST(c AS DOUBLE) < sstar THEN c ELSE 0 END)
+               AS BIGINT) AS so,
+             CAST(sum(CASE WHEN CAST(c AS DOUBLE) < sstar THEN 1 ELSE 0 END)
+               AS BIGINT) AS no
+           FROM daily JOIN st ON daily.nation = st.nation
+           GROUP BY 1, 2, 3)
+         SELECT nation, n_days, round(sstar, 4) AS s_star_cents,
+           round((CAST(ss AS DOUBLE) - CAST(ns AS DOUBLE) * sstar)
+             / CAST(n_days AS DOUBLE), 4) AS exp_shortage,
+           round((CAST(no AS DOUBLE) * sstar - CAST(so AS DOUBLE))
+             / CAST(n_days AS DOUBLE), 4) AS exp_overage
+         FROM t""",
+
     "q457_stl_strength" ->
       s"""WITH daily AS ($dailyRevenueSql),
          base AS (SELECT nation, d, c, CAST(c AS DOUBLE) AS x,

@@ -620,6 +620,34 @@ private[graft] object QueriesText {
 
     // ── Corpus-scaling-law tier (q461–q463, round 10) ───────────────────
 
+    "q464_good_turing" -> ((s, dir) => {
+      // Good–Turing frequency smoothing over trigram-shingle counts
+      // (the corpus's long-tail unit — its raw token vocabulary is a
+      // closed 31-word set with no rare mass): the count-of-counts
+      // table N_r, the adjusted counts r* = (r+1)·N_{r+1}/N_r for
+      // r ≤ 5, and the missing mass N₁/N — the unseen-event
+      // probability a language model must reserve. Everything is
+      // integer counts and single divisions; the count-of-counts table
+      // is tiny at any corpus size.
+      val tf = tbl(s, dir, "documents")
+        .select(explode(graft.plans.TextKernels.wordShinglesNative(
+          lower(col("text")), 3)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val nr = tf.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+        .localCheckpoint()
+      val tot = tf.agg(sum(col("c")).as("n"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"))
+      val nxt = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+      nr.filter(col("r") <= 5).join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          round(when(col("n_r1").isNotNull,
+            (col("r") + 1).cast("double") * col("n_r1").cast("double") /
+              col("n_r").cast("double")), 6).as("r_star"),
+          round(col("n1").cast("double") / col("n").cast("double"), 6)
+            .as("missing_mass"))
+    }),
+
     "q461_heaps_fit" -> ((s, dir) => {
       // Heaps'-law fit V = k·T^β: OLS of ln(distinct tokens) on
       // ln(total tokens) across sources — the vocabulary-growth exponent

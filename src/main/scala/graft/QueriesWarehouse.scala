@@ -2487,6 +2487,38 @@ private[graft] object QueriesWarehouse {
     // init, DuckDB list_reduce's own convention) — O(days²) per nation,
     // CONSTANT at any corpus scale because the grid is the calendar.
 
+    "q465_newsvendor" -> ((s, dir) => {
+      // Newsvendor stocking audit per nation: the critical-fractile
+      // stock s* = the shared interpolated 75th percentile of daily
+      // demand (cents), expected shortage E[(D−s*)⁺] and overage
+      // E[(s*−D)⁺] as exact integer tail sums against the shared double
+      // threshold (the q367 VaR compare discipline), each divided once
+      // by the day count.
+      // the tails stay EXACT integers (Σc and counts); the threshold
+      // enters once per tail as count·s* — a plain double sum of
+      // (c − s*) terms would be summation-order-dependent
+      val daily = dailyRevenue(s, dir)
+      val st = daily.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("percentile(CAST(c AS DOUBLE), 0.75)").as("sstar"))
+      def d(c: Column) = c.cast("double")
+      daily.join(st, Seq("nation"))
+        .groupBy(col("nation"), col("n_days"), col("sstar"))
+        .agg(
+          sum(when(d(col("c")) > col("sstar"), col("c")).otherwise(0L))
+            .as("ss"),
+          sum(when(d(col("c")) > col("sstar"), 1L).otherwise(0L)).as("ns"),
+          sum(when(d(col("c")) < col("sstar"), col("c")).otherwise(0L))
+            .as("so"),
+          sum(when(d(col("c")) < col("sstar"), 1L).otherwise(0L)).as("no"))
+        .select(col("nation"), col("n_days"),
+          round(col("sstar"), 4).as("s_star_cents"),
+          round((d(col("ss")) - d(col("ns")) * col("sstar")) /
+            d(col("n_days")), 4).as("exp_shortage"),
+          round((d(col("no")) * col("sstar") - d(col("so"))) /
+            d(col("n_days")), 4).as("exp_overage"))
+    }),
+
     "q457_stl_strength" -> ((s, dir) => {
       // STL-style seasonal/trend strengths per nation on the daily
       // grid: seasonal = weekday mean − nation mean (a closed-form
