@@ -410,19 +410,46 @@ private[graft] object OracleHelpers {
        JOIN pairs p2 ON p2.id_a = p1.id_b
        JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b"""
 
-  /** Near-dup clusters: undirected reachability over the pair graph, then
-    * component = min reachable id (matches min-label propagation).
+  /** Min-label connected components over an in-scope SYMMETRIZED
+    * `edges(a, b)` CTE (define it AS MATERIALIZED — every round reads
+    * it), produced as `cc(vertex, component)`. Generated unrolled
+    * min-label sweeps with one pointer-jump hop per round (the
+    * OracleSpatial DBSCAN generator's scheme, node-sized state per
+    * round) replace the recursive transitive closure whose component²
+    * row count was the r10 sf1 sweep's grinder on every near-dup
+    * clustering oracle. One EXTRA round feeds a convergence check that
+    * poisons every component id when labels are still moving — an
+    * under-provisioned unroll is a loud compare-red, never a silent
+    * wrong fixpoint.
+    */
+  def minLabelCcCtes(rounds: Int = 48): String = {
+    val roundCtes = (1 to rounds + 1).map { i =>
+      s"""ml$i AS MATERIALIZED (SELECT v, min(l) AS l FROM (
+           SELECT t.v, p2.l FROM ml${i - 1} t JOIN ml${i - 1} p2 ON p2.v = t.l
+           UNION ALL SELECT edges.b AS v, t.l FROM ml${i - 1} t
+             JOIN edges ON edges.a = t.v
+           UNION ALL SELECT v, l FROM ml${i - 1}) GROUP BY v)"""
+    }.mkString(",\n       ")
+    s"""ml0 AS MATERIALIZED (SELECT a AS v, least(a, min(b)) AS l
+         FROM edges GROUP BY a),
+       $roundCtes,
+       mlchk AS (SELECT count(*) AS nch FROM ml$rounds x
+         JOIN ml${rounds + 1} y ON x.v = y.v AND x.l <> y.l),
+       cc AS (SELECT v AS vertex,
+           CASE WHEN nch > 0 THEN -999999999 ELSE l END AS component
+         FROM ml$rounds CROSS JOIN mlchk)"""
+  }
+
+  /** Near-dup clusters: min-label components over the pair graph
+    * (component = min id in the component, matching the engine's
+    * propagation).
     */
   val neardupComponentsSql: String =
-    s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
-       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+    s"""WITH ${bucketedPairCtes(4, 0.3)},
+       edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                  UNION SELECT id_b, id_a FROM pairs),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-       SELECT a AS vec_id, least(a, min(b)) AS component
-       FROM reach GROUP BY a"""
+       ${minLabelCcCtes()}
+       SELECT vertex AS vec_id, component FROM cc"""
 
   // def, not val: qualitySql/langIdSql are declared later in the object
   // and a val here would capture null at initialization order.
@@ -664,15 +691,10 @@ private[graft] object OracleHelpers {
     * survivor argmax as the same min-of-struct idiom the engine uses.
     */
   def dedupSurvivorsSql: String =
-    s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
-       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+    s"""WITH ${bucketedPairCtes(4, 0.3)},
+       edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                  UNION SELECT id_b, id_a FROM pairs),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       cc AS (SELECT a AS vertex, least(a, min(b)) AS component
-              FROM reach GROUP BY a),
+       ${minLabelCcCtes()},
        qual AS ($qualitySql),
        j AS (SELECT cc.component, cc.vertex AS doc_id, q.quality_score AS q
              FROM cc JOIN qual q ON q.doc_id = cc.vertex),
@@ -758,14 +780,9 @@ private[graft] object OracleHelpers {
     */
   def dedupKeepCtes: String =
     s"""${bucketedPairCtes(4, 0.3)},
-       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                  UNION SELECT id_b, id_a FROM pairs),
-       reach(a, b) AS (
-         SELECT a, b FROM edges
-         UNION
-         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-       cc AS (SELECT a AS vertex, least(a, min(b)) AS component
-              FROM reach GROUP BY a),
+       ${minLabelCcCtes()},
        qual AS ($qualitySql),
        j AS (SELECT cc.component, cc.vertex AS doc_id, q.quality_score AS q
              FROM cc JOIN qual q ON q.doc_id = cc.vertex),
@@ -774,7 +791,7 @@ private[graft] object OracleHelpers {
        surv AS (SELECT struct_extract(ms, 'id') AS sid FROM m)"""
 
   def dedupApplySql: String =
-    s"""WITH RECURSIVE $dedupKeepCtes
+    s"""WITH $dedupKeepCtes
        SELECT d.doc_id,
          CASE WHEN cc.vertex IS NULL THEN 'unique' ELSE 'survivor' END AS status
        FROM documents d

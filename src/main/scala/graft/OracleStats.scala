@@ -477,7 +477,7 @@ private[graft] object OracleStats {
          FROM r CROSS JOIN lo""",
 
     "q288_er_survivorship" ->
-      """WITH RECURSIVE dn AS (SELECT p_name, min(p_partkey) AS k,
+      s"""WITH dn AS (SELECT p_name, min(p_partkey) AS k,
              CAST(count(*) AS BIGINT) AS n,
              max(CAST(p_retailprice AS DECIMAL(18,2))) AS mx
            FROM part GROUP BY 1),
@@ -486,16 +486,11 @@ private[graft] object OracleStats {
          pr AS (SELECT a.k AS key_a, b.k AS key_b
            FROM t a JOIN t b ON a.blk = b.blk AND a.k < b.k
            WHERE levenshtein(a.p_name, b.p_name) <= 3),
-         edges AS (SELECT key_a AS a, key_b AS b FROM pr
+         edges AS MATERIALIZED (SELECT key_a AS a, key_b AS b FROM pr
                    UNION SELECT key_b, key_a FROM pr),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         comp AS (SELECT a AS k, least(a, min(b)) AS component
-           FROM reach GROUP BY a),
+         ${OracleHelpers.minLabelCcCtes()},
          lab AS (SELECT coalesce(component, t.k) AS cluster, p_name, n, mx
-           FROM t LEFT JOIN comp ON t.k = comp.k)
+           FROM t LEFT JOIN cc ON t.k = cc.vertex)
          SELECT cluster, CAST(count(*) AS BIGINT) AS n_names,
            CAST(sum(n) AS BIGINT) AS n_rows,
            min(p_name) AS canonical_name,

@@ -439,15 +439,10 @@ private[graft] object OracleText {
            round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac
          FROM ag""",
     "q152_cluster_sizes" ->
-      s"""WITH RECURSIVE ${bucketedPairCtes(4, 0.3)},
-         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      s"""WITH ${bucketedPairCtes(4, 0.3)},
+         edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
                    UNION SELECT id_b, id_a FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         cc AS (SELECT a AS vertex, least(a, min(b)) AS component
-                FROM reach GROUP BY a),
+         ${minLabelCcCtes()},
          cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
                 FROM cc GROUP BY component)
          SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
