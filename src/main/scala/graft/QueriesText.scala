@@ -1612,7 +1612,11 @@ private[graft] object QueriesText {
           aggregate(array_sort(collect_list(struct(col("pos"), col("lt")))),
             lit(0.0), (a, x) => a + x.getField("lt")).as("lr"))
         .select(col("doc_id"), col("n_tokens"),
-          round(col("lr"), 4).as("log_ratio"), (col("lr") > 0).as("keep"))
+          // + 0.0 AFTER the round: a ~1e-13 fold residue rounds to a
+          // signed zero whose sign bit differs across engines (found by
+          // the r10 sf1 sweep — the q461 lesson recurring at scale)
+          (round(col("lr"), 4) + lit(0.0)).as("log_ratio"),
+          (col("lr") > 0).as("keep"))
     }),
 
     "q134_mix_temperature" -> ((s, dir) => {
