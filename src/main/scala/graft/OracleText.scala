@@ -335,7 +335,7 @@ private[graft] object OracleText {
              list_sum(list(lt ORDER BY pos)) AS lr
            FROM pos JOIN lt USING (term) GROUP BY doc_id)
          SELECT doc_id, n_tokens,
-           round(lr, 4) + CAST(0.0 AS DOUBLE) AS log_ratio,
+           round(lr, 6) + CAST(0.0 AS DOUBLE) AS log_ratio,
            lr > 0 AS keep FROM sc""",
     "q134_mix_temperature" ->
       """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens

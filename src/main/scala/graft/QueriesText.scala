@@ -1612,10 +1612,12 @@ private[graft] object QueriesText {
           aggregate(array_sort(collect_list(struct(col("pos"), col("lt")))),
             lit(0.0), (a, x) => a + x.getField("lt")).as("lr"))
         .select(col("doc_id"), col("n_tokens"),
-          // + 0.0 AFTER the round: a ~1e-13 fold residue rounds to a
-          // signed zero whose sign bit differs across engines (found by
-          // the r10 sf1 sweep — the q461 lesson recurring at scale)
-          (round(col("lr"), 4) + lit(0.0)).as("log_ratio"),
+          // 6 dp, not 4: lr is a sum of 6-dp terms, so it can land
+          // EXACTLY on a 4-dp half boundary (0.154850 — hit by the r10
+          // sf1 sweep) where the engines' rounding algorithms diverge;
+          // on the 6-dp grid the sum sits ~5e-7 from every boundary.
+          // + 0.0 canonicalizes the signed zero (the q461 lesson).
+          (round(col("lr"), 6) + lit(0.0)).as("log_ratio"),
           (col("lr") > 0).as("keep"))
     }),
 

@@ -115,7 +115,10 @@ object CorpusMonitors {
         aggregate(array_sort(collect_list(struct(col("pos"), col("lt")))),
           lit(0.0), (a, x) => a + x.getField("lt")).as("lr"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("lr"), 4).as("log_ratio"), (col("lr") > 0).as("keep"))
+        // 6 dp + signed-zero canonicalization — q133's sf1-sweep fixes,
+        // mirrored so the stream == batch pin keeps holding
+        (round(col("lr"), 6) + lit(0.0)).as("log_ratio"),
+        (col("lr") > 0).as("keep"))
   }
 
   /** Static tokenizer vocabulary: top-`k` terms of the reference corpus by
