@@ -542,7 +542,7 @@ private[graft] object OracleWarehouse {
            JOIN nation n ON c.c_nationkey = n.n_nationkey
            JOIN part p ON l.l_partkey = p.p_partkey
            GROUP BY 1, 2)
-         SELECT nation, brand, round(CAST(rev AS DOUBLE), 2) AS revenue
+         SELECT nation, brand, CAST(rev AS DOUBLE) AS revenue
          FROM (SELECT nation, brand, rev,
              row_number() OVER (PARTITION BY nation
                ORDER BY rev DESC, brand) AS rn

@@ -662,7 +662,12 @@ private[graft] object QueriesWarehouse {
       org.apache.spark.sql.graft.TopKPerKey(rolled,
           Seq("nation"), Seq(("rev", false), ("brand", true)), k = 3)
         .select(col("nation"), col("brand"),
-          round(col("rev").cast("double"), 2).as("revenue"))
+          // the exact DECIMAL converts to one IEEE double in both
+          // engines; rounding it to 2 dp put scale-4 values like
+          // .685 EXACTLY on the half boundary, where the engines'
+          // rounding algorithms diverge (the r10 sf1 sweep's third
+          // find — q133's boundary lesson on the money surface)
+          col("rev").cast("double").as("revenue"))
     }),
 
     "q202_fk_audit" -> ((s, dir) => {
