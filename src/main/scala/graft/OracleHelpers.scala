@@ -565,7 +565,7 @@ private[graft] object OracleHelpers {
            round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
              (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS comp
          FROM tf t JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
-       SELECT doc_id, round(list_sum(list(comp ORDER BY term)), 4) AS bm25
+       SELECT doc_id, list_sum(list(comp ORDER BY term)) AS bm25
        FROM comp GROUP BY doc_id
        ORDER BY bm25 DESC, doc_id LIMIT 10"""
 
@@ -585,7 +585,7 @@ private[graft] object OracleHelpers {
        sc AS (SELECT doc_id, count(*) AS n_tokens,
            list_sum(list(lp ORDER BY pos)) AS nll
          FROM pos JOIN lp USING (term) GROUP BY doc_id)
-       SELECT doc_id, n_tokens, round(nll / n_tokens, 4) AS avg_neg_logp,
+       SELECT doc_id, n_tokens, nll / n_tokens AS avg_neg_logp,
          nll / n_tokens <= 3.45 AS keep
        FROM sc"""
 
@@ -635,7 +635,7 @@ private[graft] object OracleHelpers {
          CROSS JOIN ct)
        SELECT source, count(*) AS n_terms,
          CAST(max(stot) AS BIGINT) AS n_tokens,
-         round(list_sum(list(kc ORDER BY term)), 4) AS kl_vs_corpus
+         list_sum(list(kc ORDER BY term)) AS kl_vs_corpus
        FROM comp GROUP BY source"""
 
   /** q128 oracle: top-10 vocabulary by (count desc, term), coverage as a

@@ -502,6 +502,10 @@ private[graft] object OraclePdcm {
 
   def map: Map[String, String] = Map(
     "q120_search_index_e2e" -> (siCtes + "\n         " + q120Select),
+    // q466 is the FRESH-rebuild face of the same search_index contract
+    // (q120 probes the memoized entities; q466 re-runs the DAG) — the
+    // oracle is therefore literally q120's.
+    "q466_registry_rebuild" -> (siCtes + "\n         " + q120Select),
     "q295_search_index_flags" -> (siCtes + "\n         " + q295Select),
     "q53_nodes" ->
       """SELECT 'customer' AS node_type, c_custkey AS node_id,

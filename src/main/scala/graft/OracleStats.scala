@@ -49,10 +49,10 @@ private[graft] object OracleStats {
                (acc, x) -> round(acc + x, 12)) AS mapesum
            FROM hold)
          SELECT h AS n_holdout,
-           round(mapesum / CAST(h AS DOUBLE), 6) AS mape,
-           round(smsum / CAST(h AS DOUBLE), 6) AS smape,
-           round((CAST(sae AS DOUBLE) / CAST(h AS DOUBLE))
-             / (CAST(inae AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS mase
+           mapesum / CAST(h AS DOUBLE) AS mape,
+           smsum / CAST(h AS DOUBLE) AS smape,
+           (CAST(sae AS DOUBLE) / CAST(h AS DOUBLE))
+             / (CAST(inae AS DOUBLE) / CAST(m AS DOUBLE)) AS mase
          FROM h CROSS JOIN ins""",
 
     "q276_theil_sen" ->
@@ -366,16 +366,12 @@ private[graft] object OracleStats {
              CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) AS r
            FROM weeks WHERE nd = 7),
          ctr AS (SELECT
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(xbar ORDER BY wk)), (acc, x) -> round(acc + x, 6))
-               / CAST(count(*) AS DOUBLE) AS cl,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(r ORDER BY wk)), (acc, x) -> round(acc + x, 6))
-               / CAST(count(*) AS DOUBLE) AS rbar
-           FROM ws)
-         SELECT wk, round(xbar, 2) AS xbar, round(cl, 2) AS center,
-           round(cl + 0.419 * rbar, 2) AS ucl,
-           round(cl - 0.419 * rbar, 2) AS lcl,
+             CAST(sum(sx) AS DOUBLE) / 7.0 / CAST(count(*) AS DOUBLE) AS cl,
+             CAST(sum(mx - mn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rbar
+           FROM weeks WHERE nd = 7)
+         SELECT wk, xbar, cl AS center,
+           cl + 0.419 * rbar AS ucl,
+           cl - 0.419 * rbar AS lcl,
            (xbar > cl + 0.419 * rbar OR xbar < cl - 0.419 * rbar)
              AS out_of_control
          FROM ws CROSS JOIN ctr""",
@@ -944,8 +940,8 @@ private[graft] object OracleStats {
              12) AS kterm
          FROM g a JOIN g b ON a.term = b.term AND a.source <> b.source)
          SELECT source_a, source_b,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(kterm ORDER BY term)), (a, e) -> round(a + e, 12)), 6) AS kl
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(kterm ORDER BY term)), (a, e) -> round(a + e, 12)) AS kl
          FROM pair GROUP BY 1, 2""",
 
     "q311_mann_kendall" ->
@@ -1376,8 +1372,8 @@ private[graft] object OracleStats {
                / (CAST(n AS DOUBLE) / 7.0), 9) AS t
            FROM cells CROSS JOIN tot)
          SELECT n AS n_obs, CAST(6 AS BIGINT) AS df,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(t ORDER BY w)), (a, e) -> round(a + e, 9)), 6) AS chi2
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(t ORDER BY w)), (a, e) -> round(a + e, 9)) AS chi2
          FROM t GROUP BY 1""",
 
     "q325_effect_size" ->
@@ -1493,10 +1489,10 @@ private[graft] object OracleStats {
            FROM g)
          SELECT nn AS n_days, t AS split_t,
            strftime(day, '%Y-%m-%d') AS split_day,
-           round(gain, 4) AS gain,
-           round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 4) AS mean_before,
-           round((CAST(ss AS DOUBLE) - CAST(cum AS DOUBLE))
-             / (CAST(nn AS DOUBLE) - CAST(t AS DOUBLE)), 4) AS mean_after
+           gain,
+           CAST(cum AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before,
+           (CAST(ss AS DOUBLE) - CAST(cum AS DOUBLE))
+             / (CAST(nn AS DOUBLE) - CAST(t AS DOUBLE)) AS mean_after
          FROM g JOIN b ON g.t = -b.negt""",
 
     "q334_weibull_fit" ->
@@ -1725,8 +1721,8 @@ private[graft] object OracleStats {
                AS term
            FROM pairs p JOIN marg m USING (cur) CROSS JOIN tot)
          SELECT CAST(count(DISTINCT cur) AS BIGINT) AS n_states,
-           round(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(term ORDER BY cur, nxt)), (a, e) -> round(a + e, 12)), 6)
+           -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(term ORDER BY cur, nxt)), (a, e) -> round(a + e, 12))
              AS entropy_rate_nats
          FROM terms""",
 
@@ -1906,9 +1902,9 @@ private[graft] object OracleStats {
                ORDER BY y)),
              (a, e) -> round(a + e, 12)) AS hy
            FROM cy CROSS JOIN tot)
-         SELECT round(hxy, 6) AS h_joint,
-           round(hxy - hy, 6) AS h_x_given_y,
-           round(hx + hy - hxy, 6) AS mutual_info
+         SELECT hxy AS h_joint,
+           hxy - hy AS h_x_given_y,
+           hx + hy - hxy AS mutual_info
          FROM hxy CROSS JOIN hx CROSS JOIN hy""",
 
     "q352_turning_points" ->
@@ -2056,7 +2052,7 @@ private[graft] object OracleStats {
              list_sum(list(p2 ORDER BY nk, prio)) AS chi2
            FROM parts GROUP BY 1, 2, 3)
          SELECT n, r AS r_levels, cc AS c_levels,
-           round(chi2, 4) AS chi2,
+           chi2,
            round(sqrt(chi2 / (CAST(n AS DOUBLE)
              * CAST(least(r - 1, cc - 1) AS DOUBLE))), 6) AS cramers_v
          FROM s""",
@@ -2086,7 +2082,7 @@ private[graft] object OracleStats {
              max(p) AS bp
            FROM terms GROUP BY 1, 2)
          SELECT n_name AS nation, tot AS n_items, s_brands,
-           round(h, 4) AS shannon_h,
+           h AS shannon_h,
            round(1.0 - sp2, 6) AS gini_simpson,
            round(bp, 6) AS berger_parker,
            round(h / ln(CAST(s_brands AS DOUBLE)), 6) AS pielou_j
@@ -2580,8 +2576,8 @@ private[graft] object OracleStats {
              12) AS jterm
          FROM g a JOIN g b ON a.term = b.term AND a.source < b.source)
          SELECT source_a, source_b,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(jterm ORDER BY term)), (a, e) -> round(a + e, 12)), 6)
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(jterm ORDER BY term)), (a, e) -> round(a + e, 12))
              AS jsd
          FROM pair GROUP BY 1, 2"""
     },
@@ -2972,12 +2968,13 @@ private[graft] object OracleStats {
            FROM xy)
          SELECT CAST(n AS BIGINT) AS n_terms,
            round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-             AS zipf_slope,
+             + CAST(0.0 AS DOUBLE) AS zipf_slope,
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-             6) AS intercept,
+             6) + CAST(0.0 AS DOUBLE) AS intercept,
            round(CASE WHEN n * syy - sy * sy > 0
              THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
-               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+             + CAST(0.0 AS DOUBLE) AS r2
          FROM sums"""
     },
 

@@ -543,7 +543,7 @@ private[graft] object OracleText {
            FROM big b JOIN cs c USING (prev)
            JOIN uni u ON u.term = b.cur CROSS JOIN tu t)
          SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(list_sum(list(l.lp ORDER BY p.pos)) / count(*), 4)
+           list_sum(list(l.lp ORDER BY p.pos)) / count(*)
              AS avg_neg_logp
          FROM pos p JOIN lp l ON p.prev = l.prev AND p.cur = l.cur
          GROUP BY p.doc_id""",
@@ -674,10 +674,11 @@ private[graft] object OracleText {
              + CAST(0.0 AS DOUBLE) AS heaps_beta,
            round(CASE WHEN n * sxx - sx * sx > 0
              THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-             END, 6) AS ln_k,
+             END, 6) + CAST(0.0 AS DOUBLE) AS ln_k,
            round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
              THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
-               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+             + CAST(0.0 AS DOUBLE) AS r2
          FROM sums"""
     },
 
@@ -746,7 +747,8 @@ private[graft] object OracleText {
            FROM scum JOIN ccum USING (x) JOIN nx USING (x) CROSS JOIN ct)
          SELECT source, ns AS n,
            round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(t ORDER BY x)), (p, q) -> p + q), 4) AS w1_chars
+             list(t ORDER BY x)), (p, q) -> p + q), 4)
+             + CAST(0.0 AS DOUBLE) AS w1_chars
          FROM terms GROUP BY source, ns""",
 
     "q182_quantile_normalize" ->
@@ -797,7 +799,7 @@ private[graft] object OracleText {
              / CAST(n * sx AS DOUBLE), 6) AS gini
          FROM g""",
     "q155_dedup_impact" ->
-      s"""WITH RECURSIVE $dedupKeepCtes,
+      s"""WITH $dedupKeepCtes,
          toks AS (SELECT doc_id, source,
              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                AS n_tok
@@ -1369,7 +1371,7 @@ private[graft] object OracleText {
            LEFT JOIN tf ON tf.term = trm.term AND tf.source = tok.source
            CROSS JOIN tot)
          SELECT term, ct AS n_occurrences,
-           round(list_sum(list(d ORDER BY source)) / 2.0, 6) AS dp
+           list_sum(list(d ORDER BY source)) / 2.0 AS dp
          FROM d GROUP BY 1, 2""",
 
     "q414_v_measure" ->
@@ -1437,7 +1439,7 @@ private[graft] object OracleText {
            FROM pairs p LEFT JOIN co
              ON co.source = p.source AND co.ri = p.ri AND co.rj = p.rj)
          SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
-           round(list_sum(list(t ORDER BY ri, rj)), 6) AS coherence
+           list_sum(list(t ORDER BY ri, rj)) AS coherence
          FROM sc GROUP BY 1""",
 
     "q421_ess_token_weights" ->

@@ -906,7 +906,7 @@ private[graft] object OracleVector {
              list_sum(list(b ORDER BY label)) AS bcss
            FROM wj JOIN bj USING (label))
          SELECT n AS n_vecs, k AS n_clusters,
-           round(bcss, 4) AS bcss, round(wcss, 4) AS wcss,
+           bcss, wcss,
            round((bcss / CAST(k - 1 AS DOUBLE))
              / (wcss / CAST(n - k AS DOUBLE)), 4) AS ch_index
          FROM sums CROSS JOIN tot""",

@@ -128,7 +128,13 @@ private[graft] object OracleWarehouse {
            (0, 1103515245, 12345), (1, 1229782938, 1013904223),
            (2, 1103581, 7919), (3, 48271, 11)),
          counters AS (
-           SELECT p.i, ((p.a * e.user_id + p.b) % 2147483647) % 64 AS bucket,
+           -- Reduce the key mod the Mersenne prime BEFORE the multiply
+           -- (mirrors CountMinCore.bucket): a_max * (p-1) < 2^62, so the
+           -- product never overflows INT64 even for sf1+ shifted keys
+           -- (raw a * user_id blew past INT64 at user_id ~ 8e9).
+           SELECT p.i,
+                  ((p.a * (e.user_id % 2147483647) + p.b) % 2147483647) % 64
+                    AS bucket,
                   count(*) AS c
            FROM events e CROSS JOIN params p GROUP BY 1, 2),
          keys AS (SELECT range AS user_id FROM range(0, 10)),
@@ -136,7 +142,9 @@ private[graft] object OracleWarehouse {
            SELECT k.user_id, min(coalesce(c.c, 0)) AS cm_est
            FROM keys k CROSS JOIN params p
            LEFT JOIN counters c
-             ON c.i = p.i AND c.bucket = ((p.a * k.user_id + p.b) % 2147483647) % 64
+             ON c.i = p.i
+            AND c.bucket =
+              ((p.a * (k.user_id % 2147483647) + p.b) % 2147483647) % 64
            GROUP BY 1),
          truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY 1)
          SELECT e.user_id, CAST(coalesce(t.true_cnt, 0) AS BIGINT) AS true_cnt,
@@ -1836,7 +1844,11 @@ private[graft] object OracleWarehouse {
          , w AS (SELECT nation, c,
              count(*) OVER fr AS nw,
              CAST(sum(c) OVER fr AS DOUBLE) / 7.0 AS mean,
-             sqrt((CAST(sum(c * c) OVER fr AS DOUBLE)
+             -- HUGEINT square (mirrors the Spark side's DECIMAL(19,0)
+             -- square): c ~ 3.4e9 at sf1, so c*c overflows INT64; the
+             -- 7-term HUGEINT sum is exact and converts to double once.
+             sqrt((CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                 OVER fr AS DOUBLE)
                - CAST(sum(c) OVER fr AS DOUBLE)
                  * CAST(sum(c) OVER fr AS DOUBLE) / 7.0) / 6.0) AS sd
            FROM daily
@@ -1931,8 +1943,7 @@ private[graft] object OracleWarehouse {
                AS term
            FROM chan JOIN cum c1 ON (c1.sset & bit) = 0
            JOIN cum c2 ON c2.sset = c1.sset + bit CROSS JOIN nu)
-         SELECT channel, round(list_sum(list(term ORDER BY sset)), 6)
-           AS shapley
+         SELECT channel, list_sum(list(term ORDER BY sset)) AS shapley
          FROM terms GROUP BY 1"""
     },
 
@@ -1952,7 +1963,7 @@ private[graft] object OracleWarehouse {
                AS hsum
            FROM r GROUP BY 1)
          SELECT nation, n_days, n_records,
-           round(hsum, 4) AS expected_records,
+           hsum AS expected_records,
            round(CAST(n_records AS DOUBLE) / hsum, 4) AS record_ratio
          FROM recs JOIN harm USING (nation)""",
 
@@ -2306,11 +2317,11 @@ private[graft] object OracleWarehouse {
            FROM nb JOIN br USING (p_brand) CROSS JOIN tot)
          SELECT nation, CAST(sum(e0) AS BIGINT) AS e0_cents,
            CAST(sum(e1) AS BIGINT) AS e1_cents,
-           round(list_sum(list(tn ORDER BY p_brand)) / 100.0, 2)
+           list_sum(list(tn ORDER BY p_brand)) / 100.0
              AS national_effect,
-           round(list_sum(list(tm ORDER BY p_brand)) / 100.0, 2)
+           list_sum(list(tm ORDER BY p_brand)) / 100.0
              AS mix_effect,
-           round(list_sum(list(tc ORDER BY p_brand)) / 100.0, 2)
+           list_sum(list(tc ORDER BY p_brand)) / 100.0
              AS competitive_effect
          FROM terms GROUP BY 1""",
 

@@ -29,21 +29,83 @@ private[graft] object QueriesPdcm {
   private val registryMemo = scala.collection.concurrent.TrieMap
     .empty[(Int, String, String), Map[String, DataFrame]]
 
+  /** One fresh registry run to `targets` — the e2e DAG replay, timed on
+    * its own by q466 (the rebuild face). Everything else goes through
+    * the memo below.
+    */
+  /** The SQL-replayable scalar projection of search_index — q120's
+    * contract, shared verbatim by the q466 rebuild face. Arrays are
+    * joined to strings for the comparator; xxhash64 surrogate ids and
+    * to_json-built columns are excluded (DuckDB can reproduce neither
+    * byte-for-byte). Null (no protocol rows) stays distinct from ''
+    * (protocols present, none harmonised).
+    */
+  private def searchIndexProjection(si: DataFrame): DataFrame =
+    si.select(
+      col("external_model_id"), col("data_source"),
+      col("patient_id"), col("patient_sex"), col("patient_history"),
+      col("patient_ethnicity"),
+      col("patient_age_at_initial_diagnosis"),
+      col("patient_age_category"), col("patient_age"),
+      col("patient_sample_id"), col("primary_site"), col("collection_site"),
+      col("tumour_type"), col("cancer_stage"), col("cancer_grade"),
+      col("histology"),
+      array_join(col("search_terms"), "|").as("search_terms"),
+      col("cancer_system"),
+      array_join(col("dataset_available"), "|").as("dataset_available"),
+      col("data_score"), col("metadata_score"),
+      col("provider_name"), col("project_name"),
+      col("license_name"), col("license_url"),
+      col("model_type"), col("model_availability"), col("date_submitted"),
+      array_join(col("model_treatments"), "|").as("model_treatments"),
+      array_join(col("model_treatments_responses"), "|")
+        .as("model_treatments_responses"),
+      array_join(col("patient_treatments"), "|").as("patient_treatments"),
+      array_join(col("patient_treatments_responses"), "|")
+        .as("patient_treatments_responses"),
+      array_join(col("custom_treatment_type_list"), "|")
+        .as("custom_treatment_type_list"))
+
+  private def runRegistryFresh(s: SparkSession, work: String,
+      targets: Seq[String]): Map[String, DataFrame] = {
+    graft.examples.PdcmFull.stageExampleProviders(work)
+    new graft.pipeline.PipelineRunner(
+      s, graft.pdcm.PdcmEntities.registry(),
+      graft.pdcm.PdcmEntities.sources(s, work)).run(targets)
+  }
+
   private def runRegistry(s: SparkSession, work: String,
       targets: Seq[String]): Map[String, DataFrame] =
     registryMemo.getOrElseUpdate((System.identityHashCode(s), work,
       targets.mkString(",")), {
-      graft.examples.PdcmFull.stageExampleProviders(work)
-      // Persist the TARGETS too (fixture-sized): a deployed registry
-      // serves search_index as a materialized table, so the probe
-      // should time the read, not the DAG replay.
-      new graft.pipeline.PipelineRunner(
-        s, graft.pdcm.PdcmEntities.registry(),
-        graft.pdcm.PdcmEntities.sources(s, work)).run(targets)
-        .map { case (k, df) => k -> df.persist() }
+      // localCheckpoint, not persist (r10 verdict item 5): persist()
+      // caches the DATA but keeps the whole entity-DAG LINEAGE on the
+      // DataFrame, so every probe re-pays Catalyst analysis/optimization
+      // of the full composed tree (~12 s of q295's bench row was DAG
+      // depth, not data). localCheckpoint truncates the plan to the
+      // materialized rows — a deployed registry serves search_index as
+      // a materialized table, so the probe times the READ + view layer,
+      // which is what the bench measures everywhere else. The e2e
+      // rebuild cost stays measured, in its own q466 face.
+      runRegistryFresh(s, work, targets)
+        .map { case (k, df) => k -> df.localCheckpoint() }
     })
 
   def map: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q466_registry_rebuild" -> ((s, _) => {
+      // The e2e entity-DAG rebuild face (r10 verdict item 5's second
+      // half): the SAME search_index contract as q120, but through a
+      // FRESH PipelineRunner run every call — no memo, no checkpoint —
+      // so the bench row times the full TSV/YAML/OBO parse + entity DAG
+      // replay itself. q120/q295 time the probe over prepared entities
+      // (the recurring production cost); this face keeps the rebuild
+      // cost measured instead of hidden. Oracle: identical to q120's
+      // (same contract, same staged fixture).
+      val work = "/root/repo/target/q120_fixtures"
+      searchIndexProjection(
+        runRegistryFresh(s, work, Seq("search_index"))("search_index"))
+    }),
 
     "q120_search_index_e2e" -> ((s, _) => {
       // The composed entity DAG end-to-end under the oracle hash — the
@@ -59,36 +121,8 @@ private[graft] object QueriesPdcm {
       // diagnosis-mapping join, the recursive ontology ancestor
       // closure, display renames, scoring — from the SAME staged files.
       val work = "/root/repo/target/q120_fixtures"
-      val si = runRegistry(s, work, Seq("search_index"))("search_index")
-      si.select(
-        col("external_model_id"), col("data_source"),
-        col("patient_id"), col("patient_sex"), col("patient_history"),
-        col("patient_ethnicity"),
-        col("patient_age_at_initial_diagnosis"),
-        col("patient_age_category"), col("patient_age"),
-        col("patient_sample_id"), col("primary_site"), col("collection_site"),
-        col("tumour_type"), col("cancer_stage"), col("cancer_grade"),
-        col("histology"),
-        array_join(col("search_terms"), "|").as("search_terms"),
-        col("cancer_system"),
-        array_join(col("dataset_available"), "|").as("dataset_available"),
-        col("data_score"), col("metadata_score"),
-        col("provider_name"), col("project_name"),
-        col("license_name"), col("license_url"),
-        col("model_type"), col("model_availability"), col("date_submitted"),
-        // Treatment chain (protocol split -> ontology harmonisation ->
-        // regimen expansion/discovery -> per-model aggregation): the
-        // deepest transform path in the registry, arrays joined for the
-        // comparator. Null (no protocol rows for the model) stays
-        // distinct from '' (protocols present, none harmonised).
-        array_join(col("model_treatments"), "|").as("model_treatments"),
-        array_join(col("model_treatments_responses"), "|")
-          .as("model_treatments_responses"),
-        array_join(col("patient_treatments"), "|").as("patient_treatments"),
-        array_join(col("patient_treatments_responses"), "|")
-          .as("patient_treatments_responses"),
-        array_join(col("custom_treatment_type_list"), "|")
-          .as("custom_treatment_type_list"))
+      searchIndexProjection(
+        runRegistry(s, work, Seq("search_index"))("search_index"))
     }),
 
     "q295_search_index_flags" -> ((s, _) => {

@@ -54,12 +54,16 @@ private[graft] object QueriesStats {
           lit(0.0), (acc, e) => round(acc + e.getField("r"), 12)).as("mapesum"))
       val ins = insample.agg(count(lit(1)).as("m"),
         sum(abs(col("actual") - col("pred"))).as("inae"))
+      // Unrounded outputs (roundlint r11): the folds are bit-identical
+      // ordered op sequences on both engines and /count is exact IEEE,
+      // so the final round was the ONLY cross-engine divergence surface
+      // (a 12-dp grid sum can land exactly on a 6-dp half boundary).
       h.crossJoin(broadcast(ins))
         .select(col("h").as("n_holdout"),
-          round(col("mapesum") / d(col("h")), 6).as("mape"),
-          round(col("smsum") / d(col("h")), 6).as("smape"),
-          round((d(col("sae")) / d(col("h")))
-            / (d(col("inae")) / d(col("m"))), 6).as("mase"))
+          (col("mapesum") / d(col("h"))).as("mape"),
+          (col("smsum") / d(col("h"))).as("smape"),
+          ((d(col("sae")) / d(col("h")))
+            / (d(col("inae")) / d(col("m")))).as("mase"))
     }),
 
     "q276_theil_sen" -> ((s, dir) => {
@@ -483,18 +487,24 @@ private[graft] object QueriesStats {
       val weekStats = weeks.select(col("wk"), xbar.as("xbar"),
         (d(col("mx")) - d(col("mn"))).as("r"))
         .localCheckpoint()
-      val centers = weekStats.agg(count(lit(1)).as("k"),
-        aggregate(array_sort(collect_list(struct(col("wk"), col("xbar").as("v")))),
-          lit(0.0), (acc, e) => round(acc + e.getField("v"), 6)).as("sxb"),
-        aggregate(array_sort(collect_list(struct(col("wk"), col("r").as("v")))),
-          lit(0.0), (acc, e) => round(acc + e.getField("v"), 6)).as("sr"))
-        .select((col("sxb") / col("k").cast("double")).as("cl"),
-          (col("sr") / col("k").cast("double")).as("rbar"))
+      // Centers from EXACT integer sums, one double division each
+      // (roundlint r11): the first cut folded the per-week DOUBLES with
+      // 6-dp step rounds, but at cents magnitude ~1e8 the step round is
+      // itself boundary-fragile (ulp ≈ 3e-8 within 5e-7 of the grid) —
+      // the sf0.01 gate caught the two engines' folds apart in the last
+      // ulp. Σsx and Σ(mx−mn) are exact BIGINTs; cl = Σsx/7/k and
+      // rbar = Σr/k are then single deterministic IEEE ops, so every
+      // output is bit-identical UNROUNDED at any corpus magnitude.
+      val centers = weeks.agg(count(lit(1)).as("k"),
+        sum(col("sx")).as("ssx"),
+        sum(col("mx") - col("mn")).as("srx"))
+        .select((d(col("ssx")) / lit(7.0) / d(col("k"))).as("cl"),
+          (d(col("srx")) / d(col("k"))).as("rbar"))
       weekStats.crossJoin(broadcast(centers))
-        .select(col("wk"), round(col("xbar"), 2).as("xbar"),
-          round(col("cl"), 2).as("center"),
-          round(col("cl") + lit(0.419) * col("rbar"), 2).as("ucl"),
-          round(col("cl") - lit(0.419) * col("rbar"), 2).as("lcl"),
+        .select(col("wk"), col("xbar"),
+          col("cl").as("center"),
+          (col("cl") + lit(0.419) * col("rbar")).as("ucl"),
+          (col("cl") - lit(0.419) * col("rbar")).as("lcl"),
           (col("xbar") > col("cl") + lit(0.419) * col("rbar") ||
             col("xbar") < col("cl") - lit(0.419) * col("rbar"))
             .as("out_of_control"))
@@ -1219,7 +1229,10 @@ private[graft] object QueriesStats {
       pair.groupBy(col("source_a"), col("source_b"))
         .agg(aggregate(array_sort(collect_list(struct(col("term"), col("kterm")))),
           lit(0.0), (a, e) => round(a + e.getField("kterm"), 12)).as("kl"))
-        .select(col("source_a"), col("source_b"), round(col("kl"), 6).as("kl"))
+        // unrounded (roundlint r11): a 12-dp fold sum rounded to 6 dp is
+        // the boundary-landing anti-pattern; the fold is bit-identical
+        // both engines, so the exact double needs no guard
+        .select(col("source_a"), col("source_b"), col("kl"))
     }),
 
     "q311_mann_kendall" -> ((s, dir) => {
@@ -1723,8 +1736,9 @@ private[graft] object QueriesStats {
         .groupBy(col("n"))
         .agg(aggregate(array_sort(collect_list(struct(col("w"), col("t")))),
           lit(0.0), (a, e) => round(a + e.getField("t"), 9)).as("chi2"))
-        .select(col("n").as("n_obs"), lit(6L).as("df"),
-          round(col("chi2"), 6).as("chi2"))
+        // unrounded chi2 (roundlint r11): 9-dp fold sum on a 6-dp output
+        // grid is the boundary class; the fold is bit-identical
+        .select(col("n").as("n_obs"), lit(6L).as("df"), col("chi2"))
     }),
 
     "q325_effect_size" -> ((s, dir) => {
@@ -1852,13 +1866,17 @@ private[graft] object QueriesStats {
       val best = gains
         .agg(max(struct(col("gain"), (-col("t")).as("negt"))).as("b"))
         .select((-col("b.negt")).as("t"))
+      // No rounding on the outputs: gain/means are pure IEEE op chains
+      // over exact integers (identical both engines), but their
+      // magnitudes (~1.5e10) put the double ULP (~4e-6) ON the 4-dp
+      // grid — the sf1 sweep caught mean_after landing one half-step
+      // apart across engines. Emit the exact doubles (q201 recipe).
       gains.join(broadcast(best), Seq("t"))
         .select(col("nn").as("n_days"), col("t").as("split_t"),
           date_format(col("day"), "yyyy-MM-dd").as("split_day"),
-          round(col("gain"), 4).as("gain"),
-          round(d("cum") / d("t"), 4).as("mean_before"),
-          round((d("ss") - d("cum")) / (d("nn") - d("t")), 4)
-            .as("mean_after"))
+          col("gain"),
+          (d("cum") / d("t")).as("mean_before"),
+          ((d("ss") - d("cum")) / (d("nn") - d("t"))).as("mean_after"))
     }),
 
     "q334_weibull_fit" -> ((s, dir) => {
@@ -2080,8 +2098,8 @@ private[graft] object QueriesStats {
           aggregate(array_sort(collect_list(struct(col("cur"), col("nxt"),
             col("term")))), lit(0.0),
             (a, e) => round(a + e.getField("term"), 12)).as("hsum"))
-        .select(col("n_states"), round(-col("hsum"), 6)
-          .as("entropy_rate_nats"))
+        // unrounded (roundlint r11): 12-dp fold sum, boundary class
+        .select(col("n_states"), (-col("hsum")).as("entropy_rate_nats"))
     }),
 
     "q341_cochran_armitage" -> ((s, dir) => {
@@ -2278,10 +2296,12 @@ private[graft] object QueriesStats {
         Seq(col("x")), "hx")
       val hy = hFold(cells.groupBy(col("y")).agg(sum(col("n")).as("n")),
         Seq(col("y")), "hy")
+      // unrounded (roundlint r11): 12-dp fold sums (and their exact
+      // IEEE differences) on a 6-dp output grid — boundary class
       hxy.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
-        .select(round(col("hxy"), 6).as("h_joint"),
-          round(col("hxy") - col("hy"), 6).as("h_x_given_y"),
-          round(col("hx") + col("hy") - col("hxy"), 6).as("mutual_info"))
+        .select(col("hxy").as("h_joint"),
+          (col("hxy") - col("hy")).as("h_x_given_y"),
+          (col("hx") + col("hy") - col("hxy")).as("mutual_info"))
     }),
 
     "q352_turning_points" -> ((s, dir) => {
@@ -2530,7 +2550,11 @@ private[graft] object QueriesStats {
         .agg(aggregate(array_sort(collect_list(struct(col("nk"), col("prio"),
           col("p2")))), lit(0.0), (acc, x) => acc + x.getField("p2")).as("chi2"))
         .select(col("n"), col("r").as("r_levels"), col("cc").as("c_levels"),
-          round(col("chi2"), 4).as("chi2"),
+          // unrounded chi2 (roundlint r11): 6-dp term fold rounded to
+          // 4 dp was the highest-probability boundary shape (1e-2 per
+          // value); cramers_v keeps its round — sqrt of a ratio is off
+          // any grid (boundary landing has measure ~0)
+          col("chi2"),
           round(sqrt(col("chi2") / (col("n").cast("double")
             * least(col("r") - 1, col("cc") - 1).cast("double"))), 6)
             .as("cramers_v"))
@@ -2568,7 +2592,9 @@ private[graft] object QueriesStats {
             lit(0.0), (a, e) => a + e.getField("p2")).as("sp2"),
           max(col("p")).as("bp"))
         .select(col("n_name").as("nation"), col("tot").as("n_items"),
-          col("s_brands"), round(col("h"), 4).as("shannon_h"),
+          // shannon_h unrounded (roundlint r11): fold of 6-dp hterm
+          // values rounded to 4 dp — the q133 boundary shape exactly
+          col("s_brands"), col("h").as("shannon_h"),
           round(lit(1.0) - col("sp2"), 6).as("gini_simpson"),
           round(col("bp"), 6).as("berger_parker"),
           round(col("h") / log(col("s_brands").cast("double")), 6).as("pielou_j"))
@@ -3115,7 +3141,8 @@ private[graft] object QueriesStats {
       pair.groupBy(col("source_a"), col("source_b"))
         .agg(aggregate(array_sort(collect_list(struct(col("term"), col("jterm")))),
           lit(0.0), (a, e) => round(a + e.getField("jterm"), 12)).as("jsd"))
-        .select(col("source_a"), col("source_b"), round(col("jsd"), 6).as("jsd"))
+        // unrounded (roundlint r11): 12-dp fold sum, boundary class
+        .select(col("source_a"), col("source_b"), col("jsd"))
     }),
 
     "q420_pacf" -> ((s, dir) => {
@@ -3553,10 +3580,11 @@ private[graft] object QueriesStats {
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val vy = col("n") * col("syy") - col("sy") * col("sy")
       sums.select(col("n").cast("long").as("n_terms"),
-        round(cov / vx, 6).as("zipf_slope"),
-        round((col("sy") - cov / vx * col("sx")) / col("n"), 6)
+        // roundZ: rounded fold-sum outputs canonicalize −0.0 (q461 class)
+        roundZ(cov / vx, 6).as("zipf_slope"),
+        roundZ((col("sy") - cov / vx * col("sx")) / col("n"), 6)
           .as("intercept"),
-        round(when(vy > 0, cov * cov / (vx * vy)), 6).as("r2"))
+        roundZ(when(vy > 0, cov * cov / (vx * vy)), 6).as("r2"))
     }),
 
     "q445_benford" -> ((s, dir) => {

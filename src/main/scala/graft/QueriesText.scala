@@ -455,8 +455,11 @@ private[graft] object QueriesText {
         .agg(count(lit(1)).as("n_bigrams"),
           aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
             lit(0.0), (a, x) => a + x.getField("lp")).as("nll"))
+        // unrounded (roundlint r11): Σ(6-dp lp)/count lands on 4-dp half
+        // boundaries with P ≈ 1e-2/count per doc — the q133 class; the
+        // fold and the integer division are bit-identical both engines
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("nll") / col("n_bigrams"), 4).as("avg_neg_logp"))
+          (col("nll") / col("n_bigrams")).as("avg_neg_logp"))
     }),
 
     "q170_feature_hashing" -> ((s, dir) => {
@@ -677,13 +680,13 @@ private[graft] object QueriesText {
       val vx = col("n") * col("sxx") - col("sx") * col("sx")
       val vy = col("n") * col("syy") - col("sy") * col("sy")
       sums.select(col("n").cast("long").as("n_sources"),
-        // + 0.0 AFTER the round canonicalizes IEEE -0.0 (a ~1e-14
-        // covariance rounds to a signed zero whose sign bit differs
-        // across engines) without touching any nonzero value
-        (round(when(vx > 0, cov / vx), 6) + lit(0.0)).as("heaps_beta"),
-        round(when(vx > 0,
+        // roundZ canonicalizes the signed zero a ~1e-14 fold residue can
+        // round to (the sf1 sweep find) — applied to ALL THREE rounded
+        // fold outputs, not just the one the sweep happened to hit
+        roundZ(when(vx > 0, cov / vx), 6).as("heaps_beta"),
+        roundZ(when(vx > 0,
           (col("sy") - cov / vx * col("sx")) / col("n")), 6).as("ln_k"),
-        round(when(vx > 0 && vy > 0, cov * cov / (vx * vy)), 6).as("r2"))
+        roundZ(when(vx > 0 && vy > 0, cov * cov / (vx * vy)), 6).as("r2"))
     }),
 
     "q462_contamination_matrix" -> ((s, dir) => {
@@ -779,7 +782,10 @@ private[graft] object QueriesText {
             (coalesce(col("nx"), col("x")) - col("x")).cast("double"))
             .as("t"))
       terms.groupBy(col("source"), col("ns"))
-        .agg(round(aggregate(array_sort(collect_list(struct(col("x"),
+        // roundZ: uniform −0.0 canonicalization on rounded fold sums
+        // (here the terms are |·|≥0 so −0.0 can't arise, but the class
+        // rule is one helper everywhere, not per-site reasoning)
+        .agg(roundZ(aggregate(array_sort(collect_list(struct(col("x"),
           col("t").as("t")))), lit(0.0), (acc, e) => acc + e.getField("t")),
           4).as("w1_chars"))
         .select(col("source"), col("ns").as("n"), col("w1_chars"))
@@ -1159,7 +1165,10 @@ private[graft] object QueriesText {
         .groupBy(col("doc_id"))
         .agg(aggregate(array_sort(collect_list(col("tc"))), lit(0.0),
           (acc, x) => acc + x.getField("comp")).as("sc"))
-        .select(col("doc_id"), round(col("sc"), 4).as("bm25"))
+        // unrounded (roundlint r11): the 6-dp-term fold sum rounded to
+        // 4 dp is the boundary class; unrounded scores also make the
+        // top-10 cut deterministic (fewer ties at rank 10)
+        .select(col("doc_id"), col("sc").as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10)
     }),
@@ -1189,8 +1198,10 @@ private[graft] object QueriesText {
         .agg(count(lit(1)).as("n_tokens"),
           aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
             lit(0.0), (a, x) => a + x.getField("lp")).as("nll"))
+        // unrounded (roundlint r11): same boundary class as q167; the
+        // keep flag already compared the unrounded ratio
         .select(col("doc_id"), col("n_tokens"),
-          round(col("nll") / col("n_tokens"), 4).as("avg_neg_logp"),
+          (col("nll") / col("n_tokens")).as("avg_neg_logp"),
           (col("nll") / col("n_tokens") <= lit(3.45)).as("keep"))
     }),
 
@@ -1440,8 +1451,10 @@ private[graft] object QueriesText {
         .agg(count(lit(1)).as("n_terms"), max(col("stot")).as("n_tokens"),
           aggregate(array_sort(collect_list(col("tc"))), lit(0.0),
             (a, x) => a + x.getField("kc")).as("kl"))
+        // unrounded (roundlint r11): 6-dp term fold on a 4-dp output
+        // grid — boundary class; the fold is bit-identical both engines
         .select(col("source"), col("n_terms"), col("n_tokens"),
-          round(col("kl"), 4).as("kl_vs_corpus"))
+          col("kl").as("kl_vs_corpus"))
     }),
 
     "q128_vocab_coverage" -> ((s, dir) => {
@@ -1616,8 +1629,8 @@ private[graft] object QueriesText {
           // EXACTLY on a 4-dp half boundary (0.154850 — hit by the r10
           // sf1 sweep) where the engines' rounding algorithms diverge;
           // on the 6-dp grid the sum sits ~5e-7 from every boundary.
-          // + 0.0 canonicalizes the signed zero (the q461 lesson).
-          (round(col("lr"), 6) + lit(0.0)).as("log_ratio"),
+          // roundZ canonicalizes the signed zero (the q461 lesson).
+          roundZ(col("lr"), 6).as("log_ratio"),
           (col("lr") > 0).as("keep"))
     }),
 
@@ -2430,8 +2443,10 @@ private[graft] object QueriesText {
         .groupBy(col("term"), col("ct"))
         .agg(aggregate(array_sort(collect_list(struct(col("source"), col("d")))),
           lit(0.0), (a, e) => a + e.getField("d")).as("sd"))
+        // unrounded (roundlint r11): Σ(9-dp d)/2 stays on a 5e-10 grid
+        // that contains 6-dp half boundaries — boundary class
         .select(col("term"), col("ct").as("n_occurrences"),
-          round(col("sd") / lit(2.0), 6).as("dp"))
+          (col("sd") / lit(2.0)).as("dp"))
     }),
 
     "q414_v_measure" -> ((s, dir) => {
@@ -2521,7 +2536,9 @@ private[graft] object QueriesText {
           aggregate(array_sort(collect_list(struct(col("ri"), col("rj"),
             col("t")))), lit(0.0), (acc, e) => acc + e.getField("t"))
             .as("f"))
-        .select(col("source"), col("n_pairs"), round(col("f"), 6).as("coherence"))
+        // unrounded (roundlint r11): 9-dp term fold on a 6-dp output
+        // grid — boundary class
+        .select(col("source"), col("n_pairs"), col("f").as("coherence"))
     }),
 
     "q421_ess_token_weights" -> ((s, dir) => {

@@ -917,8 +917,12 @@ private[graft] object QueriesVector {
       // all edge-sized; see [[graph.KCore]].
       val li = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      // Capped wedge-join operator (maxWidth off: TPC-H baskets ≤ 7).
-      val edges = Relational.keyedPairs(li, "l_orderkey", "l_partkey")
+        .localCheckpoint()
+      // Capped wedge join with the rows-derived width cap (r11): √N
+      // bounds any basket's pair output by the corpus row budget;
+      // TPC-H baskets ≤ 7 ≪ √N, so output is bit-identical to uncapped.
+      val edges = Relational.keyedPairs(li, "l_orderkey", "l_partkey",
+          maxWidth = Some(Relational.scaledMaxWidth(li.count())))
         .groupBy(col("l_partkey_a").as("pa"), col("l_partkey_b").as("pb"))
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
@@ -1476,8 +1480,11 @@ private[graft] object QueriesVector {
           aggregate(array_sort(collect_list(struct(col("label"), col("b")))),
             lit(0.0), (a, r) => a + r.getField("b")).as("bcss"))
         .crossJoin(tot)
+        // bcss/wcss unrounded (roundlint r11): 9-dp term fold sums on a
+        // 4-dp output grid — boundary class; ch_index keeps its round
+        // (a ratio of the two sums is off any grid)
         .select(col("n").as("n_vecs"), col("k").as("n_clusters"),
-          round(col("bcss"), 4).as("bcss"), round(col("wcss"), 4).as("wcss"),
+          col("bcss"), col("wcss"),
           round((col("bcss") / (col("k") - 1).cast("double")) /
             (col("wcss") / (col("n") - col("k")).cast("double")), 4)
             .as("ch_index"))
@@ -1621,7 +1628,15 @@ private[graft] object QueriesVector {
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = tbl(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    operators.Relational.keyedPairs(li, "l_orderkey", "l_partkey")
+      .localCheckpoint()
+    // Rows-derived width cap (r11, the scaledEps precedent): √N bounds
+    // any single basket's pair output by the corpus row budget. TPC-H
+    // baskets are ≤ 7 ≪ √N at every sf, so the edge list is
+    // bit-identical to the uncapped build at the gate AND at the probe
+    // decades — the cap is the policy for skewed real-world baskets.
+    val cap = operators.Relational.scaledMaxWidth(li.count())
+    operators.Relational.keyedPairs(li, "l_orderkey", "l_partkey",
+        maxWidth = Some(cap))
       .groupBy(col("l_partkey_a").as("pa"), col("l_partkey_b").as("pb"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)

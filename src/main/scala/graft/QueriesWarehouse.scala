@@ -2910,9 +2910,11 @@ private[graft] object QueriesWarehouse {
           round(wS * (col("cum2") - col("cum")).cast("double") /
             col("nu").cast("double"), 9).as("term"))
         .groupBy(col("channel"))
-        .agg(round(aggregate(
+        // unrounded (roundlint r11): 9-dp term fold on a 6-dp output
+        // grid — boundary class; the fold is bit-identical both engines
+        .agg(aggregate(
           array_sort(collect_list(struct(col("sset"), col("term")))),
-          lit(0.0), (a, e) => a + e.getField("term")), 6).as("shapley"))
+          lit(0.0), (a, e) => a + e.getField("term")).as("shapley"))
     }),
 
     "q392_record_counts" -> ((s, dir) => {
@@ -2938,8 +2940,11 @@ private[graft] object QueriesWarehouse {
         .agg(aggregate(array_sort(collect_list(struct(col("k"), col("h")))),
           lit(0.0), (a, e) => a + e.getField("h")).as("hsum"))
       recs.join(harm, Seq("nation"))
+        // expected_records unrounded (roundlint r11): 9-dp harmonic
+        // fold on a 4-dp grid — boundary class; record_ratio keeps its
+        // round (integer/sum ratio, off any grid)
         .select(col("nation"), col("n_days"), col("n_records"),
-          round(col("hsum"), 4).as("expected_records"),
+          col("hsum").as("expected_records"),
           round(col("n_records").cast("double") / col("hsum"), 4)
             .as("record_ratio"))
     }),
@@ -3446,10 +3451,14 @@ private[graft] object QueriesWarehouse {
       terms.groupBy(col("nation"))
         .agg(sum(col("e0")).as("e0_cents"), sum(col("e1")).as("e1_cents"),
           fold("tn").as("fn"), fold("tm").as("fm"), fold("tc").as("fc"))
+        // unrounded (roundlint r11): Σ(6-dp terms)/100 keeps a fine
+        // decimal grid that contains 2-dp half boundaries, and the
+        // cents magnitudes grow with the corpus (q333 class) — the
+        // folds and the /100 are bit-identical both engines
         .select(col("nation"), col("e0_cents"), col("e1_cents"),
-          round(col("fn") / lit(100.0), 2).as("national_effect"),
-          round(col("fm") / lit(100.0), 2).as("mix_effect"),
-          round(col("fc") / lit(100.0), 2).as("competitive_effect"))
+          (col("fn") / lit(100.0)).as("national_effect"),
+          (col("fm") / lit(100.0)).as("mix_effect"),
+          (col("fc") / lit(100.0)).as("competitive_effect"))
     }),
 
     "q419_tukey_range" -> ((s, dir) => {

@@ -14,6 +14,17 @@ private[graft] object QueryDsl {
 
   val dec = "decimal(18,2)"
 
+  /** Signed-zero-canonicalizing round: `round(c, n) + 0.0`. A fold-sum
+    * residue of ~−1e-14 rounds to IEEE −0.0, whose sign bit differs
+    * across engines after their respective rounding algorithms (the r10
+    * sf1 sweep hit this twice: q461 heaps_beta, q133 log_ratio); adding
+    * +0.0 AFTER the round maps −0.0 → +0.0 and leaves every nonzero
+    * value untouched. Use this — not bare `round` — on EVERY rounded
+    * double that is (or derives from) an ordered fold sum; the DuckDB
+    * oracle must mirror with `round(...) + CAST(0.0 AS DOUBLE)`.
+    */
+  def roundZ(c: Column, n: Int): Column = round(c, n) + lit(0.0)
+
   val discPrice: Column =
     col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)
 

@@ -241,6 +241,23 @@ object Relational {
     * `maxWidth = None` (default): no pre-pass, plan identical to the
     * bare self-join — zero cost on the default path.
     */
+  /** Rows-derived default for the [[keyedPairs]] width cap — the
+    * `Geo.scaledEps` / `Dedup.defaultNCells` precedent (density knobs
+    * derive from corpus size, not constants): `max(64, ceil(sqrt(N)))`.
+    * A key of width w emits w(w−1)/2 pairs, so capping w at √N bounds
+    * ANY single key's pair output by the corpus row budget N/2 — the
+    * wedge join stays corpus-linear BY POLICY as the data grows. On
+    * data whose key widths are structurally bounded (TPC-H baskets ≤ 7)
+    * the cap never binds and the output is bit-identical to the
+    * uncapped plan at every scale; it exists for genuinely skewed keys
+    * (a viral basket, a stop-gram), where the dropped keys remain
+    * reportable through [[overWidthKeys]].
+    */
+  def scaledMaxWidth(corpusRows: Long): Int =
+    math.min(
+      math.max(64L, math.ceil(math.sqrt(corpusRows.toDouble)).toLong),
+      Int.MaxValue.toLong).toInt
+
   def keyedPairs(
       items: DataFrame,
       keyCol: String,

@@ -32,7 +32,8 @@ object StreamingAttribution extends Serializable {
     * p_value is 0 and last_ch tracks the running last event.
     */
   case class AttState(first_ch: String, last_ch: String,
-      p_value: Double, converted: Boolean)
+      p_value: Double, converted: Boolean,
+      lastUs: Long = Long.MinValue, lastEid: Long = Long.MinValue)
   case class AttRow(user_id: Long, first_ch: String, last_ch: String,
       p_value: Double, converted: Boolean)
 
@@ -46,7 +47,21 @@ object StreamingAttribution extends Serializable {
     def fn(user: Long, rows: Iterator[Ev],
         state: GroupState[AttState]): AttRow = {
       var s = state.getOption.getOrElse(AttState(null, null, 0.0, false))
-      rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+      val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      // Ordered-arrival state guard (r11 drill): a slice carrying an
+      // event at-or-before the last folded (us, event_id) means a
+      // cross-batch replay/out-of-order feed — the fold's answer would
+      // be silently wrong, so FAIL LOUDLY instead (the streaming analog
+      // of the NOT_CONVERGED poison row).
+      sorted.headOption.foreach { h =>
+        if (s.lastUs != Long.MinValue &&
+            Ordering[(Long, Long)].lteq((h.us, h.event_id), (s.lastUs, s.lastEid)))
+          throw new IllegalStateException(
+            s"ordered-arrival contract violated for user $user: event " +
+              s"(us=${h.us}, id=${h.event_id}) arrived after state had " +
+              s"folded (us=${s.lastUs}, id=${s.lastEid})")
+      }
+      sorted.foreach { e =>
         if (!s.converted) {
           if (s.first_ch == null) s = s.copy(first_ch = e.event_type)
           if (e.event_type == "purchase")
@@ -54,6 +69,7 @@ object StreamingAttribution extends Serializable {
           else
             s = s.copy(last_ch = e.event_type)
         }
+        s = s.copy(lastUs = e.us, lastEid = e.event_id)
       }
       if (streaming) state.update(s)
       AttRow(user, s.first_ch, s.last_ch, s.p_value, s.converted)

@@ -19,14 +19,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   *
   * Contract: per-key ORDERED arrival across batches (the clamp fold is
   * order-dependent — the q365 drawdown face's class); within a batch
-  * slice rows are day-sorted before folding. State is seven longs per
-  * nation, corpus-size-independent.
+  * slice rows are day-sorted before folding, and a state guard (the
+  * last folded day) makes a cross-batch violation THROW rather than
+  * fold a wrong answer. State is eight longs per nation,
+  * corpus-size-independent.
   */
 object StreamingCusum extends Serializable {
 
   case class DayEv(nation: String, day: java.sql.Date, c: Long)
   case class CusumState(sup: Long, sdn: Long, nDays: Long, nUp: Long,
-      nDn: Long, maxUp: Long, maxDn: Long)
+      nDn: Long, maxUp: Long, maxDn: Long, lastDayMs: Long = Long.MinValue)
   case class CusumRow(nation: String, n_days: Long, n_alarm_up: Long,
       n_alarm_down: Long, max_cusum_up: Long, max_cusum_down: Long)
 
@@ -56,14 +58,26 @@ object StreamingCusum extends Serializable {
         state: GroupState[CusumState]): CusumRow = {
       val (tt, k) = limits.getOrElse(nation, (0L, 0L))
       var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L, 0L, 0L, 0L))
-      // ordered-arrival contract: fold the slice in day order
-      it.toSeq.sortBy(_.day.getTime).foreach { ev =>
+      // ordered-arrival contract: fold the slice in day order; a slice
+      // opening at-or-before the last folded day is a cross-batch
+      // replay/out-of-order feed — the clamp recursion is order-DEFINED,
+      // so FAIL LOUDLY (r11 drill) instead of folding a wrong answer.
+      val sorted = it.toSeq.sortBy(_.day.getTime)
+      sorted.headOption.foreach { h =>
+        if (st.lastDayMs != Long.MinValue && h.day.getTime <= st.lastDayMs)
+          throw new IllegalStateException(
+            s"ordered-arrival contract violated for nation $nation: day " +
+              s"${h.day} arrived after state had folded day " +
+              s"epoch-ms ${st.lastDayMs}")
+      }
+      sorted.foreach { ev =>
         val sup = math.max(0L, st.sup + (ev.c - tt - k))
         val sdn = math.max(0L, st.sdn + (tt - ev.c - k))
         st = CusumState(sup, sdn, st.nDays + 1,
           st.nUp + (if (sup > k * 10) 1L else 0L),
           st.nDn + (if (sdn > k * 10) 1L else 0L),
-          math.max(st.maxUp, sup), math.max(st.maxDn, sdn))
+          math.max(st.maxUp, sup), math.max(st.maxDn, sdn),
+          ev.day.getTime)
       }
       if (streaming) state.update(st)
       CusumRow(nation, st.nDays, st.nUp, st.nDn, st.maxUp, st.maxDn)

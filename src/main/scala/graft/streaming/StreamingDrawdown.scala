@@ -22,8 +22,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   */
 object StreamingDrawdown extends Serializable {
 
-  case class DayRevenue(key: String, cents: Long)
-  case class DrawdownState(cum: Long, peak: Long, maxDd: Long, nDays: Long)
+  /** `seq` is the event's position on the key's timeline (day index or
+    * any strictly-increasing marker). −1 (the default) means the feed
+    * carries no marker and the ordered-arrival contract is taken on
+    * trust, exactly as before; a real deployment feeds the date, which
+    * arms the state guard below.
+    */
+  case class DayRevenue(key: String, cents: Long, seq: Long = -1L)
+  case class DrawdownState(cum: Long, peak: Long, maxDd: Long, nDays: Long,
+      lastSeq: Long = Long.MinValue)
 
   def monitor(evs: Dataset[DayRevenue]): Dataset[(String, Long, Long)] = {
     import evs.sparkSession.implicits._
@@ -32,13 +39,21 @@ object StreamingDrawdown extends Serializable {
         state: GroupState[DrawdownState]): (String, Long, Long) = {
       var st = state.getOption.getOrElse(DrawdownState(0L, 0L, 0L, 0L))
       it.foreach { e =>
+        // Ordered-arrival state guard (r11 drill), armed when the feed
+        // carries seq markers: a replayed/late event would silently
+        // corrupt the cumulative line — fail loudly instead.
+        if (e.seq >= 0L && st.lastSeq != Long.MinValue && e.seq <= st.lastSeq)
+          throw new IllegalStateException(
+            s"ordered-arrival contract violated for key $key: seq=${e.seq} " +
+              s"arrived after state had folded seq=${st.lastSeq}")
         val cum = st.cum + e.cents
         val peak = math.max(st.peak, cum)
         // First row initializes the peak AT the first cum (the batch
         // window's running max over a 1-row prefix), so a negative
         // first day is a 0 drawdown, exactly like the batch face.
         val p = if (st.nDays == 0L) cum else peak
-        st = DrawdownState(cum, p, math.min(st.maxDd, cum - p), st.nDays + 1)
+        st = DrawdownState(cum, p, math.min(st.maxDd, cum - p), st.nDays + 1,
+          if (e.seq >= 0L) e.seq else st.lastSeq)
       }
       state.update(st)
       (key, st.nDays, st.maxDd)

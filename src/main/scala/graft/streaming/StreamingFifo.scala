@@ -34,7 +34,8 @@ object StreamingFifo extends Serializable {
 
   case class FifoState(totalIn: Long, totalOut: Long, nLots: Long,
       nPurchases: Long, nMatches: Long, fundedCents: Long,
-      pending: List[Pending])
+      pending: List[Pending],
+      lastUs: Long = Long.MinValue, lastEid: Long = Long.MinValue)
 
   case class FifoRow(user_id: Long, n_lots: Long, n_purchases: Long,
       n_matches: Long, funded_cents: Long, outstanding: Long)
@@ -80,12 +81,25 @@ object StreamingFifo extends Serializable {
     def fn(user: Long, rows: Iterator[Ev],
         state: GroupState[FifoState]): FifoRow = {
       var s = state.getOption.getOrElse(empty)
-      rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+      val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
+      // Ordered-arrival state guard (r11 drill): FIFO matching is
+      // order-DEFINED, so a cross-batch replay or late event would
+      // silently mis-allocate lots — fail loudly instead.
+      sorted.headOption.foreach { h =>
+        if (s.lastUs != Long.MinValue &&
+            Ordering[(Long, Long)].lteq((h.us, h.event_id), (s.lastUs, s.lastEid)))
+          throw new IllegalStateException(
+            s"ordered-arrival contract violated for user $user: event " +
+              s"(us=${h.us}, id=${h.event_id}) arrived after state had " +
+              s"folded (us=${s.lastUs}, id=${s.lastEid})")
+      }
+      sorted.foreach { e =>
         e.event_type match {
           case "signup"   => s = onLot(s)
           case "purchase" => s = onPurchase(s, e.cents)
           case _          => ()
         }
+        s = s.copy(lastUs = e.us, lastEid = e.event_id)
       }
       if (streaming) state.update(s)
       FifoRow(user, s.nLots, s.nPurchases, s.nMatches, s.fundedCents,

@@ -120,6 +120,12 @@ case class TopKPerKeyExec(
           // is skipped, in the partial pass AND in the final merge, so
           // the result is the true k-minimum distinct set regardless of
           // multiplicities or arrival order.
+          // CONTRACT: distinct mode guarantees only the SET OF SORT-KEY
+          // VALUES. When two rows tie on the sort key but differ in
+          // other columns, which physical row represents the key depends
+          // on arrival/partition order — callers must either consume the
+          // sort key alone (the q436 KMV use: only the hash is read) or
+          // pass a sort key that functionally determines the row.
           val dup = distinct && i > 0 && cmp(sortKey, buf(i - 1)._1) == 0
           if (!dup) {
             buf.insert(i, (sortKey, row.copy()))

@@ -199,6 +199,88 @@ class HarnessDrillSpec extends SparkSpec {
       "the value hash MUST differ — otherwise the sabotage is invisible")
   }
 
+  test("ROUNDLINT: the boundary-rounding lint flags a planted site and the live tree is fully audited") {
+    // r11 (r10 verdict item 2): the "round a SUM onto a coarser grid
+    // than its terms" class is now guarded STATICALLY — tools/
+    // roundlint.py flags every round-over-fold site whose output grid
+    // is coarser than its term grid, each flagged site carries a hand-
+    // audited disposition, and any NEW site fails the lint (exit 1).
+    // The selftest plants a synthetic bad block + a clean control.
+    import scala.sys.process._
+    def run(args: Seq[String]): (Int, String) = {
+      val out = new StringBuilder
+      val rc = Process(Seq("python3", "tools/roundlint.py") ++ args,
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => { out.append(l).append('\n'); () },
+          l => { out.append(l).append('\n'); () }))
+      (rc, out.toString)
+    }
+    val (src, sout) = run(Seq("--selftest"))
+    assert(src == 0 && sout.contains("selftest OK"),
+      s"roundlint selftest must flag the planted site:\n$sout")
+    val (rc, out) = run(Nil)
+    assert(rc == 0 && out.contains("0 unaudited"),
+      s"every flagged round-over-fold site must carry an audited disposition:\n$out")
+  }
+
+  test("SCALED-SWEEP sabotage: a one-ulp drift at scaled-only density goes red — the sf1+ sweep channel is earned") {
+    // r11 rotation (r10 verdict item 8): the sf0.1/sf1 oracle sweeps are
+    // now the primary divergence-hunting channel (5 real finds across
+    // two rounds), but the channel itself was never negatively tested —
+    // nothing proved a sub-rounding-grid drift at a SCALED dir actually
+    // turns the comparator red. This drill stages a key-shifted 2×
+    // scale-up of sf0.001 (the ScaleUp construction the real sfx1 dir
+    // uses), dumps q01 over it, proves the comparator green at scale
+    // (control), then nudges ONE double cell of the Spark dump by ONE
+    // ULP — the smallest possible divergence, the exact magnitude class
+    // the q133/q201/q333 finds reduced to — and proves the gate FAILs.
+    import scala.sys.process._
+    import org.apache.spark.sql.functions._
+    // 2× key-shifted lineitem: the ScaleUp recipe, one table is enough
+    // for q01 (lineitem-only query).
+    val d = stageDrillDir()
+    val target = Paths.get(d.getPath, "lineitem.parquet")
+    Files.delete(target)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val shifted = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      .foldLeft(li)((acc, c) => acc.withColumn(c, col(c) + lit(1000000000L)))
+    li.unionByName(shifted).coalesce(2).write.parquet(target.toString)
+
+    val out = Files.createTempDirectory("graft_sweep_drill").toString
+    val dump = s"$out/q01_pricing_summary"
+    SparkEntry.queries("q01_pricing_summary")(spark, d.getPath)
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    val json = "{\"q01_pricing_summary\": " +
+      "\"" + SparkEntry.oracleSql("q01_pricing_summary")
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ").replace("\t", " ") + "\"}"
+    Files.writeString(Paths.get(out, "oracle_sql.json"), json)
+    def runGate(): (Int, String) = {
+      val buf = new StringBuilder
+      val rc = Process(Seq("python3", "tools/check.py", d.getPath, out),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => buf.append(l).append('\n'), _ => ()))
+      (rc, buf.toString)
+    }
+    val (rcOk, outOk) = runGate()
+    assert(rcOk == 0 && outOk.contains("OK   q01_pricing_summary"),
+      s"control at the SCALED dir must be green:\n$outOk")
+    // One-ulp sabotage on one double cell of the Spark dump only.
+    // localCheckpoint BEFORE the overwrite: the sabotaged plan must not
+    // lazily re-read the files it is about to replace.
+    val rows = spark.read.parquet(dump).localCheckpoint()
+    val dblCol = rows.schema.fields
+      .find(_.dataType == org.apache.spark.sql.types.DoubleType).get.name
+    val marker = rows.select(max(col(dblCol))).head().getDouble(0)
+    rows.withColumn(dblCol,
+        when(col(dblCol) === marker,
+          lit(Math.nextUp(marker))).otherwise(col(dblCol)))
+      .coalesce(1).write.mode("overwrite").parquet(dump)
+    val (rcBad, outBad) = runGate()
+    assert(rcBad != 0 && outBad.contains("FAIL q01_pricing_summary"),
+      s"a one-ulp drift at scaled density MUST go red:\n$outBad")
+  }
+
   test("SCANNER sabotage: leakscan and copyscan flag planted violations — clean-tree zeros are earned") {
     // r10 rotation (r9 verdict item 6): harness, data, oracle, and bench
     // channels are drill-proven (rounds 6-9), but LEAKCHECK and

@@ -641,4 +641,28 @@ class OperatorsSpec extends SparkSpec {
     assert(Relational.keyedPairs(items, "ok", "item", maxWidth = Some(100))
       .count() == 14)
   }
+
+  test("scaledMaxWidth: rows-derived cap — sqrt policy, floor, no-op on bounded baskets") {
+    // The policy: max(64, ceil(sqrt(N))) — a width-w key emits w(w-1)/2
+    // pairs, so w <= sqrt(N) bounds any single key's output by ~N/2.
+    assert(Relational.scaledMaxWidth(0L) == 64)
+    assert(Relational.scaledMaxWidth(4096L) == 64)      // floor binds
+    assert(Relational.scaledMaxWidth(1000000L) == 1000) // sqrt region
+    assert(Relational.scaledMaxWidth(600000L) == 775)   // ceil(sqrt(6e5))
+    // Monotone in corpus size: growing data never TIGHTENS the cap.
+    assert(Relational.scaledMaxWidth(10000000L) > Relational.scaledMaxWidth(1000000L))
+    // Gate-equivalence contract: on width-bounded baskets (max width 5
+    // here, like TPC-H's <= 7) the derived cap never binds, so the
+    // capped edge list is bit-identical to the uncapped one — the
+    // co-purchase tier (q211/q450-q452) rides exactly this.
+    val items = (Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "d")) ++
+      (1 to 5).map(i => (9L, s"h$i"))).toDF("ok", "item")
+    val cap = Relational.scaledMaxWidth(items.count())
+    assert(cap == 64) // 10 rows -> floor
+    val capped = Relational.keyedPairs(items, "ok", "item", maxWidth = Some(cap))
+      .as[(Long, String, String)].collect().toSet
+    val uncapped = Relational.keyedPairs(items, "ok", "item")
+      .as[(Long, String, String)].collect().toSet
+    assert(capped == uncapped)
+  }
 }

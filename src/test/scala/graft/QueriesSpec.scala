@@ -47,7 +47,9 @@ class QueriesSpec extends SparkSpec {
           r(idf * (n * 2.2) / (n + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)), 6)
         }
       }.foldLeft(0.0)(_ + _)
-      id -> r(score, 4)
+      // unrounded final score (roundlint r11): only the TERMS stay on
+      // the 6-dp grid; the fold sum is emitted exactly
+      id -> score
     }.sortBy { case (id, s) => (-s, id) }.take(10)
     val got = SparkEntry.queries("q123_bm25")(spark, sfDir)
       .as[(Long, Double)].collect().toSeq
@@ -66,7 +68,8 @@ class QueriesSpec extends SparkSpec {
     val lp = cnt.map { case (t, c) => t -> r(-math.log(c.toDouble / total), 6) }
     val want = toks.map { case (id, w) =>
       val nll = w.map(lp).foldLeft(0.0)(_ + _) // position order
-      (id, w.size.toLong, r(nll / w.size, 4), nll / w.size <= 3.45)
+      // unrounded avg (roundlint r11): the fold sum / count is exact
+      (id, w.size.toLong, nll / w.size, nll / w.size <= 3.45)
     }.sortBy(_._1)
     val got = SparkEntry.queries("q125_perplexity_filter")(spark, sfDir)
       .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq

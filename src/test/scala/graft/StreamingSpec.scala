@@ -1249,4 +1249,109 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(rollup == declared && declared.nonEmpty)
   }
+
+  // ── Ordered-arrival contract drills (r11) ───────────────────────────
+  // Every ordered face is pinned stream==batch under contract-RESPECTING
+  // input above; these negative cases prove the faces FAIL LOUDLY when
+  // the contract is violated (a cross-batch replay / late event), the
+  // streaming analog of the NOT_CONVERGED-poison oracle discipline. A
+  // violated fold must never return a silently-wrong answer.
+
+  /** True iff the failure's cause chain carries the state-guard message. */
+  private def guardFired(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .exists(e => Option(e.getMessage)
+        .exists(_.contains("ordered-arrival contract violated")))
+
+  test("drill: attribution throws on out-of-order cross-batch arrival") {
+    import graft.streaming.StreamingAttribution
+    import graft.streaming.StreamingAttribution.{AttRow, Ev}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamingAttribution.attribution(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AttRow], _: Long) =>
+        df.collect(); ()
+      }.start()
+    mem.addData(Seq(Ev(1L, 10L, "view", 1000L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Ev(1L, 5L, "click", 500L, 0.0))) // before the folded event
+    val ex = intercept[Throwable] { q.processAllAvailable() }
+    assert(guardFired(ex), s"guard did not fire: $ex")
+    q.stop()
+  }
+
+  test("drill: FIFO throws on out-of-order cross-batch arrival") {
+    import graft.streaming.StreamingFifo
+    import graft.streaming.StreamingFifo.{Ev, FifoRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamingFifo.allocate(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FifoRow], _: Long) =>
+        df.collect(); ()
+      }.start()
+    mem.addData(Seq(Ev(1L, 10L, "signup", 1000L, 0L)))
+    q.processAllAvailable()
+    mem.addData(Seq(Ev(1L, 5L, "purchase", 500L, 2500L)))
+    val ex = intercept[Throwable] { q.processAllAvailable() }
+    assert(guardFired(ex), s"guard did not fire: $ex")
+    q.stop()
+  }
+
+  test("drill: transitions throws on out-of-order cross-batch arrival") {
+    import graft.streaming.StreamingTransitions
+    import graft.streaming.StreamingTransitions.{Ev, Transition}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamingTransitions.transitions(mem.toDS(), streaming = true)
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Transition], _: Long) =>
+        df.collect(); ()
+      }.start()
+    mem.addData(Seq(Ev(1L, 10L, "view", 1000L)))
+    q.processAllAvailable()
+    mem.addData(Seq(Ev(1L, 5L, "click", 500L)))
+    val ex = intercept[Throwable] { q.processAllAvailable() }
+    assert(guardFired(ex), s"guard did not fire: $ex")
+    q.stop()
+  }
+
+  test("drill: CUSUM throws on out-of-order cross-batch arrival") {
+    import graft.streaming.StreamingCusum
+    import graft.streaming.StreamingCusum.{CusumRow, DayEv}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DayEv]
+    val q = StreamingCusum
+      .monitor(mem.toDS(), Map("X" -> (100L, 1L)))
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[CusumRow], _: Long) =>
+        df.collect(); ()
+      }.start()
+    mem.addData(Seq(DayEv("X", java.sql.Date.valueOf("1995-01-02"), 120L)))
+    q.processAllAvailable()
+    // same day again (a replay) — also a violation, <= not just <
+    mem.addData(Seq(DayEv("X", java.sql.Date.valueOf("1995-01-02"), 120L)))
+    val ex = intercept[Throwable] { q.processAllAvailable() }
+    assert(guardFired(ex), s"guard did not fire: $ex")
+    q.stop()
+  }
+
+  test("drill: drawdown throws on out-of-order arrival when the feed carries seq markers") {
+    import graft.streaming.StreamingDrawdown
+    import graft.streaming.StreamingDrawdown.DayRevenue
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DayRevenue]
+    val q = StreamingDrawdown.monitor(mem.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) =>
+        df.collect(); ()
+      }.start()
+    mem.addData(Seq(DayRevenue("X", 100L, seq = 7L)))
+    q.processAllAvailable()
+    mem.addData(Seq(DayRevenue("X", -40L, seq = 3L))) // late day
+    val ex = intercept[Throwable] { q.processAllAvailable() }
+    assert(guardFired(ex), s"guard did not fire: $ex")
+    q.stop()
+  }
 }

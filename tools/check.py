@@ -36,11 +36,17 @@ if "--fanout" in sys.argv:
     for name in names:
         env = dict(os.environ, GRAFT_CHECK_ONLY=name)
         try:
+            # Child wall-clock = oracle budget * 1.5 + a fixed setup
+            # allowance: the child also loads views and runs the Spark-
+            # output compare, so without the headroom a slow-loading
+            # large-sf child gets killed and mis-reported as
+            # FAIL(timeout) even though the ORACLE stayed within its
+            # DuckDB interrupt budget.
+            tmo = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), sfdir, outdir],
                 env=env, capture_output=True, text=True,
-                timeout=float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
-                    * 1.5 or None)
+                timeout=(tmo * 1.5 + 120) if tmo else None)
             line = next((l for l in r.stdout.splitlines()
                          if l.startswith(("OK", "FAIL"))), None)
             if line is None:
