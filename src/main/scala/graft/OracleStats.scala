@@ -3109,6 +3109,217 @@ private[graft] object OracleStats {
                / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                  list(vterm ORDER BY t)), (x, y) -> x + y) END, 6) AS chi2
          FROM terms""",
+
+    // ── Structural-break / robust-trend tier (round 11) ─────────────────
+
+    "q468_cusum_squares" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+               OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS cum2
+           FROM daily),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss FROM daily),
+         dt AS (SELECT t, CAST(cum2 AS DOUBLE) / CAST(ss AS DOUBLE)
+               - CAST(t AS DOUBLE) / CAST(nn AS DOUBLE) AS dstat, nn
+           FROM idx CROSS JOIN tot)
+         SELECT CAST(max(nn) AS BIGINT) AS n_days,
+           -(max(struct_pack(a := abs(dstat), negt := -t))).negt AS split_t,
+           (max(struct_pack(a := abs(dstat), negt := -t))).a AS max_cusum_sq
+         FROM dt""",
+
+    "q472_breusch_pagan" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS y
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT)
+             AS t, y FROM m),
+         mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS stt,
+             CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS sty
+           FROM idx),
+         wb AS (SELECT t, y, n, st, stt,
+             (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+             (CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                   - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                 * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+           FROM idx CROSS JOIN mom),
+         g AS (SELECT t, n, st, stt,
+             (CAST(y AS DOUBLE) - a - b * CAST(t AS DOUBLE))
+               * (CAST(y AS DOUBLE) - a - b * CAST(t AS DOUBLE)) AS g
+           FROM wb),
+         f AS (SELECT n, st, stt,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(g ORDER BY t)), (p, q) -> p + q) AS sg,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(g * CAST(t AS DOUBLE) ORDER BY t)), (p, q) -> p + q)
+               AS sgt,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(g * g ORDER BY t)), (p, q) -> p + q) AS sgg
+           FROM g GROUP BY 1, 2, 3)
+         SELECT n AS n_months,
+           CAST(n AS DOUBLE)
+             * (CAST(n AS DOUBLE) * sgt - CAST(st AS DOUBLE) * sg)
+             * (CAST(n AS DOUBLE) * sgt - CAST(st AS DOUBLE) * sg)
+             / ((CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                 - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+               * (CAST(n AS DOUBLE) * sgg - sg * sg)) AS bp_lm
+         FROM f""",
+
+    "q473_cvm_weekday" ->
+      """WITH o AS (SELECT n_name AS nation,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
+             AS w
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey),
+         cells AS (SELECT nation, w, CAST(count(*) AS BIGINT) AS c1
+           FROM o GROUP BY 1, 2),
+         corp AS (SELECT w, CAST(sum(c1) AS BIGINT) AS cc
+           FROM cells GROUP BY 1),
+         grid AS (SELECT n.nation, corp.w, corp.cc,
+             CAST(coalesce(c1, 0) AS BIGINT) AS c1
+           FROM (SELECT DISTINCT nation FROM cells) n
+           CROSS JOIN corp
+           LEFT JOIN cells ON cells.nation = n.nation AND cells.w = corp.w),
+         n1 AS (SELECT nation, CAST(sum(c1) AS BIGINT) AS n1
+           FROM grid GROUP BY 1),
+         nc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM grid),
+         wc AS (SELECT nation, w, c1, cc,
+             CAST(sum(c1) OVER (PARTITION BY nation ORDER BY w) AS BIGINT)
+               AS f1,
+             CAST(sum(cc) OVER (PARTITION BY nation ORDER BY w) AS BIGINT)
+               AS fc
+           FROM grid),
+         terms AS (SELECT wc.nation, n1.n1, wc.w,
+             (CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(fc AS DOUBLE) / CAST(nc AS DOUBLE))
+             * (CAST(f1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(fc AS DOUBLE) / CAST(nc AS DOUBLE))
+             * (CAST(c1 AS DOUBLE) + CAST(cc AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) + CAST(nc AS DOUBLE)) AS tm
+           FROM wc JOIN n1 USING (nation) CROSS JOIN nc)
+         SELECT nation, n1 AS n_orders,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(tm ORDER BY w)), (p, q) -> p + q) AS cvm
+         FROM terms GROUP BY 1, 2""",
+
+    "q474_siegel_slopes" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS y
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT)
+             AS t, y FROM m),
+         sl AS (SELECT a.t AS i,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+           FROM idx a JOIN idx b ON a.t <> b.t),
+         med AS (SELECT i, quantile_cont(s, 0.5) AS mi FROM sl GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_months,
+           round(quantile_cont(mi, 0.5), 4) AS siegel_slope
+         FROM med""",
+
+    "q477_jackknife_ratio" ->
+      """WITH g AS (SELECT n_name AS nation,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS r,
+           CAST(count(*) AS BIGINT) AS n
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1),
+         tot AS (SELECT CAST(sum(r) AS BIGINT) AS tr,
+             CAST(sum(n) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS gg FROM g),
+         reps AS (SELECT nation, gg,
+             (CAST(tr AS DOUBLE) - CAST(r AS DOUBLE))
+               / (CAST(tn AS DOUBLE) - CAST(n AS DOUBLE)) AS th
+           FROM g CROSS JOIN tot),
+         f AS (SELECT gg,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(th ORDER BY nation)), (p, q) -> p + q) AS sth,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(th * th ORDER BY nation)), (p, q) -> p + q) AS sth2
+           FROM reps GROUP BY 1)
+         SELECT f.gg AS n_groups,
+           CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE) AS theta,
+           (CAST(f.gg AS DOUBLE) - 1.0) / CAST(f.gg AS DOUBLE)
+             * (sth2 - sth * sth / CAST(f.gg AS DOUBLE)) AS jk_var
+         FROM f CROSS JOIN tot""",
+
+    "q481_mmd_rbf" ->
+      """WITH mx AS (SELECT CAST(max(n_chars) AS BIGINT) AS mx
+           FROM documents),
+         two AS (SELECT source FROM (SELECT DISTINCT source FROM documents)
+           ORDER BY source LIMIT 2),
+         banded AS (SELECT source,
+             CAST(least(floor(n_chars * 64 / (mx + 1)), 63) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM documents CROSS JOIN mx
+           WHERE source IN (SELECT source FROM two)
+           GROUP BY 1, 2),
+         s1 AS (SELECT min(source) AS s1 FROM two),
+         s2 AS (SELECT max(source) AS s2 FROM two),
+         pair AS (SELECT a.source AS sa, b.source AS sb, a.b AS ba,
+             b.b AS bb, CAST(a.c * b.c AS BIGINT) AS cc,
+             round(exp(CAST(a.b - b.b AS DOUBLE) * CAST(a.b - b.b AS DOUBLE)
+               * -0.5 / 16.0), 6) AS k
+           FROM banded a CROSS JOIN banded b),
+         kxx AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(k * CAST(cc AS DOUBLE) ORDER BY ba, bb)),
+               (p, q) -> p + q) AS kxx,
+             CAST(sum(cc) AS BIGINT) AS kxx_n
+           FROM pair, s1 WHERE sa = s1 AND sb = s1),
+         kyy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(k * CAST(cc AS DOUBLE) ORDER BY ba, bb)),
+               (p, q) -> p + q) AS kyy,
+             CAST(sum(cc) AS BIGINT) AS kyy_n
+           FROM pair, s2 WHERE sa = s2 AND sb = s2),
+         kxy AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(k * CAST(cc AS DOUBLE) ORDER BY ba, bb)),
+               (p, q) -> p + q) AS kxy,
+             CAST(sum(cc) AS BIGINT) AS kxy_n
+           FROM pair, s1, s2 WHERE sa = s1 AND sb = s2)
+         SELECT s1 AS source_a, s2 AS source_b,
+           kxx / CAST(kxx_n AS DOUBLE) + kyy / CAST(kyy_n AS DOUBLE)
+             - 2.0 * kxy / CAST(kxy_n AS DOUBLE) AS mmd2
+         FROM kxx CROSS JOIN kyy CROSS JOIN kxy CROSS JOIN s1 CROSS JOIN s2""",
+
+    "q483_seasonal_mk" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
+             AS w
+         FROM orders GROUP BY 1, 3),
+         sper AS (SELECT a.w,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+               WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS sw
+           FROM daily a JOIN daily b ON a.w = b.w AND a.day < b.day
+           GROUP BY 1),
+         nper AS (SELECT w, CAST(count(*) AS BIGINT) AS nw
+           FROM daily GROUP BY 1),
+         agg AS (SELECT CAST(sum(sw) AS BIGINT) AS s,
+             CAST(sum(nw * (nw - 1) * (nw * 2 + 5)) AS BIGINT) AS v18,
+             CAST(sum(nw) AS BIGINT) AS n_days
+           FROM sper JOIN nper USING (w))
+         SELECT n_days, s AS s_stat,
+           (CASE WHEN s > 0 THEN CAST(s AS DOUBLE) - 1.0
+             WHEN s < 0 THEN CAST(s AS DOUBLE) + 1.0 ELSE 0.0 END)
+             / sqrt(CAST(v18 AS DOUBLE) / 18.0) AS z
+         FROM agg""",
   )
 
   /** Shared lifetime CTEs (q438–q440): per-customer first/last order

@@ -1489,5 +1489,91 @@ private[graft] object OracleText {
          SELECT lang, rk, term, n_in_lang, round(chi2, 4) AS chi2
          FROM rk WHERE rk <= 3"""
     },
+
+    // ── Readability / intra-doc-structure tier (round 11) ───────────────
+
+    "q475_readability_suite" ->
+      """WITH words AS (SELECT source, doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         FROM documents),
+         wc AS (SELECT source, doc_id,
+             CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(length(w)) AS BIGINT) AS nl,
+             CAST(sum(CASE WHEN len(regexp_extract_all(w, '[aeiouy]+')) >= 3
+               THEN 1 ELSE 0 END) AS BIGINT) AS nc
+           FROM words GROUP BY 1, 2),
+         st AS (SELECT source, doc_id,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns
+           FROM documents),
+         agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS tw, CAST(sum(nl) AS BIGINT) AS tl,
+             CAST(sum(nc) AS BIGINT) AS tc, CAST(sum(ns) AS BIGINT) AS ts
+           FROM wc JOIN st USING (source, doc_id) GROUP BY 1)
+         SELECT source, n_docs,
+           round(0.4 * (CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE)
+             + 100.0 * CAST(tc AS DOUBLE) / CAST(tw AS DOUBLE)), 4)
+             AS gunning_fog,
+           round(1.043 * sqrt(CAST(tc AS DOUBLE) * 30.0
+             / CAST(ts AS DOUBLE)) + 3.1291, 4) AS smog,
+           round(4.71 * CAST(tl AS DOUBLE) / CAST(tw AS DOUBLE)
+             + 0.5 * CAST(tw AS DOUBLE) / CAST(ts AS DOUBLE) - 21.43, 4)
+             AS ari
+         FROM agg""",
+
+    "q478_intra_doc_repeat" ->
+      """WITH tk AS (SELECT source, doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents),
+         grams AS (SELECT source, doc_id,
+             array_to_string(w[i:i+7], ' ') AS g8
+           FROM tk, UNNEST(range(1, len(w) - 6)) AS t(i)),
+         rep AS (SELECT source, doc_id, CAST(max(m) AS BIGINT) AS max_rep
+           FROM (SELECT source, doc_id, g8, count(*) AS m
+                 FROM grams GROUP BY 1, 2, 3)
+           GROUP BY 1, 2)
+         SELECT source, CAST(least(max_rep, 4) AS BIGINT) AS rep_level,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM rep GROUP BY 1, 2""",
+
+    "q479_ttr_curve" ->
+      """WITH tk AS (SELECT source, doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         FROM documents),
+         b AS (SELECT CAST(unnest([50, 100, 200]) AS BIGINT) AS budget),
+         perdoc AS (SELECT source, doc_id, budget,
+             CAST(len(list_distinct(w[1:CAST(budget AS INT)])) AS BIGINT)
+               AS types
+           FROM tk CROSS JOIN b WHERE len(w) >= budget)
+         SELECT source, budget, CAST(count(*) AS BIGINT) AS n_docs,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(types AS DOUBLE) / CAST(budget AS DOUBLE)
+               ORDER BY doc_id)), (p, q) -> p + q)
+             / CAST(count(*) AS DOUBLE) AS mean_ttr
+         FROM perdoc GROUP BY 1, 2""",
+
+    "q480_bhattacharyya" ->
+      """WITH mx AS (SELECT CAST(max(n_chars) AS BIGINT) AS mx
+           FROM documents),
+         banded AS (SELECT source,
+             CAST(least(floor(n_chars * 64 / (mx + 1)), 63) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM documents CROSS JOIN mx GROUP BY 1, 2),
+         corp AS (SELECT b, CAST(sum(c) AS BIGINT) AS cc
+           FROM banded GROUP BY 1),
+         nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+           FROM banded GROUP BY 1),
+         nall AS (SELECT CAST(sum(c) AS BIGINT) AS na FROM banded),
+         terms AS (SELECT banded.source, ns, banded.b,
+             sqrt((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+               * (CAST(cc AS DOUBLE) / CAST(na AS DOUBLE))) AS t
+           FROM banded JOIN corp USING (b) JOIN nsrc USING (source)
+           CROSS JOIN nall)
+         SELECT source, ns AS n_docs,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(t ORDER BY b)), (p, q) -> p + q) AS bhattacharyya_coef,
+           round(-ln(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(t ORDER BY b)), (p, q) -> p + q)), 6)
+             AS bhattacharyya_dist
+         FROM terms GROUP BY 1, 2""",
   )
 }

@@ -1013,5 +1013,123 @@ private[graft] object OracleVector {
            round(sqrt(list_sum(list_transform(range(1, len(c0)+1),
              i -> (c0[i] - c1[i]) * (c0[i] - c1[i])))), 6) AS centroid_l2
          FROM j""",
+
+    // ── Graph link-prediction / clusterability tier (round 11) ──────────
+
+    "q469_adamic_adar" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT pa AS u, pb AS v FROM e0
+           UNION ALL SELECT pb, pa FROM e0),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
+           FROM und GROUP BY 1),
+         wz AS (SELECT und.u AS z, und.v AS n,
+             round(1.0 / ln(CAST(dg AS DOUBLE)), 9) AS w
+           FROM und JOIN deg USING (u) WHERE dg >= 2),
+         cand AS (SELECT a.n AS a, b.n AS b, a.z AS z, a.w AS w
+           FROM wz a JOIN wz b ON a.z = b.z AND a.n < b.n
+           WHERE NOT EXISTS (SELECT 1 FROM e0
+             WHERE e0.pa = a.n AND e0.pb = b.n)),
+         aa AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(w ORDER BY z)), (p, q) -> p + q) AS aa
+           FROM cand GROUP BY 1, 2)
+         SELECT a, b, n_common, aa FROM aa
+         ORDER BY aa DESC, a, b LIMIT 20""",
+
+    "q470_local_clustering" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         und AS (SELECT pa AS u, pb AS v FROM e0
+           UNION ALL SELECT pb, pa FROM e0),
+         deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
+           FROM und GROUP BY 1),
+         closed AS (SELECT a.u AS ctr, CAST(count(*) AS BIGINT) AS tri
+           FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+           WHERE EXISTS (SELECT 1 FROM e0
+             WHERE e0.pa = a.v AND e0.pb = b.v)
+           GROUP BY 1)
+         SELECT u AS node, dg AS degree,
+           CAST(coalesce(tri, 0) AS BIGINT) AS triangles,
+           CAST(coalesce(tri, 0) AS DOUBLE) * 2.0
+             / CAST(dg * (dg - 1) AS DOUBLE) AS lcc
+         FROM deg LEFT JOIN closed ON u = ctr
+         WHERE dg >= 2
+         ORDER BY lcc DESC, node LIMIT 20""",
+
+    "q471_hopkins" -> {
+      // The 16 probe-fraction vectors are the SAME md5 unit hashes the
+      // Spark side bakes in as literals (TextKernels.unitHash of
+      // "hop_<probe>_<dim>") — rendered here from the same function, so
+      // neither engine re-derives them. dim pinned at the corpus's 64
+      // (the jlSigns precedent).
+      val probeRows = (0 until 16).map { j =>
+        val fr = (0 until 64).map(i => graft.plans.TextKernels.unitHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"hop_${j}_$i")))
+        s"($j, [${fr.mkString(", ")}])"
+      }.mkString(",\n           ")
+      s"""WITH ev AS MATERIALIZED (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         ed AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+           FROM ev, UNNEST(range(1, len(v)+1)) AS u(i)),
+         rng AS (SELECT dim, min(x) AS mn, max(x) AS mx
+           FROM ed GROUP BY 1),
+         probes AS (SELECT * FROM (VALUES
+           $probeRows) t(pid, fr)),
+         synth AS (SELECT pid,
+             list(mn + fr[dim + 1] * (mx - mn) ORDER BY dim) AS sv
+           FROM probes CROSS JOIN rng GROUP BY pid, fr),
+         u AS (SELECT pid, min(list_sum(list_transform(range(1, 65),
+             i -> (sv[i] - v[i]) * (sv[i] - v[i])))) AS du
+           FROM synth CROSS JOIN ev GROUP BY 1),
+         samp AS (SELECT vec_id AS sid, v AS svv FROM ev WHERE vec_id < 16),
+         w AS (SELECT sid, min(list_sum(list_transform(range(1, 65),
+             i -> (svv[i] - v[i]) * (svv[i] - v[i])))) AS dw
+           FROM samp CROSS JOIN ev WHERE ev.vec_id <> samp.sid GROUP BY 1),
+         su AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(sqrt(du) ORDER BY pid)), (p, q) -> p + q) AS su FROM u),
+         sw AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(sqrt(dw) ORDER BY sid)), (p, q) -> p + q) AS sw FROM w)
+         SELECT CAST(16 AS BIGINT) AS m, su / (su + sw) AS hopkins
+         FROM su CROSS JOIN sw"""
+    },
+
+    "q482_source_dispersion" ->
+      """WITH ev AS MATERIALIZED (SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+         nsq AS (SELECT label, vec_id,
+             list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))
+               AS n2
+           FROM ev),
+         en2 AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(n2 ORDER BY vec_id)), (p, q) -> p + q)
+               / CAST(count(*) AS DOUBLE) AS en2
+           FROM nsq GROUP BY 1),
+         ed AS (SELECT label, vec_id, i - 1 AS dim, v[i] AS x
+           FROM ev, UNNEST(range(1, len(v)+1)) AS u(i)),
+         cent AS (SELECT label, dim,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(x ORDER BY vec_id)), (p, q) -> p + q)
+               / CAST(count(*) AS DOUBLE) AS c
+           FROM ed GROUP BY 1, 2),
+         cn2 AS (SELECT label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c * c ORDER BY dim)), (p, q) -> p + q) AS cn2
+           FROM cent GROUP BY 1)
+         SELECT label, n_vecs, en2 - cn2 AS dispersion
+         FROM en2 JOIN cn2 USING (label)""",
   )
 }

@@ -2627,6 +2627,78 @@ private[graft] object OracleWarehouse {
                  + (v3 - a3) * (v3 - a3))), 6) AS topsis_closeness
          FROM sc CROSS JOIN id"""
     },
+
+    "q467_spectral_entropy" -> {
+      // Harmonic-j trig weight: the SAME fourierWeights(7) literals the
+      // Spark side consumes, indexed by (t·j) mod 7 (the q412
+      // discipline — no engine calls its own cos/sin).
+      def hc(j: Int, which: Int): String =
+        "CASE (t * " + j + ") % 7 " + QueryDsl.fourierWeights(7).zipWithIndex
+          .map { case ((c, sn), k) =>
+            s"WHEN $k THEN ${if (which == 0) c else sn}"
+          }.mkString(" ") + " ELSE 0.0 END"
+      val folds = (1 to 3).flatMap { j =>
+        Seq(
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(c AS DOUBLE) * (${hc(j, 0)}) ORDER BY d)),
+             (p, q) -> p + q) AS fc$j""",
+          s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(c AS DOUBLE) * (${hc(j, 1)}) ORDER BY d)),
+             (p, q) -> p + q) AS fs$j""")
+      }.mkString(",\n             ")
+      s"""WITH daily AS ($dailyRevenueSql),
+         t AS (SELECT nation, d, c,
+             date_diff('day', DATE '1992-01-01', d) AS t
+           FROM daily),
+         sums AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_days,
+             $folds
+           FROM t GROUP BY 1),
+         p AS (SELECT nation, n_days,
+             fc1 * fc1 + fs1 * fs1 AS p1,
+             fc2 * fc2 + fs2 * fs2 AS p2,
+             fc3 * fc3 + fs3 * fs3 AS p3
+           FROM sums),
+         pt AS (SELECT nation, n_days, p1, p2, p3, p1 + p2 + p3 AS pt
+           FROM p)
+         SELECT nation, n_days,
+           round(((CASE WHEN p1 > 0 THEN -(p1 / pt) * ln(p1 / pt)
+               ELSE 0.0 END)
+             + (CASE WHEN p2 > 0 THEN -(p2 / pt) * ln(p2 / pt)
+               ELSE 0.0 END)
+             + (CASE WHEN p3 > 0 THEN -(p3 / pt) * ln(p3 / pt)
+               ELSE 0.0 END)) / ln(3.0), 6) AS spectral_entropy
+         FROM pt"""
+    },
+
+    "q476_horvitz_thompson" ->
+      """WITH o AS (SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+         FROM orders),
+         ly AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS y
+           FROM lineitem GROUP BY 1),
+         oy AS (SELECT o_orderkey, x,
+             CAST(coalesce(y, 0) AS BIGINT) AS y
+           FROM o LEFT JOIN ly ON o_orderkey = l_orderkey),
+         tot AS (SELECT CAST(sum(x) AS BIGINT) AS tx,
+             CAST(sum(y) AS BIGINT) AS ty FROM oy),
+         wp AS (SELECT o_orderkey, y,
+             least(1.0, 200.0 * CAST(x AS DOUBLE) / CAST(tx AS DOUBLE))
+               AS pi,
+             CAST(CAST(concat('0x', substr(md5(concat('ht_',
+               CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS u,
+             ty
+           FROM oy CROSS JOIN tot),
+         sampled AS (SELECT * FROM wp WHERE u < pi)
+         SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(y AS DOUBLE) / pi ORDER BY o_orderkey)),
+             (p, q) -> p + q) AS ht_total,
+           CAST(max(ty) AS BIGINT) AS true_total,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(y AS DOUBLE) / pi ORDER BY o_orderkey)),
+             (p, q) -> p + q) / CAST(max(ty) AS DOUBLE) AS ht_ratio
+         FROM sampled""",
   )
 
   /** q412's trig basis as a CASE over the day index mod p — rendered

@@ -3600,28 +3600,7 @@ private[graft] object QueriesStats {
         .select(substring(cents.cast("string"), 1, 1).cast("int")
           .as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-      import s.implicits._
-      val grid = (1 to 9).map(d =>
-        (d, QueryDsl.benfordExpected(d - 1))).toDF("digit", "p_expected")
-      val dense = grid.join(obs, Seq("digit"), "left")
-        .select(col("digit"), col("p_expected"),
-          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-        .localCheckpoint()
-      val tot = dense.agg(sum(col("n_obs")).as("nn"))
-      val term = {
-        val e = col("nn").cast("double") * col("p_expected")
-        (col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e
-      }
-      val chi = dense.crossJoin(broadcast(tot))
-        .agg(aggregate(array_sort(collect_list(struct(col("digit"),
-          term.as("t")))), lit(0.0), (acc, e) => acc + e.getField("t"))
-          .as("chi2"))
-      dense.crossJoin(broadcast(tot)).crossJoin(broadcast(chi))
-        .select(col("digit"), col("n_obs"),
-          round(col("p_expected"), 6).as("p_expected"),
-          round(col("n_obs").cast("double") / col("nn").cast("double"), 6)
-            .as("obs_share"),
-          round(col("chi2"), 6).as("chi2"))
+      benfordFinish(obs)
     }),
 
     "q446_hhi" -> ((s, dir) => {
@@ -3643,16 +3622,7 @@ private[graft] object QueriesStats {
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("n_name").as("nation"), col("yr"), col("p_brand"))
         .agg(sum(col("r")).as("rev"))
-      val tot = cell.groupBy(col("nation"), col("yr"))
-        .agg(sum(col("rev")).as("trev"))
-      val sh = col("rev").cast("double") / col("trev").cast("double")
-      cell.join(tot, Seq("nation", "yr"))
-        .withColumn("s2", sh * sh)
-        .groupBy(col("nation"), col("yr"))
-        .agg(count(lit(1)).as("n_brands"),
-          round(lit(10000.0) * aggregate(
-            array_sort(collect_list(struct(col("p_brand"), col("s2")))),
-            lit(0.0), (acc, e) => acc + e.getField("s2")), 4).as("hhi"))
+      hhiFinish(cell)
     }),
 
     "q459_isotonic_calibration" -> ((s, dir) => {
@@ -3816,7 +3786,315 @@ private[graft] object QueriesStats {
           round(when(col("vv") > 0, col("oe") * col("oe") / col("vv")), 6)
             .as("chi2"))
     }),
+
+    // ── Structural-break / robust-trend tier (q468/q472–q474, round 11) ─
+
+    "q468_cusum_squares" -> ((s, dir) => {
+      // CUSUM-of-squares variance-changepoint statistic over the daily
+      // revenue grid (Brown–Durbin–Evans): D_t = S_t/S_N − t/N where
+      // S_t = Σ_{i≤t} x_i², argmax |D_t| locates the variance break —
+      // the second-moment sibling of q191's mean-CUSUM. x² rides
+      // DECIMAL(38,0) (x ~ 3e9 cents at sf1 overflows an INT64 square,
+      // the q366 lesson applied at design time); the cumulative is the
+      // triangular bandedRankCum, never a global window; D_t is two
+      // exact-integer divisions, so max/argmax agree bit-for-bit.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+        .withColumn("x2",
+          col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t", Seq(("x2", "cum2")))
+        .localCheckpoint()
+      val tot = idx.agg(max(col("t")).as("nn"), sum(col("x2")).as("ss"))
+      def d(c: String): Column = col(c).cast("double")
+      val dt = idx.crossJoin(broadcast(tot))
+        .withColumn("dstat", d("cum2") / d("ss") - d("t") / d("nn"))
+      dt.agg(max(struct(abs(col("dstat")).as("a"), (-col("t")).as("negt")))
+          .as("b"), max(col("nn")).as("n_days"))
+        .select(col("n_days"), (-col("b.negt")).as("split_t"),
+          col("b.a").as("max_cusum_sq"))
+    }),
+
+    "q472_breusch_pagan" -> ((s, dir) => {
+      // Breusch–Pagan heteroscedasticity test on the monthly-revenue
+      // trend OLS: residuals² regressed back on the month index, LM =
+      // n·R². The primary OLS coefficients come from EXACT integer
+      // moments (t is the dense month rank, y exact cents); residuals
+      // and their squares are identical IEEE chains both engines, the
+      // auxiliary sums fold in month order, and every output is a ratio
+      // of fold sums — off any grid, emitted unrounded.
+      val m = tbl(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("y"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(m, Seq(("month", true)), "t")
+        .localCheckpoint()
+      def d(c: String): Column = col(c).cast("double")
+      val mom = idx.agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"), sum(col("y")).as("sy"),
+        sum(col("t").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .as("sty"))
+      val withB = idx.crossJoin(broadcast(mom))
+        .withColumn("b", (d("n") * d("sty") - d("st") * d("sy"))
+          / (d("n") * d("stt") - d("st") * d("st")))
+        .withColumn("a", (d("sy") - col("b") * d("st")) / d("n"))
+        .withColumn("g", (d("y") - col("a") - col("b") * d("t"))
+          * (d("y") - col("a") - col("b") * d("t")))
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("t"), w.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      withB.groupBy(col("n"), col("st"), col("stt"))
+        .agg(fold(col("g"), "a").as("sg"),
+          fold(col("g") * d("t"), "b").as("sgt"),
+          fold(col("g") * col("g"), "c").as("sgg"))
+        .select(col("n").as("n_months"),
+          (col("n").cast("double") *
+            (d("n") * col("sgt") - d("st") * col("sg")) *
+            (d("n") * col("sgt") - d("st") * col("sg")) /
+            ((d("n") * d("stt") - d("st") * d("st")) *
+              (d("n") * col("sgg") - col("sg") * col("sg"))))
+            .as("bp_lm"))
+    }),
+
+    "q473_cvm_weekday" -> ((s, dir) => {
+      // Two-sample Cramér–von Mises on the weekday grid: per nation,
+      // how far the nation's order-weekday CDF sits from the corpus's,
+      // T = Σ_j w_j (F1_j − F2_j)² with w_j the pooled weekday share —
+      // the cumulative-shape sibling of q324's χ² (χ² sees cell
+      // mismatch, CvM sees where in the week the mass shifts). The grid
+      // is 7 exact-integer cells; cumulatives and ratios are identical
+      // IEEE chains, folded in weekday order, emitted unrounded.
+      val o = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          pmod(datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1970-01-01"))), lit(7)).as("w"))
+      val cells = o.groupBy(col("nation"), col("w"))
+        .agg(count(lit(1)).as("c1")).localCheckpoint()
+      val corp = cells.groupBy(col("w")).agg(sum(col("c1")).as("cc"))
+      val grid = cells.select(col("nation")).distinct()
+        .crossJoin(corp)
+        .join(cells, Seq("nation", "w"), "left")
+        .select(col("nation"), col("w"), col("cc"),
+          coalesce(col("c1"), lit(0L)).as("c1"))
+      val n1 = grid.groupBy(col("nation")).agg(sum(col("c1")).as("n1"))
+      val nc = grid.agg(sum(col("cc")).as("nc")).localCheckpoint()
+      def d(c: Column): Column = c.cast("double")
+      val withCum = grid
+        .withColumn("f1", sum(col("c1")).over(
+          Window.partitionBy(col("nation")).orderBy(col("w"))))
+        .withColumn("fc", sum(col("cc")).over(
+          Window.partitionBy(col("nation")).orderBy(col("w"))))
+      val terms = withCum.join(n1, Seq("nation")).crossJoin(broadcast(nc))
+        .select(col("nation"), col("n1"), col("w"),
+          ((d(col("f1")) / d(col("n1")) - d(col("fc")) / d(col("nc")))
+            * (d(col("f1")) / d(col("n1")) - d(col("fc")) / d(col("nc")))
+            * (d(col("c1")) + d(col("cc")))
+            / (d(col("n1")) + d(col("nc")))).as("tm"))
+      terms.groupBy(col("nation"), col("n1"))
+        .agg(aggregate(array_sort(collect_list(struct(col("w"),
+          col("tm").as("tm")))), lit(0.0),
+          (acc, e) => acc + e.getField("tm")).as("cvm"))
+        .select(col("nation"), col("n1").as("n_orders"), col("cvm"))
+    }),
+
+    "q474_siegel_slopes" -> ((s, dir) => {
+      // Siegel repeated-median trend on monthly revenue: per month the
+      // MEDIAN of its pairwise slopes to every other month, then the
+      // median of those medians — breakdown point 50%, the robust
+      // sibling of q276's Theil–Sen (median of ALL pairs, 29%). The
+      // month grid is calendar-bounded (~84 points ⇒ ~7k pairs); slopes
+      // are exact-int divisions; medians are the shared interpolated
+      // percentile both engines implement identically up to
+      // interpolation op order, so the outputs round at 4 dp (slope
+      // values are off any decimal grid — the safe-ratio class).
+      val m = tbl(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("y"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(m, Seq(("month", true)), "t")
+        .select(col("t"), col("y")).localCheckpoint()
+      val slopes = idx.as("a").join(idx.as("b"), col("a.t") =!= col("b.t"))
+        .select(col("a.t").as("i"),
+          ((col("b.y") - col("a.y")).cast("double")
+            / (col("b.t") - col("a.t")).cast("double")).as("s"))
+      val med = slopes.groupBy(col("i"))
+        .agg(expr("percentile(s, 0.5)").as("mi"))
+      med.agg(count(lit(1)).as("n_months"),
+          expr("percentile(mi, 0.5)").as("m"))
+        .select(col("n_months"), round(col("m"), 4).as("siegel_slope"))
+    }),
+
+    "q477_jackknife_ratio" -> ((s, dir) => {
+      // Delete-one-group jackknife variance of the corpus revenue-per-
+      // order ratio, groups = the 25 nations: θ̂ = Σr/Σn, 25 leave-one-
+      // nation-out replicates θ̂_(i), SE² = (g−1)/g · Σ(θ̂_(i) − θ̄)².
+      // The survey-statistics variance face: per-nation sums are exact
+      // integers, every replicate is one division of exact differences,
+      // and the replicate folds run in nation order — the whole
+      // statistic is g-bounded after one map-combinable pass.
+      val g = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("r"), count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = g.agg(sum(col("r")).as("tr"), sum(col("n")).as("tn"),
+        count(lit(1)).as("gg"))
+      def d(c: String): Column = col(c).cast("double")
+      val reps = g.crossJoin(broadcast(tot))
+        .select(col("nation"), col("gg"),
+          ((d("tr") - d("r")) / (d("tn") - d("n"))).as("th"))
+      def fold(w: Column, nm: String) =
+        aggregate(array_sort(collect_list(struct(col("nation"), w.as(nm)))),
+          lit(0.0), (acc, e) => acc + e.getField(nm))
+      reps.groupBy(col("gg"))
+        .agg(fold(col("th"), "a").as("sth"),
+          fold(col("th") * col("th"), "b").as("sth2"))
+        .crossJoin(broadcast(tot.select((d("tr") / d("tn")).as("theta"))))
+        .select(col("gg").as("n_groups"), col("theta"),
+          ((col("gg").cast("double") - lit(1.0)) / col("gg").cast("double")
+            * (col("sth2") - col("sth") * col("sth")
+              / col("gg").cast("double"))).as("jk_var"))
+    }),
+
+    "q481_mmd_rbf" -> ((s, dir) => {
+      // Kernel maximum-mean-discrepancy between the two lexicographic-
+      // first sources' document-length distributions, RBF kernel on 64
+      // integer length bands: MMD² = K̄xx + K̄yy − 2K̄xy. Banding first
+      // bounds the kernel grid at 64² pairs regardless of corpus size
+      // (the q456 value-domain discipline); band counts are exact
+      // integers; the kernel k ∈ [0,1] is the one libm (exp) step, so
+      // it rounds to 6 dp BEFORE multiplying by the exact count product
+      // (the q194 contract), and the three sums fold in (band, band)
+      // order. h = one band width, a shared literal.
+      val d0 = tbl(s, dir, "documents").select(col("source"), col("n_chars"))
+      val two = d0.select(col("source")).distinct()
+        .orderBy(col("source")).limit(2).localCheckpoint()
+      val mx = d0.agg(max(col("n_chars")).as("mx"))
+      def dd(c: String): Column = col(c).cast("double")
+      val banded = d0.join(broadcast(two), Seq("source"))
+        .crossJoin(broadcast(mx))
+        .select(col("source"),
+          least(floor(col("n_chars") * lit(64) / (col("mx") + lit(1))),
+            lit(63L)).cast("long").as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val pair = banded.as("a").join(banded.as("b"), lit(true))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          col("a.b").as("ba"), col("b.b").as("bb"),
+          (col("a.c") * col("b.c")).as("cc"),
+          round(exp((col("a.b") - col("b.b")).cast("double")
+            * (col("a.b") - col("b.b")).cast("double") * lit(-0.5)
+            / lit(16.0)), 6).as("k"))
+      def fold(df: DataFrame, nm: String) =
+        df.agg(aggregate(array_sort(collect_list(struct(col("ba"),
+          col("bb"), (col("k") * col("cc").cast("double")).as("t")))),
+          lit(0.0), (acc, e) => acc + e.getField("t")).as(nm),
+          sum(col("cc")).as(nm + "_n"))
+      val srcs = two.orderBy(col("source")).collect().map(_.getString(0))
+      val (s1, s2) = (srcs(0), srcs(1))
+      val kxx = fold(pair.filter(col("sa") === s1 && col("sb") === s1), "kxx")
+      val kyy = fold(pair.filter(col("sa") === s2 && col("sb") === s2), "kyy")
+      val kxy = fold(pair.filter(col("sa") === s1 && col("sb") === s2), "kxy")
+      kxx.crossJoin(kyy).crossJoin(kxy)
+        .select(lit(s1).as("source_a"), lit(s2).as("source_b"),
+          (col("kxx") / dd("kxx_n") + col("kyy") / dd("kyy_n")
+            - lit(2.0) * col("kxy") / dd("kxy_n")).as("mmd2"))
+    }),
+
+    "q483_seasonal_mk" -> ((s, dir) => {
+      // Seasonal Mann–Kendall trend test on daily revenue: the MK
+      // S-statistic computed WITHIN each weekday subseries (so the
+      // weekly cycle can't masquerade as trend — the seasonal fix to
+      // q311's plain MK), summed across the 7 seasons with the exact
+      // integer variance Σ n_w(n_w−1)(2n_w+5)/18. Pairs are triangular
+      // joins inside each calendar-bounded weekday subseries; z is one
+      // division over an IEEE sqrt of exact integers.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+        .withColumn("w", pmod(datediff(col("day"),
+          to_date(lit("1970-01-01"))), lit(7)))
+        .localCheckpoint()
+      val sPer = daily.as("a").join(daily.as("b"),
+          col("a.w") === col("b.w") && col("a.day") < col("b.day"))
+        .groupBy(col("a.w").as("w"))
+        .agg(sum(when(col("b.x") > col("a.x"), 1L)
+          .when(col("b.x") < col("a.x"), -1L).otherwise(0L)).as("sw"))
+      val nPer = daily.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      val agg_ = sPer.join(nPer, Seq("w"))
+        .agg(sum(col("sw")).as("s"),
+          sum(col("nw") * (col("nw") - 1) * (col("nw") * 2 + 5)).as("v18"),
+          sum(col("nw")).as("n_days"))
+      def d(c: String): Column = col(c).cast("double")
+      agg_.select(col("n_days"), col("s").as("s_stat"),
+        (when(col("s") > 0, (d("s") - lit(1.0)))
+          .when(col("s") < 0, (d("s") + lit(1.0)))
+          .otherwise(lit(0.0))
+          / sqrt(d("v18") / lit(18.0))).as("z"))
+    }),
   )
+
+  /** q446's finishing math over a (nation, yr, p_brand, rev) cell
+    * table: shares, brand-ordered Σshare² fold, ×10⁴, 4-dp round.
+    * Shared VERBATIM by the streaming HHI monitor
+    * ([[graft.streaming.StreamingHhi]]), so converged counters
+    * reproduce the batch rows bit for bit (the weightedJaccardFinish
+    * discipline).
+    */
+  private[graft] def hhiFinish(cell: DataFrame): DataFrame = {
+    val tot = cell.groupBy(col("nation"), col("yr"))
+      .agg(sum(col("rev")).as("trev"))
+    val sh = col("rev").cast("double") / col("trev").cast("double")
+    cell.join(tot, Seq("nation", "yr"))
+      .withColumn("s2", sh * sh)
+      .groupBy(col("nation"), col("yr"))
+      .agg(count(lit(1)).as("n_brands"),
+        round(lit(10000.0) * aggregate(
+          array_sort(collect_list(struct(col("p_brand"), col("s2")))),
+          lit(0.0), (acc, e) => acc + e.getField("s2")), 4).as("hhi"))
+  }
+
+  /** q445's finishing math over a (digit, n_obs) table: dense 1–9 grid
+    * with QueryDsl.benfordExpected literals, digit-ordered χ² fold.
+    * Shared VERBATIM by [[graft.streaming.StreamingBenford]].
+    */
+  private[graft] def benfordFinish(obs: DataFrame): DataFrame = {
+    val s = obs.sparkSession
+    import s.implicits._
+    val grid = (1 to 9).map(d =>
+      (d, QueryDsl.benfordExpected(d - 1))).toDF("digit", "p_expected")
+    val dense = grid.join(obs, Seq("digit"), "left")
+      .select(col("digit"), col("p_expected"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .localCheckpoint()
+    val tot = dense.agg(sum(col("n_obs")).as("nn"))
+    val term = {
+      val e = col("nn").cast("double") * col("p_expected")
+      (col("n_obs").cast("double") - e) * (col("n_obs").cast("double") - e) / e
+    }
+    val chi = dense.crossJoin(broadcast(tot))
+      .agg(aggregate(array_sort(collect_list(struct(col("digit"),
+        term.as("t")))), lit(0.0), (acc, e) => acc + e.getField("t"))
+        .as("chi2"))
+    dense.crossJoin(broadcast(tot)).crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        round(col("p_expected"), 6).as("p_expected"),
+        round(col("n_obs").cast("double") / col("nn").cast("double"), 6)
+          .as("obs_share"),
+        round(col("chi2"), 6).as("chi2"))
+  }
 
   /** Per-customer lifetime rows for the survival tier: (ck, t = days
     * first→last order, ev = 1 when churned / 0 when right-censored —

@@ -2605,5 +2605,137 @@ private[graft] object QueriesText {
         .select(col("lang"), col("rk"), col("term"), col("n_in_lang"),
           round(col("chi2"), 4).as("chi2"))
     }),
+
+    // ── Readability / intra-doc-structure tier (round 11) ───────────────
+
+    "q475_readability_suite" -> ((s, dir) => {
+      // The three classic readability indexes q326's Flesch face left
+      // out, per source: Gunning fog (0.4·(W/S + 100·C/W)), SMOG
+      // (1.043·√(C·30/S) + 3.1291), ARI (4.71·L/W + 0.5·W/S − 21.43) —
+      // words/sentences/letters/complex-words are exact integer counts
+      // (complex = ≥3 [aeiouy]+ vowel groups, the q326 syllable
+      // heuristic applied per word), every index one fixed float
+      // formula; √ is IEEE-exact, so the 4-dp rounds sit on
+      // off-grid ratios (safe class).
+      val words = tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .as("w"))
+        .select(col("source"), col("doc_id"),
+          length(col("w")).as("wl"),
+          (size(expr("regexp_extract_all(w, '[aeiouy]+', 0)")) >= 3)
+            .cast("long").as("cx"))
+      val perDoc = words.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("nw"), sum(col("wl")).as("nl"),
+          sum(col("cx")).as("nc"))
+      val sent = tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          greatest(lit(1),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)"))).as("ns"))
+      def d(c: String): Column = col(c).cast("double")
+      perDoc.join(sent, Seq("source", "doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tw"),
+          sum(col("nl")).as("tl"), sum(col("nc")).as("tc"),
+          sum(col("ns")).as("ts"))
+        .select(col("source"), col("n_docs"),
+          round(lit(0.4) * (d("tw") / d("ts")
+            + lit(100.0) * d("tc") / d("tw")), 4).as("gunning_fog"),
+          round(lit(1.043) * sqrt(d("tc") * lit(30.0) / d("ts"))
+            + lit(3.1291), 4).as("smog"),
+          round(lit(4.71) * d("tl") / d("tw")
+            + lit(0.5) * d("tw") / d("ts") - lit(21.43), 4).as("ari"))
+    }),
+
+    "q478_intra_doc_repeat" -> ((s, dir) => {
+      // Within-document repetition detector: the max multiplicity of
+      // any 8-token shingle INSIDE each doc — the loop/boilerplate
+      // signal q143's char-3-gram ratio approximates, measured exactly
+      // at phrase granularity (a doc whose top shingle repeats ≥3×
+      // is degenerate-generation shaped). Shingles collapse per
+      // (doc, gram) in one map-combinable pass — gram-bounded, never
+      // doc²; the output is the per-source histogram of repeat levels.
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          posexplode(graft.functions.Text.tokens(lower(col("text"))))
+            .as(Seq("pos", "tok")))
+      val grams = toks
+        .withColumn("g8", concat_ws(" ",
+          (0 until 8).map(k => lead(col("tok"), k).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos")))): _*))
+        .filter(size(split(col("g8"), " ")) === 8)
+      val rep = grams.groupBy(col("source"), col("doc_id"), col("g8"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(max(col("m")).as("max_rep"))
+      rep.groupBy(col("source"),
+          least(col("max_rep"), lit(4L)).as("rep_level"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("rep_level"), col("n_docs"))
+    }),
+
+    "q479_ttr_curve" -> ((s, dir) => {
+      // Type-token-ratio curve at fixed prefix budgets (50/100/200
+      // tokens) per source: TTR falls with length (Heaps), so
+      // same-budget TTRs are the comparable lexical-diversity numbers
+      // (q151's MATTR cousin on prefix windows). Positions come from
+      // one posexplode; distinct types per (doc, budget) collapse
+      // map-side; ratios of exact integers, averaged per source over
+      // the doc-ordered fold.
+      val toks = tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          posexplode(graft.functions.Text.tokens(lower(col("text"))))
+            .as(Seq("pos", "tok")))
+        .localCheckpoint()
+      import s.implicits._
+      val budgets = Seq(50, 100, 200).toDF("budget")
+      val pref = toks.join(broadcast(budgets), col("pos") < col("budget"))
+      val perDoc = pref.groupBy(col("source"), col("doc_id"), col("budget"))
+        .agg(countDistinct(col("tok")).as("types"),
+          count(lit(1)).as("toks"))
+        .filter(col("toks") === col("budget"))
+      def d(c: String): Column = col(c).cast("double")
+      perDoc.groupBy(col("source"), col("budget"))
+        .agg(count(lit(1)).as("n_docs"),
+          (aggregate(array_sort(collect_list(struct(col("doc_id"),
+            (d("types") / d("toks")).as("t")))), lit(0.0),
+            (acc, x) => acc + x.getField("t")) / count(lit(1)))
+            .as("mean_ttr"))
+        .select(col("source"), col("budget"), col("n_docs"),
+          col("mean_ttr"))
+    }),
+
+    "q480_bhattacharyya" -> ((s, dir) => {
+      // Bhattacharyya coefficient/distance between each source's
+      // document-length distribution and the corpus's, on the shared
+      // 64-band integer grid (the q481 banding): BC = Σ√(p_j q_j),
+      // BD = −ln BC. √ is IEEE-exact so the per-band terms are
+      // identical doubles; they fold in band order; the one libm step
+      // (ln) runs once on the final coefficient, guarded by the 6-dp
+      // round.
+      val d0 = tbl(s, dir, "documents").select(col("source"), col("n_chars"))
+      val mx = d0.agg(max(col("n_chars")).as("mx"))
+      val banded = d0.crossJoin(broadcast(mx))
+        .select(col("source"),
+          least(floor(col("n_chars") * lit(64) / (col("mx") + lit(1))),
+            lit(63L)).cast("long").as("b"))
+        .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val corp = banded.groupBy(col("b")).agg(sum(col("c")).as("cc"))
+      val nsrc = banded.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+      val nall = banded.agg(sum(col("c")).as("na"))
+      def d(c: String): Column = col(c).cast("double")
+      val terms = banded.join(corp, Seq("b")).join(nsrc, Seq("source"))
+        .crossJoin(broadcast(nall))
+        .select(col("source"), col("ns"), col("b"),
+          sqrt((d("c") / d("ns")) * (d("cc") / d("na"))).as("t"))
+      terms.groupBy(col("source"), col("ns"))
+        .agg(aggregate(array_sort(collect_list(struct(col("b"),
+          col("t").as("t")))), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("bc"))
+        .select(col("source"), col("ns").as("n_docs"),
+          col("bc").as("bhattacharyya_coef"),
+          round(-log(col("bc")), 6).as("bhattacharyya_dist"))
+    }),
   )
 }

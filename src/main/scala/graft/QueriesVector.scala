@@ -1619,6 +1619,153 @@ private[graft] object QueriesVector {
             (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6)
             .as("centroid_l2"))
     }),
+
+    // ── Graph link-prediction / clusterability tier (round 11) ──────────
+
+    "q469_adamic_adar" -> ((s, dir) => {
+      // Adamic–Adar link prediction on the co-purchase graph: for every
+      // non-adjacent pair sharing ≥1 neighbor, AA = Σ_z 1/ln(deg z)
+      // over common neighbors — the degree-weighted upgrade of q179's
+      // common-neighbors/Jaccard scores (a shared hub says less than a
+      // shared specialist). The wedge stream rides the width-capped
+      // edge list (scaledMaxWidth construction); 1/ln(deg) is the one
+      // libm step, rounded to the 9-dp term grid before the z-ordered
+      // fold (the q194 contract); top-20 by (aa desc, a, b).
+      val e0 = copurchaseEdges(s, dir).localCheckpoint()
+      val und = e0.select(col("pa").as("u"), col("pb").as("v"))
+        .union(e0.select(col("pb").as("u"), col("pa").as("v")))
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      // dg >= 2: a degree-1 hub can't close a wedge anyway, and 1/ln(1)
+      // would be an IEEE infinity — filter on the exact integer, never
+      // on the float.
+      val wz = und.join(broadcast(deg), Seq("u"))
+        .filter(col("dg") >= 2)
+        .select(col("u").as("z"), col("v").as("n"),
+          round(lit(1.0) / log(col("dg").cast("double")), 9).as("w"))
+      val cand = wz.as("a").join(wz.as("b"),
+          col("a.z") === col("b.z") && col("a.n") < col("b.n"))
+        .select(col("a.n").as("a"), col("b.n").as("b"),
+          col("a.z").as("z"), col("a.w").as("w"))
+        .join(e0, col("a") === col("pa") && col("b") === col("pb"),
+          "left_anti")
+      val aa = cand.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_common"),
+          aggregate(array_sort(collect_list(struct(col("z"),
+            col("w").as("w")))), lit(0.0),
+            (acc, x) => acc + x.getField("w")).as("aa"))
+      aa.orderBy(col("aa").desc, col("a"), col("b")).limit(20)
+        .select(col("a"), col("b"), col("n_common"), col("aa"))
+    }),
+
+    "q470_local_clustering" -> ((s, dir) => {
+      // Local clustering coefficient per node on the co-purchase graph:
+      // lcc(v) = 2·t(v)/(deg(v)·(deg(v)−1)) where t(v) = closed wedges
+      // through v — the per-node sibling of q108's global triangle
+      // count (which answers "how many", this answers "where is the
+      // graph locally dense"). Wedge pairs semi-join against the edge
+      // set; every count is an exact integer, lcc one division. Top-20
+      // by (lcc desc, node) among deg ≥ 2 nodes.
+      val e0 = copurchaseEdges(s, dir).localCheckpoint()
+      val und = e0.select(col("pa").as("u"), col("pb").as("v"))
+        .union(e0.select(col("pb").as("u"), col("pa").as("v")))
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      val wedges = und.as("a").join(und.as("b"),
+          col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+        .select(col("a.u").as("ctr"), col("a.v").as("x"), col("b.v").as("y"))
+      val closed = wedges.join(e0,
+          col("x") === col("pa") && col("y") === col("pb"), "left_semi")
+        .groupBy(col("ctr")).agg(count(lit(1)).as("tri"))
+      deg.filter(col("dg") >= 2)
+        .join(closed, col("u") === col("ctr"), "left")
+        .select(col("u").as("node"), col("dg").as("degree"),
+          coalesce(col("tri"), lit(0L)).as("triangles"),
+          (coalesce(col("tri"), lit(0L)).cast("double") * lit(2.0)
+            / (col("dg") * (col("dg") - 1)).cast("double")).as("lcc"))
+        .orderBy(col("lcc").desc, col("node")).limit(20)
+    }),
+
+    "q471_hopkins" -> ((s, dir) => {
+      // Hopkins clusterability statistic over the embedding corpus:
+      // H = Σu/(Σu+Σw) where u_i = NN distance of m=16 synthetic
+      // uniform probes (per-dim min + unit-hash fraction × range —
+      // data-scaled but literal-seeded, replayable in SQL), w_i = NN
+      // distance of the m lowest-vec_id real vectors to any OTHER
+      // vector. H → 1 clustered, ½ random. Each probe is one broadcast
+      // row against a single n-linear scan (m·n distance evaluations,
+      // never n²); min-distances are exact struct-mins; the two sums
+      // fold in probe order.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint()
+      val dim = e.select(size(col("v"))).head().getInt(0)
+      val rng = e.select((0 until dim).map(i =>
+        min(element_at(col("v"), i + 1)).as(s"mn$i")) ++
+        (0 until dim).map(i =>
+          max(element_at(col("v"), i + 1)).as(s"mx$i")): _*)
+      import s.implicits._
+      val probes = (0 until 16).map { j =>
+        (j.toLong, (0 until dim).map(i => graft.plans.TextKernels.unitHash(
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(s"hop_${j}_$i"))))
+      }.toDF("pid", "fr")
+      val synth = probes.crossJoin(broadcast(rng))
+        .select(col("pid"), array((0 until dim).map(i =>
+          col(s"mn$i") + element_at(col("fr"), i + 1)
+            * (col(s"mx$i") - col(s"mn$i"))): _*).as("sv"))
+      def d2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val u = e.crossJoin(broadcast(synth))
+        .groupBy(col("pid")).agg(min(d2(col("sv"), col("v"))).as("du"))
+      val samp = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("sid"), col("v").as("svv"))
+      val w = e.crossJoin(broadcast(samp))
+        .filter(col("vec_id") =!= col("sid"))
+        .groupBy(col("sid")).agg(min(d2(col("svv"), col("v"))).as("dw"))
+      def fold(df: DataFrame, key: String, vc: String, nm: String) =
+        df.agg(aggregate(array_sort(collect_list(struct(col(key),
+          sqrt(col(vc)).as("t")))), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as(nm))
+      fold(u, "pid", "du", "su").crossJoin(fold(w, "sid", "dw", "sw"))
+        .select(lit(16L).as("m"),
+          (col("su") / (col("su") + col("sw"))).as("hopkins"))
+    }),
+
+    "q482_source_dispersion" -> ((s, dir) => {
+      // Semantic dispersion per embedding LABEL source-slice: mean
+      // squared distance to the slice centroid via the moment identity
+      // E|v−c|² = E|v|² − |c|² — no second pass over the data, both
+      // moments fold per (label, dim) exactly as q330's centroids (the
+      // within-slice diversity number a curation run reads next to the
+      // q431 drift check). |v|² folds per vector in vec_id order;
+      // centroids are dimension-ordered folds; the identity is pure
+      // IEEE arithmetic of identical doubles.
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+        .localCheckpoint()
+      val nsq = e.select(col("label"), col("vec_id"),
+        aggregate(col("v"), lit(0.0), (a, x) => a + x * x).as("n2"))
+      val en2 = nsq.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (aggregate(array_sort(collect_list(struct(col("vec_id"),
+            col("n2").as("n2")))), lit(0.0),
+            (acc, x) => acc + x.getField("n2"))
+            / count(lit(1))).as("en2"))
+      val cent = e.select(col("label"), col("vec_id"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg((aggregate(array_sort(collect_list(struct(col("vec_id"),
+          col("x")))), lit(0.0), (a, r) => a + r.getField("x"))
+          / count(lit(1))).as("c"))
+      val cn2 = cent.groupBy(col("label"))
+        .agg(aggregate(array_sort(collect_list(struct(col("dim"),
+          (col("c") * col("c")).as("c2")))), lit(0.0),
+          (acc, x) => acc + x.getField("c2")).as("cn2"))
+      en2.join(cn2, Seq("label"))
+        .select(col("label"), col("n_vecs"),
+          (col("en2") - col("cn2")).as("dispersion"))
+    }),
   )
 
   /** The ≥2-shared-orders part co-purchase edge list (pa < pb) — q211's

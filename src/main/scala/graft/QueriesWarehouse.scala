@@ -3851,6 +3851,91 @@ private[graft] object QueriesWarehouse {
           round(dp, 6).as("d_plus"), round(dm, 6).as("d_minus"),
           round(dm / (dp + dm), 6).as("topsis_closeness"))
     }),
+
+    // ── Spectral / design-based-sampling tier (q467/q476, round 11) ─────
+
+    "q467_spectral_entropy" -> ((s, dir) => {
+      // Spectral entropy of the weekly cycle per nation: power at the
+      // three distinct period-7 harmonics (j and 7−j alias, so j=1..3
+      // carries the whole discrete spectrum above DC), normalized to a
+      // distribution, H = −Σ p_j ln p_j / ln 3 ∈ [0,1] — 0 = one pure
+      // tone (a rigid weekly rhythm), 1 = flat (no weekly structure).
+      // The trig basis reuses QueryDsl.fourierWeights(7) indexed by
+      // (j·t) mod 7 — identical shared literals both engines, no libm
+      // trig anywhere (the q412 discipline); ln runs once per harmonic
+      // at the very end, guarded by the 6-dp output round.
+      val daily = dailyRevenue(s, dir)
+      def wcase(j: Int, which: Int) =
+        QueryDsl.fourierWeights(7).zipWithIndex.foldLeft(lit(0.0)) {
+          case (acc, ((cw, sw), k)) =>
+            when(pmod(col("t") * lit(j), lit(7)) === k,
+              lit(if (which == 0) cw else sw)).otherwise(acc)
+        }
+      val terms = daily
+        .withColumn("t",
+          datediff(col("d"), to_date(lit("1992-01-01"))).cast("long"))
+        .select(Seq(col("nation"), col("d")) ++ (1 to 3).flatMap { j =>
+          Seq((col("c").cast("double") * wcase(j, 0)).as(s"c$j"),
+            (col("c").cast("double") * wcase(j, 1)).as(s"s$j"))
+        }: _*)
+      def fold(cn: String) =
+        aggregate(array_sort(collect_list(struct(col("d"), col(cn)))),
+          lit(0.0), (a, e) => a + e.getField(cn))
+      val harmonicFolds = (1 to 3).flatMap { j =>
+        Seq(fold(s"c$j").as(s"fc$j"), fold(s"s$j").as(s"fs$j"))
+      }
+      val sums = terms.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_days"), harmonicFolds: _*)
+      val withP = sums
+        .withColumn("p1", col("fc1") * col("fc1") + col("fs1") * col("fs1"))
+        .withColumn("p2", col("fc2") * col("fc2") + col("fs2") * col("fs2"))
+        .withColumn("p3", col("fc3") * col("fc3") + col("fs3") * col("fs3"))
+        .withColumn("pt", col("p1") + col("p2") + col("p3"))
+      def ent(c: Column): Column =
+        when(c > 0, -(c / col("pt")) * log(c / col("pt"))).otherwise(lit(0.0))
+      withP.select(col("nation"), col("n_days"),
+        round((ent(col("p1")) + ent(col("p2")) + ent(col("p3")))
+          / log(lit(3.0)), 6).as("spectral_entropy"))
+    }),
+
+    "q476_horvitz_thompson" -> ((s, dir) => {
+      // Horvitz–Thompson total estimator under deterministic Poisson
+      // PPS sampling: π_i = min(1, m·x_i/Σx) with m = 200 (expected
+      // sample size), include order i iff its md5 unit hash < π_i —
+      // the content-stable inclusion rule (q130's split-by-hash
+      // property: an order's fate never changes as the corpus grows).
+      // HT total = Σ_sample x_i/π_i is unbiased; the output carries the
+      // exact true total beside it plus the realized sample size. π and
+      // the HT terms are identical IEEE chains of exact ints; the
+      // sample-term fold runs in orderkey order. The estimated total is
+      // the corpus LINEITEM count (y correlated with, but distinct
+      // from, the size measure x — a size-degenerate y would make every
+      // uncapped HT term the constant Σx/m).
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("x"))
+      val ly = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("y"))
+      val oy = o.join(ly, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val tot = oy.agg(sum(col("x")).as("tx"), sum(col("y")).as("ty"))
+      def d(c: String): Column = col(c).cast("double")
+      val withPi = oy.crossJoin(broadcast(tot))
+        .withColumn("pi", least(lit(1.0),
+          lit(200.0) * d("x") / d("tx")))
+        .withColumn("u", graft.plans.TextKernels.unitHashNative(
+          concat(lit("ht_"), col("o_orderkey").cast("string"))))
+        .filter(col("u") < col("pi"))
+      withPi.agg(count(lit(1)).as("n_sampled"),
+          aggregate(array_sort(collect_list(struct(col("o_orderkey"),
+            (d("y") / col("pi")).as("t")))), lit(0.0),
+            (acc, e) => acc + e.getField("t")).as("ht"),
+          max(col("ty")).as("true_total"))
+        .select(col("n_sampled"), col("ht").as("ht_total"),
+          col("true_total"),
+          (col("ht") / col("true_total").cast("double")).as("ht_ratio"))
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared

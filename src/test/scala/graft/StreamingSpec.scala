@@ -13,7 +13,7 @@ class StreamingSpec extends SparkSpec {
     * README said "31 faces" after the 32nd had landed — prose counts
     * rot, pinned counts don't).
     */
-  private val declaredFaceCount = 34
+  private val declaredFaceCount = 36
 
   test("README's streaming face count matches the declared registry") {
     val readme = new String(Files.readAllBytes(
@@ -1246,6 +1246,71 @@ class StreamingSpec extends SparkSpec {
       .rollup(spark.createDataset(last.values.asScala.toSeq).toDF())
       .collect().map(_.toString).toSet
     val declared = SparkEntry.queries("q394_weighted_jaccard")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
+
+  test("streaming HHI: shuffled arrival converges to the q446 rows exactly") {
+    // 35th face: commutative revenue-cent counters per (nation, yr,
+    // brand); the rollup is the LITERAL q446 finish (hhiFinish), so
+    // converged state == the declared batch rows.
+    import graft.streaming.StreamingHhi
+    import graft.streaming.StreamingHhi.{RevCell, RevEv}
+    val evs = StreamingHhi.fromTables(spark, sfDir).collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[RevEv]
+    val last =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int, String), RevCell]()
+    val q = StreamingHhi.counters(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[RevCell], _: Long) =>
+        df.collect().foreach(r => last.put((r.nation, r.yr, r.brand), r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingHhi
+      .rollup(spark.createDataset(last.values.asScala.toSeq).toDF())
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q446_hhi")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    assert(rollup == declared && declared.nonEmpty)
+  }
+
+  test("streaming Benford: shuffled arrival converges to the q445 audit exactly") {
+    // 36th face: nine commutative digit counters; rollup == q445's
+    // finish (benfordFinish) — live fraud screening equals the batch
+    // audit bit for bit at convergence.
+    import graft.streaming.StreamingBenford
+    import graft.streaming.StreamingBenford.{DigitCount, DigitEv}
+    val evs = StreamingBenford.fromTables(spark, sfDir).collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DigitEv]
+    val last = new java.util.concurrent.ConcurrentHashMap[Int, DigitCount]()
+    val q = StreamingBenford.counters(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[DigitCount], _: Long) =>
+        df.collect().foreach(r => last.put(r.digit, r)); ()
+      }
+      .start()
+    scala.util.Random.shuffle(evs.toSeq)
+      .grouped(math.max(1, evs.length / 4 + 1)).foreach { ch =>
+        mem.addData(ch); q.processAllAvailable()
+      }
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rollup = StreamingBenford
+      .rollup(spark.createDataset(last.values.asScala.toSeq).toDF())
+      .collect().map(_.toString).toSet
+    val declared = SparkEntry.queries("q445_benford")(spark, sfDir)
       .collect().map(_.toString).toSet
     assert(rollup == declared && declared.nonEmpty)
   }
