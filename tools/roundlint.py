@@ -87,6 +87,7 @@ AUDITED = {
     "q392_record_counts": "safe-ratio: record_ratio = int/fold-sum (expected unrounded)",
     "q427_bradley_terry": "safe-ratio: bt_score = p/sum(p)",
     "q433_topsis": "safe-ratio: sqrt distances and dm/(dp+dm) are off-grid",
+    "q436_topsis_kmv": "safe-ratio: same TOPSIS shape as q433 (sketch-faced twin)",
 }
 
 BLOCK_RE = re.compile(r'"(q\d+[a-z0-9_]*)"\s*->\s*\(\(s, dir\)')
