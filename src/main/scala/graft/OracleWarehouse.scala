@@ -2304,15 +2304,15 @@ private[graft] object OracleWarehouse {
              CAST(sum(e1) AS BIGINT) AS t1
            FROM nb),
          terms AS (SELECT nation, nb.p_brand, e0, e1,
-             round(CAST(e0 AS DOUBLE)
-               * (CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) - 1.0), 6) AS tn,
-             round(CAST(e0 AS DOUBLE)
+             CAST(e0 AS DOUBLE)
+               * (CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) - 1.0) AS tn,
+             CAST(e0 AS DOUBLE)
                * ((CAST(b1 AS DOUBLE) / CAST(b0 AS DOUBLE) - 1.0)
-                 - (CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) - 1.0)), 6)
+                 - (CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) - 1.0))
                AS tm,
-             round(CAST(e0 AS DOUBLE)
+             CAST(e0 AS DOUBLE)
                * ((CAST(e1 AS DOUBLE) / CAST(e0 AS DOUBLE) - 1.0)
-                 - (CAST(b1 AS DOUBLE) / CAST(b0 AS DOUBLE) - 1.0)), 6)
+                 - (CAST(b1 AS DOUBLE) / CAST(b0 AS DOUBLE) - 1.0))
                AS tc
            FROM nb JOIN br USING (p_brand) CROSS JOIN tot)
          SELECT nation, CAST(sum(e0) AS BIGINT) AS e0_cents,

@@ -3439,12 +3439,18 @@ private[graft] object QueriesWarehouse {
       val gAll = col("t1").cast("double") / col("t0").cast("double") - lit(1.0)
       val gBr = col("b1").cast("double") / col("b0").cast("double") - lit(1.0)
       val gNb = col("e1").cast("double") / col("e0").cast("double") - lit(1.0)
+      // Unrounded terms (the r11 sf10 sweep find): at sf10 a term
+      // reaches ~1e9 where ulp ≈ 2.4e-7 — ON the 6-dp rounding's
+      // decision edge, and one of the 625 cells rounded differently
+      // across engines (the q294 step-round mechanism). The terms are
+      // pure IEEE products of exact ints by exact-int ratios — no libm
+      // anywhere — so they are bit-identical WITHOUT any round.
       val terms = nb.join(broadcast(br), Seq("p_brand"))
         .crossJoin(broadcast(tot))
         .select(col("nation"), col("p_brand"), col("e0"), col("e1"),
-          round(col("e0").cast("double") * gAll, 6).as("tn"),
-          round(col("e0").cast("double") * (gBr - gAll), 6).as("tm"),
-          round(col("e0").cast("double") * (gNb - gBr), 6).as("tc"))
+          (col("e0").cast("double") * gAll).as("tn"),
+          (col("e0").cast("double") * (gBr - gAll)).as("tm"),
+          (col("e0").cast("double") * (gNb - gBr)).as("tc"))
       def fold(cn: String) =
         aggregate(array_sort(collect_list(struct(col("p_brand"), col(cn)))),
           lit(0.0), (a, e) => a + e.getField(cn))
