@@ -3196,7 +3196,7 @@ private[graft] object OracleStats {
            LEFT JOIN cells ON cells.nation = n.nation AND cells.w = corp.w),
          n1 AS (SELECT nation, CAST(sum(c1) AS BIGINT) AS n1
            FROM grid GROUP BY 1),
-         nc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM grid),
+         nc AS (SELECT CAST(sum(cc) AS BIGINT) AS nc FROM corp),
          wc AS (SELECT nation, w, c1, cc,
              CAST(sum(c1) OVER (PARTITION BY nation ORDER BY w) AS BIGINT)
                AS f1,

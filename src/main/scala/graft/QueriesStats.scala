@@ -3884,7 +3884,10 @@ private[graft] object QueriesStats {
         .select(col("nation"), col("w"), col("cc"),
           coalesce(col("c1"), lit(0L)).as("c1"))
       val n1 = grid.groupBy(col("nation")).agg(sum(col("c1")).as("n1"))
-      val nc = grid.agg(sum(col("cc")).as("nc")).localCheckpoint()
+      // nc is the pooled corpus total: sum the weekday MARGINAL (corp),
+      // not the per-nation grid — the grid repeats each cc once per
+      // nation, which would inflate nc by #nations and collapse F2.
+      val nc = corp.agg(sum(col("cc")).as("nc")).localCheckpoint()
       def d(c: Column): Column = c.cast("double")
       val withCum = grid
         .withColumn("f1", sum(col("c1")).over(

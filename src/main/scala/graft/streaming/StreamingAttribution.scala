@@ -48,20 +48,19 @@ object StreamingAttribution extends Serializable {
         state: GroupState[AttState]): AttRow = {
       var s = state.getOption.getOrElse(AttState(null, null, 0.0, false))
       val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
-      // Ordered-arrival state guard (r11 drill): a slice carrying an
-      // event at-or-before the last folded (us, event_id) means a
-      // cross-batch replay/out-of-order feed — the fold's answer would
-      // be silently wrong, so FAIL LOUDLY instead (the streaming analog
-      // of the NOT_CONVERGED poison row).
-      sorted.headOption.foreach { h =>
+      // Ordered-arrival state guard (r11 drill, per-EVENT since r12):
+      // an event at-or-before the last folded (us, event_id) means a
+      // cross-batch replay/out-of-order feed — or an exact duplicate
+      // inside the slice, which sort would hide from a head-only check —
+      // the fold's answer would be silently wrong, so FAIL LOUDLY
+      // (the streaming analog of the NOT_CONVERGED poison row).
+      sorted.foreach { e =>
         if (s.lastUs != Long.MinValue &&
-            Ordering[(Long, Long)].lteq((h.us, h.event_id), (s.lastUs, s.lastEid)))
+            Ordering[(Long, Long)].lteq((e.us, e.event_id), (s.lastUs, s.lastEid)))
           throw new IllegalStateException(
             s"ordered-arrival contract violated for user $user: event " +
-              s"(us=${h.us}, id=${h.event_id}) arrived after state had " +
+              s"(us=${e.us}, id=${e.event_id}) arrived after state had " +
               s"folded (us=${s.lastUs}, id=${s.lastEid})")
-      }
-      sorted.foreach { e =>
         if (!s.converted) {
           if (s.first_ch == null) s = s.copy(first_ch = e.event_type)
           if (e.event_type == "purchase")

@@ -62,15 +62,16 @@ object StreamingCusum extends Serializable {
       // opening at-or-before the last folded day is a cross-batch
       // replay/out-of-order feed — the clamp recursion is order-DEFINED,
       // so FAIL LOUDLY (r11 drill) instead of folding a wrong answer.
+      // Per-EVENT since r12: also catches a duplicate day INSIDE the
+      // slice (sort hides it from a head-only check; the clamp
+      // recursion would fold it twice).
       val sorted = it.toSeq.sortBy(_.day.getTime)
-      sorted.headOption.foreach { h =>
-        if (st.lastDayMs != Long.MinValue && h.day.getTime <= st.lastDayMs)
+      sorted.foreach { ev =>
+        if (st.lastDayMs != Long.MinValue && ev.day.getTime <= st.lastDayMs)
           throw new IllegalStateException(
             s"ordered-arrival contract violated for nation $nation: day " +
-              s"${h.day} arrived after state had folded day " +
+              s"${ev.day} arrived after state had folded day " +
               s"epoch-ms ${st.lastDayMs}")
-      }
-      sorted.foreach { ev =>
         val sup = math.max(0L, st.sup + (ev.c - tt - k))
         val sdn = math.max(0L, st.sdn + (tt - ev.c - k))
         st = CusumState(sup, sdn, st.nDays + 1,

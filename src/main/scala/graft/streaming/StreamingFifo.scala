@@ -82,18 +82,18 @@ object StreamingFifo extends Serializable {
         state: GroupState[FifoState]): FifoRow = {
       var s = state.getOption.getOrElse(empty)
       val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
-      // Ordered-arrival state guard (r11 drill): FIFO matching is
-      // order-DEFINED, so a cross-batch replay or late event would
-      // silently mis-allocate lots — fail loudly instead.
-      sorted.headOption.foreach { h =>
+      // Ordered-arrival state guard (r11 drill, per-EVENT since r12):
+      // FIFO matching is order-DEFINED, so a cross-batch replay, late
+      // event, OR an exact intra-batch duplicate (same (us, event_id)
+      // twice in one slice — sort hides it from a head-only check but
+      // the fold would double-allocate lots) fails loudly.
+      sorted.foreach { e =>
         if (s.lastUs != Long.MinValue &&
-            Ordering[(Long, Long)].lteq((h.us, h.event_id), (s.lastUs, s.lastEid)))
+            Ordering[(Long, Long)].lteq((e.us, e.event_id), (s.lastUs, s.lastEid)))
           throw new IllegalStateException(
             s"ordered-arrival contract violated for user $user: event " +
-              s"(us=${h.us}, id=${h.event_id}) arrived after state had " +
+              s"(us=${e.us}, id=${e.event_id}) arrived after state had " +
               s"folded (us=${s.lastUs}, id=${s.lastEid})")
-      }
-      sorted.foreach { e =>
         e.event_type match {
           case "signup"   => s = onLot(s)
           case "purchase" => s = onPurchase(s, e.cents)

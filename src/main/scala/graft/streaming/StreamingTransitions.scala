@@ -40,18 +40,21 @@ object StreamingTransitions extends Serializable {
         state: GroupState[LastEvent]): Iterator[Transition] = {
       val sorted = rows.toSeq.sortBy(e => (e.us, e.event_id))
       var last = state.getOption
-      // Ordered-arrival state guard (r11 drill): an event at-or-before
-      // the last folded (us, event_id) would emit a transition the
-      // batch face never sees — fail loudly instead of mis-chaining.
-      for (h <- sorted.headOption; l <- last)
-        if (Ordering[(Long, Long)].lteq((h.us, h.event_id), (l.us, l.event_id)))
-          throw new IllegalStateException(
-            s"ordered-arrival contract violated for user $user: event " +
-              s"(us=${h.us}, id=${h.event_id}) arrived after state had " +
-              s"folded (us=${l.us}, id=${l.event_id})")
+      // Ordered-arrival state guard (r11 drill, per-EVENT since r12):
+      // an event at-or-before the last folded (us, event_id) — a
+      // cross-batch replay OR an exact duplicate inside the slice —
+      // would emit a transition the batch face never sees; fail loudly
+      // instead of mis-chaining.
       val out = Seq.newBuilder[Transition]
       sorted.foreach { e =>
-        last.foreach(l => out += Transition(user, l.event_type, e.event_type, e.us))
+        last.foreach { l =>
+          if (Ordering[(Long, Long)].lteq((e.us, e.event_id), (l.us, l.event_id)))
+            throw new IllegalStateException(
+              s"ordered-arrival contract violated for user $user: event " +
+                s"(us=${e.us}, id=${e.event_id}) arrived after state had " +
+                s"folded (us=${l.us}, id=${l.event_id})")
+          out += Transition(user, l.event_type, e.event_type, e.us)
+        }
         last = Some(LastEvent(e.us, e.event_id, e.event_type))
       }
       if (streaming) last.foreach(state.update)

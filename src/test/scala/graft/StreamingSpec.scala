@@ -1402,6 +1402,190 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  // ── Late-data drills for the WATERMARKED faces (r12) ────────────────
+  // The ordered mapGroupsWithState faces fail loudly on contract
+  // violation (above); the watermark-based event-time faces have the
+  // opposite contract: late-beyond-watermark rows are DROPPED — and
+  // COUNTED in StateOperatorProgress.numRowsDroppedByWatermark — never
+  // silently folded into an already-finalized window. These drills
+  // prove the drop actually happens (and is observable) rather than
+  // taking Spark's watermark semantics on faith.
+
+  private def droppedByWatermark(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("late-data drill: hourlyAggregates drops (and counts) a row behind the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(java.sql.Timestamp, Long)]]
+    val agg = EventStreams.hourlyAggregates(
+      mem.toDS().toDF("user_id", "event_id", "event_type", "ts", "value"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += df.select("hour", "n")
+          .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+        ()
+      }.start()
+    mem.addData(Seq((1L, 1L, "view", ts("1995-01-01 10:00:00"), 1.0)))
+    q.processAllAvailable()
+    // advance event time: watermark after this batch = 13:30 − 2h = 11:30
+    mem.addData(Seq((2L, 2L, "view", ts("1995-01-01 13:30:00"), 1.0)))
+    q.processAllAvailable()
+    // late row for the already-passed 10:00 window (10:05 < 11:30)
+    mem.addData(Seq((3L, 3L, "view", ts("1995-01-01 10:05:00"), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(droppedByWatermark(q) >= 1L,
+      s"late row was not counted as dropped; progress=${q.lastProgress}")
+    // the late row must not have re-opened the 10:00 window: no batch
+    // after the first may emit an n=2 update for hour 10:00
+    val hour10 = ts("1995-01-01 10:00:00")
+    assert(!batches.drop(1).exists(_.exists(r => r._1 == hour10 && r._2 > 1L)),
+      s"late row silently folded into a finalized window: $batches")
+  }
+
+  test("late-data drill: slidingRates drops (and counts) a row behind the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(java.sql.Timestamp, Long)]]
+    val agg = EventStreams.slidingRates(
+      mem.toDS().toDF("user_id", "event_id", "event_type", "ts", "value"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += df.select("w_start", "n")
+          .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+        ()
+      }.start()
+    mem.addData(Seq((1L, 1L, "view", ts("1995-01-01 10:00:00"), 1.0)))
+    q.processAllAvailable()
+    // watermark after this batch = 12:00 − 30min = 11:30 > both window
+    // ends of a 10:02 event ([9:55,10:05) and [10:00,10:10))
+    mem.addData(Seq((2L, 2L, "view", ts("1995-01-01 12:00:00"), 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq((3L, 3L, "view", ts("1995-01-01 10:02:00"), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(droppedByWatermark(q) >= 1L,
+      s"late row was not counted as dropped; progress=${q.lastProgress}")
+    val w10 = ts("1995-01-01 10:00:00")
+    assert(!batches.drop(1).exists(_.exists(r => r._1 == w10 && r._2 > 1L)),
+      s"late row silently folded into a finalized sliding window: $batches")
+  }
+
+  test("late-data drill: dedupedEvents drops (and counts) a late row instead of emitting it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val deduped = EventStreams.dedupedEvents(
+      mem.toDS().toDF("user_id", "event_id", "event_type", "ts", "value"))
+    val q = deduped.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= df.select("event_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    mem.addData(Seq((1L, 1L, "view", ts("1995-01-01 10:00:00"), 1.0)))
+    q.processAllAvailable()
+    // watermark after this batch = 13:00 − 1h = 12:00
+    mem.addData(Seq((2L, 2L, "view", ts("1995-01-01 13:00:00"), 1.0)))
+    q.processAllAvailable()
+    // a NEW event_id, but behind the watermark — must be dropped, not
+    // emitted (the exactly-once feed's contract: in-watermark only)
+    mem.addData(Seq((3L, 3L, "view", ts("1995-01-01 10:05:00"), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(droppedByWatermark(q) >= 1L,
+      s"late row was not counted as dropped; progress=${q.lastProgress}")
+    assert(seen == Set(1L, 2L),
+      s"late row leaked through the watermarked dedup: $seen")
+  }
+
+  test("late-data drill: purchaseAttribution drops late inputs, emitting no behind-watermark match") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    val purchases = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]
+    def df(m: org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, java.sql.Timestamp, Double)]) =
+      m.toDS().toDF("user_id", "event_id", "event_type", "ts", "value")
+    val matches = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val joined = EventStreams.purchaseAttribution(df(purchases), df(views))
+    val q = joined.writeStream.outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        matches ++= d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    // in-watermark pair → one match
+    views.addData(Seq((1L, 10L, "view", ts("1995-01-01 10:00:00"), 0.0)))
+    purchases.addData(Seq((1L, 20L, "purchase", ts("1995-01-01 10:30:00"), 9.0)))
+    q.processAllAvailable()
+    // advance BOTH watermarks (global watermark is the min) to 13:00
+    views.addData(Seq((9L, 11L, "view", ts("1995-01-01 14:00:00"), 0.0)))
+    purchases.addData(Seq((9L, 21L, "purchase", ts("1995-01-01 14:00:00"), 9.0)))
+    q.processAllAvailable()
+    // late pair entirely behind the watermark — both inputs dropped,
+    // so no match may appear for them
+    views.addData(Seq((1L, 12L, "view", ts("1995-01-01 10:10:00"), 0.0)))
+    purchases.addData(Seq((1L, 22L, "purchase", ts("1995-01-01 10:40:00"), 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(matches.contains((20L, 1L, 10L)), s"in-watermark match missing: $matches")
+    assert(!matches.exists(m => m._1 == 22L || m._3 == 12L),
+      s"behind-watermark inputs produced a match: $matches")
+    assert(droppedByWatermark(q) >= 1L,
+      s"late join inputs were not counted as dropped; progress=${q.lastProgress}")
+  }
+
+  test("drill: FIFO throws on an intra-batch duplicate (same us, event_id twice in one slice)") {
+    // r12 advice: the head-only check let a duplicate arriving in the
+    // SAME micro-batch as newer events be sorted in and folded twice
+    // (double-allocating lots). The per-event guard must catch it.
+    import graft.streaming.StreamingFifo
+    import graft.streaming.StreamingFifo.{Ev, FifoRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamingFifo.allocate(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[FifoRow], _: Long) =>
+        df.collect(); ()
+      }.start()
+    mem.addData(Seq(Ev(1L, 10L, "signup", 1000L, 0L)))
+    q.processAllAvailable()
+    // duplicate of the folded event PLUS a newer event, same batch:
+    // after sorting the duplicate is no longer the slice head.
+    mem.addData(Seq(
+      Ev(1L, 10L, "signup", 1000L, 0L),
+      Ev(1L, 11L, "purchase", 2000L, 2500L)))
+    val ex = intercept[Throwable] { q.processAllAvailable() }
+    assert(guardFired(ex), s"guard did not fire: $ex")
+    q.stop()
+  }
+
+  test("drill: attribution throws on an intra-batch duplicate hidden behind a newer event") {
+    import graft.streaming.StreamingAttribution
+    import graft.streaming.StreamingAttribution.{AttRow, Ev}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamingAttribution.attribution(mem.toDS(), streaming = true)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[AttRow], _: Long) =>
+        df.collect(); ()
+      }.start()
+    mem.addData(Seq(Ev(1L, 10L, "view", 1000L, 0.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(
+      Ev(1L, 10L, "view", 1000L, 0.0), // replay of the folded event
+      Ev(1L, 11L, "click", 2000L, 0.0)))
+    val ex = intercept[Throwable] { q.processAllAvailable() }
+    assert(guardFired(ex), s"guard did not fire: $ex")
+    q.stop()
+  }
+
   test("drill: drawdown throws on out-of-order arrival when the feed carries seq markers") {
     import graft.streaming.StreamingDrawdown
     import graft.streaming.StreamingDrawdown.DayRevenue
