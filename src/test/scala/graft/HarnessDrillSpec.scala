@@ -281,6 +281,39 @@ class HarnessDrillSpec extends SparkSpec {
       s"a one-ulp drift at scaled density MUST go red:\n$outBad")
   }
 
+  test("HOT-KEY ScaleUp: skew mode makes the rows-derived keyedPairs cap BIND on generated data") {
+    // r11 verdict #1: ScaleUp's key-shift preserves key widths by
+    // construction, so no scaled dataset had ever made the sqrt(N)
+    // width cap fire — the 100 TB skew story was correct-by-
+    // construction, never measured-under-fire. The new hot mode
+    // collapses ~1/m of basket keys onto ONE hot key; this drill proves
+    // (a) the default path is unchanged, (b) the hot mode produces a
+    // dataset where the DERIVED cap actually binds, with the dropped
+    // mass reportable — the property the full-size SkewDrill record
+    // (CHECK_skew.json) relies on.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // default path: 2x rows, no hot key, widths preserved (<= 7)
+    val plain = graft.tools.ScaleUp.scaleTable(li, "lineitem", 2)
+    assert(plain.count() == 2 * li.count())
+    assert(plain.filter(col("l_orderkey") === graft.tools.ScaleUp.HotKey).count() == 0)
+    // hot mode: ~1/50 of orderkeys collapse onto HotKey
+    val hot = graft.tools.ScaleUp.scaleTable(li, "lineitem", 2, Some(50L))
+    val items = hot.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = items.count()
+    val cap = Relational.scaledMaxWidth(n)
+    val over = Relational.overWidthKeys(items, "l_orderkey", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(over.nonEmpty, s"derived cap $cap did not bind at n=$n")
+    assert(over.map(_._1).contains(graft.tools.ScaleUp.HotKey))
+    // the capped wedge join drops the hot key entirely; narrow keys match
+    val capped = Relational.keyedPairs(items, "l_orderkey", "l_partkey",
+      maxWidth = Some(cap))
+    assert(capped.filter(col("l_orderkey") === graft.tools.ScaleUp.HotKey).count() == 0)
+    assert(capped.count() > 0)
+  }
+
   test("SCANNER sabotage: leakscan and copyscan flag planted violations — clean-tree zeros are earned") {
     // r10 rotation (r9 verdict item 6): harness, data, oracle, and bench
     // channels are drill-proven (rounds 6-9), but LEAKCHECK and

@@ -665,4 +665,33 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(capped == uncapped)
   }
+
+  test("scaledMaxWidth BINDS on a hot key: derived cap drops it, mass reported, rest identical") {
+    // r11 verdict #1: the rows-derived cap had only no-op evidence
+    // (ScaleUp preserves key widths, TPC-H baskets are <= 7). This is
+    // the binding case: N = 4160 item rows -> cap = max(64, ceil(sqrt))
+    // = 65; one hot key of width 160 > 65 must be DROPPED (never
+    // sampled), reported via overWidthKeys, and the narrow keys' pairs
+    // must be bit-identical between the capped and uncapped plans.
+    val hot = (1 to 160).map(i => (-42L, f"h$i%03d"))
+    val narrow = (1 to 2000).flatMap(k =>
+      Seq((k.toLong, "a"), (k.toLong, "b")))
+    val items = (hot ++ narrow).toDF("ok", "item")
+    val n = items.count()
+    assert(n == 4160L)
+    val cap = Relational.scaledMaxWidth(n)
+    assert(cap == 65, s"expected ceil(sqrt(4160)) = 65, got $cap")
+    val dropped = Relational.overWidthKeys(items, "ok", cap)
+      .as[(Long, Long)].collect().toSeq
+    assert(dropped == Seq((-42L, 160L))) // non-empty: the cap BINDS
+    // dropped pair mass is the analytic w(w-1)/2 — quantified, not vibes
+    assert(dropped.map(d => d._2 * (d._2 - 1) / 2).sum == 160L * 159 / 2)
+    val capped = Relational.keyedPairs(items, "ok", "item", maxWidth = Some(cap))
+      .as[(Long, String, String)].collect().toSet
+    assert(!capped.exists(_._1 == -42L)) // hot key gone ENTIRELY
+    assert(capped.size == 2000)          // one (a,b) pair per narrow key
+    val uncappedNarrow = Relational.keyedPairs(items, "ok", "item")
+      .as[(Long, String, String)].collect().toSet.filter(_._1 != -42L)
+    assert(capped == uncappedNarrow)     // untouched keys bit-identical
+  }
 }
