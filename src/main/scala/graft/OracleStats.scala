@@ -547,15 +547,13 @@ private[graft] object OracleStats {
          GROUP BY 1, 2),
          f AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(x ORDER BY month)), (a, e) -> round(a + e, 12)) AS sx,
+             list(x ORDER BY month)), (a, e) -> a + e) AS sx,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(y ORDER BY month)), (a, e) -> round(a + e, 12)) AS sy,
+             list(y ORDER BY month)), (a, e) -> a + e) AS sy,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(round(x * y, 12) ORDER BY month)),
-             (a, e) -> round(a + e, 12)) AS sxy,
+             list(x * y ORDER BY month)), (a, e) -> a + e) AS sxy,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(round(x * x, 12) ORDER BY month)),
-             (a, e) -> round(a + e, 12)) AS sxx
+             list(x * x ORDER BY month)), (a, e) -> a + e) AS sxx
          FROM cells GROUP BY 1)
          SELECT brand, n AS n_months,
            round((CAST(n AS DOUBLE) * sxy - sx * sy)
@@ -698,11 +696,11 @@ private[graft] object OracleStats {
          FROM grp CROSS JOIN k),
          f AS (SELECT k, nn,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(round(CAST(ni AS DOUBLE) * dm * dm, 9) ORDER BY g)),
-             (a, e) -> round(a + e, 9)) AS bss,
+             list(CAST(ni AS DOUBLE) * dm * dm ORDER BY g)),
+             (a, e) -> a + e) AS bss,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list(round(wss, 9) ORDER BY g)),
-             (a, e) -> round(a + e, 9)) AS wss
+             list(wss ORDER BY g)),
+             (a, e) -> a + e) AS wss
          FROM terms GROUP BY 1, 2)
          SELECT k AS n_groups, nn AS n_obs,
            round((bss / CAST(k - 1 AS DOUBLE))
@@ -1267,13 +1265,13 @@ private[graft] object OracleStats {
            FROM w2),
          folds AS (SELECT
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(round(CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
-                 * CAST(q0 AS DOUBLE), 6) ORDER BY brand)),
-               (a, e) -> round(a + e, 6)) AS lnum,
+               list(CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                 * CAST(q0 AS DOUBLE) ORDER BY brand)),
+               (a, e) -> a + e) AS lnum,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(round(CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
-                 * CAST(q1 AS DOUBLE), 6) ORDER BY brand)),
-               (a, e) -> round(a + e, 6)) AS pden
+               list(CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                 * CAST(q1 AS DOUBLE) ORDER BY brand)),
+               (a, e) -> a + e) AS pden
            FROM w2)
          SELECT n_brands, round(lnum / CAST(sr0 AS DOUBLE), 6) AS laspeyres,
            round(CAST(sr1 AS DOUBLE) / pden, 6) AS paasche,
@@ -1349,11 +1347,11 @@ private[graft] object OracleStats {
              ON abs(t1.gp - (CAST(t1.lo AS DOUBLE)
                + (CAST(b.b AS DOUBLE) + 0.5) * t1.w)) < t1.h),
          t3 AS (SELECT i, n, h, gp, b,
-             round(CAST(cnt AS DOUBLE) * 0.75 * (1.0 - u * u), 9) AS kv
+             CAST(cnt AS DOUBLE) * 0.75 * (1.0 - u * u) AS kv
            FROM t2),
          f AS (SELECT i, gp,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(kv ORDER BY b)), (a, e) -> round(a + e, 9)) AS ks,
+               list(kv ORDER BY b)), (a, e) -> a + e) AS ks,
              max(n) AS n, max(h) AS h
            FROM t3 GROUP BY 1, 2)
          SELECT i AS grid_i, round(gp, 4) AS g_cents,

@@ -318,8 +318,7 @@ private[graft] object OracleText {
          FROM c""",
     "q133_dsir_weights" ->
       """WITH pos AS (SELECT doc_id, lang,
-             unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
-             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1 AS pos
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
            FROM documents),
          tgt AS (SELECT term, count(*) AS tcnt FROM pos WHERE lang = 'en' GROUP BY 1),
          raw AS (SELECT term, count(*) AS rcnt FROM pos WHERE lang <> 'en' GROUP BY 1),
@@ -332,11 +331,11 @@ private[graft] object OracleText {
            FROM (SELECT DISTINCT term FROM pos) vt
            LEFT JOIN tgt USING (term) LEFT JOIN raw USING (term) CROSS JOIN tot),
          sc AS (SELECT doc_id, count(*) AS n_tokens,
-             list_sum(list(lt ORDER BY pos)) AS lr
+             sum(CAST(round(lt * 1000000.0) AS BIGINT)) AS lrm
            FROM pos JOIN lt USING (term) GROUP BY doc_id)
          SELECT doc_id, n_tokens,
-           round(lr, 6) + CAST(0.0 AS DOUBLE) AS log_ratio,
-           lr > 0 AS keep FROM sc""",
+           CAST(lrm AS DOUBLE) / 1000000.0 AS log_ratio,
+           lrm > 0 AS keep FROM sc""",
     "q134_mix_temperature" ->
       """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
            FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

@@ -749,18 +749,23 @@ private[graft] object QueriesStats {
           round(log(col("sp").cast("double") / col("sq").cast("double")), 9)
             .as("x"),
           round(log(col("sq").cast("double") / lit(100.0)), 9).as("y"))
+      // r12 magnitude lint: the per-step 12-dp fixed-point rounds are
+      // gone — sxx can reach ~1e5, where a 1e-12 step falls inside the
+      // 2^53 double-mantissa budget's margin (x·1e12 ≳ 9e15 is the
+      // q294 fragility bound at ~4.5e3). The ordered folds of the SAME
+      // 9-dp terms are identical IEEE chains in both engines as-is.
       val folded = cells.groupBy(col("brand"))
         .agg(count(lit(1)).as("n"),
           aggregate(array_sort(collect_list(struct(col("month"), col("x")))),
-            lit(0.0), (a, e) => round(a + e.getField("x"), 12)).as("sx"),
+            lit(0.0), (a, e) => a + e.getField("x")).as("sx"),
           aggregate(array_sort(collect_list(struct(col("month"), col("y")))),
-            lit(0.0), (a, e) => round(a + e.getField("y"), 12)).as("sy"),
+            lit(0.0), (a, e) => a + e.getField("y")).as("sy"),
           aggregate(array_sort(collect_list(struct(col("month"),
-              round(col("x") * col("y"), 12).as("xy")))),
-            lit(0.0), (a, e) => round(a + e.getField("xy"), 12)).as("sxy"),
+              (col("x") * col("y")).as("xy")))),
+            lit(0.0), (a, e) => a + e.getField("xy")).as("sxy"),
           aggregate(array_sort(collect_list(struct(col("month"),
-              round(col("x") * col("x"), 12).as("xx")))),
-            lit(0.0), (a, e) => round(a + e.getField("xx"), 12)).as("sxx"))
+              (col("x") * col("x")).as("xx")))),
+            lit(0.0), (a, e) => a + e.getField("xx")).as("sxx"))
       def d(c: String): Column = col(c).cast("double")
       folded.select(col("brand"), col("n").as("n_months"),
         round((d("n") * col("sxy") - col("sx") * col("sy"))
@@ -947,13 +952,16 @@ private[graft] object QueriesStats {
         .groupBy(col("k"), col("nn"))
         // k-group double sums fold ORDERED BY segment name (k = 5 rows,
         // but the convention is no order-free float summation anywhere).
+        // r12 magnitude lint: no per-term/per-step rounds — ni·dm² and
+        // wss reach ~1e19 at sf10, where a 9-dp step sits far BELOW the
+        // double ulp (the q294 fragility class); the unrounded ordered
+        // fold is the identical IEEE chain in both engines.
         .agg(aggregate(array_sort(collect_list(struct(col("g"),
-              round(col("ni").cast("double") * col("dm") * col("dm"), 9)
-                .as("b")))),
-            lit(0.0), (a, e) => round(a + e.getField("b"), 9)).as("bss"),
+              (col("ni").cast("double") * col("dm") * col("dm")).as("b")))),
+            lit(0.0), (a, e) => a + e.getField("b")).as("bss"),
           aggregate(array_sort(collect_list(struct(col("g"),
-              round(col("wss"), 9).as("w")))),
-            lit(0.0), (a, e) => round(a + e.getField("w"), 9)).as("wss"))
+              col("wss").as("w")))),
+            lit(0.0), (a, e) => a + e.getField("w")).as("wss"))
         .select(col("k").as("n_groups"), col("nn").as("n_obs"),
           round((col("bss") / (col("k") - 1).cast("double"))
             / (col("wss") / (col("nn") - col("k")).cast("double")), 6)
@@ -1608,13 +1616,17 @@ private[graft] object QueriesStats {
       def d(c: String): Column = col(c).cast("double")
       val tot = wide.agg(count(lit(1)).as("n_brands"),
         sum(col("r0")).as("sr0"), sum(col("r1")).as("sr1"))
+      // r12 magnitude lint: the cross terms (unit value × the other
+      // period's quantity) reach ~1e14+ cents² at sf10, where a 6-dp
+      // step is deep sub-ulp (q294 class) — no per-term/per-step
+      // rounds; the brand-ordered fold is the identical IEEE chain.
       val folds = wide.agg(
         aggregate(array_sort(collect_list(struct(col("brand"),
-            round(d("r1") / d("q1") * d("q0"), 6).as("t")))),
-          lit(0.0), (a, e) => round(a + e.getField("t"), 6)).as("lnum"),
+            (d("r1") / d("q1") * d("q0")).as("t")))),
+          lit(0.0), (a, e) => a + e.getField("t")).as("lnum"),
         aggregate(array_sort(collect_list(struct(col("brand"),
-            round(d("r0") / d("q0") * d("q1"), 6).as("t")))),
-          lit(0.0), (a, e) => round(a + e.getField("t"), 6)).as("pden"))
+            (d("r0") / d("q0") * d("q1")).as("t")))),
+          lit(0.0), (a, e) => a + e.getField("t")).as("pden"))
       tot.crossJoin(broadcast(folds))
         .withColumn("laspeyres", col("lnum") / d("sr0"))
         .withColumn("paasche", d("sr1") / col("pden"))
@@ -1709,11 +1721,15 @@ private[graft] object QueriesStats {
             < col("h"))
         .withColumn("u", (col("g") - (col("lo").cast("double")
           + (col("b").cast("double") + lit(0.5)) * col("w"))) / col("h"))
-        .withColumn("kv", round(col("cnt").cast("double") * lit(0.75)
-          * (lit(1.0) - col("u") * col("u")), 9))
+        // r12 magnitude lint: kv ∝ fine-bin count ∝ N/401, so the 9-dp
+        // step would fall sub-ulp around sf100 (q294 class) — no
+        // per-term/per-step rounds; the bin-ordered fold is the
+        // identical IEEE chain at any corpus size.
+        .withColumn("kv", col("cnt").cast("double") * lit(0.75)
+          * (lit(1.0) - col("u") * col("u")))
       terms.groupBy(col("i"), col("g"), col("h"), col("n"))
         .agg(aggregate(array_sort(collect_list(struct(col("b"), col("kv")))),
-          lit(0.0), (a, e) => round(a + e.getField("kv"), 9)).as("ks"))
+          lit(0.0), (a, e) => a + e.getField("kv")).as("ks"))
         .select(col("i").as("grid_i"), round(col("g"), 4).as("g_cents"),
           round(col("ks") / (d("n") * col("h")), 12).as("density"))
     }),

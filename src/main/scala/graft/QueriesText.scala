@@ -1600,8 +1600,13 @@ private[graft] object QueriesText {
       // scan feeds the pinned (doc, lang, pos, term) stream; both LMs and
       // the 1-row totals are vocab-/constant-sized partial aggs of it;
       // the per-term log-ratio table joins back BY TERM (broadcast while
-      // the vocab fits). Determinism: per-term ratios on a 6-dp grid,
-      // summed in position order via the q123 ordered fold.
+      // the vocab fits). Determinism (r12 re-plan): per-term ratios on a
+      // 6-dp grid are summed as INTEGER micro-units — order-independent
+      // and exact, so the per-doc agg is a plain map-combinable sum (no
+      // ordered fold, no collect_list) and the oracle needs no per-doc
+      // lists (its r11 sf10 OOM was exactly those lists over ~500M
+      // tokens). The emitted double is one exact division of the
+      // integer sum, identical in both engines at any magnitude.
       val pos = tbl(s, dir, "documents")
         .select(col("doc_id"), col("lang"), posexplode(Text.tokens(col("text"))))
         .select(col("doc_id"), col("lang"), col("pos"), col("col").as("term"))
@@ -1622,16 +1627,15 @@ private[graft] object QueriesText {
       pos.join(lt, Seq("term"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-          aggregate(array_sort(collect_list(struct(col("pos"), col("lt")))),
-            lit(0.0), (a, x) => a + x.getField("lt")).as("lr"))
+          // lt sits within 1 ulp of its 6-dp grid point, so lt*1e6 is
+          // within ~1e-9 of an integer — round() lands both engines on
+          // the same BIGINT micro-unit; the sum is exact integer math.
+          sum(round(col("lt") * lit(1000000.0)).cast("long")).as("lrm"))
         .select(col("doc_id"), col("n_tokens"),
-          // 6 dp, not 4: lr is a sum of 6-dp terms, so it can land
-          // EXACTLY on a 4-dp half boundary (0.154850 — hit by the r10
-          // sf1 sweep) where the engines' rounding algorithms diverge;
-          // on the 6-dp grid the sum sits ~5e-7 from every boundary.
-          // roundZ canonicalizes the signed zero (the q461 lesson).
-          roundZ(col("lr"), 6).as("log_ratio"),
-          (col("lr") > 0).as("keep"))
+          // one exact division of the integer sum (0/1e6 = +0.0, no
+          // signed-zero channel; correctly-rounded identically in IEEE)
+          (col("lrm").cast("double") / lit(1000000.0)).as("log_ratio"),
+          (col("lrm") > 0).as("keep"))
     }),
 
     "q134_mix_temperature" -> ((s, dir) => {

@@ -26,6 +26,17 @@ in AUDITED — i.e. it guards NEW sites, keeping the class closed without
 re-litigating the audited ones.
 
 --selftest plants a synthetic bad block and asserts it flags.
+
+**Magnitude pass (r12, the q294/q333 lesson)**: the dual failure —
+per-TERM rounds inside folds become boundary-fragile when the rounded
+operand can carry cents-scale magnitudes: at |x| ~ 1e8-1e10 a 4-6 dp
+step sits at/below the double ulp (ulp(1.5e10) ~ 2e-6), so the two
+engines can round the same IEEE quotient to different half-steps
+(q333's sf1 find; q294's sf0.01 find at cents ~1e8). Detection: a
+block whose text carries a cents-magnitude marker (`* 100 AS BIGINT`
+cast / cents / *price columns) AND a term-side round(_, k>=4) is
+flagged for audit; dispositions live in MAG_AUDITED (same contract as
+AUDITED: lint fails only on UNAUDITED sites).
 """
 import re
 import sys
@@ -94,6 +105,50 @@ BLOCK_RE = re.compile(r'"(q\d+[a-z0-9_]*)"\s*->\s*\(\(s, dir\)')
 ROUND_RE = re.compile(r'\bround(?:Z)?\(')
 FOLD_MARKERS = ("aggregate(array_sort(", ".agg(")
 
+# Magnitude pass: cents-scale markers + minimum fragile scale.
+CENTS_RE = re.compile(
+    r'\*\s*100\s+as\s+bigint|\bcents\b|totalprice|extendedprice', re.I)
+MAG_MIN_SCALE = 4
+
+# Hand-audited magnitude-pass sites (r12 audit; NOTES.md). Disposition
+# vocabulary:
+#   safe-small  : the rounded operand is a RATIO / share / per-unit
+#                 value bounded ~O(1)-O(1e5); 10^-k step sits far above
+#                 its ulp at any sf.
+#   safe-exact  : operand is an exact integer-derived double below 2^53
+#                 (the round is an idempotent formality).
+#   fixed-rN    : a past find, re-planned to exact/integer emission.
+MAG_AUDITED = {
+    # Fixed in r12 (fold-internal rounds removed BOTH engines; the
+    # ordered folds are identical IEEE chains unrounded):
+    "q297_price_elasticity": "fixed-r12: 12-dp per-step rounds dropped (acc to ~1e5 "
+        "vs the ~4.5e3 safe bound for k=12; month-grid-bounded but marginal)",
+    "q302_levene_bf": "fixed-r12: ni*dm^2 / wss reach ~1e19 at sf10 — 9-dp step deep "
+        "sub-ulp; per-term+per-step rounds dropped",
+    "q320_price_index": "fixed-r12: cross terms ~1e14+ at sf10 — 6-dp step sub-ulp; "
+        "per-term+per-step rounds dropped",
+    "q323_kde_grid": "fixed-r12: kv ∝ N/401 (sub-ulp ~sf100); per-term+per-step "
+        "rounds dropped (9-dp term round; the audited output rounds remain)",
+    # Bounded-magnitude sites (operand does NOT grow with sf, or is a
+    # log/ratio O(1..1e3) — step stays >=100x above ulp at any scale):
+    "q275_forecast_backtest": "safe-small: fold acc = <=28 O(1) sMAPE/MAPE ratios "
+        "(calendar-bounded holdout); 12-dp step at |acc|<=1e2",
+    "q332_hurst_rs": "safe-small: R/S ratios O(sqrt(bs)<=12), day-grid block counts; "
+        "acc<=1e4 at 9dp, <=40 at 12dp",
+    "q483_seasonal_mk": "safe-exact: block-split artifact — q483's own output is one "
+        "unrounded division; the flagged round is the trailing hhiFinish helper "
+        "(share^2 fold O(1e4) at 4dp, separately sf1-swept)",
+    "q458_hill_tail": "safe-small: ln(x_i/x_k) in [0,2.3], k=100-bounded fold; "
+        "acc<=230 at 6dp",
+    "q384_rbo_rankings": "safe-small: depth terms w_d*x_d/d <= 0.1*20, 20-deep fold; "
+        "acc<=2 at 9dp",
+    "q427_bradley_terry": "safe-small: MM terms n_ij/(p_i+p_j) O(1..25), 24-opponent "
+        "fold; acc<=~300 at 9dp",
+    "q433_topsis": "safe-small: entropy terms share*ln(share) in [-0.37,0], 25-brand "
+        "fold; x2/x3 power sums fold UNROUNDED; output rounds are ratios",
+    "q436_topsis_kmv": "safe-small: same TOPSIS entropy-term shape as q433",
+}
+
 
 def round_scales(text):
     """Scales of every round(/roundZ( call in `text`, by matching the
@@ -134,6 +189,27 @@ def audit(paths):
     return flagged
 
 
+def audit_magnitude(paths):
+    """Term-side round(_, k>=4) in a fold block that carries a
+    cents-magnitude marker — the q294/q333 fragility class."""
+    flagged = []
+    for path in paths:
+        src = open(path).read()
+        marks = list(BLOCK_RE.finditer(src))
+        for j, m in enumerate(marks):
+            name = m.group(1)
+            end = marks[j + 1].start() if j + 1 < len(marks) else len(src)
+            block = src[m.start():end]
+            cut = max((block.rfind(f) for f in FOLD_MARKERS), default=-1)
+            if cut < 0 or not CENTS_RE.search(block):
+                continue
+            terms = [s for s, pos in round_scales(block)
+                     if pos < cut and s >= MAG_MIN_SCALE]
+            if terms:
+                flagged.append((name, path, max(terms)))
+    return flagged
+
+
 def selftest():
     import tempfile, os
     bad = '''
@@ -153,11 +229,33 @@ def selftest():
         f.write(bad)
         p = f.name
     hits = audit([p])
-    os.unlink(p)
     names = [h[0] for h in hits]
     assert "q999_planted_bad" in names, "selftest: planted bad site NOT flagged"
     assert "q998_planted_ok" not in names, "selftest: clean site flagged"
-    print("roundlint selftest OK (planted site flagged, control clean)")
+    os.unlink(p)
+    # magnitude pass: a term-side 6-dp round over a cents-scale sum must
+    # flag; the same shape WITHOUT a cents marker must not.
+    mag_bad = '''
+    "q997_planted_mag" -> ((s, dir) => {
+      val t = x.select(round(col("rev"), 6).as("t")) // sum cents revenue
+        .withColumn("c", expr("cast(cast(p as decimal(18,2)) * 100 as bigint)"))
+      t.agg(aggregate(array_sort(collect_list(struct(col("k"),
+        col("t").as("t")))), lit(0.0), (a, e) => a + e.getField("t")).as("s"))
+    }),
+    "q996_planted_mag_ok" -> ((s, dir) => {
+      val t = x.select(round(col("share"), 6).as("t"))
+      t.agg(aggregate(array_sort(collect_list(struct(col("k"),
+        col("t").as("t")))), lit(0.0), (a, e) => a + e.getField("t")).as("s"))
+    }),
+    '''
+    with tempfile.NamedTemporaryFile("w", suffix=".scala", delete=False) as f:
+        f.write(mag_bad)
+        p = f.name
+    mhits = [h[0] for h in audit_magnitude([p])]
+    os.unlink(p)
+    assert "q997_planted_mag" in mhits, "selftest: planted MAGNITUDE site NOT flagged"
+    assert "q996_planted_mag_ok" not in mhits, "selftest: cents-free control flagged"
+    print("roundlint selftest OK (planted sites flagged, controls clean)")
 
 
 if __name__ == "__main__":
@@ -170,5 +268,11 @@ if __name__ == "__main__":
     for name, path, k, m in flagged:
         tag = AUDITED.get(name, "** NEW - AUDIT REQUIRED **")
         print(f"{name}: terms {k}dp -> output {m}dp  [{tag}]  ({path})")
-    print(f"\n{len(flagged)} flagged, {len(new)} unaudited")
-    sys.exit(1 if new else 0)
+    mflagged = audit_magnitude(paths)
+    mnew = [f for f in mflagged if f[0] not in MAG_AUDITED]
+    for name, path, k in mflagged:
+        tag = MAG_AUDITED.get(name, "** NEW - AUDIT REQUIRED **")
+        print(f"{name}: cents-scale term round at {k}dp  [mag: {tag}]  ({path})")
+    print(f"\n{len(flagged) + len(mflagged)} flagged, "
+          f"{len(new) + len(mnew)} unaudited")
+    sys.exit(1 if new or mnew else 0)
