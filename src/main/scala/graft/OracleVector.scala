@@ -1029,18 +1029,19 @@ private[graft] object OracleVector {
          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
            FROM und GROUP BY 1),
          wz AS (SELECT und.u AS z, und.v AS n,
-             round(1.0 / ln(CAST(dg AS DOUBLE)), 9) AS w
+             CAST(round(1000000000.0 / ln(CAST(dg AS DOUBLE))) AS BIGINT)
+               AS wn
            FROM und JOIN deg USING (u) WHERE dg >= 2),
-         cand AS (SELECT a.n AS a, b.n AS b, a.z AS z, a.w AS w
+         cand AS (SELECT a.n AS a, b.n AS b, a.wn AS wn
            FROM wz a JOIN wz b ON a.z = b.z AND a.n < b.n
            WHERE NOT EXISTS (SELECT 1 FROM e0
              WHERE e0.pa = a.n AND e0.pb = b.n)),
          aa AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(w ORDER BY z)), (p, q) -> p + q) AS aa
+             CAST(sum(wn) AS BIGINT) AS aan
            FROM cand GROUP BY 1, 2)
-         SELECT a, b, n_common, aa FROM aa
-         ORDER BY aa DESC, a, b LIMIT 20""",
+         SELECT a, b, n_common,
+           CAST(aan AS DOUBLE) / 1000000000.0 AS aa FROM aa
+         ORDER BY aan DESC, a, b LIMIT 20""",
 
     "q470_local_clustering" ->
       """WITH li AS MATERIALIZED (
@@ -1054,16 +1055,26 @@ private[graft] object OracleVector {
            UNION ALL SELECT pb, pa FROM e0),
          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
            FROM und GROUP BY 1),
-         closed AS (SELECT a.u AS ctr, CAST(count(*) AS BIGINT) AS tri
-           FROM und a JOIN und b ON a.u = b.u AND a.v < b.v
+         ed AS (SELECT
+             CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND pa < pb)
+               THEN pa ELSE pb END AS src,
+             CASE WHEN d1.dg < d2.dg OR (d1.dg = d2.dg AND pa < pb)
+               THEN pb ELSE pa END AS dst
+           FROM e0 JOIN deg d1 ON pa = d1.u JOIN deg d2 ON pb = d2.u),
+         tri AS (SELECT a.src AS ctr, a.dst AS x, b.dst AS y
+           FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst
            WHERE EXISTS (SELECT 1 FROM e0
-             WHERE e0.pa = a.v AND e0.pb = b.v)
+             WHERE e0.pa = a.dst AND e0.pb = b.dst)),
+         pern AS (SELECT w, CAST(count(*) AS BIGINT) AS tri FROM (
+             SELECT ctr AS w FROM tri
+             UNION ALL SELECT x FROM tri
+             UNION ALL SELECT y FROM tri)
            GROUP BY 1)
          SELECT u AS node, dg AS degree,
            CAST(coalesce(tri, 0) AS BIGINT) AS triangles,
            CAST(coalesce(tri, 0) AS DOUBLE) * 2.0
              / CAST(dg * (dg - 1) AS DOUBLE) AS lcc
-         FROM deg LEFT JOIN closed ON u = ctr
+         FROM deg LEFT JOIN pern ON u = w
          WHERE dg >= 2
          ORDER BY lcc DESC, node LIMIT 20""",
 

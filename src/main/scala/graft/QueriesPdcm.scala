@@ -40,7 +40,7 @@ private[graft] object QueriesPdcm {
     * byte-for-byte). Null (no protocol rows) stays distinct from ''
     * (protocols present, none harmonised).
     */
-  private def searchIndexProjection(si: DataFrame): DataFrame =
+  private[graft] def searchIndexProjection(si: DataFrame): DataFrame =
     si.select(
       col("external_model_id"), col("data_source"),
       col("patient_id"), col("patient_sex"), col("patient_history"),

@@ -1629,8 +1629,11 @@ private[graft] object QueriesVector {
       // common-neighbors/Jaccard scores (a shared hub says less than a
       // shared specialist). The wedge stream rides the width-capped
       // edge list (scaledMaxWidth construction); 1/ln(deg) is the one
-      // libm step, rounded to the 9-dp term grid before the z-ordered
-      // fold (the q194 contract); top-20 by (aa desc, a, b).
+      // libm step, snapped to the 9-dp grid as an INTEGER nano-unit so
+      // the per-pair sum is exact, order-independent, map-combinable
+      // integer math (r12 probe re-plan: the old per-pair
+      // array_sort(collect_list) fold materialized a list per candidate
+      // pair — millions of lists at sf10); top-20 by (aa desc, a, b).
       val e0 = copurchaseEdges(s, dir).localCheckpoint()
       val und = e0.select(col("pa").as("u"), col("pb").as("v"))
         .union(e0.select(col("pb").as("u"), col("pa").as("v")))
@@ -1641,20 +1644,19 @@ private[graft] object QueriesVector {
       val wz = und.join(broadcast(deg), Seq("u"))
         .filter(col("dg") >= 2)
         .select(col("u").as("z"), col("v").as("n"),
-          round(lit(1.0) / log(col("dg").cast("double")), 9).as("w"))
+          round(lit(1000000000.0) / log(col("dg").cast("double")))
+            .cast("long").as("wn"))
       val cand = wz.as("a").join(wz.as("b"),
           col("a.z") === col("b.z") && col("a.n") < col("b.n"))
-        .select(col("a.n").as("a"), col("b.n").as("b"),
-          col("a.z").as("z"), col("a.w").as("w"))
+        .select(col("a.n").as("a"), col("b.n").as("b"), col("a.wn").as("wn"))
         .join(e0, col("a") === col("pa") && col("b") === col("pb"),
           "left_anti")
       val aa = cand.groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("n_common"),
-          aggregate(array_sort(collect_list(struct(col("z"),
-            col("w").as("w")))), lit(0.0),
-            (acc, x) => acc + x.getField("w")).as("aa"))
-      aa.orderBy(col("aa").desc, col("a"), col("b")).limit(20)
-        .select(col("a"), col("b"), col("n_common"), col("aa"))
+        .agg(count(lit(1)).as("n_common"), sum(col("wn")).as("aan"))
+      // integer ordering == aa ordering (all terms positive)
+      aa.orderBy(col("aan").desc, col("a"), col("b")).limit(20)
+        .select(col("a"), col("b"), col("n_common"),
+          (col("aan").cast("double") / lit(1000000000.0)).as("aa"))
     }),
 
     "q470_local_clustering" -> ((s, dir) => {
@@ -1662,21 +1664,37 @@ private[graft] object QueriesVector {
       // lcc(v) = 2·t(v)/(deg(v)·(deg(v)−1)) where t(v) = closed wedges
       // through v — the per-node sibling of q108's global triangle
       // count (which answers "how many", this answers "where is the
-      // graph locally dense"). Wedge pairs semi-join against the edge
-      // set; every count is an exact integer, lcc one division. Top-20
-      // by (lcc desc, node) among deg ≥ 2 nodes.
+      // graph locally dense"). r12 probe re-plan (the 21×/100× find):
+      // wedges enumerate over DEGREE-ORDERED out-neighborhoods — each
+      // triangle is found exactly once at its minimum-(deg,id) vertex,
+      // so the pair work is Σ C(outdeg,2) ≤ O(E^1.5) instead of
+      // Σ C(deg,2), which squares the hub degrees as the co-purchase
+      // graph densifies — then redistributed to all three corners.
+      // Every count is an exact integer, lcc one division. Top-20 by
+      // (lcc desc, node) among deg ≥ 2 nodes.
       val e0 = copurchaseEdges(s, dir).localCheckpoint()
       val und = e0.select(col("pa").as("u"), col("pb").as("v"))
         .union(e0.select(col("pb").as("u"), col("pa").as("v")))
       val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-      val wedges = und.as("a").join(und.as("b"),
-          col("a.u") === col("b.u") && col("a.v") < col("b.v"))
-        .select(col("a.u").as("ctr"), col("a.v").as("x"), col("b.v").as("y"))
-      val closed = wedges.join(e0,
-          col("x") === col("pa") && col("y") === col("pb"), "left_semi")
-        .groupBy(col("ctr")).agg(count(lit(1)).as("tri"))
+        .localCheckpoint()
+      val lowFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("pa") < col("pb"))
+      val ed = e0
+        .join(deg.select(col("u").as("pa"), col("dg").as("da")), Seq("pa"))
+        .join(deg.select(col("u").as("pb"), col("dg").as("db")), Seq("pb"))
+        .select(when(lowFirst, col("pa")).otherwise(col("pb")).as("src"),
+          when(lowFirst, col("pb")).otherwise(col("pa")).as("dst"))
+      val tri = ed.as("a").join(ed.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .select(col("a.src").as("ctr"), col("a.dst").as("x"),
+          col("b.dst").as("y"))
+        .join(e0, col("x") === col("pa") && col("y") === col("pb"),
+          "left_semi")
+      val perNode = tri
+        .select(explode(array(col("ctr"), col("x"), col("y"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("tri"))
       deg.filter(col("dg") >= 2)
-        .join(closed, col("u") === col("ctr"), "left")
+        .join(perNode, col("u") === col("w"), "left")
         .select(col("u").as("node"), col("dg").as("degree"),
           coalesce(col("tri"), lit(0L)).as("triangles"),
           (coalesce(col("tri"), lit(0L)).cast("double") * lit(2.0)

@@ -50,6 +50,7 @@ object PdcmApi {
          FROM model_entity m
          LEFT JOIN xenograft_model_specimen s ON m.id = s.model_fk
          LEFT JOIN model_relationships r ON m.model_id = r.external_model_id
+           AND m.data_source = r.data_source
          LEFT JOIN knowledge_graph kg
            ON m.model_id = kg.external_model_id
           AND m.data_source = kg.data_source""",

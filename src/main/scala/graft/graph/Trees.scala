@@ -29,16 +29,23 @@ object Trees {
   private def pin(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
 
-  /** One pinned, normalized (id, mtype, pid) frame — the shared base of
-    * both tree sweeps, so `modelRelationships` scans and pins the model
-    * table ONCE instead of once per sweep.
+  /** One pinned, normalized (id, mtype, pid, scp) frame — the shared
+    * base of both tree sweeps, so `modelRelationships` scans and pins
+    * the model table ONCE instead of once per sweep. `scp` is the
+    * lineage SCOPE (r12: the data_source — external model ids are only
+    * unique per provider, so every id join must carry it; the volume
+    * drill's first find was provider-colliding ids silently merging
+    * trees); `scopeCol = None` pins it to "" — byte-identical to the
+    * unscoped behavior.
     */
   private def normalized(
-      models: DataFrame, idCol: String, typeCol: String, parentCol: String): DataFrame =
+      models: DataFrame, idCol: String, typeCol: String, parentCol: String,
+      scopeCol: Option[String]): DataFrame =
     pin(models.select(
       col(idCol).cast("string").as("id"),
       col(typeCol).cast("string").as("mtype"),
-      col(parentCol).cast("string").as("pid")))
+      col(parentCol).cast("string").as("pid"),
+      scopeCol.map(c => col(c).cast("string")).getOrElse(lit("")).as("scp")))
 
   /** Per-model nested PARENTS tree as a JSON string column
     * (`external_model_id`, `parents_json`): for a model with parent P,
@@ -54,21 +61,24 @@ object Trees {
   def parentsTree(
       models: DataFrame, idCol: String, typeCol: String, parentCol: String,
       maxRounds: Int = 32): DataFrame =
-    parentsTreeFrom(normalized(models, idCol, typeCol, parentCol), maxRounds)
+    parentsTreeFrom(normalized(models, idCol, typeCol, parentCol, None), maxRounds)
       .select(col("id").as(idCol), col("parents_json"))
 
   private def parentsTreeFrom(m: DataFrame, maxRounds: Int): DataFrame = {
     val spark = m.sparkSession
-    // Roots: no parent, or a parent id that matches no model (the
-    // reference's inner join drops those rows, leaving an empty agg).
+    // Roots: no parent, or a parent id that matches no model IN SCOPE
+    // (the reference's inner join drops those rows, leaving an empty
+    // agg; ids resolve within their data_source only).
     val withParent = m.as("c").join(
-      m.select(col("id").as("pp_id")).as("p"),
-      col("pid") === col("pp_id"), "left")
-      .select(col("id"), col("mtype"), col("pid"), col("pp_id").isNotNull.as("linked"))
+      m.select(col("id").as("pp_id"), col("scp").as("pp_scp")).as("p"),
+      col("pid") === col("pp_id") && col("scp") === col("pp_scp"), "left")
+      .select(col("id"), col("mtype"), col("pid"), col("scp"),
+        col("pp_id").isNotNull.as("linked"))
     val roots = pin(withParent.filter(!col("linked"))
-      .select(col("id"), col("mtype"), lit(null).cast("string").as("parents_json")))
+      .select(col("id"), col("mtype"), col("scp"),
+        lit(null).cast("string").as("parents_json")))
     val linked = pin(withParent.filter(col("linked"))
-      .select(col("id"), col("mtype"), col("pid")))
+      .select(col("id"), col("mtype"), col("pid"), col("scp")))
     // Single parent per model ⇒ each model resolves EXACTLY once, when
     // its parent's frontier round fires — plain BFS, no pending set, no
     // anti-join, one hash join + one checkpoint + one isEmpty per level.
@@ -79,10 +89,11 @@ object Trees {
     var round = 0
     var more = true
     while (round < maxRounds && more) {
-      val pr = frontier.select(col("id").as("r_pid"),
+      val pr = frontier.select(col("id").as("r_pid"), col("scp").as("r_scp"),
         col("mtype").as("r_ptype"), col("parents_json").as("r_pjson"))
-      val step = pin(linked.join(pr, col("pid") === col("r_pid"))
-        .select(col("id"), col("mtype"),
+      val step = pin(linked.join(pr,
+          col("pid") === col("r_pid") && col("scp") === col("r_scp"))
+        .select(col("id"), col("mtype"), col("scp"),
           concat(lit("["),
             concat(lit("{\"external_model_id\":\""), col("r_pid"),
               lit("\",\"type\":\""), col("r_ptype"),
@@ -95,8 +106,9 @@ object Trees {
       round += 1
     }
     val resolved = spark.createDataFrame(resolvedRdd, roots.schema)
-    m.join(resolved.select(col("id"), col("parents_json")), Seq("id"), "left")
-      .select(col("id"), col("parents_json"))
+    m.join(resolved.select(col("id"), col("scp"), col("parents_json")),
+        Seq("id", "scp"), "left")
+      .select(col("id"), col("scp"), col("parents_json"))
   }
 
   /** Per-model nested CHILDREN tree as a JSON string column
@@ -112,40 +124,45 @@ object Trees {
   def childrenTree(
       models: DataFrame, idCol: String, typeCol: String, parentCol: String,
       maxRounds: Int = 32): DataFrame =
-    childrenTreeFrom(normalized(models, idCol, typeCol, parentCol), maxRounds)
+    childrenTreeFrom(normalized(models, idCol, typeCol, parentCol, None), maxRounds)
       .select(col("id").as(idCol), col("children_json"))
 
   private def childrenTreeFrom(m: DataFrame, maxRounds: Int): DataFrame = {
     val spark = m.sparkSession
-    val ids = m.select(col("id").as("known_id"))
-    // Child edges whose parent actually exists (dangling parent_id rows
-    // are nobody's children, mirroring the reference's join).
+    val ids = m.select(col("id").as("known_id"), col("scp").as("known_scp"))
+    // Child edges whose parent actually exists IN SCOPE (dangling
+    // parent_id rows are nobody's children, mirroring the reference's
+    // join; ids resolve within their data_source only).
     val edges = pin(m.filter(col("pid").isNotNull)
-      .join(ids, col("pid") === col("known_id"))
+      .join(ids, col("pid") === col("known_id") && col("scp") === col("known_scp"))
       .select(col("pid").as("parent"), col("id").as("child"),
-        col("mtype").as("ctype")))
-    val childCounts = edges.groupBy(col("parent"))
+        col("mtype").as("ctype"), col("scp")))
+    val childCounts = edges.groupBy(col("parent"), col("scp"))
       .agg(count(lit(1)).as("n_children"))
     // `resolved` accumulates as the free RDD union of pinned per-round
     // steps (the Closure pattern) — re-pinning the whole resolved set
     // every round rewrites O(models) blocks per level.
     val leaves = pin(m.join(
-        childCounts.select(col("parent").as("id")), Seq("id"), "left_anti")
-      .select(col("id"), lit(null).cast("string").as("children_json")))
+        childCounts.select(col("parent").as("id"), col("scp")),
+        Seq("id", "scp"), "left_anti")
+      .select(col("id"), col("scp"), lit(null).cast("string").as("children_json")))
     var resolvedRdd = leaves.rdd
     val rSchema = leaves.schema
     def resolved: DataFrame = spark.createDataFrame(resolvedRdd, rSchema)
-    var pending = pin(m.join(childCounts, col("id") === col("parent"))
-      .select(col("id"), col("n_children")))
+    var pending = pin(m.join(childCounts,
+        m("id") === childCounts("parent") && m("scp") === childCounts("scp"))
+      .select(m("id"), m("scp"), col("n_children")))
     var round = 0
     while (round < maxRounds && !pending.isEmpty) {
       // A pending parent resolves when every child is in `resolved`:
       // count(resolved children) == n_children. Entries sort by child id
       // so the array order is deterministic in any engine.
-      val rc = resolved.select(col("id").as("r_id"), col("children_json").as("r_json"))
-      val done = edges.join(rc, col("child") === col("r_id"))
-        .select(col("parent"), col("child"), col("ctype"), col("r_json"))
-        .groupBy(col("parent"))
+      val rc = resolved.select(col("id").as("r_id"), col("scp").as("r_scp"),
+        col("children_json").as("r_json"))
+      val done = edges.join(rc,
+          col("child") === col("r_id") && col("scp") === col("r_scp"))
+        .select(col("parent"), col("child"), col("ctype"), col("scp"), col("r_json"))
+        .groupBy(col("parent"), col("scp"))
         .agg(count(lit(1)).as("n_resolved"),
           concat(lit("["),
             array_join(transform(
@@ -156,19 +173,20 @@ object Trees {
                 lit("}"))), ","),
             lit("]")).as("children_json"))
       val step = pin(pending.join(done,
-          pending("id") === done("parent") &&
+          pending("id") === done("parent") && pending("scp") === done("scp") &&
             col("n_resolved") === col("n_children"))
-        .select(col("id"), col("children_json")))
+        .select(pending("id"), pending("scp"), col("children_json")))
       if (step.isEmpty) round = maxRounds // cycle remainder: bail
       else {
-        pending = pin(pending.join(step.select(col("id")), Seq("id"), "left_anti"))
+        pending = pin(pending.join(step.select(col("id"), col("scp")),
+          Seq("id", "scp"), "left_anti"))
         resolvedRdd = resolvedRdd.union(step.rdd)
         round += 1
       }
     }
-    resolved.union(pending.select(col("id"),
+    resolved.union(pending.select(col("id"), col("scp"),
         lit(null).cast("string").as("children_json")))
-      .select(col("id"), col("children_json"))
+      .select(col("id"), col("scp"), col("children_json"))
   }
 
   /** `model_relationships` + `has_relations` for every model
@@ -176,20 +194,28 @@ object Trees {
     * `{"parents":…,"children":…}` and the derived boolean.
     */
   def modelRelationships(
-      models: DataFrame, idCol: String, typeCol: String, parentCol: String): DataFrame = {
+      models: DataFrame, idCol: String, typeCol: String, parentCol: String,
+      scopeCol: Option[String] = None): DataFrame = {
     // One shared pinned base: both sweeps read the same materialized
-    // (id, mtype, pid) blocks instead of each re-scanning + re-pinning
-    // the model table.
-    val m = normalized(models, idCol, typeCol, parentCol)
+    // (id, mtype, pid, scp) blocks instead of each re-scanning +
+    // re-pinning the model table. scopeCol (r12): external model ids
+    // are provider-local — pass the data_source so trees never span
+    // providers (the volume drill caught cross-provider id collisions
+    // silently merging lineages).
+    val m = normalized(models, idCol, typeCol, parentCol, scopeCol)
     val p = parentsTreeFrom(m, 32)
     val c = childrenTreeFrom(m, 32)
-    p.join(c, Seq("id"))
-      .select(col("id").as(idCol),
+    val base = p.join(c, Seq("id", "scp"))
+      .select(col("id").as(idCol), col("scp"),
         concat(lit("{\"parents\":"), coalesce(col("parents_json"), lit("null")),
           lit(",\"children\":"), coalesce(col("children_json"), lit("null")),
           lit("}")).as("model_relationships"),
         (col("parents_json").isNotNull || col("children_json").isNotNull)
           .as("has_relations"))
+    scopeCol match {
+      case Some(sc) => base.withColumnRenamed("scp", sc)
+      case None     => base.drop("scp")
+    }
   }
 
   /** Edges reachable FROM each root by following `src → dst` — the

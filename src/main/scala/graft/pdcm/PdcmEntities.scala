@@ -1380,18 +1380,25 @@ object PdcmEntities {
     // like init.sql:1186-1188.
     .register(EntityDef("model_relationships", Seq("model_entity"),
       (_, in) => {
+        // data_source-SCOPED (r12 volume-drill find): external model
+        // ids are only unique per provider, so the lineage trees must
+        // never join across providers — the unscoped form silently
+        // merged colliding ids once >1 provider shipped models.
         val m = in("model_entity")
           .select(col("model_id").as("external_model_id"),
+            col("data_source"),
             coalesce(col("sample_type"), lit("")).as("type"),
             when(Cleaning.trimAll(col("parent_model_id")) === "",
               lit(null).cast("string"))
               .otherwise(col("parent_model_id")).as("parent_id"))
-          .dropDuplicates("external_model_id")
+          .dropDuplicates("external_model_id", "data_source")
         graft.graph.Trees.modelRelationships(
-          m, "external_model_id", "type", "parent_id")
+          m, "external_model_id", "type", "parent_id",
+          scopeCol = Some("data_source"))
       },
       outputColumns = Seq(
-        "external_model_id", "model_relationships", "has_relations")))
+        "external_model_id", "data_source", "model_relationships",
+        "has_relations")))
     // knowledge_graph (scripts/updates.sql:81-150): per-model reachable
     // subgraph JSON over the nodes/edges property graph. The root is
     // the model's PATIENT ancestor (find_root_node walks up the edge

@@ -460,13 +460,19 @@ class PdcmEntitiesSpec extends SparkSpec {
   test("model_relationships + knowledge_graph: trees and patient-rooted subgraph") {
     // M1 is the root of the provA family, M2 its child (model.tsv
     // parent_model_id) — the nested JSON mirrors updates.sql:1-39.
-    val rel = out("model_relationships").orderBy("external_model_id").collect()
+    // r12: the entity is (external_model_id, data_source)-keyed — ids
+    // are provider-local, so the lineage carries its scope column.
+    val rel = out("model_relationships")
+      .select("external_model_id", "data_source", "model_relationships",
+        "has_relations")
+      .orderBy("external_model_id").collect()
     assert(rel.map(_.getString(0)).toSeq == Seq("M1", "M2", "M3"))
-    assert(rel.map(_.getBoolean(2)).toSeq == Seq(true, true, false),
+    assert(rel.map(_.getString(1)).distinct.toSeq == Seq("provA"))
+    assert(rel.map(_.getBoolean(3)).toSeq == Seq(true, true, false),
       "M1/M2 related; standalone M3 is not")
-    assert(rel(0).getString(1) ==
+    assert(rel(0).getString(2) ==
       """{"parents":null,"children":[{"external_model_id":"M2","type":"tissue","children":null}]}""")
-    assert(rel(1).getString(1) ==
+    assert(rel(1).getString(2) ==
       """{"parents":[{"external_model_id":"M1","type":"tissue","parents":null}],"children":null}""")
     // Every model resolves to a patient-rooted subgraph carrying all
     // three edge kinds (patient->sample->model plus the parent link).
@@ -769,5 +775,42 @@ class PdcmEntitiesSpec extends SparkSpec {
     val bio = am.filter($"molecular_characterization_type" === "biomarker").head()
     assert(bio.getSeq[String](bio.fieldIndex("not_empty_cols")).toSeq ==
       Seq("biomarker_status", "harmonized_symbol", "symbol"))
+  }
+
+  test("Trees.modelRelationships scope: colliding ids across providers never merge lineages") {
+    // The r12 volume-drill find: external model ids are provider-local.
+    // Two providers both ship M1/M2 with M2→M1, but only provX's M9 has
+    // a dangling parent — the scoped trees must stay identical per
+    // provider and never resolve an id against the OTHER provider.
+    val m = Seq(
+      ("M1", "provX", "tissue", null.asInstanceOf[String]),
+      ("M2", "provX", "tissue", "M1"),
+      ("M9", "provX", "tissue", "M7"), // dangling in provX...
+      ("M1", "provY", "tissue", null.asInstanceOf[String]),
+      ("M2", "provY", "tissue", "M1"),
+      ("M7", "provY", "tissue", null.asInstanceOf[String])) // ...but M7 EXISTS in provY
+      .toDF("external_model_id", "data_source", "type", "parent_id")
+    val rel = graft.graph.Trees.modelRelationships(
+        m, "external_model_id", "type", "parent_id",
+        scopeCol = Some("data_source"))
+      .select("external_model_id", "data_source", "has_relations")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2))
+      .toMap
+    assert(rel(("M1", "provX")) && rel(("M2", "provX")))
+    assert(rel(("M1", "provY")) && rel(("M2", "provY")))
+    // M9's parent M7 exists ONLY in provY: scoped resolution must treat
+    // it as dangling (no relations), and provY's M7 — parent of nobody
+    // in its own provider — must stay relation-free too.
+    assert(!rel(("M9", "provX")), "cross-provider id bleed: M9 resolved provY's M7")
+    assert(!rel(("M7", "provY")), "cross-provider id bleed: M7 adopted provX's M9")
+    // The unscoped default stays byte-compatible for single-provider
+    // callers (q113/q241): same input restricted to provX behaves as
+    // before.
+    val solo = graft.graph.Trees.modelRelationships(
+        m.filter($"data_source" === "provX"),
+        "external_model_id", "type", "parent_id")
+      .select("external_model_id", "has_relations")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(solo == Map("M1" -> true, "M2" -> true, "M9" -> false))
   }
 }
