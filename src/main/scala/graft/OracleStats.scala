@@ -3318,6 +3318,305 @@ private[graft] object OracleStats {
              WHEN s < 0 THEN CAST(s AS DOUBLE) + 1.0 ELSE 0.0 END)
              / sqrt(CAST(v18 AS DOUBLE) / 18.0) AS z
          FROM agg""",
+
+    // ── Round-12 tier ───────────────────────────────────────────────────
+
+    "q484_kendall_tau" ->
+      """WITH b AS (SELECT p_brand AS brand,
+           CAST(sum(CASE WHEN year(l_shipdate) = 1995
+             THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS r95,
+           CAST(sum(CASE WHEN year(l_shipdate) = 1996
+             THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS r96
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) IN (1995, 1996) GROUP BY 1),
+         p AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN (a.r95 < b.r95 AND a.r96 < b.r96)
+               OR (a.r95 > b.r95 AND a.r96 > b.r96) THEN 1 ELSE 0 END)
+               AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN (a.r95 < b.r95 AND a.r96 > b.r96)
+               OR (a.r95 > b.r95 AND a.r96 < b.r96) THEN 1 ELSE 0 END)
+               AS BIGINT) AS nd,
+             CAST(sum(CASE WHEN a.r95 = b.r95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx,
+             CAST(sum(CASE WHEN a.r96 = b.r96 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty
+           FROM b a JOIN b b ON a.brand < b.brand)
+         SELECT n0 AS n_pairs, nc AS concordant, nd AS discordant,
+           (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+               * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))) AS tau_b
+         FROM p""",
+
+    "q485_page_hinkley" ->
+      s"""WITH daily AS (${OracleWarehouse.dailyRevenueSql}),
+         tot AS (SELECT nation, CAST(count(*) AS BIGINT) AS nn,
+             CAST(sum(c) AS BIGINT) AS ss FROM daily GROUP BY 1),
+         st AS (SELECT d.nation, nn, ss,
+             CAST(row_number() OVER (PARTITION BY d.nation ORDER BY d.d)
+               AS BIGINT) AS t,
+             CAST(sum(c) OVER (PARTITION BY d.nation ORDER BY d.d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM daily d JOIN tot ON d.nation = tot.nation),
+         m AS (SELECT nation, nn, ss, t,
+             CAST(nn AS HUGEINT) * CAST(cum AS HUGEINT)
+               - CAST(t AS HUGEINT) * CAST(ss AS HUGEINT) AS m2
+           FROM st),
+         ph AS (SELECT nation, nn, ss, m2
+             - min(m2) OVER (PARTITION BY nation ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS ph
+           FROM m)
+         SELECT nation, nn AS n_days,
+           CAST(sum(CASE WHEN ph > CAST(nn AS HUGEINT)
+             * CAST(ss * 5 AS HUGEINT) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(max(ph) AS DOUBLE) / CAST(nn AS DOUBLE) AS max_ph_cents
+         FROM ph GROUP BY 1, 2""",
+
+    "q486_theil_index" ->
+      """WITH spend AS (SELECT n_name AS nation, o_custkey,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS x
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2),
+         tot AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx FROM spend GROUP BY 1),
+         terms AS (SELECT s.nation, t.n,
+             CAST(round(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+               / CAST(sx AS DOUBLE)
+               * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+                 / CAST(sx AS DOUBLE)) * 1000000.0) AS BIGINT) AS tm
+           FROM spend s JOIN tot t ON s.nation = t.nation)
+         SELECT nation, n AS n_customers,
+           CAST(CAST(sum(tm) AS BIGINT) AS DOUBLE) / 1000000.0
+             / CAST(n AS DOUBLE) AS theil_t
+         FROM terms GROUP BY 1, 2""",
+
+    "q487_cochran_armitage" ->
+      """WITH cells AS (SELECT
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
+             AS w,
+           CAST(count(*) AS BIGINT) AS nw,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS rw
+         FROM orders GROUP BY 1),
+         m AS (SELECT CAST(sum(nw) AS BIGINT) AS n,
+             CAST(sum(rw) AS BIGINT) AS r,
+             CAST(sum(nw * w) AS BIGINT) AS snw,
+             CAST(sum(nw * w * w) AS BIGINT) AS snww,
+             CAST(sum(rw * w) AS BIGINT) AS srw
+           FROM cells)
+         SELECT n AS n_obs,
+           (CAST(n AS DOUBLE) * CAST(srw AS DOUBLE)
+             - CAST(r AS DOUBLE) * CAST(snw AS DOUBLE))
+           / sqrt((CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
+               / CAST(n AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(snww AS DOUBLE)
+               - CAST(snw AS DOUBLE) * CAST(snw AS DOUBLE))
+             / CAST(n AS DOUBLE)) AS ca_z
+         FROM m""",
+
+    "q488_kruskal_wallis" ->
+      """WITH x AS (SELECT c_mktsegment AS g,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+         grid AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+           FROM x GROUP BY 1),
+         cum AS (SELECT v, t,
+             (CAST(sum(t) OVER (ORDER BY v) AS BIGINT) - t) * 2 + t + 1
+               AS mr2
+           FROM grid),
+         segv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cg
+           FROM x GROUP BY 1, 2),
+         rj AS (SELECT g, CAST(sum(cg) AS BIGINT) AS nj,
+             sum(CAST(cg AS HUGEINT) * CAST(mr2 AS HUGEINT)) AS r2j
+           FROM segv JOIN cum USING (v) GROUP BY 1),
+         ties AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+             sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+               - CAST(t AS HUGEINT)) AS t3
+           FROM grid),
+         ht AS (SELECT g, n, t3,
+             CAST(r2j AS DOUBLE) / 2.0 * (CAST(r2j AS DOUBLE) / 2.0)
+               / CAST(nj AS DOUBLE) AS rr
+           FROM rj CROSS JOIN ties)
+         SELECT n AS n_obs, CAST(count(*) - 1 AS BIGINT) AS df,
+           (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+             * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(rr ORDER BY g)), (p, q) -> p + q)
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+           / (1.0 - CAST(t3 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               - CAST(n AS DOUBLE))) AS h_corrected
+         FROM ht GROUP BY 1, t3""",
+
+    "q489_friedman" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS c,
+           date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) // 7
+             AS wk,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7
+             AS w
+         FROM orders GROUP BY 1, 3, 4),
+         full_ AS (SELECT wk FROM daily GROUP BY 1 HAVING count(*) = 7),
+         ranked AS (SELECT d.w,
+             CAST(row_number() OVER (PARTITION BY d.wk
+               ORDER BY d.c ASC, d.w ASC) AS BIGINT) AS rk
+           FROM daily d JOIN full_ USING (wk)),
+         rj AS (SELECT w, CAST(sum(rk) AS BIGINT) AS rj,
+             CAST(count(*) AS BIGINT) AS nb
+           FROM ranked GROUP BY 1)
+         SELECT max(nb) AS n_blocks,
+           12.0 / (CAST(max(nb) AS DOUBLE) * 7.0 * 8.0)
+             * CAST(sum(rj * rj) AS DOUBLE)
+             - 3.0 * CAST(max(nb) AS DOUBLE) * 8.0 AS friedman_chi2
+         FROM rj""",
+
+    "q490_ks_two_sample" ->
+      """WITH x AS (SELECT c_mktsegment = 'BUILDING' AS g1,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         FROM orders JOIN customer ON o_custkey = c_custkey),
+         grid AS (SELECT v,
+             CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+           FROM x GROUP BY 1),
+         cum AS (SELECT v,
+             CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+           FROM grid),
+         tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2 FROM grid),
+         scored AS (SELECT v, n1, n2,
+             abs(CAST(cum1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+               - CAST(cum2 AS HUGEINT) * CAST(n1 AS HUGEINT)) AS dnum
+           FROM cum CROSS JOIN tot)
+         SELECT n1, n2,
+           CAST((max(struct_pack(dnum := dnum, negv := -v))).dnum AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d,
+           -(max(struct_pack(dnum := dnum, negv := -v))).negv AS at_cents
+         FROM scored GROUP BY 1, 2""",
+
+    "q495_sprt_daily" ->
+      s"""WITH daily AS (${OracleWarehouse.dailyRevenueSql}),
+         ranked AS (SELECT nation, d, c,
+             CAST(row_number() OVER (PARTITION BY nation
+               ORDER BY c ASC, d ASC) AS BIGINT) AS rn
+           FROM daily),
+         cnt AS (SELECT nation, CAST(count(*) AS BIGINT) AS n
+           FROM daily GROUP BY 1),
+         meds AS (SELECT r.nation,
+             CASE WHEN count(*) = 1 THEN CAST(sum(r.c) AS BIGINT) * 2
+               ELSE CAST(sum(r.c) AS BIGINT) END AS med2
+           FROM ranked r JOIN cnt ON r.nation = cnt.nation
+           WHERE r.rn = (cnt.n + 1) // 2 OR r.rn = cnt.n // 2 + 1
+           GROUP BY 1),
+         walk AS (SELECT d.nation,
+             CAST(row_number() OVER (PARTITION BY d.nation ORDER BY d.d)
+               AS BIGINT) AS t,
+             CAST(sum(CASE WHEN d.c * 2 > m.med2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY d.nation ORDER BY d.d
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k
+           FROM daily d JOIN meds m ON d.nation = m.nation),
+         cross_ AS (SELECT nation,
+             (min(struct_pack(t := t, s := k * 2 - t))).t AS decided_at_day,
+             CASE WHEN (min(struct_pack(t := t, s := k * 2 - t))).s >= 8
+               THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+           FROM walk WHERE abs(k * 2 - t) >= 8 GROUP BY 1)
+         SELECT cnt.nation, cnt.n AS n_days,
+           CAST(coalesce(decided_at_day, -1) AS BIGINT) AS decided_at_day,
+           coalesce(decision, 'undecided') AS decision
+         FROM cnt LEFT JOIN cross_ ON cnt.nation = cross_.nation""",
+
+    "q498_gumbel_maxima" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS c
+         FROM orders GROUP BY 1),
+         mx AS (SELECT strftime(day, '%Y-%m') AS month,
+             CAST(max(c) AS BIGINT) AS m FROM daily GROUP BY 1),
+         mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS BIGINT) AS s1,
+             sum(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS s2 FROM mx),
+         f AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_max,
+             sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0))
+               * CAST(${QueryDsl.Sqrt6OverPi} AS DOUBLE) AS beta
+           FROM mom)
+         SELECT n AS n_months, mean_max, beta,
+           mean_max - CAST(${QueryDsl.EulerGamma} AS DOUBLE) * beta AS mu
+         FROM f""",
+
+    "q499_runs_test" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS c
+         FROM orders GROUP BY 1),
+         idx AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+             AS t, c FROM daily),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM idx),
+         med AS (SELECT CASE WHEN count(*) = 1
+               THEN CAST(sum(c) AS BIGINT) * 2
+               ELSE CAST(sum(c) AS BIGINT) END AS med2
+           FROM idx CROSS JOIN nn
+           WHERE t = (nn + 1) // 2 OR t = nn // 2 + 1),
+         signed AS (SELECT t, c * 2 > med2 AS up
+           FROM idx CROSS JOIN med WHERE c * 2 <> med2),
+         re AS (SELECT CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+             up FROM signed),
+         sw AS (SELECT CAST(sum(CASE WHEN a.up <> b.up THEN 1 ELSE 0 END)
+             AS BIGINT) AS sw
+           FROM re a JOIN re b ON a.i = b.i - 1),
+         counts AS (SELECT
+             CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2
+           FROM signed)
+         SELECT n1, n2, CAST(sw + 1 AS BIGINT) AS runs,
+           (CAST(sw AS DOUBLE) + 1.0
+             - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+           / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+               * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+               * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))) AS z
+         FROM counts CROSS JOIN sw""",
+
+    "q500_spearman_brands" ->
+      """WITH b AS (SELECT p_brand AS brand,
+           CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS sq,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS BIGINT) AS sp,
+           CAST(count(*) AS BIGINT) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+         rq AS (SELECT a.brand,
+             CAST(count(o.brand) + 1 AS BIGINT) AS rkq
+           FROM b a LEFT JOIN b o ON o.sq > a.sq
+             OR (o.sq = a.sq AND o.brand < a.brand)
+           GROUP BY 1),
+         rp AS (SELECT a.brand,
+             CAST(count(o.brand) + 1 AS BIGINT) AS rkp
+           FROM b a LEFT JOIN b o
+             ON CAST(o.sp AS HUGEINT) * CAST(a.n AS HUGEINT)
+               > CAST(a.sp AS HUGEINT) * CAST(o.n AS HUGEINT)
+             OR (CAST(o.sp AS HUGEINT) * CAST(a.n AS HUGEINT)
+               = CAST(a.sp AS HUGEINT) * CAST(o.n AS HUGEINT)
+               AND o.brand < a.brand)
+           GROUP BY 1),
+         dd AS (SELECT (rkq - rkp) * (rkq - rkp) AS d2
+           FROM rq JOIN rp USING (brand))
+         SELECT CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum(d2) AS BIGINT) AS sum_d2,
+           1.0 - 6.0 * CAST(sum(d2) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE)
+               * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0))
+             AS rho
+         FROM dd""",
   )
 
   /** Shared lifetime CTEs (q438–q440): per-customer first/last order

@@ -1574,5 +1574,106 @@ private[graft] object OracleText {
              list(t ORDER BY b)), (p, q) -> p + q)), 6)
              AS bhattacharyya_dist
          FROM terms GROUP BY 1, 2""",
+
+    // ── Round-12 tier ───────────────────────────────────────────────────
+
+    "q491_pmi_bigrams" ->
+      """WITH pos AS (SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+           generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) - 1
+             AS pos
+         FROM documents),
+         uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cu
+           FROM pos GROUP BY 1),
+         bi AS (SELECT a.term AS w1, b.term AS w2,
+             CAST(count(*) AS BIGINT) AS cxy
+           FROM pos a JOIN pos b
+             ON a.doc_id = b.doc_id AND a.pos = b.pos - 1
+           GROUP BY 1, 2 HAVING count(*) >= 5),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM pos),
+         nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nbi FROM bi)
+         SELECT w1, w2, cxy,
+           round(ln((CAST(cxy AS DOUBLE) / CAST(nbi AS DOUBLE))
+             / ((CAST(c1.cu AS DOUBLE) / CAST(nu AS DOUBLE))
+               * (CAST(c2.cu AS DOUBLE) / CAST(nu AS DOUBLE)))), 6)
+             + CAST(0.0 AS DOUBLE) AS pmi
+         FROM bi
+         JOIN uni c1 ON bi.w1 = c1.term
+         JOIN uni c2 ON bi.w2 = c2.term
+         CROSS JOIN tot CROSS JOIN nb
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+
+    "q494_cohens_kappa" ->
+      """WITH cls AS (SELECT lang = 'en' AS a,
+           len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have',
+             'with'],
+             w -> list_contains(regexp_split_to_array(trim(text), '\s+'), w)))
+             >= 2 AS b
+         FROM documents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n10,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n01,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n00
+           FROM cls)
+         SELECT n AS n_docs, n11, n10, n01, n00,
+           ((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE)
+             - ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+                 * (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE))
+               + (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                 * (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+           / (1.0
+             - ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE))
+                 * (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE))
+               + (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE))
+                 * (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE)))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS kappa
+         FROM t""",
+
+    "q496_novelty_rate" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(trim(text), '\s+') AS w
+         FROM documents),
+         sh AS (SELECT DISTINCT CAST(doc_id AS BIGINT) // 100 AS blk,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> array_to_string(w[i:i+2], ' ')))) AS g
+           FROM toks WHERE len(w) >= 3),
+         firstb AS (SELECT g, CAST(min(blk) AS BIGINT) AS fb
+           FROM sh GROUP BY 1),
+         per AS (SELECT blk, CAST(count(*) AS BIGINT) AS n_shingles
+           FROM sh GROUP BY 1),
+         novel AS (SELECT fb AS blk, CAST(count(*) AS BIGINT) AS n_novel
+           FROM firstb GROUP BY 1)
+         SELECT per.blk AS block, n_shingles,
+           CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce(n_novel, 0) AS DOUBLE)
+             / CAST(n_shingles AS DOUBLE) AS novelty_rate
+         FROM per LEFT JOIN novel ON per.blk = novel.blk""",
+
+    "q497_mcnemar" ->
+      """WITH cls AS (SELECT lang = 'en' AS a,
+           len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have',
+             'with'],
+             w -> list_contains(regexp_split_to_array(trim(text), '\s+'), w)))
+             >= 2 AS b
+         FROM documents),
+         t AS (SELECT
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS b10,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS c01
+           FROM cls)
+         SELECT b10 AS n_a_only, c01 AS n_b_only,
+           CASE WHEN b10 + c01 > 0 THEN
+             (abs(CAST(b10 AS DOUBLE) - CAST(c01 AS DOUBLE)) - 1.0)
+               * (abs(CAST(b10 AS DOUBLE) - CAST(c01 AS DOUBLE)) - 1.0)
+               / (CAST(b10 AS DOUBLE) + CAST(c01 AS DOUBLE))
+           ELSE 0.0 END AS mcnemar_chi2
+         FROM t""",
   )
 }

@@ -2699,6 +2699,34 @@ private[graft] object OracleWarehouse {
              list(CAST(y AS DOUBLE) / pi ORDER BY o_orderkey)),
              (p, q) -> p + q) / CAST(max(ty) AS DOUBLE) AS ht_ratio
          FROM sampled""",
+
+    // ── Round-12 tier ───────────────────────────────────────────────────
+
+    "q492_fano_burstiness" ->
+      """WITH dayc AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+         st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc
+           FROM dayc GROUP BY 1 HAVING count(*) >= 5)
+         SELECT user_id, nd AS n_days, sc AS n_events,
+           ((CAST(scc AS DOUBLE)
+             - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nd AS DOUBLE))
+             / CAST(nd AS DOUBLE))
+           / (CAST(sc AS DOUBLE) / CAST(nd AS DOUBLE)) AS fano
+         FROM st ORDER BY fano DESC, user_id LIMIT 20""",
+
+    "q493_interarrival_rate" ->
+      """WITH st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS t1
+         FROM events GROUP BY 1 HAVING count(*) >= 2
+           AND max(epoch_us(ts)) > min(epoch_us(ts)))
+         SELECT user_id, n AS n_events, CAST(t1 - t0 AS BIGINT) AS span_us,
+           CAST(n - 1 AS DOUBLE) * 86400000000.0
+             / CAST(t1 - t0 AS DOUBLE) AS events_per_day
+         FROM st ORDER BY n_events DESC, user_id LIMIT 20""",
   )
 
   /** q412's trig basis as a CASE over the day index mod p — rendered

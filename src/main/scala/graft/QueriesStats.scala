@@ -4063,6 +4063,388 @@ private[graft] object QueriesStats {
           .otherwise(lit(0.0))
           / sqrt(d("v18") / lit(18.0))).as("z"))
     }),
+
+    // ── Round-12 tier: rank/agreement/drift/extreme-value statistics ────
+
+    "q484_kendall_tau" -> ((s, dir) => {
+      // Kendall τ-b between the 25 brands' 1995 and 1996 revenue
+      // rankings — the concordance view of rank stability (q500's
+      // Spearman sees squared rank gaps, τ sees pair inversions). Both
+      // yearly revenues are exact cents; every pair comparison is an
+      // integer compare over the catalog-bounded 25² grid; τ-b is one
+      // double expression over the exact pair counts.
+      val b = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(when(year(col("l_shipdate")) === 1995,
+            expr(s"cast(cast(l_extendedprice as $dec) * 100 as bigint)"))
+          .otherwise(0L)).as("r95"),
+          sum(when(year(col("l_shipdate")) === 1996,
+            expr(s"cast(cast(l_extendedprice as $dec) * 100 as bigint)"))
+          .otherwise(0L)).as("r96"))
+        .localCheckpoint()
+      val p = b.as("a").join(b.as("b"), col("a.brand") < col("b.brand"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when((col("a.r95") < col("b.r95") && col("a.r96") < col("b.r96"))
+            || (col("a.r95") > col("b.r95") && col("a.r96") > col("b.r96")),
+            1L).otherwise(0L)).as("nc"),
+          sum(when((col("a.r95") < col("b.r95") && col("a.r96") > col("b.r96"))
+            || (col("a.r95") > col("b.r95") && col("a.r96") < col("b.r96")),
+            1L).otherwise(0L)).as("nd"),
+          sum(when(col("a.r95") === col("b.r95"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("a.r96") === col("b.r96"), 1L).otherwise(0L)).as("ty"))
+      def d(c: String): Column = col(c).cast("double")
+      p.select(col("n0").as("n_pairs"), col("nc").as("concordant"),
+        col("nd").as("discordant"),
+        ((d("nc") - d("nd"))
+          / sqrt((d("n0") - d("tx")) * (d("n0") - d("ty")))).as("tau_b"))
+    }),
+
+    "q485_page_hinkley" -> ((s, dir) => {
+      // Page–Hinkley drift detector per nation (fixed-reference offline
+      // form): m_t = Σ_{i≤t}(x_i − μ) with μ the nation's series mean,
+      // PH_t = m_t − min_{i≤t} m_i, alarm when PH exceeds λ = 5·μ.
+      // EVERYTHING is N-scaled integer arithmetic (m_t·N = N·cum_t −
+      // t·S), so the day-ordered windows carry only integers — min/sum
+      // are order-independent, no float recursion anywhere — and the
+      // one division N·μ-descales max_ph at the end. Windows are
+      // nation-partitioned (key-parallel, the allowed class).
+      val daily = QueriesWarehouse.dailyRevenue(s, dir)
+      val wo = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.groupBy(col("nation"))
+        .agg(count(lit(1)).as("nn"), sum(col("c")).as("ss"))
+      val d38 = "decimal(38,0)"
+      val st = daily.join(tot, Seq("nation"))
+        .withColumn("t", row_number().over(wo).cast("long"))
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("m2", col("nn").cast(d38) * col("cum").cast(d38)
+          - col("t").cast(d38) * col("ss").cast(d38))
+        .withColumn("runmin", min(col("m2")).over(wc))
+        .withColumn("ph", col("m2") - col("runmin"))
+      def d(c: String): Column = col(c).cast("double")
+      st.groupBy(col("nation"), col("nn"), col("ss"))
+        .agg(sum(when(col("ph").cast(d38)
+            > col("nn").cast(d38) * (col("ss") * 5).cast(d38), 1L)
+          .otherwise(0L)).as("n_alarms"),
+          max(col("ph")).as("maxph2"))
+        .select(col("nation"), col("nn").as("n_days"), col("n_alarms"),
+          (col("maxph2").cast("double") / d("nn")).as("max_ph_cents"))
+    }),
+
+    "q486_theil_index" -> ((s, dir) => {
+      // Theil T inequality index of customer spend per nation:
+      // T = (1/n)Σ (x_i/μ)·ln(x_i/μ). The per-customer term is snapped
+      // to the 6-dp grid as an INTEGER micro-unit and summed
+      // map-combinably (the q133 recipe — order-independent exact
+      // integer math, no per-nation ordered fold, so the agg scales as
+      // a plain shuffle at any corpus size).
+      val spend = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_custkey"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("x"))
+      val tot = spend.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      def d(c: Column): Column = c.cast("double")
+      val ratio = d(col("x")) * d(col("n")) / d(col("sx"))
+      spend.join(tot, Seq("nation"))
+        .select(col("nation"), col("n"),
+          round(ratio * log(ratio) * lit(1000000.0)).cast("long").as("tm"))
+        .groupBy(col("nation"), col("n"))
+        .agg(sum(col("tm")).as("tsum"))
+        .select(col("nation"), col("n").as("n_customers"),
+          (col("tsum").cast("double") / lit(1000000.0) / d(col("n")))
+            .as("theil_t"))
+    }),
+
+    "q487_cochran_armitage" -> ((s, dir) => {
+      // Cochran–Armitage trend test: does the share of fulfilled ('F')
+      // orders TREND across the weekday grid (scores 0..6)? The
+      // z-statistic is assembled from exact integer moments only —
+      // per-weekday totals and successes, Σn·w, Σn·w², Σr·w — with the
+      // one sqrt/division at the end.
+      val cells = tbl(s, dir, "orders")
+        .select(pmod(datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))), lit(7)).as("w"),
+          (col("o_orderstatus") === "F").cast("long").as("f"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("nw"), sum(col("f")).as("rw"))
+      val m = cells.agg(sum(col("nw")).as("n"), sum(col("rw")).as("r"),
+        sum(col("nw") * col("w")).as("snw"),
+        sum(col("nw") * col("w") * col("w")).as("snww"),
+        sum(col("rw") * col("w")).as("srw"))
+      def d(c: String): Column = col(c).cast("double")
+      m.select(col("n").as("n_obs"),
+        ((d("n") * d("srw") - d("r") * d("snw"))
+          / sqrt((d("r") * (d("n") - d("r")) / d("n"))
+            * (d("n") * d("snww") - d("snw") * d("snw")) / d("n")))
+          .as("ca_z"))
+    }),
+
+    "q488_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal–Wallis H across the five market segments on order
+      // totals, EXACT midranks with tie correction: the corpus
+      // collapses to the distinct-cents value grid, the banded
+      // cumulative count places every value's midrank (2·midrank is an
+      // integer), segment rank sums are exact integer dot products, and
+      // H/C are assembled in doubles at the end. No unpartitioned
+      // window anywhere (bandedCumSum is the q259 AUC machinery).
+      val x = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("g"),
+          expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"))
+      val grid = x.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      val cum = operators.ScalableWindow.bandedCumSum(
+        grid, "v", descending = false, Seq.empty, "t", "cumt")
+        .withColumn("mr2", (col("cumt") - col("t")) * 2 + col("t") + 1)
+        .localCheckpoint()
+      val segv = x.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cg"))
+      val rj = segv.join(cum.select(col("v"), col("mr2")), Seq("v"))
+        .groupBy(col("g"))
+        .agg(sum(col("cg")).as("nj"),
+          sum(col("cg").cast("decimal(38,0)") * col("mr2").cast("decimal(38,0)"))
+            .as("r2j"))
+      val ties = cum.agg(sum(col("t")).as("n"),
+        sum((col("t").cast("decimal(38,0)") * col("t").cast("decimal(38,0)")
+          * col("t").cast("decimal(38,0)")) - col("t").cast("decimal(38,0)"))
+          .as("t3"))
+      def d(c: Column): Column = c.cast("double")
+      val hterm = rj.crossJoin(broadcast(ties))
+        .select(col("g"), col("nj"), col("n"), col("t3"),
+          (d(col("r2j")) / lit(2.0) * (d(col("r2j")) / lit(2.0))
+            / d(col("nj"))).as("rr"))
+      hterm.groupBy(col("n"), col("t3"))
+        .agg(count(lit(1)).as("k"),
+          aggregate(array_sort(collect_list(struct(col("g"),
+            col("rr").as("rr")))), lit(0.0),
+            (a, e) => a + e.getField("rr")).as("srr"))
+        .select(col("n").as("n_obs"), (col("k") - 1).as("df"),
+          ((lit(12.0) / (d(col("n")) * (d(col("n")) + 1.0)) * col("srr")
+            - lit(3.0) * (d(col("n")) + 1.0))
+            / (lit(1.0) - d(col("t3"))
+              / (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n")))))
+            .as("h_corrected"))
+    }),
+
+    "q489_friedman" -> ((s, dir) => {
+      // Friedman test: do weekdays differ in revenue once each WEEK is
+      // its own block? Complete weeks only; within-week ranks are
+      // integers from the 7-row block (rank by (revenue, weekday) — a
+      // DEFINED total order, so cents ties break deterministically in
+      // both engines); χ²_F is exact-integer rank sums in one closed
+      // form. Windows are week-partitioned (key-parallel).
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("c"))
+        .withColumn("wk", floor(datediff(col("day"),
+          to_date(lit("1970-01-05"))) / 7).cast("long"))
+        .withColumn("w", pmod(datediff(col("day"),
+          to_date(lit("1970-01-01"))), lit(7)))
+      val full = daily.groupBy(col("wk")).agg(count(lit(1)).as("nd"))
+        .filter(col("nd") === 7).select(col("wk"))
+      val ranked = daily.join(full, Seq("wk"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("wk"))
+          .orderBy(col("c").asc, col("w").asc)).cast("long"))
+      val rj = ranked.groupBy(col("w")).agg(sum(col("rk")).as("rj"),
+        count(lit(1)).as("nb"))
+      def d(c: Column): Column = c.cast("double")
+      rj.agg(max(col("nb")).as("n_blocks"),
+          sum(col("rj") * col("rj")).as("srj2"))
+        .select(col("n_blocks"),
+          (lit(12.0) / (d(col("n_blocks")) * lit(7.0) * lit(8.0))
+            * d(col("srj2"))
+            - lit(3.0) * d(col("n_blocks")) * lit(8.0)).as("friedman_chi2"))
+    }),
+
+    "q490_ks_two_sample" -> ((s, dir) => {
+      // Two-sample Kolmogorov–Smirnov D between BUILDING-segment order
+      // totals and the rest, EXACTLY: on the distinct-value grid,
+      // D = max|F1−F2| = max|cum1·n2 − cum2·n1| / (n1·n2) is an integer
+      // maximization (argmax reported at the smallest attaining value
+      // via the max(struct) trick); both cumulatives ride ONE
+      // bandedCumSums pass.
+      val x = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select((col("c_mktsegment") === "BUILDING").as("g1"),
+          expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"))
+      val grid = x.groupBy(col("v"))
+        .agg(sum(col("g1").cast("long")).as("c1"),
+          sum((!col("g1")).cast("long")).as("c2"))
+      val cum = operators.ScalableWindow.bandedCumSums(
+        grid, "v", descending = false, Seq.empty,
+        Seq("c1" -> "cum1", "c2" -> "cum2"))
+      val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val d38 = "decimal(38,0)"
+      val scored = cum.crossJoin(broadcast(tot))
+        .select(col("v"), col("n1"), col("n2"),
+          abs(col("cum1").cast(d38) * col("n2").cast(d38)
+            - col("cum2").cast(d38) * col("n1").cast(d38)).as("dnum"))
+      scored.groupBy(col("n1"), col("n2"))
+        .agg(max(struct(col("dnum"), (-col("v")).as("negv"))).as("m"))
+        .select(col("n1"), col("n2"),
+          (col("m.dnum").cast("double")
+            / (col("n1").cast("double") * col("n2").cast("double")))
+            .as("ks_d"),
+          (-col("m.negv")).as("at_cents"))
+    }),
+
+    "q495_sprt_daily" -> ((s, dir) => {
+      // Wald SPRT per nation on the "high-revenue day" Bernoulli stream
+      // (day's revenue above the nation's own median day): H0 p=0.4 vs
+      // H1 p=0.6 — symmetric, so LLR_t = (2k_t − t)·ln(1.5) and the
+      // ±ln(19) thresholds reduce to the INTEGER walk 2k−t crossing ±8
+      // (⌈ln19/ln1.5⌉): the whole sequential test is exact integer
+      // arithmetic on the day-ordered cumulative, decided at the FIRST
+      // crossing. Median via the segment-partitioned rank (even counts
+      // average as 2·med to stay integer).
+      val daily = QueriesWarehouse.dailyRevenue(s, dir)
+      val wNation = Window.partitionBy(col("nation"))
+        .orderBy(col("c").asc, col("d").asc)
+      val ranked = daily
+        .withColumn("rn", row_number().over(wNation).cast("long"))
+      val meds = ranked.groupBy(col("nation")).agg(count(lit(1)).as("n"))
+        .join(ranked.select(col("nation"), col("rn"), col("c")), Seq("nation"))
+        .filter(expr("rn = div(n + 1, 2) OR rn = div(n, 2) + 1"))
+        .groupBy(col("nation"))
+        .agg(sum(col("c")).as("med2x"), count(lit(1)).as("nm"))
+        .select(col("nation"),
+          when(col("nm") === 1, col("med2x") * 2).otherwise(col("med2x"))
+            .as("med2"))
+      val wo = Window.partitionBy(col("nation")).orderBy(col("d"))
+      val walk = daily.join(broadcast(meds), Seq("nation"))
+        .withColumn("hi", (col("c") * 2 > col("med2")).cast("long"))
+        .withColumn("t", row_number().over(wo).cast("long"))
+        .withColumn("k", sum(col("hi")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("s", col("k") * 2 - col("t"))
+      val crossings = walk.filter(abs(col("s")) >= 8)
+        .groupBy(col("nation"))
+        .agg(min(struct(col("t"), col("s").as("s"))).as("f"))
+        .select(col("nation"), col("f.t").as("decided_at_day"),
+          when(col("f.s") >= 8, lit("accept_h1")).otherwise(lit("accept_h0"))
+            .as("decision"))
+      daily.groupBy(col("nation")).agg(count(lit(1)).as("n_days"))
+        .join(crossings, Seq("nation"), "left")
+        .select(col("nation"), col("n_days"),
+          coalesce(col("decided_at_day"), lit(-1L)).as("decided_at_day"),
+          coalesce(col("decision"), lit("undecided")).as("decision"))
+    }),
+
+    "q498_gumbel_maxima" -> ((s, dir) => {
+      // Gumbel fit of MONTHLY block maxima of daily revenue by the
+      // method of moments: β̂ = s·√6/π, μ̂ = m̄ − γ·β̂ — the extreme-value
+      // sibling of q303's full-distribution moments. Block maxima and
+      // both power sums are exact integers (DECIMAL(38,0) squares — the
+      // q366 overflow lesson); √6/π and Euler γ come from QueryDsl ONE
+      // literal pair consumed by both engines; the closed form is the
+      // only float step, emitted unrounded.
+      val mx = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("c"))
+        .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+        .agg(max(col("c")).as("m"))
+      val d38 = "decimal(38,0)"
+      val mom = mx.agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m").cast(d38) * col("m").cast(d38)).as("s2"))
+      def d(c: String): Column = col(c).cast("double")
+      mom.select(col("n").as("n_months"),
+          (d("s1") / d("n")).as("mean_max"),
+          (sqrt((d("s2") - d("s1") * d("s1") / d("n")) / (d("n") - 1.0))
+            * lit(QueryDsl.Sqrt6OverPi)).as("beta"))
+        .select(col("n_months"), col("mean_max"), col("beta"),
+          (col("mean_max") - lit(QueryDsl.EulerGamma) * col("beta"))
+            .as("mu"))
+    }),
+
+    "q499_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs test on the daily-revenue sign sequence
+      // (above/below the exact global day median; median days drop, the
+      // standard convention): R runs over n1+n2 days, z from the exact
+      // integer counts. The day grid is calendar-bounded, so the sign
+      // chain rides boundedRankCum + a t→t+1 self-join — no
+      // unpartitioned window.
+      val daily = tbl(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
+          .as("c"))
+      val idx = operators.ScalableWindow
+        .boundedRankCum(daily, Seq(("day", true)), "t").localCheckpoint()
+      val n = idx.agg(count(lit(1)).as("nn"))
+      val med = idx.crossJoin(broadcast(n))
+        .filter(expr("t = div(nn + 1, 2) OR t = div(nn, 2) + 1"))
+        .agg(sum(col("c")).as("med2x"), count(lit(1)).as("nm"))
+        .select(when(col("nm") === 1, col("med2x") * 2)
+          .otherwise(col("med2x")).as("med2"))
+      val signed = idx.crossJoin(broadcast(med))
+        .filter(col("c") * 2 =!= col("med2"))
+        .select(col("t"), (col("c") * 2 > col("med2")).as("up"))
+      val reIdx = operators.ScalableWindow
+        .boundedRankCum(signed, Seq(("t", true)), "i").localCheckpoint()
+      val switches = reIdx.as("a").join(reIdx.as("b"),
+          col("a.i") === col("b.i") - 1)
+        .agg(sum((col("a.up") =!= col("b.up")).cast("long")).as("sw"))
+      val counts = signed.agg(sum(col("up").cast("long")).as("n1"),
+        sum((!col("up")).cast("long")).as("n2"))
+      def d(c: String): Column = col(c).cast("double")
+      counts.crossJoin(switches)
+        .select(col("n1"), col("n2"), (col("sw") + 1).as("runs"),
+          ((d("sw") + 1.0
+            - (lit(2.0) * d("n1") * d("n2") / (d("n1") + d("n2")) + 1.0))
+            / sqrt(lit(2.0) * d("n1") * d("n2")
+              * (lit(2.0) * d("n1") * d("n2") - d("n1") - d("n2"))
+              / ((d("n1") + d("n2")) * (d("n1") + d("n2"))
+                * (d("n1") + d("n2") - 1.0)))).as("z"))
+    }),
+
+    "q500_spearman_brands" -> ((s, dir) => {
+      // Spearman ρ between the 25 brands' total-quantity rank and
+      // mean-line-price rank: ranks are exact integers over the
+      // catalog-bounded grid (mean price compared EXACTLY by
+      // cross-multiplied integers — sp_a·n_b vs sp_b·n_a — so the rank
+      // never depends on a float), ρ = 1 − 6Σd²/(n(n²−1)) is one exact
+      // rational. The rank comes from the triangular self-join (the
+      // q174 rule: no window, even over 25 rows).
+      val b = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(expr(s"cast(cast(l_quantity as $dec) * 100 as bigint)"))
+          .as("sq"),
+          sum(expr(s"cast(cast(l_extendedprice as $dec) * 100 as bigint)"))
+          .as("sp"), count(lit(1)).as("n"))
+        .localCheckpoint()
+      val d38 = "decimal(38,0)"
+      val o = b.select(col("brand").as("ob"), col("sq").as("osq"),
+        col("sp").as("osp"), col("n").as("on"))
+      val rq = b.join(o, col("osq") > col("sq")
+          || (col("osq") === col("sq") && col("ob") < col("brand")), "left")
+        .groupBy(col("brand")).agg((count(col("ob")) + 1).as("rkq"))
+      val rp = b.join(o,
+          col("osp").cast(d38) * col("n").cast(d38)
+            > col("sp").cast(d38) * col("on").cast(d38)
+          || (col("osp").cast(d38) * col("n").cast(d38)
+            === col("sp").cast(d38) * col("on").cast(d38)
+            && col("ob") < col("brand")), "left")
+        .groupBy(col("brand")).agg((count(col("ob")) + 1).as("rkp"))
+      val dd = rq.join(rp, Seq("brand"))
+        .select(((col("rkq") - col("rkp"))
+          * (col("rkq") - col("rkp"))).as("d2"))
+      dd.agg(count(lit(1)).as("n_brands"), sum(col("d2")).as("sd2"))
+        .select(col("n_brands"), col("sd2").as("sum_d2"),
+          (lit(1.0) - lit(6.0) * col("sd2").cast("double")
+            / (col("n_brands").cast("double")
+              * (col("n_brands").cast("double")
+                * col("n_brands").cast("double") - 1.0))).as("rho"))
+    }),
   )
 
   /** q446's finishing math over a (nation, yr, p_brand, rev) cell

@@ -2741,5 +2741,118 @@ private[graft] object QueriesText {
           col("bc").as("bhattacharyya_coef"),
           round(-log(col("bc")), 6).as("bhattacharyya_dist"))
     }),
+
+    // ── Round-12 tier: collocation / agreement / novelty ────────────────
+
+    "q491_pmi_bigrams" -> ((s, dir) => {
+      // Top-20 adjacent-token collocations by pointwise mutual
+      // information, PMI = ln((c_xy/N_bi)/((c_x/N_uni)(c_y/N_uni))) at
+      // c_xy ≥ 5 — the collocation-extraction primitive under phrase
+      // mining. One corpus scan feeds the (doc, pos, term) stream;
+      // bigrams are the pos→pos+1 equi-join; unigram/bigram tables are
+      // vocab-bounded; the top-20 is TakeOrderedAndProject on the
+      // identical-IEEE pmi with (w1, w2) tiebreak.
+      val pos = tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+        .localCheckpoint()
+      val uni = pos.groupBy(col("term")).agg(count(lit(1)).as("cu"))
+      val bi = pos.as("a").join(pos.as("b"),
+          col("a.doc_id") === col("b.doc_id")
+            && col("a.pos") === col("b.pos") - 1)
+        .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+        .agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      val tot = pos.agg(count(lit(1)).as("nu"))
+      val nb = bi.agg(sum(col("cxy")).as("nbi"))
+      def d(c: Column): Column = c.cast("double")
+      bi.join(uni.select(col("term").as("w1"), col("cu").as("c1")), Seq("w1"))
+        .join(uni.select(col("term").as("w2"), col("cu").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("cxy"),
+          // 6-dp round: the ln is the one libm step (JVM vs C stdlib
+          // differ by an ulp — the q458 libm contract), and the SORT
+          // runs on the rounded value so near-ties order identically.
+          roundZ(log((d(col("cxy")) / d(col("nbi")))
+            / ((d(col("c1")) / d(col("nu")))
+              * (d(col("c2")) / d(col("nu"))))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    }),
+
+    "q494_cohens_kappa" -> ((s, dir) => {
+      // Cohen's κ agreement between two document classifiers — the
+      // language tag (lang = 'en') and the q131 stopword heuristic
+      // (≥ 2 English stopword hits): the standard chance-corrected
+      // agreement gauge between a labeled column and a cheap heuristic.
+      // One scan to the exact 2×2 integer table; κ one expression.
+      val toks = Text.tokens(col("text"))
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val hits = stops.map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+      val t = tbl(s, dir, "documents")
+        .select((col("lang") === "en").as("a"), (hits >= 2).as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("a") && col("b")).cast("long")).as("n11"),
+          sum((col("a") && !col("b")).cast("long")).as("n10"),
+          sum((!col("a") && col("b")).cast("long")).as("n01"),
+          sum((!col("a") && !col("b")).cast("long")).as("n00"))
+      def d(c: String): Column = col(c).cast("double")
+      t.select(col("n").as("n_docs"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        (((d("n11") + d("n00")) / d("n")
+          - ((d("n11") + d("n10")) * (d("n11") + d("n01"))
+            + (d("n01") + d("n00")) * (d("n10") + d("n00")))
+            / (d("n") * d("n")))
+          / (lit(1.0)
+            - ((d("n11") + d("n10")) * (d("n11") + d("n01"))
+              + (d("n01") + d("n00")) * (d("n10") + d("n00")))
+              / (d("n") * d("n")))).as("kappa"))
+    }),
+
+    "q496_novelty_rate" -> ((s, dir) => {
+      // Per-block 3-gram novelty: docs in doc_id blocks of 100, each
+      // block's distinct shingles split into first-seen-here vs already
+      // seen in an earlier block — the corpus-growth gauge behind
+      // dedup-aware data mixing (a block full of repeats adds nothing).
+      // Shingle stream is distinct-collapsed per doc then per block;
+      // first-block is one min; every count is exact.
+      val sh = tbl(s, dir, "documents")
+        .filter(size(Text.tokens(col("text"))) >= 3)
+        .select(expr("cast(doc_id as bigint) div 100").as("blk"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2), " +
+              "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 3), ' '))")))
+            .as("g"))
+        .select(col("blk"), col("g")).distinct()
+        .localCheckpoint()
+      val firstb = sh.groupBy(col("g")).agg(min(col("blk")).as("fb"))
+      val per = sh.groupBy(col("blk")).agg(count(lit(1)).as("n_shingles"))
+      val novel = firstb.groupBy(col("fb").as("blk"))
+        .agg(count(lit(1)).as("n_novel"))
+      per.join(novel, Seq("blk"), "left")
+        .select(col("blk").as("block"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_shingles").cast("double")).as("novelty_rate"))
+    }),
+
+    "q497_mcnemar" -> ((s, dir) => {
+      // McNemar's test on the SAME classifier pair as q494 — do the two
+      // classifiers disagree symmetrically? Continuity-corrected
+      // χ² = (|b−c|−1)²/(b+c) over the exact discordant counts; κ asks
+      // "how much agreement", McNemar asks "is the disagreement
+      // one-sided" (a biased heuristic shows up here first).
+      val toks = Text.tokens(col("text"))
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val hits = stops.map(w => array_contains(toks, w).cast("int")).reduce(_ + _)
+      val t = tbl(s, dir, "documents")
+        .select((col("lang") === "en").as("a"), (hits >= 2).as("b"))
+        .agg(sum((col("a") && !col("b")).cast("long")).as("b10"),
+          sum((!col("a") && col("b")).cast("long")).as("c01"))
+      def d(c: String): Column = col(c).cast("double")
+      t.select(col("b10").as("n_a_only"), col("c01").as("n_b_only"),
+        when(col("b10") + col("c01") > 0,
+          (abs(d("b10") - d("c01")) - 1.0) * (abs(d("b10") - d("c01")) - 1.0)
+            / (d("b10") + d("c01"))).otherwise(lit(0.0)).as("mcnemar_chi2"))
+    }),
   )
 }

@@ -1640,8 +1640,10 @@ private[graft] object QueriesVector {
       val deg = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
       // dg >= 2: a degree-1 hub can't close a wedge anyway, and 1/ln(1)
       // would be an IEEE infinity — filter on the exact integer, never
-      // on the float.
-      val wz = und.join(broadcast(deg), Seq("u"))
+      // on the float. deg is NODE-sized (grows with the corpus) — no
+      // broadcast hint; AQE picks the strategy per scale (the r12 sf10
+      // probe caught the forced broadcast re-shipping a ~20M-row build).
+      val wz = und.join(deg, Seq("u"))
         .filter(col("dg") >= 2)
         .select(col("u").as("z"), col("v").as("n"),
           round(lit(1000000000.0) / log(col("dg").cast("double")))

@@ -3942,6 +3942,49 @@ private[graft] object QueriesWarehouse {
           col("true_total"),
           (col("ht") / col("true_total").cast("double")).as("ht_ratio"))
     }),
+
+    // ── Round-12 tier: event-stream temporal statistics ─────────────────
+
+    "q492_fano_burstiness" -> ((s, dir) => {
+      // Fano factor (variance-to-mean of DAILY event counts) per user —
+      // the burstiness gauge: ≈1 Poisson, ≫1 bursty sessions, the
+      // temporal-shape sibling of q42's sessionizer. Per-user moments
+      // are exact integers off one (user, day) pre-aggregate; the
+      // top-20 burstiest (n ≥ 5 active days) is TakeOrderedAndProject
+      // on the one-division double with user_id tiebreak.
+      val dayc = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val st = dayc.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+        .filter(col("nd") >= 5)
+      def d(c: String): Column = col(c).cast("double")
+      st.select(col("user_id"), col("nd").as("n_days"),
+          col("sc").as("n_events"),
+          (((d("scc") - d("sc") * d("sc") / d("nd")) / d("nd"))
+            / (d("sc") / d("nd"))).as("fano"))
+        .orderBy(col("fano").desc, col("user_id")).limit(20)
+    }),
+
+    "q493_interarrival_rate" -> ((s, dir) => {
+      // Exponential-MLE event rate per user: λ̂ = (n−1)/span — the
+      // inter-arrival sum TELESCOPES to last−first, so the whole MLE is
+      // three exact integers per user off one map-combinable aggregate
+      // (no ordered gap stream at any scale). Top-20 most active users
+      // by (n_events desc, user_id), rate as one division.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val st = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), min(col("us")).as("t0"),
+          max(col("us")).as("t1"))
+        .filter(col("n") >= 2 && col("t1") > col("t0"))
+      st.select(col("user_id"), col("n").as("n_events"),
+          (col("t1") - col("t0")).as("span_us"),
+          ((col("n") - 1).cast("double") * lit(86400000000.0)
+            / (col("t1") - col("t0")).cast("double")).as("events_per_day"))
+        .orderBy(col("n_events").desc, col("user_id")).limit(20)
+    }),
   )
 
   /** Daily order revenue in exact cents per (nation, day) — the shared

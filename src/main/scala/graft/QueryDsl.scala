@@ -25,6 +25,14 @@ private[graft] object QueryDsl {
     */
   def roundZ(c: Column, n: Int): Column = round(c, n) + lit(0.0)
 
+  /** Gumbel method-of-moments constants (q498): √6/π and Euler–
+    * Mascheroni γ, computed ONCE here (√ is IEEE-exact; γ is a literal)
+    * so both engines consume the identical doubles — the fencePoly/
+    // rboWeights discipline for libm-adjacent constants.
+    */
+  val Sqrt6OverPi: Double = math.sqrt(6.0) / math.Pi
+  val EulerGamma: Double = 0.5772156649015329
+
   val discPrice: Column =
     col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)
 

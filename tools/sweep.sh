@@ -29,7 +29,7 @@ if [ ! -d "$SFX1" ]; then
 fi
 
 echo "[sweep] Verify -> $OUT"
-SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
+env SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-16} \
   ${ONLY:+SPARK_GRAFT_ONLY=$ONLY} \
   sbt -batch "runMain graft.Verify $SFX1 $OUT"
 
