@@ -147,6 +147,11 @@ MAG_AUDITED = {
     "q433_topsis": "safe-small: entropy terms share*ln(share) in [-0.37,0], 25-brand "
         "fold; x2/x3 power sums fold UNROUNDED; output rounds are ratios",
     "q436_topsis_kmv": "safe-small: same TOPSIS entropy-term shape as q433",
+    "q500_spearman_brands": "safe-exact: block-split artifact (q500 is now the LAST "
+        "query block, the q483 precedent) — q500's own rho is ONE unrounded double "
+        "division of exact integer ranks; the flagged rounds belong to the trailing "
+        "hhiFinish/benfordFinish shared helpers, separately audited via their owning "
+        "queries (q446/q445, sf1-swept)",
 }
 
 
