@@ -32,29 +32,27 @@ object Closure {
       childCol: String,
       parentCol: String,
       maxRounds: Int = 64): DataFrame = {
-    val spark = edges.sparkSession
     // Materialize and re-wrap as a FRESH plan: truncates iterative
     // lineage AND gives every round independent attribute/dataset ids —
     // the closure self-joins the same table repeatedly, which otherwise
-    // trips Spark's ambiguous-self-join analysis.
-    def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+    // trips Spark's ambiguous-self-join analysis. Pin.pin keeps both
+    // properties over the checkpointed INTERNAL rows (no Row round trip).
+    def pin(df: DataFrame): DataFrame = org.apache.spark.sql.graft.Pin.pin(df)
     val e = pin(edges
       .select(col(childCol).as("child"), col(parentCol).as("parent"))
       .filter(col("child").isNotNull && col("parent").isNotNull)
       .dropDuplicates())
-    // The accumulator lives as an RDD: each round's DELTA is checkpointed
-    // once, and the closure-so-far is the free RDD-level union of those
-    // already-materialized deltas (re-checkpointing the whole accumulator
-    // per round rewrites O(closure) blocks for nothing — A/B-measured
-    // against a dedup(acc ∪ acc∘acc)+count formulation, which lost by
-    // ~25%: the anti-join delta keeps every per-round exchange
-    // delta-sized). Wrapping the RDD in createDataFrame on every use
-    // hands each round fresh dataset ids, so the acc⋈acc self-join stays
-    // unambiguous.
-    var accRdd = e.rdd
-    val schema = e.schema
-    def acc: DataFrame = spark.createDataFrame(accRdd, schema)
+    // The accumulator is a UNION of the already-pinned per-round DELTAS:
+    // each round's delta is checkpointed once, and the closure-so-far is
+    // the free union of those materialized leaves (re-checkpointing the
+    // whole accumulator per round rewrites O(closure) blocks for nothing
+    // — A/B-measured against a dedup(acc ∪ acc∘acc)+count formulation,
+    // which lost by ~25%: the anti-join delta keeps every per-round
+    // exchange delta-sized). Pin.fresh on every use hands each branch
+    // fresh attribute ids, so the acc⋈acc self-join stays unambiguous.
+    var deltas = List(e)
+    def acc: DataFrame =
+      deltas.map(org.apache.spark.sql.graft.Pin.fresh).reduce(_.unionAll(_))
     var grew = true
     var round = 0
     while (round < maxRounds && grew) {
@@ -68,7 +66,7 @@ object Closure {
         .dropDuplicates()
         .join(acc, Seq("child", "parent"), "left_anti"))
       grew = !next.isEmpty
-      if (grew) accRdd = accRdd.union(next.rdd)
+      if (grew) deltas ::= next
       round += 1
     }
     acc

@@ -28,7 +28,7 @@ object Hits {
       iters: Int = 5): DataFrame = {
     val spark = edges.sparkSession
     def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+      org.apache.spark.sql.graft.Pin.pin(df)
 
     val e = pin(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -39,7 +39,7 @@ object KCore {
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+      org.apache.spark.sql.graft.Pin.pin(df)
 
     def degrees(e: DataFrame): DataFrame = e
       .select(col("src").as("node"))

@@ -37,7 +37,7 @@ object LabelPropagation {
       rounds: Int = 5): DataFrame = {
     val spark = edges.sparkSession
     def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+      org.apache.spark.sql.graft.Pin.pin(df)
 
     val v = nodes.select(col(nodeCol).as("node")).distinct()
     val e = pin(edges

@@ -51,7 +51,7 @@ object PageRank {
       iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+      org.apache.spark.sql.graft.Pin.pin(df)
 
     val v = nodes.select(col(nodeCol).as("node")).distinct()
     val n = v.count() // the one driver-side scalar (bounded: a long)
@@ -87,7 +87,7 @@ object PageRank {
       iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+      org.apache.spark.sql.graft.Pin.pin(df)
     val v = nodes.select(col(nodeCol).as("node")).distinct()
     val n = v.count()
     require(n > 0, "PageRank needs at least one node")
@@ -128,7 +128,7 @@ object PageRank {
       iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+      org.apache.spark.sql.graft.Pin.pin(df)
     val sd = seeds.select(col(seedCol).as("node")).distinct()
     val nSeeds = sd.count() // bounded driver scalar, like run()'s n
     require(nSeeds > 0, "personalized PageRank needs at least one seed")
@@ -165,7 +165,7 @@ object PageRank {
       damping: Double,
       iters: Int): DataFrame = {
     def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+      org.apache.spark.sql.graft.Pin.pin(df)
     val base = lit((1.0 - damping) / n)
     var ranks = pin(v.withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iters) {

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object Trees {
 
   private def pin(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.localCheckpoint().rdd, df.schema)
+    org.apache.spark.sql.graft.Pin.pin(df)
+
+  private def fresh(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Pin.fresh(df)
 
   /** One pinned, normalized (id, mtype, pid, scp) frame — the shared
     * base of both tree sweeps, so `modelRelationships` scans and pins
@@ -65,7 +68,6 @@ object Trees {
       .select(col("id").as(idCol), col("parents_json"))
 
   private def parentsTreeFrom(m: DataFrame, maxRounds: Int): DataFrame = {
-    val spark = m.sparkSession
     // Roots: no parent, or a parent id that matches no model IN SCOPE
     // (the reference's inner join drops those rows, leaving an empty
     // agg; ids resolve within their data_source only).
@@ -85,7 +87,7 @@ object Trees {
     // Cycle members (and their descendants) are never reached and fall
     // out as null through the final left join.
     var frontier = roots
-    var resolvedRdd = roots.rdd
+    var resolvedDfs = List(roots) // pinned per-level deltas, union is free
     var round = 0
     var more = true
     while (round < maxRounds && more) {
@@ -101,11 +103,11 @@ object Trees {
               lit("}")),
             lit("]")).as("parents_json")))
       more = !step.isEmpty // the one action per level; materializes the pin
-      if (more) resolvedRdd = resolvedRdd.union(step.rdd)
+      if (more) resolvedDfs ::= step
       frontier = step
       round += 1
     }
-    val resolved = spark.createDataFrame(resolvedRdd, roots.schema)
+    val resolved = resolvedDfs.map(fresh).reduce(_.unionAll(_))
     m.join(resolved.select(col("id"), col("scp"), col("parents_json")),
         Seq("id", "scp"), "left")
       .select(col("id"), col("scp"), col("parents_json"))
@@ -128,7 +130,6 @@ object Trees {
       .select(col("id").as(idCol), col("children_json"))
 
   private def childrenTreeFrom(m: DataFrame, maxRounds: Int): DataFrame = {
-    val spark = m.sparkSession
     val ids = m.select(col("id").as("known_id"), col("scp").as("known_scp"))
     // Child edges whose parent actually exists IN SCOPE (dangling
     // parent_id rows are nobody's children, mirroring the reference's
@@ -146,9 +147,8 @@ object Trees {
         childCounts.select(col("parent").as("id"), col("scp")),
         Seq("id", "scp"), "left_anti")
       .select(col("id"), col("scp"), lit(null).cast("string").as("children_json")))
-    var resolvedRdd = leaves.rdd
-    val rSchema = leaves.schema
-    def resolved: DataFrame = spark.createDataFrame(resolvedRdd, rSchema)
+    var resolvedDfs = List(leaves) // pinned per-level deltas, union free
+    def resolved: DataFrame = resolvedDfs.map(fresh).reduce(_.unionAll(_))
     var pending = pin(m.join(childCounts,
         m("id") === childCounts("parent") && m("scp") === childCounts("scp"))
       .select(m("id"), m("scp"), col("n_children")))
@@ -180,7 +180,7 @@ object Trees {
       else {
         pending = pin(pending.join(step.select(col("id"), col("scp")),
           Seq("id", "scp"), "left_anti"))
-        resolvedRdd = resolvedRdd.union(step.rdd)
+        resolvedDfs ::= step
         round += 1
       }
     }
@@ -227,18 +227,16 @@ object Trees {
   def reachableEdges(
       edges: DataFrame, roots: DataFrame, rootCol: String,
       maxRounds: Int = 32): DataFrame = {
-    val spark = edges.sparkSession
     val e = pin(edges.select(col("src"), col("dst"), col("label")))
     val r0 = roots.select(col(rootCol).as("root"))
     var frontier = pin(r0.join(e, col("root") === col("src"))
       .select(col("root"), col("src"), col("dst"), col("label")))
-    // Accumulator as the free RDD union of already-pinned per-round
-    // DELTAS (the Closure.transitiveClosure pattern): re-checkpointing
-    // the whole accumulated set every round rewrites O(reachable) blocks
+    // Accumulator as the free union of already-pinned per-round DELTAS
+    // (the Closure.transitiveClosure pattern): re-checkpointing the
+    // whole accumulated set every round rewrites O(reachable) blocks
     // per level for nothing.
-    var accRdd = frontier.rdd
-    val schema = frontier.schema
-    def acc: DataFrame = spark.createDataFrame(accRdd, schema)
+    var deltas = List(frontier)
+    def acc: DataFrame = deltas.map(fresh).reduce(_.unionAll(_))
     var round = 0
     while (round < maxRounds && !frontier.isEmpty) {
       val f = frontier.select(col("root").as("f_root"), col("dst").as("f_dst"))
@@ -248,7 +246,7 @@ object Trees {
         .dropDuplicates()
         .join(acc, Seq("root", "src", "dst", "label"), "left_anti"))
       frontier = next
-      if (!next.isEmpty) accRdd = accRdd.union(next.rdd)
+      if (!next.isEmpty) deltas ::= next
       round += 1
     }
     acc

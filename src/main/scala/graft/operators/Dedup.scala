@@ -142,7 +142,7 @@ object Dedup {
       maxRounds: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     def pin(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+      org.apache.spark.sql.graft.Pin.pin(df)
     val edges = pin(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .filter(col("a").isNotNull && col("b").isNotNull)
@@ -366,8 +366,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
     // Pin the qualifying pairs (threshold-bounded, output-sized), then
     // release the corpus-sized index caches.
-    val out = docs.sparkSession.createDataFrame(
-      result.localCheckpoint().rdd, result.schema)
+    val out = org.apache.spark.sql.graft.Pin.pin(result)
     tok.unpersist(blocking = false)
     pinned.unpersist(blocking = false)
     out

@@ -134,7 +134,18 @@ final class PipelineRunner(
               spark.read.parquet(p)
             case _ =>
               if (fanOut.getOrElse(name, 0) > 1) {
-                val p = contracted.persist()
+                // localCheckpoint, not persist (r12; the q295/r10-item-5
+                // lesson applied INSIDE the runner): persist() caches the
+                // data but keeps the full composed lineage, so every one
+                // of the entity's consumers re-pays Catalyst analysis/
+                // optimization of the whole upstream DAG — on the 60-
+                // transform registry that driver cost dominates the
+                // rebuild (q466). The checkpoint truncates each fan-out
+                // seam to a materialized leaf: same rows computed from
+                // the same inputs within this run, consumers plan against
+                // a leaf. (guide §5: localCheckpoint as the cheap
+                // lineage cut; §3.3: materialize to truncate huge plans.)
+                val p = contracted.localCheckpoint()
                 persisted += p
                 p
               } else contracted
