@@ -195,12 +195,38 @@ object Bench {
     val norm = if (cal > 0) r2(total / cal) else 0.0
     def line(qmap: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","cal":${r3(cal)},"norm_total":$norm,"noise":${r3(noise)},"failed":${errs.size},"errs":$errsJson,"queries":$qmap,"sf":"$sfDir"}"""
-    val variants = Seq(
+    val fullVariants = Seq(
       results.map { case (k, v) => jstr(prefix(k)) + ":" + r2(v) },
       results.map { case (k, v) => jstr(prefix(k).drop(1)) + ":" + r2(v) },
       results.map { case (k, v) => jstr(prefix(k).drop(1)) + ":" + r1(v) }
-    ).map(entries => line(entries.mkString("{", ",", "}"))) :+
-      line("\"BENCH_LOCAL.json\"")
+    ).map(entries => line(entries.mkString("{", ",", "}")))
+    // Top-slowest inline subset (r13, restoring the per-query perf
+    // channel): past ~150 benched queries even the coarsest full map
+    // overflows the driver's 2000-char tail, and r11/r12 degraded to a
+    // file-pointer string the driver's comparator cannot consume
+    // (PERF_r12 `n_common: 0`). Instead of the pointer, emit the SLOWEST
+    // queries that do fit the budget — a perf comparison lives entirely
+    // in the expensive head (the ~380 sub-0.2 s rows move totals by
+    // noise), so the driver regains a real per-query/scaling signal.
+    // The full-precision full map still lands in BENCH_LOCAL.json AND is
+    // appended to the immutable BENCH_HISTORY.jsonl below, so no round's
+    // complete record can be overwritten again.
+    val topVariant = {
+      val budget = 1600
+      val entries = results.sortBy(-_._2)
+        .map { case (k, v) => jstr(prefix(k).drop(1)) + ":" + r2(v) }
+      val base = line("{}").length
+      val sb = new StringBuilder
+      var n = 0
+      entries.foreach { e =>
+        val extra = e.length + (if (n > 0) 1 else 0)
+        if (base + sb.length + extra <= budget) {
+          if (n > 0) sb.append(','); sb.append(e); n += 1
+        }
+      }
+      line("{" + sb.toString + "}")
+    }
+    val variants = fullVariants :+ topVariant :+ line("\"BENCH_LOCAL.json\"")
     val driverLine = variants.find(_.length <= 1600).getOrElse(variants.last)
     // Builder-side copy with full names, full samples, and errors.
     val full = results.map { case (k, v) => jstr(k) + ":" + r3(v) }
@@ -220,6 +246,19 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","cal":${r3(cal)},"norm_total":$norm,"noise":${r3(noise)},"failed":${errs.size},"errs":$fullErrs,"queries":$full,"sf":"$sfDir"}""")
       w.println(s"""{"samples":$dump,"cal_samples":[${calSamples.map(r3).mkString(",")}]}"""); w.close()
     } catch { case _: Throwable => }
+    // Immutable full-run history (r13, VERDICT r12 item 1): BENCH_LOCAL.json
+    // is overwritten by every run — the r12 post-opt 32-core per-query
+    // record was destroyed by the driver's subsequent 8-core run. Every
+    // completed FULL run (never a dev subset) now also appends one line
+    // with cpus/cal/sf and the complete per-query min map, so
+    // round-over-round and scaling comparisons never need cal archaeology.
+    if (only.isEmpty) {
+      try {
+        val fw = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
+        fw.write(s"""{"ts":${System.currentTimeMillis / 1000},"cpus":${scala.util.Try(cpus.toInt).getOrElse(0)},"sf":${jstr(sfDir)},"cal":${r3(cal)},"total":$total,"norm_total":$norm,"noise":${r3(noise)},"failed":${errs.size},"errs":$fullErrs,"queries":$full}""" + "\n")
+        fw.close()
+      } catch { case _: Throwable => }
+    }
     // The driver line goes LAST so the 2000-char tail always holds it whole.
     // Drain stderr first and give log4j's async appender a beat: r7's tail
     // was WARN lines that flushed AFTER the stdout line, nulling the record.

@@ -120,12 +120,15 @@ private[graft] object QueriesStats {
         .select(col("doc_id"), col("ntok"),
           coalesce(col("nnew"), lit(0L)).as("nnew"))
         .withColumn("one", lit(1L))
-      val cum = operators.ScalableWindow.bandedCumSum(
-        operators.ScalableWindow.bandedCumSum(
-          operators.ScalableWindow.bandedCumSum(grid, "doc_id",
-            descending = false, Nil, "ntok", "cumtok"),
-          "doc_id", descending = false, Nil, "nnew", "cumvoc"),
-        "doc_id", descending = false, Nil, "one", "rn")
+      // One banded pass for all three prefix sums (r13): the chained
+      // single-column calls re-evaluated the token-explode grid up to
+      // 3^3 times (each call references its input three times and wraps
+      // the previous call's plan); the multi-column form shares one
+      // percentile collect, one partitioned window, one offset join.
+      // Identical output per column (q347 precedent).
+      val cum = operators.ScalableWindow.bandedCumSums(grid, "doc_id",
+          descending = false, Nil,
+          Seq("ntok" -> "cumtok", "nnew" -> "cumvoc", "one" -> "rn"))
         .localCheckpoint()
       val nd = cum.agg(max(col("rn")).as("nd"))
       // Checkpoint rule shared with the oracle: rn divisible by
@@ -853,13 +856,18 @@ private[graft] object QueriesStats {
         .join(seg, col("o_custkey") === col("c_custkey"))
         .select(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"),
           (col("c_mktsegment") === "BUILDING").as("g1"))
+      // Checkpointed: consumed by BOTH the banded pass (which then skips
+      // its own internal pin) and the n1/n2 totals — one grid build.
       val grid = v.groupBy(col("v"))
         .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("c1"),
           sum(when(col("g1"), 0L).otherwise(1L)).as("c2"))
-      val cum1 = operators.ScalableWindow.bandedCumSum(
-        grid, "v", descending = false, Seq.empty, "c1", "cum1")
-      val cum2 = operators.ScalableWindow.bandedCumSum(
-        cum1, "v", descending = false, Seq.empty, "c2", "cum2")
+        .localCheckpoint()
+      // Both ECDFs share one banded pass (r13): the chained form
+      // re-evaluated the order⋈segment grid per call (3 references
+      // each); the multi-column form cuts/windows/offsets once.
+      val cum2 = operators.ScalableWindow.bandedCumSums(grid, "v",
+        descending = false, Seq.empty,
+        Seq("c1" -> "cum1", "c2" -> "cum2"))
       val tot = grid.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       def d(c: String): Column = col(c).cast("double")
       cum2.crossJoin(broadcast(tot))
@@ -1675,10 +1683,12 @@ private[graft] object QueriesStats {
         .groupBy(col("o_custkey"))
         .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
           .as("v"))
+      // Checkpointed: feeds both the banded pass and the n/stot totals.
       val grid = spend.groupBy(col("v"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("v"), col("cnt"),
           (col("v").cast("decimal(38,0)") * col("cnt")).as("sv"))
+        .localCheckpoint()
       val cum = operators.ScalableWindow.bandedCumSums(grid, "v",
         descending = false, Nil, Seq("cnt" -> "cumn", "sv" -> "cums"))
       val tot = grid.agg(sum(col("cnt")).as("n"), sum(col("sv")).as("stot"))
@@ -2209,11 +2219,13 @@ private[graft] object QueriesStats {
         .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select((col("c_mktsegment") === "BUILDING").as("g1"),
           expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"))
+      // Checkpointed: feeds both the banded pass and the n/m/sat/sbt totals.
       val grid0 = v.groupBy(col("v"))
         .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("ca"),
           sum(when(col("g1"), 0L).otherwise(1L)).as("cb"))
         .withColumn("sa", col("v").cast("decimal(38,0)") * col("ca"))
         .withColumn("sb", col("v").cast("decimal(38,0)") * col("cb"))
+        .localCheckpoint()
       val grid = operators.ScalableWindow.bandedCumSums(grid0, "v",
         descending = false, Nil,
         Seq("ca" -> "cca", "cb" -> "ccb", "sa" -> "csa", "sb" -> "csb"))
@@ -2257,11 +2269,13 @@ private[graft] object QueriesStats {
         .agg(sum(expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)"))
           .as("x"))
         .select((year(col("day")) === 1995).as("g1"), col("x").as("v"))
+      // Checkpointed: feeds both the banded pass and the totals (r13).
       val grid0 = daily.groupBy(col("v"))
         .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("ca"),
           sum(when(col("g1"), 0L).otherwise(1L)).as("cb"))
         .withColumn("sa", col("v").cast("decimal(38,0)") * col("ca"))
         .withColumn("sb", col("v").cast("decimal(38,0)") * col("cb"))
+        .localCheckpoint()
       val grid = operators.ScalableWindow.bandedCumSums(grid0, "v",
         descending = false, Nil,
         Seq("ca" -> "cca", "cb" -> "ccb", "sa" -> "csa", "sb" -> "csb"))
@@ -3543,7 +3557,9 @@ private[graft] object QueriesStats {
       // window).
       val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
         (col("l_extendedprice").cast(dec) * 100).cast("long").as("r"))
+      // Checkpointed: feeds both the banded pass and the revenue total.
       val per = li.groupBy(col("l_partkey")).agg(sum(col("r")).as("rev"))
+        .localCheckpoint()
       val cum = operators.ScalableWindow.bandedCumSum(per, "rev",
         descending = true, Seq("l_partkey"), "rev", "cum")
       val tot = per.agg(sum(col("rev")).as("trev"))
@@ -3765,7 +3781,8 @@ private[graft] object QueriesStats {
       // event-time order.
       val c = tbl(s, dir, "customer").select(col("c_custkey").as("ck"),
         (col("c_mktsegment") === "BUILDING").as("a1"))
-      val lt = lifetimes(s, dir).join(c, Seq("ck"))
+      // Checkpointed: consumed by both the event grid and nTot.
+      val lt = lifetimes(s, dir).join(c, Seq("ck")).localCheckpoint()
       val grid = lt.groupBy(col("t"))
         .agg(sum(when(col("a1"), 1L).otherwise(0L)).as("c1"),
           sum(when(col("a1"), col("ev")).otherwise(0L)).as("d1"),
@@ -4195,10 +4212,13 @@ private[graft] object QueriesStats {
       // integer), segment rank sums are exact integer dot products, and
       // H/C are assembled in doubles at the end. No unpartitioned
       // window anywhere (bandedCumSum is the q259 AUC machinery).
+      // Checkpointed: the order⋈customer scan feeds both the value grid
+      // and the per-segment cell counts below — one build (r13).
       val x = tbl(s, dir, "orders")
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("g"),
           expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"))
+        .localCheckpoint()
       val grid = x.groupBy(col("v")).agg(count(lit(1)).as("t"))
       val cum = operators.ScalableWindow.bandedCumSum(
         grid, "v", descending = false, Seq.empty, "t", "cumt")
@@ -4274,9 +4294,11 @@ private[graft] object QueriesStats {
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select((col("c_mktsegment") === "BUILDING").as("g1"),
           expr(s"cast(cast(o_totalprice as $dec) * 100 as bigint)").as("v"))
+      // Checkpointed: feeds both the banded pass and the n1/n2 totals.
       val grid = x.groupBy(col("v"))
         .agg(sum(col("g1").cast("long")).as("c1"),
           sum((!col("g1")).cast("long")).as("c2"))
+        .localCheckpoint()
       val cum = operators.ScalableWindow.bandedCumSums(
         grid, "v", descending = false, Seq.empty,
         Seq("c1" -> "cum1", "c2" -> "cum2"))
@@ -4516,7 +4538,9 @@ private[graft] object QueriesStats {
     * where n_risk = N − #(T < t), via one [[operators.ScalableWindow
     * .bandedCumSum]] — never an unpartitioned window.
     */
-  private def lifetimeGrid(lt: DataFrame): DataFrame = {
+  private def lifetimeGrid(lt0: DataFrame): DataFrame = {
+    // Two consumers (the event grid and the total count): one build.
+    val lt = lt0.localCheckpoint()
     val grid = lt.groupBy(col("t"))
       .agg(count(lit(1)).as("c"), sum(col("ev")).as("d"))
     val cum = operators.ScalableWindow.bandedCumSum(grid, "t",

@@ -697,16 +697,34 @@ private[graft] object QueriesText {
       // gram equi-join (Σ_g df(g)² with df ≤ #sources — never doc²);
       // containment = shared/min(|A|,|B|) is one division of exact
       // integers.
-      val grams = tbl(s, dir, "documents")
+      // r13 restructure (guide §2.3/§2.4, exact): the old shape was
+      // distinct(source, gram) → gram-keyed SELF-JOIN — the 5-gram
+      // strings crossed the network three times (the distinct, then both
+      // join sides). The per-gram DISTINCT source set is tiny (≤ #sources),
+      // so collapse straight to (gram → sorted source set) in ONE
+      // exchange (collect_set partial-aggregates map-side exactly like
+      // the distinct did) and expand each gram's source PAIRS locally —
+      // same multiset of (sa < sb) pairs, no self-join, no second gram
+      // shuffle. sort_array gives the same lexicographic sa < sb order
+      // the join predicate used.
+      val byGram = tbl(s, dir, "documents")
         .select(col("source"),
-          explode(graft.functions.Text.wordShingles(
-            graft.functions.Text.tokens(lower(col("text"))), 5)).as("g"))
-        .select(col("source"), col("g")).distinct()
+          // Native one-pass shingle kernel (r13): byte-identical to the
+          // HOF form (FunctionsSpec parity), no interpreted lambda per gram.
+          explode(graft.plans.TextKernels.wordShinglesNative(
+            lower(col("text")), 5)).as("g"))
+        .groupBy(col("g"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .select(col("ss"))
         .localCheckpoint()
-      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("ng"))
-      val pairs = grams.as("a").join(grams.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      val sizes = byGram.select(explode(col("ss")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("ng"))
+      val pairs = byGram
+        .filter(size(col("ss")) > 1)
+        .select(explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + 2, size(col("ss"))),
+            y => struct(x.as("sa"), y.as("sb")))))).as("p"))
+        .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
         .agg(count(lit(1)).as("shared"))
       pairs
         .join(sizes.select(col("source").as("sa"), col("ng").as("na")), Seq("sa"))
@@ -728,6 +746,9 @@ private[graft] object QueriesText {
           .as("tok"))
         .filter(length(col("tok")) > 0)
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        // Checkpointed: feeds both the banded pass and the t/v totals —
+        // one token-explode build (r13).
+        .localCheckpoint()
       val cum = operators.ScalableWindow.bandedCumSum(tf, "c",
         descending = true, Seq("tok"), "c", "cum")
       val tot = tf.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
@@ -2112,8 +2133,10 @@ private[graft] object QueriesText {
       // anyway), C = 1 − f1/N. All inputs exact integers.
       val tf = tbl(s, dir, "documents")
         .select(col("source"),
-          explode(Text.wordShingles(Text.tokens(lower(col("text"))), 2))
-            .as("g"))
+          // Native one-pass shingle kernel (r13): byte-identical to the
+          // HOF form (FunctionsSpec parity), no interpreted lambda per gram.
+          explode(graft.plans.TextKernels.wordShinglesNative(
+            lower(col("text")), 2)).as("g"))
         .groupBy(col("source"), col("g")).agg(count(lit(1)).as("f"))
       def d(c: String): Column = col(c).cast("double")
       tf.groupBy(col("source"))
@@ -2136,8 +2159,8 @@ private[graft] object QueriesText {
       // collapses (bigram frequencies → frequency-of-frequencies),
       // then a 5-row self-join; every input an exact integer.
       val fof = tbl(s, dir, "documents")
-        .select(explode(Text.wordShingles(Text.tokens(lower(col("text"))), 2))
-          .as("g"))
+        .select(explode(graft.plans.TextKernels.wordShinglesNative(
+            lower(col("text")), 2)).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("f"))
         .groupBy(col("f")).agg(count(lit(1)).as("nr"))
         .localCheckpoint()
@@ -2160,8 +2183,8 @@ private[graft] object QueriesText {
       // TopKPerKey, ties on the word) matches the oracle's
       // row_number replay.
       val big = tbl(s, dir, "documents")
-        .select(explode(Text.wordShingles(Text.tokens(lower(col("text"))), 2))
-          .as("g"))
+        .select(explode(graft.plans.TextKernels.wordShinglesNative(
+            lower(col("text")), 2)).as("g"))
         .select(split(col("g"), " ").getItem(0).as("v"),
           split(col("g"), " ").getItem(1).as("w"))
         .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cb"))
@@ -2815,19 +2838,30 @@ private[graft] object QueriesText {
       // dedup-aware data mixing (a block full of repeats adds nothing).
       // Shingle stream is distinct-collapsed per doc then per block;
       // first-block is one min; every count is exact.
-      val sh = tbl(s, dir, "documents")
+      // r13 restructure (guide §2.3/§2.4, exact): previously
+      // distinct(blk, g) THEN groupBy(g) shuffled the gram strings twice;
+      // one gram-keyed pass collects each gram's distinct block set
+      // (collect_set partial-aggregates map-side exactly like the
+      // distinct did) — per-block totals and first-block counts both
+      // read the gram-free block sets (min(blk) = head of the sorted
+      // set). The inline transform is also replaced by the native
+      // one-pass shingle kernel (the lambda re-evaluated split() per
+      // element — O(tokens²) per doc); byte-identical by the kernel
+      // parity contract (FunctionsSpec).
+      val byg = tbl(s, dir, "documents")
         .filter(size(Text.tokens(col("text"))) >= 3)
         .select(expr("cast(doc_id as bigint) div 100").as("blk"),
-          explode(array_distinct(expr(
-            "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 2), " +
-              "i -> array_join(slice(split(trim(text), '\\\\s+'), i, 3), ' '))")))
+          explode(array_distinct(
+            graft.plans.TextKernels.wordShinglesNative(col("text"), 3)))
             .as("g"))
-        .select(col("blk"), col("g")).distinct()
+        .groupBy(col("g"))
+        .agg(sort_array(collect_set(col("blk"))).as("blks"))
+        .select(col("blks"))
         .localCheckpoint()
-      val firstb = sh.groupBy(col("g")).agg(min(col("blk")).as("fb"))
-      val per = sh.groupBy(col("blk")).agg(count(lit(1)).as("n_shingles"))
-      val novel = firstb.groupBy(col("fb").as("blk"))
-        .agg(count(lit(1)).as("n_novel"))
+      val per = byg.select(explode(col("blks")).as("blk"))
+        .groupBy(col("blk")).agg(count(lit(1)).as("n_shingles"))
+      val novel = byg.select(element_at(col("blks"), 1).as("blk"))
+        .groupBy(col("blk")).agg(count(lit(1)).as("n_novel"))
       per.join(novel, Seq("blk"), "left")
         .select(col("blk").as("block"), col("n_shingles"),
           coalesce(col("n_novel"), lit(0L)).as("n_novel"),

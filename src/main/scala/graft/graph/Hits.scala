@@ -27,37 +27,50 @@ object Hits {
       dstCol: String,
       iters: Int = 5): DataFrame = {
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
+    import org.apache.spark.sql.graft.Pin
 
-    val e = pin(edges
+    // r13 iteration scheme (see Pin scaladoc): every pin is LAZY, so the
+    // whole fixed-round loop compiles into ONE job instead of a driver
+    // barrier per half-step; the edge frame is materialized TWICE, hash-
+    // pinned on each half-step's join key (src for the a-step, dst for
+    // the h-step), so neither half-step re-exchanges edge-sized data;
+    // and the raw per-half-step scores are pinned BEFORE max-
+    // normalization — previously the unpinned aRaw/hRaw subtree (join +
+    // aggregate + join) was evaluated twice per half-step, once under
+    // the broadcast max and once in the normalized projection.
+    val e0 = Pin.pin(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct())
-    val v = pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+      .distinct(), eager = false)
+    val eS = Pin.pinHashed(Pin.fresh(e0), Seq("src"), eager = false)
+    val eD = Pin.pinHashed(Pin.fresh(e0), Seq("dst"), eager = false)
+    val v = Pin.pinHashed(e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct(), Seq("node"),
+      eager = false)
 
-    var hubs = pin(v.withColumn("h", lit(1.0)))
+    var hubs = Pin.pinKeep(v.withColumn("h", lit(1.0)), eager = false)
     var auths = v.withColumn("a", lit(1.0))
     for (_ <- 1 to iters) {
       // a(v) = Σ h(u) over u→v, then divide by max(a).
-      val aRaw = v.join(
-          e.join(hubs.select(col("node").as("src"), col("h")), Seq("src"))
+      val aRaw = Pin.pinKeep(v.join(
+          eS.join(hubs.select(col("node").as("src"), col("h")), Seq("src"))
             .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")),
           Seq("node"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0.0)).as("a"))
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("a")),
+        eager = false)
       val aMax = aRaw.agg(max(col("a")).as("m"))
-      auths = pin(aRaw.crossJoin(broadcast(aMax))
-        .select(col("node"), (col("a") / col("m")).as("a")))
+      auths = aRaw.crossJoin(broadcast(aMax))
+        .select(col("node"), (col("a") / col("m")).as("a"))
       // h(u) = Σ a(v) over u→v, then divide by max(h).
-      val hRaw = v.join(
-          e.join(auths.select(col("node").as("dst"), col("a")), Seq("dst"))
+      val hRaw = Pin.pinKeep(v.join(
+          eD.join(auths.select(col("node").as("dst"), col("a")), Seq("dst"))
             .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")),
           Seq("node"), "left")
-        .select(col("node"), coalesce(col("s"), lit(0.0)).as("h"))
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("h")),
+        eager = false)
       val hMax = hRaw.agg(max(col("h")).as("m"))
-      hubs = pin(hRaw.crossJoin(broadcast(hMax))
-        .select(col("node"), (col("h") / col("m")).as("h")))
+      hubs = hRaw.crossJoin(broadcast(hMax))
+        .select(col("node"), (col("h") / col("m")).as("h"))
     }
     hubs.join(auths, Seq("node"))
       .select(col("node"), round(col("h"), 8).as("hub"),

@@ -38,8 +38,11 @@ object KCore {
       k: Int,
       rounds: Int): DataFrame = {
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
+    import org.apache.spark.sql.graft.Pin
+    // r13: lazy pins — the fixed peel sweeps chain into one job (the
+    // sweep count is fixed, so no per-round driver decision needs the
+    // rows materialized early).
+    def pin(df: DataFrame): DataFrame = Pin.pin(df, eager = false)
 
     def degrees(e: DataFrame): DataFrame = e
       .select(col("src").as("node"))
@@ -51,7 +54,7 @@ object KCore {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull))
     for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+      val keep = pin(degrees(e).filter(col("deg") >= k).select(col("node")))
       e = pin(e
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")

@@ -36,15 +36,18 @@ object LabelPropagation {
       nodeCol: String,
       rounds: Int = 5): DataFrame = {
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
+    import org.apache.spark.sql.graft.Pin
 
+    // r13 iteration scheme (Pin scaladoc): lazy pins chain all rounds
+    // into one job; edges hash-pinned once on the per-round join key.
     val v = nodes.select(col(nodeCol).as("node")).distinct()
-    val e = pin(edges
+    val e = Pin.pinHashed(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull))
+      .filter(col("src").isNotNull && col("dst").isNotNull),
+      Seq("src"), eager = false)
 
-    var labels = pin(v.withColumn("label", col("node")))
+    var labels = Pin.pinHashed(v.withColumn("label", col("node")),
+      Seq("node"), eager = false)
     for (_ <- 1 to rounds) {
       val cnt = e
         .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
@@ -56,10 +59,11 @@ object LabelPropagation {
         .groupBy(col("node"))
         .agg(min(struct((-col("cnt")).as("neg"), col("label")))
           .getField("label").as("nbr_label"))
-      labels = pin(labels
+      labels = Pin.pinKeep(labels
         .join(pick, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("nbr_label"), col("label")).as("label")))
+          coalesce(col("nbr_label"), col("label")).as("label")),
+        eager = false)
     }
     labels.select(col("node"), col("label").as("community"))
   }

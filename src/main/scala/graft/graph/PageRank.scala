@@ -50,8 +50,6 @@ object PageRank {
       damping: Double = 0.85,
       iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
 
     val v = nodes.select(col(nodeCol).as("node")).distinct()
     val n = v.count() // the one driver-side scalar (bounded: a long)
@@ -61,10 +59,16 @@ object PageRank {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     // Fold 1/outdegree into the edges once; the loop never recomputes it.
+    // Pinned HASHED on src (r13, guide §2.4): the per-iteration
+    // contribution join is keyed on src, so hoisting the edge frame's
+    // hash partitioning once removes the edge-sized Exchange from every
+    // round (stats stay neutral — no broadcast flip, see Pin scaladoc).
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val weighted = pin(e.join(outDeg, Seq("src"))
-      .select(col("src"), col("dst"),
-        (lit(1.0) / col("deg").cast("double")).as("w")))
+    val weighted = org.apache.spark.sql.graft.Pin.pinHashed(
+      e.join(outDeg, Seq("src"))
+        .select(col("src"), col("dst"),
+          (lit(1.0) / col("deg").cast("double")).as("w")), Seq("src"),
+      eager = false)
 
     iterate(spark, v, n, weighted, damping, iters)
   }
@@ -86,8 +90,6 @@ object PageRank {
       damping: Double = 0.85,
       iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
     val v = nodes.select(col(nodeCol).as("node")).distinct()
     val n = v.count()
     require(n > 0, "PageRank needs at least one node")
@@ -100,9 +102,12 @@ object PageRank {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("cw").cast("double") > 0d)
     val tot = e.groupBy(col("src")).agg(sum(col("cw")).as("tw"))
-    val weighted = pin(e.join(tot, Seq("src"))
-      .select(col("src"), col("dst"),
-        (col("cw").cast("double") / col("tw").cast("double")).as("w")))
+    // Hash-pinned on the per-round join key, like run() (r13).
+    val weighted = org.apache.spark.sql.graft.Pin.pinHashed(
+      e.join(tot, Seq("src"))
+        .select(col("src"), col("dst"),
+          (col("cw").cast("double") / col("tw").cast("double")).as("w")),
+      Seq("src"), eager = false)
     iterate(spark, v, n, weighted, damping, iters)
   }
 
@@ -127,32 +132,37 @@ object PageRank {
       damping: Double = 0.85,
       iters: Int = 10): DataFrame = {
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
+    import org.apache.spark.sql.graft.Pin
     val sd = seeds.select(col(seedCol).as("node")).distinct()
     val nSeeds = sd.count() // bounded driver scalar, like run()'s n
     require(nSeeds > 0, "personalized PageRank needs at least one seed")
-    val v = pin(nodes.select(col(nodeCol).as("node")).distinct()
+    // Same hoisted-partitioning scheme as iterate() (r13): nodes hashed
+    // on the fallback-join key, edges on the contribution-join key, state
+    // keeps its materialized layout — one Exchange per round.
+    val v = Pin.pinHashed(nodes.select(col(nodeCol).as("node")).distinct()
       .join(sd.withColumn("s", lit(1.0 / nSeeds)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("s"), lit(0.0)).as("s")))
+      .select(col("node"), coalesce(col("s"), lit(0.0)).as("s")), Seq("node"),
+      eager = false)
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val weighted = pin(e.join(outDeg, Seq("src"))
+    val weighted = Pin.pinHashed(e.join(outDeg, Seq("src"))
       .select(col("src"), col("dst"),
-        (lit(1.0) / col("deg").cast("double")).as("w")))
-    var ranks = pin(v.select(col("node"), col("s").as("rank")))
+        (lit(1.0) / col("deg").cast("double")).as("w")), Seq("src"),
+      eager = false)
+    var ranks = Pin.pinKeep(v.select(col("node"), col("s").as("rank")), eager = false)
     for (_ <- 1 to iters) {
       val contribs = weighted
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("w")).as("contrib"))
-      ranks = pin(v
+      ranks = Pin.pinKeep(v
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) * col("s") +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")),
+        eager = false)
     }
     ranks
   }
@@ -164,19 +174,26 @@ object PageRank {
       weighted: DataFrame,
       damping: Double,
       iters: Int): DataFrame = {
-    def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
+    import org.apache.spark.sql.graft.Pin
     val base = lit((1.0 - damping) / n)
-    var ranks = pin(v.withColumn("rank", lit(1.0 / n)))
+    // v was re-evaluated (a distinct over the node source) inside every
+    // round's fallback join; hash-pinned ONCE on the join key it is
+    // consumed with (r13). The per-round state keeps the partitioning
+    // its producing join materialized (pinKeep), so with the edge frame
+    // hash-pinned on src the loop body's only Exchange is the
+    // contribution aggregation — the one fundamentally required shuffle.
+    val vp = Pin.pinHashed(v, Seq("node"), eager = false)
+    var ranks = Pin.pinKeep(vp.withColumn("rank", lit(1.0 / n)), eager = false)
     for (_ <- 1 to iters) {
       val contribs = weighted
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("w")).as("contrib"))
-      ranks = pin(v
+      ranks = Pin.pinKeep(vp
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (base + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")))
+          (base + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")),
+        eager = false)
     }
     ranks
   }

@@ -53,21 +53,25 @@ object ShortestPaths {
       wCol: String,
       sources: DataFrame,
       rounds: Int): DataFrame = {
-    def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
-    val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("double").as("w")))
-    var dist = pin(sources.select(col("probe"), col("node")).distinct()
-      .withColumn("dist", lit(0.0)))
+    import org.apache.spark.sql.graft.Pin
+    // r13 iteration scheme (Pin scaladoc): lazy pins chain all rounds
+    // into one job; edges hash-pinned once on the relaxation join key.
+    val e = Pin.pinHashed(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("double").as("w")), Seq("src"), eager = false)
+    var dist = Pin.pin(sources.select(col("probe"), col("node")).distinct()
+      .withColumn("dist", lit(0.0)), eager = false)
     for (_ <- 1 to rounds) {
       val relaxed = e
         .join(dist.select(col("probe"), col("node").as("src"), col("dist")),
           Seq("src"))
         .select(col("probe"), col("dst").as("node"),
           (col("dist") + col("w")).as("cand"))
-      dist = pin(dist.select(col("probe"), col("node"), col("dist").as("cand"))
-        .unionByName(relaxed)
-        .groupBy(col("probe"), col("node")).agg(min(col("cand")).as("dist")))
+      dist = Pin.pinKeep(
+        dist.select(col("probe"), col("node"), col("dist").as("cand"))
+          .unionByName(relaxed)
+          .groupBy(col("probe"), col("node")).agg(min(col("cand")).as("dist")),
+        eager = false)
     }
     dist
   }

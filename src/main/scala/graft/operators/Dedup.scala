@@ -141,8 +141,11 @@ object Dedup {
       bCol: String,
       maxRounds: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
+    // Lazy pins (r13): the per-round convergence count is the action
+    // that materializes the round — an eager pin paid one extra job per
+    // round for rows the count was about to compute anyway.
     def pin(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.Pin.pin(df)
+      org.apache.spark.sql.graft.Pin.pin(df, eager = false)
     val edges = pin(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .filter(col("a").isNotNull && col("b").isNotNull)

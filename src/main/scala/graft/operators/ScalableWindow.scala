@@ -67,11 +67,23 @@ object ScalableWindow {
       nBands: Int = 32): DataFrame = {
     require(nBands >= 2, "nBands must be at least 2")
     require(sums.nonEmpty, "at least one (src, out) column pair")
+    // Pin the input once (r13, guide §1.2/§5): this operator references
+    // `df` THREE times — the percentile collect, the banded window pass,
+    // and the band-totals aggregate — and Spark shares no subtrees across
+    // jobs, so an un-pinned input subtree (typically a corpus scan +
+    // explode/groupBy, e.g. q259's md5-scored lineitem) was computed
+    // three times per call, and 3^k times under k chained calls (q277).
+    // One localCheckpoint makes every pass a memory scan of the projected
+    // input. Inputs that are ALREADY a pinned leaf skip the copy.
+    val in = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => org.apache.spark.sql.graft.Pin.pin(df)
+    }
     // One bounded collect: nBands-1 doubles. The cuts need not be good
     // quantiles — only a deterministic function of the value — so the
     // default percentile_approx accuracy is plenty.
     val probs = (1 until nBands).map(i => i.toDouble / nBands)
-    val cutsRow = df
+    val cutsRow = in
       .agg(percentile_approx(col(bandOn).cast("double"),
         typedLit(probs), lit(10000)).as("cuts"))
       .head()
@@ -87,7 +99,7 @@ object ScalableWindow {
     def within(i: Int) = s"__swb_within_$i"
     def btot(i: Int) = s"__swb_btot_$i"
     def off(i: Int) = s"__swb_off_$i"
-    val banded = df.withColumn(band, bandExpr)
+    val banded = in.withColumn(band, bandExpr)
     val orderCols =
       (if (descending) col(bandOn).desc else col(bandOn).asc) +:
         tieBreakers.map(col(_).asc)

@@ -92,9 +92,23 @@ final class PipelineRunner(
     * have been materialized (written/collected) — persists are only needed
     * while the lazy plans that reference them still have pending actions.
     * Without this a long multi-target run accumulates executor storage.
+    *
+    * Fan-out seams are localCheckpoint()s (see [[run]]), whose
+    * MEMORY_AND_DISK blocks belong to the checkpointed RDD, not the
+    * CacheManager — `Dataset.unpersist()` would be a silent no-op on them
+    * (r12 advice), so the checkpointed leaf's RDD is unpersisted directly.
+    * After this call a checkpointed entity CANNOT be recomputed (its
+    * lineage was truncated); honor the "outputs materialized first"
+    * contract above.
     */
   def unpersistAll(): Unit = {
-    persisted.foreach(_.unpersist())
+    persisted.foreach { df =>
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => df.unpersist()
+      }
+    }
     persisted.clear()
   }
 
@@ -145,7 +159,23 @@ final class PipelineRunner(
                 // the same inputs within this run, consumers plan against
                 // a leaf. (guide §5: localCheckpoint as the cheap
                 // lineage cut; §3.3: materialize to truncate huge plans.)
-                val p = contracted.localCheckpoint()
+                // Cluster gate (r12 advice): localCheckpoint blocks are
+                // executor-local and UNREPLICATED — with lineage truncated,
+                // losing one executor fails every downstream consumer
+                // instead of recomputing (Spark's docs warn against
+                // combining it with dynamic allocation). That trade is
+                // right on local[N] (no executor to lose) and wrong on a
+                // fleet, so non-local masters fall back to persist()
+                // unless `spark.graft.seam.localCheckpoint=true` opts in
+                // (e.g. static allocation + cheap re-runs).
+                val seamCheckpoint = spark.conf
+                  .getOption("spark.graft.seam.localCheckpoint")
+                  .map(_.toBoolean)
+                  .getOrElse(spark.sparkContext.isLocal)
+                val p =
+                  if (seamCheckpoint) contracted.localCheckpoint()
+                  else contracted.persist(
+                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                 persisted += p
                 p
               } else contracted

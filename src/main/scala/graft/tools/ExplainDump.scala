@@ -39,7 +39,9 @@ object ExplainDump {
           Files.writeString(Paths.get(s"$out/${name}_$suffix.txt"), txt)
           println(s"[explain] wrote ${name}_$suffix.txt")
         } catch { case e: Throwable =>
-          println(s"[explain] ERROR $name: ${e.getMessage.linesIterator.nextOption.getOrElse("")}")
+          // e.getMessage can be null (e.g. NPE) — don't abort the dump loop.
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          println(s"[explain] ERROR $name: ${msg.linesIterator.nextOption.getOrElse("")}")
         }
       }
     spark.stop()
