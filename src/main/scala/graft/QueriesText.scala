@@ -513,27 +513,39 @@ private[graft] object QueriesText {
             graft.plans.TextKernels.wordShinglesNative(col("text"), 3)))
             .as("term"))
         .localCheckpoint()
-      val sz = toks.groupBy(col("h")).agg(count(lit(1)).as("sz"))
+      // r13 restructure (guide §2.3, the jaccardJoin shape, exact): the
+      // old intersection step exploded every candidate pair into |A| rows
+      // (cand ⋈ per-class tokens on ha) and shuffled the full token
+      // stream again on (hb, term); candidates are prefix-filter-bounded
+      // and few, so fetching the two SORTED TERM ARRAYS per unique pair
+      // and intersecting locally moves pair-count × array bytes instead.
+      // `terms` is also the prefix source and the class size (|distinct
+      // shingles| = its length), so the separate sz aggregate is gone —
+      // one checkpointed per-class array frame feeds all three uses.
       val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val ordered = toks.join(dfreq, Seq("term"))
         .groupBy(col("h"))
-        .agg(array_sort(collect_list(struct(col("df"), col("term")))).as("ts"))
+        .agg(array_sort(collect_list(struct(col("df"), col("term"))))
+          .getField("term").as("terms"))
+        .withColumn("sz", size(col("terms")).cast("long"))
+        .localCheckpoint()
       val prefix = ordered.select(col("h").as("ha"),
           explode(expr(
-            "slice(ts, 1, size(ts) - cast(ceil(0.8 * size(ts)) as int) + 1)"))
-            .as("p"))
-        .select(col("ha"), col("p.term").as("term"))
+            "slice(terms, 1, size(terms) - cast(ceil(0.8 * size(terms)) as int) + 1)"))
+            .as("term"))
       val cand = prefix
         .join(toks.select(col("h").as("hb"), col("term")), Seq("term"))
         .filter(col("ha") =!= col("hb"))
         .select(col("ha"), col("hb")).distinct()
-      val ta = toks.select(col("h").as("ha"), col("term"))
-      val tb = toks.select(col("h").as("hb"), col("term"))
-      val inter = cand.join(ta, Seq("ha")).join(tb, Seq("hb", "term"))
-        .groupBy(col("ha"), col("hb")).agg(count(lit(1)).as("inter"))
-      val classPairs = inter
-        .join(sz.select(col("h").as("ha"), col("sz").as("sz_a")), Seq("ha"))
+      val classPairs = cand
+        .join(ordered.select(col("h").as("ha"), col("terms").as("t_a"),
+          col("sz").as("sz_a")), Seq("ha"))
+        .join(ordered.select(col("h").as("hb"), col("terms").as("t_b")),
+          Seq("hb"))
+        .withColumn("inter",
+          size(array_intersect(col("t_a"), col("t_b"))).cast("long"))
         .filter(col("inter").cast("double") / col("sz_a").cast("double") >= 0.8)
+        .select(col("ha"), col("hb"), col("inter"), col("sz_a"))
       val cross = classPairs
         .join(canon.select(col("h").as("ha"), col("doc_id").as("id_a")), Seq("ha"))
         .join(canon.select(col("h").as("hb"), col("doc_id").as("id_b")), Seq("hb"))
@@ -543,7 +555,7 @@ private[graft] object QueriesText {
       val within = canon.select(col("h"), col("doc_id").as("id_a"))
         .join(canon.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
         .filter(col("id_a") =!= col("id_b"))
-        .join(sz, Seq("h"))
+        .join(ordered.select(col("h"), col("sz")), Seq("h"))
         .select(col("id_a"), col("id_b"), col("sz").as("inter"),
           col("sz").as("sz_a"), lit(1.0).as("containment"))
       cross.unionByName(within)

@@ -1563,6 +1563,9 @@ private[graft] object QueriesWarehouse {
       val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
         expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
           .as("cents"))
+        // Checkpointed (r13): feeds both the percentile-bounds pass and
+        // the filtered sum — one scan + cents cast, not two.
+        .localCheckpoint()
       val bounds = li.groupBy(col("l_returnflag")).agg(
         percentile(col("cents"), lit(0.1)).as("lo"),
         percentile(col("cents"), lit(0.9)).as("hi"))
@@ -2178,6 +2181,9 @@ private[graft] object QueriesWarehouse {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
         .dropDuplicates("ok", "brand")
+        // Checkpointed (r13): consumed by BOTH sequence sides (brand_a
+        // and brand_b joins) — one lineitem⋈part dedup build, not two.
+        .localCheckpoint()
       seq
         .join(ob.select(col("ok").as("o_orderkey"), col("brand").as("brand_a")),
           Seq("o_orderkey"))
@@ -4011,7 +4017,11 @@ private[graft] object QueriesWarehouse {
     * so both engines execute the identical double-op sequence. Cost is
     * O(days²) per nation: calendar²-bounded, corpus-size-independent.
     */
-  private def ewmaPrefix(daily: DataFrame): DataFrame = {
+  private def ewmaPrefix(daily0: DataFrame): DataFrame = {
+    // Checkpointed (r13): the daily grid (an orders⋈customer⋈nation
+    // aggregate) feeds BOTH the per-nation series fold and the per-day
+    // row stream — one build, not two.
+    val daily = daily0.localCheckpoint()
     val w = Window.partitionBy(col("nation")).orderBy(col("d"))
     // The whole per-nation EWMA SERIES is built ONCE as an array-growing
     // fold over the day-ordered values (se[1] = x₁; se[k] = 0.25·x_k +

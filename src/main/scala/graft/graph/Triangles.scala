@@ -35,10 +35,16 @@ object Triangles {
       bCol: String,
       nodes: DataFrame,
       nodeCol: String): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val deg = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Pinned (r13, lazy): the caller's edge subtree is often expensive
+    // (q171 feeds a co-purchase wedge aggregation) and was re-evaluated
+    // by every reference — `e` feeds the degree count AND the oriented
+    // join, `deg` is referenced three times. One materialization each.
+    val e = org.apache.spark.sql.graft.Pin.pin(
+      edges.select(col(aCol).as("a"), col(bCol).as("b")), eager = false)
+    val deg = org.apache.spark.sql.graft.Pin.pin(
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")), eager = false)
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
@@ -51,7 +57,7 @@ object Triangles {
       when(aLow, col("a")).otherwise(col("b")).as("u"),
       when(aLow, col("b")).otherwise(col("a")).as("v"),
       when(aLow, col("db")).otherwise(col("da")).as("dv"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val e2 = o.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
     val wedges = e1.join(e2, Seq("u"))
@@ -91,10 +97,16 @@ object Triangles {
       edges: DataFrame,
       aCol: String,
       bCol: String): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val deg = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Pinned (r13, lazy): the caller's edge subtree is often expensive
+    // (q171 feeds a co-purchase wedge aggregation) and was re-evaluated
+    // by every reference — `e` feeds the degree count AND the oriented
+    // join, `deg` is referenced three times. One materialization each.
+    val e = org.apache.spark.sql.graft.Pin.pin(
+      edges.select(col(aCol).as("a"), col(bCol).as("b")), eager = false)
+    val deg = org.apache.spark.sql.graft.Pin.pin(
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")), eager = false)
     val withDeg = e
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
@@ -104,7 +116,7 @@ object Triangles {
       when(aLow, col("a")).otherwise(col("b")).as("u"),
       when(aLow, col("b")).otherwise(col("a")).as("v"),
       when(aLow, col("db")).otherwise(col("da")).as("dv"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val e1 = o.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val e2 = o.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
     val tris = e1.join(e2, Seq("u"))

@@ -172,8 +172,14 @@ final class PipelineRunner(
                   .getOption("spark.graft.seam.localCheckpoint")
                   .map(_.toBoolean)
                   .getOrElse(spark.sparkContext.isLocal)
+                // Lazy (r13): the first consumer's action materializes the
+                // seam and persists its blocks for the rest — an EAGER
+                // checkpoint paid one extra driver-barrier job per fan-out
+                // entity during the rebuild (q466) for rows a consumer was
+                // about to compute anyway. Plan truncation (the reason the
+                // seam exists) is identical either way.
                 val p =
-                  if (seamCheckpoint) contracted.localCheckpoint()
+                  if (seamCheckpoint) contracted.localCheckpoint(false)
                   else contracted.persist(
                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
                 persisted += p
